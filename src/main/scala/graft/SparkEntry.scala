@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.CoreQueries
+import graft.operators.{Dedup, EventOps, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The query surface is assembled from per-domain modules:
+  *  - [[queries.CoreQueries]]     reference-parity ops (SURVEY.md §2)
+  *  - [[operators.Dedup]]         exact + near-dup (MinHash/SimHash/ngram)
+  *  - [[operators.Similarity]]    embedding ANN / cosine top-k
+  *  - [[operators.TextAnalysis]]  lang-id, quality, tokens, fingerprints
+  *  - [[operators.EventOps]]      sessionization, windows, JSON extraction
+  */
 object SparkEntry {
+
+  private def allDefs: Seq[QueryDef] =
+    CoreQueries.all ++ Dedup.all ++ Similarity.all ++
+      TextAnalysis.all ++ EventOps.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.q01PricingSummary.build(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(q => q.name -> q.build).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    allDefs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

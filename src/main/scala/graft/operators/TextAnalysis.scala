@@ -1,0 +1,7 @@
+package graft.operators
+
+import graft.QueryDef
+
+object TextAnalysis {
+  val all: Seq[QueryDef] = Seq()
+}

@@ -1,0 +1,379 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-parity query surface (SURVEY.md §2 operator IDs in scaladoc).
+  *
+  * Scale design notes (100 TB):
+  *  - dimension joins (nation/region/supplier/part) are explicitly
+  *    `broadcast()` — no shuffle of the fact side;
+  *  - fact-fact joins (lineitem⋈orders) shuffle on the join key and rely
+  *    on AQE for skew/coalescing;
+  *  - all aggregates are partial-aggregable (sum/count/min/max over
+  *    decimal), so map-side combine applies;
+  *  - float sums go through decimal casts: exact, associative, and thus
+  *    both deterministic under any partitioning AND oracle-comparable.
+  */
+object CoreQueries {
+
+  /** Exact order-insensitive sum: cast to decimal before aggregating. */
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  /** Final presentation: round at scale 2 and hand back a double. */
+  private def d(c: Column): Column = round(c, 2).cast("double")
+
+  /** A1 + P1 + F9 — TPC-H Q1-style pricing summary (flagship).
+    * Ref: the reference's only aggregate is len(df) (main.py:14); this is
+    * the canonical Spark group-by replacing its per-file accumulation. */
+  val q01PricingSummary: QueryDef = QueryDef(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val price = dec2(col("l_extendedprice"))
+    val disc  = dec2(col("l_discount"))
+    val tax   = dec2(col("l_tax"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        d(sum(dec2(col("l_quantity")))).as("sum_qty"),
+        d(sum(price)).as("sum_base_price"),
+        d(sum(price * (lit(1) - disc))).as("sum_disc_price"),
+        d(sum(price * (lit(1) - disc) * (lit(1) + tax))).as("sum_charge"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(disc).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** F1 + F2 — multi-column '#'-joined key, MD5 surrogate
+    * (data_manager.py:62–63). Only non-float columns participate so the
+    * concatenated text is byte-identical across engines. */
+  val q02SurrogateKey: QueryDef = QueryDef(
+    "q02_surrogate_key",
+    """SELECT l_orderkey, l_linenumber,
+      |  md5(concat_ws('#', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), l_returnflag)) AS surrogate_key
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber
+      |LIMIT 500""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        md5(concat_ws("#",
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"),
+          col("l_returnflag"))).as("surrogate_key"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(500)
+  }
+
+  /** J1 — left-anti incremental load (data_manager.py:172–201): keep only
+    * rows whose key is absent from the already-loaded set. At 100 TB the
+    * keys side stays a distributed join (never collected); Catalyst
+    * broadcasts it when small, else shuffles both sides on the key. */
+  val q03AntiJoin: QueryDef = QueryDef(
+    "q03_anti_join",
+    """SELECT l.l_returnflag, count(*) AS n_new,
+      |  CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty_new
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+      |GROUP BY l.l_returnflag
+      |ORDER BY l.l_returnflag""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val loaded = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    li.join(loaded, li("l_orderkey") === loaded("o_orderkey"), "left_anti")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_new"), d(sum(dec2(col("l_quantity")))).as("qty_new"))
+      .orderBy("l_returnflag")
+  }
+
+  /** F3 — dictionary decode as a broadcast lookup join (data_manager.py:71
+    * `.map(config['accounts'])`): dims are broadcast, fact never shuffles. */
+  val q04DecodeBroadcast: QueryDef = QueryDef(
+    "q04_decode_broadcast",
+    """SELECT r.r_name, n.n_name, count(*) AS n_cust,
+      |  CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+      |FROM customer c
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name, n.n_name
+      |ORDER BY r.r_name, n.n_name""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val n = broadcast(Tables.nation(s, dir))
+    val r = broadcast(Tables.region(s, dir))
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), d(sum(dec2(col("c_acctbal")))).as("total_bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** F4 + F5 + F6 — date parse / year / year-month derivations
+    * (data_manager.py:72–74). `ym` doubles as the natural sink partition
+    * key at scale (SURVEY.md §7.3). */
+  val q05Dates: QueryDef = QueryDef(
+    "q05_dates",
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, strftime(l_shipdate, '%Y-%m') AS ym,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(
+        year(col("l_shipdate")).cast("bigint").as("yr"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ym"),
+        col("l_extendedprice"))
+      .groupBy(col("yr"), col("ym"))
+      .agg(count(lit(1)).as("n"), d(sum(dec2(col("l_extendedprice")))).as("total_price"))
+      .orderBy("yr", "ym")
+  }
+
+  /** F7 — decimal-comma numeric normalization with coerce-to-null
+    * (data_manager.py:75). Spark 4 is ANSI by default, so the pandas
+    * `errors='coerce'` becomes try_cast (SURVEY.md §2 F7). The comma
+    * string is built from `value` so both engines hash identical text. */
+  val q06TryNumeric: QueryDef = QueryDef(
+    "q06_try_numeric",
+    """WITH src AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_type = 'error' THEN 'N/A'
+      |         ELSE replace(CAST(value AS VARCHAR), '.', ',') END AS amount_raw
+      |  FROM events)
+      |SELECT event_type,
+      |  count(*) AS n_rows,
+      |  count(TRY_CAST(replace(amount_raw, ',', '.') AS DOUBLE)) AS n_parsed,
+      |  CAST(round(sum(CAST(TRY_CAST(replace(amount_raw, ',', '.') AS DOUBLE) AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+      |FROM src GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val raw = Tables.events(s, dir)
+      .select(
+        col("event_type"),
+        when(col("event_type") === "error", lit("N/A"))
+          .otherwise(regexp_replace(col("value").cast("string"), "\\.", ","))
+          .as("amount_raw"))
+    val parsed = expr("try_cast(replace(amount_raw, ',', '.') as double)")
+    raw.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(parsed).as("n_parsed"),
+        d(sum(dec2(parsed))).as("total"))
+      .orderBy("event_type")
+  }
+
+  /** F8 — debit/credit sign multiplier via bounded map lookup
+    * (data_manager.py:76); missing flag → null (try_element_at under
+    * ANSI). The map is a literal — broadcast-free, codegen'd. */
+  val q07SignedAmount: QueryDef = QueryDef(
+    "q07_signed_amount",
+    """SELECT event_type,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 WHEN event_type = 'refund' THEN -1 END) AS n_signed,
+      |  CAST(round(sum(CAST(value * (CASE WHEN event_type = 'purchase' THEN 1 WHEN event_type = 'refund' THEN -1 END) AS DECIMAL(18,2))), 2) AS DOUBLE) AS signed_total
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val mult = map(lit("purchase"), lit(1), lit("refund"), lit(-1))
+    val signed = col("value") * try_element_at(mult, col("event_type"))
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(try_element_at(mult, col("event_type"))).as("n_signed"),
+        d(sum(dec2(signed))).as("signed_total"))
+      .orderBy("event_type")
+  }
+
+  /** U1 + set ops — union / intersect / except over customer key sets
+    * (pd.concat accumulation, data_manager.py:138, generalized). */
+  val q08SetOps: QueryDef = QueryDef(
+    "q08_set_ops",
+    """WITH big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 100000),
+      |     bld AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+      |SELECT 'except'    AS op, count(*) AS n FROM (SELECT k FROM big EXCEPT SELECT k FROM bld)
+      |UNION ALL
+      |SELECT 'intersect' AS op, count(*) AS n FROM (SELECT k FROM big INTERSECT SELECT k FROM bld)
+      |UNION ALL
+      |SELECT 'union'     AS op, count(*) AS n FROM (SELECT k FROM big UNION SELECT k FROM bld)
+      |ORDER BY op""".stripMargin) { (s, dir) =>
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 100000)
+      .select(col("o_custkey").as("k")).distinct()
+    val bld = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k")).distinct()
+    val u = big.union(bld).distinct().agg(count(lit(1)).as("n"))
+      .select(lit("union").as("op"), col("n"))
+    val i = big.intersect(bld).agg(count(lit(1)).as("n"))
+      .select(lit("intersect").as("op"), col("n"))
+    val e = big.except(bld).agg(count(lit(1)).as("n"))
+      .select(lit("except").as("op"), col("n"))
+    e.union(i).union(u).orderBy("op")
+  }
+
+  /** Window functions — per-nation customer spend ranking. Rank ordering
+    * includes the unique custkey so ties are impossible (oracle-stable). */
+  val q09WindowRank: QueryDef = QueryDef(
+    "q09_window_rank",
+    """WITH spend AS (
+      |  SELECT n.n_name, c.c_custkey,
+      |    CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS spend
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY n.n_name, c.c_custkey)
+      |SELECT n_name, c_custkey, spend, rnk FROM (
+      |  SELECT *, CAST(rank() OVER (PARTITION BY n_name ORDER BY spend DESC, c_custkey) AS BIGINT) AS rnk
+      |  FROM spend)
+      |WHERE rnk <= 3
+      |ORDER BY n_name, rnk""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = broadcast(Tables.nation(s, dir))
+    val spend = o
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(d(sum(dec2(col("o_totalprice")))).as("spend"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("spend").desc, col("c_custkey"))
+    spend.withColumn("rnk", rank().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select("n_name", "c_custkey", "spend", "rnk")
+      .orderBy("n_name", "rnk")
+  }
+
+  /** Sort + limit top-k — top parts by discounted revenue; broadcast the
+    * part dim; unique partkey tiebreaker keeps the cut deterministic. */
+  val q10TopK: QueryDef = QueryDef(
+    "q10_topk",
+    """SELECT p.p_partkey, p.p_name,
+      |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY p.p_partkey, p.p_name
+      |ORDER BY revenue DESC, p_partkey
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val p = broadcast(Tables.part(s, dir))
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"))
+      .agg(d(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+      .limit(10)
+  }
+
+  /** P1 + P2 + P3 + F9 — select / rename / reorder / filter
+    * (data_manager.py:49–57, 90). Filter + projection both push to the
+    * parquet scan (PushedFilters/ReadSchema). */
+  val q11FilterProject: QueryDef = QueryDef(
+    "q11_filter_project",
+    """SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+      |  l_quantity AS qty, l_returnflag AS flag
+      |FROM lineitem
+      |WHERE l_returnflag = 'R' AND l_quantity > 25
+      |ORDER BY order_id, line_no
+      |LIMIT 200""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 25)
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("line_no"),
+        col("l_quantity").as("qty"),
+        col("l_returnflag").as("flag"))
+      .orderBy("order_id", "line_no")
+      .limit(200)
+  }
+
+  /** Full reference pipeline semantic (SURVEY.md §3 EP1) over lineitem
+    * re-cast as raw CSV-ish strings: stringify → rename → decimal-comma
+    * parse (F7) → date parse + ym (F4/F6) → MD5 surrogate (F1/F2) →
+    * anti-join vs already-loaded keys (J1) → ym aggregate. */
+  val q12EtlPipeline: QueryDef = QueryDef(
+    "q12_etl_pipeline",
+    """WITH src AS (
+      |  SELECT md5(concat_ws('#', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))) AS surrogate_key,
+      |    strftime(l_shipdate, '%d.%m.%Y') AS dt_raw,
+      |    replace(CAST(l_quantity AS VARCHAR), '.', ',') AS amount_raw
+      |  FROM lineitem),
+      |existing AS (
+      |  SELECT DISTINCT md5(concat_ws('#', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))) AS surrogate_key
+      |  FROM lineitem WHERE l_returnflag = 'A'),
+      |new_rows AS (
+      |  SELECT strptime(dt_raw, '%d.%m.%Y') AS dt,
+      |    TRY_CAST(replace(amount_raw, ',', '.') AS DOUBLE) AS amount
+      |  FROM src
+      |  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.surrogate_key = src.surrogate_key))
+      |SELECT strftime(dt, '%Y-%m') AS ym, count(*) AS n,
+      |  CAST(round(sum(CAST(amount AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_qty
+      |FROM new_rows GROUP BY ym ORDER BY ym""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val key = md5(concat_ws("#",
+      col("l_orderkey").cast("string"), col("l_linenumber").cast("string")))
+    val src = li.select(
+      key.as("surrogate_key"),
+      date_format(col("l_shipdate"), "dd.MM.yyyy").as("dt_raw"),
+      regexp_replace(col("l_quantity").cast("string"), "\\.", ",").as("amount_raw"))
+    val existing = li.filter(col("l_returnflag") === "A")
+      .select(key.as("surrogate_key")).distinct()
+    src.join(existing, Seq("surrogate_key"), "left_anti")
+      .select(
+        to_timestamp(col("dt_raw"), "dd.MM.yyyy").as("dt"),
+        expr("try_cast(replace(amount_raw, ',', '.') as double)").as("amount"))
+      .groupBy(date_format(col("dt"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("n"), d(sum(dec2(col("amount")))).as("total_qty"))
+      .orderBy("ym")
+  }
+
+  /** Left outer join — order fill summary; null-producing side feeds
+    * conditional aggregates. */
+  val q13LeftJoin: QueryDef = QueryDef(
+    "q13_left_join",
+    """SELECT o.o_orderstatus, count(*) AS n_pairs,
+      |  count(l.l_orderkey) AS n_matched,
+      |  CAST(round(sum(CAST(coalesce(l.l_extendedprice, 0) AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+      |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY o.o_orderstatus
+      |ORDER BY o.o_orderstatus""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count(col("l_orderkey")).as("n_matched"),
+        d(sum(dec2(coalesce(col("l_extendedprice"), lit(0))))).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Exact distinct aggregates (no approx — oracle must match bit-for-bit). */
+  val q14Distinct: QueryDef = QueryDef(
+    "q14_distinct",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q01PricingSummary, q02SurrogateKey, q03AntiJoin, q04DecodeBroadcast,
+    q05Dates, q06TryNumeric, q07SignedAmount, q08SetOps, q09WindowRank,
+    q10TopK, q11FilterProject, q12EtlPipeline, q13LeftJoin, q14Distinct)
+}
