@@ -28,15 +28,17 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
     * reader rejects (PARQUET_TYPE_ILLEGAL). Read it as raw nanos
-    * (legacy.parquet.nanosAsLong) and rebuild a micros timestamp —
-    * truncation to micros matches what DuckDB does natively, so oracle
-    * comparisons stay exact.
+    * (legacy.parquet.nanosAsLong) and rebuild a micros timestamp.
+    * `ts div 1000` stays in exact long arithmetic (the `/` operator
+    * coerces to double, whose 53-bit mantissa cannot represent
+    * epoch-nanos exactly) and matches DuckDB's native nanos→micros
+    * truncation, so oracle comparisons stay exact.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     load(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

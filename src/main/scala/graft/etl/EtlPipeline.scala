@@ -29,20 +29,29 @@ object EtlPipeline {
 
   /** S3 — filename metadata: the config regex must yield exactly
     * (bank, accType, mappingType), else the file is skipped
-    * (data_manager.py:143–159). */
-  def extractFileMeta(config: EtlConfig, fileName: String): Option[(String, String, String)] =
-    config.filePattern.findFirstMatchIn(fileName)
-      .filter(_.groupCount == 3)
-      .map(m => (m.group(1), m.group(2), m.group(3)))
+    * (data_manager.py:143–159). The reference uses `re.match`, which
+    * anchors at the START of the name (not a full match, not a search),
+    * so we use `Matcher.lookingAt` — a pattern matching mid-name must
+    * NOT route the file. */
+  def extractFileMeta(config: EtlConfig, fileName: String): Option[(String, String, String)] = {
+    val m = config.filePattern.pattern.matcher(fileName)
+    if (m.lookingAt() && m.groupCount == 3)
+      Some((m.group(1), m.group(2), m.group(3)))
+    else None
+  }
 
   /** S4 — config routing (data_manager.py:161–170). */
   def routeConfig(config: EtlConfig, mappingType: String, bank: String): Option[FileMappingConfig] =
     config.mapping.get(mappingType).flatMap(_.get(bank))
 
-  /** S2 — csv scan with an explicit all-string schema. Reading raw text
-    * (instead of letting Spark infer types) keeps surrogate-key bytes
-    * identical to what pandas would hash (SURVEY.md §7.3 risk 2) and
-    * pushes all typing decisions into the config-driven casts. */
+  /** S2 — csv scan with an explicit all-string schema, pushing all
+    * typing decisions into the config-driven casts. Surrogate-key parity
+    * note (SURVEY.md §7.3 risk 2): the reference hashes `astype(str)` of
+    * pandas-*inferred* dtypes (data_manager.py:62), so raw-text reads
+    * give byte-identical keys only when pandas would infer the key
+    * columns as object/string; numeric key columns render differently
+    * there ("123.40" → "123.4", int-with-NaN → "123.0") and would need
+    * explicit normalization to match reference-era hashes. */
   def readCsv(spark: SparkSession, path: String, sep: String, columns: Seq[String]): DataFrame = {
     val schema = StructType(columns.map(StructField(_, StringType, nullable = true)))
     spark.read
@@ -53,13 +62,21 @@ object EtlPipeline {
       .csv(path)
   }
 
-  /** Header sniff for the all-string schema (driver-side, one line). */
-  private def csvHeader(path: String, sep: String): Seq[String] = {
-    val src = scala.io.Source.fromFile(path, "UTF-8")
-    try src.getLines().nextOption().map(_.split(java.util.regex.Pattern.quote(sep), -1).toSeq)
-      .getOrElse(Seq.empty)
-    finally src.close()
-  }
+  /** Header sniff for the all-string schema (driver-side, one file).
+    * Uses Spark's own CSV reader on a header-only sample so that (a) the
+    * path resolves through the Hadoop FileSystem API — HDFS/S3/local all
+    * work, matching the 100 TB design notes — and (b) quoted header
+    * fields containing the separator parse correctly (a naive
+    * split-on-separator would mis-parse them). Limit(0) + columns reads
+    * only the header line, not the data. */
+  private def csvHeader(spark: SparkSession, path: String, sep: String): Seq[String] =
+    spark.read
+      .option("sep", sep)
+      .option("encoding", "UTF-8")
+      .option("header", "true")
+      .csv(path)
+      .columns
+      .toSeq
 
   /** EP3 — the per-file transform (data_manager.py:20–32, 59–95):
     * stm and sec branches share key/metadata ops and differ in the
@@ -67,7 +84,7 @@ object EtlPipeline {
   def buildFilePlan(spark: SparkSession, path: String, bank: String,
       accType: String, mappingType: String, cfg: FileMappingConfig): DataFrame = {
     val fileName = Paths.get(path).getFileName.toString
-    val base = readCsv(spark, path, cfg.csvSeparator, csvHeader(path, cfg.csvSeparator))
+    val base = readCsv(spark, path, cfg.csvSeparator, csvHeader(spark, path, cfg.csvSeparator))
     val shaped = EtlOps.selectAndRename(cfg.originalFields)(base)
     val keyed = EtlOps.withFileMetadata(bank, accType, fileName)(
       EtlOps.withSurrogateKey(cfg.surrogateKeyColumns)(shaped))

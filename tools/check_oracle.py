@@ -34,8 +34,10 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
+    seen = set()
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = qdir.rstrip("/").split("/")[-1]
+        seen.add(name)
         got = con.sql(f"SELECT * FROM '{qdir}*.parquet'")
         gcols = sorted(got.columns)
         grows = canon(con.sql(
@@ -60,6 +62,12 @@ def main(sf_dir, out_dir):
         else:
             print(f"  [ok] {name}: {len(grows)} rows")
             ok += 1
+    # An oracle-covered query whose Verify run crashed writes no output
+    # dir; that is a failure, not a skip — otherwise the gate can pass a
+    # run where covered queries never executed.
+    for name in sorted(set(oracle) - seen):
+        print(f"  [FAIL missing] {name}: no Verify output written")
+        fail += 1
     print(f"== {ok} ok, {fail} fail, "
           f"{len(oracle) - ok - fail} missing/rows-only ==")
     sys.exit(1 if fail else 0)
