@@ -1,7 +1,155 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Text-analysis operators over the `documents` table — the LLM-data-
+  * pipeline battery (SURVEY.md §7.2 Phase 3): token counting, quality
+  * scoring, n-gram language identification, and document fingerprinting.
+  *
+  * Scale design (100 TB):
+  *  - every per-document metric is a codegen'd built-in expression over
+  *    one scan — no UDFs, no collect, no driver loop;
+  *  - lang-id trains per-language trigram profiles with a partial-
+  *    aggregable groupBy (shuffle carries (lang, gram, count) partials,
+  *    not raw trigrams) and the resulting profile — bounded at
+  *    langs × 200 rows — is broadcast to score the test side, so the
+  *    big side never shuffles;
+  *  - determinism: ratios derive from exact integer counts (integer
+  *    `div` for bucketing, one final IEEE division for display), ties in
+  *    every window are broken by a unique column.
+  */
 object TextAnalysis {
-  val all: Seq[QueryDef] = Seq()
+
+  private val wsTokens: Column = split(col("text"), "\\s+")
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols. */
+  private val reTokenPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Token counting — whitespace tokens + regex pre-tokenizer counts. */
+  val q20TokenStats: QueryDef = QueryDef(
+    "q20_token_stats",
+    """SELECT lang, count(*) AS n_docs,
+      |  sum(len(string_split_regex(text, '\s+'))) AS total_ws_tokens,
+      |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS total_re_tokens,
+      |  CAST(sum(len(string_split_regex(text, '\s+'))) AS DOUBLE) / count(*) AS avg_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(wsTokens)).as("total_ws_tokens"),
+        sum(regexp_count(col("text"), lit(reTokenPat))).as("total_re_tokens"),
+        (sum(size(wsTokens)).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy("lang")
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Quality scoring — stopword-ratio decile buckets + type/token ratio.
+    * Buckets use exact integer division so the cut is bit-stable; the
+    * TTR is a single final division of exact integer sums. */
+  val q21Quality: QueryDef = QueryDef(
+    "q21_quality",
+    """WITH m AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop,
+      |    len(list_distinct(string_split(text, ' '))) AS n_types
+      |  FROM documents)
+      |SELECT lang, (10*n_stop) // n_tok AS stop_decile, count(*) AS n,
+      |  CAST(sum(n_types) AS DOUBLE)/sum(n_tok) AS ttr
+      |FROM m GROUP BY 1,2 ORDER BY 1,2""".stripMargin) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    val m = Tables.documents(s, dir).select(
+      col("lang"),
+      size(toks).as("n_tok"),
+      size(filter(toks, t => t.isInCollection(stopwords))).as("n_stop"),
+      size(array_distinct(toks)).as("n_types"))
+    m.groupBy(col("lang"), expr("(10*n_stop) div n_tok").as("stop_decile"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("n_types")).cast("double") / sum(col("n_tok"))).as("ttr"))
+      .orderBy("lang", "stop_decile")
+  }
+
+  /** Language ID — character-trigram profiles trained on an 80% split
+    * of the labeled docs (doc_id % 5 < 4), scored on the held-out 20%:
+    * profile = top-200 trigrams per language; prediction = argmax of
+    * profile hits over the test doc's distinct trigrams. Output is the
+    * confusion matrix. Profile is broadcast (bounded: 5 langs × 200). */
+  val q22LangId: QueryDef = QueryDef(
+    "q22_langid",
+    """WITH grams AS (
+      |  SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS g
+      |  FROM documents, unnest(range(1, len(text)-1)) AS t(i)
+      |  WHERE len(text) >= 3),
+      |prof AS (
+      |  SELECT lang, g FROM (
+      |    SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g) AS rn
+      |    FROM grams WHERE doc_id % 5 < 4 GROUP BY lang, g) WHERE rn <= 200),
+      |test AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 5 = 4),
+      |scores AS (
+      |  SELECT t.doc_id, p.lang AS cand, count(*) AS hits
+      |  FROM test t JOIN prof p ON t.g = p.g GROUP BY t.doc_id, p.lang),
+      |best AS (
+      |  SELECT doc_id, cand AS pred FROM (
+      |    SELECT doc_id, cand, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand) AS rn
+      |    FROM scores) WHERE rn = 1)
+      |SELECT d.lang AS actual, coalesce(b.pred, 'unknown') AS pred, count(*) AS n
+      |FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 4) d
+      |LEFT JOIN best b USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val grams = docs
+      .filter(length(col("text")) >= 3)
+      .select(
+        col("doc_id"), col("lang"),
+        explode(transform(
+          sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3)))).as("g"))
+    val profW = Window.partitionBy(col("lang"))
+      .orderBy(col("c").desc, col("g"))
+    val prof = grams.filter(col("doc_id") % 5 < 4)
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(profW))
+      .filter(col("rn") <= 200)
+      .select(col("lang").as("cand"), col("g"))
+    val test = grams.filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("g")).distinct()
+    val scores = test.join(broadcast(prof), Seq("g"))
+      .groupBy(col("doc_id"), col("cand")).agg(count(lit(1)).as("hits"))
+    val bestW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("cand"))
+    val best = scores.withColumn("rn", row_number().over(bestW))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand").as("pred"))
+    docs.filter(col("doc_id") % 5 === 4).select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .groupBy(col("lang").as("actual"), coalesce(col("pred"), lit("unknown")).as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual", "pred")
+  }
+
+  /** Document fingerprinting — md5 of whitespace-normalized text, used
+    * for content-addressed dedup/lineage at the source level. */
+  val q23Fingerprint: QueryDef = QueryDef(
+    "q23_fingerprint",
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_fp,
+      |  min(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS min_fp
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(fp).as("n_fp"),
+        min(fp).as("min_fp"))
+      .orderBy("source")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint)
 }
