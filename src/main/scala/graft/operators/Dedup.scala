@@ -1,7 +1,262 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Deduplication operators over `documents` / `embeddings` — exact
+  * hash-dedup, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-
+  * cosine near-dup (SURVEY.md §7.2 Phase 3 north-star set).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-groupBy on a 32-byte signature — the
+  *    shuffle carries (signature, partial counts), never document text;
+  *  - MinHash signatures are computed as k parallel `min` aggregates
+  *    over the shingle explosion: ONE shuffle keyed by doc_id with full
+  *    map-side partial mins (the classic per-row-hash pivot), not k
+  *    passes; band buckets then join doc_ids only — candidate pairs are
+  *    bounded by LSH, so the quadratic verify step touches candidates,
+  *    not the corpus;
+  *  - SimHash is 16 integer partial-sum aggregates over the token
+  *    explosion — same single-shuffle shape;
+  *  - cosine near-dup brute-forces only inside label blocks (the
+  *    blocking key bounds the quadratic term; at 100 TB the block key
+  *    would be an LSH bucket — see [[Similarity]] for the ANN path).
+  *
+  * Determinism: hashes are md5 hex strings (identical bytes in any
+  * engine); Jaccard values are exact small-integer ratios (the double
+  * division of two ints is bit-exact everywhere); cosine is an
+  * explicitly generated left-associated 64-term sum so both engines
+  * evaluate the identical IEEE operation sequence.
+  */
 object Dedup {
-  val all: Seq[QueryDef] = Seq()
+
+  private val K = 8  // minhash permutations
+  private val BANDS = 4 // LSH bands (r = K/BANDS = 2 rows per band)
+
+  /** Bag-of-words signature: md5 of the sorted distinct token set. */
+  private val signature: Column =
+    md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+
+  /** Exact dedup — hash-groupBy on the normalized content signature;
+    * duplicates = docs beyond the first holder of each signature. */
+  val q30ExactDedup: QueryDef = QueryDef(
+    "q30_exact_dedup",
+    """WITH sig AS (
+      |  SELECT doc_id, lang,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS signature
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs, count(DISTINCT signature) AS n_sig,
+      |  count(*) - count(DISTINCT signature) AS n_dups
+      |FROM sig GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("lang"), signature.as("signature"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("signature")).as("n_sig"),
+        (count(lit(1)) - countDistinct(col("signature"))).as("n_dups"))
+      .orderBy("lang")
+  }
+
+  /** Word-3-gram shingles: (doc_id, shingle) exploded rows. */
+  private def shingles(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    docs.filter(size(t) >= 3)
+      .select(
+        col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(t) - 2),
+          i => array_join(slice(t, i, lit(3)), " "))).as("shingle"))
+  }
+
+  /** MinHash signature matrix, pivoted: one row per doc with h0..h7 =
+    * min over shingles of md5(shingle || '#k'). Single shuffle on
+    * doc_id; the k mins combine map-side. */
+  private def minhash(docs: DataFrame): DataFrame =
+    shingles(docs)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(col("shingle"), lit("#0")))).as("h0"),
+        (1 until K).map(k =>
+          min(md5(concat(col("shingle"), lit(s"#$k")))).as(s"h$k")): _*)
+
+  private val mhOracleMins: String =
+    (0 until K).map(k => s"min(md5(shingle || '#$k')) AS h$k").mkString(", ")
+  private val mhOracleCte: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS shingle
+       |  FROM toks, unnest(range(1, len(t)-1)) AS u(i) WHERE len(t) >= 3),
+       |mh AS (SELECT doc_id, $mhOracleMins FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** MinHash signatures — the per-doc sketch id (md5 over the ordered
+    * signature vector). */
+  val q31Minhash: QueryDef = QueryDef(
+    "q31_minhash",
+    s"""WITH $mhOracleCte
+       |SELECT doc_id, md5(${(0 until K).map(k => s"h$k").mkString(" || '|' || ")}) AS sketch
+       |FROM mh ORDER BY doc_id LIMIT 200""".stripMargin) { (s, dir) =>
+    minhash(Tables.documents(s, dir))
+      .select(
+        col("doc_id"),
+        md5(concat_ws("|", (0 until K).map(k => col(s"h$k")): _*)).as("sketch"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  /** LSH band buckets from the pivoted signature: bucket =
+    * md5(band || ':' || h_{2b} || '|' || h_{2b+1}). */
+  private def lshBuckets(mh: DataFrame): DataFrame =
+    mh.select(
+      col("doc_id"),
+      explode(array((0 until BANDS).map(b =>
+        md5(concat(lit(s"$b:"), col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}")))): _*)).as("bucket"))
+
+  /** MinHash-LSH near-dup — candidate pairs from band-bucket collisions,
+    * verified with exact token-set Jaccard. Output is the summary
+    * (candidate count, verified count at j>=0.5, decimal-exact sum). */
+  val q32LshPairs: QueryDef = QueryDef(
+    "q32_lsh_pairs",
+    s"""WITH $mhOracleCte,
+       |buckets AS (${(0 until BANDS).map(b =>
+            s"SELECT doc_id, md5('$b:' || h${2 * b} || '|' || h${2 * b + 1}) AS bucket FROM mh")
+            .mkString(" UNION ALL ")}),
+       |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |ts AS (SELECT doc_id, list_distinct(t) AS ts FROM toks),
+       |jac AS (
+       |  SELECT c.a, c.b,
+       |    CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) / len(list_distinct(list_cat(ta.ts, tb.ts))) AS j
+       |  FROM cand c JOIN ts ta ON ta.doc_id = c.a JOIN ts tb ON tb.doc_id = c.b)
+       |SELECT count(*) AS n_candidates,
+       |  count(CASE WHEN j >= 0.5 THEN 1 END) AS n_verified,
+       |  CAST(round(sum(CAST(j AS DECIMAL(18,12))), 6) AS DOUBLE) AS sum_j
+       |FROM jac""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val buckets = lshBuckets(minhash(docs))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    val cand = a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b")).distinct()
+    val ts = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
+    val jac = cand
+      .join(ts.select(col("doc_id").as("a"), col("ts").as("tsa")), Seq("a"))
+      .join(ts.select(col("doc_id").as("b"), col("ts").as("tsb")), Seq("b"))
+      .select(
+        (size(array_intersect(col("tsa"), col("tsb"))).cast("double") /
+          size(array_union(col("tsa"), col("tsb")))).as("j"))
+    jac.agg(
+      count(lit(1)).as("n_candidates"),
+      count(when(col("j") >= 0.5, 1)).as("n_verified"),
+      round(sum(col("j").cast("decimal(18,12)")), 6).cast("double").as("sum_j"))
+  }
+
+  /** SimHash — 16-bit signature; bit b is the weighted majority over
+    * tokens of a pseudo-random bit derived from the token's md5 hex
+    * char b (ascii parity). 16 integer partial sums, one shuffle. */
+  val q33Simhash: QueryDef = QueryDef(
+    "q33_simhash",
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |agg AS (SELECT doc_id, lang, count(*) AS n,
+       |  ${(0 until 16).map(b => s"sum(ascii(substr(md5(tok), ${b + 1}, 1)) % 2) AS s$b").mkString(", ")}
+       |  FROM tk GROUP BY doc_id, lang),
+       |sh AS (SELECT doc_id, lang,
+       |  ${(0 until 16).map(b => s"(CASE WHEN 2*s$b > n THEN ${1 << b} ELSE 0 END)").mkString(" + ")} AS simhash
+       |  FROM agg)
+       |SELECT lang, count(*) AS n_docs, count(DISTINCT simhash) AS n_distinct_sh
+       |FROM sh GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val tk = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val agg = tk.groupBy(col("doc_id"), col("lang"))
+      .agg(
+        count(lit(1)).as("n"),
+        (0 until 16).map(b =>
+          sum(ascii(substring(md5(col("tok")), b + 1, 1)) % 2).as(s"s$b")): _*)
+    val simhash = (0 until 16)
+      .map(b => when(lit(2) * col(s"s$b") > col("n"), lit(1 << b)).otherwise(lit(0)))
+      .reduce(_ + _)
+    agg.select(col("lang"), simhash.as("simhash"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("simhash")).as("n_distinct_sh"))
+      .orderBy("lang")
+  }
+
+  /** n-gram Jaccard near-dup — exact token-bigram Jaccard inside lang
+    * blocks (blocking bounds the quadratic join), top pairs. Jaccard
+    * doubles are exact int ratios → identical in any engine, so the
+    * ORDER BY (j DESC, a, b) is stable. */
+  val q34NgramJaccard: QueryDef = QueryDef(
+    "q34_ngram_jaccard",
+    """WITH bg AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, len(string_split(text,' '))),
+      |      i -> string_split(text,' ')[CAST(i AS INT)] || ' ' || string_split(text,' ')[CAST(i AS INT)+1])) AS bs
+      |  FROM documents WHERE len(string_split(text,' ')) >= 2)
+      |SELECT a.doc_id AS a, b.doc_id AS b,
+      |  CAST(len(list_intersect(a.bs, b.bs)) AS DOUBLE) / len(list_distinct(list_cat(a.bs, b.bs))) AS j
+      |FROM bg a JOIN bg b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.bs, b.bs)) * 10 >= len(list_distinct(list_cat(a.bs, b.bs))) * 3
+      |ORDER BY j DESC, a, b LIMIT 50""".stripMargin) { (s, dir) =>
+    val t = split(col("text"), " ")
+    val bg = Tables.documents(s, dir)
+      .filter(size(t) >= 2)
+      .select(
+        col("doc_id"), col("lang"),
+        array_distinct(transform(
+          sequence(lit(1), size(t) - 1),
+          i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))).as("bs"))
+    val a = bg.select(col("doc_id").as("a"), col("lang"), col("bs").as("bsa"))
+    val joined = a.join(
+        bg.select(col("doc_id").as("b"), col("lang").as("langb"), col("bs").as("bsb")),
+        col("lang") === col("langb") && col("a") < col("b"))
+    val inter = size(array_intersect(col("bsa"), col("bsb")))
+    val uni = size(array_union(col("bsa"), col("bsb")))
+    joined
+      .filter(inter * 10 >= uni * 3)
+      .select(col("a"), col("b"), (inter.cast("double") / uni).as("j"))
+      .orderBy(col("j").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
+  /** Explicit left-associated dot product over 1-based positions —
+    * generated term-by-term so Spark and the oracle execute the same
+    * IEEE operation sequence (bit-exact, no summation-order ambiguity;
+    * also a single codegen'd projection, no lambda overhead). */
+  private def dotCol(x: String, y: String, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(col(x), i).cast("double") * element_at(col(y), i).cast("double"))
+      .reduce(_ + _)
+  private def dotSql(x: String, y: String, dim: Int): String =
+    (1 to dim).map(i => s"CAST($x[$i] AS DOUBLE)*CAST($y[$i] AS DOUBLE)").mkString(" + ")
+
+  private val DIM = 64
+
+  /** Embedding-cosine near-dup — pairs above threshold inside label
+    * blocks. */
+  val q35EmbeddingNeardup: QueryDef = QueryDef(
+    "q35_embedding_neardup",
+    s"""WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+       |c AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    (${dotSql("a.v", "b.v", DIM)}) /
+       |      (sqrt(${dotSql("a.v", "a.v", DIM)}) * sqrt(${dotSql("b.v", "b.v", DIM)})) AS cos_sim
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT a, b, cos_sim FROM c WHERE cos_sim >= 0.35
+       |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("a"), col("label"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b"), col("label").as("labelb"), col("embedding").as("vb"))
+    val cos = dotCol("va", "vb", DIM) /
+      (sqrt(dotCol("va", "va", DIM)) * sqrt(dotCol("vb", "vb", DIM)))
+    a.join(b, col("label") === col("labelb") && col("a") < col("b"))
+      .select(col("a"), col("b"), cos.as("cos_sim"))
+      .filter(col("cos_sim") >= 0.35)
+      .orderBy("a", "b")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
+    q34NgramJaccard, q35EmbeddingNeardup)
 }
