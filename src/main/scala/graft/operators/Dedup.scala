@@ -220,18 +220,7 @@ object Dedup {
       .limit(50)
   }
 
-  /** Explicit left-associated dot product over 1-based positions —
-    * generated term-by-term so Spark and the oracle execute the same
-    * IEEE operation sequence (bit-exact, no summation-order ambiguity;
-    * also a single codegen'd projection, no lambda overhead). */
-  private def dotCol(x: String, y: String, dim: Int): Column =
-    (1 to dim).map(i =>
-      element_at(col(x), i).cast("double") * element_at(col(y), i).cast("double"))
-      .reduce(_ + _)
-  private def dotSql(x: String, y: String, dim: Int): String =
-    (1 to dim).map(i => s"CAST($x[$i] AS DOUBLE)*CAST($y[$i] AS DOUBLE)").mkString(" + ")
-
-  private val DIM = 64
+  import VectorOps.{dotCol, dotSql, DIM}
 
   /** Embedding-cosine near-dup — pairs above threshold inside label
     * blocks. */

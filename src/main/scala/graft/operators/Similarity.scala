@@ -1,7 +1,163 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+import VectorOps._
+
+/** Similarity search over the `embeddings` table — brute-force cosine
+  * top-k as the exact baseline, plus the two classic scale paths:
+  * random-hyperplane LSH bucketing and an IVF-style coarse quantizer
+  * (SURVEY.md §7.2 Phase 3).
+  *
+  * Scale design (100 TB):
+  *  - the query side is always the SMALL side and is broadcast — the
+  *    corpus never shuffles for a search;
+  *  - brute force is the correctness baseline: one broadcast-nested-
+  *    loop pass, fully codegen'd (explicit term-sum cosines, no lambda
+  *    interpretation), top-k via per-query window over a pre-filtered
+  *    candidate set;
+  *  - LSH (q42) prunes candidates to one bucket per query: the bucket
+  *    id is a data-independent projection computed scan-side, so the
+  *    corpus can be written PARTITIONED BY bucket and a search prunes
+  *    partitions instead of scanning the corpus;
+  *  - IVF (q43) is the same idea with data-derived centroids: assign
+  *    each vector to its nearest coarse centroid (broadcast centroids),
+  *    search only the query's cell (nprobe=1 here).
+  *
+  * Determinism: all cosines are explicit left-associated term sums
+  * (bit-exact across engines — see [[VectorOps]]); every top-k window
+  * breaks ties on vec_id.
+  */
 object Similarity {
-  val all: Seq[QueryDef] = Seq()
+
+  private val PLANES = 4 // LSH hyperplanes → 16 buckets
+  private val NQUERY = 10 // query set: vec_id < 10
+  private val NCENT = 8 // IVF coarse centroids: vec_id < 8
+
+  /** Brute-force cosine top-k for a single query vector (vec_id=0):
+    * the exact-search baseline every ANN variant is judged against. */
+  val q40CosineTopk: QueryDef = QueryDef(
+    "q40_cosine_topk",
+    s"""WITH q AS (SELECT embedding AS vq FROM embeddings WHERE vec_id = 0),
+       |e AS (SELECT vec_id, label, embedding AS v FROM embeddings WHERE vec_id <> 0)
+       |SELECT e.vec_id, e.label, ${cosSql("e.v", "q.vq")} AS cos_sim
+       |FROM e, q
+       |ORDER BY cos_sim DESC, e.vec_id
+       |LIMIT 20""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("vq")))
+    e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .crossJoin(q)
+      .select(col("vec_id"), col("label"), cosCol("v", "vq").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** kNN join — top-3 neighbors for each of the first NQUERY vectors:
+    * broadcast the query set, one pass over the corpus, per-query
+    * window top-k. */
+  val q41KnnJoin: QueryDef = QueryDef(
+    "q41_knn_join",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS vq FROM embeddings WHERE vec_id < $NQUERY),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |c AS (
+       |  SELECT q.qid, e.vec_id, ${cosSql("e.v", "q.vq")} AS cos_sim
+       |  FROM e JOIN q ON e.vec_id <> q.qid),
+       |r AS (
+       |  SELECT qid, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+       |  FROM c)
+       |SELECT qid, CAST(rn AS INT) AS rn, vec_id, cos_sim FROM r WHERE rn <= 3
+       |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val q = broadcast(e.filter(col("vec_id") < NQUERY)
+      .select(col("vec_id").as("qid"), col("embedding").as("vq")))
+    val c = e.select(col("vec_id"), col("embedding").as("v"))
+      .join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosCol("v", "vq").as("cos_sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+    c.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn").cast("int").as("rn"), col("vec_id"), col("cos_sim"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Random-hyperplane LSH ANN — bucket the corpus by sign bits of
+    * PLANES data-independent projections; answer each query from its
+    * own bucket only. The approximate counterpart of q41 (same query
+    * set, same output shape) — a recall-vs-cost knob, not an oracle of
+    * exactness. */
+  val q42LshAnn: QueryDef = QueryDef(
+    "q42_lsh_ann",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding AS v, ${lshBucketSql("embedding", PLANES)} AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS vq, bucket FROM e WHERE vec_id < $NQUERY),
+       |c AS (
+       |  SELECT q.qid, e.vec_id, ${cosSql("e.v", "q.vq")} AS cos_sim
+       |  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.qid),
+       |r AS (
+       |  SELECT qid, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+       |  FROM c)
+       |SELECT qid, CAST(rn AS INT) AS rn, vec_id, cos_sim FROM r WHERE rn <= 3
+       |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"),
+        lshBucketCol("embedding", PLANES).as("bucket"))
+    val q = broadcast(e.filter(col("vec_id") < NQUERY)
+      .select(col("vec_id").as("qid"), col("v").as("vq"), col("bucket")))
+    val c = e.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosCol("v", "vq").as("cos_sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+    c.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn").cast("int").as("rn"), col("vec_id"), col("cos_sim"))
+      .orderBy("qid", "rn")
+  }
+
+  /** IVF coarse quantization — centroids are the first NCENT vectors
+    * (a deterministic stand-in for a trained codebook); every vector is
+    * assigned to its nearest centroid by cosine (broadcast centroids,
+    * per-vector argmax window). Output: cell histogram with label
+    * diversity — the partition layout an IVF index would store. */
+  val q43IvfCells: QueryDef = QueryDef(
+    "q43_ivf_cells",
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS vc FROM embeddings WHERE vec_id < $NCENT),
+       |e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+       |a AS (
+       |  SELECT e.vec_id, e.label, cent.cid, ${cosSql("e.v", "cent.vc")} AS cos_sim
+       |  FROM e, cent),
+       |best AS (
+       |  SELECT vec_id, label, cid FROM (
+       |    SELECT vec_id, label, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, cid) AS rn
+       |    FROM a) WHERE rn = 1)
+       |SELECT cid, count(*) AS n_vecs, count(DISTINCT label) AS n_labels,
+       |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
+       |FROM best GROUP BY cid ORDER BY cid""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val cent = broadcast(e.filter(col("vec_id") < NCENT)
+      .select(col("vec_id").as("cid"), col("embedding").as("vc")))
+    val a = e.select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .crossJoin(cent)
+      .select(col("vec_id"), col("label"), col("cid"), cosCol("v", "vc").as("cos_sim"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("cid"))
+    a.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        countDistinct(col("label")).as("n_labels"),
+        min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"))
+      .orderBy("cid")
+  }
+
+  val all: Seq[QueryDef] = Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells)
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared vector primitives for the similarity/dedup operators.
+  *
+  * Dot products are generated as explicit left-associated term sums
+  * over 1-based positions rather than `aggregate`/`zip_with` lambdas:
+  *  - Spark and the DuckDB oracle then execute the identical IEEE
+  *    operation sequence → bit-exact cosines, no summation-order
+  *    ambiguity between engines (or between Spark partitionings);
+  *  - the whole expression is one codegen'd projection — no
+  *    higher-order-function interpretation overhead in the hot path.
+  */
+private[operators] object VectorOps {
+
+  /** Embedding dimensionality of the test corpus (TESTDATA.md). */
+  val DIM = 64
+
+  /** Left-associated dot product of two array columns (1-based). */
+  def dotCol(x: String, y: String, dim: Int = DIM): Column =
+    (1 to dim).map(i =>
+      element_at(col(x), i).cast("double") * element_at(col(y), i).cast("double"))
+      .reduce(_ + _)
+
+  /** Same term sequence as SQL text for the DuckDB oracle. */
+  def dotSql(x: String, y: String, dim: Int = DIM): String =
+    (1 to dim).map(i => s"CAST($x[$i] AS DOUBLE)*CAST($y[$i] AS DOUBLE)").mkString(" + ")
+
+  /** Cosine similarity, bit-exact across engines. */
+  def cosCol(x: String, y: String, dim: Int = DIM): Column =
+    dotCol(x, y, dim) / (sqrt(dotCol(x, x, dim)) * sqrt(dotCol(y, y, dim)))
+
+  def cosSql(x: String, y: String, dim: Int = DIM): String =
+    s"(${dotSql(x, y, dim)}) / (sqrt(${dotSql(x, x, dim)}) * sqrt(${dotSql(y, y, dim)}))"
+
+  /** ±1 pseudo-random hyperplane coefficient for LSH plane `p`,
+    * dimension `i`: sign = parity of the ascii code of hex char 1 of
+    * md5("p:i") — data-independent, identical in any engine. */
+  def planeSign(p: Int, i: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (hex.charAt(0).toInt % 2 == 1) 1 else -1
+  }
+
+  /** Signed projection of vector column `v` onto plane `p`:
+    * sum_i sign(p,i) * v[i], left-associated. */
+  def planeDotCol(v: String, p: Int, dim: Int = DIM): Column =
+    (1 to dim).map { i =>
+      val s = planeSign(p, i - 1)
+      element_at(col(v), i).cast("double") * lit(s.toDouble)
+    }.reduce(_ + _)
+
+  def planeDotSql(v: String, p: Int, dim: Int = DIM): String =
+    (1 to dim).map { i =>
+      val s = planeSign(p, i - 1)
+      s"CAST($v[$i] AS DOUBLE)*(${s}.0)"
+    }.mkString(" + ")
+
+  /** Random-hyperplane LSH bucket id over `planes` planes: bit p set
+    * iff the projection onto plane p is >= 0. */
+  def lshBucketCol(v: String, planes: Int, dim: Int = DIM): Column =
+    (0 until planes).map(p =>
+      when(planeDotCol(v, p, dim) >= 0, lit(1 << p)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  def lshBucketSql(v: String, planes: Int, dim: Int = DIM): String =
+    (0 until planes).map(p =>
+      s"(CASE WHEN (${planeDotSql(v, p, dim)}) >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+}
