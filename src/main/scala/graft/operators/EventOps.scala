@@ -1,7 +1,163 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Event-stream operators over the `events` table — JSON property
+  * extraction, gap-based sessionization, tumbling-window aggregates,
+  * as-of joins, and rollup cubes. The batch twins of the
+  * [[graft.streaming]] module: identical semantics, expressed over a
+  * bounded table (SURVEY.md §7.2 Phase 3).
+  *
+  * Scale design (100 TB):
+  *  - sessionization shuffles once on user_id; both windows (the lag
+  *    and the running sum) share that single partitioning, so Catalyst
+  *    plans one Exchange + one Sort;
+  *  - the as-of join is the union + last-non-null-window formulation:
+  *    one shuffle on user_id over the union, no per-row range probe —
+  *    the classic distributed as-of shape (vs. a quadratic theta join);
+  *  - tumbling windows and rollups are plain partial-aggregable
+  *    groupBys: map-side combine carries (bucket, partials);
+  *  - JSON extraction is a codegen'd path expression — no UDF, no
+  *    driver-side parsing.
+  */
 object EventOps {
-  val all: Seq[QueryDef] = Seq()
+
+  private val SESSION_GAP_US = 1800000000L // 30 min in microseconds
+
+  /** JSON property extraction + typed aggregation. */
+  val q50JsonExtract: QueryDef = QueryDef(
+    "q50_json_extract",
+    """SELECT event_type, count(*) AS n,
+      |  count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+      |  sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(k).as("n_k"), sum(k).as("sum_k"))
+      .orderBy("event_type")
+  }
+
+  /** Gap-based sessionization — a new session starts when the gap to
+    * the previous event of the same user exceeds 30 minutes; session id
+    * is the running sum of session-start flags. */
+  val q51Sessionize: QueryDef = QueryDef(
+    "q51_sessionize",
+    s"""WITH o AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SESSION_GAP_US OR lag(ts) OVER w IS NULL
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+       |  FROM o),
+       |per AS (
+       |  SELECT user_id, sess, count(*) AS n_ev, epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+       |  FROM s GROUP BY user_id, sess)
+       |SELECT user_id, count(*) AS n_sessions, sum(n_ev) AS n_events,
+       |  max(n_ev) AS max_sess_events, sum(dur_us) AS total_dur_us
+       |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val isNew = when(
+      (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > SESSION_GAP_US)
+        || lag(col("ts"), 1).over(w).isNull, 1).otherwise(0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), isNew.as("is_new"))
+      .withColumn("sess", sum(col("is_new")).over(w))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_ev"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        max(col("n_ev")).as("max_sess_events"),
+        sum(col("dur_us")).as("total_dur_us"))
+      .orderBy("user_id")
+  }
+
+  /** Hourly tumbling-window aggregate — the batch twin of the
+    * streaming `window(ts, "1 hour")` aggregation. */
+  val q52Tumbling: QueryDef = QueryDef(
+    "q52_tumbling",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("total"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** As-of join — each purchase matched to the latest click of the
+    * same user at or before it. Spark formulation: union both sides,
+    * one window partitioned by user ordered by (ts, side), carry the
+    * last non-null click forward; the oracle uses DuckDB's native
+    * ASOF LEFT JOIN. One shuffle, no range probe. */
+  val q53AsofJoin: QueryDef = QueryDef(
+    "q53_asof_join",
+    """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT p.user_id, p.ts AS pts, c.ts AS cts, c.value AS cval
+      |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
+      |SELECT user_id, count(*) AS n_purchases, count(cts) AS n_matched,
+      |  sum(epoch_us(pts) - epoch_us(cts)) AS total_gap_us,
+      |  CAST(round(sum(CAST(coalesce(cval,0) AS DECIMAL(18,2))),2) AS DOUBLE) AS click_val
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val union = ev.filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("user_id"), col("ts"), col("value"),
+        // clicks sort before a purchase at the same ts => ts >= cts inclusive
+        when(col("event_type") === "click", 0).otherwise(1).as("side"),
+        when(col("event_type") === "click", col("ts")).as("click_ts"),
+        when(col("event_type") === "click", col("value")).as("click_val"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    union
+      .withColumn("cts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .withColumn("cval", last(col("click_val"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("cts")).as("n_matched"),
+        sum(unix_micros(col("ts")) - unix_micros(col("cts"))).as("total_gap_us"),
+        round(sum(coalesce(col("cval"), lit(0)).cast("decimal(18,2)")), 2)
+          .cast("double").as("click_val"))
+      .orderBy("user_id")
+  }
+
+  /** Rollup — (event_type, day) hierarchy with grand total; grouping
+    * nulls rendered as 'ALL' so ordering is engine-independent. */
+  val q54Rollup: QueryDef = QueryDef(
+    "q54_rollup",
+    """SELECT coalesce(event_type, 'ALL') AS etype,
+      |  coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS total
+      |FROM events GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+      |ORDER BY etype, day""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .rollup(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("total"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("etype"),
+        coalesce(date_format(col("d"), "yyyy-MM-dd"), lit("ALL")).as("day"),
+        col("n"), col("total"))
+      .orderBy("etype", "day")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q50JsonExtract, q51Sessionize, q52Tumbling, q53AsofJoin, q54Rollup)
 }
