@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.CoreQueries
 import graft.operators.{Dedup, EventOps, Similarity, TextAnalysis}
+import graft.multimodal.MediaQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,12 +14,13 @@ import graft.operators.{Dedup, EventOps, Similarity, TextAnalysis}
   *  - [[operators.Similarity]]    embedding ANN / cosine top-k
   *  - [[operators.TextAnalysis]]  lang-id, quality, tokens, fingerprints
   *  - [[operators.EventOps]]      sessionization, windows, JSON extraction
+  *  - [[multimodal.MediaQueries]] binary-column media plumbing
   */
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     CoreQueries.all ++ Dedup.all ++ Similarity.all ++
-      TextAnalysis.all ++ EventOps.all
+      TextAnalysis.all ++ EventOps.all ++ MediaQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,117 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing — image/audio/video as opaque `binary`
+  * columns with typed metadata, and a decode/feature-extract stage
+  * whose Spark-side shape (schema, partitioning, per-partition batch
+  * iteration) is real while the actual codec is a deterministic stub
+  * (no image/audio libraries in this environment; SURVEY.md §7.2
+  * Phase 3 / builder prompt).
+  *
+  * Scale design (100 TB of media):
+  *  - blobs ride in a `binary` column next to their metadata — one
+  *    scan, no tiny-file reads; `spark.sql.files.maxPartitionBytes`
+  *    bounds partition memory, so executors never hold more than a
+  *    partition of blobs;
+  *  - decode runs via `mapPartitions`: per-partition iterator-to-
+  *    iterator, streaming — a real decoder (JNI codec, ONNX runtime)
+  *    would be initialized once per partition, not per row (the same
+  *    batch shape `mapInPandas` gives Python);
+  *  - `repartition(kind)` gives codec affinity (each partition holds
+  *    one media kind, so one decoder instance serves the partition);
+  *  - features come back as a fixed-width `Array[Float]` column ready
+  *    for the [[graft.operators.Similarity]] ANN path.
+  */
+object Media {
+
+  /** An ingested asset: opaque payload + typed metadata. */
+  final case class MediaAsset(
+      asset_id: Long,
+      kind: String, // image | audio | video
+      payload: Array[Byte],
+      meta_source: String,
+      payload_bytes: Long)
+
+  /** Decoded features — what a real decoder would emit. */
+  final case class MediaFeatures(
+      asset_id: Long,
+      kind: String,
+      width: Int, // images/video: pixel dims; audio: sample rate
+      height: Int,
+      n_frames: Int, // video frame count / audio chunk count; image: 1
+      feature: Array[Float]) // fixed-width embedding from the content
+
+  /** ASCII container magics (stand-ins for \x89PNG / RIFF / ftyp). */
+  val Magics: Map[String, String] =
+    Map("image" -> "PNG0", "audio" -> "RIFF", "video" -> "FTYP")
+
+  val FeatureDim = 16
+
+  /** Deterministic fake ingest: documents become media assets — the
+    * text's UTF-8 bytes prefixed with the kind's magic. Real systems
+    * would read blob files here; everything downstream only sees the
+    * (binary, metadata) schema, so the swap is local to this method. */
+  def ingest(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    val kind = element_at(
+      map(lit(0), lit("image"), lit(1), lit("audio"), lit(2), lit("video")),
+      (col("doc_id") % 3).cast("int"))
+    val magic = element_at(
+      map(Magics.toSeq.flatMap { case (k, m) => Seq(lit(k), lit(m)) }: _*), kind)
+    docs.select(
+        col("doc_id").as("asset_id"),
+        kind.as("kind"),
+        concat(magic, col("text")).cast("binary").as("payload"),
+        col("source").as("meta_source"),
+        octet_length(col("text")).cast("long").plus(4).as("payload_bytes"))
+      .as[MediaAsset]
+  }
+
+  /** DECODE STUB — deterministic fake of the codec stage. A real
+    * implementation would decode `payload` with an image/audio/video
+    * library; this derives the same-shaped outputs from the bytes so
+    * the pipeline is testable end-to-end. The mapPartitions batch
+    * shape, schema, and partitioning are the real contract. */
+  def decodeStub(a: MediaAsset): MediaFeatures = {
+    val body = a.payload.drop(4) // strip container magic
+    val h = java.util.Arrays.hashCode(body)
+    // fake dims: stable functions of content size/hash
+    val width = 16 + math.abs(h % 1024)
+    val height = 16 + math.abs((h / 1024) % 1024)
+    val frames = a.kind match {
+      case "image" => 1
+      case "audio" => 1 + body.length / 64 // "chunks"
+      case _       => 1 + body.length / 256 // "frames"
+    }
+    // fake feature: byte histogram folded to FeatureDim and scaled
+    val hist = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < body.length) {
+      hist((body(i) & 0xff) % FeatureDim) += 1f
+      i += 1
+    }
+    val n = math.max(body.length, 1).toFloat
+    MediaFeatures(a.asset_id, a.kind, width, height, frames, hist.map(_ / n))
+  }
+
+  /** The decode stage: codec-affine partitioning + per-partition
+    * streaming decode. Swap `decodeStub` for a real codec and nothing
+    * else changes. */
+  def decode(spark: SparkSession, assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    assets
+      .repartition(col("kind"))
+      .mapPartitions(_.map(decodeStub))
+  }
+
+  /** Frame sampling — keep every `stride`-th frame index per video;
+    * the plumbing for a decoder that can seek. Pure plan, no UDF. */
+  def sampleFrames(features: DataFrame, stride: Int): DataFrame =
+    features
+      .filter(col("kind") === "video")
+      .select(
+        col("asset_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+}

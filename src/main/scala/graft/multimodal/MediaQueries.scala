@@ -1,0 +1,62 @@
+package graft.multimodal
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Driver-facing query surface for the multimodal plumbing. */
+object MediaQueries {
+
+  /** Binary-column metadata pass — ingest schema, payload sizes, and
+    * content fingerprints, verifiable in SQL because the deterministic
+    * ingest is reconstructible by the oracle. */
+  val q60MediaMeta: QueryDef = QueryDef(
+    "q60_media_meta",
+    """WITH a AS (
+      |  SELECT doc_id AS asset_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    (CASE doc_id % 3 WHEN 0 THEN 'PNG0' WHEN 1 THEN 'RIFF' ELSE 'FTYP' END) || text AS payload,
+      |    octet_length(encode(text)) + 4 AS payload_bytes
+      |  FROM documents)
+      |SELECT kind, count(*) AS n_assets, sum(payload_bytes) AS total_bytes,
+      |  min(md5(payload)) AS min_fp, max(md5(payload)) AS max_fp
+      |FROM a GROUP BY kind ORDER BY kind""".stripMargin) { (s, dir) =>
+    Media.ingest(s, Tables.documents(s, dir)).toDF()
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("payload_bytes")).as("total_bytes"),
+        min(md5(col("payload"))).as("min_fp"),
+        max(md5(col("payload"))).as("max_fp"))
+      .orderBy("kind")
+  }
+
+  /** Full decode pipeline — ingest → codec-affine repartition →
+    * per-partition decode (stubbed codec, real batch shape) → feature
+    * aggregate. Not SQL-expressible (mapPartitions stage) → rows-only
+    * driver check; exactness is covered by MediaSpec. */
+  val q61MediaFeatures: QueryDef = QueryDef.noOracle("q61_media_features") { (s, dir) =>
+    val features = Media.decode(s, Media.ingest(s, Tables.documents(s, dir)))
+    features.toDF()
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_frames")).as("total_frames"),
+        min(col("width")).as("min_w"),
+        max(col("width")).as("max_w"),
+        min(col("height")).as("min_h"),
+        max(col("height")).as("max_h"))
+      .orderBy("kind")
+  }
+
+  /** Frame sampling plumbing over the decoded features (stride 10). */
+  val q62FrameSample: QueryDef = QueryDef.noOracle("q62_frame_sample") { (s, dir) =>
+    val features = Media.decode(s, Media.ingest(s, Tables.documents(s, dir)))
+    Media.sampleFrames(features.toDF(), stride = 10)
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("max_idx"))
+      .orderBy("asset_id")
+      .limit(100)
+  }
+
+  val all: Seq[QueryDef] = Seq(q60MediaMeta, q61MediaFeatures, q62FrameSample)
+}
