@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface — the streaming twins of the batch
+  * operators (SURVEY.md §7.2 Phase 3 "streaming readiness"):
+  *
+  *  - the reference's incremental anti-join load (J1,
+  *    data_manager.py:172–201) becomes watermarked streaming dedup on
+  *    the surrogate key: state holds keys only within the lateness
+  *    horizon instead of the whole history (the scalable version of
+  *    "existing keys");
+  *  - the per-file batch accumulation becomes a file-source stream
+  *    (each arriving file is an epoch — exactly the reference's
+  *    process-new-files loop, data_manager.py:105–141, but continuous);
+  *  - tumbling counts / sessionization mirror [[graft.operators.EventOps]]
+  *    q52/q51 with watermark-bounded state.
+  *
+  * Every transform takes a (possibly streaming) DataFrame so tests
+  * drive them with MemoryStream and production wires `readStream` file
+  * sources; none of the logic is source-specific.
+  *
+  * Scale design: all stateful ops key their state by the shuffle key
+  * (surrogate_key / window / user_id), so state is distributed with the
+  * partitioning; watermarks bound state size — nothing grows with
+  * stream length.
+  */
+object StreamOps {
+
+  /** Streaming incremental dedup (J1's streaming form): keep the first
+    * arrival of each key, with state bounded by the watermark. */
+  def dedupByKey(df: DataFrame, keyCol: String, tsCol: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Watermarked tumbling-window counts (streaming twin of q52). */
+  def tumblingCounts(df: DataFrame, tsCol: String, windowLen: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"), col("n"),
+        col("total").cast("double").as("total"))
+
+  /** File-source stream over a directory of parquet event files — the
+    * continuous version of the reference's new-files loop. Caller
+    * supplies the schema (file streams cannot infer). */
+  def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(
+      start_us: Long, last_us: Long, n_events: Long, total_value: Double)
+  final case class SessionOut(
+      user_id: Long, n_events: Long, duration_us: Long, total_value: Double)
+
+  /** Gap-based streaming sessionization via flatMapGroupsWithState —
+    * the custom-state path (streaming twin of q51). A session closes
+    * when event time passes its last event by `gapUs` (event-time
+    * timeout), emitting one summary row. */
+  def sessionize(spark: SparkSession, events: Dataset[SessionEvent], gapUs: Long): Dataset[SessionOut] = {
+    import spark.implicits._
+
+    def fn(userId: Long, rows: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(SessionOut(userId, s.n_events, s.last_us - s.start_us, s.total_value))
+      } else {
+        var out = List.empty[SessionOut]
+        // arrival order within a batch is not guaranteed — sort by time
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val us = e.ts.getTime * 1000L
+          cur match {
+            case Some(s) if us - s.last_us <= gapUs =>
+              cur = Some(s.copy(last_us = us, n_events = s.n_events + 1,
+                total_value = s.total_value + e.value))
+            case Some(s) =>
+              out ::= SessionOut(userId, s.n_events, s.last_us - s.start_us, s.total_value)
+              cur = Some(SessionState(us, us, 1, e.value))
+            case None =>
+              cur = Some(SessionState(us, us, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last_us / 1000L + gapUs / 1000L)
+        }
+        out.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic tests for the dedup + similarity operators on handcrafted
+  * corpora (SURVEY.md §5 item 2), driven through the public query
+  * surface against a temp table dir. */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-dedup-test").toString
+    val base = "spark makes big data small again with queries and plans"
+    val nearDup = base.replace("small", "tiny") // one token differs
+    val docs = Seq(
+      // 0 and 1: same bag of words, different order -> exact dup group
+      (0L, base, "en", "srcA", base.length.toLong),
+      (1L, base.split(' ').reverse.mkString(" "), "en", "srcA", base.length.toLong),
+      (2L, nearDup, "en", "srcB", nearDup.length.toLong),
+      (3L, "completely different words about databases and storage engines", "en", "srcB", 62L),
+      (4L, "ein ganz anderer text ohne gemeinsame woerter", "de", "srcB", 45L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    // dim-64 vectors: v1 ~ v0 (near-dup), v2 orthogonal-ish, v3 = -v0
+    def vec(f: Int => Float): Array[Float] = Array.tabulate(64)(f)
+    val v0 = vec(i => math.sin(i * 0.3).toFloat)
+    val v1 = vec(i => (math.sin(i * 0.3) + 0.01).toFloat)
+    val v2 = vec(i => math.cos(i * 1.7).toFloat)
+    val v3 = v0.map(-_)
+    Seq((0L, v0, 0), (1L, v1, 0), (2L, v2, 0), (3L, v3, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("q30: bag-of-words dedup groups reordered docs, not near-dups") {
+    val rows = Dedup.q30ExactDedup.build(spark, dir).collect()
+    val en = rows.find(_.getString(0) == "en").get
+    assert(en.getLong(1) == 4)  // en docs
+    assert(en.getLong(2) == 3)  // distinct signatures: {0,1}, {2}, {3}
+    assert(en.getLong(3) == 1)  // one duplicate
+  }
+
+  test("q31: minhash signature is identical for identical shingle sets") {
+    // docs 0 and 1 have different shingles (order matters for 3-grams),
+    // but a doc and itself must agree: determinism across runs
+    val a = Dedup.q31Minhash.build(spark, dir).collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = Dedup.q31Minhash.build(spark, dir).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.sameElements(b))
+    assert(a.length == 5)
+  }
+
+  test("q32: LSH surfaces the near-dup candidate pair and verifies it") {
+    val Row(nCand: Long, nVerified: Long, _) =
+      Dedup.q32LshPairs.build(spark, dir).head()
+    // docs 2 vs 0: 1 token of ~10 differs -> most shingles shared ->
+    // some band collides; fully-different docs must not flood the set
+    assert(nCand >= 1 && nCand <= 4)
+    assert(nVerified >= 1)
+  }
+
+  test("q35: embedding near-dup finds (0,1), not the anti-parallel pair") {
+    val pairs = Dedup.q35EmbeddingNeardup.build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L))) // cosine(v0, -v0) = -1
+  }
+
+  test("q40: brute-force top-k ranks the near-identical vector first") {
+    val top = Similarity.q40CosineTopk.build(spark, dir).head()
+    assert(top.getLong(0) == 1L) // v1 nearest to v0
+    assert(top.getDouble(2) > 0.99)
+  }
+
+  test("q42: LSH ANN places near-identical vectors in the same bucket") {
+    val rows = Similarity.q42LshAnn.build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // query 0's bucket must contain v1 (same signs on every plane at
+    // this perturbation), so (0 -> 1) appears among its neighbors
+    assert(rows.contains((0L, 1L)))
+  }
+
+  test("LSH bucket of a vector equals the sign pattern of its projections") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val withBucket = e.select(col("vec_id"),
+      VectorOps.lshBucketCol("embedding", 4).as("bucket"))
+    val buckets = withBucket.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // v0 and v1 share all projection signs; -v0 flips every sign
+    assert(buckets(0L) == buckets(1L))
+    assert(buckets(3L) == 15 - buckets(0L))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MemoryStream-driven tests for the streaming twins (SURVEY.md §5):
+  * watermarked dedup, tumbling counts, custom-state sessionization. */
+class StreamOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // keep test event times away from epoch 0: the state-store late-row
+  // filter drops rows at event-time <= the initial watermark (0)
+  private val Base = 1700000400000L // divisible by 10 min: aligned windows
+  private def ts(minutes: Long): Timestamp = new Timestamp(Base + minutes * 60000L)
+
+  test("dedupByKey keeps first arrival of each surrogate key") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val df = in.toDF().toDF("surrogate_key", "ts")
+    val q = StreamOps.dedupByKey(df, "surrogate_key", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(("k1", ts(0)), ("k2", ts(1)), ("k1", ts(2)))
+      q.processAllAvailable()
+      in.addData(("k2", ts(3)), ("k3", ts(4)))
+      q.processAllAvailable()
+      val keys = spark.table("dedup_out").select("surrogate_key")
+        .as[String].collect().sorted.toSeq
+      assert(keys == Seq("k1", "k2", "k3"))
+    } finally q.stop()
+  }
+
+  test("tumblingCounts emits finalized windows once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.tumblingCounts(df, "ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tumble_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0), (ts(12), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark past window [0,10): 26 - 5 > 10
+      in.addData((ts(26), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumble_out")
+        .select("window_start", "event_type", "n", "total")
+        .collect().map(r => ((r.getTimestamp(0).getTime - Base) / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains((0L, "click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after the gap and aggregates it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.SessionEvent]
+    val gapUs = 30L * 60 * 1000000 // 30 min
+    val q = StreamOps.sessionize(spark, in.toDS(), gapUs)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 7: two events 5 min apart -> one session of 2
+      in.addData(
+        StreamOps.SessionEvent(7L, ts(0), 1.0),
+        StreamOps.SessionEvent(7L, ts(5), 2.0))
+      q.processAllAvailable()
+      // 2 hours later: previous session closed by gap; watermark advances
+      in.addData(StreamOps.SessionEvent(7L, ts(120), 4.0))
+      q.processAllAvailable()
+      in.addData(StreamOps.SessionEvent(8L, ts(600), 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_out").as[StreamOps.SessionOut].collect()
+      info(s"emitted sessions: ${all.toSeq}")
+      val sessions = all.filter(_.user_id == 7L)
+      assert(sessions.exists(s =>
+        s.n_events == 2 && s.duration_us == 5L * 60 * 1000000 && s.total_value == 3.0))
+    } finally q.stop()
+  }
+}
