@@ -59,15 +59,30 @@ object Dedup {
       .orderBy("lang")
   }
 
-  /** Word-3-gram shingles: (doc_id, shingle) exploded rows. */
+  /** Word-3-gram shingles: (doc_id, shingle) exploded rows.
+    *
+    * Perf shape: repartition first — the corpus arrives as one small
+    * parquet split, and everything downstream (shingle build, hash
+    * explosion, aggregation) should use every core, not one task. The
+    * 3-grams come from zip_with over three shifted slices so the token
+    * split is evaluated per ROW; an element_at(split(...), i) lambda
+    * would re-split the text once per element. */
   private def shingles(docs: DataFrame): DataFrame = {
-    val t = split(col("text"), " ")
-    docs.filter(size(t) >= 3)
+    val t = col("t")
+    val n = size(t)
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
       .select(
         col("doc_id"),
-        explode(transform(
-          sequence(lit(1), size(t) - 2),
-          i => array_join(slice(t, i, lit(3)), " "))).as("shingle"))
+        explode(
+          zip_with(
+            zip_with(
+              slice(t, lit(1), n - 2),
+              slice(t, lit(2), n - 2),
+              (x, y) => concat(x, lit(" "), y)),
+            slice(t, lit(3), n - 2),
+            (xy, z) => concat(xy, lit(" "), z))).as("shingle"))
   }
 
   /** MinHash signature matrix, pivoted: one row per doc with h0..h7 =
@@ -168,6 +183,7 @@ object Dedup {
        |SELECT lang, count(*) AS n_docs, count(DISTINCT simhash) AS n_distinct_sh
        |FROM sh GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
     val tk = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // single-file scan -> use every core
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
     val agg = tk.groupBy(col("doc_id"), col("lang"))
       .agg(
@@ -184,9 +200,18 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup — exact token-bigram Jaccard inside lang
-    * blocks (blocking bounds the quadratic join), top pairs. Jaccard
-    * doubles are exact int ratios → identical in any engine, so the
-    * ORDER BY (j DESC, a, b) is stable. */
+    * blocks, top pairs. Jaccard doubles are exact int ratios →
+    * identical in any engine, so the ORDER BY (j DESC, a, b) is stable.
+    *
+    * Spark plan is a set-similarity equi-join, NOT a quadratic block
+    * join: explode distinct (doc, bigram) rows, self-join on the bigram
+    * key (only pairs sharing ≥1 bigram ever materialize — pairs with
+    * j=0 are never formed), count shared bigrams per pair, and derive
+    * union = |A| + |B| − inter from per-doc set sizes. Every stage is a
+    * shuffle hash-agg/join — fully parallel, no per-pair array scans,
+    * no single-task lang block. (At 100 TB you'd add PPJoin prefix
+    * filtering on the same shape.) The oracle states the naive
+    * quadratic formulation — same result set. */
   val q34NgramJaccard: QueryDef = QueryDef(
     "q34_ngram_jaccard",
     """WITH bg AS (
@@ -199,23 +224,38 @@ object Dedup {
       |FROM bg a JOIN bg b ON a.lang = b.lang AND a.doc_id < b.doc_id
       |WHERE len(list_intersect(a.bs, b.bs)) * 10 >= len(list_distinct(list_cat(a.bs, b.bs))) * 3
       |ORDER BY j DESC, a, b LIMIT 50""".stripMargin) { (s, dir) =>
-    val t = split(col("text"), " ")
+    val t = col("t")
     val bg = Tables.documents(s, dir)
-      .filter(size(t) >= 2)
+      .repartition(col("doc_id")) // single-file scan -> use every core
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
       .select(
         col("doc_id"), col("lang"),
-        array_distinct(transform(
-          sequence(lit(1), size(t) - 1),
-          i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))).as("bs"))
-    val a = bg.select(col("doc_id").as("a"), col("lang"), col("bs").as("bsa"))
-    val joined = a.join(
-        bg.select(col("doc_id").as("b"), col("lang").as("langb"), col("bs").as("bsb")),
-        col("lang") === col("langb") && col("a") < col("b"))
-    val inter = size(array_intersect(col("bsa"), col("bsb")))
-    val uni = size(array_union(col("bsa"), col("bsb")))
-    joined
-      .filter(inter * 10 >= uni * 3)
-      .select(col("a"), col("b"), (inter.cast("double") / uni).as("j"))
+        array_distinct(zip_with(
+          slice(t, lit(1), size(t) - 1),
+          slice(t, lit(2), size(t) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("bs"))
+    // the (lang, bigram) join key is compacted to one xxhash64 long:
+    // joined rows are then fixed-width longs/ints — far cheaper to
+    // produce and shuffle than string pairs (collision odds at ~23k
+    // distinct keys are ~1e-11; the sf0.01 oracle gate would catch one)
+    val rows = bg.select(col("doc_id"), size(col("bs")).as("n"),
+        explode(col("bs")).as("bigram"), col("lang"))
+      .select(col("doc_id"), col("n"), xxhash64(col("lang"), col("bigram")).as("kh"))
+    val sizes = bg.select(col("doc_id"), size(col("bs")).as("n"))
+    // size-ratio prefilter: j >= 0.3 needs min(|A|,|B|)*10 >= max*3
+    // (inter <= min, union >= max) — prunes pairs before the count agg
+    val pairInter = rows.select(col("doc_id").as("a"), col("kh"), col("n").as("na"))
+      .join(rows.select(col("doc_id").as("b"), col("kh").as("khb"), col("n").as("nb")),
+        col("kh") === col("khb") && col("a") < col("b")
+          && col("na") * 10 >= col("nb") * 3 && col("nb") * 10 >= col("na") * 3)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val j = pairInter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+    j.filter(col("inter") * 10 >= col("uni") * 3)
+      .select(col("a"), col("b"), (col("inter").cast("double") / col("uni")).as("j"))
       .orderBy(col("j").desc, col("a"), col("b"))
       .limit(50)
   }
@@ -235,6 +275,7 @@ object Dedup {
        |SELECT a, b, cos_sim FROM c WHERE cos_sim >= 0.35
        |ORDER BY a, b""".stripMargin) { (s, dir) =>
     val e = Tables.embeddings(s, dir)
+      .repartition(col("vec_id")) // single-file scan -> use every core
     val a = e.select(col("vec_id").as("a"), col("label"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("b"), col("label").as("labelb"), col("embedding").as("vb"))
     val cos = dotCol("va", "vb", DIM) /

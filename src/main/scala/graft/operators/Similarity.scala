@@ -76,7 +76,8 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
     val q = broadcast(e.filter(col("vec_id") < NQUERY)
       .select(col("vec_id").as("qid"), col("embedding").as("vq")))
-    val c = e.select(col("vec_id"), col("embedding").as("v"))
+    val c = e.repartition(col("vec_id")) // single-file scan -> all cores
+      .select(col("vec_id"), col("embedding").as("v"))
       .join(q, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), cosCol("v", "vq").as("cos_sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
@@ -107,6 +108,7 @@ object Similarity {
        |SELECT qid, CAST(rn AS INT) AS rn, vec_id, cos_sim FROM r WHERE rn <= 3
        |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
     val e = Tables.embeddings(s, dir)
+      .repartition(col("vec_id")) // single-file scan -> all cores
       .select(col("vec_id"), col("embedding").as("v"),
         lshBucketCol("embedding", PLANES).as("bucket"))
     val q = broadcast(e.filter(col("vec_id") < NQUERY)
@@ -144,7 +146,8 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
     val cent = broadcast(e.filter(col("vec_id") < NCENT)
       .select(col("vec_id").as("cid"), col("embedding").as("vc")))
-    val a = e.select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val a = e.repartition(col("vec_id")) // single-file scan -> all cores
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .crossJoin(cent)
       .select(col("vec_id"), col("label"), col("cid"), cosCol("v", "vc").as("cos_sim"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("cid"))

@@ -103,6 +103,7 @@ object TextAnalysis {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     val grams = docs
+      .repartition(col("doc_id")) // single-file scan -> use every core
       .filter(length(col("text")) >= 3)
       .select(
         col("doc_id"), col("lang"),
