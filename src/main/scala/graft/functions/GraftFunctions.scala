@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for the graft native expressions.
+  *
+  * Two paths to the same registry entries:
+  *  - [[GraftFunctions.register]]: imperative, idempotent — called by
+  *    query builders so any session (driver's Verify/Bench, tests)
+  *    gets the functions without config;
+  *  - [[GraftExtensions]]: the `spark.sql.extensions`-config path for
+  *    deployments that want the functions present at session build.
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("cosine_sim", (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)),
+      classOf[CosineSimilarity].getName),
+    ("rolling_hash", (es: Seq[Expression]) => RollingHash(es.head),
+      classOf[RollingHash].getName))
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    all.foreach { case (name, builder, _) =>
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder, className) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(className, name),
+        builder))
+    }
+}

@@ -162,5 +162,39 @@ object Similarity {
       .orderBy("cid")
   }
 
-  val all: Seq[QueryDef] = Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells)
+  /** kNN join through the native codegen'd [[graft.functions.CosineSimilarity]]
+    * expression instead of the generated 192-term sum: same IEEE
+    * accumulation order (index-ascending dot + norms), so the oracle's
+    * explicit-sum SQL still matches bit-for-bit, but the plan carries
+    * O(1) expression nodes regardless of dimension. */
+  val q44CosineExpr: QueryDef = QueryDef(
+    "q44_cosine_expr",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS vq FROM embeddings WHERE vec_id >= $NQUERY AND vec_id < ${2 * NQUERY}),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |c AS (
+       |  SELECT q.qid, e.vec_id, ${cosSql("e.v", "q.vq")} AS cos_sim
+       |  FROM e JOIN q ON e.vec_id <> q.qid),
+       |r AS (
+       |  SELECT qid, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+       |  FROM c)
+       |SELECT qid, CAST(rn AS INT) AS rn, vec_id, cos_sim FROM r WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = broadcast(e.filter(col("vec_id") >= NQUERY && col("vec_id") < 2 * NQUERY)
+      .select(col("vec_id").as("qid"), col("embedding").as("vq")))
+    val c = e.repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), expr("cosine_sim(v, vq)").as("cos_sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+    c.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn").cast("int").as("rn"), col("vec_id"), col("cos_sim"))
+      .orderBy("qid", "rn")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells, q44CosineExpr)
 }

@@ -151,6 +151,24 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Rabin–Karp rolling-hash fingerprints via the native codegen'd
+    * [[graft.functions.RollingHash]] expression — the 8-byte
+    * fingerprint primitive for winnowing-style near-dup pipelines
+    * (cheaper to shuffle than 32-byte md5 hex). The byte loop has no
+    * SQL equivalent → rows-only driver check; exactness is pinned by
+    * FunctionsSpec's known vectors. */
+  val q24RollingHash: QueryDef = QueryDef.noOracle("q24_rolling_hash") { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(expr("rolling_hash(text)")).as("n_fp"),
+        min(expr("rolling_hash(text)")).as("min_fp"),
+        max(expr("rolling_hash(text)")).as("max_fp"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint)
+    Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash)
 }

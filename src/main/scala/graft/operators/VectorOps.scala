@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *  - the whole expression is one codegen'd projection — no
   *    higher-order-function interpretation overhead in the hot path.
   */
-private[operators] object VectorOps {
+private[graft] object VectorOps {
 
   /** Embedding dimensionality of the test corpus (TESTDATA.md). */
   val DIM = 64

@@ -1,0 +1,72 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorOps
+
+/** Native-expression contracts: bit-compatibility with the generated
+  * explicit-sum cosine, known rolling-hash vectors, null behavior, and
+  * SQL-registry access. */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine_sim is bit-identical to the explicit left-associated sum") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("va", "vb")
+    val out = df.select(
+      expr("cosine_sim(va, vb)").as("native"),
+      VectorOps.cosCol("va", "vb").as("generated")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("cosine_sim: self similarity 1.0, opposite -1.0, null -> null") {
+    GraftFunctions.register(spark)
+    val v = Array.fill(8)(0.5f)
+    val df = Seq((v, v, v.map(-_))).toDF("a", "b", "neg")
+    val r = df.select(
+      expr("cosine_sim(a, b)"), expr("cosine_sim(a, neg)"),
+      expr("cosine_sim(a, cast(null as array<float>))")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-15)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-15)
+    assert(r.isNullAt(2))
+  }
+
+  test("rolling_hash known vectors and null behavior") {
+    GraftFunctions.register(spark)
+    // "abc": ((97*31+98)*31+99) % 1e9+7 = 96354; "" -> 0
+    val r = spark.sql(
+      "SELECT rolling_hash('abc'), rolling_hash(''), rolling_hash(cast(null as string))").head()
+    assert(r.getLong(0) == 96354L)
+    assert(r.getLong(1) == 0L)
+    assert(r.isNullAt(2))
+  }
+
+  test("rolling_hash matches a reference implementation on arbitrary strings") {
+    GraftFunctions.register(spark)
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    val rnd = new scala.util.Random(11)
+    val strs = Seq.fill(30)(rnd.alphanumeric.take(rnd.nextInt(50)).mkString) :+ "päivää 你好"
+    val got = strs.toDF("s").select(expr("rolling_hash(s)")).as[Long].collect()
+    assert(got.toSeq == strs.map(ref))
+  }
+
+  test("registered functions resolve through SQL; extensions wiring applies") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT cosine_sim(array(1.0f,0.0f), array(1.0f,0.0f))")
+      .head().getDouble(0) == 1.0)
+    // the spark.sql.extensions path shares the same builders — applying
+    // it to a fresh extensions container must inject without error
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}
