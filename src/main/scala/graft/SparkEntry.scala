@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.CoreQueries
-import graft.operators.{Dedup, EventOps, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventOps, Similarity, Sketches, TextAnalysis}
 import graft.multimodal.MediaQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +20,7 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     CoreQueries.all ++ Dedup.all ++ Similarity.all ++
-      TextAnalysis.all ++ EventOps.all ++ MediaQueries.all
+      TextAnalysis.all ++ EventOps.all ++ MediaQueries.all ++ Sketches.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-path contracts: sketch accuracy + merge correctness, salted
+  * join equivalence, bucketed co-located joins (shuffle-free plan). */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("KMV sketch: exact below k, within 10% above k, merges across partitions") {
+    val kmv = udaf(Sketches.Kmv(256))
+    // 40 distinct keys (< k): estimate must be exact
+    val small = (1 to 1000).map(i => i % 40).toDF("v")
+      .repartition(8)
+      .agg(kmv(xxhash64(col("v")))).head().getDouble(0)
+    assert(small == 40.0)
+    // 20_000 distinct (> k): estimator error well inside 10% at k=256
+    val big = (1 to 20000).toDF("v")
+      .repartition(8) // forces partial-sketch merges
+      .agg(kmv(xxhash64(col("v")))).head().getDouble(0)
+    assert(math.abs(big - 20000) / 20000.0 < 0.10, s"estimate $big")
+  }
+
+  test("KMV query runs on test data and estimates track exact counts") {
+    val rows = Sketches.q36KmvSketch.build(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact").toDouble
+      val est = r.getAs[Double]("kmv_est")
+      assert(math.abs(est - exact) / exact < 0.15, s"$r")
+    }
+  }
+
+  test("salted join returns exactly the plain join's rows under skew") {
+    val rnd = new scala.util.Random(3)
+    // 90% of facts hit one hot key
+    val fact = (1 to 5000).map(i =>
+      (if (rnd.nextInt(10) < 9) 7L else rnd.nextInt(50).toLong, i.toLong))
+      .toDF("key", "fact_id")
+    val dim = (0L until 50L).map(k => (k, s"dim_$k")).toDF("key", "name")
+    val plain = fact.join(dim, Seq("key")).select("key", "fact_id", "name")
+    val salted = SkewOps.saltedInnerJoin(fact, dim, "key", col("fact_id"), buckets = 8)
+      .select("key", "fact_id", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("bucketed tables co-locate: the join plans without a shuffle") {
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("bkt_orders")
+    l.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("bkt_lineitem")
+    // force the non-broadcast path: bucketing is the mechanism under
+    // test (broadcast would sidestep it for these small tables)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_orders").join(
+        spark.table("bkt_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(joined.count() == l.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
