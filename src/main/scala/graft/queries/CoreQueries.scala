@@ -372,8 +372,34 @@ object CoreQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Top-k per key through the custom [[graft.plans.TopKPerKey]]
+    * operator (partial bounded heaps below the shuffle, final above —
+    * no per-group sort, shuffle carries ≤ k rows per key per input
+    * partition). Ordering key is a (price, orderkey) struct so the cut
+    * is unique; the oracle states the equivalent two-key window. */
+  val q15TopkNative: QueryDef = QueryDef(
+    "q15_topk_native",
+    """SELECT o_orderstatus, o_orderkey,
+      |  CAST(o_totalprice AS DOUBLE) AS price
+      |FROM (
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |WHERE rn <= 5
+      |ORDER BY o_orderstatus, price DESC, o_orderkey DESC""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .withColumn("__ord", struct(col("o_totalprice"), col("o_orderkey")))
+    graft.plans.TopK.perKey(o, Seq("o_orderstatus"), "__ord", k = 5)
+      .select(
+        col("o_orderstatus"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+      .orderBy(col("o_orderstatus"), col("price").desc, col("o_orderkey").desc)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02SurrogateKey, q03AntiJoin, q04DecodeBroadcast,
     q05Dates, q06TryNumeric, q07SignedAmount, q08SetOps, q09WindowRank,
-    q10TopK, q11FilterProject, q12EtlPipeline, q13LeftJoin, q14Distinct)
+    q10TopK, q11FilterProject, q12EtlPipeline, q13LeftJoin, q14Distinct,
+    q15TopkNative)
 }

@@ -1,0 +1,65 @@
+package graft.plans
+
+import graft.TestSpark
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for the custom top-k-per-key operator: result equivalence
+  * with the window formulation, plan shape (partial below the
+  * exchange, final above), bounded output. */
+class TopKPerKeySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def randomDf(seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    // unique order values so top-k is well-defined
+    rnd.shuffle((1 to 2000).toList).zipWithIndex
+      .map { case (v, i) => (i % 37, v.toLong, s"row_$i") }
+      .toDF("key", "score", "payload")
+      .repartition(8)
+  }
+
+  test("matches the window row_number formulation on random data") {
+    val df = randomDf(5)
+    val viaOp = TopK.perKey(df, Seq("key"), "score", k = 3)
+      .select("key", "score", "payload")
+    val w = Window.partitionBy(col("key")).orderBy(col("score").desc)
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("key", "score", "payload")
+    assert(viaOp.count() == viaWindow.count())
+    assert(viaOp.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaOp).isEmpty)
+  }
+
+  test("ascending variant takes the k smallest") {
+    val df = randomDf(9)
+    val got = TopK.perKey(df, Seq("key"), "score", k = 1, descending = false)
+      .select("score").as[Long].collect()
+    val expect = df.groupBy("key").agg(min("score")).select("min(score)")
+      .as[Long].collect()
+    assert(got.sorted.toSeq == expect.sorted.toSeq)
+  }
+
+  test("plan shape: partial prune below the exchange, final above") {
+    val df = randomDf(1)
+    val plan = TopK.perKey(df, Seq("key"), "score", k = 2)
+      .queryExecution.executedPlan.toString
+    // node prints as "TopKPerKey [keys], [order], k, <partial>"
+    val finalIdx = plan.indexOf("TopKPerKey")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialIdx = plan.indexOf("TopKPerKey", finalIdx + 1)
+    assert(finalIdx >= 0 && exchangeIdx > 0 && partialIdx > 0, plan)
+    // textual tree order: final (outer) ... exchange ... partial (inner)
+    assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx, plan)
+    assert(plan.substring(finalIdx, exchangeIdx).contains("2, false"), plan)
+    assert(plan.substring(partialIdx).contains("2, true"), plan)
+  }
+
+  test("handles k larger than group size and single-row groups") {
+    val df = Seq((1, 10L, "a"), (1, 20L, "b"), (2, 5L, "c")).toDF("key", "score", "payload")
+    val got = TopK.perKey(df, Seq("key"), "score", k = 5)
+      .select("key", "payload").as[(Int, String)].collect().toSet
+    assert(got == Set((1, "a"), (1, "b"), (2, "c")))
+  }
+}
