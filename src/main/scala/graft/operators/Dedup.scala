@@ -274,14 +274,13 @@ object Dedup {
        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
        |SELECT a, b, cos_sim FROM c WHERE cos_sim >= 0.35
        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
       .repartition(col("vec_id")) // single-file scan -> use every core
     val a = e.select(col("vec_id").as("a"), col("label"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("b"), col("label").as("labelb"), col("embedding").as("vb"))
-    val cos = dotCol("va", "vb", DIM) /
-      (sqrt(dotCol("va", "va", DIM)) * sqrt(dotCol("vb", "vb", DIM)))
     a.join(b, col("label") === col("labelb") && col("a") < col("b"))
-      .select(col("a"), col("b"), cos.as("cos_sim"))
+      .select(col("a"), col("b"), expr("cosine_sim(va, vb)").as("cos_sim"))
       .filter(col("cos_sim") >= 0.35)
       .orderBy("a", "b")
   }

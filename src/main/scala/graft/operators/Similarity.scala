@@ -16,9 +16,9 @@ import VectorOps._
   *  - the query side is always the SMALL side and is broadcast — the
   *    corpus never shuffles for a search;
   *  - brute force is the correctness baseline: one broadcast-nested-
-  *    loop pass, fully codegen'd (explicit term-sum cosines, no lambda
-  *    interpretation), top-k via per-query window over a pre-filtered
-  *    candidate set;
+  *    loop pass through the native [[graft.functions.CosineSimilarity]]
+  *    expression (codegen'd single loop, bit-compatible with the
+  *    oracle's explicit term sums), top-k via per-query window;
   *  - LSH (q42) prunes candidates to one bucket per query: the bucket
   *    id is a data-independent projection computed scan-side, so the
   *    corpus can be written PARTITIONED BY bucket and a search prunes
@@ -47,12 +47,13 @@ object Similarity {
        |FROM e, q
        |ORDER BY cos_sim DESC, e.vec_id
        |LIMIT 20""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val q = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("vq")))
     e.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .crossJoin(q)
-      .select(col("vec_id"), col("label"), cosCol("v", "vq").as("cos_sim"))
+      .select(col("vec_id"), col("label"), expr("cosine_sim(v, vq)").as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(20)
   }
@@ -73,13 +74,14 @@ object Similarity {
        |  FROM c)
        |SELECT qid, CAST(rn AS INT) AS rn, vec_id, cos_sim FROM r WHERE rn <= 3
        |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val q = broadcast(e.filter(col("vec_id") < NQUERY)
       .select(col("vec_id").as("qid"), col("embedding").as("vq")))
     val c = e.repartition(col("vec_id")) // single-file scan -> all cores
       .select(col("vec_id"), col("embedding").as("v"))
       .join(q, col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosCol("v", "vq").as("cos_sim"))
+      .select(col("qid"), col("vec_id"), expr("cosine_sim(v, vq)").as("cos_sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
     c.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
@@ -107,6 +109,7 @@ object Similarity {
        |  FROM c)
        |SELECT qid, CAST(rn AS INT) AS rn, vec_id, cos_sim FROM r WHERE rn <= 3
        |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
       .repartition(col("vec_id")) // single-file scan -> all cores
       .select(col("vec_id"), col("embedding").as("v"),
@@ -115,7 +118,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("vq"), col("bucket")))
     val c = e.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosCol("v", "vq").as("cos_sim"))
+      .select(col("qid"), col("vec_id"), expr("cosine_sim(v, vq)").as("cos_sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
     c.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
@@ -143,13 +146,14 @@ object Similarity {
        |SELECT cid, count(*) AS n_vecs, count(DISTINCT label) AS n_labels,
        |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
        |FROM best GROUP BY cid ORDER BY cid""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val cent = broadcast(e.filter(col("vec_id") < NCENT)
       .select(col("vec_id").as("cid"), col("embedding").as("vc")))
     val a = e.repartition(col("vec_id")) // single-file scan -> all cores
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
       .crossJoin(cent)
-      .select(col("vec_id"), col("label"), col("cid"), cosCol("v", "vc").as("cos_sim"))
+      .select(col("vec_id"), col("label"), col("cid"), expr("cosine_sim(v, vc)").as("cos_sim"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("cid"))
     a.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
