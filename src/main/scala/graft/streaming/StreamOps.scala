@@ -48,11 +48,17 @@ object StreamOps {
 
   /** File-source stream over a directory of parquet event files — the
     * continuous version of the reference's new-files loop. Caller
-    * supplies the schema (file streams cannot infer). */
+    * supplies the schema (file streams cannot infer). The driver's
+    * events files store TIMESTAMP(NANOS), which Spark's reader only
+    * accepts as raw longs (legacy.parquet.nanosAsLong, as in
+    * [[graft.Tables.events]]) — read nanos, rebuild micros exactly
+    * with integral division. */
   def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
     spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

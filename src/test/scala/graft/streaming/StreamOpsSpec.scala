@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.TestSpark
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -53,6 +54,41 @@ class StreamOpsSpec extends AnyFunSuite {
         .select("window_start", "event_type", "n", "total")
         .collect().map(r => ((r.getTimestamp(0).getTime - Base) / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
       assert(rows.contains((0L, "click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("eventsFileStream: real events parquet streams through the tumbling agg") {
+    // stage the driver-generated events file (TIMESTAMP NANOS) as a
+    // stream directory; AvailableNow drains it as one epoch
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("batch0.parquet"))
+    val in = StreamOps.eventsFileStream(spark, dir.toString)
+    assert(in.isStreaming)
+    val q = StreamOps.tumblingCounts(in, "ts", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("file_stream_out")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      // append mode emits only watermark-closed windows; the final
+      // (open) window is withheld — compare against the batch twin
+      // restricted to closed windows
+      val streamed = spark.table("file_stream_out")
+        .select("window_start", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+      val closed = events
+        .select(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+        .groupBy("w", "event_type").agg(count(lit(1)).as("n"))
+        .filter(col("w") + expr("INTERVAL 70 minutes") <= lit(maxTs))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(closed.nonEmpty)
+      assert(closed.subsetOf(streamed),
+        s"missing windows: ${closed -- streamed}")
     } finally q.stop()
   }
 
