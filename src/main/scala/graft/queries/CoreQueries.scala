@@ -397,9 +397,115 @@ object CoreQueries {
       .orderBy(col("o_orderstatus"), col("price").desc, col("o_orderkey").desc)
   }
 
+  /** String-function battery — case mapping, concat, length, contains,
+    * padding, edit distance. */
+  val q16Strings: QueryDef = QueryDef(
+    "q16_strings",
+    """SELECT p_brand, count(*) AS n,
+      |  min(upper(p_name)) AS min_upper,
+      |  max(concat(p_type, ':', CAST(p_size AS VARCHAR))) AS max_typed,
+      |  sum(length(p_name)) AS total_len,
+      |  sum(CASE WHEN contains(p_name, 'a') THEN 1 ELSE 0 END) AS n_with_a,
+      |  min(lpad(CAST(p_partkey AS VARCHAR), 8, '0')) AS min_padded,
+      |  max(levenshtein(p_brand, p_type)) AS max_lev
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(upper(col("p_name"))).as("min_upper"),
+        max(concat(col("p_type"), lit(":"), col("p_size").cast("string"))).as("max_typed"),
+        sum(length(col("p_name"))).as("total_len"),
+        sum(when(col("p_name").contains("a"), 1).otherwise(0)).as("n_with_a"),
+        min(lpad(col("p_partkey").cast("string"), 8, "0")).as("min_padded"),
+        max(levenshtein(col("p_brand"), col("p_type"))).as("max_lev"))
+      .orderBy("p_brand")
+  }
+
+  /** Exact interpolated percentiles (both engines: linear interpolation
+    * over the sorted values — no sketch). */
+  val q17Percentiles: QueryDef = QueryDef(
+    "q17_percentiles",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.9) AS p90,
+      |  quantile_cont(l_extendedprice, 0.25) AS price_p25
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5D)").as("p50"),
+        expr("percentile(l_quantity, 0.9D)").as("p90"),
+        expr("percentile(l_extendedprice, 0.25D)").as("price_p25"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Stddev / correlation from decimal-exact co-moments: the running
+    * sums are DECIMAL (associative, partitioning-independent), only the
+    * final closed-form formula runs in double — so the statistics are
+    * deterministic under any parallelism, unlike one-pass fp moment
+    * aggregates. */
+  val q18Stats: QueryDef = QueryDef(
+    "q18_stats",
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+      |    sum(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS sxx,
+      |    sum(CAST(l_discount AS DECIMAL(18,6))) AS sy,
+      |    sum(CAST(l_discount AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS syy,
+      |    sum(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) / (n-1)) AS sd_qty,
+      |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n) /
+      |    (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) *
+      |     sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n)) AS corr_qty_disc
+      |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val dx = col("l_quantity").cast("decimal(18,6)")
+    val dy = col("l_discount").cast("decimal(18,6)")
+    val m = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dx).as("sx"), sum(dx * dx).as("sxx"),
+        sum(dy).as("sy"), sum(dy * dy).as("syy"),
+        sum(dx * dy).as("sxy"))
+    val n = col("n"); val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
+    val sy = col("sy").cast("double"); val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    m.select(
+        col("l_returnflag"), n,
+        sqrt((sxx - sx * sx / n) / (n - 1)).as("sd_qty"),
+        ((sxy - sx * sy / n) /
+          (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))).as("corr_qty_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Date arithmetic battery — interval add, month end, day diffs,
+    * quarter truncation. */
+  val q19DateMath: QueryDef = QueryDef(
+    "q19_datemath",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n,
+      |  min(strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d')) AS min_plus30,
+      |  max(strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')) AS max_eom,
+      |  sum(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01')) AS total_age_days,
+      |  count(DISTINCT date_trunc('quarter', o_orderdate)) AS n_quarters
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val d = col("o_orderdate").cast("date")
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("yr"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(date_format(date_add(d, 30), "yyyy-MM-dd")).as("min_plus30"),
+        max(date_format(last_day(d), "yyyy-MM-dd")).as("max_eom"),
+        sum(datediff(lit("2026-01-01").cast("date"), d)).as("total_age_days"),
+        countDistinct(date_trunc("quarter", col("o_orderdate"))).as("n_quarters"))
+      .orderBy("yr")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02SurrogateKey, q03AntiJoin, q04DecodeBroadcast,
     q05Dates, q06TryNumeric, q07SignedAmount, q08SetOps, q09WindowRank,
     q10TopK, q11FilterProject, q12EtlPipeline, q13LeftJoin, q14Distinct,
-    q15TopkNative)
+    q15TopkNative, q16Strings, q17Percentiles, q18Stats, q19DateMath)
 }
