@@ -158,6 +158,59 @@ object EventOps {
       .orderBy("etype", "day")
   }
 
-  val all: Seq[QueryDef] =
-    Seq(q50JsonExtract, q51Sessionize, q52Tumbling, q53AsofJoin, q54Rollup)
+  /** Complex-type battery — array collection (sorted for engine-stable
+    * comparison), string-keyed aggregation rendered as ordered text. */
+  val q55ComplexTypes: QueryDef = QueryDef(
+    "q55_complex_types",
+    """WITH c AS (
+      |  SELECT user_id % 10 AS user_bucket, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_bucket,
+      |  array_to_string(list_sort(list(event_type)), ',') AS types,
+      |  array_to_string(list_sort(list(event_type || ':' || CAST(n AS VARCHAR))), ',') AS type_counts,
+      |  len(list(event_type)) AS n_types
+      |FROM c GROUP BY user_bucket ORDER BY user_bucket""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy((col("user_id") % 10).as("user_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_bucket"))
+      .agg(
+        array_join(sort_array(collect_list(col("event_type"))), ",").as("types"),
+        array_join(sort_array(collect_list(
+          concat(col("event_type"), lit(":"), col("n").cast("string")))), ",").as("type_counts"),
+        count(lit(1)).as("n_types"))
+      .orderBy("user_bucket")
+  }
+
+  /** GROUPING SETS — all four (event_type, user bucket) combinations
+    * with grouping ids; nulls rendered as 'ALL' for stable ordering. */
+  val q56GroupingSets: QueryDef = QueryDef(
+    "q56_grouping_sets",
+    """SELECT coalesce(event_type, 'ALL') AS etype,
+      |  coalesce(CAST(user_id % 5 AS VARCHAR), 'ALL') AS ubucket,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS total,
+      |  CAST(grouping(event_type) AS INT)*2 + CAST(grouping(user_id % 5) AS INT) AS gid
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type, user_id % 5), (event_type), (user_id % 5), ())
+      |ORDER BY etype, ubucket""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("ub", col("user_id") % 5)
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("ub")), Seq(col("event_type")), Seq(col("ub")), Seq()),
+        col("event_type"), col("ub"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("total"),
+        (grouping(col("event_type")).cast("int") * 2 + grouping(col("ub")).cast("int")).as("gid"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("etype"),
+        coalesce(col("ub").cast("string"), lit("ALL")).as("ubucket"),
+        col("n"), col("total"), col("gid"))
+      .orderBy("etype", "ubucket")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q50JsonExtract, q51Sessionize, q52Tumbling, q53AsofJoin, q54Rollup,
+    q55ComplexTypes, q56GroupingSets)
 }
