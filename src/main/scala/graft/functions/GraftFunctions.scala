@@ -32,13 +32,17 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions=graft.functions.GraftExtensions` entry point. */
+/** `spark.sql.extensions=graft.functions.GraftExtensions` entry point:
+  * native functions + the top-k planner strategy and optimizer rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder, className) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(className, name),
         builder))
     }
+    ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
+  }
 }

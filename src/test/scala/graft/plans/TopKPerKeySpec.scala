@@ -56,6 +56,27 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(plan.substring(partialIdx).contains("2, true"), plan)
   }
 
+  test("optimizer rule rewrites row_number+filter into the native operator") {
+    val df = randomDf(21)
+    val w = Window.partitionBy(col("key")).orderBy(col("score").desc)
+    def query() = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4).select("key", "score", "payload", "rn")
+    // baseline collected BEFORE the rule is active (order values unique)
+    val expected = query().collect().map(_.toSeq).toSet
+    TopKInstall.install(spark)
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    try {
+      val q = query()
+      assert(q.queryExecution.optimizedPlan.toString.contains("TopKPerKey"),
+        q.queryExecution.optimizedPlan.toString)
+      assert(q.collect().map(_.toSeq).toSet == expected)
+      // rank() must NOT be rewritten (different tie semantics)
+      val r = df.withColumn("rk", rank().over(w)).filter(col("rk") <= 4)
+      assert(!r.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
+    } finally exp.extraOptimizations =
+      exp.extraOptimizations.filterNot(_ == RowNumberTopKRewrite)
+  }
+
   test("handles k larger than group size and single-row groups") {
     val df = Seq((1, 10L, "a"), (1, 20L, "b"), (2, 5L, "c")).toDF("key", "score", "payload")
     val got = TopK.perKey(df, Seq("key"), "score", k = 5)
