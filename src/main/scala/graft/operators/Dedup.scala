@@ -285,7 +285,82 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Duplicate-cluster identification — connected components over the
+    * verified LSH near-dup graph (edges: candidate pairs with token-set
+    * Jaccard >= 0.5), by iterative min-label propagation:
+    * label(v) ← min(label(v), min label of neighbors) until fixpoint.
+    *
+    * This is the Pregel shape on plain DataFrames: each round is one
+    * distributed join + aggregate, the driver only checks convergence
+    * (a boolean), and `localCheckpoint` truncates the growing lineage.
+    * Rounds are bounded by the graph diameter — near-dup clusters are
+    * shallow, so a handful of rounds closes 100 TB-scale graphs too.
+    * The oracle computes the same components with a recursive CTE. */
+  val q37DupClusters: QueryDef = QueryDef(
+    "q37_dup_clusters",
+    s"""WITH RECURSIVE $mhOracleCte,
+       |buckets AS (${(0 until BANDS).map(b =>
+            s"SELECT doc_id, md5('$b:' || h${2 * b} || '|' || h${2 * b + 1}) AS bucket FROM mh")
+            .mkString(" UNION ALL ")}),
+       |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |ts AS (SELECT doc_id, list_distinct(t) AS ts FROM toks),
+       |edges AS (
+       |  SELECT c.a, c.b FROM cand c
+       |  JOIN ts ta ON ta.doc_id = c.a JOIN ts tb ON tb.doc_id = c.b
+       |  WHERE len(list_intersect(ta.ts, tb.ts)) * 2 >= len(list_distinct(list_cat(ta.ts, tb.ts)))),
+       |nodes AS (SELECT DISTINCT x AS node FROM (SELECT a AS x FROM edges UNION SELECT b FROM edges)),
+       |undirected AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT r.src, u.b FROM reach r JOIN undirected u ON r.dst = u.a),
+       |comp AS (SELECT src AS node, min(dst) AS component FROM reach GROUP BY src)
+       |SELECT component, count(*) AS sz, max(node) AS max_node
+       |FROM comp GROUP BY component ORDER BY component""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val buckets = lshBuckets(minhash(docs))
+    val ba = buckets.as("ba")
+    val bb = buckets.as("bb")
+    val cand = ba.join(bb, col("ba.bucket") === col("bb.bucket") && col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("a"), col("bb.doc_id").as("b")).distinct()
+    val ts = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
+    val edges = cand
+      .join(ts.select(col("doc_id").as("a"), col("ts").as("tsa")), Seq("a"))
+      .join(ts.select(col("doc_id").as("b"), col("ts").as("tsb")), Seq("b"))
+      .filter(size(array_intersect(col("tsa"), col("tsb"))) * 2 >=
+        size(array_union(col("tsa"), col("tsb"))))
+      .select(col("a"), col("b"))
+    val undirected = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = undirected.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("component"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val neighborMin = undirected
+        .join(labels, col("b") === col("node"))
+        .groupBy(col("a")).agg(min(col("component")).as("ncomp"))
+      val next = labels
+        .join(neighborMin, col("node") === col("a"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("l"), col("n.node") === col("l.node"))
+        .filter(col("n.component") < col("l.component"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("sz"), max(col("node")).as("max_node"))
+      .orderBy("component")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
-    q34NgramJaccard, q35EmbeddingNeardup)
+    q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters)
 }
