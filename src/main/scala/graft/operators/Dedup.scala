@@ -287,15 +287,12 @@ object Dedup {
 
   /** Duplicate-cluster identification — connected components over the
     * verified LSH near-dup graph (edges: candidate pairs with token-set
-    * Jaccard >= 0.5), by iterative min-label propagation:
-    * label(v) ← min(label(v), min label of neighbors) until fixpoint.
-    *
-    * This is the Pregel shape on plain DataFrames: each round is one
-    * distributed join + aggregate, the driver only checks convergence
-    * (a boolean), and `localCheckpoint` truncates the growing lineage.
-    * Rounds are bounded by the graph diameter — near-dup clusters are
-    * shallow, so a handful of rounds closes 100 TB-scale graphs too.
-    * The oracle computes the same components with a recursive CTE. */
+    * Jaccard >= 0.5). Component closure runs through
+    * [[ConnectedComponents]]: driver union-find while the pruned edge
+    * list is small (the common case — LSH + verification shrink it by
+    * orders of magnitude), Pregel-style label propagation with pointer
+    * jumping beyond that. The oracle computes the same components with
+    * a recursive CTE. */
   val q37DupClusters: QueryDef = QueryDef(
     "q37_dup_clusters",
     s"""WITH RECURSIVE $mhOracleCte,
@@ -331,30 +328,7 @@ object Dedup {
       .filter(size(array_intersect(col("tsa"), col("tsb"))) * 2 >=
         size(array_union(col("tsa"), col("tsb"))))
       .select(col("a"), col("b"))
-    val undirected = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    var labels = undirected.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("component"))
-      .localCheckpoint()
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 50) {
-      val neighborMin = undirected
-        .join(labels, col("b") === col("node"))
-        .groupBy(col("a")).agg(min(col("component")).as("ncomp"))
-      val next = labels
-        .join(neighborMin, col("node") === col("a"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
-        .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("l"), col("n.node") === col("l.node"))
-        .filter(col("n.component") < col("l.component"))
-        .isEmpty
-      labels = next
-      rounds += 1
-    }
-    labels
+    ConnectedComponents.compute(s, edges)
       .groupBy(col("component"))
       .agg(count(lit(1)).as("sz"), max(col("node")).as("max_node"))
       .orderBy("component")

@@ -48,6 +48,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("connected components: union-find and distributed propagation agree") {
+    val rnd = new scala.util.Random(17)
+    // random graph: chains, triangles, isolated pairs
+    val edges = (Seq.tabulate(30)(i => (i.toLong, (i + 1).toLong)) ++ // 31-node chain
+      Seq((100L, 101L), (101L, 102L), (102L, 100L)) ++ // triangle
+      Seq.fill(40)((200L + rnd.nextInt(60), 200L + rnd.nextInt(60))))
+      .filter { case (a, b) => a != b }
+      .toDF("a", "b")
+    val viaUf = ConnectedComponents.driverUnionFind(spark, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDist = ConnectedComponents.distributed(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaUf == viaDist)
+    // the 31-node chain collapses to component 0
+    assert(viaUf.filter(_._1 <= 30).forall(_._2 == 0L))
+  }
+
   test("bucketed tables co-locate: the join plans without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
