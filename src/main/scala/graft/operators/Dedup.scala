@@ -334,7 +334,80 @@ object Dedup {
       .orderBy("component")
   }
 
+  /** End-to-end dedup summary — what a corpus-cleaning run reports:
+    * per lang, docs dropped by exact signature dedup or as non-
+    * canonical members of near-dup clusters, and docs kept. Composes
+    * q30's signature dedup with q37's cluster closure (union of drop
+    * sets; canonical = min doc id in both). */
+  val q38DedupPipeline: QueryDef = QueryDef(
+    "q38_dedup_pipeline",
+    s"""WITH RECURSIVE $mhOracleCte,
+       |buckets AS (${(0 until BANDS).map(b =>
+            s"SELECT doc_id, md5('$b:' || h${2 * b} || '|' || h${2 * b + 1}) AS bucket FROM mh")
+            .mkString(" UNION ALL ")}),
+       |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |tsx AS (SELECT doc_id, list_distinct(t) AS ts FROM toks),
+       |edges AS (
+       |  SELECT c.a, c.b FROM cand c
+       |  JOIN tsx ta ON ta.doc_id = c.a JOIN tsx tb ON tb.doc_id = c.b
+       |  WHERE len(list_intersect(ta.ts, tb.ts)) * 2 >= len(list_distinct(list_cat(ta.ts, tb.ts)))),
+       |nodes AS (SELECT DISTINCT x AS node FROM (SELECT a AS x FROM edges UNION SELECT b FROM edges)),
+       |undirected AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT r.src, u.b FROM reach r JOIN undirected u ON r.dst = u.a),
+       |comp AS (SELECT src AS node, min(dst) AS component FROM reach GROUP BY src),
+       |sig AS (
+       |  SELECT doc_id, lang,
+       |    md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS signature
+       |  FROM documents),
+       |canon AS (SELECT signature, min(doc_id) AS keeper FROM sig GROUP BY signature),
+       |dropped AS (
+       |  SELECT s.doc_id FROM sig s JOIN canon c ON s.signature = c.signature AND s.doc_id <> c.keeper
+       |  UNION
+       |  SELECT node FROM comp WHERE node <> component)
+       |SELECT d.lang, count(*) AS n_docs, count(dr.doc_id) AS n_dropped,
+       |  count(*) - count(dr.doc_id) AS n_kept
+       |FROM documents d
+       |LEFT JOIN (SELECT DISTINCT doc_id FROM dropped) dr ON d.doc_id = dr.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    // exact-signature drops
+    val sig = docs.select(col("doc_id"), signature.as("signature"))
+    val canon = sig.groupBy(col("signature")).agg(min(col("doc_id")).as("keeper"))
+    val exactDrop = sig.join(canon, Seq("signature"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"))
+    // near-dup cluster drops (non-canonical members)
+    val buckets = lshBuckets(minhash(docs))
+    val ba = buckets.as("ba")
+    val bb = buckets.as("bb")
+    val cand = ba.join(bb, col("ba.bucket") === col("bb.bucket") && col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("a"), col("bb.doc_id").as("b")).distinct()
+    val ts = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
+    val edges = cand
+      .join(ts.select(col("doc_id").as("a"), col("ts").as("tsa")), Seq("a"))
+      .join(ts.select(col("doc_id").as("b"), col("ts").as("tsb")), Seq("b"))
+      .filter(size(array_intersect(col("tsa"), col("tsb"))) * 2 >=
+        size(array_union(col("tsa"), col("tsb"))))
+      .select(col("a"), col("b"))
+    val nearDrop = ConnectedComponents.compute(s, edges)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    val dropped = exactDrop.union(nearDrop).distinct()
+      .select(col("doc_id").as("dropped_id"))
+    docs.join(dropped, docs("doc_id") === dropped("dropped_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("dropped_id")).as("n_dropped"),
+        (count(lit(1)) - count(col("dropped_id"))).as("n_kept"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
-    q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters)
+    q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters, q38DedupPipeline)
 }

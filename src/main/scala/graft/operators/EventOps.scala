@@ -210,7 +210,53 @@ object EventOps {
       .orderBy("etype", "ubucket")
   }
 
+  /** Funnel analysis — ordered signup → click → purchase progression
+    * per user (each stage strictly after the previous stage's first
+    * event), with exact integer gap totals. */
+  val q57Funnel: QueryDef = QueryDef(
+    "q57_funnel",
+    """WITH s AS (
+      |  SELECT user_id, min(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS click_ts, min(s.signup_ts) AS signup_ts
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s.signup_ts GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS purchase_ts, min(c.click_ts) AS click_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY e.user_id)
+      |SELECT 'stage1_signup' AS stage, count(*) AS n_users, CAST(0 AS HUGEINT) AS total_gap_us FROM s
+      |UNION ALL
+      |SELECT 'stage2_click', count(*), sum(epoch_us(click_ts) - epoch_us(signup_ts)) FROM c
+      |UNION ALL
+      |SELECT 'stage3_purchase', count(*), sum(epoch_us(purchase_ts) - epoch_us(click_ts)) FROM p
+      |ORDER BY stage""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val cl = ev.filter(col("event_type") === "click")
+      .join(su, Seq("user_id"))
+      .filter(col("ts") > col("signup_ts"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("click_ts"), min(col("signup_ts")).as("signup_ts"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(cl, Seq("user_id"))
+      .filter(col("ts") > col("click_ts"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("purchase_ts"), min(col("click_ts")).as("click_ts"))
+    val s1 = su.agg(count(lit(1)).as("n_users"))
+      .select(lit("stage1_signup").as("stage"), col("n_users"),
+        lit(0L).cast("decimal(38,0)").as("total_gap_us"))
+    val s2 = cl.agg(count(lit(1)).as("n_users"),
+        sum(unix_micros(col("click_ts")) - unix_micros(col("signup_ts"))).cast("decimal(38,0)").as("total_gap_us"))
+      .select(lit("stage2_click").as("stage"), col("n_users"), col("total_gap_us"))
+    val s3 = pu.agg(count(lit(1)).as("n_users"),
+        sum(unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).cast("decimal(38,0)").as("total_gap_us"))
+      .select(lit("stage3_purchase").as("stage"), col("n_users"), col("total_gap_us"))
+    s1.union(s2).union(s3).orderBy("stage")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q50JsonExtract, q51Sessionize, q52Tumbling, q53AsofJoin, q54Rollup,
-    q55ComplexTypes, q56GroupingSets)
+    q55ComplexTypes, q56GroupingSets, q57Funnel)
 }
