@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.TestSpark
+import graft.operators.{Dedup, Similarity}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audits: the physical plans must carry the scale
+  * properties the scaladocs claim — pushdown reaching the scan,
+  * dimensions broadcast, no stray shuffles, whole-stage codegen on the
+  * hot paths. Guards against silent plan regressions that correctness
+  * gates cannot see. */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: graft.QueryDef): String =
+    q.build(spark, dir).queryExecution.executedPlan.toString
+
+  test("q11: filter and projection push into the parquet scan") {
+    val p = plan(CoreQueries.q11FilterProject)
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("GreaterThan(l_quantity,"), p) // toString truncates the list
+    // pruned read schema: only the four selected columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_returnflag:string>"), p)
+  }
+
+  test("q04: dimension joins are broadcast, fact side never shuffles for the join") {
+    val p = plan(CoreQueries.q04DecodeBroadcast)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q01: single shuffle for the aggregation, partial aggregate map-side") {
+    val p = plan(CoreQueries.q01PricingSummary)
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair: two HashAggregate levels around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_sum"), p) // map-side combine before the exchange
+  }
+
+  test("q03: anti join planned as a real join, not a driver-side filter") {
+    val p = plan(CoreQueries.q03AntiJoin)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q41: query side broadcast for the kNN join") {
+    val p = plan(Similarity.q41KnnJoin)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q34: set-similarity join is an equi hash join on the compacted key") {
+    val p = plan(Dedup.q34NgramJaccard)
+    assert(p.contains("xxhash64"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
