@@ -256,7 +256,43 @@ object EventOps {
     s1.union(s2).union(s3).orderBy("stage")
   }
 
+  /** Pivot — event_type values become columns (one decimal-exact sum
+    * per type). Oracle states the equivalent conditional aggregation —
+    * the relational identity pivot desugars to. */
+  val q58Pivot: QueryDef = QueryDef(
+    "q58_pivot",
+    """SELECT user_id % 10 AS user_bucket,
+      |  CAST(round(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END),2) AS DOUBLE) AS click,
+      |  CAST(round(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END),2) AS DOUBLE) AS purchase,
+      |  CAST(round(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END),2) AS DOUBLE) AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .pivot("event_type", Seq("click", "purchase", "view"))
+      .agg(round(sum(col("value").cast("decimal(18,2)")), 2).cast("double"))
+      .orderBy("user_bucket")
+  }
+
+  /** Cube — both grouping dimensions plus all margins. */
+  val q59Cube: QueryDef = QueryDef(
+    "q59_cube",
+    """SELECT coalesce(event_type, 'ALL') AS etype,
+      |  coalesce(CAST(user_id % 3 AS VARCHAR), 'ALL') AS ubucket,
+      |  count(*) AS n
+      |FROM events GROUP BY CUBE(event_type, user_id % 3)
+      |ORDER BY etype, ubucket""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("ub", col("user_id") % 3)
+      .cube(col("event_type"), col("ub"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("etype"),
+        coalesce(col("ub").cast("string"), lit("ALL")).as("ubucket"),
+        col("n"))
+      .orderBy("etype", "ubucket")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q50JsonExtract, q51Sessionize, q52Tumbling, q53AsofJoin, q54Rollup,
-    q55ComplexTypes, q56GroupingSets, q57Funnel)
+    q55ComplexTypes, q56GroupingSets, q57Funnel, q58Pivot, q59Cube)
 }
