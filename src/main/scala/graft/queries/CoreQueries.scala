@@ -503,9 +503,62 @@ object CoreQueries {
       .orderBy("yr")
   }
 
+  /** Join-type battery — every join strategy family as one summary
+    * row: cross, full outer, inner, anti, left outer, semi. */
+  val q39JoinTypes: QueryDef = QueryDef(
+    "q39_join_types",
+    """WITH big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 250000),
+      |cust AS (SELECT c_custkey AS k, c_mktsegment FROM customer WHERE c_custkey <= 300)
+      |SELECT 'cross' AS jt, (SELECT count(*) FROM big CROSS JOIN cust) AS n
+      |UNION ALL SELECT 'full', (SELECT count(*) FROM big FULL JOIN cust USING (k))
+      |UNION ALL SELECT 'inner', (SELECT count(*) FROM big JOIN cust USING (k))
+      |UNION ALL SELECT 'left_anti', (SELECT count(*) FROM cust WHERE NOT EXISTS (SELECT 1 FROM big WHERE big.k = cust.k))
+      |UNION ALL SELECT 'left_outer', (SELECT count(*) FROM cust LEFT JOIN big USING (k))
+      |UNION ALL SELECT 'left_semi', (SELECT count(*) FROM cust WHERE EXISTS (SELECT 1 FROM big WHERE big.k = cust.k))
+      |ORDER BY jt""".stripMargin) { (s, dir) =>
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 250000)
+      .select(col("o_custkey").as("k")).distinct()
+    val cust = Tables.customer(s, dir).filter(col("c_custkey") <= 300)
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+    def row(jt: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(jt).as("jt"), col("n"))
+    row("cross", big.crossJoin(cust))
+      .union(row("full", big.join(cust, Seq("k"), "full")))
+      .union(row("inner", big.join(cust, Seq("k"), "inner")))
+      .union(row("left_anti", cust.join(big, Seq("k"), "left_anti")))
+      .union(row("left_outer", cust.join(big, Seq("k"), "left")))
+      .union(row("left_semi", cust.join(big, Seq("k"), "left_semi")))
+      .orderBy("jt")
+  }
+
+  /** Range join — equi key + ship-date interval residual: the hash
+    * join carries the range predicate as a post-probe filter, so no
+    * quadratic pass. */
+  val q46RangeJoin: QueryDef = QueryDef(
+    "q46_range_join",
+    """SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS ym,
+      |  count(*) AS n_pairs,
+      |  count(DISTINCT o.o_orderkey) AS n_orders
+      |FROM orders o JOIN lineitem l
+      |  ON o.o_orderkey = l.l_orderkey
+      | AND l.l_shipdate >= o.o_orderdate
+      | AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") >= o("o_orderdate") &&
+        l("l_shipdate") < o("o_orderdate") + expr("INTERVAL 90 DAY"))
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("ym")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02SurrogateKey, q03AntiJoin, q04DecodeBroadcast,
     q05Dates, q06TryNumeric, q07SignedAmount, q08SetOps, q09WindowRank,
     q10TopK, q11FilterProject, q12EtlPipeline, q13LeftJoin, q14Distinct,
-    q15TopkNative, q16Strings, q17Percentiles, q18Stats, q19DateMath)
+    q15TopkNative, q16Strings, q17Percentiles, q18Stats, q19DateMath,
+    q39JoinTypes, q46RangeJoin)
 }
