@@ -86,18 +86,25 @@ object Dedup {
   }
 
   /** MinHash signature matrix, pivoted: one row per doc with h0..h7 =
-    * min over shingles of md5(shingle || '#k'). Single shuffle on
-    * doc_id; the k mins combine map-side. */
+    * min over shingles of the k-th disjoint 8-hex-char slice of a
+    * 64-char digest (two md5s per shingle — the hash-split trick:
+    * disjoint slices of a cryptographic digest are independent uniform
+    * draws, so 2 hash invocations serve all 8 minhash functions).
+    * Single shuffle on doc_id; the k mins combine map-side. */
   private def minhash(docs: DataFrame): DataFrame =
     shingles(docs)
+      .select(col("doc_id"),
+        concat(md5(col("shingle")), md5(concat(col("shingle"), lit("#")))).as("hh"))
       .groupBy(col("doc_id"))
       .agg(
-        min(md5(concat(col("shingle"), lit("#0")))).as("h0"),
+        min(substring(col("hh"), 1, 8)).as("h0"),
         (1 until K).map(k =>
-          min(md5(concat(col("shingle"), lit(s"#$k")))).as(s"h$k")): _*)
+          min(substring(col("hh"), 8 * k + 1, 8)).as(s"h$k")): _*)
 
-  private val mhOracleMins: String =
-    (0 until K).map(k => s"min(md5(shingle || '#$k')) AS h$k").mkString(", ")
+  private val mhOracleMins: String = {
+    val digest = "md5(shingle) || md5(shingle || '#')"
+    (0 until K).map(k => s"min(substr($digest, ${8 * k + 1}, 8)) AS h$k").mkString(", ")
+  }
   private val mhOracleCte: String =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sh AS (

@@ -16,8 +16,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   private lazy val dir: String = {
     val d = Files.createTempDirectory("graft-dedup-test").toString
-    val base = "spark makes big data small again with queries and plans"
-    val nearDup = base.replace("small", "tiny") // one token differs
+    val base = "spark makes big data small again with queries and plans " +
+      "shuffles joins aggregates windows streams sketches vectors hashes " +
+      "partitions executors stages tasks codegen catalyst tungsten arrow"
+    val nearDup = base.replace("small", "tiny") // one token of ~28 differs
     val docs = Seq(
       // 0 and 1: same bag of words, different order -> exact dup group
       (0L, base, "en", "srcA", base.length.toLong),
