@@ -106,6 +106,31 @@ object Media {
       .mapPartitions(_.map(decodeStub))
   }
 
+  /** RESIZE STUB — deterministic fake of the resample stage: a real
+    * implementation would rescale pixel data; this derives the target
+    * dims and a proportionally truncated payload so downstream schema
+    * and size accounting behave exactly as with a real resizer. Runs
+    * in the same mapPartitions batch shape as decode. */
+  def resizeStub(maxDim: Int)(a: MediaAsset): MediaAsset = {
+    val f = decodeStub(a)
+    val scale = math.min(1.0, maxDim.toDouble / math.max(f.width, f.height))
+    if (scale >= 1.0) a
+    else {
+      val body = a.payload.drop(4)
+      val keep = math.max(1, (body.length * scale * scale).toInt)
+      a.copy(
+        payload = a.payload.take(4) ++ body.take(keep),
+        payload_bytes = keep.toLong + 4)
+    }
+  }
+
+  /** The resize stage — codec-affine, streaming per partition, same
+    * swap-point contract as [[decode]]. */
+  def resize(spark: SparkSession, assets: Dataset[MediaAsset], maxDim: Int): Dataset[MediaAsset] = {
+    import spark.implicits._
+    assets.repartition(col("kind")).mapPartitions(_.map(resizeStub(maxDim)))
+  }
+
   /** Frame sampling — keep every `stride`-th frame index per video;
     * the plumbing for a decoder that can seek. Pure plan, no UDF. */
   def sampleFrames(features: DataFrame, stride: Int): DataFrame =

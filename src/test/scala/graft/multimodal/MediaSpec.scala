@@ -38,6 +38,19 @@ class MediaSpec extends AnyFunSuite {
     f1.foreach(f => assert(math.abs(f.feature.sum - 1f) < 1e-3))
   }
 
+  test("resize stub: shrinks payload quadratically with scale, keeps magic") {
+    val assets = Media.ingest(spark, docs)
+    val resized = Media.resize(spark, assets, maxDim = 20).collect().sortBy(_.asset_id)
+    val originals = assets.collect().sortBy(_.asset_id)
+    resized.zip(originals).foreach { case (r, o) =>
+      assert(r.payload_bytes <= o.payload_bytes)
+      assert(new String(r.payload.take(4), "UTF-8") == Media.Magics(r.kind))
+    }
+    // determinism
+    val again = Media.resize(spark, assets, maxDim = 20).collect().sortBy(_.asset_id)
+    assert(resized.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
+  }
+
   test("frame sampling: stride-spaced indices within frame count") {
     val feats = Media.decode(spark, Media.ingest(spark, docs)).toDF()
     val sampled = Media.sampleFrames(feats, stride = 2)
