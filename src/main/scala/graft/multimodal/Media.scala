@@ -99,11 +99,15 @@ object Media {
   /** The decode stage: codec-affine partitioning + per-partition
     * streaming decode. Swap `decodeStub` for a real codec and nothing
     * else changes. */
+  /** Codec-affine split: kind alone would collapse to <= 3 partitions
+    * (one per media type) — a salt keeps each partition single-kind
+    * while spreading every kind over many tasks. */
+  private def codecPartitions(assets: Dataset[MediaAsset]) =
+    assets.repartition(col("kind"), pmod(col("asset_id"), lit(16)))
+
   def decode(spark: SparkSession, assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import spark.implicits._
-    assets
-      .repartition(col("kind"))
-      .mapPartitions(_.map(decodeStub))
+    codecPartitions(assets).mapPartitions(_.map(decodeStub))
   }
 
   /** RESIZE STUB — deterministic fake of the resample stage: a real
@@ -128,7 +132,7 @@ object Media {
     * swap-point contract as [[decode]]. */
   def resize(spark: SparkSession, assets: Dataset[MediaAsset], maxDim: Int): Dataset[MediaAsset] = {
     import spark.implicits._
-    assets.repartition(col("kind")).mapPartitions(_.map(resizeStub(maxDim)))
+    codecPartitions(assets).mapPartitions(_.map(resizeStub(maxDim)))
   }
 
   /** Frame sampling — keep every `stride`-th frame index per video;

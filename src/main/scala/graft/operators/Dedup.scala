@@ -135,17 +135,54 @@ object Dedup {
       explode(array((0 until BANDS).map(b =>
         md5(concat(lit(s"$b:"), col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}")))): _*)).as("bucket"))
 
+  /** Candidate pairs (a < b) from band-bucket collisions. */
+  private def candidatePairs(docs: DataFrame): DataFrame = {
+    val buckets = lshBuckets(minhash(docs))
+    buckets.as("ba").join(buckets.as("bb"),
+        col("ba.bucket") === col("bb.bucket") && col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("a"), col("bb.doc_id").as("b")).distinct()
+  }
+
+  /** Distinct token sets per doc (the exact-verification feature). */
+  private def tokenSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
+
+  /** Verified near-dup edges: candidates whose token-set Jaccard
+    * >= 0.5 — the single definition shared by q32/q37/q38. */
+  private def nearDupEdges(docs: DataFrame): DataFrame = {
+    val ts = tokenSets(docs)
+    candidatePairs(docs)
+      .join(ts.select(col("doc_id").as("a"), col("ts").as("tsa")), Seq("a"))
+      .join(ts.select(col("doc_id").as("b"), col("ts").as("tsb")), Seq("b"))
+      .filter(size(array_intersect(col("tsa"), col("tsb"))) * 2 >=
+        size(array_union(col("tsa"), col("tsb"))))
+      .select(col("a"), col("b"))
+  }
+
+  /** Oracle CTE text for buckets → cand (appended after mhOracleCte);
+    * single source for the same three queries. */
+  private val lshCandOracleCte: String =
+    s"""buckets AS (${(0 until BANDS).map(b =>
+          s"SELECT doc_id, md5('$b:' || h${2 * b} || '|' || h${2 * b + 1}) AS bucket FROM mh")
+          .mkString(" UNION ALL ")}),
+       |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Oracle CTE text for token sets → verified edges. */
+  private val edgesOracleCte: String =
+    """tsx AS (SELECT doc_id, list_distinct(t) AS ts FROM toks),
+      |edges AS (
+      |  SELECT c.a, c.b FROM cand c
+      |  JOIN tsx ta ON ta.doc_id = c.a JOIN tsx tb ON tb.doc_id = c.b
+      |  WHERE len(list_intersect(ta.ts, tb.ts)) * 2 >= len(list_distinct(list_cat(ta.ts, tb.ts))))""".stripMargin
+
   /** MinHash-LSH near-dup — candidate pairs from band-bucket collisions,
     * verified with exact token-set Jaccard. Output is the summary
     * (candidate count, verified count at j>=0.5, decimal-exact sum). */
   val q32LshPairs: QueryDef = QueryDef(
     "q32_lsh_pairs",
     s"""WITH $mhOracleCte,
-       |buckets AS (${(0 until BANDS).map(b =>
-            s"SELECT doc_id, md5('$b:' || h${2 * b} || '|' || h${2 * b + 1}) AS bucket FROM mh")
-            .mkString(" UNION ALL ")}),
-       |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-       |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |$lshCandOracleCte,
        |ts AS (SELECT doc_id, list_distinct(t) AS ts FROM toks),
        |jac AS (
        |  SELECT c.a, c.b,
@@ -156,13 +193,8 @@ object Dedup {
        |  CAST(round(sum(CAST(j AS DECIMAL(18,12))), 6) AS DOUBLE) AS sum_j
        |FROM jac""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val buckets = lshBuckets(minhash(docs))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    val cand = a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b")).distinct()
-    val ts = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
-    val jac = cand
+    val ts = tokenSets(docs)
+    val jac = candidatePairs(docs)
       .join(ts.select(col("doc_id").as("a"), col("ts").as("tsa")), Seq("a"))
       .join(ts.select(col("doc_id").as("b"), col("ts").as("tsb")), Seq("b"))
       .select(
@@ -300,42 +332,27 @@ object Dedup {
     * orders of magnitude), Pregel-style label propagation with pointer
     * jumping beyond that. The oracle computes the same components with
     * a recursive CTE. */
+  /** Oracle CTE text for nodes → reach → comp (recursive closure over
+    * the verified edges). */
+  private val componentsOracleCte: String =
+    """nodes AS (SELECT DISTINCT x AS node FROM (SELECT a AS x FROM edges UNION SELECT b FROM edges)),
+      |undirected AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      |reach(src, dst) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT r.src, u.b FROM reach r JOIN undirected u ON r.dst = u.a),
+      |comp AS (SELECT src AS node, min(dst) AS component FROM reach GROUP BY src)""".stripMargin
+
   val q37DupClusters: QueryDef = QueryDef(
     "q37_dup_clusters",
     s"""WITH RECURSIVE $mhOracleCte,
-       |buckets AS (${(0 until BANDS).map(b =>
-            s"SELECT doc_id, md5('$b:' || h${2 * b} || '|' || h${2 * b + 1}) AS bucket FROM mh")
-            .mkString(" UNION ALL ")}),
-       |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-       |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |ts AS (SELECT doc_id, list_distinct(t) AS ts FROM toks),
-       |edges AS (
-       |  SELECT c.a, c.b FROM cand c
-       |  JOIN ts ta ON ta.doc_id = c.a JOIN ts tb ON tb.doc_id = c.b
-       |  WHERE len(list_intersect(ta.ts, tb.ts)) * 2 >= len(list_distinct(list_cat(ta.ts, tb.ts)))),
-       |nodes AS (SELECT DISTINCT x AS node FROM (SELECT a AS x FROM edges UNION SELECT b FROM edges)),
-       |undirected AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-       |reach(src, dst) AS (
-       |  SELECT node, node FROM nodes
-       |  UNION
-       |  SELECT r.src, u.b FROM reach r JOIN undirected u ON r.dst = u.a),
-       |comp AS (SELECT src AS node, min(dst) AS component FROM reach GROUP BY src)
+       |$lshCandOracleCte,
+       |$edgesOracleCte,
+       |$componentsOracleCte
        |SELECT component, count(*) AS sz, max(node) AS max_node
        |FROM comp GROUP BY component ORDER BY component""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val buckets = lshBuckets(minhash(docs))
-    val ba = buckets.as("ba")
-    val bb = buckets.as("bb")
-    val cand = ba.join(bb, col("ba.bucket") === col("bb.bucket") && col("ba.doc_id") < col("bb.doc_id"))
-      .select(col("ba.doc_id").as("a"), col("bb.doc_id").as("b")).distinct()
-    val ts = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
-    val edges = cand
-      .join(ts.select(col("doc_id").as("a"), col("ts").as("tsa")), Seq("a"))
-      .join(ts.select(col("doc_id").as("b"), col("ts").as("tsb")), Seq("b"))
-      .filter(size(array_intersect(col("tsa"), col("tsb"))) * 2 >=
-        size(array_union(col("tsa"), col("tsb"))))
-      .select(col("a"), col("b"))
-    ConnectedComponents.compute(s, edges)
+    ConnectedComponents.compute(s, nearDupEdges(docs))
       .groupBy(col("component"))
       .agg(count(lit(1)).as("sz"), max(col("node")).as("max_node"))
       .orderBy("component")
@@ -349,23 +366,9 @@ object Dedup {
   val q38DedupPipeline: QueryDef = QueryDef(
     "q38_dedup_pipeline",
     s"""WITH RECURSIVE $mhOracleCte,
-       |buckets AS (${(0 until BANDS).map(b =>
-            s"SELECT doc_id, md5('$b:' || h${2 * b} || '|' || h${2 * b + 1}) AS bucket FROM mh")
-            .mkString(" UNION ALL ")}),
-       |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-       |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |tsx AS (SELECT doc_id, list_distinct(t) AS ts FROM toks),
-       |edges AS (
-       |  SELECT c.a, c.b FROM cand c
-       |  JOIN tsx ta ON ta.doc_id = c.a JOIN tsx tb ON tb.doc_id = c.b
-       |  WHERE len(list_intersect(ta.ts, tb.ts)) * 2 >= len(list_distinct(list_cat(ta.ts, tb.ts)))),
-       |nodes AS (SELECT DISTINCT x AS node FROM (SELECT a AS x FROM edges UNION SELECT b FROM edges)),
-       |undirected AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-       |reach(src, dst) AS (
-       |  SELECT node, node FROM nodes
-       |  UNION
-       |  SELECT r.src, u.b FROM reach r JOIN undirected u ON r.dst = u.a),
-       |comp AS (SELECT src AS node, min(dst) AS component FROM reach GROUP BY src),
+       |$lshCandOracleCte,
+       |$edgesOracleCte,
+       |$componentsOracleCte,
        |sig AS (
        |  SELECT doc_id, lang,
        |    md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS signature
@@ -388,19 +391,7 @@ object Dedup {
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"))
     // near-dup cluster drops (non-canonical members)
-    val buckets = lshBuckets(minhash(docs))
-    val ba = buckets.as("ba")
-    val bb = buckets.as("bb")
-    val cand = ba.join(bb, col("ba.bucket") === col("bb.bucket") && col("ba.doc_id") < col("bb.doc_id"))
-      .select(col("ba.doc_id").as("a"), col("bb.doc_id").as("b")).distinct()
-    val ts = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
-    val edges = cand
-      .join(ts.select(col("doc_id").as("a"), col("ts").as("tsa")), Seq("a"))
-      .join(ts.select(col("doc_id").as("b"), col("ts").as("tsb")), Seq("b"))
-      .filter(size(array_intersect(col("tsa"), col("tsb"))) * 2 >=
-        size(array_union(col("tsa"), col("tsb"))))
-      .select(col("a"), col("b"))
-    val nearDrop = ConnectedComponents.compute(s, edges)
+    val nearDrop = ConnectedComponents.compute(s, nearDupEdges(docs))
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
     val dropped = exactDrop.union(nearDrop).distinct()

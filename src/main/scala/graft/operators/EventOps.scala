@@ -33,7 +33,9 @@ object EventOps {
       |  count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
       |  sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
-    val k = get_json_object(col("props"), "$.k").cast("long")
+    // try_cast: a non-numeric props.k must yield null like the oracle's
+    // TRY_CAST, not an ANSI cast error (Spark 4 default)
+    val k = expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), count(k).as("n_k"), sum(k).as("sum_k"))
@@ -115,12 +117,14 @@ object EventOps {
     val ev = Tables.events(s, dir)
     val union = ev.filter(col("event_type").isin("click", "purchase"))
       .select(
-        col("user_id"), col("ts"), col("value"),
+        col("user_id"), col("ts"), col("value"), col("event_id"),
         // clicks sort before a purchase at the same ts => ts >= cts inclusive
         when(col("event_type") === "click", 0).otherwise(1).as("side"),
         when(col("event_type") === "click", col("ts")).as("click_ts"),
         when(col("event_type") === "click", col("value")).as("click_val"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+    // event_id tiebreaker: two clicks at an identical ts would otherwise
+    // make last() pick shuffle-order-dependently (determinism contract)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     union
       .withColumn("cts", last(col("click_ts"), ignoreNulls = true).over(w))

@@ -45,10 +45,16 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
 /** One-call install of the whole top-k stack on a session: planner
   * strategy (physical operator) + optimizer rule (idiom rewrite). */
 object TopKInstall {
-  def install(spark: SparkSession): Unit = {
+  /** Strategy only — enough to plan explicit [[TopKPerKey]] nodes. */
+  def installStrategy(spark: SparkSession): Unit = {
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
     if (!exp.extraStrategies.exists(_.isInstanceOf[TopKStrategy]))
       exp.extraStrategies = exp.extraStrategies :+ new TopKStrategy
+  }
+
+  def install(spark: SparkSession): Unit = {
+    installStrategy(spark)
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
     if (!exp.extraOptimizations.contains(RowNumberTopKRewrite))
       exp.extraOptimizations = exp.extraOptimizations :+ RowNumberTopKRewrite
   }

@@ -32,6 +32,13 @@ import org.apache.spark.sql.graftbridge.Bridge
   *
   * Output row order within a key is unspecified (like any aggregate) —
   * callers ORDER BY for presentation.
+  *
+  * Memory contract: each task holds ≤ k rows per DISTINCT KEY seen in
+  * its partition, in a plain on-heap map with no spill integration.
+  * That is the right trade for grouped top-k (keys ≪ rows); for
+  * near-unique keys (where top-k degenerates to a plain sort) the
+  * built-in window path with its spilling external sort is the correct
+  * operator — don't rewrite those.
   */
 case class TopKPerKey(
     keys: Seq[Expression],
@@ -114,9 +121,7 @@ object TopK {
   def perKey(df: DataFrame, keyCols: Seq[String], orderCol: String, k: Int,
       descending: Boolean = true): DataFrame = {
     val spark: SparkSession = df.sparkSession
-    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
-    if (!exp.extraStrategies.exists(_.isInstanceOf[TopKStrategy]))
-      exp.extraStrategies = exp.extraStrategies :+ new TopKStrategy
+    TopKInstall.installStrategy(spark)
     val direction = if (descending) Descending else Ascending
     val node = TopKPerKey(
       keyCols.map(UnresolvedAttribute(_)),

@@ -82,14 +82,24 @@ object StreamOps {
         Iterator.single(SessionOut(userId, s.n_events, s.last_us - s.start_us, s.total_value))
       } else {
         var out = List.empty[SessionOut]
+        // full microsecond precision: Timestamp.getTime is millis-only
+        def micros(t: java.sql.Timestamp): Long =
+          t.getTime / 1000 * 1000000L + t.getNanos / 1000L
         // arrival order within a batch is not guaranteed — sort by time
-        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+        val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.value))
         var cur = state.getOption
         sorted.foreach { e =>
-          val us = e.ts.getTime * 1000L
+          val us = micros(e.ts)
           cur match {
+            // late events admitted by the watermark can predate the
+            // session state — extend the span in both directions, never
+            // move last_us backward (a backward write would corrupt
+            // durations and mis-split on the next gap check)
             case Some(s) if us - s.last_us <= gapUs =>
-              cur = Some(s.copy(last_us = us, n_events = s.n_events + 1,
+              cur = Some(s.copy(
+                start_us = math.min(s.start_us, us),
+                last_us = math.max(s.last_us, us),
+                n_events = s.n_events + 1,
                 total_value = s.total_value + e.value))
             case Some(s) =>
               out ::= SessionOut(userId, s.n_events, s.last_us - s.start_us, s.total_value)
