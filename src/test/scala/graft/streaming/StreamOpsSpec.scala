@@ -92,6 +92,31 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: a late event inside the watermark extends the session backward") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.SessionEvent]
+    val gapUs = 30L * 60 * 1000000
+    val q = StreamOps.sessionize(spark, in.toDS(), gapUs)
+      .writeStream.format("memory").queryName("late_sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(StreamOps.SessionEvent(3L, ts(20), 2.0))
+      q.processAllAvailable()
+      // late arrival (t=10) still within the 1h watermark: must merge
+      // BEFORE the existing state, not move last_us backward
+      in.addData(StreamOps.SessionEvent(3L, ts(10), 1.0))
+      q.processAllAvailable()
+      // close by gap with a much later event
+      in.addData(StreamOps.SessionEvent(3L, ts(300), 9.0))
+      q.processAllAvailable()
+      val sessions = spark.table("late_sess_out")
+        .as[StreamOps.SessionOut].collect().filter(_.user_id == 3L)
+      assert(sessions.exists(s =>
+        s.n_events == 2 && s.duration_us == 10L * 60 * 1000000 && s.total_value == 3.0),
+        s"got: ${sessions.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the gap and aggregates it") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.SessionEvent]
