@@ -17,7 +17,7 @@ object MediaQueries {
       |    (CASE doc_id % 3 WHEN 0 THEN 'PNG0' WHEN 1 THEN 'RIFF' ELSE 'FTYP' END) || text AS payload,
       |    octet_length(encode(text)) + 4 AS payload_bytes
       |  FROM documents)
-      |SELECT kind, count(*) AS n_assets, sum(payload_bytes) AS total_bytes,
+      |SELECT kind, count(*) AS n_assets, CAST(sum(payload_bytes) AS BIGINT) AS total_bytes,
       |  min(md5(payload)) AS min_fp, max(md5(payload)) AS max_fp
       |FROM a GROUP BY kind ORDER BY kind""".stripMargin) { (s, dir) =>
     Media.ingest(s, Tables.documents(s, dir)).toDF()

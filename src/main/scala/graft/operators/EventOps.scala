@@ -31,7 +31,7 @@ object EventOps {
     "q50_json_extract",
     """SELECT event_type, count(*) AS n,
       |  count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
-      |  sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     // try_cast: a non-numeric props.k must yield null like the oracle's
     // TRY_CAST, not an ANSI cast error (Spark 4 default)
@@ -58,8 +58,8 @@ object EventOps {
        |per AS (
        |  SELECT user_id, sess, count(*) AS n_ev, epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
        |  FROM s GROUP BY user_id, sess)
-       |SELECT user_id, count(*) AS n_sessions, sum(n_ev) AS n_events,
-       |  max(n_ev) AS max_sess_events, sum(dur_us) AS total_dur_us
+       |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_ev) AS BIGINT) AS n_events,
+       |  max(n_ev) AS max_sess_events, CAST(sum(dur_us) AS BIGINT) AS total_dur_us
        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val isNew = when(
@@ -102,16 +102,22 @@ object EventOps {
     * same user at or before it. Spark formulation: union both sides,
     * one window partitioned by user ordered by (ts, side), carry the
     * last non-null click forward; the oracle uses DuckDB's native
-    * ASOF LEFT JOIN. One shuffle, no range probe. */
+    * ASOF LEFT JOIN. One shuffle, no range probe.
+    *
+    * Tie rule: among clicks sharing (user_id, ts), the max-event_id one
+    * wins — the Spark window orders by event_id, and the oracle's c CTE
+    * pre-dedups with arg_max(value, event_id), so neither engine is
+    * free to pick an arbitrary tied row. */
   val q53AsofJoin: QueryDef = QueryDef(
     "q53_asof_join",
     """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
-      |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+      |c AS (SELECT user_id, ts, arg_max(value, event_id) AS value
+      |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
       |m AS (
       |  SELECT p.user_id, p.ts AS pts, c.ts AS cts, c.value AS cval
       |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
       |SELECT user_id, count(*) AS n_purchases, count(cts) AS n_matched,
-      |  sum(epoch_us(pts) - epoch_us(cts)) AS total_gap_us,
+      |  CAST(sum(epoch_us(pts) - epoch_us(cts)) AS BIGINT) AS total_gap_us,
       |  CAST(round(sum(CAST(coalesce(cval,0) AS DECIMAL(18,2))),2) AS DOUBLE) AS click_val
       |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
     val ev = Tables.events(s, dir)
@@ -229,11 +235,11 @@ object EventOps {
       |  SELECT e.user_id, min(e.ts) AS purchase_ts, min(c.click_ts) AS click_ts
       |  FROM events e JOIN c ON e.user_id = c.user_id
       |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY e.user_id)
-      |SELECT 'stage1_signup' AS stage, count(*) AS n_users, CAST(0 AS HUGEINT) AS total_gap_us FROM s
+      |SELECT 'stage1_signup' AS stage, count(*) AS n_users, CAST(0 AS BIGINT) AS total_gap_us FROM s
       |UNION ALL
-      |SELECT 'stage2_click', count(*), sum(epoch_us(click_ts) - epoch_us(signup_ts)) FROM c
+      |SELECT 'stage2_click', count(*), CAST(sum(epoch_us(click_ts) - epoch_us(signup_ts)) AS BIGINT) FROM c
       |UNION ALL
-      |SELECT 'stage3_purchase', count(*), sum(epoch_us(purchase_ts) - epoch_us(click_ts)) FROM p
+      |SELECT 'stage3_purchase', count(*), CAST(sum(epoch_us(purchase_ts) - epoch_us(click_ts)) AS BIGINT) FROM p
       |ORDER BY stage""".stripMargin) { (s, dir) =>
     val ev = Tables.events(s, dir)
     val su = ev.filter(col("event_type") === "signup")
@@ -250,12 +256,12 @@ object EventOps {
       .agg(min(col("ts")).as("purchase_ts"), min(col("click_ts")).as("click_ts"))
     val s1 = su.agg(count(lit(1)).as("n_users"))
       .select(lit("stage1_signup").as("stage"), col("n_users"),
-        lit(0L).cast("decimal(38,0)").as("total_gap_us"))
+        lit(0L).as("total_gap_us"))
     val s2 = cl.agg(count(lit(1)).as("n_users"),
-        sum(unix_micros(col("click_ts")) - unix_micros(col("signup_ts"))).cast("decimal(38,0)").as("total_gap_us"))
+        sum(unix_micros(col("click_ts")) - unix_micros(col("signup_ts"))).as("total_gap_us"))
       .select(lit("stage2_click").as("stage"), col("n_users"), col("total_gap_us"))
     val s3 = pu.agg(count(lit(1)).as("n_users"),
-        sum(unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).cast("decimal(38,0)").as("total_gap_us"))
+        sum(unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("total_gap_us"))
       .select(lit("stage3_purchase").as("stage"), col("n_users"), col("total_gap_us"))
     s1.union(s2).union(s3).orderBy("stage")
   }

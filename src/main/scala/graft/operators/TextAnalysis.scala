@@ -31,8 +31,8 @@ object TextAnalysis {
   val q20TokenStats: QueryDef = QueryDef(
     "q20_token_stats",
     """SELECT lang, count(*) AS n_docs,
-      |  sum(len(string_split_regex(text, '\s+'))) AS total_ws_tokens,
-      |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS total_re_tokens,
+      |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_re_tokens,
       |  CAST(sum(len(string_split_regex(text, '\s+'))) AS DOUBLE) / count(*) AS avg_tokens
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)

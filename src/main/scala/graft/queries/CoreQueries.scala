@@ -404,8 +404,8 @@ object CoreQueries {
     """SELECT p_brand, count(*) AS n,
       |  min(upper(p_name)) AS min_upper,
       |  max(concat(p_type, ':', CAST(p_size AS VARCHAR))) AS max_typed,
-      |  sum(length(p_name)) AS total_len,
-      |  sum(CASE WHEN contains(p_name, 'a') THEN 1 ELSE 0 END) AS n_with_a,
+      |  CAST(sum(length(p_name)) AS BIGINT) AS total_len,
+      |  CAST(sum(CASE WHEN contains(p_name, 'a') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_a,
       |  min(lpad(CAST(p_partkey AS VARCHAR), 8, '0')) AS min_padded,
       |  max(levenshtein(p_brand, p_type)) AS max_lev
       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
@@ -418,7 +418,8 @@ object CoreQueries {
         sum(length(col("p_name"))).as("total_len"),
         sum(when(col("p_name").contains("a"), 1).otherwise(0)).as("n_with_a"),
         min(lpad(col("p_partkey").cast("string"), 8, "0")).as("min_padded"),
-        max(levenshtein(col("p_brand"), col("p_type"))).as("max_lev"))
+        // DuckDB levenshtein is BIGINT; Spark's is INT — align the type
+        max(levenshtein(col("p_brand"), col("p_type"))).cast("bigint").as("max_lev"))
       .orderBy("p_brand")
   }
 
@@ -488,7 +489,7 @@ object CoreQueries {
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n,
       |  min(strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d')) AS min_plus30,
       |  max(strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')) AS max_eom,
-      |  sum(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01')) AS total_age_days,
+      |  CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01')) AS BIGINT) AS total_age_days,
       |  count(DISTINCT date_trunc('quarter', o_orderdate)) AS n_quarters
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     val d = col("o_orderdate").cast("date")

@@ -49,8 +49,21 @@ def main(sf_dir, out_dir):
         ecols = sorted(exp.columns)
         erows = canon(con.sql(
             f"SELECT {', '.join(ecols)} FROM exp").fetchall())
+        # The driver's hash is TYPE-sensitive (e.g. DuckDB sum(BIGINT) is
+        # HUGEINT vs Spark's BIGINT hash differently even on identical
+        # values) — so dtype mismatch must fail here too, or latent gate
+        # failures ship (round 2 shipped 8 this way).
+        gtypes = dict(zip(got.columns, (str(t) for t in got.types)))
+        etypes = dict(zip(exp.columns, (str(t) for t in exp.types)))
+        type_diffs = [
+            f"{c}: spark={gtypes[c]} oracle={etypes[c]}"
+            for c in sorted(set(gtypes) & set(etypes))
+            if gtypes[c] != etypes[c]]
         if gcols != ecols:
             print(f"  [FAIL cols] {name}: spark={gcols} oracle={ecols}")
+            fail += 1
+        elif type_diffs:
+            print(f"  [FAIL types] {name}: " + "; ".join(type_diffs))
             fail += 1
         elif grows != erows:
             print(f"  [FAIL rows] {name}: spark {len(grows)} rows vs oracle {len(erows)}")
