@@ -19,7 +19,10 @@ object GraftFunctions {
     ("cosine_sim", (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)),
       classOf[CosineSimilarity].getName),
     ("rolling_hash", (es: Seq[Expression]) => RollingHash(es.head),
-      classOf[RollingHash].getName))
+      classOf[RollingHash].getName),
+    ("lsh_bucket", (es: Seq[Expression]) => LshBucket(es(0),
+      LshBucket.litInt(es(1), "planes"), LshBucket.litInt(es(2), "dim")),
+      classOf[LshBucket].getName))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

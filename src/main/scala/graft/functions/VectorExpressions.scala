@@ -74,6 +74,107 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket id: bit p of the result is set iff the
+  * signed projection of the vector onto plane p is >= 0. The plane
+  * coefficients are data-independent ±1 signs derived from md5 parity
+  * (see [[LshBucket.planeSign]]), so any engine — including the DuckDB
+  * oracle's generated term-sum SQL — computes the identical bucket.
+  *
+  * Why native (same argument as [[CosineSimilarity]]): the generated
+  * column form emits planes×dim expression nodes (4×64 ≈ 256 here;
+  * dim=1024 would be ~4k — hostile to janino compile time and plan
+  * size). This evaluates all planes in one codegen'd loop over a
+  * precomputed sign matrix: same left-to-right IEEE accumulation per
+  * plane, O(1) plan nodes, any dimension.
+  */
+case class LshBucket(child: Expression, planes: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float> argument, got ${other.simpleString}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lsh_bucket"
+
+  @transient private lazy val signs: Array[Double] =
+    LshBucket.signMatrix(planes, dim)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      val off = p * dim
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += v.getFloat(i).toDouble * signs(off + i)
+        i += 1
+      }
+      if (dot >= 0.0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val s = ctx.addReferenceObj("lshSigns", signs, "double[]")
+      val bucket = ctx.freshName("bucket")
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val off = ctx.freshName("off")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+         |int $bucket = 0;
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  int $off = $p * $dim;
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((double) $v.getFloat($i)) * $s[$off + $i];
+         |  }
+         |  if ($dot >= 0.0) $bucket |= (1 << $p);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
+object LshBucket {
+
+  /** ±1 pseudo-random hyperplane coefficient for LSH plane `p`,
+    * dimension `i`: sign = parity of the ascii code of hex char 1 of
+    * md5("p:i") — data-independent, identical in any engine. The single
+    * source of truth; [[graft.operators.VectorOps]] generates the
+    * oracle SQL from the same function. */
+  def planeSign(p: Int, i: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (hex.charAt(0).toInt % 2 == 1) 1 else -1
+  }
+
+  /** Flat planes×dim sign matrix, row-major by plane. */
+  def signMatrix(planes: Int, dim: Int): Array[Double] =
+    Array.tabulate(planes * dim)(k => planeSign(k / dim, k % dim).toDouble)
+
+  /** Extract a literal int argument at SQL registration time. */
+  def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"lsh_bucket: $what must be an integer literal, got $other")
+  }
+}
+
 /** Polynomial rolling hash (Rabin–Karp) over a string's UTF-8 bytes:
   * h = (h * 31 + byte) mod 1e9+7, accumulated left to right in plain
   * long arithmetic (31 * (1e9+6) + 255 < 2^63 — no overflow). The

@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *    not the corpus;
   *  - SimHash is 16 integer partial-sum aggregates over the token
   *    explosion — same single-shuffle shape;
-  *  - cosine near-dup brute-forces only inside label blocks (the
-  *    blocking key bounds the quadratic term; at 100 TB the block key
-  *    would be an LSH bucket — see [[Similarity]] for the ANN path).
+  *  - cosine near-dup brute-forces only inside random-hyperplane LSH
+  *    buckets: the data-independent blocking key bounds the quadratic
+  *    term at corpus/2^planes per block no matter how skewed any data
+  *    column is (see [[Similarity]] for the query-side ANN path).
   *
   * Determinism: hashes are md5 hex strings (identical bytes in any
   * engine); Jaccard values are exact small-integer ratios (the double
@@ -299,26 +300,46 @@ object Dedup {
       .limit(50)
   }
 
-  import VectorOps.{dotCol, dotSql, DIM}
+  import VectorOps.{dotSql, lshBucketSql, DIM}
 
-  /** Embedding-cosine near-dup — pairs above threshold inside label
-    * blocks. */
+  /** Hyperplanes for the embedding near-dup blocking key (16 buckets —
+    * at larger corpora raise this: block size shrinks 2× per plane). */
+  private val EPLANES = 4
+
+  /** LSH-bucketed candidate pairs for embedding near-dup: every pair
+    * sharing a random-hyperplane bucket, a < b. Blocking on the bucket
+    * (not a data column like `label`) bounds the per-block quadratic by
+    * corpus/2^planes regardless of label skew — a hot label no longer
+    * explodes into all-pairs. Exposed for the ScaleOpsSpec bound test. */
+  private[graft] def embeddingCandidates(e: DataFrame): DataFrame = {
+    val bucketed = e.select(col("vec_id"), col("embedding"),
+      expr(s"lsh_bucket(embedding, $EPLANES, $DIM)").as("bucket"))
+    bucketed.select(col("vec_id").as("a"), col("bucket"), col("embedding").as("va"))
+      .join(bucketed.select(col("vec_id").as("b"), col("bucket").as("bucketb"),
+          col("embedding").as("vb")),
+        col("bucket") === col("bucketb") && col("a") < col("b"))
+  }
+
+  /** Embedding-cosine near-dup — pairs above threshold inside LSH
+    * buckets (the scale-safe blocking; recall is the standard sign-LSH
+    * tradeoff — more planes = smaller blocks, fewer candidate misses
+    * per block but more boundary misses). */
   val q35EmbeddingNeardup: QueryDef = QueryDef(
     "q35_embedding_neardup",
-    s"""WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding AS v,
+       |    ${lshBucketSql("embedding", EPLANES)} AS bucket
+       |  FROM embeddings),
        |c AS (
        |  SELECT a.vec_id AS a, b.vec_id AS b,
        |    (${dotSql("a.v", "b.v", DIM)}) /
        |      (sqrt(${dotSql("a.v", "a.v", DIM)}) * sqrt(${dotSql("b.v", "b.v", DIM)})) AS cos_sim
-       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT a, b, cos_sim FROM c WHERE cos_sim >= 0.35
        |ORDER BY a, b""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
       .repartition(col("vec_id")) // single-file scan -> use every core
-    val a = e.select(col("vec_id").as("a"), col("label"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("b"), col("label").as("labelb"), col("embedding").as("vb"))
-    a.join(b, col("label") === col("labelb") && col("a") < col("b"))
+    embeddingCandidates(e)
       .select(col("a"), col("b"), expr("cosine_sim(va, vb)").as("cos_sim"))
       .filter(col("cos_sim") >= 0.35)
       .orderBy("a", "b")

@@ -113,7 +113,9 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .repartition(col("vec_id")) // single-file scan -> all cores
       .select(col("vec_id"), col("embedding").as("v"),
-        lshBucketCol("embedding", PLANES).as("bucket"))
+        // native codegen'd loop (O(1) plan nodes vs planes*dim
+        // generated terms), bit-identical to lshBucketCol/lshBucketSql
+        expr(s"lsh_bucket(embedding, $PLANES, $DIM)").as("bucket"))
     val q = broadcast(e.filter(col("vec_id") < NQUERY)
       .select(col("vec_id").as("qid"), col("v").as("vq"), col("bucket")))
     val c = e.join(q, Seq("bucket"))

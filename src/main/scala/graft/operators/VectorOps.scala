@@ -35,15 +35,11 @@ private[graft] object VectorOps {
   def cosSql(x: String, y: String, dim: Int = DIM): String =
     s"(${dotSql(x, y, dim)}) / (sqrt(${dotSql(x, x, dim)}) * sqrt(${dotSql(y, y, dim)}))"
 
-  /** ±1 pseudo-random hyperplane coefficient for LSH plane `p`,
-    * dimension `i`: sign = parity of the ascii code of hex char 1 of
-    * md5("p:i") — data-independent, identical in any engine. */
-  def planeSign(p: Int, i: Int): Int = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$p:$i".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    if (hex.charAt(0).toInt % 2 == 1) 1 else -1
-  }
+  /** ±1 hyperplane coefficient — delegates to the single source of
+    * truth shared with the native [[graft.functions.LshBucket]]
+    * expression, so the generated oracle SQL and the codegen'd loop
+    * can never disagree on a sign. */
+  def planeSign(p: Int, i: Int): Int = graft.functions.LshBucket.planeSign(p, i)
 
   /** Signed projection of vector column `v` onto plane `p`:
     * sum_i sign(p,i) * v[i], left-associated. */

@@ -41,6 +41,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("lsh_bucket is bit-identical to the generated when/sum column") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(60)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val df = rows.toDF("v")
+    val out = df.select(
+      expr("lsh_bucket(v, 4, 64)").as("native"),
+      VectorOps.lshBucketCol("v", 4).as("generated")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // all 16 buckets must be reachable in principle: range check
+    out.foreach(r => assert(r.getInt(0) >= 0 && r.getInt(0) < 16))
+  }
+
+  test("lsh_bucket: null vector -> null; short vector truncates like the sum") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT lsh_bucket(cast(null as array<float>), 4, 64)").head()
+    assert(r.isNullAt(0))
+    // a dim-8 vector under dim=8 matches the generated dim-8 column
+    val rnd = new scala.util.Random(17)
+    val df = Seq.fill(20)(Array.fill(8)(rnd.nextFloat() * 2 - 1)).toDF("v")
+    val out = df.select(
+      expr("lsh_bucket(v, 3, 8)").as("native"),
+      VectorOps.lshBucketCol("v", 3, 8).as("generated")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("rolling_hash known vectors and null behavior") {
     GraftFunctions.register(spark)
     // "abc": ((97*31+98)*31+99) % 1e9+7 = 96354; "" -> 0

@@ -65,6 +65,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(viaUf.filter(_._1 <= 30).forall(_._2 == 0L))
   }
 
+  test("embedding near-dup candidates stay bounded under total label skew") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(23)
+    val n = 400
+    // adversarial corpus: EVERY vector shares one label — label-blocking
+    // would materialize all n*(n-1)/2 = 79_800 pairs
+    val e = (0 until n).map(i => (i.toLong, "hot", Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingCandidates(e).count()
+    // LSH blocking bounds pairs by sum over 16 buckets of nb*(nb-1)/2;
+    // for ~uniform buckets that's ~ (n/16)^2/2 * 16 = n^2/32 ≈ 5000.
+    // Allow slack for bucket imbalance but require well under all-pairs.
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(pairs < allPairs / 4, s"candidates $pairs vs all-pairs $allPairs")
+    assert(pairs > 0)
+  }
+
   test("bucketed tables co-locate: the join plans without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
