@@ -239,19 +239,76 @@ object Dedup {
       .orderBy("lang")
   }
 
+  /** Document-frequency cap for the bigram self-join key. A bigram
+    * shared by df docs contributes df·(df−1)/2 candidate pairs on ONE
+    * shuffle key — a stop-bigram present in a constant fraction of the
+    * corpus is the quadratic hot spot of every set-similarity join (at
+    * sf0.1 the max df is 152 of 5000 docs; at 1B docs that same 3%
+    * bigram would be 30M rows on one key). Keys above the cap are
+    * dropped before the join (standard frequency truncation): exact
+    * whenever no key exceeds the cap (all test scales), and at scale a
+    * documented approximation — dropped keys only subtract from
+    * `inter`, so j is strictly underestimated for pairs whose overlap
+    * was carried by corpus-wide stop-bigrams, which carry no
+    * similarity signal anyway. */
+  private[graft] val NGRAM_DF_CAP = 1000
+
+  /** Distinct (doc, lang, bigram-set) rows for the n-gram join. */
+  private[graft] def bigramSets(docs: DataFrame): DataFrame = {
+    val t = col("t")
+    docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(
+        col("doc_id"), col("lang"),
+        array_distinct(zip_with(
+          slice(t, lit(1), size(t) - 1),
+          slice(t, lit(2), size(t) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("bs"))
+  }
+
+  /** Shared-bigram counts per candidate pair (a < b, same lang), with
+    * the DF cap applied and the j>=0.3 size-ratio prefilter. The
+    * over-cap key set is tiny by construction (few keys can exceed the
+    * cap) → broadcast anti-join, no extra shuffle of the row stream. */
+  private[graft] def bigramPairInter(
+      bg: DataFrame, dfCap: Int = NGRAM_DF_CAP): DataFrame = {
+    // the (lang, bigram) join key is compacted to one xxhash64 long:
+    // joined rows are then fixed-width longs/ints — far cheaper to
+    // produce and shuffle than string pairs (collision odds at ~23k
+    // distinct keys are ~1e-11; the sf0.01 oracle gate would catch one)
+    val rows = bg.select(col("doc_id"), size(col("bs")).as("n"),
+        explode(col("bs")).as("bigram"), col("lang"))
+      .select(col("doc_id"), col("n"), xxhash64(col("lang"), col("bigram")).as("kh"))
+    val hotKeys = rows.groupBy(col("kh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select(col("kh"))
+    val pruned = rows.join(broadcast(hotKeys), Seq("kh"), "left_anti")
+    // size-ratio prefilter: j >= 0.3 needs min(|A|,|B|)*10 >= max*3
+    // (inter <= min, union >= max) — prunes pairs before the count agg
+    pruned.select(col("doc_id").as("a"), col("kh"), col("n").as("na"))
+      .join(pruned.select(col("doc_id").as("b"), col("kh").as("khb"), col("n").as("nb")),
+        col("kh") === col("khb") && col("a") < col("b")
+          && col("na") * 10 >= col("nb") * 3 && col("nb") * 10 >= col("na") * 3)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+  }
+
   /** n-gram Jaccard near-dup — exact token-bigram Jaccard inside lang
     * blocks, top pairs. Jaccard doubles are exact int ratios →
     * identical in any engine, so the ORDER BY (j DESC, a, b) is stable.
     *
     * Spark plan is a set-similarity equi-join, NOT a quadratic block
-    * join: explode distinct (doc, bigram) rows, self-join on the bigram
-    * key (only pairs sharing ≥1 bigram ever materialize — pairs with
-    * j=0 are never formed), count shared bigrams per pair, and derive
+    * join: explode distinct (doc, bigram) rows, drop over-cap DF keys
+    * (see [[NGRAM_DF_CAP]]), self-join on the bigram key (only pairs
+    * sharing ≥1 surviving bigram ever materialize — pairs with j=0 are
+    * never formed), count shared bigrams per pair, and derive
     * union = |A| + |B| − inter from per-doc set sizes. Every stage is a
     * shuffle hash-agg/join — fully parallel, no per-pair array scans,
-    * no single-task lang block. (At 100 TB you'd add PPJoin prefix
-    * filtering on the same shape.) The oracle states the naive
-    * quadratic formulation — same result set. */
+    * no single-task lang block. (PPJoin prefix filtering was measured
+    * slower here: per-pair array verification costs more than the
+    * count-based join.) The oracle states the naive quadratic
+    * formulation — same result set while no key exceeds the cap. */
   val q34NgramJaccard: QueryDef = QueryDef(
     "q34_ngram_jaccard",
     """WITH bg AS (
@@ -264,33 +321,11 @@ object Dedup {
       |FROM bg a JOIN bg b ON a.lang = b.lang AND a.doc_id < b.doc_id
       |WHERE len(list_intersect(a.bs, b.bs)) * 10 >= len(list_distinct(list_cat(a.bs, b.bs))) * 3
       |ORDER BY j DESC, a, b LIMIT 50""".stripMargin) { (s, dir) =>
-    val t = col("t")
-    val bg = Tables.documents(s, dir)
-      .repartition(col("doc_id")) // single-file scan -> use every core
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(
-        col("doc_id"), col("lang"),
-        array_distinct(zip_with(
-          slice(t, lit(1), size(t) - 1),
-          slice(t, lit(2), size(t) - 1),
-          (x, y) => concat(x, lit(" "), y))).as("bs"))
-    // the (lang, bigram) join key is compacted to one xxhash64 long:
-    // joined rows are then fixed-width longs/ints — far cheaper to
-    // produce and shuffle than string pairs (collision odds at ~23k
-    // distinct keys are ~1e-11; the sf0.01 oracle gate would catch one)
-    val rows = bg.select(col("doc_id"), size(col("bs")).as("n"),
-        explode(col("bs")).as("bigram"), col("lang"))
-      .select(col("doc_id"), col("n"), xxhash64(col("lang"), col("bigram")).as("kh"))
+    val bg = bigramSets(
+      Tables.documents(s, dir)
+        .repartition(col("doc_id"))) // single-file scan -> use every core
     val sizes = bg.select(col("doc_id"), size(col("bs")).as("n"))
-    // size-ratio prefilter: j >= 0.3 needs min(|A|,|B|)*10 >= max*3
-    // (inter <= min, union >= max) — prunes pairs before the count agg
-    val pairInter = rows.select(col("doc_id").as("a"), col("kh"), col("n").as("na"))
-      .join(rows.select(col("doc_id").as("b"), col("kh").as("khb"), col("n").as("nb")),
-        col("kh") === col("khb") && col("a") < col("b")
-          && col("na") * 10 >= col("nb") * 3 && col("nb") * 10 >= col("na") * 3)
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    val j = pairInter
+    val j = bigramPairInter(bg)
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
       .withColumn("uni", col("na") + col("nb") - col("inter"))

@@ -82,6 +82,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(pairs > 0)
   }
 
+  test("ngram DF cap bounds candidate pairs under a stop-bigram corpus") {
+    // adversarial corpus: every doc shares the bigram "the end"; all
+    // other bigrams are unique per doc — without the cap, the shared
+    // key alone materializes all n*(n-1)/2 pairs
+    val n = 300
+    val docs = (0 until n)
+      .map(i => (i.toLong, "en", s"the end u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "lang", "text")
+    val bg = Dedup.bigramSets(docs)
+    val uncapped = Dedup.bigramPairInter(bg, dfCap = Int.MaxValue).count()
+    val capped = Dedup.bigramPairInter(bg, dfCap = 50).count()
+    assert(uncapped == n.toLong * (n - 1) / 2, s"uncapped $uncapped")
+    assert(capped == 0, s"capped $capped")
+    // and on realistic data the default cap changes nothing (max DF at
+    // every test scale is far below it)
+    val real = Dedup.bigramSets(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val a = Dedup.bigramPairInter(real).collect().toSet
+    val b = Dedup.bigramPairInter(real, dfCap = Int.MaxValue).collect().toSet
+    assert(a == b)
+  }
+
   test("bucketed tables co-locate: the join plans without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
