@@ -110,6 +110,7 @@ object EtlOps {
     * against a huge key table, pre-bucket the sink by surrogate_key so
     * this join is shuffle-free on the keys side.
     */
-  def antiJoinNewRecords(src: DataFrame, existingKeys: DataFrame): DataFrame =
-    src.join(existingKeys.select("surrogate_key"), Seq("surrogate_key"), "left_anti")
+  def antiJoinNewRecords(src: DataFrame, existingKeys: DataFrame,
+      keyColumn: String = "surrogate_key"): DataFrame =
+    src.join(existingKeys.select(keyColumn), Seq(keyColumn), "left_anti")
 }

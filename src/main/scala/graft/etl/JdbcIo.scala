@@ -1,0 +1,120 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S5/S6 over a real JDBC database — the reference's incremental load
+  * reads existing surrogate keys from and appends new records to an
+  * RDBMS (db_manager.py:56–57 key scan, :85–91 `to_sql` append), with
+  * tables bootstrapped drop-and-recreate by db_init.py:91–95. The
+  * parquet twins in [[EtlPipeline]]/[[SchemaInit]] remain the lake
+  * path; this module is the database path, exercised in tests against
+  * embedded Derby (on the Spark classpath — no network, no server).
+  *
+  * Scale design (100 TB): the key scan pulls ONLY the key column and
+  * pushes the projection into the database (`query` option — the
+  * database sends keys, never full rows); the append streams
+  * partition-parallel INSERTs sized by `batchsize`. The anti-join
+  * itself is the same [[EtlOps.antiJoinNewRecords]] broadcast/shuffle
+  * plan as the parquet twin — the sink only changes where keys come
+  * from and where rows go.
+  */
+object JdbcIo {
+
+  /** Connection descriptor — the Spark-side shape of the reference's
+    * SQLAlchemy engine URL (settings.py builds it from config). */
+  final case class JdbcTarget(
+      url: String,
+      driver: String,
+      options: Map[String, String] = Map.empty)
+
+  /** Embedded Derby target rooted at `dir` (created on first use) —
+    * the offline-testable stand-in for the reference's PostgreSQL. */
+  def embeddedDerby(dir: String): JdbcTarget =
+    JdbcTarget(
+      url = s"jdbc:derby:$dir;create=true",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver")
+
+  private def reader(spark: SparkSession, t: JdbcTarget) =
+    spark.read.format("jdbc")
+      .options(t.options)
+      .option("url", t.url)
+      .option("driver", t.driver)
+
+  private def writer(df: DataFrame, t: JdbcTarget) =
+    df.write.format("jdbc")
+      .options(t.options)
+      .option("url", t.url)
+      .option("driver", t.driver)
+
+  /** db_init.py:91–95 drop_all + create_all against the database:
+    * overwrite each table with an empty, correctly-typed dataset. The
+    * config's string lengths / decimal parameters become concrete DDL
+    * through `createTableColumnTypes` ([[SchemaInit.jdbcColumnTypes]]).
+    * Destructive by design, like the reference. */
+  def initialize(spark: SparkSession, target: JdbcTarget,
+      tables: Seq[SchemaInit.TableSpec]): Unit =
+    tables.foreach { t =>
+      writer(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            SchemaInit.toStructType(t)),
+          target)
+        .option("dbtable", t.name)
+        .option("createTableColumnTypes", SchemaInit.jdbcColumnTypes(t))
+        .mode("overwrite")
+        .save()
+    }
+
+  /** S5 — existing-key scan (db_manager.py:56–57): only the key column
+    * crosses the wire. The projection is pushed into the database by
+    * Spark's JDBC scan (JDBCRDD emits `SELECT "key" FROM table` with
+    * dialect-correct identifier quoting — a hand-written `query` option
+    * would have to re-solve per-database case folding). */
+  def existingKeys(spark: SparkSession, target: JdbcTarget, table: String,
+      keyColumn: String = "surrogate_key"): DataFrame =
+    reader(spark, target)
+      .option("dbtable", table)
+      .load()
+      .select(keyColumn)
+
+  /** Existence probe through driver-level JDBC metadata — an explicit
+    * check, NOT a swallowed read failure: a connection error during the
+    * key scan must abort the load (treating it as "no keys" would
+    * re-append the whole batch as duplicates). */
+  private def tableExists(target: JdbcTarget, table: String): Boolean = {
+    Class.forName(target.driver)
+    val props = new java.util.Properties()
+    target.options.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(target.url, props)
+    try {
+      val md = conn.getMetaData
+      md.getTables(null, null, table, null).next() ||
+        md.getTables(null, null, table.toUpperCase, null).next()
+    } finally conn.close()
+  }
+
+  /** S6 — incremental append (db_manager.py:85–91): anti-join the
+    * batch against the sink's existing keys, append only new records.
+    * A missing table (bootstrap not run) means no existing keys — the
+    * whole batch is fresh, and the append creates the table. Returns
+    * the number of rows appended, like the parquet twin. */
+  def incrementalAppend(spark: SparkSession, batch: DataFrame,
+      target: JdbcTarget, table: String,
+      keyColumn: String = "surrogate_key"): Long = {
+    val fresh =
+      if (tableExists(target, table))
+        EtlOps.antiJoinNewRecords(
+          batch, existingKeys(spark, target, table, keyColumn), keyColumn)
+      else batch // table absent: every record is new, append creates it
+    val toWrite = fresh.cache()
+    try {
+      val n = toWrite.count()
+      if (n > 0)
+        writer(toWrite, target)
+          .option("dbtable", table)
+          .mode("append")
+          .save()
+      n
+    } finally toWrite.unpersist()
+  }
+}
