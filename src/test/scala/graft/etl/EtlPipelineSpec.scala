@@ -13,30 +13,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class EtlPipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private val config = EtlConfig(
-    filePattern = """(\w+?)_(\w+?)_(stm|sec)\.csv""".r,
-    mapping = Map(
-      "stm" -> Map("alfabank" -> FileMappingConfig(
-        csvSeparator = ";",
-        originalFields = Map(
-          "acc" -> "acc_number", "date" -> "dt", "amount" -> "sum",
-          "flag" -> "dc", "descr" -> "descr"),
-        surrogateKeyColumns = Seq("acc_number", "dt", "sum"),
-        accounts = Map("40817001" -> "Main account"),
-        debitMultiplier = Map("D" -> -1, "K" -> 1),
-        dateFormat = "%d.%m.%Y",
-        desiredFields = Seq(
-          "surrogate_key", "acc_number", "acc_name", "dt", "year", "ym",
-          "sum", "dc", "bank_name", "acc_type", "file_name"))),
-      "sec" -> Map("alfabank" -> FileMappingConfig(
-        csvSeparator = ",",
-        originalFields = Map(
-          "sent" -> "send_dt", "effective" -> "effect_dt", "ticker" -> "ticker"),
-        surrogateKeyColumns = Seq("ticker", "effect_dt"),
-        dateFormat = "%Y-%m-%d",
-        desiredFields = Seq(
-          "surrogate_key", "ticker", "send_dt", "effect_dt",
-          "effect_year", "effect_ym", "bank_name", "acc_type", "file_name")))))
+  /** Config loaded from the checked-in YAML fixture — the reference's
+    * primary config UX (settings.py:23–31); YamlConfigSpec pins the
+    * parsed shape field by field. */
+  private val config = YamlConfig.loadEtlConfigFile(
+    getClass.getResource("/etl_config.yaml").getPath)
 
   private def writeFixtures(dir: Path): Unit = {
     Files.writeString(dir.resolve("alfabank_current_stm.csv"),
