@@ -121,4 +121,115 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  // full microsecond precision: Timestamp.getTime is millis-only
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+
+  final case class AsofEvent(
+      user_id: Long, ts: java.sql.Timestamp, event_type: String,
+      value: Double, event_id: Long)
+  final case class ClickState(us: Long, value: Double, event_id: Long)
+  final case class AsofMatch(
+      user_id: Long, purchase_id: Long, purchase_us: Long,
+      click_us: Option[Long], click_val: Option[Double], gap_us: Option[Long])
+
+  /** Streaming as-of enrich (twin of q53): each purchase is matched to
+    * the latest click of the same user at or before it. State per user
+    * is O(1) — just the best click seen — keyed by the shuffle key and
+    * dropped `ttl` past the watermark, so total state is bounded by the
+    * active-user set, not stream length.
+    *
+    * Tie rule matches the batch query: clicks sort before a purchase at
+    * the same timestamp (inclusive match), and among clicks sharing a
+    * timestamp the max event_id wins. Agreement with the batch as-of
+    * holds for in-order arrival (within a batch, rows are sorted by
+    * event time; a cross-batch late click cannot retro-match purchases
+    * already emitted — the streaming-vs-batch tradeoff inherent to
+    * append-mode enrichment). */
+  def asofEnrich(spark: SparkSession, events: Dataset[AsofEvent],
+      ttlMs: Long = 3600000L): Dataset[AsofMatch] = {
+    import spark.implicits._
+
+    def fn(userId: Long, rows: Iterator[AsofEvent],
+        state: GroupState[ClickState]): Iterator[AsofMatch] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val sorted = rows.toSeq.sortBy(e =>
+          (micros(e.ts), if (e.event_type == "click") 0 else 1, e.event_id))
+        var best = state.getOption
+        val out = List.newBuilder[AsofMatch]
+        sorted.foreach { e =>
+          val us = micros(e.ts)
+          e.event_type match {
+            case "click" =>
+              if (best.forall(b => us > b.us || (us == b.us && e.event_id > b.event_id)))
+                best = Some(ClickState(us, e.value, e.event_id))
+            case "purchase" =>
+              out += AsofMatch(userId, e.event_id, us,
+                best.map(_.us), best.map(_.value), best.map(us - _.us))
+            case _ => () // other event types don't participate
+          }
+        }
+        best.foreach { b =>
+          state.update(b)
+          state.setTimeoutTimestamp(
+            math.max(state.getCurrentWatermarkMs(), b.us / 1000L) + ttlMs)
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  final case class FunnelState(
+      signup_us: Option[Long], click_us: Option[Long], purchase_us: Option[Long])
+  final case class FunnelHit(user_id: Long, stage: String, gap_us: Long)
+
+  /** Streaming funnel progression (twin of q57): emits one row the
+    * moment a user reaches each stage — signup, first click strictly
+    * after the signup, first purchase strictly after that click — with
+    * the same strictly-after semantics as the batch query. State per
+    * user is three optional timestamps; agreement with batch holds for
+    * in-order arrival (the batch's min() of each stage is the first
+    * qualifying event seen in time order). */
+  def funnel(spark: SparkSession, events: Dataset[AsofEvent]): Dataset[FunnelHit] = {
+    import spark.implicits._
+
+    def fn(userId: Long, rows: Iterator[AsofEvent],
+        state: GroupState[FunnelState]): Iterator[FunnelHit] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var s = state.getOption.getOrElse(FunnelState(None, None, None))
+      val out = List.newBuilder[FunnelHit]
+      sorted.foreach { e =>
+        val us = micros(e.ts)
+        e.event_type match {
+          case "signup" if s.signup_us.isEmpty =>
+            s = s.copy(signup_us = Some(us))
+            out += FunnelHit(userId, "stage1_signup", 0L)
+          case "click" if s.signup_us.exists(us > _) && s.click_us.isEmpty =>
+            s = s.copy(click_us = Some(us))
+            out += FunnelHit(userId, "stage2_click", us - s.signup_us.get)
+          case "purchase" if s.click_us.exists(us > _) && s.purchase_us.isEmpty =>
+            s = s.copy(purchase_us = Some(us))
+            out += FunnelHit(userId, "stage3_purchase", us - s.click_us.get)
+          case _ => ()
+        }
+      }
+      // only users who progressed carry state (at 100 TB you would add
+      // an event-time TTL like asofEnrich's to expire stalled funnels)
+      if (s.signup_us.isDefined) state.update(s)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -92,6 +92,96 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Driver events file as in-ts-order AsofEvents, split into `chunks`
+    * consecutive batches (in-order arrival — the agreement contract). */
+  private def eventChunks(chunks: Int): Seq[Seq[StreamOps.AsofEvent]] = {
+    val all = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "ts", "event_type", "value", "event_id")
+      .orderBy("ts", "event_id")
+      .collect()
+      .map(r => StreamOps.AsofEvent(r.getLong(0), r.getTimestamp(1),
+        r.getString(2), r.getDouble(3), r.getLong(4)))
+      .toSeq
+    val per = (all.size + chunks - 1) / chunks
+    all.grouped(per).toSeq
+  }
+
+  test("asofEnrich agrees with the batch as-of join on the driver events file") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.AsofEvent]
+    // effectively-unbounded state TTL: the batch as-of matches clicks
+    // arbitrarily far back, so the agreement run must not expire state
+    val q = StreamOps.asofEnrich(spark, in.toDS(), ttlMs = Long.MaxValue / 4)
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      eventChunks(3).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      // aggregate the per-purchase matches to the batch query's shape
+      val streamed = spark.table("asof_out")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          count(col("click_us")).as("n_matched"),
+          sum(col("gap_us")).as("total_gap_us"),
+          round(sum(coalesce(col("click_val"), lit(0)).cast("decimal(18,2)")), 2)
+            .cast("double").as("click_val"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3), r.getDouble(4))).toSet
+      val batch = graft.operators.EventOps.q53AsofJoin
+        .build(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3), r.getDouble(4))).toSet
+      assert(streamed == batch,
+        s"stream-batch: ${streamed -- batch}; batch-stream: ${batch -- streamed}")
+    } finally q.stop()
+  }
+
+  test("funnel stage counts agree with the batch funnel on the driver events file") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.AsofEvent]
+    val q = StreamOps.funnel(spark, in.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      eventChunks(3).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("funnel_out")
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_users"), sum(col("gap_us")).as("total_gap_us"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.EventOps.q57Funnel
+        .build(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"stream-batch: ${streamed -- batch}; batch-stream: ${batch -- streamed}")
+    } finally q.stop()
+  }
+
+  test("asofEnrich tie rules: same-ts click matches inclusively, max event_id wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.AsofEvent]
+    val q = StreamOps.asofEnrich(spark, in.toDS())
+      .writeStream.format("memory").queryName("asof_tie_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        // purchase with NO prior click -> unmatched
+        StreamOps.AsofEvent(1L, ts(0), "purchase", 5.0, 10L),
+        // two clicks at the identical ts: event_id 22 must win
+        StreamOps.AsofEvent(1L, ts(5), "click", 1.0, 21L),
+        StreamOps.AsofEvent(1L, ts(5), "click", 2.0, 22L),
+        // purchase at the same ts as the clicks: inclusive match
+        StreamOps.AsofEvent(1L, ts(5), "purchase", 9.0, 23L))
+      q.processAllAvailable()
+      val rows = spark.table("asof_tie_out").as[StreamOps.AsofMatch]
+        .collect().sortBy(_.purchase_id)
+      assert(rows.length == 2)
+      assert(rows(0).click_us.isEmpty && rows(0).gap_us.isEmpty)
+      assert(rows(1).click_val.contains(2.0) && rows(1).gap_us.contains(0L))
+    } finally q.stop()
+  }
+
   test("sessionize: a late event inside the watermark extends the session backward") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.SessionEvent]
