@@ -169,6 +169,150 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** TF-IDF top terms — tf from the per-doc token explosion, df over
+    * the FULL corpus, score = tf·N/df (two IEEE ops on exactly-
+    * representable ints → bit-identical in any engine; a log-idf would
+    * couple the oracle to libm). Top-3 terms for the doc_id<20 sample.
+    *
+    * Scale shape: one explosion → per-(doc,term) counts (map-side
+    * combine) → df is a second partial agg over the tf table (shuffle
+    * carries (term, count) partials) → the small sample side joins df
+    * on term; the corpus-wide vocabulary never broadcasts. */
+  val q25Tfidf: QueryDef = QueryDef(
+    "q25_tfidf",
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT count(*) AS nd FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok, CAST(tf.tf * n.nd AS DOUBLE) / df.df AS score
+      |  FROM tf JOIN df USING (tok) CROSS JOIN n
+      |  WHERE tf.doc_id < 20),
+      |r AS (
+      |  SELECT doc_id, tok, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+      |  FROM scored)
+      |SELECT doc_id, CAST(rn AS INT) AS rn, tok, score FROM r WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).repartition(col("doc_id"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val scored = tf.filter(col("doc_id") < 20)
+      .join(df, Seq("tok"))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("tok"),
+        ((col("tf") * col("nd")).cast("double") / col("df")).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn").cast("int").as("rn"), col("tok"), col("score"))
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Email / phone patterns shared by the Spark plan and the oracle —
+    * restricted to syntax RE2 (DuckDB) and java.util.regex (Spark)
+    * interpret identically (no lookaround, no backrefs). */
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\+1-555-[0-9]{4}"
+
+  /** PII redaction — the scrub pass a training corpus needs before
+    * anything else. The synthetic docs are PII-free, so both engines
+    * deterministically append the same synthetic email + phone per doc
+    * and the oracle verifies real redaction work (match counts and
+    * exact post-redaction length deltas), not a vacuous no-op. */
+  val q26PiiRedact: QueryDef = QueryDef(
+    "q26_pii_redact",
+    s"""WITH aug AS (
+       |  SELECT doc_id, lang,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |    '@mail.example.com or +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
+       |  FROM documents),
+       |red AS (
+       |  SELECT lang,
+       |    len(regexp_extract_all(t, '$emailRe')) AS n_email,
+       |    len(regexp_extract_all(t, '$phoneRe')) AS n_phone,
+       |    len(t) - len(regexp_replace(regexp_replace(t, '$emailRe', '<EMAIL>', 'g'),
+       |                                '$phoneRe', '<PHONE>', 'g')) AS chars_removed
+       |  FROM aug)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_email) AS BIGINT) AS n_email,
+       |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       |  CAST(sum(chars_removed) AS BIGINT) AS chars_removed
+       |FROM red GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val t = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"), (lit(1000) + col("doc_id") % 9000).cast("string"))
+    val redacted = regexp_replace(
+      regexp_replace(col("t"), lit(emailRe), lit("<EMAIL>")),
+      lit(phoneRe), lit("<PHONE>"))
+    Tables.documents(s, dir)
+      .select(col("lang"), t.as("t"))
+      .select(col("lang"),
+        regexp_count(col("t"), lit(emailRe)).as("n_email"),
+        regexp_count(col("t"), lit(phoneRe)).as("n_phone"),
+        (length(col("t")) - length(redacted)).as("chars_removed"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_email")).as("n_email"),
+        sum(col("n_phone")).as("n_phone"),
+        sum(col("chars_removed")).as("chars_removed"))
+      .orderBy("lang")
+  }
+
+  /** Repetition ratio (the Gopher-style quality signal): fraction of
+    * word-3-grams that are duplicates of an earlier 3-gram in the same
+    * doc. All ratios are single IEEE divisions of exact integer counts
+    * — bit-identical across engines. 3-grams via zip_with over shifted
+    * slices (one split per row; an element_at lambda would re-split the
+    * text per element). */
+  val q27Repetition: QueryDef = QueryDef(
+    "q27_repetition",
+    """WITH m AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split(text,' ')) - 2 AS n_tri,
+      |    len(list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |      i -> string_split(text,' ')[CAST(i AS INT)] || ' ' ||
+      |           string_split(text,' ')[CAST(i AS INT)+1] || ' ' ||
+      |           string_split(text,' ')[CAST(i AS INT)+2]))) AS n_uniq
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_tri - n_uniq) AS BIGINT) AS n_dup,
+      |  CAST(sum(n_tri) AS BIGINT) AS n_tri,
+      |  CAST(sum(n_tri - n_uniq) AS DOUBLE) / sum(n_tri) AS dup_ratio,
+      |  max(CAST(n_tri - n_uniq AS DOUBLE) / n_tri) AS max_doc_ratio
+      |FROM m GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val t = col("t")
+    val n = size(t)
+    val tris = array_distinct(
+      zip_with(
+        zip_with(
+          slice(t, lit(1), n - 2),
+          slice(t, lit(2), n - 2),
+          (x, y) => concat(x, lit(" "), y)),
+        slice(t, lit(3), n - 2),
+        (xy, z) => concat(xy, lit(" "), z)))
+    val m = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // single-file scan -> use every core
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("lang"), (n - 2).as("n_tri"), size(tris).as("n_uniq"))
+    m.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tri") - col("n_uniq")).as("n_dup"),
+        sum(col("n_tri")).as("n_tri"),
+        (sum(col("n_tri") - col("n_uniq")).cast("double") / sum(col("n_tri"))).as("dup_ratio"),
+        max((col("n_tri") - col("n_uniq")).cast("double") / col("n_tri")).as("max_doc_ratio"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash)
+    Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
+      q25Tfidf, q26PiiRedact, q27Repetition)
 }
