@@ -201,6 +201,61 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Int8 vector quantization — the compression pass that makes a
+    * 100 TB ANN corpus memory-resident (4 bytes/dim → 1). Per-vector
+    * min/max affine quantization to [0,255]; output verifies the
+    * round trip: exact integer code sums plus the max reconstruction
+    * error per label. Determinism: codes come from one mul + one div
+    * on exactly-representable doubles then round (both engines round
+    * half-up for the non-negative arguments here); error maxima are
+    * order-free, so no float-reduction ambiguity exists anywhere. */
+  val q45Quantize: QueryDef = QueryDef(
+    "q45_quantize",
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+      |    CAST(list_max(embedding) AS DOUBLE) AS mx
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, label, embedding, mn, mx - mn AS rng,
+      |    list_transform(embedding,
+      |      x -> CAST(round(((CAST(x AS DOUBLE) - mn) * 255) / (mx - mn)) AS INT)) AS qs
+      |  FROM e WHERE mx > mn),
+      |err AS (
+      |  SELECT vec_id, label,
+      |    CAST(list_aggregate(qs, 'sum') AS BIGINT) AS q_sum,
+      |    list_max(list_transform(range(1, len(qs) + 1),
+      |      i -> abs((mn + ((CAST(qs[CAST(i AS INT)] AS DOUBLE) * rng) / 255))
+      |               - CAST(embedding[CAST(i AS INT)] AS DOUBLE)))) AS max_err
+      |  FROM q)
+      |SELECT label, count(*) AS n_vecs,
+      |  CAST(sum(q_sum) AS BIGINT) AS total_q,
+      |  max(max_err) AS max_err
+      |FROM err GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+      .repartition(col("vec_id")) // single-file scan -> all cores
+      .select(col("vec_id"), col("label"), col("embedding"),
+        array_min(col("embedding")).cast("double").as("mn"),
+        array_max(col("embedding")).cast("double").as("mx"))
+      .filter(col("mx") > col("mn"))
+      .withColumn("rng", col("mx") - col("mn"))
+    val q = e.withColumn("qs",
+      transform(col("embedding"),
+        x => round(((x.cast("double") - col("mn")) * 255) / col("rng")).cast("int")))
+    val err = q.select(
+      col("label"),
+      aggregate(col("qs"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+      array_max(zip_with(col("qs"), col("embedding"),
+        (qi, v) => abs((col("mn") + ((qi.cast("double") * col("rng")) / 255))
+          - v.cast("double")))).as("max_err"))
+    err.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("q_sum")).as("total_q"),
+        max(col("max_err")).as("max_err"))
+      .orderBy("label")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells, q44CosineExpr)
+    Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells, q44CosineExpr, q45Quantize)
 }

@@ -49,6 +49,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("LSH-bucket-partitioned corpus layout: a bucket search prunes partitions") {
+    // the 100 TB ANN story (Similarity scaladoc): the bucket id is
+    // data-independent, so the corpus can be written PARTITIONED BY
+    // bucket and a query's search touches one directory, not the corpus
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-bucketed-ann").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("bucket", expr("lsh_bucket(embedding, 4, 64)"))
+    e.write.partitionBy("bucket").mode("overwrite").parquet(out)
+    val probe = spark.read.parquet(out).filter(col("bucket") === 5)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters:"), p)
+    assert(p.contains("(bucket"), p) // the bucket predicate is a partition filter
+    // and the scan really only touches the one bucket directory
+    val files = probe.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("bucket=5")), files.mkString("\n"))
+    assert(probe.count() == e.filter(col("bucket") === 5).count())
+  }
+
   test("q34: set-similarity join is an equi hash join on the compacted key") {
     val p = plan(Dedup.q34NgramJaccard)
     assert(p.contains("xxhash64"), p)
