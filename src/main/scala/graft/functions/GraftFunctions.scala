@@ -22,7 +22,10 @@ object GraftFunctions {
       classOf[RollingHash].getName),
     ("lsh_bucket", (es: Seq[Expression]) => LshBucket(es(0),
       LshBucket.litInt(es(1), "planes"), LshBucket.litInt(es(2), "dim")),
-      classOf[LshBucket].getName))
+      classOf[LshBucket].getName),
+    ("char_ngrams", (es: Seq[Expression]) => CharNgrams(es(0),
+      LshBucket.litInt(es(1), "n")),
+      classOf[CharNgrams].getName))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

@@ -175,6 +175,68 @@ object LshBucket {
   }
 }
 
+/** Character n-grams in one pass over the string's UTF-8 bytes.
+  *
+  * Why native: `transform(sequence(1, len-n+1), i -> substr(text, i, n))`
+  * re-scans the string on every call to find the char offset (UTF-8 is
+  * variable-width), making the explosion O(len²) per document. This
+  * walks the byte array once to index char starts, then slices — O(len)
+  * total, and each gram shares the same semantics as `substr(i, n)`
+  * (character-based, so multi-byte text agrees with the SQL oracle). */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+      case _: StringType => TypeCheckResult.TypeCheckFailure(s"$prettyName requires n >= 1, got $n")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    CharNgrams.compute(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // one static call — stays inside whole-stage codegen, no
+      // per-element expression interpretation
+      s"${ev.value} = graft.functions.CharNgrams.compute($c, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
+object CharNgrams {
+
+  /** O(len): one byte walk to index char starts, then byte slices. */
+  def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    // char-start offsets (numChars + 1 entries, last = total bytes)
+    val starts = new Array[Int](s.numChars() + 1)
+    var pos = 0
+    var i = 0
+    while (pos < bytes.length) {
+      starts(i) = pos
+      pos += UTF8String.numBytesForFirstByte(bytes(pos))
+      i += 1
+    }
+    starts(i) = bytes.length
+    val numChars = i
+    val out = new Array[Any](math.max(0, numChars - n + 1))
+    var g = 0
+    while (g < out.length) {
+      out(g) = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, starts(g), starts(g + n)))
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Polynomial rolling hash (Rabin–Karp) over a string's UTF-8 bytes:
   * h = (h * 31 + byte) mod 1e9+7, accumulated left to right in plain
   * long arithmetic (31 * (1e9+6) + 255 < 2^63 — no overflow). The

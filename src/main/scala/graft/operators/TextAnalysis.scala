@@ -101,15 +101,16 @@ object TextAnalysis {
       |FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 4) d
       |LEFT JOIN best b USING (doc_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, dir)
     val grams = docs
       .repartition(col("doc_id")) // single-file scan -> use every core
       .filter(length(col("text")) >= 3)
       .select(
         col("doc_id"), col("lang"),
-        explode(transform(
-          sequence(lit(1), length(col("text")) - 2),
-          i => col("text").substr(i, lit(3)))).as("g"))
+        // native one-pass expression: a substr(i,3) lambda re-scans the
+        // string per index (O(len^2)/doc on variable-width UTF-8)
+        explode(expr("char_ngrams(text, 3)")).as("g"))
     val profW = Window.partitionBy(col("lang"))
       .orderBy(col("c").desc, col("g"))
     val prof = grams.filter(col("doc_id") % 5 < 4)

@@ -68,6 +68,32 @@ class FunctionsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("char_ngrams matches the substr lambda on ascii and multi-byte text") {
+    GraftFunctions.register(spark)
+    val strs = Seq("", "a", "ab", "abc", "hello world",
+      "päivää 你好 mixed ascii ünd ütf", "日本語のテキスト", "aa")
+    val df = strs.toDF("s")
+    // same guard as q22: sequence(1, len-2) counts DOWN when len < 3
+    val out = df.filter(length(col("s")) >= 3).select(
+      expr("char_ngrams(s, 3)").as("native"),
+      transform(
+        sequence(lit(1), length(col("s")) - 2),
+        i => col("s").substr(i, lit(3))).as("generated")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+    }
+    // below n chars: empty array, not junk grams
+    val short = df.filter(length(col("s")) < 3)
+      .select(expr("char_ngrams(s, 3)")).collect()
+    short.foreach(r => assert(r.getSeq[String](0).isEmpty, r.toString))
+    // bigrams too (different n than the q22 usage)
+    val bi = df.select(expr("char_ngrams(s, 2)")).collect()
+    assert(bi(3).getSeq[String](0) == Seq("ab", "bc"))
+    // null in -> null out
+    assert(spark.sql("SELECT char_ngrams(cast(null as string), 3)").head().isNullAt(0))
+  }
+
   test("rolling_hash known vectors and null behavior") {
     GraftFunctions.register(spark)
     // "abc": ((97*31+98)*31+99) % 1e9+7 = 96354; "" -> 0
