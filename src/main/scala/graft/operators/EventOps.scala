@@ -302,7 +302,48 @@ object EventOps {
       .orderBy("etype", "ubucket")
   }
 
+  /** Time-series gap fill — densify each user's daily activity across
+    * their [min, max] day span (sequence + explode + left join), then
+    * summarize coverage. The generated rows are bounded by the date
+    * span per user — never a cross join against a calendar table — and
+    * the fill join is keyed (user, day), so it shuffles like any
+    * equi-join. */
+  val q49GapFill: QueryDef = QueryDef(
+    "q49_gapfill",
+    """WITH daily AS (
+      |  SELECT user_id, date_trunc('day', ts) AS d, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT user_id, min(d) AS mind, max(d) AS maxd FROM daily GROUP BY user_id),
+      |days AS (
+      |  SELECT user_id, unnest(generate_series(mind, maxd, INTERVAL 1 DAY)) AS d
+      |  FROM span),
+      |filled AS (
+      |  SELECT days.user_id, days.d, coalesce(daily.n, 0) AS n
+      |  FROM days LEFT JOIN daily ON days.user_id = daily.user_id AND days.d = daily.d)
+      |SELECT user_id, count(*) AS n_days,
+      |  count(CASE WHEN n > 0 THEN 1 END) AS active_days,
+      |  count(CASE WHEN n = 0 THEN 1 END) AS gap_days,
+      |  CAST(sum(n) AS BIGINT) AS total_events
+      |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val days = daily.groupBy(col("user_id"))
+      .agg(min(col("d")).as("mind"), max(col("d")).as("maxd"))
+      .select(col("user_id"),
+        explode(sequence(col("mind"), col("maxd"), expr("INTERVAL 1 DAY"))).as("d"))
+    days.join(daily, Seq("user_id", "d"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        count(when(col("n") > 0, 1)).as("active_days"),
+        count(when(col("n") === 0, 1)).as("gap_days"),
+        sum(col("n")).as("total_events"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q50JsonExtract, q51Sessionize, q52Tumbling, q53AsofJoin, q54Rollup,
-    q55ComplexTypes, q56GroupingSets, q57Funnel, q58Pivot, q59Cube)
+    q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling, q53AsofJoin,
+    q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel, q58Pivot, q59Cube)
 }

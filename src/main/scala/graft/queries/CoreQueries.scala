@@ -556,10 +556,48 @@ object CoreQueries {
       .orderBy("ym")
   }
 
+  /** Running / moving window battery — cumulative totals, a 3-row
+    * moving sum+count (the moving average is their single IEEE
+    * division), and lag deltas, all from decimal-exact frames with a
+    * unique (date, orderkey) ordering so every frame cut is stable.
+    * One shuffle on the partition key serves all four windows. */
+  val q47Running: QueryDef = QueryDef(
+    "q47_running",
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders WHERE o_custkey < 50)
+      |SELECT o_custkey, o_orderkey, strftime(d, '%Y-%m-%d') AS d,
+      |  CAST(round(sum(p) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
+      |  CAST(round(sum(p) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) /
+      |  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS INT) AS avg3,
+      |  CAST(p - lag(p) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS DOUBLE) AS delta
+      |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"), col("o_orderkey"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m3 = w.rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("d"), "yyyy-MM-dd").as("d"),
+        round(sum(col("p")).over(cum), 2).cast("double").as("running_total"),
+        (round(sum(col("p")).over(m3), 2).cast("double") /
+          count(lit(1)).over(m3).cast("int")).as("avg3"),
+        (col("p") - lag(col("p"), 1).over(w)).cast("double").as("delta"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02SurrogateKey, q03AntiJoin, q04DecodeBroadcast,
     q05Dates, q06TryNumeric, q07SignedAmount, q08SetOps, q09WindowRank,
     q10TopK, q11FilterProject, q12EtlPipeline, q13LeftJoin, q14Distinct,
     q15TopkNative, q16Strings, q17Percentiles, q18Stats, q19DateMath,
-    q39JoinTypes, q46RangeJoin)
+    q39JoinTypes, q46RangeJoin, q47Running)
 }
