@@ -187,6 +187,44 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Watermarked stream-stream interval join — purchases attributed to
+    * any click of the same user within `horizon` before them. Both
+    * sides carry watermarks and the join condition bounds event time in
+    * both directions, so Spark can expire join state on both sides:
+    * state is O(events inside the horizon), not stream length. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+      delay: String, horizon: String): DataFrame = {
+    val c = clicks.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_val"), col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", delay)
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_val"), col("event_id").as("purchase_id"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("click_val"), col("purchase_val"))
+  }
+
+  /** Streaming incremental database load — the reference's whole ETL
+    * contract (key scan → anti-join → append, db_manager.py:56–91) as
+    * a foreachBatch sink: each micro-batch appends only rows whose
+    * surrogate key is absent from the JDBC sink, so replays and
+    * in-stream duplicates both collapse to one row. Exactly-once-per-
+    * key lands from at-least-once delivery via the key scan itself —
+    * no sink transaction coordination needed. */
+  def jdbcIncrementalSink(df: DataFrame, target: graft.etl.JdbcIo.JdbcTarget,
+      table: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.JdbcIo.incrementalAppend(batch.sparkSession, batch, target, table)
+        ()
+      }
+      .start()
+
   final case class FunnelState(
       signup_us: Option[Long], click_us: Option[Long], purchase_us: Option[Long])
   final case class FunnelHit(user_id: Long, stage: String, gap_us: Long)

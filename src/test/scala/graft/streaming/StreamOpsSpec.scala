@@ -182,6 +182,59 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("clickAttribution: stream-stream interval join bounds matches to the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[StreamOps.AsofEvent]
+    val purchases = MemoryStream[StreamOps.AsofEvent]
+    val joined = StreamOps.clickAttribution(
+      clicks.toDF(), purchases.toDF(), delay = "10 minutes", horizon = "30 MINUTE")
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        StreamOps.AsofEvent(1L, ts(0), "click", 1.0, 100L),
+        StreamOps.AsofEvent(1L, ts(40), "click", 2.0, 101L),
+        StreamOps.AsofEvent(2L, ts(0), "click", 3.0, 102L))
+      purchases.addData(
+        StreamOps.AsofEvent(1L, ts(20), "purchase", 9.0, 200L), // 20m after click 100: in
+        StreamOps.AsofEvent(1L, ts(55), "purchase", 8.0, 201L), // 15m after click 101: in; 55m after 100: out
+        StreamOps.AsofEvent(2L, ts(45), "purchase", 7.0, 202L)) // 45m after click 102: out
+      q.processAllAvailable()
+      // advance both watermarks so all matches flush in append mode
+      clicks.addData(StreamOps.AsofEvent(9L, ts(500), "click", 0.0, 900L))
+      purchases.addData(StreamOps.AsofEvent(9L, ts(500), "purchase", 0.0, 901L))
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 200L), (101L, 201L), (900L, 901L)), got.toString)
+    } finally q.stop()
+  }
+
+  test("jdbcIncrementalSink: streamed batches land exactly once per key") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.{JdbcIo, SchemaInit}
+    val target = JdbcIo.embeddedDerby(
+      java.nio.file.Files.createTempDirectory("graft-stream-jdbc").toString + "/db")
+    JdbcIo.initialize(spark, target, Seq(SchemaInit.TableSpec("sink", Seq(
+      SchemaInit.ColumnSpec("surrogate_key", "String", length = 32, primaryKey = true),
+      SchemaInit.ColumnSpec("payload", "String", length = 64)))))
+    val in = MemoryStream[(String, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val q = StreamOps.jdbcIncrementalSink(
+      in.toDF().toDF("surrogate_key", "payload"), target, "sink", ckpt)
+    try {
+      in.addData(("k1", "a"), ("k2", "b"))
+      q.processAllAvailable()
+      // k2 replays in the next batch with different payload: must not re-append
+      in.addData(("k2", "b-dup"), ("k3", "c"))
+      q.processAllAvailable()
+      val keys = JdbcIo.existingKeys(spark, target, "sink")
+        .as[String].collect().sorted.toSeq
+      assert(keys == Seq("k1", "k2", "k3"))
+    } finally q.stop()
+  }
+
   test("sessionize: a late event inside the watermark extends the session backward") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.SessionEvent]
