@@ -302,6 +302,36 @@ object EventOps {
       .orderBy("etype", "ubucket")
   }
 
+  /** Cohort retention — users grouped by first-activity week, retention
+    * counted as distinct active users k weeks later. week_n is an exact
+    * integer division of the day diff (both engines truncate weeks to
+    * Monday in UTC, so the diff is always a multiple of 7 — no
+    * engine-specific "week diff" semantics in the oracle). */
+  val q48Retention: QueryDef = QueryDef(
+    "q48_retention",
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      |r AS (
+      |  SELECT f.cohort, CAST(date_diff('day', f.cohort, a.wk) // 7 AS INT) AS week_n,
+      |    count(DISTINCT a.user_id) AS n_active
+      |  FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, week_n, n_active
+      |FROM r ORDER BY cohort, week_n""".stripMargin) { (s, dir) =>
+    val wk = to_date(date_trunc("week", col("ts")))
+    val ev = Tables.events(s, dir)
+    val f = ev.groupBy(col("user_id")).agg(min(wk).as("cohort"))
+    val a = ev.select(col("user_id"), wk.as("wk")).distinct()
+    a.join(f, Seq("user_id"))
+      .groupBy(col("cohort"),
+        expr("CAST(datediff(wk, cohort) div 7 AS INT)").as("week_n"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("week_n"), col("n_active"))
+      .orderBy("cohort", "week_n")
+  }
+
   /** Time-series gap fill — densify each user's daily activity across
     * their [min, max] day span (sequence + explode + left join), then
     * summarize coverage. The generated rows are bounded by the date
@@ -344,6 +374,7 @@ object EventOps {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling, q53AsofJoin,
-    q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel, q58Pivot, q59Cube)
+    q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
+    q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
+    q58Pivot, q59Cube)
 }

@@ -104,6 +104,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("percentile_approx tracks exact percentiles within the accuracy bound") {
+    val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val r = l.agg(
+      expr("percentile(l_extendedprice, 0.5D)").as("exact50"),
+      expr("percentile_approx(l_extendedprice, 0.5D, 1000)").as("approx50"),
+      expr("percentile(l_extendedprice, 0.99D)").as("exact99"),
+      expr("percentile_approx(l_extendedprice, 0.99D, 1000)").as("approx99")).head()
+    // percentile_approx(acc=1000) guarantees rank error <= n/1000; on
+    // this distribution that lands within 2% relative value error
+    assert(math.abs(r.getDouble(1) - r.getDouble(0)) / r.getDouble(0) < 0.02, r.toString)
+    assert(math.abs(r.getDouble(3) - r.getDouble(2)) / r.getDouble(2) < 0.02, r.toString)
+  }
+
+  test("compaction rewrites small files into sized files, preserving rows") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    src.repartition(20).write.parquet(dir) // 20 small files
+    val rows = src.count()
+    val res = graft.etl.Compaction.compact(spark, dir, targetBytes = 512L * 1024)
+    assert(res.filesBefore == 20, res.toString)
+    assert(res.filesAfter < 20 && res.filesAfter >= 1, res.toString)
+    assert(res.rows == rows)
+    assert(spark.read.parquet(dir).count() == rows) // readable post-swap
+    // no tmp/bak residue
+    val parent = new java.io.File(dir).getParentFile.list().toSeq
+    assert(parent == Seq("t"), parent.toString)
+  }
+
   test("bucketed tables co-locate: the join plans without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
