@@ -10,7 +10,7 @@ object Bench {
       // AQE's 64m advisory target would coalesce mid-size shuffles to a
       // couple of partitions on this box; keep all cores busy instead
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-      // 51 multi-stage queries in one session: the default 100-entry
+      // dozens of multi-stage queries in one session: the default 100-entry
       // codegen cache evicts earlier stages and forces recompiles
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")

@@ -313,7 +313,36 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Deterministic stratified sampling — the corpus-downsampling pass.
+    * Membership is a pure function of content identity (md5 hex-char
+    * parity buckets), not a RNG: any engine, any partitioning, any
+    * re-run selects the identical sample — the reproducibility property
+    * a training-data pipeline needs from its sampler. ~20% per stratum
+    * via bucket < 2 of 10. */
+  val q28Sample: QueryDef = QueryDef(
+    "q28_sample",
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) +
+      |     ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 AS bucket
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  count(CASE WHEN bucket < 2 THEN 1 END) AS n_sampled,
+      |  min(CASE WHEN bucket < 2 THEN doc_id END) AS first_sampled
+      |FROM s GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val bucket = (ascii(substring(md5(col("doc_id").cast("string")), 1, 1)) +
+      ascii(substring(md5(col("doc_id").cast("string")), 2, 1))) % 10
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("bucket") < 2, 1)).as("n_sampled"),
+        min(when(col("bucket") < 2, col("doc_id"))).as("first_sampled"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
-      q25Tfidf, q26PiiRedact, q27Repetition)
+      q25Tfidf, q26PiiRedact, q27Repetition, q28Sample)
 }
