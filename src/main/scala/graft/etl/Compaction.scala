@@ -18,6 +18,18 @@ import org.apache.spark.sql.SparkSession
   * there should swap a table-format pointer (Iceberg/Delta-style
   * manifest) instead — this utility keeps the engine-side mechanics
   * (sizing, rewrite, validation) identical either way.
+  *
+  * The directory MUST be quiescent for the duration of the compaction:
+  * a file appended between read planning and the swap is not in the
+  * rewrite and is deleted with the old directory. Stop streaming sinks
+  * (or compact the previous day's partitions only) before calling —
+  * the same contract every file-level compactor without a transaction
+  * log has.
+  *
+  * Hive-style `col=value` partition layouts are preserved: partition
+  * directories are re-created by partitionBy on the same columns, so
+  * downstream partition pruning and future partitioned appends keep
+  * working.
   */
 object Compaction {
 
@@ -33,8 +45,22 @@ object Compaction {
     out.result()
   }
 
-  /** Rewrite `dir` into ceil(totalBytes / targetBytes) files. Row count
-    * is validated before the swap — a rewrite that lost rows aborts and
+  /** Partition columns of a Hive-layout directory, outermost first:
+    * the `col=` names on the path from the root to the first data
+    * file. Empty for a flat directory. */
+  private def partitionColumns(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[String] = {
+    val files = dataFiles(fs, dir)
+    if (files.isEmpty) return Nil
+    // listed files come back scheme-qualified (file:/..., hdfs://...);
+    // qualify the root the same way or the prefix strip never matches
+    val root = fs.makeQualified(dir).toString
+    val rel = files.head.getPath.toString.stripPrefix(root).stripPrefix("/")
+    rel.split('/').toSeq.dropRight(1).takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
+  }
+
+  /** Rewrite `dir` into ceil(totalBytes / targetBytes) files (per
+    * partition directory when the layout is partitioned). Row count is
+    * validated before the swap — a rewrite that lost rows aborts and
     * leaves the original directory untouched. */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): Result = {
@@ -43,13 +69,22 @@ object Compaction {
     val before = dataFiles(fs, path)
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val partCols = partitionColumns(fs, path)
 
     val df = spark.read.parquet(dir)
     val expected = df.count()
     val tmp = new Path(dir + "__compact_tmp")
     val bak = new Path(dir + "__compact_bak")
     fs.delete(tmp, true); fs.delete(bak, true)
-    df.repartition(nOut).write.parquet(tmp.toString)
+    // partitioned layout: repartition on the partition columns so each
+    // output directory gets coalesced files (a random repartition would
+    // scatter every partition's rows across all nOut tasks and write
+    // nOut small files per directory — the opposite of compaction)
+    val writer =
+      if (partCols.isEmpty) df.repartition(nOut).write
+      else df.repartition(nOut, partCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.partitionBy(partCols: _*)
+    writer.parquet(tmp.toString)
 
     val got = spark.read.parquet(tmp.toString).count()
     if (got != expected) {

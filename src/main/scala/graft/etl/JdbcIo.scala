@@ -101,11 +101,15 @@ object JdbcIo {
   def incrementalAppend(spark: SparkSession, batch: DataFrame,
       target: JdbcTarget, table: String,
       keyColumn: String = "surrogate_key"): Long = {
+    // intra-batch dedup first: the anti-join only sees keys already in
+    // the SINK, so two same-key rows inside one batch would both pass
+    // it and land as duplicates (no engine-side unique constraint)
+    val deduped = batch.dropDuplicates(keyColumn)
     val fresh =
       if (tableExists(target, table))
         EtlOps.antiJoinNewRecords(
-          batch, existingKeys(spark, target, table, keyColumn), keyColumn)
-      else batch // table absent: every record is new, append creates it
+          deduped, existingKeys(spark, target, table, keyColumn), keyColumn)
+      else deduped // table absent: every record is new, append creates it
     val toWrite = fresh.cache()
     try {
       val n = toWrite.count()

@@ -37,8 +37,11 @@ object YamlConfig {
     throw new IllegalArgumentException(s"YAML line ${l.number}: $msg ('${l.content}')")
 
   private def indentOf(s: String): Int = {
-    val i = s.indexWhere(_ != ' ')
-    if (s.exists(_ == '\t')) throw new IllegalArgumentException("YAML: tabs are not allowed in indentation")
+    val i = s.indexWhere(c => c != ' ' && c != '\t')
+    // tabs are illegal in INDENTATION only — a tab inside a quoted
+    // scalar (e.g. a tab csv_separator) is perfectly valid YAML
+    if (s.take(if (i < 0) s.length else i).contains('\t'))
+      throw new IllegalArgumentException("YAML: tabs are not allowed in indentation")
     if (i < 0) s.length else i
   }
 
@@ -158,11 +161,27 @@ object YamlConfig {
   private def unquote(s: String): String =
     if (s.length >= 2 && s.startsWith("'") && s.endsWith("'"))
       s.substring(1, s.length - 1).replace("''", "'")
-    else if (s.length >= 2 && s.startsWith("\"") && s.endsWith("\""))
-      s.substring(1, s.length - 1)
-        .replace("\\\"", "\"").replace("\\\\", "\\")
-        .replace("\\n", "\n").replace("\\t", "\t")
-    else s
+    else if (s.length >= 2 && s.startsWith("\"") && s.endsWith("\"")) {
+      // single left-to-right scan: sequential .replace calls would turn
+      // the escaped backslash in "a\\nb" into a newline
+      val body = s.substring(1, s.length - 1)
+      val out = new StringBuilder
+      var i = 0
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (c == '\\' && i + 1 < body.length) {
+          body.charAt(i + 1) match {
+            case '"' => out += '"'
+            case '\\' => out += '\\'
+            case 'n' => out += '\n'
+            case 't' => out += '\t'
+            case other => out += '\\' += other // unknown escape: keep verbatim
+          }
+          i += 2
+        } else { out += c; i += 1 }
+      }
+      out.result()
+    } else s
 
   // ---- EtlConfig binding (settings.py:23–31 -> the case-class tree) ----
 

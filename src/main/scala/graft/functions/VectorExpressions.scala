@@ -102,16 +102,23 @@ case class LshBucket(child: Expression, planes: Int, dim: Int)
   @transient private lazy val signs: Array[Double] =
     LshBucket.signMatrix(planes, dim)
 
+  override def nullable: Boolean = true
+
+  /** A vector shorter than `dim` has no defined projection onto the
+    * planes — yield null (an explicit contract; silent truncation
+    * would bucket it differently from the generated column, which
+    * errors on the out-of-range element_at under ANSI mode, and from
+    * the oracle SQL, whose out-of-range v[i] null-propagates). */
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dim)
+    if (v.numElements() < dim) return null
     var bucket = 0
     var p = 0
     while (p < planes) {
       val off = p * dim
       var dot = 0.0
       var i = 0
-      while (i < n) {
+      while (i < dim) {
         dot += v.getFloat(i).toDouble * signs(off + i)
         i += 1
       }
@@ -125,23 +132,25 @@ case class LshBucket(child: Expression, planes: Int, dim: Int)
     nullSafeCodeGen(ctx, ev, v => {
       val s = ctx.addReferenceObj("lshSigns", signs, "double[]")
       val bucket = ctx.freshName("bucket")
-      val n = ctx.freshName("n")
       val p = ctx.freshName("p")
       val off = ctx.freshName("off")
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
       s"""
-         |int $bucket = 0;
-         |int $n = java.lang.Math.min($v.numElements(), $dim);
-         |for (int $p = 0; $p < $planes; $p++) {
-         |  int $off = $p * $dim;
-         |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += ((double) $v.getFloat($i)) * $s[$off + $i];
+         |if ($v.numElements() < $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $bucket = 0;
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    int $off = $p * $dim;
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $dot += ((double) $v.getFloat($i)) * $s[$off + $i];
+         |    }
+         |    if ($dot >= 0.0) $bucket |= (1 << $p);
          |  }
-         |  if ($dot >= 0.0) $bucket |= (1 << $p);
+         |  ${ev.value} = $bucket;
          |}
-         |${ev.value} = $bucket;
        """.stripMargin
     })
 

@@ -82,9 +82,6 @@ object StreamOps {
         Iterator.single(SessionOut(userId, s.n_events, s.last_us - s.start_us, s.total_value))
       } else {
         var out = List.empty[SessionOut]
-        // full microsecond precision: Timestamp.getTime is millis-only
-        def micros(t: java.sql.Timestamp): Long =
-          t.getTime / 1000 * 1000000L + t.getNanos / 1000L
         // arrival order within a batch is not guaranteed — sort by time
         val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.value))
         var cur = state.getOption

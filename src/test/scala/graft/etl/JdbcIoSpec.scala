@@ -66,6 +66,18 @@ class JdbcIoSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq("k1", "k2", "k3"))
   }
 
+  test("intra-batch duplicate keys collapse to one appended row") {
+    val t = freshTarget()
+    initialize(spark, t, Seq(stm))
+    val withDup = batch(
+      ("k1", "acc1", "10.50", 2024),
+      ("k1", "acc1-dup", "11.00", 2024), // same key INSIDE the batch
+      ("k2", "acc2", "20.00", 2024))
+    assert(incrementalAppend(spark, withDup, t, "stm") == 2)
+    val keys = existingKeys(spark, t, "stm").as[String].collect().sorted
+    assert(keys.toSeq == Seq("k1", "k2"))
+  }
+
   test("append without bootstrap treats the whole batch as fresh") {
     val t = freshTarget()
     assert(incrementalAppend(spark, batch(("k9", "acc9", "9.99", 2023)), t, "stm") == 1)

@@ -54,6 +54,15 @@ class YamlConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parse("a:\n\tb: tabs"))
   }
 
+  test("tabs inside quoted values are legal; escapes scan left to right") {
+    // a tab csv_separator is valid YAML — only tab INDENTATION is not
+    val root = parse("sep: '\t'\nesc: \"a\\\\nb\"\n").asInstanceOf[Map[String, Any]]
+    assert(root("sep") == "\t")
+    // "a\\nb" = literal backslash then 'n' — sequential replaces would
+    // collapse it into a newline
+    assert(root("esc") == "a\\nb")
+  }
+
   test("fixture file binds to the exact code-built EtlConfig shape") {
     val cfg = loadEtlConfigFile(getClass.getResource("/etl_config.yaml").getPath)
     assert(cfg.filePattern.regex == """(\w+?)_(\w+?)_(stm|sec)\.csv""")

@@ -54,11 +54,13 @@ class FunctionsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getInt(0) >= 0 && r.getInt(0) < 16))
   }
 
-  test("lsh_bucket: null vector -> null; short vector truncates like the sum") {
+  test("lsh_bucket: null vector -> null; short vector -> null; exact-dim matches") {
     GraftFunctions.register(spark)
     val r = spark.sql(
-      "SELECT lsh_bucket(cast(null as array<float>), 4, 64)").head()
+      "SELECT lsh_bucket(cast(null as array<float>), 4, 64), " +
+        "lsh_bucket(array(1.0f, 2.0f), 4, 64)").head()
     assert(r.isNullAt(0))
+    assert(r.isNullAt(1)) // shorter than dim: no defined projection
     // a dim-8 vector under dim=8 matches the generated dim-8 column
     val rnd = new scala.util.Random(17)
     val df = Seq.fill(20)(Array.fill(8)(rnd.nextFloat() * 2 - 1)).toDF("v")

@@ -132,6 +132,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(parent == Seq("t"), parent.toString)
   }
 
+  test("compaction preserves a partitioned layout and its pruning") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("yr", expr("year(CAST(o_orderdate AS DATE))"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-part").toString + "/t"
+    src.repartition(10).write.partitionBy("yr").parquet(dir) // 10 files per yr dir
+    val rows = src.count()
+    val res = graft.etl.Compaction.compact(spark, dir, targetBytes = 16L * 1024 * 1024)
+    assert(res.rows == rows)
+    assert(res.filesAfter < res.filesBefore, res.toString)
+    val re = spark.read.parquet(dir)
+    assert(re.count() == rows)
+    // yr is still a partition column: pruning must survive compaction
+    assert(re.columns.contains("yr"))
+    val probe = re.filter(col("yr") === 1995)
+    val files = probe.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("yr=1995")), files.mkString("\n"))
+  }
+
   test("bucketed tables co-locate: the join plans without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
