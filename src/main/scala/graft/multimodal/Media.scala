@@ -69,11 +69,47 @@ object Media {
       .as[MediaAsset]
   }
 
-  /** DECODE STUB — deterministic fake of the codec stage. A real
-    * implementation would decode `payload` with an image/audio/video
-    * library; this derives the same-shaped outputs from the bytes so
+  /** Deterministic real-image ingest: every doc becomes a P6 PPM whose
+    * dims and pixels are pure functions of doc_id — actually decodable
+    * by [[Ppm.decode]], so the decode/resize path below runs a REAL
+    * codec for these assets (stub only remains for the compressed-
+    * format stand-ins). */
+  def ingestPpm(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)].map { case (id, src) =>
+      val w = 8 + (id % 9).toInt
+      val h = 8 + ((id / 9) % 9).toInt
+      val payload = Ppm.encode(w, h, (x, y) =>
+        (((id + x) % 256).toInt << 16) | (((id + y) % 256).toInt << 8) | ((x ^ y) % 256))
+      MediaAsset(id, "image", payload, src, payload.length.toLong)
+    }
+  }
+
+  /** Decode a P6 payload into real features: true dims, 1 frame, and a
+    * feature vector of per-channel means plus a pixel-byte histogram —
+    * all computed from actual decoded pixels. */
+  private def decodePpm(a: MediaAsset, img: Ppm.Image): MediaFeatures = {
+    val px = img.pixels
+    val sums = new Array[Long](3)
+    val hist = new Array[Float](FeatureDim - 3)
+    var i = 0
+    while (i < px.length) {
+      sums(i % 3) += px(i) & 0xff
+      hist((px(i) & 0xff) % hist.length) += 1f
+      i += 1
+    }
+    val nPix = math.max(px.length / 3, 1).toFloat
+    val feature =
+      sums.map(s => s / nPix / 255f) ++ hist.map(_ / math.max(px.length, 1))
+    MediaFeatures(a.asset_id, a.kind, img.width, img.height, 1, feature)
+  }
+
+  /** DECODE STUB — deterministic fake of the codec stage for the
+    * compressed-format stand-ins (no PNG/RIFF/MP4 libraries in this
+    * environment); this derives same-shaped outputs from the bytes so
     * the pipeline is testable end-to-end. The mapPartitions batch
-    * shape, schema, and partitioning are the real contract. */
+    * shape, schema, and partitioning are the real contract — and P6
+    * payloads take the real [[Ppm]] codec path instead. */
   def decodeStub(a: MediaAsset): MediaFeatures = {
     val body = a.payload.drop(4) // strip container magic
     val h = java.util.Arrays.hashCode(body)
@@ -107,7 +143,12 @@ object Media {
 
   def decode(spark: SparkSession, assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import spark.implicits._
-    codecPartitions(assets).mapPartitions(_.map(decodeStub))
+    codecPartitions(assets).mapPartitions(_.map { a =>
+      Ppm.decode(a.payload) match {
+        case Some(img) => decodePpm(a, img) // real codec
+        case None => decodeStub(a)
+      }
+    })
   }
 
   /** RESIZE STUB — deterministic fake of the resample stage: a real
@@ -129,10 +170,26 @@ object Media {
   }
 
   /** The resize stage — codec-affine, streaming per partition, same
-    * swap-point contract as [[decode]]. */
+    * swap-point contract as [[decode]]: P6 payloads get a REAL
+    * nearest-neighbor resample + re-encode; stand-in formats keep the
+    * size-accounting stub. */
   def resize(spark: SparkSession, assets: Dataset[MediaAsset], maxDim: Int): Dataset[MediaAsset] = {
     import spark.implicits._
-    codecPartitions(assets).mapPartitions(_.map(resizeStub(maxDim)))
+    codecPartitions(assets).mapPartitions(_.map { a =>
+      Ppm.decode(a.payload) match {
+        case Some(img) =>
+          val r = Ppm.resizeNearest(img, maxDim)
+          if (r eq img) a
+          else {
+            val p = Ppm.encode(r.width, r.height, (x, y) => {
+              val s = (y * r.width + x) * 3
+              ((r.pixels(s) & 0xff) << 16) | ((r.pixels(s + 1) & 0xff) << 8) | (r.pixels(s + 2) & 0xff)
+            })
+            a.copy(payload = p, payload_bytes = p.length.toLong)
+          }
+        case None => resizeStub(maxDim)(a)
+      }
+    })
   }
 
   /** Frame sampling — keep every `stride`-th frame index per video;

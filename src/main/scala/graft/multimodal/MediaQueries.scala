@@ -58,5 +58,28 @@ object MediaQueries {
       .limit(100)
   }
 
-  val all: Seq[QueryDef] = Seq(q60MediaMeta, q61MediaFeatures, q62FrameSample)
+  /** REAL codec, oracle-gated: Spark encodes each doc into an actual
+    * P6 PPM and decodes it back through the mapPartitions codec stage;
+    * the oracle computes the same dims in closed form from doc_id
+    * (ingestPpm's w = 8 + id%9, h = 8 + (id/9)%9). A decode bug —
+    * header parse, pixel count, dimension swap — breaks the hash
+    * match, so the binary round trip is verified by DuckDB arithmetic
+    * without DuckDB ever touching a pixel. */
+  val q63ImageDecode: QueryDef = QueryDef(
+    "q63_image_decode",
+    """SELECT CAST(8 + doc_id % 9 AS INT) AS width,
+      |  CAST(8 + (doc_id // 9) % 9 AS INT) AS height,
+      |  count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Media.decode(s, Media.ingestPpm(s, Tables.documents(s, dir))).toDF()
+      .groupBy(col("width"), col("height"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("asset_id")).as("min_id"),
+        max(col("asset_id")).as("max_id"))
+      .orderBy("width", "height")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q60MediaMeta, q61MediaFeatures, q62FrameSample, q63ImageDecode)
 }

@@ -51,6 +51,45 @@ class MediaSpec extends AnyFunSuite {
     assert(resized.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
   }
 
+  test("ppm codec: encode/decode roundtrip is exact") {
+    val img = Ppm.decode(Ppm.encode(13, 7, (x, y) => (x << 16) | (y << 8) | 42)).get
+    assert(img.width == 13 && img.height == 7)
+    assert(img.pixels.length == 13 * 7 * 3)
+    // pixel (5, 3) = RGB(5, 3, 42)
+    val i = (3 * 13 + 5) * 3
+    assert((img.pixels(i) & 0xff, img.pixels(i + 1) & 0xff, img.pixels(i + 2) & 0xff) == ((5, 3, 42)))
+    // non-PPM payloads are rejected, not mis-parsed
+    assert(Ppm.decode("RIFFsome audio".getBytes).isEmpty)
+    assert(Ppm.decode("P6\n4 4\n255\nshort".getBytes).isEmpty) // truncated
+  }
+
+  test("ppm pipeline: real decode reports true dims, real resize rescales pixels") {
+    val feats = Media.decode(spark, Media.ingestPpm(spark, docs))
+      .collect().sortBy(_.asset_id)
+    // dims follow the ingest formula: w = 8 + id%9, h = 8 + (id/9)%9
+    feats.foreach { f =>
+      assert(f.width == 8 + (f.asset_id % 9).toInt, f.toString)
+      assert(f.height == 8 + ((f.asset_id / 9) % 9).toInt, f.toString)
+      assert(f.n_frames == 1)
+      assert(f.feature.length == Media.FeatureDim)
+      // first three feature dims are channel means in [0, 1]
+      assert(f.feature.take(3).forall(v => v >= 0f && v <= 1f))
+    }
+    // real resize: longest side becomes exactly maxDim, payload stays P6
+    val resized = Media.resize(spark, Media.ingestPpm(spark, docs), maxDim = 6)
+      .collect().sortBy(_.asset_id)
+    resized.foreach { a =>
+      val img = Ppm.decode(a.payload).get
+      assert(math.max(img.width, img.height) == 6, img.toString)
+      assert(a.payload_bytes == a.payload.length.toLong)
+    }
+    // resized pixels come from the source image (nearest-neighbor),
+    // e.g. corner pixel (0,0) is preserved exactly
+    val src = Ppm.decode(Media.ingestPpm(spark, docs).collect().sortBy(_.asset_id).head.payload).get
+    val dst = Ppm.decode(resized.head.payload).get
+    assert(dst.pixels.take(3).toSeq == src.pixels.take(3).toSeq)
+  }
+
   test("frame sampling: stride-spaced indices within frame count") {
     val feats = Media.decode(spark, Media.ingest(spark, docs)).toDF()
     val sampled = Media.sampleFrames(feats, stride = 2)
