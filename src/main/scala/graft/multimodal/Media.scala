@@ -85,6 +85,45 @@ object Media {
     }
   }
 
+  /** Deterministic real-audio ingest: every doc becomes an actual PCM
+    * WAV whose rate and sample count are pure functions of doc_id —
+    * decodable by [[Wav.decode]], same real-codec contract as
+    * [[ingestPpm]]. */
+  def ingestWav(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)].map { case (id, src) =>
+      val rate = 8000 + (id % 8).toInt * 1000
+      val n = 64 + (id % 100).toInt
+      val samples = Array.tabulate(n)(i => (((id * 31 + i * 17) % 65536) - 32768).toShort)
+      val payload = Wav.encode(rate, samples)
+      MediaAsset(id, "audio", payload, src, payload.length.toLong)
+    }
+  }
+
+  /** Decode a PCM WAV into real features: rate/channels as dims, one
+    * "frame" per 64-sample chunk, and normalized RMS / mean / zero-
+    * crossing-rate + amplitude histogram from the actual samples. */
+  private def decodeWav(a: MediaAsset, au: Wav.Audio): MediaFeatures = {
+    val s = au.samples
+    var sumSq = 0.0; var sum = 0.0; var zc = 0
+    val hist = new Array[Float](FeatureDim - 3)
+    var i = 0
+    while (i < s.length) {
+      val v = s(i).toDouble
+      sumSq += v * v; sum += v
+      if (i > 0 && ((s(i - 1) < 0) != (s(i) < 0))) zc += 1
+      hist(((s(i) >> 8) + 128) % hist.length) += 1f
+      i += 1
+    }
+    val n = math.max(s.length, 1)
+    val feature = Array(
+      (math.sqrt(sumSq / n) / 32768.0).toFloat,
+      (sum / n / 32768.0).toFloat,
+      zc.toFloat / n) ++ hist.map(_ / n)
+    MediaFeatures(a.asset_id, a.kind, au.sampleRate, au.channels,
+      1 + (s.length - 1) / 64, feature)
+  }
+
   /** Decode a P6 payload into real features: true dims, 1 frame, and a
     * feature vector of per-channel means plus a pixel-byte histogram —
     * all computed from actual decoded pixels. */
@@ -145,8 +184,11 @@ object Media {
     import spark.implicits._
     codecPartitions(assets).mapPartitions(_.map { a =>
       Ppm.decode(a.payload) match {
-        case Some(img) => decodePpm(a, img) // real codec
-        case None => decodeStub(a)
+        case Some(img) => decodePpm(a, img) // real image codec
+        case None => Wav.decode(a.payload) match {
+          case Some(au) => decodeWav(a, au) // real audio codec
+          case None => decodeStub(a)
+        }
       }
     })
   }

@@ -80,6 +80,28 @@ object MediaQueries {
       .orderBy("width", "height")
   }
 
+  /** REAL audio codec, oracle-gated (same contract as q63): Spark
+    * encodes actual PCM WAVs and decodes them back through the codec
+    * stage; the oracle derives rate / sample / chunk counts in closed
+    * form from doc_id (ingestWav's rate = 8000 + id%8*1000,
+    * n = 64 + id%100, chunks = 1 + (n-1)//64). */
+  val q64AudioDecode: QueryDef = QueryDef(
+    "q64_audio_decode",
+    """SELECT CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+      |  count(*) AS n_assets,
+      |  CAST(sum(1 + (64 + doc_id % 100 - 1) // 64) AS BIGINT) AS total_chunks,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Media.decode(s, Media.ingestWav(s, Tables.documents(s, dir))).toDF()
+      .groupBy(col("width").as("sample_rate"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_frames")).as("total_chunks"),
+        min(col("asset_id")).as("min_id"),
+        max(col("asset_id")).as("max_id"))
+      .orderBy("sample_rate")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q60MediaMeta, q61MediaFeatures, q62FrameSample, q63ImageDecode)
+    Seq(q60MediaMeta, q61MediaFeatures, q62FrameSample, q63ImageDecode, q64AudioDecode)
 }

@@ -90,6 +90,31 @@ class MediaSpec extends AnyFunSuite {
     assert(dst.pixels.take(3).toSeq == src.pixels.take(3).toSeq)
   }
 
+  test("wav codec: encode/decode roundtrip is exact; non-wav RIFF rejected") {
+    val samples = Array.tabulate(200)(i => ((i * 173) % 65536 - 32768).toShort)
+    val au = Wav.decode(Wav.encode(11000, samples)).get
+    assert(au.sampleRate == 11000 && au.channels == 1)
+    assert(au.samples.toSeq == samples.toSeq)
+    // the stand-in "RIFF"+text payloads are NOT WAVE: must reject
+    assert(Wav.decode("RIFFsome audio payload body".getBytes).isEmpty)
+    assert(Wav.decode(Wav.encode(8000, samples).take(50)).isEmpty) // truncated
+  }
+
+  test("wav pipeline: real decode reports true rate and chunk count") {
+    val feats = Media.decode(spark, Media.ingestWav(spark, docs))
+      .collect().sortBy(_.asset_id)
+    feats.foreach { f =>
+      assert(f.width == 8000 + (f.asset_id % 8).toInt * 1000, f.toString)
+      assert(f.height == 1) // mono
+      val n = 64 + (f.asset_id % 100).toInt
+      assert(f.n_frames == 1 + (n - 1) / 64, f.toString)
+      assert(f.feature.length == Media.FeatureDim)
+      // RMS and zero-crossing-rate are normalized
+      assert(f.feature(0) >= 0f && f.feature(0) <= 1f)
+      assert(f.feature(2) >= 0f && f.feature(2) <= 1f)
+    }
+  }
+
   test("frame sampling: stride-spaced indices within frame count") {
     val feats = Media.decode(spark, Media.ingest(spark, docs)).toDF()
     val sampled = Media.sampleFrames(feats, stride = 2)
