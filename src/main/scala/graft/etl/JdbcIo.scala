@@ -103,8 +103,20 @@ object JdbcIo {
       keyColumn: String = "surrogate_key"): Long = {
     // intra-batch dedup first: the anti-join only sees keys already in
     // the SINK, so two same-key rows inside one batch would both pass
-    // it and land as duplicates (no engine-side unique constraint)
-    val deduped = batch.dropDuplicates(keyColumn)
+    // it and land as duplicates (no engine-side unique constraint).
+    // The survivor is the max over all non-key columns — an arbitrary
+    // but DETERMINISTIC rule, so re-running the identical pipeline
+    // persists identical rows (dropDuplicates would pick by task order)
+    val others = batch.columns.filterNot(_ == keyColumn)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyColumn)
+      .orderBy(others.map(c => org.apache.spark.sql.functions.col(c).desc): _*)
+    val deduped =
+      if (others.isEmpty) batch.dropDuplicates(keyColumn)
+      else batch
+        .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(org.apache.spark.sql.functions.col("__rn") === 1)
+        .drop("__rn")
     val fresh =
       if (tableExists(target, table))
         EtlOps.antiJoinNewRecords(

@@ -229,7 +229,11 @@ object Media {
             })
             a.copy(payload = p, payload_bytes = p.length.toLong)
           }
-        case None => resizeStub(maxDim)(a)
+        case None =>
+          // audio has no spatial dims: resizing a real WAV is identity
+          // (a rate resample would be the real op here). Truncating it
+          // through the stub would destroy its decodability.
+          if (Wav.isWav(a.payload)) a else resizeStub(maxDim)(a)
       }
     })
   }

@@ -52,8 +52,11 @@ object Ppm {
     val w = nextInt(); val h = nextInt(); val mx = nextInt()
     if (w <= 0 || h <= 0 || mx != 255 || i >= payload.length) return None
     i += 1 // single whitespace after maxval
-    if (payload.length - i < w * h * 3) return None
-    Some(Image(w, h, java.util.Arrays.copyOfRange(payload, i, i + w * h * 3)))
+    // Long arithmetic: crafted dims like 46341x46341 overflow w*h*3 in
+    // Int and would bypass the truncation check (then crash downstream)
+    val need = w.toLong * h * 3L
+    if (payload.length - i < need) return None
+    Some(Image(w, h, java.util.Arrays.copyOfRange(payload, i, i + need.toInt)))
   }
 
   /** Nearest-neighbor resample so the longest side becomes `maxDim`

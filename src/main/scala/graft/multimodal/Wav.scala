@@ -46,24 +46,27 @@ object Wav {
     var rate = -1; var channels = -1; var bits = -1
     while (i + 8 <= payload.length) {
       val id = new String(payload, i, 4, "US-ASCII")
-      val size = rd32(payload, i + 4)
-      if (size < 0 || i + 8 + size > payload.length) return None
+      // chunk sizes are u32: read into Long so an adversarial size near
+      // 2^31 can't wrap the bounds check negative and pass it
+      val size = rd32(payload, i + 4) & 0xffffffffL
+      if (i + 8 + size > payload.length) return None
+      val sz = size.toInt // safe: bounded by payload.length above
       id match {
         case "fmt " =>
-          if (size < 16 || rd16(payload, i + 8) != 1) return None // PCM only
+          if (sz < 16 || rd16(payload, i + 8) != 1) return None // PCM only
           channels = rd16(payload, i + 10)
           rate = rd32(payload, i + 12)
           bits = rd16(payload, i + 22)
         case "data" =>
           if (rate <= 0 || channels != 1 || bits != 16) return None
-          val n = size / 2
+          val n = sz / 2
           val samples = new Array[Short](n)
           var k = 0
           while (k < n) { samples(k) = rd16(payload, i + 8 + 2 * k).toShort; k += 1 }
           return Some(Audio(rate, channels, samples))
         case _ => () // skip unknown chunk
       }
-      i += 8 + size + (size & 1) // chunks are word-aligned
+      i += 8 + sz + (sz & 1) // chunks are word-aligned
     }
     None
   }

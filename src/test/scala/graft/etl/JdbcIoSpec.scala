@@ -76,6 +76,14 @@ class JdbcIoSpec extends AnyFunSuite {
     assert(incrementalAppend(spark, withDup, t, "stm") == 2)
     val keys = existingKeys(spark, t, "stm").as[String].collect().sorted
     assert(keys.toSeq == Seq("k1", "k2"))
+    // deterministic survivor: max over non-key columns -> 'acc1-dup'
+    // (not whichever row a task happened to see first)
+    val acc = spark.read.format("jdbc")
+      .option("url", t.url).option("driver", t.driver)
+      .option("dbtable", "stm").load()
+      .filter($"surrogate_key" === "k1")
+      .select("acc_number").as[String].head()
+    assert(acc == "acc1-dup")
   }
 
   test("append without bootstrap treats the whole batch as fresh") {

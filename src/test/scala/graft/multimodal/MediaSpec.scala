@@ -61,6 +61,9 @@ class MediaSpec extends AnyFunSuite {
     // non-PPM payloads are rejected, not mis-parsed
     assert(Ppm.decode("RIFFsome audio".getBytes).isEmpty)
     assert(Ppm.decode("P6\n4 4\n255\nshort".getBytes).isEmpty) // truncated
+    // adversarial dims whose w*h*3 overflows Int must be rejected, not crash
+    assert(Ppm.decode("P6\n46341 46341\n255\nxxxx".getBytes).isEmpty)
+    assert(Ppm.decode("P6\n37838 37838\n255\nxxxx".getBytes).isEmpty)
   }
 
   test("ppm pipeline: real decode reports true dims, real resize rescales pixels") {
@@ -98,6 +101,22 @@ class MediaSpec extends AnyFunSuite {
     // the stand-in "RIFF"+text payloads are NOT WAVE: must reject
     assert(Wav.decode("RIFFsome audio payload body".getBytes).isEmpty)
     assert(Wav.decode(Wav.encode(8000, samples).take(50)).isEmpty) // truncated
+    // adversarial chunk size near 2^31 must fail the bounds check, not
+    // wrap negative and crash / allocate gigabytes
+    val evil = "RIFF0000WAVEjunk".getBytes("US-ASCII")
+    evil(12) = 'j'; evil(13) = 'u'; evil(14) = 'n'; evil(15) = 'k'
+    val withSize = evil ++ Array[Byte](0xf4.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte)
+    assert(Wav.decode(withSize).isEmpty)
+  }
+
+  test("wav resize is identity: audio payloads stay decodable") {
+    val assets = Media.ingestWav(spark, docs)
+    val resized = Media.resize(spark, assets, maxDim = 4).collect().sortBy(_.asset_id)
+    val originals = assets.collect().sortBy(_.asset_id)
+    resized.zip(originals).foreach { case (r, o) =>
+      assert(r.payload.toSeq == o.payload.toSeq)
+      assert(Wav.decode(r.payload).isDefined)
+    }
   }
 
   test("wav pipeline: real decode reports true rate and chunk count") {
