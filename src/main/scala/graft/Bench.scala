@@ -6,6 +6,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // production config path for the graft extensions (see Verify)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       // AQE's 64m advisory target would coalesce mid-size shuffles to a
       // couple of partitions on this box; keep all cores busy instead
