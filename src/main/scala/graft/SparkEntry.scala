@@ -20,7 +20,8 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     CoreQueries.all ++ Dedup.all ++ Similarity.all ++
-      TextAnalysis.all ++ EventOps.all ++ MediaQueries.all ++ Sketches.all
+      TextAnalysis.all ++ EventOps.all ++ MediaQueries.all ++ Sketches.all ++
+      graft.operators.PageRank.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

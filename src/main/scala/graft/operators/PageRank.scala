@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative PageRank over the customer–part purchase graph
+  * (customer —bought→ part edges from orders ⋈ lineitem, mirrored so
+  * rank flows both ways in the bipartite graph).
+  *
+  * Exactness: ranks are INTEGER-scaled (1e6 = rank 1.0) and every
+  * update is integer arithmetic — `contrib = rank div outdeg`,
+  * `rank' = 0.15·S + 0.85·Σcontrib` via integer div — so the result
+  * is independent of summation order, partitioning, and engine: the
+  * DuckDB oracle's recursive CTE reproduces it bit-for-bit, which a
+  * floating-point PageRank never could (FP sums reorder under
+  * parallelism).
+  *
+  * Scale design (the Pregel shape on DataFrames): ranks and edges are
+  * both keyed by node; each iteration is one shuffle join
+  * (ranks ⋈ edges on src) + one partial-aggregable groupBy(dst).
+  * The edge list is the big, static side — at scale you'd bucket it by
+  * src so the per-iteration join is shuffle-free on the edges side.
+  * A fixed iteration count (not convergence polling) keeps the plan
+  * finite; `localCheckpoint` per round truncates lineage like
+  * [[ConnectedComponents]].
+  */
+object PageRank {
+
+  private val SCALE = 1000000L // integer rank scale: 1e6 == rank 1.0
+  private val ITERS = 5
+  private val PART_OFFSET = 1000000000L // disjoint id spaces in one graph
+
+  /** Undirected-as-two-arcs edge list: customer ↔ part. */
+  private def edges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val bought = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_partkey") + PART_OFFSET).as("p"))
+      .distinct()
+    bought.select(col("c").as("src"), col("p").as("dst"))
+      .unionAll(bought.select(col("p").as("src"), col("c").as("dst")))
+  }
+
+  def compute(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val e = edges(orders, lineitem).localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var ranks = outdeg.select(col("src").as("node"), lit(SCALE).as("rank"))
+    for (_ <- 1 to ITERS) {
+      val contribs = ranks
+        .join(e, col("node") === col("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+      ranks = contribs.groupBy(col("dst").as("node"))
+        .agg(expr(s"${SCALE * 15 / 100} + (85 * sum(contrib)) div 100").as("rank"))
+        .localCheckpoint() // truncate lineage: 5 rounds, not one mega-plan
+    }
+    ranks
+  }
+
+  /** Oracle twin: the same integer iteration as a bounded recursive
+    * CTE. Every engine computes identical BIGINTs. */
+  private def oracleSql: String = {
+    val s15 = SCALE * 15 / 100
+    s"""WITH RECURSIVE bought AS (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey + $PART_OFFSET AS p
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS (
+       |  SELECT c AS src, p AS dst FROM bought
+       |  UNION ALL SELECT p, c FROM bought),
+       |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |pr(iter, node, rank) AS (
+       |  SELECT 0, src, CAST($SCALE AS BIGINT) FROM outdeg
+       |  UNION ALL
+       |  SELECT pr.iter + 1, e.dst,
+       |    CAST($s15 + (85 * sum(pr.rank // o.outdeg)) // 100 AS BIGINT)
+       |  FROM pr JOIN edges e ON pr.node = e.src JOIN outdeg o ON o.src = pr.node
+       |  WHERE pr.iter < $ITERS
+       |  GROUP BY pr.iter + 1, e.dst),
+       |final AS (SELECT node, rank FROM pr WHERE iter = $ITERS)
+       |SELECT node, rank,
+       |  CASE WHEN node >= $PART_OFFSET THEN 'part' ELSE 'customer' END AS node_type
+       |FROM final ORDER BY rank DESC, node LIMIT 25""".stripMargin
+  }
+
+  val q65PageRank: QueryDef = QueryDef("q65_pagerank", oracleSql) { (s, dir) =>
+    compute(Tables.orders(s, dir), Tables.lineitem(s, dir))
+      .select(col("node"), col("rank"),
+        when(col("node") >= PART_OFFSET, "part").otherwise("customer").as("node_type"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(25)
+  }
+
+  val all: Seq[QueryDef] = Seq(q65PageRank)
+}

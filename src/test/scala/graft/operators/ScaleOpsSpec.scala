@@ -150,6 +150,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("yr=1995")), files.mkString("\n"))
   }
 
+  test("integer pagerank is bit-identical under different partitionings") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    def ranks(oo: org.apache.spark.sql.DataFrame, ll: org.apache.spark.sql.DataFrame) =
+      PageRank.compute(oo, ll).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val a = ranks(o, l)
+    val b = ranks(o.repartition(13), l.repartition(7))
+    // integer arithmetic: no FP summation-order drift — exact equality,
+    // the property a float pagerank cannot have under parallelism
+    assert(a == b)
+    assert(a.nonEmpty && a.values.forall(_ > 0))
+  }
+
   test("bucketed tables co-locate: the join plans without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
