@@ -43,17 +43,24 @@ object PageRank {
   }
 
   def compute(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val e = edges(orders, lineitem).localCheckpoint()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    var ranks = outdeg.select(col("src").as("node"), lit(SCALE).as("rank"))
+    val e = edges(orders, lineitem)
+    // outdeg rides ON the edge row: one static (src, dst, outdeg) list
+    // materialized once, so each round is ONE join + one agg — not a
+    // second outdeg join per iteration
+    val eDeg = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .localCheckpoint()
+    var ranks = eDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(SCALE).as("rank"))
     for (_ <- 1 to ITERS) {
-      val contribs = ranks
-        .join(e, col("node") === col("src"))
-        .join(outdeg, Seq("src"))
+      // no per-round checkpoint: 5 rounds make a fine single DAG, and
+      // skipping the eager materialization lets the rounds pipeline
+      // (ConnectedComponents checkpoints because its round count is
+      // unbounded; this one is a fixed small constant)
+      ranks = ranks
+        .join(eDeg, col("node") === col("src"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
-      ranks = contribs.groupBy(col("dst").as("node"))
+        .groupBy(col("dst").as("node"))
         .agg(expr(s"${SCALE * 15 / 100} + (85 * sum(contrib)) div 100").as("rank"))
-        .localCheckpoint() // truncate lineage: 5 rounds, not one mega-plan
     }
     ranks
   }
