@@ -48,8 +48,22 @@ object MediaQueries {
       .orderBy("kind")
   }
 
-  /** Frame sampling plumbing over the decoded features (stride 10). */
-  val q62FrameSample: QueryDef = QueryDef.noOracle("q62_frame_sample") { (s, dir) =>
+  /** Frame sampling plumbing over the decoded features (stride 10) —
+    * ORACLE-GATED: video assets take the deterministic stub codec
+    * (`Media.decodeStub`: n_frames = 1 + body_bytes/256 where body is
+    * the doc text), so the sampled-frame counts are closed-form from
+    * `octet_length` and DuckDB verifies the whole decode→seek→sample
+    * chain without touching a frame. */
+  val q62FrameSample: QueryDef = QueryDef(
+    "q62_frame_sample",
+    """WITH v AS (
+      |  SELECT doc_id AS asset_id,
+      |    1 + octet_length(encode(text)) // 256 AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2)
+      |SELECT asset_id,
+      |  CAST(1 + (n_frames - 1) // 10 AS BIGINT) AS n_sampled,
+      |  CAST(((n_frames - 1) // 10) * 10 AS INT) AS max_idx
+      |FROM v ORDER BY asset_id LIMIT 100""".stripMargin) { (s, dir) =>
     val features = Media.decode(s, Media.ingest(s, Tables.documents(s, dir)))
     Media.sampleFrames(features.toDF(), stride = 10)
       .groupBy(col("asset_id"))

@@ -25,8 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** KMV sketch over pre-hashed longs (feed `xxhash64(col)`). */
-  final case class Kmv(k: Int) extends Aggregator[Long, Array[Long], Double] {
+  /** KMV sketch over pre-hashed longs (feed `xxhash64(col)`, or an
+    * md5-prefix hash when the estimate must be engine-portable).
+    *
+    * @param hashBits 64 ⇒ inputs are full signed-64 hashes (xxhash64);
+    *                 n<64 ⇒ inputs are non-negative n-bit hashes and the
+    *                 k-th minimum normalizes by 2^n — with a hash both
+    *                 engines can compute (md5 prefix), the estimate is
+    *                 bit-identical in DuckDB and the q36 oracle is exact.
+    */
+  final case class Kmv(k: Int, hashBits: Int = 64)
+      extends Aggregator[Long, Array[Long], Double] {
 
     override def zero: Array[Long] = Array.empty
 
@@ -70,7 +79,11 @@ object Sketches {
     override def finish(buf: Array[Long]): Double =
       if (buf.length < k) buf.length.toDouble
       else {
-        val xk = (buf(k - 1).toDouble / 1.8446744073709552e19) + 0.5 // 2^64
+        val xk =
+          if (hashBits == 64)
+            (buf(k - 1).toDouble / 1.8446744073709552e19) + 0.5 // signed 2^64
+          else
+            buf(k - 1).toDouble / math.pow(2.0, hashBits.toDouble)
         (k - 1).toDouble / xk
       }
 
@@ -79,18 +92,46 @@ object Sketches {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  /** KMV distinct-order estimate per returnflag next to the exact count
-    * and Spark's HLL — the estimator comparison surface. Rows-only
-    * (estimates have no engine-portable exact value). */
-  val q36KmvSketch: QueryDef = QueryDef.noOracle("q36_kmv_sketch") { (s, dir) =>
-    val kmv = udaf(Kmv(256))
+  /** KMV distinct-order estimate per returnflag next to the exact
+    * count — ORACLE-GATED: the sketch hashes through a 60-bit md5
+    * prefix both engines compute identically, so DuckDB can replay the
+    * estimator exactly (k-th minimum via a window, same double
+    * arithmetic). The only approximation left is the estimator's own —
+    * and that is deterministic. Spark's HLL (`approx_count_distinct`)
+    * has no portable value and lives in ScaleOpsSpec instead. */
+  val q36KmvSketch: QueryDef = QueryDef(
+    "q36_kmv_sketch",
+    """WITH h AS (
+      |  SELECT DISTINCT l_returnflag,
+      |    ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag, h,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS nh
+      |  FROM h),
+      |e AS (
+      |  SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact
+      |  FROM lineitem GROUP BY 1),
+      |kth AS (SELECT l_returnflag, h AS hk FROM r WHERE rn = 256),
+      |nhs AS (SELECT l_returnflag, max(nh) AS nh FROM r GROUP BY 1)
+      |SELECT e.l_returnflag, e.exact,
+      |  round(CASE WHEN kth.hk IS NULL THEN CAST(nhs.nh AS DOUBLE)
+      |             ELSE 255.0 / (CAST(kth.hk AS DOUBLE) / 1152921504606846976.0)
+      |        END, 1) AS kmv_est
+      |FROM e JOIN nhs USING (l_returnflag) LEFT JOIN kth USING (l_returnflag)
+      |ORDER BY e.l_returnflag""".stripMargin) { (s, dir) =>
+    val kmv = udaf(Kmv(256, hashBits = 60))
     Tables.lineitem(s, dir)
-      .select(col("l_returnflag"), xxhash64(col("l_orderkey")).as("h"), col("l_orderkey"))
+      .select(
+        col("l_returnflag"),
+        conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"),
+        col("l_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_orderkey")).as("exact"),
-        round(kmv(col("h")), 1).as("kmv_est"),
-        approx_count_distinct(col("l_orderkey")).as("hll_est"))
+        round(kmv(col("h")), 1).as("kmv_est"))
       .orderBy("l_returnflag")
   }
 

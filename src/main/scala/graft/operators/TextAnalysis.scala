@@ -158,7 +158,25 @@ object TextAnalysis {
     * (cheaper to shuffle than 32-byte md5 hex). The byte loop has no
     * SQL equivalent → rows-only driver check; exactness is pinned by
     * FunctionsSpec's known vectors. */
-  val q24RollingHash: QueryDef = QueryDef.noOracle("q24_rolling_hash") { (s, dir) =>
+  /** ORACLE-GATED: the native expression's polynomial hash
+    * ((h·31 + byte) mod 1e9+7 over UTF-8 bytes) is replayed in DuckDB
+    * with a list_reduce over codepoints — exact because the corpus is
+    * ASCII (byte == codepoint; the oracle would need a byte extractor
+    * otherwise), which pins the codegen'd loop against an independent
+    * implementation on every doc in the table. */
+  val q24RollingHash: QueryDef = QueryDef(
+    "q24_rolling_hash",
+    """WITH f AS (
+      |  SELECT source,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(text) + 1),
+      |                       i -> CAST(ord(substring(text, i, 1)) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_fp,
+      |  min(fp) AS min_fp, max(fp) AS max_fp
+      |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .groupBy(col("source"))

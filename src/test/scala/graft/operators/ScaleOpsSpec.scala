@@ -34,6 +34,13 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL (approx_count_distinct) stays inside its published error bound") {
+    // default rsd = 0.05; 3 sigma over 20k distinct keys
+    val est = (1 to 20000).toDF("v").repartition(8)
+      .agg(approx_count_distinct(col("v"))).head().getLong(0)
+    assert(math.abs(est - 20000) / 20000.0 < 0.15, s"estimate $est")
+  }
+
   test("salted join returns exactly the plain join's rows under skew") {
     val rnd = new scala.util.Random(3)
     // 90% of facts hit one hot key
