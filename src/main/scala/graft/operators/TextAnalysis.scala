@@ -155,15 +155,12 @@ object TextAnalysis {
   /** Rabin–Karp rolling-hash fingerprints via the native codegen'd
     * [[graft.functions.RollingHash]] expression — the 8-byte
     * fingerprint primitive for winnowing-style near-dup pipelines
-    * (cheaper to shuffle than 32-byte md5 hex). The byte loop has no
-    * SQL equivalent → rows-only driver check; exactness is pinned by
-    * FunctionsSpec's known vectors. */
-  /** ORACLE-GATED: the native expression's polynomial hash
-    * ((h·31 + byte) mod 1e9+7 over UTF-8 bytes) is replayed in DuckDB
-    * with a list_reduce over codepoints — exact because the corpus is
-    * ASCII (byte == codepoint; the oracle would need a byte extractor
-    * otherwise), which pins the codegen'd loop against an independent
-    * implementation on every doc in the table. */
+    * (cheaper to shuffle than 32-byte md5 hex). ORACLE-GATED: the
+    * polynomial hash ((h·31 + byte) mod 1e9+7 over UTF-8 bytes) is
+    * replayed in DuckDB with a list_reduce over codepoints — exact
+    * because the corpus is ASCII (byte == codepoint; the oracle would
+    * need a byte extractor otherwise), which pins the codegen'd loop
+    * against an independent implementation on every doc in the table. */
   val q24RollingHash: QueryDef = QueryDef(
     "q24_rolling_hash",
     """WITH f AS (
