@@ -92,6 +92,77 @@ object Sketches {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Misra–Gries frequent-items summary with capacity k.
+    *
+    * Guarantees (Misra–Gries 1982; merge bound from Agarwal et al.,
+    * "Mergeable Summaries", PODS'12): the summary holds ≤ k entries,
+    * every estimate undercounts by at most n/(k+1), and — the property
+    * q67 builds on — every item with true frequency > n/(k+1) is
+    * PRESENT in the summary. Merging partial summaries (sum counts,
+    * subtract the (k+1)-th largest, drop non-positives) preserves the
+    * bound, so map-side partials combine exactly like any partial
+    * aggregate and the shuffle carries O(k) entries per partition. */
+  final case class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(buf: Map[String, Long], x: String): Map[String, Long] =
+      buf.get(x) match {
+        case Some(c)              => buf.updated(x, c + 1)
+        case None if buf.size < k => buf.updated(x, 1L)
+        case None => // decrement-all: amortized O(1) per arrival
+          buf.flatMap { case (key, c) => if (c > 1) Some(key -> (c - 1)) else None }
+      }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val m = b.foldLeft(a) { case (acc, (key, c)) =>
+        acc.updated(key, acc.getOrElse(key, 0L) + c)
+      }
+      if (m.size <= k) m
+      else {
+        val cut = m.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+        m.flatMap { case (key, c) => if (c > cut) Some(key -> (c - cut)) else None }
+      }
+    }
+
+    override def finish(buf: Map[String, Long]): Map[String, Long] = buf
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Heavy hitters, EXACT and oracle-gated, via the two-pass sketch
+    * pattern that survives 100 TB: pass 1 streams the corpus through
+    * a Misra–Gries summary (bounded state, no full-vocabulary
+    * shuffle) whose keys are a guaranteed superset of every token
+    * above the 1% threshold (n/(k+1) < n/100 for k=256); pass 2
+    * exact-counts ONLY the ≤ k candidates (driver-bounded collect,
+    * mirrored by the reference-style isin pushdown) and applies the
+    * exact threshold. The sketch never affects the answer — only the
+    * amount of state it took to find it. */
+  val q67HeavyHitters: QueryDef = QueryDef(
+    "q67_heavy_hitters",
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |n AS (SELECT count(*) AS n FROM t),
+      |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok)
+      |SELECT c.tok, c.cnt FROM c CROSS JOIN n
+      |WHERE c.cnt * 100 > n.n ORDER BY c.tok""".stripMargin) { (s, dir) =>
+    val mg = udaf(MisraGries(256))
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val firstPass = toks
+      .agg(mg(col("tok")).as("summary"), count(lit(1)).as("n")).head()
+    val candidates = firstPass.getMap[String, Long](0).keys.toSeq
+    val n = firstPass.getLong(1)
+    toks.filter(col("tok").isin(candidates: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 100 > lit(n))
+      .orderBy("tok")
+  }
+
   /** KMV distinct-order estimate per returnflag next to the exact
     * count — ORACLE-GATED: the sketch hashes through a 60-bit md5
     * prefix both engines compute identically, so DuckDB can replay the
@@ -135,5 +206,5 @@ object Sketches {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[QueryDef] = Seq(q36KmvSketch)
+  val all: Seq[QueryDef] = Seq(q36KmvSketch, q67HeavyHitters)
 }

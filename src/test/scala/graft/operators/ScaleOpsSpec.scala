@@ -34,6 +34,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Misra-Gries: bounded size, no false negatives above n/(k+1), error bound holds") {
+    val k = 256
+    // 10 heavy items x 500 + 20_000 singletons; n = 25_000, n/(k+1) ~ 97
+    val heavies = (0 until 10).flatMap(h => Seq.fill(500)(s"heavy_$h"))
+    val noise = (0 until 20000).map(i => s"rare_$i")
+    val exact = (heavies ++ noise).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = heavies.size + noise.size
+    val mg = udaf(Sketches.MisraGries(k))
+    val summary = (heavies ++ noise).toDF("v")
+      .repartition(8) // forces partial-summary merges
+      .agg(mg(col("v"))).head().getMap[String, Long](0)
+    assert(summary.size <= k, s"summary overflowed: ${summary.size}")
+    val bound = n.toDouble / (k + 1)
+    (0 until 10).foreach { h =>
+      val key = s"heavy_$h"
+      assert(summary.contains(key), s"false negative for $key (freq 500 > $bound)")
+      val est = summary(key)
+      assert(est <= exact(key) && exact(key) - est <= bound,
+        s"$key estimate $est outside [${exact(key) - bound}, ${exact(key)}]")
+    }
+  }
+
+  test("q67 heavy hitters: sketch candidates never change the exact answer") {
+    // brute-force exact heavy hitters on sf0.001 must equal the query
+    val rows = Sketches.q67HeavyHitters.build(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val toks = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val n = toks.count()
+    val exact = toks.groupBy("tok").count()
+      .filter(col("count") * 100 > n)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.toSeq === exact.toSeq)
+  }
+
   test("HLL (approx_count_distinct) stays inside its published error bound") {
     // default rsd = 0.05; 3 sigma over 20k distinct keys
     val est = (1 to 20000).toDF("v").repartition(8)
