@@ -21,7 +21,8 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     CoreQueries.all ++ Dedup.all ++ Similarity.all ++
       TextAnalysis.all ++ EventOps.all ++ MediaQueries.all ++ Sketches.all ++
-      graft.operators.PageRank.all ++ graft.operators.Scd.all
+      graft.operators.PageRank.all ++ graft.operators.Scd.all ++
+      graft.operators.BloomJoin.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

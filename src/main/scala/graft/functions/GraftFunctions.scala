@@ -25,7 +25,14 @@ object GraftFunctions {
       classOf[LshBucket].getName),
     ("char_ngrams", (es: Seq[Expression]) => CharNgrams(es(0),
       LshBucket.litInt(es(1), "n")),
-      classOf[CharNgrams].getName))
+      classOf[CharNgrams].getName),
+    // Spark's own codegen'd bloom probe (the InjectRuntimeFilter pair),
+    // surfaced by name so operators can pre-prune a join's fact side
+    // with a filter built via df.stat.bloomFilter — not in the public
+    // registry upstream, but same-process serialization-compatible.
+    ("might_contain_bf", (es: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)),
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

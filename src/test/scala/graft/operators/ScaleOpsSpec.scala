@@ -69,6 +69,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.toSeq === exact.toSeq)
   }
 
+  test("bloom-pruned join: result equals plain join, probe actually prunes") {
+    val fact = (1L to 20000L).map(i => (i % 2000, i)).toDF("key", "fact_id")
+    val dim = (0L until 100L).map(k => (k, s"dim_$k")).toDF("key", "name")
+    val plain = fact.join(dim, Seq("key"))
+    val pruned = BloomJoin.bloomPrunedJoin(fact, dim, "key", expectedItems = 1000)
+    assert(pruned.count() === plain.count())
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    // the probe alone (before the join removes false positives) must
+    // keep all true matches and drop the bulk of the non-matching fact
+    val bf = dim.stat.bloomFilter("key", 1000, 0.01)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+    graft.functions.GraftFunctions.register(spark)
+    val kept = fact.filter(BloomJoin.mightContain(lit(bytes), col("key"))).count()
+    // every true-match fact row must survive the probe (no false negatives)
+    assert(kept >= plain.count(), "probe dropped true matches")
+    assert(kept < 20000 / 2, s"probe kept $kept of 20000 — not pruning")
+  }
+
   test("HLL (approx_count_distinct) stays inside its published error bound") {
     // default rsd = 0.05; 3 sigma over 20k distinct keys
     val est = (1 to 20000).toDF("v").repartition(8)
