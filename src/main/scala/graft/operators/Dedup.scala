@@ -461,7 +461,56 @@ object Dedup {
       .orderBy("lang")
   }
 
+  /** Exact duplicated-span detection (substring-level dedup, the
+    * word-shingle form of Lee et al.'s "Deduplicating Training Data
+    * Makes Language Models Better"): every 8-word span occurring in
+    * ≥2 distinct documents is "duplicated"; report per document how
+    * much of it is cross-document boilerplate.
+    *
+    * Scale design (100 TB): spans are generated with one projection
+    * (no self-join on text); the global span→doc-frequency count is a
+    * two-level aggregate (distinct (span, doc) partials map-side, then
+    * span counts), and the verdict joins back on the span key — the
+    * document text itself never shuffles. At real scale the join key
+    * would be xxhash64(span) (8 bytes vs ~50) at a ~2⁻⁶⁴ collision
+    * risk; kept as the exact string here so the oracle is exact.
+    */
+  val q69SpanDedup: QueryDef = QueryDef(
+    "q69_span_dedup",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sp AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS span
+      |  FROM w, unnest(range(1, len(toks) - 6)) AS t(i)
+      |  WHERE len(toks) >= 8),
+      |dup AS (
+      |  SELECT span FROM (
+      |    SELECT span, count(DISTINCT doc_id) AS nd FROM sp GROUP BY span)
+      |  WHERE nd >= 2)
+      |SELECT s.doc_id, count(*) AS n_spans, count(d.span) AS n_dup_spans,
+      |  (1000 * count(d.span)) // count(*) AS dup_permille
+      |FROM sp s LEFT JOIN dup d ON s.span = d.span
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val sp = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .repartition(col("doc_id")) // single-file scan -> use every core
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 7),
+        i => array_join(slice(col("toks"), i, lit(8)), " "))).as("span"))
+    val dup = sp.select(col("span"), col("doc_id")).distinct()
+      .groupBy(col("span")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("span").as("d_span"))
+    sp.join(dup, sp("span") === dup("d_span"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), count(col("d_span")).as("n_dup_spans"))
+      .withColumn("dup_permille", expr("(1000 * n_dup_spans) div n_spans"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
-    q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters, q38DedupPipeline)
+    q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters, q38DedupPipeline,
+    q69SpanDedup)
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval scoring over the `documents` corpus — the
+  * ranking side of an LLM-data pipeline (query-relevance selection,
+  * nearest-neighbor text mining against a seed query).
+  *
+  * Scale design (100 TB): corpus statistics (N, Σdl, per-term df) are
+  * ONE partial-aggregable pass producing a single row that is
+  * broadcast back over the corpus — the documents never shuffle; the
+  * per-document score is then a pure projection (codegen'd built-ins,
+  * no UDFs). For an open vocabulary this becomes the classic inverted
+  * posting aggregate (term → df) broadcast as a map; for a fixed query
+  * term set, as here, the stats row is a handful of columns.
+  *
+  * Determinism: scores are doubles, but both engines evaluate the
+  * SAME expression tree (identical literals, parenthesization, and
+  * left-associated term sum), idf uses the always-positive Lucene
+  * `ln(1 + (N - df + 0.5)/(df + 0.5))` so rounding never straddles
+  * zero, and the final ORDER BY sorts on the ROUNDED score with a
+  * doc_id tiebreaker.
+  */
+object Retrieval {
+
+  private val terms = Seq("spark", "join", "window")
+  private val K1 = "1.2"
+  private val B = "0.75"
+
+  /** BM25 top-15: rank documents against the fixed query
+    * `spark join window`. */
+  val q70Bm25: QueryDef = {
+    // per-term scoring fragment, written once and rendered into BOTH
+    // the Spark plan and the DuckDB SQL so the IEEE evaluation order
+    // is character-identical
+    def idfSql(t: String) =
+      s"ln(1.0 + ((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5)))"
+    def termSql(t: String) =
+      s"(${idfSql(t)} * ((CAST(tf_$t AS DOUBLE) * ($K1 + 1.0)) / (CAST(tf_$t AS DOUBLE) + $K1 * (1.0 - $B + $B * (CAST(dl AS DOUBLE) / avgdl)))))"
+    val scoreSql = terms.map(termSql).reduce((a, b) => s"($a + $b)")
+
+    val oracle =
+      s"""WITH base AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |    ${terms.map(t => s"len(list_filter(string_split(text, ' '), x -> x = '$t')) AS tf_$t").mkString(",\n    ")}
+         |  FROM documents),
+         |stats AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |    ${terms.map(t => s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n    ")}
+         |  FROM base)
+         |SELECT doc_id, dl, ${terms.map(t => s"tf_$t").mkString(", ")},
+         |  CAST(round($scoreSql, 3) AS DOUBLE) AS score
+         |FROM base, stats
+         |WHERE ${terms.map(t => s"tf_$t").mkString(" + ")} > 0
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
+    QueryDef("q70_bm25", oracle) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      // DuckDB len() is BIGINT where Spark size() is INT — emit longs
+      // so the driver's type-sensitive hash agrees
+      val base = Tables.documents(s, dir).select(
+        col("doc_id") +: size(toks).cast("long").as("dl") +:
+          terms.map(t =>
+            size(filter(toks, x => x === t)).cast("long").as(s"tf_$t")): _*)
+      val statsCols =
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+          terms.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).as(s"df_$t"))
+      val stats = base.agg(count(lit(1)).as("n_docs"), statsCols: _*)
+      base.crossJoin(broadcast(stats))
+        .filter(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+        .withColumn("score", round(expr(scoreSql), 3).cast("double"))
+        .select((col("doc_id") +: col("dl") +:
+          terms.map(t => col(s"tf_$t"))) :+ col("score"): _*)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q70Bm25)
+}
