@@ -373,8 +373,43 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Sliding-window aggregation — Spark's native `window(ts, width,
+    * slide)` with a 10-minute window sliding every 5: each event lands
+    * in exactly width/slide = 2 windows. The oracle reproduces Spark's
+    * epoch-aligned window calendar with integer micros arithmetic
+    * (floor-div to the slide grid, the window at the grid point and
+    * the one before it).
+    *
+    * Scale: the window struct is generated map-side (an Expand of ×2,
+    * not a range join), then it is an ordinary partial-aggregable
+    * groupBy — the same single-shuffle shape as the tumbling q52. */
+  val q72SlidingWindow: QueryDef = {
+    val SLIDE_US = 300000000L // 5 min
+    QueryDef(
+      "q72_sliding_window",
+      s"""SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M') AS w_start, event_type,
+         |  count(*) AS n,
+         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+         |FROM events,
+         |  unnest([(epoch_us(ts) // $SLIDE_US) * $SLIDE_US,
+         |          (epoch_us(ts) // $SLIDE_US) * $SLIDE_US - $SLIDE_US]) AS t(ws)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          window(col("ts"), "10 minutes", "5 minutes"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("total"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("w_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("w_start", "event_type")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
-    q58Pivot, q59Cube)
+    q58Pivot, q59Cube, q72SlidingWindow)
 }
