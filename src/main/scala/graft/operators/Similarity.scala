@@ -256,6 +256,82 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Product quantization (q73) — the compression half of a real ANN
+    * index (IVF-PQ): split the 64-dim vector into 8 contiguous 8-dim
+    * subspaces, quantize each against a 16-entry per-subspace codebook
+    * (centroids = the vec_id<16 vectors' slices — deterministic, so
+    * the oracle can rebuild the identical codebook), and emit each
+    * vector's 8-byte code word plus its integer-scaled reconstruction
+    * error.
+    *
+    * Scale design: the codebook is k×m×d floats (16×8×8 here) —
+    * broadcast, so assignment is map-side over the corpus; the only
+    * shuffle is the per-vector final fold, which a production variant
+    * folds into the projection itself (a native expression computing
+    * all m argmins in one loop, like [[graft.functions.LshBucket]]).
+    * Expressed relationally here so every distance, argmin tie-break,
+    * and the error sum stay DuckDB-checkable: distances are left-
+    * associated double term sums (bit-exact), argmin ties break on
+    * cid, and the error aggregates as floor(dist·1e6) BIGINTs so the
+    * sum is order-independent.
+    */
+  val q73Pq: QueryDef = {
+    val NSUB = 8 // subspaces
+    val DSUB = 8 // dims per subspace
+    val KPQ = 16 // codebook entries per subspace
+    def termSql(d: Int): String = {
+      val a = s"CAST(v.embedding[(s-1)*$DSUB+$d] AS DOUBLE)"
+      val b = s"CAST(c.cvec[(s-1)*$DSUB+$d] AS DOUBLE)"
+      s"(($a - $b) * ($a - $b))"
+    }
+    val distSql = (1 to DSUB).map(termSql).reduce((a, b) => s"($a + $b)")
+    val oracle =
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < $KPQ),
+         |d AS (
+         |  SELECT v.vec_id, c.cid, s, $distSql AS dist
+         |  FROM embeddings v, cents c, unnest(range(1, ${NSUB + 1})) AS t(s)),
+         |best AS (
+         |  SELECT vec_id, s, cid, dist,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+         |  FROM d)
+         |SELECT vec_id,
+         |  string_agg(CAST(cid AS VARCHAR), '-' ORDER BY s) AS codes,
+         |  CAST(sum(CAST(floor(dist * 1000000.0) AS BIGINT)) AS BIGINT) AS err_scaled
+         |FROM best WHERE rn = 1
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+    QueryDef("q73_pq", oracle) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < KPQ)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      def dist: Column = (1 to DSUB).map { d =>
+        val idx = ((col("s") - 1) * DSUB + d).cast("int")
+        val a = element_at(col("embedding"), idx).cast("double")
+        val b = element_at(col("cvec"), idx).cast("double")
+        (a - b) * (a - b)
+      }.reduce(_ + _)
+      val d = emb
+        .repartition(col("vec_id")) // single-file scan -> use every core
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          explode(sequence(lit(1), lit(NSUB))).as("s"),
+          col("embedding"), col("cvec"))
+        .select(col("vec_id"), col("cid"), col("s"), dist.as("dist"))
+      val w = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("dist"), col("cid"))
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("vec_id"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("s"), col("cid")))),
+            x => x.getField("cid").cast("string")), "-").as("codes"),
+          sum(floor(col("dist") * 1000000.0)).cast("long").as("err_scaled"))
+        .orderBy("vec_id")
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells, q44CosineExpr, q45Quantize)
+    Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells, q44CosineExpr,
+      q45Quantize, q73Pq)
 }
