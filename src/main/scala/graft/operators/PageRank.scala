@@ -46,8 +46,17 @@ object PageRank {
     val e = edges(orders, lineitem)
     // outdeg rides ON the edge row: one static (src, dst, outdeg) list
     // materialized once, so each round is ONE join + one agg — not a
-    // second outdeg join per iteration
-    val eDeg = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
+    // second outdeg join per iteration. Hash-partition it by src BEFORE
+    // the checkpoint (LogicalRDD preserves the partitioning), so the
+    // per-round join exchanges only the small ranks side — the big
+    // static edge list never re-shuffles. This is the local twin of
+    // the bucketed layout ([[graft.etl.Bucketing]]) a cluster run
+    // would use for the edge table.
+    // outdeg via a window over src: ONE shuffle and ONE pass over the
+    // edge derivation (a self-join e ⋈ groupBy(e) would execute the
+    // whole orders⋈lineitem→distinct lineage twice, once per side)
+    val eDeg = e.withColumn("outdeg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .localCheckpoint()
     var ranks = eDeg.select(col("src").as("node")).distinct()
       .select(col("node"), lit(SCALE).as("rank"))
@@ -56,7 +65,14 @@ object PageRank {
       // skipping the eager materialization lets the rounds pipeline
       // (ConnectedComponents checkpoints because its round count is
       // unbounded; this one is a fixed small constant)
-      ranks = ranks
+      // the rank frontier is |V| rows against |E| edge rows — in this
+      // bipartite purchase graph (and most web/link graphs) |V| ≪ |E|,
+      // so BROADCAST the frontier: the big static edge list is never
+      // shuffled or sorted, and the only exchange per round is the
+      // partial-aggregated contrib sum (bounded by |V|). When the node
+      // set itself outgrows broadcast, drop the hint and bucket the
+      // edge list by src instead ([[graft.etl.Bucketing]]).
+      ranks = broadcast(ranks)
         .join(eDeg, col("node") === col("src"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("dst").as("node"))
