@@ -46,6 +46,26 @@ object StreamOps {
         col("event_type"), col("n"),
         col("total").cast("double").as("total"))
 
+  /** Watermarked sliding-window counts (streaming twin of q72): each
+    * event contributes to windowLen/slide overlapping windows, and a
+    * window finalizes when the watermark passes its END — so the
+    * overlap costs state (width/slide live windows per key), never
+    * recomputation. */
+  def slidingCounts(
+      df: DataFrame,
+      tsCol: String,
+      windowLen: String,
+      slide: String,
+      delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"), col("n"),
+        col("total").cast("double").as("total"))
+
   /** File-source stream over a directory of parquet event files — the
     * continuous version of the reference's new-files loop. Caller
     * supplies the schema (file streams cannot infer). The driver's

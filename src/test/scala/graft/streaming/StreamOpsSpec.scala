@@ -57,6 +57,41 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("slidingCounts finalized windows agree with the batch sliding aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val data = Seq(
+      (ts(1), "click", 1.0), (ts(4), "click", 2.0), (ts(7), "view", 5.0),
+      (ts(12), "click", 3.0))
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.slidingCounts(df, "ts", "10 minutes", "5 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData((ts(60), "view", 1.0)) // watermark far past every data window
+      q.processAllAvailable()
+      val got = spark.table("slide_out")
+        .select("window_start", "event_type", "n", "total")
+        .collect()
+        .map(r => ((r.getTimestamp(0).getTime - Base) / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // batch twin over the same rows (ignore the watermark-advancing tick)
+      import org.apache.spark.sql.functions._
+      val batch = data.toDF("ts", "event_type", "value")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+        .collect()
+        .map(r => ((r.getTimestamp(0).getTime - Base) / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(batch.subsetOf(got), s"missing: ${batch.diff(got)}")
+      // every event lands in exactly width/slide = 2 windows
+      assert(batch.toSeq.map(_._3).sum === data.size * 2)
+    } finally q.stop()
+  }
+
   test("eventsFileStream: real events parquet streams through the tumbling agg") {
     // stage the driver-generated events file (TIMESTAMP NANOS) as a
     // stream directory; AvailableNow drains it as one epoch
