@@ -65,21 +65,38 @@ object DataProfile {
          |ORDER BY col_name""".stripMargin
 
     QueryDef("q71_profile", oracle) { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .repartition(col("o_orderkey")) // single-file scan -> use every core
+      // distinct counts WITHOUT distinct aggregates: a Spark
+      // multi-column count(DISTINCT) battery plans as an Expand
+      // (×columns row blowup into one hash aggregate); exploding to
+      // (column, value) pairs and counting group sizes twice is the
+      // same answer as two partial-aggregable shuffles that never hold
+      // more than one column's values per hash entry — measurably
+      // faster here and the shape that survives wide tables at scale
+      val pairs = base.select(explode(array(cols.map { case (c, _) =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))
+      }: _*)).as("p")).select(col("p.col_name"), col("p.v"))
+        .filter(col("v").isNotNull) // count(DISTINCT c) ignores nulls
+      val nd = pairs.groupBy(col("col_name"), col("v")).agg(count(lit(1)))
+        .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"))
+      // nulls + typed min/max: ONE plain aggregate row, no distinct
       val aggCols = cols.zipWithIndex.flatMap { case ((c, k), i) =>
         Seq(
           count(col(c)).as(s"c$i"),
-          countDistinct(col(c)).as(s"d$i"),
           reprCol(min, c, k).as(s"mn$i"),
           reprCol(max, c, k).as(s"mx$i"))
       }
-      val a = Tables.orders(s, dir)
-        .agg(count(lit(1)).as("n_rows"), aggCols: _*)
+      val a = base.agg(count(lit(1)).as("n_rows"), aggCols: _*)
       val stackArgs = cols.zipWithIndex.map { case ((c, _), i) =>
-        s"'$c', n_rows - c$i, d$i, mn$i, mx$i, (1000 * c$i) div n_rows"
+        s"'$c', n_rows - c$i, mn$i, mx$i, (1000 * c$i) div n_rows"
       }.mkString(", ")
       a.select(expr(
         s"stack(${cols.size}, $stackArgs) AS " +
-          "(col_name, n_null, n_distinct, min_repr, max_repr, completeness_permille)"))
+          "(col_name, n_null, min_repr, max_repr, completeness_permille)"))
+        .join(broadcast(nd), Seq("col_name"))
+        .select(col("col_name"), col("n_null"), col("n_distinct"),
+          col("min_repr"), col("max_repr"), col("completeness_permille"))
         .orderBy("col_name")
     }
   }
