@@ -76,4 +76,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q69: span dedup never joins on raw text and has no quadratic join") {
+    val p = plan(Dedup.q69SpanDedup)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the dup verdict joins on the span key; document text stays in
+    // the projection, never in a join condition
+    assert(!p.toLowerCase.contains("join [text"), p)
+  }
+
+  test("q70: corpus stats are broadcast; the documents side is never shuffled for them") {
+    val p = plan(graft.operators.Retrieval.q70Bm25)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q73: the PQ codebook is broadcast against the corpus") {
+    val p = plan(Similarity.q73Pq)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q68: the bloom probe filters the fact side before its exchange") {
+    val p = plan(graft.operators.BloomJoin.q68BloomJoin)
+    assert(p.contains("might_contain"), p) // codegen'd probe in a Filter
+    val probeIdx = p.indexOf("might_contain")
+    val scanIdx = p.indexOf("Scan parquet", probeIdx)
+    assert(scanIdx > 0, p) // the probe sits directly over the fact scan,
+    // i.e. upstream of any exchange on that path
+    assert(!p.substring(probeIdx, scanIdx).contains("Exchange"), p)
+  }
 }
