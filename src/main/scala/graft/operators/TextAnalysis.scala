@@ -357,7 +357,45 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Domain mixture weighting — the corpus-curation step that turns
+    * per-source token inventories into sampling rates: every source
+    * gets a uniform share of the total token budget, oversized
+    * sources are downsampled to their share, undersized sources keep
+    * everything (rate capped at 1000‰). The DoReMi/Pile-style
+    * "mixture weights" computation, on exact integer arithmetic so
+    * the oracle matches bit-for-bit.
+    *
+    * Scale: one partial-aggregable pass builds the per-source
+    * inventory; the global budget is a single broadcast row. The rate
+    * table this emits is what [[q28Sample]]-style deterministic
+    * samplers consume downstream. */
+  val q74Mixture: QueryDef = QueryDef(
+    "q74_mixture",
+    """WITH t AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS toks
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total, count(*) AS n_src FROM t)
+      |SELECT source, n_docs, toks,
+      |  least(1000, (1000 * (total // n_src)) // toks) AS rate_permille,
+      |  (toks * least(1000, (1000 * (total // n_src)) // toks)) // 1000 AS exp_toks
+      |FROM t, tot ORDER BY source""".stripMargin) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), "\\s+"))).as("toks"))
+    val tot = t.agg(sum(col("toks")).as("total"), count(lit(1)).as("n_src"))
+    t.crossJoin(broadcast(tot))
+      .withColumn("rate_permille",
+        least(lit(1000), expr("(1000 * (total div n_src)) div toks")))
+      .withColumn("exp_toks", expr("(toks * rate_permille) div 1000"))
+      .select(col("source"), col("n_docs"), col("toks"),
+        col("rate_permille"), col("exp_toks"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
-      q25Tfidf, q26PiiRedact, q27Repetition, q28Sample)
+      q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture)
 }
