@@ -1,23 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every query at SPARK_GRAFT_SF_DIR, one JSON
+  * line on stdout (the bench gate). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // driver contract: local[32], spark.sql.shuffle.partitions=32
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      // production config path for the graft extensions (see Verify)
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // AQE's 64m advisory target would coalesce mid-size shuffles to a
-      // couple of partitions on this box; keep all cores busy instead
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-      // dozens of multi-stage queries in one session: the default 100-entry
-      // codegen cache evicts earlier stages and forces recompiles
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Harness.session()
     spark.sparkContext.setLogLevel("WARN")
     // uncounted warm-up: JIT + codegen + shuffle machinery, so the
     // first measured query isn't charged the JVM's startup costs

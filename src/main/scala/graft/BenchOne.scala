@@ -1,21 +1,25 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time individual queries (2 runs each, same session
+  * config as [[Bench]]) without the full bench sweep. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: BenchOne <queryName>... <sfDir>")
+      sys.exit(2)
+    }
     val sfDir = args.last
     val names = args.dropRight(1)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    names.find(!SparkEntry.queries.contains(_)).foreach { bad =>
+      System.err.println(s"unknown query '$bad' — known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
+    val spark = Harness.session()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- names; i <- 1 to 2) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[benchone] $name run$i ${(System.nanoTime()-t0)/1e9}%.2fs rows=$n")
+      println(f"[benchone] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
     }
     spark.stop()
   }

@@ -1,27 +1,32 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 import java.nio.file.{Files, Paths}
-/** Dev harness: dump a subset of queries for tools/check_oracle.py. */
+
+/** Dev harness: dump a SUBSET of queries (same layout as [[Verify]])
+  * for tools/check_oracle.py — fast iteration on one query without
+  * rerunning the whole surface. */
 object VerifySome {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: VerifySome <sfDir> <outDir> <queryName>...")
+      sys.exit(2)
+    }
     val sfDir = args(0); val outDir = args(1); val names = args.drop(2)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    names.find(!SparkEntry.queries.contains(_)).foreach { bad =>
+      System.err.println(s"unknown query '$bad' — known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
+    val spark = Harness.session()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
     for (n <- names) {
       SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$n")
       println(s"[verifysome] wrote $n")
     }
-    val sqls = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-    val json = sqls.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\""
-    }.mkString("{", ",", "}")
-    Files.write(Paths.get(s"$outDir/oracle_sql.json"), json.getBytes("UTF-8"))
+    val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+      .map { case (k, v) => s"${Harness.jsonEscape(k)}: ${Harness.jsonEscape(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

@@ -94,8 +94,12 @@ object DataProfile {
       a.select(expr(
         s"stack(${cols.size}, $stackArgs) AS " +
           "(col_name, n_null, min_repr, max_repr, completeness_permille)"))
-        .join(broadcast(nd), Seq("col_name"))
-        .select(col("col_name"), col("n_null"), col("n_distinct"),
+        // LEFT join: an all-null column has no (col_name, v) pairs and
+        // so no nd row — exactly the column an audit must still report
+        // (with n_distinct = 0), not drop
+        .join(broadcast(nd), Seq("col_name"), "left")
+        .select(col("col_name"), col("n_null"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
           col("min_repr"), col("max_repr"), col("completeness_permille"))
         .orderBy("col_name")
     }

@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
   * floating-point PageRank never could (FP sums reorder under
   * parallelism).
   *
-  * Scale design (the Pregel shape on DataFrames): ranks and edges are
-  * both keyed by node; each iteration is one shuffle join
-  * (ranks ⋈ edges on src) + one partial-aggregable groupBy(dst).
-  * The edge list is the big, static side — at scale you'd bucket it by
-  * src so the per-iteration join is shuffle-free on the edges side.
+  * Scale design (the Pregel shape on DataFrames): the |V|-row rank
+  * frontier is BROADCAST against the |E|-row static edge list each
+  * iteration (|V| ≪ |E| in purchase/link graphs), so the edges are
+  * never shuffled or sorted and the only per-round exchange is the
+  * partial-aggregable groupBy(dst) contrib sum. If the node set
+  * outgrows broadcast, drop the hint and bucket the edge list by src
+  * ([[graft.etl.Bucketing]]) so the join stays edge-side
+  * shuffle-free.
   * A fixed iteration count (not convergence polling) keeps the plan
   * finite; `localCheckpoint` per round truncates lineage like
   * [[ConnectedComponents]].
@@ -46,15 +49,10 @@ object PageRank {
     val e = edges(orders, lineitem)
     // outdeg rides ON the edge row: one static (src, dst, outdeg) list
     // materialized once, so each round is ONE join + one agg — not a
-    // second outdeg join per iteration. Hash-partition it by src BEFORE
-    // the checkpoint (LogicalRDD preserves the partitioning), so the
-    // per-round join exchanges only the small ranks side — the big
-    // static edge list never re-shuffles. This is the local twin of
-    // the bucketed layout ([[graft.etl.Bucketing]]) a cluster run
-    // would use for the edge table.
-    // outdeg via a window over src: ONE shuffle and ONE pass over the
-    // edge derivation (a self-join e ⋈ groupBy(e) would execute the
-    // whole orders⋈lineitem→distinct lineage twice, once per side)
+    // second outdeg join per iteration. Computed via a window over
+    // src: ONE shuffle and ONE pass over the edge derivation (a
+    // self-join e ⋈ groupBy(e) would execute the whole
+    // orders⋈lineitem→distinct lineage twice, once per side).
     val eDeg = e.withColumn("outdeg",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .localCheckpoint()
