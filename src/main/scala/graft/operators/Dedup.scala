@@ -509,8 +509,57 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Benchmark-contamination detection (train/eval overlap, the
+    * decontamination report in LLM training runs): a training document
+    * is contaminated if it shares any 8-word span with the held-out
+    * benchmark slice (doc_id % 97 == 0 here). Reported per source.
+    *
+    * Scale design: the benchmark side is TINY relative to a 100 TB
+    * corpus, so its distinct span set is broadcast and the check is a
+    * map-side semi-join over the training spans — the corpus is
+    * scanned once and never shuffled for the overlap test; only the
+    * contaminated doc-id set (bounded by the corpus' doc count, tiny
+    * in practice) reaches the final per-source aggregate. */
+  val q75Contamination: QueryDef = QueryDef(
+    "q75_contamination",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sp AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS span
+      |  FROM w, unnest(range(1, len(toks) - 6)) AS t(i)
+      |  WHERE len(toks) >= 8),
+      |bench AS (SELECT DISTINCT span FROM sp WHERE doc_id % 97 = 0),
+      |contam AS (
+      |  SELECT DISTINCT s.doc_id FROM sp s JOIN bench b USING (span)
+      |  WHERE s.doc_id % 97 <> 0)
+      |SELECT d.source, count(*) AS n_train, count(c.doc_id) AS n_contam,
+      |  (1000 * count(c.doc_id)) // count(*) AS contam_permille
+      |FROM documents d LEFT JOIN contam c ON d.doc_id = c.doc_id
+      |WHERE d.doc_id % 97 <> 0
+      |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val sp = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .repartition(col("doc_id")) // single-file scan -> use every core
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 7),
+        i => array_join(slice(col("toks"), i, lit(8)), " "))).as("span"))
+    val bench = sp.filter(col("doc_id") % 97 === 0)
+      .select(col("span")).distinct()
+    val contam = sp.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("span"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumnRenamed("doc_id", "c_doc_id")
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .join(contam, col("doc_id") === col("c_doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"), count(col("c_doc_id")).as("n_contam"))
+      .withColumn("contam_permille", expr("(1000 * n_contam) div n_train"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
     q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters, q38DedupPipeline,
-    q69SpanDedup)
+    q69SpanDedup, q75Contamination)
 }
