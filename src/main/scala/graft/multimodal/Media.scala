@@ -85,6 +85,20 @@ object Media {
     }
   }
 
+  /** Deterministic COMPRESSED-image ingest: the same closed-form P6
+    * rasters as [[ingestPpm]], DEFLATE-wrapped by the real [[Zppm]]
+    * codec — the decode path below genuinely decompresses them. */
+  def ingestZppm(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)].map { case (id, src) =>
+      val w = 8 + (id % 9).toInt
+      val h = 8 + ((id / 9) % 9).toInt
+      val payload = Zppm.encode(Ppm.encode(w, h, (x, y) =>
+        (((id + x) % 256).toInt << 16) | (((id + y) % 256).toInt << 8) | ((x ^ y) % 256)))
+      MediaAsset(id, "image", payload, src, payload.length.toLong)
+    }
+  }
+
   /** Deterministic real-audio ingest: every doc becomes an actual PCM
     * WAV whose rate and sample count are pure functions of doc_id —
     * decodable by [[Wav.decode]], same real-codec contract as
@@ -183,7 +197,8 @@ object Media {
   def decode(spark: SparkSession, assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import spark.implicits._
     codecPartitions(assets).mapPartitions(_.map { a =>
-      Ppm.decode(a.payload) match {
+      (if (Zppm.isZppm(a.payload)) Zppm.decode(a.payload) // real DEFLATE+P6
+       else Ppm.decode(a.payload)) match {
         case Some(img) => decodePpm(a, img) // real image codec
         case None => Wav.decode(a.payload) match {
           case Some(au) => decodeWav(a, au) // real audio codec
@@ -218,15 +233,19 @@ object Media {
   def resize(spark: SparkSession, assets: Dataset[MediaAsset], maxDim: Int): Dataset[MediaAsset] = {
     import spark.implicits._
     codecPartitions(assets).mapPartitions(_.map { a =>
-      Ppm.decode(a.payload) match {
+      val zipped = Zppm.isZppm(a.payload)
+      (if (zipped) Zppm.decode(a.payload) else Ppm.decode(a.payload)) match {
         case Some(img) =>
           val r = Ppm.resizeNearest(img, maxDim)
           if (r eq img) a
           else {
-            val p = Ppm.encode(r.width, r.height, (x, y) => {
+            val ppm = Ppm.encode(r.width, r.height, (x, y) => {
               val s = (y * r.width + x) * 3
               ((r.pixels(s) & 0xff) << 16) | ((r.pixels(s + 1) & 0xff) << 8) | (r.pixels(s + 2) & 0xff)
             })
+            // stay in the asset's own container: compressed in,
+            // compressed out
+            val p = if (zipped) Zppm.encode(ppm) else ppm
             a.copy(payload = p, payload_bytes = p.length.toLong)
           }
         case None =>

@@ -116,6 +116,29 @@ object MediaQueries {
       .orderBy("sample_rate")
   }
 
+  /** REAL compressed-image codec, oracle-gated: Spark DEFLATE-encodes
+    * the closed-form rasters ([[Media.ingestZppm]]) and the decode
+    * stage genuinely inflates them back. The oracle derives the dims
+    * histogram in closed form from doc_id — if the inflate path broke,
+    * decode would fall through to the stub's hash-derived dims and the
+    * hash compare would fail, so this gate proves the decompression
+    * actually ran. */
+  val q76CompressedDecode: QueryDef = QueryDef(
+    "q76_compressed_decode",
+    """SELECT CAST(8 + doc_id % 9 AS INT) AS width,
+      |  CAST(8 + (doc_id // 9) % 9 AS INT) AS height,
+      |  count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Media.decode(s, Media.ingestZppm(s, Tables.documents(s, dir))).toDF()
+      .groupBy(col("width"), col("height"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("asset_id")).as("min_id"),
+        max(col("asset_id")).as("max_id"))
+      .orderBy("width", "height")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q60MediaMeta, q61MediaFeatures, q62FrameSample, q63ImageDecode, q64AudioDecode)
+    Seq(q60MediaMeta, q61MediaFeatures, q62FrameSample, q63ImageDecode,
+      q64AudioDecode, q76CompressedDecode)
 }

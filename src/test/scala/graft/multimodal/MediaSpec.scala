@@ -134,6 +134,37 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("zppm codec: deflate roundtrip is exact, compresses, rejects corruption") {
+    val ppm = Ppm.encode(32, 24, (x, y) => (x << 16) | (y << 8) | ((x + y) & 0xff))
+    val z = Zppm.encode(ppm)
+    assert(Zppm.isZppm(z))
+    assert(z.length < ppm.length, s"no compression: ${z.length} >= ${ppm.length}")
+    val img = Zppm.decode(z).get
+    assert(img.width == 32 && img.height == 24)
+    assert(java.util.Arrays.equals(img.pixels, Ppm.decode(ppm).get.pixels))
+    // corruption and lying length headers must return None, not throw
+    assert(Zppm.decode(z.dropRight(5)).isEmpty) // truncated stream
+    val lying = z.clone(); lying(4) = 0x7f.toByte // giant length header
+    assert(Zppm.decode(lying).isEmpty)
+    assert(Zppm.decode("ZP6\nnotdeflate".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("zppm pipeline: decode inflates for real, resize re-compresses in-container") {
+    val assets = Media.ingestZppm(spark, docs)
+    val feats = Media.decode(spark, assets).collect()
+    assert(feats.length == docs.count())
+    feats.foreach { f =>
+      assert(f.width == 8 + (f.asset_id % 9).toInt, f.toString) // real dims,
+      assert(f.height == 8 + ((f.asset_id / 9) % 9).toInt, f.toString) // not stub hash dims
+    }
+    val resized = Media.resize(spark, assets, maxDim = 10).collect()
+    resized.foreach { a =>
+      assert(Zppm.isZppm(a.payload), "resize left the compressed container")
+      val img = Zppm.decode(a.payload).get
+      assert(math.max(img.width, img.height) <= 10, s"${img.width}x${img.height}")
+    }
+  }
+
   test("frame sampling: stride-spaced indices within frame count") {
     val feats = Media.decode(spark, Media.ingest(spark, docs)).toDF()
     val sampled = Media.sampleFrames(feats, stride = 2)
