@@ -99,6 +99,26 @@ object Media {
     }
   }
 
+  /** Deterministic real-VIDEO ingest: every doc becomes a motion-ZPPM
+    * ([[Vid]]) of 1 + id%7 independently DEFLATE-compressed frames
+    * whose dims follow the ingestPpm formula and whose pixels vary per
+    * frame index — each frame genuinely decodable through
+    * [[Zppm]]→[[Ppm]]. */
+  def ingestVid(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)].map { case (id, src) =>
+      val w = 8 + (id % 9).toInt
+      val h = 8 + ((id / 9) % 9).toInt
+      val n = 1 + (id % 7).toInt
+      val frames = (0 until n).map { f =>
+        Zppm.encode(Ppm.encode(w, h, (x, y) =>
+          (((id + x + f) % 256).toInt << 16) | (((id + y) % 256).toInt << 8) | ((x ^ y ^ f) % 256)))
+      }
+      val payload = Vid.encode(frames)
+      MediaAsset(id, "video", payload, src, payload.length.toLong)
+    }
+  }
+
   /** Deterministic real-audio ingest: every doc becomes an actual PCM
     * WAV whose rate and sample count are pure functions of doc_id —
     * decodable by [[Wav.decode]], same real-codec contract as
@@ -197,8 +217,14 @@ object Media {
   def decode(spark: SparkSession, assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import spark.implicits._
     codecPartitions(assets).mapPartitions(_.map { a =>
-      (if (Zppm.isZppm(a.payload)) Zppm.decode(a.payload) // real DEFLATE+P6
-       else Ppm.decode(a.payload)) match {
+      if (Vid.isVid(a.payload))
+        Vid.decode(a.payload).flatMap(v => v.frame(0).map(v -> _)) match {
+          case Some((v, f0)) => // real container walk + frame-0 inflate
+            decodePpm(a, f0).copy(n_frames = v.nFrames)
+          case None => decodeStub(a)
+        }
+      else (if (Zppm.isZppm(a.payload)) Zppm.decode(a.payload) // real DEFLATE+P6
+            else Ppm.decode(a.payload)) match {
         case Some(img) => decodePpm(a, img) // real image codec
         case None => Wav.decode(a.payload) match {
           case Some(au) => decodeWav(a, au) // real audio codec

@@ -138,7 +138,30 @@ object MediaQueries {
       .orderBy("width", "height")
   }
 
+  /** REAL video codec, oracle-gated (same contract as q76): Spark
+    * builds motion-ZPPM containers and the decode stage walks the real
+    * frame index and inflates frame 0; dims and frame counts come out
+    * of the codec, the oracle derives them in closed form from doc_id
+    * (ingestVid: dims per the PPM formula, n_frames = 1 + id%7). */
+  val q77VideoDecode: QueryDef = QueryDef(
+    "q77_video_decode",
+    """SELECT CAST(8 + doc_id % 9 AS INT) AS width,
+      |  CAST(8 + (doc_id // 9) % 9 AS INT) AS height,
+      |  count(*) AS n,
+      |  CAST(sum(1 + doc_id % 7) AS BIGINT) AS total_frames,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Media.decode(s, Media.ingestVid(s, Tables.documents(s, dir))).toDF()
+      .groupBy(col("width"), col("height"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_frames")).as("total_frames"),
+        min(col("asset_id")).as("min_id"),
+        max(col("asset_id")).as("max_id"))
+      .orderBy("width", "height")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q60MediaMeta, q61MediaFeatures, q62FrameSample, q63ImageDecode,
-      q64AudioDecode, q76CompressedDecode)
+      q64AudioDecode, q76CompressedDecode, q77VideoDecode)
 }

@@ -165,6 +165,43 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("vid codec: container walk is lazy, per-frame seek decodes real pixels") {
+    val id = 23L
+    val w = 8 + (id % 9).toInt; val h = 8 + ((id / 9) % 9).toInt
+    val n = 1 + (id % 7).toInt
+    val frames = (0 until n).map { f =>
+      Zppm.encode(Ppm.encode(w, h, (x, y) =>
+        (((id + x + f) % 256).toInt << 16) | (((id + y) % 256).toInt << 8) | ((x ^ y ^ f) % 256)))
+    }
+    val payload = Vid.encode(frames)
+    val v = Vid.decode(payload).get
+    assert(v.nFrames == n)
+    // seek straight to the LAST frame and verify its pixel formula —
+    // proves the length-prefix walk lands on real frame boundaries
+    val last = v.frame(n - 1).get
+    assert(last.width == w && last.height == h)
+    val f = n - 1
+    assert((last.pixels(0) & 0xff) == ((id + 0 + f) % 256).toInt)     // R(0,0)
+    assert((last.pixels(1) & 0xff) == ((id + 0) % 256).toInt)         // G(0,0)
+    assert((last.pixels(2) & 0xff) == ((0 ^ 0 ^ f) % 256))            // B(0,0)
+    assert(v.frame(n).isEmpty && v.frame(-1).isEmpty)
+    // corrupt index: a length field walking past the payload is rejected
+    val bad = payload.clone(); bad(8) = 0x7f.toByte
+    assert(Vid.decode(bad).isEmpty)
+    assert(Vid.decode(payload.dropRight(3)).isEmpty)
+  }
+
+  test("vid pipeline: decode reports frame-0 dims and the real frame count") {
+    val feats = Media.decode(spark, Media.ingestVid(spark, docs)).collect()
+    assert(feats.length == docs.count())
+    feats.foreach { f =>
+      assert(f.kind == "video")
+      assert(f.width == 8 + (f.asset_id % 9).toInt, f.toString)
+      assert(f.height == 8 + ((f.asset_id / 9) % 9).toInt, f.toString)
+      assert(f.n_frames == 1 + (f.asset_id % 7).toInt, f.toString)
+    }
+  }
+
   test("frame sampling: stride-spaced indices within frame count") {
     val feats = Media.decode(spark, Media.ingest(spark, docs)).toDF()
     val sampled = Media.sampleFrames(feats, stride = 2)
