@@ -66,6 +66,33 @@ object StreamOps {
         col("event_type"), col("n"),
         col("total").cast("double").as("total"))
 
+  /** Streaming heavy hitters — the streaming twin of q67's
+    * Misra–Gries pass, and the reason the batch sketch was built
+    * MERGEABLE ([[graft.operators.Sketches.MisraGries]], Agarwal et
+    * al. PODS'12): the same bounded Map state updates per arrival in
+    * `mapGroupsWithState`, so the guarantee carries over verbatim —
+    * after n arrivals in a group, every item with true frequency
+    * > n/(k+1) is present in the emitted summary and estimates
+    * undercount by at most n/(k+1). State is O(k) per group forever,
+    * independent of stream length. Emits the current summary per
+    * group each trigger (Update mode). */
+  def heavyHitters(
+      spark: SparkSession,
+      pairs: Dataset[(String, String)], // (group, item)
+      k: Int): Dataset[(String, Map[String, Long])] = {
+    import spark.implicits._
+    val mg = graft.operators.Sketches.MisraGries(k)
+    pairs.groupByKey(_._1)
+      .mapGroupsWithState[Map[String, Long], (String, Map[String, Long])](
+        GroupStateTimeout.NoTimeout) { (group, rows, state) =>
+        val updated = rows.foldLeft(state.getOption.getOrElse(mg.zero)) {
+          (buf, r) => mg.reduce(buf, r._2)
+        }
+        state.update(updated)
+        group -> updated
+      }
+  }
+
   /** File-source stream over a directory of parquet event files — the
     * continuous version of the reference's new-files loop. Caller
     * supplies the schema (file streams cannot infer). The driver's

@@ -92,6 +92,44 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters keep the Misra-Gries guarantee across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, String)]
+    val k = 3
+    // skewed arrivals split across two triggers: 'a' is heavy (12/24),
+    // 'b' borderline (6/24), c..h are singleton noise forcing evictions
+    val chunk1 = Seq.fill(7)(("g1", "a")) ++ Seq.fill(3)(("g1", "b")) ++
+      Seq(("g1", "c"), ("g1", "d"), ("g1", "e"))
+    val chunk2 = Seq.fill(5)(("g1", "a")) ++ Seq.fill(3)(("g1", "b")) ++
+      Seq(("g1", "f"), ("g1", "g"), ("g1", "h"))
+    val q = StreamOps.heavyHitters(spark, in.toDS(), k)
+      .toDF("group", "summary")
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(chunk1: _*); q.processAllAvailable()
+      in.addData(chunk2: _*); q.processAllAvailable()
+      val all = chunk1 ++ chunk2
+      val n = all.size
+      val freq = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      // memory sink in Update mode appends a row per trigger: the last
+      // row for g1 is the final state
+      val last = spark.table("hh_out").collect()
+        .filter(_.getString(0) == "g1").last
+        .getMap[String, Long](1)
+      assert(last.size <= k, last.toString)
+      val bound = n.toDouble / (k + 1)
+      freq.filter(_._2 > bound).keys.foreach { heavy =>
+        assert(last.contains(heavy), s"heavy '$heavy' missing from $last")
+      }
+      last.foreach { case (item, est) =>
+        val t = freq(item)
+        assert(est <= t && est >= t - bound, s"$item: est=$est true=$t bound=$bound")
+      }
+    } finally q.stop()
+  }
+
   test("eventsFileStream: real events parquet streams through the tumbling agg") {
     // stage the driver-generated events file (TIMESTAMP NANOS) as a
     // stream directory; AvailableNow drains it as one epoch
