@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` / `embeddings` — exact
@@ -558,8 +559,96 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Sorted-neighborhood dedup — the third classic blocking family
+    * next to LSH (q32) and set-similarity joins (q34): sort the corpus
+    * by a similarity-preserving key (the sorted distinct-word
+    * signature, under which near-identical docs are adjacent) and
+    * compare each doc only to the next W docs in key order. Candidate
+    * count is n·W by construction — no bucket or join-key can go
+    * quadratic, which is the property that makes this the
+    * entity-resolution workhorse under adversarial skew.
+    *
+    * Scale design — a GLOBAL window (`Window.orderBy` with no
+    * partitioning) would drag the corpus into one task, so the
+    * neighborhood is computed in two exact phases instead:
+    * (1) `repartitionByRange` on the sort key, then per-partition
+    * `lead`s give every same-partition neighbor pair with full
+    * parallelism; (2) only each partition's first/last W rows (the
+    * heads/tails subset, ≤ 2·W·partitions rows total) go through one
+    * tiny global window, restricted to cross-partition pairs, which
+    * provably yields exactly the boundary-crossing neighbors (any
+    * interior row missing from the subset forces > W subset rows
+    * between the endpoints). The DuckDB oracle is the single global
+    * sort — hash-matching it proves the boundary reconstruction is
+    * exact. Verification (word-set Jaccard) runs on ≤ n·W pairs. */
+  val q78SortedNeighborhood: QueryDef = {
+    val W = 2 // neighborhood width
+    QueryDef(
+      "q78_sorted_neighborhood",
+      s"""WITH d AS (
+         |  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws,
+         |    array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS snkey
+         |  FROM documents),
+         |nbr AS (
+         |  SELECT doc_id AS a, ws AS wa,
+         |    ${(1 to W).map(k => s"lead(doc_id, $k) OVER w AS b$k, lead(ws, $k) OVER w AS wb$k").mkString(",\n    ")}
+         |  FROM d WINDOW w AS (ORDER BY snkey, doc_id)),
+         |pairs AS (
+         |  ${(1 to W).map(k =>
+             s"SELECT a, b$k AS b, len(list_intersect(wa, wb$k)) AS inter, len(wa) + len(wb$k) AS sz FROM nbr WHERE b$k IS NOT NULL")
+             .mkString("\n  UNION ALL ")})
+         |SELECT a, b, (1000 * inter) // (sz - inter) AS jacc_permille
+         |FROM pairs WHERE (1000 * inter) // (sz - inter) >= 500
+         |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      val ws = array_sort(array_distinct(split(col("text"), " ")))
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), ws.as("ws"), array_join(ws, " ").as("snkey"))
+      // phase 1: range-partition on the sort key; per-partition leads
+      // find every same-partition neighbor with full parallelism
+      val r = d.repartitionByRange(col("snkey"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val wp = Window.partitionBy(col("pid"))
+        .orderBy(col("snkey"), col("doc_id"))
+      val wpd = Window.partitionBy(col("pid"))
+        .orderBy(col("snkey").desc, col("doc_id").desc)
+      def pairCols(src: org.apache.spark.sql.DataFrame, win: org.apache.spark.sql.expressions.WindowSpec,
+          crossOnly: Boolean) = {
+        val nbr = src.select(
+          (col("pid") +: col("doc_id").as("a") +: col("ws").as("wa") +:
+            (1 to W).flatMap(k => Seq(
+              lead(col("pid"), k).over(win).as(s"p$k"),
+              lead(col("doc_id"), k).over(win).as(s"b$k"),
+              lead(col("ws"), k).over(win).as(s"wb$k")))): _*)
+        (1 to W).map { k =>
+          val base = nbr.filter(col(s"b$k").isNotNull)
+          (if (crossOnly) base.filter(col(s"p$k") =!= col("pid")) else base)
+            .select(
+              col("a"), col(s"b$k").as("b"),
+              size(array_intersect(col("wa"), col(s"wb$k"))).cast("long").as("inter"),
+              (size(col("wa")) + size(col(s"wb$k"))).cast("long").as("sz"))
+        }.reduce(_ unionAll _)
+      }
+      val within = pairCols(r, wp, crossOnly = false)
+      // phase 2: heads/tails subset (≤ 2·W·partitions rows) through one
+      // tiny global window; cross-partition pairs only — disjoint from
+      // phase 1 by construction, so a plain union is exact
+      val subset = r
+        .withColumn("rna", row_number().over(wp))
+        .withColumn("rnd", row_number().over(wpd))
+        .filter(col("rna") <= W || col("rnd") <= W)
+        .select(col("pid"), col("doc_id"), col("ws"), col("snkey"))
+      val wg = Window.orderBy(col("snkey"), col("doc_id"))
+      val boundary = pairCols(subset, wg, crossOnly = true)
+      within.unionAll(boundary)
+        .withColumn("jacc_permille", expr("(1000 * inter) div (sz - inter)"))
+        .filter(col("jacc_permille") >= 500)
+        .select(col("a"), col("b"), col("jacc_permille"))
+        .orderBy("a", "b")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
     q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters, q38DedupPipeline,
-    q69SpanDedup, q75Contamination)
+    q69SpanDedup, q75Contamination, q78SortedNeighborhood)
 }

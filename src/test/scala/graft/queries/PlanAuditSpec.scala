@@ -97,6 +97,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q78: the neighborhood windows are partitioned — no corpus-wide single-task window") {
+    val p = plan(Dedup.q78SortedNeighborhood)
+    // phase-1 windows carry the pid partition spec; only the tiny
+    // heads/tails boundary window is global
+    assert(p.contains("[pid#"), p)
+  }
+
   test("q68: the bloom probe filters the fact side before its exchange") {
     val p = plan(graft.operators.BloomJoin.q68BloomJoin)
     assert(p.contains("might_contain"), p) // codegen'd probe in a Filter
