@@ -278,9 +278,13 @@ object Dedup {
     // joined rows are then fixed-width longs/ints — far cheaper to
     // produce and shuffle than string pairs (collision odds at ~23k
     // distinct keys are ~1e-11; the sf0.01 oracle gate would catch one)
+    // materialize ONCE: rows feeds the hot-key scan and BOTH sides of
+    // the self-join — without the checkpoint the split/zip_with/
+    // explode/hash derivation over the corpus executes three times
     val rows = bg.select(col("doc_id"), size(col("bs")).as("n"),
         explode(col("bs")).as("bigram"), col("lang"))
       .select(col("doc_id"), col("n"), xxhash64(col("lang"), col("bigram")).as("kh"))
+      .localCheckpoint()
     val hotKeys = rows.groupBy(col("kh"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)

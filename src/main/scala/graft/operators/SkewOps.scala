@@ -33,4 +33,33 @@ object SkewOps {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** The salted join on the oracle surface: lineitem (fact, skewed in
+    * general) joined to nation-keyed suppliers through a 16-way salt.
+    * The oracle is the PLAIN join — hash-matching it proves the
+    * salt/replicate/drop dance is result-invisible, the same
+    * gate-the-mechanism pattern as q68's bloom pruning. */
+  val q79SaltedJoin: graft.QueryDef = graft.QueryDef(
+    "q79_salted_join",
+    """SELECT n.n_name, count(*) AS n_items,
+      |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (sp, dir) =>
+    val l = graft.Tables.lineitem(sp, dir)
+    val s = graft.Tables.supplier(sp, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    val n = graft.Tables.nation(sp, dir)
+    saltedInnerJoin(l, s, "l_suppkey",
+        saltBy = col("l_orderkey") * lit(10) + col("l_linenumber"), buckets = 16)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy("n_name")
+  }
+
+  val all: Seq[graft.QueryDef] = Seq(q79SaltedJoin)
 }
