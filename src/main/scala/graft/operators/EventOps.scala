@@ -408,8 +408,40 @@ object EventOps {
     }
   }
 
+  /** Gaps-and-islands — longest consecutive-active-day streak per
+    * user, via the classic day_number − row_number island tag: one
+    * shuffle for the per-user window, then partial-aggregable rollups.
+    * The island arithmetic is pure integers, so the oracle matches
+    * exactly. */
+  val q81Streaks: QueryDef = QueryDef(
+    "q81_streaks",
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |seq AS (
+      |  SELECT user_id, d,
+      |    date_diff('day', DATE '1970-01-01', d)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY d) AS isl
+      |  FROM days),
+      |streaks AS (SELECT user_id, isl, count(*) AS len FROM seq GROUP BY 1, 2)
+      |SELECT user_id, max(len) AS max_streak,
+      |  CAST(sum(len) AS BIGINT) AS n_active_days
+      |FROM streaks GROUP BY user_id
+      |ORDER BY max_streak DESC, user_id LIMIT 25""".stripMargin) { (s, dir) =>
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val streaks = days
+      .withColumn("isl",
+        datediff(col("d"), lit("1970-01-01")) - row_number().over(w))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+    streaks.groupBy(col("user_id"))
+      .agg(max(col("len")).as("max_streak"), sum(col("len")).as("n_active_days"))
+      .orderBy(col("max_streak").desc, col("user_id"))
+      .limit(25)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
-    q58Pivot, q59Cube, q72SlidingWindow)
+    q58Pivot, q59Cube, q72SlidingWindow, q81Streaks)
 }
