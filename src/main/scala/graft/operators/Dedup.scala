@@ -139,7 +139,9 @@ object Dedup {
 
   /** Candidate pairs (a < b) from band-bucket collisions. */
   private def candidatePairs(docs: DataFrame): DataFrame = {
-    val buckets = lshBuckets(minhash(docs))
+    // materialize ONCE: the bucket self-join would otherwise run the
+    // whole tokenize→minhash→band derivation on BOTH sides
+    val buckets = lshBuckets(minhash(docs)).localCheckpoint()
     buckets.as("ba").join(buckets.as("bb"),
         col("ba.bucket") === col("bb.bucket") && col("ba.doc_id") < col("bb.doc_id"))
       .select(col("ba.doc_id").as("a"), col("bb.doc_id").as("b")).distinct()
@@ -152,7 +154,8 @@ object Dedup {
   /** Verified near-dup edges: candidates whose token-set Jaccard
     * >= 0.5 — the single definition shared by q32/q37/q38. */
   private def nearDupEdges(docs: DataFrame): DataFrame = {
-    val ts = tokenSets(docs)
+    // both verification sides probe this — derive the token sets once
+    val ts = tokenSets(docs).localCheckpoint()
     candidatePairs(docs)
       .join(ts.select(col("doc_id").as("a"), col("ts").as("tsa")), Seq("a"))
       .join(ts.select(col("doc_id").as("b"), col("ts").as("tsb")), Seq("b"))
