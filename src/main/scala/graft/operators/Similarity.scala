@@ -331,7 +331,76 @@ object Similarity {
     }
   }
 
+  /** IVF search (q82) — the retrieval half q43's cell build exists
+    * for: assign every vector to its nearest coarse centroid ONCE
+    * (the partition-prunable index layout), then answer each query by
+    * ranking only its own cell's members with the exact native cosine
+    * (IVF-Flat, nprobe=1). At scale the assignment is the write-time
+    * `PARTITIONED BY (cid)` layout, so a query scans one cell
+    * directory — the same pruning PlanAuditSpec proves for the LSH
+    * layout — while the query set stays broadcast.
+    *
+    * The assignment frame is checkpointed once and feeds both the
+    * query-routing and the candidate side; cosines are the codegen'd
+    * [[graft.functions.CosineSimilarity]], bit-identical to the
+    * oracle's explicit term sums. */
+  val q82IvfSearch: QueryDef = {
+    val NQ = 5 // query set: vec_id < 5
+    val TOPK = 3
+    QueryDef(
+      "q82_ivf_search",
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS vc FROM embeddings WHERE vec_id < $NCENT),
+         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |a AS (
+         |  SELECT e.vec_id, cent.cid, ${cosSql("e.v", "cent.vc")} AS cs
+         |  FROM e, cent),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |    FROM a) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQ),
+         |cand AS (
+         |  SELECT q.qid, c.vec_id, ${cosSql("e.v", "q.qv")} AS cos_sim
+         |  FROM q
+         |  JOIN assign qa ON qa.vec_id = q.qid
+         |  JOIN assign c ON c.cid = qa.cid AND c.vec_id <> q.qid
+         |  JOIN e ON e.vec_id = c.vec_id)
+         |SELECT qid, vec_id, cos_sim, rank FROM (
+         |  SELECT qid, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+         |  FROM cand) WHERE rank <= $TOPK
+         |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+      val cent = broadcast(e.filter(col("vec_id") < NCENT)
+        .select(col("vec_id").as("cid"), col("embedding").as("vc")))
+      val aw = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
+      // assignment frame: built once, feeds query routing AND candidates
+      val assign = e.repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding").as("v"))
+        .crossJoin(cent)
+        .select(col("vec_id"), col("v"), col("cid"),
+          expr("cosine_sim(v, vc)").as("cs"))
+        .withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("v"))
+        .localCheckpoint()
+      val q = assign.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("cid").as("qcid"), col("v").as("qv"))
+      val cand = broadcast(q)
+        .join(assign, col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr("cosine_sim(v, qv)").as("cos_sim"))
+      val rw = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+      // DuckDB row_number() is BIGINT where Spark's is INT
+      cand.withColumn("rank", row_number().over(rw).cast("long"))
+        .filter(col("rank") <= TOPK)
+        .select(col("qid"), col("vec_id"), col("cos_sim"), col("rank"))
+        .orderBy("qid", "rank")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells, q44CosineExpr,
-      q45Quantize, q73Pq)
+      q45Quantize, q73Pq, q82IvfSearch)
 }
