@@ -566,6 +566,51 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** The two-phase distributed W-neighborhood: all (a, b, |A∩B|,
+    * |A|+|B|) pairs whose global sort distance under (snkey, doc_id)
+    * is ≤ W. Phase 1 range-partitions and leads within partitions;
+    * phase 2 runs the heads/tails subset (≤ 2·W·partitions rows)
+    * through one tiny global window restricted to cross-partition
+    * pairs — exactly the boundary-crossing neighbors, and disjoint
+    * from phase 1, so the union is exact (property-tested against the
+    * naive global window in ScaleOpsSpec). Input needs columns
+    * (doc_id, ws, snkey). */
+  private[graft] def sortedNeighborhoodPairs(d: DataFrame, W: Int): DataFrame = {
+    val r = d.repartitionByRange(col("snkey"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wp = Window.partitionBy(col("pid"))
+      .orderBy(col("snkey"), col("doc_id"))
+    val wpd = Window.partitionBy(col("pid"))
+      .orderBy(col("snkey").desc, col("doc_id").desc)
+    def pairCols(src: DataFrame,
+        win: org.apache.spark.sql.expressions.WindowSpec,
+        crossOnly: Boolean) = {
+      val nbr = src.select(
+        (col("pid") +: col("doc_id").as("a") +: col("ws").as("wa") +:
+          (1 to W).flatMap(k => Seq(
+            lead(col("pid"), k).over(win).as(s"p$k"),
+            lead(col("doc_id"), k).over(win).as(s"b$k"),
+            lead(col("ws"), k).over(win).as(s"wb$k")))): _*)
+      (1 to W).map { k =>
+        val base = nbr.filter(col(s"b$k").isNotNull)
+        (if (crossOnly) base.filter(col(s"p$k") =!= col("pid")) else base)
+          .select(
+            col("a"), col(s"b$k").as("b"),
+            size(array_intersect(col("wa"), col(s"wb$k"))).cast("long").as("inter"),
+            (size(col("wa")) + size(col(s"wb$k"))).cast("long").as("sz"))
+      }.reduce(_ unionAll _)
+    }
+    val within = pairCols(r, wp, crossOnly = false)
+    val subset = r
+      .withColumn("rna", row_number().over(wp))
+      .withColumn("rnd", row_number().over(wpd))
+      .filter(col("rna") <= W || col("rnd") <= W)
+      .select(col("pid"), col("doc_id"), col("ws"), col("snkey"))
+    val wg = Window.orderBy(col("snkey"), col("doc_id"))
+    val boundary = pairCols(subset, wg, crossOnly = true)
+    within.unionAll(boundary)
+  }
+
   /** Sorted-neighborhood dedup — the third classic blocking family
     * next to LSH (q32) and set-similarity joins (q34): sort the corpus
     * by a similarity-preserving key (the sorted distinct-word
@@ -610,43 +655,7 @@ object Dedup {
       val ws = array_sort(array_distinct(split(col("text"), " ")))
       val d = Tables.documents(s, dir).select(
         col("doc_id"), ws.as("ws"), array_join(ws, " ").as("snkey"))
-      // phase 1: range-partition on the sort key; per-partition leads
-      // find every same-partition neighbor with full parallelism
-      val r = d.repartitionByRange(col("snkey"), col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-      val wp = Window.partitionBy(col("pid"))
-        .orderBy(col("snkey"), col("doc_id"))
-      val wpd = Window.partitionBy(col("pid"))
-        .orderBy(col("snkey").desc, col("doc_id").desc)
-      def pairCols(src: org.apache.spark.sql.DataFrame, win: org.apache.spark.sql.expressions.WindowSpec,
-          crossOnly: Boolean) = {
-        val nbr = src.select(
-          (col("pid") +: col("doc_id").as("a") +: col("ws").as("wa") +:
-            (1 to W).flatMap(k => Seq(
-              lead(col("pid"), k).over(win).as(s"p$k"),
-              lead(col("doc_id"), k).over(win).as(s"b$k"),
-              lead(col("ws"), k).over(win).as(s"wb$k")))): _*)
-        (1 to W).map { k =>
-          val base = nbr.filter(col(s"b$k").isNotNull)
-          (if (crossOnly) base.filter(col(s"p$k") =!= col("pid")) else base)
-            .select(
-              col("a"), col(s"b$k").as("b"),
-              size(array_intersect(col("wa"), col(s"wb$k"))).cast("long").as("inter"),
-              (size(col("wa")) + size(col(s"wb$k"))).cast("long").as("sz"))
-        }.reduce(_ unionAll _)
-      }
-      val within = pairCols(r, wp, crossOnly = false)
-      // phase 2: heads/tails subset (≤ 2·W·partitions rows) through one
-      // tiny global window; cross-partition pairs only — disjoint from
-      // phase 1 by construction, so a plain union is exact
-      val subset = r
-        .withColumn("rna", row_number().over(wp))
-        .withColumn("rnd", row_number().over(wpd))
-        .filter(col("rna") <= W || col("rnd") <= W)
-        .select(col("pid"), col("doc_id"), col("ws"), col("snkey"))
-      val wg = Window.orderBy(col("snkey"), col("doc_id"))
-      val boundary = pairCols(subset, wg, crossOnly = true)
-      within.unionAll(boundary)
+      sortedNeighborhoodPairs(d, W)
         .withColumn("jacc_permille", expr("(1000 * inter) div (sz - inter)"))
         .filter(col("jacc_permille") >= 500)
         .select(col("a"), col("b"), col("jacc_permille"))

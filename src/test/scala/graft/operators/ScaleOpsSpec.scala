@@ -164,6 +164,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("sorted-neighborhood boundary reconstruction equals the global window on random corpora") {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random corpora with heavy snkey ties (the
+    // worst case for range-partition boundaries: runs of equal keys
+    // spanning partitions) across several sizes incl. tiny partitions
+    val W = 2
+    for (seed <- Seq(7, 23); n <- Seq(5, 37, 160)) {
+      val docs = (0 until n).map { i =>
+        val r = new scala.util.Random(seed * 100003 + i)
+        // ~n/6 distinct word sets -> many identical snkeys
+        val base = r.nextInt(math.max(1, n / 6))
+        (i.toLong, s"w$base x${base % 3} y${(base / 3) % 4}")
+      }.toDF("doc_id", "text")
+      val ws = array_sort(array_distinct(split(col("text"), " ")))
+      val d = docs.select(col("doc_id"), ws.as("ws"), array_join(ws, " ").as("snkey"))
+      val twoPhase = Dedup.sortedNeighborhoodPairs(d, W)
+        .select("a", "b", "inter", "sz").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // naive single global window: the semantic definition
+      val wg = Window.orderBy(col("snkey"), col("doc_id"))
+      val naive = (1 to W).map { k =>
+        d.withColumn("pid", lit(0))
+          .select(col("doc_id").as("a"), col("ws").as("wa"),
+            lead(col("doc_id"), k).over(wg).as("b"),
+            lead(col("ws"), k).over(wg).as("wb"))
+          .filter(col("b").isNotNull)
+          .select(col("a"), col("b"),
+            size(array_intersect(col("wa"), col("wb"))).cast("long").as("inter"),
+            (size(col("wa")) + size(col("wb"))).cast("long").as("sz"))
+      }.reduce(_ unionAll _).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(twoPhase == naive,
+        s"seed=$seed n=$n missing=${naive.diff(twoPhase)} extra=${twoPhase.diff(naive)}")
+    }
+  }
+
   test("percentile_approx tracks exact percentiles within the accuracy bound") {
     val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val r = l.agg(
