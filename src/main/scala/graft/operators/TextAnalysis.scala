@@ -398,7 +398,63 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Per-source distribution divergence — the corpus-curation signal
+    * behind mixture tuning ([[q74Mixture]]) and outlier-source
+    * detection: token-distribution entropy H(source) and
+    * KL(source ‖ corpus).
+    *
+    * Determinism: each per-token term p·ln(p/q) is a double both
+    * engines compute identically (same expression tree on exact
+    * integer-ratio inputs), but a float SUM over tokens would be
+    * order-dependent — so terms are floored to integer nano-nats
+    * first and summed as BIGINTs (the [[Similarity.q73Pq]] error-sum
+    * pattern): order-free, bit-exact across engines.
+    *
+    * Scale: two partial-aggregable count passes (per-source-token and
+    * global-token) joined on the token, then one per-source rollup —
+    * the corpus text itself never shuffles, only (token, count)
+    * partials. */
+  val q83Divergence: QueryDef = QueryDef(
+    "q83_divergence",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+      |st AS (SELECT source, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+      |stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM st GROUP BY 1),
+      |gt AS (SELECT t, CAST(sum(cnt) AS BIGINT) AS gcnt FROM st GROUP BY 1),
+      |gtot AS (SELECT CAST(sum(gcnt) AS BIGINT) AS g FROM gt),
+      |terms AS (
+      |  SELECT st.source,
+      |    CAST(floor(1000000000.0 * (-((CAST(st.cnt AS DOUBLE) / CAST(stot.n AS DOUBLE)) * ln(CAST(st.cnt AS DOUBLE) / CAST(stot.n AS DOUBLE))))) AS BIGINT) AS ent_nn,
+      |    CAST(floor(1000000000.0 * ((CAST(st.cnt AS DOUBLE) / CAST(stot.n AS DOUBLE)) * ln((CAST(st.cnt AS DOUBLE) / CAST(stot.n AS DOUBLE)) / (CAST(gt.gcnt AS DOUBLE) / CAST(gtot.g AS DOUBLE))))) AS BIGINT) AS kl_nn
+      |  FROM st JOIN stot ON st.source = stot.source
+      |  JOIN gt ON st.t = gt.t CROSS JOIN gtot)
+      |SELECT source, CAST(sum(ent_nn) AS BIGINT) AS entropy_nanonats,
+      |  CAST(sum(kl_nn) AS BIGINT) AS kl_nanonats
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+    val st = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds stot, gt, and the term join
+    val stot = st.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+    val gt = st.groupBy(col("t")).agg(sum(col("cnt")).as("gcnt"))
+    val gtot = gt.agg(sum(col("gcnt")).as("g"))
+    val p = col("cnt").cast("double") / col("n").cast("double")
+    val q = col("gcnt").cast("double") / col("g").cast("double")
+    st.join(broadcast(stot), Seq("source"))
+      .join(gt, Seq("t"))
+      .crossJoin(broadcast(gtot))
+      .select(col("source"),
+        floor(lit(1000000000.0) * (-(p * log(p)))).as("ent_nn"),
+        floor(lit(1000000000.0) * (p * log(p / q))).as("kl_nn"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("ent_nn")).as("entropy_nanonats"),
+        sum(col("kl_nn")).as("kl_nanonats"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
-      q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture)
+      q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,
+      q83Divergence)
 }
