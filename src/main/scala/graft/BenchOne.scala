@@ -10,10 +10,7 @@ object BenchOne {
     }
     val sfDir = args.last
     val names = args.dropRight(1)
-    names.find(!SparkEntry.queries.contains(_)).foreach { bad =>
-      System.err.println(s"unknown query '$bad' — known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
-      sys.exit(2)
-    }
+    Harness.requireKnown(names)
     val spark = Harness.session()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- names; i <- 1 to 2) {

@@ -25,6 +25,15 @@ object Harness {
       .getOrCreate()
   }
 
+  /** Dev-main arg validation: exit 2 with the known-query list on an
+    * unrecognized name. */
+  def requireKnown(names: Seq[String]): Unit =
+    names.find(!SparkEntry.queries.contains(_)).foreach { bad =>
+      System.err.println(
+        s"unknown query '$bad' — known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
+
   /** JSON string escape: backslash, quote, and ALL control chars
     * (<0x20) — a tab or CR in builder-authored SQL would otherwise
     * make the driver's json.load fail and silently zero the round's

@@ -12,10 +12,7 @@ object VerifySome {
       sys.exit(2)
     }
     val sfDir = args(0); val outDir = args(1); val names = args.drop(2)
-    names.find(!SparkEntry.queries.contains(_)).foreach { bad =>
-      System.err.println(s"unknown query '$bad' — known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
-      sys.exit(2)
-    }
+    Harness.requireKnown(names)
     val spark = Harness.session()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))

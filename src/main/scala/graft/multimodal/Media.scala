@@ -259,6 +259,35 @@ object Media {
   def resize(spark: SparkSession, assets: Dataset[MediaAsset], maxDim: Int): Dataset[MediaAsset] = {
     import spark.implicits._
     codecPartitions(assets).mapPartitions(_.map { a =>
+      if (Vid.isVid(a.payload)) resizeVid(a, maxDim)
+      else resizeStill(a, maxDim)
+    })
+  }
+
+  /** REAL video resize: every frame decoded, resampled, re-compressed
+    * back into the container — never the truncating stub, which would
+    * leave a payload that claims VID8 but no longer parses. A corrupt
+    * container passes through unchanged (resize is not a validator). */
+  private def resizeVid(a: MediaAsset, maxDim: Int): MediaAsset =
+    Vid.decode(a.payload) match {
+      case None => a
+      case Some(v) =>
+        val frames = (0 until v.nFrames).map { i =>
+          v.frame(i) match {
+            case None => return a // one bad frame: leave the asset intact
+            case Some(img) =>
+              val r = Ppm.resizeNearest(img, maxDim)
+              Zppm.encode(Ppm.encode(r.width, r.height, (x, y) => {
+                val s = (y * r.width + x) * 3
+                ((r.pixels(s) & 0xff) << 16) | ((r.pixels(s + 1) & 0xff) << 8) | (r.pixels(s + 2) & 0xff)
+              }))
+          }
+        }
+        val p = Vid.encode(frames)
+        a.copy(payload = p, payload_bytes = p.length.toLong)
+    }
+
+  private def resizeStill(a: MediaAsset, maxDim: Int): MediaAsset = {
       val zipped = Zppm.isZppm(a.payload)
       (if (zipped) Zppm.decode(a.payload) else Ppm.decode(a.payload)) match {
         case Some(img) =>
@@ -280,7 +309,6 @@ object Media {
           // through the stub would destroy its decodability.
           if (Wav.isWav(a.payload)) a else resizeStub(maxDim)(a)
       }
-    })
   }
 
   /** Frame sampling — keep every `stride`-th frame index per video;

@@ -57,7 +57,9 @@ object Vid {
     while (i < n) {
       if (off + 4 > payload.length) return None
       val len = readInt(payload, off)
-      if (len <= 0 || off + 4 + len > payload.length) return None
+      // Long arithmetic: a crafted 2^31-ish length would overflow the
+      // Int sum and slip past the bound (same guard class as Ppm)
+      if (len <= 0 || off.toLong + 4L + len > payload.length) return None
       offsets(i) = off
       off += 4 + len
       i += 1

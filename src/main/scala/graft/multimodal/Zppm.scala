@@ -54,7 +54,9 @@ object Zppm {
       var got = 0
       while (got < len && !inf.finished()) {
         val n = inf.inflate(out, got, len - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // 0 with needsInput: truncated; 0 with needsDictionary (FDICT
+        // streams): unsupported — either way bail, never spin
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
         got += n
       }
       if (got != len) return None

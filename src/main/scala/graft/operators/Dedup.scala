@@ -469,6 +469,20 @@ object Dedup {
       .orderBy("lang")
   }
 
+  /** 8-word spans per document (stride 1), the shared feature for
+    * span-level dedup (q69) and contamination (q75). Checkpointed:
+    * both queries probe it from two sides, and the tokenize + explode
+    * over the corpus should run once.
+    */
+  private def docSpans(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    .filter(size(col("toks")) >= 8)
+    .repartition(col("doc_id")) // single-file scan -> use every core
+    .select(col("doc_id"), explode(transform(
+      sequence(lit(1), size(col("toks")) - 7),
+      i => array_join(slice(col("toks"), i, lit(8)), " "))).as("span"))
+    .localCheckpoint()
+
   /** Exact duplicated-span detection (substring-level dedup, the
     * word-shingle form of Lee et al.'s "Deduplicating Training Data
     * Makes Language Models Better"): every 8-word span occurring in
@@ -499,13 +513,7 @@ object Dedup {
       |FROM sp s LEFT JOIN dup d ON s.span = d.span
       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val sp = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 8)
-      .repartition(col("doc_id")) // single-file scan -> use every core
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("toks")) - 7),
-        i => array_join(slice(col("toks"), i, lit(8)), " "))).as("span"))
+    val sp = docSpans(docs)
     val dup = sp.select(col("span"), col("doc_id")).distinct()
       .groupBy(col("span")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
@@ -545,13 +553,7 @@ object Dedup {
       |WHERE d.doc_id % 97 <> 0
       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val sp = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 8)
-      .repartition(col("doc_id")) // single-file scan -> use every core
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("toks")) - 7),
-        i => array_join(slice(col("toks"), i, lit(8)), " "))).as("span"))
+    val sp = docSpans(docs)
     val bench = sp.filter(col("doc_id") % 97 === 0)
       .select(col("span")).distinct()
     val contam = sp.filter(col("doc_id") % 97 =!= 0)
@@ -576,8 +578,15 @@ object Dedup {
     * naive global window in ScaleOpsSpec). Input needs columns
     * (doc_id, ws, snkey). */
   private[graft] def sortedNeighborhoodPairs(d: DataFrame, W: Int): DataFrame = {
+    // checkpoint: the within-pass, the heads/tails subset, and the
+    // boundary window all consume `r`, and correctness REQUIRES all
+    // three to observe the SAME range boundaries + partition ids —
+    // exchange reuse usually guarantees that, but pinning the
+    // materialized partitioning makes it structural instead of an
+    // optimizer artifact
     val r = d.repartitionByRange(col("snkey"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val wp = Window.partitionBy(col("pid"))
       .orderBy(col("snkey"), col("doc_id"))
     val wpd = Window.partitionBy(col("pid"))

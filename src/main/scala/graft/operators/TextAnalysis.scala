@@ -403,12 +403,15 @@ object TextAnalysis {
     * detection: token-distribution entropy H(source) and
     * KL(source ‖ corpus).
     *
-    * Determinism: each per-token term p·ln(p/q) is a double both
-    * engines compute identically (same expression tree on exact
-    * integer-ratio inputs), but a float SUM over tokens would be
-    * order-dependent — so terms are floored to integer nano-nats
-    * first and summed as BIGINTs (the [[Similarity.q73Pq]] error-sum
-    * pattern): order-free, bit-exact across engines.
+    * Determinism: a float SUM over tokens would be order-dependent,
+    * so each per-token term p·ln(p/q) is floored to integer nano-nats
+    * and summed as BIGINTs (the [[Similarity.q73Pq]] error-sum
+    * pattern) — order-free. Residual assumption, unlike q73's
+    * purely-rational arithmetic: ln must agree between JVM Math.log
+    * (1-ulp spec) and DuckDB's libm log for the gate inputs — it does
+    * on the verification corpus (every term checked via the hash
+    * gate), and a 1-ulp disagreement only matters in the ~1e-7
+    * neighborhood of a floor boundary.
     *
     * Scale: two partial-aggregable count passes (per-source-token and
     * global-token) joined on the token, then one per-source rollup —

@@ -147,6 +147,11 @@ class MediaSpec extends AnyFunSuite {
     val lying = z.clone(); lying(4) = 0x7f.toByte // giant length header
     assert(Zppm.decode(lying).isEmpty)
     assert(Zppm.decode("ZP6\nnotdeflate".getBytes("US-ASCII")).isEmpty)
+    // FDICT zlib header (0x78 0xBB): preset-dictionary streams must
+    // return None, not spin in the inflate loop
+    val fdict = ("ZP6\n".getBytes("US-ASCII") :+ 0.toByte :+ 0.toByte :+ 0.toByte :+ 16.toByte) ++
+      Array[Byte](0x78, 0xbb.toByte, 1, 2, 3, 4)
+    assert(Zppm.decode(fdict).isEmpty)
   }
 
   test("zppm pipeline: decode inflates for real, resize re-compresses in-container") {
@@ -187,8 +192,21 @@ class MediaSpec extends AnyFunSuite {
     assert(v.frame(n).isEmpty && v.frame(-1).isEmpty)
     // corrupt index: a length field walking past the payload is rejected
     val bad = payload.clone(); bad(8) = 0x7f.toByte
-    assert(Vid.decode(bad).isEmpty)
+    assert(Vid.decode(bad).isEmpty) // giant length: Long-guarded bound
     assert(Vid.decode(payload.dropRight(3)).isEmpty)
+  }
+
+  test("vid resize: every frame really resampled, container stays decodable") {
+    val resized = Media.resize(spark, Media.ingestVid(spark, docs), maxDim = 10).collect()
+    assert(resized.length == docs.count())
+    resized.foreach { a =>
+      val v = Vid.decode(a.payload).getOrElse(fail(s"asset ${a.asset_id} no longer parses"))
+      assert(v.nFrames == 1 + (a.asset_id % 7).toInt)
+      (0 until v.nFrames).foreach { i =>
+        val f = v.frame(i).getOrElse(fail(s"frame $i of ${a.asset_id} undecodable"))
+        assert(math.max(f.width, f.height) <= 10, s"${f.width}x${f.height}")
+      }
+    }
   }
 
   test("vid pipeline: decode reports frame-0 dims and the real frame count") {
