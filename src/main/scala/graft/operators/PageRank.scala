@@ -34,7 +34,11 @@ object PageRank {
   private val ITERS = 5
   private val PART_OFFSET = 1000000000L // disjoint id spaces in one graph
 
-  /** Undirected-as-two-arcs edge list: customer ↔ part. */
+  /** Undirected-as-two-arcs edge list: customer ↔ part. orders and
+    * lineitem are both fact-sized (1:4) — no broadcast hint; the
+    * equi-join shuffles on the order key (or rides a bucketed layout,
+    * [[graft.etl.Bucketing]]) and AQE may still choose broadcast when
+    * a filtered side turns out small. */
   private def edges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val bought = orders.select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem.select(col("l_orderkey"), col("l_partkey")),

@@ -68,4 +68,52 @@ object CodecProperties extends Properties("codecs") {
         corrupted(pos % payload.length) = b
         Wav.decode(corrupted); true
     }
+
+  property("zppm roundtrip is exact for any dims and pixels") =
+    Prop.forAll(dim, dim, Gen.long) { (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val px = Array.fill(w * h)(rnd.nextInt(1 << 24))
+      val ppm = Ppm.encode(w, h, (x, y) => px(y * w + x))
+      val img = Zppm.decode(Zppm.encode(ppm)).get
+      img.width == w && img.height == h &&
+        java.util.Arrays.equals(img.pixels, Ppm.decode(ppm).get.pixels)
+    }
+
+  property("zppm decode never throws or hangs on corrupted valid payloads") =
+    Prop.forAll(Gen.choose(0, 999), Gen.choose(Byte.MinValue, Byte.MaxValue), Gen.long) {
+      (pos, b, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val payload = Zppm.encode(Ppm.encode(5, 5, (_, _) => rnd.nextInt(1 << 24)))
+        val corrupted = payload.clone()
+        corrupted(pos % payload.length) = b
+        Zppm.decode(corrupted); true // Option or None — never throw/spin
+    }
+
+  property("vid roundtrip: every frame seekable and exact") =
+    Prop.forAll(Gen.choose(1, 6), Gen.choose(1, 12), Gen.choose(1, 12), Gen.long) {
+      (n, w, h, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val pixelSets = Vector.fill(n)(Array.fill(w * h)(rnd.nextInt(1 << 24)))
+        val payload = Vid.encode(pixelSets.map(px =>
+          Zppm.encode(Ppm.encode(w, h, (x, y) => px(y * w + x)))))
+        val v = Vid.decode(payload).get
+        v.nFrames == n && (0 until n).forall { i =>
+          val f = v.frame(i).get
+          f.width == w && f.height == h &&
+            java.util.Arrays.equals(f.pixels,
+              Ppm.decode(Ppm.encode(w, h, (x, y) => pixelSets(i)(y * w + x))).get.pixels)
+        }
+    }
+
+  property("vid decode never throws on corrupted valid payloads") =
+    Prop.forAll(Gen.choose(0, 9999), Gen.choose(Byte.MinValue, Byte.MaxValue), Gen.long) {
+      (pos, b, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val payload = Vid.encode(Seq.fill(3)(
+          Zppm.encode(Ppm.encode(4, 4, (_, _) => rnd.nextInt(1 << 24)))))
+        val corrupted = payload.clone()
+        corrupted(pos % payload.length) = b
+        Vid.decode(corrupted).foreach(v => (0 until v.nFrames).foreach(v.frame))
+        true
+    }
 }
