@@ -400,7 +400,34 @@ object Similarity {
     }
   }
 
+  /** The SQL dialect surface (q84): the whole query is a `spark.sql`
+    * string over a temp view, exercising the native expressions
+    * (`cosine_sim`, `lsh_bucket`) through the FunctionRegistry the
+    * same way an external SQL user would — the GraftExtensions /
+    * register() path, not the Column DSL. Aggregates are chosen
+    * order-independent (count / max of bit-exact doubles / min id) so
+    * the oracle hash-matches under any parallelism. */
+  val q84SqlSurface: QueryDef = QueryDef(
+    "q84_sql_surface",
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings)
+       |SELECT ${lshBucketSql("e.v", PLANES)} AS bucket, count(*) AS n_vecs,
+       |  max(${cosSql("e.v", "q.qv")}) AS max_cos,
+       |  min(e.vec_id) AS min_vec
+       |FROM e, q
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+    s.sql(s"""
+      WITH q AS (SELECT embedding AS qv FROM graft_embeddings WHERE vec_id = 0)
+      SELECT lsh_bucket(embedding, $PLANES, 64) AS bucket, count(*) AS n_vecs,
+        max(cosine_sim(embedding, q.qv)) AS max_cos,
+        min(vec_id) AS min_vec
+      FROM graft_embeddings, q
+      GROUP BY 1 ORDER BY 1""")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells, q44CosineExpr,
-      q45Quantize, q73Pq, q82IvfSearch)
+      q45Quantize, q73Pq, q82IvfSearch, q84SqlSurface)
 }
