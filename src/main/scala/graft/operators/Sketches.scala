@@ -92,6 +92,40 @@ object Sketches {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Bottom-k-by-hash value sample — the mergeable uniform sample
+    * behind bounded-memory quantiles at 100 TB: keep the k (hash,
+    * value) pairs with smallest hashes; a uniform hash makes that a
+    * uniform without-replacement sample of the rows, mergeable exactly
+    * like [[Kmv]] (sorted merge, cap k), with O(k) state per group in
+    * any partial aggregate. Deterministic given the hash, so the same
+    * sample — and thus the same quantile estimates — is reproducible
+    * in any engine (q85's oracle recomputes it in DuckDB).
+    */
+  final case class BottomKSample(k: Int)
+      extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[Double]] {
+
+    override def zero: Seq[(Long, Double)] = Vector.empty // sorted by hash
+
+    override def reduce(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] = {
+      val ins = buf.indexWhere(_._1 >= x._1) match { case -1 => buf.length; case i => i }
+      if (ins < buf.length && buf(ins)._1 == x._1) buf // duplicate hash
+      else if (buf.length < k) (buf.take(ins) :+ x) ++ buf.drop(ins)
+      else if (ins < k) ((buf.take(ins) :+ x) ++ buf.drop(ins)).take(k)
+      else buf
+    }
+
+    override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      (a ++ b).sortBy(_._1).distinctBy(_._1).take(k)
+
+    override def finish(buf: Seq[(Long, Double)]): Seq[Double] =
+      buf.map(_._2).sorted
+
+    override def bufferEncoder: Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   /** Misra–Gries frequent-items summary with capacity k.
     *
     * Guarantees (Misra–Gries 1982; merge bound from Agarwal et al.,
@@ -206,5 +240,58 @@ object Sketches {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[QueryDef] = Seq(q36KmvSketch, q67HeavyHitters)
+  /** Sample quantiles (q85) — bounded-memory quantiles the way a
+    * 100 TB pipeline computes them: a deterministic bottom-k-by-hash
+    * uniform sample per group (the [[BottomKSample]] summary, here in
+    * its relational window form so the arbitrary-k state stays off
+    * the agg path), then exact interpolated percentiles over the ≤k
+    * sampled values. The hash is the engine-portable 60-bit md5
+    * prefix, so DuckDB draws the IDENTICAL sample and the estimates
+    * hash-match exactly; SketchAgreementSpec pins the Aggregator form
+    * to this query's sample. */
+  val q85SampleQuantiles: QueryDef = {
+    val K = 200
+    QueryDef(
+      "q85_sample_quantiles",
+      s"""WITH h AS (
+         |  SELECT l_returnflag, l_extendedprice,
+         |    ('0x' || substring(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM lineitem),
+         |samp AS (
+         |  SELECT l_returnflag, l_extendedprice FROM (
+         |    SELECT l_returnflag, l_extendedprice,
+         |      row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+         |    FROM h) WHERE rn <= $K),
+         |tot AS (SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY 1)
+         |SELECT s.l_returnflag, t.n_rows, count(*) AS n_sample,
+         |  quantile_cont(s.l_extendedprice, 0.25) AS p25,
+         |  quantile_cont(s.l_extendedprice, 0.5) AS p50,
+         |  quantile_cont(s.l_extendedprice, 0.9) AS p90
+         |FROM samp s JOIN tot t ON s.l_returnflag = t.l_returnflag
+         |GROUP BY s.l_returnflag, t.n_rows
+         |ORDER BY s.l_returnflag""".stripMargin) { (s, dir) =>
+      val l = Tables.lineitem(s, dir)
+      val h = l.select(
+        col("l_returnflag"), col("l_extendedprice"),
+        conv(substring(md5((col("l_orderkey") * 10 + col("l_linenumber")).cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("h"))
+      val samp = h.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") <= K)
+      val tot = l.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+      samp.join(broadcast(tot), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("n_rows"))
+        .agg(
+          count(lit(1)).as("n_sample"),
+          expr("percentile(l_extendedprice, 0.25D)").as("p25"),
+          expr("percentile(l_extendedprice, 0.5D)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9D)").as("p90"))
+        .select(col("l_returnflag"), col("n_rows"), col("n_sample"),
+          col("p25"), col("p50"), col("p90"))
+        .orderBy("l_returnflag")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q36KmvSketch, q67HeavyHitters, q85SampleQuantiles)
 }

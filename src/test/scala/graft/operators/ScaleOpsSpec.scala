@@ -34,6 +34,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BottomKSample aggregator draws the identical sample as q85's window form") {
+    val k = 50
+    val bks = udaf(Sketches.BottomKSample(k))
+    val data = (1 to 3000).map(i => (i.toLong, (i * 37 % 1000).toDouble)).toDF("id", "v")
+      .repartition(8) // forces partial-sample merges
+      .withColumn("h",
+        conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long"))
+    val aggSample = data.agg(bks(col("h"), col("v")))
+      .head().getSeq[Double](0)
+    val windowSample = data.orderBy(col("h")).limit(k)
+      .select(col("v")).collect().map(_.getDouble(0)).sorted.toSeq
+    assert(aggSample == windowSample)
+    assert(aggSample.length == k)
+    // quantiles from the k-sample track the exact distribution
+    val med = aggSample(k / 2)
+    val exactMed = data.select(expr("percentile(v, 0.5D)")).head().getDouble(0)
+    assert(math.abs(med - exactMed) <= 200, s"sample median $med vs exact $exactMed")
+  }
+
   test("Misra-Gries: bounded size, no false negatives above n/(k+1), error bound holds") {
     val k = 256
     // 10 heavy items x 500 + 20_000 singletons; n = 25_000, n/(k+1) ~ 97
