@@ -42,6 +42,30 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Semi-structured extraction through Spark 4's VARIANT type
+    * (q86) — the scale path for JSON columns: `parse_json` decodes
+    * each document ONCE into the binary variant encoding and every
+    * `variant_get` is an O(fields) binary probe, where q50's
+    * `get_json_object` re-parses the JSON string per extraction.
+    * Same answers, so the q50-style oracle gates it directly. */
+  val q86VariantExtract: QueryDef = QueryDef(
+    "q86_variant_extract",
+    """SELECT event_type, count(*) AS n,
+      |  count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+      |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val k = expr("variant_get(v, '$.k', 'bigint')")
+    Tables.events(s, dir)
+      .select(col("event_type"), try_parse_json(col("props")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"), count(k).as("n_k"),
+        sum(k).as("sum_k"), min(k).as("min_k"), max(k).as("max_k"))
+      .orderBy("event_type")
+  }
+
   /** Gap-based sessionization — a new session starts when the gap to
     * the previous event of the same user exceeds 30 minutes; session id
     * is the running sum of session-start flags. */
@@ -443,5 +467,5 @@ object EventOps {
   val all: Seq[QueryDef] = Seq(
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
-    q58Pivot, q59Cube, q72SlidingWindow, q81Streaks)
+    q58Pivot, q59Cube, q72SlidingWindow, q81Streaks, q86VariantExtract)
 }
