@@ -172,4 +172,44 @@ object EtlPipeline {
       n
     } finally toWrite.unpersist()
   }
+
+  /** Load-reconciliation metrics for [[incrementalAppendObserved]]. */
+  final case class LoadMetrics(nRows: Long, nNullKeys: Long, nDistinctYm: Long)
+
+  /** Single-pass observed variant of [[incrementalAppend]]: the
+    * reconciliation counters every production load wants (rows
+    * appended, null surrogate keys, distinct partitions touched) ride
+    * the write itself via `observe()` — ONE pass over the batch, no
+    * cache, no separate count job. The 100 TB shape: instrumentation
+    * must never double-scan the data it audits.
+    *
+    * Trade-off vs [[incrementalAppend]]: an empty batch still runs
+    * the (empty) write, so prefer this on paths where batches are
+    * rarely empty — or follow with [[Compaction]] which absorbs
+    * stray small files anyway. */
+  def incrementalAppendObserved(
+      spark: SparkSession, batch: DataFrame, sinkPath: String,
+      ymColumn: Option[String] = None): LoadMetrics = {
+    import org.apache.spark.sql.Observation
+    val fresh =
+      if (Files.exists(Paths.get(sinkPath))) {
+        val existing = spark.read.parquet(sinkPath).select("surrogate_key")
+        EtlOps.antiJoinNewRecords(batch, existing)
+      } else batch
+    val obs = Observation()
+    val observed = fresh.observe(obs,
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("surrogate_key"))).as("n_null_keys"),
+      // DISTINCT aggregates are disallowed in observed metrics; the
+      // HLL approx is the sanctioned form (exact at partition counts)
+      ymColumn.map(c => approx_count_distinct(col(c)))
+        .getOrElse(lit(0L)).as("n_ym"))
+    val w = observed.write.mode("append")
+    ymColumn.fold(w)(c => w.partitionBy(c)).parquet(sinkPath)
+    val m = obs.get
+    LoadMetrics(
+      m("n_rows").asInstanceOf[Long],
+      m("n_null_keys").asInstanceOf[Long],
+      m("n_ym").asInstanceOf[Long])
+  }
 }
