@@ -31,10 +31,44 @@ object MediaQueries {
   }
 
   /** Full decode pipeline — ingest → codec-affine repartition →
-    * per-partition decode (stubbed codec, real batch shape) → feature
-    * aggregate. Not SQL-expressible (mapPartitions stage) → rows-only
-    * driver check; exactness is covered by MediaSpec. */
-  val q61MediaFeatures: QueryDef = QueryDef.noOracle("q61_media_features") { (s, dir) =>
+    * per-partition decode (stub codec for these foreign-magic
+    * payloads, real batch shape) → feature aggregate. ORACLE-GATED
+    * even through the mapPartitions stage: the stub's dims derive
+    * from `java.util.Arrays.hashCode` over the body bytes, which the
+    * SQL twin reproduces exactly — a list_reduce of the 31·h + b
+    * recurrence with explicit 32-bit signed wrapping, trunc division
+    * emulated as `(h - h % d) // d` (DuckDB `//` floors where Java
+    * truncates), over `ord()` per char (the corpus is ASCII, the
+    * same equivalence q24's rolling-hash oracle already relies on). */
+  val q61MediaFeatures: QueryDef = QueryDef(
+    "q61_media_features",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    text, octet_length(encode(text)) AS blen
+      |  FROM documents),
+      |h AS (
+      |  SELECT kind, blen,
+      |    list_reduce(
+      |      list_prepend(CAST(1 AS BIGINT),
+      |        list_transform(range(1, length(text) + 1),
+      |                       i -> CAST(ord(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+      |      (a, c) -> ((((a * 31 + c) + 2147483648) % 4294967296 + 4294967296) % 4294967296) - 2147483648) AS hh
+      |  FROM b),
+      |m AS (
+      |  SELECT kind,
+      |    16 + abs(hh % 1024) AS width,
+      |    16 + abs(((hh - (hh % 1024)) // 1024) % 1024) AS height,
+      |    CASE kind WHEN 'image' THEN 1
+      |              WHEN 'audio' THEN 1 + blen // 64
+      |              ELSE 1 + blen // 256 END AS n_frames
+      |  FROM h)
+      |SELECT kind, count(*) AS n_assets,
+      |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
+      |  CAST(min(width) AS INT) AS min_w, CAST(max(width) AS INT) AS max_w,
+      |  CAST(min(height) AS INT) AS min_h, CAST(max(height) AS INT) AS max_h
+      |FROM m GROUP BY kind ORDER BY kind""".stripMargin) { (s, dir) =>
     val features = Media.decode(s, Media.ingest(s, Tables.documents(s, dir)))
     features.toDF()
       .groupBy(col("kind"))
