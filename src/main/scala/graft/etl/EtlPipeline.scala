@@ -173,8 +173,12 @@ object EtlPipeline {
     } finally toWrite.unpersist()
   }
 
-  /** Load-reconciliation metrics for [[incrementalAppendObserved]]. */
-  final case class LoadMetrics(nRows: Long, nNullKeys: Long, nDistinctYm: Long)
+  /** Load-reconciliation metrics for [[incrementalAppendObserved]].
+    * `nRows`/`nNullKeys` are exact; `nYmApprox` is an HLL estimate
+    * (DISTINCT is disallowed in observed metrics) — treat it as a
+    * sanity signal, and read the written partition directories when
+    * an exact partition count matters. */
+  final case class LoadMetrics(nRows: Long, nNullKeys: Long, nYmApprox: Long)
 
   /** Single-pass observed variant of [[incrementalAppend]]: the
     * reconciliation counters every production load wants (rows
@@ -200,8 +204,6 @@ object EtlPipeline {
     val observed = fresh.observe(obs,
       count(lit(1)).as("n_rows"),
       (count(lit(1)) - count(col("surrogate_key"))).as("n_null_keys"),
-      // DISTINCT aggregates are disallowed in observed metrics; the
-      // HLL approx is the sanctioned form (exact at partition counts)
       ymColumn.map(c => approx_count_distinct(col(c)))
         .getOrElse(lit(0L)).as("n_ym"))
     val w = observed.write.mode("append")

@@ -56,7 +56,9 @@ object EventOps {
       |  CAST(min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
       |  CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
-    val k = expr("variant_get(v, '$.k', 'bigint')")
+    // try_: a non-numeric props.k must yield null like the oracle's
+    // TRY_CAST (the same contract q50 documents), not a cast error
+    val k = expr("try_variant_get(v, '$.k', 'bigint')")
     Tables.events(s, dir)
       .select(col("event_type"), try_parse_json(col("props")).as("v"))
       .groupBy(col("event_type"))

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Distributed sketches — the approximate counterparts of the exact
@@ -94,28 +94,34 @@ object Sketches {
 
   /** Bottom-k-by-hash value sample — the mergeable uniform sample
     * behind bounded-memory quantiles at 100 TB: keep the k (hash,
-    * value) pairs with smallest hashes; a uniform hash makes that a
-    * uniform without-replacement sample of the rows, mergeable exactly
-    * like [[Kmv]] (sorted merge, cap k), with O(k) state per group in
-    * any partial aggregate. Deterministic given the hash, so the same
-    * sample — and thus the same quantile estimates — is reproducible
-    * in any engine (q85's oracle recomputes it in DuckDB).
-    */
+    * value) pairs smallest under the TOTAL (hash, value) order; a
+    * uniform hash makes that a uniform without-replacement sample of
+    * the rows, mergeable exactly like [[Kmv]] (sorted merge, cap k),
+    * with O(k) state per group in any partial aggregate.
+    *
+    * Hash ties are KEPT, not dropped — every input row is a
+    * legitimate sample member and partial aggregation never feeds the
+    * same row twice, so there is nothing to dedup (unlike [[Kmv]],
+    * which samples distinct VALUES); the (hash, value) order makes
+    * the kept set deterministic under any partitioning. ScaleOpsSpec
+    * pins this to q85's window form. */
   final case class BottomKSample(k: Int)
       extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[Double]] {
 
-    override def zero: Seq[(Long, Double)] = Vector.empty // sorted by hash
+    private implicit val ord: Ordering[(Long, Double)] =
+      Ordering.Tuple2(Ordering.Long, Ordering.Double.TotalOrdering)
+
+    override def zero: Seq[(Long, Double)] = Vector.empty // sorted by (hash, value)
 
     override def reduce(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] = {
-      val ins = buf.indexWhere(_._1 >= x._1) match { case -1 => buf.length; case i => i }
-      if (ins < buf.length && buf(ins)._1 == x._1) buf // duplicate hash
-      else if (buf.length < k) (buf.take(ins) :+ x) ++ buf.drop(ins)
+      val ins = buf.indexWhere(b => ord.gteq(b, x)) match { case -1 => buf.length; case i => i }
+      if (buf.length < k) (buf.take(ins) :+ x) ++ buf.drop(ins)
       else if (ins < k) ((buf.take(ins) :+ x) ++ buf.drop(ins)).take(k)
       else buf
     }
 
     override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
-      (a ++ b).sortBy(_._1).distinctBy(_._1).take(k)
+      (a ++ b).sorted.take(k)
 
     override def finish(buf: Seq[(Long, Double)]): Seq[Double] =
       buf.map(_._2).sorted
@@ -246,43 +252,55 @@ object Sketches {
     * its relational window form so the arbitrary-k state stays off
     * the agg path), then exact interpolated percentiles over the ≤k
     * sampled values. The hash is the engine-portable 60-bit md5
-    * prefix, so DuckDB draws the IDENTICAL sample and the estimates
-    * hash-match exactly; SketchAgreementSpec pins the Aggregator form
-    * to this query's sample. */
+    * prefix, so DuckDB draws the IDENTICAL sample.
+    *
+    * Determinism under ties: (l_orderkey, l_linenumber) is NOT unique
+    * in the test data, so the hash input includes the VALUE (decimal-
+    * canonical string) — rows that still collide are byte-identical
+    * in every sampled field, so whichever copy wins rn ≤ k the sample
+    * VALUES are identical. The group's total row count rides the same
+    * window pass (count over the partition) — one scan, no second
+    * aggregate or join. */
   val q85SampleQuantiles: QueryDef = {
     val K = 200
     QueryDef(
       "q85_sample_quantiles",
       s"""WITH h AS (
          |  SELECT l_returnflag, l_extendedprice,
-         |    ('0x' || substring(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h
+         |    ('0x' || substring(md5(
+         |      CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|'
+         |        || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)), 1, 15))::BIGINT AS h
          |  FROM lineitem),
          |samp AS (
-         |  SELECT l_returnflag, l_extendedprice FROM (
+         |  SELECT l_returnflag, l_extendedprice, n_rows FROM (
          |    SELECT l_returnflag, l_extendedprice,
-         |      row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
-         |    FROM h) WHERE rn <= $K),
-         |tot AS (SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY 1)
-         |SELECT s.l_returnflag, t.n_rows, count(*) AS n_sample,
-         |  quantile_cont(s.l_extendedprice, 0.25) AS p25,
-         |  quantile_cont(s.l_extendedprice, 0.5) AS p50,
-         |  quantile_cont(s.l_extendedprice, 0.9) AS p90
-         |FROM samp s JOIN tot t ON s.l_returnflag = t.l_returnflag
-         |GROUP BY s.l_returnflag, t.n_rows
-         |ORDER BY s.l_returnflag""".stripMargin) { (s, dir) =>
+         |      count(*) OVER (PARTITION BY l_returnflag) AS n_rows,
+         |      row_number() OVER (PARTITION BY l_returnflag ORDER BY h, l_extendedprice) AS rn
+         |    FROM h) WHERE rn <= $K)
+         |SELECT l_returnflag, CAST(max(n_rows) AS BIGINT) AS n_rows, count(*) AS n_sample,
+         |  quantile_cont(l_extendedprice, 0.25) AS p25,
+         |  quantile_cont(l_extendedprice, 0.5) AS p50,
+         |  quantile_cont(l_extendedprice, 0.9) AS p90
+         |FROM samp GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       val l = Tables.lineitem(s, dir)
       val h = l.select(
         col("l_returnflag"), col("l_extendedprice"),
-        conv(substring(md5((col("l_orderkey") * 10 + col("l_linenumber")).cast("string")), 1, 15), 16, 10)
+        conv(substring(md5(concat_ws("|",
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"),
+          col("l_extendedprice").cast("decimal(18,2)").cast("string"))), 1, 15), 16, 10)
           .cast("long").as("h"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_returnflag")).orderBy(col("h"))
-      val samp = h.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      val part = Window.partitionBy(col("l_returnflag"))
+      val w = part.orderBy(col("h"), col("l_extendedprice"))
+      val samp = h
+        .withColumn("n_rows",
+          count(lit(1)).over(part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
         .filter(col("rn") <= K)
-      val tot = l.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
-      samp.join(broadcast(tot), Seq("l_returnflag"))
-        .groupBy(col("l_returnflag"), col("n_rows"))
+      samp.groupBy(col("l_returnflag"))
         .agg(
+          max(col("n_rows")).as("n_rows"),
           count(lit(1)).as("n_sample"),
           expr("percentile(l_extendedprice, 0.25D)").as("p25"),
           expr("percentile(l_extendedprice, 0.5D)").as("p50"),

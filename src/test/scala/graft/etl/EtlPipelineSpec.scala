@@ -82,7 +82,7 @@ class EtlPipelineSpec extends AnyFunSuite {
     val sink = dir.resolve("sink-obs").toString
     val byType = EtlPipeline.processCsvFiles(spark, dir.toString, config)
     val m1 = EtlPipeline.incrementalAppendObserved(spark, byType("stm"), sink, Some("ym"))
-    assert(m1 == EtlPipeline.LoadMetrics(nRows = 3, nNullKeys = 0, nDistinctYm = 1))
+    assert(m1 == EtlPipeline.LoadMetrics(nRows = 3, nNullKeys = 0, nYmApprox = 1))
     assert(spark.read.parquet(sink).count() == 3)
     // idempotent re-run: observe reports the empty anti-joined batch
     val m2 = EtlPipeline.incrementalAppendObserved(spark, byType("stm"), sink, Some("ym"))
