@@ -51,13 +51,17 @@ object EventOps {
   val q86VariantExtract: QueryDef = QueryDef(
     "q86_variant_extract",
     """SELECT event_type, count(*) AS n,
-      |  count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
-      |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      |  CAST(min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-      |  CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |  count(TRY_CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)) AS n_k,
+      |  CAST(sum(TRY_CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(min(TRY_CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(max(TRY_CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
-    // try_: a non-numeric props.k must yield null like the oracle's
-    // TRY_CAST (the same contract q50 documents), not a cast error
+    // try_: a non-numeric props.k must yield null, not a cast error.
+    // The oracle goes through trunc(double) because Spark's variant
+    // double→bigint cast TRUNCATES where DuckDB's string TRY_CAST
+    // ROUNDS ('5.5' → 6) — the trunc twin matches Spark's semantics
+    // for fractional k (pinned by a FunctionsSpec case); exact for
+    // every |k| < 2^53
     val k = expr("try_variant_get(v, '$.k', 'bigint')")
     Tables.events(s, dir)
       .select(col("event_type"), try_parse_json(col("props")).as("v"))

@@ -31,7 +31,8 @@ object Packing {
        |  SELECT source, doc_id,
        |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok,
        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-       |  FROM documents),
+       |  FROM documents
+       |  WHERE source IS NOT NULL AND text IS NOT NULL),
        |pack AS (
        |  SELECT source, rn, tok, CAST(1 AS BIGINT) AS bin, tok AS cur
        |  FROM t WHERE rn = 1
@@ -46,9 +47,14 @@ object Packing {
        |  (1000 * CAST(sum(tok) AS BIGINT)) // (max(bin) * $CAPACITY) AS fill_permille
        |FROM pack GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val toks = Tables.documents(s, dir).select(
-      col("source"), col("doc_id"),
-      size(split(col("text"), "\\s+")).cast("long").as("tok"))
+    // null guard mirrors the oracle's WHERE: a NULL source would slip
+    // past the `!=` boundary check (null == null in Scala) and a NULL
+    // text would crash the non-nullable tuple encoder
+    val toks = Tables.documents(s, dir)
+      .filter(col("source").isNotNull && col("text").isNotNull)
+      .select(
+        col("source"), col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("tok"))
     val packed = toks
       .repartition(col("source"))
       .sortWithinPartitions("source", "doc_id")

@@ -13,6 +13,23 @@ class FunctionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("try_variant_get bigint semantics q86's oracle twin relies on") {
+    // fractional k TRUNCATES (oracle mirrors via trunc(double)),
+    // non-numeric k nulls, integral k is exact
+    val rows = spark.sql(
+      """SELECT
+        |  try_variant_get(parse_json('{"k": 5.5}'), '$.k', 'bigint'),
+        |  try_variant_get(parse_json('{"k": -5.5}'), '$.k', 'bigint'),
+        |  try_variant_get(parse_json('{"k": "abc"}'), '$.k', 'bigint'),
+        |  try_variant_get(parse_json('{"k": 42}'), '$.k', 'bigint'),
+        |  try_variant_get(parse_json('{}'), '$.k', 'bigint')""".stripMargin).head()
+    assert(rows.getLong(0) == 5L)
+    assert(rows.getLong(1) == -5L)
+    assert(rows.isNullAt(2))
+    assert(rows.getLong(3) == 42L)
+    assert(rows.isNullAt(4))
+  }
+
   test("cosine_sim is bit-identical to the explicit left-associated sum") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(7)

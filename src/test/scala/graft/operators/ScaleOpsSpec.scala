@@ -43,10 +43,21 @@ class ScaleOpsSpec extends AnyFunSuite {
         conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long"))
     val aggSample = data.agg(bks(col("h"), col("v")))
       .head().getSeq[Double](0)
-    val windowSample = data.orderBy(col("h")).limit(k)
+    // reference under the aggregator's own TOTAL (h, value) order —
+    // an h-only sort is nondeterministic at a tied k-boundary
+    val windowSample = data.orderBy(col("h"), col("v")).limit(k)
       .select(col("v")).collect().map(_.getDouble(0)).sorted.toSeq
     assert(aggSample == windowSample)
     assert(aggSample.length == k)
+    // forced hash ties (the tie-keeping semantics under test): many
+    // rows share each hash with distinct values; ties must be KEPT
+    // and resolved by the value order, deterministically under merges
+    val tied = (1 to 400).map(i => ((i % 7).toLong, i.toDouble)).toDF("h", "v")
+      .repartition(8)
+    val tiedAgg = tied.agg(bks(col("h"), col("v"))).head().getSeq[Double](0)
+    val tiedRef = (1 to 400).map(i => ((i % 7).toLong, i.toDouble))
+      .sortBy(identity).take(k).map(_._2).sorted
+    assert(tiedAgg == tiedRef)
     // quantiles from the k-sample track the exact distribution
     val med = aggSample(k / 2)
     val exactMed = data.select(expr("percentile(v, 0.5D)")).head().getDouble(0)
