@@ -91,7 +91,14 @@ case class LshBucket(child: Expression, planes: Int, dim: Int)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
+    if (planes < 1 || planes > 30) TypeCheckResult.TypeCheckFailure(
+      // plane p sets bit p of an Int bucket: p=31 is the sign bit and
+      // p>=32 wraps `1 << p` silently onto low bits (bucket collisions
+      // with no error) — reject outside [1, 30] at analysis time
+      s"$prettyName: planes must be in [1, 30], got $planes")
+    else if (dim < 1) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: dim must be >= 1, got $dim")
+    else child.dataType match {
       case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires an array<float> argument, got ${other.simpleString}")

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus invariants the DuckDB oracle twins RELY on but do not check
+  * per-run. Each test pins one assumption against every shipped scale
+  * factor, so a future data-generator change produces a targeted test
+  * failure naming the broken contract instead of a puzzling hash
+  * mismatch in the correctness gate.
+  */
+class OracleInvariantsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // the gates run at sf0.01 (verify) and sf0.1 (bench); sf0.001 is the
+  // smoke scale — pin all three
+  private val sfDirs =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  test("q24/q61 byte-hash oracles: documents.text is pure ASCII") {
+    // the oracles replay JVM byte hashes via DuckDB ord() codepoints,
+    // which equal signed UTF-8 bytes only for ASCII text
+    for (dir <- sfDirs) {
+      val nonAscii = Tables.documents(spark, dir)
+        .filter(!col("text").rlike("^[\\x00-\\x7F]*$"))
+        .count()
+      assert(nonAscii == 0L, s"$dir: $nonAscii non-ASCII documents " +
+        "break the ord()-as-byte oracle twins of q24/q61")
+    }
+  }
+
+  test("q34 DF cap is inert: no (lang, bigram) document frequency reaches NGRAM_DF_CAP") {
+    // bigramPairInter drops over-cap keys on the Spark side while the
+    // oracle stays the exact quadratic formulation — equality holds
+    // only while the cap never fires on gated data
+    for (dir <- sfDirs) {
+      val maxDf = operators.Dedup.bigramSets(Tables.documents(spark, dir))
+        .select(col("lang"), explode(col("bs")).as("bigram"))
+        .groupBy(col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("df"))
+        .agg(max(col("df")))
+        .head().getLong(0)
+      assert(maxDf < operators.Dedup.NGRAM_DF_CAP,
+        s"$dir: max bigram df $maxDf reaches NGRAM_DF_CAP " +
+          s"(${operators.Dedup.NGRAM_DF_CAP}) — the perf knob would " +
+          "silently become an oracle mismatch in q34")
+    }
+  }
+
+  test("q86 variant oracle: every events.props.k is a JSON number < 2^53 or a non-numeric string") {
+    // the oracle twin (json_extract_string -> TRY_CAST DOUBLE -> trunc)
+    // matches try_variant_get(v,'$.k','bigint') only on that domain:
+    // a numeric STRING ("5.5"), a boolean, or |k| >= 2^53 all diverge
+    for (dir <- sfDirs) {
+      // to_json renders the variant value as its JSON literal text:
+      // numbers bare, strings quoted, booleans as true/false
+      val kJson = to_json(expr("variant_get(try_parse_json(props), '$.k')"))
+      val isNumber = col("k_json").rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$")
+      val inRange = abs(col("k_json").cast("double")) < lit(math.pow(2, 53))
+      val quoted = regexp_extract(col("k_json"), "^\"(.*)\"$", 1)
+      val nonNumericString = col("k_json").startsWith("\"") &&
+        !quoted.rlike("^\\s*-?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?\\s*$")
+      val offenders = Tables.events(spark, dir)
+        .select(kJson.as("k_json"))
+        .filter(col("k_json").isNotNull)
+        .filter(!((isNumber && inRange) || nonNumericString))
+        .limit(5).collect()
+      assert(offenders.isEmpty, s"$dir: props.k values outside the " +
+        s"pinned domain (first 5): ${offenders.mkString(", ")} — " +
+        "q86's oracle twin diverges from variant cast semantics here")
+    }
+  }
+}

@@ -87,6 +87,21 @@ class FunctionsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("lsh_bucket rejects planes outside [1, 30] and dim < 1 at analysis time") {
+    GraftFunctions.register(spark)
+    // planes=31 sets the Int sign bit, planes>=32 wraps `1 << p` onto
+    // low bits (silent bucket collisions) — both must fail loudly
+    for (bad <- Seq("lsh_bucket(array(1.0f), 31, 1)",
+                    "lsh_bucket(array(1.0f), 32, 1)",
+                    "lsh_bucket(array(1.0f), 0, 1)",
+                    "lsh_bucket(array(1.0f), 4, 0)")) {
+      val e = intercept[Exception](spark.sql(s"SELECT $bad").collect())
+      assert(e.getMessage.contains("must be"), s"$bad: ${e.getMessage}")
+    }
+    // boundary: planes=30 is legal and evaluates
+    assert(!spark.sql("SELECT lsh_bucket(array(1.0f), 30, 1)").head().isNullAt(0))
+  }
+
   test("char_ngrams matches the substr lambda on ascii and multi-byte text") {
     GraftFunctions.register(spark)
     val strs = Seq("", "a", "ab", "abc", "hello world",
