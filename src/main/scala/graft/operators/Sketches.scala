@@ -311,5 +311,130 @@ object Sketches {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q36KmvSketch, q67HeavyHitters, q85SampleQuantiles)
+  /** Theta-sketch set algebra (q88) — distinct-set union/intersection/
+    * difference cardinalities from bounded sketches, the way set
+    * overlap is measured at 100 TB where exact distinct joins stop
+    * scaling (the Theta Sketch Framework of Dasgupta et al., the
+    * published generalization of KMV to set operations).
+    *
+    * Each set keeps its k smallest 60-bit md5 hashes; θ = the smaller
+    * of the two k-th minima. Any hash below θ survived BOTH sketches'
+    * retention threshold, so the sketch contents below θ are a uniform
+    * θ-rate sample of each set and every set expression is estimated
+    * as (qualifying hashes) / θ. All arithmetic is deterministic — the
+    * engine-portable hash lets DuckDB replay the sketches bit-exactly,
+    * so the oracle gates the estimator itself, not just the exact
+    * counts carried alongside.
+    *
+    * Scale shape: the per-set bottom-k runs two-level (per-salt-bucket
+    * prune, then per-set) so no single task ever sorts more than the
+    * salt shard; the surviving ≤2k hashes make the set-op join
+    * broadcast-size by construction. The mergeable aggregator form of
+    * the same summary is [[Kmv]] (ScaleOpsSpec pins the equivalence of
+    * bottom-k windows and the aggregator). */
+  val q88ThetaSketch: QueryDef = {
+    val K = 256
+    val HMAX = 1152921504606846976L // 2^60: theta of a not-full sketch
+    QueryDef(
+      "q88_theta_sketch",
+      s"""WITH lab AS (
+         |  SELECT DISTINCT CASE WHEN o_orderstatus='F' THEN 'A' ELSE 'B' END AS s, o_custkey
+         |  FROM orders WHERE o_orderstatus IN ('F','O')),
+         |h AS (
+         |  SELECT s, ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM lab),
+         |bk AS (
+         |  SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM h
+         |  QUALIFY rn <= $K),
+         |kth AS (
+         |  SELECT least(
+         |    coalesce(max(CASE WHEN s='A' AND rn=$K THEN h END), $HMAX),
+         |    coalesce(max(CASE WHEN s='B' AND rn=$K THEN h END), $HMAX)) AS th
+         |  FROM bk),
+         |m AS (
+         |  SELECT coalesce(a.h, b.h) AS h, a.h IS NOT NULL AS ina, b.h IS NOT NULL AS inb
+         |  FROM (SELECT h FROM bk WHERE s='A') a
+         |  FULL OUTER JOIN (SELECT h FROM bk WHERE s='B') b ON a.h = b.h),
+         |c AS (
+         |  SELECT count(*) AS union_cnt,
+         |    CAST(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT) AS inter_cnt,
+         |    CAST(sum(CASE WHEN ina AND NOT inb THEN 1 ELSE 0 END) AS BIGINT) AS diff_cnt,
+         |    max(th) AS th
+         |  FROM m, kth WHERE h < th),
+         |ex AS (
+         |  SELECT count(DISTINCT CASE WHEN s='A' THEN o_custkey END) AS exact_a,
+         |         count(DISTINCT CASE WHEN s='B' THEN o_custkey END) AS exact_b,
+         |         count(DISTINCT o_custkey) AS exact_union
+         |  FROM lab)
+         |SELECT exact_a, exact_b, exact_union,
+         |  exact_a + exact_b - exact_union AS exact_inter,
+         |  exact_union - exact_b AS exact_diff,
+         |  round(CAST(union_cnt AS DOUBLE) / (CAST(th AS DOUBLE) / $HMAX.0), 1) AS est_union,
+         |  round(CAST(inter_cnt AS DOUBLE) / (CAST(th AS DOUBLE) / $HMAX.0), 1) AS est_inter,
+         |  round(CAST(diff_cnt AS DOUBLE) / (CAST(th AS DOUBLE) / $HMAX.0), 1) AS est_diff
+         |FROM c, ex""".stripMargin) { (s, dir) =>
+      val lab = Tables.orders(s, dir)
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .select(
+          when(col("o_orderstatus") === "F", "A").otherwise("B").as("s"),
+          col("o_custkey").as("key"))
+        .distinct()
+      val ex = lab.agg(
+        countDistinct(when(col("s") === "A", col("key"))).as("exact_a"),
+        countDistinct(when(col("s") === "B", col("key"))).as("exact_b"),
+        countDistinct(col("key")).as("exact_union"))
+      thetaSetEstimates(lab, K).crossJoin(ex).select(
+        col("exact_a"), col("exact_b"), col("exact_union"),
+        (col("exact_a") + col("exact_b") - col("exact_union")).as("exact_inter"),
+        (col("exact_union") - col("exact_b")).as("exact_diff"),
+        col("est_union"), col("est_inter"), col("est_diff"))
+    }
+  }
+
+  /** Theta-sketch union/intersection/difference estimates for two
+    * labeled key sets: input columns `(s: 'A'|'B', key)`, one output
+    * row `(est_union, est_inter, est_diff)` (difference = A \ B).
+    * Deterministic: the hash is the 60-bit md5 prefix, so any engine
+    * replays the identical sketches (q88's oracle does). */
+  private[graft] def thetaSetEstimates(
+      lab: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val HMAX = 1152921504606846976L // 2^60
+    val hashed = lab.select(
+      col("s"),
+      conv(substring(md5(col("key").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    // two-level bottom-k: the salt-bucket pass bounds every sort to
+    // its shard; only ≤64·k rows per set reach the per-set window
+    val w1 = Window.partitionBy(col("s"), pmod(col("h"), lit(64))).orderBy(col("h"))
+    val w2 = Window.partitionBy(col("s")).orderBy(col("h"))
+    val bk = hashed
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+      .select(col("s"), col("h"), col("rn"))
+      .localCheckpoint() // ≤2k rows, consumed by kth AND both join sides
+    val kth = bk.agg(
+      least(
+        coalesce(max(when(col("s") === "A" && col("rn") === k, col("h"))), lit(HMAX)),
+        coalesce(max(when(col("s") === "B" && col("rn") === k, col("h"))), lit(HMAX)))
+        .as("th"))
+    val a = bk.filter(col("s") === "A").select(col("h"), lit(true).as("ina"))
+    val b = bk.filter(col("s") === "B").select(col("h"), lit(true).as("inb"))
+    val cnts = a.join(b, Seq("h"), "full_outer")
+      .crossJoin(broadcast(kth))
+      .filter(col("h") < col("th"))
+      .agg(
+        count(lit(1)).as("union_cnt"),
+        sum(when(col("ina") && col("inb"), 1L).otherwise(0L)).as("inter_cnt"),
+        sum(when(col("ina") && col("inb").isNull, 1L).otherwise(0L)).as("diff_cnt"),
+        max(col("th")).as("th"))
+    def est(cnt: String) = round(
+      col(cnt).cast("double") / (col("th").cast("double") / lit(HMAX.toDouble)), 1)
+    cnts.select(
+      est("union_cnt").as("est_union"),
+      est("inter_cnt").as("est_inter"),
+      est("diff_cnt").as("est_diff"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q36KmvSketch, q67HeavyHitters, q85SampleQuantiles, q88ThetaSketch)
 }

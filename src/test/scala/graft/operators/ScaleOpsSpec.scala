@@ -34,6 +34,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("theta-sketch set ops track exact union/inter/diff within sketch error") {
+    // A = [0, 20000), B = [12000, 36000): union 36000, inter 8000, A\B 12000
+    val lab = (0 until 20000).map(i => ("A", i)).toDF("s", "key")
+      .union((12000 until 36000).map(i => ("B", i)).toDF("s", "key"))
+      .repartition(16)
+    val r = Sketches.thetaSetEstimates(lab, 256).head()
+    def rel(est: Double, exact: Double) = math.abs(est - exact) / exact
+    assert(rel(r.getAs[Double]("est_union"), 36000) < 0.15, s"$r")
+    assert(rel(r.getAs[Double]("est_inter"), 8000) < 0.25, s"$r")
+    assert(rel(r.getAs[Double]("est_diff"), 12000) < 0.25, s"$r")
+  }
+
   test("BottomKSample aggregator draws the identical sample as q85's window form") {
     val k = 50
     val bks = udaf(Sketches.BottomKSample(k))
