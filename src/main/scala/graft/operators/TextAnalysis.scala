@@ -456,8 +456,108 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Weighted sampling without replacement (q89) — the
+    * Efraimidis–Spirakis one-pass reservoir scheme (key = u^(1/w),
+    * keep the top-k keys), here drawing a 5-doc length-proportional
+    * sample per language: exactly how a mixture pipeline draws more
+    * from longer documents without a second weighing pass.
+    *
+    * Deterministic twin of the classic randomized algorithm: u comes
+    * from the engine-portable 60-bit md5 prefix of doc_id mapped to
+    * (0,1), so both engines draw the IDENTICAL sample. The selection
+    * key is ln(u)/w floored to integer nano-nats (the q83 trick): the
+    * cross-engine assumption is only that ln agrees to 1e-9 relative —
+    * a last-ulp ln flip would need two candidates within one nano-nat
+    * AT the rank-k boundary to change the output. Top-k per group is
+    * the row_number+filter idiom, which [[graft.plans.RowNumberTopKRewrite]]
+    * rewrites to the bounded-heap native operator — no per-group sort
+    * at scale. */
+  val q89WeightedSample: QueryDef = QueryDef(
+    "q89_weighted_sample",
+    """WITH w AS (
+      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |k AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |    CAST(floor(1000000000.0 * ln((CAST(h AS DOUBLE) + 0.5) / 1152921504606846976.0)
+      |         / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS key_nn
+      |  FROM w),
+      |r AS (
+      |  SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY key_nn DESC, doc_id) AS BIGINT) AS rn
+      |  FROM k)
+      |SELECT lang, doc_id, n_tokens, rn FROM r WHERE rn <= 5
+      |ORDER BY lang, rn""".stripMargin) { (s, dir) =>
+    val HMAX = 1152921504606846976L // 2^60
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(HMAX.toDouble)
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("key_nn",
+        floor(lit(1000000000.0) * log(u) / col("n_tokens").cast("double")).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("key_nn").desc, col("doc_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("lang", "rn")
+  }
+
+  /** Sliding-window chunking (q90) — split every document into
+    * overlapping token windows (64 tokens, stride 48), the standard
+    * context-window preparation for embedding/RAG indexing and the
+    * complement of q87's packing (packing fills a budget with whole
+    * short docs; chunking cuts long docs down to the budget).
+    *
+    * Embarrassingly parallel — one `sequence`+`explode` per document,
+    * no shuffle until the output sort; output size is linear in corpus
+    * tokens (×4/3 overlap factor), never quadratic. The md5 of each
+    * chunk's re-joined text pins the slicing itself (an off-by-one in
+    * either engine's window arithmetic changes the fingerprint). */
+  val q90Chunking: QueryDef = {
+    val C = 64 // window (tokens)
+    val S = 48 // stride: 16-token overlap between neighbors
+    QueryDef(
+      "q90_chunking",
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n FROM documents),
+         |c AS (
+         |  SELECT doc_id, unnest(generate_series(1, n, $S)) AS start_tok, toks, n
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST((start_tok - 1) // $S AS BIGINT) AS chunk_idx,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(least(start_tok + ${C - 1}, n) - start_tok + 1 AS BIGINT) AS n_tok_chunk,
+         |  md5(array_to_string(toks[start_tok : least(start_tok + ${C - 1}, n)], ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      val toks = col("toks")
+      Tables.documents(s, dir)
+        .repartition(col("doc_id")) // single-file scan -> use every core
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(toks))
+        .select(col("doc_id"), toks, col("n"),
+          explode(sequence(lit(1), col("n"), lit(S))).as("start_tok"))
+        .select(
+          col("doc_id"),
+          // `div`, not `/`: Spark's `/` coerces to double
+          expr(s"(start_tok - 1) div $S").cast("long").as("chunk_idx"),
+          col("start_tok").cast("long").as("start_tok"),
+          (least(col("start_tok") + (C - 1), col("n")) - col("start_tok") + 1)
+            .cast("long").as("n_tok_chunk"),
+          md5(array_join(
+            slice(toks, col("start_tok"),
+              least(col("start_tok") + (C - 1), col("n")) - col("start_tok") + 1),
+            " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
       q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,
-      q83Divergence)
+      q83Divergence, q89WeightedSample, q90Chunking)
 }
