@@ -56,5 +56,74 @@ object MergeOps {
       .orderBy("status")
   }
 
-  val all: Seq[QueryDef] = Seq(q80MergeUpsert)
+  /** Snapshot diff (q92) — classify every key across two snapshot
+    * versions as added / removed / changed with the list of changed
+    * columns: the table-diff primitive behind incremental-pipeline
+    * reconciliation, CDC backfills, and "what did this rerun change"
+    * audits. Here the snapshots are the per-customer order count and
+    * spend before vs from 1995 — two real aggregates of the orders
+    * table, so the diff exercises genuine adds, drops, and both
+    * change columns.
+    *
+    * One full-outer join on the snapshot key; everything else is
+    * column-local CASE logic, so the plan is a single co-partitioned
+    * shuffle at any scale (bucket both snapshots on the key to make
+    * it exchange-free — [[graft.etl.Bucketing]]). `concat_ws` skips
+    * the null CASE arms in both engines, giving a stable sorted
+    * changed-column list. */
+  val q92SnapshotDiff: QueryDef = QueryDef(
+    "q92_snapshot_diff",
+    """WITH a AS (
+      |  SELECT o_custkey AS k, count(*) AS cnt,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00' GROUP BY 1),
+      |b AS (
+      |  SELECT o_custkey AS k, count(*) AS cnt,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' GROUP BY 1),
+      |j AS (
+      |  SELECT coalesce(a.k, b.k) AS custkey,
+      |    a.cnt AS old_cnt, b.cnt AS new_cnt,
+      |    CAST(a.total AS DOUBLE) AS old_total, CAST(b.total AS DOUBLE) AS new_total,
+      |    CASE WHEN a.k IS NULL THEN 'added'
+      |         WHEN b.k IS NULL THEN 'removed'
+      |         WHEN a.cnt != b.cnt OR a.total != b.total THEN 'changed'
+      |         ELSE 'unchanged' END AS change_type
+      |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+      |SELECT custkey, change_type, old_cnt, new_cnt, old_total, new_total,
+      |  concat_ws(',',
+      |    CASE WHEN old_cnt IS DISTINCT FROM new_cnt THEN 'cnt' END,
+      |    CASE WHEN old_total IS DISTINCT FROM new_total THEN 'total' END) AS changed_cols
+      |FROM j WHERE change_type != 'unchanged'
+      |ORDER BY custkey""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    def snap(pred: org.apache.spark.sql.Column) = o.filter(pred)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+    val cut = lit("1995-01-01 00:00:00").cast("timestamp")
+    val a = snap(col("o_orderdate") < cut)
+      .select(col("k"), col("cnt").as("old_cnt"), col("total").cast("double").as("old_total"))
+    val b = snap(col("o_orderdate") >= cut)
+      .select(col("k").as("kb"), col("cnt").as("new_cnt"), col("total").cast("double").as("new_total"))
+    a.join(b, col("k") === col("kb"), "full_outer")
+      .select(
+        coalesce(col("k"), col("kb")).as("custkey"),
+        col("old_cnt"), col("new_cnt"), col("old_total"), col("new_total"),
+        when(col("k").isNull, "added")
+          .when(col("kb").isNull, "removed")
+          .when(col("old_cnt") =!= col("new_cnt") ||
+            col("old_total") =!= col("new_total"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .filter(col("change_type") =!= "unchanged")
+      .withColumn("changed_cols", concat_ws(",",
+        when(!(col("old_cnt") <=> col("new_cnt")), "cnt"),
+        when(!(col("old_total") <=> col("new_total")), "total")))
+      .select(col("custkey"), col("change_type"),
+        col("old_cnt"), col("new_cnt"), col("old_total"), col("new_total"),
+        col("changed_cols"))
+      .orderBy("custkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(q80MergeUpsert, q92SnapshotDiff)
 }

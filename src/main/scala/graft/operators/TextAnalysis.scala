@@ -556,8 +556,58 @@ object TextAnalysis {
     }
   }
 
+  /** Unigram log-probability quality scoring (q91) — the perplexity
+    * filter every LM-data pipeline runs (score each document under a
+    * language model of the corpus; surface the most surprising docs),
+    * in its unigram edition: mean token log-prob under the corpus
+    * unigram distribution, lowest 20 documents out.
+    *
+    * Two shuffles at any scale: one to build the vocabulary counts
+    * (an equi-join back to the token stream — NOT a broadcast, the
+    * vocab of a 100 TB corpus doesn't fit an executor), one for the
+    * per-document sum. Each per-token term ln(cnt/N) is floored to
+    * integer nano-nats (the q83 trick) so the per-doc sums are exact
+    * integers under any partitioning/order; the final mean is ONE
+    * double division of two exact integers — bit-identical in any
+    * IEEE engine. */
+  val q91DocLogprob: QueryDef = QueryDef(
+    "q91_doc_logprob",
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+      |v AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM v),
+      |term AS (
+      |  SELECT doc_id, lang,
+      |    CAST(floor(1000000000.0 * ln(CAST(cnt AS DOUBLE) / n_total)) AS BIGINT) AS lp_nn
+      |  FROM tok JOIN v USING (t), tot),
+      |d AS (
+      |  SELECT doc_id, lang, count(*) AS n_tok, CAST(sum(lp_nn) AS BIGINT) AS lp_nn_sum
+      |  FROM term GROUP BY doc_id, lang)
+      |SELECT doc_id, lang, n_tok, lp_nn_sum,
+      |  CAST(lp_nn_sum AS DOUBLE) / CAST(n_tok AS DOUBLE) AS mean_lp_nn
+      |FROM d ORDER BY mean_lp_nn, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // single-file scan -> use every core
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("t"))
+      .localCheckpoint() // feeds the vocab agg AND the term join
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("n_total"))
+    tok.join(vocab, "t")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("lang"),
+        floor(lit(1000000000.0) *
+          log(col("cnt").cast("double") / col("n_total"))).cast("long").as("lp_nn"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lp_nn")).as("lp_nn_sum"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("lp_nn_sum"),
+        (col("lp_nn_sum").cast("double") / col("n_tok").cast("double")).as("mean_lp_nn"))
+      .orderBy(col("mean_lp_nn"), col("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
       q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,
-      q83Divergence, q89WeightedSample, q90Chunking)
+      q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob)
 }
