@@ -24,7 +24,8 @@ object SparkEntry {
       graft.operators.PageRank.all ++ graft.operators.Scd.all ++
       graft.operators.BloomJoin.all ++ graft.operators.Retrieval.all ++
       graft.operators.DataProfile.all ++ graft.operators.SkewOps.all ++
-      graft.operators.MergeOps.all ++ graft.operators.Packing.all
+      graft.operators.MergeOps.all ++ graft.operators.Packing.all ++
+      graft.operators.Layout.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout — multi-dimensional clustering
+  * so a scan filtered on ANY clustered dimension skips most files,
+  * where a single-column sort only serves its own leading column.
+  * This is how lakehouse table formats cluster 100 TB tables for
+  * selective scans: interleave the bits of the dimensions' bucket
+  * ranks, range-partition + sort by the interleaved value, and let
+  * per-file min/max statistics prune.
+  *
+  * Everything here is plain integer arithmetic (`div`/`%`/`*`), no
+  * engine-specific bit operators, so the DuckDB oracle replays the
+  * curve exactly.
+  */
+object Layout {
+
+  /** Bit-interleave two `bits`-bit non-negative int columns into the
+    * Morton code: dim-a occupies even bits, dim-b odd. Built from
+    * div/mod/multiply only — a constant 2·bits plan terms, portable
+    * to any SQL engine. */
+  def zval(a: String, b: String, bits: Int): Column =
+    (0 until bits).map { i =>
+      val w = 1L << i
+      (expr(s"($a div $w) % 2") * lit(1L << (2 * i))) +
+        (expr(s"($b div $w) % 2") * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  /** The matching DuckDB SQL text for [[zval]] (integer `//` division). */
+  def zvalSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      val w = 1L << i
+      s"(($a // $w) % 2) * ${1L << (2 * i)} + (($b // $w) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** q93: z-order the part table on (size, price-bucket), cut the
+    * curve into 16 equal "files", and emit each file's min/max box on
+    * both dimensions — the exact statistics a scan planner prunes by.
+    * Tight boxes on BOTH dims are the proof the layout works; the
+    * single-dim-sorted counterfactual (one dim tight, the other
+    * spanning the full range) is pinned in LayoutSpec. */
+  val q93ZOrder: QueryDef = {
+    val FILES = 16
+    val ROWS_PER_FILE = 125 // 2000 parts at sf0.01; any remainder joins the last file
+    QueryDef(
+      "q93_zorder",
+      s"""WITH d AS (
+         |  SELECT p_partkey, p_size - 1 AS sz,
+         |    CAST(floor((p_retailprice - 900.0) * 64.0 / 100.0) AS BIGINT) AS pb
+         |  FROM part),
+         |z AS (
+         |  SELECT p_partkey, sz, pb, ${zvalSql("sz", "pb", 6)} AS zv FROM d),
+         |f AS (
+         |  SELECT sz, pb,
+         |    (row_number() OVER (ORDER BY zv, p_partkey) - 1) // $ROWS_PER_FILE AS file_id
+         |  FROM z)
+         |SELECT CAST(least(file_id, ${FILES - 1}) AS BIGINT) AS file_id,
+         |  count(*) AS n,
+         |  CAST(min(sz) AS BIGINT) AS min_sz, CAST(max(sz) AS BIGINT) AS max_sz,
+         |  CAST(min(pb) AS BIGINT) AS min_pb, CAST(max(pb) AS BIGINT) AS max_pb
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val d = Tables.part(s, dir).select(
+        col("p_partkey"),
+        (col("p_size") - 1).cast("long").as("sz"),
+        floor((col("p_retailprice") - lit(900.0)) * lit(64.0) / lit(100.0))
+          .cast("long").as("pb"))
+      val z = d.withColumn("zv", zval("sz", "pb", 6))
+      // the layout step at scale is repartitionByRange(zv) +
+      // sortWithinPartitions(zv) on the write; the gate reproduces the
+      // same global order relationally to expose the per-file boxes
+      z.withColumn("rn", row_number().over(Window.orderBy(col("zv"), col("p_partkey"))))
+        .withColumn("file_id",
+          least(expr(s"(rn - 1) div $ROWS_PER_FILE"), lit(FILES - 1L)).cast("long"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("sz")).as("min_sz"), max(col("sz")).as("max_sz"),
+          min(col("pb")).as("min_pb"), max(col("pb")).as("max_pb"))
+        .orderBy("file_id")
+    }
+  }
+
+  /** Files whose [min,max] box intersects the query box — what a
+    * min/max-statistics pruner would scan. */
+  private[graft] def filesScanned(
+      stats: DataFrame,
+      szRange: Option[(Long, Long)], pbRange: Option[(Long, Long)]): Long = {
+    val szHit = szRange.map { case (lo, hi) =>
+      col("max_sz") >= lo && col("min_sz") <= hi
+    }.getOrElse(lit(true))
+    val pbHit = pbRange.map { case (lo, hi) =>
+      col("max_pb") >= lo && col("min_pb") <= hi
+    }.getOrElse(lit(true))
+    stats.filter(szHit && pbHit).count()
+  }
+
+  val all: Seq[QueryDef] = Seq(q93ZOrder)
+}
