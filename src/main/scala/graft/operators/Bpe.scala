@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BPE (byte-pair encoding) merge induction — the first stage of
+  * tokenizer training (Sennrich et al. 2016): repeatedly find the
+  * most frequent adjacent symbol pair across the corpus and fuse it
+  * into a new symbol. This is the canonical "sequential-looking"
+  * corpus algorithm; here each round is a pure relational pass so the
+  * whole induction distributes:
+  *
+  *  - state = (word, freq, pos, sym) rows — symbols of each distinct
+  *    word, weighted by corpus frequency. Positions keep gaps after
+  *    merges; adjacency is "next row by pos within word" (a `lead`
+  *    window over short partitions), never an index recomputation.
+  *  - pair counting is one map-side-combinable aggregate;
+  *  - the argmax pair broadcasts back as a 1-row frame (no driver
+  *    collect in the loop);
+  *  - greedy left-to-right application — the part folklore says needs
+  *    a sequential scan — is exact relationally: matches overlap only
+  *    in runs of consecutive matched rows (for l≠r a run has length 1
+  *    by construction; l=r gives "aaaa" chains), and greedy = keeping
+  *    the odd-indexed matches within each run. Runs are gaps-and-
+  *    islands (rn − rn-among-matches), the same shape as q81.
+  *  - `localCheckpoint` per round truncates the 8-round lineage, the
+  *    q37/q65 iterative pattern.
+  *
+  * The DuckDB oracle unrolls the SAME 8 rounds as generated CTE
+  * blocks from one shared loop, so both engines execute the identical
+  * algorithm and the merge table (step, l, r, merged, cnt) gates
+  * bit-exactly.
+  */
+object Bpe {
+
+  private val MERGES = 8
+
+  /** One oracle step: pair-count + argmax + greedy apply, as CTEs. */
+  private def stepSql(k: Int): String = {
+    val prev = if (k == 1) "s0" else s"s${k - 1}"
+    s"""w$k AS (SELECT word, freq, pos, sym,
+       |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM $prev),
+       |b$k AS (SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM w$k WHERE nxt IS NOT NULL GROUP BY 1, 2
+       |  ORDER BY cnt DESC, l, r LIMIT 1),
+       |m$k AS (SELECT word, freq, pos, sym, b.l AS bl, b.r AS br,
+       |    CASE WHEN sym = b.l AND nxt = b.r THEN 1 ELSE 0 END AS m,
+       |    row_number() OVER (PARTITION BY word ORDER BY pos) AS rn,
+       |    row_number() OVER (PARTITION BY word,
+       |      CASE WHEN sym = b.l AND nxt = b.r THEN 1 ELSE 0 END
+       |      ORDER BY pos) AS mrn
+       |  FROM w$k, b$k b),
+       |a$k AS (SELECT *, CASE WHEN m = 1 AND
+       |    (row_number() OVER (PARTITION BY word,
+       |       CASE WHEN m = 1 THEN rn - mrn END ORDER BY pos)) % 2 = 1
+       |    THEN TRUE ELSE FALSE END AS active
+       |  FROM m$k),
+       |s$k AS (SELECT word, freq, pos,
+       |    CASE WHEN active THEN bl || br ELSE sym END AS sym
+       |  FROM (SELECT *, coalesce(lag(active) OVER (PARTITION BY word ORDER BY pos),
+       |                           FALSE) AS prev_active FROM a$k)
+       |  WHERE NOT prev_active)""".stripMargin
+  }
+
+  private def oracleSql: String = {
+    val steps = (1 to MERGES).map(stepSql).mkString(",\n")
+    val out = (1 to MERGES)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS step, l, r, l || r AS merged, cnt FROM b$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH wf AS (
+       |  SELECT word, count(*) AS freq FROM
+       |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |s0 AS (
+       |  SELECT word, freq, pos, substring(word, CAST(pos AS INT), 1) AS sym
+       |  FROM (SELECT word, freq, unnest(generate_series(1, len(word))) AS pos FROM wf)),
+       |$steps
+       |SELECT * FROM (
+       |  $out
+       |) ORDER BY step""".stripMargin
+  }
+
+  /** One Spark round: returns (next state, this round's 1-row merge). */
+  private def step(state: DataFrame): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val withNext = state.withColumn("nxt", lead(col("sym"), 1).over(w))
+    val best = withNext.filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("l"), col("nxt").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("l"), col("r"))
+      .limit(1)
+      .localCheckpoint() // consumed by the apply pass AND the output union
+    val matched = withNext
+      .crossJoin(broadcast(best.select(col("l"), col("r"))))
+      .withColumn("m", (col("sym") === col("l") && col("nxt") === col("r")).cast("int"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("mrn", row_number().over(
+        Window.partitionBy(col("word"), col("m")).orderBy(col("pos"))))
+      .withColumn("grp", when(col("m") === 1, col("rn") - col("mrn")))
+      .withColumn("active", col("m") === 1 && pmod(
+        row_number().over(Window.partitionBy(col("word"), col("grp")).orderBy(col("pos"))),
+        lit(2)) === 1)
+      .withColumn("prev_active", lag(col("active"), 1, false).over(w))
+    val next = matched
+      .filter(!col("prev_active"))
+      .select(col("word"), col("freq"), col("pos"),
+        when(col("active"), concat(col("l"), col("r"))).otherwise(col("sym")).as("sym"))
+      .localCheckpoint()
+    (next, best)
+  }
+
+  /** Learn the first `n` merges from any frame with a `text` column:
+    * the merge table (step, l, r, merged, cnt). */
+  private[graft] def mergesFor(docs: DataFrame, n: Int): DataFrame = {
+    val wf = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var state = wf
+      .filter(length(col("word")) >= 1) // sequence(1, 0) counts DOWN
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("pos"))
+      .withColumn("sym", expr("substring(word, pos, 1)"))
+      .localCheckpoint()
+    val merges = (1 to n).map { k =>
+      val (next, best) = step(state)
+      state = next
+      best.select(lit(k.toLong).as("step"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("cnt"))
+    }
+    merges.reduce(_ unionAll _).orderBy("step")
+  }
+
+  /** q94: the first 8 BPE merges learned from the documents corpus —
+    * (step, left, right, merged symbol, weighted pair count). */
+  val q94BpeMerges: QueryDef = QueryDef("q94_bpe_merges", oracleSql) { (s, dir) =>
+    mergesFor(
+      Tables.documents(s, dir)
+        .repartition(col("doc_id")), // single-file scan -> use every core
+      MERGES)
+  }
+
+  val all: Seq[QueryDef] = Seq(q94BpeMerges)
+}
