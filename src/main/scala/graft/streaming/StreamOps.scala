@@ -46,6 +46,23 @@ object StreamOps {
         col("event_type"), col("n"),
         col("total").cast("double").as("total"))
 
+  /** Streaming VARIANT extraction (q86's streaming twin): each JSON
+    * payload is parsed ONCE into the binary variant encoding on
+    * arrival — the scale path when the same payload feeds several
+    * probes — then `try_variant_get` probes ride a watermarked
+    * tumbling aggregate. Malformed JSON and non-numeric fields
+    * null out exactly as in the batch path (try_ semantics), so
+    * batch/stream agreement is testable row-for-row. */
+  def variantWindowed(
+      df: DataFrame, tsCol: String, windowLen: String, delay: String): DataFrame =
+    df.withColumn("v", try_parse_json(col("props")))
+      .withColumn("k", expr("try_variant_get(v, '$.k', 'bigint')"))
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"), sum(col("k")).as("sum_k"))
+      .select(col("w.start").as("window_start"),
+        col("event_type"), col("n"), col("n_k"), col("sum_k"))
+
   /** Watermarked sliding-window counts (streaming twin of q72): each
     * event contributes to windowLen/slide overlapping windows, and a
     * window finalizes when the watermark passes its END — so the

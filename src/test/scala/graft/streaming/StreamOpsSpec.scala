@@ -57,6 +57,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("variantWindowed parses once, nulls malformed/non-numeric, agrees with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val df = in.toDF().toDF("ts", "event_type", "props")
+    val q = StreamOps.variantWindowed(df, "ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("variant_out")
+      .outputMode(OutputMode.Append).start()
+    val data = Seq(
+      (ts(1), "click", """{"k": 7}"""),
+      (ts(3), "click", """{"k": "abc"}"""), // non-numeric -> null k
+      (ts(4), "click", """not json at all"""), // malformed -> null variant
+      (ts(6), "view", """{"k": 35}"""))
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData((ts(26), "view", """{}""")) // advance watermark past [0,10)
+      q.processAllAvailable()
+      val streamed = spark.table("variant_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+      // the batch twin over the same finalized-window rows
+      val batch = data.toDF("ts", "event_type", "props")
+        .withColumn("v", try_parse_json(col("props")))
+        .withColumn("k", expr("try_variant_get(v, '$.k', 'bigint')"))
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"), sum(col("k")).as("sum_k"))
+        .collect().map(r => (r.getStruct(0).getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      // the try_ semantics themselves: 3 click events, only 1 numeric k
+      assert(streamed.exists(t => t._2 == "click" && t._3 == 3L && t._4 == 1L && t._5 == 7L))
+    } finally q.stop()
+  }
+
   test("slidingCounts finalized windows agree with the batch sliding aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
