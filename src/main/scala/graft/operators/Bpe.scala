@@ -5,12 +5,13 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** BPE (byte-pair encoding) merge induction — the first stage of
-  * tokenizer training (Sennrich et al. 2016): repeatedly find the
-  * most frequent adjacent symbol pair across the corpus and fuse it
-  * into a new symbol. This is the canonical "sequential-looking"
-  * corpus algorithm; here each round is a pure relational pass so the
-  * whole induction distributes:
+/** BPE (byte-pair encoding) tokenizer training AND application
+  * (Sennrich et al. 2016): repeatedly find the most frequent adjacent
+  * symbol pair across the corpus and fuse it into a new symbol
+  * (training, q94); then ENCODE new text by replaying the learned
+  * merges in order (application, q98). This is the canonical
+  * "sequential-looking" corpus algorithm; here each round is a pure
+  * relational pass so the whole induction distributes:
   *
   *  - state = (word, freq, pos, sym) rows — symbols of each distinct
   *    word, weighted by corpus frequency. Positions keep gaps after
@@ -28,16 +29,38 @@ import org.apache.spark.sql.functions._
   *  - `localCheckpoint` per round truncates the 8-round lineage, the
   *    q37/q65 iterative pattern.
   *
-  * The DuckDB oracle unrolls the SAME 8 rounds as generated CTE
-  * blocks from one shared loop, so both engines execute the identical
-  * algorithm and the merge table (step, l, r, merged, cnt) gates
-  * bit-exactly.
+  * The DuckDB oracle unrolls the SAME rounds as generated CTE blocks
+  * from one shared loop, so both engines execute the identical
+  * algorithm: the merge table (q94) and the encoded-symbol histogram
+  * (q98) both gate bit-exactly.
   */
 object Bpe {
 
   private val MERGES = 8
 
-  /** One oracle step: pair-count + argmax + greedy apply, as CTEs. */
+  /** Greedy-apply CTEs: fuse pair `b` (columns l, r) everywhere in
+    * lead-annotated state `w` (word, freq, pos, sym, nxt), emitting
+    * `out`. Shared by the training and encoding unrolls. */
+  private def applySql(w: String, b: String, out: String): String =
+    s"""m_$out AS (SELECT word, freq, pos, sym, b.l AS bl, b.r AS br,
+       |    CASE WHEN sym = b.l AND nxt = b.r THEN 1 ELSE 0 END AS m,
+       |    row_number() OVER (PARTITION BY word ORDER BY pos) AS rn,
+       |    row_number() OVER (PARTITION BY word,
+       |      CASE WHEN sym = b.l AND nxt = b.r THEN 1 ELSE 0 END
+       |      ORDER BY pos) AS mrn
+       |  FROM $w, $b b),
+       |a_$out AS (SELECT *, CASE WHEN m = 1 AND
+       |    (row_number() OVER (PARTITION BY word,
+       |       CASE WHEN m = 1 THEN rn - mrn END ORDER BY pos)) % 2 = 1
+       |    THEN TRUE ELSE FALSE END AS active
+       |  FROM m_$out),
+       |$out AS (SELECT word, freq, pos,
+       |    CASE WHEN active THEN bl || br ELSE sym END AS sym
+       |  FROM (SELECT *, coalesce(lag(active) OVER (PARTITION BY word ORDER BY pos),
+       |                           FALSE) AS prev_active FROM a_$out)
+       |  WHERE NOT prev_active)""".stripMargin
+
+  /** One training step: pair-count + argmax (b$k) + greedy apply. */
   private def stepSql(k: Int): String = {
     val prev = if (k == 1) "s0" else s"s${k - 1}"
     s"""w$k AS (SELECT word, freq, pos, sym,
@@ -45,54 +68,65 @@ object Bpe {
        |b$k AS (SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
        |  FROM w$k WHERE nxt IS NOT NULL GROUP BY 1, 2
        |  ORDER BY cnt DESC, l, r LIMIT 1),
-       |m$k AS (SELECT word, freq, pos, sym, b.l AS bl, b.r AS br,
-       |    CASE WHEN sym = b.l AND nxt = b.r THEN 1 ELSE 0 END AS m,
-       |    row_number() OVER (PARTITION BY word ORDER BY pos) AS rn,
-       |    row_number() OVER (PARTITION BY word,
-       |      CASE WHEN sym = b.l AND nxt = b.r THEN 1 ELSE 0 END
-       |      ORDER BY pos) AS mrn
-       |  FROM w$k, b$k b),
-       |a$k AS (SELECT *, CASE WHEN m = 1 AND
-       |    (row_number() OVER (PARTITION BY word,
-       |       CASE WHEN m = 1 THEN rn - mrn END ORDER BY pos)) % 2 = 1
-       |    THEN TRUE ELSE FALSE END AS active
-       |  FROM m$k),
-       |s$k AS (SELECT word, freq, pos,
-       |    CASE WHEN active THEN bl || br ELSE sym END AS sym
-       |  FROM (SELECT *, coalesce(lag(active) OVER (PARTITION BY word ORDER BY pos),
-       |                           FALSE) AS prev_active FROM a$k)
-       |  WHERE NOT prev_active)""".stripMargin
+       |${applySql(s"w$k", s"b$k", s"s$k")}""".stripMargin
   }
 
-  private def oracleSql: String = {
+  /** One encoding step: lead-annotate e-state, replay learned b$k. */
+  private def encStepSql(k: Int): String = {
+    val prev = if (k == 1) "e0" else s"e${k - 1}"
+    s"""ew$k AS (SELECT word, freq, pos, sym,
+       |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM $prev),
+       |${applySql(s"ew$k", s"b$k", s"e$k")}""".stripMargin
+  }
+
+  /** Character state from a word-frequency relation `wf(word, freq)`. */
+  private def charStateSql(wf: String, out: String): String =
+    s"""$out AS (
+       |  SELECT word, freq, pos, substring(word, CAST(pos AS INT), 1) AS sym
+       |  FROM (SELECT word, freq, unnest(generate_series(1, len(word))) AS pos FROM $wf))""".stripMargin
+
+  private def trainCtes: String = {
     val steps = (1 to MERGES).map(stepSql).mkString(",\n")
-    val out = (1 to MERGES)
-      .map(k => s"SELECT CAST($k AS BIGINT) AS step, l, r, l || r AS merged, cnt FROM b$k")
-      .mkString("\n  UNION ALL ")
-    s"""WITH wf AS (
+    s"""wf AS (
        |  SELECT word, count(*) AS freq FROM
        |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  GROUP BY word),
-       |s0 AS (
-       |  SELECT word, freq, pos, substring(word, CAST(pos AS INT), 1) AS sym
-       |  FROM (SELECT word, freq, unnest(generate_series(1, len(word))) AS pos FROM wf)),
-       |$steps
+       |${charStateSql("wf", "s0")},
+       |$steps""".stripMargin
+  }
+
+  private def oracleSql: String = {
+    val out = (1 to MERGES)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS step, l, r, l || r AS merged, cnt FROM b$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $trainCtes
        |SELECT * FROM (
        |  $out
        |) ORDER BY step""".stripMargin
   }
 
-  /** One Spark round: returns (next state, this round's 1-row merge). */
-  private def step(state: DataFrame): (DataFrame, DataFrame) = {
+  /** q98 oracle: learn the merges on the full corpus (identical CTEs
+    * to q94), then replay them over the held-out shard's words. */
+  private def encodeOracleSql: String = {
+    val encSteps = (1 to MERGES).map(encStepSql).mkString(",\n")
+    s"""WITH $trainCtes,
+       |ewf AS (
+       |  SELECT word, count(*) AS freq FROM
+       |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |     WHERE doc_id % 10 = 3)
+       |  GROUP BY word),
+       |${charStateSql("ewf", "e0")},
+       |$encSteps
+       |SELECT sym, CAST(sum(freq) AS BIGINT) AS freq
+       |FROM e$MERGES GROUP BY sym
+       |ORDER BY freq DESC, sym LIMIT 30""".stripMargin
+  }
+
+  /** Greedy left-to-right fuse of `best` (1-row l/r frame, broadcast)
+    * into the state — the islands construction in the scaladoc. */
+  private def applyPair(state: DataFrame, best: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("word")).orderBy(col("pos"))
-    val withNext = state.withColumn("nxt", lead(col("sym"), 1).over(w))
-    val best = withNext.filter(col("nxt").isNotNull)
-      .groupBy(col("sym").as("l"), col("nxt").as("r"))
-      .agg(sum(col("freq")).as("cnt"))
-      .orderBy(col("cnt").desc, col("l"), col("r"))
-      .limit(1)
-      .localCheckpoint() // consumed by the apply pass AND the output union
-    val matched = withNext
+    state.withColumn("nxt", lead(col("sym"), 1).over(w))
       .crossJoin(broadcast(best.select(col("l"), col("r"))))
       .withColumn("m", (col("sym") === col("l") && col("nxt") === col("r")).cast("int"))
       .withColumn("rn", row_number().over(w))
@@ -103,34 +137,55 @@ object Bpe {
         row_number().over(Window.partitionBy(col("word"), col("grp")).orderBy(col("pos"))),
         lit(2)) === 1)
       .withColumn("prev_active", lag(col("active"), 1, false).over(w))
-    val next = matched
       .filter(!col("prev_active"))
       .select(col("word"), col("freq"), col("pos"),
         when(col("active"), concat(col("l"), col("r"))).otherwise(col("sym")).as("sym"))
       .localCheckpoint()
-    (next, best)
   }
 
-  /** Learn the first `n` merges from any frame with a `text` column:
-    * the merge table (step, l, r, merged, cnt). */
-  private[graft] def mergesFor(docs: DataFrame, n: Int): DataFrame = {
-    val wf = docs
+  /** One Spark training round: returns (next state, this round's
+    * 1-row merge). */
+  private def step(state: DataFrame): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val best = state.withColumn("nxt", lead(col("sym"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("l"), col("nxt").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("l"), col("r"))
+      .limit(1)
+      .localCheckpoint() // consumed by the apply pass AND the output union
+    (applyPair(state, best), best)
+  }
+
+  /** Per-word character state of any frame with a `text` column. */
+  private def charState(docs: DataFrame): DataFrame =
+    docs
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    var state = wf
       .filter(length(col("word")) >= 1) // sequence(1, 0) counts DOWN
       .select(col("word"), col("freq"),
         explode(sequence(lit(1), length(col("word")))).as("pos"))
       .withColumn("sym", expr("substring(word, pos, 1)"))
       .localCheckpoint()
-    val merges = (1 to n).map { k =>
+
+  /** Run `n` training rounds; returns the per-round 1-row merge
+    * frames (each checkpointed — replayable without re-derivation). */
+  private def induce(docs: DataFrame, n: Int): Seq[DataFrame] = {
+    var state = charState(docs)
+    (1 to n).map { _ =>
       val (next, best) = step(state)
       state = next
-      best.select(lit(k.toLong).as("step"), col("l"), col("r"),
-        concat(col("l"), col("r")).as("merged"), col("cnt"))
+      best
     }
-    merges.reduce(_ unionAll _).orderBy("step")
   }
+
+  /** Learn the first `n` merges from any frame with a `text` column:
+    * the merge table (step, l, r, merged, cnt). */
+  private[graft] def mergesFor(docs: DataFrame, n: Int): DataFrame =
+    induce(docs, n).zipWithIndex.map { case (best, i) =>
+      best.select(lit((i + 1).toLong).as("step"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("cnt"))
+    }.reduce(_ unionAll _).orderBy("step")
 
   /** q94: the first 8 BPE merges learned from the documents corpus —
     * (step, left, right, merged symbol, weighted pair count). */
@@ -141,5 +196,31 @@ object Bpe {
       MERGES)
   }
 
-  val all: Seq[QueryDef] = Seq(q94BpeMerges)
+  /** Learn `n` merges from `train`, replay them over `enc`'s words;
+    * returns the final encoded state (word, freq, pos, sym). */
+  private[graft] def encodeState(train: DataFrame, enc: DataFrame, n: Int): DataFrame = {
+    val bests = induce(train, n)
+    var state = charState(enc)
+    for (b <- bests) state = applyPair(state, b)
+    state
+  }
+
+  /** q98: ENCODE a held-out shard (doc_id % 10 = 3) with the merges
+    * learned from the full corpus — the apply half of the tokenizer.
+    * Replays each learned pair in training order over the shard's
+    * character state (the standard BPE encode: merges apply by learned
+    * rank), then reports the resulting subword histogram. At scale the
+    * merge table is the broadcast model artifact and each replay round
+    * is the same islands pass as training — no per-word loops, no
+    * driver participation. */
+  val q98BpeEncode: QueryDef = QueryDef("q98_bpe_encode", encodeOracleSql) { (s, dir) =>
+    val full = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // single-file scan -> use every core
+    encodeState(full, full.filter(col("doc_id") % 10 === 3), MERGES)
+      .groupBy(col("sym")).agg(sum(col("freq")).as("freq"))
+      .orderBy(col("freq").desc, col("sym"))
+      .limit(30)
+  }
+
+  val all: Seq[QueryDef] = Seq(q94BpeMerges, q98BpeEncode)
 }

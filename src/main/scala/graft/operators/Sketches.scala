@@ -435,6 +435,65 @@ object Sketches {
       est("diff_cnt").as("est_diff"))
   }
 
+  /** Count-min sketch (q97) — the mergeable point-frequency summary
+    * (Cormode & Muthukrishnan 2005): a d×w integer grid where every
+    * token occurrence increments one counter per row, and a point
+    * estimate is the MIN over its d counters (always ≥ the true count;
+    * error ≤ εn with w = ⌈e/ε⌉ at probability 1−(1/2)^d).
+    *
+    * Scale shape: the grid build is ONE map-side-combinable aggregate
+    * over (row, bucket) — d·w = 1024 cells of state regardless of
+    * vocabulary size, the whole point at 100 TB where the exact
+    * per-token groupBy shuffles the full vocabulary. The probe side
+    * joins the finished grid BROADCAST. Estimates are deterministic:
+    * buckets come from the engine-portable md5-prefix hash, so the
+    * DuckDB oracle replays the identical grid and gates the estimator
+    * itself (the exact counts ride alongside for the error margin). */
+  val q97CountMin: QueryDef = {
+    val D = 4 // hash rows
+    val TOPQ = 20 // probed tokens: top-20 by true frequency
+    QueryDef(
+      "q97_countmin",
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |rb AS (
+         |  SELECT tok, r,
+         |    ('0x' || substring(md5('cm' || CAST(r AS VARCHAR) || ':' || tok), 1, 2))::INT AS bucket
+         |  FROM t, unnest(range(0, $D)) AS u(r)),
+         |cms AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt FROM rb GROUP BY 1, 2),
+         |tc AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM t
+         |  GROUP BY tok ORDER BY true_cnt DESC, tok LIMIT $TOPQ),
+         |qb AS (
+         |  SELECT tok, true_cnt, r,
+         |    ('0x' || substring(md5('cm' || CAST(r AS VARCHAR) || ':' || tok), 1, 2))::INT AS bucket
+         |  FROM tc, unnest(range(0, $D)) AS u(r))
+         |SELECT q.tok, q.true_cnt, min(c.cnt) AS est_cnt
+         |FROM qb q JOIN cms c USING (r, bucket)
+         |GROUP BY 1, 2
+         |ORDER BY true_cnt DESC, tok""".stripMargin) { (s, dir) =>
+      // w=256 buckets per row: 2 hex chars of the salted digest
+      def bucket(r: Int, tok: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(s"cm$r:"), tok)), 1, 2), 16, 10).cast("int")
+      def withBuckets(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("rb", explode(array((0 until D).map(r =>
+          struct(lit(r).as("r"), bucket(r, col("tok")).as("bucket"))): _*)))
+        .select(df.columns.map(col) :+ col("rb.r") :+ col("rb.bucket"): _*)
+      val toks = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // single-file scan -> use every core
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .localCheckpoint() // feeds the grid build AND the true counts
+      val cms = withBuckets(toks)
+        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      val tc = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("tok")).limit(TOPQ)
+      withBuckets(tc)
+        .join(broadcast(cms), Seq("r", "bucket"))
+        .groupBy(col("tok"), col("true_cnt")).agg(min(col("cnt")).as("est_cnt"))
+        .orderBy(col("true_cnt").desc, col("tok"))
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q36KmvSketch, q67HeavyHitters, q85SampleQuantiles, q88ThetaSketch)
+    Seq(q36KmvSketch, q67HeavyHitters, q85SampleQuantiles, q88ThetaSketch,
+      q97CountMin)
 }

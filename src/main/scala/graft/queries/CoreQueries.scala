@@ -594,10 +594,69 @@ object CoreQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** q99 — TPC-H Q5-shaped six-table star join: local-supplier revenue
+    * per nation within one region and year. The canonical "did the
+    * optimizer get the join order right" query, stated declaratively:
+    *
+    *  - region→nation is the only hint-broadcast: those stay tiny at
+    *    any SF, and the region filter prunes nations (and through the
+    *    join, customers) before any fact row is touched;
+    *  - customer and supplier SCALE WITH SF — they are declared as
+    *    plain equi-joins, shuffling on their keys at 100 TB while AQE
+    *    freely converts them to broadcast at small SF. Hint-forcing
+    *    them would OOM the driver at scale (the q35-label lesson:
+    *    never bake a size assumption that the data outgrows);
+    *  - the fact-fact exchanges (orders⋈lineitem, then supplier)
+    *    carry rows already cut by the pushed-down date filter and the
+    *    nation semi-join;
+    *  - revenue sums as decimal (exact, order-insensitive), the q01
+    *    discipline. */
+  val q99StarJoin: QueryDef = QueryDef(
+    "q99_star_join",
+    """SELECT n.n_name,
+      |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lineitems
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n.n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    val nations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(d(sum(col("rev"))).as("revenue"), count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02SurrogateKey, q03AntiJoin, q04DecodeBroadcast,
     q05Dates, q06TryNumeric, q07SignedAmount, q08SetOps, q09WindowRank,
     q10TopK, q11FilterProject, q12EtlPipeline, q13LeftJoin, q14Distinct,
     q15TopkNative, q16Strings, q17Percentiles, q18Stats, q19DateMath,
-    q39JoinTypes, q46RangeJoin, q47Running)
+    q39JoinTypes, q46RangeJoin, q47Running, q99StarJoin)
 }
