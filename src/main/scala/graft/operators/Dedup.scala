@@ -672,8 +672,69 @@ object Dedup {
     }
   }
 
+  /** q100 — SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with k-means, then find
+    * exact-cosine near-dups ONLY within each cluster and keep one
+    * representative (the smallest vec_id) per duplicate pair. The
+    * cluster assignment is the blocking key — like q35's LSH buckets
+    * but LEARNED, so blocks follow the data's own density instead of
+    * random hyperplanes.
+    *
+    * Scale shape: assignment reuses [[Learn]]'s integer-exact
+    * machinery (quantized points checkpointed once, k·dim centroids
+    * broadcast — the corpus never shuffles for assignment); the
+    * within-cluster pair join is quadratic ONLY per cluster, and k
+    * grows with the corpus to keep cluster sizes bounded (the paper
+    * runs k=50k on 5B embeddings). Cosines are the codegen'd native
+    * expression, bit-identical to the oracle's term sums. */
+  val q100SemanticDedup: QueryDef = {
+    val K = 4 // centroid count at test scale
+    val TAU = "0.35"
+    QueryDef(
+      "q100_semantic_dedup",
+      s"""WITH ${graft.operators.Learn.ptsCte},
+         |c0 AS (SELECT vec_id AS cid, pos, q AS c FROM pts WHERE vec_id < $K),
+         |${graft.operators.Learn.assignSql(1, "pts", "c0")},
+         |e AS (
+         |  SELECT a1.vec_id, a1.cid, em.embedding AS v
+         |  FROM a1 JOIN embeddings em ON a1.vec_id = em.vec_id),
+         |p AS (
+         |  SELECT a.cid, b.vec_id AS b
+         |  FROM e a JOIN e b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE (${dotSql("a.v", "b.v", DIM)}) /
+         |    (sqrt(${dotSql("a.v", "a.v", DIM)}) * sqrt(${dotSql("b.v", "b.v", DIM)})) >= $TAU),
+         |drp AS (SELECT cid, count(DISTINCT b) AS n_dropped FROM p GROUP BY cid),
+         |m AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM a1 GROUP BY cid)
+         |SELECT m.cid, m.n_members,
+         |  CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+         |  CAST(m.n_members - coalesce(d.n_dropped, 0) AS BIGINT) AS n_kept
+         |FROM m LEFT JOIN drp d USING (cid)
+         |ORDER BY m.cid""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val pts = Learn.points(emb).localCheckpoint()
+      val cent = pts.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("pos"), col("q").as("c"))
+      // one assignment pass feeds the member counts AND both pair sides
+      val asg = Learn.assign(pts, cent).localCheckpoint()
+      val e = asg.select(col("vec_id"), col("cid"))
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      val dropped = e.select(col("vec_id").as("a"), col("cid"), col("embedding").as("va"))
+        .join(e.select(col("vec_id").as("b"), col("cid").as("cidb"), col("embedding").as("vb")),
+          col("cid") === col("cidb") && col("a") < col("b"))
+        .filter(expr("cosine_sim(va, vb)") >= expr(TAU))
+        .groupBy(col("cid")).agg(countDistinct(col("b")).as("n_dropped"))
+      asg.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+        .join(dropped, Seq("cid"), "left")
+        .select(col("cid"), col("n_members"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+        .orderBy(col("cid"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
     q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters, q38DedupPipeline,
-    q69SpanDedup, q75Contamination, q78SortedNeighborhood)
+    q69SpanDedup, q75Contamination, q78SortedNeighborhood, q100SemanticDedup)
 }

@@ -48,7 +48,7 @@ object Learn {
       .select(col("vec_id"), (col("p0") + 1).as("pos"),
         floor(col("v").cast("double") * SCALE).cast("long").as("q"))
 
-  private val ptsCte: String =
+  private[graft] val ptsCte: String =
     s"""pts AS (
        |  SELECT vec_id, i AS pos,
        |    CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * $SCALE) AS BIGINT) AS q
@@ -68,7 +68,7 @@ object Learn {
   }
 
   /** Oracle twin of [[assign]]: dN/aN CTE pair over `centCte`. */
-  private def assignSql(n: Int, from: String, cent: String): String =
+  private[graft] def assignSql(n: Int, from: String, cent: String): String =
     s"""d$n AS (
        |  SELECT p.vec_id, c.cid,
        |    CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS dist

@@ -449,6 +449,19 @@ object Sketches {
     * buckets come from the engine-portable md5-prefix hash, so the
     * DuckDB oracle replays the identical grid and gates the estimator
     * itself (the exact counts ride alongside for the error margin). */
+  /** Count-min bucket for hash row `r`: w=256 buckets, 2 hex chars of
+    * the salted engine-portable digest. Shared by batch q97 and the
+    * streaming windowed grid ([[graft.streaming.StreamOps.countMinWindowed]]). */
+  private[graft] def cmsBucket(r: Int, tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit(s"cm$r:"), tok)), 1, 2), 16, 10).cast("int")
+
+  /** Explode a frame with a `tok` column into d (r, bucket) rows per
+    * token occurrence — the grid-increment stream. */
+  private[graft] def withCmsBuckets(df: org.apache.spark.sql.DataFrame, d: Int): org.apache.spark.sql.DataFrame = df
+    .withColumn("rb", explode(array((0 until d).map(r =>
+      struct(lit(r).as("r"), cmsBucket(r, col("tok")).as("bucket"))): _*)))
+    .select(df.columns.map(col) :+ col("rb.r") :+ col("rb.bucket"): _*)
+
   val q97CountMin: QueryDef = {
     val D = 4 // hash rows
     val TOPQ = 20 // probed tokens: top-20 by true frequency
@@ -471,13 +484,7 @@ object Sketches {
          |FROM qb q JOIN cms c USING (r, bucket)
          |GROUP BY 1, 2
          |ORDER BY true_cnt DESC, tok""".stripMargin) { (s, dir) =>
-      // w=256 buckets per row: 2 hex chars of the salted digest
-      def bucket(r: Int, tok: org.apache.spark.sql.Column) =
-        conv(substring(md5(concat(lit(s"cm$r:"), tok)), 1, 2), 16, 10).cast("int")
-      def withBuckets(df: org.apache.spark.sql.DataFrame) = df
-        .withColumn("rb", explode(array((0 until D).map(r =>
-          struct(lit(r).as("r"), bucket(r, col("tok")).as("bucket"))): _*)))
-        .select(df.columns.map(col) :+ col("rb.r") :+ col("rb.bucket"): _*)
+      def withBuckets(df: org.apache.spark.sql.DataFrame) = withCmsBuckets(df, D)
       val toks = Tables.documents(s, dir)
         .repartition(col("doc_id")) // single-file scan -> use every core
         .select(explode(split(col("text"), " ")).as("tok"))

@@ -606,8 +606,49 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** q101 — deterministic stratified train/val/test split: every doc
+    * lands in a split by pure hash arithmetic (md5 of its id → bucket
+    * 0..99 → 80/10/10), so the split is REPRODUCIBLE from the data
+    * alone — no stored assignment table, no RNG seed to lose, stable
+    * under re-runs, insertions, and repartitioning (the property that
+    * matters when the corpus is re-materialized between training
+    * runs). Per (source, split): doc count and token mass, the
+    * stratification audit a curation pipeline reports.
+    *
+    * Scale shape: embarrassingly parallel projection + one partial-agg
+    * shuffle of |sources|·3 rows; the same bucket expression serves as
+    * a write-time partition column at 100 TB so each split prunes to
+    * its own files. */
+  val q101Split: QueryDef = QueryDef(
+    "q101_split",
+    """WITH b AS (
+      |  SELECT source, len(string_split(text, ' ')) AS n_tokens,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS bucket
+      |  FROM documents)
+      |SELECT source,
+      |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |FROM b GROUP BY 1, 2
+      |ORDER BY source, split""".stripMargin) { (s, dir) =>
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("int"),
+      lit(100))
+    Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).as("n_tokens"),
+        bucket.as("bucket"))
+      .select(col("source"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"),
+        col("n_tokens"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("n_tokens"))
+      .orderBy("source", "split")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
       q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,
-      q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob)
+      q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob, q101Split)
 }

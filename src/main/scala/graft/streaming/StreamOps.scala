@@ -110,6 +110,25 @@ object StreamOps {
       }
   }
 
+  /** Streaming count-min grid (q97's streaming twin): the d×w counter
+    * grid per tumbling window, built by the same engine-portable
+    * bucket expressions as the batch sketch
+    * ([[graft.operators.Sketches.withCmsBuckets]]). Because the grid
+    * is a pure sum, the streaming aggregate IS the sketch merge —
+    * state per window is bounded at d·w counters no matter how many
+    * tokens arrive, and a closed window's grid equals the batch grid
+    * over the same rows (StreamOpsSpec pins the agreement). Point
+    * estimates probe the emitted grid exactly as in q97: min over a
+    * token's d buckets. */
+  def countMinWindowed(
+      df: DataFrame, // needs (tok, ts)
+      tsCol: String, windowLen: String, delay: String, d: Int): DataFrame =
+    graft.operators.Sketches.withCmsBuckets(df, d)
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("r"), col("bucket"), col("cnt"))
+
   /** File-source stream over a directory of parquet event files — the
     * continuous version of the reference's new-files loop. Caller
     * supplies the schema (file streams cannot infer). The driver's

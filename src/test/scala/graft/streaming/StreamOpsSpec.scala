@@ -57,6 +57,41 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("countMinWindowed: a closed window's grid equals the batch grid over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "tok")
+    val q = StreamOps.countMinWindowed(df, "ts", "10 minutes", "5 minutes", d = 4)
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode(OutputMode.Append).start()
+    val window1 = Seq((ts(1), "alpha"), (ts(2), "beta"), (ts(4), "alpha"),
+      (ts(7), "gamma"), (ts(9), "alpha"))
+    try {
+      in.addData(window1: _*)
+      q.processAllAvailable()
+      in.addData((ts(26), "later")) // advance watermark past [0,10)
+      q.processAllAvailable()
+      val got = spark.table("cms_out")
+        .filter(col("window_start") === ts(0))
+        .select("r", "bucket", "cnt")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      val batch = graft.operators.Sketches
+        .withCmsBuckets(window1.toDF("ts", "tok"), 4)
+        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      // the grid answers point queries exactly like the batch sketch:
+      // min over alpha's 4 buckets = alpha's true count (no collision
+      // among 4 tokens is overwhelmingly likely and pinned here)
+      val gridMin = (0 until 4).map { r =>
+        val b = graft.operators.Sketches.cmsBucket(r, lit("alpha"))
+        val bucket = spark.range(1).select(b.as("b")).head().getInt(0)
+        got.collectFirst { case (`r`, `bucket`, c) => c }.getOrElse(0L)
+      }.min
+      assert(gridMin == 3L, s"alpha estimate $gridMin")
+    } finally q.stop()
+  }
+
   test("variantWindowed parses once, nulls malformed/non-numeric, agrees with batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, String)]
