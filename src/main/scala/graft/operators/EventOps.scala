@@ -470,8 +470,49 @@ object EventOps {
       .limit(25)
   }
 
+  /** q102 — incremental aggregate maintenance (the materialized-view
+    * contract): the daily per-type rollup is maintained as
+    * merge(base aggregate over history, delta aggregate over the new
+    * batch) — two partial aggregates re-aggregated — while the ORACLE
+    * is the one-shot recompute over everything. Hash-match proves the
+    * incremental path is indistinguishable from full recompute, the
+    * q68/q79 "oracle is the plain form" pattern.
+    *
+    * Why it holds, and why it scales: count/sum are commutative
+    * monoids over exact decimal, so re-aggregating partials is exact
+    * regardless of how history is sliced — the property every
+    * incremental ETL (and Spark's own partial aggregation) rests on.
+    * At 100 TB the base side is the stored rollup (read, not
+    * recomputed): maintenance cost is O(delta), the whole point. */
+  val q102IncrementalAgg: QueryDef = {
+    val CUTOFF = "2024-01-15"
+    QueryDef(
+      "q102_incremental_agg",
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d, event_type,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(date_format(col("ts").cast("date"), "yyyy-MM-dd").as("d"),
+          col("event_type"), col("value").cast("decimal(18,2)").as("v"),
+          col("ts"))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("d"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("total_dec"))
+      val base = partial(ev.filter(col("ts") < lit(CUTOFF).cast("timestamp")))
+      val delta = partial(ev.filter(col("ts") >= lit(CUTOFF).cast("timestamp")))
+      base.unionByName(delta)
+        .groupBy(col("d"), col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("total_dec")).as("total_dec"))
+        .select(col("d"), col("event_type"), col("n"),
+          round(col("total_dec"), 2).cast("double").as("total"))
+        .orderBy("d", "event_type")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
-    q58Pivot, q59Cube, q72SlidingWindow, q81Streaks, q86VariantExtract)
+    q58Pivot, q59Cube, q72SlidingWindow, q81Streaks, q86VariantExtract,
+    q102IncrementalAgg)
 }

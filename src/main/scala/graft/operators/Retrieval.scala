@@ -80,5 +80,54 @@ object Retrieval {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q70Bm25)
+  /** q103 — inverted-index build, the materialization q70's scaladoc
+    * gestures at: per term, the document frequency, total term
+    * frequency, and the sorted posting list itself. This is the
+    * artifact a retrieval system SERVES; building it is one
+    * distinct-then-aggregate pass, shuffling (term, doc) pairs once.
+    *
+    * Scale shape: postings aggregate per TERM, so the only skew risk
+    * is a stop-word's giant posting list — exactly like q34's DF cap,
+    * terms above a df ceiling are excluded from materialization (a
+    * real index stores them as bitmap/skip-list segments instead of
+    * arrays; the df/tf stats still report them). The posting string
+    * is produced by sorted array_join — deterministic, and DuckDB's
+    * ordered string_agg replays it byte-identically. */
+  val q103InvertedIndex: QueryDef = {
+    val DF_CEIL = 60 // materialize postings only for terms in <60% of docs... (df <= ceil)
+    QueryDef(
+      "q103_inverted_index",
+      s"""WITH td AS (
+         |  SELECT DISTINCT unnest(string_split(text, ' ')) AS term, doc_id
+         |  FROM documents),
+         |tf AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS total_tf FROM
+         |    (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         |  GROUP BY term),
+         |idx AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         |  FROM td GROUP BY term)
+         |SELECT i.term, i.df, t.total_tf,
+         |  CASE WHEN i.df <= $DF_CEIL THEN i.postings ELSE NULL END AS postings
+         |FROM idx i JOIN tf t USING (term)
+         |ORDER BY term""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // single-file scan -> use every core
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .localCheckpoint() // feeds the tf pass AND the posting pass
+      val tf = docs.groupBy(col("term")).agg(count(lit(1)).as("total_tf"))
+      val idx = docs.distinct()
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), ",").as("postings"))
+      idx.join(tf, Seq("term"))
+        .select(col("term"), col("df"), col("total_tf"),
+          when(col("df") <= DF_CEIL, col("postings")).as("postings"))
+        .orderBy("term")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q70Bm25, q103InvertedIndex)
 }
