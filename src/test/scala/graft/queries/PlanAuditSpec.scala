@@ -107,6 +107,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("[pid#"), p)
   }
 
+  test("q99: date filter pushes into the orders scan; the nation chain is broadcast") {
+    val p = plan(CoreQueries.q99StarJoin)
+    // predicate pushdown: the year cut reaches the parquet scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"), p)
+    // the region->nation dimension chain joins as broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // pruned scans: lineitem reads only the join/measure columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,l_extendedprice:double,l_discount:double>"), p)
+  }
+
+  test("q95: centroid assignment joins broadcast — the points side never shuffles for it") {
+    // audit the assignment stage itself: the checkpointed end-to-end
+    // plan truncates lineage, hiding the join this test is about
+    import org.apache.spark.sql.functions.col
+    val pts = graft.operators.Learn.points(
+      spark.read.parquet(s"$dir/embeddings.parquet"))
+    val cent = pts.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("pos"), col("q").as("c"))
+    val p = graft.operators.Learn.assign(pts, cent)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_sum"), p) // distance sums combine map-side
+  }
+
+  test("q97: the count-min grid probe side joins against a broadcast grid") {
+    val p = plan(graft.operators.Sketches.q97CountMin)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p) // grid build combines map-side
+  }
+
+  test("q104: triangle join is equi-join only — no cartesian wedge explosion") {
+    val p = plan(graft.operators.Graph.q104Triangles)
+    assert(!p.contains("CartesianProduct") ||
+      // the final 1-row stat crossJoins are the only nested-loop joins
+      !p.substring(0, p.indexOf("Scan ExistingRDD")).contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), p) // checkpointed edge list reused
+  }
+
   test("q68: the bloom probe filters the fact side before its exchange") {
     val p = plan(graft.operators.BloomJoin.q68BloomJoin)
     assert(p.contains("might_contain"), p) // codegen'd probe in a Filter
