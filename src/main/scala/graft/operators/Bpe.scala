@@ -123,19 +123,28 @@ object Bpe {
   }
 
   /** Greedy left-to-right fuse of `best` (1-row l/r frame, broadcast)
-    * into the state — the islands construction in the scaladoc. */
+    * into the state — the islands construction in the scaladoc.
+    *
+    * Every window here shares ONE partitioning and ordering
+    * (word, pos): a match-run's start is flagged by `lag(m)`, the
+    * current run's start position arrives as a RUNNING conditional
+    * max, and "odd index within the run" is parity of (rn − start).
+    * The equivalent (word, m)/(word, grp) row_number formulation (the
+    * oracle still states it that way) costs two EXTRA shuffles per
+    * round — ×16 rounds, that was most of q94/q98's runtime, and at
+    * scale it re-exchanges the whole corpus state twice per merge. */
   private def applyPair(state: DataFrame, best: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     state.withColumn("nxt", lead(col("sym"), 1).over(w))
       .crossJoin(broadcast(best.select(col("l"), col("r"))))
       .withColumn("m", (col("sym") === col("l") && col("nxt") === col("r")).cast("int"))
       .withColumn("rn", row_number().over(w))
-      .withColumn("mrn", row_number().over(
-        Window.partitionBy(col("word"), col("m")).orderBy(col("pos"))))
-      .withColumn("grp", when(col("m") === 1, col("rn") - col("mrn")))
-      .withColumn("active", col("m") === 1 && pmod(
-        row_number().over(Window.partitionBy(col("word"), col("grp")).orderBy(col("pos"))),
-        lit(2)) === 1)
+      .withColumn("run_start",
+        (col("m") === 1 && coalesce(lag(col("m"), 1).over(w), lit(0)) === 0).cast("int"))
+      .withColumn("rn_start", max(when(col("run_start") === 1, col("rn"))).over(wRun))
+      .withColumn("active",
+        col("m") === 1 && pmod(col("rn") - col("rn_start"), lit(2)) === 0)
       .withColumn("prev_active", lag(col("active"), 1, false).over(w))
       .filter(!col("prev_active"))
       .select(col("word"), col("freq"), col("pos"),
