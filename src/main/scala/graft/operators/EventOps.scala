@@ -510,9 +510,54 @@ object EventOps {
     }
   }
 
+  /** q105 — q53's as-of enrich through the NATIVE sort-merge as-of
+    * operator ([[graft.plans.AsofJoin]]): same user-level aggregate,
+    * same DuckDB `ASOF LEFT JOIN` oracle, but the Spark plan is
+    * AsofJoinExec — one exchange+sort per side and a single forward
+    * merge with O(1) state, instead of the union + running-last
+    * window (which sorts the COMBINED stream). The q15/TopKPerKey
+    * pattern: the custom physical operator earns its place by passing
+    * the same oracle gate as the relational formulation.
+    *
+    * Equal-ts clicks collapse to the max-event_id one BEFORE the join
+    * (arg_max in both engines' prep), so the tie rule is explicit
+    * rather than sort-dependent. */
+  val q105AsofNative: QueryDef = QueryDef(
+    "q105_asof_native",
+    """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, arg_max(value, event_id) AS value
+      |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |m AS (
+      |  SELECT p.user_id, p.ts AS pts, c.ts AS cts, c.value AS cval
+      |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
+      |SELECT user_id, count(*) AS n_purchases, count(cts) AS n_matched,
+      |  CAST(sum(epoch_us(pts) - epoch_us(cts)) AS BIGINT) AS total_gap_us,
+      |  CAST(round(sum(CAST(coalesce(cval,0) AS DECIMAL(18,2))),2) AS DOUBLE) AS click_val
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    // collapse equal-ts clicks to the max-event_id row (the explicit
+    // tie rule), keyed under a different name so the join output has
+    // no ambiguous columns
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user_id"), col("ts").as("cts"))
+      .agg(max_by(col("value"), col("event_id")).as("cval"))
+    graft.plans.Asof.joinKeys(
+        purchases, clicks, Seq("user_id"), Seq("c_user_id"), "ts", "cts")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("cts")).as("n_matched"),
+        sum(unix_micros(col("ts")) - unix_micros(col("cts"))).as("total_gap_us"),
+        round(sum(coalesce(col("cval"), lit(0)).cast("decimal(18,2)")), 2)
+          .cast("double").as("click_val"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
     q58Pivot, q59Cube, q72SlidingWindow, q81Streaks, q86VariantExtract,
-    q102IncrementalAgg)
+    q102IncrementalAgg, q105AsofNative)
 }
