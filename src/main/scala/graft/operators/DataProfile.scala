@@ -105,5 +105,54 @@ object DataProfile {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q71Profile)
+  /** q106 — IQR outlier audit (the Tukey fence, the standard
+    * distribution-drift tripwire in a data-quality pipeline): per
+    * group, the quartiles, the 1.5×IQR fences, and how many rows fall
+    * outside them.
+    *
+    * Two passes by construction: quartiles need the (grouped) value
+    * distribution, fences then need a second scan to count
+    * violations — expressed as one grouped quantile aggregate
+    * broadcast back over the fact scan, so the big side is read
+    * twice but never shuffled for the fence check (the q70 stats
+    * shape). Exact interpolated percentiles (`percentile` ≡
+    * `quantile_cont`) keep both engines bit-identical; the fence
+    * comparison is on the same doubles. */
+  val q106IqrOutliers: QueryDef = QueryDef(
+    "q106_iqr_outliers",
+    """WITH q AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.25) AS p25,
+      |    quantile_cont(l_extendedprice, 0.75) AS p75
+      |  FROM lineitem GROUP BY l_returnflag),
+      |f AS (
+      |  SELECT l_returnflag, p25, p75,
+      |    p25 - 1.5 * (p75 - p25) AS lo,
+      |    p75 + 1.5 * (p75 - p25) AS hi
+      |  FROM q)
+      |SELECT l.l_returnflag, f.p25, f.p75,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN l.l_extendedprice < f.lo OR l.l_extendedprice > f.hi
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM lineitem l JOIN f USING (l_returnflag)
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val q = li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.25D)").as("p25"),
+        expr("percentile(l_extendedprice, 0.75D)").as("p75"))
+      .select(col("l_returnflag"), col("p25"), col("p75"),
+        (col("p25") - lit(1.5) * (col("p75") - col("p25"))).as("lo"),
+        (col("p75") + lit(1.5) * (col("p75") - col("p25"))).as("hi"))
+    li.select(col("l_returnflag"), col("l_extendedprice"))
+      .join(broadcast(q), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("p25"), col("p75"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_extendedprice") < col("lo") ||
+          col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[QueryDef] = Seq(q71Profile, q106IqrOutliers)
 }
