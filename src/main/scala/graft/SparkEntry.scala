@@ -26,7 +26,8 @@ object SparkEntry {
       graft.operators.DataProfile.all ++ graft.operators.SkewOps.all ++
       graft.operators.MergeOps.all ++ graft.operators.Packing.all ++
       graft.operators.Layout.all ++ graft.operators.Bpe.all ++
-      graft.operators.Learn.all ++ graft.operators.Graph.all
+      graft.operators.Learn.all ++ graft.operators.Graph.all ++
+      graft.operators.Association.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Market-basket association mining over the order/lineitem star —
+  * the co-occurrence → confidence/lift pipeline behind "frequently
+  * bought together" and feature-co-occurrence audits.
+  *
+  * Scale design (the Apriori shape, minus the iterations):
+  *  - items are support-filtered BEFORE the pair self-join — the
+  *    classic prune that keeps the candidate fan-out near-linear
+  *    instead of quadratic in catalog size;
+  *  - pair generation is an equi-join on the basket key, so fan-out
+  *    per order is C(k,2) with k = basket size (bounded ≤ ~13 in this
+  *    schema; a retail 100 TB log has the same property);
+  *  - the filtered basket list is materialized ONCE (localCheckpoint)
+  *    and feeds both sides of the self-join;
+  *  - all metrics are integer ppm floor-divs — no float division, so
+  *    the DuckDB oracle is bit-identical.
+  *
+  * Ref: the reference has no aggregation at all (SURVEY.md §2 "does
+  * NOT have" — A1 is `len(df)`); this is north-star surface.
+  */
+object Association {
+
+  private val MIN_SUPPORT = 10L // orders containing the item
+  private val MIN_PAIR = 3L     // orders containing both items
+
+  val q107AssocRules: QueryDef = QueryDef(
+    "q107_assoc_rules",
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM b),
+       |ic AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM b
+       |       GROUP BY p HAVING count(*) >= $MIN_SUPPORT),
+       |f AS (SELECT b.o, b.p FROM b JOIN ic ON b.p = ic.p),
+       |pr AS (SELECT f1.p AS a, f2.p AS b2, CAST(count(*) AS BIGINT) AS n_ab
+       |       FROM f f1 JOIN f f2 ON f1.o = f2.o AND f1.p < f2.p
+       |       GROUP BY 1, 2 HAVING count(*) >= $MIN_PAIR)
+       |SELECT pr.a AS item_a, pr.b2 AS item_b, pr.n_ab,
+       |  (1000000 * pr.n_ab) // ca.c AS conf_ppm,
+       |  (1000000 * pr.n_ab * n.n_orders) // (ca.c * cb.c) AS lift_ppm
+       |FROM pr JOIN ic ca ON pr.a = ca.p JOIN ic cb ON pr.b2 = cb.p, n
+       |ORDER BY lift_ppm DESC, item_a, item_b""".stripMargin) { (s, dir) =>
+    val b = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val n = b.agg(countDistinct(col("o")).as("n_orders"))
+    val ic = b.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= MIN_SUPPORT)
+    // materialize ONCE: the support-filtered basket list feeds both
+    // sides of the pair self-join
+    val f = b.join(ic.select("p"), Seq("p")).localCheckpoint()
+    val pr = f.select(col("o"), col("p").as("a"))
+      .join(f.select(col("o"), col("p").as("b2")), Seq("o"))
+      .filter(col("a") < col("b2"))
+      .groupBy(col("a"), col("b2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= MIN_PAIR)
+    pr
+      .join(broadcast(ic.select(col("p").as("a"), col("c").as("ca"))), Seq("a"))
+      .join(broadcast(ic.select(col("p").as("b2"), col("c").as("cb"))), Seq("b2"))
+      .crossJoin(n)
+      .select(col("a").as("item_a"), col("b2").as("item_b"), col("n_ab"),
+        expr("(1000000 * n_ab) div ca").as("conf_ppm"),
+        expr("(1000000 * n_ab * n_orders) div (ca * cb)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("item_a"), col("item_b"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q107AssocRules)
+}

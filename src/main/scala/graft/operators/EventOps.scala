@@ -555,9 +555,155 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** q109 — first-order Markov transition matrix over each user's
+    * event stream: for every (src, dst) event-type pair, how often dst
+    * immediately follows src, and the per-src transition probability.
+    * The standard "what do users do next" model behind navigation
+    * analysis and session-path anomaly detection.
+    *
+    * Scale design: ONE shuffle on user_id orders each user's stream
+    * for the lead(); the (src, dst) aggregate then reduces the stream
+    * to at most |types|² rows, so the probability window (partition by
+    * src) runs over a bounded matrix, not the event stream. Integer
+    * ppm via floor-div keeps both engines bit-identical — no float
+    * division in the output.
+    *
+    * Ref: the reference has no sequence analytics (SURVEY.md §2
+    * "does NOT have"); this is north-star surface. */
+  val q109Markov: QueryDef = QueryDef(
+    "q109_markov",
+    """WITH o AS (
+      |  SELECT user_id, event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |c AS (
+      |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n_trans
+      |  FROM o WHERE dst IS NOT NULL GROUP BY src, dst)
+      |SELECT src, dst, n_trans,
+      |  (1000000 * n_trans) // CAST(sum(n_trans) OVER (PARTITION BY src) AS BIGINT) AS prob_ppm
+      |FROM c ORDER BY src, dst""".stripMargin) { (s, dir) =>
+    val perUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("src"), col("ts"), col("event_id"))
+      .withColumn("dst", lead(col("src"), 1).over(perUser))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_trans"))
+    trans
+      .withColumn("src_total",
+        sum(col("n_trans")).over(Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"), col("n_trans"),
+        expr("(1000000 * n_trans) div src_total").as("prob_ppm"))
+      .orderBy("src", "dst")
+  }
+
+  /** q113 — rolling z-score anomaly detection: flag events whose value
+    * deviates from the trailing-10 window mean by more than 3σ. The
+    * streaming-shaped data-quality tripwire (sensor spikes, metric
+    * regressions) every ingest pipeline runs.
+    *
+    * The window EXCLUDES the current row (10 preceding .. 1
+    * preceding): the test asks "does this value deviate from the
+    * trailing baseline", and including the point in its own baseline
+    * caps the reachable z at (n−1)/√n ≈ 2.85 for n=10 — a 3σ rule
+    * over an inclusive 10-row window can never fire, on any data.
+    *
+    * Exactness: values quantize to integer milli-units, and the
+    * z-test |v−μ| > 3σ is cross-multiplied into pure int64 —
+    * (n·v−s)² > 9·(n·q−s²) with s=Σv, q=Σv² over the trailing
+    * window — so there is NO float division or sqrt anywhere and both
+    * engines agree bit-for-bit. Bounds: v ≤ 5·10⁵ milli, n ≤ 10 ⇒
+    * (n·v−s)² ≤ ~2.4·10¹³, far inside int64.
+    *
+    * Scale design: one shuffle on user_id; all three window sums
+    * share the same partitioning+ordering, so Catalyst plans a single
+    * Exchange + Sort and computes the frame in one pass. */
+  val q113RollingZscore: QueryDef = QueryDef(
+    "q113_rolling_zscore",
+    """WITH m AS (
+      |  SELECT user_id, event_id, CAST(floor(value * 1000) AS BIGINT) AS v_m, ts
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, event_id, v_m,
+      |    count(*)                        OVER win AS n,
+      |    CAST(sum(v_m)       OVER win AS BIGINT) AS s,
+      |    CAST(sum(v_m * v_m) OVER win AS BIGINT) AS q
+      |  FROM m
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_id, v_m AS value_milli,
+      |  CAST(n AS BIGINT) AS n_win
+      |FROM w
+      |WHERE n >= 5 AND (n*v_m - s)*(n*v_m - s) > 9 * (n*q - s*s)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val win = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-10, -1)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 1000).cast("bigint").as("v_m"))
+      .withColumn("n", count(lit(1)).over(win))
+      .withColumn("s", sum(col("v_m")).over(win))
+      .withColumn("q", sum(col("v_m") * col("v_m")).over(win))
+      .filter(col("n") >= 5 &&
+        (col("n") * col("v_m") - col("s")) * (col("n") * col("v_m") - col("s")) >
+          lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("user_id"), col("event_id"), col("v_m").as("value_milli"),
+        col("n").as("n_win"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** q114 — time-weighted average (TWAP): each event's value holds
+    * until the user's next event; the average weights each value by
+    * how long it held. The finance/metrics canonical aggregate where
+    * a plain mean over irregular samples is simply wrong.
+    *
+    * Exactness: values in milli-units, durations in whole seconds
+    * (epoch-micros floor-div 10⁶ — matches DuckDB's epoch_us floor
+    * division), TWAP emitted as an integer floor-div — all int64
+    * (v·dt ≤ 5·10⁵ · 2.6·10⁶ ≈ 1.3·10¹²), no float anywhere.
+    *
+    * Scale design: one shuffle on user_id for the lead(); the
+    * per-user aggregate reuses that partitioning (no second
+    * Exchange). Zero-duration users (all events at one instant)
+    * carry no weight and are excluded explicitly, not by a
+    * divide-by-zero accident. */
+  val q114Twap: QueryDef = QueryDef(
+    "q114_twap",
+    """WITH o AS (
+      |  SELECT user_id,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v_m,
+      |    epoch_us(ts) // 1000000 AS t_s,
+      |    lead(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_s
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(count(*) AS BIGINT) AS n_intervals,
+      |  CAST(sum(nxt_s - t_s) AS BIGINT) AS held_s,
+      |  CAST(sum(v_m * (nxt_s - t_s)) AS BIGINT) // CAST(sum(nxt_s - t_s) AS BIGINT) AS twap_milli
+      |FROM o WHERE nxt_s IS NOT NULL
+      |GROUP BY user_id HAVING sum(nxt_s - t_s) > 0
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val perUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 1000).cast("bigint").as("v_m"),
+        expr("unix_micros(ts) div 1000000").as("t_s"))
+      .withColumn("nxt_s", lead(col("t_s"), 1).over(perUser))
+      .filter(col("nxt_s").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("nxt_s") - col("t_s")).as("held_s"),
+        sum(col("v_m") * (col("nxt_s") - col("t_s"))).as("wsum"))
+      .filter(col("held_s") > 0)
+      .select(col("user_id"), col("n_intervals"), col("held_s"),
+        expr("wsum div held_s").as("twap_milli"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
     q58Pivot, q59Cube, q72SlidingWindow, q81Streaks, q86VariantExtract,
-    q102IncrementalAgg, q105AsofNative)
+    q102IncrementalAgg, q105AsofNative, q109Markov, q113RollingZscore,
+    q114Twap)
 }

@@ -647,8 +647,108 @@ object TextAnalysis {
       .orderBy("source", "split")
   }
 
+  /** q108 — collocation mining: bigrams that co-occur far more often
+    * than their parts' frequencies predict. The association score is
+    * the PMI ratio p(x,y)/(p(x)p(y)) — reported as a scaled integer
+    * ratio rather than its log, which orders identically and keeps
+    * the output exact (log's libm bits are not contractual across
+    * engines; IEEE multiply/divide/floor are).
+    *
+    * The float path is bit-deterministic by construction: every count
+    * is < 2⁵³ (exact as a double), and both engines evaluate the SAME
+    * left-associated multiply chain, one division, one floor — IEEE
+    * 754 fixes each of those bit patterns.
+    *
+    * Scale design: two aggregates over the exploded token/bigram
+    * streams (map-side combinable), then all attaches happen on the
+    * vocabulary-sized count tables (broadcast), never on the corpus. */
+  val q108Collocations: QueryDef = QueryDef(
+    "q108_collocations",
+    """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      |u AS (SELECT unnest(tk) AS x FROM t),
+      |uc AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY x),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM u),
+      |bg AS (SELECT tk[CAST(i AS INT)] AS x, tk[CAST(i AS INT)+1] AS y
+      |       FROM t, unnest(range(1, len(tk))) AS r(i)),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM bg),
+      |bc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM bg
+      |       GROUP BY x, y HAVING count(*) >= 5)
+      |SELECT bc.x AS w1, bc.y AS w2, bc.c_xy,
+      |  CAST(floor((((1000000.0 * bc.c_xy) * nt.n_tok) * nt.n_tok) /
+      |       ((CAST(nb.n_bi AS DOUBLE) * cx.c) * cy.c)) AS BIGINT) AS assoc_ppm
+      |FROM bc JOIN uc cx ON bc.x = cx.x JOIN uc cy ON bc.y = cy.x, nt, nb
+      |ORDER BY assoc_ppm DESC, w1, w2""".stripMargin) { (s, dir) =>
+    val tk = col("tk")
+    val docs = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // single-file scan -> use every core
+      .select(split(col("text"), " ").as("tk"))
+    val uni = docs.select(explode(tk).as("x"))
+    val uc = uni.groupBy(col("x")).agg(count(lit(1)).as("c"))
+    val nt = uni.agg(count(lit(1)).as("n_tok"))
+    val bg = docs.filter(size(tk) >= 2)
+      .select(explode(zip_with(
+        slice(tk, lit(1), size(tk) - 1),
+        slice(tk, lit(2), size(tk) - 1),
+        (x, y) => struct(x.as("x"), y.as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val nb = bg.agg(count(lit(1)).as("n_bi"))
+    val bc = bg.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("c_xy")).filter(col("c_xy") >= 5)
+    bc
+      .join(broadcast(uc.select(col("x"), col("c").as("cx"))), Seq("x"))
+      .join(broadcast(uc.select(col("x").as("y"), col("c").as("cy"))), Seq("y"))
+      .crossJoin(nt).crossJoin(nb)
+      .select(col("x").as("w1"), col("y").as("w2"), col("c_xy"),
+        floor((lit(1000000.0) * col("c_xy") * col("n_tok") * col("n_tok")) /
+          (col("n_bi").cast("double") * col("cx") * col("cy")))
+          .cast("bigint").as("assoc_ppm"))
+      .orderBy(col("assoc_ppm").desc, col("w1"), col("w2"))
+  }
+
+  /** q112 — vocabulary coverage curve: the top-N tokens by corpus
+    * frequency with each rank's cumulative share of all token
+    * occurrences — the curve a tokenizer-vocab or stop-word decision
+    * is read off of (how much of the corpus do 200 types cover?).
+    *
+    * Scale design: the corpus collapses to (token, count) partials
+    * map-side; the global "sort" is orderBy().limit(200), which Spark
+    * executes as TakeOrdered (per-partition top-200 heaps, no full
+    * sort, no single-partition shuffle of the vocab). Only the 200
+    * survivors enter the single-partition cumsum window — correct
+    * because rank-r cumulative coverage depends only on ranks ≤ r. */
+  val q112VocabCoverage: QueryDef = QueryDef(
+    "q112_vocab_coverage",
+    """WITH u AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM u),
+      |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY tok),
+      |r AS (SELECT tok, c,
+      |        row_number() OVER (ORDER BY c DESC, tok) AS rnk,
+      |        CAST(sum(c) OVER (ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM tc)
+      |SELECT CAST(rnk AS BIGINT) AS rnk, tok, c AS n_occ,
+      |  (1000000 * cum) // n.total AS coverage_ppm
+      |FROM r, n WHERE rnk <= 200 ORDER BY rnk""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // single-file scan -> use every core
+    val u = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val n = u.agg(count(lit(1)).as("total"))
+    val top = u.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(200)
+    val w = Window.orderBy(col("c").desc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      // row_number is INT in Spark, BIGINT in DuckDB — align the type
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(n)
+      .select(col("rnk"), col("tok"), col("c").as("n_occ"),
+        expr("(1000000 * cum) div total").as("coverage_ppm"))
+      .orderBy("rnk")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
       q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,
-      q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob, q101Split)
+      q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob,
+      q101Split, q108Collocations, q112VocabCoverage)
 }
