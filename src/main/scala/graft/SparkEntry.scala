@@ -27,7 +27,8 @@ object SparkEntry {
       graft.operators.MergeOps.all ++ graft.operators.Packing.all ++
       graft.operators.Layout.all ++ graft.operators.Bpe.all ++
       graft.operators.Learn.all ++ graft.operators.Graph.all ++
-      graft.operators.Association.all
+      graft.operators.Association.all ++ graft.operators.Skyline.all ++
+      graft.multimodal.Phash.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
