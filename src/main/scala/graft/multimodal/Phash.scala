@@ -89,32 +89,72 @@ object Phash {
       |  min(ida * 1000000 + idb) AS min_pair_key,
       |  max(ida * 1000000 + idb) AS max_pair_key
       |FROM p WHERE hamming <= 3 GROUP BY hamming ORDER BY hamming""".stripMargin) { (s, dir) =>
-    val bands = aHashBands(s, Media.ingestPpm(s, Tables.documents(s, dir)))
-      .localCheckpoint() // feeds the band join twice + the hash attach
-    val keyed = bands.select(col("doc_id"), explode(array(
+    // SIGNATURE DICTIONARY: perceptual hashes repeat heavily (that is
+    // the point of near-dup detection), so doc-level banding puts every
+    // identical-signature doc in one bucket and the candidate join goes
+    // quadratic in the duplicate-class size — the classic LSH hot
+    // bucket. Collapse to distinct signatures first: each class keeps
+    // (n, two smallest ids, two largest ids), which is sufficient to
+    // reconstruct EXACT pair counts and the min/max pair keys, and the
+    // banded join then runs over the dictionary (bounded by signature
+    // diversity, not corpus size).
+    val sigW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b0"), col("b1"), col("b2"), col("b3"))
+      .orderBy(col("doc_id"))
+    val sigWd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b0"), col("b1"), col("b2"), col("b3"))
+      .orderBy(col("doc_id").desc)
+    val sigs = aHashBands(s, Media.ingestPpm(s, Tables.documents(s, dir)))
+      .withColumn("rn", row_number().over(sigW))
+      .withColumn("rd", row_number().over(sigWd))
+      .groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
+      .agg(count(lit(1)).as("n"),
+        min(when(col("rn") === 1, col("doc_id"))).as("min1"),
+        min(when(col("rn") === 2, col("doc_id"))).as("min2"),
+        min(when(col("rd") === 1, col("doc_id"))).as("max1"),
+        min(when(col("rd") === 2, col("doc_id"))).as("max2"))
+      .withColumn("sig_id", col("min1"))
+      .localCheckpoint() // feeds the band join twice + both sides below
+    // same-signature classes: C(n,2) pairs, all at hamming 0
+    val within = sigs.filter(col("n") >= 2).select(
+      lit(0L).as("hamming"),
+      expr("(n * (n - 1)) div 2").as("pairs"),
+      (col("min1") * 1000000 + col("min2")).as("min_key"),
+      (col("max2") * 1000000 + col("max1")).as("max_key"))
+    // cross-class candidates from the banded dictionary join
+    val keyed = sigs.select(col("sig_id"), explode(array(
         struct(lit(0).as("bi"), col("b0").as("bv")),
         struct(lit(1).as("bi"), col("b1").as("bv")),
         struct(lit(2).as("bi"), col("b2").as("bv")),
         struct(lit(3).as("bi"), col("b3").as("bv")))).as("k"))
-      .select(col("doc_id"), col("k.bi").as("bi"), col("k.bv").as("bv"))
-    val cand = keyed.select(col("bi"), col("bv"), col("doc_id").as("ida"))
-      .join(keyed.select(col("bi"), col("bv"), col("doc_id").as("idb")),
+      .select(col("sig_id"), col("k.bi").as("bi"), col("k.bv").as("bv"))
+    val cand = keyed.select(col("bi"), col("bv"), col("sig_id").as("sa"))
+      .join(keyed.select(col("bi"), col("bv"), col("sig_id").as("sb")),
         Seq("bi", "bv"))
-      .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb")).distinct()
-    val ha = bands.select(col("doc_id").as("ida"), col("b0").as("a0"),
-      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
-    val hb = bands.select(col("doc_id").as("idb"), col("b0").as("c0"),
-      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
-    cand.join(ha, Seq("ida")).join(hb, Seq("idb"))
+      .filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb")).distinct()
+    val left = sigs.select(col("sig_id").as("sa"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"),
+      col("n").as("na"), col("min1").as("amin"), col("max1").as("amax"))
+    val right = sigs.select(col("sig_id").as("sb"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"),
+      col("n").as("nb"), col("min1").as("bmin"), col("max1").as("bmax"))
+    val across = cand.join(left, Seq("sa")).join(right, Seq("sb"))
       .withColumn("hamming", expr(
         "CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
           "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming").between(1, 3))
+      .select(col("hamming"),
+        (col("na") * col("nb")).as("pairs"),
+        (least(col("amin"), col("bmin")) * 1000000 +
+          greatest(col("amin"), col("bmin"))).as("min_key"),
+        (least(col("amax"), col("bmax")) * 1000000 +
+          greatest(col("amax"), col("bmax"))).as("max_key"))
+    within.unionByName(across)
       .groupBy(col("hamming"))
-      .agg(count(lit(1)).as("n_pairs"),
-        min(col("ida") * 1000000 + col("idb")).as("min_pair_key"),
-        max(col("ida") * 1000000 + col("idb")).as("max_pair_key"))
+      .agg(sum(col("pairs")).as("n_pairs"),
+        min(col("min_key")).as("min_pair_key"),
+        max(col("max_key")).as("max_pair_key"))
       .orderBy("hamming")
   }
 

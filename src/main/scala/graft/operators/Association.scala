@@ -42,18 +42,28 @@ object Association {
        |  (1000000 * pr.n_ab * n.n_orders) // (ca.c * cb.c) AS lift_ppm
        |FROM pr JOIN ic ca ON pr.a = ca.p JOIN ic cb ON pr.b2 = cb.p, n
        |ORDER BY lift_ppm DESC, item_a, item_b""".stripMargin) { (s, dir) =>
+    // the distinct (order, item) list feeds the order count, the item
+    // supports, and the basket build — identical subtrees, so
+    // ReuseExchange materializes the distinct's shuffle once
     val b = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
     val n = b.agg(countDistinct(col("o")).as("n_orders"))
     val ic = b.groupBy(col("p")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= MIN_SUPPORT)
-    // materialize ONCE: the support-filtered basket list feeds both
-    // sides of the pair self-join
-    val f = b.join(ic.select("p"), Seq("p")).localCheckpoint()
-    val pr = f.select(col("o"), col("p").as("a"))
-      .join(f.select(col("o"), col("p").as("b2")), Seq("o"))
-      .filter(col("a") < col("b2"))
+    // pair generation WITHOUT a self-join: collapse each order to its
+    // sorted item array (one shuffle) and emit the C(k,2) ordered
+    // pairs map-side with codegen'd array lambdas — the self-join
+    // formulation shuffles the basket list twice and probes a join
+    // for what is a purely order-local expansion
+    val f = b.join(ic.select("p"), Seq("p"))
+    val pr = f.groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("items"))
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items)), y -> " +
+          "struct(x AS a, y AS b2))))")).as("pp"))
+      .select(col("pp.a").as("a"), col("pp.b2").as("b2"))
       .groupBy(col("a"), col("b2"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= MIN_PAIR)
