@@ -154,5 +154,81 @@ object DataProfile {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[QueryDef] = Seq(q71Profile, q106IqrOutliers)
+  /** q116 — grouped equi-width histogram: 16 bins of o_totalprice per
+    * order priority, bin edges from each group's own min/max. The
+    * distribution sketch behind drift dashboards and data-diff
+    * reports.
+    *
+    * Two passes by construction (edges need the extremes before
+    * anything can bin): a grouped min/max aggregate is broadcast back
+    * over the fact scan — the q106 fence shape: the big side is read
+    * twice but never shuffled for the binning. Bin math is
+    * (v−mn)·16/(mx−mn) floored then clamped, all IEEE double ops
+    * evaluated identically in both engines. */
+  val q116Histogram: QueryDef = QueryDef(
+    "q116_histogram",
+    """WITH e AS (
+      |  SELECT o_orderpriority AS pri, min(o_totalprice) AS mn, max(o_totalprice) AS mx
+      |  FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT e.pri,
+      |    least(CAST(floor((o.o_totalprice - e.mn) * 16 / (e.mx - e.mn)) AS BIGINT), 15) AS bin
+      |  FROM orders o JOIN e ON o.o_orderpriority = e.pri)
+      |SELECT pri, bin, CAST(count(*) AS BIGINT) AS n
+      |FROM b GROUP BY pri, bin ORDER BY pri, bin""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val edges = orders.groupBy(col("o_orderpriority").as("pri"))
+      .agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    orders.join(broadcast(edges), col("o_orderpriority") === col("pri"))
+      .select(col("pri"),
+        least(floor((col("o_totalprice") - col("mn")) * 16 / (col("mx") - col("mn")))
+          .cast("bigint"), lit(15L)).as("bin"))
+      .groupBy(col("pri"), col("bin")).agg(count(lit(1)).as("n"))
+      .orderBy("pri", "bin")
+  }
+
+  /** q121 — referential-integrity audit: per foreign key, how many
+    * child rows exist, how many resolve, how many are orphans. The
+    * contract check an ingest runs before publishing a star schema.
+    *
+    * Scale design: each FK is one LEFT join counted in aggregate —
+    * Catalyst keeps the parent side a broadcast when it fits and the
+    * count never materializes the joined rows. The three audits union
+    * AFTER aggregation, so the result is 3 rows regardless of fact
+    * size. */
+  val q121FkAudit: QueryDef = QueryDef(
+    "q121_fk_audit",
+    """WITH l AS (
+      |  SELECT 'lineitem->orders' AS fk, CAST(count(*) AS BIGINT) AS n_child,
+      |    CAST(count(o.o_orderkey) AS BIGINT) AS n_matched
+      |  FROM lineitem li LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey),
+      |c AS (
+      |  SELECT 'orders->customer' AS fk, CAST(count(*) AS BIGINT) AS n_child,
+      |    CAST(count(cu.c_custkey) AS BIGINT) AS n_matched
+      |  FROM orders o LEFT JOIN customer cu ON o.o_custkey = cu.c_custkey),
+      |p AS (
+      |  SELECT 'lineitem->part' AS fk, CAST(count(*) AS BIGINT) AS n_child,
+      |    CAST(count(pa.p_partkey) AS BIGINT) AS n_matched
+      |  FROM lineitem li LEFT JOIN part pa ON li.l_partkey = pa.p_partkey)
+      |SELECT fk, n_child, n_matched, n_child - n_matched AS n_orphans
+      |FROM (SELECT * FROM l UNION ALL SELECT * FROM c UNION ALL SELECT * FROM p)
+      |ORDER BY fk""".stripMargin) { (s, dir) =>
+    def audit(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
+        parent: org.apache.spark.sql.DataFrame, pk: String) =
+      child.join(parent.select(col(pk)), child(ck) === parent(pk), "left")
+        .agg(count(lit(1)).as("n_child"), count(col(pk)).as("n_matched"))
+        .select(lit(name).as("fk"), col("n_child"), col("n_matched"))
+    audit("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey")
+      .unionByName(audit("orders->customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"))
+      .unionByName(audit("lineitem->part", Tables.lineitem(s, dir), "l_partkey",
+        Tables.part(s, dir), "p_partkey"))
+      .select(col("fk"), col("n_child"), col("n_matched"),
+        (col("n_child") - col("n_matched")).as("n_orphans"))
+      .orderBy("fk")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit)
 }

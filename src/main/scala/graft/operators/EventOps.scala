@@ -700,10 +700,45 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** q118 — daily active + cumulative unique users. The naive
+    * cumulative form (count(DISTINCT) over an expanding window) is
+    * quadratic and unshardable; the exact distributed formulation is
+    * first-seen-date: min(date) per user (one shuffle), then daily
+    * new-user counts cumsummed over the (bounded) day axis. Every
+    * growth dashboard runs this shape.
+    *
+    * The cumsum window is single-partition but runs over DAYS, not
+    * events — bounded by the calendar at any corpus size. */
+  val q118CumulativeUniques: QueryDef = QueryDef(
+    "q118_cumulative_uniques",
+    """WITH dd AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+      |a AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+      |      FROM dd GROUP BY d),
+      |f AS (SELECT user_id, min(d) AS first_d FROM dd GROUP BY user_id),
+      |nu AS (SELECT first_d AS d, CAST(count(*) AS BIGINT) AS new_users
+      |       FROM f GROUP BY first_d)
+      |SELECT a.d, a.active_users, coalesce(nu.new_users, 0) AS new_users,
+      |  CAST(sum(coalesce(nu.new_users, 0))
+      |    OVER (ORDER BY a.d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_uniques
+      |FROM a LEFT JOIN nu ON a.d = nu.d ORDER BY a.d""".stripMargin) { (s, dir) =>
+    val dd = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val a = dd.groupBy(col("d")).agg(countDistinct(col("user_id")).as("active_users"))
+    val nu = dd.groupBy(col("user_id")).agg(min(col("d")).as("first_d"))
+      .groupBy(col("first_d").as("d")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a.join(nu, Seq("d"), "left")
+      .select(col("d"), col("active_users"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_uniques", sum(col("new_users")).over(w))
+      .orderBy("d")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
     q58Pivot, q59Cube, q72SlidingWindow, q81Streaks, q86VariantExtract,
     q102IncrementalAgg, q105AsofNative, q109Markov, q113RollingZscore,
-    q114Twap)
+    q114Twap, q118CumulativeUniques)
 }

@@ -129,5 +129,56 @@ object Retrieval {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q70Bm25, q103InvertedIndex)
+  /** q117 — phrase query answered from POSITIONAL postings: find the
+    * corpus's most frequent bigram, then count the documents
+    * containing it as an adjacent phrase by intersecting the two
+    * terms' (doc, position) posting lists with pos₂ = pos₁ + 1 — the
+    * inverted-index phrase-match kernel (q103's index with positions).
+    *
+    * The oracle answers the same question the way an indexless engine
+    * must — a LIKE substring scan over every document — so the gate
+    * proves index-path ≡ scan-path, which is the entire correctness
+    * contract of an index.
+    *
+    * Scale design: the top bigram is a TakeOrdered over the bigram
+    * aggregate (no global sort); the posting build filters to the two
+    * phrase terms BEFORE any shuffle, so the index join moves only
+    * matching postings, never the corpus. */
+  val q117PhraseIndex: QueryDef = QueryDef(
+    "q117_phrase_index",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |bg AS (SELECT tk[CAST(i AS INT)] AS x, tk[CAST(i AS INT)+1] AS y,
+      |         count(*) AS c
+      |       FROM t, unnest(range(1, len(tk))) AS r(i) GROUP BY x, y),
+      |top AS (SELECT x, y FROM bg ORDER BY c DESC, x, y LIMIT 1)
+      |SELECT top.x AS w1, top.y AS w2, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM documents, top
+      |WHERE (' ' || text || ' ') LIKE ('% ' || top.x || ' ' || top.y || ' %')
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val tk = col("tk")
+    val tdf = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // single-file scan -> use every core
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val top = tdf.filter(size(tk) >= 2)
+      .select(explode(zip_with(
+        slice(tk, lit(1), size(tk) - 1),
+        slice(tk, lit(2), size(tk) - 1),
+        (x, y) => struct(x.as("x"), y.as("y")))).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("x"), col("y")).limit(1)
+    // positional postings, filtered to the two phrase terms pre-shuffle
+    val pos = tdf.select(col("doc_id"), posexplode(tk).as(Seq("pos", "tok")))
+    val p1 = pos.join(broadcast(top), col("tok") === col("x"))
+      .select(col("doc_id"), col("pos").as("pos1"))
+    val p2 = pos.join(broadcast(top), col("tok") === col("y"))
+      .select(col("doc_id").as("doc2"), col("pos").as("pos2"))
+    p1.join(p2, col("doc_id") === col("doc2") && col("pos2") === col("pos1") + 1)
+      .select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(top))
+      .select(col("x").as("w1"), col("y").as("w2"), col("n_docs"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q70Bm25, q103InvertedIndex, q117PhraseIndex)
 }
