@@ -350,4 +350,50 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  final case class ZState(window: Seq[Long])
+  final case class ZOut(user_id: Long, event_id: Long, value_milli: Long, n_win: Long)
+
+  /** Streaming rolling z-score anomaly detection — the twin of q113,
+    * as it would actually run in production (the batch query IS a
+    * stream shape: per-key trailing window, O(window) state). State
+    * per user is the last `windowSize` milli-quantized values; each
+    * arriving event is tested against the trailing baseline with the
+    * same int64 cross-multiplied |v−μ| > 3σ check as the batch query,
+    * then pushed into the window. Agreement with batch holds for
+    * in-order arrival (the batch frame is "previous 10 rows in
+    * (ts, event_id) order").
+    *
+    * At 100 TB-per-day scale the state is windowSize longs per active
+    * key — add an event-time TTL (asofEnrich's pattern) to expire
+    * dormant keys. */
+  def rollingZscore(spark: SparkSession, events: Dataset[AsofEvent],
+      windowSize: Int = 10, minN: Int = 5): Dataset[ZOut] = {
+    import spark.implicits._
+
+    def fn(userId: Long, rows: Iterator[AsofEvent],
+        state: GroupState[ZState]): Iterator[ZOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var buf = state.getOption.map(_.window.toVector).getOrElse(Vector.empty[Long])
+      val out = List.newBuilder[ZOut]
+      sorted.foreach { e =>
+        val v = math.floor(e.value * 1000).toLong
+        val n = buf.size.toLong
+        if (n >= minN) {
+          val s = buf.sum
+          val q = buf.map(x => x * x).sum
+          val dev = n * v - s
+          if (dev * dev > 9L * (n * q - s * s)) out += ZOut(userId, e.event_id, v, n)
+        }
+        buf = (buf :+ v).takeRight(windowSize)
+      }
+      state.update(ZState(buf))
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

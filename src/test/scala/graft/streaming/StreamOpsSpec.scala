@@ -280,6 +280,25 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rollingZscore agrees with the batch q113 on the driver events file") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.AsofEvent]
+    val q = StreamOps.rollingZscore(spark, in.toDS())
+      .writeStream.format("memory").queryName("zscore_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      eventChunks(3).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("zscore_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = graft.operators.EventOps.q113RollingZscore
+        .build(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"stream-batch: ${streamed -- batch}; batch-stream: ${batch -- streamed}")
+    } finally q.stop()
+  }
+
   test("funnel stage counts agree with the batch funnel on the driver events file") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.AsofEvent]
