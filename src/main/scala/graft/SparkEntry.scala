@@ -28,7 +28,8 @@ object SparkEntry {
       graft.operators.Layout.all ++ graft.operators.Bpe.all ++
       graft.operators.Learn.all ++ graft.operators.Graph.all ++
       graft.operators.Association.all ++ graft.operators.Skyline.all ++
-      graft.multimodal.Phash.all ++ graft.operators.Segmentation.all
+      graft.multimodal.Phash.all ++ graft.operators.Segmentation.all ++
+      graft.operators.Linalg.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -229,6 +229,54 @@ object DataProfile {
       .orderBy("fk")
   }
 
+  /** q123 — chi-square independence audit over the (lang × source)
+    * contingency table: per cell the observed count, floor-expected
+    * count, and the scaled χ² contribution — the statistical drift
+    * check for "is this source's language mix what it always was".
+    *
+    * The χ² cell term (obs·n − rowΣ·colΣ)²/(n·rowΣ·colΣ) is emitted as
+    * integer ppm: the residual d = obs·n − rowΣ·colΣ stays exact int64
+    * (< 2⁵³, so its double image is exact), and the one double
+    * multiply-chain + divide + floor is IEEE-identical in both
+    * engines (the q108 contract). The FULL grid is produced (absent
+    * cells count 0 — a vanished combination is exactly what the audit
+    * must flag), via the margins' cross join, which is |langs|·|sources|
+    * — bounded, never fact-sized. */
+  val q123ChisqIndependence: QueryDef = QueryDef(
+    "q123_chisq_independence",
+    """WITH o AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+      |           FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, CAST(count(*) AS BIGINT) AS rs FROM documents GROUP BY 1),
+      |c AS (SELECT source, CAST(count(*) AS BIGINT) AS cs FROM documents GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+      |grid AS (
+      |  SELECT r.lang, c.source, r.rs, c.cs, n.nn,
+      |    coalesce(o.obs, 0) AS obs,
+      |    coalesce(o.obs, 0) * n.nn - r.rs * c.cs AS d
+      |  FROM r CROSS JOIN c CROSS JOIN n
+      |  LEFT JOIN o ON o.lang = r.lang AND o.source = c.source)
+      |SELECT lang, source, obs, (rs * cs) // nn AS expected_floor,
+      |  CAST(floor((CAST(d AS DOUBLE) * d * 1000000.0) /
+      |       ((CAST(nn AS DOUBLE) * rs) * cs)) AS BIGINT) AS chi2_cell_ppm
+      |FROM grid ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val o = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("obs"))
+    val r = docs.groupBy(col("lang")).agg(count(lit(1)).as("rs"))
+    val c = docs.groupBy(col("source")).agg(count(lit(1)).as("cs"))
+    val n = docs.agg(count(lit(1)).as("nn"))
+    r.crossJoin(c).crossJoin(n)
+      .join(o, Seq("lang", "source"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .withColumn("d", col("obs") * col("nn") - col("rs") * col("cs"))
+      .select(col("lang"), col("source"), col("obs"),
+        expr("(rs * cs) div nn").as("expected_floor"),
+        floor((col("d").cast("double") * col("d") * lit(1000000.0)) /
+          ((col("nn").cast("double") * col("rs")) * col("cs")))
+          .cast("bigint").as("chi2_cell_ppm"))
+      .orderBy("lang", "source")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit)
+    Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
+      q123ChisqIndependence)
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational sparse linear algebra — SpMM as join + aggregate, the
+  * way a Spark engine multiplies a (docs × terms) matrix by a dense
+  * factor without ever building a matrix: topic scoring, feature
+  * projection, and graph propagation all reduce to this kernel.
+  *
+  * Scale design: the sparse side stays (doc, term, tf) triples and
+  * shuffles ONCE on term to meet the factor matrix; the factor is
+  * vocabulary × topics and broadcast; the product aggregate
+  * (doc, topic) combines map-side. The factor weights are md5-derived
+  * integers so both engines rebuild the identical matrix and every
+  * score is exact int64. */
+object Linalg {
+
+  private val TOPICS = 8
+
+  val q122Spmm: QueryDef = QueryDef(
+    "q122_spmm",
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY doc_id, tok),
+       |w AS (
+       |  SELECT tok, t,
+       |    ('0x' || substring(md5('tw' || CAST(t AS VARCHAR) || ':' || tok), 1, 1))::INT % 10 AS wt
+       |  FROM (SELECT DISTINCT tok FROM tf), unnest(range(0, $TOPICS)) AS u(t)),
+       |score AS (
+       |  SELECT tf.doc_id, w.t AS topic, CAST(sum(tf.tf * w.wt) AS BIGINT) AS score
+       |  FROM tf JOIN w ON tf.tok = w.tok GROUP BY 1, 2),
+       |top AS (
+       |  SELECT doc_id, topic, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, topic) AS rn
+       |  FROM score)
+       |SELECT CAST(topic AS BIGINT) AS topic,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(score) AS BIGINT) AS total_score
+       |FROM top WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val tf = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // single-file scan -> use every core
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val w = tf.select(col("tok")).distinct()
+      .crossJoin(spark_range(s, TOPICS))
+      .select(col("tok"), col("t"),
+        (conv(substring(md5(concat(lit("tw"), col("t").cast("string"),
+          lit(":"), col("tok"))), 1, 1), 16, 10).cast("int") % 10).as("wt"))
+    val score = tf.join(broadcast(w), Seq("tok"))
+      .groupBy(col("doc_id"), col("t").as("topic"))
+      .agg(sum(col("tf") * col("wt")).as("score"))
+    val rn = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("topic"))
+    score.withColumn("rn", row_number().over(rn))
+      .filter(col("rn") === 1)
+      .groupBy(col("topic").cast("bigint").as("topic"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("total_score"))
+      .orderBy("topic")
+  }
+
+  private def spark_range(s: org.apache.spark.sql.SparkSession, n: Int) =
+    s.range(n).select(col("id").cast("int").as("t"))
+
+  val all: Seq[QueryDef] = Seq(q122Spmm)
+}

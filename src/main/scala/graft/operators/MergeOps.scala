@@ -125,5 +125,54 @@ object MergeOps {
       .orderBy("custkey")
   }
 
-  val all: Seq[QueryDef] = Seq(q80MergeUpsert, q92SnapshotDiff)
+  /** q120 — deletion cascade (the right-to-be-forgotten pass): given a
+    * set of customers to forget, trace the cascade through the star
+    * (their orders, those orders' lineitems) and report per-table
+    * total/forgotten/kept counts — the audit a deletion job must emit
+    * before anything is rewritten.
+    *
+    * Scale design: the forget set and each derived key set flow
+    * through LEFT SEMI joins (Catalyst broadcasts them when bounded,
+    * which a deletion list is); the fact tables are scanned once each
+    * and only aggregates move. The selection predicate here is a
+    * deterministic mod so the oracle can reproduce the keyset. */
+  val q120ForgetCascade: QueryDef = QueryDef(
+    "q120_forget_cascade",
+    """WITH del_c AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |del_o AS (SELECT o_orderkey FROM orders
+      |          WHERE o_custkey IN (SELECT c_custkey FROM del_c)),
+      |del_l AS (SELECT count(*) AS n FROM lineitem
+      |          WHERE l_orderkey IN (SELECT o_orderkey FROM del_o))
+      |SELECT tbl, n_total, n_forgotten, n_total - n_forgotten AS n_kept FROM (
+      |  SELECT 'customer' AS tbl,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_total,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM del_c) AS n_forgotten
+      |  UNION ALL SELECT 'orders',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM del_o)
+      |  UNION ALL SELECT 'lineitem',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+      |    (SELECT CAST(n AS BIGINT) FROM del_l))
+      |ORDER BY tbl""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+    val orders = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val delC = cust.filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    val delO = orders.join(delC, orders("o_custkey") === delC("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    def row(name: String, total: org.apache.spark.sql.DataFrame,
+        forgotten: org.apache.spark.sql.DataFrame) =
+      total.agg(count(lit(1)).as("n_total"))
+        .crossJoin(forgotten.agg(count(lit(1)).as("n_forgotten")))
+        .select(lit(name).as("tbl"), col("n_total"), col("n_forgotten"))
+    val delL = li.join(delO, li("l_orderkey") === delO("o_orderkey"), "left_semi")
+    row("customer", cust, delC)
+      .unionByName(row("orders", orders, delO))
+      .unionByName(row("lineitem", li, delL))
+      .select(col("tbl"), col("n_total"), col("n_forgotten"),
+        (col("n_total") - col("n_forgotten")).as("n_kept"))
+      .orderBy("tbl")
+  }
+
+  val all: Seq[QueryDef] = Seq(q80MergeUpsert, q92SnapshotDiff, q120ForgetCascade)
 }
