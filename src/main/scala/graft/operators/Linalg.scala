@@ -64,5 +64,58 @@ object Linalg {
   private def spark_range(s: org.apache.spark.sql.SparkSession, n: Int) =
     s.range(n).select(col("id").cast("int").as("t"))
 
-  val all: Seq[QueryDef] = Seq(q122Spmm)
+  /** q124 — group-wise simple linear regression: per event type, the
+    * closed-form least-squares slope and intercept of value over time
+    * — "is this metric drifting, and how fast", fit for every group in
+    * one aggregate pass (the map-side-combinable Σx, Σy, Σxy, Σx²
+    * moments; no iteration, no collect).
+    *
+    * Exactness: x is whole hours from the global min timestamp, y is
+    * milli-units — all four moments stay int64 (bounds: |x| ≤ ~10³,
+    * |y| ≤ ~10⁶ ⇒ n·Σxy ≤ ~10¹⁸) — and the final slope/intercept
+    * ratios are single IEEE divide-floor chains (the q108 contract).
+    * Slope unit: milli-value per hour, ppm-scaled. */
+  val q124GroupRegression: QueryDef = QueryDef(
+    "q124_group_regression",
+    """WITH m0 AS (SELECT min(epoch_us(ts) // 1000000) AS t0 FROM events),
+      |p AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) // 1000000 - m0.t0) // 3600 AS x,
+      |    CAST(floor(value * 1000) AS BIGINT) AS y
+      |  FROM events, m0),
+      |a AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM p GROUP BY event_type)
+      |SELECT event_type, n,
+      |  CAST(floor((CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0) /
+      |       CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope_ppm,
+      |  CAST(floor((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy) * 1000000.0 /
+      |       CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS intercept_ppm
+      |FROM a WHERE n * sxx - sx * sx > 0 ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val m0 = ev.agg(min(expr("unix_micros(ts) div 1000000")).as("t0"))
+    val p = ev.crossJoin(broadcast(m0))
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 1000000 - t0) div 3600").as("x"),
+        floor(col("value") * 1000).cast("bigint").as("y"))
+    val a = p.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    a.filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+      .select(col("event_type"), col("n"),
+        floor(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+          lit(1000000.0)) /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .cast("bigint").as("slope_ppm"),
+        floor((col("sy").cast("double") * col("sxx") -
+          col("sx").cast("double") * col("sxy")) * lit(1000000.0) /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .cast("bigint").as("intercept_ppm"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(q122Spmm, q124GroupRegression)
 }

@@ -70,4 +70,19 @@ class OracleInvariantsSpec extends AnyFunSuite {
         "q86's oracle twin diverges from variant cast semantics here")
     }
   }
+
+  test("q113/q114/q124 int64 bounds: events.value in [0, 1e6) milli-units") {
+    // the rolling z-score cross-multiplication (n·v−s)², the TWAP
+    // weight products, and the regression moments all stay inside
+    // int64 only while |value·1000| < 10⁶ (derivations in the
+    // respective scaladocs); a generator change to bigger values
+    // must fail HERE, not as an overflowed hash mismatch
+    for (dir <- sfDirs) {
+      val offenders = Tables.events(spark, dir)
+        .filter(col("value") < 0 || col("value") >= 1000.0)
+        .count()
+      assert(offenders == 0L, s"$dir: $offenders events.value rows " +
+        "outside [0, 1000) break the milli-unit int64 bound")
+    }
+  }
 }
