@@ -735,10 +735,75 @@ object EventOps {
       .orderBy("d")
   }
 
+  /** q125 — INTERVAL OVERLAP JOIN: user sessions (q51's 30-minute-gap
+    * intervals) joined to daily campaign windows (06:00–18:00 of every
+    * active day) on genuine interval overlap, reporting per campaign
+    * how many sessions it touched and the total overlapped time.
+    *
+    * The distributed shape: a raw theta join (s ≤ ce AND cs ≤ e) is
+    * quadratic and unpartitionable, so each session is EXPLODED over
+    * the calendar days it spans (sequence() — almost always one day
+    * for gap-bounded sessions) and the join becomes an equi-join on
+    * the day key, with the exact overlap predicate applied after. A
+    * session spanning two days meets both days' campaigns through its
+    * two day rows — no dedup step, because campaigns are keyed by the
+    * same day. The oracle IS the quadratic theta join, so the gate
+    * proves the bucketed rewrite exact.
+    *
+    * Overlap arithmetic stays in integer epoch-µs end to end. */
+  val q125IntervalJoin: QueryDef = QueryDef(
+    "q125_interval_join",
+    s"""WITH o AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SESSION_GAP_US OR lag(ts) OVER w IS NULL
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+       |  FROM o),
+       |iv AS (
+       |  SELECT user_id, sess, epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+       |  FROM s GROUP BY user_id, sess),
+       |camp AS (
+       |  SELECT d, epoch_us(CAST(d AS TIMESTAMP)) + 21600000000 AS cs_us,
+       |    epoch_us(CAST(d AS TIMESTAMP)) + 64800000000 AS ce_us
+       |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events))
+       |SELECT camp.d, CAST(count(*) AS BIGINT) AS n_sessions,
+       |  CAST(sum(least(iv.e_us, camp.ce_us) - greatest(iv.s_us, camp.cs_us)) AS BIGINT) AS total_overlap_us
+       |FROM iv JOIN camp ON iv.s_us <= camp.ce_us AND camp.cs_us <= iv.e_us
+       |GROUP BY camp.d ORDER BY camp.d""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val iv = ev
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("us"), 1).over(wo))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("us") - col("prev") > SESSION_GAP_US, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("is_new")).over(wo))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    val camp = ev.select(to_date(col("ts")).as("d")).distinct()
+      .withColumn("cs_us", unix_micros(col("d").cast("timestamp")) + lit(21600000000L))
+      .withColumn("ce_us", col("cs_us") + lit(43200000000L))
+    iv
+      .select(col("s_us"), col("e_us"),
+        explode(sequence(
+          to_date(timestamp_micros(col("s_us"))),
+          to_date(timestamp_micros(col("e_us"))))).as("d"))
+      .join(broadcast(camp), Seq("d"))
+      .filter(col("s_us") <= col("ce_us") && col("cs_us") <= col("e_us"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(least(col("e_us"), col("ce_us")) - greatest(col("s_us"), col("cs_us")))
+          .as("total_overlap_us"))
+      .orderBy("d")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
     q58Pivot, q59Cube, q72SlidingWindow, q81Streaks, q86VariantExtract,
     q102IncrementalAgg, q105AsofNative, q109Markov, q113RollingZscore,
-    q114Twap, q118CumulativeUniques)
+    q114Twap, q118CumulativeUniques, q125IntervalJoin)
 }
