@@ -155,4 +155,48 @@ class PlanAuditSpec extends AnyFunSuite {
     // i.e. upstream of any exchange on that path
     assert(!p.substring(probeIdx, scanIdx).contains("Exchange"), p)
   }
+
+  test("q107: pair generation is an array expansion, not a basket self-join") {
+    val p = plan(graft.operators.Association.q107AssocRules)
+    // one Generate (the explode of the per-order pair array); the only
+    // joins are the bounded count-attach joins, all broadcast
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q110: both skyline prune stages join broadcast — the part scan never shuffles") {
+    val p = plan(graft.operators.Skyline.q110Skyline)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q116/q121: profile joins are broadcast against the fact scan") {
+    for (q <- Seq(graft.operators.DataProfile.q116Histogram,
+        graft.operators.DataProfile.q121FkAudit)) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    }
+  }
+
+  test("q122: the factor matrix is broadcast; the tf triples meet it without a join shuffle") {
+    val p = plan(graft.operators.Linalg.q122Spmm)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q113: the three rolling window sums share ONE exchange and one sort") {
+    val p = plan(graft.operators.EventOps.q113RollingZscore)
+    // a single Window node computes n/s/q over the same (user_id) spec
+    assert("RunningWindowFunction|Window".r.findAllIn(p).size >= 1, p)
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges\n$p")
+  }
+
+  test("q125: the interval join is an equi-join on the day bucket, not a theta join") {
+    val p = plan(graft.operators.EventOps.q125IntervalJoin)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
