@@ -82,5 +82,77 @@ object Packing {
       .orderBy("source")
   }
 
-  val all: Seq[QueryDef] = Seq(q87Packing)
+  /** q126 — clamped running balance (floor-at-zero ledger): per user,
+    * purchases deposit value, every other event withdraws it, and the
+    * balance can never go negative — report each user's final balance,
+    * clamp count, and peak. The inventory/credit pattern that a plain
+    * window CANNOT express: the clamp makes each step depend on the
+    * clamped previous state, so there is no prefix-sum closed form.
+    *
+    * Same legitimacy argument and same machinery as q87: repartition
+    * by user (the parallel unit), secondary-sort by (user, ts,
+    * event_id) in the SAME shuffle, one forward scan with O(1) state.
+    * The oracle replays the recurrence as a recursive CTE, so the
+    * gate proves the distributed scan equals the sequential
+    * definition. Integer milli-units end to end. */
+  val q126ClampedBalance: QueryDef = QueryDef(
+    "q126_clamped_balance",
+    """WITH RECURSIVE t AS (
+      |  SELECT user_id,
+      |    CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 1000) AS BIGINT)
+      |         ELSE -CAST(floor(value * 1000) AS BIGINT) END AS d,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |bal AS (
+      |  SELECT user_id, rn,
+      |    greatest(CAST(0 AS BIGINT), d) AS bal,
+      |    CAST(CASE WHEN d < 0 THEN 1 ELSE 0 END AS BIGINT) AS clamps,
+      |    greatest(CAST(0 AS BIGINT), d) AS peak
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.user_id, t.rn,
+      |    greatest(CAST(0 AS BIGINT), b.bal + t.d),
+      |    b.clamps + CASE WHEN b.bal + t.d < 0 THEN 1 ELSE 0 END,
+      |    greatest(b.peak, b.bal + t.d)
+      |  FROM bal b JOIN t ON t.user_id = b.user_id AND t.rn = b.rn + 1),
+      |last AS (SELECT user_id, max(rn) AS mr FROM bal GROUP BY user_id)
+      |SELECT b.user_id, b.bal AS final_milli, b.clamps AS n_clamps,
+      |  b.peak AS peak_milli
+      |FROM bal b JOIN last l ON b.user_id = l.user_id AND b.rn = l.mr
+      |ORDER BY b.user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        when(col("event_type") === "purchase",
+          floor(col("value") * 1000).cast("long"))
+          .otherwise(-floor(col("value") * 1000).cast("long")).as("d"))
+    val scanned = rows
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "us", "event_id")
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var uid = Long.MinValue
+        var bal = 0L; var clamps = 0L; var peak = 0L; var rn = 0L
+        it.map { case (u, _, _, d) =>
+          if (u != uid) { uid = u; bal = 0L; clamps = 0L; peak = 0L; rn = 0L }
+          rn += 1
+          val nb = bal + d
+          if (nb < 0) { clamps += 1; bal = 0L } else bal = nb
+          if (bal > peak) peak = bal
+          (u, rn, bal, clamps, peak)
+        }
+      }
+      .toDF("user_id", "rn", "bal", "clamps", "peak")
+    scanned.groupBy(col("user_id"))
+      .agg(
+        max_by(col("bal"), col("rn")).as("final_milli"),
+        max(col("clamps")).as("n_clamps"), // monotone over the scan
+        max(col("peak")).as("peak_milli"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q87Packing, q126ClampedBalance)
 }
