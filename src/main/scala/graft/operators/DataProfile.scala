@@ -276,7 +276,50 @@ object DataProfile {
       .orderBy("lang", "source")
   }
 
+  /** q127 — robust (trimmed) statistics: per event type, the exact
+    * p10/p90 fences and the mean of only the values inside them — the
+    * outlier-proof center estimate drift monitoring uses when q106's
+    * plain mean is poisoned by tails.
+    *
+    * Two passes like q106: a grouped exact-percentile aggregate
+    * (bounded output) broadcast back over the fact scan; the trimmed
+    * mean itself is integer milli-units with a floor-div — no float
+    * division. The fence comparison uses the interpolated-percentile
+    * doubles, which both engines compute bit-identically (the q17
+    * contract). */
+  val q127TrimmedStats: QueryDef = QueryDef(
+    "q127_trimmed_stats",
+    """WITH f AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.1) AS p10, quantile_cont(value, 0.9) AS p90
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type,
+      |  CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(count(CASE WHEN e.value >= f.p10 AND e.value <= f.p90 THEN 1 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN e.value >= f.p10 AND e.value <= f.p90
+      |           THEN CAST(floor(e.value * 1000) AS BIGINT) END) AS BIGINT)
+      |    // CAST(count(CASE WHEN e.value >= f.p10 AND e.value <= f.p90 THEN 1 END) AS BIGINT)
+      |    AS trimmed_mean_milli
+      |FROM events e JOIN f ON e.event_type = f.event_type
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val fences = ev.groupBy(col("event_type").as("ft"))
+      .agg(
+        percentile(col("value"), lit(0.1)).as("p10"),
+        percentile(col("value"), lit(0.9)).as("p90"))
+    val in = col("value") >= col("p10") && col("value") <= col("p90")
+    ev.join(broadcast(fences), col("event_type") === col("ft"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(in, 1)).as("n_kept"),
+        sum(when(in, floor(col("value") * 1000).cast("bigint"))).as("kept_sum"))
+      .select(col("event_type"), col("n_total"), col("n_kept"),
+        expr("kept_sum div n_kept").as("trimmed_mean_milli"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
-      q123ChisqIndependence)
+      q123ChisqIndependence, q127TrimmedStats)
 }

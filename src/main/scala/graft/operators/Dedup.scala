@@ -736,5 +736,47 @@ object Dedup {
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
     q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters, q38DedupPipeline,
-    q69SpanDedup, q75Contamination, q78SortedNeighborhood, q100SemanticDedup)
+    q69SpanDedup, q75Contamination, q78SortedNeighborhood, q100SemanticDedup,
+    q128KeepBest)
+
+  /** q128 — keep-BEST representative selection: within each
+    * exact-duplicate cluster (q30's bag-of-words signature), keep the
+    * highest-quality member (longest text, smallest doc_id on ties)
+    * rather than q38's keep-smallest — the production curation rule
+    * when duplicates differ in truncation/extraction quality, with a
+    * per-source audit of what survived.
+    *
+    * Scale design: one shuffle on the signature for the per-cluster
+    * rank (clusters are small by nature; a pathological giant cluster
+    * is exactly what the q15 TopKPerKey operator bounds), then a
+    * plain per-source aggregate. */
+  lazy val q128KeepBest: QueryDef = QueryDef(
+    "q128_keep_best",
+    """WITH sig AS (
+      |  SELECT doc_id, source, n_chars,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS signature
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY signature ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM sig)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+      |  CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dropped,
+      |  CAST(sum(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS kept_chars
+      |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("signature"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"), signature.as("signature"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("rn") === 1, 1)).as("n_kept"),
+        count(when(col("rn") > 1, 1)).as("n_dropped"),
+        sum(when(col("rn") === 1, col("n_chars"))).as("kept_chars"))
+      .orderBy("source")
+  }
 }
