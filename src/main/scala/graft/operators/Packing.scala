@@ -129,9 +129,26 @@ object Packing {
         when(col("event_type") === "purchase",
           floor(col("value") * 1000).cast("long"))
           .otherwise(-floor(col("value") * 1000).cast("long")).as("d"))
-    val scanned = rows
-      .repartition(col("user_id"))
-      .sortWithinPartitions("user_id", "us", "event_id")
+    clampedBalance(s, rows)
+      .select(col("user_id"), col("bal").as("final_milli"),
+        col("clamps").as("n_clamps"), col("peak").as("peak_milli"))
+      .orderBy("user_id")
+  }
+
+  /** The q126 kernel, exposed for the boundary-reset property spec:
+    * secondary-sort scan over (user_id, us, event_id, d) rows →
+    * one (bal, clamps, peak) row per user. `partitions` forces a
+    * specific partition count so tests can exercise multi-key
+    * partitions. */
+  private[graft] def clampedBalance(
+      s: org.apache.spark.sql.SparkSession,
+      rows: org.apache.spark.sql.DataFrame,
+      partitions: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val rp = partitions
+      .map(n => rows.repartition(n, col("user_id")))
+      .getOrElse(rows.repartition(col("user_id")))
+    rp.sortWithinPartitions("user_id", "us", "event_id")
       .as[(Long, Long, Long, Long)]
       .mapPartitions { it =>
         var uid = Long.MinValue
@@ -146,12 +163,11 @@ object Packing {
         }
       }
       .toDF("user_id", "rn", "bal", "clamps", "peak")
-    scanned.groupBy(col("user_id"))
+      .groupBy(col("user_id"))
       .agg(
-        max_by(col("bal"), col("rn")).as("final_milli"),
-        max(col("clamps")).as("n_clamps"), // monotone over the scan
-        max(col("peak")).as("peak_milli"))
-      .orderBy("user_id")
+        max_by(col("bal"), col("rn")).as("bal"),
+        max(col("clamps")).as("clamps"), // monotone over the scan
+        max(col("peak")).as("peak"))
   }
 
   val all: Seq[QueryDef] = Seq(q87Packing, q126ClampedBalance)
