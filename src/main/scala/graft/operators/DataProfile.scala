@@ -319,7 +319,96 @@ object DataProfile {
       .orderBy("event_type")
   }
 
+  /** q129 — grouped EQUI-DEPTH histogram (q116's twin): ntile(10)
+    * splits each priority's prices into same-population bins; the
+    * report is each bin's span and count — the quantile sketch a
+    * cost-based optimizer or drift monitor wants when equi-width bins
+    * would collapse into one hot bucket.
+    *
+    * The ntile window is per-group with a (price, orderkey) total
+    * order, so ties split deterministically; at 100 TB the same
+    * output comes from interpolated percentile cutpoints (q17/q85
+    * machinery) — documented swap, same schema. Doubles pass through
+    * min/max untouched (no arithmetic), so both engines agree
+    * bitwise. */
+  val q129EquiDepth: QueryDef = QueryDef(
+    "q129_equidepth",
+    """WITH b AS (
+      |  SELECT o_orderpriority AS pri, o_totalprice AS v,
+      |    ntile(10) OVER (PARTITION BY o_orderpriority
+      |                    ORDER BY o_totalprice, o_orderkey) AS bin
+      |  FROM orders)
+      |SELECT pri, CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+      |  min(v) AS lo, max(v) AS hi
+      |FROM b GROUP BY pri, bin ORDER BY pri, bin""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("pri"), col("o_totalprice").as("v"),
+        ntile(10).over(w).cast("bigint").as("bin"))
+      .groupBy(col("pri"), col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy("pri", "bin")
+  }
+
+  /** q131 — financial reconciliation: does each order's header total
+    * agree with the sum of its line amounts (extended price net of
+    * discount), within a 1% tolerance? The core ledger-vs-detail
+    * audit of the reference's domain, as one aggregated pass.
+    *
+    * Scale design: lineitem collapses to per-order totals (one
+    * partial-aggregable shuffle on the join key), the header join is
+    * then key-to-key, and only the one audit row leaves.
+    *
+    * Exactness: everything is integer CENTS. Header cents use the
+    * explicit floor(x·100 + 0.5) half-up rule — double→DECIMAL casts
+    * are NOT portable here (Spark rounds half-up, DuckDB half-even,
+    * and doubles whose ×100 image lands exactly on .5 do exist in
+    * this data: 12 of them at sf0.01, found the hard way); line cents
+    * come from the per-line DECIMAL(18,2) sums (the q01 contract)
+    * scaled by 100 — exact by construction. The 1% tolerance is the
+    * integer predicate 100·|diff| ≤ header_cents. */
+  val q131Reconciliation: QueryDef = QueryDef(
+    "q131_reconciliation",
+    """WITH lt AS (
+      |  SELECT l_orderkey,
+      |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) * 100 AS BIGINT) AS line_cents
+      |  FROM lineitem GROUP BY l_orderkey),
+      |j AS (
+      |  SELECT o.o_orderkey, lt.line_cents,
+      |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS hdr_cents,
+      |    abs(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) - lt.line_cents) AS adiff_cents
+      |  FROM orders o LEFT JOIN lt ON o.o_orderkey = lt.l_orderkey)
+      |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(count(line_cents) AS BIGINT) AS n_with_lines,
+      |  CAST(count(CASE WHEN adiff_cents * 100 <= hdr_cents THEN 1 END) AS BIGINT) AS n_within_1pct,
+      |  CAST(count(CASE WHEN adiff_cents * 100 > hdr_cents THEN 1 END) AS BIGINT) AS n_outside,
+      |  CAST(sum(adiff_cents) AS BIGINT) AS total_abs_diff_cents
+      |FROM j""".stripMargin) { (s, dir) =>
+    val lt = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      // raw columns cast to decimal BEFORE the multiply (the q01
+      // contract): casting the double PRODUCT instead hits half-up vs
+      // half-even tie divergence between the engines
+      .agg((round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2) * 100)
+        .cast("bigint").as("line_cents"))
+    Tables.orders(s, dir)
+      .join(lt, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("hdr_cents",
+        floor(col("o_totalprice") * 100 + 0.5).cast("bigint"))
+      .withColumn("adiff_cents", abs(col("hdr_cents") - col("line_cents")))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(col("line_cents")).as("n_with_lines"),
+        count(when(col("adiff_cents") * 100 <= col("hdr_cents"), 1)).as("n_within_1pct"),
+        count(when(col("adiff_cents") * 100 > col("hdr_cents"), 1)).as("n_outside"),
+        sum(col("adiff_cents")).as("total_abs_diff_cents"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
-      q123ChisqIndependence, q127TrimmedStats)
+      q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
+      q131Reconciliation)
 }

@@ -800,10 +800,53 @@ object EventOps {
       .orderBy("d")
   }
 
+  /** q130 — top session paths: the ordered event-type journey of every
+    * session (q51's gap sessions), ranked by frequency — the "what do
+    * users actually do" product-analytics staple.
+    *
+    * Scale design: one shuffle on user_id builds sessions and their
+    * ordered paths (sort_array over per-session structs — bounded by
+    * session length, which the 30-minute gap bounds); path counting is
+    * a partial-aggregable groupBy; the top-10 is TakeOrdered, never a
+    * global sort. */
+  val q130TopPaths: QueryDef = QueryDef(
+    "q130_top_paths",
+    s"""WITH o AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SESSION_GAP_US OR lag(ts) OVER w IS NULL
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+       |  FROM o),
+       |p AS (
+       |  SELECT user_id, sess,
+       |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+       |  FROM s GROUP BY user_id, sess),
+       |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path)
+       |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10""".stripMargin) { (s, dir) =>
+    val perUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("us"), 1).over(perUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("us") - col("prev") > SESSION_GAP_US, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("is_new")).over(perUser))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("us"), col("event_id"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
     q58Pivot, q59Cube, q72SlidingWindow, q81Streaks, q86VariantExtract,
     q102IncrementalAgg, q105AsofNative, q109Markov, q113RollingZscore,
-    q114Twap, q118CumulativeUniques, q125IntervalJoin)
+    q114Twap, q118CumulativeUniques, q125IntervalJoin, q130TopPaths)
 }
