@@ -74,5 +74,66 @@ object Graph {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q104Triangles)
+  /** q132 — hierarchy explosion (BOM / org-chart transitive closure):
+    * walk a parent→child graph from a set of roots, multiplying edge
+    * quantities along each path, and report per root the component
+    * count and total effective quantity. The recursive query family —
+    * the one shape a single SQL SELECT cannot express and warehouses
+    * reach for WITH RECURSIVE.
+    *
+    * The hierarchy is derived deterministically from the part table
+    * (heap edges p → 2p+1, 2p+2 with qty 1+(child mod 3)), so both
+    * engines build the identical graph. Spark executes the closure as
+    * a frontier LOOP: each level is one equi-join of the (checkpointed
+    * once) edge list against the previous frontier — depth is
+    * log₂(parts), each level is a bounded shuffle, and lineage is cut
+    * per level (the q37/q65 iterative contract). The oracle is the
+    * recursive CTE, so the gate proves loop ≡ recursion.
+    *
+    * Products stay int64: qty ≤ 3 per edge, depth ≤ log₂(n). */
+  val q132BomExplosion: QueryDef = QueryDef(
+    "q132_bom_explosion",
+    """WITH RECURSIVE e AS (
+      |  SELECT p_partkey AS parent, p_partkey * 2 + b AS child,
+      |    1 + (p_partkey * 2 + b) % 3 AS qty
+      |  FROM part, (SELECT 1 AS b UNION ALL SELECT 2) t
+      |  WHERE p_partkey * 2 + b <= (SELECT max(p_partkey) FROM part)),
+      |x AS (
+      |  SELECT p_partkey AS root, p_partkey AS node, CAST(1 AS BIGINT) AS qty
+      |  FROM part WHERE p_partkey < 10
+      |  UNION ALL
+      |  SELECT x.root, e.child, x.qty * e.qty FROM x JOIN e ON e.parent = x.node)
+      |SELECT root, CAST(count(*) AS BIGINT) AS n_components,
+      |  CAST(sum(qty) AS BIGINT) AS total_qty
+      |FROM x GROUP BY root ORDER BY root""".stripMargin) { (s, dir) =>
+    val part = Tables.part(s, dir)
+    val mx = part.agg(max(col("p_partkey")).as("mx"))
+    val edges = part.select(col("p_partkey").as("parent"),
+        explode(array(lit(1L), lit(2L))).as("b"))
+      .crossJoin(broadcast(mx))
+      .withColumn("child", col("parent") * 2 + col("b"))
+      .filter(col("child") <= col("mx"))
+      .select(col("parent"), col("child"),
+        (lit(1L) + col("child") % 3).as("eqty"))
+      .localCheckpoint() // reused by every frontier level
+    var frontier = part.filter(col("p_partkey") < 10)
+      .select(col("p_partkey").as("root"), col("p_partkey").as("node"),
+        lit(1L).as("qty"))
+      .localCheckpoint()
+    var acc = frontier
+    var more = true
+    while (more) {
+      frontier = frontier.join(edges, col("node") === col("parent"))
+        .select(col("root"), col("child").as("node"),
+          (col("qty") * col("eqty")).as("qty"))
+        .localCheckpoint() // cut lineage per level
+      if (frontier.isEmpty) more = false
+      else acc = acc.unionByName(frontier)
+    }
+    acc.groupBy(col("root"))
+      .agg(count(lit(1)).as("n_components"), sum(col("qty")).as("total_qty"))
+      .orderBy("root")
+  }
+
+  val all: Seq[QueryDef] = Seq(q104Triangles, q132BomExplosion)
 }

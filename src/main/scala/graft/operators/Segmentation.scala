@@ -65,5 +65,53 @@ object Segmentation {
       .orderBy("segment")
   }
 
-  val all: Seq[QueryDef] = Seq(q119Rfm)
+  /** q133 — Gini concentration index per market segment: how unequal
+    * is customer spend inside each segment? The standard inequality
+    * audit (revenue concentration, whale detection), via the sorted
+    * rank formula G = (2·Σrᵢxᵢ − (n+1)·Σx) / (n·Σx).
+    *
+    * Scale design: facts collapse to (segment, customer, cents) in
+    * one shuffle; the rank window is per SEGMENT (partitioned, not
+    * global) over the customer aggregate; the Gini itself is three
+    * int64 sums per segment (Σrx ≤ n²·maxspend — checked ≈ 10¹⁶ at
+    * sf1000, inside int64) and one IEEE divide-floor chain. */
+  val q133Gini: QueryDef = QueryDef(
+    "q133_gini",
+    """WITH sp AS (
+      |  SELECT c.c_mktsegment AS seg, o.o_custkey AS cust,
+      |    CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT seg, cents,
+      |    row_number() OVER (PARTITION BY seg ORDER BY cents, cust) AS rk
+      |  FROM sp),
+      |a AS (
+      |  SELECT seg, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS tot,
+      |    CAST(sum(rk * cents) AS BIGINT) AS src
+      |  FROM r GROUP BY seg)
+      |SELECT seg, n, tot,
+      |  CAST(floor((CAST(2 * src - (n + 1) * tot AS DOUBLE) * 1000000.0) /
+      |       CAST(n * tot AS DOUBLE)) AS BIGINT) AS gini_ppm
+      |FROM a WHERE n * tot > 0 ORDER BY seg""".stripMargin) { (s, dir) =>
+    val sp = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("seg"), col("o_custkey").as("cust"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("bigint")).as("cents"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("cents"), col("cust"))
+    sp.withColumn("rk", row_number().over(w).cast("bigint"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"),
+        sum(col("rk") * col("cents")).as("src"))
+      .filter(col("n") * col("tot") > 0)
+      .select(col("seg"), col("n"), col("tot"),
+        floor(((lit(2L) * col("src") - (col("n") + 1) * col("tot")).cast("double") *
+          lit(1000000.0)) / (col("n") * col("tot")).cast("double"))
+          .cast("bigint").as("gini_ppm"))
+      .orderBy("seg")
+  }
+
+  val all: Seq[QueryDef] = Seq(q119Rfm, q133Gini)
 }
