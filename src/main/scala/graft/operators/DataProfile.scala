@@ -407,8 +407,56 @@ object DataProfile {
         sum(col("adiff_cents")).as("total_abs_diff_cents"))
   }
 
+  /** q136 — key-gap analysis (gaps-and-islands over an ID space): the
+    * completeness audit for sequence-keyed ingests — which orderkey
+    * ranges are missing from the F-status subset, how many, how big.
+    * The island id is key − rank (constant within each contiguous
+    * run), the per-key window is partitioned-free but runs over the
+    * FILTERED key set, and the report aggregates islands — classic
+    * gaps-and-islands, bounded output.
+    *
+    * Scale note: the global (key − row_number) window is the
+    * textbook formulation; at 100 TB the same island ids come from
+    * range-partitioned ranks (q78's heads/tails machinery). */
+  val q136GapRanges: QueryDef = QueryDef(
+    "q136_gap_ranges",
+    """WITH k AS (
+      |  SELECT o_orderkey AS key,
+      |    o_orderkey - row_number() OVER (ORDER BY o_orderkey) AS grp
+      |  FROM orders WHERE o_orderstatus = 'F'),
+      |isl AS (
+      |  SELECT grp, min(key) AS lo, max(key) AS hi, count(*) AS n
+      |  FROM k GROUP BY grp),
+      |gaps AS (
+      |  SELECT lo, hi,
+      |    lead(lo) OVER (ORDER BY lo) - hi - 1 AS gap_after
+      |  FROM isl)
+      |SELECT CAST(count(*) AS BIGINT) AS n_islands,
+      |  CAST(sum(hi - lo + 1) AS BIGINT) AS n_present,
+      |  CAST(count(CASE WHEN gap_after > 0 THEN 1 END) AS BIGINT) AS n_gaps,
+      |  CAST(sum(CASE WHEN gap_after > 0 THEN gap_after END) AS BIGINT) AS n_missing,
+      |  CAST(max(gap_after) AS BIGINT) AS max_gap
+      |FROM gaps""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("key"))
+    val isl = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("key"))
+      .withColumn("grp", col("key") - row_number().over(w))
+      .groupBy(col("grp"))
+      .agg(min(col("key")).as("lo"), max(col("key")).as("hi"),
+        count(lit(1)).as("n"))
+    val gw = org.apache.spark.sql.expressions.Window.orderBy(col("lo"))
+    isl.withColumn("gap_after", lead(col("lo"), 1).over(gw) - col("hi") - 1)
+      .agg(
+        count(lit(1)).as("n_islands"),
+        sum(col("hi") - col("lo") + 1).as("n_present"),
+        count(when(col("gap_after") > 0, 1)).as("n_gaps"),
+        sum(when(col("gap_after") > 0, col("gap_after"))).as("n_missing"),
+        max(col("gap_after")).as("max_gap"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
-      q131Reconciliation)
+      q131Reconciliation, q136GapRanges)
 }

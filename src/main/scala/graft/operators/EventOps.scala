@@ -843,10 +843,69 @@ object EventOps {
       .orderBy(col("n").desc, col("path")).limit(10)
   }
 
+  /** q134 — day-of-week seasonality profile: per (event type, dow)
+    * the mean value, plus how much of each type's variance the weekly
+    * pattern explains (R² of the dow-mean model) — the first question
+    * asked of any business metric ("is this weekday effect real?").
+    *
+    * dow comes from epoch-day arithmetic ((days+4) mod 7, 0=Sunday) —
+    * engine date functions disagree on week origin, integer math does
+    * not. Two passes: the (type, dow) means (bounded: |types|·7 rows)
+    * broadcast back over the scan; residuals against the FLOOR means
+    * keep every sum int64 (dev² ≤ 2.5·10¹¹ per row). R² in ppm via
+    * floor-div. */
+  val q134Seasonality: QueryDef = QueryDef(
+    "q134_seasonality",
+    """WITH p AS (
+      |  SELECT event_type, ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events),
+      |d AS (
+      |  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS dmean
+      |  FROM p GROUP BY event_type, dow),
+      |g AS (
+      |  SELECT event_type, CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS gmean
+      |  FROM p GROUP BY event_type),
+      |r AS (
+      |  SELECT p.event_type,
+      |    CAST(sum((p.v - g.gmean) * (p.v - g.gmean)) AS BIGINT) AS sst,
+      |    CAST(sum((p.v - d.dmean) * (p.v - d.dmean)) AS BIGINT) AS ssw
+      |  FROM p JOIN d ON p.event_type = d.event_type AND p.dow = d.dow
+      |         JOIN g ON p.event_type = g.event_type
+      |  GROUP BY p.event_type)
+      |SELECT d.event_type, d.dow, d.n, d.dmean AS mean_milli,
+      |  (1000000 * (r.sst - r.ssw)) // r.sst AS r2_ppm
+      |FROM d JOIN r ON d.event_type = r.event_type
+      |ORDER BY d.event_type, d.dow""".stripMargin) { (s, dir) =>
+    val p = Tables.events(s, dir).select(
+      col("event_type"),
+      expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("dow"),
+      floor(col("value") * 1000).cast("bigint").as("v"))
+    val d = p.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), expr("sum(v) div count(1)").as("dmean"))
+    val g = p.groupBy(col("event_type"))
+      .agg(expr("sum(v) div count(1)").as("gmean"))
+    val r = p
+      .join(broadcast(d.select(col("event_type"), col("dow"), col("dmean"))),
+        Seq("event_type", "dow"))
+      .join(broadcast(g), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum((col("v") - col("gmean")) * (col("v") - col("gmean"))).as("sst"),
+        sum((col("v") - col("dmean")) * (col("v") - col("dmean"))).as("ssw"))
+    d.join(broadcast(r), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("n"),
+        col("dmean").as("mean_milli"),
+        expr("(1000000 * (sst - ssw)) div sst").as("r2_ppm"))
+      .orderBy("event_type", "dow")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
     q58Pivot, q59Cube, q72SlidingWindow, q81Streaks, q86VariantExtract,
     q102IncrementalAgg, q105AsofNative, q109Markov, q113RollingZscore,
-    q114Twap, q118CumulativeUniques, q125IntervalJoin, q130TopPaths)
+    q114Twap, q118CumulativeUniques, q125IntervalJoin, q130TopPaths,
+    q134Seasonality)
 }
