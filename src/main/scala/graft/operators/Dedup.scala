@@ -737,7 +737,79 @@ object Dedup {
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
     q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters, q38DedupPipeline,
     q69SpanDedup, q75Contamination, q78SortedNeighborhood, q100SemanticDedup,
-    q128KeepBest)
+    q128KeepBest, q135LshEval)
+
+  /** q135 — LSH quality evaluation ("measure, don't guess"): on a
+    * deterministic 10% document sample, compute the EXACT set of
+    * near-dup pairs (token-set Jaccard ≥ 0.5, brute force — the
+    * sample makes that affordable at any corpus size) and score the
+    * MinHash-LSH candidate generator against it: recall (what
+    * fraction of true pairs land in some shared band bucket) and
+    * precision (what fraction of sampled candidates are true). This
+    * is the audit that decides band/row parameters in production —
+    * run inside the engine, on the engine's own pipeline.
+    *
+    * Sampling is doc_id mod 2 (reproducible from data alone, the
+    * q101 contract); truth and candidates are both restricted to the
+    * sample so the two sides describe the same population. Truth is
+    * SHINGLE-set Jaccard — the measure MinHash actually sketches;
+    * scoring the sketch against a different similarity (e.g. token
+    * sets) conflates sketch error with measure mismatch. The exact
+    * truth is a set-similarity equi-join on the shingle key (complete
+    * for J > 0, q34's shape with no DF cap), never an all-pairs
+    * scan. */
+  lazy val q135LshEval: QueryDef = QueryDef(
+    "q135_lsh_eval",
+    s"""WITH $mhOracleCte,
+       |$lshCandOracleCte,
+       |srows AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 2 = 0),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM srows GROUP BY doc_id),
+       |pi AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM srows a JOIN srows b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT pi.a, pi.b
+       |  FROM pi JOIN sz za ON pi.a = za.doc_id JOIN sz zb ON pi.b = zb.doc_id
+       |  WHERE inter * 2 >= za.n + zb.n - inter),
+       |sc AS (SELECT a, b FROM cand WHERE a % 2 = 0 AND b % 2 = 0),
+       |hit AS (SELECT t.a, t.b FROM truth t JOIN sc ON t.a = sc.a AND t.b = sc.b),
+       |m AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM sc) AS n_candidates,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)
+       |SELECT n_truth, n_candidates, n_hit,
+       |  CASE WHEN n_truth > 0 THEN (1000000 * n_hit) // n_truth END AS recall_ppm,
+       |  CASE WHEN n_candidates > 0 THEN (1000000 * n_hit) // n_candidates END AS precision_ppm
+       |FROM m""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val srows = shingles(docs.filter(col("doc_id") % 2 === 0))
+      .select(col("doc_id"), col("shingle")).distinct()
+      .localCheckpoint() // sizes + both sides of the shingle join
+    val sz = srows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pi = srows.select(col("doc_id").as("a"), col("shingle"))
+      .join(srows.select(col("doc_id").as("b"), col("shingle").as("sgb")),
+        col("shingle") === col("sgb") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val truth = pi
+      .join(broadcast(sz.select(col("doc_id").as("a"), col("n").as("na"))), Seq("a"))
+      .join(broadcast(sz.select(col("doc_id").as("b"), col("n").as("nb"))), Seq("b"))
+      .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      .select(col("a"), col("b"))
+      .localCheckpoint() // counted AND semi-joined below
+    val sc = candidatePairs(docs)
+      .filter(col("a") % 2 === 0 && col("b") % 2 === 0)
+      .localCheckpoint()
+    val hit = truth.join(sc, Seq("a", "b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(sc.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+        when(col("n_truth") > 0,
+          expr("(1000000 * n_hit) div n_truth")).as("recall_ppm"),
+        when(col("n_candidates") > 0,
+          expr("(1000000 * n_hit) div n_candidates")).as("precision_ppm"))
+  }
 
   /** q128 — keep-BEST representative selection: within each
     * exact-duplicate cluster (q30's bag-of-words signature), keep the
