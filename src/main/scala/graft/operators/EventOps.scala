@@ -901,11 +901,115 @@ object EventOps {
       .orderBy("event_type", "dow")
   }
 
+  /** q137 — transition dwell times: for every (src → dst) event-type
+    * transition (q109's edges), the exact quartiles of the time spent
+    * in src before moving on — "how long do users stare at the
+    * pricing page before buying". Gap extraction is q109's single
+    * user_id shuffle; the percentile aggregate then runs over the
+    * bounded (src, dst) matrix with exact interpolation (the q17
+    * contract keeps both engines bit-identical on the doubles). */
+  val q137DwellTimes: QueryDef = QueryDef(
+    "q137_dwell_times",
+    """WITH o AS (
+      |  SELECT user_id, event_type AS src, epoch_us(ts) AS us, event_id,
+      |    lead(event_type) OVER w AS dst,
+      |    lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
+      |  quantile_cont(gap_us, 0.25) AS p25_us,
+      |  quantile_cont(gap_us, 0.5) AS p50_us,
+      |  quantile_cont(gap_us, 0.75) AS p75_us
+      |FROM o WHERE dst IS NOT NULL
+      |GROUP BY src, dst ORDER BY src, dst""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("src"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .withColumn("gap_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("gap_us"), lit(0.25)).as("p25_us"),
+        percentile(col("gap_us"), lit(0.5)).as("p50_us"),
+        percentile(col("gap_us"), lit(0.75)).as("p75_us"))
+      .orderBy("src", "dst")
+  }
+
+  /** q138 — peak concurrency per day: the maximum number of
+    * simultaneously-open sessions (q51's 30-minute-gap intervals) at
+    * any instant of each calendar day — capacity planning's first
+    * number. The classic sweep: +1 at session start, −1 after end,
+    * running-sum max. Ties resolve deterministically: at an equal
+    * timestamp all starts apply before any end (+1 sorts before −1),
+    * so touching sessions count as overlapping.
+    *
+    * Scale design: sessions reduce to ≤ 2 boundary events each, and
+    * the sweep window is partitioned BY DAY (sessions explode over
+    * spanned days with day-clipped carry — the q125 bucketing), so
+    * no single-partition global sweep exists. Day-start carry-in is
+    * counted by the open-interval rows a session contributes to every
+    * day it spans. */
+  val q138PeakConcurrency: QueryDef = QueryDef(
+    "q138_peak_concurrency",
+    s"""WITH o AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SESSION_GAP_US OR lag(ts) OVER w IS NULL
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+       |  FROM o),
+       |iv AS (
+       |  SELECT user_id, sess, epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+       |  FROM s GROUP BY user_id, sess),
+       |sd AS (
+       |  SELECT s_us, e_us, CAST(day AS BIGINT) AS day
+       |  FROM iv, unnest(range(s_us // 86400000000, e_us // 86400000000 + 1)) AS r(day)),
+       |ev2 AS (
+       |  SELECT day, greatest(s_us, day * 86400000000) AS us, CAST(1 AS BIGINT) AS delta FROM sd
+       |  UNION ALL
+       |  SELECT day, least(e_us, (day + 1) * 86400000000 - 1) AS us, CAST(-1 AS BIGINT) AS delta FROM sd),
+       |run AS (
+       |  SELECT day, CAST(sum(delta) OVER (PARTITION BY day ORDER BY us, delta DESC
+       |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cur
+       |  FROM ev2)
+       |SELECT DATE '1970-01-01' + CAST(day AS INT) AS d,
+       |  CAST(max(cur) AS BIGINT) AS peak
+       |FROM run GROUP BY day ORDER BY d""".stripMargin) { (s, dir) =>
+    val perUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val iv = Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("us"), 1).over(perUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("us") - col("prev") > SESSION_GAP_US, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("is_new")).over(perUser))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    val sd = iv.select(col("s_us"), col("e_us"),
+      explode(sequence(expr("s_us div 86400000000"),
+        expr("e_us div 86400000000"))).as("day"))
+    val ev2 = sd.select(col("day"),
+        greatest(col("s_us"), col("day") * 86400000000L).as("us"),
+        lit(1L).as("delta"))
+      .unionByName(sd.select(col("day"),
+        least(col("e_us"), (col("day") + 1) * 86400000000L - 1).as("us"),
+        lit(-1L).as("delta")))
+    val wd = Window.partitionBy(col("day")).orderBy(col("us"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev2.withColumn("cur", sum(col("delta")).over(wd))
+      .groupBy(col("day")).agg(max(col("cur")).as("peak"))
+      .select(date_add(lit("1970-01-01").cast("date"), col("day").cast("int")).as("d"),
+        col("peak"))
+      .orderBy("d")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
     q58Pivot, q59Cube, q72SlidingWindow, q81Streaks, q86VariantExtract,
     q102IncrementalAgg, q105AsofNative, q109Markov, q113RollingZscore,
     q114Twap, q118CumulativeUniques, q125IntervalJoin, q130TopPaths,
-    q134Seasonality)
+    q134Seasonality, q137DwellTimes, q138PeakConcurrency)
 }

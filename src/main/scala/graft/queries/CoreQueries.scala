@@ -658,5 +658,49 @@ object CoreQueries {
     q05Dates, q06TryNumeric, q07SignedAmount, q08SetOps, q09WindowRank,
     q10TopK, q11FilterProject, q12EtlPipeline, q13LeftJoin, q14Distinct,
     q15TopkNative, q16Strings, q17Percentiles, q18Stats, q19DateMath,
-    q39JoinTypes, q46RangeJoin, q47Running, q99StarJoin)
+    q39JoinTypes, q46RangeJoin, q47Running, q99StarJoin, q139Fulfillment)
+
+  /** q139 — fulfillment latency: order date → first line shipment gap
+    * in whole days, exact quartiles per order priority. The ops SLA
+    * question of the reference's domain, as a two-aggregate pipeline:
+    * lineitem collapses to per-order first-ship (partial-aggregable,
+    * one shuffle on the join key), the header join is key-to-key, and
+    * the percentile aggregate runs over one row per order. Day
+    * arithmetic is integer epoch-days; the interpolated quartiles
+    * follow the q17 bit-exactness contract. */
+  lazy val q139Fulfillment: QueryDef = QueryDef(
+    "q139_fulfillment",
+    """WITH fs AS (
+      |  SELECT l_orderkey, min(epoch_us(l_shipdate) // 86400000000) AS ship_day
+      |  FROM lineitem GROUP BY l_orderkey),
+      |g AS (
+      |  SELECT o.o_orderpriority AS pri,
+      |    fs.ship_day - (epoch_us(o.o_orderdate) // 86400000000) AS gap_days
+      |  FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey)
+      |SELECT pri, CAST(count(*) AS BIGINT) AS n,
+      |  quantile_cont(gap_days, 0.25) AS p25_days,
+      |  quantile_cont(gap_days, 0.5) AS p50_days,
+      |  quantile_cont(gap_days, 0.75) AS p75_days,
+      |  CAST(max(gap_days) AS BIGINT) AS max_days
+      |FROM g GROUP BY pri ORDER BY pri""".stripMargin) { (s, dir) =>
+    // parquet dates read as TIMESTAMP_NTZ; the UTC-session cast to
+    // TIMESTAMP is wall-clock identity and unlocks unix_micros
+    val fs = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(min(expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000"))
+        .as("ship_day"))
+    Tables.orders(s, dir)
+      .join(fs, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority").as("pri"),
+        (col("ship_day") -
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+          .as("gap_days"))
+      .groupBy(col("pri"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("gap_days"), lit(0.25)).as("p25_days"),
+        percentile(col("gap_days"), lit(0.5)).as("p50_days"),
+        percentile(col("gap_days"), lit(0.75)).as("p75_days"),
+        max(col("gap_days")).as("max_days"))
+      .orderBy("pri")
+  }
 }
