@@ -158,5 +158,55 @@ object Phash {
       .orderBy("hamming")
   }
 
-  val all: Seq[QueryDef] = Seq(q115PhashNeardup)
+  /** q140 — audio level audit through the REAL WAV codec: decode each
+    * PCM payload (RIFF chunk walk, little-endian 16-bit samples) and
+    * report per sample-rate the integer level stats — total samples,
+    * summed |amplitude|, peak, and near-clipping count. The loudness/
+    * clipping QA pass an audio-corpus ingest runs.
+    *
+    * Same gate contract as q63/q64: the oracle replays the generator's
+    * closed-form samples in SQL arithmetic, so a header-parse or
+    * byte-order bug on the decode path breaks the hash match — DuckDB
+    * never touches a byte. All stats are int64. */
+  val q140AudioLevels: QueryDef = QueryDef(
+    "q140_audio_levels",
+    """WITH a AS (
+      |  SELECT doc_id, 8000 + (doc_id % 8) * 1000 AS rate, 64 + doc_id % 100 AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT a.doc_id, a.rate,
+      |    abs(((a.doc_id * 31 + i * 17) % 65536) - 32768) AS av
+      |  FROM a, unnest(range(0, CAST(a.n AS BIGINT))) AS r(i))
+      |SELECT CAST(rate AS BIGINT) AS sample_rate,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_assets,
+      |  CAST(count(*) AS BIGINT) AS total_samples,
+      |  CAST(sum(av) AS BIGINT) AS sum_abs,
+      |  CAST(max(av) AS BIGINT) AS max_abs,
+      |  CAST(count(CASE WHEN av >= 32000 THEN 1 END) AS BIGINT) AS n_loud
+      |FROM s GROUP BY rate ORDER BY sample_rate""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Media.ingestWav(s, Tables.documents(s, dir))
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          Wav.decode(a.payload).map { au =>
+            var sumAbs = 0L; var maxAbs = 0L; var loud = 0L
+            au.samples.foreach { sm =>
+              val v = math.abs(sm.toLong)
+              sumAbs += v
+              if (v > maxAbs) maxAbs = v
+              if (v >= 32000) loud += 1
+            }
+            (au.sampleRate.toLong, au.samples.length.toLong, sumAbs, maxAbs, loud)
+          }
+        }
+      }
+      .toDF("sample_rate", "ns", "sum_abs", "max_abs", "loud")
+      .groupBy(col("sample_rate"))
+      .agg(count(lit(1)).as("n_assets"), sum(col("ns")).as("total_samples"),
+        sum(col("sum_abs")).as("sum_abs"), max(col("max_abs")).as("max_abs"),
+        sum(col("loud")).as("n_loud"))
+      .orderBy("sample_rate")
+  }
+
+  val all: Seq[QueryDef] = Seq(q115PhashNeardup, q140AudioLevels)
 }
