@@ -1005,11 +1005,87 @@ object EventOps {
       .orderBy("d")
   }
 
+  /** q142 — attribution model comparison: each purchase's value
+    * allocated to the user's FIRST preceding non-purchase touch
+    * (first-touch) and to the MOST RECENT one (last-touch), reported
+    * side by side per touch type — the marketing-analytics A/B that
+    * decides budget, in one pass.
+    *
+    * The touch lookups are running min/max over a PACKED key
+    * (micros·4 + type id) in the strictly-preceding frame — packing
+    * sidesteps IGNORE NULLS portability (aggregate min/max skip the
+    * nulls the purchase rows leave) and makes equal-timestamp ties
+    * deterministic (largest type id wins the max, smallest the min).
+    * One shuffle on user_id; both windows share the sort. */
+  val q142Attribution: QueryDef = QueryDef(
+    "q142_attribution",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v_m,
+      |    CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+      |                    WHEN 'signup' THEN 2 WHEN 'view' THEN 3 END AS tid,
+      |    epoch_us(ts) AS us
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, event_type, v_m,
+      |    min(CASE WHEN tid IS NOT NULL THEN us * 4 + tid END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft_packed,
+      |    max(CASE WHEN tid IS NOT NULL THEN us * 4 + tid END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_packed
+      |  FROM e),
+      |pur AS (
+      |  SELECT v_m,
+      |    CASE CAST(ft_packed % 4 AS INT) WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+      |         WHEN 2 THEN 'signup' WHEN 3 THEN 'view' ELSE '(none)' END AS ft_type,
+      |    CASE CAST(lt_packed % 4 AS INT) WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+      |         WHEN 2 THEN 'signup' WHEN 3 THEN 'view' ELSE '(none)' END AS lt_type
+      |  FROM w WHERE event_type = 'purchase'),
+      |ft AS (SELECT ft_type AS touch, CAST(count(*) AS BIGINT) AS n_ft,
+      |         CAST(sum(v_m) AS BIGINT) AS rev_ft_milli FROM pur GROUP BY 1),
+      |lt AS (SELECT lt_type AS touch, CAST(count(*) AS BIGINT) AS n_lt,
+      |         CAST(sum(v_m) AS BIGINT) AS rev_lt_milli FROM pur GROUP BY 1)
+      |SELECT coalesce(ft.touch, lt.touch) AS touch,
+      |  coalesce(n_ft, 0) AS n_ft, coalesce(rev_ft_milli, 0) AS rev_ft_milli,
+      |  coalesce(n_lt, 0) AS n_lt, coalesce(rev_lt_milli, 0) AS rev_lt_milli
+      |FROM ft FULL OUTER JOIN lt ON ft.touch = lt.touch
+      |ORDER BY touch""".stripMargin) { (s, dir) =>
+    val tid = expr("CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 " +
+      "WHEN 'signup' THEN 2 WHEN 'view' THEN 3 END")
+    val decode = (c: String) => expr(s"CASE CAST($c % 4 AS INT) " +
+      "WHEN 0 THEN 'click' WHEN 1 THEN 'error' WHEN 2 THEN 'signup' " +
+      "WHEN 3 THEN 'view' ELSE '(none)' END")
+    val frame = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = when(col("tid").isNotNull, col("us") * 4 + col("tid"))
+    val pur = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        floor(col("value") * 1000).cast("bigint").as("v_m"),
+        tid.as("tid"), unix_micros(col("ts")).as("us"))
+      .withColumn("ft_packed", min(packed).over(frame))
+      .withColumn("lt_packed", max(packed).over(frame))
+      .filter(col("event_type") === "purchase")
+      .select(col("v_m"), decode("ft_packed").as("ft_type"),
+        decode("lt_packed").as("lt_type"))
+    val ft = pur.groupBy(col("ft_type").as("touch"))
+      .agg(count(lit(1)).as("n_ft"), sum(col("v_m")).as("rev_ft_milli"))
+    val lt = pur.groupBy(col("lt_type").as("touch"))
+      .agg(count(lit(1)).as("n_lt"), sum(col("v_m")).as("rev_lt_milli"))
+    ft.join(lt, Seq("touch"), "full_outer")
+      .select(col("touch"),
+        coalesce(col("n_ft"), lit(0L)).as("n_ft"),
+        coalesce(col("rev_ft_milli"), lit(0L)).as("rev_ft_milli"),
+        coalesce(col("n_lt"), lit(0L)).as("n_lt"),
+        coalesce(col("rev_lt_milli"), lit(0L)).as("rev_lt_milli"))
+      .orderBy("touch")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
     q58Pivot, q59Cube, q72SlidingWindow, q81Streaks, q86VariantExtract,
     q102IncrementalAgg, q105AsofNative, q109Markov, q113RollingZscore,
     q114Twap, q118CumulativeUniques, q125IntervalJoin, q130TopPaths,
-    q134Seasonality, q137DwellTimes, q138PeakConcurrency)
+    q134Seasonality, q137DwellTimes, q138PeakConcurrency, q142Attribution)
 }
