@@ -455,8 +455,75 @@ object DataProfile {
         max(col("gap_after")).as("max_gap"))
   }
 
+  /** q143 — distribution drift (total variation): per event type,
+    * compare the value histogram of the month's first half against
+    * the second half — the continuous-valued companion to q123's
+    * categorical chi-square, and the tripwire that catches a metric
+    * whose MEAN held steady while its shape moved.
+    *
+    * TV/2 distance over a fixed 16-bin grid, everything integer: bin
+    * shares in ppm via floor-div, absent bins materialized as 0 from
+    * the type×bin cross grid (bounded), |p₁−p₂| summed and halved.
+    * Two partial-aggregable passes; the grid join is broadcast. */
+  val q143DriftTv: QueryDef = QueryDef(
+    "q143_drift_tv",
+    """WITH p AS (
+      |  SELECT event_type,
+      |    CASE WHEN epoch_us(ts) // 86400000000 - 19723 < 15 THEN 1 ELSE 2 END AS half,
+      |    least(CAST(floor(value * 1000) AS BIGINT) * 16 // 500000, 15) AS bin
+      |  FROM events),
+      |c AS (SELECT event_type, half, bin, CAST(count(*) AS BIGINT) AS c
+      |      FROM p GROUP BY 1, 2, 3),
+      |n AS (SELECT event_type, half, CAST(count(*) AS BIGINT) AS n
+      |      FROM p GROUP BY 1, 2),
+      |g0 AS (
+      |  SELECT t.event_type, CAST(r.b AS BIGINT) AS bin
+      |  FROM (SELECT DISTINCT event_type FROM p) t
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS b) r),
+      |grid AS (
+      |  SELECT g0.event_type, g0.bin,
+      |    coalesce(c1.c, 0) AS c1, coalesce(c2.c, 0) AS c2, n1.n AS n1, n2.n AS n2
+      |  FROM g0
+      |  LEFT JOIN c c1 ON c1.event_type = g0.event_type AND c1.bin = g0.bin AND c1.half = 1
+      |  LEFT JOIN c c2 ON c2.event_type = g0.event_type AND c2.bin = g0.bin AND c2.half = 2
+      |  JOIN n n1 ON n1.event_type = g0.event_type AND n1.half = 1
+      |  JOIN n n2 ON n2.event_type = g0.event_type AND n2.half = 2)
+      |SELECT event_type,
+      |  CAST(sum(abs((1000000 * c1) // n1 - (1000000 * c2) // n2)) AS BIGINT) // 2 AS tv_ppm
+      |FROM grid GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    // day 19723 = 2024-01-01; halves split at day 15 of the window
+    val p = Tables.events(s, dir).select(
+      col("event_type"),
+      when(expr("unix_micros(ts) div 86400000000") - 19723 < 15, 1).otherwise(2)
+        .as("half"),
+      expr("least((cast(floor(value * 1000) as bigint) * 16) div 500000, 15L)")
+        .as("bin"))
+    val c = p.groupBy(col("event_type"), col("half"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val n = p.groupBy(col("event_type"), col("half")).agg(count(lit(1)).as("n"))
+    val grid = p.select(col("event_type")).distinct()
+      .crossJoin(s.range(16).select(col("id").as("bin")))
+      .join(c.filter(col("half") === 1)
+        .select(col("event_type"), col("bin"), col("c").as("c1")),
+        Seq("event_type", "bin"), "left")
+      .join(c.filter(col("half") === 2)
+        .select(col("event_type"), col("bin"), col("c").as("c2")),
+        Seq("event_type", "bin"), "left")
+      .join(n.filter(col("half") === 1)
+        .select(col("event_type"), col("n").as("n1")), Seq("event_type"))
+      .join(n.filter(col("half") === 2)
+        .select(col("event_type"), col("n").as("n2")), Seq("event_type"))
+      .select(col("event_type"),
+        coalesce(col("c1"), lit(0L)).as("c1"), coalesce(col("c2"), lit(0L)).as("c2"),
+        col("n1"), col("n2"))
+    grid.groupBy(col("event_type"))
+      .agg(expr("cast(sum(abs((1000000 * c1) div n1 - (1000000 * c2) div n2)) as bigint) div 2")
+        .as("tv_ppm"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
-      q131Reconciliation, q136GapRanges)
+      q131Reconciliation, q136GapRanges, q143DriftTv)
 }

@@ -85,4 +85,15 @@ class OracleInvariantsSpec extends AnyFunSuite {
         "outside [0, 1000) break the milli-unit int64 bound")
     }
   }
+
+  test("q115 pair keys: doc_id < 1e6 so a*1000000+b is injective") {
+    // the phash report's min/max pair keys pack two doc_ids into one
+    // int64 with a 10^6 radix; a corpus with bigger ids needs a wider
+    // radix and must fail HERE, not as a silent key collision
+    for (dir <- sfDirs) {
+      val mx = Tables.documents(spark, dir)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      assert(mx < 1000000L, s"$dir: max doc_id $mx breaks the pair-key radix")
+    }
+  }
 }
