@@ -658,7 +658,57 @@ object CoreQueries {
     q05Dates, q06TryNumeric, q07SignedAmount, q08SetOps, q09WindowRank,
     q10TopK, q11FilterProject, q12EtlPipeline, q13LeftJoin, q14Distinct,
     q15TopkNative, q16Strings, q17Percentiles, q18Stats, q19DateMath,
-    q39JoinTypes, q46RangeJoin, q47Running, q99StarJoin, q139Fulfillment)
+    q39JoinTypes, q46RangeJoin, q47Running, q99StarJoin, q139Fulfillment,
+    q144WeightedMedian)
+
+  /** q144 — weighted median: the price at which half the QUANTITY
+    * (not half the rows) sits below, per return flag — the
+    * volume-weighted center that plain percentiles (q17) get wrong
+    * whenever weights vary. Formulation: running weight over the
+    * (price, unique-key) order per group; the median is the first
+    * crossing row (min price among rows with 2·cumw ≥ total — minimal
+    * because price is the sort key). All integer: half-up cents,
+    * integer quantities, no interpolation.
+    *
+    * Scale note: one sort per group (partitioned window); at 100 TB
+    * the same answer comes from the two-pass counting-cutpoint
+    * (q85's machinery) without a full sort — documented swap. */
+  lazy val q144WeightedMedian: QueryDef = QueryDef(
+    "q144_weighted_median",
+    """WITH r AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    CAST(floor(l_quantity) AS BIGINT) AS w,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT flag, cents, w,
+      |    CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents, l_orderkey, l_linenumber
+      |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+      |  FROM r),
+      |t AS (SELECT flag, CAST(sum(w) AS BIGINT) AS tot FROM r GROUP BY flag)
+      |SELECT c.flag, t.tot AS total_weight, min(c.cents) AS wmedian_cents
+      |FROM c JOIN t ON c.flag = t.flag
+      |WHERE 2 * c.cw >= t.tot
+      |GROUP BY c.flag, t.tot ORDER BY c.flag""".stripMargin) { (s, dir) =>
+    val r = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("flag"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("bigint").as("cents"),
+      floor(col("l_quantity")).cast("bigint").as("w"),
+      col("l_orderkey"), col("l_linenumber"))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("flag"))
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val t = r.groupBy(col("flag")).agg(sum(col("w")).as("tot"))
+    r.withColumn("cw", sum(col("w")).over(win))
+      .join(broadcast(t), Seq("flag"))
+      .filter(lit(2) * col("cw") >= col("tot"))
+      .groupBy(col("flag"), col("tot"))
+      .agg(min(col("cents")).as("wmedian_cents"))
+      .select(col("flag"), col("tot").as("total_weight"), col("wmedian_cents"))
+      .orderBy("flag")
+  }
 
   /** q139 — fulfillment latency: order date → first line shipment gap
     * in whole days, exact quartiles per order priority. The ops SLA
