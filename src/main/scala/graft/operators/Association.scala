@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   *    schema; a retail 100 TB log has the same property);
   *  - the filtered basket list is materialized ONCE (localCheckpoint)
   *    and feeds both sides of the self-join;
-  *  - all metrics are integer ppm floor-divs — no float division, so
-  *    the DuckDB oracle is bit-identical.
+  *  - confidence is an exact integer ppm floor-div; lift — whose
+  *    int64 numerator would overflow at production order counts —
+  *    rides the left-associated IEEE double + floor chain (the q108
+  *    contract), so the DuckDB oracle stays bit-identical either way.
   *
   * Ref: the reference has no aggregation at all (SURVEY.md §2 "does
   * NOT have" — A1 is `len(df)`); this is north-star surface.
@@ -39,7 +41,8 @@ object Association {
        |       GROUP BY 1, 2 HAVING count(*) >= $MIN_PAIR)
        |SELECT pr.a AS item_a, pr.b2 AS item_b, pr.n_ab,
        |  (1000000 * pr.n_ab) // ca.c AS conf_ppm,
-       |  (1000000 * pr.n_ab * n.n_orders) // (ca.c * cb.c) AS lift_ppm
+       |  CAST(floor(1000000.0 * pr.n_ab * n.n_orders /
+       |       (1.0 * ca.c * cb.c)) AS BIGINT) AS lift_ppm
        |FROM pr JOIN ic ca ON pr.a = ca.p JOIN ic cb ON pr.b2 = cb.p, n
        |ORDER BY lift_ppm DESC, item_a, item_b""".stripMargin) { (s, dir) =>
     // the distinct (order, item) list feeds the order count, the item
@@ -73,7 +76,13 @@ object Association {
       .crossJoin(n)
       .select(col("a").as("item_a"), col("b2").as("item_b"), col("n_ab"),
         expr("(1000000 * n_ab) div ca").as("conf_ppm"),
-        expr("(1000000 * n_ab * n_orders) div (ca * cb)").as("lift_ppm"))
+        // int64 lift (1000000 * n_ab * n_orders) overflows once order
+        // counts reach ~10^6-10^7 (DuckDB errors, Spark wraps) — the
+        // left-associated IEEE double chain + floor (q108 contract) is
+        // bit-portable at any magnitude; conf keeps the exact int path
+        // (1e6 * n_ab tops out ~1e17, inside int64 at any plausible SF)
+        expr("CAST(floor(1000000.0 * n_ab * n_orders / (1.0 * ca * cb)) AS BIGINT)")
+          .as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("item_a"), col("item_b"))
   }
 

@@ -164,7 +164,9 @@ object DataProfile {
     * over the fact scan — the q106 fence shape: the big side is read
     * twice but never shuffled for the binning. Bin math is
     * (v−mn)·16/(mx−mn) floored then clamped, all IEEE double ops
-    * evaluated identically in both engines. */
+    * evaluated identically in both engines; an all-equal group
+    * (mx = mn, a 0/0 the engines disagree on) is pinned to bin 0
+    * explicitly on both sides. */
   val q116Histogram: QueryDef = QueryDef(
     "q116_histogram",
     """WITH e AS (
@@ -172,7 +174,9 @@ object DataProfile {
       |  FROM orders GROUP BY 1),
       |b AS (
       |  SELECT e.pri,
-      |    least(CAST(floor((o.o_totalprice - e.mn) * 16 / (e.mx - e.mn)) AS BIGINT), 15) AS bin
+      |    CASE WHEN e.mx = e.mn THEN 0 ELSE
+      |      least(CAST(floor((o.o_totalprice - e.mn) * 16 / (e.mx - e.mn)) AS BIGINT), 15)
+      |    END AS bin
       |  FROM orders o JOIN e ON o.o_orderpriority = e.pri)
       |SELECT pri, bin, CAST(count(*) AS BIGINT) AS n
       |FROM b GROUP BY pri, bin ORDER BY pri, bin""".stripMargin) { (s, dir) =>
@@ -181,8 +185,13 @@ object DataProfile {
       .agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
     orders.join(broadcast(edges), col("o_orderpriority") === col("pri"))
       .select(col("pri"),
-        least(floor((col("o_totalprice") - col("mn")) * 16 / (col("mx") - col("mn")))
-          .cast("bigint"), lit(15L)).as("bin"))
+        // a group whose prices are all equal makes the bin formula
+        // 0/0: Spark's non-ANSI CAST silently turns the NaN into 0
+        // while DuckDB errors on CAST(floor(NaN) AS BIGINT) — guard
+        // the degenerate group explicitly on BOTH sides instead
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(floor((col("o_totalprice") - col("mn")) * 16 / (col("mx") - col("mn")))
+            .cast("bigint"), lit(15L))).as("bin"))
       .groupBy(col("pri"), col("bin")).agg(count(lit(1)).as("n"))
       .orderBy("pri", "bin")
   }
@@ -325,12 +334,14 @@ object DataProfile {
     * cost-based optimizer or drift monitor wants when equi-width bins
     * would collapse into one hot bucket.
     *
-    * The ntile window is per-group with a (price, orderkey) total
-    * order, so ties split deterministically; at 100 TB the same
-    * output comes from interpolated percentile cutpoints (q17/q85
-    * machinery) — documented swap, same schema. Doubles pass through
-    * min/max untouched (no arithmetic), so both engines agree
-    * bitwise. */
+    * The bin assignment is deterministic under the (price, orderkey)
+    * total order — but o_orderpriority has only 5 values, so an ntile
+    * WINDOW would sort ~1/5 of all orders in one task at any scale.
+    * [[ScaleRank]] computes the identical assignment scalably:
+    * two-level distributed rank per priority (range-chunk local
+    * row_number + broadcast offsets), then the closed-form ntile
+    * formula. Doubles pass through min/max untouched (no arithmetic),
+    * so both engines agree bitwise. */
   val q129EquiDepth: QueryDef = QueryDef(
     "q129_equidepth",
     """WITH b AS (
@@ -341,12 +352,13 @@ object DataProfile {
       |SELECT pri, CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
       |  min(v) AS lo, max(v) AS hi
       |FROM b GROUP BY pri, bin ORDER BY pri, bin""".stripMargin) { (s, dir) =>
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, dir)
+    val base = Tables.orders(s, dir)
       .select(col("o_orderpriority").as("pri"), col("o_totalprice").as("v"),
-        ntile(10).over(w).cast("bigint").as("bin"))
+        col("o_orderkey").as("okey"))
+    ScaleRank.withRowNumber(base, Seq("pri"), Seq(col("v"), col("okey")),
+        "rk", "n_in_pri")
+      .select(col("pri"), col("v"),
+        ScaleRank.ntileFromRank(10, col("rk"), col("n_in_pri")).as("bin"))
       .groupBy(col("pri"), col("bin"))
       .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
       .orderBy("pri", "bin")

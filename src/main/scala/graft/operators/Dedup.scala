@@ -740,9 +740,10 @@ object Dedup {
     q128KeepBest, q135LshEval)
 
   /** q135 — LSH quality evaluation ("measure, don't guess"): on a
-    * deterministic 10% document sample, compute the EXACT set of
-    * near-dup pairs (token-set Jaccard ≥ 0.5, brute force — the
-    * sample makes that affordable at any corpus size) and score the
+    * deterministic 50% document sample, compute the EXACT set of
+    * near-dup pairs (shingle-set Jaccard ≥ 0.5 via a set-similarity
+    * equi-join — the sample bounds the candidate space at any corpus
+    * size) and score the
     * MinHash-LSH candidate generator against it: recall (what
     * fraction of true pairs land in some shared band bucket) and
     * precision (what fraction of sampled candidates are true). This

@@ -875,7 +875,7 @@ object EventOps {
       |         JOIN g ON p.event_type = g.event_type
       |  GROUP BY p.event_type)
       |SELECT d.event_type, d.dow, d.n, d.dmean AS mean_milli,
-      |  (1000000 * (r.sst - r.ssw)) // r.sst AS r2_ppm
+      |  greatest(0, (1000000 * (r.sst - r.ssw)) // r.sst) AS r2_ppm
       |FROM d JOIN r ON d.event_type = r.event_type
       |ORDER BY d.event_type, d.dow""".stripMargin) { (s, dir) =>
     val p = Tables.events(s, dir).select(
@@ -897,7 +897,12 @@ object EventOps {
     d.join(broadcast(r), Seq("event_type"))
       .select(col("event_type"), col("dow"), col("n"),
         col("dmean").as("mean_milli"),
-        expr("(1000000 * (sst - ssw)) div sst").as("r2_ppm"))
+        // the FLOORED dow-means can push ssw above sst on
+        // near-constant groups, and on a negative numerator Spark's
+        // div (truncate toward 0) and DuckDB's // (floor) disagree —
+        // both land <= 0 though, so the greatest(0, ...) clamp makes
+        // the engines agree AND pins R^2 to its [0, 1e6] domain
+        expr("greatest(0, (1000000 * (sst - ssw)) div sst)").as("r2_ppm"))
       .orderBy("event_type", "dow")
   }
 

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed rank — the 100 TB replacement for global (or
+  * bounded-partition-key) `row_number`/`ntile` windows.
+  *
+  * A window like `ntile(4) OVER (ORDER BY x)` or
+  * `row_number() OVER (PARTITION BY seg ...)` with a low-cardinality
+  * `seg` plans as ONE sort task per partition value: at 100 TB that
+  * task holds the whole table (or 1/5th of it) and dies. The classic
+  * two-level scheme below computes the identical rank with every task
+  * bounded by a range-partition chunk (~rows/P, P = shuffle
+  * parallelism), independent of group cardinality:
+  *
+  *  1. `repartitionByRange(group ++ sort)` — clustered, ordered chunks;
+  *     the range partitioner's sampled boundaries balance a dominant
+  *     group across many partitions because the SORT columns still
+  *     vary inside it.
+  *  2. local `row_number` per (chunk, group) — each window task sees at
+  *     most one chunk's rows.
+  *  3. a (chunk, group) count aggregate — at most P rows PER GROUP, so
+  *     the prefix-sum window over it is bounded by P, not by data —
+  *     broadcast back as per-chunk offsets: rank = local + offset.
+  *
+  * The result is invariant to where the sampled boundaries land (the
+  * global rank of a unique sort key does not depend on the chunking),
+  * so the output is bit-stable across runs even though
+  * `repartitionByRange` sampling is not.
+  *
+  * `ntile` then needs no second pass: with the group size n known,
+  * SQL-standard ntile is a closed-form function of the rank
+  * ([[ntileFromRank]]).
+  */
+object ScaleRank {
+
+  /** Adds to `df` the exact 1-based row number `rkName` (LongType),
+    * ordered by `sortCols` within each value of `groupCols` (empty =
+    * one global ordering), plus the group row count `nName` — without
+    * ever sorting a whole group in one task. `sortCols` must reach a
+    * unique total order (include a tiebreaker) for a deterministic
+    * result, exactly as the window form would require.
+    */
+  def withRowNumber(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      rkName: String,
+      nName: String): DataFrame = {
+    val pid = "__sr_pid"
+    val lrk = "__sr_lrk"
+    val cnt = "__sr_cnt"
+    val off = "__sr_off"
+    val local = rangedWithPid(df, groupCols, sortCols, pid)
+      .withColumn(lrk, row_number().over(
+        Window.partitionBy((pid +: groupCols).map(col): _*).orderBy(sortCols: _*))
+        .cast("long"))
+    // <= P rows per group: the prefix-sum window below is bounded by
+    // the cluster's parallelism, never by the data
+    val counts = local.groupBy((pid +: groupCols).map(col): _*)
+      .agg(count(lit(1)).as(cnt))
+    val cw = Window.partitionBy(groupCols.map(col): _*).orderBy(col(pid))
+    val offs = counts
+      .withColumn(off, coalesce(
+        sum(col(cnt)).over(cw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn(nName, sum(col(cnt)).over(
+        cw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop(cnt)
+    local.join(broadcast(offs), pid +: groupCols)
+      .withColumn(rkName, col(lrk) + col(off))
+      .drop(pid, lrk, off)
+  }
+
+  /** Internal stage 1, exposed for the boundedness spec: range-cluster
+    * on (group ++ sort) and record which chunk each row landed in. */
+  private[graft] def rangedWithPid(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      pidName: String): DataFrame =
+    df.repartitionByRange((groupCols.map(col) ++ sortCols): _*)
+      .withColumn(pidName, spark_partition_id())
+
+  /** SQL-standard `ntile(k)` as a closed-form expression over the
+    * 1-based rank `rk` and group size `n` (both LongType): the first
+    * `n mod k` tiles get `n div k + 1` rows, the rest `n div k` —
+    * byte-identical to the window function's assignment under the same
+    * total order. Integer divisions are routed through pmod
+    * subtraction so the IEEE divide is always exact (numerator a
+    * multiple of the divisor, quotient <= k). */
+  def ntileFromRank(k: Int, rk: Column, n: Column): Column = {
+    val kk = lit(k.toLong)
+    val base = ((n - pmod(n, kk)) / kk).cast("long") // n div k
+    val rem = pmod(n, kk)                            // n mod k
+    val cut = rem * (base + 1) // rows 1..cut fill the k-sized... (base+1)-sized tiles
+    // when n < k: base = 0, cut = n, so every row takes the first
+    // branch and the base-divisor branch (div by zero) is never
+    // evaluated (CaseWhen is lazy per row)
+    val inBig = rk - 1
+    val inSmall = rk - cut - 1
+    when(rk <= cut,
+      ((inBig - pmod(inBig, base + 1)) / (base + 1)).cast("long") + 1)
+      .otherwise(rem +
+        ((inSmall - pmod(inSmall, base)) / base).cast("long") + 1)
+  }
+}

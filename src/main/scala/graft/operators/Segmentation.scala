@@ -10,13 +10,14 @@ import org.apache.spark.sql.functions._
   * and report the resulting 4×4×4 segment grid.
   *
   * Scale design: the fact table collapses to one row per customer in
-  * a single partial-aggregable pass; the ntile windows then run over
-  * the CUSTOMER table, not the facts. The windows are single-partition
-  * here (exact quartile assignment needs a total order, and the
-  * deterministic oracle needs exactly ntile's tie behavior) — at
-  * 100 TB of customers the swap is interpolated percentile cutoffs
-  * (the q17/q85 machinery) broadcast as range boundaries, same
-  * output schema, documented rather than silently approximated.
+  * a single partial-aggregable pass; the quartiles then run over the
+  * CUSTOMER table, not the facts — and NOT as global ntile windows
+  * (a single-task sort at scale) but through [[ScaleRank]]: exact
+  * two-level distributed rank (range-chunk local row_number +
+  * broadcast chunk offsets) feeding the closed-form ntile formula.
+  * Every task is bounded by a range chunk (~customers/P) at any
+  * scale, and the output is byte-identical to the ntile window the
+  * oracle still uses.
   *
   * Determinism: every ntile ORDER BY carries the custkey tiebreaker;
   * money flows through DECIMAL(18,2) sums and rounds before the final
@@ -52,10 +53,17 @@ object Segmentation {
         max(col("o_orderdate")).cast("date").as("lastd"))
       .crossJoin(broadcast(m))
       .withColumn("rec_days", datediff(col("maxd"), col("lastd")))
-    val q = r
-      .withColumn("rq", ntile(4).over(Window.orderBy(col("rec_days"), col("cust"))))
-      .withColumn("fq", ntile(4).over(Window.orderBy(col("freq").desc, col("cust"))))
-      .withColumn("mq", ntile(4).over(Window.orderBy(col("monetary").desc, col("cust"))))
+    val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
+      "r" -> Seq(col("rec_days"), col("cust")),
+      "f" -> Seq(col("freq").desc, col("cust")),
+      "m" -> Seq(col("monetary").desc, col("cust"))
+    ).foldLeft(r) { case (df, (p, sort)) =>
+      ScaleRank.withRowNumber(df, Nil, sort, s"${p}rk", s"${p}n")
+    }
+    val q = ranked
+      .withColumn("rq", ScaleRank.ntileFromRank(4, col("rrk"), col("rn")))
+      .withColumn("fq", ScaleRank.ntileFromRank(4, col("frk"), col("fn")))
+      .withColumn("mq", ScaleRank.ntileFromRank(4, col("mrk"), col("mn")))
     q.select((col("rq") * 100 + col("fq") * 10 + col("mq")).cast("bigint").as("segment"),
         col("monetary"))
       .groupBy(col("segment"))
@@ -71,10 +79,13 @@ object Segmentation {
     * rank formula G = (2·Σrᵢxᵢ − (n+1)·Σx) / (n·Σx).
     *
     * Scale design: facts collapse to (segment, customer, cents) in
-    * one shuffle; the rank window is per SEGMENT (partitioned, not
-    * global) over the customer aggregate; the Gini itself is three
-    * int64 sums per segment (Σrx ≤ n²·maxspend — checked ≈ 10¹⁶ at
-    * sf1000, inside int64) and one IEEE divide-floor chain. */
+    * one shuffle; the rank is per SEGMENT — but c_mktsegment has only
+    * 5 values, so a rank WINDOW would put ~1/5 of all customers in
+    * one sort task at any scale. [[ScaleRank.withRowNumber]] computes
+    * the identical rank with every task bounded by a range chunk;
+    * the Gini itself is three int64 sums per segment (Σrx ≤
+    * n²·maxspend — checked ≈ 10¹⁶ at sf1000, inside int64) and one
+    * IEEE divide-floor chain. */
   val q133Gini: QueryDef = QueryDef(
     "q133_gini",
     """WITH sp AS (
@@ -100,8 +111,8 @@ object Segmentation {
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("seg"), col("o_custkey").as("cust"))
       .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("bigint")).as("cents"))
-    val w = Window.partitionBy(col("seg")).orderBy(col("cents"), col("cust"))
-    sp.withColumn("rk", row_number().over(w).cast("bigint"))
+    ScaleRank.withRowNumber(sp, Seq("seg"), Seq(col("cents"), col("cust")),
+        "rk", "n_in_seg")
       .groupBy(col("seg"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"),
         sum(col("rk") * col("cents")).as("src"))

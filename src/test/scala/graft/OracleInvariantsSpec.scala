@@ -86,6 +86,38 @@ class OracleInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q124 slope numerator |n*sxy|, |sx*sy| keep int64 headroom at every scale") {
+    // the regression's slope numerator n·Σxy − Σx·Σy is the thinnest
+    // int64 margin in the surface (~7.4e18 of 9.2e18 at sf0.1, and it
+    // grows ~quadratically with rows·timespan): measure the ACTUAL
+    // moments exactly in decimal and fail here — naming the margin —
+    // before a bigger generator turns silent Spark wrap vs DuckDB
+    // overflow-error into a hash mismatch
+    val i64 = BigDecimal(Long.MaxValue)
+    for (dir <- sfDirs) {
+      val ev = Tables.events(spark, dir)
+      val m0 = ev.agg(min(expr("unix_micros(ts) div 1000000")).as("t0"))
+      val p = ev.crossJoin(broadcast(m0)).select(
+        col("event_type"),
+        expr("(unix_micros(ts) div 1000000 - t0) div 3600")
+          .cast("decimal(18,0)").as("x"),
+        floor(col("value") * 1000).cast("decimal(18,0)").as("y"))
+      val rows = p.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .collect()
+      for (r <- rows) {
+        val Seq(n, sx, sy, sxy, sxx) = (1 to 5).map(i => BigDecimal(r.getDecimal(i)))
+        val worst = Seq(n * sxy, sx * sy, n * sxx, sx * sx).map(_.abs).max
+        assert(worst < i64,
+          s"$dir/${r.getString(0)}: q124 moment product $worst exceeds " +
+            "int64 — the slope arithmetic would wrap in Spark and error in DuckDB")
+      }
+    }
+  }
+
   test("q115 pair keys: doc_id < 1e6 so a*1000000+b is injective") {
     // the phash report's min/max pair keys pack two doc_ids into one
     // int64 with a 10^6 radix; a corpus with bigger ids needs a wider
