@@ -400,6 +400,150 @@ object Similarity {
     }
   }
 
+  /** q145 — multi-probe IVF search with an in-engine recall audit:
+    * the answer to "nprobe=1 is a thin ANN story". Each query ranks
+    * ALL coarse centroids (a broadcast 8-row frame), probes its
+    * nprobe ∈ {1, 2, 4} nearest cells, ranks the pruned candidates
+    * with the exact native cosine, and is scored against the TRUE
+    * top-10 — so the recall/nprobe tradeoff curve that sizes a
+    * production index is itself an oracle-gated result, the q135
+    * pattern applied to IVF.
+    *
+    * Scale design: the corpus shuffles once into cells (write-time
+    * `PARTITIONED BY (cid)` layout — q82's argument); probe lists and
+    * the query set are broadcast; candidates are |cells probed| ×
+    * cell size, never the corpus. The exact-truth side scans the
+    * corpus once against the broadcast query set, and its per-query
+    * top-10 window is planted as [[graft.plans.TopKPerKey]] by
+    * [[graft.plans.RowNumberTopKRewrite]] — a map-side heap prune,
+    * no per-query sort of the corpus. Recall is monotone in nprobe
+    * by construction (candidate sets are nested) — pinned in
+    * SkylinePhashSpec's sibling, DedupSimilaritySpec. */
+  val q145IvfMultiprobe: QueryDef = {
+    val NQ = 5    // query set: vec_id < 5
+    val TOPK = 10 // truth depth
+    QueryDef(
+      "q145_ivf_multiprobe",
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS vc FROM embeddings WHERE vec_id < $NCENT),
+         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |a AS (
+         |  SELECT e.vec_id, cent.cid, ${cosSql("e.v", "cent.vc")} AS cs
+         |  FROM e, cent),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |    FROM a) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQ),
+         |pcs AS (
+         |  SELECT q.qid, cent.cid, ${cosSql("q.qv", "cent.vc")} AS cs
+         |  FROM q, cent),
+         |pc AS (
+         |  SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS crank
+         |  FROM pcs),
+         |cand AS (
+         |  SELECT pc.qid, pc.crank, m.vec_id, ${cosSql("e.v", "q.qv")} AS cs
+         |  FROM pc
+         |  JOIN assign m ON m.cid = pc.cid AND m.vec_id <> pc.qid
+         |  JOIN e ON e.vec_id = m.vec_id
+         |  JOIN q ON q.qid = pc.qid
+         |  WHERE pc.crank <= 4),
+         |lvl AS (
+         |  SELECT c.qid, np.np, c.vec_id, c.cs,
+         |    row_number() OVER (PARTITION BY c.qid, np.np ORDER BY c.cs DESC, c.vec_id) AS rn
+         |  FROM cand c, (VALUES (1), (2), (4)) np(np)
+         |  WHERE c.crank <= np.np),
+         |ncand AS (
+         |  SELECT qid, np, CAST(count(*) AS BIGINT) AS n_cand
+         |  FROM lvl GROUP BY qid, np),
+         |truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id) AS rn
+         |    FROM q, e WHERE e.vec_id <> q.qid) WHERE rn <= $TOPK),
+         |hits AS (
+         |  SELECT l.qid, l.np, CAST(count(t.vec_id) AS BIGINT) AS n_hit
+         |  FROM lvl l LEFT JOIN truth t ON t.qid = l.qid AND t.vec_id = l.vec_id
+         |  WHERE l.rn <= $TOPK
+         |  GROUP BY l.qid, l.np),
+         |base AS (SELECT qid, np FROM q, (VALUES (1), (2), (4)) np(np))
+         |SELECT b.qid AS qid, CAST(b.np AS BIGINT) AS nprobe,
+         |  coalesce(nc.n_cand, 0) AS n_cand,
+         |  coalesce(h.n_hit, 0) AS n_hit,
+         |  (1000000 * coalesce(h.n_hit, 0)) // $TOPK AS recall_ppm
+         |FROM base b
+         |LEFT JOIN ncand nc ON nc.qid = b.qid AND nc.np = b.np
+         |LEFT JOIN hits h ON h.qid = b.qid AND h.np = b.np
+         |ORDER BY b.qid, nprobe""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val npDf = broadcast(Seq(1, 2, 4).toDF("np"))
+      val e = Tables.embeddings(s, dir)
+      val cent = broadcast(e.filter(col("vec_id") < NCENT)
+        .select(col("vec_id").as("cid"), col("embedding").as("vc")))
+      val aw = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
+      val assign = e.repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding").as("v"))
+        .crossJoin(cent)
+        .select(col("vec_id"), col("v"), col("cid"),
+          expr("cosine_sim(v, vc)").as("cs"))
+        .withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("v"))
+        .localCheckpoint()
+      val q = assign.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      // probe list: every query ranks the 8 centroids; crank <= np
+      // are the cells probed at level np
+      val pw = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
+      val pc = broadcast(q.crossJoin(cent)
+        .select(col("qid"), col("qv"), col("cid"),
+          expr("cosine_sim(qv, vc)").as("cs"))
+        .withColumn("crank", row_number().over(pw))
+        .filter(col("crank") <= 4)
+        .select(col("qid"), col("qv"), col("cid"), col("crank")))
+      val cand = pc
+        .join(assign, Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("crank"), col("vec_id"),
+          expr("cosine_sim(v, qv)").as("cs"))
+      val lvl = cand
+        .crossJoin(npDf)
+        .filter(col("crank") <= col("np"))
+      val lw = Window.partitionBy(col("qid"), col("np"))
+        .orderBy(col("cs").desc, col("vec_id"))
+      val lvlRn = lvl.withColumn("rn", row_number().over(lw)).localCheckpoint()
+      val ncand = lvlRn.groupBy(col("qid"), col("np"))
+        .agg(count(lit(1)).as("n_cand"))
+      // exact truth: one corpus pass against the broadcast query set;
+      // the rn <= TOPK window plans as TopKPerKey (map-side heaps)
+      val tw = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))
+      val truth = e.repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding").as("v"))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), expr("cosine_sim(v, qv)").as("cs"))
+        .withColumn("rn", row_number().over(tw))
+        .filter(col("rn") <= TOPK)
+        .select(col("qid"), col("vec_id").as("tvid"))
+      val hits = lvlRn.filter(col("rn") <= TOPK)
+        .join(truth,
+          truth("qid") === lvlRn("qid") && col("tvid") === lvlRn("vec_id"),
+          "left")
+        .groupBy(lvlRn("qid").as("qid"), col("np"))
+        .agg(count(col("tvid")).as("n_hit"))
+      val base = q.select(col("qid")).crossJoin(npDf)
+      base
+        .join(ncand, Seq("qid", "np"), "left")
+        .join(hits, Seq("qid", "np"), "left")
+        .select(col("qid"), col("np").cast("bigint").as("nprobe"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr(s"(1000000 * coalesce(n_hit, 0L)) div $TOPK").as("recall_ppm"))
+        .orderBy("qid", "nprobe")
+    }
+  }
+
   /** The SQL dialect surface (q84): the whole query is a `spark.sql`
     * string over a temp view, exercising the native expressions
     * (`cosine_sim`, `lsh_bucket`) through the FunctionRegistry the
@@ -429,5 +573,5 @@ object Similarity {
 
   val all: Seq[QueryDef] =
     Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells, q44CosineExpr,
-      q45Quantize, q73Pq, q82IvfSearch, q84SqlSurface)
+      q45Quantize, q73Pq, q82IvfSearch, q84SqlSurface, q145IvfMultiprobe)
 }

@@ -89,6 +89,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows.contains((0L, 1L)))
   }
 
+  test("q145: multi-probe recall is monotone in nprobe and the probes do find neighbors") {
+    // candidate sets are nested by construction (crank <= np), so
+    // recall and candidate count must be non-decreasing per query —
+    // the structural guarantee that makes nprobe a pure
+    // recall-for-cost knob; run on the real generated corpus
+    val rows = Similarity.q145IvfMultiprobe
+      .build(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    for ((qid, rs) <- rows) {
+      val byNp = rs.sortBy(_._2)
+      assert(byNp.map(_._2).toSeq == Seq(1L, 2L, 4L))
+      val cands = byNp.map(_._3)
+      val recalls = byNp.map(_._4)
+      assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
+        s"qid=$qid: candidate count not monotone: ${cands.mkString(",")}")
+      assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+        s"qid=$qid: recall not monotone: ${recalls.mkString(",")}")
+      assert(recalls.forall(r => r >= 0L && r <= 1000000L))
+    }
+    // the index must actually retrieve: full-probe (half the cells)
+    // recall can't be zero for every query on real data
+    assert(rows.values.flatMap(_.filter(_._2 == 4L).map(_._4)).max > 0L)
+  }
+
   test("LSH bucket of a vector equals the sign pattern of its projections") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val withBucket = e.select(col("vec_id"),
