@@ -28,7 +28,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's artifact capture keeps only the TAIL of sbt output,
+    // which once truncated the per-query map mid-JSON and made five
+    // untouched queries look regressed — persist the full line too so
+    // the record is lossless regardless of how stdout is clipped
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_full.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
