@@ -367,6 +367,132 @@ object StreamOps {
     * At 100 TB-per-day scale the state is windowSize longs per active
     * key — add an event-time TTL (asofEnrich's pattern) to expire
     * dormant keys. */
+  final case class TouchState(ft_packed: Long, lt_packed: Long)
+  final case class AttributionOut(
+      user_id: Long, purchase_id: Long, v_milli: Long,
+      ft_type: String, lt_type: String)
+
+  /** Streaming first/last-touch attribution (twin of q142): every
+    * purchase is attributed, at arrival, to the user's FIRST and MOST
+    * RECENT preceding non-purchase touch. State per user is two packed
+    * longs — the running min and max of (event_us · 4 + touch-type id),
+    * the same packing the batch window uses — so attribution is O(1)
+    * per event and total state is the active-user set, dropped `ttlMs`
+    * past the watermark.
+    *
+    * Tie rules match the batch frame (ORDER BY us, event_id ROWS ...
+    * 1 PRECEDING): within a batch, rows process in (us, event_id)
+    * order, so a same-timestamp touch with a smaller event_id precedes
+    * the purchase; among same-instant touches the packed max picks the
+    * largest type id and the min the smallest, exactly as the batch
+    * min/max do. Agreement holds for in-order arrival; a cross-batch
+    * late touch cannot re-attribute purchases already emitted (the
+    * append-mode tradeoff, as in [[asofEnrich]]). */
+  def touchAttribution(spark: SparkSession, events: Dataset[AsofEvent],
+      ttlMs: Long = 3600000L): Dataset[AttributionOut] = {
+    import spark.implicits._
+    val tids = Map("click" -> 0L, "error" -> 1L, "signup" -> 2L, "view" -> 3L)
+    def decode(p: Long): String =
+      Seq("click", "error", "signup", "view")((p % 4).toInt)
+
+    def fn(userId: Long, rows: Iterator[AsofEvent],
+        state: GroupState[TouchState]): Iterator[AttributionOut] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+        var cur = state.getOption
+        val out = List.newBuilder[AttributionOut]
+        sorted.foreach { e =>
+          val us = micros(e.ts)
+          if (e.event_type == "purchase") {
+            out += AttributionOut(userId, e.event_id,
+              math.floor(e.value * 1000).toLong,
+              cur.map(s => decode(s.ft_packed)).getOrElse("(none)"),
+              cur.map(s => decode(s.lt_packed)).getOrElse("(none)"))
+          } else tids.get(e.event_type).foreach { tid =>
+            val packed = us * 4 + tid
+            cur = Some(cur.fold(TouchState(packed, packed))(s => TouchState(
+              math.min(s.ft_packed, packed), math.max(s.lt_packed, packed))))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(
+            math.max(state.getCurrentWatermarkMs(), s.lt_packed / 4 / 1000L) + ttlMs)
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  final case class SessionInterval(ts: java.sql.Timestamp, s_us: Long, e_us: Long)
+  // not `private`: the deserializer codegen needs public access
+  final case class DayDelta(
+      day: Long, us: Long, delta: Long, ts: java.sql.Timestamp)
+  final case class DayPeakState(deltas: Seq[(Long, Long)])
+  final case class DayPeak(day: Long, peak: Long)
+
+  /** Streaming daily peak concurrency (twin of q138): closed session
+    * intervals arrive (e.g. from [[sessionize]]), each day's boundary
+    * deltas accumulate in per-day state, and when the watermark passes
+    * a day's end (+ grace) the day closes: one +1/−1 sweep in interval
+    * order emits the day's maximum number of simultaneously-open
+    * sessions. Tie rule matches the batch sweep — at an equal instant
+    * all starts apply before any end — and sessions spanning midnight
+    * contribute day-clipped deltas to every day they touch, the same
+    * explode the batch query does.
+    *
+    * Scale design: state is keyed by DAY and holds ≤ 2 boundary pairs
+    * per session touching that day — the identical working set the
+    * batch per-day sweep sorts — and is freed the moment the day
+    * emits. The watermark rides the session END time, which is the
+    * earliest moment a session can be known closed. */
+  def dailyPeakConcurrency(spark: SparkSession,
+      sessions: Dataset[SessionInterval],
+      graceMs: Long = 3600000L): Dataset[DayPeak] = {
+    import spark.implicits._
+    val DayUs = 86400000000L
+
+    def fn(day: Long, rows: Iterator[DayDelta],
+        state: GroupState[DayPeakState]): Iterator[DayPeak] = {
+      if (state.hasTimedOut) {
+        val ds = state.get.deltas
+        state.remove()
+        var cur = 0L
+        var peak = 0L
+        // (us, -delta): starts (+1) sort before ends (−1) at equal us
+        ds.sortBy { case (us, d) => (us, -d) }.foreach { case (_, d) =>
+          cur += d
+          if (cur > peak) peak = cur
+        }
+        Iterator.single(DayPeak(day, peak))
+      } else {
+        val prev = state.getOption.map(_.deltas).getOrElse(Seq.empty)
+        state.update(DayPeakState(prev ++ rows.map(r => (r.us, r.delta))))
+        state.setTimeoutTimestamp(math.max(
+          (day + 1) * 86400000L + graceMs, state.getCurrentWatermarkMs() + 1))
+        Iterator.empty
+      }
+    }
+
+    sessions
+      .flatMap { s =>
+        (s.s_us / DayUs to s.e_us / DayUs).iterator.flatMap { day =>
+          Iterator(
+            DayDelta(day, math.max(s.s_us, day * DayUs), 1L, s.ts),
+            DayDelta(day, math.min(s.e_us, (day + 1) * DayUs - 1), -1L, s.ts))
+        }.toSeq
+      }
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.day)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   def rollingZscore(spark: SparkSession, events: Dataset[AsofEvent],
       windowSize: Int = 10, minN: Int = 5): Dataset[ZOut] = {
     import spark.implicits._

@@ -319,6 +319,86 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("touchAttribution agrees with the batch q142 attribution on the driver events file") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.AsofEvent]
+    // unbounded TTL: the batch window looks back arbitrarily far
+    val q = StreamOps.touchAttribution(spark, in.toDS(), ttlMs = Long.MaxValue / 4)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      eventChunks(3).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      // fold the per-purchase emissions into q142's report shape
+      val pur = spark.table("attr_out")
+      val ft = pur.groupBy(col("ft_type").as("touch"))
+        .agg(count(lit(1)).as("n_ft"), sum(col("v_milli")).as("rev_ft_milli"))
+      val lt = pur.groupBy(col("lt_type").as("touch"))
+        .agg(count(lit(1)).as("n_lt"), sum(col("v_milli")).as("rev_lt_milli"))
+      val streamed = ft.join(lt, Seq("touch"), "full_outer")
+        .select(col("touch"),
+          coalesce(col("n_ft"), lit(0L)), coalesce(col("rev_ft_milli"), lit(0L)),
+          coalesce(col("n_lt"), lit(0L)), coalesce(col("rev_lt_milli"), lit(0L)))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val batch = graft.operators.EventOps.q142Attribution
+        .build(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"stream-batch: ${streamed -- batch}; batch-stream: ${batch -- streamed}")
+    } finally q.stop()
+  }
+
+  test("dailyPeakConcurrency agrees with the batch q138 peaks on the driver events file") {
+    implicit val sqlCtx = spark.sqlContext
+    // the same 30-minute-gap session intervals the batch query derives
+    val perUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val iv = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("us"), 1).over(perUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1).otherwise(0))
+      .withColumn("sess", sum(col("is_new")).over(perUser))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+      .select(timestamp_micros(col("e_us")).as("ts"), col("s_us"), col("e_us"))
+      .orderBy("e_us")
+      .collect()
+      .map(r => StreamOps.SessionInterval(r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val in = MemoryStream[StreamOps.SessionInterval]
+    val q = StreamOps.dailyPeakConcurrency(spark, in.toDS())
+      .writeStream.format("memory").queryName("peak_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val per = (iv.size + 2) / 3
+      iv.grouped(per).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      // a far-future sentinel day pushes the watermark past every real
+      // day's end so all of them close and emit
+      val lastUs = iv.map(_.e_us).max
+      val sentinelUs = lastUs + 40L * 86400000000L
+      in.addData(StreamOps.SessionInterval(
+        new Timestamp(sentinelUs / 1000L), sentinelUs, sentinelUs))
+      q.processAllAvailable()
+      val sentinelDay = sentinelUs / 86400000000L
+      val streamed = spark.table("peak_out")
+        .filter(col("day") =!= sentinelDay)
+        .select(date_add(lit("1970-01-01").cast("date"), col("day").cast("int")).as("d"),
+          col("peak"))
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+      val batch = graft.operators.EventOps.q138PeakConcurrency
+        .build(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"stream-batch: ${streamed -- batch}; batch-stream: ${batch -- streamed}")
+    } finally q.stop()
+  }
+
   test("asofEnrich tie rules: same-ts click matches inclusively, max event_id wins") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.AsofEvent]
