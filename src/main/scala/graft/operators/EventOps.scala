@@ -50,18 +50,24 @@ object EventOps {
     * Same answers, so the q50-style oracle gates it directly. */
   val q86VariantExtract: QueryDef = QueryDef(
     "q86_variant_extract",
-    """SELECT event_type, count(*) AS n,
-      |  count(TRY_CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)) AS n_k,
-      |  CAST(sum(TRY_CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_k,
-      |  CAST(min(TRY_CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)) AS BIGINT) AS min_k,
-      |  CAST(max(TRY_CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)) AS BIGINT) AS max_k
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    """WITH e AS (
+      |  SELECT event_type,
+      |    TRY_CAST(trunc(TRY_CAST(CASE WHEN json_valid(props)
+      |      THEN json_extract_string(props, '$.k') END AS DOUBLE)) AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, count(*) AS n, count(k) AS n_k,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(min(k) AS BIGINT) AS min_k,
+      |  CAST(max(k) AS BIGINT) AS max_k
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     // try_: a non-numeric props.k must yield null, not a cast error.
     // The oracle goes through trunc(double) because Spark's variant
     // double→bigint cast TRUNCATES where DuckDB's string TRY_CAST
     // ROUNDS ('5.5' → 6) — the trunc twin matches Spark's semantics
     // for fractional k (pinned by a FunctionsSpec case); exact for
-    // every |k| < 2^53
+    // every |k| < 2^53. The json_valid guard mirrors try_parse_json:
+    // DuckDB's json_extract_string ERRORS on malformed JSON where
+    // Spark nulls the whole variant — found by tools/fuzz_oracle.py
     val k = expr("try_variant_get(v, '$.k', 'bigint')")
     Tables.events(s, dir)
       .select(col("event_type"), try_parse_json(col("props")).as("v"))

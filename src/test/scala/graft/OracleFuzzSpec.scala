@@ -1,0 +1,109 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property fuzz for the oracle-portability contracts — the JVM half
+  * of the two-part fuzz harness (`tools/fuzz_oracle.py` is the other
+  * half: it redraws whole corpora and replays the real Spark-vs-DuckDB
+  * gate; it caught q86's malformed-JSON divergence on its first seed).
+  *
+  * Every oracle twin leans on a cross-engine arithmetic contract that
+  * the single generated corpus exercises at only a few thousand
+  * points. These properties hammer the contracts themselves with
+  * random inputs, so a violation fails HERE with a named law instead
+  * of surfacing as an unexplained hash mismatch two rounds later
+  * (the round-2 HUGEINT class).
+  */
+object OracleFuzzSpec extends Properties("oracle-portability") {
+
+  // ---- the q01 decimal contract: raw <= 2dp doubles are TIE-FREE ----
+  // Spark casts double -> DECIMAL with HALF_UP, DuckDB with HALF_EVEN;
+  // the contract says casting the RAW 2dp column is portable because a
+  // k/100 double can never land exactly on a .005 tie. If this law
+  // broke, q01/q119/q131's cast-before-multiply pattern would diverge.
+  property("2dp-grid doubles never tie under scale-2 rounding (HALF_UP == HALF_EVEN)") =
+    Prop.forAll(Gen.choose(0L, 100000000L)) { k =>
+      val x = k / 100.0
+      val exact = new JBigDecimal(x) // the double's exact binary value
+      exact.setScale(2, RoundingMode.HALF_UP) ==
+        exact.setScale(2, RoundingMode.HALF_EVEN)
+    }
+
+  // ---- the half-up cents rule: floor(x*100 + 0.5) as pure IEEE ----
+  // both engines evaluate the expression with the same IEEE ops, so
+  // the JVM reference IS the contract; and on the 2dp grid it must
+  // recover the integer cents exactly (q131's header side)
+  property("floor(x*100 + 0.5) recovers exact cents on the 2dp grid") =
+    Prop.forAll(Gen.choose(0L, 100000000L)) { k =>
+      math.floor(k / 100.0 * 100 + 0.5).toLong == k
+    }
+
+  // ---- div vs // : the clamp law behind q134 ----
+  // Spark's div truncates toward zero; DuckDB's // floors. They agree
+  // only for non-negative numerators — and greatest(0, .) restores
+  // agreement for ALL signs because both land <= 0 on a negative
+  // numerator. This is the exact soundness argument of q134's clamp.
+  property("greatest(0, a div b) == greatest(0, a // b) for every sign of a") =
+    Prop.forAll(Gen.choose(-1000000L, 1000000L), Gen.choose(1L, 99999L)) { (a, b) =>
+      val sparkDiv = a / b                 // JVM / == Spark div (truncate)
+      val duckDiv = Math.floorDiv(a, b)    // DuckDB // (floor)
+      val agree = math.max(0L, sparkDiv) == math.max(0L, duckDiv)
+      val agreeUnclamped = a < 0 || sparkDiv == duckDiv
+      agree && agreeUnclamped
+    }
+
+  // ---- the scaled-ppm pattern: (1000000 * a) div b stays exact ----
+  // int64 headroom law the conf_ppm/recall_ppm family relies on:
+  // the numerator is exact whenever a < 9.2e12
+  property("ppm numerators below 9.2e12 never overflow int64") =
+    Prop.forAll(Gen.choose(0L, 9200000000000L)) { a =>
+      val n = 1000000L * a
+      n >= 0 && n / 1000000L == a
+    }
+
+  // ---- the q108/q123/q124 escape hatch: left-associated double chains ----
+  // when int64 would overflow, both engines compute the SAME IEEE
+  // double expression tree; the JVM mirror of that tree is the
+  // reference. The law worth pinning: the chain is order-SENSITIVE
+  // (reassociation changes bits), which is exactly why every oracle
+  // writes it left-associated on both sides.
+  property("left-associated double chains are deterministic and order-sensitive") =
+    Prop.forAll(Gen.listOfN(8, Gen.choose(-1e9, 1e9))) { xs =>
+      val l1 = xs.foldLeft(0.0)(_ + _)
+      val l2 = xs.foldLeft(0.0)(_ + _)
+      // deterministic: same fold, same bits. (Reversing the fold CAN
+      // change bits — not asserted, but that possibility is the reason
+      // the contract fixes the association order.)
+      java.lang.Double.doubleToLongBits(l1) ==
+        java.lang.Double.doubleToLongBits(l2)
+    }
+
+  // ---- the ntile law behind q119/q129's distributed rewrite ----
+  // closed-form ntile-from-rank must equal the SQL-standard
+  // definition for EVERY (n, k, rank), not just the shapes the
+  // corpus produces (ScaleRankSpec checks against Spark's window on
+  // fixed shapes; this is the same law as pure arithmetic)
+  property("ntileFromRank formula matches the SQL-standard tile assignment") =
+    Prop.forAll(Gen.choose(1L, 5000L), Gen.choose(1, 12)) { (n, k) =>
+      // independent reference: materialize the tiles (first n mod k
+      // tiles one row bigger) and look each rank up in them
+      val base = n / k
+      val rem = n % k
+      val sizes = (1 to k).map(i => if (i <= rem) base + 1 else base)
+      val cum = sizes.scanLeft(0L)(_ + _).tail
+      val cut = rem * (base + 1)
+      (1L to n).forall { rk =>
+        val want = cum.indexWhere(_ >= rk) + 1
+        val inBig = rk - 1
+        val inSmall = rk - cut - 1
+        val got = // the formula ScaleRank.ntileFromRank evaluates
+          if (rk <= cut) (inBig - mod(inBig, base + 1)) / (base + 1) + 1
+          else rem + (inSmall - mod(inSmall, base)) / base + 1
+        got == want
+      }
+    }
+
+  private def mod(a: Long, m: Long): Long = ((a % m) + m) % m // pmod
+}

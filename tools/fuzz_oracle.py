@@ -1,0 +1,168 @@
+#!/usr/bin/env python3
+"""Oracle fuzz harness for the known portability cliffs.
+
+The correctness gate runs against ONE generated corpus per scale — a
+query can be green there yet diverge on data the generator merely
+happens not to produce (the round-2 HUGEINT class shipped exactly this
+way). This tool redraws the VALUE domains of the tables feeding the
+fragile oracle twins — money 2dp doubles, event values, variant props,
+document text — while keeping every key, timestamp, and pinned corpus
+invariant (events.value in [0,1000), ASCII text, props.k in the q86
+domain, doc_id < 1e6), then replays graft.VerifySome + the DuckDB
+compare on the redrawn corpus.
+
+Usage: python3 tools/fuzz_oracle.py [seed ...]   (default seeds 1..3)
+
+Each seed is an independent corpus under /tmp/fuzz_sf_<seed>; exit 1 if
+any seed fails any query.
+"""
+import os
+import shutil
+import subprocess
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.001"
+
+# the fragile families: decimal-cast money chains, ppm floor-divs,
+# IEEE double chains, variant casts, distributed-rank ntile twins
+QUERIES = [
+    "q01_pricing_summary", "q86_variant_extract", "q107_assoc_rules",
+    "q108_collocations", "q113_rolling_zscore", "q116_histogram",
+    "q119_rfm", "q123_chisq_independence", "q124_group_regression",
+    "q129_equidepth", "q131_reconciliation", "q133_gini",
+    "q134_seasonality",
+]
+
+COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
+              "embeddings"]
+
+WORDS = ("spark shuffle join scan filter agg window state stream batch "
+         "row col key hash sort merge plan node stage task core disk "
+         "page cache limit range union pivot").split()
+
+
+def gen(dst, seed):
+    os.makedirs(dst, exist_ok=True)
+    for t in COPY_AS_IS:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute(f"SELECT setseed({(seed % 1000) / 1000.0})")
+
+    # orders: fresh 2dp money (the generator's contract — raw <= 2dp is
+    # what makes the q01/q119 decimal-cast path portable); keys, dates,
+    # priorities untouched so joins and group shapes survive
+    con.execute(f"""COPY (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               1.0 + floor(random() * 49999900) / 100.0 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM '{SRC}/orders.parquet')
+        TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+
+    # lineitem: 2dp price, 2dp discount in [0, 0.10], integral quantity
+    con.execute(f"""COPY (
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+               1.0 + floor(random() * 50) AS l_quantity,
+               1.0 + floor(random() * 9999900) / 100.0 AS l_extendedprice,
+               floor(random() * 11) / 100.0 AS l_discount,
+               floor(random() * 9) / 100.0 AS l_tax,
+               l_returnflag, l_linestatus, l_shipdate
+        FROM '{SRC}/lineitem.parquet')
+        TO '{dst}/lineitem.parquet' (FORMAT PARQUET)""")
+
+    # events: full-precision doubles in [0, 1000) (the pinned invariant
+    # domain) and props.k redrawn across the q86 oracle domain: JSON
+    # numbers below 2^53 (int / float / exponent form), non-numeric
+    # strings, a missing key, malformed JSON. Rewritten via pyarrow —
+    # a DuckDB COPY would downcast the TIMESTAMP(NANOS) ts column to
+    # micros and break the Spark-side nanosAsLong read path.
+    gen_events(dst, seed)
+
+    # documents: random ASCII word soup (the q24/q61 byte-hash contract)
+    # with enough vocabulary reuse to exercise q108's PMI chain
+    words = ", ".join(f"'{w}'" for w in WORDS)
+    con.execute(f"""COPY (
+        WITH src AS (SELECT doc_id, lang, source FROM '{SRC}/documents.parquet'),
+        gen AS (
+          SELECT doc_id, lang, source,
+                 list_aggregate(list_transform(range(5 + CAST(doc_id % 40 AS INT)),
+                   x -> ([{words}])[1 + CAST(floor(random() * {len(WORDS)}) AS INT)]),
+                   'string_agg', ' ') AS text
+          FROM src)
+        SELECT doc_id, text, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM gen)
+        TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    con.close()
+
+
+def gen_events(dst, seed):
+    import random as pyrandom
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rnd = pyrandom.Random(seed)
+    t = pq.read_table(f"{SRC}/events.parquet")
+    n = t.num_rows
+
+    def one_props():
+        shape = rnd.randrange(8)
+        if shape == 0:
+            return '{"k": %d}' % rnd.randrange(10**12)
+        if shape == 1:
+            return '{"k": %r}' % (rnd.random() * 1e6)
+        if shape == 2:
+            return '{"k": %de%d}' % (rnd.randrange(1000), rnd.randrange(8))
+        if shape == 3:
+            return '{"k": -%d}' % rnd.randrange(2**52)
+        if shape == 4:
+            return '{"k": "w%dx"}' % rnd.randrange(100)
+        if shape == 5:
+            return '{"other": 1}'
+        if shape == 6:
+            return 'not json at all'
+        return '{"k": "txt"}'
+
+    values = pa.array([rnd.random() * 1000.0 for _ in range(n)],
+                      type=pa.float64())
+    props = pa.array([one_props() for _ in range(n)], type=pa.string())
+    t = t.set_column(t.schema.get_field_index("value"), "value", values)
+    t = t.set_column(t.schema.get_field_index("props"), "props", props)
+    pq.write_table(t, f"{dst}/events.parquet")
+
+
+def main():
+    seeds = [int(a) for a in sys.argv[1:]] or [1, 2, 3]
+    failed = False
+    for seed in seeds:
+        dst = f"/tmp/fuzz_sf_{seed}"
+        out = f"/tmp/fuzz_out_{seed}"
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        print(f"== seed {seed}: generating {dst}")
+        gen(dst, seed)
+        cmd = ["sbt", "-batch",
+               f"runMain graft.VerifySome {dst} {out} " + " ".join(QUERIES)]
+        r = subprocess.run(cmd, cwd="/root/repo",
+                           capture_output=True, text=True)
+        if r.returncode != 0:
+            print(r.stdout[-4000:])
+            print(f"== seed {seed}: VerifySome FAILED")
+            failed = True
+            continue
+        chk = subprocess.run(
+            ["python3", "tools/check_oracle.py", dst, out],
+            cwd="/root/repo", capture_output=True, text=True)
+        print(chk.stdout.strip())
+        if chk.returncode != 0:
+            print(f"== seed {seed}: ORACLE MISMATCH")
+            failed = True
+        else:
+            print(f"== seed {seed}: all green")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
