@@ -17,6 +17,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * itself is the same [[EtlOps.antiJoinNewRecords]] broadcast/shuffle
   * plan as the parquet twin — the sink only changes where keys come
   * from and where rows go.
+  *
+  * PostgreSQL dialect seam: the reference's actual sink is Postgres
+  * (db_manager.py:15–17), which this offline container cannot run, so
+  * everything here is proven against embedded Derby only. The seam is
+  * narrow by construction — [[JdbcTarget]] carries url/driver/options
+  * verbatim, identifier quoting and type mapping go through Spark's
+  * per-database `JdbcDialect` (PostgresDialect ships with Spark), and
+  * [[SchemaInit.jdbcColumnTypes]] emits only ANSI type names
+  * (VARCHAR(n)/DECIMAL(p,s)/TIMESTAMP/BIGINT) that both Derby and
+  * Postgres parse — but the DDL strings are UNVALIDATED against a live
+  * Postgres parser. Transactionality is the other deliberate gap: the
+  * reference wraps DDL+insert in one session_scope transaction
+  * (db_manager.py:24–41); Spark's JDBC append commits per partition
+  * batch, so a mid-write failure can leave a partial append. The
+  * pipeline's correctness does not rest on rollback — the surrogate-key
+  * anti-join makes re-runs idempotent (a retry appends only the rows
+  * that didn't land) — and the streaming side's exactly-once
+  * foreachBatch sink covers the continuous path.
   */
 object JdbcIo {
 

@@ -955,10 +955,12 @@ object EventOps {
     * timestamp all starts apply before any end (+1 sorts before −1),
     * so touching sessions count as overlapping.
     *
-    * Scale design: sessions reduce to ≤ 2 boundary events each, and
-    * the sweep window is partitioned BY DAY (sessions explode over
-    * spanned days with day-clipped carry — the q125 bucketing), so
-    * no single-partition global sweep exists. Day-start carry-in is
+    * Scale design: sessions reduce to ≤ 2 boundary events each,
+    * exploded over spanned days with day-clipped carry (the q125
+    * bucketing), and the per-day sweep is a [[ScaleRank]] two-level
+    * running sum — a day of a 100 TB log has billions of boundaries,
+    * so even a day-partitioned WINDOW would be a single-task sort;
+    * here every task holds one range chunk. Day-start carry-in is
     * counted by the open-interval rows a session contributes to every
     * day it spans. */
   val q138PeakConcurrency: QueryDef = QueryDef(
@@ -1007,9 +1009,12 @@ object EventOps {
       .unionByName(sd.select(col("day"),
         least(col("e_us"), (col("day") + 1) * 86400000000L - 1).as("us"),
         lit(-1L).as("delta")))
-    val wd = Window.partitionBy(col("day")).orderBy(col("us"), col("delta").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev2.withColumn("cur", sum(col("delta")).over(wd))
+    // the sweep is a per-DAY prefix sum — a window would sort a whole
+    // day's boundaries in one task at scale, so it rides the two-level
+    // running sum instead; max(cur) is invariant to intra-tie order,
+    // the same contract the window form relied on
+    ScaleRank.withRunningSum(ev2, Seq("day"),
+        Seq(col("us"), col("delta").desc), col("delta"), "cur")
       .groupBy(col("day")).agg(max(col("cur")).as("peak"))
       .select(date_add(lit("1970-01-01").cast("date"), col("day").cast("int")).as("d"),
         col("peak"))

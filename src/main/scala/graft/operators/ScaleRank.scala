@@ -73,6 +73,43 @@ object ScaleRank {
       .drop(pid, lrk, off)
   }
 
+  /** Adds the exact inclusive running sum of `valueCol` (ordered by
+    * `sortCols` within each `groupCols` value) as `outName` — the
+    * prefix-sum sibling of [[withRowNumber]], for
+    * `sum(x) OVER (PARTITION BY lowCardKey ORDER BY ... ROWS UNBOUNDED
+    * PRECEDING)` shapes that would otherwise sort a whole group in one
+    * task. Same two-level scheme: local running sum per range chunk,
+    * plus the broadcast sum of all earlier chunks of the group. Rows
+    * tied on (group ++ sort) receive SOME permutation of the tie
+    * group's prefix values, exactly as the window form does — use a
+    * unique tiebreaker (or an order-invariant consumer like min/max)
+    * for deterministic output, the same contract as the window. */
+  def withRunningSum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      valueCol: Column,
+      outName: String): DataFrame = {
+    val pid = "__sr_pid"
+    val lsum = "__sr_lsum"
+    val csum = "__sr_csum"
+    val off = "__sr_off"
+    val local = rangedWithPid(df, groupCols, sortCols, pid)
+      .withColumn(lsum, sum(valueCol).over(
+        Window.partitionBy((pid +: groupCols).map(col): _*).orderBy(sortCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val chunkSums = local.groupBy((pid +: groupCols).map(col): _*)
+      .agg(sum(valueCol).as(csum))
+    val cw = Window.partitionBy(groupCols.map(col): _*).orderBy(col(pid))
+    val offs = chunkSums
+      .withColumn(off, coalesce(
+        sum(col(csum)).over(cw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop(csum)
+    local.join(broadcast(offs), pid +: groupCols)
+      .withColumn(outName, col(lsum) + col(off))
+      .drop(pid, lsum, off)
+  }
+
   /** Internal stage 1, exposed for the boundedness spec: range-cluster
     * on (group ++ sort) and record which chunk each row landed in. */
   private[graft] def rangedWithPid(

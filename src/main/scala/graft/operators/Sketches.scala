@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * built-in partial aggregate.
   *
   * Spark's own `approx_count_distinct` (HLL) is surfaced alongside it
-  * for comparison; both are rows-only for the driver (estimators have
-  * no DuckDB-equal output) with accuracy pinned in SketchesSpec.
+  * for comparison. Both are fully hash-gated (q36/q67/q85): the
+  * estimator math is deterministic given the portable md5-prefix
+  * hash, so the DuckDB oracle replays the identical sketch; accuracy
+  * bounds are additionally pinned in SketchesSpec/ScaleOpsSpec.
   */
 object Sketches {
 
@@ -258,9 +260,16 @@ object Sketches {
     * in the test data, so the hash input includes the VALUE (decimal-
     * canonical string) — rows that still collide are byte-identical
     * in every sampled field, so whichever copy wins rn ≤ k the sample
-    * VALUES are identical. The group's total row count rides the same
-    * window pass (count over the partition) — one scan, no second
-    * aggregate or join. */
+    * VALUES are identical. The group's total row count comes from a
+    * separate partial-aggregable count broadcast back over the sample:
+    * riding it on the window (count OVER the partition) reads as "one
+    * pass" but FORCES a full sort of each 3-value group in one task —
+    * and its presence in the Window node disables the
+    * [[graft.plans.RowNumberTopKRewrite]] heap prune (the rule's
+    * single-row_number guard), so it cost a full bounded-key sort at
+    * any scale. With the count split out, the rn ≤ k filter plants
+    * [[graft.plans.TopKPerKey]] and no task ever holds more than k
+    * rows per key. */
   val q85SampleQuantiles: QueryDef = {
     val K = 200
     QueryDef(
@@ -291,13 +300,13 @@ object Sketches {
           col("l_linenumber").cast("string"),
           col("l_extendedprice").cast("decimal(18,2)").cast("string"))), 1, 15), 16, 10)
           .cast("long").as("h"))
-      val part = Window.partitionBy(col("l_returnflag"))
-      val w = part.orderBy(col("h"), col("l_extendedprice"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("h"), col("l_extendedprice"))
+      val nr = h.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
       val samp = h
-        .withColumn("n_rows",
-          count(lit(1)).over(part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
         .filter(col("rn") <= K)
+        .join(broadcast(nr), Seq("l_returnflag"))
       samp.groupBy(col("l_returnflag"))
         .agg(
           max(col("n_rows")).as("n_rows"),

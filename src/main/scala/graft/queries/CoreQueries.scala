@@ -670,9 +670,13 @@ object CoreQueries {
     * because price is the sort key). All integer: half-up cents,
     * integer quantities, no interpolation.
     *
-    * Scale note: one sort per group (partitioned window); at 100 TB
-    * the same answer comes from the two-pass counting-cutpoint
-    * (q85's machinery) without a full sort — documented swap. */
+    * Scale note: l_returnflag has 3 values, so a running-weight
+    * WINDOW would sort a third of lineitem in one task — the prefix
+    * sum runs through [[graft.operators.ScaleRank.withRunningSum]]
+    * instead (range-chunk local sums + broadcast chunk offsets),
+    * bit-identical to the window under the unique
+    * (cents, orderkey, linenumber) order with every task bounded by
+    * a range chunk. */
   lazy val q144WeightedMedian: QueryDef = QueryDef(
     "q144_weighted_median",
     """WITH r AS (
@@ -696,12 +700,10 @@ object CoreQueries {
       floor(col("l_extendedprice") * 100 + 0.5).cast("bigint").as("cents"),
       floor(col("l_quantity")).cast("bigint").as("w"),
       col("l_orderkey"), col("l_linenumber"))
-    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("flag"))
-      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
     val t = r.groupBy(col("flag")).agg(sum(col("w")).as("tot"))
-    r.withColumn("cw", sum(col("w")).over(win))
+    graft.operators.ScaleRank.withRunningSum(r, Seq("flag"),
+        Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+        col("w"), "cw")
       .join(broadcast(t), Seq("flag"))
       .filter(lit(2) * col("cw") >= col("tot"))
       .groupBy(col("flag"), col("tot"))

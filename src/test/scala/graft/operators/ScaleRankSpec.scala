@@ -44,6 +44,31 @@ class ScaleRankSpec extends AnyFunSuite {
       wantAll.except(global.select("g", "v", "id", "rk", "n")).isEmpty)
   }
 
+  test("withRunningSum equals the running-sum window, grouped and with desc sort") {
+    val rnd = new Random(11)
+    val rows = (1 to 3000).map { i =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(100), rnd.nextInt(20).toLong - 5, i)
+    }
+    val df = rows.toDF("g", "v", "w", "id")
+    val got = ScaleRank.withRunningSum(df, Seq("g"),
+      Seq(col("v"), col("id")), col("w"), "cw")
+    val want = df.withColumn("cw",
+      sum(col("w")).over(Window.partitionBy("g").orderBy(col("v"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(got.select("g", "v", "w", "id", "cw").except(want).isEmpty &&
+      want.except(got.select("g", "v", "w", "id", "cw")).isEmpty)
+
+    // desc sort order (the q138 sweep shape: ORDER BY us, delta DESC)
+    val got2 = ScaleRank.withRunningSum(df, Seq("g"),
+      Seq(col("v"), col("w").desc, col("id")), col("w"), "cw")
+    val want2 = df.withColumn("cw",
+      sum(col("w")).over(
+        Window.partitionBy("g").orderBy(col("v"), col("w").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(got2.select("g", "v", "w", "id", "cw").except(want2).isEmpty &&
+      want2.except(got2.select("g", "v", "w", "id", "cw")).isEmpty)
+  }
+
   test("ntileFromRank equals the ntile window for every (n, k) shape") {
     // covers n < k, n == k, n mod k == 0, and ragged remainders
     for (n <- Seq(1, 3, 4, 5, 7, 8, 40, 41, 42, 43, 97); k <- Seq(2, 3, 4, 10)) {

@@ -70,6 +70,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(probe.count() == e.filter(col("bucket") === 5).count())
   }
 
+  test("q85: the sample's rn <= k filter plants the TopKPerKey heap prune") {
+    // the count-over-partition that used to ride the same Window node
+    // disabled the rewrite (single-row_number guard) and forced a full
+    // per-flag sort; with the count split into an aggregate + broadcast
+    // join, the heap prune must be in the plan
+    graft.plans.TopKInstall.install(spark)
+    val q = graft.operators.Sketches.q85SampleQuantiles.build(spark, dir)
+    assert(q.queryExecution.optimizedPlan.toString.contains("TopKPerKey"),
+      q.queryExecution.optimizedPlan.toString)
+  }
+
   test("q34: set-similarity join is an equi hash join on the compacted key") {
     val p = plan(Dedup.q34NgramJaccard)
     // the hashed-key derivation sits behind a localCheckpoint (it is
