@@ -544,6 +544,140 @@ object Similarity {
     }
   }
 
+  /** q147 — PQ recall audit via asymmetric distance computation (ADC),
+    * q145's "measure, don't guess" applied to product quantization:
+    * every corpus vector is represented by its q73 codes, each query
+    * precomputes its distance to every codebook entry per subspace
+    * (a 5×8×16 lookup table — broadcast), the approximate distance is
+    * the SUM OF TABLE LOOKUPS (never touching the corpus floats — the
+    * whole point of PQ), and the approximate top-10 is scored against
+    * the exact L2 top-10.
+    *
+    * Scale design: the corpus contributes one (vec, subspace, code)
+    * assignment pass (q73's plan) and is joined against the broadcast
+    * lookup table — no corpus shuffle; both top-10 windows plant
+    * [[graft.plans.TopKPerKey]] heap prunes. Portability: per-subspace
+    * distances are floored to integer micro-units BEFORE the
+    * 8-term sum, so the aggregate is order-free and exact in both
+    * engines; the exact-truth distance is one left-associated 64-term
+    * IEEE expression, bit-identical in both. */
+  val q147PqRecall: QueryDef = {
+    val NSUB = 8; val DSUB = 8; val KPQ = 16
+    val NQ = 5; val TOPK = 10
+    def subDistSql(x: String, y: String): String =
+      (1 to DSUB).map { d =>
+        val a = s"CAST($x[(s-1)*$DSUB+$d] AS DOUBLE)"
+        val b = s"CAST($y[(s-1)*$DSUB+$d] AS DOUBLE)"
+        s"(($a - $b) * ($a - $b))"
+      }.reduce((a, b) => s"($a + $b)")
+    def fullDistSql(x: String, y: String): String =
+      (1 to NSUB * DSUB).map { d =>
+        val a = s"CAST($x[$d] AS DOUBLE)"
+        val b = s"CAST($y[$d] AS DOUBLE)"
+        s"(($a - $b) * ($a - $b))"
+      }.reduce((a, b) => s"($a + $b)")
+    QueryDef(
+      "q147_pq_recall",
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < $KPQ),
+         |sub AS (SELECT CAST(s AS BIGINT) AS s FROM unnest(range(1, ${NSUB + 1})) AS t(s)),
+         |asg AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |    SELECT v.vec_id, sub.s, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id, sub.s
+         |        ORDER BY ${subDistSql("v.embedding", "c.cvec")}, c.cid) AS rn
+         |    FROM embeddings v, cents c, sub) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQ),
+         |lut AS (
+         |  SELECT q.qid, sub.s, c.cid,
+         |    CAST(floor((${subDistSql("q.qv", "c.cvec")}) * 1000000.0) AS BIGINT) AS dsc
+         |  FROM q, cents c, sub),
+         |approx AS (
+         |  SELECT l.qid, a.vec_id, CAST(sum(l.dsc) AS BIGINT) AS adist
+         |  FROM asg a JOIN lut l ON l.s = a.s AND l.cid = a.code
+         |  WHERE a.vec_id <> l.qid
+         |  GROUP BY l.qid, a.vec_id),
+         |atop AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+         |    FROM approx) WHERE rn <= $TOPK),
+         |truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${fullDistSql("e.embedding", "q.qv")}, e.vec_id) AS rn
+         |    FROM embeddings e, q WHERE e.vec_id <> q.qid) WHERE rn <= $TOPK)
+         |SELECT a.qid, CAST(count(t.vec_id) AS BIGINT) AS n_hit,
+         |  (1000000 * CAST(count(t.vec_id) AS BIGINT)) // $TOPK AS recall_ppm
+         |FROM atop a LEFT JOIN truth t ON t.qid = a.qid AND t.vec_id = a.vec_id
+         |GROUP BY a.qid ORDER BY a.qid""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val cents = broadcast(emb.filter(col("vec_id") < KPQ)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+      def subDist(x: String, y: String): Column = (1 to DSUB).map { d =>
+        val idx = ((col("s") - 1) * DSUB + d).cast("int")
+        val a = element_at(col(x), idx).cast("double")
+        val b = element_at(col(y), idx).cast("double")
+        (a - b) * (a - b)
+      }.reduce(_ + _)
+      def fullDist(x: String, y: String): Column = (1 to NSUB * DSUB).map { d =>
+        val a = element_at(col(x), d).cast("double")
+        val b = element_at(col(y), d).cast("double")
+        (a - b) * (a - b)
+      }.reduce(_ + _)
+      val aw = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("sd"), col("cid"))
+      val asg = emb.repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(cents)
+        .select(col("vec_id"), col("cid"),
+          explode(sequence(lit(1L), lit(NSUB.toLong))).as("s"),
+          col("embedding"), col("cvec"))
+        .select(col("vec_id"), col("cid"), col("s"),
+          subDist("embedding", "cvec").as("sd"))
+        .withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("s"), col("cid").as("code"))
+        .localCheckpoint()
+      val q = emb.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val lut = broadcast(q.crossJoin(cents)
+        .select(col("qid"), col("cid"),
+          explode(sequence(lit(1L), lit(NSUB.toLong))).as("s"),
+          col("qv"), col("cvec"))
+        .select(col("qid"), col("s"), col("cid"),
+          floor(subDist("qv", "cvec") * 1000000.0).cast("long").as("dsc")))
+      val approx = asg
+        .join(lut, lut("s") === asg("s") && lut("cid") === col("code"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("dsc")).as("adist"))
+      val rw = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+      val atop = approx.withColumn("rn", row_number().over(rw))
+        .filter(col("rn") <= TOPK)
+        .select(col("qid"), col("vec_id"))
+      val tw = Window.partitionBy(col("qid")).orderBy(col("td"), col("vec_id"))
+      val truth = emb.repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), fullDist("embedding", "qv").as("td"))
+        .withColumn("rn", row_number().over(tw))
+        .filter(col("rn") <= TOPK)
+        .select(col("qid"), col("vec_id").as("tvid"))
+      atop
+        .join(truth,
+          truth("qid") === atop("qid") && col("tvid") === atop("vec_id"), "left")
+        .groupBy(atop("qid").as("qid"))
+        .agg(count(col("tvid")).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          expr(s"(1000000 * n_hit) div $TOPK").as("recall_ppm"))
+        .orderBy("qid")
+    }
+  }
+
   /** The SQL dialect surface (q84): the whole query is a `spark.sql`
     * string over a temp view, exercising the native expressions
     * (`cosine_sim`, `lsh_bucket`) through the FunctionRegistry the
@@ -573,5 +707,6 @@ object Similarity {
 
   val all: Seq[QueryDef] =
     Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells, q44CosineExpr,
-      q45Quantize, q73Pq, q82IvfSearch, q84SqlSurface, q145IvfMultiprobe)
+      q45Quantize, q73Pq, q82IvfSearch, q84SqlSurface, q145IvfMultiprobe,
+      q147PqRecall)
 }

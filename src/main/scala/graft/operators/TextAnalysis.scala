@@ -746,9 +746,103 @@ object TextAnalysis {
       .orderBy("rnk")
   }
 
+  /** q146 — pretraining quality-filter yield report: the standard
+    * repetition rules (minimum length, duplicate-word fraction,
+    * most-frequent-bigram concentration — the Gopher/CCNet battery)
+    * applied per document, reported as per-language ACCEPT/REJECT
+    * yields. q27 measures repetition; this is the decision layer —
+    * "how much of each language's corpus would this filter config
+    * drop, and for which rule" — the number a data-mixture owner
+    * actually tunes against.
+    *
+    * Scale design: length and dup-word fraction are per-row array
+    * expressions (no shuffle); the top-bigram count is one
+    * partial-aggregable groupBy on the high-cardinality (doc, bigram)
+    * key then a per-doc max — no windows, no bounded-key sorts, and
+    * the final report is |langs| rows. All rule fractions are exact
+    * integer ppm (floor-div), so the DuckDB twin is bit-identical.
+    *
+    * Rule constants (tuned on the generated corpus so both accept and
+    * reject sides are populated): MIN_TOK=20, dup ≥ 0.60, top bigram
+    * ≥ 0.05 of adjacent pairs. */
+  val q146FilterYield: QueryDef = QueryDef(
+    "q146_filter_yield",
+    """WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+      |d AS (
+      |  SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS n_tok,
+      |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_dist
+      |  FROM s),
+      |b AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bg
+      |  FROM s),
+      |bc AS (
+      |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bi
+      |  FROM (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg)
+      |  GROUP BY doc_id),
+      |m AS (
+      |  SELECT d.lang, d.n_tok,
+      |    (1000000 * (d.n_tok - d.n_dist)) // d.n_tok AS dup_ppm,
+      |    CASE WHEN d.n_tok > 1
+      |         THEN (1000000 * coalesce(bc.top_bi, 0)) // (d.n_tok - 1)
+      |         ELSE 0 END AS bi_ppm
+      |  FROM d LEFT JOIN bc ON d.doc_id = bc.doc_id),
+      |r AS (
+      |  SELECT lang,
+      |    CASE WHEN n_tok < 20 THEN 1 ELSE 0 END AS f_short,
+      |    CASE WHEN dup_ppm >= 600000 THEN 1 ELSE 0 END AS f_dup,
+      |    CASE WHEN bi_ppm >= 50000 THEN 1 ELSE 0 END AS f_bi,
+      |    dup_ppm, bi_ppm
+      |  FROM m)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(f_short) AS BIGINT) AS n_short,
+      |  CAST(sum(f_dup) AS BIGINT) AS n_dup_reject,
+      |  CAST(sum(f_bi) AS BIGINT) AS n_bigram_reject,
+      |  CAST(count(CASE WHEN f_short = 0 AND f_dup = 0 AND f_bi = 0 THEN 1 END) AS BIGINT) AS n_kept,
+      |  (1000000 * CAST(count(CASE WHEN f_short = 0 AND f_dup = 0 AND f_bi = 0 THEN 1 END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS kept_ppm,
+      |  CAST(sum(dup_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_dup_ppm,
+      |  CAST(sum(bi_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_bi_ppm
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // single-file scan -> use every core
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
+    val d = docs.select(col("doc_id"), col("lang"),
+      size(col("ts")).cast("long").as("n_tok"),
+      size(array_distinct(col("ts"))).cast("long").as("n_dist"))
+    val n = size(col("ts"))
+    val bc = docs
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ts"), lit(1), n - 1), slice(col("ts"), lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bi"))
+    val m = d.join(bc, Seq("doc_id"), "left")
+      .select(col("lang"), col("n_tok"),
+        expr("(1000000 * (n_tok - n_dist)) div n_tok").as("dup_ppm"),
+        when(col("n_tok") > 1,
+          expr("(1000000 * coalesce(top_bi, 0L)) div (n_tok - 1)"))
+          .otherwise(lit(0L)).as("bi_ppm"))
+    val r = m.select(col("lang"), col("dup_ppm"), col("bi_ppm"),
+      when(col("n_tok") < 20, 1L).otherwise(0L).as("f_short"),
+      when(col("dup_ppm") >= 600000L, 1L).otherwise(0L).as("f_dup"),
+      when(col("bi_ppm") >= 50000L, 1L).otherwise(0L).as("f_bi"))
+    val kept = count(when(
+      col("f_short") === 0 && col("f_dup") === 0 && col("f_bi") === 0, 1))
+    r.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("f_short")).as("n_short"),
+        sum(col("f_dup")).as("n_dup_reject"),
+        sum(col("f_bi")).as("n_bigram_reject"),
+        kept.as("n_kept"),
+        expr("1000000 * count(CASE WHEN f_short = 0 AND f_dup = 0 AND f_bi = 0 THEN 1 END) div count(1)").as("kept_ppm"),
+        expr("sum(dup_ppm) div count(1)").as("avg_dup_ppm"),
+        expr("sum(bi_ppm) div count(1)").as("avg_bi_ppm"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
       q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,
       q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob,
-      q101Split, q108Collocations, q112VocabCoverage)
+      q101Split, q108Collocations, q112VocabCoverage, q146FilterYield)
 }
