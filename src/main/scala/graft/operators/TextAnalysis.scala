@@ -840,9 +840,103 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** q148 — vocabulary growth curve (Heaps' law audit): split the
+    * corpus into ten doc-id deciles and report, per decile, how many
+    * NEW token types appear for the first time, the cumulative
+    * vocabulary, and cumulative token volume — the curve that answers
+    * "how much new vocabulary does the next 10% of data buy", i.e.
+    * whether more of the same source still grows a tokenizer's
+    * coverage.
+    *
+    * Unigram types saturate almost immediately on any corpus with a
+    * closed vocabulary, so the report tracks BIGRAM types alongside —
+    * the unit a BPE tokenizer's merge table actually grows in — whose
+    * curve keeps decaying for far longer (851/54/5/1/... per decile on
+    * the generated corpus).
+    *
+    * Scale design: the only corpus-sized operations are two
+    * partial-aggregable groupBy(type) → min(decile) passes ("first
+    * appearance"); everything after runs on ≤ |vocab| rows collapsing
+    * to a 10-row frame, and the cumulative window orders TEN rows.
+    * All counts are exact integers — no float anywhere. */
+  val q148VocabGrowth: QueryDef = QueryDef(
+    "q148_vocab_growth",
+    """WITH mx AS (SELECT max(doc_id) AS maxid FROM documents),
+      |t AS (
+      |  SELECT least(9, (10 * d.doc_id) // (mx.maxid + 1)) AS bucket,
+      |    d.doc_id, u.tok
+      |  FROM documents d, mx, unnest(string_split(d.text, ' ')) AS u(tok)),
+      |per AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |  FROM t GROUP BY bucket),
+      |firsts AS (SELECT tok, min(bucket) AS fb FROM t GROUP BY tok),
+      |nv AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS n_new FROM firsts GROUP BY fb),
+      |bg AS (
+      |  SELECT least(9, (10 * d.doc_id) // (mx.maxid + 1)) AS bucket,
+      |    unnest(list_transform(range(1, len(string_split(d.text, ' '))),
+      |      i -> string_split(d.text, ' ')[i] || ' ' || string_split(d.text, ' ')[i+1])) AS big
+      |  FROM documents d, mx),
+      |bfirsts AS (SELECT big, min(bucket) AS fb FROM bg GROUP BY big),
+      |bnv AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS n_new FROM bfirsts GROUP BY fb)
+      |SELECT p.bucket AS decile, p.n_docs, p.n_tokens,
+      |  coalesce(nv.n_new, 0) AS n_new_types,
+      |  CAST(sum(coalesce(nv.n_new, 0)) OVER (ORDER BY p.bucket
+      |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum,
+      |  coalesce(bnv.n_new, 0) AS n_new_bigrams,
+      |  CAST(sum(coalesce(bnv.n_new, 0)) OVER (ORDER BY p.bucket
+      |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS bigram_cum,
+      |  CAST(sum(p.n_tokens) OVER (ORDER BY p.bucket
+      |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum
+      |FROM per p
+      |LEFT JOIN nv ON nv.bucket = p.bucket
+      |LEFT JOIN bnv ON bnv.bucket = p.bucket
+      |ORDER BY p.bucket""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val mx = docs.agg(max(col("doc_id")).as("maxid"))
+    val t = docs
+      .repartition(col("doc_id")) // single-file scan -> use every core
+      .crossJoin(broadcast(mx))
+      .select(
+        least(lit(9L), expr("(10 * doc_id) div (maxid + 1)")).as("bucket"),
+        col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val per = t.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("doc_id")).as("n_docs"))
+    val nv = t.groupBy(col("tok")).agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb")).agg(count(lit(1)).as("n_new"))
+    val nbg = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("ts2"))
+      .crossJoin(broadcast(mx))
+      .select(
+        least(lit(9L), expr("(10 * doc_id) div (maxid + 1)")).as("bucket"),
+        explode(zip_with(
+          slice(col("ts2"), lit(1), size(col("ts2")) - 1),
+          slice(col("ts2"), lit(2), size(col("ts2")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("big"))
+      .groupBy(col("big")).agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb")).agg(count(lit(1)).as("bn_new"))
+    // ten rows total: the unpartitioned window is bounded by design
+    val cw = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.join(nv, per("bucket") === nv("fb"), "left")
+      .join(nbg, per("bucket") === nbg("fb"), "left")
+      .select(per("bucket").as("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_new"), lit(0L)).as("n_new_types"),
+        coalesce(col("bn_new"), lit(0L)).as("n_new_bigrams"))
+      .withColumn("vocab_cum", sum(col("n_new_types")).over(cw))
+      .withColumn("bigram_cum", sum(col("n_new_bigrams")).over(cw))
+      .withColumn("tokens_cum", sum(col("n_tokens")).over(cw))
+      .select(col("bucket").as("decile"), col("n_docs"), col("n_tokens"),
+        col("n_new_types"), col("vocab_cum"), col("n_new_bigrams"),
+        col("bigram_cum"), col("tokens_cum"))
+      .orderBy("decile")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
       q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,
       q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob,
-      q101Split, q108Collocations, q112VocabCoverage, q146FilterYield)
+      q101Split, q108Collocations, q112VocabCoverage, q146FilterYield,
+      q148VocabGrowth)
 }
