@@ -110,6 +110,43 @@ object ScaleRank {
       .drop(pid, lsum, off)
   }
 
+  /** Adds the exact running MAX of `valueCol` (ordered by `sortCols`
+    * within each `groupCols` value) as `outName` — the prefix-max
+    * sibling of [[withRunningSum]], serving the
+    * `max(x) OVER (... ROWS UNBOUNDED PRECEDING [AND 1 PRECEDING])`
+    * frontier/skyline shapes. `inclusive = false` gives the
+    * strictly-preceding frame, whose first row per group is null
+    * (empty prefix), exactly like the window form; `greatest` merges
+    * the chunk-local max with the broadcast max of all earlier chunks
+    * (it skips nulls, which is precisely the empty-prefix algebra). */
+  def withRunningMax(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      valueCol: Column,
+      outName: String,
+      inclusive: Boolean): DataFrame = {
+    val pid = "__sr_pid"
+    val lmax = "__sr_lmax"
+    val cmax = "__sr_cmax"
+    val off = "__sr_off"
+    val endRow = if (inclusive) Window.currentRow else -1L
+    val local = rangedWithPid(df, groupCols, sortCols, pid)
+      .withColumn(lmax, max(valueCol).over(
+        Window.partitionBy((pid +: groupCols).map(col): _*).orderBy(sortCols: _*)
+          .rowsBetween(Window.unboundedPreceding, endRow)))
+    val chunkMax = local.groupBy((pid +: groupCols).map(col): _*)
+      .agg(max(valueCol).as(cmax))
+    val cw = Window.partitionBy(groupCols.map(col): _*).orderBy(col(pid))
+    val offs = chunkMax
+      .withColumn(off,
+        max(col(cmax)).over(cw.rowsBetween(Window.unboundedPreceding, -1)))
+      .drop(cmax)
+    local.join(broadcast(offs), pid +: groupCols)
+      .withColumn(outName, greatest(col(lmax), col(off)))
+      .drop(pid, lmax, off)
+  }
+
   /** Internal stage 1, exposed for the boundedness spec: range-cluster
     * on (group ++ sort) and record which chunk each row landed in. */
   private[graft] def rangedWithPid(

@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   *     dominated row has a SKYLINE dominator, and skyline rows always
   *     survive stage 1.
   *
-  * Both stages are windows over price LEVELS (bounded by price
-  * cardinality), never over rows. */
+  * Both stages run over price LEVELS (bounded by price cardinality),
+  * never over rows — and their running maxes ride
+  * [[ScaleRank.withRunningMax]], so even a catalog whose distinct
+  * price count grows with data never produces a single-task sort. */
 object Skyline {
 
   /** The two-stage frontier over (p_retailprice min, p_size max);
@@ -37,21 +39,19 @@ object Skyline {
     // stage 1: per-bucket max size from the FULL table (so the prune
     // is sound on its own), running max over strictly lower buckets
     val bmax = bucketed.groupBy(col("bkt")).agg(max(col("p_size")).as("bsz"))
-    val wb = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
-    val bdom = bmax
-      .withColumn("lower_max", max(col("bsz")).over(wb))
+    val bdom = ScaleRank
+      .withRunningMax(bmax, Nil, Seq(col("bkt")), col("bsz"),
+        "lower_max", inclusive = false)
       .select(col("bkt"), col("lower_max"))
     val pruned = bucketed.join(broadcast(bdom), Seq("bkt"))
       .filter(col("lower_max").isNull || col("lower_max") < col("p_size"))
     // stage 2: exact frontier over surviving price levels
     val lvl = pruned.groupBy(col("p_retailprice")).agg(max(col("p_size")).as("lmax"))
-    val wA = Window.orderBy(col("p_retailprice"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wB = Window.orderBy(col("p_retailprice"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val dec = lvl
-      .withColumn("a_excl", max(col("lmax")).over(wA))
-      .withColumn("b_incl", max(col("lmax")).over(wB))
+    val dec = ScaleRank
+      .withRunningMax(
+        ScaleRank.withRunningMax(lvl, Nil, Seq(col("p_retailprice")),
+          col("lmax"), "a_excl", inclusive = false),
+        Nil, Seq(col("p_retailprice")), col("lmax"), "b_incl", inclusive = true)
       .select(col("p_retailprice"), col("a_excl"), col("b_incl"))
     pruned.join(broadcast(dec), Seq("p_retailprice"))
       .filter((col("a_excl").isNull || col("a_excl") < col("p_size")) &&

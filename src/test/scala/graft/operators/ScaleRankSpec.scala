@@ -69,6 +69,33 @@ class ScaleRankSpec extends AnyFunSuite {
       want2.except(got2.select("g", "v", "w", "id", "cw")).isEmpty)
   }
 
+  test("withRunningMax equals the running-max window, inclusive and strictly-preceding") {
+    val rnd = new Random(23)
+    val rows = (1 to 2000).map { i =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(80), rnd.nextInt(1000).toLong, i)
+    }
+    val df = rows.toDF("g", "v", "x", "id")
+    for (inclusive <- Seq(true, false)) {
+      val end = if (inclusive) Window.currentRow else -1L
+      val got = ScaleRank.withRunningMax(df, Seq("g"),
+        Seq(col("v"), col("id")), col("x"), "mx", inclusive)
+      val want = df.withColumn("mx",
+        max(col("x")).over(Window.partitionBy("g").orderBy(col("v"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, end)))
+      assert(got.select("g", "v", "x", "id", "mx").except(want).isEmpty &&
+        want.except(got.select("g", "v", "x", "id", "mx")).isEmpty,
+        s"inclusive=$inclusive")
+      if (!inclusive) {
+        // the strictly-preceding frame must be NULL on each group's
+        // first row (empty prefix), not 0 or the row's own value
+        val firsts = got.withColumn("rk",
+          row_number().over(Window.partitionBy("g").orderBy(col("v"), col("id"))))
+          .filter(col("rk") === 1)
+        assert(firsts.count() > 0 && firsts.filter(col("mx").isNotNull).count() == 0)
+      }
+    }
+  }
+
   test("ntileFromRank equals the ntile window for every (n, k) shape") {
     // covers n < k, n == k, n mod k == 0, and ragged remainders
     for (n <- Seq(1, 3, 4, 5, 7, 8, 40, 41, 42, 43, 97); k <- Seq(2, 3, 4, 10)) {
