@@ -61,5 +61,55 @@ object SkewOps {
       .orderBy("n_name")
   }
 
-  val all: Seq[graft.QueryDef] = Seq(q79SaltedJoin)
+  /** q149 — join-key skew report: the diagnostic that DECIDES whether
+    * a join needs [[saltedInnerJoin]] (or AQE skew splitting) at all.
+    * For each candidate join key of the fact table: distinct key
+    * count, the hottest key's share of all rows, the p99 per-key row
+    * count, and the mean — max-share vs p99 is the classic "one whale
+    * vs heavy tail" distinction that picks between salting (whale)
+    * and plain AQE (tail).
+    *
+    * Scale design: one UNION of per-key projections feeds ONE
+    * partial-aggregable (key_col, key) count shuffle; the stats then
+    * run over per-key counts (|keys| rows), and the report is 3 rows.
+    * Exactness: shares and means are integer ppm/milli floor-divs;
+    * the p99 is the exact interpolated percentile (the q17 bit-exact
+    * contract) floored to milli-units. */
+  val q149SkewReport: graft.QueryDef = graft.QueryDef(
+    "q149_skew_report",
+    """WITH k AS (
+      |  SELECT 'l_orderkey' AS key_col, l_orderkey AS key FROM lineitem
+      |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+      |c AS (
+      |  SELECT key_col, key, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM k GROUP BY key_col, key)
+      |SELECT key_col,
+      |  CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+      |  (1000000 * CAST(max(cnt) AS BIGINT)) // CAST(sum(cnt) AS BIGINT) AS max_share_ppm,
+      |  (1000 * CAST(sum(cnt) AS BIGINT)) // CAST(count(*) AS BIGINT) AS mean_cnt_milli,
+      |  CAST(floor(quantile_cont(cnt, 0.99) * 1000) AS BIGINT) AS p99_cnt_milli
+      |FROM c GROUP BY key_col ORDER BY key_col""".stripMargin) { (sp, dir) =>
+    val l = graft.Tables.lineitem(sp, dir)
+    def keyed(name: String): DataFrame =
+      l.select(lit(name).as("key_col"), col(name).as("key"))
+    val c = keyed("l_orderkey")
+      .unionByName(keyed("l_partkey"))
+      .unionByName(keyed("l_suppkey"))
+      .groupBy(col("key_col"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+    c.groupBy(col("key_col"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"),
+        expr("(1000000 * max(cnt)) div sum(cnt)").as("max_share_ppm"),
+        expr("(1000 * sum(cnt)) div count(1)").as("mean_cnt_milli"),
+        floor(expr("percentile(cnt, 0.99D)") * 1000).cast("long").as("p99_cnt_milli"))
+      .orderBy("key_col")
+  }
+
+  val all: Seq[graft.QueryDef] = Seq(q79SaltedJoin, q149SkewReport)
 }
