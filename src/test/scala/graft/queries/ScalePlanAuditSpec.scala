@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audits for the ScaleRank conversions: the point of the
+  * two-level rewrite is that NO stage sorts an unbounded row set in
+  * one task. A SinglePartition exchange feeding a Sort or Window over
+  * the FACT-SIZED side would silently reintroduce the bottleneck; the
+  * only single-partition work allowed is over bounded frames (the
+  * <= P-per-group offset tables, final <= |groups|-row reports). The
+  * assertion: every converted plan carries the range repartition
+  * (the chunking mechanism) and its windows partition by the chunk id,
+  * never by a bare bounded-cardinality business key.
+  */
+class ScalePlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: graft.QueryDef): String =
+    q.build(spark, dir).queryExecution.executedPlan.toString
+
+  // (query, bounded business key that must NOT be a window partition on its own)
+  private val converted = Seq(
+    (graft.operators.Segmentation.q119Rfm, "rec_days"),
+    (graft.operators.DataProfile.q129EquiDepth, "pri"),
+    (graft.operators.Segmentation.q133Gini, "cents"),
+    (graft.operators.EventOps.q138PeakConcurrency, "delta"),
+    (CoreQueries.q144WeightedMedian, "cents"))
+
+  test("converted queries range-chunk their rank/prefix stage") {
+    for ((q, _) <- converted) {
+      val p = plan(q)
+      assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+        s"${q.name}: no range repartition in plan — the two-level chunking is gone:\n$p")
+      assert(p.contains("__sr_pid"),
+        s"${q.name}: no chunk-id column in plan — local stage not keyed by chunk")
+    }
+  }
+
+  test("every ScaleRank window partitions by the chunk id, not a bare bounded key") {
+    for ((q, sortKey) <- converted) {
+      val p = plan(q)
+      // the window over the fact-sized side must include __sr_pid in
+      // its partition spec; windows without it are only the bounded
+      // offset frames (partitioned by pid-count rows per group)
+      val windowSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      val factWindows = windowSpecs.filter(_.contains(sortKey))
+      assert(factWindows.forall(_.contains("__sr_pid")),
+        s"${q.name}: a fact-side window over '$sortKey' lacks the chunk id:\n" +
+          factWindows.mkString("\n"))
+    }
+  }
+}
