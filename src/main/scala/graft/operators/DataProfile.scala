@@ -137,10 +137,15 @@ object DataProfile {
       |FROM lineitem l JOIN f USING (l_returnflag)
       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, dir) =>
     val li = Tables.lineitem(s, dir)
-    val q = li.groupBy(col("l_returnflag"))
+    // weighted percentile over (flag, price) counts — the q17
+    // contract: same interpolation code path, per-group state bounded
+    // by the 2dp price domain instead of the row count
+    val q = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("fn"))
+      .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(l_extendedprice, 0.25D)").as("p25"),
-        expr("percentile(l_extendedprice, 0.75D)").as("p75"))
+        expr("percentile(l_extendedprice, 0.25D, fn)").as("p25"),
+        expr("percentile(l_extendedprice, 0.75D, fn)").as("p75"))
       .select(col("l_returnflag"), col("p25"), col("p75"),
         (col("p25") - lit(1.5) * (col("p75") - col("p25"))).as("lo"),
         (col("p75") + lit(1.5) * (col("p75") - col("p25"))).as("hi"))
@@ -295,7 +300,16 @@ object DataProfile {
     * mean itself is integer milli-units with a floor-div — no float
     * division. The fence comparison uses the interpolated-percentile
     * doubles, which both engines compute bit-identically (the q17
-    * contract). */
+    * contract).
+    *
+    * Scale note: unlike q17/q106/q137/q139 (discrete value domains →
+    * the weighted-percentile compression), events.value is a
+    * full-precision continuous double, so (type, value) counts would
+    * not shrink the aggregation state. The 100 TB path for continuous
+    * exact-ish fences is the q85 deterministic bottom-k sample
+    * (bounded memory, engine-portable redraw) — the fences become
+    * sample quantiles, a different (documented) estimator, so this
+    * query keeps the exact form the oracle states. */
   val q127TrimmedStats: QueryDef = QueryDef(
     "q127_trimmed_stats",
     """WITH f AS (

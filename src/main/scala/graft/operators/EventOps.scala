@@ -939,11 +939,16 @@ object EventOps {
       .withColumn("dst", lead(col("src"), 1).over(w))
       .withColumn("gap_us", lead(col("us"), 1).over(w) - col("us"))
       .filter(col("dst").isNotNull)
+      // weighted percentile over (src, dst, gap) counts — the q17
+      // contract: the bounded type×type matrix would otherwise buffer
+      // every gap in one aggregation state per cell
+      .groupBy(col("src"), col("dst"), col("gap_us"))
+      .agg(count(lit(1)).as("gn"))
       .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("n"),
-        percentile(col("gap_us"), lit(0.25)).as("p25_us"),
-        percentile(col("gap_us"), lit(0.5)).as("p50_us"),
-        percentile(col("gap_us"), lit(0.75)).as("p75_us"))
+      .agg(expr("CAST(sum(gn) AS BIGINT)").as("n"),
+        expr("percentile(gap_us, 0.25D, gn)").as("p25_us"),
+        expr("percentile(gap_us, 0.5D, gn)").as("p50_us"),
+        expr("percentile(gap_us, 0.75D, gn)").as("p75_us"))
       .orderBy("src", "dst")
   }
 

@@ -424,7 +424,19 @@ object CoreQueries {
   }
 
   /** Exact interpolated percentiles (both engines: linear interpolation
-    * over the sorted values — no sketch). */
+    * over the sorted values — no sketch).
+    *
+    * Scale design: a bare `percentile` over a 3-value group key
+    * buffers EVERY row's value in one aggregation state — the
+    * aggregate-shaped cousin of the bounded-key window problem. Both
+    * value columns have bounded discrete domains (integral quantities,
+    * 2dp prices), so the plan pre-collapses to (flag, value) → count
+    * with an ordinary partial-aggregable shuffle on the
+    * high-cardinality pair, then runs Spark's WEIGHTED
+    * `percentile(value, p, count)` over the distinct values — the
+    * identical interpolation code path (bit-identical output, the
+    * gate proves it) with per-group state bounded by the value domain,
+    * not the row count. */
   val q17Percentiles: QueryDef = QueryDef(
     "q17_percentiles",
     """SELECT l_returnflag,
@@ -432,12 +444,19 @@ object CoreQueries {
       |  quantile_cont(l_quantity, 0.9) AS p90,
       |  quantile_cont(l_extendedprice, 0.25) AS price_p25
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-    Tables.lineitem(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val qp = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("qn"))
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(l_quantity, 0.5D)").as("p50"),
-        expr("percentile(l_quantity, 0.9D)").as("p90"),
-        expr("percentile(l_extendedprice, 0.25D)").as("price_p25"))
+        expr("percentile(l_quantity, 0.5D, qn)").as("p50"),
+        expr("percentile(l_quantity, 0.9D, qn)").as("p90"))
+    val pp = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("pn"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.25D, pn)").as("price_p25"))
+    qp.join(pp, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p50"), col("p90"), col("price_p25"))
       .orderBy("l_returnflag")
   }
 
@@ -747,11 +766,15 @@ object CoreQueries {
         (col("ship_day") -
           expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
           .as("gap_days"))
+      // weighted percentile over (pri, gap) counts — the q17 contract:
+      // the day-gap domain is tiny, so per-group state is O(domain)
+      .groupBy(col("pri"), col("gap_days"))
+      .agg(count(lit(1)).as("gn"))
       .groupBy(col("pri"))
-      .agg(count(lit(1)).as("n"),
-        percentile(col("gap_days"), lit(0.25)).as("p25_days"),
-        percentile(col("gap_days"), lit(0.5)).as("p50_days"),
-        percentile(col("gap_days"), lit(0.75)).as("p75_days"),
+      .agg(expr("CAST(sum(gn) AS BIGINT)").as("n"),
+        expr("percentile(gap_days, 0.25D, gn)").as("p25_days"),
+        expr("percentile(gap_days, 0.5D, gn)").as("p50_days"),
+        expr("percentile(gap_days, 0.75D, gn)").as("p75_days"),
         max(col("gap_days")).as("max_days"))
       .orderBy("pri")
   }
