@@ -100,14 +100,18 @@ object SkewOps {
       .unionByName(keyed("l_suppkey"))
       .groupBy(col("key_col"), col("key"))
       .agg(count(lit(1)).as("cnt"))
-    c.groupBy(col("key_col"))
+    // second compression: the count HISTOGRAM (key_col, cnt) -> freq
+    // is tiny (distinct per-key counts, not keys), so even the p99
+    // runs weighted over it — per-group state O(|distinct counts|)
+    val h = c.groupBy(col("key_col"), col("cnt")).agg(count(lit(1)).as("freq"))
+    h.groupBy(col("key_col"))
       .agg(
-        count(lit(1)).as("n_keys"),
-        sum(col("cnt")).as("n_rows"),
+        sum(col("freq")).as("n_keys"),
+        sum(col("cnt") * col("freq")).as("n_rows"),
         max(col("cnt")).as("max_cnt"),
-        expr("(1000000 * max(cnt)) div sum(cnt)").as("max_share_ppm"),
-        expr("(1000 * sum(cnt)) div count(1)").as("mean_cnt_milli"),
-        floor(expr("percentile(cnt, 0.99D)") * 1000).cast("long").as("p99_cnt_milli"))
+        expr("(1000000 * max(cnt)) div sum(cnt * freq)").as("max_share_ppm"),
+        expr("(1000 * sum(cnt * freq)) div sum(freq)").as("mean_cnt_milli"),
+        floor(expr("percentile(cnt, 0.99D, freq)") * 1000).cast("long").as("p99_cnt_milli"))
       .orderBy("key_col")
   }
 
