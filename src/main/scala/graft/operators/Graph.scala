@@ -135,5 +135,89 @@ object Graph {
       .orderBy("root")
   }
 
-  val all: Seq[QueryDef] = Seq(q104Triangles, q132BomExplosion)
+  /** q150 — k-core peeling trajectory over the co-purchase graph
+    * (parts co-occurring in ≥ 2 orders, q107's pair structure):
+    * repeatedly drop nodes with degree < K and report, per round, how
+    * many nodes still qualify and how many edges survive. The
+    * trajectory is the community-density profile behind "which items
+    * form a stable co-purchase core" — and the k-core itself is the
+    * classic preprocessing prune for dense-subgraph mining.
+    *
+    * Bounded iteration, the q65/q132 contract: R = 8 fixed rounds
+    * (the per-round output is well-defined whether or not the peel
+    * has converged by R — no data-dependent loop count), each round
+    * one degree aggregate + one semi-join on the current edge list,
+    * lineage cut per round. Peeling is order-independent (the set of
+    * survivors after each synchronized round is unique), so the
+    * output is deterministic at any parallelism. The oracle unrolls
+    * the same R rounds as generated CTEs — the gate proves loop ≡
+    * unrolled recursion. */
+  val q150KcorePeel: QueryDef = {
+    val K = 3  // core degree
+    val R = 8  // fixed peel rounds
+    val MIN_PAIR = 2
+    // MATERIALIZED: DuckDB inlines plain CTEs, so an unrolled chain
+    // whose every round references the previous one three times would
+    // re-expand e0 exponentially (3^R scans — found as an fd blowup)
+    val rounds = (1 to R).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT a AS node FROM e${i - 1} UNION ALL SELECT b2 FROM e${i - 1})
+         |  GROUP BY node HAVING count(*) >= $K),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b2 FROM e${i - 1} e
+         |  JOIN d$i x ON e.a = x.node JOIN d$i y ON e.b2 = y.node)""".stripMargin
+    }.mkString(",\n")
+    val report = (1 to R).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM d$i) AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e$i) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    QueryDef(
+      "q150_kcore_peel",
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT f1.p AS a, f2.p AS b2
+         |  FROM b f1 JOIN b f2 ON f1.o = f2.o AND f1.p < f2.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $MIN_PAIR),
+         |$rounds
+         |$report
+         |ORDER BY round""".stripMargin) { (s, dir) =>
+      // basket pairs WITHOUT a self-join: q107's map-side C(k,2)
+      // expansion over per-order sorted item arrays
+      val b = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      var edges = b.groupBy(col("o"))
+        .agg(sort_array(collect_set(col("p"))).as("items"))
+        .select(explode(expr(
+          "flatten(transform(items, (x, i) -> " +
+            "transform(slice(items, i + 2, size(items)), y -> " +
+            "struct(x AS a, y AS b2))))")).as("pp"))
+        .select(col("pp.a").as("a"), col("pp.b2").as("b2"))
+        .groupBy(col("a"), col("b2"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= MIN_PAIR)
+        .select(col("a"), col("b2"))
+        .localCheckpoint()
+      val out = (1 to R).map { i =>
+        val deg = edges.select(col("a").as("node"))
+          .unionByName(edges.select(col("b2").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= K)
+          .select(col("node"))
+        val nNodes = deg.count()
+        edges = edges
+          .join(deg.select(col("node").as("a")), Seq("a"), "left_semi")
+          .join(deg.select(col("node").as("b2")), Seq("b2"), "left_semi")
+          .select(col("a"), col("b2"))
+          .localCheckpoint()
+        (i.toLong, nNodes, edges.count())
+      }
+      import s.implicits._
+      out.toDF("round", "n_nodes", "n_edges").orderBy("round")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q104Triangles, q132BomExplosion, q150KcorePeel)
 }
