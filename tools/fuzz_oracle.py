@@ -26,13 +26,18 @@ import duckdb
 SRC = "/root/testdata/sf0.001"
 
 # the fragile families: decimal-cast money chains, ppm floor-divs,
-# IEEE double chains, variant casts, distributed-rank ntile twins
+# IEEE double chains, variant casts, distributed-rank ntile twins,
+# the ScaleRank window conversions, weighted percentiles, and the
+# round-5 text/graph additions
 QUERIES = [
-    "q01_pricing_summary", "q86_variant_extract", "q107_assoc_rules",
+    "q01_pricing_summary", "q17_percentiles", "q86_variant_extract",
+    "q106_iqr_outliers", "q107_assoc_rules",
     "q108_collocations", "q113_rolling_zscore", "q116_histogram",
     "q119_rfm", "q123_chisq_independence", "q124_group_regression",
     "q129_equidepth", "q131_reconciliation", "q133_gini",
-    "q134_seasonality",
+    "q134_seasonality", "q137_dwell_times", "q138_peak_concurrency",
+    "q139_fulfillment", "q144_weighted_median", "q146_filter_yield",
+    "q148_vocab_growth", "q149_skew_report", "q150_kcore_peel",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
