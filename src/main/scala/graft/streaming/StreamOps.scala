@@ -493,6 +493,42 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming quality filter — q146's accept/reject decision layer as
+    * a STATELESS per-row transform, the shape a production ingest
+    * pipeline actually runs (filter at the edge, before anything
+    * stateful). Works identically on a stream or a batch frame: no
+    * windows, no aggregation, no state.
+    *
+    * The per-document top-bigram multiplicity — a groupBy in the batch
+    * report — becomes the longest run of equal adjacent elements in
+    * the doc's SORTED bigram array (same number, computed row-local by
+    * one codegen'd `aggregate` lambda), so the decision needs nothing
+    * beyond the row. Rule constants match q146 exactly; agreement with
+    * the batch report is pinned in StreamOpsSpec. */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val bgs = "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
+      "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), (a, b) -> concat(a, ' ', b))"
+    // longest equal-run in the sorted bigram list == max multiplicity
+    val topBi =
+      s"""aggregate(array_sort($bgs),
+         |  struct('' AS prev, 0L AS run, 0L AS best),
+         |  (acc, x) -> struct(x AS prev,
+         |    IF(x = acc.prev, acc.run + 1, 1L) AS run,
+         |    greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1L)) AS best),
+         |  acc -> acc.best)""".stripMargin
+    docs
+      .withColumn("n_tok", nTok)
+      .withColumn("dup_ppm", expr("(1000000 * (n_tok - " +
+        "cast(size(array_distinct(split(text, ' '))) as long))) div n_tok"))
+      .withColumn("bi_ppm",
+        when(col("n_tok") > 1,
+          expr(s"(1000000 * coalesce($topBi, 0L)) div (n_tok - 1)"))
+          .otherwise(lit(0L)))
+      .withColumn("keep",
+        col("n_tok") >= 20 && col("dup_ppm") < 600000L && col("bi_ppm") < 50000L)
+  }
+
   def rollingZscore(spark: SparkSession, events: Dataset[AsofEvent],
       windowSize: Int = 10, minN: Int = 5): Dataset[ZOut] = {
     import spark.implicits._

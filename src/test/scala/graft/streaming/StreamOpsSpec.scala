@@ -399,6 +399,34 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("qualityFilter streamed decisions reproduce the batch q146 yield per language") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamOps.qualityFilter(in.toDF().toDF("doc_id", "text", "lang"))
+      .select("doc_id", "lang", "keep")
+      .writeStream.format("memory").queryName("qf_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "text", "lang")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      val per = (docs.size + 2) / 3
+      docs.grouped(per).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("qf_out")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("keep"), 1)).as("n_kept"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.TextAnalysis.q146FilterYield
+        .build(spark, "/root/testdata/sf0.001")
+        .select("lang", "n_docs", "n_kept")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"stream-batch: ${streamed -- batch}; batch-stream: ${batch -- streamed}")
+    } finally q.stop()
+  }
+
   test("asofEnrich tie rules: same-ts click matches inclusively, max event_id wins") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.AsofEvent]
