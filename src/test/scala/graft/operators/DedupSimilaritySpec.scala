@@ -116,6 +116,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows.values.flatMap(_.filter(_._2 == 4L).map(_._4)).max > 0L)
   }
 
+  test("q147: ADC recall is present for every query and inside its domain") {
+    val rows = Similarity.q147PqRecall
+      .build(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq.sorted == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(rows.forall { case (_, hit, ppm) =>
+      hit >= 0 && hit <= 10 && ppm == 1000000L * hit / 10
+    })
+    // a 16-entry codebook over 8 subspaces must retrieve SOMETHING:
+    // all-zero recall means the lookup-table join is broken, not that
+    // PQ is coarse
+    assert(rows.map(_._2).sum > 0, "ADC retrieved nothing on any query")
+  }
+
   test("LSH bucket of a vector equals the sign pattern of its projections") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val withBucket = e.select(col("vec_id"),

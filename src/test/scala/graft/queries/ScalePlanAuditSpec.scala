@@ -38,6 +38,20 @@ class ScalePlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("the bounded-key top-k windows all plant the TopKPerKey heap prune") {
+    // q22's 200-gram profile and q89's per-lang weighted reservoir
+    // filter a single row_number over a 5-value lang key: safe ONLY
+    // because the rewrite turns them into map-side heaps — pin that
+    // it fires
+    graft.plans.TopKInstall.install(spark)
+    for (q <- Seq(graft.operators.TextAnalysis.q22LangId,
+                  graft.operators.TextAnalysis.q89WeightedSample)) {
+      val opt = q.build(spark, dir).queryExecution.optimizedPlan.toString
+      assert(opt.contains("TopKPerKey"),
+        s"${q.name}: bounded-key rn<=k window not rewritten:\n$opt")
+    }
+  }
+
   test("every ScaleRank window partitions by the chunk id, not a bare bounded key") {
     for ((q, sortKey) <- converted) {
       val p = plan(q)
