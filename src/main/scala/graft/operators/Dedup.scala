@@ -733,11 +733,78 @@ object Dedup {
     }
   }
 
+  /** q151 — dedup threshold what-if: before committing a production
+    * similarity cutoff, sweep it. For every minimum
+    * matching-component count m ∈ {4..8} of the 8-component MinHash
+    * signature (estimated Jaccard m/8), report how many candidate
+    * pairs qualify and how many documents they touch — the
+    * pairs-vs-threshold curve that picks τ by eyeballing the knee
+    * instead of guessing.
+    *
+    * Scale design: candidates come from the banded LSH join (never
+    * all-pairs); the signature comparison is one 8-column equality sum
+    * per candidate; the 5-level sweep is a broadcast cross join over
+    * the bounded candidate set. Estimated (not exact) Jaccard is the
+    * point — the sweep costs one pass over candidates at any corpus
+    * size, and q135 separately audits how well the estimate tracks
+    * truth. */
+  val q151DedupWhatif: QueryDef = QueryDef(
+    "q151_dedup_whatif",
+    s"""WITH $mhOracleCte,
+       |$lshCandOracleCte,
+       |pm AS (
+       |  SELECT c.a, c.b,
+       |    ${(0 until K).map(k => s"CASE WHEN ma.h$k = mb.h$k THEN 1 ELSE 0 END").mkString(" + ")} AS m
+       |  FROM cand c JOIN mh ma ON ma.doc_id = c.a JOIN mh mb ON mb.doc_id = c.b),
+       |lv AS (SELECT CAST(t.m AS BIGINT) AS min_match FROM (VALUES (4), (5), (6), (7), (8)) t(m)),
+       |sel AS (SELECT lv.min_match, pm.a, pm.b FROM lv, pm WHERE pm.m >= lv.min_match),
+       |np AS (SELECT min_match, CAST(count(*) AS BIGINT) AS n_pairs FROM sel GROUP BY min_match),
+       |di AS (SELECT min_match, a AS d FROM sel UNION SELECT min_match, b FROM sel),
+       |nd AS (SELECT min_match, CAST(count(*) AS BIGINT) AS n_docs FROM di GROUP BY min_match)
+       |SELECT lv.min_match, (1000000 * lv.min_match) // 8 AS est_jaccard_ppm,
+       |  coalesce(np.n_pairs, 0) AS n_pairs, coalesce(nd.n_docs, 0) AS n_docs
+       |FROM lv LEFT JOIN np ON np.min_match = lv.min_match
+       |LEFT JOIN nd ON nd.min_match = lv.min_match
+       |ORDER BY lv.min_match""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    // ONE minhash derivation feeds both the banded join and the
+    // component comparison (candidatePairs(docs) would re-derive it)
+    val mh = minhash(docs).localCheckpoint()
+    val buckets = lshBuckets(mh)
+    val cand = buckets.as("ba").join(buckets.as("bb"),
+        col("ba.bucket") === col("bb.bucket") && col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("a"), col("bb.doc_id").as("b")).distinct()
+    val pm = cand
+      .join(mh.toDF(mh.columns.map(c => if (c == "doc_id") "a" else s"a_$c"): _*), Seq("a"))
+      .join(mh.toDF(mh.columns.map(c => if (c == "doc_id") "b" else s"b_$c"): _*), Seq("b"))
+      .select(col("a"), col("b"),
+        (0 until K).map(k =>
+          when(col(s"a_h$k") === col(s"b_h$k"), 1L).otherwise(0L))
+          .reduce(_ + _).as("m"))
+    val lv = broadcast(Seq(4L, 5L, 6L, 7L, 8L).toDF("min_match"))
+    val sel = lv.crossJoin(pm).filter(col("m") >= col("min_match"))
+      .select(col("min_match"), col("a"), col("b"))
+      .localCheckpoint()
+    val np = sel.groupBy(col("min_match")).agg(count(lit(1)).as("n_pairs"))
+    val nd = sel.select(col("min_match"), col("a").as("d"))
+      .unionByName(sel.select(col("min_match"), col("b").as("d")))
+      .distinct()
+      .groupBy(col("min_match")).agg(count(lit(1)).as("n_docs"))
+    lv.join(np, Seq("min_match"), "left")
+      .join(nd, Seq("min_match"), "left")
+      .select(col("min_match"),
+        expr("(1000000 * min_match) div 8").as("est_jaccard_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("min_match")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
     q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters, q38DedupPipeline,
     q69SpanDedup, q75Contamination, q78SortedNeighborhood, q100SemanticDedup,
-    q128KeepBest, q135LshEval)
+    q128KeepBest, q135LshEval, q151DedupWhatif)
 
   /** q135 — LSH quality evaluation ("measure, don't guess"): on a
     * deterministic 50% document sample, compute the EXACT set of
