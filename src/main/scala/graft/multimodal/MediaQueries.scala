@@ -195,7 +195,97 @@ object MediaQueries {
       .orderBy("width", "height")
   }
 
+  /** q153 — scene-cut detection through the REAL video codec: decode
+    * every consecutive frame pair of every motion-ZPPM asset (lazy
+    * per-frame seek — only adjacent pairs inflate), sum the absolute
+    * byte deltas of the raw RGB planes, and report per frame-width:
+    * videos, transitions, total motion energy, and transitions whose
+    * energy crosses the cut threshold — the shot-boundary statistic a
+    * video-curation pipeline computes before frame sampling.
+    *
+    * The oracle replays the pixel generator in closed form (R drifts
+    * +1 per frame with a 255→0 wrap, G is static, B is the xor
+    * pattern), so a stubbed or wrong decode hash-mismatches — the
+    * q115/q140 real-codec contract.
+    *
+    * Scale design: one mapPartitions pass per asset (frames decode
+    * two-at-a-time, O(frame) memory), partial-aggregable sums per
+    * width; output is |widths| rows. */
+  val q153SceneCuts: QueryDef = {
+    val T = 2000L // cut threshold: abs-byte-delta sum per transition
+    QueryDef(
+      "q153_scene_cuts",
+      s"""WITH v AS (
+         |  SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS w,
+         |    CAST(8 + (doc_id // 9) % 9 AS BIGINT) AS h,
+         |    CAST(1 + doc_id % 7 AS BIGINT) AS nf
+         |  FROM documents),
+         |tr AS (
+         |  SELECT v.doc_id, v.w, v.h, t.f
+         |  FROM v, unnest(range(0, v.nf - 1)) AS t(f) WHERE v.nf > 1),
+         |px AS (
+         |  SELECT tr.doc_id, tr.w, tr.f,
+         |    abs(CAST((tr.doc_id + x.x + tr.f + 1) % 256 AS BIGINT) -
+         |        CAST((tr.doc_id + x.x + tr.f) % 256 AS BIGINT)) +
+         |    abs(CAST(xor(xor(x.x, y.y), tr.f + 1) AS BIGINT) -
+         |        CAST(xor(xor(x.x, y.y), tr.f) AS BIGINT)) AS d
+         |  FROM tr, unnest(range(0, tr.w)) AS x(x), unnest(range(0, tr.h)) AS y(y)),
+         |pt AS (
+         |  SELECT doc_id, w, f, CAST(sum(d) AS BIGINT) AS delta
+         |  FROM px GROUP BY doc_id, w, f),
+         |a1 AS (SELECT w, CAST(count(*) AS BIGINT) AS n_videos FROM v GROUP BY w),
+         |a2 AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n_transitions,
+         |    CAST(sum(delta) AS BIGINT) AS total_delta,
+         |    CAST(count(CASE WHEN delta >= $T THEN 1 END) AS BIGINT) AS n_cuts
+         |  FROM pt GROUP BY w)
+         |SELECT a1.w AS width, a1.n_videos,
+         |  coalesce(a2.n_transitions, 0) AS n_transitions,
+         |  coalesce(a2.total_delta, 0) AS total_delta,
+         |  coalesce(a2.n_cuts, 0) AS n_cuts
+         |FROM a1 LEFT JOIN a2 ON a2.w = a1.w
+         |ORDER BY width""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val assets = Media.ingestVid(s, Tables.documents(s, dir))
+      // (width, per-transition delta) rows + (width) per video, via the
+      // REAL container walk and per-frame inflate
+      val rows = assets.flatMap { a =>
+        val v = Vid.decode(a.payload).get
+        def img(i: Int): Ppm.Image = v.frame(i).get
+        var prev = img(0)
+        val out = Seq.newBuilder[(Long, Long, Boolean)] // (width, delta, isVideoRow)
+        out += ((prev.width.toLong, 0L, true))
+        (1 until v.nFrames).foreach { i =>
+          val cur = img(i)
+          var dsum = 0L
+          var k = 0
+          val pa = prev.pixels; val pb = cur.pixels
+          while (k < pa.length) {
+            dsum += math.abs((pa(k) & 0xff) - (pb(k) & 0xff))
+            k += 1
+          }
+          out += ((cur.width.toLong, dsum, false))
+          prev = cur
+        }
+        out.result()
+      }.toDF("width", "delta", "is_video")
+      val a1 = rows.filter(col("is_video"))
+        .groupBy(col("width")).agg(count(lit(1)).as("n_videos"))
+      val a2 = rows.filter(!col("is_video"))
+        .groupBy(col("width"))
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(col("delta")).as("total_delta"),
+          count(when(col("delta") >= T, 1)).as("n_cuts"))
+      a1.join(a2, Seq("width"), "left")
+        .select(col("width"), col("n_videos"),
+          coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
+          coalesce(col("total_delta"), lit(0L)).as("total_delta"),
+          coalesce(col("n_cuts"), lit(0L)).as("n_cuts"))
+        .orderBy("width")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q60MediaMeta, q61MediaFeatures, q62FrameSample, q63ImageDecode,
-      q64AudioDecode, q76CompressedDecode, q77VideoDecode)
+      q64AudioDecode, q76CompressedDecode, q77VideoDecode, q153SceneCuts)
 }
