@@ -35,6 +35,23 @@ object StreamOps {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming vocabulary-novelty rate — q148's first-appearance
+    * counting as a continuous monitor: explode tokens, keep each
+    * token's FIRST arrival (watermarked streaming dedup), count the
+    * survivors per tumbling window. The output is "new vocabulary per
+    * window" — the live version of the Heaps-law curve, the signal
+    * that an ingest source has gone stale (novelty → 0) or feral
+    * (novelty spike). Two chained stateful operators (dedup → windowed
+    * count), both watermark-bounded; a token recurring later than the
+    * dedup horizon recounts — the documented state-bound tradeoff. */
+  def vocabNovelty(docs: DataFrame, windowLen: String, delay: String): DataFrame =
+    docs.select(col("ts"), explode(split(col("text"), " ")).as("tok"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("tok")
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(count(lit(1)).as("n_new_types"))
+      .select(col("w.start").as("window_start"), col("n_new_types"))
+
   /** Watermarked tumbling-window counts (streaming twin of q52). */
   def tumblingCounts(df: DataFrame, tsCol: String, windowLen: String, delay: String): DataFrame =
     df.withWatermark(tsCol, delay)

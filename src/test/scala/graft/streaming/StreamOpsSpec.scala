@@ -399,6 +399,41 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("vocabNovelty windows equal the batch first-appearance counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.vocabNovelty(in.toDF().toDF("ts", "text"),
+        windowLen = "10 minutes", delay = "1 hour")
+      .writeStream.format("memory").queryName("nov_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one doc per minute, ts derived from doc_id — in event order so
+      // stream first-arrival == batch min(ts) per token
+      val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "text").orderBy("doc_id")
+        .collect().map(r => (ts(r.getLong(0)), r.getString(1))).toSeq
+      val per = (docs.size + 2) / 3
+      docs.grouped(per).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      // close the final windows
+      in.addData((ts(docs.size + 900L), "sentinel_token_zzz"))
+      q.processAllAvailable()
+      val streamed = spark.table("nov_out")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+        .filter(_._2 > 0).toMap
+      val batch = spark.createDataFrame(docs).toDF("ts", "text")
+        .select(col("ts"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(min(col("ts")).as("first_ts"))
+        .groupBy(window(col("first_ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getStruct(0).getTimestamp(0).getTime, r.getLong(1))).toMap
+      // every batch window must appear with the identical count
+      // (sentinel's window excluded — it may still be open)
+      assert(batch.nonEmpty)
+      for ((w, n) <- batch) assert(streamed.get(w).contains(n),
+        s"window $w: stream=${streamed.get(w)} batch=$n")
+    } finally q.stop()
+  }
+
   test("qualityFilter streamed decisions reproduce the batch q146 yield per language") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, String)]
