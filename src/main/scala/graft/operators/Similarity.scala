@@ -678,6 +678,82 @@ object Similarity {
     }
   }
 
+  /** q154 — embedding-space drift: per label, the cosine between the
+    * centroid of even-id vectors and the centroid of odd-id vectors —
+    * the "has this class's embedding distribution moved" audit that
+    * decides when an ANN index or a classifier head needs a refresh
+    * (the two halves stand in for the old/new snapshots of a corpus).
+    *
+    * Exactness: cosine is scale-invariant, so centroid cosine equals
+    * SUM-vector cosine and no division by n ever happens. Components
+    * are floored to integer micro-units BEFORE summing, making every
+    * per-dimension sum exact and order-free (a raw float sum would be
+    * partitioning-dependent); the dot/norm moments then accumulate in
+    * DECIMAL(38,0) (exact — they overflow int64 at production row
+    * counts) and only the final cosine is one IEEE chain, identical
+    * in both engines.
+    *
+    * Scale design: one posexplode pass (rows × 64 dims) into a
+    * partial-aggregable (label, half, dim) sum — the corpus never
+    * shuffles raw vectors; everything after runs on |labels|·2·64
+    * rows. */
+  val q154EmbeddingDrift: QueryDef = QueryDef(
+    "q154_embedding_drift",
+    """WITH c AS (
+      |  SELECT label, vec_id % 2 AS half, t.d,
+      |    CAST(sum(CAST(floor(CAST(embedding[CAST(t.d AS INT)] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(d)
+      |  GROUP BY label, vec_id % 2, t.d),
+      |p AS (
+      |  SELECT a.label, a.d, a.s AS sa, b.s AS sb
+      |  FROM c a JOIN c b ON a.label = b.label AND a.d = b.d
+      |  WHERE a.half = 0 AND b.half = 1),
+      |m AS (
+      |  SELECT label,
+      |    CAST(sum(CAST(sa AS HUGEINT) * sb) AS DOUBLE) AS dot,
+      |    CAST(sum(CAST(sa AS HUGEINT) * sa) AS DOUBLE) AS na,
+      |    CAST(sum(CAST(sb AS HUGEINT) * sb) AS DOUBLE) AS nb
+      |  FROM p GROUP BY label),
+      |h AS (
+      |  SELECT label, CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_even,
+      |    CAST(count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_odd
+      |  FROM embeddings GROUP BY label)
+      |SELECT m.label, h.n_even, h.n_odd,
+      |  CAST(floor(1000000.0 * m.dot / (sqrt(m.na) * sqrt(m.nb))) AS BIGINT) AS cos_ppm
+      |FROM m JOIN h ON h.label = m.label
+      |ORDER BY m.label""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val c = e.repartition(col("vec_id"))
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")).as(Seq("d0", "v")))
+      // DuckDB WITH ORDINALITY is 1-based; posexplode is 0-based
+      .select(col("label"), col("half"), (col("d0") + 1).as("d"),
+        floor(col("v").cast("double") * 1000000).cast("long").as("sv"))
+      .groupBy(col("label"), col("half"), col("d"))
+      .agg(sum(col("sv")).as("s"))
+    val p = c.filter(col("half") === 0)
+      .select(col("label"), col("d"), col("s").as("sa"))
+      .join(c.filter(col("half") === 1)
+        .select(col("label").as("lb"), col("d").as("db"), col("s").as("sb")),
+        col("label") === col("lb") && col("d") === col("db"))
+    val m = p.groupBy(col("label"))
+      .agg(
+        sum(col("sa").cast("decimal(38,0)") * col("sb").cast("decimal(38,0)"))
+          .cast("double").as("dot"),
+        sum(col("sa").cast("decimal(38,0)") * col("sa").cast("decimal(38,0)"))
+          .cast("double").as("na"),
+        sum(col("sb").cast("decimal(38,0)") * col("sb").cast("decimal(38,0)"))
+          .cast("double").as("nb"))
+    val h = e.groupBy(col("label"))
+      .agg(count(when(col("vec_id") % 2 === 0, 1)).as("n_even"),
+        count(when(col("vec_id") % 2 === 1, 1)).as("n_odd"))
+    m.join(h, Seq("label"))
+      .select(col("label"), col("n_even"), col("n_odd"),
+        floor(lit(1000000.0) * col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+          .cast("long").as("cos_ppm"))
+      .orderBy("label")
+  }
+
   /** The SQL dialect surface (q84): the whole query is a `spark.sql`
     * string over a temp view, exercising the native expressions
     * (`cosine_sim`, `lsh_bucket`) through the FunctionRegistry the
@@ -708,5 +784,5 @@ object Similarity {
   val all: Seq[QueryDef] =
     Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells, q44CosineExpr,
       q45Quantize, q73Pq, q82IvfSearch, q84SqlSurface, q145IvfMultiprobe,
-      q147PqRecall)
+      q147PqRecall, q154EmbeddingDrift)
 }
