@@ -7,6 +7,33 @@ import org.apache.spark.sql.functions._
   * [[ConnectedComponents]]): one-shot relational graph queries. */
 object Graph {
 
+  /** Canonical co-purchase edge list (parts co-occurring in ≥ minPair
+    * distinct orders, edges oriented a < b) — the shared graph under
+    * q150's k-core peel and q155's link prediction.
+    *
+    * Built WITHOUT a self-join on the basket table: per-order sorted
+    * item arrays expand map-side into C(k,2) canonical pairs (q107's
+    * structure), so the only shuffles are the basket distinct and the
+    * pair count. Checkpointed because every caller reuses it on
+    * multiple join sides. */
+  private[graft] def coPurchaseEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String, minPair: Int) =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("items"))
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items)), y -> " +
+          "struct(x AS a, y AS b2))))")).as("pp"))
+      .select(col("pp.a").as("a"), col("pp.b2").as("b2"))
+      .groupBy(col("a"), col("b2"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minPair)
+      .select(col("a"), col("b2"))
+      .localCheckpoint()
+
   /** q104 — triangle counting over the token co-occurrence graph
     * (nodes = tokens, edge when two tokens are adjacent in ≥ T
     * documents' text): the classic "is it really distributed?" graph
@@ -183,23 +210,7 @@ object Graph {
          |$rounds
          |$report
          |ORDER BY round""".stripMargin) { (s, dir) =>
-      // basket pairs WITHOUT a self-join: q107's map-side C(k,2)
-      // expansion over per-order sorted item arrays
-      val b = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      var edges = b.groupBy(col("o"))
-        .agg(sort_array(collect_set(col("p"))).as("items"))
-        .select(explode(expr(
-          "flatten(transform(items, (x, i) -> " +
-            "transform(slice(items, i + 2, size(items)), y -> " +
-            "struct(x AS a, y AS b2))))")).as("pp"))
-        .select(col("pp.a").as("a"), col("pp.b2").as("b2"))
-        .groupBy(col("a"), col("b2"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") >= MIN_PAIR)
-        .select(col("a"), col("b2"))
-        .localCheckpoint()
+      var edges = coPurchaseEdges(s, dir, MIN_PAIR)
       val out = (1 to R).map { i =>
         val deg = edges.select(col("a").as("node"))
           .unionByName(edges.select(col("b2").as("node")))
@@ -219,5 +230,79 @@ object Graph {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q104Triangles, q132BomExplosion, q150KcorePeel)
+  /** q155 — common-neighbor link prediction over the co-purchase
+    * graph: for every NON-adjacent part pair, count shared neighbors
+    * (the classic common-neighbors score) and its Jaccard form
+    * cn / (deg(x) + deg(y) − cn), and report the top-20 recommended
+    * links. This is the "customers who bought X also bought things
+    * bought with Y" recommender primitive, run as pure relational
+    * algebra.
+    *
+    * Plan shape: the wedge join — adjacency ⋈ adjacency on the shared
+    * center with nb₁ < nb₂, so each unordered candidate pair is
+    * produced once per common neighbor and a single count gives cn.
+    * Then one left-anti join removes already-connected pairs and two
+    * broadcast-size degree joins attach the Jaccard denominator. The
+    * final top-20 is orderBy().limit() — planned as TakeOrdered
+    * (per-partition heaps), never a global sort.
+    *
+    * Scale design (100 TB): wedge fan-out is Σ_w deg(w)², which one
+    * hub can blow up, so wedge CENTERS are capped at degree ≤ DCAP —
+    * the standard hub-suppression for distributed common-neighbor
+    * scoring (a hub shared by half the catalog carries no signal for
+    * a top-k recommender anyway). The cap binds the per-center work
+    * at DCAP² and is applied identically in the oracle; at test scale
+    * it is inert (max degree 13 at sf0.01, asserted in
+    * GraphOpsSpec), so the gate proves the capped plan exact. */
+  val q155LinkPredict: QueryDef = {
+    val MIN_PAIR = 2 // q150's edge threshold: ≥ 2 shared orders
+    val DCAP = 64    // hub cap for wedge centers
+    val TOPK = 20
+    QueryDef(
+      "q155_link_predict",
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT f1.p AS a, f2.p AS b2
+         |  FROM b f1 JOIN b f2 ON f1.o = f2.o AND f1.p < f2.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $MIN_PAIR),
+         |adj AS (SELECT a AS n, b2 AS nb FROM e0 UNION ALL SELECT b2, a FROM e0),
+         |deg AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY n),
+         |ctr AS (SELECT n FROM deg WHERE d <= $DCAP),
+         |cadj AS (SELECT adj.n, adj.nb FROM adj JOIN ctr USING (n)),
+         |wedge AS (
+         |  SELECT a1.nb AS x, a2.nb AS y, CAST(count(*) AS BIGINT) AS cn
+         |  FROM cadj a1 JOIN cadj a2 ON a1.n = a2.n AND a1.nb < a2.nb
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT w.x, w.y, w.cn FROM wedge w
+         |  LEFT JOIN e0 e ON e.a = w.x AND e.b2 = w.y
+         |  WHERE e.a IS NULL)
+         |SELECT c.x, c.y, c.cn,
+         |  (1000000 * c.cn) // (dx.d + dy.d - c.cn) AS jaccard_ppm
+         |FROM cand c JOIN deg dx ON dx.n = c.x JOIN deg dy ON dy.n = c.y
+         |ORDER BY c.cn DESC, c.x, c.y LIMIT $TOPK""".stripMargin) { (s, dir) =>
+      val edges = coPurchaseEdges(s, dir, MIN_PAIR)
+      val adj = edges.select(col("a").as("n"), col("b2").as("nb"))
+        .unionByName(edges.select(col("b2").as("n"), col("a").as("nb")))
+      val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val centers = deg.filter(col("d") <= DCAP).select(col("n"))
+      val cadj = adj.join(centers, Seq("n"), "left_semi").localCheckpoint()
+      val wedges = cadj.select(col("n"), col("nb").as("x"))
+        .join(cadj.select(col("n"), col("nb").as("y")), Seq("n"))
+        .filter(col("x") < col("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cn"))
+      val cand = wedges.join(edges,
+        wedges("x") === edges("a") && wedges("y") === edges("b2"), "left_anti")
+      cand
+        .join(deg.select(col("n").as("x"), col("d").as("dx")), Seq("x"))
+        .join(deg.select(col("n").as("y"), col("d").as("dy")), Seq("y"))
+        .select(col("x"), col("y"), col("cn"),
+          expr("(1000000 * cn) div (dx + dy - cn)").as("jaccard_ppm"))
+        .orderBy(col("cn").desc, col("x"), col("y"))
+        .limit(TOPK)
+    }
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q104Triangles, q132BomExplosion, q150KcorePeel, q155LinkPredict)
 }
