@@ -1102,11 +1102,72 @@ object EventOps {
       .orderBy("touch")
   }
 
+  /** q156 — OHLC candlestick bars: per (event_type, 15-minute bucket)
+    * the open/high/low/close value plus volume and trade count — the
+    * canonical market-data resample, where open/close are ARG-min/max
+    * by time (not plain min/max) and so need an order-aware aggregate.
+    *
+    * Exactness: values in milli-units (`floor(value*1000)`, the q114
+    * contract) so every output is int64; open/close are selected by
+    * the total order (t_us, event_id) — event_id is unique, so the
+    * bar is deterministic even with simultaneous micro-timestamps.
+    *
+    * Scale design (100 TB): both row_number windows and the final
+    * aggregate share ONE partitioning on (event_type, bucket) — a
+    * single Exchange; the window partition key's cardinality GROWS
+    * with the data (one partition per symbol×15 min), and rows per
+    * partition are bounded by the per-symbol event rate × 15 min, so
+    * unlike a bounded-key window this never degenerates to one task.
+    * Volume headroom: |v_m| ≤ 5·10⁸ × rows-per-bar — int64 overflows
+    * only past ~1.8·10¹⁰ events per symbol-quarter-hour (13 M/s
+    * sustained on one symbol), far beyond the generator's domain. */
+  val q156OhlcBars: QueryDef = QueryDef(
+    "q156_ohlc_bars",
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 900000000 AS bkt,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v_m,
+      |    epoch_us(ts) AS t_us, event_id
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, bkt, v_m,
+      |    row_number() OVER (PARTITION BY event_type, bkt ORDER BY t_us, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type, bkt ORDER BY t_us DESC, event_id DESC) AS rn_d
+      |  FROM e)
+      |SELECT event_type, bkt,
+      |  max(CASE WHEN rn_a = 1 THEN v_m END) AS open_m,
+      |  max(v_m) AS high_m, min(v_m) AS low_m,
+      |  max(CASE WHEN rn_d = 1 THEN v_m END) AS close_m,
+      |  CAST(sum(v_m) AS BIGINT) AS vol_m,
+      |  CAST(count(*) AS BIGINT) AS n_trades
+      |FROM w GROUP BY event_type, bkt
+      |ORDER BY event_type, bkt""".stripMargin) { (s, dir) =>
+    val byBar = Window.partitionBy(col("event_type"), col("bkt"))
+    val e = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 900000000").as("bkt"),
+        floor(col("value") * 1000).cast("bigint").as("v_m"),
+        unix_micros(col("ts")).as("t_us"), col("event_id"))
+      .withColumn("rn_a", row_number().over(
+        byBar.orderBy(col("t_us"), col("event_id"))))
+      .withColumn("rn_d", row_number().over(
+        byBar.orderBy(col("t_us").desc, col("event_id").desc)))
+    e.groupBy(col("event_type"), col("bkt"))
+      .agg(
+        max(when(col("rn_a") === 1, col("v_m"))).as("open_m"),
+        max(col("v_m")).as("high_m"),
+        min(col("v_m")).as("low_m"),
+        max(when(col("rn_d") === 1, col("v_m"))).as("close_m"),
+        sum(col("v_m")).as("vol_m"),
+        count(lit(1)).as("n_trades"))
+      .orderBy(col("event_type"), col("bkt"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
     q58Pivot, q59Cube, q72SlidingWindow, q81Streaks, q86VariantExtract,
     q102IncrementalAgg, q105AsofNative, q109Markov, q113RollingZscore,
     q114Twap, q118CumulativeUniques, q125IntervalJoin, q130TopPaths,
-    q134Seasonality, q137DwellTimes, q138PeakConcurrency, q142Attribution)
+    q134Seasonality, q137DwellTimes, q138PeakConcurrency, q142Attribution,
+    q156OhlcBars)
 }

@@ -63,6 +63,31 @@ object StreamOps {
         col("event_type"), col("n"),
         col("total").cast("double").as("total"))
 
+  /** Streaming OHLC candlestick bars (q156's streaming twin): per
+    * (event_type, tumbling bar) the open/high/low/close in exact
+    * milli-units plus volume and trade count. Open/close are
+    * `min_by`/`max_by` over the total order (ts, event_id) — both are
+    * declarative aggregates, so partials merge across triggers and the
+    * bar finalizes exactly once when the watermark passes its end.
+    * State per live bar is O(1) (six scalars), the streaming-friendly
+    * property that makes candlesticks the canonical market-data
+    * stream aggregate. */
+  def ohlcBars(df: DataFrame, tsCol: String, windowLen: String, delay: String): DataFrame =
+    df.withColumn("v_m", floor(col("value") * 1000).cast("bigint"))
+      .withColumn("ord", struct(col(tsCol), col("event_id")))
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("event_type"))
+      .agg(
+        min_by(col("v_m"), col("ord")).as("open_m"),
+        max(col("v_m")).as("high_m"),
+        min(col("v_m")).as("low_m"),
+        max_by(col("v_m"), col("ord")).as("close_m"),
+        sum(col("v_m")).as("vol_m"),
+        count(lit(1)).as("n_trades"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("open_m"), col("high_m"), col("low_m"), col("close_m"),
+        col("vol_m"), col("n_trades"))
+
   /** Streaming VARIANT extraction (q86's streaming twin): each JSON
     * payload is parsed ONCE into the binary variant encoding on
     * arrival — the scale path when the same payload feeds several

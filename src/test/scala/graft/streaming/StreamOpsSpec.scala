@@ -589,4 +589,51 @@ class StreamOpsSpec extends AnyFunSuite {
         s.n_events == 2 && s.duration_us == 5L * 60 * 1000000 && s.total_value == 3.0))
     } finally q.stop()
   }
+
+  test("ohlcBars finalized bars agree with the q156 batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double, Long)]
+    // one bar per type in [0,15): open must be the t=1 value even
+    // though t=4 arrives in the same trigger, close the t=9 value;
+    // the t=2/t=2 tie on "view" is broken by event_id
+    val data = Seq(
+      (ts(1), "click", 3.5, 10L), (ts(4), "click", 1.25, 11L),
+      (ts(9), "click", 2.0, 12L),
+      (ts(2), "view", 7.0, 20L), (ts(2), "view", 5.0, 21L))
+    val df = in.toDF().toDF("ts", "event_type", "value", "event_id")
+    val q = StreamOps.ohlcBars(df, "ts", "15 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData((ts(60), "view", 1.0, 99L)) // advance watermark past the bar
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        ((r.getTimestamp(0).getTime - Base) / 60000, r.getString(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))
+      val got = spark.table("ohlc_out").collect().map(key).toSet
+      val batch = data.toDF("ts", "event_type", "value", "event_id")
+        .withColumn("v_m", floor(col("value") * 1000).cast("bigint"))
+        .withColumn("ord", struct(col("ts"), col("event_id")))
+        .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+        .agg(min_by(col("v_m"), col("ord")).as("open_m"),
+          max(col("v_m")).as("high_m"), min(col("v_m")).as("low_m"),
+          max_by(col("v_m"), col("ord")).as("close_m"),
+          sum(col("v_m")).as("vol_m"), count(lit(1)).as("n_trades"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("open_m"), col("high_m"), col("low_m"), col("close_m"),
+          col("vol_m"), col("n_trades"))
+        .collect().map(key).toSet
+      assert(batch.subsetOf(got), s"missing: ${batch.diff(got)}")
+      // spot-check the click bar end-to-end: open 3500, high 3500,
+      // low 1250, close 2000, volume 6750, and the tied view bar
+      // opens at event_id 20's value
+      assert(got.exists(t =>
+        t._2 == "click" && t._3 == 3500L && t._4 == 3500L &&
+          t._5 == 1250L && t._6 == 2000L && t._7 == 6750L && t._8 == 3L))
+      assert(got.exists(t => t._2 == "view" && t._3 == 7000L && t._6 == 5000L))
+    } finally q.stop()
+  }
 }
