@@ -1162,6 +1162,61 @@ object EventOps {
       .orderBy(col("event_type"), col("bkt"))
   }
 
+  /** q157 — cohort LTV matrix: users are cohorted by the ISO week of
+    * their FIRST event, and every purchase is attributed to the cell
+    * (cohort_week, weeks-since-cohort), giving the classic triangular
+    * lifetime-value table that retention (q48, a count matrix) does
+    * not provide: how much revenue each signup cohort generates as it
+    * ages. (Week grain because the generator's event horizon is ~30
+    * days; the production grain is a parameter, not a plan change.)
+    *
+    * Exactness: revenue in milli-units (q114 contract), week age as
+    * pure integer arithmetic — day-diff of two Monday-truncated dates
+    * is an exact multiple of 7 in both engines, no interval floats.
+    *
+    * Scale design (100 TB): the cohort assignment is a per-user min
+    * — partial-aggregable, one shuffle on user_id — and the join
+    * back to events reuses that same user_id partitioning (no second
+    * Exchange on the probe side's key). The final matrix groupBy is
+    * partial-aggregable with a (weeks × weeks) output, so the reduce
+    * side is tiny at any scale. */
+  val q157CohortLtv: QueryDef = QueryDef(
+    "q157_cohort_ltv",
+    """WITH fst AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_w
+      |  FROM events GROUP BY user_id),
+      |pur AS (
+      |  SELECT e.user_id, f.cohort_w,
+      |    datediff('day', f.cohort_w, CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS age_w,
+      |    CAST(floor(e.value * 1000) AS BIGINT) AS v_m
+      |  FROM events e JOIN fst f ON e.user_id = f.user_id
+      |  WHERE e.event_type = 'purchase')
+      |SELECT cohort_w AS cohort_week, age_w,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+      |  CAST(count(*) AS BIGINT) AS n_purchases,
+      |  CAST(sum(v_m) AS BIGINT) AS rev_milli
+      |FROM pur GROUP BY cohort_w, age_w
+      |ORDER BY cohort_week, age_w""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val fst = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_w"))
+    ev.filter(col("event_type") === "purchase")
+      .join(fst, Seq("user_id"))
+      .select(col("user_id"), col("cohort_w"),
+        // DuckDB datediff is BIGINT; div 7 exact (and non-negative) on
+        // Monday-truncated dates, so div ≡ DuckDB //
+        expr("cast(datediff(cast(date_trunc('week', ts) as date), cohort_w) as bigint) div 7")
+          .as("age_w"),
+        floor(col("value") * 1000).cast("bigint").as("v_m"))
+      .groupBy(col("cohort_w"), col("age_w"))
+      .agg(countDistinct(col("user_id")).as("n_buyers"),
+        count(lit(1)).as("n_purchases"),
+        sum(col("v_m")).as("rev_milli"))
+      .select(col("cohort_w").as("cohort_week"),
+        col("age_w"), col("n_buyers"), col("n_purchases"), col("rev_milli"))
+      .orderBy(col("cohort_week"), col("age_w"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
@@ -1169,5 +1224,5 @@ object EventOps {
     q102IncrementalAgg, q105AsofNative, q109Markov, q113RollingZscore,
     q114Twap, q118CumulativeUniques, q125IntervalJoin, q130TopPaths,
     q134Seasonality, q137DwellTimes, q138PeakConcurrency, q142Attribution,
-    q156OhlcBars)
+    q156OhlcBars, q157CohortLtv)
 }
