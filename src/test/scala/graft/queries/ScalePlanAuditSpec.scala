@@ -52,6 +52,21 @@ class ScalePlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q155 plans its top-20 as TakeOrdered, never a global sort") {
+    val p = plan(graft.operators.Graph.q155LinkPredict)
+    assert(p.contains("TakeOrdered"),
+      s"q155: top-k fell back to a global Sort+Limit:\n$p")
+  }
+
+  test("q156's two arg-windows and the bar aggregate share one hash exchange") {
+    val p = plan(graft.operators.EventOps.q156OhlcBars)
+    val hashEx = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1,
+      s"q156: expected ONE hash exchange on (event_type, bkt), got ${hashEx.size}:\n" +
+        hashEx.mkString("\n"))
+  }
+
   test("every ScaleRank window partitions by the chunk id, not a bare bounded key") {
     for ((q, sortKey) <- converted) {
       val p = plan(q)
