@@ -804,7 +804,43 @@ object Dedup {
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
     q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters, q38DedupPipeline,
     q69SpanDedup, q75Contamination, q78SortedNeighborhood, q100SemanticDedup,
-    q128KeepBest, q135LshEval, q151DedupWhatif)
+    q128KeepBest, q135LshEval, q151DedupWhatif, q158SourceOverlap)
+
+  /** q158 — cross-source near-dup overlap matrix: the verified
+    * near-dup edges (q32/q37's shared definition) bucketed by the
+    * UNORDERED source pair of their endpoints. The dedup-policy
+    * report behind "is near-duplication syndication across sources or
+    * re-posting within one?" — off-diagonal mass means cross-source
+    * canonical-selection rules matter; diagonal mass means per-source
+    * dedup already catches most of it.
+    *
+    * Scale design (100 TB): edges come from the banded LSH path
+    * (never all-pairs); attaching sources is two fact-sized equi-joins
+    * on doc_id; the matrix aggregate's output is bounded by
+    * |sources|², so the reduce side is tiny at any corpus scale. */
+  lazy val q158SourceOverlap: QueryDef = QueryDef(
+    "q158_source_overlap",
+    s"""WITH $mhOracleCte,
+       |$lshCandOracleCte,
+       |$edgesOracleCte
+       |SELECT least(da.source, db.source) AS src_x,
+       |  greatest(da.source, db.source) AS src_y,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM edges e
+       |JOIN documents da ON da.doc_id = e.a
+       |JOIN documents db ON db.doc_id = e.b
+       |GROUP BY 1, 2 ORDER BY src_x, src_y""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    nearDupEdges(docs)
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
+      .select(least(col("sa"), col("sb")).as("src_x"),
+        greatest(col("sa"), col("sb")).as("src_y"))
+      .groupBy(col("src_x"), col("src_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_x"), col("src_y"))
+  }
 
   /** q135 — LSH quality evaluation ("measure, don't guess"): on a
     * deterministic 50% document sample, compute the EXACT set of

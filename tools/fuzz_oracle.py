@@ -38,7 +38,7 @@ QUERIES = [
     "q134_seasonality", "q137_dwell_times", "q138_peak_concurrency",
     "q139_fulfillment", "q144_weighted_median", "q146_filter_yield",
     "q148_vocab_growth", "q149_skew_report", "q150_kcore_peel",
-    "q151_dedup_whatif",
+    "q151_dedup_whatif", "q156_ohlc_bars", "q157_cohort_ltv",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
