@@ -173,5 +173,70 @@ object Learn {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q95Kmeans, q96CentroidClassify)
+  /** q159 — cluster-purity audit: q95's k-means assignment scored
+    * against the embeddings' ground-truth labels. Per cluster: size,
+    * number of distinct labels present, the majority label (ties →
+    * smaller label) and its share in ppm — the "did unsupervised
+    * blocking recover the real classes?" check run before trusting a
+    * clustering as a dedup/sampling key (the q100 SemDeDup premise).
+    *
+    * Integer-exact end to end: the assignment is q95's integer Lloyd
+    * chain, counts are int64, purity is a non-negative ppm floor-div.
+    *
+    * Scale design (100 TB): attaching labels is a fact-sized equi-join
+    * on vec_id; everything after is over the (cluster × label) count
+    * table — K·|labels| rows, so the majority-pick window runs on a
+    * bounded aggregate frame (the documented exception to the
+    * no-bounded-key-window rule), never on fact rows. */
+  val q159ClusterPurity: QueryDef = {
+    val steps = (1 to ITERS).map { t =>
+      val cent = if (t == 1) "c0" else s"c${t - 1}"
+      s"${assignSql(t, "pts", cent)},\n${updateSql(t)}"
+    }.mkString(",\n")
+    val oracle =
+      s"""WITH $ptsCte,
+         |c0 AS (SELECT vec_id AS cid, pos, q AS c FROM pts WHERE vec_id < $K),
+         |$steps,
+         |lab AS (
+         |  SELECT a.cid, e.label, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM a$ITERS a JOIN embeddings e USING (vec_id)
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT cid, label AS top_label, cnt AS top_n FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY cnt DESC, label) AS rn
+         |    FROM lab) WHERE rn = 1),
+         |tot AS (
+         |  SELECT cid, CAST(sum(cnt) AS BIGINT) AS n_points,
+         |    CAST(count(*) AS BIGINT) AS n_labels
+         |  FROM lab GROUP BY cid)
+         |SELECT t.cid, tot.n_points, tot.n_labels, t.top_label, t.top_n,
+         |  (1000000 * t.top_n) // tot.n_points AS purity_ppm
+         |FROM top t JOIN tot USING (cid) ORDER BY t.cid""".stripMargin
+    QueryDef("q159_cluster_purity", oracle) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pts = points(emb).localCheckpoint()
+      var cent = pts.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("pos"), col("q").as("c"))
+      var asg: DataFrame = null
+      for (_ <- 1 to ITERS) {
+        asg = assign(pts, cent).localCheckpoint()
+        cent = update(asg, pts).localCheckpoint()
+      }
+      val lab = asg.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy(col("cid"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("cid")).orderBy(col("cnt").desc, col("label"))
+      val top = lab.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("cid"), col("label").as("top_label"), col("cnt").as("top_n"))
+      val tot = lab.groupBy(col("cid"))
+        .agg(sum(col("cnt")).as("n_points"), count(lit(1)).as("n_labels"))
+      top.join(tot, Seq("cid"))
+        .select(col("cid"), col("n_points"), col("n_labels"),
+          col("top_label"), col("top_n"),
+          expr("(1000000 * top_n) div n_points").as("purity_ppm"))
+        .orderBy(col("cid"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q95Kmeans, q96CentroidClassify, q159ClusterPurity)
 }
