@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval scoring over the `documents` corpus — the
@@ -29,55 +30,65 @@ object Retrieval {
   private val K1 = "1.2"
   private val B = "0.75"
 
+  // per-term scoring fragment, written once and rendered into BOTH
+  // the Spark plan and the DuckDB SQL so the IEEE evaluation order
+  // is character-identical (shared by q70 and q160)
+  private def idfSql(t: String) =
+    s"ln(1.0 + ((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5)))"
+  private def termSql(t: String) =
+    s"(${idfSql(t)} * ((CAST(tf_$t AS DOUBLE) * ($K1 + 1.0)) / (CAST(tf_$t AS DOUBLE) + $K1 * (1.0 - $B + $B * (CAST(dl AS DOUBLE) / avgdl)))))"
+  private val scoreSql = terms.map(termSql).reduce((a, b) => s"($a + $b)")
+
+  /** Oracle CTE text: base → stats → scored (doc_id, dl, tf_*, score). */
+  private val bm25OracleCte =
+    s"""base AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    ${terms.map(t => s"len(list_filter(string_split(text, ' '), x -> x = '$t')) AS tf_$t").mkString(",\n    ")}
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+       |    ${terms.map(t => s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n    ")}
+       |  FROM base),
+       |scored AS (
+       |  SELECT doc_id, dl, ${terms.map(t => s"tf_$t").mkString(", ")},
+       |    CAST(round($scoreSql, 3) AS DOUBLE) AS score
+       |  FROM base, stats
+       |  WHERE ${terms.map(t => s"tf_$t").mkString(" + ")} > 0)""".stripMargin
+
+  /** BM25-scored matches (doc_id, dl, tf_*, score) — [[bm25OracleCte]]'s
+    * Spark twin, shared by q70 and q160. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    // DuckDB len() is BIGINT where Spark size() is INT — emit longs
+    // so the driver's type-sensitive hash agrees
+    val base = Tables.documents(s, dir).select(
+      col("doc_id") +: size(toks).cast("long").as("dl") +:
+        terms.map(t =>
+          size(filter(toks, x => x === t)).cast("long").as(s"tf_$t")): _*)
+    val statsCols =
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).as(s"df_$t"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), statsCols: _*)
+    base.crossJoin(broadcast(stats))
+      .filter(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+      .withColumn("score", round(expr(scoreSql), 3).cast("double"))
+  }
+
   /** BM25 top-15: rank documents against the fixed query
     * `spark join window`. */
-  val q70Bm25: QueryDef = {
-    // per-term scoring fragment, written once and rendered into BOTH
-    // the Spark plan and the DuckDB SQL so the IEEE evaluation order
-    // is character-identical
-    def idfSql(t: String) =
-      s"ln(1.0 + ((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5)))"
-    def termSql(t: String) =
-      s"(${idfSql(t)} * ((CAST(tf_$t AS DOUBLE) * ($K1 + 1.0)) / (CAST(tf_$t AS DOUBLE) + $K1 * (1.0 - $B + $B * (CAST(dl AS DOUBLE) / avgdl)))))"
-    val scoreSql = terms.map(termSql).reduce((a, b) => s"($a + $b)")
-
-    val oracle =
-      s"""WITH base AS (
-         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
-         |    ${terms.map(t => s"len(list_filter(string_split(text, ' '), x -> x = '$t')) AS tf_$t").mkString(",\n    ")}
-         |  FROM documents),
-         |stats AS (
-         |  SELECT count(*) AS n_docs,
-         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
-         |    ${terms.map(t => s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n    ")}
-         |  FROM base)
-         |SELECT doc_id, dl, ${terms.map(t => s"tf_$t").mkString(", ")},
-         |  CAST(round($scoreSql, 3) AS DOUBLE) AS score
-         |FROM base, stats
-         |WHERE ${terms.map(t => s"tf_$t").mkString(" + ")} > 0
-         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
-
-    QueryDef("q70_bm25", oracle) { (s, dir) =>
-      val toks = split(col("text"), " ")
-      // DuckDB len() is BIGINT where Spark size() is INT — emit longs
-      // so the driver's type-sensitive hash agrees
-      val base = Tables.documents(s, dir).select(
-        col("doc_id") +: size(toks).cast("long").as("dl") +:
-          terms.map(t =>
-            size(filter(toks, x => x === t)).cast("long").as(s"tf_$t")): _*)
-      val statsCols =
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
-          terms.map(t =>
-            sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).as(s"df_$t"))
-      val stats = base.agg(count(lit(1)).as("n_docs"), statsCols: _*)
-      base.crossJoin(broadcast(stats))
-        .filter(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
-        .withColumn("score", round(expr(scoreSql), 3).cast("double"))
-        .select((col("doc_id") +: col("dl") +:
-          terms.map(t => col(s"tf_$t"))) :+ col("score"): _*)
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(15)
-    }
+  val q70Bm25: QueryDef = QueryDef(
+    "q70_bm25",
+    s"""WITH $bm25OracleCte
+       |SELECT doc_id, dl, ${terms.map(t => s"tf_$t").mkString(", ")}, score
+       |FROM scored
+       |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin) { (s, dir) =>
+    bm25Scored(s, dir)
+      .select((col("doc_id") +: col("dl") +:
+        terms.map(t => col(s"tf_$t"))) :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(15)
   }
 
   /** q103 — inverted-index build, the materialization q70's scaladoc
@@ -180,5 +191,80 @@ object Retrieval {
       .select(col("x").as("w1"), col("y").as("w2"), col("n_docs"))
   }
 
-  val all: Seq[QueryDef] = Seq(q70Bm25, q103InvertedIndex, q117PhraseIndex)
+  /** q160 — hybrid retrieval via reciprocal-rank fusion: the lexical
+    * BM25 ranking (q70's scorer) and the semantic cosine ranking
+    * (q40's bit-exact dot-product chain against the vec_id-0 query)
+    * fused with RRF — score(d) = Σ_lists 1/(60 + rank_d) — the
+    * standard way RAG stacks combine keyword and embedding retrieval
+    * without score calibration, since RRF consumes only RANKS.
+    *
+    * Exactness: both ranks are deterministic (scores are
+    * engine-portable by the q70/q40 contracts, ties broken by
+    * doc_id), and the fused score is kept integer — each list
+    * contributes 1000000 // (60 + rank) ppm, absent = 0 — so the
+    * output is int64-exact and the k=60 RRF constant is the only
+    * parameter.
+    *
+    * Scale design (100 TB): each list is TakeOrdered top-50 (per-
+    * partition heaps, no global sort); the rank row_number then runs
+    * over 50 rows in one task — the q112/q130 bounded-frame shape —
+    * and the fusion is a full-outer join of two 50-row lists. The
+    * corpus is scanned twice (text once, embeddings once) and never
+    * shuffled. */
+  val q160HybridRrf: QueryDef = {
+    val TOP = 50   // per-list depth
+    val RRF_K = 60 // standard RRF dampening constant
+    QueryDef(
+      "q160_hybrid_rrf",
+      s"""WITH $bm25OracleCte,
+         |lextop AS (SELECT doc_id, score FROM scored WHERE doc_id <> 0
+         |  ORDER BY score DESC, doc_id LIMIT $TOP),
+         |lex AS (SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+         |  FROM lextop),
+         |qv AS (SELECT embedding AS vq FROM embeddings WHERE vec_id = 0),
+         |semtop AS (SELECT e.vec_id AS doc_id,
+         |  ${VectorOps.cosSql("e.embedding", "qv.vq")} AS cs
+         |  FROM embeddings e, qv WHERE e.vec_id <> 0
+         |  ORDER BY cs DESC, e.vec_id LIMIT $TOP),
+         |sem AS (SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY cs DESC, doc_id) AS BIGINT) AS r_sem
+         |  FROM semtop),
+         |f AS (
+         |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem,
+         |    coalesce(1000000 // ($RRF_K + l.r_lex), 0) +
+         |    coalesce(1000000 // ($RRF_K + s.r_sem), 0) AS rrf_ppm
+         |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+         |SELECT doc_id, r_lex, r_sem, rrf_ppm FROM f
+         |ORDER BY rrf_ppm DESC, doc_id LIMIT 15""".stripMargin) { (s, dir) =>
+      val lexTop = bm25Scored(s, dir)
+        .filter(col("doc_id") =!= 0)
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(TOP)
+      val lex = lexTop // rank window over TOP rows only (q112 shape)
+        .withColumn("r_lex", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("bigint"))
+        .select(col("doc_id"), col("r_lex"))
+      val e = Tables.embeddings(s, dir)
+      val qv = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("vq")))
+      val semTop = e.filter(col("vec_id") =!= 0)
+        .crossJoin(qv)
+        .select(col("vec_id").as("doc_id"),
+          VectorOps.cosCol("embedding", "vq").as("cs"))
+        .orderBy(col("cs").desc, col("doc_id")).limit(TOP)
+      val sem = semTop
+        .withColumn("r_sem", row_number()
+          .over(Window.orderBy(col("cs").desc, col("doc_id"))).cast("bigint"))
+        .select(col("doc_id"), col("r_sem"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_lex"), col("r_sem"),
+          (coalesce(expr(s"1000000 div ($RRF_K + r_lex)"), lit(0L)) +
+            coalesce(expr(s"1000000 div ($RRF_K + r_sem)"), lit(0L))).as("rrf_ppm"))
+        .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(15)
+    }
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q70Bm25, q103InvertedIndex, q117PhraseIndex, q160HybridRrf)
 }
