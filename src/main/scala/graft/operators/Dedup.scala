@@ -804,7 +804,109 @@ object Dedup {
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
     q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters, q38DedupPipeline,
     q69SpanDedup, q75Contamination, q78SortedNeighborhood, q100SemanticDedup,
-    q128KeepBest, q135LshEval, q151DedupWhatif, q158SourceOverlap)
+    q128KeepBest, q135LshEval, q151DedupWhatif, q158SourceOverlap,
+    q161AdmissionFunnel)
+
+  /** q161 — corpus-admission funnel: every document walks the full
+    * pretraining ingestion gauntlet — exact dedup, near-dup dedup,
+    * quality filter, benchmark decontamination — and each source gets
+    * the cumulative survivor counts per stage plus the final admit
+    * rate. This is the composition the engine exists for: the four
+    * decision layers (q30, q32, q146, q75) wired into ONE report with
+    * each rule coming from its shared, separately-gated definition.
+    *
+    * Stage rules (all deterministic, one pass, no iteration):
+    *  1. exact    — keep the min-doc_id canonical per md5(text) class;
+    *  2. near-dup — drop the HIGHER doc_id of every verified near-dup
+    *     pair (q32's edges), regardless of upstream survival — the
+    *     keep-first rule; the transitive-cluster alternative is q37's
+    *     union-find, deliberately not recomputed here;
+    *  3. quality  — q146's verdict (length / dup-word / top-bigram);
+    *  4. decontam — q75's rule: not a benchmark doc (doc_id % 97) and
+    *     shares no 8-word span with the benchmark slice.
+    *
+    * Scale design (100 TB): every stage is a (semi/left) equi-join of
+    * the corpus against a derived key set — signature classes, LSH-
+    * verified edge endpoints, per-doc flags, span matches — each of
+    * which is itself built scale-safely (banded LSH, broadcast bench
+    * spans, partial-agg md5 classes). Text never shuffles: the funnel
+    * verdict table carries only (doc_id, source, flags). */
+  lazy val q161AdmissionFunnel: QueryDef = QueryDef(
+    "q161_admission_funnel",
+    s"""WITH $mhOracleCte,
+       |$lshCandOracleCte,
+       |$edgesOracleCte,
+       |${graft.operators.TextAnalysis.qualityOracleCte},
+       |exc AS (SELECT md5(text) AS sig, min(doc_id) AS canon
+       |  FROM documents GROUP BY md5(text)),
+       |ndrop AS (SELECT DISTINCT b AS doc_id FROM edges),
+       |cw AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |csp AS (
+       |  SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS span
+       |  FROM cw, unnest(range(1, len(tk) - 6)) AS t(i)
+       |  WHERE len(tk) >= 8),
+       |cbench AS (SELECT DISTINCT span FROM csp WHERE doc_id % 97 = 0),
+       |ccont AS (
+       |  SELECT DISTINCT s.doc_id FROM csp s JOIN cbench b USING (span)
+       |  WHERE s.doc_id % 97 <> 0),
+       |v AS (
+       |  SELECT d.source,
+       |    CASE WHEN d.doc_id = e.canon THEN 1 ELSE 0 END AS k1,
+       |    CASE WHEN d.doc_id = e.canon AND nd.doc_id IS NULL
+       |         THEN 1 ELSE 0 END AS k2,
+       |    CASE WHEN d.doc_id = e.canon AND nd.doc_id IS NULL
+       |          AND qf.f_short = 0 AND qf.f_dup = 0 AND qf.f_bi = 0
+       |         THEN 1 ELSE 0 END AS k3,
+       |    CASE WHEN d.doc_id = e.canon AND nd.doc_id IS NULL
+       |          AND qf.f_short = 0 AND qf.f_dup = 0 AND qf.f_bi = 0
+       |          AND d.doc_id % 97 <> 0 AND cc.doc_id IS NULL
+       |         THEN 1 ELSE 0 END AS k4
+       |  FROM documents d
+       |  JOIN exc e ON md5(d.text) = e.sig
+       |  LEFT JOIN ndrop nd ON d.doc_id = nd.doc_id
+       |  JOIN qf ON d.doc_id = qf.doc_id
+       |  LEFT JOIN ccont cc ON d.doc_id = cc.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+       |  CAST(sum(k1) AS BIGINT) AS n_exact,
+       |  CAST(sum(k2) AS BIGINT) AS n_neardup,
+       |  CAST(sum(k3) AS BIGINT) AS n_quality,
+       |  CAST(sum(k4) AS BIGINT) AS n_admitted,
+       |  (1000000 * CAST(sum(k4) AS BIGINT)) // CAST(count(*) AS BIGINT) AS admit_ppm
+       |FROM v GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val sig = docs.select(col("doc_id"), col("source"), md5(col("text")).as("sig"))
+    val canon = sig.groupBy(col("sig")).agg(min(col("doc_id")).as("canon"))
+    val ndrop = nearDupEdges(docs)
+      .select(col("b").as("doc_id")).distinct().withColumn("nd", lit(1))
+    val qok = graft.operators.TextAnalysis.qualityMetrics(s, dir)
+      .select(col("doc_id"),
+        (col("f_short") === 0 && col("f_dup") === 0 && col("f_bi") === 0).as("q_ok"))
+    val spans = docSpans(docs)
+    val bench = spans.filter(col("doc_id") % 97 === 0)
+      .select(col("span")).distinct()
+    val contam = spans.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("span"))
+      .select(col("doc_id")).distinct().withColumn("cc", lit(1))
+    val k1 = col("doc_id") === col("canon")
+    val k2 = k1 && col("nd").isNull
+    val k3 = k2 && col("q_ok")
+    val k4 = k3 && col("doc_id") % 97 =!= 0 && col("cc").isNull
+    sig.join(canon, Seq("sig"))
+      .join(ndrop, Seq("doc_id"), "left")
+      .join(qok, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("source"),
+        k1.cast("long").as("k1"), k2.cast("long").as("k2"),
+        k3.cast("long").as("k3"), k4.cast("long").as("k4"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(col("k1")).as("n_exact"),
+        sum(col("k2")).as("n_neardup"),
+        sum(col("k3")).as("n_quality"),
+        sum(col("k4")).as("n_admitted"))
+      .withColumn("admit_ppm", expr("(1000000 * n_admitted) div n_raw"))
+      .orderBy(col("source"))
+  }
 
   /** q158 — cross-source near-dup overlap matrix: the verified
     * near-dup edges (q32/q37's shared definition) bucketed by the

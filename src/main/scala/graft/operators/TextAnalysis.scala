@@ -746,6 +746,67 @@ object TextAnalysis {
       .orderBy("rnk")
   }
 
+  /** Per-document quality verdict (doc_id, lang, dup_ppm, bi_ppm,
+    * f_short, f_dup, f_bi) — the ONE rule set behind q146's yield
+    * report and q161's admission funnel; extracting it guarantees the
+    * two reports can never disagree on what "rejected" means.
+    * Thresholds: MIN_TOK=20, dup ≥ 0.60, top bigram ≥ 0.05. */
+  private[operators] def qualityMetrics(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // single-file scan -> use every core
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
+    val d = docs.select(col("doc_id"), col("lang"),
+      size(col("ts")).cast("long").as("n_tok"),
+      size(array_distinct(col("ts"))).cast("long").as("n_dist"))
+    val n = size(col("ts"))
+    val bc = docs
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ts"), lit(1), n - 1), slice(col("ts"), lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bi"))
+    d.join(bc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        expr("(1000000 * (n_tok - n_dist)) div n_tok").as("dup_ppm"),
+        when(col("n_tok") > 1,
+          expr("(1000000 * coalesce(top_bi, 0L)) div (n_tok - 1)"))
+          .otherwise(lit(0L)).as("bi_ppm"))
+      .select(col("doc_id"), col("lang"), col("dup_ppm"), col("bi_ppm"),
+        when(col("n_tok") < 20, 1L).otherwise(0L).as("f_short"),
+        when(col("dup_ppm") >= 600000L, 1L).otherwise(0L).as("f_dup"),
+        when(col("bi_ppm") >= 50000L, 1L).otherwise(0L).as("f_bi"))
+  }
+
+  /** Oracle twin of [[qualityMetrics]]: namespaced qf_* CTEs ending in
+    * `qf` (doc_id, lang, dup_ppm, bi_ppm, f_short, f_dup, f_bi). */
+  private[operators] val qualityOracleCte: String =
+    """qf_s AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+      |qf_d AS (
+      |  SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS n_tok,
+      |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_dist
+      |  FROM qf_s),
+      |qf_b AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bg
+      |  FROM qf_s),
+      |qf_bc AS (
+      |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bi
+      |  FROM (SELECT doc_id, bg, count(*) AS c FROM qf_b GROUP BY doc_id, bg)
+      |  GROUP BY doc_id),
+      |qf_m AS (
+      |  SELECT d.doc_id, d.lang, d.n_tok,
+      |    (1000000 * (d.n_tok - d.n_dist)) // d.n_tok AS dup_ppm,
+      |    CASE WHEN d.n_tok > 1
+      |         THEN (1000000 * coalesce(bc.top_bi, 0)) // (d.n_tok - 1)
+      |         ELSE 0 END AS bi_ppm
+      |  FROM qf_d d LEFT JOIN qf_bc bc ON d.doc_id = bc.doc_id),
+      |qf AS (
+      |  SELECT doc_id, lang, dup_ppm, bi_ppm,
+      |    CASE WHEN n_tok < 20 THEN 1 ELSE 0 END AS f_short,
+      |    CASE WHEN dup_ppm >= 600000 THEN 1 ELSE 0 END AS f_dup,
+      |    CASE WHEN bi_ppm >= 50000 THEN 1 ELSE 0 END AS f_bi
+      |  FROM qf_m)""".stripMargin
+
   /** q146 — pretraining quality-filter yield report: the standard
     * repetition rules (minimum length, duplicate-word fraction,
     * most-frequent-bigram concentration — the Gopher/CCNet battery)
@@ -767,65 +828,17 @@ object TextAnalysis {
     * ≥ 0.05 of adjacent pairs. */
   val q146FilterYield: QueryDef = QueryDef(
     "q146_filter_yield",
-    """WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
-      |d AS (
-      |  SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS n_tok,
-      |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_dist
-      |  FROM s),
-      |b AS (
-      |  SELECT doc_id,
-      |    unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bg
-      |  FROM s),
-      |bc AS (
-      |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bi
-      |  FROM (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg)
-      |  GROUP BY doc_id),
-      |m AS (
-      |  SELECT d.lang, d.n_tok,
-      |    (1000000 * (d.n_tok - d.n_dist)) // d.n_tok AS dup_ppm,
-      |    CASE WHEN d.n_tok > 1
-      |         THEN (1000000 * coalesce(bc.top_bi, 0)) // (d.n_tok - 1)
-      |         ELSE 0 END AS bi_ppm
-      |  FROM d LEFT JOIN bc ON d.doc_id = bc.doc_id),
-      |r AS (
-      |  SELECT lang,
-      |    CASE WHEN n_tok < 20 THEN 1 ELSE 0 END AS f_short,
-      |    CASE WHEN dup_ppm >= 600000 THEN 1 ELSE 0 END AS f_dup,
-      |    CASE WHEN bi_ppm >= 50000 THEN 1 ELSE 0 END AS f_bi,
-      |    dup_ppm, bi_ppm
-      |  FROM m)
-      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-      |  CAST(sum(f_short) AS BIGINT) AS n_short,
-      |  CAST(sum(f_dup) AS BIGINT) AS n_dup_reject,
-      |  CAST(sum(f_bi) AS BIGINT) AS n_bigram_reject,
-      |  CAST(count(CASE WHEN f_short = 0 AND f_dup = 0 AND f_bi = 0 THEN 1 END) AS BIGINT) AS n_kept,
-      |  (1000000 * CAST(count(CASE WHEN f_short = 0 AND f_dup = 0 AND f_bi = 0 THEN 1 END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS kept_ppm,
-      |  CAST(sum(dup_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_dup_ppm,
-      |  CAST(sum(bi_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_bi_ppm
-      |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-      .repartition(col("doc_id")) // single-file scan -> use every core
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
-    val d = docs.select(col("doc_id"), col("lang"),
-      size(col("ts")).cast("long").as("n_tok"),
-      size(array_distinct(col("ts"))).cast("long").as("n_dist"))
-    val n = size(col("ts"))
-    val bc = docs
-      .select(col("doc_id"), explode(zip_with(
-        slice(col("ts"), lit(1), n - 1), slice(col("ts"), lit(2), n - 1),
-        (a, b) => concat(a, lit(" "), b))).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bi"))
-    val m = d.join(bc, Seq("doc_id"), "left")
-      .select(col("lang"), col("n_tok"),
-        expr("(1000000 * (n_tok - n_dist)) div n_tok").as("dup_ppm"),
-        when(col("n_tok") > 1,
-          expr("(1000000 * coalesce(top_bi, 0L)) div (n_tok - 1)"))
-          .otherwise(lit(0L)).as("bi_ppm"))
-    val r = m.select(col("lang"), col("dup_ppm"), col("bi_ppm"),
-      when(col("n_tok") < 20, 1L).otherwise(0L).as("f_short"),
-      when(col("dup_ppm") >= 600000L, 1L).otherwise(0L).as("f_dup"),
-      when(col("bi_ppm") >= 50000L, 1L).otherwise(0L).as("f_bi"))
+    s"""WITH $qualityOracleCte
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(f_short) AS BIGINT) AS n_short,
+       |  CAST(sum(f_dup) AS BIGINT) AS n_dup_reject,
+       |  CAST(sum(f_bi) AS BIGINT) AS n_bigram_reject,
+       |  CAST(count(CASE WHEN f_short = 0 AND f_dup = 0 AND f_bi = 0 THEN 1 END) AS BIGINT) AS n_kept,
+       |  (1000000 * CAST(count(CASE WHEN f_short = 0 AND f_dup = 0 AND f_bi = 0 THEN 1 END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS kept_ppm,
+       |  CAST(sum(dup_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_dup_ppm,
+       |  CAST(sum(bi_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_bi_ppm
+       |FROM qf GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val r = qualityMetrics(s, dir)
     val kept = count(when(
       col("f_short") === 0 && col("f_dup") === 0 && col("f_bi") === 0, 1))
     r.groupBy(col("lang"))
