@@ -39,6 +39,8 @@ QUERIES = [
     "q139_fulfillment", "q144_weighted_median", "q146_filter_yield",
     "q148_vocab_growth", "q149_skew_report", "q150_kcore_peel",
     "q151_dedup_whatif", "q156_ohlc_bars", "q157_cohort_ltv",
+    "q70_bm25", "q158_source_overlap", "q160_hybrid_rrf",
+    "q161_admission_funnel",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
