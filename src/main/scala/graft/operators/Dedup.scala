@@ -805,7 +805,7 @@ object Dedup {
     q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters, q38DedupPipeline,
     q69SpanDedup, q75Contamination, q78SortedNeighborhood, q100SemanticDedup,
     q128KeepBest, q135LshEval, q151DedupWhatif, q158SourceOverlap,
-    q161AdmissionFunnel)
+    q161AdmissionFunnel, q162Containment)
 
   /** q161 — corpus-admission funnel: every document walks the full
     * pretraining ingestion gauntlet — exact dedup, near-dup dedup,
@@ -1056,5 +1056,88 @@ object Dedup {
         count(when(col("rn") > 1, 1)).as("n_dropped"),
         sum(when(col("rn") === 1, col("n_chars"))).as("kept_chars"))
       .orderBy("source")
+  }
+
+  /** Document-frequency cap for the containment span-join key — the
+    * q34 [[NGRAM_DF_CAP]] guard transposed to 8-word spans: a
+    * boilerplate span (site chrome, license headers) shared by df docs
+    * puts df·(df−1)/2 candidate pairs on one shuffle key. Keys above
+    * the cap are dropped before the join; exact while no key exceeds
+    * it (sf0.01 max span-df is 3), and at corpus scale a documented
+    * strict underestimate of `inter` on boilerplate-only overlaps —
+    * which are exactly the pairs containment dedup should NOT fire on. */
+  private[graft] final val SPAN_DF_CAP = 1000
+
+  /** q162 — asymmetric containment dedup: directed pairs where ≥80%
+    * of the SMALLER document's distinct 8-word spans also occur in the
+    * larger one (Broder's containment C(A,B) = |S(A)∩S(B)| / |S(A)|).
+    * This is the subsumption case symmetric Jaccard (q34) structurally
+    * misses: a short doc quoted whole inside a much longer one has
+    * tiny Jaccard (union ≈ the big doc) but containment ≈ 1, and the
+    * right dedup action is dropping the contained copy. Output is the
+    * directed audit: (contained, container, set sizes, shared spans,
+    * containment ppm).
+    *
+    * Exactness: containment is an exact integer ratio (shared-span
+    * count over span-set size) → ppm floor-div; direction is chosen by
+    * smaller span-set size with doc-id tiebreak, both deterministic.
+    * Span sets use the q69 8-word shingle definition, spans compacted
+    * to xxhash64 longs for the self-join (the q34 key-compaction
+    * contract: fixed-width shuffle keys; collision odds ~1e-11 at this
+    * vocabulary, and the oracle gate would catch one).
+    *
+    * Scale design (100 TB): same set-similarity equi-join shape as q34
+    * — only pairs sharing ≥1 surviving span materialize, counted by a
+    * map-side-combinable aggregate, never a quadratic block join; the
+    * [[SPAN_DF_CAP]] bounds any one join key's fan-out; denominators
+    * come from the pre-cap per-doc sizes so the cap only ever
+    * underestimates overlap. Text leaves the scan as hashes. */
+  lazy val q162Containment: QueryDef = QueryDef(
+    "q162_containment",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sp AS (
+       |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS span
+       |  FROM w, unnest(range(1, len(toks) - 6)) AS t(i)
+       |  WHERE len(toks) >= 8),
+       |ok AS (SELECT span FROM sp GROUP BY span HAVING count(*) <= $SPAN_DF_CAP),
+       |spc AS (SELECT sp.doc_id, sp.span FROM sp JOIN ok USING (span)),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sp GROUP BY doc_id),
+       |pr AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM spc a JOIN spc b ON a.span = b.span AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |d AS (
+       |  SELECT CASE WHEN sa.n <= sb.n THEN pr.a ELSE pr.b END AS contained,
+       |         CASE WHEN sa.n <= sb.n THEN pr.b ELSE pr.a END AS container,
+       |         least(sa.n, sb.n) AS n_contained,
+       |         greatest(sa.n, sb.n) AS n_container, inter
+       |  FROM pr JOIN sz sa ON pr.a = sa.doc_id JOIN sz sb ON pr.b = sb.doc_id)
+       |SELECT contained, container, n_contained, n_container, inter,
+       |  (1000000 * inter) // n_contained AS cont_ppm
+       |FROM d WHERE 10 * inter >= 8 * n_contained
+       |ORDER BY contained, container""".stripMargin) { (s, dir) =>
+    val sp = docSpans(Tables.documents(s, dir))
+      .select(col("doc_id"), xxhash64(col("span")).as("kh"))
+      .distinct()
+    val sz = sp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val hot = sp.groupBy(col("kh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > SPAN_DF_CAP).select(col("kh"))
+    val pruned = sp.join(broadcast(hot), Seq("kh"), "left_anti")
+    val inter = pruned.select(col("doc_id").as("a"), col("kh"))
+      .join(pruned.select(col("doc_id").as("b"), col("kh").as("khb")),
+        col("kh") === col("khb") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(
+        when(col("na") <= col("nb"), col("a")).otherwise(col("b")).as("contained"),
+        when(col("na") <= col("nb"), col("b")).otherwise(col("a")).as("container"),
+        least(col("na"), col("nb")).as("n_contained"),
+        greatest(col("na"), col("nb")).as("n_container"),
+        col("inter"))
+      .filter(col("inter") * 10 >= col("n_contained") * 8)
+      .withColumn("cont_ppm", expr("(1000000 * inter) div n_contained"))
+      .orderBy(col("contained"), col("container"))
   }
 }

@@ -1217,6 +1217,176 @@ object EventOps {
       .orderBy(col("cohort_week"), col("age_w"))
   }
 
+  /** q163 — autocorrelation function (ACF) of the daily revenue
+    * series at calendar lags 1–7: Pearson r between (revenueₜ,
+    * revenueₜ₊ₗ) over every day pair whose both endpoints exist — the
+    * standard "is there weekly periodicity / day-to-day persistence"
+    * diagnostic that q134's day-of-week decomposition assumes rather
+    * than measures. Missing calendar days simply contribute no pair
+    * (lag is by DATE, not by row offset, so the series needs no gap
+    * fill).
+    *
+    * Exactness: daily revenue in exact cents (the q01 decimal-first
+    * contract); per-lag moments n, Σx, Σy int64 and Σxy, Σx², Σy² in
+    * DECIMAL(38)/HUGEINT (the q154 contract — order-free, exact);
+    * the Pearson ratio is ONE IEEE chain
+    * floor(1e6·num / (√d1·√d2)) with identical association in both
+    * engines, and degenerate lags (zero variance on either margin)
+    * are pinned to NULL before any float math can produce NaN.
+    *
+    * Scale design (100 TB): the fact scan collapses to the day axis
+    * first (partial-aggregable groupBy on o_orderdate — the ONLY
+    * fact-sized exchange); everything after runs on ≤ |days| rows:
+    * the 7-lag expansion is a projection (explode of a 7-literal
+    * array), the self-join is day-axis × 7, and the final aggregate
+    * outputs 7 rows. A century of days is ~37k rows — driver-trivial
+    * at any corpus scale. */
+  val q163Acf: QueryDef = QueryDef(
+    "q163_acf",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT l.lag, a.x AS xa, b.x AS xb
+      |  FROM daily a
+      |  CROSS JOIN unnest([1,2,3,4,5,6,7]) AS l(lag)
+      |  JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)),
+      |m AS (
+      |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(xa) AS BIGINT) AS sx, CAST(sum(xb) AS BIGINT) AS sy,
+      |    sum(CAST(xa AS HUGEINT) * xb) AS sxy,
+      |    sum(CAST(xa AS HUGEINT) * xa) AS sxx,
+      |    sum(CAST(xb AS HUGEINT) * xb) AS syy
+      |  FROM p GROUP BY lag)
+      |SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+      |  CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx > 0
+      |        AND n * syy - CAST(sy AS HUGEINT) * sy > 0
+      |   THEN CAST(floor(1000000.0 *
+      |     CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+      |     (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) *
+      |      sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))) AS BIGINT)
+      |   END AS acf_ppm
+      |FROM m ORDER BY lag""".stripMargin) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")).cast("bigint").as("x"))
+    val lagged = daily
+      .withColumn("lag", explode(array((1 to 7).map(lit(_)): _*)))
+      .withColumn("d2", date_add(col("d"), col("lag")))
+      .select(col("lag"), col("d2"), col("x").as("xa"))
+    val p = lagged.join(
+      daily.select(col("d").as("d2"), col("x").as("xb")), Seq("d2"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = p.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+        sum(dec(col("xa")) * dec(col("xb"))).as("sxy"),
+        sum(dec(col("xa")) * dec(col("xa"))).as("sxx"),
+        sum(dec(col("xb")) * dec(col("xb"))).as("syy"))
+    val d1 = dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx"))
+    val d2 = dec(col("n")) * col("syy") - dec(col("sy")) * dec(col("sy"))
+    val num = dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy"))
+    m.select(col("lag").cast("bigint").as("lag"), col("n").as("n_pairs"),
+        when(d1 > 0 && d2 > 0,
+          floor(lit(1000000.0) * num.cast("double") /
+            (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))))
+            .cast("long")).as("acf_ppm"))
+      .orderBy("lag")
+  }
+
+  /** q164 — Kaplan–Meier survival curve for purchase churn: per
+    * lifetime day t, the at-risk count, observed churns, right-
+    * censorings, and the product-limit survival estimate
+    * S(t) = Π_{s≤t} (1 − dₛ/nₛ). The study cohort is users with ≥1
+    * purchase, entering at their FIRST purchase; a user churns at
+    * lifetime (last − first purchase) day if purchase-silent for ≥ 7
+    * days before the observation horizon (the global max event date);
+    * otherwise they are censored at (horizon − first purchase) — the
+    * standard right-censoring treatment retention curves (q48)
+    * ignore, and the purchase stream (not raw activity) is what makes
+    * churn observable before the horizon.
+    *
+    * Exactness: lifetimes are integer day diffs; the KM product is an
+    * INTEGER recurrence s ← (s · (n − d)) div n in ppm — truncating
+    * division on non-negative operands matches DuckDB's `//`, so the
+    * curve is bit-identical with no float chain at all. Headroom:
+    * s ≤ 10⁶ and n ≤ users, so s·(n−d) < 2⁶³ up to ~9·10¹² users.
+    *
+    * Scale design (100 TB): the fact scan collapses to one row per
+    * user (partial-aggregable min/max on user_id — the only fact
+    * exchange); the horizon is a broadcast 1-row aggregate. The KM
+    * recurrence is inherently sequential, but it runs over the
+    * LIFETIME-DAY axis — bounded by the observation window's length,
+    * independent of corpus size — as one q126-style ordered scan in a
+    * single task over ≤ |days| pre-aggregated rows; the at-risk total
+    * rides in as a broadcast column, so no driver collect anywhere. */
+  val q164Survival: QueryDef = QueryDef(
+    "q164_survival",
+    """WITH RECURSIVE u AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |h AS (SELECT max(CAST(ts AS DATE)) AS hz FROM events),
+      |lc AS (
+      |  SELECT CASE WHEN date_diff('day', d1, hz) >= 7
+      |           THEN date_diff('day', d0, d1)
+      |           ELSE date_diff('day', d0, hz) END AS t,
+      |    CASE WHEN date_diff('day', d1, hz) >= 7 THEN 1 ELSE 0 END AS churn
+      |  FROM u, h),
+      |agg AS (
+      |  SELECT CAST(t AS BIGINT) AS t, CAST(sum(churn) AS BIGINT) AS n_churn,
+      |    CAST(sum(1 - churn) AS BIGINT) AS n_cens
+      |  FROM lc GROUP BY t),
+      |ord AS (SELECT t, n_churn, n_cens,
+      |    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn FROM agg),
+      |km AS (
+      |  SELECT rn, t, (SELECT CAST(count(*) AS BIGINT) FROM lc) AS n_risk,
+      |    n_churn, n_cens,
+      |    (1000000 * ((SELECT CAST(count(*) AS BIGINT) FROM lc) - n_churn))
+      |      // (SELECT CAST(count(*) AS BIGINT) FROM lc) AS surv
+      |  FROM ord WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.rn, o.t, k.n_risk - k.n_churn - k.n_cens,
+      |    o.n_churn, o.n_cens,
+      |    (k.surv * (k.n_risk - k.n_churn - k.n_cens - o.n_churn))
+      |      // (k.n_risk - k.n_churn - k.n_cens)
+      |  FROM km k JOIN ord o ON o.rn = k.rn + 1)
+      |SELECT t, n_risk, n_churn, n_cens, surv AS surv_ppm
+      |FROM km ORDER BY t""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("date").as("d"))
+    val u = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val h = ev.agg(max(col("d")).as("hz"))
+    val churned = datediff(col("hz"), col("d1")) >= 7
+    val lc = u.crossJoin(broadcast(h)).select(
+      when(churned, datediff(col("d1"), col("d0")))
+        .otherwise(datediff(col("hz"), col("d0"))).cast("long").as("t"),
+      when(churned, 1L).otherwise(0L).as("churn"))
+    val agg = lc.groupBy(col("t"))
+      .agg(sum(col("churn")).as("n_churn"),
+        sum(lit(1L) - col("churn")).as("n_cens"))
+    val total = lc.agg(count(lit(1)).as("n_total"))
+    agg.crossJoin(broadcast(total))
+      .repartition(1).sortWithinPartitions("t")
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var risk = -1L; var surv = 1000000L
+        it.map { case (t, d, c, nTotal) =>
+          if (risk < 0) risk = nTotal
+          surv = surv * (risk - d) / risk // non-negative: ≡ DuckDB //
+          val row = (t, risk, d, c, surv)
+          risk -= d + c
+          row
+        }
+      }
+      .toDF("t", "n_risk", "n_churn", "n_cens", "surv_ppm")
+      .orderBy("t")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
@@ -1224,5 +1394,5 @@ object EventOps {
     q102IncrementalAgg, q105AsofNative, q109Markov, q113RollingZscore,
     q114Twap, q118CumulativeUniques, q125IntervalJoin, q130TopPaths,
     q134Seasonality, q137DwellTimes, q138PeakConcurrency, q142Attribution,
-    q156OhlcBars, q157CohortLtv)
+    q156OhlcBars, q157CohortLtv, q163Acf, q164Survival)
 }
