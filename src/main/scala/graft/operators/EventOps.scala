@@ -1387,6 +1387,86 @@ object EventOps {
       .orderBy("t")
   }
 
+  /** q165 — A/B experiment readout: users are deterministically
+    * hash-assigned to two arms (the q101 md5-bucket contract — the
+    * assignment is reproducible from the data alone, exactly how
+    * production experiment frameworks derive stable buckets), and for
+    * every event type the per-arm user-conversion rates are compared
+    * with the two-proportion pooled z-statistic — the significance
+    * primitive behind every experimentation dashboard.
+    *
+    * Exactness: counts are integers; conversion rates are integer ppm
+    * floor-divs; the z-statistic is ONE mirrored IEEE chain (double
+    * divisions of exact <2⁵³ integers, one sqrt, one floor — every
+    * step correctly rounded, so bit-identical across engines), with
+    * degenerate pools (0% or 100% pooled conversion — a zero
+    * denominator) pinned to NULL before any float math. z is SIGNED:
+    * floor (not truncation) applies on both sides, which the engines
+    * also agree on.
+    *
+    * Scale design (100 TB): conversion is per-USER, so the fact
+    * stream collapses to distinct (event_type, user, arm) rows first
+    * (partial-aggregable distinct on the one fact exchange); arm
+    * sizes are a users-sized aggregate broadcast into the bounded
+    * per-type result (|event types| rows). */
+  val q165AbTest: QueryDef = {
+    val z =
+      """CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+        | THEN CAST(floor(1000.0 * (
+        |   (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+        |   sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+        |        (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+        |        (1.0 / n_a + 1.0 / n_b)))) AS BIGINT)
+        | END""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
+    QueryDef(
+      "q165_ab_test",
+      s"""WITH arm AS (
+         |  SELECT DISTINCT user_id,
+         |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4))::INT % 2 AS arm
+         |  FROM events),
+         |sz AS (
+         |  SELECT CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+         |    CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b
+         |  FROM arm),
+         |conv AS (
+         |  SELECT e.event_type, a.arm, CAST(count(DISTINCT e.user_id) AS BIGINT) AS c
+         |  FROM events e JOIN arm a USING (user_id)
+         |  GROUP BY 1, 2),
+         |m AS (
+         |  SELECT event_type,
+         |    CAST(coalesce(sum(CASE WHEN arm = 0 THEN c END), 0) AS BIGINT) AS conv_a,
+         |    CAST(coalesce(sum(CASE WHEN arm = 1 THEN c END), 0) AS BIGINT) AS conv_b
+         |  FROM conv GROUP BY event_type)
+         |SELECT event_type, n_a, n_b, conv_a, conv_b,
+         |  (1000000 * conv_a) // n_a AS rate_a_ppm,
+         |  (1000000 * conv_b) // n_b AS rate_b_ppm,
+         |  $z AS z_milli
+         |FROM m, sz ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val armCol = pmod(
+        conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+          .cast("int"), lit(2))
+      val arm = ev.select(col("user_id")).distinct()
+        .select(col("user_id"), armCol.as("arm"))
+      val sz = broadcast(arm.agg(
+        count(when(col("arm") === 0, 1)).as("n_a"),
+        count(when(col("arm") === 1, 1)).as("n_b")))
+      val m = ev.select(col("event_type"), col("user_id")).distinct()
+        .join(arm, Seq("user_id"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(col("arm") === 0, 1)).as("conv_a"),
+          count(when(col("arm") === 1, 1)).as("conv_b"))
+      m.crossJoin(sz)
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          col("conv_a"), col("conv_b"),
+          expr("(1000000 * conv_a) div n_a").as("rate_a_ppm"),
+          expr("(1000000 * conv_b) div n_b").as("rate_b_ppm"),
+          expr(z.replace("::INT", "").replace("//", "div")).as("z_milli"))
+        .orderBy("event_type")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
@@ -1394,5 +1474,5 @@ object EventOps {
     q102IncrementalAgg, q105AsofNative, q109Markov, q113RollingZscore,
     q114Twap, q118CumulativeUniques, q125IntervalJoin, q130TopPaths,
     q134Seasonality, q137DwellTimes, q138PeakConcurrency, q142Attribution,
-    q156OhlcBars, q157CohortLtv, q163Acf, q164Survival)
+    q156OhlcBars, q157CohortLtv, q163Acf, q164Survival, q165AbTest)
 }

@@ -781,8 +781,153 @@ object Similarity {
       GROUP BY 1 ORDER BY 1""")
   }
 
+  /** q166 — NDCG@10 of the multi-probe IVF search: q145 measures
+    * recall (set overlap with exact truth); NDCG is the RANK-AWARE
+    * complement — a system that finds all ten true neighbors but in
+    * scrambled order scores 1.0 recall yet < 1.0 NDCG, and one that
+    * nails the top ranks is rewarded even when the tail is missing.
+    * Graded relevance is derived from the exact ranking itself
+    * (rel = 11 − truth rank, 0 for non-neighbors), the standard
+    * label-free gain assignment for self-audit.
+    *
+    * Exactness: the 1/log₂(i+1) discount table is precomputed in
+    * Scala and inlined as INTEGER literals into both plans — so the
+    * whole metric (gain × weight dot product, NDCG as ppm of the
+    * closed-form ideal DCG) is pure int64 with zero runtime float
+    * ops; no log evaluation ever happens in either engine.
+    *
+    * Scale design (100 TB): identical to q145 — assignment and truth
+    * are one corpus pass each against broadcast centroids/queries
+    * (the truth top-10 window plants the TopKPerKey heap prune), the
+    * probe list is a broadcast |q|×NCENT frame, and the NDCG algebra
+    * runs on ≤ |q|·|np-levels|·10 rows. */
+  val q166IvfNdcg: QueryDef = {
+    val NQ = 5    // query set: vec_id < 5 (q145's)
+    val TOPK = 10 // list depth
+    // floor(1e6 / log2(i+1)) — IEEE-fixed at build time, inlined as
+    // integer literals so neither engine evaluates a log at runtime
+    val w: IndexedSeq[Long] =
+      (1 to TOPK).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+    val idcg: Long = (1 to TOPK).map(r => (11L - r) * w(r - 1)).sum
+    val wtValuesSql = (1 to TOPK).map(i => s"(${i}, ${w(i - 1)})").mkString(", ")
+    QueryDef(
+      "q166_ivf_ndcg",
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS vc FROM embeddings WHERE vec_id < $NCENT),
+         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |a AS (
+         |  SELECT e.vec_id, cent.cid, ${cosSql("e.v", "cent.vc")} AS cs
+         |  FROM e, cent),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |    FROM a) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NQ),
+         |pcs AS (
+         |  SELECT q.qid, cent.cid, ${cosSql("q.qv", "cent.vc")} AS cs
+         |  FROM q, cent),
+         |pc AS (
+         |  SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS crank
+         |  FROM pcs),
+         |cand AS (
+         |  SELECT pc.qid, pc.crank, m.vec_id, ${cosSql("e.v", "q.qv")} AS cs
+         |  FROM pc
+         |  JOIN assign m ON m.cid = pc.cid AND m.vec_id <> pc.qid
+         |  JOIN e ON e.vec_id = m.vec_id
+         |  JOIN q ON q.qid = pc.qid
+         |  WHERE pc.crank <= 4),
+         |lvl AS (
+         |  SELECT c.qid, np.np, c.vec_id,
+         |    row_number() OVER (PARTITION BY c.qid, np.np ORDER BY c.cs DESC, c.vec_id) AS rn
+         |  FROM cand c, (VALUES (1), (2), (4)) np(np)
+         |  WHERE c.crank <= np.np),
+         |truth AS (
+         |  SELECT qid, vec_id, rn FROM (
+         |    SELECT q.qid, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.qid ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id) AS rn
+         |    FROM q, e WHERE e.vec_id <> q.qid) WHERE rn <= $TOPK),
+         |wt AS (SELECT * FROM (VALUES $wtValuesSql) v(i, w)),
+         |dcg AS (
+         |  SELECT s.qid, s.np,
+         |    CAST(sum(coalesce(11 - t.rn, 0) * w.w) AS BIGINT) AS dcg
+         |  FROM lvl s JOIN wt w ON w.i = s.rn
+         |  LEFT JOIN truth t ON t.qid = s.qid AND t.vec_id = s.vec_id
+         |  WHERE s.rn <= $TOPK
+         |  GROUP BY s.qid, s.np)
+         |SELECT b.qid AS qid, CAST(b.np AS BIGINT) AS nprobe,
+         |  coalesce(d.dcg, 0) AS dcg,
+         |  (1000000 * coalesce(d.dcg, 0)) // $idcg AS ndcg_ppm
+         |FROM (SELECT qid, np FROM q, (VALUES (1), (2), (4)) np(np)) b
+         |LEFT JOIN dcg d ON d.qid = b.qid AND d.np = b.np
+         |ORDER BY b.qid, nprobe""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val npDf = broadcast(Seq(1, 2, 4).toDF("np"))
+      val wtDf = broadcast(w.zipWithIndex
+        .map { case (wv, i0) => (i0 + 1, wv) }.toDF("i", "w"))
+      val e = Tables.embeddings(s, dir)
+      val cent = broadcast(e.filter(col("vec_id") < NCENT)
+        .select(col("vec_id").as("cid"), col("embedding").as("vc")))
+      val aw = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
+      val assign = e.repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding").as("v"))
+        .crossJoin(cent)
+        .select(col("vec_id"), col("v"), col("cid"),
+          expr("cosine_sim(v, vc)").as("cs"))
+        .withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("v"))
+        .localCheckpoint()
+      val q = assign.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val pw = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
+      val pc = broadcast(q.crossJoin(cent)
+        .select(col("qid"), col("qv"), col("cid"),
+          expr("cosine_sim(qv, vc)").as("cs"))
+        .withColumn("crank", row_number().over(pw))
+        .filter(col("crank") <= 4)
+        .select(col("qid"), col("qv"), col("cid"), col("crank")))
+      val cand = pc
+        .join(assign, Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("crank"), col("vec_id"),
+          expr("cosine_sim(v, qv)").as("cs"))
+      val lw = Window.partitionBy(col("qid"), col("np"))
+        .orderBy(col("cs").desc, col("vec_id"))
+      val sys = cand
+        .crossJoin(npDf)
+        .filter(col("crank") <= col("np"))
+        .withColumn("rn", row_number().over(lw))
+        .filter(col("rn") <= TOPK)
+        .select(col("qid"), col("np"), col("vec_id"), col("rn"))
+      val tw = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))
+      val truth = e.repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding").as("v"))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), expr("cosine_sim(v, qv)").as("cs"))
+        .withColumn("rn", row_number().over(tw))
+        .filter(col("rn") <= TOPK)
+        .select(col("qid").as("tqid"), col("vec_id").as("tvid"),
+          col("rn").as("trn"))
+      val dcg = sys
+        .join(wtDf, col("i") === col("rn"))
+        .join(truth,
+          col("tqid") === sys("qid") && col("tvid") === sys("vec_id"), "left")
+        .groupBy(sys("qid").as("qid"), col("np"))
+        .agg(sum(coalesce(lit(11) - col("trn"), lit(0)) * col("w"))
+          .cast("long").as("dcg"))
+      q.select(col("qid")).crossJoin(npDf)
+        .join(dcg, Seq("qid", "np"), "left")
+        .select(col("qid"), col("np").cast("bigint").as("nprobe"),
+          coalesce(col("dcg"), lit(0L)).as("dcg"),
+          expr(s"(1000000 * coalesce(dcg, 0L)) div $idcg").as("ndcg_ppm"))
+        .orderBy("qid", "nprobe")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells, q44CosineExpr,
       q45Quantize, q73Pq, q82IvfSearch, q84SqlSurface, q145IvfMultiprobe,
-      q147PqRecall, q154EmbeddingDrift)
+      q147PqRecall, q154EmbeddingDrift, q166IvfNdcg)
 }

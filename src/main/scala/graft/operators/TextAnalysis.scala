@@ -946,10 +946,68 @@ object TextAnalysis {
       .orderBy("decile")
   }
 
+  /** q167 — temperature-scaled source mixture: sampling weights
+    * wᵢ ∝ nᵢ^α with α = 0.5 over per-source token inventories — the
+    * mT5/GPT-3-style smoothing that upweights small sources relative
+    * to raw proportions without flattening to uniform. Reported next
+    * to the raw proportional and uniform weights plus the boost ratio
+    * each source gets from the smoothing, this is the OTHER mixture
+    * policy to [[q74Mixture]]'s fixed uniform budget.
+    *
+    * Exactness: α is 0.5 precisely because sqrt is the one
+    * non-algebraic operation IEEE 754 requires correctly rounded —
+    * `floor(sqrt(n)·1000)` is bit-identical in both engines (n < 2⁵³
+    * exact as double), and everything downstream of that per-source
+    * integer (the cross-source total, the ppm ratios) is pure int64,
+    * so no ordered float summation ever happens. A general-α variant
+    * would ride pow(), which neither engine guarantees bitwise.
+    *
+    * Scale design (100 TB): one partial-aggregable corpus pass to the
+    * per-source inventory; the weight algebra runs on |sources| rows
+    * with the total as a broadcast 1-row aggregate. */
+  val q167TempMixture: QueryDef = QueryDef(
+    "q167_temp_mixture",
+    """WITH t AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks,
+      |    CAST(floor(sqrt(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)) * 1000)
+      |      AS BIGINT) AS s_milli
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(sum(toks) AS BIGINT) AS total,
+      |    CAST(sum(s_milli) AS BIGINT) AS s_total,
+      |    CAST(count(*) AS BIGINT) AS n_src
+      |  FROM t)
+      |SELECT source, n_docs, toks,
+      |  (1000000 * toks) // total AS prop_ppm,
+      |  (1000000 * s_milli) // s_total AS temp_ppm,
+      |  1000000 // n_src AS uniform_ppm,
+      |  (1000 * ((1000000 * s_milli) // s_total)) // ((1000000 * toks) // total)
+      |    AS boost_milli
+      |FROM t, tot ORDER BY source""".stripMargin) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+      .withColumn("s_milli",
+        floor(sqrt(col("toks").cast("double")) * 1000).cast("long"))
+    val tot = t.agg(sum(col("toks")).as("total"),
+      sum(col("s_milli")).as("s_total"), count(lit(1)).as("n_src"))
+    t.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("toks"),
+        expr("(1000000 * toks) div total").as("prop_ppm"),
+        expr("(1000000 * s_milli) div s_total").as("temp_ppm"),
+        expr("1000000 div n_src").as("uniform_ppm"),
+        expr("(1000 * ((1000000 * s_milli) div s_total)) div ((1000000 * toks) div total)")
+          .as("boost_milli"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
       q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,
       q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob,
       q101Split, q108Collocations, q112VocabCoverage, q146FilterYield,
-      q148VocabGrowth)
+      q148VocabGrowth, q167TempMixture)
 }
