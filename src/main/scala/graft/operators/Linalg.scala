@@ -117,5 +117,104 @@ object Linalg {
       .orderBy("event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q122Spmm, q124GroupRegression)
+  /** q169 — PCA top principal direction by distributed Gram + power
+    * iteration: the d×d (uncentered) Gram matrix G = Σ x xᵀ is built
+    * in ONE corpus pass, then eight power-iteration rounds v ← G·v
+    * run entirely on that d²-cell frame, yielding the dominant
+    * eigenvector (the first PCA loading) and its explained-variance
+    * ratio vᵀGv / (vᵀv · tr G) — the "how 1-dimensional are my
+    * embeddings" collapse diagnostic (anisotropy is the standard
+    * failure mode of learned embedding spaces).
+    *
+    * Exactness: coordinates are the q95 floor-quantized micro-units
+    * (integer, exact); Gram cells and all matvec/quadratic-form
+    * accumulations ride DECIMAL(38)/HUGEINT (the q154 contract —
+    * order-free integer sums, exact to 10³⁸, so cell magnitude
+    * SCALE²·N ≈ 10²² at 10¹⁰ docs still has 16 digits of headroom).
+    * Each round renormalizes v to max-abs 1000 through ONE mirrored
+    * IEEE chain (floor(1000·u/max|u|)) — correctly-rounded cast, one
+    * division, one floor — so the iterate stays a small exact integer
+    * vector; degenerate rounds (G·v = 0) pin v to 0 instead of
+    * reaching NaN. Start vector e₁·1000 is deterministic; 8 rounds is
+    * a fixed budget, not a convergence test.
+    *
+    * Scale design (100 TB): the N·d² explode-and-aggregate is the
+    * single fact-sized stage (map-side combinable into d² = 4096
+    * cells); the Gram frame is localCheckpointed ONCE and every
+    * iteration, the trace, and the Rayleigh quotient run on that
+    * bounded frame with the current iterate broadcast — zero further
+    * corpus scans, zero windows, no driver collect. */
+  lazy val q169PcaPower: QueryDef = {
+    val ROUNDS = 8
+    val VSCALE = 1000 // per-round max-abs renormalization target
+    val iterCtes = (1 to ROUNDS).map { t =>
+      s"""u$t AS MATERIALIZED (
+         |  SELECT g.i, sum(g.gv * v.val) AS u
+         |  FROM g JOIN v${t - 1} v ON v.i = g.j GROUP BY g.i),
+         |m$t AS (SELECT CAST(max(abs(u)) AS DOUBLE) AS mx FROM u$t),
+         |v$t AS MATERIALIZED (
+         |  SELECT i, CASE WHEN mx > 0
+         |    THEN CAST(floor($VSCALE.0 * CAST(u AS DOUBLE) / mx) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS val
+         |  FROM u$t, m$t)""".stripMargin
+    }.mkString(",\n")
+    QueryDef(
+      "q169_pca_power",
+      s"""WITH ${Learn.ptsCte},
+         |g AS MATERIALIZED (
+         |  SELECT a.pos AS i, b.pos AS j, sum(a.q * b.q) AS gv
+         |  FROM pts a JOIN pts b USING (vec_id) GROUP BY 1, 2),
+         |v0 AS (SELECT 1 AS i, CAST($VSCALE AS BIGINT) AS val),
+         |$iterCtes,
+         |tr AS (SELECT sum(gv) AS trace FROM g WHERE i = j),
+         |vtv AS (SELECT sum(CAST(val AS HUGEINT) * val) AS vv FROM v$ROUNDS),
+         |rq AS (
+         |  SELECT sum(va.val * g.gv * vb.val) AS r
+         |  FROM g JOIN v$ROUNDS va ON va.i = g.i JOIN v$ROUNDS vb ON vb.i = g.j)
+         |SELECT CAST(v.i AS BIGINT) AS d, v.val AS v_milli,
+         |  CASE WHEN vtv.vv > 0 AND tr.trace > 0
+         |    THEN CAST(floor(1000000.0 * CAST(rq.r AS DOUBLE) /
+         |      (CAST(vtv.vv AS DOUBLE) * CAST(tr.trace AS DOUBLE))) AS BIGINT)
+         |    END AS evr_ppm
+         |FROM v$ROUNDS v, tr, vtv, rq ORDER BY d""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val pts = Learn.points(Tables.embeddings(s, dir))
+      val g = pts.as("a").join(pts.as("b"), Seq("vec_id"))
+        .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
+        .agg(sum(dec(col("a.q")) * dec(col("b.q"))).as("gv"))
+        .localCheckpoint()
+      var v = Seq((1, 1000L)).toDF("vi", "val")
+      for (_ <- 1 to ROUNDS) {
+        val u = g.join(broadcast(v), col("j") === col("vi"))
+          .groupBy(col("i")).agg(sum(col("gv") * col("val")).as("u"))
+        val m = u.agg(max(abs(col("u"))).cast("double").as("mx"))
+        v = u.crossJoin(broadcast(m))
+          .select(col("i").as("vi"),
+            when(col("mx") > 0,
+              floor(lit(VSCALE.toDouble) * col("u").cast("double") / col("mx"))
+                .cast("long"))
+              .otherwise(lit(0L)).as("val"))
+          .localCheckpoint() // 64-row frame; cut the per-round lineage
+      }
+      val tr = g.filter(col("i") === col("j")).agg(sum(col("gv")).as("trace"))
+      val vtv = v.agg(sum(dec(col("val")) * dec(col("val"))).as("vv"))
+      val rq = g
+        .join(broadcast(v.select(col("vi").as("ia"), col("val").as("va"))),
+          col("i") === col("ia"))
+        .join(broadcast(v.select(col("vi").as("ib"), col("val").as("vb"))),
+          col("j") === col("ib"))
+        .agg(sum(dec(col("va")) * col("gv") * dec(col("vb"))).as("r"))
+      v.crossJoin(broadcast(tr)).crossJoin(broadcast(vtv))
+        .crossJoin(broadcast(rq))
+        .select(col("vi").cast("bigint").as("d"), col("val").as("v_milli"),
+          when(col("vv") > 0 && col("trace") > 0,
+            floor(lit(1000000.0) * col("r").cast("double") /
+              (col("vv").cast("double") * col("trace").cast("double")))
+              .cast("long")).as("evr_ppm"))
+        .orderBy("d")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q122Spmm, q124GroupRegression, q169PcaPower)
 }

@@ -1004,10 +1004,120 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q168 — classifier evaluation metrics over the q22 lang-id
+    * confusion matrix: per-class precision/recall/F1 plus multi-class
+    * Cohen's κ — chance-corrected agreement between the trigram
+    * classifier and the gold `lang` labels. q22 ships the raw matrix;
+    * this is the metrics layer a model-quality dashboard actually
+    * reads (and the same algebra scores any annotator pair, which is
+    * how inter-rater agreement is audited on labeling pipelines).
+    *
+    * Exactness: the confusion matrix is integer counts; precision/
+    * recall are ppm floor-divs and F1 = (2·tp)/(actual+pred) is an
+    * exact milli floor-div — all guarded against empty margins. κ is
+    * the ONE float step: its quadratic terms n·Σdiag, Σ rowₖ·colₖ, n²
+    * exceed int64 at ~10¹⁰ docs, so they ride DECIMAL(38)/HUGEINT
+    * (q154 contract) into a single floor(1000·num/den) IEEE chain —
+    * κ < 0 is possible (worse-than-chance) and floor, unlike integer
+    * division, agrees across engines on negatives.
+    *
+    * Scale design (100 TB): everything downstream of q22's matrix
+    * (bounded: ≤ (|langs|+1)² cells) is broadcast-sized algebra; the
+    * corpus cost is q22's own scale-safe pipeline, reused via its
+    * build function — one definition, two gates. */
+  lazy val q168ClassifierEval: QueryDef = QueryDef(
+    "q168_classifier_eval",
+    """WITH grams AS (
+      |  SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS g
+      |  FROM documents, unnest(range(1, len(text)-1)) AS t(i)
+      |  WHERE len(text) >= 3),
+      |prof AS (
+      |  SELECT lang, g FROM (
+      |    SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g) AS rn
+      |    FROM grams WHERE doc_id % 5 < 4 GROUP BY lang, g) WHERE rn <= 200),
+      |test AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 5 = 4),
+      |scores AS (
+      |  SELECT t.doc_id, p.lang AS cand, count(*) AS hits
+      |  FROM test t JOIN prof p ON t.g = p.g GROUP BY t.doc_id, p.lang),
+      |best AS (
+      |  SELECT doc_id, cand AS pred FROM (
+      |    SELECT doc_id, cand, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand) AS rn
+      |    FROM scores) WHERE rn = 1),
+      |cm AS (
+      |  SELECT d.lang AS actual, coalesce(b.pred, 'unknown') AS pred,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 4) d
+      |  LEFT JOIN best b USING (doc_id) GROUP BY 1, 2),
+      |ra AS (SELECT actual AS cls, CAST(sum(n) AS BIGINT) AS n_actual FROM cm GROUP BY actual),
+      |rp AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS n_pred FROM cm GROUP BY pred),
+      |marg AS (
+      |  SELECT coalesce(ra.cls, rp.cls) AS cls,
+      |    coalesce(n_actual, 0) AS n_actual, coalesce(n_pred, 0) AS n_pred
+      |  FROM ra FULL OUTER JOIN rp ON ra.cls = rp.cls),
+      |tp AS (SELECT actual AS cls, CAST(sum(n) AS BIGINT) AS tp FROM cm
+      |       WHERE actual = pred GROUP BY actual),
+      |tot AS (
+      |  SELECT (SELECT CAST(sum(n) AS BIGINT) FROM cm) AS n_tot,
+      |    (SELECT CAST(coalesce(sum(tp), 0) AS BIGINT) FROM tp) AS diag,
+      |    (SELECT sum(CAST(n_actual AS HUGEINT) * n_pred) FROM marg) AS pe_num),
+      |k AS (
+      |  SELECT CASE WHEN CAST(n_tot AS HUGEINT) * n_tot - pe_num <> 0
+      |    THEN CAST(floor(1000.0 *
+      |      CAST(CAST(n_tot AS HUGEINT) * diag - pe_num AS DOUBLE) /
+      |      CAST(CAST(n_tot AS HUGEINT) * n_tot - pe_num AS DOUBLE)) AS BIGINT)
+      |    END AS kappa_milli
+      |  FROM tot)
+      |SELECT m.cls, m.n_actual, m.n_pred, coalesce(t.tp, 0) AS tp,
+      |  CASE WHEN m.n_pred > 0 THEN (1000000 * coalesce(t.tp, 0)) // m.n_pred END AS prec_ppm,
+      |  CASE WHEN m.n_actual > 0 THEN (1000000 * coalesce(t.tp, 0)) // m.n_actual END AS rec_ppm,
+      |  CASE WHEN m.n_actual + m.n_pred > 0
+      |       THEN (2000 * coalesce(t.tp, 0)) // (m.n_actual + m.n_pred) END AS f1_milli,
+      |  k.kappa_milli
+      |FROM marg m LEFT JOIN tp t ON t.cls = m.cls, k
+      |ORDER BY m.cls""".stripMargin) { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cm = q22LangId.build(s, dir)
+      .select(col("actual"), col("pred"), col("n"))
+      .localCheckpoint() // bounded (|langs|+1)^2 frame; one derivation
+    val ra = cm.groupBy(col("actual").as("cls")).agg(sum(col("n")).as("n_actual"))
+    val rp = cm.groupBy(col("pred").as("cls")).agg(sum(col("n")).as("n_pred"))
+    val marg = ra.join(rp, Seq("cls"), "full_outer")
+      .select(col("cls"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+    val tp = cm.filter(col("actual") === col("pred"))
+      .groupBy(col("actual").as("cls")).agg(sum(col("n")).as("tp"))
+    val tot = broadcast(
+      cm.agg(sum(col("n")).as("n_tot"),
+          sum(when(col("actual") === col("pred"), col("n")).otherwise(0L))
+            .as("diag"))
+        .crossJoin(marg.agg(
+          sum(dec(col("n_actual")) * dec(col("n_pred"))).as("pe_num"))))
+    val k = tot.select(
+      when(dec(col("n_tot")) * dec(col("n_tot")) - col("pe_num") =!= 0,
+        floor(lit(1000.0) *
+          (dec(col("n_tot")) * dec(col("diag")) - col("pe_num")).cast("double") /
+          (dec(col("n_tot")) * dec(col("n_tot")) - col("pe_num")).cast("double"))
+          .cast("long")).as("kappa_milli"))
+    marg.join(tp, Seq("cls"), "left")
+      .select(col("cls"), col("n_actual"), col("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .crossJoin(broadcast(k))
+      .select(col("cls"), col("n_actual"), col("n_pred"), col("tp"),
+        when(col("n_pred") > 0,
+          expr("(1000000 * tp) div n_pred")).as("prec_ppm"),
+        when(col("n_actual") > 0,
+          expr("(1000000 * tp) div n_actual")).as("rec_ppm"),
+        when(col("n_actual") + col("n_pred") > 0,
+          expr("(2000 * tp) div (n_actual + n_pred)")).as("f1_milli"),
+        col("kappa_milli"))
+      .orderBy("cls")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
       q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,
       q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob,
       q101Split, q108Collocations, q112VocabCoverage, q146FilterYield,
-      q148VocabGrowth, q167TempMixture)
+      q148VocabGrowth, q167TempMixture, q168ClassifierEval)
 }
