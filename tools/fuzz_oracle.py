@@ -41,6 +41,10 @@ QUERIES = [
     "q151_dedup_whatif", "q156_ohlc_bars", "q157_cohort_ltv",
     "q70_bm25", "q158_source_overlap", "q160_hybrid_rrf",
     "q161_admission_funnel",
+    # round-5 additions: span containment (text redraw), ACF/z-test/
+    # kappa IEEE chains, KM integer recurrence, sqrt mixture weights
+    "q162_containment", "q163_acf", "q164_survival", "q165_ab_test",
+    "q167_temp_mixture", "q168_classifier_eval",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
