@@ -1272,6 +1272,9 @@ object EventOps {
       .groupBy(col("o_orderdate").cast("date").as("d"))
       .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
         .cast("bigint")).cast("bigint").as("x"))
+      // the day axis feeds BOTH sides of the lag self-join —
+      // materialize once so the fact scan+aggregate runs once
+      .localCheckpoint()
     val lagged = daily
       .withColumn("lag", explode(array((1 to 7).map(lit(_)): _*)))
       .withColumn("d2", date_add(col("d"), col("lag")))

@@ -67,6 +67,50 @@ class ScalePlanAuditSpec extends AnyFunSuite {
         hashEx.mkString("\n"))
   }
 
+  test("q162 containment is an equi hash join on the compacted span key") {
+    val p = plan(graft.operators.Dedup.q162Containment)
+    assert(!p.contains("CartesianProduct"),
+      s"q162: quadratic pair join:\n$p")
+    assert(!p.contains("BroadcastNestedLoop"),
+      s"q162: nested-loop pair join:\n$p")
+    // the hot-key prune must stay a broadcast anti-join, never a
+    // shuffle of the span stream
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"q162: DF-cap prune is not a broadcast anti-join:\n$p")
+  }
+
+  test("q163 scans the fact table once: the day axis is materialized for both join sides") {
+    val p = plan(graft.operators.EventOps.q163Acf)
+    // daily is localCheckpointed — the executed plan joins two
+    // ExistingRDD reads of the SAME materialized day table; a parquet
+    // scan in the plan means a side re-derived the fact aggregate
+    assert(!p.contains("parquet"),
+      s"q163: a join side re-scans orders instead of reusing the day axis:\n$p")
+  }
+
+  test("q164's single-partition KM scan runs over the aggregated day axis, not events") {
+    val p = plan(graft.operators.EventOps.q164Survival)
+    // exactly one EXPLICIT single-partition repartition — the bounded
+    // lifetime-day frame feeding the sequential KM scan (the other
+    // SinglePartition exchanges are 1-row global-aggregate reductions)
+    val explicit = p.linesIterator
+      .count(l => l.contains("Exchange SinglePartition") && l.contains("REPARTITION_BY_NUM"))
+    assert(explicit == 1,
+      s"q164: expected ONE explicit SinglePartition repartition, got $explicit:\n$p")
+    // and the day-axis aggregation must exist below it: the fact rows
+    // were collapsed per lifetime day before any single-task stage
+    assert(p.contains("HashAggregate(keys=[t#"),
+      s"q164: no per-day aggregate before the sequential scan:\n$p")
+  }
+
+  test("q169's iterations ride the checkpointed Gram frame, never rescanning the corpus") {
+    val p = plan(graft.operators.Linalg.q169PcaPower)
+    assert(!p.contains("parquet"),
+      s"q169: final plan rescans the corpus — Gram checkpoint not reused:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"q169: no materialized frame in plan:\n$p")
+  }
+
   test("every ScaleRank window partitions by the chunk id, not a bare bounded key") {
     for ((q, sortKey) <- converted) {
       val p = plan(q)
