@@ -571,6 +571,52 @@ object StreamOps {
         col("n_tok") >= 20 && col("dup_ppm") < 600000L && col("bi_ppm") < 50000L)
   }
 
+  /** Streaming distribution-drift monitor (q143's total-variation
+    * audit as a live per-window signal): each tumbling window's
+    * per-type value histogram is compared against a static BASELINE
+    * distribution, emitting tv_ppm — the alarm a data-quality pager
+    * watches, where q143 is the offline forensic.
+    *
+    * Shape: the 16-bin histogram is ONE stateful aggregate with 16
+    * conditional counters + a total — O(1) state per live
+    * (window, type) — and the TV fold against the broadcast baseline
+    * (16 fixed |p−q| terms, all integer ppm arithmetic, identical to
+    * q143's) is a stateless projection AFTER the aggregate, so the
+    * comparison never adds state. Baseline is (event_type,
+    * b0..b15 ppm) — bounded, broadcast; at scale it comes from q143's
+    * reference half or any approved snapshot. */
+  def driftTv(events: DataFrame, baseline: DataFrame,
+      windowLen: String, delay: String): DataFrame = {
+    val bin = expr(
+      "least((cast(floor(value * 1000) as bigint) * 16) div 500000, 15L)")
+    val counters = (0 to 15).map(b =>
+      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b")) :+
+      count(lit(1)).as("n")
+    val tv = (0 to 15).map(b =>
+      s"abs((1000000 * c$b) div n - b$b)").mkString("(", " + ", ") div 2")
+    events
+      .withColumn("bin", bin)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(counters.head, counters.tail: _*)
+      .join(broadcast(baseline), Seq("event_type"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), expr(tv).as("tv_ppm"))
+  }
+
+  /** The q143-grid baseline for [[driftTv]]: per-type bin shares (ppm)
+    * of a reference frame, pivoted wide (b0..b15) for the broadcast
+    * join. Batch-side, bounded output. */
+  def driftBaseline(reference: DataFrame): DataFrame = {
+    val bin = expr(
+      "least((cast(floor(value * 1000) as bigint) * 16) div 500000, 15L)")
+    val shares = (0 to 15).map(b =>
+      expr(s"(1000000 * sum(if(bin = $b, 1L, 0L))) div count(1)").as(s"b$b"))
+    reference.withColumn("bin", bin)
+      .groupBy(col("event_type"))
+      .agg(shares.head, shares.tail: _*)
+  }
+
   def rollingZscore(spark: SparkSession, events: Dataset[AsofEvent],
       windowSize: Int = 10, minN: Int = 5): Dataset[ZOut] = {
     import spark.implicits._

@@ -636,4 +636,55 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(got.exists(t => t._2 == "view" && t._3 == 7000L && t._6 == 5000L))
     } finally q.stop()
   }
+
+  test("driftTv finalized windows agree with the batch grid; in-distribution windows read zero") {
+    implicit val sqlCtx = spark.sqlContext
+    // baseline: click mass on bins 3/12/14, view entirely on bin 3
+    val baseRef = Seq(
+      (ts(0), "click", 100.0), (ts(0), "click", 400.0), (ts(0), "click", 450.0),
+      (ts(0), "view", 100.0))
+      .toDF("ts", "event_type", "value")
+    val baseline = StreamOps.driftBaseline(baseRef)
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.driftTv(df, baseline, "15 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // click window shifts mass to bins 3/13/15; view matches baseline
+      val data = Seq(
+        (ts(1), "click", 100.0), (ts(3), "click", 420.0),
+        (ts(5), "click", 900.0), (ts(2), "view", 100.0))
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData((ts(60), "view", 1.0)) // advance watermark past the window
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        ((r.getTimestamp(0).getTime - Base) / 60000, r.getString(1),
+          r.getLong(2), r.getLong(3))
+      val got = spark.table("drift_out").collect().map(key).toSet
+      // batch twin: identical histogram + TV fold on the same rows
+      val bin = expr("least((cast(floor(value * 1000) as bigint) * 16) div 500000, 15L)")
+      val counters = (0 to 15).map(b =>
+        sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b")) :+
+        count(lit(1)).as("n")
+      val tv = (0 to 15).map(b =>
+        s"abs((1000000 * c$b) div n - b$b)").mkString("(", " + ", ") div 2")
+      val batch = data.toDF("ts", "event_type", "value")
+        .withColumn("bin", bin)
+        .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+        .agg(counters.head, counters.tail: _*)
+        .join(baseline, Seq("event_type"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), expr(tv).as("tv_ppm"))
+        .collect().map(key).toSet
+      assert(batch.subsetOf(got), s"missing: ${batch.diff(got)}")
+      // the shifted click window alarms; the in-distribution view
+      // window reads exactly zero (same proportions -> same ppm floor)
+      assert(got.exists(t => t._2 == "click" && t._4 > 300000L),
+        s"click drift not flagged: $got")
+      assert(got.exists(t => t._2 == "view" && t._4 == 0L),
+        s"view window should read zero drift: $got")
+    } finally q.stop()
+  }
 }
