@@ -548,8 +548,90 @@ object DataProfile {
       .orderBy("event_type")
   }
 
+  /** q172 — robust outlier audit via median absolute deviation: per
+    * event type, the (lower) median of the milli-unit values, the MAD
+    * around it, and how many rows a 3-modified-z-score fence flags —
+    * the Tukey-fence sibling of q106 that survives the heavy tails
+    * where mean/stddev fences (q113's z-score) drown. All int64: the
+    * modified z test |x−med|/(1.4826·MAD) > 3 is cross-multiplied to
+    * 10000·dev > 44478·mad, so no float exists to disagree on.
+    *
+    * Both medians are the q144 crossing formulation (min value whose
+    * doubled running count reaches the total) over a UNIQUE
+    * (value, event_id) order — deterministic even with ties.
+    *
+    * Scale design (100 TB): event_type is a bounded key (a handful of
+    * values), so a running-count WINDOW would sort a constant fraction
+    * of the table in one task; both prefix passes run through
+    * [[ScaleRank.withRunningSum]] (range-chunk local sums + broadcast
+    * chunk offsets — every task bounded by a range chunk), the q144
+    * discipline. The deviation pass re-scans the fact rows once more
+    * against the broadcast 1-row-per-type median — unavoidable for an
+    * exact MAD, which is inherently two-pass. */
+  val q172MadOutliers: QueryDef = QueryDef(
+    "q172_mad_outliers",
+    """WITH r AS (
+      |  SELECT event_type AS etype,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v, event_id
+      |  FROM events),
+      |t AS (SELECT etype, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1),
+      |c1 AS (
+      |  SELECT etype, v,
+      |    CAST(count(*) OVER (PARTITION BY etype ORDER BY v, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+      |  FROM r),
+      |m AS (
+      |  SELECT c1.etype, t.n, min(c1.v) AS med
+      |  FROM c1 JOIN t USING (etype)
+      |  WHERE 2 * c1.cw >= t.n GROUP BY 1, 2),
+      |d AS (
+      |  SELECT r.etype, abs(r.v - m.med) AS dev, r.event_id, m.n
+      |  FROM r JOIN m USING (etype)),
+      |c2 AS (
+      |  SELECT etype, dev, n,
+      |    CAST(count(*) OVER (PARTITION BY etype ORDER BY dev, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+      |  FROM d),
+      |md AS (
+      |  SELECT etype, n, min(dev) AS mad FROM c2
+      |  WHERE 2 * cw >= n GROUP BY 1, 2)
+      |SELECT m.etype, m.n, m.med AS median_milli, md.mad AS mad_milli,
+      |  CAST(sum(CASE WHEN 10000 * d.dev > 44478 * md.mad
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN md USING (etype) JOIN m ON m.etype = d.etype
+      |GROUP BY 1, 2, 3, 4 ORDER BY m.etype""".stripMargin) { (s, dir) =>
+    val r = Tables.events(s, dir)
+      .select(col("event_type").as("etype"),
+        floor(col("value") * 1000).cast("bigint").as("v"),
+        col("event_id"))
+    val t = r.groupBy(col("etype")).agg(count(lit(1)).as("n"))
+    val med = ScaleRank.withRunningSum(r, Seq("etype"),
+        Seq(col("v"), col("event_id")), lit(1L), "cw")
+      .join(broadcast(t), Seq("etype"))
+      .filter(lit(2) * col("cw") >= col("n"))
+      .groupBy(col("etype"), col("n"))
+      .agg(min(col("v")).as("med"))
+    val d = r.join(broadcast(med), Seq("etype"))
+      .select(col("etype"), abs(col("v") - col("med")).as("dev"),
+        col("event_id"), col("n"))
+    val mad = ScaleRank.withRunningSum(d, Seq("etype"),
+        Seq(col("dev"), col("event_id")), lit(1L), "cw")
+      .filter(lit(2) * col("cw") >= col("n"))
+      .groupBy(col("etype"), col("n"))
+      .agg(min(col("dev")).as("mad"))
+    d.join(broadcast(mad.select(col("etype"), col("mad"))), Seq("etype"))
+      .groupBy(col("etype"))
+      .agg(sum(when(lit(10000) * col("dev") > lit(44478) * col("mad"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .join(med, Seq("etype"))
+      .join(mad.select(col("etype"), col("mad")), Seq("etype"))
+      .select(col("etype"), col("n"), col("med").as("median_milli"),
+        col("mad").as("mad_milli"), col("n_outliers"))
+      .orderBy("etype")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
-      q131Reconciliation, q136GapRanges, q143DriftTv)
+      q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers)
 }

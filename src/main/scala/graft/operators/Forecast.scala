@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series smoothing and repair over the fact tables — the
+  * forecasting-adjacent half of the monitoring family ([[EventOps]]
+  * owns the descriptive side: ACF q163, seasonality q134, OHLC q156).
+  *
+  * Exactness contract: both operators are pure int64 arithmetic.
+  * q170's smoothing weights are dyadic (powers of two), so the
+  * weighted mean is an exact integer ratio — no float accumulates
+  * anywhere; q171's interpolation is the exact rational
+  * v1·(d2−d) + v2·(d−d1) over (d2−d1), floor-divided with a
+  * provably non-negative numerator (events.value ≥ 0 is pinned by
+  * OracleInvariantsSpec), so Spark `div` ≡ DuckDB `//` holds.
+  *
+  * Reference anchor: the reference pipeline materializes per-entity
+  * monthly series (ym format, /root/reference/utils/transforms.py) but
+  * has no smoothing/repair stage — these extend that series surface
+  * with the standard next steps a finance warehouse runs on them.
+  */
+object Forecast {
+
+  /** q170 — dyadic EWMA over each customer's order history: trailing
+    * exponentially-weighted mean of the last 8 order totals with
+    * weights 2⁷,2⁶,…,2⁰ (most-recent heaviest, α = 1/2), the classic
+    * smoother for spend-trend scoring. Weights are powers of two and
+    * amounts are exact cents, so the smoothed value is an exact
+    * integer ratio: num = Σ 2^(7−d)·centsₜ₋d, den = Σ 2^(7−d) over
+    * the lags that exist (short prefixes simply renormalize — no
+    * warm-up bias, no float drift, identical under any partitioning).
+    *
+    * Scale design (100 TB): rank is a per-customer window
+    * (unbounded key cardinality — every task holds one hash range of
+    * customers, never a constant fraction of the table). The lag
+    * expansion is a projection (explode of an 8-literal array), and
+    * the self-join is an equi-join on (customer, rank) — both sides
+    * hash-partition on the same composite key, one exchange each, no
+    * skew (per-customer order counts are bounded). Compare q163,
+    * which runs the same shape on the day axis; here the axis is
+    * per-customer, so nothing ever collapses to a single task. */
+  val q170Ewma: QueryDef = QueryDef(
+    "q170_ewma",
+    """WITH r AS (
+      |  SELECT o_custkey AS cust,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders),
+      |p AS (
+      |  SELECT a.cust, a.rn, a.cents,
+      |    CAST(sum((1 << (7 - l.d)) * b.cents) AS BIGINT) AS num,
+      |    CAST(sum(1 << (7 - l.d)) AS BIGINT) AS den
+      |  FROM r a
+      |  CROSS JOIN unnest([0,1,2,3,4,5,6,7]) AS l(d)
+      |  JOIN r b ON b.cust = a.cust AND b.rn = a.rn - l.d
+      |  GROUP BY 1, 2, 3)
+      |SELECT cust, rn, cents, num // den AS ewma_cents
+      |FROM p ORDER BY cust, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("cust"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val r = Tables.orders(s, dir)
+      .select(col("o_custkey").as("cust"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("bigint").as("cents"),
+        col("o_orderdate"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .select(col("cust"), col("cents"), col("rn"))
+    val a = r
+      .withColumn("d", explode(array((0 to 7).map(lit(_)): _*)))
+      .select(col("cust"), col("rn"), col("cents"),
+        (col("rn") - col("d")).as("rn_src"),
+        expr("cast(shiftleft(1, 7 - d) as bigint)").as("wgt"))
+    val b = r.select(col("cust"), col("rn").as("rn_src"),
+      col("cents").as("cents_src"))
+    a.join(b, Seq("cust", "rn_src"))
+      .groupBy(col("cust"), col("rn"), col("cents"))
+      .agg(sum(col("wgt") * col("cents_src")).as("num"),
+        sum(col("wgt")).as("den"))
+      .select(col("cust"), col("rn"), col("cents"),
+        expr("num div den").as("ewma_cents"))
+      .orderBy("cust", "rn")
+  }
+
+  /** q171 — linear interpolation of missing days in each user's daily
+    * event-value series: for every calendar gap strictly inside a
+    * user's observed range, emit the straight-line value between the
+    * bracketing observed days — the standard series-repair step
+    * before any fixed-step model (q163's ACF, q134's seasonality)
+    * consumes an irregular series. Only the imputed rows are emitted
+    * (observed days pass through unchanged elsewhere, so the output
+    * IS the repair delta).
+    *
+    * Exactness: daily totals in exact milli-units (the q114
+    * contract), days as epoch-day integers; the interpolated value is
+    * the exact rational v1·(d2−d) + v2·(d−d1) over (d2−d1) —
+    * numerator non-negative (values ≥ 0, pinned invariant), so
+    * truncating and flooring division agree across engines.
+    *
+    * Scale design (100 TB): one partial-aggregable groupBy collapses
+    * the fact table to the (user, day) grid; the lead() window and
+    * everything after run per user (unbounded key — no bounded-key
+    * window), and gap expansion is a projection (explode of an
+    * in-row sequence), never a join. */
+  val q171Interpolate: QueryDef = QueryDef(
+    "q171_interpolate",
+    """WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+      |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT user_id, d AS d1, v AS v1,
+      |    lead(d) OVER (PARTITION BY user_id ORDER BY d) AS d2,
+      |    lead(v) OVER (PARTITION BY user_id ORDER BY d) AS v2
+      |  FROM daily),
+      |gaps AS (
+      |  SELECT * FROM g WHERE d2 IS NOT NULL AND d2 - d1 > 1)
+      |SELECT user_id, t.day AS day,
+      |  (v1 * (d2 - t.day) + v2 * (t.day - d1)) // (d2 - d1) AS interp_milli
+      |FROM gaps, unnest(range(d1 + 1, d2)) AS t(day)
+      |ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(floor(col("value") * 1000).cast("bigint")).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d1"))
+    daily.select(col("user_id"), col("d").as("d1"), col("v").as("v1"))
+      .withColumn("d2", lead(col("d1"), 1).over(w))
+      .withColumn("v2", lead(col("v1"), 1).over(w))
+      .filter(col("d2").isNotNull && col("d2") - col("d1") > 1)
+      .withColumn("day",
+        explode(sequence(col("d1") + 1, col("d2") - 1)))
+      .select(col("user_id"), col("day"),
+        expr("(v1 * (d2 - day) + v2 * (day - d1)) div (d2 - d1)")
+          .as("interp_milli"))
+      .orderBy("user_id", "day")
+  }
+
+  val all: Seq[QueryDef] = Seq(q170Ewma, q171Interpolate)
+}

@@ -188,6 +188,228 @@ object Learn {
     * table — K·|labels| rows, so the majority-pick window runs on a
     * bounded aggregate frame (the documented exception to the
     * no-bounded-key-window rule), never on fact rows. */
+  /** q173 — decision-stump search: the best single-feature threshold
+    * split of the labeled embedding corpus by information gain, over
+    * the first four dimensions with int8-style coarse thresholds
+    * (micro-units bucketed to a 125000-wide grid — the q45
+    * quantization idea as split candidates). The one-node tree is the
+    * classic "is there ANY signal in this feature?" screen run before
+    * spending on a real model, and the per-(dim, threshold, label)
+    * count cube it builds is the same sufficient statistic a full
+    * tree trainer consumes.
+    *
+    * Exactness: all counts are int64; every entropy term is computed
+    * from exact integer counts as ONE IEEE chain
+    * floor(1e9 · (c/n) · ln(·)) and floored to integer nano-nats
+    * BEFORE summing (the q83 discipline — floor-then-sum is
+    * order-free, so no float accumulation order can diverge). The
+    * identity used: gain = H_parent − Σ_{side,label} (c/n)·ln(n_side/c),
+    * each term non-negative.
+    *
+    * Scale design (100 TB): the only fact-sized work is the
+    * (dim, bucket, label) count cube — a partial-aggregable groupBy
+    * over 4/64ths of the exploded coordinates. Thresholds are the
+    * cube's own distinct buckets (≤ ~17 per dim at any corpus size —
+    * the grid is fixed, not data-sized), so the candidate × label
+    * grid and every join after the cube is driver-trivial broadcast
+    * work. Compare a naive per-threshold scan: |dims|·|thresholds|
+    * passes over the corpus vs exactly one here. */
+  val q173Stump: QueryDef = {
+    val oracle =
+      s"""WITH $ptsCte,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |cube AS (
+         |  SELECT p.pos,
+         |    (p.q - ((p.q % 125000 + 125000) % 125000)) // 125000 AS qb,
+         |    l.label, CAST(count(*) AS BIGINT) AS c
+         |  FROM pts p JOIN lab l USING (vec_id)
+         |  WHERE p.pos <= 4 GROUP BY 1, 2, 3),
+         |pc AS (SELECT label, CAST(sum(c) AS BIGINT) AS cp
+         |       FROM cube WHERE pos = 1 GROUP BY 1),
+         |n AS (SELECT CAST(sum(cp) AS BIGINT) AS n FROM pc),
+         |hp AS (
+         |  SELECT CAST(sum(CAST(floor(1000000000.0 *
+         |      (-((CAST(cp AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+         |          ln(CAST(cp AS DOUBLE) / CAST(n.n AS DOUBLE))))) AS BIGINT))
+         |    AS BIGINT) AS hp_nn
+         |  FROM pc, n),
+         |thr AS (SELECT DISTINCT pos, qb AS t FROM cube),
+         |lc AS (
+         |  SELECT th.pos, th.t, pc.label, pc.cp,
+         |    CAST(coalesce(sum(cu.c), 0) AS BIGINT) AS cl
+         |  FROM thr th CROSS JOIN pc
+         |  LEFT JOIN cube cu
+         |    ON cu.pos = th.pos AND cu.label = pc.label AND cu.qb <= th.t
+         |  GROUP BY 1, 2, 3, 4),
+         |nl AS (SELECT pos, t, CAST(sum(cl) AS BIGINT) AS nl
+         |       FROM lc GROUP BY 1, 2),
+         |terms AS (
+         |  SELECT lc.pos, lc.t,
+         |    CAST(sum(
+         |      CASE WHEN lc.cl > 0 THEN
+         |        CAST(floor(1000000000.0 *
+         |          ((CAST(lc.cl AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+         |           ln(CAST(nl.nl AS DOUBLE) / CAST(lc.cl AS DOUBLE)))) AS BIGINT)
+         |      ELSE 0 END +
+         |      CASE WHEN lc.cp - lc.cl > 0 THEN
+         |        CAST(floor(1000000000.0 *
+         |          ((CAST(lc.cp - lc.cl AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+         |           ln(CAST(n.n - nl.nl AS DOUBLE) /
+         |              CAST(lc.cp - lc.cl AS DOUBLE)))) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS child_nn
+         |  FROM lc JOIN nl USING (pos, t), n
+         |  GROUP BY 1, 2)
+         |SELECT tm.pos, tm.t AS thr, nl.nl AS n_left,
+         |  n.n - nl.nl AS n_right, hp.hp_nn - tm.child_nn AS gain_nn
+         |FROM terms tm JOIN nl USING (pos, t), n, hp
+         |ORDER BY gain_nn DESC, tm.pos, thr LIMIT 5""".stripMargin
+    QueryDef("q173_stump", oracle) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val lab = emb.select(col("vec_id"), col("label"))
+      val cube = points(emb).filter(col("pos") <= 4)
+        .join(lab, Seq("vec_id"))
+        .groupBy(col("pos"),
+          expr("(q - pmod(q, 125000)) div 125000").as("qb"),
+          col("label"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val pc = cube.filter(col("pos") === 1)
+        .groupBy(col("label")).agg(sum(col("c")).as("cp"))
+      val nTot = pc.agg(sum(col("cp")).as("n"))
+      val pD = col("cp").cast("double") / col("n").cast("double")
+      val hp = pc.crossJoin(broadcast(nTot))
+        .select(floor(lit(1000000000.0) * (-(pD * log(pD))))
+          .cast("bigint").as("t_nn"))
+        .agg(sum(col("t_nn")).as("hp_nn"))
+      val thr = cube.select(col("pos"), col("qb").as("t")).distinct()
+      val lcx = thr.as("th").crossJoin(broadcast(pc.as("pc")))
+        .join(cube.as("cu"),
+          col("cu.pos") === col("th.pos") &&
+            col("cu.label") === col("pc.label") &&
+            col("cu.qb") <= col("th.t"), "left")
+        .groupBy(col("th.pos").as("pos"), col("th.t").as("t"),
+          col("pc.label").as("label"), col("pc.cp").as("cp"))
+        .agg(coalesce(sum(col("cu.c")), lit(0L)).as("cl"))
+      val nlF = lcx.groupBy(col("pos"), col("t")).agg(sum(col("cl")).as("nl"))
+      val base = lcx.join(nlF, Seq("pos", "t")).crossJoin(broadcast(nTot))
+      val dl = col("cl").cast("double") / col("n").cast("double")
+      val dr = (col("cp") - col("cl")).cast("double") / col("n").cast("double")
+      val terms = base.select(col("pos"), col("t"),
+          (when(col("cl") > 0,
+            floor(lit(1000000000.0) * (dl *
+              log(col("nl").cast("double") / col("cl").cast("double"))))
+              .cast("bigint")).otherwise(0L) +
+           when(col("cp") - col("cl") > 0,
+            floor(lit(1000000000.0) * (dr *
+              log((col("n") - col("nl")).cast("double") /
+                (col("cp") - col("cl")).cast("double"))))
+              .cast("bigint")).otherwise(0L)).as("t_nn"))
+        .groupBy(col("pos"), col("t"))
+        .agg(sum(col("t_nn")).as("child_nn"))
+      terms.join(nlF, Seq("pos", "t"))
+        .crossJoin(broadcast(nTot)).crossJoin(broadcast(hp))
+        .select(col("pos").cast("bigint").as("pos"),
+          col("t").as("thr"), col("nl").as("n_left"),
+          (col("n") - col("nl")).as("n_right"),
+          (col("hp_nn") - col("child_nn")).as("gain_nn"))
+        .orderBy(col("gain_nn").desc, col("pos"), col("thr"))
+        .limit(5)
+    }
+  }
+
+  /** q174 — selective-prediction audit of the q96 nearest-centroid
+    * classifier: each test point's relative margin (d2−d1)/d2 between
+    * its two best centroids (0 = ambiguous, →1 = winner far clear) is
+    * binned at 1%-of-margin granularity, and each bin reports
+    * observed accuracy — the reliability curve that decides whether
+    * margin can ROUTE data (auto-accept high-margin, send low-margin
+    * to review/active sampling). A classifier whose accuracy is flat
+    * across margin bins has uninformative scores no matter how
+    * accurate it is overall.
+    *
+    * Exactness: distances are the integer-quantized q96 chain; the
+    * margin ratio is ONE IEEE chain floor(1e6·(d2−d1)/d2) over int64
+    * exactly representable in double (≤ 5.2e14 < 2⁵³), with the
+    * degenerate d2=0 case pinned to 0 before any float; bins and
+    * per-bin accuracy are non-negative integer floor-divs.
+    *
+    * Scale design (100 TB): centroids broadcast (the corpus never
+    * shuffles for assignment), the two-best pick is a window over
+    * vec_id (unbounded key), and the report is a bounded-bin
+    * aggregate. */
+  val q174Calibration: QueryDef = {
+    val oracle =
+      s"""WITH $ptsCte,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |ctrain AS (
+         |  SELECT l.label AS cid, p.pos, CAST(sum(p.q) // count(*) AS BIGINT) AS c
+         |  FROM pts p JOIN lab l USING (vec_id)
+         |  WHERE p.vec_id % 2 = 0
+         |  GROUP BY 1, 2),
+         |test AS (SELECT * FROM pts WHERE vec_id % 2 = 1),
+         |d AS (
+         |  SELECT p.vec_id, c.cid,
+         |    CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS dist
+         |  FROM test p JOIN ctrain c ON p.pos = c.pos
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT vec_id, cid, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM d),
+         |two AS (
+         |  SELECT a.vec_id, a.cid AS pred, a.dist AS d1, b.dist AS d2
+         |  FROM rk a JOIN rk b ON a.vec_id = b.vec_id
+         |  WHERE a.rn = 1 AND b.rn = 2),
+         |conf AS (
+         |  SELECT t.vec_id, t.pred, l.label,
+         |    CASE WHEN t.d2 = 0 THEN 0
+         |      ELSE CAST(floor(1000000.0 * CAST(t.d2 - t.d1 AS DOUBLE) /
+         |                      CAST(t.d2 AS DOUBLE)) AS BIGINT)
+         |    END AS margin_ppm
+         |  FROM two t JOIN lab l USING (vec_id))
+         |SELECT margin_ppm // 10000 AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(margin_ppm) AS BIGINT) // count(*) AS margin_avg_ppm,
+         |  (1000000 * CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END)
+         |    AS BIGINT)) // count(*) AS acc_ppm
+         |FROM conf GROUP BY 1 ORDER BY bin""".stripMargin
+    QueryDef("q174_calibration", oracle) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pts = points(emb).localCheckpoint()
+      val lab = emb.select(col("vec_id"), col("label"))
+      val ctrain = pts.filter(col("vec_id") % 2 === 0)
+        .join(lab, Seq("vec_id"))
+        .groupBy(col("label").as("cid"), col("pos"))
+        .agg(expr("sum(q) div count(1)").as("c"))
+      val d = pts.filter(col("vec_id") % 2 === 1)
+        .join(broadcast(ctrain), Seq("pos"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      val rk = d.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+      val two = rk.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("pred"), col("dist").as("d1"))
+        .join(rk.filter(col("rn") === 2)
+          .select(col("vec_id"), col("dist").as("d2")), Seq("vec_id"))
+      val conf = two.join(lab, Seq("vec_id"))
+        .select(col("pred"), col("label"),
+          when(col("d2") === 0, 0L)
+            .otherwise(floor(lit(1000000.0) *
+              (col("d2") - col("d1")).cast("double") /
+              col("d2").cast("double")).cast("bigint"))
+            .as("margin_ppm"))
+      conf.groupBy(expr("margin_ppm div 10000").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("margin_ppm")).as("smargin"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("ncorr"))
+        .select(col("bin"), col("n"),
+          expr("smargin div n").as("margin_avg_ppm"),
+          expr("(1000000 * ncorr) div n").as("acc_ppm"))
+        .orderBy("bin")
+    }
+  }
+
   val q159ClusterPurity: QueryDef = {
     val steps = (1 to ITERS).map { t =>
       val cent = if (t == 1) "c0" else s"c${t - 1}"
@@ -238,5 +460,6 @@ object Learn {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q95Kmeans, q96CentroidClassify, q159ClusterPurity)
+  val all: Seq[QueryDef] = Seq(q95Kmeans, q96CentroidClassify,
+    q159ClusterPurity, q173Stump, q174Calibration)
 }

@@ -1114,10 +1114,75 @@ object TextAnalysis {
       .orderBy("cls")
   }
 
+  /** q175 — corpus composition report: per language, document count,
+    * distinct-source count, the language's share of total corpus
+    * characters, and the Simpson concentration of its documents over
+    * sources (Σ pₛ² — 1/Simpson is the "effective number of sources"
+    * feeding that language). The one-page answer to "what does this
+    * corpus look like and is any language effectively single-sourced?"
+    * that a training-mix designer reads before weighting languages —
+    * complements q74 (which SAMPLES a target mixture) and q146 (which
+    * reports filter yield) with the upstream supply picture.
+    *
+    * Exactness: counts int64; char sums and squared source counts
+    * accumulate in DECIMAL(38)/HUGEINT (the q154 contract — at corpus
+    * scale Σchars·10⁶ and cnt² both pass int64), and each final ratio
+    * is ONE IEEE double division floored to ppm — identical chains
+    * both engines.
+    *
+    * Scale design (100 TB): one partial-aggregable pass builds the
+    * (lang, source) count/char table — the only fact-sized exchange;
+    * n_chars rides the same pass as a sum (the text column itself
+    * never moves). Everything after runs on |langs|·|sources| rows.
+    * count(DISTINCT source) per lang is exact over that aggregate,
+    * not over fact rows. */
+  val q175Composition: QueryDef = QueryDef(
+    "q175_composition",
+    """WITH ls AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY 1, 2),
+      |lg AS (
+      |  SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |    CAST(count(*) AS BIGINT) AS n_sources,
+      |    sum(CAST(chars AS HUGEINT)) AS chars,
+      |    sum(CAST(n_docs AS HUGEINT) * n_docs) AS ss
+      |  FROM ls GROUP BY 1),
+      |tot AS (SELECT sum(chars) AS tchars FROM lg)
+      |SELECT lang, n_docs, n_sources,
+      |  CAST(floor(1000000.0 * CAST(lg.chars AS DOUBLE) /
+      |             CAST(tot.tchars AS DOUBLE)) AS BIGINT) AS char_share_ppm,
+      |  CAST(floor(1000000.0 * CAST(lg.ss AS DOUBLE) /
+      |             (CAST(lg.n_docs AS DOUBLE) * CAST(lg.n_docs AS DOUBLE)))
+      |    AS BIGINT) AS simpson_ppm
+      |FROM lg, tot ORDER BY lang""".stripMargin) { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val ls = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    // the per-lang aggregate feeds BOTH the report and the total —
+    // materialize once (|langs| rows) so documents is scanned once
+    val lg = ls.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(dec(col("chars"))).as("chars"),
+        sum(dec(col("n_docs")) * dec(col("n_docs"))).as("ss"))
+      .localCheckpoint()
+    val tot = lg.agg(sum(col("chars")).as("tchars"))
+    lg.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        floor(lit(1000000.0) * col("chars").cast("double") /
+          col("tchars").cast("double")).cast("bigint").as("char_share_ppm"),
+        floor(lit(1000000.0) * col("ss").cast("double") /
+          (col("n_docs").cast("double") * col("n_docs").cast("double")))
+          .cast("bigint").as("simpson_ppm"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
       q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,
       q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob,
       q101Split, q108Collocations, q112VocabCoverage, q146FilterYield,
-      q148VocabGrowth, q167TempMixture, q168ClassifierEval)
+      q148VocabGrowth, q167TempMixture, q168ClassifierEval, q175Composition)
 }

@@ -210,4 +210,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q170: the lag expansion joins as a keyed equi-join, never a cartesian") {
+    val p = plan(graft.operators.Forecast.q170Ewma)
+    // (cust, rn_src) equi-join — both sides hash-partitioned, no
+    // nested-loop fallback from the lag arithmetic
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-customer rank window partitions by the unbounded key
+    assert(p.contains("hashpartitioning(cust"), p)
+  }
+
+  test("q171: gap expansion is a projection — one window, no join at all") {
+    val p = plan(graft.operators.Forecast.q171Interpolate)
+    assert(!p.contains("Join"), s"interpolation should be join-free:\n$p")
+    // two keyed exchanges total: the (user_id, d) daily aggregate and
+    // the per-user window — nothing else moves rows
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 user_id-keyed exchanges, got $exchanges\n$p")
+  }
+
+  test("q173: threshold scoring runs on broadcast aggregates — one fact-sized cube pass") {
+    val p = plan(graft.operators.Learn.q173Stump)
+    assert(!p.contains("CartesianProduct"), p)
+    // the count cube is localCheckpointed: downstream stages read the
+    // materialized RDD, never re-deriving the corpus explode
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p)
+  }
+
+  test("q174: centroid distances join broadcast; the two-best pick partitions by vec_id") {
+    val p = plan(graft.operators.Learn.q174Calibration)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("hashpartitioning(vec_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q175: one pass over documents; report stages never rescan the corpus") {
+    // the per-lang aggregate is localCheckpointed at build time (the
+    // single corpus scan); the report plan reads only the
+    // materialized frame — zero parquet scans survive in it
+    val p = plan(graft.operators.TextAnalysis.q175Composition)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0, s"expected no residual documents scan, got $scans\n$p")
+    assert(p.contains("ExistingRDD"), p)
+  }
 }

@@ -26,7 +26,8 @@ class ScalePlanAuditSpec extends AnyFunSuite {
     (graft.operators.DataProfile.q129EquiDepth, "pri"),
     (graft.operators.Segmentation.q133Gini, "cents"),
     (graft.operators.EventOps.q138PeakConcurrency, "delta"),
-    (CoreQueries.q144WeightedMedian, "cents"))
+    (CoreQueries.q144WeightedMedian, "cents"),
+    (graft.operators.DataProfile.q172MadOutliers, "v"))
 
   test("converted queries range-chunk their rank/prefix stage") {
     for ((q, _) <- converted) {

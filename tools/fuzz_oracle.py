@@ -45,6 +45,10 @@ QUERIES = [
     # kappa IEEE chains, KM integer recurrence, sqrt mixture weights
     "q162_containment", "q163_acf", "q164_survival", "q165_ab_test",
     "q167_temp_mixture", "q168_classifier_eval",
+    # dyadic EWMA + interpolation + MAD ride redrawn money/values;
+    # composition rides the documents redraw (HUGEINT/double shares)
+    "q170_ewma", "q171_interpolate", "q172_mad_outliers",
+    "q175_composition",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
