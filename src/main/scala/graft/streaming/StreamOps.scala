@@ -617,6 +617,51 @@ object StreamOps {
       .agg(shares.head, shares.tail: _*)
   }
 
+  final case class EwmaState(window: Seq[Long])
+  final case class EwmaOut(
+      user_id: Long, event_id: Long, value_milli: Long, ewma_milli: Long)
+
+  /** Streaming dyadic EWMA — q170's trailing smoother as it runs in
+    * production: state per user is the last `depth` milli-quantized
+    * values; each arriving event emits the exact power-of-two-weighted
+    * trailing mean including itself (newest weight 2^(depth−1), short
+    * prefixes renormalize). num/den are int64 and both non-negative,
+    * so the emitted ratio is the same truncating division the batch
+    * rank-join computes — bit-agreement for in-order arrival.
+    *
+    * O(depth) longs per active key; at fleet scale add an event-time
+    * TTL (asofEnrich's pattern) to expire dormant keys. */
+  def ewma(spark: SparkSession, events: Dataset[AsofEvent],
+      depth: Int = 8): Dataset[EwmaOut] = {
+    import spark.implicits._
+
+    def fn(userId: Long, rows: Iterator[AsofEvent],
+        state: GroupState[EwmaState]): Iterator[EwmaOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var buf = state.getOption.map(_.window.toVector).getOrElse(Vector.empty[Long])
+      val out = List.newBuilder[EwmaOut]
+      sorted.foreach { e =>
+        val v = math.floor(e.value * 1000).toLong
+        buf = (buf :+ v).takeRight(depth)
+        var num = 0L
+        var den = 0L
+        var i = 0
+        while (i < buf.size) {
+          val w = 1L << (depth - 1 - (buf.size - 1 - i)) // newest heaviest
+          num += w * buf(i); den += w; i += 1
+        }
+        out += EwmaOut(userId, e.event_id, v, num / den)
+      }
+      state.update(EwmaState(buf))
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   def rollingZscore(spark: SparkSession, events: Dataset[AsofEvent],
       windowSize: Int = 10, minN: Int = 5): Dataset[ZOut] = {
     import spark.implicits._

@@ -299,6 +299,44 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ewma agrees with a batch rank-join of the same dyadic smoother") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.AsofEvent]
+    val q = StreamOps.ewma(spark, in.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      eventChunks(3).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("ewma_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // batch reference: the q170 lag-join shape over the same events
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val r = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 1000).cast("bigint").as("v"),
+          col("ts"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w).cast("bigint"))
+        .select(col("user_id"), col("event_id"), col("v"), col("rn"))
+      val a = r.withColumn("d",
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.array((0 to 7).map(lit(_)): _*)))
+        .select(col("user_id"), col("event_id"), col("v"), col("rn"),
+          (col("rn") - col("d")).as("rn_src"),
+          org.apache.spark.sql.functions.expr("cast(shiftleft(1, 7 - d) as bigint)").as("wgt"))
+      val b = r.select(col("user_id"), col("rn").as("rn_src"), col("v").as("v_src"))
+      val batch = a.join(b, Seq("user_id", "rn_src"))
+        .groupBy(col("user_id"), col("event_id"), col("v"))
+        .agg(sum(col("wgt") * col("v_src")).as("num"), sum(col("wgt")).as("den"))
+        .select(col("user_id"), col("event_id"), col("v"),
+          org.apache.spark.sql.functions.expr("num div den").as("ewma"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"stream-batch: ${(streamed -- batch).take(5)}; batch-stream: ${(batch -- streamed).take(5)}")
+    } finally q.stop()
+  }
+
   test("funnel stage counts agree with the batch funnel on the driver events file") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.AsofEvent]
