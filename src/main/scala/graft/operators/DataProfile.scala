@@ -630,8 +630,107 @@ object DataProfile {
       .orderBy("etype")
   }
 
+  /** q177 — tie-corrected Mann–Whitney U test between every pair of
+    * event types: the nonparametric "do these two segments draw
+    * values from the same distribution?" test that q165's z-test
+    * cannot answer when the distributions are non-normal (it compares
+    * MEANS; U compares the whole distribution). Per pair: sample
+    * sizes, the doubled U statistic, and the tie-corrected normal
+    * z in milli-units.
+    *
+    * Formulation — rank sums WITHOUT ranking rows: values are
+    * discrete milli-units, so each pair's pooled ranking collapses to
+    * the merged histogram. With t_v = ca_v + cb_v and cw the
+    * inclusive running count, the doubled average-rank sum of side A
+    * is Σ ca_v·(2·cw − t_v + 1) — exact integers, no per-row rank
+    * ever materializes (the q144 weighted-form idea applied to rank
+    * statistics). 2U_A = 2R_A − n_A(n_A+1); z is ONE IEEE chain over
+    * int64-exact moments with the tie term Σ(t³−t) accumulated in
+    * DECIMAL(38)/HUGEINT. u2a is emitted as int64 — exact below
+    * ~3·10⁹ rows per pair; z (the decision value) is double-safe at
+    * any scale.
+    *
+    * Scale design (100 TB): the fact table collapses ONCE to the
+    * (type, value) histogram — the only fact-sized exchange. The
+    * pair expansion (×(k−1) histogram rows), prefix counts, and
+    * moments all run on the bounded histogram; the running count per
+    * (pair) — a bounded key — goes through
+    * [[ScaleRank.withRunningSum]], never a bare window. */
+  val q177MannWhitney: QueryDef = QueryDef(
+    "q177_mannwhitney",
+    """WITH h AS (
+      |  SELECT event_type AS t, CAST(floor(value * 1000) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |ty AS (SELECT DISTINCT t FROM h),
+      |pr AS (SELECT a.t AS ta, b.t AS tb FROM ty a JOIN ty b ON a.t < b.t),
+      |p0 AS (
+      |  SELECT pr.ta, pr.tb, h.v,
+      |    CAST(sum(CASE WHEN h.t = pr.ta THEN h.c ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN h.t = pr.tb THEN h.c ELSE 0 END) AS BIGINT) AS cb
+      |  FROM pr JOIN h ON h.t = pr.ta OR h.t = pr.tb
+      |  GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT ta, tb, v, ca, cb, ca + cb AS tt,
+      |    CAST(sum(ca + cb) OVER (PARTITION BY ta, tb ORDER BY v
+      |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+      |  FROM p0),
+      |agg AS (
+      |  SELECT ta, tb,
+      |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+      |    sum(CAST(ca AS HUGEINT) * (2 * cw - tt + 1)) AS r2a,
+      |    sum(CAST(tt AS HUGEINT) * tt * tt - tt) AS tcorr
+      |  FROM cum GROUP BY 1, 2)
+      |SELECT ta, tb, na, nb,
+      |  CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS BIGINT) AS u2a,
+      |  CAST(floor(1000.0 *
+      |    ((CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) -
+      |      CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 2.0) /
+      |    sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0) *
+      |         (CAST(na + nb + 1 AS DOUBLE) -
+      |          CAST(tcorr AS DOUBLE) /
+      |          (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))))
+      |    AS BIGINT) AS z_milli
+      |FROM agg ORDER BY ta, tb""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val h = Tables.events(s, dir)
+      .groupBy(col("event_type").as("t"),
+        floor(col("value") * 1000).cast("bigint").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the type list AND both pair sides
+    val ty = h.select(col("t")).distinct()
+    val pr = ty.as("a").join(ty.as("b"), col("a.t") < col("b.t"))
+      .select(col("a.t").as("ta"), col("b.t").as("tb"))
+    val p0 = h.join(broadcast(pr),
+        col("t") === col("ta") || col("t") === col("tb"))
+      .groupBy(col("ta"), col("tb"), col("v"))
+      .agg(sum(when(col("t") === col("ta"), col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("t") === col("tb"), col("c")).otherwise(0L)).as("cb"))
+      .withColumn("tt", col("ca") + col("cb"))
+    val cum = ScaleRank.withRunningSum(p0, Seq("ta", "tb"),
+      Seq(col("v")), col("ca") + col("cb"), "cw")
+    val agg = cum.groupBy(col("ta"), col("tb"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        sum(dec(col("ca")) * (lit(2) * col("cw") - col("tt") + 1)).as("r2a"),
+        sum(dec(col("tt")) * col("tt") * col("tt") - col("tt")).as("tcorr"))
+    val u2aD = (col("r2a") - dec(col("na")) * (col("na") + 1)).cast("double")
+    val zden = sqrt((col("na").cast("double") * col("nb").cast("double") / 12.0) *
+      ((col("na") + col("nb") + 1).cast("double") -
+        col("tcorr").cast("double") /
+          ((col("na") + col("nb")).cast("double") *
+           (col("na") + col("nb") - 1).cast("double"))))
+    agg.select(col("ta"), col("tb"), col("na"), col("nb"),
+        (col("r2a") - dec(col("na")) * (col("na") + 1))
+          .cast("bigint").as("u2a"),
+        floor(lit(1000.0) *
+          ((u2aD - col("na").cast("double") * col("nb").cast("double")) / 2.0) /
+          zden).cast("bigint").as("z_milli"))
+      .orderBy("ta", "tb")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
-      q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers)
+      q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers,
+      q177MannWhitney)
 }

@@ -926,8 +926,99 @@ object Similarity {
     }
   }
 
+  /** q176 — MMR (maximal-marginal-relevance) diversified rerank: from
+    * the query's top-50 cosine candidates, greedily pick 5 results
+    * maximizing relevance-minus-redundancy (λ = 1/2, so the argmax
+    * reduces to rel − max-sim-to-selected in exact ppm integers). The
+    * standard "don't return five near-duplicates" layer over any ANN
+    * query (q40/q82/q145 produce the candidates; this diversifies
+    * them) — retrieval quality the NDCG audit (q166) can't buy with
+    * recall alone.
+    *
+    * Determinism: every pairwise cosine is floored to ppm BEFORE the
+    * max/argmax decisions, so selection operates on exact integers;
+    * ties break on vec_id. The cosines themselves are the native
+    * `cosine_sim` expression ≡ the oracle's left-associated chain
+    * (the q44 contract).
+    *
+    * Scale design (100 TB): the ONLY corpus-sized stage is candidate
+    * generation — a TakeOrdered top-50 against the broadcast query
+    * vector (per-partition heaps, no global sort). The greedy loop
+    * runs K=5 bounded rounds over the checkpointed 50-row candidate
+    * frame with the ≤5-row selected set broadcast — O(K·C) pairwise
+    * cosines total, independent of corpus size. The oracle
+    * materializes every round's CTE (the q150 DuckDB-inlining
+    * lesson). */
+  val q176MmrRerank: QueryDef = {
+    val K = 5
+    val rounds = (2 to K).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT c.vec_id,
+         |    max(CAST(floor(1000000.0 * ${cosSql("c.v", "s.v")}) AS BIGINT)) AS pen
+         |  FROM cand c, sel${k - 1} s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+         |  GROUP BY 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT c.vec_id, c.v, c.rel, p.pen, $k AS pick
+         |  FROM p$k p JOIN cand c USING (vec_id)
+         |  ORDER BY c.rel - p.pen DESC, c.vec_id LIMIT 1),
+         |sel$k AS MATERIALIZED (
+         |  SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val oracle =
+      s"""WITH q AS (SELECT embedding AS vq FROM embeddings WHERE vec_id = 0),
+         |cand AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding AS v,
+         |    CAST(floor(1000000.0 * ${cosSql("e.embedding", "q.vq")}) AS BIGINT) AS rel
+         |  FROM embeddings e, q WHERE e.vec_id <> 0
+         |  ORDER BY rel DESC, e.vec_id LIMIT 50),
+         |sel1 AS MATERIALIZED (
+         |  SELECT vec_id, v, rel, CAST(0 AS BIGINT) AS pen, 1 AS pick
+         |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+         |$rounds
+         |SELECT CAST(pick AS BIGINT) AS pick, vec_id, rel AS rel_ppm,
+         |  pen AS pen_ppm
+         |FROM sel$K ORDER BY pick""".stripMargin
+    QueryDef("q176_mmr_rerank", oracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+      val qv = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("vq")))
+      val cand = e.filter(col("vec_id") =!= 0)
+        .crossJoin(qv)
+        .select(col("vec_id"), col("embedding").as("v"),
+          floor(lit(1000000.0) * expr("cosine_sim(embedding, vq)"))
+            .cast("bigint").as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(50)
+        .localCheckpoint()
+      var sel = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("v"), col("rel"),
+          lit(0L).as("pen"), lit(1).as("pick"))
+        .localCheckpoint()
+      for (k <- 2 to K) {
+        val pen = cand
+          .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .crossJoin(broadcast(sel.select(col("v").as("sv"))))
+          .select(col("vec_id"), col("rel"),
+            floor(lit(1000000.0) * expr("cosine_sim(v, sv)"))
+              .cast("bigint").as("p"))
+          .groupBy(col("vec_id"), col("rel"))
+          .agg(max(col("p")).as("pen"))
+        val pick = pen.join(cand.select(col("vec_id"), col("v")), Seq("vec_id"))
+          .orderBy((col("rel") - col("pen")).desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), col("v"), col("rel"), col("pen"),
+            lit(k).as("pick"))
+          .localCheckpoint()
+        sel = sel.unionByName(pick).localCheckpoint()
+      }
+      sel.select(col("pick").cast("bigint").as("pick"), col("vec_id"),
+          col("rel").as("rel_ppm"), col("pen").as("pen_ppm"))
+        .orderBy("pick")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells, q44CosineExpr,
       q45Quantize, q73Pq, q82IvfSearch, q84SqlSurface, q145IvfMultiprobe,
-      q147PqRecall, q154EmbeddingDrift, q166IvfNdcg)
+      q147PqRecall, q154EmbeddingDrift, q166IvfNdcg, q176MmrRerank)
 }

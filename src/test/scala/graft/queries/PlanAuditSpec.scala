@@ -245,6 +245,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q176: candidate generation plans as TakeOrdered; rerank rounds ride checkpoints") {
+    val p = plan(graft.operators.Similarity.q176MmrRerank)
+    // the final plan runs over the checkpointed ≤5-row selected set —
+    // no corpus scan, no global sort survives in it
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("ExistingRDD"), p)
+  }
+
+  test("q177: one fact-sized histogram pass; pair stats ride the bounded histogram") {
+    val p = plan(graft.operators.DataProfile.q177MannWhitney)
+    // events collapses to the (type, value) histogram at checkpoint
+    // time; no parquet scan survives downstream
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("__sr_pid"),
+      s"q177: pair running count lost the ScaleRank chunking:\n$p")
+  }
+
   test("q175: one pass over documents; report stages never rescan the corpus") {
     // the per-lang aggregate is localCheckpointed at build time (the
     // single corpus scan); the report plan reads only the

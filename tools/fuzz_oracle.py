@@ -48,7 +48,7 @@ QUERIES = [
     # dyadic EWMA + interpolation + MAD ride redrawn money/values;
     # composition rides the documents redraw (HUGEINT/double shares)
     "q170_ewma", "q171_interpolate", "q172_mad_outliers",
-    "q175_composition",
+    "q175_composition", "q177_mannwhitney",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
