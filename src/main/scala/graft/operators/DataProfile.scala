@@ -728,9 +728,69 @@ object DataProfile {
       .orderBy("ta", "tb")
   }
 
+  /** q179 — Poisson-bootstrap confidence distribution for the global
+    * mean event value: 32 pseudo-resamples whose per-row weights
+    * w ∈ {0..4} are drawn from a DETERMINISTIC hash approximating
+    * Poisson(1) (cumulative thresholds 368/736/920/981 per mille —
+    * the classic bootstrap-at-scale trick: data never moves or
+    * duplicates, each resample is a weighted aggregate in the same
+    * pass). Emitting all 32 (resample, n_eff, mean) rows makes the
+    * spread — the standard error — directly readable, with no
+    * percentile-convention choices baked in.
+    *
+    * Determinism/exactness: the "random" stream is pure integer
+    * arithmetic — event_id is reduced mod 1000003 FIRST so the mixed
+    * product (m·2654435761 + b·40503) stays ≤ 2.7·10¹⁵ at any
+    * event_id magnitude (unreduced ids would overflow int64 around
+    * 3.5·10⁹ — wrap in Spark, error in DuckDB); each resample mean is
+    * a non-negative int64 floor-div. Σw·v headroom: 4·10⁶ per row
+    * → safe through ~2·10¹² rows; past that, lift the weighted sum
+    * to DECIMAL(38) (q154 contract).
+    *
+    * Scale design (100 TB): the ×32 replicate axis expands MAP-SIDE
+    * into partial aggregates — 32 groups total cross the exchange,
+    * not 32× the data. One fact pass, no shuffle growth, no sampling
+    * collect. */
+  val q179BootstrapCi: QueryDef = QueryDef(
+    "q179_bootstrap_ci",
+    """WITH ev AS (
+      |  SELECT event_id % 1000003 AS m,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events),
+      |bb AS (SELECT CAST(i AS BIGINT) AS b FROM unnest(range(1, 33)) AS t(i)),
+      |h AS (
+      |  SELECT bb.b, ev.v,
+      |    (ev.m * 2654435761 + bb.b * 40503) % 1000 AS h
+      |  FROM ev CROSS JOIN bb),
+      |w AS (
+      |  SELECT b, v,
+      |    CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1
+      |         WHEN h < 920 THEN 2 WHEN h < 981 THEN 3 ELSE 4 END AS w
+      |  FROM h)
+      |SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+      |  CAST(sum(w * v) AS BIGINT) // CAST(sum(w) AS BIGINT) AS mean_milli
+      |FROM w GROUP BY b ORDER BY b""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(expr("event_id % 1000003").as("m"),
+        floor(col("value") * 1000).cast("bigint").as("v"))
+      .withColumn("b",
+        explode(array((1 to 32).map(i => lit(i.toLong)): _*)))
+      .withColumn("h", expr("(m * 2654435761 + b * 40503) % 1000"))
+      .withColumn("w",
+        when(col("h") < 368, 0L).when(col("h") < 736, 1L)
+          .when(col("h") < 920, 2L).when(col("h") < 981, 3L)
+          .otherwise(4L))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("v")).as("wv"))
+      .select(col("b"), col("n_eff"),
+        expr("wv div n_eff").as("mean_milli"))
+      .orderBy("b")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
       q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers,
-      q177MannWhitney)
+      q177MannWhitney, q179BootstrapCi)
 }

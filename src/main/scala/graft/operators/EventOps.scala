@@ -1470,6 +1470,72 @@ object EventOps {
     }
   }
 
+  /** q178 — CUSUM changepoint detection on the daily-revenue series:
+    * the classic "did the level shift?" monitor. The one-sided CUSUM
+    * recursion S_t = max(0, S_{t-1} + x_t − μ − k) unrolls to the
+    * closed form S_t = P_t − min_{j≤t} P_j over prefix sums P of the
+    * drift-adjusted series — a prefix-sum + running-min, NOT an
+    * iterative plan. Reported: every day with its CUSUM level and an
+    * alarm flag once S crosses h (μ = global mean, allowance
+    * k = μ/20, threshold h = μ/2 — all derived from the data, no
+    * tuned constants).
+    *
+    * Exactness: daily revenue in exact cents (q01 contract); μ, k, h
+    * are floor-divs of non-negative sums; P, running min, S are all
+    * int64 sums/mins — no float anywhere.
+    *
+    * Scale design (100 TB): the fact scan collapses to the day axis
+    * first (the ONLY fact-sized exchange, q163's discipline);
+    * the prefix/min windows run on ≤|days| rows — a century is ~37k
+    * rows, driver-trivial at any corpus scale (same bounded-axis
+    * argument as q163/q164, documented there). */
+  val q178Cusum: QueryDef = QueryDef(
+    "q178_cusum",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |mu AS (
+      |  SELECT CAST(sum(x) AS BIGINT) // count(*) AS mu,
+      |    (CAST(sum(x) AS BIGINT) // count(*)) // 20 AS k,
+      |    (CAST(sum(x) AS BIGINT) // count(*)) // 2 AS h
+      |  FROM daily),
+      |p AS (
+      |  SELECT d, x,
+      |    CAST(sum(x - mu.mu - mu.k) OVER (ORDER BY d
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pf,
+      |    mu.h AS h
+      |  FROM daily, mu),
+      |s AS (
+      |  SELECT d, x, h,
+      |    pf - least(0, min(pf) OVER (ORDER BY d
+      |                ROWS UNBOUNDED PRECEDING)) AS cusum
+      |  FROM p)
+      |SELECT d, x AS revenue_cents, cusum AS cusum_cents,
+      |  CAST(CASE WHEN cusum > h THEN 1 ELSE 0 END AS BIGINT) AS alarm
+      |FROM s ORDER BY d""".stripMargin) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")).cast("bigint").as("x"))
+      .localCheckpoint() // feeds the mean AND the series
+    val mu = daily.agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .select(expr("sx div n").as("mu"),
+        expr("(sx div n) div 20").as("k"),
+        expr("(sx div n) div 2").as("h"))
+    val w = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(mu))
+      .withColumn("pf", sum(col("x") - col("mu") - col("k")).over(w))
+      // the empty prefix P_0 = 0 participates in the min: S_1 must be
+      // max(0, y_1), not 0
+      .withColumn("cusum",
+        col("pf") - least(lit(0L), min(col("pf")).over(w)))
+      .select(col("d"), col("x").as("revenue_cents"),
+        col("cusum").as("cusum_cents"),
+        when(col("cusum") > col("h"), 1L).otherwise(0L).as("alarm"))
+      .orderBy("d")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
@@ -1477,5 +1543,6 @@ object EventOps {
     q102IncrementalAgg, q105AsofNative, q109Markov, q113RollingZscore,
     q114Twap, q118CumulativeUniques, q125IntervalJoin, q130TopPaths,
     q134Seasonality, q137DwellTimes, q138PeakConcurrency, q142Attribution,
-    q156OhlcBars, q157CohortLtv, q163Acf, q164Survival, q165AbTest)
+    q156OhlcBars, q157CohortLtv, q163Acf, q164Survival, q165AbTest,
+    q178Cusum)
 }

@@ -746,6 +746,84 @@ object TextAnalysis {
       .orderBy("rnk")
   }
 
+  /** q180 — Zipf-law fit over the token frequency distribution:
+    * log-log regression of count on rank for the top-200 types,
+    * reporting the slope (natural text ≈ −1) and the fit r² — the
+    * "is this corpus natural language or templated spam?" diagnostic
+    * read before trusting token-level statistics (q112's coverage
+    * curve shows WHERE mass concentrates; this tests WHETHER the
+    * decay is lawful).
+    *
+    * Exactness: ln(rank) and ln(count) are floored to integer
+    * nano-nats per row BEFORE the regression moments (floor-then-sum
+    * is order-free — the q83/q173 discipline); cross-moments ride
+    * DECIMAL(38)/HUGEINT (x·y ≈ 7·10¹⁹ exceeds int64), and slope/r²
+    * are single IEEE chains over the exact moments. floor on the
+    * (negative) slope is mathematical floor in BOTH engines — the
+    * div-truncation divergence does not apply to floor(double).
+    *
+    * Scale design (100 TB): the corpus collapses to (token, count)
+    * partials map-side; the top-200 is TakeOrdered (per-partition
+    * heaps); ranking and regression run on the bounded 200-row frame
+    * (the documented bounded-frame window exception). */
+  val q180Zipf: QueryDef = QueryDef(
+    "q180_zipf",
+    """WITH u AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY tok),
+      |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rnk FROM tc),
+      |xy AS (
+      |  SELECT CAST(floor(1000000000.0 * ln(CAST(rnk AS DOUBLE))) AS BIGINT) AS x,
+      |    CAST(floor(1000000000.0 * ln(CAST(c AS DOUBLE))) AS BIGINT) AS y
+      |  FROM r WHERE rnk <= 200),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM xy)
+      |SELECT n AS n_ranks,
+      |  CAST(floor(1000.0 *
+      |    CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+      |    CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) AS BIGINT)
+      |    AS slope_milli,
+      |  CAST(floor(1000000.0 *
+      |    (CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) *
+      |     CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)) /
+      |    (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) *
+      |     CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS BIGINT)
+      |    AS r2_ppm
+      |FROM m""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val docs = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // single-file scan -> use every core
+    val top = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(200)
+    val w = Window.orderBy(col("c").desc, col("tok"))
+    val xy = top.withColumn("rnk", row_number().over(w))
+      .select(
+        floor(lit(1000000000.0) * log(col("rnk").cast("double")))
+          .cast("bigint").as("x"),
+        floor(lit(1000000000.0) * log(col("c").cast("double")))
+          .cast("bigint").as("y"))
+    val m = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("y")) * col("y")).as("syy"))
+    val num = (dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy"))
+      .cast("double")
+    val dx = (dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx"))
+      .cast("double")
+    val dy = (dec(col("n")) * col("syy") - dec(col("sy")) * col("sy"))
+      .cast("double")
+    m.select(col("n").as("n_ranks"),
+      floor(lit(1000.0) * num / dx).cast("bigint").as("slope_milli"),
+      floor(lit(1000000.0) * (num * num) / (dx * dy))
+        .cast("bigint").as("r2_ppm"))
+  }
+
   /** Per-document quality verdict (doc_id, lang, dup_ppm, bi_ppm,
     * f_short, f_dup, f_bi) — the ONE rule set behind q146's yield
     * report and q161's admission funnel; extracting it guarantees the
@@ -1184,5 +1262,6 @@ object TextAnalysis {
       q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,
       q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob,
       q101Split, q108Collocations, q112VocabCoverage, q146FilterYield,
-      q148VocabGrowth, q167TempMixture, q168ClassifierEval, q175Composition)
+      q148VocabGrowth, q167TempMixture, q168ClassifierEval, q175Composition,
+      q180Zipf)
 }

@@ -617,6 +617,48 @@ object StreamOps {
       .agg(shares.head, shares.tail: _*)
   }
 
+  final case class CusumState(pf: Long, minpf: Long)
+  final case class CusumOut(
+      user_id: Long, event_id: Long, value_milli: Long,
+      cusum_milli: Long, alarm: Boolean)
+
+  /** Streaming one-sided CUSUM level-shift monitor — q178's closed
+    * form (S_t = P_t − min(0, min_{j≤t} P_j)) as per-key O(1) state:
+    * just the drift-adjusted prefix sum and its running min (the
+    * virtual empty prefix 0 seeds the min, so S_1 = max(0, y_1)
+    * exactly as the recursion demands). Parameters (μ, allowance k,
+    * threshold h) arrive from the batch side — the driftTv pattern:
+    * the stream monitors against a baseline the batch engine fit.
+    * All int64; agreement with the batch windows is exact for
+    * in-order arrival. */
+  def cusum(spark: SparkSession, events: Dataset[AsofEvent],
+      mu: Long, k: Long, h: Long): Dataset[CusumOut] = {
+    import spark.implicits._
+
+    def fn(userId: Long, rows: Iterator[AsofEvent],
+        state: GroupState[CusumState]): Iterator[CusumOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var st = state.getOption.getOrElse(CusumState(0L, 0L))
+      val out = List.newBuilder[CusumOut]
+      sorted.foreach { e =>
+        val v = math.floor(e.value * 1000).toLong
+        val pf = st.pf + (v - mu - k)
+        // inclusive running min, seeded at 0 = the empty prefix P_0 —
+        // so minpf <= 0 always and S_t = P_t - minpf directly
+        val minpf = math.min(st.minpf, pf)
+        st = CusumState(pf, minpf)
+        out += CusumOut(userId, e.event_id, v, pf - minpf, pf - minpf > h)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class EwmaState(window: Seq[Long])
   final case class EwmaOut(
       user_id: Long, event_id: Long, value_milli: Long, ewma_milli: Long)

@@ -245,6 +245,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q178: cusum windows run on the checkpointed day axis, never fact rows") {
+    val p = plan(graft.operators.EventOps.q178Cusum)
+    // orders collapses to the day axis at checkpoint time; the
+    // prefix/min windows see only the bounded axis
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("ExistingRDD"), p)
+  }
+
+  test("q179: the 32-replicate bootstrap axis expands map-side into one aggregate pass") {
+    val p = plan(graft.operators.DataProfile.q179BootstrapCi)
+    // one generate + partial/final aggregate pair; no join, no
+    // replicate-axis shuffle of fact rows
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("partial_sum") || "HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q180: the vocab top-200 plans as TakeOrdered, regression on the bounded frame") {
+    val p = plan(graft.operators.TextAnalysis.q180Zipf)
+    assert(p.contains("TakeOrdered"), p)
+  }
+
   test("q176: candidate generation plans as TakeOrdered; rerank rounds ride checkpoints") {
     val p = plan(graft.operators.Similarity.q176MmrRerank)
     // the final plan runs over the checkpointed ≤5-row selected set —

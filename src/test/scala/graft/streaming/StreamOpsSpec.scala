@@ -299,6 +299,43 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cusum agrees with the batch prefix-sum/running-min closed form") {
+    implicit val sqlCtx = spark.sqlContext
+    // baseline below the generator's mean (~50k milli) so the drift
+    // accumulates and the alarm branch is exercised, not just the
+    // quiet path
+    val (mu, k, h) = (25000L, 2500L, 250000L)
+    val in = MemoryStream[StreamOps.AsofEvent]
+    val q = StreamOps.cusum(spark, in.toDS(), mu, k, h)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      eventChunks(3).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("cusum_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 1000).cast("bigint").as("v"),
+          col("ts"))
+        .withColumn("pf", sum(col("v") - mu - k).over(w))
+        .withColumn("cusum", col("pf") -
+          org.apache.spark.sql.functions.least(lit(0L),
+            org.apache.spark.sql.functions.min(col("pf")).over(w)))
+        .select(col("user_id"), col("event_id"), col("v"), col("cusum"),
+          (col("cusum") > h).as("alarm"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).toSet
+      assert(batch.nonEmpty)
+      assert(batch.exists(_._5), "fixture should trip at least one alarm")
+      assert(streamed == batch,
+        s"stream-batch: ${(streamed -- batch).take(5)}; batch-stream: ${(batch -- streamed).take(5)}")
+    } finally q.stop()
+  }
+
   test("ewma agrees with a batch rank-join of the same dyadic smoother") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.AsofEvent]

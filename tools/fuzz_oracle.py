@@ -49,6 +49,9 @@ QUERIES = [
     # composition rides the documents redraw (HUGEINT/double shares)
     "q170_ewma", "q171_interpolate", "q172_mad_outliers",
     "q175_composition", "q177_mannwhitney",
+    # CUSUM rides redrawn money; bootstrap rides redrawn values;
+    # Zipf's ln chains ride the documents text redraw
+    "q178_cusum", "q179_bootstrap_ci", "q180_zipf",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
