@@ -824,6 +824,103 @@ object TextAnalysis {
         .cast("bigint").as("r2_ppm"))
   }
 
+  /** q181 — held-out bigram-LM cross-entropy: train an add-one
+    * smoothed bigram language model on the even-doc_id half (the
+    * q96/q101 split convention), score the odd half, and report per
+    * language the bigram count, how many test bigrams were never seen
+    * in training, and the average negative log-likelihood in
+    * nano-nats. The model-based cousin of q91's unigram surprisal —
+    * THE classic "which language/source is this corpus model worst
+    * at?" diagnostic driving data-mix decisions; emitted as avg NLL
+    * (perplexity's log) so no exp() has to agree across engines.
+    *
+    * Exactness: p(w₂|w₁) = (c₂+1)/(c₁+|V|) from exact int64 counts;
+    * each distinct test bigram's −ln p is ONE IEEE chain floored to
+    * integer nano-nats, then multiplied by its count and summed —
+    * floor-then-sum is order-free (q83/q173/q180 discipline). The
+    * NLL sum rides DECIMAL(38)/HUGEINT. Since c₂ ≤ c₁ and |V| ≥ 1,
+    * p ≤ 1 and every NLL term is non-negative, so the final
+    * floor-div is portable.
+    *
+    * Scale design (100 TB): train counts and test bigrams are
+    * partial-aggregable explodes; the model lookup is an equi-join on
+    * the (w₁,w₂)/(w₁) keys — unbounded cardinality, so nothing in the
+    * plan forces a broadcast: Spark's size-based planning broadcasts
+    * a model that fits and shuffle-joins one that doesn't. The only
+    * unconditional broadcast is the 1-row vocab size. Output is
+    * |langs| rows. */
+  val q181BigramPpl: QueryDef = QueryDef(
+    "q181_bigram_ppl",
+    """WITH tr AS (
+      |  SELECT string_split(text, ' ') AS tk FROM documents
+      |  WHERE doc_id % 2 = 0),
+      |te AS (
+      |  SELECT lang, string_split(text, ' ') AS tk FROM documents
+      |  WHERE doc_id % 2 = 1),
+      |u AS (SELECT unnest(tk) AS x FROM tr),
+      |v AS (SELECT CAST(count(DISTINCT x) AS BIGINT) AS vs FROM u),
+      |c1 AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY x),
+      |c2 AS (
+      |  SELECT tk[CAST(i AS INT)] AS x, tk[CAST(i AS INT)+1] AS y,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM tr, unnest(range(1, len(tk))) AS r(i) GROUP BY 1, 2),
+      |tb AS (
+      |  SELECT lang, tk[CAST(i AS INT)] AS x, tk[CAST(i AS INT)+1] AS y,
+      |    CAST(count(*) AS BIGINT) AS m
+      |  FROM te, unnest(range(1, len(tk))) AS r(i) GROUP BY 1, 2, 3),
+      |sc AS (
+      |  SELECT tb.lang, tb.m,
+      |    CASE WHEN c2.c IS NULL THEN 1 ELSE 0 END AS oov,
+      |    CAST(floor(1000000000.0 *
+      |      (-ln(CAST(coalesce(c2.c, 0) + 1 AS DOUBLE) /
+      |           CAST(coalesce(c1.c, 0) + v.vs AS DOUBLE)))) AS BIGINT) AS nll_nn
+      |  FROM tb LEFT JOIN c2 ON tb.x = c2.x AND tb.y = c2.y
+      |  LEFT JOIN c1 ON tb.x = c1.x, v)
+      |SELECT lang, CAST(sum(m) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(m * oov) AS BIGINT) AS n_unseen,
+      |  CAST(sum(CAST(m AS HUGEINT) * nll_nn) //
+      |       CAST(sum(m) AS HUGEINT) AS BIGINT) AS avg_nll_nn
+      |FROM sc GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tk = col("tk")
+    def bigrams(df: DataFrame, extra: Seq[Column]): DataFrame =
+      df.filter(size(tk) >= 2)
+        .select(extra :+ explode(zip_with(
+          slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1),
+          (x, y) => struct(x.as("x"), y.as("y")))).as("p"): _*)
+        .select(extra :+ col("p.x").as("x") :+ col("p.y").as("y"): _*)
+    val docs = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // single-file scan -> use every core
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+    val tr = docs.filter(col("doc_id") % 2 === 0)
+    val te = docs.filter(col("doc_id") % 2 === 1)
+    val uni = tr.select(explode(tk).as("x"))
+    val v = uni.agg(count_distinct(col("x")).as("vs"))
+    val c1 = uni.groupBy(col("x")).agg(count(lit(1)).as("c1c"))
+    val c2 = bigrams(tr, Seq.empty)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c2c"))
+    val tb = bigrams(te, Seq(col("lang")))
+      .groupBy(col("lang"), col("x"), col("y")).agg(count(lit(1)).as("m"))
+    val nll = floor(lit(1000000000.0) *
+      (-log((coalesce(col("c2c"), lit(0L)) + 1).cast("double") /
+        (coalesce(col("c1c"), lit(0L)) + col("vs")).cast("double"))))
+      .cast("bigint")
+    tb.join(c2, Seq("x", "y"), "left")
+      .join(c1, Seq("x"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("lang"), col("m"),
+        when(col("c2c").isNull, 1L).otherwise(0L).as("oov"),
+        nll.as("nll_nn"))
+      .groupBy(col("lang"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("oov")).as("n_unseen"),
+        sum(dec(col("m")) * col("nll_nn")).as("swn"))
+      .select(col("lang"), col("n_bigrams"), col("n_unseen"),
+        expr("CAST(swn div n_bigrams AS BIGINT)").as("avg_nll_nn"))
+      .orderBy("lang")
+  }
+
   /** Per-document quality verdict (doc_id, lang, dup_ppm, bi_ppm,
     * f_short, f_dup, f_bi) — the ONE rule set behind q146's yield
     * report and q161's admission funnel; extracting it guarantees the
@@ -1263,5 +1360,5 @@ object TextAnalysis {
       q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob,
       q101Split, q108Collocations, q112VocabCoverage, q146FilterYield,
       q148VocabGrowth, q167TempMixture, q168ClassifierEval, q175Composition,
-      q180Zipf)
+      q180Zipf, q181BigramPpl)
 }

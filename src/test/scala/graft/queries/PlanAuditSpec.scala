@@ -245,6 +245,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q181: the LM lookup is an equi-join on the bigram keys") {
+    val p = plan(graft.operators.TextAnalysis.q181BigramPpl)
+    // key-equi joins only — Spark's size-based planning broadcasts
+    // the tiny test-scale model and shuffle-joins a real one; nothing
+    // in the plan FORCES a broadcast. The lone nested-loop is the
+    // 1-row vocab-size cross join.
+    assert("BroadcastHashJoin \\[x#\\d+, y#\\d+\\]".r.findAllIn(p).nonEmpty ||
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q178: cusum windows run on the checkpointed day axis, never fact rows") {
     val p = plan(graft.operators.EventOps.q178Cusum)
     // orders collapses to the day axis at checkpoint time; the

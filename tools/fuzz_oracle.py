@@ -52,6 +52,7 @@ QUERIES = [
     # CUSUM rides redrawn money; bootstrap rides redrawn values;
     # Zipf's ln chains ride the documents text redraw
     "q178_cusum", "q179_bootstrap_ci", "q180_zipf",
+    "q181_bigram_ppl",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
