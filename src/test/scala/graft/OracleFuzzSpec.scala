@@ -105,5 +105,47 @@ object OracleFuzzSpec extends Properties("oracle-portability") {
       }
     }
 
+  // ---- the q178 closed form: CUSUM recursion == prefix-sum/run-min ----
+  // the batch query computes S_t = P_t − min(0, min_{j≤t} P_j); the
+  // definition is the clamped recursion S_t = max(0, S_{t−1} + y_t).
+  // Equality for EVERY series is what lets the streaming twin keep
+  // O(1) state instead of replaying history.
+  property("CUSUM closed form equals the clamped recursion on any series") =
+    Prop.forAll(Gen.listOfN(40, Gen.choose(-100000L, 100000L))) { ys =>
+      val prefix = ys.scanLeft(0L)(_ + _).tail
+      val closed = prefix.zipWithIndex.map { case (p, i) =>
+        p - math.min(0L, prefix.take(i + 1).min)
+      }
+      val rec = ys.scanLeft(0L)((s, y) => math.max(0L, s + y)).tail
+      closed == rec
+    }
+
+  // ---- the q179 hash headroom law ----
+  // event_id is reduced mod 1000003 BEFORE mixing; the law: for every
+  // reduced residue and replicate index the mixed product fits int64
+  // (the unreduced id would overflow around 3.5e9). Overflow here
+  // would wrap in Spark and ERROR in DuckDB — the q107 class.
+  property("q179 mixed hash never overflows int64 for any residue and replicate") =
+    Prop.forAll(Gen.choose(0L, 1000002L), Gen.choose(1L, 32L)) { (m, b) =>
+      val x = m * 2654435761L + b * 40503L
+      x >= 0 && x / 2654435761L >= m - 1 // no wrap occurred
+    }
+
+  // ---- the q170 dyadic renormalization law ----
+  // short prefixes renormalize: for any window of 1..8 values the
+  // weighted mean with weights 2^(depth−1−lag) lies within the value
+  // range — the property that makes the smoother safe with no warm-up
+  // special case (and num/den stay far inside int64 for cents).
+  property("dyadic EWMA stays inside the window's value range") =
+    Prop.forAll(Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 5000000000L)))) { vs =>
+      val l = vs.size
+      val wgts = vs.indices.map(i => 1L << (7 - (l - 1 - i)))
+      val num = vs.zip(wgts).map { case (v, w) => v * w }.sum
+      val den = wgts.sum
+      val e = num / den
+      e >= vs.min - 1 && e <= vs.max
+    }
+
   private def mod(a: Long, m: Long): Long = ((a % m) + m) % m // pmod
 }
