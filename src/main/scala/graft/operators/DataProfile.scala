@@ -788,9 +788,100 @@ object DataProfile {
       .orderBy("b")
   }
 
+  /** q182 — Neyman-allocated stratified sampling: split a fixed
+    * budget of 1000 draws across event-type strata proportional to
+    * n_h·σ_h (the allocation that minimizes the variance of the
+    * stratified mean — uniform rates oversample quiet strata and
+    * starve volatile ones), then EXECUTE the design with a
+    * deterministic integer-hash row filter and report achieved
+    * counts and sample means next to the design. Design and
+    * execution in one query is the point: the gap between `alloc`
+    * and `n_sampled` is the binomial noise a sampler must expect.
+    *
+    * Exactness: n_h·σ_h = √(n·Σv² − (Σv)²) from DECIMAL(38)/HUGEINT
+    * moments, floored to integer milli per stratum BEFORE the
+    * budget-share division (floor-then-sum — no float total), so
+    * allocation is exact integer arithmetic; the row filter is the
+    * q179 reduced-residue hash (overflow-free by the same law);
+    * degenerate zero-variance strata get weight 0, allocation 0,
+    * NULL mean — no division ever sees them.
+    *
+    * Scale design (100 TB): two fact passes — moments, then the
+    * filtered sample aggregate — both partial-aggregable with the
+    * ≤|strata|-row rate table broadcast into the second; inherent to
+    * any design-then-execute sampler (the rates do not exist until
+    * the moments do). Nothing shuffles fact rows. */
+  val q182NeymanSample: QueryDef = QueryDef(
+    "q182_neyman_sample",
+    """WITH r AS (
+      |  SELECT event_type AS etype,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v, event_id
+      |  FROM events),
+      |mom AS (
+      |  SELECT etype, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(v) AS BIGINT) AS sv,
+      |    sum(CAST(v AS HUGEINT) * v) AS svv
+      |  FROM r GROUP BY 1),
+      |wm AS (
+      |  SELECT etype, n,
+      |    CAST(floor(1000.0 * sqrt(CAST(n * svv - CAST(sv AS HUGEINT) * sv
+      |      AS DOUBLE))) AS BIGINT) AS w
+      |  FROM mom),
+      |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wm),
+      |rt AS (
+      |  SELECT etype, n, w, (1000 * w) // tw.tw AS alloc,
+      |    CASE WHEN (1000 * w) // tw.tw >= n THEN 1000000
+      |         ELSE (1000000 * ((1000 * w) // tw.tw)) // n END AS rate_ppm
+      |  FROM wm, tw),
+      |sp AS (
+      |  SELECT r.etype, CAST(count(*) AS BIGINT) AS ns,
+      |    CAST(sum(r.v) AS BIGINT) AS svs
+      |  FROM r JOIN rt USING (etype)
+      |  WHERE ((r.event_id % 1000003) * 48271) % 1000000 < rt.rate_ppm
+      |  GROUP BY 1)
+      |SELECT rt.etype, rt.n, rt.w AS w_milli, rt.alloc, rt.rate_ppm,
+      |  CAST(coalesce(sp.ns, 0) AS BIGINT) AS n_sampled,
+      |  CASE WHEN coalesce(sp.ns, 0) > 0 THEN sp.svs // sp.ns END
+      |    AS samp_mean_milli
+      |FROM rt LEFT JOIN sp USING (etype)
+      |ORDER BY rt.etype""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val r = Tables.events(s, dir)
+      .select(col("event_type").as("etype"),
+        floor(col("value") * 1000).cast("bigint").as("v"),
+        col("event_id"))
+    val mom = r.groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(dec(col("v")) * col("v")).as("svv"))
+    val wm = mom.select(col("etype"), col("n"),
+      floor(lit(1000.0) * sqrt(
+        (dec(col("n")) * col("svv") - dec(col("sv")) * col("sv"))
+          .cast("double"))).cast("bigint").as("w"))
+    val tw = wm.agg(sum(col("w")).as("tw"))
+    val rt = wm.crossJoin(broadcast(tw))
+      .withColumn("alloc", expr("(1000 * w) div tw"))
+      .withColumn("rate_ppm",
+        when(col("alloc") >= col("n"), 1000000L)
+          .otherwise(expr("(1000000 * alloc) div n")))
+      .select(col("etype"), col("n"), col("w"), col("alloc"), col("rate_ppm"))
+    val sp = r.join(broadcast(rt.select(col("etype"), col("rate_ppm"))),
+        Seq("etype"))
+      .filter(expr("((event_id % 1000003) * 48271) % 1000000") <
+        col("rate_ppm"))
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("ns"), sum(col("v")).as("svs"))
+    rt.join(sp, Seq("etype"), "left")
+      .select(col("etype"), col("n"), col("w").as("w_milli"),
+        col("alloc"), col("rate_ppm"),
+        coalesce(col("ns"), lit(0L)).as("n_sampled"),
+        when(coalesce(col("ns"), lit(0L)) > 0, expr("svs div ns"))
+          .as("samp_mean_milli"))
+      .orderBy("etype")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
       q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers,
-      q177MannWhitney, q179BootstrapCi)
+      q177MannWhitney, q179BootstrapCi, q182NeymanSample)
 }

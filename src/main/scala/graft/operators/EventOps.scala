@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1536,6 +1537,149 @@ object EventOps {
       .orderBy("d")
   }
 
+  /** q183 — funnel conversion rates with Wilson score intervals: for
+    * each q57 stage transition (signup→click, click→purchase), the
+    * point conversion in exact ppm plus the 95% Wilson interval — the
+    * small-sample-safe CI that stays inside [0,1] where the normal
+    * interval escapes it. The "is stage 2 really worse this week or
+    * is it noise?" readout a funnel dashboard needs next to q57's raw
+    * counts.
+    *
+    * Exactness: stage counts are the q57 integer chain; conv_ppm is a
+    * non-negative floor-div; the Wilson bounds are ONE IEEE chain per
+    * bound over (n_from, n_to) with the z=1.96 constants written as
+    * the same literals in both engines — identical association, bit
+    * identical.
+    *
+    * Scale design (100 TB): the three stage frames are the q57
+    * per-user min-aggregates (partial-aggregable, keyed on user_id);
+    * the CI math runs on a 2-row frame. */
+  val q183FunnelCi: QueryDef = QueryDef(
+    "q183_funnel_ci",
+    """WITH s AS (
+      |  SELECT user_id, min(ts) AS signup_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS click_ts, min(s.signup_ts) AS signup_ts
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s.signup_ts GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS purchase_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY e.user_id),
+      |k AS (
+      |  SELECT 'signup_to_click' AS transition,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM s) AS nf,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM c) AS nt
+      |  UNION ALL
+      |  SELECT 'click_to_purchase',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM c),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM p))
+      |SELECT transition, nf AS n_from, nt AS n_to,
+      |  (1000000 * nt) // nf AS conv_ppm,
+      |  CAST(floor(1000000.0 *
+      |    ((CAST(nt AS DOUBLE) / CAST(nf AS DOUBLE) + 1.9208 / CAST(nf AS DOUBLE) -
+      |      1.96 * sqrt(CAST(nt AS DOUBLE) / CAST(nf AS DOUBLE) *
+      |        (1.0 - CAST(nt AS DOUBLE) / CAST(nf AS DOUBLE)) / CAST(nf AS DOUBLE) +
+      |        0.9604 / (CAST(nf AS DOUBLE) * CAST(nf AS DOUBLE)))) /
+      |     (1.0 + 3.8416 / CAST(nf AS DOUBLE)))) AS BIGINT) AS wilson_lo_ppm,
+      |  CAST(floor(1000000.0 *
+      |    ((CAST(nt AS DOUBLE) / CAST(nf AS DOUBLE) + 1.9208 / CAST(nf AS DOUBLE) +
+      |      1.96 * sqrt(CAST(nt AS DOUBLE) / CAST(nf AS DOUBLE) *
+      |        (1.0 - CAST(nt AS DOUBLE) / CAST(nf AS DOUBLE)) / CAST(nf AS DOUBLE) +
+      |        0.9604 / (CAST(nf AS DOUBLE) * CAST(nf AS DOUBLE)))) /
+      |     (1.0 + 3.8416 / CAST(nf AS DOUBLE)))) AS BIGINT) AS wilson_hi_ppm
+      |FROM k ORDER BY transition""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val cl = ev.filter(col("event_type") === "click")
+      .join(su, Seq("user_id"))
+      .filter(col("ts") > col("signup_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(cl, Seq("user_id"))
+      .filter(col("ts") > col("click_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+    val ns = su.agg(count(lit(1)).as("n")).select(col("n").as("n_s"))
+    val nc = cl.agg(count(lit(1)).as("n")).select(col("n").as("n_c"))
+    val np = pu.agg(count(lit(1)).as("n")).select(col("n").as("n_p"))
+    val k = ns.crossJoin(nc).crossJoin(np)
+      .select(expr("stack(2, 'signup_to_click', n_s, n_c," +
+        " 'click_to_purchase', n_c, n_p) AS (transition, nf, nt)"))
+    val nfD = col("nf").cast("double")
+    val pD = col("nt").cast("double") / nfD
+    val half = lit(1.96) * sqrt(pD * (lit(1.0) - pD) / nfD +
+      lit(0.9604) / (nfD * nfD))
+    val denom = lit(1.0) + lit(3.8416) / nfD
+    k.select(col("transition"), col("nf").as("n_from"), col("nt").as("n_to"),
+        expr("(1000000 * nt) div nf").as("conv_ppm"),
+        floor(lit(1000000.0) * ((pD + lit(1.9208) / nfD - half) / denom))
+          .cast("bigint").as("wilson_lo_ppm"),
+        floor(lit(1000000.0) * ((pD + lit(1.9208) / nfD + half) / denom))
+          .cast("bigint").as("wilson_hi_ppm"))
+      .orderBy("transition")
+  }
+
+  /** q184 — seasonal-naive forecast error (MASE): score the naive
+    * "same as yesterday" and seasonal-naive "same as last {week}day"
+    * forecasts on the daily revenue series, and report the MASE ratio
+    * (seasonal MAE over naive MAE) — the scale-free forecast
+    * benchmark every real model must beat before it earns compute.
+    * MASE < 1 ⇒ weekly structure carries real signal beyond
+    * persistence (q163's ACF measures the correlation; this prices
+    * it in forecast units).
+    *
+    * Exactness: errors are |cents − cents| int64 on calendar joins
+    * (missing days contribute no pair — lag by DATE, not row); the
+    * ratio cross-multiplies through DECIMAL(38)/HUGEINT so the output
+    * ppm is an exact non-negative integer division, no float at all.
+    *
+    * Scale design (100 TB): fact scan collapses to the materialized
+    * day axis once (q163's discipline); both lag joins and the final
+    * 1-row aggregate run on ≤|days| rows. */
+  val q184Mase: QueryDef = QueryDef(
+    "q184_mase",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |e1 AS (
+      |  SELECT abs(a.x - b.x) AS e FROM daily a
+      |  JOIN daily b ON b.d = a.d - 1),
+      |e7 AS (
+      |  SELECT abs(a.x - b.x) AS e FROM daily a
+      |  JOIN daily b ON b.d = a.d - 7),
+      |m AS (
+      |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM e1) AS n1,
+      |    (SELECT CAST(sum(e) AS BIGINT) FROM e1) AS s1,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM e7) AS n7,
+      |    (SELECT CAST(sum(e) AS BIGINT) FROM e7) AS s7)
+      |SELECT n1, n7, s1 // n1 AS mae1_cents, s7 // n7 AS mae7_cents,
+      |  CAST((1000000 * CAST(s7 AS HUGEINT) * n1) //
+      |       (CAST(s1 AS HUGEINT) * n7) AS BIGINT) AS mase_ppm
+      |FROM m""".stripMargin) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")).cast("bigint").as("x"))
+      .localCheckpoint() // one fact collapse feeds both lag joins
+    def lagErr(days: Int): DataFrame = daily.as("a")
+      .join(daily.as("b"), expr(s"b.d = a.d - $days"))
+      .select(abs(col("a.x") - col("b.x")).as("e"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m1 = lagErr(1).agg(count(lit(1)).as("n1"), sum(col("e")).as("s1"))
+    val m7 = lagErr(7).agg(count(lit(1)).as("n7"), sum(col("e")).as("s7"))
+    m1.crossJoin(m7)
+      .select(col("n1"), col("n7"),
+        expr("s1 div n1").as("mae1_cents"),
+        expr("s7 div n7").as("mae7_cents"),
+        // integral div, not decimal '/': Spark's decimal divide ROUNDS
+        // the quotient at scale, which can disagree with //'s floor
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * s7 * n1) div " +
+          "(CAST(s1 AS DECIMAL(38,0)) * n7) AS BIGINT)").as("mase_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
@@ -1544,5 +1688,5 @@ object EventOps {
     q114Twap, q118CumulativeUniques, q125IntervalJoin, q130TopPaths,
     q134Seasonality, q137DwellTimes, q138PeakConcurrency, q142Attribution,
     q156OhlcBars, q157CohortLtv, q163Acf, q164Survival, q165AbTest,
-    q178Cusum)
+    q178Cusum, q183FunnelCi, q184Mase)
 }

@@ -245,6 +245,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q182: the rate table broadcasts into the sampling pass; fact rows never shuffle") {
+    val p = plan(graft.operators.DataProfile.q182NeymanSample)
+    // the fact-side sampling join must be broadcast with the hash
+    // filter in its condition (a sort-merge join may appear in the
+    // final report join — two ≤|strata|-row aggregates, harmless)
+    assert("BroadcastHashJoin \\[etype#\\d+\\], \\[etype#\\d+\\], Inner"
+      .r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q184: both lag joins ride the checkpointed day axis") {
+    val p = plan(graft.operators.EventOps.q184Mase)
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("ExistingRDD"), p)
+  }
+
   test("q181: the LM lookup is an equi-join on the bigram keys") {
     val p = plan(graft.operators.TextAnalysis.q181BigramPpl)
     // key-equi joins only — Spark's size-based planning broadcasts

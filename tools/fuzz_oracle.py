@@ -53,6 +53,9 @@ QUERIES = [
     # Zipf's ln chains ride the documents text redraw
     "q178_cusum", "q179_bootstrap_ci", "q180_zipf",
     "q181_bigram_ppl",
+    # Neyman weights ride redrawn value variances; Wilson/MASE are
+    # IEEE-chain + HUGEINT ratios over redrawn counts/money
+    "q182_neyman_sample", "q183_funnel_ci", "q184_mase",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
