@@ -800,12 +800,136 @@ object Dedup {
       .orderBy("min_match")
   }
 
+  /** q185 — LSH band-shape sweep: with the K=8 minhash signature,
+    * evaluate every banding (2 bands × 4 rows, 4×2, 8×1) against the
+    * exact near-dup truth on the deterministic 50% sample — recall,
+    * precision, and candidate volume per shape. q135 audits the ONE
+    * production banding; this is the tuning table that CHOOSES it
+    * (more bands ⇒ higher recall, more candidates — the sweep prices
+    * that trade in the engine itself, q151's what-if idea applied to
+    * the index parameter instead of the verify threshold).
+    *
+    * Scale design (100 TB): one minhash derivation (checkpointed)
+    * feeds all three shapes; the bucket join keys on (shape, bucket)
+    * so shapes never cross-join; truth is q135's sample-bounded
+    * set-similarity equi-join, computed once and semi-joined per
+    * shape. Candidate counts are the quadratic risk — identical
+    * signatures collide in every band, which is why the production
+    * path (q115) runs banding over the distinct-signature dictionary;
+    * at sweep time the sample bound (50% of docs) caps the blowup.
+    */
+  lazy val q185BandSweep: QueryDef = {
+    val shapes = Seq(2, 4, 8)
+    def bucketSelects(bands: Int): String = {
+      val r = K / bands
+      (0 until bands).map { bi =>
+        val parts = (0 until r)
+          .map(j => s"h${bi * r + j} || '|'").mkString(" || ")
+        s"SELECT doc_id, CAST($bands AS BIGINT) AS bands, " +
+          s"md5('$bands:$bi:' || $parts) AS bucket FROM mh"
+      }.mkString(" UNION ALL ")
+    }
+    val oracle =
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |sh AS (
+         |  SELECT doc_id, array_to_string(t[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS shingle
+         |  FROM toks, unnest(range(1, len(t)-1)) AS u(i) WHERE len(t) >= 3),
+         |mh AS (SELECT doc_id, $mhOracleMins FROM sh GROUP BY doc_id),
+         |srows AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM srows GROUP BY doc_id),
+         |pi AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM srows a JOIN srows b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS MATERIALIZED (
+         |  SELECT pi.a, pi.b
+         |  FROM pi JOIN sz za ON pi.a = za.doc_id JOIN sz zb ON pi.b = zb.doc_id
+         |  WHERE inter * 2 >= za.n + zb.n - inter),
+         |bks AS (${shapes.map(bucketSelects).mkString(" UNION ALL ")}),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.bands, a.doc_id AS a, b.doc_id AS b
+         |  FROM bks a JOIN bks b
+         |  ON a.bands = b.bands AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |np AS (SELECT bands, CAST(count(*) AS BIGINT) AS n_candidates
+         |       FROM cand GROUP BY 1),
+         |nh AS (SELECT c.bands, CAST(count(*) AS BIGINT) AS n_hit
+         |       FROM cand c JOIN truth t ON c.a = t.a AND c.b = t.b GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |lv AS (SELECT CAST(t.b AS BIGINT) AS bands FROM (VALUES (2), (4), (8)) t(b))
+         |SELECT lv.bands, CAST($K / lv.bands AS BIGINT) AS rows_per_band,
+         |  nt.n_truth, coalesce(np.n_candidates, 0) AS n_candidates,
+         |  coalesce(nh.n_hit, 0) AS n_hit,
+         |  CASE WHEN nt.n_truth > 0
+         |    THEN (1000000 * coalesce(nh.n_hit, 0)) // nt.n_truth END AS recall_ppm,
+         |  CASE WHEN coalesce(np.n_candidates, 0) > 0
+         |    THEN (1000000 * coalesce(nh.n_hit, 0)) // np.n_candidates END AS precision_ppm
+         |FROM lv LEFT JOIN np USING (bands) LEFT JOIN nh USING (bands), nt
+         |ORDER BY lv.bands""".stripMargin
+    QueryDef("q185_band_sweep", oracle) { (s, dir) =>
+      import s.implicits._
+      val sample = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+      val mh = minhash(sample).localCheckpoint()
+      def shapeBuckets(bands: Int): DataFrame = {
+        val r = K / bands
+        mh.select(col("doc_id"), lit(bands.toLong).as("bands"),
+          explode(array((0 until bands).map { bi =>
+            val parts = (0 until r).flatMap(j =>
+              Seq(col(s"h${bi * r + j}"), lit("|")))
+            md5(concat(lit(s"$bands:$bi:") +: parts: _*))
+          }: _*)).as("bucket"))
+      }
+      val bks = shapes.map(shapeBuckets).reduce(_ unionByName _)
+        .localCheckpoint()
+      val cand = bks.as("ba").join(bks.as("bb"),
+          col("ba.bands") === col("bb.bands") &&
+            col("ba.bucket") === col("bb.bucket") &&
+            col("ba.doc_id") < col("bb.doc_id"))
+        .select(col("ba.bands").as("bands"), col("ba.doc_id").as("a"),
+          col("bb.doc_id").as("b"))
+        .distinct().localCheckpoint()
+      val srows = shingles(sample)
+        .select(col("doc_id"), col("shingle")).distinct()
+        .localCheckpoint()
+      val sz = srows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pi = srows.select(col("doc_id").as("a"), col("shingle"))
+        .join(srows.select(col("doc_id").as("b"), col("shingle").as("sgb")),
+          col("shingle") === col("sgb") && col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      val truth = pi
+        .join(broadcast(sz.select(col("doc_id").as("a"), col("n").as("na"))), Seq("a"))
+        .join(broadcast(sz.select(col("doc_id").as("b"), col("n").as("nb"))), Seq("b"))
+        .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val np = cand.groupBy(col("bands")).agg(count(lit(1)).as("n_candidates"))
+      val nh = cand.join(truth, Seq("a", "b"), "left_semi")
+        .groupBy(col("bands")).agg(count(lit(1)).as("n_hit"))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      val lv = broadcast(Seq(2L, 4L, 8L).toDF("bands"))
+      lv.join(np, Seq("bands"), "left").join(nh, Seq("bands"), "left")
+        .crossJoin(broadcast(nt))
+        .select(col("bands"),
+          (lit(K.toLong) / col("bands")).cast("bigint").as("rows_per_band"),
+          col("n_truth"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          when(col("n_truth") > 0,
+            expr("(1000000 * coalesce(n_hit, 0)) div n_truth")).as("recall_ppm"),
+          when(coalesce(col("n_candidates"), lit(0L)) > 0,
+            expr("(1000000 * coalesce(n_hit, 0)) div n_candidates"))
+            .as("precision_ppm"))
+        .orderBy("bands")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
     q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters, q38DedupPipeline,
     q69SpanDedup, q75Contamination, q78SortedNeighborhood, q100SemanticDedup,
     q128KeepBest, q135LshEval, q151DedupWhatif, q158SourceOverlap,
-    q161AdmissionFunnel, q162Containment)
+    q161AdmissionFunnel, q162Containment, q185BandSweep)
 
   /** q161 — corpus-admission funnel: every document walks the full
     * pretraining ingestion gauntlet — exact dedup, near-dup dedup,

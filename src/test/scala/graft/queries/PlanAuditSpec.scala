@@ -245,6 +245,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q185: shapes share one checkpointed signature; the bucket join keys on (shape, bucket)") {
+    val p = plan(graft.operators.Dedup.q185BandSweep)
+    assert(p.contains("ExistingRDD"), p) // minhash derived once
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("bands"), p) // shape id in the join key
+  }
+
   test("q182: the rate table broadcasts into the sampling pass; fact rows never shuffle") {
     val p = plan(graft.operators.DataProfile.q182NeymanSample)
     // the fact-side sampling join must be broadcast with the hash

@@ -56,6 +56,7 @@ QUERIES = [
     # Neyman weights ride redrawn value variances; Wilson/MASE are
     # IEEE-chain + HUGEINT ratios over redrawn counts/money
     "q182_neyman_sample", "q183_funnel_ci", "q184_mase",
+    "q185_band_sweep",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
