@@ -879,9 +879,84 @@ object DataProfile {
       .orderBy("etype")
   }
 
+  /** q186 — Benford first-digit audit: the distribution of the first
+    * significant digit of order amounts against Benford's law
+    * expectation p(d) = log₁₀(1 + 1/d) — the classic forensic screen
+    * for fabricated or systematically clipped financial figures
+    * (natural multi-scale amounts follow it; invented numbers rarely
+    * do). Reports, per digit, the observed share, the Benford share,
+    * the signed deviation, and a Pearson χ² term, all in ppm.
+    *
+    * Exactness: the Benford expectations are PRECOMPUTED integer
+    * constants (floor(10⁶·log₁₀(1+1/d)); they sum to 999995) baked as
+    * a 9-row literal table in both engines — no runtime log₁₀, so no
+    * libm portability surface at all. The first digit is the leading
+    * character of the exact cents integer (the q01 decimal-cast
+    * contract, positive amounts only); observed shares route the
+    * 10⁶·n product through DECIMAL(38)/HUGEINT (10⁶·count overflows
+    * int64 past ~9·10¹² rows); the χ² numerator is a square, so its
+    * floor-div is sign-safe in both engines.
+    *
+    * Scale design (100 TB): one fact pass collapsing to ≤9 groups
+    * (partial-aggregable — digit counts combine map-side), then all
+    * arithmetic on a 9-row frame left-joined from the literal digit
+    * axis (digits the data never produces still report, with n = 0).
+    * Nothing but the 9 partial counts crosses the exchange. */
+  val q186Benford: QueryDef = QueryDef(
+    "q186_benford",
+    """WITH cents AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |obs AS (
+      |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM cents WHERE c > 0 GROUP BY 1),
+      |ben(digit, exp_ppm) AS (VALUES
+      |  (CAST(1 AS BIGINT), CAST(301029 AS BIGINT)), (2, 176091),
+      |  (3, 124938), (4, 96910), (5, 79181), (6, 66946), (7, 57991),
+      |  (8, 51152), (9, 45757)),
+      |w AS (
+      |  SELECT ben.digit, coalesce(obs.n, 0) AS n, ben.exp_ppm,
+      |    CAST(sum(coalesce(obs.n, 0)) OVER () AS BIGINT) AS t
+      |  FROM ben LEFT JOIN obs ON obs.digit = ben.digit),
+      |j AS (
+      |  SELECT digit, n, exp_ppm,
+      |    CAST((CAST(1000000 AS HUGEINT) * n) // t AS BIGINT) AS obs_ppm
+      |  FROM w)
+      |SELECT digit, n, obs_ppm, exp_ppm,
+      |  obs_ppm - exp_ppm AS dev_ppm,
+      |  ((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) // exp_ppm AS chi2_term_ppm
+      |FROM j ORDER BY digit""".stripMargin) { (s, dir) =>
+    val obs = Tables.orders(s, dir)
+      .select((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint").as("c"))
+      .where(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("bigint").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val ben = s.createDataFrame(Seq(
+      (1L, 301029L), (2L, 176091L), (3L, 124938L), (4L, 96910L),
+      (5L, 79181L), (6L, 66946L), (7L, 57991L), (8L, 51152L),
+      (9L, 45757L))).toDF("digit", "exp_ppm")
+    ben.join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"), col("exp_ppm"))
+      // the total as a window over the 9-row digit frame — bounded by
+      // the literal axis, so the SinglePartition exchange is harmless
+      .withColumn("t", sum(col("n"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n) div t AS BIGINT)")
+          .as("obs_ppm"),
+        col("exp_ppm"))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        (col("obs_ppm") - col("exp_ppm")).as("dev_ppm"),
+        expr("((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) div exp_ppm")
+          .as("chi2_term_ppm"))
+      .orderBy("digit")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
       q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers,
-      q177MannWhitney, q179BootstrapCi, q182NeymanSample)
+      q177MannWhitney, q179BootstrapCi, q182NeymanSample, q186Benford)
 }

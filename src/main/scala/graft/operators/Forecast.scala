@@ -138,5 +138,71 @@ object Forecast {
       .orderBy("user_id", "day")
   }
 
-  val all: Seq[QueryDef] = Seq(q170Ewma, q171Interpolate)
+  /** q187 — Theil–Sen robust trend of daily revenue: the median of
+    * all pairwise slopes (xⱼ−xᵢ)/(dⱼ−dᵢ) over the day axis — the
+    * estimator that shrugs off the outlier days that drag the q124
+    * least-squares slope around (breakdown point 29% vs 0%). Reports
+    * the axis size, the pair count, and the slope in milli-cents per
+    * day.
+    *
+    * Exactness: each slope is floor((1000.0·Δx)/Δd) — Δx, Δd are
+    * exact int64 (cents day-sums, day indexes), |1000·Δx| < 2⁵³ so
+    * the double product is exact, and one IEEE multiply + divide +
+    * floor in identical association is bit-portable (q108 contract;
+    * Spark `div` is NOT used because Δx goes negative). The median is
+    * rank-selected — row (n+1)//2 in the unique (slope, dᵢ, dⱼ)
+    * order — not interpolated, so no engine percentile conventions.
+    *
+    * Scale design (100 TB): the fact table collapses to the
+    * materialized day axis ONCE (q163's discipline, ≤ ~10⁴ rows for
+    * decades of days); the pairwise frame is |days|²/2 ≈ 5·10⁷ rows
+    * worst-case — a broadcast nested-loop of the tiny checkpointed
+    * axis against itself, never fact rows. Median selection is
+    * [[ScaleRank.withRowNumber]] (two-level distributed rank), so no
+    * single task ever sorts the whole pair frame. */
+  val q187TheilSen: QueryDef = QueryDef(
+    "q187_theil_sen",
+    """WITH daily AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+      |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT a.d AS ad, b.d AS bd,
+      |    CAST(floor((1000.0 * (b.x - a.x)) / (b.d - a.d)) AS BIGINT) AS slope
+      |  FROM daily a JOIN daily b ON b.d > a.d),
+      |r AS (
+      |  SELECT slope,
+      |    CAST(row_number() OVER (ORDER BY slope, ad, bd) AS BIGINT) AS rk,
+      |    CAST(count(*) OVER () AS BIGINT) AS np
+      |  FROM p)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+      |  np AS n_pairs, slope AS ts_slope_milli
+      |FROM r WHERE rk = (np + 1) // 2""".stripMargin) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01")).cast("bigint").as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")).cast("bigint").as("x"))
+      .localCheckpoint() // one fact collapse feeds both join sides
+    // pair generation: broadcast the tiny axis against an 8-way
+    // repartition of itself — the nested loop parallelizes over the
+    // stream side, so |days|²/2 pairs materialize on 8 tasks, not 1
+    // and not 32 near-empty ones
+    val pairs = daily.repartition(8).as("a")
+      .join(broadcast(daily).as("b"), expr("b.d > a.d"))
+      .select(col("a.d").as("ad"), col("b.d").as("bd"),
+        floor(lit(1000.0) * (col("b.x") - col("a.x")) /
+          (col("b.d") - col("a.d"))).cast("bigint").as("slope"))
+    val ranked = ScaleRank.withRowNumber(
+      pairs, Seq.empty, Seq(col("slope"), col("ad"), col("bd")), "rk", "np")
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
+    ranked.where(expr("rk = (np + 1) div 2"))
+      .crossJoin(nDays)
+      .select(col("n_days"), col("np").as("n_pairs"),
+        col("slope").as("ts_slope_milli"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q170Ewma, q171Interpolate, q187TheilSen)
 }

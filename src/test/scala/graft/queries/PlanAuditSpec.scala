@@ -262,6 +262,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q186: one fact pass into a 9-group aggregate; report math never rescans orders") {
+    val p = plan(graft.operators.DataProfile.q186Benford)
+    // exactly one parquet scan (the cents pass); the Benford literal
+    // axis meets the digit counts in a broadcast join; the total is a
+    // window over the 9-row frame, not a second aggregate of the scan
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // partial/final digit counts — map-side combine before the exchange
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q187: pairwise slopes ride the checkpointed day axis, never fact rows") {
+    val p = plan(graft.operators.Forecast.q187TheilSen)
+    // orders collapses to the day axis once at checkpoint time; the
+    // |days|^2 pair frame and the rank both start from ExistingRDD
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q184: both lag joins ride the checkpointed day axis") {
     val p = plan(graft.operators.EventOps.q184Mase)
     assert(!p.contains("Scan parquet"), p)

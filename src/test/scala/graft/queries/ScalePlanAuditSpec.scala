@@ -27,7 +27,8 @@ class ScalePlanAuditSpec extends AnyFunSuite {
     (graft.operators.Segmentation.q133Gini, "cents"),
     (graft.operators.EventOps.q138PeakConcurrency, "delta"),
     (CoreQueries.q144WeightedMedian, "cents"),
-    (graft.operators.DataProfile.q172MadOutliers, "v"))
+    (graft.operators.DataProfile.q172MadOutliers, "v"),
+    (graft.operators.Forecast.q187TheilSen, "slope"))
 
   test("converted queries range-chunk their rank/prefix stage") {
     for ((q, _) <- converted) {

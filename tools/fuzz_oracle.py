@@ -57,6 +57,10 @@ QUERIES = [
     # IEEE-chain + HUGEINT ratios over redrawn counts/money
     "q182_neyman_sample", "q183_funnel_ci", "q184_mase",
     "q185_band_sweep",
+    # Benford digits ride the money redraw (decimal-cast cents,
+    # HUGEINT share); Theil-Sen's IEEE floor-div slopes ride redrawn
+    # money AND a rank-selected median over them
+    "q186_benford", "q187_theil_sen",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
