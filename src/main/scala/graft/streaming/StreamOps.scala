@@ -604,6 +604,44 @@ object StreamOps {
         col("n"), expr(tv).as("tv_ppm"))
   }
 
+  /** Streaming Benford first-digit monitor (q186's forensic screen as
+    * a live per-window signal): each tumbling window's first-digit
+    * distribution of order amounts is scored against the CONSTANT
+    * Benford expectation, emitting the summed χ² term in ppm — the
+    * alarm that flags a window of fabricated or clipped amounts as it
+    * arrives, where q186 is the offline audit.
+    *
+    * Shape: 9 conditional counters + a total in ONE stateful
+    * aggregate — O(1) state per live window — and the χ² fold is a
+    * stateless projection after it (the expectation needs no join at
+    * all: the nine floor(10⁶·log₁₀(1+1/d)) constants are baked into
+    * the expression, same integers as q186's literal table). Amounts
+    * whose exact cents are ≤ 0 carry no defined first digit and drop
+    * before the aggregate, mirroring q186's WHERE c > 0. */
+  def benfordMonitor(orders: DataFrame,
+      windowLen: String, delay: String): DataFrame = {
+    val exp = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L,
+      57991L, 51152L, 45757L)
+    val digit = expr(
+      "CAST(substring(CAST(CAST(CAST(amount AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+        " AS STRING), 1, 1) AS BIGINT)")
+    val counters = (1 to 9).map(d =>
+      sum(when(col("digit") === d, 1L).otherwise(0L)).as(s"c$d")) :+
+      count(lit(1)).as("n")
+    val chi2 = (1 to 9).map { d =>
+      val e = exp(d - 1)
+      s"(((1000000 * c$d) div n - $e) * ((1000000 * c$d) div n - $e)) div $e"
+    }.mkString(" + ")
+    orders
+      .where(expr("CAST(CAST(amount AS DECIMAL(12,2)) * 100 AS BIGINT) > 0"))
+      .withColumn("digit", digit)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(counters.head, counters.tail: _*)
+      .select(col("w.start").as("window_start"), col("n"),
+        expr(chi2).as("chi2_ppm"))
+  }
+
   /** The q143-grid baseline for [[driftTv]]: per-type bin shares (ppm)
     * of a reference frame, pivoted wide (b0..b15) for the broadcast
     * join. Batch-side, bounded output. */

@@ -283,6 +283,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q188: the duplicate screen is an equi-join on the composite key, never a theta join") {
+    val p = plan(graft.operators.FinanceAudit.q188DupCharge)
+    // the hash match must carry all three key columns; the window and
+    // orientation predicates are post-join filters
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[s#\\d+L?, p#\\d+L?, q#\\d+L?\\]"
+      .r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q184: both lag joins ride the checkpointed day axis") {
     val p = plan(graft.operators.EventOps.q184Mase)
     assert(!p.contains("Scan parquet"), p)

@@ -28,7 +28,8 @@ class ScalePlanAuditSpec extends AnyFunSuite {
     (graft.operators.EventOps.q138PeakConcurrency, "delta"),
     (CoreQueries.q144WeightedMedian, "cents"),
     (graft.operators.DataProfile.q172MadOutliers, "v"),
-    (graft.operators.Forecast.q187TheilSen, "slope"))
+    (graft.operators.Forecast.q187TheilSen, "slope"),
+    (graft.operators.FinanceAudit.q189ParetoAbc, "cents"))
 
   test("converted queries range-chunk their rank/prefix stage") {
     for ((q, _) <- converted) {

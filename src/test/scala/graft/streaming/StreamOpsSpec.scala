@@ -762,4 +762,59 @@ class StreamOpsSpec extends AnyFunSuite {
         s"view window should read zero drift: $got")
     } finally q.stop()
   }
+
+  test("benfordMonitor finalized windows agree with the batch digit fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val df = in.toDF().toDF("ts", "amount")
+    val q = StreamOps.benfordMonitor(df, "15 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("benford_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window 1: Benford-ish leading digits (1,1,1,2,2,3,9);
+      // window 2: all amounts lead with 5 — a fabricated-batch smell;
+      // zero/negative amounts must drop before the counters
+      val data = Seq(
+        (ts(1), 120.00), (ts(2), 15.50), (ts(3), 1999.99), (ts(4), 27.25),
+        (ts(5), 250.00), (ts(6), 30.10), (ts(7), 9.99), (ts(8), 0.00),
+        (ts(16), 55.00), (ts(17), 5.25), (ts(18), 599.00), (ts(19), -12.00))
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData((ts(60), 1.0)) // advance watermark past both windows
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        ((r.getTimestamp(0).getTime - Base) / 60000, r.getLong(1), r.getLong(2))
+      val got = spark.table("benford_out").collect().map(key).toSet
+      // batch twin: identical filter + counters + chi2 fold
+      val batch = {
+        val exp = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L,
+          57991L, 51152L, 45757L)
+        val digit = expr(
+          "CAST(substring(CAST(CAST(CAST(amount AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+            " AS STRING), 1, 1) AS BIGINT)")
+        val counters = (1 to 9).map(d =>
+          sum(when(col("digit") === d, 1L).otherwise(0L)).as(s"c$d")) :+
+          count(lit(1)).as("n")
+        val chi2 = (1 to 9).map { d =>
+          val e = exp(d - 1)
+          s"(((1000000 * c$d) div n - $e) * ((1000000 * c$d) div n - $e)) div $e"
+        }.mkString(" + ")
+        data.toDF("ts", "amount")
+          .where(expr("CAST(CAST(amount AS DECIMAL(12,2)) * 100 AS BIGINT) > 0"))
+          .withColumn("digit", digit)
+          .groupBy(window(col("ts"), "15 minutes").as("w"))
+          .agg(counters.head, counters.tail: _*)
+          .select(col("w.start").as("window_start"), col("n"),
+            expr(chi2).as("chi2_ppm"))
+          .collect().map(key).toSet
+      }
+      assert(batch.subsetOf(got), s"missing: ${batch.diff(got)}")
+      // window 1 holds 7 counted rows (the 0.00 dropped); window 2
+      // holds 3, all leading digit 5 — its chi2 must dwarf window 1's
+      val w1 = got.find(_._2 == 7L).get
+      val w2 = got.find(_._2 == 3L).get
+      assert(w2._3 > w1._3,
+        s"all-5s window should score worse than the Benford-ish one: $got")
+    } finally q.stop()
+  }
 }

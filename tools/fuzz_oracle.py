@@ -61,6 +61,9 @@ QUERIES = [
     # HUGEINT share); Theil-Sen's IEEE floor-div slopes ride redrawn
     # money AND a rank-selected median over them
     "q186_benford", "q187_theil_sen",
+    # the dup screen rides redrawn quantities/dates; Pareto rides the
+    # money redraw through the running-sum class cut
+    "q188_dup_charge", "q189_pareto_abc",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
