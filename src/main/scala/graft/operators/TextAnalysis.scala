@@ -1354,11 +1354,136 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** q190 — Heaps'-law fit over shingle-vocabulary growth: log-log
+    * regression of cumulative distinct 3-word shingles V(n) on
+    * cumulative shingle instances n across 20 corpus vigintiles in
+    * doc_id order, reporting the exponent β and the fit r². q148
+    * materializes the growth CURVE; this tests whether the growth is
+    * LAWFUL — the "will the dedup/minhash dictionary keep exploding
+    * at 10× the corpus?" read that sizes shingle dictionaries before
+    * a full-corpus run. The SHINGLE space is the right object: a
+    * bounded word generator saturates its unigram vocabulary in the
+    * first vigintile (31 types at sf0.01 — a degenerate all-equal y
+    * axis), while the combinatorial shingle space keeps growing the
+    * way real vocabularies do.
+    *
+    * Exactness: the vigintile bucket is the q148 integer formula at
+    * 20 bins; cumulative sums run over the bounded 20-row bucket
+    * frame; ln(n) and ln(V) are floored to integer nano-nats per
+    * point BEFORE the regression moments (floor-then-sum, q180
+    * discipline); moments ride DECIMAL(38)/HUGEINT and the
+    * slope/r² are single IEEE chains over exact integers.
+    *
+    * Scale design (100 TB): shingles explode as an in-row zip_with
+    * projection (never re-splitting per element); two corpus passes —
+    * instance counts and (shingle, min bucket) first-appearances —
+    * each collapsing map-side (q148's shape; materializing the
+    * fact-sized shingle stream to share one pass would cost more
+    * than the second scan). Everything after lives on the 20-row
+    * bucket axis; no window ever sees fact-sized data. */
+  val q190HeapsLaw: QueryDef = QueryDef(
+    "q190_heaps_law",
+    """WITH mx AS (SELECT max(doc_id) AS maxid FROM documents),
+      |t AS (
+      |  SELECT least(19, (20 * d.doc_id) // (mx.maxid + 1)) AS bucket,
+      |    unnest(list_transform(range(1, len(string_split(d.text, ' ')) - 1),
+      |      i -> string_split(d.text, ' ')[i] || ' ' ||
+      |           string_split(d.text, ' ')[i+1] || ' ' ||
+      |           string_split(d.text, ' ')[i+2])) AS tri
+      |  FROM documents d, mx),
+      |per AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_tri
+      |  FROM t GROUP BY bucket),
+      |nv AS (
+      |  SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS n_new
+      |  FROM (SELECT tri, min(bucket) AS fb FROM t GROUP BY tri)
+      |  GROUP BY fb),
+      |cum AS (
+      |  SELECT p.bucket,
+      |    CAST(sum(p.n_tri) OVER (ORDER BY p.bucket
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_cum,
+      |    CAST(sum(coalesce(nv.n_new, 0)) OVER (ORDER BY p.bucket
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS voc_cum
+      |  FROM per p LEFT JOIN nv ON nv.bucket = p.bucket),
+      |xy AS (
+      |  SELECT CAST(floor(1000000000.0 * ln(CAST(tok_cum AS DOUBLE))) AS BIGINT) AS x,
+      |    CAST(floor(1000000000.0 * ln(CAST(voc_cum AS DOUBLE))) AS BIGINT) AS y
+      |  FROM cum),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM xy)
+      |SELECT n AS n_points,
+      |  CAST(floor(1000.0 *
+      |    CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+      |    CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) AS BIGINT)
+      |    AS beta_milli,
+      |  CAST(floor(1000000.0 *
+      |    (CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) *
+      |     CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)) /
+      |    (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) *
+      |     CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS BIGINT)
+      |    AS r2_ppm
+      |FROM m""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val docs = Tables.documents(s, dir)
+    val mx = docs.agg(max(col("doc_id")).as("maxid"))
+      .localCheckpoint() // 1-row frame; keeps the max pass out of both shingle scans
+    val ts3 = split(col("text"), " ")
+    val tri = zip_with(
+      slice(ts3, lit(1), greatest(lit(0), size(ts3) - 2)),
+      zip_with(
+        slice(ts3, lit(2), greatest(lit(0), size(ts3) - 2)),
+        slice(ts3, lit(3), greatest(lit(0), size(ts3) - 2)),
+        (b, c) => concat(b, lit(" "), c)),
+      (a, bc) => concat(a, lit(" "), bc))
+    val t = docs
+      .repartition(col("doc_id")) // single-file scan -> use every core
+      .crossJoin(broadcast(mx))
+      .select(
+        least(lit(19L), expr("(20 * doc_id) div (maxid + 1)")).as("bucket"),
+        explode(tri).as("tri"))
+    val per = t.groupBy(col("bucket")).agg(count(lit(1)).as("n_tri"))
+    val nv = t.groupBy(col("tri")).agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb")).agg(count(lit(1)).as("n_new"))
+    // 20 rows total: the unpartitioned window is bounded by design
+    val cw = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val xy = per.join(nv, per("bucket") === nv("fb"), "left")
+      .select(per("bucket"), col("n_tri"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("tok_cum", sum(col("n_tri")).over(cw))
+      .withColumn("voc_cum", sum(col("n_new")).over(cw))
+      .select(
+        floor(lit(1000000000.0) * log(col("tok_cum").cast("double")))
+          .cast("bigint").as("x"),
+        floor(lit(1000000000.0) * log(col("voc_cum").cast("double")))
+          .cast("bigint").as("y"))
+    val m = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("y")) * col("y")).as("syy"))
+    val num = (dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy"))
+      .cast("double")
+    val dx = (dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx"))
+      .cast("double")
+    val dy = (dec(col("n")) * col("syy") - dec(col("sy")) * col("sy"))
+      .cast("double")
+    m.select(col("n").as("n_points"),
+      floor(lit(1000.0) * num / dx).cast("bigint").as("beta_milli"),
+      floor(lit(1000000.0) * (num * num) / (dx * dy))
+        .cast("bigint").as("r2_ppm"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
       q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,
       q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob,
       q101Split, q108Collocations, q112VocabCoverage, q146FilterYield,
       q148VocabGrowth, q167TempMixture, q168ClassifierEval, q175Composition,
-      q180Zipf, q181BigramPpl)
+      q180Zipf, q181BigramPpl, q190HeapsLaw)
 }

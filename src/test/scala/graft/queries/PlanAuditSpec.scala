@@ -283,6 +283,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q190: two map-collapsing corpus passes, shingles from one split, math on the bucket axis") {
+    val p = plan(graft.operators.TextAnalysis.q190HeapsLaw)
+    // exactly the two documented passes over documents — a third scan
+    // means a stage stopped collapsing map-side
+    assert("Scan parquet".r.findAllIn(p).size == 2, p)
+    // shingle explosion is the zip_with projection: one split() per
+    // pass feeds Generate, never an element-wise re-split
+    assert("Generate explode".r.findAllIn(p).size == 2, p)
+    assert(p.contains("partial_count") || p.contains("partial_min"), p)
+  }
+
   test("q188: the duplicate screen is an equi-join on the composite key, never a theta join") {
     val p = plan(graft.operators.FinanceAudit.q188DupCharge)
     // the hash match must carry all three key columns; the window and

@@ -64,6 +64,9 @@ QUERIES = [
     # the dup screen rides redrawn quantities/dates; Pareto rides the
     # money redraw through the running-sum class cut
     "q188_dup_charge", "q189_pareto_abc",
+    # Heaps rides the documents text redraw through ln chains and the
+    # shingle first-appearance axis
+    "q190_heaps_law",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
