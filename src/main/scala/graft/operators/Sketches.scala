@@ -509,7 +509,123 @@ object Sketches {
     }
   }
 
+  /** q191 — mergeable dyadic-histogram quantile sketch, gated against
+    * exact truth: per event type, estimate p50/p90/p99 of the value
+    * distribution from a ~21-bucket OCTAVE histogram (bucket =
+    * bit-length of the milli value, i.e. [2^(b−1), 2^b) ranges, with
+    * linear interpolation inside the crossing octave) and report the
+    * estimate NEXT TO the exact rank-selected quantile with the
+    * relative error in ppm. The octave counters are the mergeable
+    * O(log range) quantile state a streaming/continuous pipeline can
+    * actually keep where exact percentiles need O(distinct values)
+    * — q85 bounds the sample, this bounds the HISTOGRAM; the built-in
+    * gate makes the accuracy claim a measured number, not a hope
+    * (q135's eval discipline applied to quantiles).
+    *
+    * Exactness (both engines bit-identical): the bucket is
+    * length(bin(v)) — integer bit-length, no log2 float boundary
+    * (floor(ln(2^k)/ln 2) rounds DOWN at exact powers in IEEE);
+    * ranks are k = ⌈p·n/1000⌉ via (p·n+999)//1000 (non-negative —
+    * headroom to n ≈ 9·10¹⁵); the in-octave interpolation
+    * lo + ((k−cum_below−1)·(hi−lo))//cnt is all non-negative int64.
+    * Requires v ≥ 0 (pinned events.value invariant) — a negative
+    * value's two's-complement bit-length would land in the top
+    * bucket.
+    *
+    * Scale design (100 TB): ONE fact pass collapses to the discrete
+    * (type, milli value) histogram (the q17 weighted-percentile
+    * contract), checkpointed once; the octave sketch, the per-type
+    * totals, and the exact truth all derive from that bounded frame.
+    * The octave window is structurally ≤ ~21 rows per type; the
+    * truth side's running count rides [[ScaleRank.withRunningSum]]
+    * so no task ever holds a full type's value domain. */
+  val q191QuantileSketch: QueryDef = QueryDef(
+    "q191_quantile_sketch",
+    """WITH ev AS (
+      |  SELECT event_type AS etype, CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events),
+      |vh AS (
+      |  SELECT etype, v, CAST(count(*) AS BIGINT) AS cnt FROM ev GROUP BY 1, 2),
+      |tot AS (SELECT etype, CAST(sum(cnt) AS BIGINT) AS n FROM vh GROUP BY 1),
+      |oct AS (
+      |  SELECT etype, CAST(length(bin(v)) AS BIGINT) AS b,
+      |    CAST(sum(cnt) AS BIGINT) AS cnt
+      |  FROM vh GROUP BY 1, 2),
+      |octc AS (
+      |  SELECT etype, b, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY etype ORDER BY b
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM oct),
+      |ps AS (SELECT CAST(p AS BIGINT) AS p FROM unnest([500, 900, 990]) AS t(p)),
+      |est AS (
+      |  SELECT o.etype, ps.p, t.n,
+      |    (CASE WHEN o.b = 1 THEN 0 ELSE CAST(1 AS BIGINT) << (o.b - 1) END)
+      |      + (((ps.p * t.n + 999) // 1000 - (o.cum - o.cnt) - 1)
+      |         * ((CAST(1 AS BIGINT) << o.b)
+      |            - (CASE WHEN o.b = 1 THEN 0
+      |               ELSE CAST(1 AS BIGINT) << (o.b - 1) END))) // o.cnt
+      |      AS est_milli
+      |  FROM octc o JOIN tot t ON t.etype = o.etype CROSS JOIN ps
+      |  WHERE (o.cum - o.cnt) < (ps.p * t.n + 999) // 1000
+      |    AND (ps.p * t.n + 999) // 1000 <= o.cum),
+      |vhc AS (
+      |  SELECT h.etype, h.v,
+      |    CAST(sum(h.cnt) OVER (PARTITION BY h.etype ORDER BY h.v
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM vh h),
+      |ex AS (
+      |  SELECT h.etype, ps.p, min(h.v) AS exact_milli
+      |  FROM vhc h JOIN tot t ON t.etype = h.etype CROSS JOIN ps
+      |  WHERE h.cum >= (ps.p * t.n + 999) // 1000
+      |  GROUP BY 1, 2)
+      |SELECT e.etype AS event_type, e.p AS p_mille, e.n,
+      |  e.est_milli, x.exact_milli,
+      |  (1000000 * abs(e.est_milli - x.exact_milli))
+      |    // greatest(x.exact_milli, 1) AS err_ppm
+      |FROM est e JOIN ex x ON x.etype = e.etype AND x.p = e.p
+      |ORDER BY event_type, p_mille""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.{Window => W}
+    val vh = Tables.events(s, dir)
+      .select(col("event_type").as("etype"),
+        floor(col("value") * 1000).cast("bigint").as("v"))
+      .groupBy(col("etype"), col("v")).agg(count(lit(1)).as("cnt"))
+      // ONE fact collapse (bounded by the discrete milli domain)
+      // feeds the sketch, the totals, and the truth
+      .localCheckpoint()
+    val tot = vh.groupBy(col("etype")).agg(sum(col("cnt")).as("n"))
+    val oct = vh
+      .groupBy(col("etype"), length(bin(col("v"))).cast("bigint").as("b"))
+      .agg(sum(col("cnt")).as("cnt"))
+    // <= ~21 octaves per type: structurally bounded window
+    val octc = oct.withColumn("cum", sum(col("cnt")).over(
+      W.partitionBy(col("etype")).orderBy(col("b"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+    val est = octc.join(broadcast(tot), "etype")
+      .withColumn("p", explode(array(lit(500L), lit(900L), lit(990L))))
+      .withColumn("k", expr("(p * n + 999) div 1000"))
+      .where(expr("cum - cnt < k AND k <= cum"))
+      .select(col("etype"), col("p"), col("n"),
+        expr("""(CASE WHEN b = 1 THEN 0L ELSE shiftleft(CAST(1 AS BIGINT), CAST(b AS INT) - 1) END)
+               |  + ((k - (cum - cnt) - 1)
+               |     * (shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))
+               |        - (CASE WHEN b = 1 THEN 0L
+               |           ELSE shiftleft(CAST(1 AS BIGINT), CAST(b AS INT) - 1) END))) div cnt
+               |""".stripMargin.replace("\n", " ")).as("est_milli"))
+    val vhc = ScaleRank.withRunningSum(
+      vh, Seq("etype"), Seq(col("v")), col("cnt"), "cum")
+    val ex = vhc.join(broadcast(tot), "etype")
+      .withColumn("p", explode(array(lit(500L), lit(900L), lit(990L))))
+      .where(expr("cum >= (p * n + 999) div 1000"))
+      .groupBy(col("etype"), col("p")).agg(min(col("v")).as("exact_milli"))
+    est.join(ex, Seq("etype", "p"))
+      .select(col("etype").as("event_type"), col("p").as("p_mille"),
+        col("n"), col("est_milli"), col("exact_milli"),
+        expr("(1000000 * abs(est_milli - exact_milli)) div greatest(exact_milli, 1)")
+          .as("err_ppm"))
+      .orderBy("event_type", "p_mille")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q36KmvSketch, q67HeavyHitters, q85SampleQuantiles, q88ThetaSketch,
-      q97CountMin)
+      q97CountMin, q191QuantileSketch)
 }

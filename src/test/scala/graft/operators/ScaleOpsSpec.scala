@@ -10,6 +10,22 @@ class ScaleOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("q191 dyadic quantile sketch: estimate shares the exact value's octave (error < 2x)") {
+    val rows = Sketches.q191QuantileSketch.build(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 15, s"expected 5 types x 3 quantiles: ${rows.length}")
+    for (r <- rows) {
+      val est = r.getAs[Long]("est_milli")
+      val exact = r.getAs[Long]("exact_milli")
+      val err = r.getAs[Long]("err_ppm")
+      // the crossing octave contains the exact rank, so the estimate
+      // can be off by at most the octave width: strictly under 2x
+      // relative (and under 1x when exact sits high in its octave)
+      assert(err < 1000000L, s"octave bound broken: est=$est exact=$exact err=$err")
+      assert(est >= 0 && exact >= 0, r.toString)
+    }
+  }
+
   test("KMV sketch: exact below k, within 10% above k, merges across partitions") {
     val kmv = udaf(Sketches.Kmv(256))
     // 40 distinct keys (< k): estimate must be exact

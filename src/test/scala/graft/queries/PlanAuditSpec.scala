@@ -294,6 +294,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_min"), p)
   }
 
+  test("q191: one fact collapse feeds sketch, totals, and truth; totals broadcast back") {
+    val p = plan(graft.operators.Sketches.q191QuantileSketch)
+    // the checkpointed (type, value) histogram replaces every scan
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("ExistingRDD"), p)
+    // per-type totals are a broadcast; the truth side carries the
+    // ScaleRank chunking, not a per-type value-domain window
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("__sr_pid") &&
+      (p.contains("rangepartitioning") || p.contains("RangePartitioning")), p)
+  }
+
   test("q188: the duplicate screen is an equi-join on the composite key, never a theta join") {
     val p = plan(graft.operators.FinanceAudit.q188DupCharge)
     // the hash match must carry all three key columns; the window and

@@ -67,6 +67,9 @@ QUERIES = [
     # Heaps rides the documents text redraw through ln chains and the
     # shingle first-appearance axis
     "q190_heaps_law",
+    # the quantile sketch rides the events value redraw through both
+    # the octave estimate and the exact rank selection
+    "q191_quantile_sketch",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
