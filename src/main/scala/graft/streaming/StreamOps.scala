@@ -742,6 +742,72 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class QSketchState(counts: Seq[Long], n: Long)
+  final case class QSketchOut(event_type: String, n: Long,
+      p50_milli: Long, p90_milli: Long, p99_milli: Long)
+
+  /** Streaming dyadic-histogram quantile monitor — the stateful twin
+    * of q191 ([[graft.operators.Sketches.q191QuantileSketch]]), and
+    * the reason that sketch exists: per event type the state is the
+    * ~21 octave counters + total count (O(log range), mergeable,
+    * independent of stream length), where exact streaming percentiles
+    * would buffer every distinct value. Each trigger re-reads the
+    * counters and emits the current p50/p90/p99 estimate (Update
+    * mode), so the monitor converges on exactly the batch sketch's
+    * numbers: same bit-length bucketing (bin length ≡
+    * 64 − numberOfLeadingZeros), same ⌈p·n/1000⌉ rank, same in-octave
+    * interpolation in non-negative int64 — agreement with the batch
+    * estimate is bit-exact once the same rows have arrived, which the
+    * StreamOpsSpec case asserts against q191's output. */
+  def quantileSketch(spark: SparkSession,
+      events: Dataset[AsofEvent]): Dataset[QSketchOut] = {
+    import spark.implicits._
+
+    def est(counts: Array[Long], n: Long, p: Long): Long = {
+      val k = (p * n + 999) / 1000
+      var cum = 0L
+      var i = 0
+      while (i < counts.length) {
+        val cnt = counts(i)
+        if (cnt > 0) {
+          val below = cum
+          cum += cnt
+          if (below < k && k <= cum) {
+            val b = i + 1
+            val lo = if (b == 1) 0L else 1L << (b - 1)
+            val hi = 1L << b
+            return lo + ((k - below - 1) * (hi - lo)) / cnt
+          }
+        }
+        i += 1
+      }
+      0L
+    }
+
+    def fn(etype: String, rows: Iterator[AsofEvent],
+        state: GroupState[QSketchState]): QSketchOut = {
+      val counts = state.getOption.map(_.counts.toArray)
+        .getOrElse(Array.fill(64)(0L))
+      var n = state.getOption.map(_.n).getOrElse(0L)
+      rows.foreach { e =>
+        val v = math.floor(e.value * 1000).toLong
+        // bit length of the milli value — v=0 lands in octave 1 like
+        // length(bin(0)) = 1 batch-side; v >= 0 is the pinned invariant
+        val b = if (v <= 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+        counts(b - 1) += 1
+        n += 1
+      }
+      state.update(QSketchState(counts.toSeq, n))
+      QSketchOut(etype, n, est(counts, n, 500L), est(counts, n, 900L),
+        est(counts, n, 990L))
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
   def rollingZscore(spark: SparkSession, events: Dataset[AsofEvent],
       windowSize: Int = 10, minN: Int = 5): Dataset[ZOut] = {
     import spark.implicits._

@@ -817,4 +817,37 @@ class StreamOpsSpec extends AnyFunSuite {
         s"all-5s window should score worse than the Benford-ish one: $got")
     } finally q.stop()
   }
+
+  test("quantileSketch converges bit-exactly on the batch q191 estimates") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.AsofEvent]
+    val q = StreamOps.quantileSketch(spark, in.toDS())
+      .writeStream.format("memory").queryName("qsketch_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // three chunks: the counters must MERGE across triggers, not
+      // just survive one batch
+      eventChunks(3).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      // Update mode appends a row per key per trigger; n is monotone,
+      // so the max-n row per type is the final state
+      val streamed = spark.table("qsketch_out")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type")).orderBy(col("n").desc)))
+        .where(col("rk") === 1)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val batch = graft.operators.Sketches.q191QuantileSketch
+        .build(spark, "/root/testdata/sf0.001")
+        .groupBy(col("event_type"), col("n"))
+        .pivot("p_mille", Seq(500, 900, 990)).agg(first(col("est_milli")))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"stream-batch: ${streamed -- batch}; batch-stream: ${batch -- streamed}")
+    } finally q.stop()
+  }
 }
