@@ -172,18 +172,26 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("r"), col("bucket"), col("cnt"))
 
   /** File-source stream over a directory of parquet event files — the
-    * continuous version of the reference's new-files loop. Caller
-    * supplies the schema (file streams cannot infer). The driver's
-    * events files store TIMESTAMP(NANOS), which Spark's reader only
-    * accepts as raw longs (legacy.parquet.nanosAsLong, as in
-    * [[graft.Tables.events]]) — read nanos, rebuild micros exactly
-    * with integral division. */
+    * continuous version of the reference's new-files loop. File
+    * streams cannot infer a schema, so one batch footer read of the
+    * directory decides which of the two driver event layouts is on
+    * disk (see [[graft.Tables.events]]): TIMESTAMP(NANOS) streams as
+    * raw longs (legacy.parquet.nanosAsLong) rebuilt with exact
+    * integral division; TIMESTAMP(MICROS) streams as TIMESTAMP_NTZ
+    * and the UTC session casts it wall-clock-identically. */
   def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val onDisk = spark.read.parquet(dir).schema
+    val nanosLayout =
+      onDisk("ts").dataType == org.apache.spark.sql.types.LongType
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      if (nanosLayout)
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+      else
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    if (nanosLayout) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
