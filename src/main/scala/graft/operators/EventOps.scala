@@ -1680,7 +1680,66 @@ object EventOps {
           "(CAST(s1 AS DECIMAL(38,0)) * n7) AS BIGINT)").as("mase_ppm"))
   }
 
+  /** q196 — JSON schema-drift profile: the weekly presence footprint
+    * of every key appearing in the `props` payload — per key, its
+    * total event count, how many distinct weeks it appears in, its
+    * first/last week, and whether it spans every week the feed has
+    * (`full_coverage`). A key whose last_week stops short of the
+    * feed's horizon just VANISHED from the producer's schema; one
+    * whose first_week starts late was ADDED — the two drift events a
+    * pipeline must catch before downstream extraction silently nulls.
+    *
+    * Both engines enumerate keys natively (`json_object_keys` /
+    * `json_keys`); malformed JSON contributes no keys (the Spark
+    * function nulls, mirrored by the oracle's json_valid guard —
+    * DuckDB's json_keys would ERROR, the q86 lesson). Weeks are
+    * ISO-Monday `date_trunc` in both engines.
+    *
+    * Scale design (100 TB): the exploded (key, week) stream collapses
+    * to grain FIRST (partial-aggregable, key width is the JSON object
+    * size, bounded per row), so the per-key rollup aggregates rows
+    * bounded by |keys|×|weeks| — schema×calendar, not data; min/max/
+    * sum all combine map-side, and the horizon count is a 1-row
+    * broadcast. No windows, no count-distinct expansion over facts. */
+  val q196SchemaDrift: QueryDef = QueryDef(
+    "q196_schema_drift",
+    """WITH kw AS (
+      |  SELECT key, week, CAST(count(*) AS BIGINT) AS n
+      |  FROM (
+      |    SELECT unnest(CASE WHEN json_valid(props) THEN json_keys(props)
+      |                       ELSE [] END) AS key,
+      |      strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+      |    FROM events)
+      |  GROUP BY 1, 2),
+      |horizon AS (
+      |  SELECT CAST(count(DISTINCT date_trunc('week', ts)) AS BIGINT) AS total_weeks
+      |  FROM events)
+      |SELECT key, CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(count(*) AS BIGINT) AS n_weeks,
+      |  min(week) AS first_week, max(week) AS last_week,
+      |  count(*) = max(total_weeks) AS full_coverage
+      |FROM kw CROSS JOIN horizon
+      |GROUP BY key ORDER BY key""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val kw = ev
+      .select(
+        explode(coalesce(expr("json_object_keys(props)"),
+          array())).as("key"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+      .groupBy("key", "week")
+      .agg(count(lit(1)).as("n"))
+    val horizon = ev
+      .agg(countDistinct(date_trunc("week", col("ts"))).as("total_weeks"))
+    kw.crossJoin(broadcast(horizon))
+      .groupBy("key")
+      .agg(sum("n").as("n_events"), count(lit(1)).as("n_weeks"),
+        min("week").as("first_week"), max("week").as("last_week"),
+        (count(lit(1)) === max("total_weeks")).as("full_coverage"))
+      .orderBy("key")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q196SchemaDrift,
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
     q58Pivot, q59Cube, q72SlidingWindow, q81Streaks, q86VariantExtract,

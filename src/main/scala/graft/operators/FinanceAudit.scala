@@ -141,5 +141,207 @@ object FinanceAudit {
       .orderBy("abc_class")
   }
 
-  val all: Seq[QueryDef] = Seq(q188DupCharge, q189ParetoAbc)
+  /** q192 — VWAP (volume-weighted average price) per returnflag ×
+    * ship month: the execution-quality benchmark next to q114's TWAP
+    * (time-weighted). VWAP weights each fill by its quantity, so
+    * heavy lines move the average and thin ones barely register.
+    *
+    * Exactness: notional rides exact cents (decimal-cast BEFORE the
+    * ×100, the q01 contract) times an integral quantity, summed as
+    * BIGINT; vwap_cents is one non-negative integer floor-division of
+    * the two sums (Spark div ≡ DuckDB // on this domain). No float
+    * anywhere.
+    *
+    * Scale design (100 TB): a single partial-aggregable pass over the
+    * fact — both sums combine map-side, the (flag, month) key is
+    * bounded×calendar so the final exchange is tiny, and the division
+    * happens post-aggregate on the reduced rows. */
+  val q192Vwap: QueryDef = QueryDef(
+    "q192_vwap",
+    """SELECT l_returnflag AS flag, strftime(l_shipdate, '%Y-%m') AS ym,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |           * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS notional_cents,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |           * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+      |    // CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS vwap_cents
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |ORDER BY flag, ym""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ym"),
+        floor(col("l_quantity")).cast("bigint").as("q"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint")
+          .as("cents"))
+      .groupBy("flag", "ym")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("q")).as("qty"),
+        sum(col("cents") * col("q")).as("notional_cents"))
+      .select(col("flag"), col("ym"), col("n_lines"), col("qty"),
+        col("notional_cents"),
+        expr("notional_cents div qty").as("vwap_cents"))
+      .orderBy("flag", "ym")
+  }
+
+  /** q193 — maximum-drawdown report over the daily revenue equity
+    * curve: cumulative booked revenue by order date, its running peak,
+    * and drawdown = peak − equity; emits the 10 deepest drawdown days.
+    * The treasury view of volatility that q134's seasonality and
+    * q178's CUSUM look at from other angles.
+    *
+    * Exactness: all cents arithmetic is exact BIGINT; the running sum
+    * and running max ride plain windows over UNIQUE day keys, and
+    * drawdown is a subtraction of two prefix aggregates — no float,
+    * no ties (day is the key).
+    *
+    * Scale design (100 TB): the fact collapses to day grain FIRST
+    * (partial-aggregable), so the global windows run over rows
+    * bounded by the CALENDAR (~2.5k days for 7 years) — bounded by
+    * time, not by data volume, which is exactly when a single-task
+    * window is the right plan (the [[ScaleRank]] machinery exists for
+    * windows whose input grows with the data; forcing it here would
+    * add two exchanges to sort 2.5k rows). The final top-10 is
+    * TakeOrdered, not a global sort. */
+  val q193Drawdown: QueryDef = QueryDef(
+    "q193_drawdown",
+    """WITH d AS (
+      |  SELECT o_orderdate AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |e AS (
+      |  SELECT day, cents,
+      |    CAST(sum(cents) OVER (ORDER BY day) AS BIGINT) AS equity
+      |  FROM d),
+      |eq AS (
+      |  SELECT day, cents, equity,
+      |    CAST(max(equity) OVER (ORDER BY day) AS BIGINT) AS peak
+      |  FROM e)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, cents, equity, peak,
+      |  peak - equity AS drawdown_cents
+      |FROM eq
+      |ORDER BY drawdown_cents DESC, day
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")).cast("bigint").as("cents"))
+    val w = Window.orderBy("day")
+    daily
+      .withColumn("equity",
+        sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("peak",
+        max("equity").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cents"), col("equity"), col("peak"),
+        (col("peak") - col("equity")).as("drawdown_cents"))
+      .orderBy(col("drawdown_cents").desc, col("day"))
+      .limit(10)
+  }
+
+  /** q194 — accounts-receivable aging: orders not yet finalized
+    * (status <> 'F'), bucketed by age against the book's as-of date
+    * (its max order date), broken out by priority — the collections
+    * report every finance close produces.
+    *
+    * Exactness: age is an integer day difference; buckets are integer
+    * CASE cuts; amounts are exact cents. The as-of date is a 1-row
+    * aggregate both engines compute identically.
+    *
+    * Scale design (100 TB): the as-of max is a partial-aggregable
+    * 1-row frame broadcast into the scan projection (no second fact
+    * pass — Spark plans the cross join of a 1-row aggregate as
+    * BroadcastNestedLoopJoin with a single build row); bucketing is a
+    * per-row CASE, and the final aggregate has a bounded
+    * priority×bucket key. One fact scan feeds both the max and the
+    * report via the reused exchange. */
+  val q194Aging: QueryDef = QueryDef(
+    "q194_aging",
+    """WITH asof_d AS (SELECT max(o_orderdate) AS d0 FROM orders),
+      |aged AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CASE
+      |      WHEN date_diff('day', o_orderdate, d0) <= 30 THEN '00-30'
+      |      WHEN date_diff('day', o_orderdate, d0) <= 60 THEN '31-60'
+      |      WHEN date_diff('day', o_orderdate, d0) <= 90 THEN '61-90'
+      |      ELSE '90+' END AS bucket,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders, asof_d
+      |  WHERE o_orderstatus <> 'F')
+      |SELECT priority, bucket,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS open_cents
+      |FROM aged
+      |GROUP BY 1, 2
+      |ORDER BY priority, bucket""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val asof = orders.agg(max(col("o_orderdate")).as("d0"))
+    orders.filter(col("o_orderstatus") =!= "F")
+      .crossJoin(broadcast(asof))
+      .select(col("o_orderpriority").as("priority"),
+        when(datediff(col("d0"), col("o_orderdate")) <= 30, "00-30")
+          .when(datediff(col("d0"), col("o_orderdate")) <= 60, "31-60")
+          .when(datediff(col("d0"), col("o_orderdate")) <= 90, "61-90")
+          .otherwise("90+").as("bucket"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+          .as("cents"))
+      .groupBy("priority", "bucket")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("open_cents"))
+      .orderBy("priority", "bucket")
+  }
+
+  /** q195 — round-number bias screen: how often order totals land on
+    * "round" cent patterns (whole dollars, whole hundred-dollar
+    * amounts, psychological .99 endings) per priority class, in ppm.
+    * Benford's law (q186) tests leading digits; this tests TRAILING
+    * digits — fabricated or hand-keyed amounts over-select round
+    * numbers, so observed ppm far above the uniform expectation
+    * (10000 ppm for cents≡0 mod 100, 100 ppm for mod 10000, 10000 ppm
+    * for the .99 ending) flags a book for review.
+    *
+    * Exactness: flags are integer modulus tests on exact cents; the
+    * shares are non-negative integer floor-divisions (ppm), the
+    * Spark-div ≡ DuckDB-// domain.
+    *
+    * Scale design (100 TB): one partial-aggregable pass — the flags
+    * are per-row CASE bits summed map-side; the output is one row per
+    * priority (bounded). No joins, no windows. */
+  val q195RoundBias: QueryDef = QueryDef(
+    "q195_round_bias",
+    """WITH f AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST((1000000 * CAST(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END)
+      |                       AS BIGINT)) // count(*) AS BIGINT) AS whole_dollar_ppm,
+      |  CAST((1000000 * CAST(sum(CASE WHEN cents % 10000 = 0 THEN 1 ELSE 0 END)
+      |                       AS BIGINT)) // count(*) AS BIGINT) AS whole_hundred_ppm,
+      |  CAST((1000000 * CAST(sum(CASE WHEN cents % 100 = 99 THEN 1 ELSE 0 END)
+      |                       AS BIGINT)) // count(*) AS BIGINT) AS ending_99_ppm
+      |FROM f
+      |GROUP BY 1
+      |ORDER BY priority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+          .as("cents"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("cents") % 100 === 0, 1L).otherwise(0L)).as("wd"),
+        sum(when(col("cents") % 10000 === 0, 1L).otherwise(0L)).as("wh"),
+        sum(when(col("cents") % 100 === 99, 1L).otherwise(0L)).as("e99"))
+      .select(col("priority"), col("n_orders"),
+        expr("(1000000 * wd) div n_orders").as("whole_dollar_ppm"),
+        expr("(1000000 * wh) div n_orders").as("whole_hundred_ppm"),
+        expr("(1000000 * e99) div n_orders").as("ending_99_ppm"))
+      .orderBy("priority")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q188DupCharge, q189ParetoAbc, q192Vwap, q193Drawdown, q194Aging,
+    q195RoundBias)
 }

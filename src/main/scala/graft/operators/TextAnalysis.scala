@@ -1479,8 +1479,75 @@ object TextAnalysis {
         .cast("bigint").as("r2_ppm"))
   }
 
+  /** q197 — keyword extraction by chi-square keyness: for each
+    * source, the tokens most over-represented versus the rest of the
+    * corpus (the log-likelihood/keyness family of corpus linguistics,
+    * on the χ² statistic q123 already uses for contingency drift).
+    * Each (source, token) forms a 2×2 table — {token, ¬token} ×
+    * {source, rest} — and the top 50 positively-keyed cells are the
+    * source's signature vocabulary.
+    *
+    * Exactness: the 2×2 cross-product residual collapses
+    * algebraically to d = a·N − tf·cs (a = in-source hits, tf = total
+    * hits, cs = source token count, N = corpus tokens), exact int64
+    * at any shipped scale (|d| < 2⁵³ — headroom noted below); χ² ppm
+    * is ONE left-associated IEEE chain + floor, the q108/q123
+    * contract. The positivity filter a·N > tf·cs and the a ≥ 5 noise
+    * floor are pure integer predicates.
+    *
+    * Scale design (100 TB): token explode → (source, token) counts is
+    * partial-aggregable; the margins join back on token (equi-join,
+    * same cardinality as the count table) and on source (bounded,
+    * broadcast); N is a 1-row broadcast. The top 50 is TakeOrdered
+    * (per-partition heaps), never a global sort. Past ~10¹³ corpus
+    * tokens d needs the DECIMAL(38) route — documented, not shipped,
+    * as int64·int64 residuals stay exact through sf100. */
+  val q197Keyness: QueryDef = QueryDef(
+    "q197_keyness",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |a AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS a
+      |      FROM tok GROUP BY 1, 2),
+      |cs AS (SELECT source, CAST(count(*) AS BIGINT) AS cs FROM tok GROUP BY 1),
+      |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tok),
+      |g AS (
+      |  SELECT a.source, a.tok, a.a, cs.cs, tf.tf, n.nn,
+      |    a.a * n.nn - tf.tf * cs.cs AS d
+      |  FROM a JOIN cs ON cs.source = a.source
+      |         JOIN tf ON tf.tok = a.tok
+      |         CROSS JOIN n)
+      |SELECT source, tok, a AS hits,
+      |  CAST(floor((CAST(d AS DOUBLE) * d * nn * 1000000.0) /
+      |       (((CAST(tf AS DOUBLE) * (nn - tf)) * cs) * (nn - cs)))
+      |       AS BIGINT) AS chi2_ppm
+      |FROM g
+      |WHERE a >= 5 AND d > 0
+      |ORDER BY chi2_ppm DESC, source, tok
+      |LIMIT 50""".stripMargin) { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val a = tok.groupBy("source", "tok").agg(count(lit(1)).as("a"))
+    val cs = tok.groupBy("source").agg(count(lit(1)).as("cs"))
+    val tf = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val n = tok.agg(count(lit(1)).as("nn"))
+    a.join(broadcast(cs), "source")
+      .join(tf, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("d", col("a") * col("nn") - col("tf") * col("cs"))
+      .filter(col("a") >= 5 && col("d") > 0)
+      .select(col("source"), col("tok"), col("a").as("hits"),
+        floor((col("d").cast("double") * col("d") * col("nn") * lit(1000000.0)) /
+          (((col("tf").cast("double") * (col("nn") - col("tf"))) * col("cs")) *
+            (col("nn") - col("cs"))))
+          .cast("bigint").as("chi2_ppm"))
+      .orderBy(col("chi2_ppm").desc, col("source"), col("tok"))
+      .limit(50)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
+    Seq(q197Keyness,
+      q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
       q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,
       q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob,
       q101Split, q108Collocations, q112VocabCoverage, q146FilterYield,
