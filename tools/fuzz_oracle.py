@@ -70,6 +70,13 @@ QUERIES = [
     # the quantile sketch rides the events value redraw through both
     # the octave estimate and the exact rank selection
     "q191_quantile_sketch",
+    # VWAP/round-bias ride the money+quantity redraw through integer
+    # floor-divs; drawdown rides it through running sum/max windows;
+    # keyness rides the documents text redraw through the q123-style
+    # IEEE chi-square chain; schema drift rides the props/ts redraw
+    # through the json_valid guard
+    "q192_vwap", "q193_drawdown", "q195_round_bias",
+    "q196_schema_drift", "q197_keyness",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
