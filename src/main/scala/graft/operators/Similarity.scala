@@ -693,21 +693,27 @@ object Similarity {
     * counts) and only the final cosine is one IEEE chain, identical
     * in both engines.
     *
-    * Scale design: one posexplode pass (rows × 64 dims) into a
-    * partial-aggregable (label, half, dim) sum — the corpus never
-    * shuffles raw vectors; everything after runs on |labels|·2·64
-    * rows. */
+    * Scale design: one posexplode pass (rows × 64 dims) into ONE
+    * partial-aggregable (label, dim) aggregate carrying BOTH halves
+    * as conditional sums — no per-half self-join ever forms (the
+    * r4-era shape joined c(half=0) to c(half=1); conditional
+    * aggregation deletes that exchange+join outright). The p filter
+    * (both halves present) reproduces the old inner-join semantics
+    * for a label missing one half. Everything after the explode-agg
+    * runs on |labels|·64 rows. */
   val q154EmbeddingDrift: QueryDef = QueryDef(
     "q154_embedding_drift",
     """WITH c AS (
-      |  SELECT label, vec_id % 2 AS half, t.d,
-      |    CAST(sum(CAST(floor(CAST(embedding[CAST(t.d AS INT)] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s
+      |  SELECT label, t.d,
+      |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN
+      |      CAST(floor(CAST(embedding[CAST(t.d AS INT)] AS DOUBLE) * 1000000) AS BIGINT) END) AS BIGINT) AS sa,
+      |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN
+      |      CAST(floor(CAST(embedding[CAST(t.d AS INT)] AS DOUBLE) * 1000000) AS BIGINT) END) AS BIGINT) AS sb
       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(d)
-      |  GROUP BY label, vec_id % 2, t.d),
+      |  GROUP BY label, t.d),
       |p AS (
-      |  SELECT a.label, a.d, a.s AS sa, b.s AS sb
-      |  FROM c a JOIN c b ON a.label = b.label AND a.d = b.d
-      |  WHERE a.half = 0 AND b.half = 1),
+      |  SELECT label, d, sa, sb FROM c
+      |  WHERE sa IS NOT NULL AND sb IS NOT NULL),
       |m AS (
       |  SELECT label,
       |    CAST(sum(CAST(sa AS HUGEINT) * sb) AS DOUBLE) AS dot,
@@ -723,19 +729,16 @@ object Similarity {
       |FROM m JOIN h ON h.label = m.label
       |ORDER BY m.label""".stripMargin) { (s, dir) =>
     val e = Tables.embeddings(s, dir)
-    val c = e.repartition(col("vec_id"))
+    val p = e.repartition(col("vec_id"))
       .select(col("label"), (col("vec_id") % 2).as("half"),
         posexplode(col("embedding")).as(Seq("d0", "v")))
       // DuckDB WITH ORDINALITY is 1-based; posexplode is 0-based
       .select(col("label"), col("half"), (col("d0") + 1).as("d"),
         floor(col("v").cast("double") * 1000000).cast("long").as("sv"))
-      .groupBy(col("label"), col("half"), col("d"))
-      .agg(sum(col("sv")).as("s"))
-    val p = c.filter(col("half") === 0)
-      .select(col("label"), col("d"), col("s").as("sa"))
-      .join(c.filter(col("half") === 1)
-        .select(col("label").as("lb"), col("d").as("db"), col("s").as("sb")),
-        col("label") === col("lb") && col("d") === col("db"))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(when(col("half") === 0, col("sv"))).as("sa"),
+        sum(when(col("half") === 1, col("sv"))).as("sb"))
+      .filter(col("sa").isNotNull && col("sb").isNotNull)
     val m = p.groupBy(col("label"))
       .agg(
         sum(col("sa").cast("decimal(38,0)") * col("sb").cast("decimal(38,0)"))
