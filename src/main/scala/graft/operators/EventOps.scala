@@ -1738,8 +1738,77 @@ object EventOps {
       .orderBy("key")
   }
 
+  /** q199 — behavioral-entropy histogram: each user's event-type mix
+    * collapses to one Shannon entropy (0 = monomaniac sessions, ln 5
+    * ≈ 1.609 = perfectly mixed), and the population lands in fixed
+    * 0.1-nat histogram bins — the engagement-diversity profile that
+    * separates bots (entropy spikes at 0) from organic users (a hump
+    * near the middle) without any per-user output.
+    *
+    * Exactness: per-(user, type) counts pivot into the five KNOWN
+    * event-type columns (the q57 funnel's stable domain), so the
+    * entropy sum is a LITERAL five-term left-associated IEEE chain —
+    * identical association order in both engines, each term guarded
+    * by a zero-count CASE (0·ln 0 := 0). The only float ops are that
+    * chain and one final floor to milli-nats; binning and counting
+    * are integer.
+    *
+    * Scale design (100 TB): (user, type) → user pivot is ONE
+    * partial-aggregable pass (conditional sums, no pivot shuffle);
+    * the entropy chain is per-row codegen; the histogram is a bounded
+    * ≤17-bin aggregate. No windows, no joins, no per-user output —
+    * driver-safe at any user cardinality. */
+  val q199SessionEntropy: QueryDef = QueryDef(
+    "q199_session_entropy",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS c1,
+      |    CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS c2,
+      |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS c3,
+      |    CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS c4,
+      |    CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS c5,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY user_id),
+      |h AS (
+      |  SELECT user_id,
+      |    CAST(floor(-1000.0 * (
+      |      (((CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / n) * ln(CAST(c1 AS DOUBLE) / n) ELSE 0.0 END
+      |        + CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / n) * ln(CAST(c2 AS DOUBLE) / n) ELSE 0.0 END)
+      |        + CASE WHEN c3 > 0 THEN (CAST(c3 AS DOUBLE) / n) * ln(CAST(c3 AS DOUBLE) / n) ELSE 0.0 END)
+      |        + CASE WHEN c4 > 0 THEN (CAST(c4 AS DOUBLE) / n) * ln(CAST(c4 AS DOUBLE) / n) ELSE 0.0 END)
+      |        + CASE WHEN c5 > 0 THEN (CAST(c5 AS DOUBLE) / n) * ln(CAST(c5 AS DOUBLE) / n) ELSE 0.0 END))
+      |      AS BIGINT) AS h_milli
+      |  FROM u)
+      |SELECT h_milli // 100 AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(min(h_milli) AS BIGINT) AS min_milli,
+      |  CAST(max(h_milli) AS BIGINT) AS max_milli
+      |FROM h GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
+    val u = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("c1"),
+        count(when(col("event_type") === "error", 1)).as("c2"),
+        count(when(col("event_type") === "purchase", 1)).as("c3"),
+        count(when(col("event_type") === "signup", 1)).as("c4"),
+        count(when(col("event_type") === "view", 1)).as("c5"),
+        count(lit(1)).as("n"))
+    u.select(expr(
+        """CAST(floor(-1000.0 * (
+          |  (((CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / n) * ln(CAST(c1 AS DOUBLE) / n) ELSE 0.0d END
+          |    + CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / n) * ln(CAST(c2 AS DOUBLE) / n) ELSE 0.0d END)
+          |    + CASE WHEN c3 > 0 THEN (CAST(c3 AS DOUBLE) / n) * ln(CAST(c3 AS DOUBLE) / n) ELSE 0.0d END)
+          |    + CASE WHEN c4 > 0 THEN (CAST(c4 AS DOUBLE) / n) * ln(CAST(c4 AS DOUBLE) / n) ELSE 0.0d END)
+          |    + CASE WHEN c5 > 0 THEN (CAST(c5 AS DOUBLE) / n) * ln(CAST(c5 AS DOUBLE) / n) ELSE 0.0d END))
+          |  AS BIGINT)""".stripMargin).as("h_milli"))
+      .groupBy(expr("h_milli div 100").as("bin"))
+      .agg(count(lit(1)).as("n_users"),
+        min("h_milli").as("min_milli"), max("h_milli").as("max_milli"))
+      .orderBy("bin")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q196SchemaDrift,
+    q196SchemaDrift, q199SessionEntropy,
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
     q58Pivot, q59Cube, q72SlidingWindow, q81Streaks, q86VariantExtract,

@@ -1545,8 +1545,122 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** q198 — readability profile per language: mean words-per-sentence
+    * and syllables-per-word (vowel-group heuristic), plus the Flesch
+    * reading-ease score they imply — the classic text-quality gate
+    * that catches both telegraphic fragments (tiny wps) and
+    * machine-generated run-ons (huge wps) before they reach a
+    * training mix.
+    *
+    * Exactness: sentence/word/syllable counts are integer regex/split
+    * lengths; the two ratios are non-negative integer ppm floor-divs
+    * over SUMMED counts (ratio-of-sums, not mean-of-ratios — one
+    * division per group, not per doc); the Flesch score applies the
+    * published coefficients (206.835, 1.015, 84.6) as exact integer
+    * milli-operations on those ppms. The score itself may go negative
+    * but no division follows the subtraction, so the Spark-div/
+    * DuckDB-// sign divergence never engages.
+    *
+    * Scale design (100 TB): one pass, partial-aggregable sums on a
+    * bounded lang key; the per-doc derivations are per-row codegen'd
+    * expressions. No joins, no windows, no explode (lengths only). */
+  val q198Readability: QueryDef = QueryDef(
+    "q198_readability",
+    """WITH d AS (
+      |  SELECT lang,
+      |    CAST(len(string_split(text, '.')) AS BIGINT) AS n_sent,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_syll
+      |  FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_words) AS BIGINT) AS words,
+      |  CAST((1000000 * CAST(sum(n_words) AS BIGINT)) // CAST(sum(n_sent) AS BIGINT)
+      |       AS BIGINT) AS wps_ppm,
+      |  CAST((1000000 * CAST(sum(n_syll) AS BIGINT)) // CAST(sum(n_words) AS BIGINT)
+      |       AS BIGINT) AS spw_ppm,
+      |  206835
+      |    - (1015 * ((1000000 * CAST(sum(n_words) AS BIGINT)) // CAST(sum(n_sent) AS BIGINT))) // 1000000
+      |    - (84600 * ((1000000 * CAST(sum(n_syll) AS BIGINT)) // CAST(sum(n_words) AS BIGINT))) // 1000000
+      |    AS flesch_milli
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("lang"),
+        size(split(col("text"), "\\.")).cast("bigint").as("n_sent"),
+        size(split(col("text"), " ")).cast("bigint").as("n_words"),
+        size(expr("regexp_extract_all(text, '[aeiou]+', 0)")).cast("bigint")
+          .as("n_syll"))
+    d.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("words"),
+        sum("n_sent").as("sents"),
+        sum("n_syll").as("sylls"))
+      .select(col("lang"), col("n_docs"), col("words"),
+        expr("(1000000 * words) div sents").as("wps_ppm"),
+        expr("(1000000 * sylls) div words").as("spw_ppm"),
+        expr("""206835
+          - (1015 * ((1000000 * words) div sents)) div 1000000
+          - (84600 * ((1000000 * sylls) div words)) div 1000000""")
+          .as("flesch_milli"))
+      .drop("sents", "sylls")
+      .orderBy("lang")
+  }
+
+  /** q200 — term burstiness (dispersion index): for the 50 highest-DF
+    * tokens, the variance-to-mean ratio of their per-document counts
+    * over the documents that contain them. DI ≈ 1 is Poisson
+    * (function words sprinkle uniformly); DI ≫ 1 is bursty (topical
+    * words clump) — the corpus-linguistics signal separating
+    * stopwords from content words without any stopword list, and a
+    * quality flag for template-spam (abnormally bursty boilerplate
+    * tokens).
+    *
+    * Exactness: per-doc counts are integers, so the moment identity
+    * var/mean = (n·Q − S²)/(n·S) is EXACT integer arithmetic (S=Σc,
+    * Q=Σc²); n·Q − S² ≥ 0 by Cauchy–Schwarz, so the single ppm
+    * floor-div stays on the non-negative Spark-div ≡ DuckDB-//
+    * domain. DECIMAL(38)/HUGEINT carries the cross-products past
+    * int64 at production scale.
+    *
+    * Scale design (100 TB): (doc, token) counts are one
+    * partial-aggregable explode pass; DF and the moments fold into
+    * the SAME second aggregate (count/sum/sum-of-squares per token);
+    * the top-50 cut is TakeOrdered (per-partition heaps), never a
+    * global sort. No joins at all. */
+  val q200Burstiness: QueryDef = QueryDef(
+    "q200_burstiness",
+    """WITH tc AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS df,
+      |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+      |  FROM tc GROUP BY tok)
+      |SELECT tok, df, s AS occurrences,
+      |  CAST((CAST(1000000 AS HUGEINT) *
+      |        (df * CAST(q AS HUGEINT) - CAST(s AS HUGEINT) * s))
+      |       // (df * CAST(s AS HUGEINT)) AS BIGINT) AS di_ppm
+      |FROM m
+      |ORDER BY df DESC, tok
+      |LIMIT 50""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("q"))
+      .select(col("tok"), col("df"), col("s").as("occurrences"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(df * CAST(q AS DECIMAL(38,0)) - CAST(s AS DECIMAL(38,0)) * s)) " +
+          "div (df * CAST(s AS DECIMAL(38,0))) AS BIGINT)").as("di_ppm"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(50)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q197Keyness,
+    Seq(q197Keyness, q198Readability, q200Burstiness,
       q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
       q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,
       q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob,

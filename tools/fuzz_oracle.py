@@ -77,6 +77,10 @@ QUERIES = [
     # through the json_valid guard
     "q192_vwap", "q193_drawdown", "q195_round_bias",
     "q196_schema_drift", "q197_keyness",
+    # readability rides the text redraw through split/regex counts;
+    # entropy is a literal five-term IEEE ln chain over redrawn event
+    # mixes; burstiness rides the text redraw through HUGEINT moments
+    "q198_readability", "q199_session_entropy", "q200_burstiness",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
