@@ -88,6 +88,29 @@ object StreamOps {
         col("open_m"), col("high_m"), col("low_m"), col("close_m"),
         col("vol_m"), col("n_trades"))
 
+  /** Streaming VWAP bars (q192's streaming twin, on the event feed):
+    * per (event_type, tumbling bar) the volume-weighted average
+    * price, with `value` as the price in exact milli-units and the
+    * JSON `props.k` field as the fill size. Both sums are
+    * declarative aggregates (partials merge across triggers; O(1)
+    * state per live bar — two longs and a count) and the single
+    * non-negative integral division happens at emit, so the
+    * finalized bar is bit-identical to the batch aggregation over
+    * the same rows. Rows with missing/non-numeric/zero size drop,
+    * mirroring the try_cast-null batch semantics. */
+  def vwapBars(df: DataFrame, tsCol: String, windowLen: String, delay: String): DataFrame =
+    df.withColumn("p_m", floor(col("value") * 1000).cast("bigint"))
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
+      .filter(col("k").isNotNull && col("k") > 0)
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("event_type"))
+      .agg(sum(col("p_m") * col("k")).as("notional_m"),
+        sum(col("k")).as("qty"),
+        count(lit(1)).as("n_fills"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("qty"), col("notional_m"),
+        expr("notional_m div qty").as("vwap_m"), col("n_fills"))
+
   /** Streaming VARIANT extraction (q86's streaming twin): each JSON
     * payload is parsed ONCE into the binary variant encoding on
     * arrival — the scale path when the same payload feeds several

@@ -665,6 +665,53 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("vwapBars finalized bars agree with the batch aggregation and drop unsized fills") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double, String)]
+    // one bar per type in [0,15): click has sizes 2 and 3 (vwap is
+    // the size-weighted mean, closer to the size-3 price), view has
+    // one sized fill plus a null-size and a zero-size row that must
+    // NOT count toward volume or the average
+    val data = Seq(
+      (ts(1), "click", 3.5, """{"k": 2}"""),
+      (ts(4), "click", 1.25, """{"k": 3}"""),
+      (ts(2), "view", 7.0, """{"k": 4}"""),
+      (ts(3), "view", 9.0, "not json"),
+      (ts(5), "view", 9.0, """{"k": 0}"""))
+    val df = in.toDF().toDF("ts", "event_type", "value", "props")
+    val q = StreamOps.vwapBars(df, "ts", "15 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("vwap_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData((ts(60), "view", 1.0, """{"k": 1}""")) // advance watermark
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        ((r.getTimestamp(0).getTime - Base) / 60000, r.getString(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val got = spark.table("vwap_out").collect().map(key).toSet
+      val batch = data.toDF("ts", "event_type", "value", "props")
+        .withColumn("p_m", floor(col("value") * 1000).cast("bigint"))
+        .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
+        .filter(col("k").isNotNull && col("k") > 0)
+        .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+        .agg(sum(col("p_m") * col("k")).as("notional_m"),
+          sum(col("k")).as("qty"), count(lit(1)).as("n_fills"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("qty"), col("notional_m"),
+          expr("notional_m div qty").as("vwap_m"), col("n_fills"))
+        .collect().map(key).toSet
+      assert(batch.subsetOf(got), s"missing: ${batch.diff(got)}")
+      // click: notional 3500*2 + 1250*3 = 10750 over qty 5 → vwap 2150
+      assert(got.exists(t =>
+        t._2 == "click" && t._3 == 5L && t._4 == 10750L && t._5 == 2150L))
+      // view: only the sized fill counts — qty 4, vwap 7000, 1 fill
+      assert(got.exists(t =>
+        t._2 == "view" && t._3 == 4L && t._5 == 7000L && t._6 == 1L))
+    } finally q.stop()
+  }
+
   test("ohlcBars finalized bars agree with the q156 batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double, Long)]
