@@ -30,7 +30,8 @@ object SparkEntry {
       graft.operators.Association.all ++ graft.operators.Skyline.all ++
       graft.multimodal.Phash.all ++ graft.operators.Segmentation.all ++
       graft.operators.Linalg.all ++ graft.operators.Bitmap.all ++
-      graft.operators.Forecast.all ++ graft.operators.FinanceAudit.all
+      graft.operators.Forecast.all ++ graft.operators.FinanceAudit.all ++
+      graft.operators.Privacy.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

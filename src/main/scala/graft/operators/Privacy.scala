@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Privacy / governance audits over the customer dimension — the
+  * re-identification checks a training-data pipeline runs before a
+  * table (or the text derived from it) is released: k-anonymity
+  * (how small do quasi-identifier groups get), l-diversity (do small
+  * groups leak the sensitive attribute), and the generalization
+  * ladder (how much coarsening buys how much anonymity).
+  *
+  * Quasi-identifiers here are (nation, market segment, account-balance
+  * bucket) — the classic "public attributes an attacker can join on".
+  * The sensitive attribute is the balance bucket itself in the
+  * l-diversity view.
+  *
+  * Exactness: balances ride the q01 decimal-cast cents contract;
+  * balance BUCKETS shift cents by +10^7 (balances are > -$100k by
+  * generator construction, pinned in OracleInvariantsSpec) before the
+  * integral division so the numerator is non-negative — the domain
+  * where Spark's truncating `div` and DuckDB's flooring `//` agree —
+  * then unshift. Every other number is a count or a non-negative ppm
+  * floor-div.
+  */
+object Privacy {
+
+  /** The shifted-bucket expression, shared by all three audits:
+    * $500-wide balance buckets, exact over negative balances. */
+  private val bucketSql =
+    "((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 10000000) %s 50000) - 200"
+
+  /** q201 — k-anonymity risk report: group customers by the full
+    * quasi-identifier (nation, segment, $500 balance bucket) and, for
+    * the standard thresholds k ∈ {2, 5, 10}, count the groups and rows
+    * that fail them. A row in a group smaller than k is re-identifiable
+    * to within k−1 candidates by anyone who knows those three public
+    * attributes.
+    *
+    * Scale design (100 TB): the QI group-by is one partial-aggregable
+    * pass on an unbounded key; everything after runs on the GROUP SIZE
+    * table (|groups| rows, ≪ rows); the three thresholds come from a
+    * 3-row literal cross join (broadcast); the report is a 3-row
+    * aggregate. No windows, no fact-sized joins. */
+  val q201KAnonymity: QueryDef = QueryDef(
+    "q201_k_anonymity",
+    s"""WITH g AS (
+      |  SELECT c_nationkey AS nation, c_mktsegment AS seg,
+      |    ${bucketSql.format("//")} AS bal_bucket,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY 1, 2, 3),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |             CAST(sum(n) AS BIGINT) AS n_rows,
+      |             CAST(min(n) AS BIGINT) AS min_group FROM g),
+      |ks AS (SELECT CAST(unnest([2, 5, 10]) AS BIGINT) AS k)
+      |SELECT ks.k, t.n_groups, t.min_group,
+      |  CAST(count(CASE WHEN g.n < ks.k THEN 1 END) AS BIGINT) AS groups_below,
+      |  CAST(coalesce(sum(CASE WHEN g.n < ks.k THEN g.n END), 0) AS BIGINT) AS rows_at_risk,
+      |  CAST((1000000 * CAST(coalesce(sum(CASE WHEN g.n < ks.k THEN g.n END), 0) AS BIGINT))
+      |       // t.n_rows AS BIGINT) AS risk_ppm
+      |FROM g CROSS JOIN ks CROSS JOIN t
+      |GROUP BY ks.k, t.n_groups, t.min_group, t.n_rows
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val g = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"),
+        expr(bucketSql.format("div")).as("bal_bucket"))
+      .agg(count(lit(1)).as("n"))
+    val t = g.agg(count(lit(1)).as("n_groups"), sum("n").as("n_rows"),
+      min("n").as("min_group"))
+    val ks = s.range(1).select(explode(array(lit(2L), lit(5L), lit(10L))).as("k"))
+    g.crossJoin(broadcast(ks)).crossJoin(broadcast(t))
+      .groupBy(col("k"), col("n_groups"), col("min_group"), col("n_rows"))
+      .agg(count(when(col("n") < col("k"), 1)).as("groups_below"),
+        coalesce(sum(when(col("n") < col("k"), col("n"))), lit(0L))
+          .as("rows_at_risk"))
+      .select(col("k"), col("n_groups"), col("min_group"),
+        col("groups_below"), col("rows_at_risk"),
+        expr("(1000000 * rows_at_risk) div n_rows").as("risk_ppm"))
+      .orderBy("k")
+  }
+
+  /** q202 — l-diversity audit: for each (nation, segment) group, how
+    * many DISTINCT balance buckets it contains. A group that is
+    * k-anonymous but holds only one sensitive value still leaks it to
+    * anyone who can place a target in the group — the homogeneity
+    * attack k-anonymity alone misses. Flags groups below l = 3.
+    *
+    * Scale design (100 TB): the distinct count pre-collapses to
+    * (nation, segment, bucket) grain FIRST — partial-aggregable, no
+    * count-distinct expansion over the fact — then rolls up to the
+    * bounded (nation, segment) key. Output ≤ |nations|·|segments|. */
+  val q202LDiversity: QueryDef = QueryDef(
+    "q202_l_diversity",
+    s"""WITH sv AS (
+      |  SELECT c_nationkey AS nation, c_mktsegment AS seg,
+      |    ${bucketSql.format("//")} AS bal_bucket,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT nation, seg,
+      |  CAST(sum(n) AS BIGINT) AS group_size,
+      |  CAST(count(*) AS BIGINT) AS l_distinct,
+      |  count(*) >= 3 AS meets_l3
+      |FROM sv GROUP BY nation, seg
+      |ORDER BY nation, seg""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"),
+        expr(bucketSql.format("div")).as("bal_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("nation", "seg")
+      .agg(sum("n").as("group_size"), count(lit(1)).as("l_distinct"),
+        (count(lit(1)) >= 3).as("meets_l3"))
+      .orderBy("nation", "seg")
+  }
+
+  /** q203 — generalization ladder: the k-anonymity risk (at k = 5) of
+    * four release schemas, from fully detailed to fully generalized —
+    * the curve a data steward walks down until the risk clears policy,
+    * trading analytic utility (finer QI) for anonymity:
+    * L0 = (nation, segment, $100 bucket), L1 = (nation, segment,
+    * $10k bucket), L2 = (nation, segment), L3 = (segment).
+    *
+    * Scale design (100 TB): four independent partial-aggregable
+    * group-bys (each ONE pass, and Spark schedules them off one shared
+    * scan), each collapsing to its group-size table before the 1-row
+    * risk aggregate; the union is 4 rows. Risk is monotonically
+    * non-increasing down the ladder — pinned by the fuzz invariants. */
+  val q203GeneralizationLadder: QueryDef = QueryDef(
+    "q203_generalization_ladder",
+    s"""WITH c AS (
+      |  SELECT c_nationkey AS nation, c_mktsegment AS seg,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 10000000 AS sc
+      |  FROM customer),
+      |l0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c
+      |       GROUP BY nation, seg, sc // 10000),
+      |l1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c
+      |       GROUP BY nation, seg, sc // 1000000),
+      |l2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c GROUP BY nation, seg),
+      |l3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c GROUP BY seg),
+      |r AS (
+      |  SELECT 0 AS level, CAST(count(*) AS BIGINT) AS n_groups,
+      |    CAST(min(n) AS BIGINT) AS min_group,
+      |    CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT) AS rows_at_risk,
+      |    CAST(sum(n) AS BIGINT) AS n_rows FROM l0
+      |  UNION ALL
+      |  SELECT 1, CAST(count(*) AS BIGINT), CAST(min(n) AS BIGINT),
+      |    CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT),
+      |    CAST(sum(n) AS BIGINT) FROM l1
+      |  UNION ALL
+      |  SELECT 2, CAST(count(*) AS BIGINT), CAST(min(n) AS BIGINT),
+      |    CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT),
+      |    CAST(sum(n) AS BIGINT) FROM l2
+      |  UNION ALL
+      |  SELECT 3, CAST(count(*) AS BIGINT), CAST(min(n) AS BIGINT),
+      |    CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT),
+      |    CAST(sum(n) AS BIGINT) FROM l3)
+      |SELECT CAST(level AS BIGINT) AS level, n_groups, min_group, rows_at_risk,
+      |  CAST((1000000 * rows_at_risk) // n_rows AS BIGINT) AS risk_ppm
+      |FROM r ORDER BY level""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+      .select(col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"),
+        ((col("c_acctbal").cast("decimal(12,2)") * 100).cast("bigint")
+          + 10000000L).as("sc"))
+    def risk(level: Int, keys: Seq[org.apache.spark.sql.Column]) = {
+      c.groupBy(keys: _*)
+        .agg(count(lit(1)).as("n"))
+        .agg(lit(level.toLong).as("level"),
+          count(lit(1)).as("n_groups"), min("n").as("min_group"),
+          coalesce(sum(when(col("n") < 5, col("n"))), lit(0L))
+            .as("rows_at_risk"),
+          sum("n").as("n_rows"))
+    }
+    risk(0, Seq(col("nation"), col("seg"), expr("sc div 10000")))
+      .unionAll(risk(1, Seq(col("nation"), col("seg"), expr("sc div 1000000"))))
+      .unionAll(risk(2, Seq(col("nation"), col("seg"))))
+      .unionAll(risk(3, Seq(col("seg"))))
+      .select(col("level"), col("n_groups"), col("min_group"),
+        col("rows_at_risk"),
+        expr("(1000000 * rows_at_risk) div n_rows").as("risk_ppm"))
+      .orderBy("level")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q201KAnonymity, q202LDiversity, q203GeneralizationLadder)
+}

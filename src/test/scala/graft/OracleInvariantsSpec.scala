@@ -128,4 +128,32 @@ class OracleInvariantsSpec extends AnyFunSuite {
       assert(mx < 1000000L, s"$dir: max doc_id $mx breaks the pair-key radix")
     }
   }
+
+  test("q201-q203 bucket shift: every c_acctbal is above -$100k") {
+    // the privacy audits shift balance cents by +10^7 before the
+    // integral division so Spark's truncating div and DuckDB's
+    // flooring // agree; a balance at or below -$100,000.00 would
+    // make the shifted numerator negative and the engines diverge
+    for (dir <- sfDirs) {
+      val mn = Tables.customer(spark, dir)
+        .agg(min((col("c_acctbal").cast("decimal(12,2)") * 100)
+          .cast("bigint"))).head().getLong(0)
+      assert(mn > -10000000L,
+        s"$dir: min acctbal cents $mn breaks the q201-q203 bucket shift")
+    }
+  }
+
+  test("q203 ladder: k=5 risk is monotonically non-increasing as QI coarsens") {
+    // the generalization ladder's whole point — merging groups can
+    // only grow group sizes, so rows-at-risk(k) must not increase
+    // down the ladder; a violation means the level keys drifted apart
+    for (dir <- sfDirs) {
+      val rows = operators.Privacy.q203GeneralizationLadder
+        .build(spark, dir).orderBy("level").collect()
+      val risk = rows.map(r => r.getLong(r.fieldIndex("rows_at_risk")))
+      for (i <- 1 until risk.length)
+        assert(risk(i) <= risk(i - 1),
+          s"$dir: rows_at_risk ${risk.mkString(",")} is not monotone")
+    }
+  }
 }

@@ -81,9 +81,14 @@ QUERIES = [
     # entropy is a literal five-term IEEE ln chain over redrawn event
     # mixes; burstiness rides the text redraw through HUGEINT moments
     "q198_readability", "q199_session_entropy", "q200_burstiness",
+    # the privacy audits ride the customer balance redraw (below):
+    # 2dp balances spanning NEGATIVE values exercise the shifted-
+    # bucket div exactly where Spark div and DuckDB // would diverge
+    # unshifted, plus the ladder monotonicity across regrouped sizes
+    "q201_k_anonymity", "q202_l_diversity", "q203_generalization_ladder",
 ]
 
-COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
+COPY_AS_IS = ["region", "nation", "supplier", "part",
               "embeddings"]
 
 WORDS = ("spark shuffle join scan filter agg window state stream batch "
@@ -107,6 +112,16 @@ def gen(dst, seed):
                o_orderdate, o_orderpriority
         FROM '{SRC}/orders.parquet')
         TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+
+    # customer: fresh 2dp balances straddling zero down to -$9,999.99
+    # (inside the pinned > -$100k shift bound) — keys, nation, segment
+    # untouched so the QI group shapes and joins survive
+    con.execute(f"""COPY (
+        SELECT c_custkey, c_name, c_nationkey,
+               -9999.99 + floor(random() * 2000000) / 100.0 AS c_acctbal,
+               c_mktsegment
+        FROM '{SRC}/customer.parquet')
+        TO '{dst}/customer.parquet' (FORMAT PARQUET)""")
 
     # lineitem: 2dp price, 2dp discount in [0, 0.10], integral quantity
     con.execute(f"""COPY (
