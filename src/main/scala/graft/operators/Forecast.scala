@@ -204,5 +204,70 @@ object Forecast {
         col("slope").as("ts_slope_milli"))
   }
 
-  val all: Seq[QueryDef] = Seq(q170Ewma, q171Interpolate, q187TheilSen)
+  /** q204 — unnormalized Haar wavelet detail profile of the daily
+    * revenue series: at each dyadic level k ∈ {1..4} (block = 2^k
+    * days), the detail coefficient of a block is
+    * Σ(left half) − Σ(right half); the report gives per level the
+    * block count and the L1/L∞ mass of those details. Level-1 mass ≈
+    * day-to-day churn, level-4 ≈ fortnight-scale swings — a
+    * multi-resolution decomposition of WHERE the series' variability
+    * lives (q134's seasonality asks about one fixed period; this
+    * scans all dyadic scales at once).
+    *
+    * Exactness: details are sums/differences of exact cents — pure
+    * integer; the reported masses use abs(), so every emitted number
+    * is a non-negative BIGINT (the signed detail itself is never
+    * divided, so the div/floor divergence never engages). L1/L∞ were
+    * chosen over Σd² precisely because squared energy overflows int64
+    * at production daily volumes while Σ|d| is bounded by total
+    * revenue cents.
+    *
+    * Scale design (100 TB): the fact collapses to day grain first
+    * (one partial-aggregable pass); the 4-level explode multiplies
+    * CALENDAR rows, not facts; block aggregation is partial-
+    * aggregable on (k, block); the min-date anchor is a 1-row
+    * broadcast. Day indexes are non-negative by construction, so
+    * every integral division sits on the portable domain. */
+  val q204HaarDetail: QueryDef = QueryDef(
+    "q204_haar_detail",
+    """WITH d0 AS (
+      |  SELECT o_orderdate AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |m AS (SELECT min(day) AS d_min FROM d0),
+      |d AS (SELECT CAST(date_diff('day', d_min, day) AS BIGINT) AS di, c
+      |      FROM d0, m),
+      |lv AS (SELECT CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS k),
+      |det AS (
+      |  SELECT lv.k, d.di // (1 << CAST(lv.k AS INT)) AS blk,
+      |    CAST(sum(CASE WHEN (d.di // (1 << (CAST(lv.k AS INT) - 1))) % 2 = 0
+      |             THEN d.c ELSE -d.c END) AS BIGINT) AS dcoef
+      |  FROM d CROSS JOIN lv GROUP BY 1, 2)
+      |SELECT k, CAST(count(*) AS BIGINT) AS n_blocks,
+      |  CAST(sum(abs(dcoef)) AS BIGINT) AS l1_detail_cents,
+      |  CAST(max(abs(dcoef)) AS BIGINT) AS max_detail_cents
+      |FROM det GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+    val d0 = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")).cast("bigint").as("c"))
+    val m = d0.agg(min(col("day")).as("d_min"))
+    d0.crossJoin(broadcast(m))
+      .select(datediff(col("day"), col("d_min")).cast("bigint").as("di"),
+        col("c"))
+      .withColumn("k", explode(array((1 to 4).map(i => lit(i.toLong)): _*)))
+      .groupBy(col("k"), expr("di div shiftleft(1, CAST(k AS INT))").as("blk"))
+      .agg(sum(when(
+          expr("(di div shiftleft(1, CAST(k AS INT) - 1)) % 2 = 0"),
+          col("c")).otherwise(-col("c"))).as("dcoef"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(abs(col("dcoef"))).as("l1_detail_cents"),
+        max(abs(col("dcoef"))).as("max_detail_cents"))
+      .orderBy("k")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail)
 }

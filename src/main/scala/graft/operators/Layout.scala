@@ -97,5 +97,91 @@ object Layout {
     stats.filter(szHit && pbHit).count()
   }
 
-  val all: Seq[QueryDef] = Seq(q93ZOrder)
+  /** q205 — zone-map pruning audit: cut the lineitem fact into
+    * 1000-row "row groups" under two physical layouts — ingestion
+    * order (orderkey) and shipdate-sorted — compute each group's
+    * min/max shipdate zone map, and report how many groups (and rows)
+    * a `shipdate IN 1995` predicate could skip under each layout.
+    * This quantifies the q93 story on the FACT table: the same
+    * predicate and the same statistics machinery prune almost nothing
+    * in ingestion order and almost everything after clustering by the
+    * filter column — the number a table-layout decision is actually
+    * made on.
+    *
+    * Exactness: everything is integer counts, date comparisons, and
+    * one non-negative ppm floor-div.
+    *
+    * Scale design (100 TB): the global row numbers ride
+    * [[ScaleRank.withRowNumber]] (two-level chunked rank — no
+    * single-task sort of the fact in either layout); group zone maps
+    * are partial-aggregable on the group id; the per-layout report is
+    * a 1-row aggregate over |groups| rows. The write-side equivalent
+    * at scale is repartitionByRange + sortWithinPartitions on the
+    * layout key; the gate reproduces the order relationally to expose
+    * the zone maps. */
+  val q205ZonemapPrune: QueryDef = {
+    val ROWS_PER_GROUP = 1000
+    QueryDef(
+      "q205_zonemap_prune",
+      s"""WITH base AS (
+         |  SELECT l_orderkey AS o, CAST(l_linenumber AS BIGINT) AS ln,
+         |    CAST(l_shipdate AS DATE) AS sd
+         |  FROM lineitem),
+         |ing AS (
+         |  SELECT (row_number() OVER (ORDER BY o, ln) - 1) // $ROWS_PER_GROUP AS rg, sd
+         |  FROM base),
+         |srt AS (
+         |  SELECT (row_number() OVER (ORDER BY sd, o, ln) - 1) // $ROWS_PER_GROUP AS rg, sd
+         |  FROM base),
+         |zi AS (SELECT rg, min(sd) AS mn, max(sd) AS mx,
+         |       CAST(count(*) AS BIGINT) AS n FROM ing GROUP BY rg),
+         |zs AS (SELECT rg, min(sd) AS mn, max(sd) AS mx,
+         |       CAST(count(*) AS BIGINT) AS n FROM srt GROUP BY rg),
+         |r AS (
+         |  SELECT 'ingest' AS layout, CAST(count(*) AS BIGINT) AS n_groups,
+         |    CAST(count(CASE WHEN mx < DATE '1995-01-01'
+         |                      OR mn > DATE '1995-12-31' THEN 1 END) AS BIGINT) AS pruned_groups,
+         |    CAST(coalesce(sum(CASE WHEN mx < DATE '1995-01-01'
+         |                             OR mn > DATE '1995-12-31' THEN n END), 0) AS BIGINT) AS rows_skipped,
+         |    CAST(sum(n) AS BIGINT) AS n_rows
+         |  FROM zi
+         |  UNION ALL
+         |  SELECT 'sorted', CAST(count(*) AS BIGINT),
+         |    CAST(count(CASE WHEN mx < DATE '1995-01-01'
+         |                      OR mn > DATE '1995-12-31' THEN 1 END) AS BIGINT),
+         |    CAST(coalesce(sum(CASE WHEN mx < DATE '1995-01-01'
+         |                             OR mn > DATE '1995-12-31' THEN n END), 0) AS BIGINT),
+         |    CAST(sum(n) AS BIGINT)
+         |  FROM zs)
+         |SELECT layout, n_groups, pruned_groups, rows_skipped,
+         |  CAST((1000000 * rows_skipped) // n_rows AS BIGINT) AS skip_ppm
+         |FROM r ORDER BY layout""".stripMargin) { (s, dir) =>
+      val base = Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("o"), col("l_linenumber").cast("bigint").as("ln"),
+        col("l_shipdate").cast("date").as("sd"))
+      def zone(sortCols: Seq[Column], layout: String): DataFrame =
+        ScaleRank.withRowNumber(base, Seq.empty, sortCols, "rn", "nr")
+          .withColumn("rg", expr(s"(rn - 1) div $ROWS_PER_GROUP"))
+          .groupBy("rg")
+          .agg(min("sd").as("mn"), max("sd").as("mx"),
+            count(lit(1)).as("n"))
+          .agg(lit(layout).as("layout"),
+            count(lit(1)).as("n_groups"),
+            count(when(col("mx") < lit("1995-01-01").cast("date") ||
+              col("mn") > lit("1995-12-31").cast("date"), 1))
+              .as("pruned_groups"),
+            coalesce(sum(when(col("mx") < lit("1995-01-01").cast("date") ||
+              col("mn") > lit("1995-12-31").cast("date"), col("n"))), lit(0L))
+              .as("rows_skipped"),
+            sum("n").as("n_rows"))
+      zone(Seq(col("o"), col("ln")), "ingest")
+        .unionAll(zone(Seq(col("sd"), col("o"), col("ln")), "sorted"))
+        .select(col("layout"), col("n_groups"), col("pruned_groups"),
+          col("rows_skipped"),
+          expr("(1000000 * rows_skipped) div n_rows").as("skip_ppm"))
+        .orderBy("layout")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q93ZOrder, q205ZonemapPrune)
 }

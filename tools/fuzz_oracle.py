@@ -86,6 +86,10 @@ QUERIES = [
     # bucket div exactly where Spark div and DuckDB // would diverge
     # unshifted, plus the ladder monotonicity across regrouped sizes
     "q201_k_anonymity", "q202_l_diversity", "q203_generalization_ladder",
+    # Haar details ride the money redraw through signed integer sums;
+    # the zone-map audit rides the lineitem redraw through the
+    # two-level rank (group shapes shift with redrawn row content)
+    "q204_haar_detail", "q205_zonemap_prune",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
