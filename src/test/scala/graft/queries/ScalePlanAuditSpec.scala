@@ -29,7 +29,8 @@ class ScalePlanAuditSpec extends AnyFunSuite {
     (CoreQueries.q144WeightedMedian, "cents"),
     (graft.operators.DataProfile.q172MadOutliers, "v"),
     (graft.operators.Forecast.q187TheilSen, "slope"),
-    (graft.operators.FinanceAudit.q189ParetoAbc, "cents"))
+    (graft.operators.FinanceAudit.q189ParetoAbc, "cents"),
+    (graft.operators.Layout.q205ZonemapPrune, "sd"))
 
   test("converted queries range-chunk their rank/prefix stage") {
     for ((q, _) <- converted) {
@@ -59,6 +60,37 @@ class ScalePlanAuditSpec extends AnyFunSuite {
     val p = plan(graft.operators.Graph.q155LinkPredict)
     assert(p.contains("TakeOrdered"),
       s"q155: top-k fell back to a global Sort+Limit:\n$p")
+  }
+
+  test("q197/q200 top-50 cuts are TakeOrdered heaps, and q193 windows only the day axis") {
+    for (q <- Seq(graft.operators.TextAnalysis.q197Keyness,
+                  graft.operators.TextAnalysis.q200Burstiness)) {
+      val p = plan(q)
+      assert(p.contains("TakeOrdered"),
+        s"${q.name}: top-50 fell back to a global Sort+Limit:\n$p")
+    }
+    // q193's single-partition window is legal ONLY because the input
+    // is the day-grain aggregate (calendar-bounded): assert the
+    // partial/final day aggregate sits BELOW the window
+    val p = plan(graft.operators.FinanceAudit.q193Drawdown)
+    val winIdx = p.linesIterator.indexWhere(_.contains("Window"))
+    val aggIdx = p.linesIterator.indexWhere(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"q193: no day-grain aggregate below the window — the equity " +
+        s"window would sort facts, not days:\n$p")
+    assert(p.contains("TakeOrdered"),
+      s"q193: top-10 drawdown fell back to a global Sort+Limit:\n$p")
+  }
+
+  test("q201's QI aggregate reuses one exchange for sizes, totals, and the risk rollup") {
+    // the group-size table g feeds both the 1-row totals and the
+    // per-k report; neither path may rescan the customer fact
+    val p = plan(graft.operators.Privacy.q201KAnonymity)
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scans <= 2,
+      s"q201: expected the customer scan at most twice (sizes + totals " +
+        s"reuse), got $scans:\n$p")
   }
 
   test("q156's two arg-windows and the bar aggregate share one hash exchange") {
