@@ -111,6 +111,36 @@ object StreamOps {
         col("qty"), col("notional_m"),
         expr("notional_m div qty").as("vwap_m"), col("n_fills"))
 
+  /** Streaming event-mix entropy monitor (q199's streaming sibling at
+    * the feed grain): per tumbling window, the Shannon entropy of the
+    * event-type mix in milli-nats. A healthy feed hovers near its
+    * habitual mix entropy; a stuck producer (one type flooding)
+    * crashes it toward 0 and a fanout bug (types it never emits)
+    * raises it — one number per window that catches both. State per
+    * live window is five counters; the ln chain runs at emit in the
+    * same literal association order as the batch q199 expression, so
+    * finalized windows agree bit-for-bit with the batch aggregation
+    * over the same rows. */
+  def entropyMonitor(df: DataFrame, tsCol: String, windowLen: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("c1"),
+        count(when(col("event_type") === "error", 1)).as("c2"),
+        count(when(col("event_type") === "purchase", 1)).as("c3"),
+        count(when(col("event_type") === "signup", 1)).as("c4"),
+        count(when(col("event_type") === "view", 1)).as("c5"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"),
+        expr(
+          """CAST(floor(-1000.0 * (
+            |  (((CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / n) * ln(CAST(c1 AS DOUBLE) / n) ELSE 0.0d END
+            |    + CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / n) * ln(CAST(c2 AS DOUBLE) / n) ELSE 0.0d END)
+            |    + CASE WHEN c3 > 0 THEN (CAST(c3 AS DOUBLE) / n) * ln(CAST(c3 AS DOUBLE) / n) ELSE 0.0d END)
+            |    + CASE WHEN c4 > 0 THEN (CAST(c4 AS DOUBLE) / n) * ln(CAST(c4 AS DOUBLE) / n) ELSE 0.0d END)
+            |    + CASE WHEN c5 > 0 THEN (CAST(c5 AS DOUBLE) / n) * ln(CAST(c5 AS DOUBLE) / n) ELSE 0.0d END))
+            |  AS BIGINT)""".stripMargin).as("h_milli"))
+
   /** Streaming VARIANT extraction (q86's streaming twin): each JSON
     * payload is parsed ONCE into the binary variant encoding on
     * arrival — the scale path when the same payload feeds several

@@ -712,6 +712,56 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("entropyMonitor finalized windows hit the closed-form mix entropies") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    // window [0,15): pure clicks -> H = 0; window [15,30): a 2+2 mix
+    // of click/view -> H = ln 2 = 0.6931 -> floor to 693 milli-nats
+    val data = Seq(
+      (ts(1), "click"), (ts(4), "click"), (ts(9), "click"),
+      (ts(16), "click"), (ts(17), "view"), (ts(20), "click"), (ts(22), "view"))
+    val df = in.toDF().toDF("ts", "event_type")
+    val q = StreamOps.entropyMonitor(df, "ts", "15 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("entropy_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData((ts(60), "view"))
+      q.processAllAvailable()
+      val got = spark.table("entropy_out").collect()
+        .map(r => ((r.getTimestamp(0).getTime - Base) / 60000,
+          r.getLong(1), r.getLong(2))).toSet
+      // 15-min windows align to epoch, not to Base — assert on the
+      // (count, entropy) content, not absolute window starts
+      assert(got.exists(t => t._2 == 3L && t._3 == 0L),
+        s"pure window not at H=0: $got")
+      assert(got.exists(t => t._2 == 4L && t._3 == 693L),
+        s"ln2 window off: $got")
+      // agreement with the batch expression over the same rows
+      val batch = data.toDF("ts", "event_type")
+        .groupBy(window(col("ts"), "15 minutes").as("w"))
+        .agg(count(when(col("event_type") === "click", 1)).as("c1"),
+          count(when(col("event_type") === "error", 1)).as("c2"),
+          count(when(col("event_type") === "purchase", 1)).as("c3"),
+          count(when(col("event_type") === "signup", 1)).as("c4"),
+          count(when(col("event_type") === "view", 1)).as("c5"),
+          count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("n"), expr(
+          """CAST(floor(-1000.0 * (
+            |  (((CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / n) * ln(CAST(c1 AS DOUBLE) / n) ELSE 0.0d END
+            |    + CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / n) * ln(CAST(c2 AS DOUBLE) / n) ELSE 0.0d END)
+            |    + CASE WHEN c3 > 0 THEN (CAST(c3 AS DOUBLE) / n) * ln(CAST(c3 AS DOUBLE) / n) ELSE 0.0d END)
+            |    + CASE WHEN c4 > 0 THEN (CAST(c4 AS DOUBLE) / n) * ln(CAST(c4 AS DOUBLE) / n) ELSE 0.0d END)
+            |    + CASE WHEN c5 > 0 THEN (CAST(c5 AS DOUBLE) / n) * ln(CAST(c5 AS DOUBLE) / n) ELSE 0.0d END))
+            |  AS BIGINT)""".stripMargin).as("h_milli"))
+        .collect()
+        .map(r => ((r.getTimestamp(0).getTime - Base) / 60000,
+          r.getLong(1), r.getLong(2))).toSet
+      assert(batch.subsetOf(got), s"missing: ${batch.diff(got)}")
+    } finally q.stop()
+  }
+
   test("ohlcBars finalized bars agree with the q156 batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double, Long)]
