@@ -231,5 +231,75 @@ object Bpe {
       .limit(30)
   }
 
-  val all: Seq[QueryDef] = Seq(q94BpeMerges, q98BpeEncode)
+  /** q207 oracle: the q98 encode pipeline, rolled up to tokens-per-
+    * word and chars-per-token by language instead of the subword
+    * histogram. */
+  private def fertilityOracleSql: String = {
+    val encSteps = (1 to MERGES).map(encStepSql).mkString(",\n")
+    s"""WITH $trainCtes,
+       |ewf AS (
+       |  SELECT word, count(*) AS freq FROM
+       |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |     WHERE doc_id % 10 = 3)
+       |  GROUP BY word),
+       |${charStateSql("ewf", "e0")},
+       |$encSteps,
+       |spw AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n_sym
+       |  FROM e$MERGES GROUP BY word),
+       |lw AS (
+       |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |        FROM documents WHERE doc_id % 10 = 3)
+       |  GROUP BY 1, 2)
+       |SELECT lang,
+       |  CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(cnt * n_sym) AS BIGINT) AS n_tokens,
+       |  CAST((1000000 * CAST(sum(cnt * n_sym) AS BIGINT))
+       |       // CAST(sum(cnt) AS BIGINT) AS BIGINT) AS fertility_ppm,
+       |  CAST((1000000 * CAST(sum(cnt * length(word)) AS BIGINT))
+       |       // CAST(sum(cnt * n_sym) AS BIGINT) AS BIGINT) AS chars_per_tok_ppm
+       |FROM lw JOIN spw USING (word)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** q207 — tokenizer fertility by language: encode the held-out
+    * shard with the corpus-trained BPE (exactly q98's model), then
+    * report per language the tokens-per-word (fertility) and
+    * chars-per-token ratios — THE tokenizer-equity metric for a
+    * multilingual training mix: a language whose fertility is 2× pays
+    * twice the context budget per word, and a tokenizer tuned on one
+    * language shows it here first.
+    *
+    * Exactness: symbol counts per word are integer row counts of the
+    * final merge state; per-language word counts are integers; both
+    * ratios are non-negative integer ppm floor-divs.
+    *
+    * Scale design (100 TB): reuses the q94/q98 broadcast-argmax
+    * islands machinery (one (word, pos) exchange per round); the
+    * fertility rollup adds ONE word-keyed equi-join between two
+    * partial-aggregable count tables (distinct words ≪ corpus), a
+    * bounded-key final aggregate, and nothing else. */
+  val q207BpeFertility: QueryDef =
+    QueryDef("q207_bpe_fertility", fertilityOracleSql) { (s, dir) =>
+      val full = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // single-file scan -> use every core
+      val shard = full.filter(col("doc_id") % 10 === 3)
+      val spw = encodeState(full, shard, MERGES)
+        .groupBy(col("word")).agg(count(lit(1)).as("n_sym"))
+      val lw = shard
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+      lw.join(spw, "word")
+        .groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("n_sym")).as("n_tokens"),
+          sum(col("cnt") * length(col("word"))).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          expr("(1000000 * n_tokens) div n_words").as("fertility_ppm"),
+          expr("(1000000 * n_chars) div n_tokens").as("chars_per_tok_ppm"))
+        .orderBy("lang")
+    }
+
+  val all: Seq[QueryDef] = Seq(q94BpeMerges, q98BpeEncode, q207BpeFertility)
 }

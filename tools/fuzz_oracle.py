@@ -90,6 +90,10 @@ QUERIES = [
     # the zone-map audit rides the lineitem redraw through the
     # two-level rank (group shapes shift with redrawn row content)
     "q204_haar_detail", "q205_zonemap_prune",
+    # the sketch rollup rides the events ts redraw through week cells;
+    # fertility rides the documents text redraw through the full BPE
+    # train+encode recursion and the word-keyed rollup join
+    "q206_sketch_rollup", "q207_bpe_fertility",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
