@@ -954,9 +954,130 @@ object DataProfile {
       .orderBy("digit")
   }
 
+  /** q209 — declarative data-contract suite: the dbt-test-style
+    * assertion battery a pipeline runs on every load, as ONE query
+    * emitting one row per contract check — domain membership, value
+    * ranges, key uniqueness, referential integrity, derived-column
+    * consistency — each with its checked/violating row counts. The
+    * point is the SHAPE: a contract is data, the checks compose by
+    * UNION, and a new assertion is one more SELECT, not a new job.
+    *
+    * Exactness: every check is integer counts; uniqueness violations
+    * are n − count(DISTINCT key); the FK check counts child keys with
+    * no parent (the q121 anti-join, here in its aggregate form).
+    *
+    * Scale design (100 TB): each check is one partial-aggregable pass
+    * over its table (Spark schedules the per-table checks off shared
+    * scans); the FK check is the only join — an equi hash join on the
+    * key, never broadcast-dependent; the report is |checks| rows. */
+  val q209ContractAudit: QueryDef = QueryDef(
+    "q209_contract_audit",
+    """WITH fk AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT) AS v
+      |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      |    ON o.o_orderkey = l.l_orderkey),
+      |r AS (
+      |  SELECT 'orders' AS tbl, 'status_domain' AS chk,
+      |    CAST(count(*) AS BIGINT) AS n_checked,
+      |    CAST(count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS BIGINT) AS n_violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders', 'price_positive', CAST(count(*) AS BIGINT),
+      |    CAST(count(CASE WHEN NOT (o_totalprice > 0) THEN 1 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders', 'date_in_range', CAST(count(*) AS BIGINT),
+      |    CAST(count(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+      |                      OR CAST(o_orderdate AS DATE) > DATE '1998-12-31'
+      |               THEN 1 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders', 'key_unique', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem', 'qty_integral_1_50', CAST(count(*) AS BIGINT),
+      |    CAST(count(CASE WHEN l_quantity <> floor(l_quantity)
+      |                      OR l_quantity < 1 OR l_quantity > 50
+      |               THEN 1 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem', 'discount_0_to_10pct', CAST(count(*) AS BIGINT),
+      |    CAST(count(CASE WHEN l_discount < 0 OR l_discount > 0.10 THEN 1 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem', 'order_fk', n, v FROM fk
+      |  UNION ALL
+      |  SELECT 'customer', 'key_unique', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'customer', 'segment_not_null', CAST(count(*) AS BIGINT),
+      |    CAST(count(CASE WHEN c_mktsegment IS NULL THEN 1 END) AS BIGINT)
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'documents', 'n_chars_consistent', CAST(count(*) AS BIGINT),
+      |    CAST(count(CASE WHEN n_chars <> length(text) THEN 1 END) AS BIGINT)
+      |  FROM documents)
+      |SELECT tbl, chk, n_checked, n_violations,
+      |  n_violations = 0 AS pass
+      |FROM r ORDER BY tbl, chk""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val cust = Tables.customer(s, dir)
+    val docs = Tables.documents(s, dir)
+    def check(tbl: String, chk: String, df: org.apache.spark.sql.DataFrame,
+        violation: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_checked"),
+          count(when(violation, 1)).as("n_violations"))
+        .select(lit(tbl).as("tbl"), lit(chk).as("chk"),
+          col("n_checked"), col("n_violations"))
+    val fk = li.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        count(when(col("o_orderkey").isNull, 1)).as("n_violations"))
+      .select(lit("lineitem").as("tbl"), lit("order_fk").as("chk"),
+        col("n_checked"), col("n_violations"))
+    val uniqOrders = orders
+      .agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
+      .select(lit("orders").as("tbl"), lit("key_unique").as("chk"),
+        col("n_checked"), col("n_violations"))
+    val uniqCust = cust
+      .agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("c_custkey"))).as("n_violations"))
+      .select(lit("customer").as("tbl"), lit("key_unique").as("chk"),
+        col("n_checked"), col("n_violations"))
+    check("orders", "status_domain", orders,
+        !col("o_orderstatus").isin("O", "F", "P"))
+      .unionAll(check("orders", "price_positive", orders,
+        !(col("o_totalprice") > 0)))
+      .unionAll(check("orders", "date_in_range", orders,
+        col("o_orderdate").cast("date") < lit("1992-01-01").cast("date") ||
+          col("o_orderdate").cast("date") > lit("1998-12-31").cast("date")))
+      .unionAll(uniqOrders)
+      .unionAll(check("lineitem", "qty_integral_1_50", li,
+        col("l_quantity") =!= floor(col("l_quantity")) ||
+          col("l_quantity") < 1 || col("l_quantity") > 50))
+      .unionAll(check("lineitem", "discount_0_to_10pct", li,
+        col("l_discount") < 0 || col("l_discount") > 0.10))
+      .unionAll(fk)
+      .unionAll(uniqCust)
+      .unionAll(check("customer", "segment_not_null", cust,
+        col("c_mktsegment").isNull))
+      .unionAll(check("documents", "n_chars_consistent", docs,
+        col("n_chars") =!= length(col("text"))))
+      .select(col("tbl"), col("chk"), col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0).as("pass"))
+      .orderBy("tbl", "chk")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
       q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers,
-      q177MannWhitney, q179BootstrapCi, q182NeymanSample, q186Benford)
+      q177MannWhitney, q179BootstrapCi, q182NeymanSample, q186Benford,
+      q209ContractAudit)
 }

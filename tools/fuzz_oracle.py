@@ -201,6 +201,13 @@ def gen_events(dst, seed):
     props = pa.array([one_props() for _ in range(n)], type=pa.string())
     t = t.set_column(t.schema.get_field_index("value"), "value", values)
     t = t.set_column(t.schema.get_field_index("props"), "props", props)
+    # force the TIMESTAMP(NANOS) physical layout regardless of what
+    # the driver testdata currently ships (it flipped to micros in r5)
+    # so the Spark nanosAsLong read path in Tables.events stays
+    # exercised by every fuzz seed; values are micro-precision so the
+    # ns cast is exact and DuckDB's ns->us truncation is lossless
+    tsIdx = t.schema.get_field_index("ts")
+    t = t.set_column(tsIdx, "ts", t.column("ts").cast(pa.timestamp("ns")))
     pq.write_table(t, f"{dst}/events.parquet")
 
 
