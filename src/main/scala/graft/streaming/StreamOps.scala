@@ -247,6 +247,29 @@ object StreamOps {
     else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
+  /** Gap-based sessionization via the DECLARATIVE `session_window`
+    * aggregate — the engine-native dual of [[sessionize]]'s
+    * flatMapGroupsWithState build. Same semantics (sessions close
+    * after `gap` of user inactivity; count/sum/duration per session)
+    * but the state machine lives inside Spark's session-window
+    * operator: partials merge, windows coalesce on overlap, and the
+    * watermark retires state — no hand-written state class to
+    * maintain. Keep [[sessionize]] where per-event custom logic must
+    * run inside the session (its reason to exist); use THIS form when
+    * the session reduces to declarative aggregates, because it
+    * map-side-combines and AQE-plans like any other aggregation.
+    * StreamOpsSpec pins both forms to identical session outputs. */
+  def sessionizeDeclarative(df: DataFrame, tsCol: String, gap: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(col("user_id"), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("n_events"),
+        (unix_micros(col("w.end")) - unix_micros(col("w.start")))
+          .as("span_us"),
+        col("total_value"))
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(
       start_us: Long, last_us: Long, n_events: Long, total_value: Double)

@@ -614,6 +614,44 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeDeclarative emits the same sessions as the custom-state build") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 30L * 60 * 1000000
+    // two sessions for user 7 (5-min pair, then a 2h-later single),
+    // one for user 8; identical feed through both builds
+    val data = Seq(
+      StreamOps.SessionEvent(7L, ts(0), 1.0),
+      StreamOps.SessionEvent(7L, ts(5), 2.0),
+      StreamOps.SessionEvent(7L, ts(120), 4.0),
+      StreamOps.SessionEvent(8L, ts(125), 1.0))
+    val flush = StreamOps.SessionEvent(99L, ts(2000), 0.0)
+    val inA = MemoryStream[StreamOps.SessionEvent]
+    val qA = StreamOps.sessionize(spark, inA.toDS(), gapUs)
+      .writeStream.format("memory").queryName("sess_custom")
+      .outputMode(OutputMode.Append).start()
+    val inB = MemoryStream[StreamOps.SessionEvent]
+    val qB = StreamOps.sessionizeDeclarative(inB.toDS().toDF(), "ts", "30 minutes", "60 minutes")
+      .writeStream.format("memory").queryName("sess_decl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      inA.addData(data: _*); qA.processAllAvailable()
+      inA.addData(flush); qA.processAllAvailable()
+      inB.addData(data: _*); qB.processAllAvailable()
+      inB.addData(flush); qB.processAllAvailable()
+      val custom = spark.table("sess_custom").as[StreamOps.SessionOut]
+        .collect().filter(_.user_id != 99L)
+        .map(s => (s.user_id, s.n_events, s.duration_us, s.total_value)).toSet
+      // session_window.end = last event + gap: subtract the gap to
+      // recover the custom build's last-minus-first duration
+      val decl = spark.table("sess_decl").collect()
+        .filter(_.getLong(0) != 99L)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) - gapUs,
+          r.getDouble(3))).toSet
+      assert(custom.nonEmpty, "custom build emitted nothing")
+      assert(custom == decl, s"custom=$custom decl=$decl")
+    } finally { qA.stop(); qB.stop() }
+  }
+
   test("sessionize: a late event inside the watermark extends the session backward") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.SessionEvent]
