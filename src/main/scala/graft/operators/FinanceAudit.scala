@@ -341,7 +341,167 @@ object FinanceAudit {
       .orderBy("priority")
   }
 
+  /** q210 — difference-in-differences readout: did the BUILDING
+    * segment's mean order value move differently across the 1998
+    * boundary than MACHINERY's (the control)? The four cell means
+    * (treated/control × pre/post) and the DiD estimate in one row —
+    * the workhorse quasi-experimental design for "did the thing we
+    * changed for group T actually change group T", with the control
+    * differencing out the common trend (q165's A/B z-test assumes
+    * randomized assignment; DiD is what you run when you didn't get
+    * to randomize).
+    *
+    * Exactness: cell means are exact-cents floor-divs (non-negative);
+    * the DiD is subtraction of those floored means — integer all the
+    * way, no division after any subtraction.
+    *
+    * Scale design (100 TB): one orders∿customer equi hash join
+    * (segment lives on the dimension), then ONE partial-aggregable
+    * conditional aggregate producing all four cells — no window, no
+    * second pass, 1-row output. */
+  val q210DiffInDiff: QueryDef = QueryDef(
+    "q210_diff_in_diff",
+    """WITH j AS (
+      |  SELECT c.c_mktsegment AS seg,
+      |    CAST(o.o_orderdate AS DATE) >= DATE '1998-01-01' AS post,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      |    AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      |    AND CAST(o.o_orderdate AS DATE) <= DATE '1999-12-31'),
+      |m AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN seg = 'BUILDING' AND NOT post THEN cents END)
+      |      // count(CASE WHEN seg = 'BUILDING' AND NOT post THEN 1 END) AS BIGINT) AS pre_t,
+      |    CAST(sum(CASE WHEN seg = 'BUILDING' AND post THEN cents END)
+      |      // count(CASE WHEN seg = 'BUILDING' AND post THEN 1 END) AS BIGINT) AS post_t,
+      |    CAST(sum(CASE WHEN seg = 'MACHINERY' AND NOT post THEN cents END)
+      |      // count(CASE WHEN seg = 'MACHINERY' AND NOT post THEN 1 END) AS BIGINT) AS pre_c,
+      |    CAST(sum(CASE WHEN seg = 'MACHINERY' AND post THEN cents END)
+      |      // count(CASE WHEN seg = 'MACHINERY' AND post THEN 1 END) AS BIGINT) AS post_c,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM j)
+      |SELECT n_orders, pre_t, post_t, pre_c, post_c,
+      |  (post_t - pre_t) - (post_c - pre_c) AS did_cents
+      |FROM m""".stripMargin) { (s, dir) =>
+    val j = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("c_custkey") === col("o_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY") &&
+        col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate").cast("date") <= lit("1999-12-31").cast("date"))
+      .select(col("c_mktsegment").as("seg"),
+        (col("o_orderdate").cast("date") >= lit("1998-01-01").cast("date"))
+          .as("post"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+          .as("cents"))
+    def cell(p: String) = expr(
+      s"CAST(sum(CASE WHEN $p THEN cents END) div " +
+        s"count(CASE WHEN $p THEN 1 END) AS BIGINT)")
+    j.agg(
+        cell("seg = 'BUILDING' AND NOT post").as("pre_t"),
+        cell("seg = 'BUILDING' AND post").as("post_t"),
+        cell("seg = 'MACHINERY' AND NOT post").as("pre_c"),
+        cell("seg = 'MACHINERY' AND post").as("post_c"),
+        count(lit(1)).as("n_orders"))
+      .select(col("n_orders"), col("pre_t"), col("post_t"), col("pre_c"),
+        col("post_c"),
+        ((col("post_t") - col("pre_t")) - (col("post_c") - col("pre_c")))
+          .as("did_cents"))
+  }
+
+  /** q211 — ABC × XYZ inventory matrix over parts: ABC classes by
+    * cumulative revenue share (the q189 Pareto cut, here on parts)
+    * crossed with XYZ demand-variability classes (X = steady, Z =
+    * erratic, by the variance-to-mean dispersion of weekly shipped
+    * quantity) — the 9-cell planning grid that decides stocking
+    * policy: AX funds automation, CZ gets made to order.
+    *
+    * Exactness: revenue is exact cents through the
+    * [[ScaleRank.withRunningSum]] Pareto cut (unique order, ties
+    * impossible); dispersion is the q200 integer moment identity
+    * (n·Q − S² ≥ 0, one non-negative ppm floor-div through
+    * DECIMAL(38)); class cuts are integer threshold CASEs.
+    *
+    * Scale design (100 TB): two partial-aggregable passes over the
+    * fact (revenue per part; weekly quantity per part collapsing to
+    * per-part moments), one distributed running sum on the part
+    * revenue table, an equi-join on partkey between two part-sized
+    * aggregates, and a ≤9-row rollup. */
+  val q211AbcXyz: QueryDef = QueryDef(
+    "q211_abc_xyz",
+    """WITH rev AS (
+      |  SELECT l_partkey AS pk,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT pk, cents,
+      |    CAST(sum(cents) OVER (ORDER BY cents DESC, pk) AS BIGINT) AS cum,
+      |    CAST(sum(cents) OVER () AS BIGINT) AS t
+      |  FROM rev),
+      |abc AS (
+      |  SELECT pk, cents,
+      |    CASE WHEN CAST(cum AS HUGEINT) * 100 <= CAST(t AS HUGEINT) * 80 THEN 'A'
+      |         WHEN CAST(cum AS HUGEINT) * 100 <= CAST(t AS HUGEINT) * 95 THEN 'B'
+      |         ELSE 'C' END AS abc_class
+      |  FROM r),
+      |wk AS (
+      |  SELECT l_partkey AS pk, date_trunc('week', CAST(l_shipdate AS DATE)) AS w,
+      |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |mo AS (
+      |  SELECT pk, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s,
+      |    CAST(sum(q * q) AS BIGINT) AS qq
+      |  FROM wk GROUP BY 1),
+      |xyz AS (
+      |  SELECT pk,
+      |    CASE WHEN CAST((CAST(1000000 AS HUGEINT) *
+      |                    (n * CAST(qq AS HUGEINT) - CAST(s AS HUGEINT) * s))
+      |                   // (n * CAST(s AS HUGEINT)) AS BIGINT) < 7500000 THEN 'X'
+      |         WHEN CAST((CAST(1000000 AS HUGEINT) *
+      |                    (n * CAST(qq AS HUGEINT) - CAST(s AS HUGEINT) * s))
+      |                   // (n * CAST(s AS HUGEINT)) AS BIGINT) < 10500000 THEN 'Y'
+      |         ELSE 'Z' END AS xyz_class
+      |  FROM mo)
+      |SELECT abc.abc_class, xyz.xyz_class,
+      |  CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(abc.cents) AS BIGINT) AS rev_cents
+      |FROM abc JOIN xyz ON xyz.pk = abc.pk
+      |GROUP BY 1, 2 ORDER BY abc_class, xyz_class""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val rev = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")).cast("bigint").as("cents"))
+      .localCheckpoint() // feeds the rank's range sampling AND the total
+    val withCum = ScaleRank.withRunningSum(
+      rev, Seq.empty, Seq(col("cents").desc, col("pk")), col("cents"), "cum")
+    val tot = rev.agg(sum(col("cents")).as("t"))
+    val abc = withCum.crossJoin(broadcast(tot))
+      .select(col("pk"), col("cents"),
+        when(expr("CAST(cum AS DECIMAL(38,0)) * 100 <= CAST(t AS DECIMAL(38,0)) * 80"), "A")
+          .when(expr("CAST(cum AS DECIMAL(38,0)) * 100 <= CAST(t AS DECIMAL(38,0)) * 95"), "B")
+          .otherwise("C").as("abc_class"))
+    val xyz = li
+      .groupBy(col("l_partkey").as("pk"),
+        date_trunc("week", col("l_shipdate").cast("date")).as("w"))
+      .agg(sum(floor(col("l_quantity")).cast("bigint")).as("q"))
+      .groupBy("pk")
+      .agg(count(lit(1)).as("n"), sum("q").as("s"),
+        sum(col("q") * col("q")).as("qq"))
+      .select(col("pk"),
+        when(expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * (n * CAST(qq AS DECIMAL(38,0)) - CAST(s AS DECIMAL(38,0)) * s)) div (n * CAST(s AS DECIMAL(38,0))) AS BIGINT) < 7500000"), "X")
+          .when(expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (n * CAST(qq AS DECIMAL(38,0)) - CAST(s AS DECIMAL(38,0)) * s)) div (n * CAST(s AS DECIMAL(38,0))) AS BIGINT) < 10500000"), "Y")
+          .otherwise("Z").as("xyz_class"))
+    abc.join(xyz, "pk")
+      .groupBy("abc_class", "xyz_class")
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("rev_cents"))
+      .orderBy("abc_class", "xyz_class")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q188DupCharge, q189ParetoAbc, q192Vwap, q193Drawdown, q194Aging,
-    q195RoundBias)
+    q195RoundBias, q210DiffInDiff, q211AbcXyz)
 }

@@ -94,6 +94,10 @@ QUERIES = [
     # fertility rides the documents text redraw through the full BPE
     # train+encode recursion and the word-keyed rollup join
     "q206_sketch_rollup", "q207_bpe_fertility",
+    # DiD cell means and the ABC x XYZ matrix ride the money+quantity
+    # redraws through floor-div means, the Pareto running-sum cut, and
+    # the integer dispersion moments
+    "q210_diff_in_diff", "q211_abc_xyz",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
