@@ -147,5 +147,53 @@ object OracleFuzzSpec extends Properties("oracle-portability") {
       e >= vs.min - 1 && e <= vs.max
     }
 
+  // ---- the q199/q206-twin entropy range law ----
+  // the literal five-term ln chain must land every mix inside
+  // [0, 1000·ln 5] milli-nats AFTER the floor — a value outside the
+  // range means the chain's sign or a 0·ln 0 branch broke, which
+  // would shift histogram bins on both engines (silently, since the
+  // hash would still match a consistently-wrong twin)
+  property("five-way entropy chain lands in [0, 1609] milli-nats for every mix") =
+    Prop.forAll(Gen.listOfN(5, Gen.choose(0L, 100000L))) { cs =>
+      val n = cs.sum
+      (n == 0L) || {
+        val h = cs.foldLeft(0.0) { (acc, c) =>
+          if (c > 0) acc + (c.toDouble / n) * math.log(c.toDouble / n) else acc
+        }
+        val milli = math.floor(-1000.0 * h).toLong
+        milli >= 0L && milli <= 1609L
+      }
+    }
+
+  // ---- the q200/q211 dispersion non-negativity law ----
+  // DI's numerator n·Q − S² is ≥ 0 by Cauchy–Schwarz over the integer
+  // counts, which is what licenses the non-negative floor-div (the
+  // Spark-div ≡ DuckDB-// domain); a violation would flip the engines
+  // apart on the sign
+  property("dispersion numerator n*Q - S^2 is non-negative for any count vector") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 100000L))) { cs =>
+      val n = BigInt(cs.size)
+      val s = cs.map(BigInt(_)).sum
+      val q = cs.map(c => BigInt(c) * c).sum
+      n * q - s * s >= 0
+    }
+
+  // ---- the q204 Haar mass-conservation law ----
+  // each level's detail coefficient is a signed sum of the block's
+  // day values, so |dcoef| can never exceed the block's absolute
+  // mass, and the level-k L1 detail mass is bounded by the series'
+  // total |mass| — the bound that keeps l1_detail_cents inside int64
+  // whenever total revenue cents is
+  property("Haar detail mass never exceeds the series' absolute mass") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 1000000L)), Gen.choose(1, 4)) { (days, k) =>
+      val blocks = days.zipWithIndex.groupBy(_._2 >> k)
+      val l1 = blocks.values.map { blk =>
+        math.abs(blk.map { case (c, i) =>
+          if (((i >> (k - 1)) & 1) == 0) c else -c
+        }.sum)
+      }.sum
+      l1 <= days.sum
+    }
+
   private def mod(a: Long, m: Long): Long = ((a % m) + m) % m // pmod
 }
