@@ -234,6 +234,44 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("eventsFileStream dispatches the legacy nanos layout identically") {
+    // the nanos layout reaches Spark as a LongType ts column (via
+    // nanosAsLong); writing raw epoch-nano BIGINTs reproduces that
+    // schema exactly, so this pins the dispatch's other branch against
+    // the micros branch over the same rows
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-nanos-src")
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), unix_micros(col("ts")) * 1000,
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.coalesce(1).write.mode("overwrite").parquet(src.toString)
+    val in = StreamOps.eventsFileStream(spark, src.toString)
+    assert(in.isStreaming)
+    assert(in.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val q = StreamOps.tumblingCounts(in, "ts", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("nanos_stream_out")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("nanos_stream_out")
+        .select("window_start", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+      val closed = events
+        .select(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+        .groupBy("w", "event_type").agg(count(lit(1)).as("n"))
+        .filter(col("w") + expr("INTERVAL 70 minutes") <= lit(maxTs))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(closed.nonEmpty)
+      assert(closed.subsetOf(streamed), s"missing: ${closed -- streamed}")
+    } finally q.stop()
+  }
+
   /** Driver events file as in-ts-order AsofEvents, split into `chunks`
     * consecutive batches (in-order arrival — the agreement contract). */
   private def eventChunks(chunks: Int): Seq[Seq[StreamOps.AsofEvent]] = {
