@@ -924,12 +924,64 @@ object Dedup {
     }
   }
 
+  /** q213 — duplicate-aware train/test split: assign documents to
+    * train/test by hashing their exact-dup CLUSTER key (the md5 text
+    * signature), never the document id — every copy of a text lands
+    * on the SAME side, so the split cannot leak a training document
+    * into the test set via its duplicates (the classic eval-inflation
+    * bug a doc-id split ships silently). Reports per side the doc and
+    * cluster counts, and the cross-side leakage count measured the
+    * hard way (clusters seen on both sides) — zero by construction,
+    * emitted so the gate would catch a broken assignment.
+    *
+    * Exactness: the side is a parity test on the md5-prefix integer
+    * (the q36 hash contract, identical in both engines); everything
+    * else is counts.
+    *
+    * Scale design (100 TB): one partial-aggregable pass to (cluster,
+    * side) grain, one bounded rollup; the leakage audit is a ≤
+    * |clusters|-row aggregate asking max(side) ≠ min(side). No joins,
+    * no windows. */
+  val q213LeakSafeSplit: QueryDef = QueryDef(
+    "q213_leak_safe_split",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(text), 1, 15))::BIGINT AS ck
+      |  FROM documents),
+      |cs AS (
+      |  SELECT ck, ck % 5 = 0 AS is_test, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM d GROUP BY 1, 2),
+      |leak AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_leaked
+      |  FROM (SELECT ck FROM cs GROUP BY ck HAVING count(DISTINCT is_test) > 1))
+      |SELECT CASE WHEN is_test THEN 'test' ELSE 'train' END AS split,
+      |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_clusters,
+      |  max(leak.n_leaked) AS n_leaked_clusters
+      |FROM cs CROSS JOIN leak
+      |GROUP BY 1 ORDER BY split""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).select(
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("ck"))
+    val cs = d.groupBy(col("ck"), (col("ck") % 5 === 0).as("is_test"))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // feeds both the leak audit and the rollup
+    val leak = cs.groupBy("ck")
+      .agg(countDistinct(col("is_test")).as("sides"))
+      .filter(col("sides") > 1)
+      .agg(count(lit(1)).as("n_leaked"))
+    cs.crossJoin(broadcast(leak))
+      .groupBy(when(col("is_test"), "test").otherwise("train").as("split"))
+      .agg(sum("n_docs").as("n_docs"), count(lit(1)).as("n_clusters"),
+        max(col("n_leaked")).as("n_leaked_clusters"))
+      .orderBy("split")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
     q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters, q38DedupPipeline,
     q69SpanDedup, q75Contamination, q78SortedNeighborhood, q100SemanticDedup,
     q128KeepBest, q135LshEval, q151DedupWhatif, q158SourceOverlap,
-    q161AdmissionFunnel, q162Containment, q185BandSweep)
+    q161AdmissionFunnel, q162Containment, q185BandSweep, q213LeakSafeSplit)
 
   /** q161 — corpus-admission funnel: every document walks the full
     * pretraining ingestion gauntlet — exact dedup, near-dup dedup,

@@ -174,5 +174,60 @@ object MergeOps {
       .orderBy("tbl")
   }
 
-  val all: Seq[QueryDef] = Seq(q80MergeUpsert, q92SnapshotDiff, q120ForgetCascade)
+  /** q212 — CDC log compaction: a change-data-capture stream of
+    * insert/update/delete operations collapses to the final table
+    * state by LAST-WRITER-WINS per key — the log-compaction view of
+    * what q80's MERGE does batch-by-batch, and the shape a 100 TB
+    * lakehouse actually materializes (compact the log with ONE
+    * arg-max aggregate, instead of replaying N MERGE rounds). The
+    * changelog is synthesized deterministically from orders: op by
+    * key residue (I/U/D), sequence by orderkey.
+    *
+    * Exactness: the survivor per key is `max_by`/`arg_max` over the
+    * unique sequence number; op counts and surviving revenue are
+    * integer sums of exact cents.
+    *
+    * Scale design (100 TB): ONE partial-aggregable arg-max pass over
+    * the log keyed by the entity (no window, no sort, no iterative
+    * merge); the report is a 1-row rollup. This is exactly the
+    * compaction job's plan at any log size. */
+  val q212CdcCompact: QueryDef = QueryDef(
+    "q212_cdc_compact",
+    """WITH log AS (
+      |  SELECT o_custkey AS k, o_orderkey AS seq,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+      |         WHEN o_orderkey % 10 <= 3 THEN 'U' ELSE 'I' END AS op,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |fin AS (
+      |  SELECT k, arg_max(op, seq) AS last_op,
+      |    arg_max(cents, seq) AS last_cents,
+      |    CAST(count(*) AS BIGINT) AS n_ops
+      |  FROM log GROUP BY k)
+      |SELECT
+      |  CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(count(CASE WHEN last_op <> 'D' THEN 1 END) AS BIGINT) AS n_live,
+      |  CAST(count(CASE WHEN last_op = 'D' THEN 1 END) AS BIGINT) AS n_deleted,
+      |  CAST(sum(n_ops) AS BIGINT) AS n_log_entries,
+      |  CAST(sum(CASE WHEN last_op <> 'D' THEN last_cents END) AS BIGINT) AS live_cents
+      |FROM fin""".stripMargin) { (s, dir) =>
+    val log = Tables.orders(s, dir).select(
+      col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % 10 === 0, "D")
+        .when(col("o_orderkey") % 10 <= 3, "U").otherwise("I").as("op"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+        .as("cents"))
+    log.groupBy("k")
+      .agg(max_by(col("op"), col("seq")).as("last_op"),
+        max_by(col("cents"), col("seq")).as("last_cents"),
+        count(lit(1)).as("n_ops"))
+      .agg(count(lit(1)).as("n_keys"),
+        count(when(col("last_op") =!= "D", 1)).as("n_live"),
+        count(when(col("last_op") === "D", 1)).as("n_deleted"),
+        sum(col("n_ops")).as("n_log_entries"),
+        sum(when(col("last_op") =!= "D", col("last_cents"))).as("live_cents"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q80MergeUpsert, q92SnapshotDiff, q120ForgetCascade, q212CdcCompact)
 }

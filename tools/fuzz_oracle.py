@@ -98,6 +98,10 @@ QUERIES = [
     # redraws through floor-div means, the Pareto running-sum cut, and
     # the integer dispersion moments
     "q210_diff_in_diff", "q211_abc_xyz",
+    # CDC compaction rides the money redraw through the arg-max
+    # survivors; the leak-safe split rides the text redraw through the
+    # md5-prefix cluster keys (duplicate texts regroup every seed)
+    "q212_cdc_compact", "q213_leak_safe_split",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
