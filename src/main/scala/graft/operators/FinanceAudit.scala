@@ -501,7 +501,62 @@ object FinanceAudit {
       .orderBy("abc_class", "xyz_class")
   }
 
+  /** q214 — ledger integrity register: a tamper-evident hash register
+    * over the order ledger — each day's root is the md5 of its
+    * transactions' content hashes in canonical (orderkey) order, and
+    * each month's register is the md5 of its day-roots in day order.
+    * Recompute-and-compare detects ANY silent mutation of historical
+    * rows (the audit-trail property q131's reconciliation can't give:
+    * reconciliation proves totals agree, the register proves the ROWS
+    * are byte-identical). Both engines compute md5 over identical
+    * canonical strings, so the roots are bit-portable.
+    *
+    * Scale design (100 TB): the tx hash is per-row codegen; day roots
+    * aggregate each day's hashes (state bounded by the day's volume —
+    * at production scale the canonical grain drops to hour/minute so
+    * each collect stays bounded, and the register folds over the
+    * finer calendar exactly the same way); the month register
+    * aggregates ≤31 day-roots. Everything above the leaf grain is
+    * calendar-bounded. */
+  val q214LedgerRegister: QueryDef = QueryDef(
+    "q214_ledger_register",
+    """WITH tx AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+      |    CAST(o_orderdate AS DATE) AS day, o_orderkey AS k,
+      |    md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+      |        CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |             AS VARCHAR)) AS h
+      |  FROM orders),
+      |d AS (
+      |  SELECT ym, day, CAST(count(*) AS BIGINT) AS n_txs,
+      |    md5(string_agg(h, '' ORDER BY k)) AS day_root
+      |  FROM tx GROUP BY 1, 2)
+      |SELECT ym, CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(sum(n_txs) AS BIGINT) AS n_txs,
+      |  md5(string_agg(day_root, '' ORDER BY day)) AS register
+      |FROM d GROUP BY ym ORDER BY ym""".stripMargin) { (s, dir) =>
+    val tx = Tables.orders(s, dir).select(
+      date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+      col("o_orderdate").cast("date").as("day"),
+      col("o_orderkey").as("k"),
+      md5(concat_ws("|", col("o_orderkey").cast("string"),
+        col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+          .cast("string"))).as("h"))
+    val d = tx.groupBy(col("ym"), col("day"))
+      .agg(count(lit(1)).as("n_txs"),
+        md5(concat_ws("", expr(
+          "transform(array_sort(collect_list(struct(k, h))), x -> x.h)")))
+          .as("day_root"))
+    d.groupBy(col("ym"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n_txs")).as("n_txs"),
+        md5(concat_ws("", expr(
+          "transform(array_sort(collect_list(struct(day, day_root))), x -> x.day_root)")))
+          .as("register"))
+      .orderBy("ym")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q188DupCharge, q189ParetoAbc, q192Vwap, q193Drawdown, q194Aging,
-    q195RoundBias, q210DiffInDiff, q211AbcXyz)
+    q195RoundBias, q210DiffInDiff, q211AbcXyz, q214LedgerRegister)
 }

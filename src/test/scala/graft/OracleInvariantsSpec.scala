@@ -129,6 +129,18 @@ class OracleInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q208 pack radix: every o_orderkey is below 1e10") {
+    // the bitemporal belief key packs day*1e10 + orderkey into one
+    // BIGINT; an orderkey at or past the radix would collide two
+    // observations and silently corrupt the arg-max
+    for (dir <- sfDirs) {
+      val mx = Tables.orders(spark, dir)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      assert(mx < 10000000000L,
+        s"$dir: max o_orderkey $mx breaks the q208 pack radix")
+    }
+  }
+
   test("q201-q203 bucket shift: every c_acctbal is above -$100k") {
     // the privacy audits shift balance cents by +10^7 before the
     // integral division so Spark's truncating div and DuckDB's

@@ -102,6 +102,9 @@ QUERIES = [
     # survivors; the leak-safe split rides the text redraw through the
     # md5-prefix cluster keys (duplicate texts regroup every seed)
     "q212_cdc_compact", "q213_leak_safe_split",
+    # the ledger register rides the money redraw through per-row
+    # content hashes up both levels of the hash tree
+    "q214_ledger_register",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
