@@ -1659,8 +1659,122 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** q215 — Kneser–Ney bigram cross-entropy per language: the
+    * interpolated-KN model (absolute discount d = 3/4, continuation-
+    * count backoff) trained on the even-doc shard and scored on the
+    * held-out odd shard — next to q181's add-one model this is the
+    * smoothing that actually ships in n-gram LMs, and its backoff
+    * distribution is the famous part: a word's backoff mass is how
+    * many CONTEXTS it completes (continuation count), not how often
+    * it occurs — "francisco" is frequent but only follows "san", so
+    * KN backs off to it far less than raw frequency would. (On the
+    * driver's uniform word-soup corpus continuation counts carry no
+    * extra signal, so q215 ≈ q181 there by construction; the gate
+    * tests the arithmetic, real corpora supply the win.)
+    *
+    * Exactness: d = 3/4 is dyadic, so the discounted numerator
+    * max(4c₁₂ − 3, 0) and the λ numerator 3·N1+(x·) are EXACT
+    * integers over ×4-scaled counts; each test bigram's probability
+    * is ONE literally-parallel IEEE chain (the continuation term adds
+    * +1/(T+V) smoothing so P > 0 even for unseen words), floored to
+    * nano-NLL integers, and the per-language mean is an integer
+    * HUGEINT-weighted sum — the q181 determinism pattern.
+    *
+    * Scale design (100 TB): four partial-aggregable count tables
+    * (bigram, context, continuation-left, continuation-right — the
+    * latter two are group-bys OVER the bigram table, not new fact
+    * passes), equi-joins on unbounded keys with size-based broadcast
+    * left to Spark, two 1-row broadcast frames, |langs| output. */
+  val q215KnPpl: QueryDef = QueryDef(
+    "q215_kn_ppl",
+    """WITH tr AS (
+      |  SELECT string_split(text, ' ') AS tk FROM documents
+      |  WHERE doc_id % 2 = 0),
+      |te AS (
+      |  SELECT lang, string_split(text, ' ') AS tk FROM documents
+      |  WHERE doc_id % 2 = 1),
+      |u AS (SELECT unnest(tk) AS x FROM tr),
+      |v AS (SELECT CAST(count(DISTINCT x) AS BIGINT) AS vs FROM u),
+      |c1 AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY x),
+      |c2 AS (
+      |  SELECT tk[CAST(i AS INT)] AS x, tk[CAST(i AS INT)+1] AS y,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM tr, unnest(range(1, len(tk))) AS r(i) GROUP BY 1, 2),
+      |n1p AS (SELECT x, CAST(count(*) AS BIGINT) AS n FROM c2 GROUP BY x),
+      |ncy AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM c2 GROUP BY y),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c2),
+      |tb AS (
+      |  SELECT lang, tk[CAST(i AS INT)] AS x, tk[CAST(i AS INT)+1] AS y,
+      |    CAST(count(*) AS BIGINT) AS m
+      |  FROM te, unnest(range(1, len(tk))) AS r(i) GROUP BY 1, 2, 3),
+      |sc AS (
+      |  SELECT tb.lang, tb.m,
+      |    CASE WHEN c1.c IS NULL THEN 1 ELSE 0 END AS oov_ctx,
+      |    CAST(floor(1000000000.0 * (-ln(
+      |      CASE WHEN c1.c IS NULL
+      |        THEN (CAST(coalesce(ncy.n, 0) AS DOUBLE) + 1.0) / (CAST(tt.t AS DOUBLE) + v.vs)
+      |        ELSE CAST(greatest(4 * coalesce(c2.c, 0) - 3, 0) AS DOUBLE) / (4.0 * c1.c)
+      |          + ((3.0 * n1p.n) / (4.0 * c1.c))
+      |            * ((CAST(coalesce(ncy.n, 0) AS DOUBLE) + 1.0) / (CAST(tt.t AS DOUBLE) + v.vs))
+      |      END))) AS BIGINT) AS nll_nn
+      |  FROM tb LEFT JOIN c2 ON tb.x = c2.x AND tb.y = c2.y
+      |  LEFT JOIN c1 ON tb.x = c1.x
+      |  LEFT JOIN n1p ON tb.x = n1p.x
+      |  LEFT JOIN ncy ON tb.y = ncy.y, tt, v)
+      |SELECT lang, CAST(sum(m) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(m * oov_ctx) AS BIGINT) AS n_oov_ctx,
+      |  CAST(sum(CAST(m AS HUGEINT) * nll_nn) //
+      |       CAST(sum(m) AS HUGEINT) AS BIGINT) AS avg_nll_nn
+      |FROM sc GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val tk = col("tk")
+    def bigrams(df: DataFrame, extra: Seq[Column]): DataFrame =
+      df.filter(size(tk) >= 2)
+        .select(extra :+ explode(zip_with(
+          slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1),
+          (x, y) => struct(x.as("x"), y.as("y")))).as("p"): _*)
+        .select(extra :+ col("p.x").as("x") :+ col("p.y").as("y"): _*)
+    val docs = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // single-file scan -> use every core
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+    val tr = docs.filter(col("doc_id") % 2 === 0)
+    val te = docs.filter(col("doc_id") % 2 === 1)
+    val uni = tr.select(explode(tk).as("x"))
+    val v = uni.agg(count_distinct(col("x")).as("vs"))
+    val c1 = uni.groupBy(col("x")).agg(count(lit(1)).as("c1c"))
+    val c2 = bigrams(tr, Seq.empty)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c2c"))
+      .localCheckpoint() // feeds n1p, ncy, tt AND the score join
+    val n1p = c2.groupBy(col("x")).agg(count(lit(1)).as("n1pn"))
+    val ncy = c2.groupBy(col("y")).agg(count(lit(1)).as("ncyn"))
+    val tt = c2.agg(count(lit(1)).as("t"))
+    val tb = bigrams(te, Seq(col("lang")))
+      .groupBy(col("lang"), col("x"), col("y")).agg(count(lit(1)).as("m"))
+    tb.join(c2, Seq("x", "y"), "left")
+      .join(c1, Seq("x"), "left")
+      .join(n1p, Seq("x"), "left")
+      .join(ncy, Seq("y"), "left")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(v))
+      .select(col("lang"), col("m"),
+        when(col("c1c").isNull, 1L).otherwise(0L).as("oov_ctx"),
+        expr(
+          """CAST(floor(1000000000.0 * (-ln(
+            |  CASE WHEN c1c IS NULL
+            |    THEN (CAST(coalesce(ncyn, 0) AS DOUBLE) + 1.0d) / (CAST(t AS DOUBLE) + vs)
+            |    ELSE CAST(greatest(4 * coalesce(c2c, 0) - 3, 0) AS DOUBLE) / (4.0d * c1c)
+            |      + ((3.0d * n1pn) / (4.0d * c1c))
+            |        * ((CAST(coalesce(ncyn, 0) AS DOUBLE) + 1.0d) / (CAST(t AS DOUBLE) + vs))
+            |  END))) AS BIGINT)""".stripMargin).as("nll_nn"))
+      .groupBy(col("lang"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("oov_ctx")).as("n_oov_ctx"),
+        expr("CAST(sum(CAST(m AS DECIMAL(38,0)) * nll_nn) div CAST(sum(m) AS DECIMAL(38,0)) AS BIGINT)")
+          .as("avg_nll_nn"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q197Keyness, q198Readability, q200Burstiness,
+    Seq(q197Keyness, q198Readability, q200Burstiness, q215KnPpl,
       q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
       q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,
       q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob,

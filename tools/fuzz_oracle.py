@@ -105,6 +105,9 @@ QUERIES = [
     # the ledger register rides the money redraw through per-row
     # content hashes up both levels of the hash tree
     "q214_ledger_register",
+    # KN rides the text redraw through four count tables and the
+    # dyadic-discount IEEE chain (unseen contexts/words regroup)
+    "q215_kn_ppl",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
