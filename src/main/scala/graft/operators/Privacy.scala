@@ -179,6 +179,67 @@ object Privacy {
       .orderBy("level")
   }
 
+  /** q217 — deterministic pseudonymization audit: re-key the customer
+    * dimension and the order fact with md5-derived pseudonyms (the
+    * tokenization a privacy-preserving data release applies to direct
+    * identifiers) and PROVE the release still joins: the same salted
+    * hash on both sides must preserve the join cardinality exactly,
+    * and the pseudonym space must stay collision-free. One row per
+    * property with original-vs-pseudonymized counts — a release gate,
+    * not a transformation demo.
+    *
+    * Exactness: pseudonyms are the md5-prefix 60-bit integers (the
+    * q36 contract, bit-identical in both engines); every check is an
+    * integer count.
+    *
+    * Scale design (100 TB): the pseudonym is a per-row codegen'd
+    * expression (no lookup table to shuffle or leak — the salt is the
+    * secret); the join-preservation check is the SAME equi hash join
+    * shape as production; collision detection is count vs
+    * count-distinct on each side — all partial-aggregable. */
+  val q217Pseudonymize: QueryDef = QueryDef(
+    "q217_pseudonymize",
+    """WITH ck AS (
+      |  SELECT c_custkey AS k,
+      |    ('0x' || substring(md5('s4lt' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS p
+      |  FROM customer),
+      |ok AS (
+      |  SELECT o_custkey AS k,
+      |    ('0x' || substring(md5('s4lt' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS p
+      |  FROM orders),
+      |r AS (
+      |  SELECT 'orig_join' AS prop, CAST(count(*) AS BIGINT) AS n
+      |  FROM ok JOIN ck ON ck.k = ok.k
+      |  UNION ALL
+      |  SELECT 'pseudo_join', CAST(count(*) AS BIGINT)
+      |  FROM ok JOIN ck ON ck.p = ok.p
+      |  UNION ALL
+      |  SELECT 'cust_collisions',
+      |    CAST(count(*) - count(DISTINCT p) AS BIGINT) FROM ck
+      |  UNION ALL
+      |  SELECT 'orders_rekeyed', CAST(count(*) AS BIGINT) FROM ok)
+      |SELECT prop, n FROM r ORDER BY prop""".stripMargin) { (s, dir) =>
+    def pseudo(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("s4lt"), c.cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+    val ck = Tables.customer(s, dir)
+      .select(col("c_custkey").as("k"), pseudo(col("c_custkey")).as("p"))
+    val ok = Tables.orders(s, dir)
+      .select(col("o_custkey").as("ok_k"), pseudo(col("o_custkey")).as("ok_p"))
+    val origJoin = ok.join(ck, col("k") === col("ok_k"))
+      .agg(count(lit(1)).as("n")).select(lit("orig_join").as("prop"), col("n"))
+    val pseudoJoin = ok.join(ck, col("p") === col("ok_p"))
+      .agg(count(lit(1)).as("n")).select(lit("pseudo_join").as("prop"), col("n"))
+    val collisions = ck
+      .agg((count(lit(1)) - countDistinct(col("p"))).as("n"))
+      .select(lit("cust_collisions").as("prop"), col("n"))
+    val rekeyed = ok.agg(count(lit(1)).as("n"))
+      .select(lit("orders_rekeyed").as("prop"), col("n"))
+    origJoin.unionAll(pseudoJoin).unionAll(collisions).unionAll(rekeyed)
+      .orderBy("prop")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q201KAnonymity, q202LDiversity, q203GeneralizationLadder)
+    q201KAnonymity, q202LDiversity, q203GeneralizationLadder,
+    q217Pseudonymize)
 }

@@ -1773,8 +1773,60 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** q216 — negative-sampling table: the unigram^(3/4) sampling
+    * distribution word2vec-style training draws its negatives from —
+    * the 3/4 power flattens the head so frequent words aren't
+    * over-sampled and the tail isn't starved. Emits the top 30
+    * tokens by smoothed weight with their raw and smoothed sampling
+    * shares (ppm), the artifact a contrastive-training pipeline
+    * materializes per corpus snapshot.
+    *
+    * Exactness: c^(3/4) = sqrt(c·sqrt(c)) — IEEE sqrt is CORRECTLY
+    * ROUNDED (unlike pow, which is only faithfully rounded and may
+    * differ between libm builds), so the two-sqrt chain is
+    * bit-identical in both engines; weights floor to integers and
+    * the shares are HUGEINT ppm floor-divs.
+    *
+    * Scale design (100 TB): one partial-aggregable token count, one
+    * 1-row broadcast total of the smoothed weights, TakeOrdered for
+    * the top slice. */
+  val q216NegativeSampling: QueryDef = QueryDef(
+    "q216_negative_sampling",
+    """WITH c AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |w AS (
+      |  SELECT tok, c,
+      |    CAST(floor(sqrt(c * sqrt(CAST(c AS DOUBLE)))) AS BIGINT) AS w
+      |  FROM c),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS tc, CAST(sum(w) AS BIGINT) AS tw
+      |      FROM w)
+      |SELECT tok, c, w,
+      |  CAST((CAST(1000000 AS HUGEINT) * c) // t.tc AS BIGINT) AS raw_ppm,
+      |  CAST((CAST(1000000 AS HUGEINT) * w) // t.tw AS BIGINT) AS smoothed_ppm
+      |FROM w, t
+      |ORDER BY w DESC, tok
+      |LIMIT 30""".stripMargin) { (s, dir) =>
+    val c = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val w = c.withColumn("w",
+      floor(sqrt(col("c") * sqrt(col("c").cast("double")))).cast("bigint"))
+    val t = w.agg(sum("c").as("tc"), sum("w").as("tw"))
+    w.crossJoin(broadcast(t))
+      .select(col("tok"), col("c"), col("w"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * c) div tc AS BIGINT)")
+          .as("raw_ppm"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * w) div tw AS BIGINT)")
+          .as("smoothed_ppm"))
+      .orderBy(col("w").desc, col("tok"))
+      .limit(30)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q197Keyness, q198Readability, q200Burstiness, q215KnPpl,
+      q216NegativeSampling,
       q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
       q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,
       q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob,

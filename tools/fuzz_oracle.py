@@ -108,6 +108,10 @@ QUERIES = [
     # KN rides the text redraw through four count tables and the
     # dyadic-discount IEEE chain (unseen contexts/words regroup)
     "q215_kn_ppl",
+    # negative sampling rides the text redraw through the correctly-
+    # rounded sqrt(c*sqrt(c)) chain; pseudonymization rides the
+    # customer redraw through salted md5-prefix keys on BOTH sides
+    "q216_negative_sampling", "q217_pseudonymize",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
