@@ -1807,8 +1807,58 @@ object EventOps {
       .orderBy("bin")
   }
 
+  /** q219 — SLO error-budget burn: daily error rate of the event feed
+    * against a 2.5% error-rate SLO, the remaining monthly budget
+    * after each day, and the day's burn-rate multiple — the SRE
+    * error-budget arithmetic (burn rate > 1 means the month's budget
+    * dies early) over the same events the z-score (q113) and CUSUM
+    * (q178) monitors watch for shape changes.
+    *
+    * Exactness: rates and burn multiples are non-negative integer
+    * ppm floor-divs over event counts; the cumulative budget spend
+    * rides a running sum over the day axis. The budget floor is
+    * clamped at zero with greatest() — both engines agree ≤ 0.
+    *
+    * Scale design (100 TB): one partial-aggregable pass to day
+    * grain; the running window is calendar-bounded (the q193/q218
+    * argument); output is one row per day. */
+  val q219SloBurn: QueryDef = QueryDef(
+    "q219_slo_burn",
+    """WITH d AS (
+      |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS errs
+      |  FROM events GROUP BY 1),
+      |r AS (
+      |  SELECT day, n, errs,
+      |    CAST((1000000 * errs) // n AS BIGINT) AS err_ppm,
+      |    CAST(sum(errs) OVER (ORDER BY day) AS BIGINT) AS cum_errs,
+      |    CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS cum_n
+      |  FROM d)
+      |SELECT day, n, errs, err_ppm,
+      |  CAST((1000000 * errs * 40) // n AS BIGINT) AS burn_rate_ppm,
+      |  CAST(greatest(0, 25000 - (1000000 * cum_errs) // cum_n) AS BIGINT)
+      |    AS budget_left_ppm
+      |FROM r ORDER BY day""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "error", 1)).as("errs"))
+    val win = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    d.withColumn("cum_errs", sum(col("errs")).over(win))
+      .withColumn("cum_n", sum(col("n")).over(win))
+      .select(col("day"), col("n"), col("errs"),
+        expr("(1000000 * errs) div n").as("err_ppm"),
+        expr("(1000000 * errs * 40) div n").as("burn_rate_ppm"),
+        expr("CAST(greatest(0, 25000 - (1000000 * cum_errs) div cum_n) AS BIGINT)")
+          .as("budget_left_ppm"))
+      .orderBy("day")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q196SchemaDrift, q199SessionEntropy,
+    q196SchemaDrift, q199SessionEntropy, q219SloBurn,
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
     q58Pivot, q59Cube, q72SlidingWindow, q81Streaks, q86VariantExtract,

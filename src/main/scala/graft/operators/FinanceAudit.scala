@@ -556,7 +556,70 @@ object FinanceAudit {
       .orderBy("ym")
   }
 
+  /** q218 — weekly KPI report: revenue by ISO week with
+    * week-over-week growth (ppm, sign-safe) and the trailing 4-week
+    * average — the table every revenue dashboard renders, produced
+    * with exact arithmetic end to end.
+    *
+    * Exactness: weekly cents are exact sums; WoW growth is
+    * (cur − prev)·10⁶ / prev with the signed numerator routed
+    * through the floor-consistent form floor((a·10⁶)/b) on a
+    * POSITIVE denominator — Spark `div` and DuckDB `//` both floor
+    * only on non-negatives, so the signed case uses the IEEE
+    * double division + floor (exact: both operands < 2⁵³, one
+    * rounding each engine performs identically); the 4-week mean is
+    * a floor-div of a 4-term sum.
+    *
+    * Scale design (100 TB): the fact collapses to week grain FIRST
+    * (partial-aggregable); the lag/mean windows run over the
+    * CALENDAR-bounded week axis (~400 rows for 8 years) — the q193
+    * day-axis argument: bounded by time, not data. */
+  val q218WeeklyKpi: QueryDef = QueryDef(
+    "q218_weekly_kpi",
+    """WITH w AS (
+      |  SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS wk,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS cents,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |l AS (
+      |  SELECT wk, cents, n_orders,
+      |    lag(cents) OVER (ORDER BY wk) AS prev,
+      |    CAST(avg(cents) OVER (ORDER BY wk ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |         AS DOUBLE) AS avg4_raw,
+      |    CAST(sum(cents) OVER (ORDER BY wk ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS sum4,
+      |    CAST(count(*) OVER (ORDER BY wk ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS n4
+      |  FROM w)
+      |SELECT wk, cents, n_orders,
+      |  CASE WHEN prev IS NULL THEN NULL
+      |       ELSE CAST(floor((CAST(cents - prev AS DOUBLE) * 1000000.0) / prev)
+      |            AS BIGINT) END AS wow_ppm,
+      |  sum4 // n4 AS avg4_cents
+      |FROM l ORDER BY wk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.orders(s, dir)
+      .groupBy(date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd")
+        .as("wk"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")).cast("bigint").as("cents"),
+        count(lit(1)).as("n_orders"))
+    val win = Window.orderBy("wk")
+    val frame = win.rowsBetween(-3, 0)
+    w.withColumn("prev", lag(col("cents"), 1).over(win))
+      .withColumn("sum4", sum(col("cents")).over(frame))
+      .withColumn("n4", count(lit(1)).over(frame))
+      .select(col("wk"), col("cents"), col("n_orders"),
+        when(col("prev").isNull, lit(null).cast("long"))
+          .otherwise(floor(((col("cents") - col("prev")).cast("double") *
+            lit(1000000.0)) / col("prev")).cast("long")).as("wow_ppm"),
+        expr("sum4 div n4").as("avg4_cents"))
+      .orderBy("wk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q188DupCharge, q189ParetoAbc, q192Vwap, q193Drawdown, q194Aging,
-    q195RoundBias, q210DiffInDiff, q211AbcXyz, q214LedgerRegister)
+    q195RoundBias, q210DiffInDiff, q211AbcXyz, q214LedgerRegister,
+    q218WeeklyKpi)
 }

@@ -112,6 +112,10 @@ QUERIES = [
     # rounded sqrt(c*sqrt(c)) chain; pseudonymization rides the
     # customer redraw through salted md5-prefix keys on BOTH sides
     "q216_negative_sampling", "q217_pseudonymize",
+    # the weekly KPI rides the money redraw through the signed IEEE
+    # WoW division; SLO burn rides the events redraw through running
+    # ppm ratios and the clamped budget
+    "q218_weekly_kpi", "q219_slo_burn",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
