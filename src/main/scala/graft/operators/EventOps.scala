@@ -1857,8 +1857,79 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** q220 — DAU/WAU/MAU stickiness: per day, the distinct active
+    * users that day, over the trailing 7 days, and over the trailing
+    * 30 days, plus the DAU/MAU stickiness ratio — the growth metric
+    * every consumer product reports, computed exactly (no sketch)
+    * by expanding each (day, user) activity pair into the trailing
+    * windows it supports.
+    *
+    * Exactness: all distinct counts are exact on the (window-day,
+    * user) grain; stickiness is a non-negative ppm floor-div.
+    *
+    * Scale design (100 TB): activity collapses to the (day, user)
+    * grain FIRST (partial-aggregable; |pairs| ≪ |events|); each pair
+    * then fans out to ≤ 30 + 7 + 1 window rows via a 37-element
+    * literal explode (rows bounded by 38·|pairs|, never event-sized)
+    * and the distinct-per-window aggregate pre-collapses to
+    * (window-day, span, user) before counting — two partial-
+    * aggregable exchanges, no windowed count-distinct, no sketch.
+    * Days with no activity produce no row (the feed's day axis is
+    * dense by construction). */
+  val q220Stickiness: QueryDef = QueryDef(
+    "q220_stickiness",
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      |  FROM events),
+      |ex AS (
+      |  SELECT du.day + CAST(o.off AS INT) AS rday, o.span, du.user_id
+      |  FROM du CROSS JOIN (
+      |    SELECT unnest(range(0, 30)) AS off, 'm' AS span
+      |    UNION ALL SELECT unnest(range(0, 7)), 'w'
+      |    UNION ALL SELECT 0, 'd') o),
+      |obs AS (SELECT DISTINCT day FROM du),
+      |c AS (
+      |  SELECT ex.rday AS day, ex.span,
+      |    CAST(count(DISTINCT ex.user_id) AS BIGINT) AS u
+      |  FROM ex JOIN obs ON obs.day = ex.rday
+      |  GROUP BY 1, 2)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+      |  max(CASE WHEN c.span = 'd' THEN c.u END) AS dau,
+      |  max(CASE WHEN c.span = 'w' THEN c.u END) AS wau,
+      |  max(CASE WHEN c.span = 'm' THEN c.u END) AS mau,
+      |  CAST((1000000 * max(CASE WHEN c.span = 'd' THEN c.u END))
+      |       // max(CASE WHEN c.span = 'm' THEN c.u END) AS BIGINT)
+      |    AS stickiness_ppm
+      |FROM c JOIN obs d ON d.day = c.day
+      |GROUP BY d.day ORDER BY day""".stripMargin) { (s, dir) =>
+    val du = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).cast("date").as("day"),
+        col("user_id")).distinct()
+    val offs = {
+      val m = (0 until 30).map(i => struct(lit(i).as("off"), lit("m").as("span")))
+      val w = (0 until 7).map(i => struct(lit(i).as("off"), lit("w").as("span")))
+      val d0 = Seq(struct(lit(0).as("off"), lit("d").as("span")))
+      explode(array((m ++ w ++ d0): _*)).as("o")
+    }
+    val ex = du.select(col("day"), col("user_id"), offs)
+      .select(date_add(col("day"), col("o.off")).as("rday"),
+        col("o.span").as("span"), col("user_id"))
+    val obs = du.select(col("day")).distinct()
+    val c = ex.join(obs, obs("day") === ex("rday"))
+      .groupBy(col("rday"), col("span"))
+      .agg(countDistinct(col("user_id")).as("u"))
+    c.groupBy(col("rday"))
+      .agg(max(when(col("span") === "d", col("u"))).as("dau"),
+        max(when(col("span") === "w", col("u"))).as("wau"),
+        max(when(col("span") === "m", col("u"))).as("mau"))
+      .select(date_format(col("rday"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"), col("mau"),
+        expr("(1000000 * dau) div mau").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q196SchemaDrift, q199SessionEntropy, q219SloBurn,
+    q196SchemaDrift, q199SessionEntropy, q219SloBurn, q220Stickiness,
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,
     q58Pivot, q59Cube, q72SlidingWindow, q81Streaks, q86VariantExtract,

@@ -116,6 +116,9 @@ QUERIES = [
     # WoW division; SLO burn rides the events redraw through running
     # ppm ratios and the clamped budget
     "q218_weekly_kpi", "q219_slo_burn",
+    # stickiness rides the events redraw through the trailing-window
+    # expansion and exact distinct counts
+    "q220_stickiness",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
