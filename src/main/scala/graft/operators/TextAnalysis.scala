@@ -1824,9 +1824,137 @@ object TextAnalysis {
       .limit(30)
   }
 
+  /** q221 — scaling-law fit: train the add-one bigram LM on nested
+    * fractions of the training shard (1/16, 1/8, 1/4, 1/2 of the
+    * corpus), score each model on the SAME held-out shard, and fit
+    * ln(loss) = a + b·ln(tokens) — the data-scaling exponent b < 0
+    * that says how fast more data buys lower loss, the curve every
+    * "how much data do we need" decision reads off. Emits one row
+    * per model size plus the fitted-slope row.
+    *
+    * Exactness: each model's NLL rides the q181 nano-int pattern;
+    * the 4-point log-log fit floors ln(tokens) and ln(nll) to
+    * nano-ints FIRST, accumulates the OLS moments as exact
+    * DECIMAL(38) integers (float sums over rows would be
+    * association-order-dependent), and performs ONE IEEE division +
+    * floor at the end.
+    *
+    * Scale design (100 TB): the size axis is a 4-element literal
+    * cross join BEFORE the count aggregates, so all four models
+    * build in the same two partial-aggregable passes (size just
+    * widens the key); scoring is the same per-size equi-join as
+    * q181; the fit runs on 4 rows. */
+  val q221ScalingLaw: QueryDef = QueryDef(
+    "q221_scaling_law",
+    """WITH sz AS (SELECT CAST(unnest([2, 4, 8, 16]) AS BIGINT) AS s),
+      |tr AS (
+      |  SELECT sz.s, string_split(text, ' ') AS tk
+      |  FROM documents CROSS JOIN sz
+      |  WHERE doc_id % 2 = 0 AND (doc_id // 2) % (sz.s // 2) = 0),
+      |te AS (
+      |  SELECT string_split(text, ' ') AS tk FROM documents
+      |  WHERE doc_id % 2 = 1),
+      |u AS (SELECT s, unnest(tk) AS x FROM tr),
+      |v AS (SELECT s, CAST(count(DISTINCT x) AS BIGINT) AS vs,
+      |      CAST(count(*) AS BIGINT) AS toks FROM u GROUP BY s),
+      |c1 AS (SELECT s, x, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT s, tk[CAST(i AS INT)] AS x, tk[CAST(i AS INT)+1] AS y,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM tr, unnest(range(1, len(tk))) AS r(i) GROUP BY 1, 2, 3),
+      |tb AS (
+      |  SELECT tk[CAST(i AS INT)] AS x, tk[CAST(i AS INT)+1] AS y,
+      |    CAST(count(*) AS BIGINT) AS m
+      |  FROM te, unnest(range(1, len(tk))) AS r(i) GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT v.s, tb.m,
+      |    CAST(floor(1000000000.0 *
+      |      (-ln(CAST(coalesce(c2.c, 0) + 1 AS DOUBLE) /
+      |           CAST(coalesce(c1.c, 0) + v.vs AS DOUBLE)))) AS BIGINT) AS nll_nn
+      |  FROM tb CROSS JOIN v
+      |  LEFT JOIN c2 ON c2.s = v.s AND tb.x = c2.x AND tb.y = c2.y
+      |  LEFT JOIN c1 ON c1.s = v.s AND tb.x = c1.x),
+      |pt AS (
+      |  SELECT sc.s, v.toks,
+      |    CAST(sum(CAST(m AS HUGEINT) * nll_nn) // CAST(sum(m) AS HUGEINT)
+      |         AS BIGINT) AS avg_nll_nn
+      |  FROM sc JOIN v ON v.s = sc.s GROUP BY sc.s, v.toks),
+      |lg AS (
+      |  SELECT s, toks, avg_nll_nn,
+      |    CAST(floor(1000000000.0 * ln(CAST(toks AS DOUBLE))) AS BIGINT) AS lx,
+      |    CAST(floor(1000000000.0 * ln(CAST(avg_nll_nn AS DOUBLE) / 1000000000.0))
+      |         AS BIGINT) AS ly
+      |  FROM pt),
+      |fit AS (
+      |  SELECT CAST(floor((CAST(CAST(count(*) AS HUGEINT) * sum(CAST(lx AS HUGEINT) * ly)
+      |                          - CAST(sum(lx) AS HUGEINT) * sum(ly) AS DOUBLE) * 1000.0)
+      |             / CAST(CAST(count(*) AS HUGEINT) * sum(CAST(lx AS HUGEINT) * lx)
+      |                          - CAST(sum(lx) AS HUGEINT) * sum(lx) AS DOUBLE))
+      |       AS BIGINT) AS b_milli
+      |  FROM lg)
+      |SELECT CAST(s AS BIGINT) AS model, toks AS train_tokens, avg_nll_nn,
+      |  NULL AS b_milli
+      |FROM lg
+      |UNION ALL
+      |SELECT 0, NULL, NULL, b_milli FROM fit
+      |ORDER BY model""".stripMargin) { (s, dir) =>
+    val tk = col("tk")
+    def bigrams(df: DataFrame, extra: Seq[Column]): DataFrame =
+      df.filter(size(tk) >= 2)
+        .select(extra :+ explode(zip_with(
+          slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1),
+          (x, y) => struct(x.as("x"), y.as("y")))).as("p"): _*)
+        .select(extra :+ col("p.x").as("x") :+ col("p.y").as("y"): _*)
+    val docs = Tables.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val sz = s.range(1).select(explode(array(
+      lit(2L), lit(4L), lit(8L), lit(16L))).as("s"))
+    val tr = docs.filter(col("doc_id") % 2 === 0).crossJoin(sz)
+      .filter(expr("(doc_id div 2) % (s div 2) = 0"))
+      .select(col("s"), tk)
+    val te = docs.filter(col("doc_id") % 2 === 1).select(tk)
+    val u = tr.select(col("s"), explode(tk).as("x"))
+    val v = u.groupBy(col("s"))
+      .agg(count_distinct(col("x")).as("vs"), count(lit(1)).as("toks"))
+    val c1 = u.groupBy(col("s"), col("x")).agg(count(lit(1)).as("c1c"))
+    val c2 = bigrams(tr, Seq(col("s")))
+      .groupBy(col("s"), col("x"), col("y")).agg(count(lit(1)).as("c2c"))
+    val tb = bigrams(te, Seq.empty)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("m"))
+    val sc = tb.crossJoin(broadcast(v))
+      .join(c2, Seq("s", "x", "y"), "left")
+      .join(c1, Seq("s", "x"), "left")
+      .select(col("s"), col("toks"), col("m"),
+        expr("""CAST(floor(1000000000.0 *
+          (-ln(CAST(coalesce(c2c, 0) + 1 AS DOUBLE) /
+               CAST(coalesce(c1c, 0) + vs AS DOUBLE)))) AS BIGINT)""")
+          .as("nll_nn"))
+    val pt = sc.groupBy(col("s"), col("toks"))
+      .agg(expr("CAST(sum(CAST(m AS DECIMAL(38,0)) * nll_nn) div CAST(sum(m) AS DECIMAL(38,0)) AS BIGINT)")
+        .as("avg_nll_nn"))
+    val lg = pt.select(col("s"), col("toks"), col("avg_nll_nn"),
+      expr("CAST(floor(1000000000.0 * ln(CAST(toks AS DOUBLE))) AS BIGINT)").as("lx"),
+      expr("CAST(floor(1000000000.0 * ln(CAST(avg_nll_nn AS DOUBLE) / 1000000000.0)) AS BIGINT)").as("ly"))
+      .localCheckpoint() // feeds both the per-size rows and the fit
+    val fit = lg.agg(expr(
+      """CAST(floor((CAST(CAST(count(*) AS DECIMAL(38,0)) * sum(CAST(lx AS DECIMAL(38,0)) * ly)
+        |     - CAST(sum(lx) AS DECIMAL(38,0)) * sum(ly) AS DOUBLE) * 1000.0)
+        |   / CAST(CAST(count(*) AS DECIMAL(38,0)) * sum(CAST(lx AS DECIMAL(38,0)) * lx)
+        |     - CAST(sum(lx) AS DECIMAL(38,0)) * sum(lx) AS DOUBLE))
+        |AS BIGINT)""".stripMargin).as("b_milli"))
+    lg.select(col("s").as("model"), col("toks").as("train_tokens"),
+        col("avg_nll_nn"), lit(null).cast("long").as("b_milli"))
+      .unionAll(fit.select(lit(0L).as("model"),
+        lit(null).cast("long").as("train_tokens"),
+        lit(null).cast("long").as("avg_nll_nn"), col("b_milli")))
+      .orderBy("model")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q197Keyness, q198Readability, q200Burstiness, q215KnPpl,
-      q216NegativeSampling,
+      q216NegativeSampling, q221ScalingLaw,
       q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
       q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,
       q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob,

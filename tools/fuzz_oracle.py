@@ -119,6 +119,9 @@ QUERIES = [
     # stickiness rides the events redraw through the trailing-window
     # expansion and exact distinct counts
     "q220_stickiness",
+    # the scaling-law fit rides the text redraw through four nested
+    # models, the nano-int NLL chain, and the integer OLS moments
+    "q221_scaling_law",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
