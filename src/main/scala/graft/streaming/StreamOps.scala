@@ -141,6 +141,25 @@ object StreamOps {
             |    + CASE WHEN c5 > 0 THEN (CAST(c5 AS DOUBLE) / n) * ln(CAST(c5 AS DOUBLE) / n) ELSE 0.0d END))
             |  AS BIGINT)""".stripMargin).as("h_milli"))
 
+  /** Streaming SLO burn monitor (q219's per-window half): per
+    * tumbling window the error rate in ppm and the burn-rate
+    * multiple against the 2.5% SLO — the alerting signal (a window
+    * burning at >1,000,000 ppm eats budget faster than the month
+    * replenishes it). Cumulative budget accounting stays batch-side
+    * (q219): a monotone total over all history is exactly what a
+    * watermarked append stream cannot re-emit, and the alert only
+    * needs the window rate. State per live window is two counters;
+    * finalized windows agree bit-for-bit with the batch aggregate
+    * over the same rows (integer counts, non-negative floor-divs). */
+  def sloBurnMonitor(df: DataFrame, tsCol: String, windowLen: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "error", 1)).as("errs"))
+      .select(col("w.start").as("window_start"), col("n"), col("errs"),
+        expr("(1000000 * errs) div n").as("err_ppm"),
+        expr("(1000000 * errs * 40) div n").as("burn_rate_ppm"))
+
   /** Streaming VARIANT extraction (q86's streaming twin): each JSON
     * payload is parsed ONCE into the binary variant encoding on
     * arrival — the scale path when the same payload feeds several

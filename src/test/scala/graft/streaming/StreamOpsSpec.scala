@@ -838,6 +838,31 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sloBurnMonitor finalized windows hit the closed-form burn rates") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    // window A: 1 error in 4 -> 250000 ppm, burn 40*250000/1000
+    // window B: 0 errors in 2 -> 0 ppm
+    val data = Seq(
+      (ts(1), "error"), (ts(2), "view"), (ts(4), "click"), (ts(9), "view"),
+      (ts(16), "view"), (ts(22), "click"))
+    val df = in.toDF().toDF("ts", "event_type")
+    val q = StreamOps.sloBurnMonitor(df, "ts", "15 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("slo_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData((ts(60), "view"))
+      q.processAllAvailable()
+      val got = spark.table("slo_out").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got.contains((4L, 1L, 250000L, 10000000L)), s"burn window: $got")
+      assert(got.contains((2L, 0L, 0L, 0L)), s"clean window: $got")
+    } finally q.stop()
+  }
+
   test("ohlcBars finalized bars agree with the q156 batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double, Long)]
