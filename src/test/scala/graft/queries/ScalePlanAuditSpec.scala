@@ -82,6 +82,26 @@ class ScalePlanAuditSpec extends AnyFunSuite {
       s"q193: top-10 drawdown fell back to a global Sort+Limit:\n$p")
   }
 
+  test("q220 never plans a windowed count-distinct: both distincts are aggregates") {
+    // the stickiness rewrite exists to avoid count(DISTINCT) OVER a
+    // sliding frame (unbounded state per window); the plan must show
+    // plain aggregates only — any Window node means the rewrite rotted
+    val p = plan(graft.operators.EventOps.q220Stickiness)
+    assert(!p.contains("Window"),
+      s"q220: a window operator appeared — sliding count-distinct is back:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"q220: no aggregate in plan:\n$p")
+  }
+
+  test("q214's register builds bottom-up: day roots aggregate before month roots") {
+    // two stacked aggregates (day grain, then month grain), never a
+    // single collect of the whole ledger
+    val p = plan(graft.operators.FinanceAudit.q214LedgerRegister)
+    val aggs = p.linesIterator.count(l => l.contains("ObjectHashAggregate") ||
+      l.contains("SortAggregate") || l.contains("HashAggregate"))
+    assert(aggs >= 2, s"q214: expected stacked day->month aggregates:\n$p")
+  }
+
   test("q201's QI aggregate reuses one exchange for sizes, totals, and the risk rollup") {
     // the group-size table g feeds both the 1-row totals and the
     // per-k report; neither path may rescan the customer fact
