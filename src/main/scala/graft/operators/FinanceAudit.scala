@@ -618,8 +618,60 @@ object FinanceAudit {
       .orderBy("wk")
   }
 
+  /** q222 — order-velocity screen: customers whose order rate spikes
+    * past 4 orders inside any trailing 30-day window — the card-abuse
+    * / account-takeover velocity rule next to q188's duplicate screen
+    * (repeat CONTENT) and q113's z-score (statistical shape); this
+    * one is the hard business rule an auditor can quote.
+    *
+    * Exactness: the windowed count is an exact pair count over
+    * integer day indexes anchored at each order (count of o₂ with
+    * d₁ ≤ d₂ ≤ d₁+30), so "any trailing window" reduces to "window
+    * anchored at some order" — no approximation, no calendar sweep.
+    *
+    * Scale design (100 TB): the self-join is an equi hash join on
+    * the CUSTOMER key with the day predicate applied after the match;
+    * per-key group sizes are per-customer order counts, exactly the
+    * grouping every per-customer aggregate already shoulders. The
+    * anchor-max rollup is partial-aggregable; output is bounded by
+    * the true violator set. */
+  val q222VelocityScreen: QueryDef = QueryDef(
+    "q222_velocity_screen",
+    """WITH o AS (
+      |  SELECT o_custkey AS cust, o_orderkey AS k,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |         AS BIGINT) AS d
+      |  FROM orders),
+      |anchored AS (
+      |  SELECT a.cust, a.k, CAST(count(*) AS BIGINT) AS w30
+      |  FROM o a JOIN o b ON b.cust = a.cust
+      |    AND b.d >= a.d AND b.d <= a.d + 30
+      |  GROUP BY 1, 2),
+      |peak AS (
+      |  SELECT cust, CAST(max(w30) AS BIGINT) AS peak_30d,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM anchored GROUP BY cust)
+      |SELECT cust, peak_30d, n_orders
+      |FROM peak WHERE peak_30d >= 4
+      |ORDER BY peak_30d DESC, cust""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey").as("cust"), col("o_orderkey").as("k"),
+      datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+        .cast("bigint").as("d"))
+    val anchored = o.as("a")
+      .join(o.select(col("cust").as("bc"), col("d").as("bd")).as("b"),
+        col("bc") === col("a.cust") &&
+          col("bd") >= col("a.d") && col("bd") <= col("a.d") + 30)
+      .groupBy(col("a.cust").as("cust"), col("a.k").as("k"))
+      .agg(count(lit(1)).as("w30"))
+    anchored.groupBy(col("cust"))
+      .agg(max(col("w30")).as("peak_30d"), count(lit(1)).as("n_orders"))
+      .filter(col("peak_30d") >= 4)
+      .orderBy(col("peak_30d").desc, col("cust"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q188DupCharge, q189ParetoAbc, q192Vwap, q193Drawdown, q194Aging,
     q195RoundBias, q210DiffInDiff, q211AbcXyz, q214LedgerRegister,
-    q218WeeklyKpi)
+    q218WeeklyKpi, q222VelocityScreen)
 }

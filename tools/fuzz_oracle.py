@@ -122,6 +122,9 @@ QUERIES = [
     # the scaling-law fit rides the text redraw through four nested
     # models, the nano-int NLL chain, and the integer OLS moments
     "q221_scaling_law",
+    # the velocity screen's flag threshold rides the (unchanged)
+    # order dates, but the pair counts regroup with redrawn rows
+    "q222_velocity_screen",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
