@@ -437,13 +437,19 @@ object DataProfile {
     * completeness audit for sequence-keyed ingests — which orderkey
     * ranges are missing from the F-status subset, how many, how big.
     * The island id is key − rank (constant within each contiguous
-    * run), the per-key window is partitioned-free but runs over the
-    * FILTERED key set, and the report aggregates islands — classic
+    * run), and the report aggregates islands — classic
     * gaps-and-islands, bounded output.
     *
-    * Scale note: the global (key − row_number) window is the
-    * textbook formulation; at 100 TB the same island ids come from
-    * range-partitioned ranks (q78's heads/tails machinery). */
+    * Scale design (100 TB): NO global window anywhere. The rank
+    * behind the island id rides [[ScaleRank.withRowNumber]] (two-level
+    * chunked rank, every task bounded by a range chunk); the
+    * island→next-island `lead` is q78's heads/tails scheme at W=1 —
+    * per-range-partition `lead`s give every same-chunk adjacency, and
+    * only each chunk's first/last row (≤ 2·P rows) goes through one
+    * tiny global window restricted to cross-partition successors,
+    * which is provably exactly the set of boundary-crossing
+    * adjacencies. The DuckDB oracle is the textbook two-global-window
+    * formulation — hash-matching it proves the reconstruction exact. */
   val q136GapRanges: QueryDef = QueryDef(
     "q136_gap_ranges",
     """WITH k AS (
@@ -463,22 +469,46 @@ object DataProfile {
       |  CAST(sum(CASE WHEN gap_after > 0 THEN gap_after END) AS BIGINT) AS n_missing,
       |  CAST(max(gap_after) AS BIGINT) AS max_gap
       |FROM gaps""".stripMargin) { (s, dir) =>
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("key"))
-    val isl = Tables.orders(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    val keys = Tables.orders(s, dir)
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey").as("key"))
-      .withColumn("grp", col("key") - row_number().over(w))
+    val isl = ScaleRank.withRowNumber(keys, Seq.empty, Seq(col("key")), "rn", "__nr")
+      .withColumn("grp", col("key") - col("rn"))
       .groupBy(col("grp"))
-      .agg(min(col("key")).as("lo"), max(col("key")).as("hi"),
-        count(lit(1)).as("n"))
-    val gw = org.apache.spark.sql.expressions.Window.orderBy(col("lo"))
-    isl.withColumn("gap_after", lead(col("lo"), 1).over(gw) - col("hi") - 1)
-      .agg(
-        count(lit(1)).as("n_islands"),
-        sum(col("hi") - col("lo") + 1).as("n_present"),
-        count(when(col("gap_after") > 0, 1)).as("n_gaps"),
-        sum(when(col("gap_after") > 0, col("gap_after"))).as("n_missing"),
-        max(col("gap_after")).as("max_gap"))
+      .agg(min(col("key")).as("lo"), max(col("key")).as("hi"))
+    // heads/tails lead at W=1: `lo` is unique per island, so range
+    // partitioning on it is a total order across chunks. localCheckpoint
+    // pins one set of range boundaries for all three consumers (q78's
+    // structural-correctness note applies verbatim).
+    val r = isl.repartitionByRange(col("lo"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wp = Window.partitionBy(col("pid")).orderBy(col("lo"))
+    val wpd = Window.partitionBy(col("pid")).orderBy(col("lo").desc)
+    val within = r
+      .withColumn("nlo", lead(col("lo"), 1).over(wp))
+      .filter(col("nlo").isNotNull)
+    val subset = r
+      .withColumn("rna", row_number().over(wp))
+      .withColumn("rnd", row_number().over(wpd))
+      .filter(col("rna") === 1 || col("rnd") === 1)
+      .select(col("pid"), col("lo"), col("hi"))
+    val wg = Window.orderBy(col("lo")) // ≤ 2·P rows: bounded by parallelism
+    val boundary = subset
+      .withColumn("nlo", lead(col("lo"), 1).over(wg))
+      .withColumn("npid", lead(col("pid"), 1).over(wg))
+      .filter(col("nlo").isNotNull && col("npid") =!= col("pid"))
+    val gaps = within.select((col("nlo") - col("hi") - 1).as("gap_after"))
+      .unionAll(boundary.select((col("nlo") - col("hi") - 1).as("gap_after")))
+    val islAgg = isl.agg(
+      count(lit(1)).as("n_islands"),
+      sum(col("hi") - col("lo") + 1).as("n_present"))
+    val gapAgg = gaps.agg(
+      count(when(col("gap_after") > 0, 1)).as("n_gaps"),
+      sum(when(col("gap_after") > 0, col("gap_after"))).as("n_missing"),
+      max(col("gap_after")).as("max_gap"))
+    islAgg.crossJoin(gapAgg)
   }
 
   /** q143 — distribution drift (total variation): per event type,

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton-curve) data layout — multi-dimensional clustering
@@ -71,8 +70,10 @@ object Layout {
       val z = d.withColumn("zv", zval("sz", "pb", 6))
       // the layout step at scale is repartitionByRange(zv) +
       // sortWithinPartitions(zv) on the write; the gate reproduces the
-      // same global order relationally to expose the per-file boxes
-      z.withColumn("rn", row_number().over(Window.orderBy(col("zv"), col("p_partkey"))))
+      // same global order relationally via ScaleRank's two-level
+      // chunked rank — no single-task global Sort of the table
+      ScaleRank.withRowNumber(z, Seq.empty,
+          Seq(col("zv"), col("p_partkey")), "rn", "__nr")
         .withColumn("file_id",
           least(expr(s"(rn - 1) div $ROWS_PER_FILE"), lit(FILES - 1L)).cast("long"))
         .groupBy(col("file_id"))

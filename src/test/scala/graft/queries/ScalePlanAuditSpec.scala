@@ -30,6 +30,8 @@ class ScalePlanAuditSpec extends AnyFunSuite {
     (graft.operators.DataProfile.q172MadOutliers, "v"),
     (graft.operators.Forecast.q187TheilSen, "slope"),
     (graft.operators.FinanceAudit.q189ParetoAbc, "cents"),
+    (graft.operators.Layout.q93ZOrder, "zv"),
+    (graft.operators.DataProfile.q136GapRanges, "key"),
     (graft.operators.Layout.q205ZonemapPrune, "sd"))
 
   test("converted queries range-chunk their rank/prefix stage") {
