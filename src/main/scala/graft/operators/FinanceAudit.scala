@@ -626,8 +626,10 @@ object FinanceAudit {
     *
     * Exactness: the windowed count is an exact pair count over
     * integer day indexes anchored at each order (count of o₂ with
-    * d₁ ≤ d₂ ≤ d₁+30), so "any trailing window" reduces to "window
-    * anchored at some order" — no approximation, no calendar sweep.
+    * d₁ ≤ d₂ ≤ d₁+29 — the 0..29 offset convention q220's DAU/MAU
+    * uses, a true 30-day span), so "any trailing window" reduces to
+    * "window anchored at some order" — no approximation, no calendar
+    * sweep.
     *
     * Scale design (100 TB): the self-join is an equi hash join on
     * the CUSTOMER key with the day predicate applied after the match;
@@ -645,7 +647,7 @@ object FinanceAudit {
       |anchored AS (
       |  SELECT a.cust, a.k, CAST(count(*) AS BIGINT) AS w30
       |  FROM o a JOIN o b ON b.cust = a.cust
-      |    AND b.d >= a.d AND b.d <= a.d + 30
+      |    AND b.d >= a.d AND b.d <= a.d + 29
       |  GROUP BY 1, 2),
       |peak AS (
       |  SELECT cust, CAST(max(w30) AS BIGINT) AS peak_30d,
@@ -661,7 +663,7 @@ object FinanceAudit {
     val anchored = o.as("a")
       .join(o.select(col("cust").as("bc"), col("d").as("bd")).as("b"),
         col("bc") === col("a.cust") &&
-          col("bd") >= col("a.d") && col("bd") <= col("a.d") + 30)
+          col("bd") >= col("a.d") && col("bd") <= col("a.d") + 29)
       .groupBy(col("a.cust").as("cust"), col("a.k").as("k"))
       .agg(count(lit(1)).as("w30"))
     anchored.groupBy(col("cust"))

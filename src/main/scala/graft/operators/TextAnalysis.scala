@@ -1680,6 +1680,13 @@ object TextAnalysis {
     * nano-NLL integers, and the per-language mean is an integer
     * HUGEINT-weighted sum — the q181 determinism pattern.
     *
+    * OOV-context rule: a context is OOV if it is unigram-unseen OR
+    * never opens a training bigram (occurs only doc-finally: in c1
+    * but not n1p) — the latter has no context distribution to
+    * discount, so it backs off to the continuation model rather than
+    * NULLing the interpolation (which would silently drop its mass
+    * from the weighted mean).
+    *
     * Scale design (100 TB): four partial-aggregable count tables
     * (bigram, context, continuation-left, continuation-right — the
     * latter two are group-bys OVER the bigram table, not new fact
@@ -1709,9 +1716,9 @@ object TextAnalysis {
       |  FROM te, unnest(range(1, len(tk))) AS r(i) GROUP BY 1, 2, 3),
       |sc AS (
       |  SELECT tb.lang, tb.m,
-      |    CASE WHEN c1.c IS NULL THEN 1 ELSE 0 END AS oov_ctx,
+      |    CASE WHEN c1.c IS NULL OR n1p.n IS NULL THEN 1 ELSE 0 END AS oov_ctx,
       |    CAST(floor(1000000000.0 * (-ln(
-      |      CASE WHEN c1.c IS NULL
+      |      CASE WHEN c1.c IS NULL OR n1p.n IS NULL
       |        THEN (CAST(coalesce(ncy.n, 0) AS DOUBLE) + 1.0) / (CAST(tt.t AS DOUBLE) + v.vs)
       |        ELSE CAST(greatest(4 * coalesce(c2.c, 0) - 3, 0) AS DOUBLE) / (4.0 * c1.c)
       |          + ((3.0 * n1p.n) / (4.0 * c1.c))
@@ -1756,10 +1763,10 @@ object TextAnalysis {
       .join(ncy, Seq("y"), "left")
       .crossJoin(broadcast(tt)).crossJoin(broadcast(v))
       .select(col("lang"), col("m"),
-        when(col("c1c").isNull, 1L).otherwise(0L).as("oov_ctx"),
+        when(col("c1c").isNull || col("n1pn").isNull, 1L).otherwise(0L).as("oov_ctx"),
         expr(
           """CAST(floor(1000000000.0 * (-ln(
-            |  CASE WHEN c1c IS NULL
+            |  CASE WHEN c1c IS NULL OR n1pn IS NULL
             |    THEN (CAST(coalesce(ncyn, 0) AS DOUBLE) + 1.0d) / (CAST(t AS DOUBLE) + vs)
             |    ELSE CAST(greatest(4 * coalesce(c2c, 0) - 3, 0) AS DOUBLE) / (4.0d * c1c)
             |      + ((3.0d * n1pn) / (4.0d * c1c))

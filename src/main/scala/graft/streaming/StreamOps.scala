@@ -250,12 +250,21 @@ object StreamOps {
     * disk (see [[graft.Tables.events]]): TIMESTAMP(NANOS) streams as
     * raw longs (legacy.parquet.nanosAsLong) rebuilt with exact
     * integral division; TIMESTAMP(MICROS) streams as TIMESTAMP_NTZ
-    * and the UTC session casts it wall-clock-identically. */
+    * and the UTC session casts it wall-clock-identically.
+    *
+    * A directory that is EMPTY at stream definition (the standard
+    * start-reader-before-producers pattern) has no footer to sniff:
+    * fall back to the legacy nanos layout rather than throwing, so
+    * the stream can be declared first and fed later. */
   def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val onDisk = spark.read.parquet(dir).schema
     val nanosLayout =
-      onDisk("ts").dataType == org.apache.spark.sql.types.LongType
+      try {
+        val onDisk = spark.read.parquet(dir).schema
+        onDisk("ts").dataType == org.apache.spark.sql.types.LongType
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => true
+      }
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       if (nanosLayout)
         "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"

@@ -272,6 +272,33 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("eventsFileStream declares over an EMPTY directory (producers write later)") {
+    // the standard file-source pattern: start the reader before any
+    // producer has written — schema sniffing must fall back (to the
+    // legacy nanos layout), not throw, and the stream must then drain
+    // files that arrive after declaration
+    val src = java.nio.file.Files.createTempDirectory("graft-empty-src")
+    val in = StreamOps.eventsFileStream(spark, src.toString) // must not throw
+    assert(in.isStreaming)
+    assert(in.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // producer arrives: nanos-layout rows (raw epoch-nano BIGINTs)
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), unix_micros(col("ts")) * 1000,
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.coalesce(1).write.mode("overwrite").parquet(src.toString)
+    val q = StreamOps.tumblingCounts(in, "ts", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("empty_dir_stream_out")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      assert(spark.table("empty_dir_stream_out").count() > 0)
+    } finally q.stop()
+  }
+
   /** Driver events file as in-ts-order AsofEvents, split into `chunks`
     * consecutive batches (in-order arrival — the agreement contract). */
   private def eventChunks(chunks: Int): Seq[Seq[StreamOps.AsofEvent]] = {
