@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Measured test counts -> target/test_summary.json on every `sbt test`
+// (-C keeps stdout reporting intact alongside).
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest,
+  "-C", "graft.TestSummaryReporter")
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

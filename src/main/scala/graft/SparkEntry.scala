@@ -33,6 +33,9 @@ object SparkEntry {
       graft.operators.Forecast.all ++ graft.operators.FinanceAudit.all ++
       graft.operators.Privacy.all
 
+  /** Full registry, for plan-shape audit sweeps (ScalePlanAuditSpec). */
+  private[graft] def defs: Seq[QueryDef] = allDefs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     CoreQueries.q01PricingSummary.build(spark, "/root/testdata/sf0.001")
