@@ -331,19 +331,87 @@ object Similarity {
     }
   }
 
-  /** IVF search (q82) — the retrieval half q43's cell build exists
-    * for: assign every vector to its nearest coarse centroid ONCE
-    * (the partition-prunable index layout), then answer each query by
-    * ranking only its own cell's members with the exact native cosine
-    * (IVF-Flat, nprobe=1). At scale the assignment is the write-time
-    * `PARTITIONED BY (cid)` layout, so a query scans one cell
-    * directory — the same pruning PlanAuditSpec proves for the LSH
-    * layout — while the query set stays broadcast.
+  /** THE IVF implementation — one set of frames feeding every IVF
+    * query (q82 = nprobe-1 baseline, q145 = multi-probe recall,
+    * q166 = NDCG), so the index semantics cannot drift between the
+    * baseline and the audits.
     *
-    * The assignment frame is checkpointed once and feeds both the
-    * query-routing and the candidate side; cosines are the codegen'd
-    * [[graft.functions.CosineSimilarity]], bit-identical to the
-    * oracle's explicit term sums. */
+    * At scale the assignment is the write-time `PARTITIONED BY (cid)`
+    * layout, so a probe scans |cells probed| cell directories — the
+    * same pruning PlanAuditSpec proves for the LSH layout — while
+    * probe lists and the query set stay broadcast. Cosines are the
+    * codegen'd [[graft.functions.CosineSimilarity]], bit-identical to
+    * the oracle's explicit term sums. */
+  private[graft] object IvfIndex {
+    /** Broadcast coarse-centroid frame (cid, vc). */
+    def centroids(e: DataFrame): DataFrame =
+      broadcast(e.filter(col("vec_id") < NCENT)
+        .select(col("vec_id").as("cid"), col("embedding").as("vc")))
+
+    /** Corpus→cell assignment (vec_id, cid, v), checkpointed once per
+      * query: built once, feeds query routing AND candidates. */
+    def assign(e: DataFrame, cent: DataFrame): DataFrame = {
+      val aw = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
+      e.repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding").as("v"))
+        .crossJoin(cent)
+        .select(col("vec_id"), col("v"), col("cid"),
+          expr("cosine_sim(v, vc)").as("cs"))
+        .withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("v"))
+        .localCheckpoint()
+    }
+
+    /** Query set (qid, qv) — read off the assignment frame. */
+    def querySet(assign: DataFrame, nq: Int): DataFrame =
+      assign.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+
+    /** Broadcast probe list (qid, qv, cid, crank ≤ maxProbe): every
+      * query ranks all NCENT centroids; crank ≤ np are the cells
+      * probed at level np. At maxProbe = 1 this is exactly
+      * route-to-own-cell (the query's crank-1 centroid IS its
+      * assignment — same cosine, same (cs DESC, cid) tiebreak). */
+    def probes(q: DataFrame, cent: DataFrame, maxProbe: Int): DataFrame = {
+      val pw = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
+      broadcast(q.crossJoin(cent)
+        .select(col("qid"), col("qv"), col("cid"),
+          expr("cosine_sim(qv, vc)").as("cs"))
+        .withColumn("crank", row_number().over(pw))
+        .filter(col("crank") <= maxProbe)
+        .select(col("qid"), col("qv"), col("cid"), col("crank")))
+    }
+
+    /** Scored candidates (qid, crank, vec_id, cs): members of every
+      * probed cell, self excluded — |cells probed| × cell size rows,
+      * never the corpus. */
+    def candidates(pc: DataFrame, assign: DataFrame): DataFrame =
+      pc.join(assign, Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("crank"), col("vec_id"),
+          expr("cosine_sim(v, qv)").as("cs"))
+
+    /** Exact truth (qid, vec_id, rn ≤ topk): one corpus pass against
+      * the broadcast query set; the rn ≤ topk window plants the
+      * TopKPerKey map-side heap prune. */
+    def exactTruth(e: DataFrame, q: DataFrame, topk: Int): DataFrame = {
+      val tw = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))
+      e.repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding").as("v"))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), expr("cosine_sim(v, qv)").as("cs"))
+        .withColumn("rn", row_number().over(tw))
+        .filter(col("rn") <= topk)
+    }
+  }
+
+  /** IVF search (q82) — the retrieval half q43's cell build exists
+    * for: the [[IvfIndex]] machinery at nprobe = 1 (IVF-Flat
+    * baseline), ranking only the query's own cell's members with the
+    * exact native cosine. q145/q166 carry the multi-probe recall and
+    * NDCG stories over the SAME index frames. */
   val q82IvfSearch: QueryDef = {
     val NQ = 5 // query set: vec_id < 5
     val TOPK = 3
@@ -372,30 +440,17 @@ object Similarity {
          |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, dir)
-      val cent = broadcast(e.filter(col("vec_id") < NCENT)
-        .select(col("vec_id").as("cid"), col("embedding").as("vc")))
-      val aw = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
-      // assignment frame: built once, feeds query routing AND candidates
-      val assign = e.repartition(col("vec_id"))
-        .select(col("vec_id"), col("embedding").as("v"))
-        .crossJoin(cent)
-        .select(col("vec_id"), col("v"), col("cid"),
-          expr("cosine_sim(v, vc)").as("cs"))
-        .withColumn("rn", row_number().over(aw))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("v"))
-        .localCheckpoint()
-      val q = assign.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("qid"), col("cid").as("qcid"), col("v").as("qv"))
-      val cand = broadcast(q)
-        .join(assign, col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          expr("cosine_sim(v, qv)").as("cos_sim"))
-      val rw = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+      val cent = IvfIndex.centroids(e)
+      val assign = IvfIndex.assign(e, cent)
+      val q = IvfIndex.querySet(assign, NQ)
+      // nprobe=1: the probe list IS route-to-own-cell (the oracle's
+      // assign-join formulation — value-identical, see IvfIndex.probes)
+      val cand = IvfIndex.candidates(IvfIndex.probes(q, cent, maxProbe = 1), assign)
+      val rw = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))
       // DuckDB row_number() is BIGINT where Spark's is INT
       cand.withColumn("rank", row_number().over(rw).cast("long"))
         .filter(col("rank") <= TOPK)
-        .select(col("qid"), col("vec_id"), col("cos_sim"), col("rank"))
+        .select(col("qid"), col("vec_id"), col("cs").as("cos_sim"), col("rank"))
         .orderBy("qid", "rank")
     }
   }
@@ -479,34 +534,10 @@ object Similarity {
       import s.implicits._
       val npDf = broadcast(Seq(1, 2, 4).toDF("np"))
       val e = Tables.embeddings(s, dir)
-      val cent = broadcast(e.filter(col("vec_id") < NCENT)
-        .select(col("vec_id").as("cid"), col("embedding").as("vc")))
-      val aw = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
-      val assign = e.repartition(col("vec_id"))
-        .select(col("vec_id"), col("embedding").as("v"))
-        .crossJoin(cent)
-        .select(col("vec_id"), col("v"), col("cid"),
-          expr("cosine_sim(v, vc)").as("cs"))
-        .withColumn("rn", row_number().over(aw))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("v"))
-        .localCheckpoint()
-      val q = assign.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      // probe list: every query ranks the 8 centroids; crank <= np
-      // are the cells probed at level np
-      val pw = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
-      val pc = broadcast(q.crossJoin(cent)
-        .select(col("qid"), col("qv"), col("cid"),
-          expr("cosine_sim(qv, vc)").as("cs"))
-        .withColumn("crank", row_number().over(pw))
-        .filter(col("crank") <= 4)
-        .select(col("qid"), col("qv"), col("cid"), col("crank")))
-      val cand = pc
-        .join(assign, Seq("cid"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("crank"), col("vec_id"),
-          expr("cosine_sim(v, qv)").as("cs"))
+      val cent = IvfIndex.centroids(e)
+      val assign = IvfIndex.assign(e, cent)
+      val q = IvfIndex.querySet(assign, NQ)
+      val cand = IvfIndex.candidates(IvfIndex.probes(q, cent, maxProbe = 4), assign)
       val lvl = cand
         .crossJoin(npDf)
         .filter(col("crank") <= col("np"))
@@ -515,16 +546,7 @@ object Similarity {
       val lvlRn = lvl.withColumn("rn", row_number().over(lw)).localCheckpoint()
       val ncand = lvlRn.groupBy(col("qid"), col("np"))
         .agg(count(lit(1)).as("n_cand"))
-      // exact truth: one corpus pass against the broadcast query set;
-      // the rn <= TOPK window plans as TopKPerKey (map-side heaps)
-      val tw = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))
-      val truth = e.repartition(col("vec_id"))
-        .select(col("vec_id"), col("embedding").as("v"))
-        .crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), expr("cosine_sim(v, qv)").as("cs"))
-        .withColumn("rn", row_number().over(tw))
-        .filter(col("rn") <= TOPK)
+      val truth = IvfIndex.exactTruth(e, q, TOPK)
         .select(col("qid"), col("vec_id").as("tvid"))
       val hits = lvlRn.filter(col("rn") <= TOPK)
         .join(truth,
@@ -869,32 +891,10 @@ object Similarity {
       val wtDf = broadcast(w.zipWithIndex
         .map { case (wv, i0) => (i0 + 1, wv) }.toDF("i", "w"))
       val e = Tables.embeddings(s, dir)
-      val cent = broadcast(e.filter(col("vec_id") < NCENT)
-        .select(col("vec_id").as("cid"), col("embedding").as("vc")))
-      val aw = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid"))
-      val assign = e.repartition(col("vec_id"))
-        .select(col("vec_id"), col("embedding").as("v"))
-        .crossJoin(cent)
-        .select(col("vec_id"), col("v"), col("cid"),
-          expr("cosine_sim(v, vc)").as("cs"))
-        .withColumn("rn", row_number().over(aw))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("v"))
-        .localCheckpoint()
-      val q = assign.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val pw = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
-      val pc = broadcast(q.crossJoin(cent)
-        .select(col("qid"), col("qv"), col("cid"),
-          expr("cosine_sim(qv, vc)").as("cs"))
-        .withColumn("crank", row_number().over(pw))
-        .filter(col("crank") <= 4)
-        .select(col("qid"), col("qv"), col("cid"), col("crank")))
-      val cand = pc
-        .join(assign, Seq("cid"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("crank"), col("vec_id"),
-          expr("cosine_sim(v, qv)").as("cs"))
+      val cent = IvfIndex.centroids(e)
+      val assign = IvfIndex.assign(e, cent)
+      val q = IvfIndex.querySet(assign, NQ)
+      val cand = IvfIndex.candidates(IvfIndex.probes(q, cent, maxProbe = 4), assign)
       val lw = Window.partitionBy(col("qid"), col("np"))
         .orderBy(col("cs").desc, col("vec_id"))
       val sys = cand
@@ -903,14 +903,7 @@ object Similarity {
         .withColumn("rn", row_number().over(lw))
         .filter(col("rn") <= TOPK)
         .select(col("qid"), col("np"), col("vec_id"), col("rn"))
-      val tw = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))
-      val truth = e.repartition(col("vec_id"))
-        .select(col("vec_id"), col("embedding").as("v"))
-        .crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), expr("cosine_sim(v, qv)").as("cs"))
-        .withColumn("rn", row_number().over(tw))
-        .filter(col("rn") <= TOPK)
+      val truth = IvfIndex.exactTruth(e, q, TOPK)
         .select(col("qid").as("tqid"), col("vec_id").as("tvid"),
           col("rn").as("trn"))
       val dcg = sys
