@@ -1104,10 +1104,256 @@ object DataProfile {
       .orderBy("tbl", "chk")
   }
 
+  /** q224 — two-sample Kolmogorov–Smirnov test: is the total-price
+    * distribution of finished ('F') orders the same as open ('O')
+    * orders? D = max |ECDF_F − ECDF_O|, with the max located (the
+    * price where the two distributions diverge hardest) and the
+    * α=0.05 decision against the large-sample critical value
+    * c·sqrt((n_a+n_b)/(n_a·n_b)), c = 1.358. The distribution-drift
+    * gate q165's z-test (means) and q177's U test (stochastic
+    * ordering) both miss: KS sees ANY shape difference.
+    *
+    * Formulation — ECDFs without ranking rows: prices are exact cents,
+    * so both ECDFs collapse to the merged distinct-value histogram
+    * with two cumulative counts; the ECDF gap at every union point is
+    * the integer cross-product |fa·n_b − fb·n_a| (common denominator
+    * n_a·n_b), and between points both ECDFs are constant, so the max
+    * over union points is the supremum. All integers until the final
+    * 1-row IEEE chain for the critical value (q124 contract).
+    *
+    * Scale design (100 TB): ONE fact pass collapses to the distinct-
+    * cents histogram (value-domain-bounded, not row-bounded); both
+    * prefix counts ride [[ScaleRank.withRunningSum]] — never a bare
+    * global window; the argmax is a 1-row aggregate joined back as a
+    * broadcast, and the report is one row. */
+  val q224KsTest: QueryDef = QueryDef(
+    "q224_ks_test",
+    """WITH p AS (
+      |  SELECT o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+      |h AS (
+      |  SELECT cents,
+      |    CAST(sum(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM p GROUP BY cents),
+      |cum AS (
+      |  SELECT cents,
+      |    CAST(sum(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fa,
+      |    CAST(sum(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fb
+      |  FROM h),
+      |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM h),
+      |g AS (SELECT cents, abs(fa * t.nb - fb * t.na) AS gap FROM cum, t),
+      |d AS (SELECT CAST(max(gap) AS BIGINT) AS d_num FROM g),
+      |loc AS (SELECT CAST(min(g.cents) AS BIGINT) AS at_cents FROM g, d WHERE g.gap = d.d_num)
+      |SELECT t.na, t.nb, loc.at_cents,
+      |  CAST((1000000 * d.d_num) // (t.na * t.nb) AS BIGINT) AS d_ppm,
+      |  CAST(floor(1000000.0 * (1.358 *
+      |    sqrt(CAST(t.na + t.nb AS DOUBLE) /
+      |         (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))))) AS BIGINT) AS crit_ppm,
+      |  CAST(d.d_num AS DOUBLE) / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) >
+      |    1.358 * sqrt(CAST(t.na + t.nb AS DOUBLE) /
+      |                 (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))) AS reject_95
+      |FROM t, d, loc""".stripMargin) { (s, dir) =>
+    val p = Tables.orders(s, dir)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_orderstatus").as("st"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint").as("cents"))
+    val h = p.groupBy("cents")
+      .agg(sum(when(col("st") === "F", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("st") === "O", 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint() // feeds the totals AND both prefix passes
+    val cum = ScaleRank.withRunningSum(
+      ScaleRank.withRunningSum(h, Nil, Seq(col("cents")), col("ca"), "fa"),
+      Nil, Seq(col("cents")), col("cb"), "fb")
+    val t = h.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val g = cum.crossJoin(broadcast(t))
+      .select(col("cents"),
+        abs(col("fa") * col("nb") - col("fb") * col("na")).as("gap"))
+      .localCheckpoint() // feeds the max AND its argmax locate
+    val d = g.agg(max("gap").as("d_num"))
+    val loc = g.crossJoin(broadcast(d)).filter(col("gap") === col("d_num"))
+      .agg(min("cents").as("at_cents"))
+    val nad = col("na").cast("double")
+    val nbd = col("nb").cast("double")
+    val crit = lit(1.358) * sqrt((col("na") + col("nb")).cast("double") / (nad * nbd))
+    t.crossJoin(broadcast(d)).crossJoin(broadcast(loc))
+      .select(col("na"), col("nb"), col("at_cents"),
+        expr("(1000000 * d_num) div (na * nb)").as("d_ppm"),
+        floor(lit(1000000.0) * crit).cast("bigint").as("crit_ppm"),
+        (col("d_num").cast("double") / (nad * nbd) > crit).as("reject_95"))
+  }
+
+  /** q225 — Spearman rank correlation between line-item quantity and
+    * extended price: the monotonic-association coefficient (Pearson on
+    * average ranks, the tie-correct definition) — "do bigger orders
+    * cost more, monotonically?" robust to the price distribution's
+    * shape. Output: pair count and rho in ppm.
+    *
+    * Formulation — average ranks without ranking rows: both variables
+    * are discrete (integral quantities, exact cents), so each rank
+    * assignment collapses to the distinct-value histogram: every row
+    * with value v gets DOUBLED average rank r2 = 2·cum(v) − cnt(v) + 1
+    * (an exact integer — the q177 trick). rho is then Pearson over
+    * the (r2x, r2y) pairs: five moments accumulated in
+    * DECIMAL(38)/HUGEINT (order-free, exact at any scale), then ONE
+    * 1-row IEEE chain — num/den in doubles, one sqrt, ppm floor
+    * (q124 contract). Doubling cancels in the correlation.
+    *
+    * Scale design (100 TB): two value-histogram passes (each value-
+    * domain-bounded), prefix counts via [[ScaleRank.withRunningSum]],
+    * two equi-joins back to the fact on the value keys, one moment
+    * aggregate — no windows over fact-sized axes, no collect. */
+  val q225Spearman: QueryDef = QueryDef(
+    "q225_spearman",
+    """WITH f AS (
+      |  SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem),
+      |hx AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY x),
+      |rx AS (
+      |  SELECT x, 2 * CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |           - c + 1 AS r2x
+      |  FROM hx),
+      |hy AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY y),
+      |ry AS (
+      |  SELECT y, 2 * CAST(sum(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |           - c + 1 AS r2y
+      |  FROM hy),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(r2x AS HUGEINT)) AS sx, sum(CAST(r2y AS HUGEINT)) AS sy,
+      |    sum(CAST(r2x AS HUGEINT) * r2y) AS sxy,
+      |    sum(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+      |    sum(CAST(r2y AS HUGEINT) * r2y) AS syy
+      |  FROM f JOIN rx USING (x) JOIN ry USING (y))
+      |SELECT n,
+      |  CAST(floor(1000000.0 *
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |          CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |          CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT) AS rho_ppm
+      |FROM m
+      |WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+      |       CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val f = Tables.lineitem(s, dir)
+      .select(floor(col("l_quantity")).cast("bigint").as("x"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint").as("y"))
+      .localCheckpoint() // feeds both histograms AND the moment join
+    def rank2(on: String, out: String) = {
+      val h = f.groupBy(on).agg(count(lit(1)).as("c"))
+      ScaleRank.withRunningSum(h, Nil, Seq(col(on)), col("c"), "cum")
+        .select(col(on), (lit(2) * col("cum") - col("c") + 1).as(out))
+    }
+    val m = f.join(rank2("x", "r2x"), "x").join(rank2("y", "r2y"), "y")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("r2x"))).as("sx"), sum(dec(col("r2y"))).as("sy"),
+        sum(dec(col("r2x")) * col("r2y")).as("sxy"),
+        sum(dec(col("r2x")) * col("r2x")).as("sxx"),
+        sum(dec(col("r2y")) * col("r2y")).as("syy"))
+    val nd = col("n").cast("double")
+    val varx = nd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vary = nd * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.filter(varx * vary > 0)
+      .select(col("n"),
+        floor(lit(1000000.0) *
+          (nd * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt(varx * vary)).cast("bigint").as("rho_ppm"))
+  }
+
+  /** q226 — approximate functional-dependency audit: for a battery of
+    * candidate column dependencies A → B, the g3 error — the minimum
+    * fraction of rows that must be removed for the FD to hold exactly
+    * (Kivinen–Mannila), i.e. 1 − Σ_A max_B count / N. The schema-
+    * discovery profiling step that finds real keys ("p_partkey
+    * determines p_name" holds) and debunks folk constraints
+    * ("l_orderkey determines l_shipdate" does not) before a pipeline
+    * hard-codes them as join or dedup assumptions.
+    *
+    * Scale design (100 TB): each candidate is two partial-aggregable
+    * group-bys — fact → (A,B) grain → per-A max — then a 1-row
+    * aggregate; candidates are independent branches off shared scans
+    * (Spark schedules them in one job), the union is |candidates|
+    * rows. No windows, no joins, no collect. */
+  val q226FdAudit: QueryDef = QueryDef(
+    "q226_fd_audit",
+    """WITH cand AS (
+      |  SELECT 'orders' AS tbl, 'o_orderkey->o_orderstatus' AS fd,
+      |    CAST(o_orderkey AS VARCHAR) AS a, o_orderstatus AS b FROM orders
+      |  UNION ALL
+      |  SELECT 'orders', 'o_custkey->o_orderpriority',
+      |    CAST(o_custkey AS VARCHAR), o_orderpriority FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem', 'l_orderkey->l_shipdate',
+      |    CAST(l_orderkey AS VARCHAR), CAST(l_shipdate AS VARCHAR) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem', 'l_partkey->l_suppkey',
+      |    CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'part', 'p_brand->p_type', p_brand, p_type FROM part
+      |  UNION ALL
+      |  SELECT 'customer', 'c_nationkey->c_mktsegment',
+      |    CAST(c_nationkey AS VARCHAR), c_mktsegment FROM customer),
+      |ab AS (
+      |  SELECT tbl, fd, a, b, CAST(count(*) AS BIGINT) AS c
+      |  FROM cand GROUP BY tbl, fd, a, b),
+      |pa AS (
+      |  SELECT tbl, fd, a, CAST(sum(c) AS BIGINT) AS n_a,
+      |    CAST(max(c) AS BIGINT) AS keep
+      |  FROM ab GROUP BY tbl, fd, a)
+      |SELECT tbl, fd,
+      |  CAST(sum(n_a) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_lhs,
+      |  CAST(sum(n_a - keep) AS BIGINT) AS violations,
+      |  CAST((1000000 * CAST(sum(n_a - keep) AS BIGINT)) // CAST(sum(n_a) AS BIGINT)
+      |    AS BIGINT) AS g3_ppm,
+      |  sum(n_a - keep) = 0 AS holds
+      |FROM pa GROUP BY tbl, fd
+      |ORDER BY tbl, fd""".stripMargin) { (s, dir) =>
+    def cand(tbl: String, fd: String, df: org.apache.spark.sql.DataFrame,
+        a: Column, b: Column) =
+      df.select(lit(tbl).as("tbl"), lit(fd).as("fd"),
+        a.cast("string").as("a"), b.cast("string").as("b"))
+    val orders = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val union =
+      cand("orders", "o_orderkey->o_orderstatus", orders,
+        col("o_orderkey"), col("o_orderstatus"))
+      .unionAll(cand("orders", "o_custkey->o_orderpriority", orders,
+        col("o_custkey"), col("o_orderpriority")))
+      .unionAll(cand("lineitem", "l_orderkey->l_shipdate", li,
+        col("l_orderkey"), col("l_shipdate")))
+      .unionAll(cand("lineitem", "l_partkey->l_suppkey", li,
+        col("l_partkey"), col("l_suppkey")))
+      .unionAll(cand("part", "p_brand->p_type", Tables.part(s, dir),
+        col("p_brand"), col("p_type")))
+      .unionAll(cand("customer", "c_nationkey->c_mktsegment",
+        Tables.customer(s, dir), col("c_nationkey"), col("c_mktsegment")))
+    union.groupBy("tbl", "fd", "a", "b").agg(count(lit(1)).as("c"))
+      .groupBy("tbl", "fd", "a")
+      .agg(sum("c").as("n_a"), max("c").as("keep"))
+      .groupBy("tbl", "fd")
+      .agg(sum("n_a").as("n_rows"), count(lit(1)).as("n_lhs"),
+        sum(col("n_a") - col("keep")).as("violations"))
+      .select(col("tbl"), col("fd"), col("n_rows"), col("n_lhs"),
+        col("violations"),
+        expr("(1000000 * violations) div n_rows").as("g3_ppm"),
+        (col("violations") === 0).as("holds"))
+      .orderBy("tbl", "fd")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
       q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers,
       q177MannWhitney, q179BootstrapCi, q182NeymanSample, q186Benford,
-      q209ContractAudit)
+      q209ContractAudit, q224KsTest, q225Spearman, q226FdAudit)
 }

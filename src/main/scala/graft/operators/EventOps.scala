@@ -1928,7 +1928,73 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** q230 — Wald SPRT conversion monitor: the sequential A/B decision
+    * timeline over the signup stream. Classic fixed-horizon tests
+    * (q165) forbid peeking; the Sequential Probability Ratio Test is
+    * the always-valid alternative — after every day, accumulate the
+    * log-likelihood ratio of H1: p = 0.25 vs H0: p = 0.20 over the
+    * Bernoulli conversions (value ≥ 200) and compare against the
+    * symmetric Wald boundaries ±ln(19) (α = β = 0.05). Output: one
+    * row per day with cumulative n, conversions, LLR, and the
+    * decision state — the "stop early, with guarantees" monitor an
+    * experimentation platform runs every night.
+    *
+    * Exactness: the LLR is conv·K₁ + (n−conv)·K₂ with K₁ = ln(p₁/p₀),
+    * K₂ = ln((1−p₁)/(1−p₀)) floored once to integer nano-nats (both
+    * engines produce bit-identical constants — verified against the
+    * q91 ln contract), so every cumulative LLR is exact int64 (|K| ≤
+    * 3·10⁹ ⇒ safe through ~3·10⁹ observations). Boundaries are the
+    * same nano-floored constant, so state flips are exact integer
+    * comparisons.
+    *
+    * Scale design (100 TB): one fact pass collapses to the calendar-
+    * bounded day grain; both cumulative counts ride
+    * [[ScaleRank.withRunningSum]] over the day frame (no bare global
+    * window); the constants frame is a broadcast literal. */
+  val q230Sprt: QueryDef = QueryDef(
+    "q230_sprt",
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS d,
+      |    CASE WHEN value >= 200.0 THEN 1 ELSE 0 END AS conv
+      |  FROM events WHERE event_type = 'signup'),
+      |day0 AS (
+      |  SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+      |  FROM ev GROUP BY d),
+      |cum AS (
+      |  SELECT d,
+      |    CAST(sum(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum,
+      |    CAST(sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c_cum
+      |  FROM day0),
+      |k AS (
+      |  SELECT CAST(floor(1000000000.0 * ln(1.25)) AS BIGINT) AS k1,
+      |    CAST(floor(1000000000.0 * ln(0.75 / 0.8)) AS BIGINT) AS k2,
+      |    CAST(floor(1000000000.0 * ln(19.0)) AS BIGINT) AS bound)
+      |SELECT d AS day, n_cum, c_cum,
+      |  CAST(c_cum * k.k1 + (n_cum - c_cum) * k.k2 AS BIGINT) AS llr_nn,
+      |  CASE WHEN c_cum * k.k1 + (n_cum - c_cum) * k.k2 >= k.bound THEN 'reject_h0'
+      |       WHEN c_cum * k.k1 + (n_cum - c_cum) * k.k2 <= -k.bound THEN 'accept_h0'
+      |       ELSE 'continue' END AS state
+      |FROM cum, k ORDER BY day""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).filter(col("event_type") === "signup")
+      .select(expr("unix_micros(ts) div 86400000000").as("d"),
+        when(col("value") >= 200.0, 1L).otherwise(0L).as("conv"))
+    val day0 = ev.groupBy("d").agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val cum = ScaleRank.withRunningSum(
+      ScaleRank.withRunningSum(day0, Nil, Seq(col("d")), col("n"), "n_cum"),
+      Nil, Seq(col("d")), col("c"), "c_cum")
+    val k1 = floor(lit(1e9) * log(lit(1.25))).cast("long")
+    val k2 = floor(lit(1e9) * log(lit(0.75 / 0.8))).cast("long")
+    val bound = floor(lit(1e9) * log(lit(19.0))).cast("long")
+    val llr = col("c_cum") * k1 + (col("n_cum") - col("c_cum")) * k2
+    cum.select(col("d").as("day"), col("n_cum"), col("c_cum"),
+        llr.cast("bigint").as("llr_nn"),
+        when(llr >= bound, "reject_h0").when(llr <= -bound, "accept_h0")
+          .otherwise("continue").as("state"))
+      .orderBy("day")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q230Sprt,
     q196SchemaDrift, q199SessionEntropy, q219SloBurn, q220Stickiness,
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,

@@ -460,6 +460,120 @@ object Learn {
     }
   }
 
+  /** q227 — multinomial naive Bayes text classifier, trained and
+    * evaluated in-engine: fit P(word|source) with Laplace smoothing on
+    * the deterministic 80% train split (doc_id % 5 ≠ 0), score the
+    * held-out 20%, report the confusion matrix. The classic first
+    * baseline for source/domain routing of a text corpus (and the
+    * quality-classifier pattern: swap `source` for any doc label) —
+    * counts in, argmax out, no gradient loop.
+    *
+    * Exactness: every log term — class prior ln(d_c/d), seen-word
+    * ln((c_wc+1)/(N_c+V)), unseen-in-class default ln(1/(N_c+V)) — is
+    * floored to integer nano-nats (the q91 contract: one IEEE divide
+    * + ln per DISTINCT (word, class), then order-free integer sums);
+    * per-doc scores are exact int64 (≤ 10⁵ tokens × ~40·10⁹ nano-nats
+    * ≈ 4·10¹⁵); argmax breaks score ties on class name ascending.
+    * Test-only words (outside the train vocabulary) are dropped —
+    * the standard "ignore OOV" NB convention, stated here because the
+    * alternative (smoothe them too) changes scores.
+    *
+    * Scale design (100 TB): the model is three aggregates off one
+    * tokenized-train pass — (class, word) counts, class totals, vocab
+    * size; scoring joins test tokens to the sparse (word, class)
+    * table by equi-key (the model is NOT broadcast — a web-scale
+    * vocabulary doesn't fit an executor; only the |classes|-row
+    * prior/default frame is), the per-class expansion is a broadcast
+    * cross join ×|classes|, and the argmax window sees |classes| rows
+    * per doc partition. All exchanges partial-aggregable. */
+  val q227NaiveBayes: QueryDef = QueryDef(
+    "q227_naive_bayes",
+    """WITH tr AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 0),
+      |te AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
+      |ttok AS (SELECT source AS c, unnest(string_split(text, ' ')) AS w FROM tr),
+      |cw AS (SELECT c, w, CAST(count(*) AS BIGINT) AS cwc FROM ttok GROUP BY c, w),
+      |nc AS (SELECT c, CAST(sum(cwc) AS BIGINT) AS n FROM cw GROUP BY c),
+      |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM ttok),
+      |pri AS (SELECT source AS c, CAST(count(*) AS BIGINT) AS dc FROM tr GROUP BY source),
+      |pt AS (SELECT CAST(sum(dc) AS BIGINT) AS dt FROM pri),
+      |cls AS (
+      |  SELECT pri.c,
+      |    CAST(floor(1000000000.0 *
+      |      ln(CAST(pri.dc AS DOUBLE) / CAST(pt.dt AS DOUBLE))) AS BIGINT) AS prior_nn,
+      |    CAST(floor(1000000000.0 *
+      |      ln(1.0 / CAST(nc.n + vv.v AS DOUBLE))) AS BIGINT) AS def_nn,
+      |    nc.n + vv.v AS den
+      |  FROM pri, pt, nc, vv WHERE nc.c = pri.c),
+      |lp AS (
+      |  SELECT cw.c, cw.w,
+      |    CAST(floor(1000000000.0 *
+      |      ln(CAST(cw.cwc + 1 AS DOUBLE) / CAST(cls.den AS DOUBLE))) AS BIGINT) AS lp_nn
+      |  FROM cw JOIN cls ON cls.c = cw.c),
+      |tetok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM te),
+      |tetv AS (
+      |  SELECT t.doc_id, t.w FROM tetok t
+      |  JOIN (SELECT DISTINCT w FROM cw) vw ON vw.w = t.w),
+      |sc0 AS (
+      |  SELECT t.doc_id, cls.c,
+      |    CAST(sum(coalesce(lp.lp_nn, cls.def_nn)) AS BIGINT) AS tok_nn
+      |  FROM tetv t CROSS JOIN cls
+      |  LEFT JOIN lp ON lp.c = cls.c AND lp.w = t.w
+      |  GROUP BY t.doc_id, cls.c),
+      |scores AS (
+      |  SELECT te.doc_id, te.source, cls.c,
+      |    cls.prior_nn + coalesce(sc0.tok_nn, 0) AS score_nn
+      |  FROM te CROSS JOIN cls
+      |  LEFT JOIN sc0 ON sc0.doc_id = te.doc_id AND sc0.c = cls.c),
+      |pred AS (
+      |  SELECT doc_id, source, c, score_nn,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score_nn DESC, c) AS rn
+      |  FROM scores)
+      |SELECT source AS true_src, c AS pred_src, CAST(count(*) AS BIGINT) AS n
+      |FROM pred WHERE rn = 1
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val tr = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    val te = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    val ttok = tr.select(col("source").as("c"),
+        explode(split(col("text"), " ")).as("w"))
+      .localCheckpoint() // feeds (class,word) counts AND the vocab size
+    val cw = ttok.groupBy("c", "w").agg(count(lit(1)).as("cwc"))
+      .localCheckpoint() // feeds class totals, vocab list, lp table
+    val nc = cw.groupBy("c").agg(sum("cwc").as("n"))
+    val vv = ttok.agg(countDistinct("w").as("v"))
+    val pri = tr.groupBy(col("source").as("c")).agg(count(lit(1)).as("dc"))
+    val pt = pri.agg(sum("dc").as("dt"))
+    val nano = (x: Column) => floor(lit(1000000000.0) * log(x)).cast("long")
+    val cls = pri.join(nc, "c").crossJoin(broadcast(pt)).crossJoin(broadcast(vv))
+      .select(col("c"),
+        nano(col("dc").cast("double") / col("dt").cast("double")).as("prior_nn"),
+        nano(lit(1.0) / (col("n") + col("v")).cast("double")).as("def_nn"),
+        (col("n") + col("v")).as("den"))
+    val lp = cw.join(broadcast(cls.select(col("c"), col("den"))), "c")
+      .select(col("c"), col("w"),
+        nano((col("cwc") + 1).cast("double") / col("den").cast("double")).as("lp_nn"))
+    val tetok = te.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tetv = tetok.join(cw.select("w").distinct(), Seq("w"), "leftsemi")
+    val sc0 = tetv
+      .crossJoin(broadcast(cls.select(col("c").as("sc_c"), col("def_nn"))))
+      .join(lp, col("c") === col("sc_c") && lp("w") === tetv("w"), "left")
+      .groupBy(tetv("doc_id").as("sc_doc"), col("sc_c"))
+      .agg(sum(coalesce(col("lp_nn"), col("def_nn"))).as("tok_nn"))
+    val scores = te.select(col("doc_id"), col("source"))
+      .crossJoin(broadcast(cls.select(col("c"), col("prior_nn"))))
+      .join(sc0, col("doc_id") === col("sc_doc") && col("c") === col("sc_c"), "left")
+      .select(col("doc_id"), col("source"), col("c"),
+        (col("prior_nn") + coalesce(col("tok_nn"), lit(0L))).as("score_nn"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_nn").desc, col("c"))
+    scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("source").as("true_src"), col("c").as("pred_src"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_src", "pred_src")
+  }
+
   val all: Seq[QueryDef] = Seq(q95Kmeans, q96CentroidClassify,
-    q159ClusterPurity, q173Stump, q174Calibration)
+    q159ClusterPurity, q173Stump, q174Calibration, q227NaiveBayes)
 }

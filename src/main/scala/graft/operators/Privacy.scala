@@ -239,7 +239,92 @@ object Privacy {
       .orderBy("prop")
   }
 
+  /** q223 — t-closeness audit, completing the k-anonymity (q201) /
+    * l-diversity (q202) privacy triad: for each (nation, segment)
+    * group, the Earth Mover's Distance between the group's sensitive-
+    * attribute (balance-bucket) distribution and the GLOBAL one. A
+    * group can be k-anonymous and l-diverse yet still leak — if its
+    * bucket mix skews far from the corpus-wide mix, membership alone
+    * shifts an attacker's posterior (the skewness attack). For the
+    * ordered bucket attribute, EMD is the mean absolute difference of
+    * the two CDFs (Li/Li/Venkatasubramanian's ordered-distance form).
+    *
+    * Exactness: buckets ride the shared shifted-div expression; the
+    * per-bucket CDF gap is the integer cross-product
+    * |cum_g·N − cum_global·n_g| (common denominator n_g·N — the q224
+    * trick), summed exactly; emd_ppm is ONE non-negative floor-div by
+    * (|buckets|−1)·n_g·N. Headroom: Σ|gap|·10⁶ ≤ |buckets|·n_g·N·10⁶
+    * — int64-safe through ~10⁸ customers; past that, lift the gap sum
+    * to DECIMAL(38) (q154 contract).
+    *
+    * Scale design (100 TB): one QI pass to (group, bucket) grain, then
+    * everything runs on group-size tables; the bucket axis is value-
+    * domain-bounded, so the densifying cross join broadcasts |buckets|
+    * rows and the per-group CDF window sees ≤ |buckets| rows per
+    * partition. Output ≤ |nations|·|segments| rows. */
+  val q223TCloseness: QueryDef = QueryDef(
+    "q223_t_closeness",
+    s"""WITH g AS (
+      |  SELECT c_nationkey AS nation, c_mktsegment AS seg,
+      |    ${bucketSql.format("//")} AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY 1, 2, 3),
+      |gt AS (SELECT nation, seg, CAST(sum(n) AS BIGINT) AS ng FROM g
+      |       GROUP BY nation, seg),
+      |gl AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS m FROM g GROUP BY bucket),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS mcnt,
+      |               CAST(sum(m) AS BIGINT) AS nn FROM gl),
+      |grid AS (
+      |  SELECT gt.nation, gt.seg, gt.ng, gl.bucket, gl.m,
+      |    coalesce(g.n, 0) AS n
+      |  FROM gt CROSS JOIN gl
+      |  LEFT JOIN g ON g.nation = gt.nation AND g.seg = gt.seg
+      |             AND g.bucket = gl.bucket),
+      |cdf AS (
+      |  SELECT nation, seg, ng, m,
+      |    CAST(sum(n) OVER (PARTITION BY nation, seg ORDER BY bucket
+      |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+      |    CAST(sum(m) OVER (PARTITION BY nation, seg ORDER BY bucket
+      |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_m
+      |  FROM grid)
+      |SELECT nation, seg, ng AS group_size, tot.mcnt AS n_buckets,
+      |  CAST((1000000 * CAST(sum(abs(cum_n * tot.nn - cum_m * ng)) AS BIGINT))
+      |       // ((tot.mcnt - 1) * ng * tot.nn) AS BIGINT) AS emd_ppm,
+      |  (1000000 * CAST(sum(abs(cum_n * tot.nn - cum_m * ng)) AS BIGINT))
+      |       // ((tot.mcnt - 1) * ng * tot.nn) <= 200000 AS meets_t_20
+      |FROM cdf, tot
+      |GROUP BY nation, seg, ng, tot.mcnt, tot.nn
+      |ORDER BY nation, seg""".stripMargin) { (s, dir) =>
+    val g = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"),
+        expr(bucketSql.format("div")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds group totals, global histogram, grid
+    val gt = g.groupBy("nation", "seg").agg(sum("n").as("ng"))
+    val gl = g.groupBy("bucket").agg(sum("n").as("m"))
+    val tot = gl.agg(count(lit(1)).as("mcnt"), sum("m").as("nn"))
+    val grid = gt.crossJoin(broadcast(gl))
+      .join(g, Seq("nation", "seg", "bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("nation", "seg").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cdf = grid
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_m", sum("m").over(w))
+    cdf.crossJoin(broadcast(tot))
+      .groupBy(col("nation"), col("seg"), col("ng"), col("mcnt"), col("nn"))
+      .agg(sum(abs(col("cum_n") * col("nn") - col("cum_m") * col("ng")))
+        .as("gapsum"))
+      .select(col("nation"), col("seg"), col("ng").as("group_size"),
+        col("mcnt").as("n_buckets"),
+        expr("(1000000 * gapsum) div ((mcnt - 1) * ng * nn)").as("emd_ppm"),
+        (expr("(1000000 * gapsum) div ((mcnt - 1) * ng * nn)") <= 200000L)
+          .as("meets_t_20"))
+      .orderBy("nation", "seg")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q201KAnonymity, q202LDiversity, q203GeneralizationLadder,
-    q217Pseudonymize)
+    q217Pseudonymize, q223TCloseness)
 }

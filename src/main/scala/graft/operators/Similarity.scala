@@ -1013,8 +1013,76 @@ object Similarity {
     }
   }
 
+  private val MDIMS = Seq(8, 16, 32, 64) // matryoshka prefix lengths
+
+  /** q229 — matryoshka (MRL) truncation quality: recall@10 of
+    * prefix-truncated embeddings against the full-dimension ranking,
+    * for prefix lengths 8/16/32/64. The dimension-vs-recall curve that
+    * decides how short a matryoshka-trained embedding can be cut for
+    * the cheap first-stage retrieval pass (search at d=8, rerank at
+    * d=64 — the standard two-stage MRL deployment); d=64 is the
+    * self-consistency row (recall 10⁶ ppm by construction).
+    *
+    * Determinism: all four cosines ride the [[VectorOps]] explicit
+    * left-associated term sums (bit-exact across engines), every
+    * per-query ranking breaks ties on vec_id, recall is an integer
+    * count over the joined top-10 sets with one non-negative ppm
+    * floor-div.
+    *
+    * Scale design (100 TB): one corpus pass computes all four prefix
+    * cosines against the broadcast 10-query set (truncation is free —
+    * a prefix sub-loop of the same row, no re-embedding, no second
+    * scan); the frame is localCheckpointed so the four rankings and
+    * the overlap join reuse it; per-(query, d) top-10 windows are the
+    * q41-class brute-force truth pass, and the overlap join runs on
+    * 4·100 top-k rows. */
+  val q229Matryoshka: QueryDef = QueryDef(
+    "q229_matryoshka", {
+      val cosines = MDIMS.map(d => s"${cosSql("e.v", "q.vq", d)} AS c$d").mkString(",\n       |    ")
+      val ranks = MDIMS.map(d =>
+        s"""SELECT CAST($d AS BIGINT) AS d, qid, vec_id,
+           |    row_number() OVER (PARTITION BY qid ORDER BY c$d DESC, vec_id) AS rn
+           |  FROM c""".stripMargin).mkString("\n  UNION ALL\n  ")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS vq FROM embeddings WHERE vec_id < $NQUERY),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |c AS (
+       |  SELECT q.qid, e.vec_id,
+       |    $cosines
+       |  FROM e JOIN q ON e.vec_id <> q.qid),
+       |r AS (
+       |  $ranks),
+       |top AS (SELECT d, qid, vec_id FROM r WHERE rn <= 10),
+       |full_d AS (SELECT qid, vec_id FROM top WHERE d = 64)
+       |SELECT t.d, CAST(count(*) AS BIGINT) AS hits,
+       |  CAST((1000000 * CAST(count(*) AS BIGINT)) // ${NQUERY * 10} AS BIGINT) AS recall_ppm
+       |FROM top t JOIN full_d USING (qid, vec_id)
+       |GROUP BY t.d ORDER BY t.d""".stripMargin
+    }) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val q = broadcast(e.filter(col("vec_id") < NQUERY)
+      .select(col("vec_id").as("qid"), col("embedding").as("vq")))
+    val c = e.repartition(col("vec_id")) // single-file scan -> all cores
+      .select(col("vec_id"), col("embedding").as("v"))
+      .join(q, col("vec_id") =!= col("qid"))
+      .select(Seq(col("qid"), col("vec_id")) ++
+        MDIMS.map(d => cosCol("v", "vq", d).as(s"c$d")): _*)
+      .localCheckpoint() // feeds all four rankings
+    val top = MDIMS.map { d =>
+      val w = Window.partitionBy(col("qid")).orderBy(col(s"c$d").desc, col("vec_id"))
+      c.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(lit(d.toLong).as("d"), col("qid"), col("vec_id"))
+    }.reduce(_ unionAll _)
+    val full = top.filter(col("d") === 64).select(col("qid"), col("vec_id"))
+    top.join(full, Seq("qid", "vec_id"))
+      .groupBy("d").agg(count(lit(1)).as("hits"))
+      .select(col("d"), col("hits"),
+        expr(s"(1000000 * hits) div ${NQUERY * 10}").as("recall_ppm"))
+      .orderBy("d")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells, q44CosineExpr,
       q45Quantize, q73Pq, q82IvfSearch, q84SqlSurface, q145IvfMultiprobe,
-      q147PqRecall, q154EmbeddingDrift, q166IvfNdcg, q176MmrRerank)
+      q147PqRecall, q154EmbeddingDrift, q166IvfNdcg, q176MmrRerank,
+      q229Matryoshka)
 }

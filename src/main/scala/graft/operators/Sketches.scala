@@ -712,7 +712,135 @@ object Sketches {
       .orderBy("week")
   }
 
+  /** q228 — AMS (Alon–Matias–Szegedy) F2 sketch: estimate the second
+    * frequency moment Σ f_k² of the part-key stream — the SELF-JOIN
+    * SIZE of lineitem on l_partkey, the statistic a cost-based
+    * optimizer needs to size a join without computing it. 16
+    * deterministic ±1 projections X_j = Σ_k f_k·σ_j(k); the estimator
+    * is the textbook median-of-means over 4 groups of 4, reported
+    * against the exact F2 with the relative error in ppm.
+    *
+    * Exactness: σ_j(k) is the parity of the first md5 hex digit of
+    * "j#k" (the q36 md5-integer contract — bit-identical in both
+    * engines); every X_j, square, mean and the median-of-4
+    * ((Σ − min − max) div 2 — closed form, no sort, no window) is
+    * int64 arithmetic with non-negative floor-divs. Headroom:
+    * X_j² ≤ (Σf)² — int64-safe through ~3·10⁹ rows; past that the
+    * squares lift to DECIMAL(38) (q154 contract).
+    *
+    * Scale design (100 TB): ONE pass to the (key, f) grain — the only
+    * fact-sized exchange; the ×16 projection axis expands the BOUNDED
+    * key frame map-side into 16 partial sums (broadcast cross join);
+    * exact F2 (the verification arm) rides the same key frame. At
+    * production scale you keep the sketch and DROP the exact arm —
+    * the sketch is one pass and 16 counters regardless of key
+    * cardinality. */
+  val q228F2Sketch: QueryDef = QueryDef(
+    "q228_f2_sketch",
+    """WITH f AS (
+      |  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS f
+      |  FROM lineitem GROUP BY l_partkey),
+      |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |              CAST(sum(f * f) AS BIGINT) AS exact_f2 FROM f),
+      |js AS (SELECT CAST(unnest(range(16)) AS BIGINT) AS j),
+      |x AS (
+      |  SELECT js.j,
+      |    CAST(sum(f.f * (1 - 2 * (('0x' || substring(md5(
+      |      CAST(js.j AS VARCHAR) || '#' || CAST(f.k AS VARCHAR)), 1, 1))::BIGINT % 2)))
+      |      AS BIGINT) AS xj
+      |  FROM f CROSS JOIN js GROUP BY js.j),
+      |grp AS (
+      |  SELECT j // 4 AS g, CAST(sum(xj * xj) // 4 AS BIGINT) AS mean_g
+      |  FROM x GROUP BY j // 4),
+      |med AS (
+      |  SELECT CAST((sum(mean_g) - min(mean_g) - max(mean_g)) // 2 AS BIGINT) AS est_f2
+      |  FROM grp)
+      |SELECT ex.n_keys, ex.exact_f2, med.est_f2,
+      |  CAST((1000000 * abs(med.est_f2 - ex.exact_f2)) // ex.exact_f2 AS BIGINT) AS err_ppm
+      |FROM ex, med""".stripMargin) { (s, dir) =>
+    val f = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("f"))
+      .localCheckpoint() // feeds the exact arm AND the 16 projections
+    val ex = f.agg(count(lit(1)).as("n_keys"),
+      sum(col("f") * col("f")).as("exact_f2"))
+    val js = s.range(16).select(col("id").as("j"))
+    val sign = lit(1) - lit(2) *
+      (conv(substring(md5(concat(col("j").cast("string"), lit("#"),
+        col("k").cast("string"))), 1, 1), 16, 10).cast("long") % 2)
+    val x = f.crossJoin(broadcast(js))
+      .select(col("j"), (col("f") * sign).as("term"))
+      .groupBy("j").agg(sum("term").as("xj"))
+    val grp = x.groupBy(expr("j div 4").as("g"))
+      .agg(expr("sum(xj * xj) div 4").as("mean_g"))
+    val med = grp.agg(
+      expr("(sum(mean_g) - min(mean_g) - max(mean_g)) div 2").as("est_f2"))
+    ex.crossJoin(broadcast(med))
+      .select(col("n_keys"), col("exact_f2"), col("est_f2"),
+        expr("(1000000 * abs(est_f2 - exact_f2)) div exact_f2").as("err_ppm"))
+  }
+
+  /** q231 — join-cardinality estimation report: the orders ⋈ lineitem
+    * equi-join on orderkey, sized three ways WITHOUT materializing the
+    * join — (a) exactly, as Σ_k f_o(k)·f_l(k) over the two key
+    * histograms; (b) the System R independence estimate
+    * n_o·n_l / max(d_o, d_l) every cost-based optimizer starts from;
+    * (c) the AGM / Cauchy–Schwarz upper bound √(F2_o·F2_l) that the
+    * q228 sketch estimates in one pass. The "can I trust the
+    * optimizer's row estimate" audit, and the companion that gives
+    * q228's F2 its use-case.
+    *
+    * Exactness: histograms, frequency moments and the exact join size
+    * are int64 arithmetic (Σ f_o·f_l ≤ n_l·max f_o — safe while the
+    * hottest key's product sum < 2⁶³); the System R estimate is a
+    * non-negative floor-div; only the √ bound is a 1-row IEEE chain
+    * (q124 contract).
+    *
+    * Scale design (100 TB): each side collapses ONCE to its (key, f)
+    * histogram — the only fact-sized exchanges; the exact arm is an
+    * equi-join of the two bounded histograms (never of the facts);
+    * the report is one row. */
+  val q231JoinCardinality: QueryDef = QueryDef(
+    "q231_join_cardinality",
+    """WITH fo AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS f
+      |           FROM orders GROUP BY 1),
+      |fl AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS f
+      |       FROM lineitem GROUP BY 1),
+      |so AS (SELECT CAST(count(*) AS BIGINT) AS d_o, CAST(sum(f) AS BIGINT) AS n_o,
+      |              CAST(sum(f * f) AS BIGINT) AS f2_o FROM fo),
+      |sl AS (SELECT CAST(count(*) AS BIGINT) AS d_l, CAST(sum(f) AS BIGINT) AS n_l,
+      |              CAST(sum(f * f) AS BIGINT) AS f2_l FROM fl),
+      |ex AS (SELECT CAST(coalesce(sum(fo.f * fl.f), 0) AS BIGINT) AS exact_join
+      |       FROM fo JOIN fl ON fo.k = fl.k)
+      |SELECT so.n_o, sl.n_l, so.d_o, sl.d_l, ex.exact_join,
+      |  CAST((so.n_o * sl.n_l) // greatest(so.d_o, sl.d_l) AS BIGINT) AS sysr_est,
+      |  CAST(floor(sqrt(CAST(so.f2_o AS DOUBLE) * CAST(sl.f2_l AS DOUBLE)))
+      |    AS BIGINT) AS agm_bound,
+      |  CAST((1000000 * abs(CAST((so.n_o * sl.n_l) // greatest(so.d_o, sl.d_l)
+      |    AS BIGINT) - ex.exact_join)) // ex.exact_join AS BIGINT) AS sysr_err_ppm
+      |FROM so, sl, ex""".stripMargin) { (s, dir) =>
+    val fo = Tables.orders(s, dir)
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("f"))
+      .localCheckpoint() // feeds the moment arm AND the exact join
+    val fl = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("f"))
+      .localCheckpoint()
+    val so = fo.agg(count(lit(1)).as("d_o"), sum("f").as("n_o"),
+      sum(col("f") * col("f")).as("f2_o"))
+    val sl = fl.agg(count(lit(1)).as("d_l"), sum("f").as("n_l"),
+      sum(col("f") * col("f")).as("f2_l"))
+    val ex = fo.join(fl.withColumnRenamed("f", "f_l"), "k")
+      .agg(coalesce(sum(col("f") * col("f_l")), lit(0L)).as("exact_join"))
+    so.crossJoin(broadcast(sl)).crossJoin(broadcast(ex))
+      .select(col("n_o"), col("n_l"), col("d_o"), col("d_l"), col("exact_join"),
+        expr("(n_o * n_l) div greatest(d_o, d_l)").as("sysr_est"),
+        floor(sqrt(col("f2_o").cast("double") * col("f2_l").cast("double")))
+          .cast("bigint").as("agm_bound"),
+        expr("(1000000 * abs((n_o * n_l) div greatest(d_o, d_l) - exact_join)) div exact_join")
+          .as("sysr_err_ppm"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q36KmvSketch, q67HeavyHitters, q85SampleQuantiles, q88ThetaSketch,
-      q97CountMin, q191QuantileSketch, q206SketchRollup)
+      q97CountMin, q191QuantileSketch, q206SketchRollup, q228F2Sketch,
+      q231JoinCardinality)
 }

@@ -1959,8 +1959,110 @@ object TextAnalysis {
       .orderBy("model")
   }
 
+  /** q232 — leave-one-source-out influence: for every corpus source,
+    * how much does REMOVING that source's documents from the unigram
+    * LM hurt the model's fit on the source's own text? Per source,
+    * the mean token log-prob under the LOO model (trained on all
+    * other sources, Laplace-smoothed over the LOO vocabulary) minus
+    * the mean under the full-corpus model — the data-valuation
+    * readout ("how much does this source rely on mass only it
+    * contributes") that ranks sources for curation: near-zero
+    * influence = redundant with the rest of the corpus; large
+    * negative = unique (or an outlier to quarantine).
+    *
+    * Exactness: the evaluation NEVER re-tokenizes per model — both
+    * scores are Σ c_sw · lp(w) over the (source, word) count grain,
+    * where the LOO count is the subtraction g_w − c_sw and the
+    * smoothing denominators (N − N_s, V − |words unique to s|) are
+    * exact integers; each distinct (word, source) gets ONE nano-nat
+    * floored ln (q91 contract) and the sums are exact int64
+    * (|lp| ≤ ~40·10⁹ nano-nats ⇒ safe through ~10⁸ tokens per
+    * source; past that the products lift to DECIMAL(38)). Means are
+    * single IEEE divides of exact integers.
+    *
+    * Scale design (100 TB): one tokenize pass to (source, word)
+    * counts — the only fact-sized exchange; the global word frame
+    * joins back by word equi-key (NOT broadcast — web-scale vocab);
+    * per-source constants are a |sources|-row broadcast; all 20 LOO
+    * models are scored in the SAME pass (the subtraction trick — no
+    * per-model retrain, no loop). */
+  val q232LooInfluence: QueryDef = QueryDef(
+    "q232_loo_influence",
+    """WITH tok AS (SELECT source AS s, unnest(string_split(text, ' ')) AS w
+      |            FROM documents),
+      |sw AS (SELECT s, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY s, w),
+      |g AS (SELECT w, CAST(sum(c) AS BIGINT) AS gc,
+      |             CAST(count(*) AS BIGINT) AS nsrc FROM sw GROUP BY w),
+      |tot AS (SELECT CAST(sum(gc) AS BIGINT) AS nn,
+      |               CAST(count(*) AS BIGINT) AS v FROM g),
+      |per AS (SELECT s, CAST(sum(c) AS BIGINT) AS ns FROM sw GROUP BY s),
+      |uq AS (SELECT sw.s, CAST(count(*) AS BIGINT) AS uniq
+      |       FROM sw JOIN g ON g.w = sw.w WHERE g.nsrc = 1 GROUP BY sw.s),
+      |consts AS (
+      |  SELECT per.s, tot.nn, tot.v,
+      |    tot.nn - per.ns AS n_loo, tot.v - coalesce(uq.uniq, 0) AS v_loo
+      |  FROM per LEFT JOIN uq ON uq.s = per.s, tot),
+      |terms AS (
+      |  SELECT sw.s, sw.c,
+      |    CAST(floor(1000000000.0 * ln(CAST(g.gc - sw.c + 1 AS DOUBLE) /
+      |      CAST(consts.n_loo + consts.v_loo AS DOUBLE))) AS BIGINT) AS lp_loo,
+      |    CAST(floor(1000000000.0 * ln(CAST(g.gc + 1 AS DOUBLE) /
+      |      CAST(consts.nn + consts.v AS DOUBLE))) AS BIGINT) AS lp_full
+      |  FROM sw JOIN g ON g.w = sw.w JOIN consts ON consts.s = sw.s),
+      |agg AS (
+      |  SELECT s, CAST(sum(c) AS BIGINT) AS n_tok,
+      |    CAST(sum(c * lp_loo) AS BIGINT) AS sum_loo,
+      |    CAST(sum(c * lp_full) AS BIGINT) AS sum_full
+      |  FROM terms GROUP BY s),
+      |dn AS (SELECT source AS s, CAST(count(*) AS BIGINT) AS n_docs
+      |       FROM documents GROUP BY source)
+      |SELECT agg.s AS source, dn.n_docs, agg.n_tok,
+      |  CAST(agg.sum_loo AS DOUBLE) / CAST(agg.n_tok AS DOUBLE) AS mean_lp_loo_nn,
+      |  CAST(agg.sum_full AS DOUBLE) / CAST(agg.n_tok AS DOUBLE) AS mean_lp_full_nn,
+      |  CAST(agg.sum_loo AS DOUBLE) / CAST(agg.n_tok AS DOUBLE) -
+      |  CAST(agg.sum_full AS DOUBLE) / CAST(agg.n_tok AS DOUBLE) AS influence_nn
+      |FROM agg JOIN dn ON dn.s = agg.s
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val tok = docs.repartition(col("doc_id")) // single-file scan -> all cores
+      .select(col("source").as("s"), explode(split(col("text"), " ")).as("w"))
+    val sw = tok.groupBy("s", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds global counts, per-source totals, terms
+    val g = sw.groupBy("w").agg(sum("c").as("gc"), count(lit(1)).as("nsrc"))
+    val tot = g.agg(sum("gc").as("nn"), count(lit(1)).as("v"))
+    val per = sw.groupBy("s").agg(sum("c").as("ns"))
+    val uq = sw.join(g.filter(col("nsrc") === 1).select("w"), "w")
+      .groupBy("s").agg(count(lit(1)).as("uniq"))
+    val consts = per.join(uq.withColumnRenamed("s", "uq_s"),
+        col("s") === col("uq_s"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("s").as("c_s"), col("nn"), col("v"),
+        (col("nn") - col("ns")).as("n_loo"),
+        (col("v") - coalesce(col("uniq"), lit(0L))).as("v_loo"))
+    val nano = (x: Column) => floor(lit(1000000000.0) * log(x)).cast("long")
+    val terms = sw.join(g.select(col("w"), col("gc")), "w")
+      .join(broadcast(consts), col("s") === col("c_s"))
+      .select(col("s"), col("c"),
+        nano((col("gc") - col("c") + 1).cast("double") /
+          (col("n_loo") + col("v_loo")).cast("double")).as("lp_loo"),
+        nano((col("gc") + 1).cast("double") /
+          (col("nn") + col("v")).cast("double")).as("lp_full"))
+    val agg = terms.groupBy("s")
+      .agg(sum("c").as("n_tok"),
+        sum(col("c") * col("lp_loo")).as("sum_loo"),
+        sum(col("c") * col("lp_full")).as("sum_full"))
+    val dn = docs.groupBy(col("source").as("dn_s")).agg(count(lit(1)).as("n_docs"))
+    val meanLoo = col("sum_loo").cast("double") / col("n_tok").cast("double")
+    val meanFull = col("sum_full").cast("double") / col("n_tok").cast("double")
+    agg.join(broadcast(dn), col("s") === col("dn_s"))
+      .select(col("s").as("source"), col("n_docs"), col("n_tok"),
+        meanLoo.as("mean_lp_loo_nn"), meanFull.as("mean_lp_full_nn"),
+        (meanLoo - meanFull).as("influence_nn"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q197Keyness, q198Readability, q200Burstiness, q215KnPpl,
+    Seq(q232LooInfluence, q197Keyness, q198Readability, q200Burstiness, q215KnPpl,
       q216NegativeSampling, q221ScalingLaw,
       q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
       q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,

@@ -809,6 +809,52 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class SprtState(n: Long, c: Long)
+  final case class SprtOut(event_type: String, event_id: Long,
+      n_cum: Long, c_cum: Long, llr_nn: Long, decision: String)
+
+  /** Streaming Wald SPRT conversion monitor — the stateful twin of
+    * q230 ([[graft.operators.EventOps.q230Sprt]]): per event type the
+    * state is TWO counters (observations, conversions), and every
+    * arriving event emits the updated log-likelihood ratio of
+    * H1: p = 0.25 vs H0: p = 0.20 with the Wald α = β = 0.05 decision
+    * — the always-valid sequential test evaluated continuously rather
+    * than nightly. Same nano-floored integer constants as the batch
+    * query (K₁ = ln(1.25), K₂ = ln(0.75/0.8), bound = ln 19), so the
+    * cumulative LLR trail agrees exactly for in-order arrival. O(1)
+    * longs per key at any stream length. */
+  def sprt(spark: SparkSession, events: Dataset[AsofEvent],
+      threshold: Double = 200.0): Dataset[SprtOut] = {
+    import spark.implicits._
+    val k1 = math.floor(1e9 * math.log(1.25)).toLong
+    val k2 = math.floor(1e9 * math.log(0.75 / 0.8)).toLong
+    val bound = math.floor(1e9 * math.log(19.0)).toLong
+
+    def fn(etype: String, rows: Iterator[AsofEvent],
+        state: GroupState[SprtState]): Iterator[SprtOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var st = state.getOption.getOrElse(SprtState(0L, 0L))
+      val out = List.newBuilder[SprtOut]
+      sorted.foreach { e =>
+        val conv = if (e.value >= threshold) 1L else 0L
+        st = SprtState(st.n + 1, st.c + conv)
+        val llr = st.c * k1 + (st.n - st.c) * k2
+        val decision =
+          if (llr >= bound) "reject_h0"
+          else if (llr <= -bound) "accept_h0"
+          else "continue"
+        out += SprtOut(etype, e.event_id, st.n, st.c, llr, decision)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class EwmaState(window: Seq[Long])
   final case class EwmaOut(
       user_id: Long, event_id: Long, value_milli: Long, ewma_milli: Long)

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-6 statistics/audit batch (q223 –
+  * q229) that the hash gate can't express: normalized statistics stay
+  * inside their defining ranges, self-consistency rows are exact, and
+  * known-true dependencies hold. All at the sf0.001 smoke scale. */
+class StatsQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q223: EMD is a normalized distance — every group in [0, 1e6] ppm") {
+    val rows = Privacy.q223TCloseness.build(spark, dir)
+      .select(col("emd_ppm")).collect().map(_.getLong(0))
+    assert(rows.nonEmpty)
+    assert(rows.forall(e => e >= 0 && e <= 1000000L),
+      s"EMD outside [0, 1] range: ${rows.filter(e => e < 0 || e > 1000000L).mkString(",")}")
+  }
+
+  test("q224: KS D in [0, 1e6] ppm and sample sizes match the fact table") {
+    val r = DataProfile.q224KsTest.build(spark, dir).head()
+    val na = r.getAs[Long]("na")
+    val nb = r.getAs[Long]("nb")
+    val d = r.getAs[Long]("d_ppm")
+    assert(d >= 0 && d <= 1000000L)
+    val counts = Tables.orders(spark, dir)
+      .groupBy("o_orderstatus").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(na == counts("F") && nb == counts("O"))
+  }
+
+  test("q225: Spearman rho in [-1e6, 1e6] ppm") {
+    val rho = DataProfile.q225Spearman.build(spark, dir)
+      .head().getAs[Long]("rho_ppm")
+    assert(rho >= -1000000L && rho <= 1000000L, s"rho_ppm=$rho")
+  }
+
+  test("q226: the primary-key FD holds exactly; g3 errors stay in [0, 1e6)") {
+    val rows = DataProfile.q226FdAudit.build(spark, dir).collect()
+    val pk = rows.find(_.getAs[String]("fd") == "o_orderkey->o_orderstatus").get
+    assert(pk.getAs[Long]("violations") == 0L && pk.getAs[Boolean]("holds"),
+      "o_orderkey is the orders primary key — its FD must hold exactly")
+    assert(rows.forall { r =>
+      val g3 = r.getAs[Long]("g3_ppm")
+      g3 >= 0 && g3 < 1000000L
+    })
+  }
+
+  test("q227: confusion matrix mass equals the held-out doc count") {
+    val predicted = Learn.q227NaiveBayes.build(spark, dir)
+      .agg(sum("n")).head().getLong(0)
+    val heldOut = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(predicted == heldOut,
+      s"every test doc must receive exactly one prediction " +
+        s"($predicted predicted vs $heldOut held out)")
+  }
+
+  test("q228: estimator is a mean of squares (>= 0); exact F2 >= row count") {
+    val r = Sketches.q228F2Sketch.build(spark, dir).head()
+    val exact = r.getAs[Long]("exact_f2")
+    val est = r.getAs[Long]("est_f2")
+    val rows = Tables.lineitem(spark, dir).count()
+    assert(est >= 0L)
+    assert(exact >= rows, "sum f^2 >= sum f: each key contributes f^2 >= f")
+  }
+
+  test("q230: SPRT decision states are consistent with the emitted LLR and bound") {
+    // the boundary constant is the same nano-floored ln(19) the query
+    // uses — recompute it here and check every row's state agrees
+    val bound = math.floor(1e9 * math.log(19.0)).toLong
+    val rows = EventOps.q230Sprt.build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val llr = r.getAs[Long]("llr_nn")
+      val expected =
+        if (llr >= bound) "reject_h0"
+        else if (llr <= -bound) "accept_h0"
+        else "continue"
+      assert(r.getAs[String]("state") == expected, s"day ${r.get(0)}: $r")
+    }
+  }
+
+  test("q231: exact join size matches the materialized join; AGM bounds it") {
+    val r = Sketches.q231JoinCardinality.build(spark, dir).head()
+    val exact = r.getAs[Long]("exact_join")
+    val materialized = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey")).count()
+    assert(exact == materialized,
+      s"histogram product $exact vs materialized join $materialized")
+    assert(r.getAs[Long]("agm_bound") >= exact,
+      "Cauchy-Schwarz: sqrt(F2_o * F2_l) >= sum f_o*f_l")
+  }
+
+  test("q232: per-source token mass sums to the corpus total") {
+    val agg = TextAnalysis.q232LooInfluence.build(spark, dir)
+      .agg(sum("n_tok"), sum("n_docs")).head()
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val nTok = docs.select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(agg.getLong(1) == nDocs)
+    assert(agg.getLong(0) == nTok,
+      s"every corpus token must be scored exactly once " +
+        s"(${agg.getLong(0)} scored vs $nTok in corpus)")
+  }
+
+  test("q229: the d=64 row is self-consistent (recall exactly 1e6 ppm)") {
+    val rows = Similarity.q229Matryoshka.build(spark, dir).collect()
+      .map(r => r.getAs[Long]("d") -> r.getAs[Long]("recall_ppm")).toMap
+    assert(rows(64L) == 1000000L,
+      "full-dimension ranking compared to itself must have perfect recall")
+    assert(rows.values.forall(r => r >= 0 && r <= 1000000L))
+  }
+}

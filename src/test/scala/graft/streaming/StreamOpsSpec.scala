@@ -401,6 +401,46 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sprt monitor agrees with the batch cumulative LLR per event type") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.AsofEvent]
+    val q = StreamOps.sprt(spark, in.toDS())
+      .writeStream.format("memory").queryName("sprt_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      eventChunks(3).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("sprt_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getString(5))).toSet
+      // batch closed form: the same nano constants over per-type
+      // cumulative (n, conversions) in (ts, event_id) order
+      val k1 = math.floor(1e9 * math.log(1.25)).toLong
+      val k2 = math.floor(1e9 * math.log(0.75 / 0.8)).toLong
+      val bound = math.floor(1e9 * math.log(19.0)).toLong
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .select(col("event_type"), col("event_id"), col("ts"),
+          when(col("value") >= 200.0, 1L).otherwise(0L).as("conv"))
+        .withColumn("n_cum", count(lit(1)).over(w))
+        .withColumn("c_cum", sum(col("conv")).over(w))
+        .withColumn("llr", col("c_cum") * k1 + (col("n_cum") - col("c_cum")) * k2)
+        .select(col("event_type"), col("event_id"), col("n_cum"), col("c_cum"),
+          col("llr"),
+          when(col("llr") >= bound, "reject_h0")
+            .when(col("llr") <= -bound, "accept_h0")
+            .otherwise("continue").as("decision"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getString(5))).toSet
+      assert(batch.nonEmpty)
+      assert(batch.exists(_._6 != "continue"),
+        "fixture should reach at least one decision boundary")
+      assert(streamed == batch,
+        s"stream-batch: ${(streamed -- batch).take(5)}; batch-stream: ${(batch -- streamed).take(5)}")
+    } finally q.stop()
+  }
+
   test("ewma agrees with a batch rank-join of the same dyadic smoother") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.AsofEvent]

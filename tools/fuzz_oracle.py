@@ -125,6 +125,19 @@ QUERIES = [
     # the velocity screen's flag threshold rides the (unchanged)
     # order dates, but the pair counts regroup with redrawn rows
     "q222_velocity_screen",
+    # t-closeness rides the customer balance redraw through the
+    # shifted buckets and the CDF cross-products; KS rides the money
+    # redraw through both ECDFs AND the critical-value sqrt chain;
+    # Spearman rides money+quantity through doubled average ranks and
+    # the HUGEINT/DECIMAL moment casts; NB rides the text redraw
+    # through every ln chain and the OOV-drop/absent-class defaults
+    "q223_t_closeness", "q224_ks_test", "q225_spearman",
+    "q227_naive_bayes",
+    # the SPRT rides the events value redraw through the conversion
+    # threshold and the nano-floored ln constants; LOO influence rides
+    # the text redraw through per-(word,source) ln chains and the
+    # unique-word vocabulary subtraction
+    "q230_sprt", "q232_loo_influence",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
