@@ -184,5 +184,88 @@ object Layout {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q93ZOrder, q205ZonemapPrune)
+  private val SHARDS8 = 8
+  private val SHARDS9 = 9
+
+  /** q233 — rendezvous (highest-random-weight) sharding audit: assign
+    * every customer key to a shard by argmax over per-(key, shard)
+    * md5 weights, under the current 8-shard layout AND a 9-shard
+    * expansion, and report per shard: population before, population
+    * after, and keys moved in. Rendezvous hashing is how a 100 TB
+    * store places keys so that ADDING a shard relocates only the keys
+    * the new shard wins (≈ 1/9 of them) — versus mod-N hashing, which
+    * reshuffles nearly everything. The audit makes that minimal-
+    * movement property measurable: moved_in must be 0 for every
+    * pre-existing shard (pinned in StatsQueriesSpec) and the new
+    * shard's intake ≈ |keys|/9.
+    *
+    * Exactness: weights are the md5-prefix 60-bit integers (q36
+    * contract, bit-identical in both engines); the argmax is
+    * greatest() over the 8/9 weight columns resolved to the FIRST
+    * matching index — deterministic even in the (never-observed)
+    * event of a weight tie. All outputs are counts.
+    *
+    * Scale design (100 TB): assignment is a per-row codegen'd
+    * expression battery (9 md5s + greatest + case) — no lookup table,
+    * no shuffle; the audit is two partial-aggregable count passes
+    * collapsing to ≤ 9 rows each, joined to a 9-row literal shard
+    * axis. This is also the write-path expression: the same column
+    * partitions the table at rebalance time. */
+  val q233Rendezvous: QueryDef = QueryDef(
+    "q233_rendezvous", {
+      def hSql(s: Int) =
+        s"('0x' || substring(md5('$s|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT"
+      def caseSql(n: Int) = {
+        val g = (0 until n).map(s => s"h$s").mkString("greatest(", ", ", ")")
+        (0 until n).map(s => s"WHEN $g = h$s THEN $s")
+          .mkString("CASE ", " ", " END")
+      }
+      s"""WITH w AS (
+      |  SELECT ${(0 until SHARDS9).map(s => s"${hSql(s)} AS h$s").mkString(",\n      |    ")}
+      |  FROM customer),
+      |a AS (
+      |  SELECT CAST(${caseSql(SHARDS8)} AS BIGINT) AS s8,
+      |         CAST(${caseSql(SHARDS9)} AS BIGINT) AS s9
+      |  FROM w),
+      |c8 AS (SELECT s8 AS shard, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1),
+      |c9 AS (SELECT s9 AS shard, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1),
+      |mv AS (SELECT s9 AS shard, CAST(count(*) AS BIGINT) AS n FROM a
+      |       WHERE s8 <> s9 GROUP BY 1),
+      |sh AS (SELECT CAST(unnest(range($SHARDS9)) AS BIGINT) AS shard)
+      |SELECT sh.shard, coalesce(c8.n, 0) AS n_v8, coalesce(c9.n, 0) AS n_v9,
+      |  coalesce(mv.n, 0) AS moved_in
+      |FROM sh LEFT JOIN c8 ON c8.shard = sh.shard
+      |LEFT JOIN c9 ON c9.shard = sh.shard
+      |LEFT JOIN mv ON mv.shard = sh.shard
+      |ORDER BY sh.shard""".stripMargin
+    }) { (s, dir) =>
+    def h(sh: Int): Column =
+      conv(substring(md5(concat(lit(s"$sh|"), col("c_custkey").cast("string"))),
+        1, 15), 16, 10).cast("long")
+    def pick(n: Int): Column = {
+      val g = greatest((0 until n).map(i => col(s"h$i")): _*)
+      (0 until n).foldRight(lit(null).cast("int")) { (i, els) =>
+        when(g === col(s"h$i"), lit(i)).otherwise(els)
+      }
+    }
+    val w = Tables.customer(s, dir)
+      .select((0 until SHARDS9).map(i => h(i).as(s"h$i")): _*)
+    val a = w.select(pick(SHARDS8).cast("bigint").as("s8"),
+        pick(SHARDS9).cast("bigint").as("s9"))
+      .localCheckpoint() // feeds all three count passes
+    val c8 = a.groupBy(col("s8").as("shard")).agg(count(lit(1)).as("n8"))
+    val c9 = a.groupBy(col("s9").as("shard")).agg(count(lit(1)).as("n9"))
+    val mv = a.filter(col("s8") =!= col("s9"))
+      .groupBy(col("s9").as("shard")).agg(count(lit(1)).as("nm"))
+    val sh = s.range(SHARDS9).select(col("id").as("shard"))
+    sh.join(broadcast(c8), Seq("shard"), "left")
+      .join(broadcast(c9), Seq("shard"), "left")
+      .join(broadcast(mv), Seq("shard"), "left")
+      .select(col("shard"), coalesce(col("n8"), lit(0L)).as("n_v8"),
+        coalesce(col("n9"), lit(0L)).as("n_v9"),
+        coalesce(col("nm"), lit(0L)).as("moved_in"))
+      .orderBy("shard")
+  }
+
+  val all: Seq[QueryDef] = Seq(q93ZOrder, q205ZonemapPrune, q233Rendezvous)
 }

@@ -109,6 +109,24 @@ class StatsQueriesSpec extends AnyFunSuite {
         s"(${agg.getLong(0)} scored vs $nTok in corpus)")
   }
 
+  test("q233: rendezvous expansion moves keys only INTO the new shard") {
+    val rows = Layout.q233Rendezvous.build(spark, dir).collect()
+    assert(rows.length == 9)
+    for (r <- rows) {
+      val shard = r.getAs[Long]("shard")
+      if (shard < 8) {
+        assert(r.getAs[Long]("moved_in") == 0L,
+          s"minimal movement violated: keys moved into old shard $shard")
+      } else {
+        assert(r.getAs[Long]("n_v8") == 0L)
+        assert(r.getAs[Long]("moved_in") == r.getAs[Long]("n_v9"),
+          "every key on the new shard must be a moved key")
+      }
+    }
+    assert(rows.map(_.getAs[Long]("n_v8")).sum ==
+      rows.map(_.getAs[Long]("n_v9")).sum, "both layouts place every key")
+  }
+
   test("q229: the d=64 row is self-consistent (recall exactly 1e6 ppm)") {
     val rows = Similarity.q229Matryoshka.build(spark, dir).collect()
       .map(r => r.getAs[Long]("d") -> r.getAs[Long]("recall_ppm")).toMap
