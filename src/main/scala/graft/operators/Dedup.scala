@@ -976,12 +976,102 @@ object Dedup {
       .orderBy("split")
   }
 
+  private val WIN_K = 8 // winnowing k-gram length (chars)
+  private val WIN_W = 4 // winnowing window (consecutive k-gram hashes)
+
+  /** q234 — winnowing fingerprints (the MOSS scheme, Schleimer et al.
+    * SIGMOD'03): hash every char 8-gram with the native codegen'd
+    * [[graft.functions.RollingHash]], then keep the MINIMUM hash of
+    * each sliding window of 4 consecutive gram hashes. Winnowing
+    * guarantees any shared substring of length ≥ k+w-1 = 11 yields a
+    * shared selected fingerprint, while storing only ~2/(w+1) of the
+    * gram hashes — the density/guarantee trade the naive "mod p == 0"
+    * sampler cannot make. Per source: docs, selected fingerprints
+    * (total and distinct), and docs sharing ≥1 fingerprint with any
+    * other doc (the near-dup candidate set).
+    *
+    * Exactness: hashes are the q24 polynomial ((h·31+byte) mod 1e9+7)
+    * replayed in DuckDB per-gram via nested list lambdas (exact — the
+    * corpus is ASCII, byte == codepoint); window minima over int64 are
+    * order-free, so leftmost-vs-rightmost tie policy cannot matter for
+    * the VALUE set; all outputs are counts.
+    *
+    * Scale design (100 TB): gram hashing + window minima are one
+    * per-row codegen'd expression chain — text never shuffles; the
+    * exploded (fp, doc_id) table is the ONLY shuffled data, already
+    * thinned ~2/(w+1) by winnowing and deduped per-doc before the
+    * explode; shared-fp detection is a partial-aggregable distinct
+    * count over the fp dictionary, never a pair join — candidate PAIR
+    * generation (not materialized here) would run per-fp with the q115
+    * distinct-class trick. The fps frame is localCheckpoint'd once so
+    * its three consumers don't re-hash the corpus. */
+  val q234Winnowing: QueryDef = QueryDef(
+    "q234_winnowing",
+    s"""WITH g AS (
+      |  SELECT doc_id, source,
+      |    list_transform(range(1, length(text) - ${WIN_K - 2}), i ->
+      |      list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(i, i + $WIN_K),
+      |                         j -> CAST(ord(substring(text, j, 1)) AS BIGINT))),
+      |        (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+      |  FROM documents WHERE length(text) >= ${WIN_K + WIN_W - 1}),
+      |w AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(range(1, len(hs) - ${WIN_W - 2}), i ->
+      |      list_min(list_slice(hs, i, i + ${WIN_W - 1})))) AS fps
+      |  FROM g),
+      |e AS (SELECT doc_id, source, unnest(fps) AS fp FROM w),
+      |sh AS (SELECT fp FROM e GROUP BY fp HAVING count(DISTINCT doc_id) > 1),
+      |base AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(fps)) AS BIGINT) AS n_fp_total
+      |  FROM w GROUP BY source),
+      |dfp AS (SELECT source, count(DISTINCT fp) AS n_fp_distinct
+      |        FROM e GROUP BY source),
+      |shd AS (SELECT e.source, count(DISTINCT e.doc_id) AS n_docs_shared
+      |        FROM e JOIN sh USING (fp) GROUP BY e.source)
+      |SELECT base.source, n_docs, n_fp_total, n_fp_distinct,
+      |  coalesce(n_docs_shared, 0) AS n_docs_shared
+      |FROM base JOIN dfp USING (source) LEFT JOIN shd USING (source)
+      |ORDER BY base.source""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val fps = Tables.documents(s, dir)
+      .filter(length(col("text")) >= WIN_K + WIN_W - 1)
+      .withColumn("hs",
+        expr(s"transform(char_ngrams(text, $WIN_K), g -> rolling_hash(g))"))
+      .select(col("doc_id"), col("source"),
+        expr(s"array_distinct(transform(sequence(0, size(hs) - $WIN_W), " +
+          s"i -> array_min(slice(hs, i + 1, $WIN_W))))").as("fps"))
+      .localCheckpoint() // text/hashes dropped; feeds all three consumers
+    val e = fps.select(col("doc_id"), col("source"),
+      explode(col("fps")).as("fp"))
+    val shared = e.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select(col("fp"))
+    val base = fps.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("fps"))).as("n_fp_total"))
+    val dfp = e.groupBy(col("source"))
+      .agg(countDistinct(col("fp")).as("n_fp_distinct"))
+    val shd = e.join(shared, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_shared"))
+    base.join(dfp, Seq("source"))
+      .join(shd, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_fp_total"),
+        col("n_fp_distinct"),
+        coalesce(col("n_docs_shared"), lit(0L)).as("n_docs_shared"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
     q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters, q38DedupPipeline,
     q69SpanDedup, q75Contamination, q78SortedNeighborhood, q100SemanticDedup,
     q128KeepBest, q135LshEval, q151DedupWhatif, q158SourceOverlap,
-    q161AdmissionFunnel, q162Containment, q185BandSweep, q213LeakSafeSplit)
+    q161AdmissionFunnel, q162Containment, q185BandSweep, q213LeakSafeSplit,
+    q234Winnowing)
 
   /** q161 — corpus-admission funnel: every document walks the full
     * pretraining ingestion gauntlet — exact dedup, near-dup dedup,

@@ -574,6 +574,108 @@ object Learn {
       .orderBy("true_src", "pred_src")
   }
 
+  /** q235 — split conformal prediction (Vovk; Lei et al. JASA'18):
+    * wrap ANY point predictor in a prediction interval with a
+    * distribution-free finite-sample coverage guarantee. Here the
+    * predictor is the per-market-segment train-split mean of the order
+    * total; the calibration split supplies the nonconformity scores
+    * s = |y − ŷ|, whose ⌈0.9·(n+1)⌉-th smallest value q̂ makes
+    * [ŷ ± q̂] cover a fresh order with probability ≥ 90% — the audit
+    * reports realized coverage on the held-out test split. This is the
+    * uncertainty gate a training-data pipeline puts behind every
+    * learned filter score (exchangeability is the only assumption).
+    *
+    * Exactness: money is half-up cents (the q108 floor pattern), the
+    * model is a truncating integer mean (`div` ≡ `//` on non-negative
+    * sums), the conformal quantile is an EXACT k-th order statistic
+    * (k = ⌈9(n+1)/10⌉ via integer ceil-div, clamped to n) — not an
+    * interpolated percentile, which is what the guarantee's proof
+    * requires — and coverage is an integer ppm ratio.
+    *
+    * Scale design (100 TB): model and quantile frames are ≤|segments|
+    * rows — broadcast into every join, so the orders table is never
+    * shuffled after the customer join; the order statistic rides
+    * [[ScaleRank.withRunningSum]] over the (segment, s) collapse,
+    * whose row count is bounded by the discrete cents-deviation
+    * domain, not by data (the q17 weighted-percentile argument), with
+    * every task range-chunk-bounded. */
+  val q235Conformal: QueryDef = QueryDef(
+    "q235_conformal",
+    """WITH j AS (
+      |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |         c_mktsegment AS seg, o_orderkey % 3 AS split
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |yh AS (
+      |  SELECT seg, count(*) AS n_train,
+      |    CAST(sum(cents) AS BIGINT) // count(*) AS yhat
+      |  FROM j WHERE split = 0 GROUP BY seg),
+      |cal AS (
+      |  SELECT j.seg, abs(j.cents - yh.yhat) AS s
+      |  FROM j JOIN yh USING (seg) WHERE split = 1),
+      |kf AS (
+      |  SELECT seg, count(*) AS n_cal,
+      |    least((9 * (count(*) + 1) + 9) // 10, count(*)) AS k
+      |  FROM cal GROUP BY seg),
+      |cc AS (SELECT seg, s, count(*) AS cnt FROM cal GROUP BY seg, s),
+      |cum AS (
+      |  SELECT seg, s, CAST(sum(cnt) OVER (
+      |    PARTITION BY seg ORDER BY s
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM cc),
+      |qh AS (
+      |  SELECT cum.seg, min(cum.s) AS qhat_cents
+      |  FROM cum JOIN kf USING (seg) WHERE cum.cum >= kf.k
+      |  GROUP BY cum.seg),
+      |tst AS (
+      |  SELECT j.seg,
+      |    CASE WHEN abs(j.cents - yh.yhat) <= qh.qhat_cents
+      |         THEN 1 ELSE 0 END AS cov
+      |  FROM j JOIN yh USING (seg) JOIN qh ON qh.seg = j.seg
+      |  WHERE split = 2),
+      |tagg AS (
+      |  SELECT seg, count(*) AS n_test, CAST(sum(cov) AS BIGINT) AS n_cov
+      |  FROM tst GROUP BY seg)
+      |SELECT yh.seg, yh.n_train, kf.n_cal, qh.qhat_cents, tagg.n_test,
+      |  (1000000 * tagg.n_cov) // tagg.n_test AS coverage_ppm
+      |FROM yh JOIN kf USING (seg) JOIN qh USING (seg) JOIN tagg USING (seg)
+      |ORDER BY yh.seg""".stripMargin) { (s, dir) =>
+    val j = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("c_mktsegment").as("seg"),
+        (col("o_orderkey") % 3).as("split"))
+    val yh = j.filter(col("split") === 0).groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_train"), sum(col("cents")).as("sc"))
+      .select(col("seg"), col("n_train"), expr("sc div n_train").as("yhat"))
+    val cal = j.filter(col("split") === 1)
+      .join(broadcast(yh), Seq("seg"))
+      .select(col("seg"), abs(col("cents") - col("yhat")).as("s"))
+    val kf = cal.groupBy(col("seg")).agg(count(lit(1)).as("n_cal"))
+      .withColumn("k",
+        least(expr("(9 * (n_cal + 1) + 9) div 10"), col("n_cal")))
+    val cc = cal.groupBy(col("seg"), col("s")).agg(count(lit(1)).as("cnt"))
+    val cum = ScaleRank.withRunningSum(
+      cc, Seq("seg"), Seq(col("s")), col("cnt"), "cum")
+    val qh = cum.join(broadcast(kf), Seq("seg"))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("seg")).agg(min(col("s")).as("qhat_cents"))
+    val tst = j.filter(col("split") === 2)
+      .join(broadcast(yh), Seq("seg"))
+      .join(broadcast(qh), Seq("seg"))
+      .select(col("seg"),
+        when(abs(col("cents") - col("yhat")) <= col("qhat_cents"), 1L)
+          .otherwise(0L).as("cov"))
+    val tagg = tst.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_test"), sum(col("cov")).as("n_cov"))
+    yh.join(kf, Seq("seg")).join(qh, Seq("seg")).join(tagg, Seq("seg"))
+      .select(col("seg"), col("n_train"), col("n_cal"), col("qhat_cents"),
+        col("n_test"), expr("(1000000 * n_cov) div n_test").as("coverage_ppm"))
+      .orderBy("seg")
+  }
+
   val all: Seq[QueryDef] = Seq(q95Kmeans, q96CentroidClassify,
-    q159ClusterPurity, q173Stump, q174Calibration, q227NaiveBayes)
+    q159ClusterPurity, q173Stump, q174Calibration, q227NaiveBayes,
+    q235Conformal)
 }

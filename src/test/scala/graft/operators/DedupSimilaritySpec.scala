@@ -59,6 +59,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a.length == 5)
   }
 
+  test("q234: winnowing guarantee — docs sharing a >=11-char substring share a fingerprint") {
+    // doc 0 (base) and doc 2 (one word swapped) share substrings far longer
+    // than k+w-1 = 11, so winnowing MUST select a common fingerprint for
+    // them: both srcA and srcB report near-dup candidate docs. The German
+    // doc 4 shares no 8-char gram with anything.
+    val bySrc = Dedup.q234Winnowing.build(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(bySrc.keySet == Set("srcA", "srcB"))
+    for (r <- bySrc.values) {
+      assert(r.getAs[Long]("n_fp_distinct") <= r.getAs[Long]("n_fp_total"))
+      assert(r.getAs[Long]("n_docs_shared") <= r.getAs[Long]("n_docs"))
+    }
+    assert(bySrc("srcA").getAs[Long]("n_docs_shared") >= 1L,
+      "base doc must share a winnowed fingerprint with its near-dup")
+    assert(bySrc("srcB").getAs[Long]("n_docs_shared") >= 1L)
+  }
+
   test("q32: LSH surfaces the near-dup candidate pair and verifies it") {
     val Row(nCand: Long, nVerified: Long, _) =
       Dedup.q32LshPairs.build(spark, dir).head()

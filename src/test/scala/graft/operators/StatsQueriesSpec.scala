@@ -20,6 +20,21 @@ class StatsQueriesSpec extends AnyFunSuite {
       s"EMD outside [0, 1] range: ${rows.filter(e => e < 0 || e > 1000000L).mkString(",")}")
   }
 
+  test("q235: conformal intervals cover the test split at ~the 90% guarantee") {
+    val rows = Learn.q235Conformal.build(spark, dir).collect()
+    assert(rows.length == 5) // one per market segment
+    for (r <- rows) {
+      val seg = r.getAs[String]("seg")
+      val cov = r.getAs[Long]("coverage_ppm")
+      assert(r.getAs[Long]("qhat_cents") >= 0L)
+      assert(r.getAs[Long]("n_cal") > 0L && r.getAs[Long]("n_test") > 0L)
+      // marginal guarantee is >= 90% in expectation; at the smoke scale
+      // (~100 test orders/segment) allow ~4 sigma of binomial noise
+      assert(cov >= 780000L && cov <= 1000000L,
+        s"$seg coverage $cov ppm implausible for a 90% conformal interval")
+    }
+  }
+
   test("q224: KS D in [0, 1e6] ppm and sample sizes match the fact table") {
     val r = DataProfile.q224KsTest.build(spark, dir).head()
     val na = r.getAs[Long]("na")
