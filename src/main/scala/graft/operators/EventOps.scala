@@ -1993,8 +1993,104 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** q236 — off-policy evaluation (counterfactual audit): what value
+    * would the "exploit the best-known action per hour" policy have
+    * earned, estimated ONLY from logs collected under the existing
+    * logging policy? The estimator split (event_id parity) fits the
+    * empirical propensities μ(a|hour) and the target policy
+    * π(hour) = argmax mean-reward action; the evaluation split scores
+    * π via inverse-propensity weighting
+    * (V̂_IPS(x) = mean(1{a=π(x)}·r/μ(a|x)), Horvitz–Thompson), next to
+    * the direct-method estimate (fit-split mean of the chosen action)
+    * and the realized logging-policy value. This is the standard gate
+    * before shipping a new routing/filter policy when online A/B is
+    * too slow — and the estimator-vs-DM gap is the overfit alarm.
+    *
+    * Exactness: rewards are half-up cents; propensity is an integer
+    * ppm ratio; the IPS mean is the single combined truncating
+    * division (s_matched·n_fit) // (n_fit_action·n_eval) — all int64
+    * (headroom: Σcents·rows ≤ 1e5·n², safe to n ≈ 3e6 rows PER
+    * (hour) cell at int64; beyond that the same plan runs on
+    * DECIMAL(38,0) sums — the shuffle shape is unchanged). Argmax
+    * ties break lexicographically via a per-hour rank over the ≤
+    * |action| rows of the profile (bounded window).
+    *
+    * Scale design (100 TB): both splits collapse to (hour, action)
+    * partial aggregates before ANY join — map-side combinable, output
+    * ≤ 24·|actions| rows; policy/propensity frames broadcast; the raw
+    * event stream is scanned twice and never shuffled. */
+  val q236OffPolicy: QueryDef = QueryDef(
+    "q236_offpolicy",
+    """WITH ev AS (
+      |  SELECT EXTRACT(hour FROM ts) AS hr, event_type AS action,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |    event_id % 2 AS split
+      |  FROM events),
+      |aa AS (
+      |  SELECT hr, action, count(*) AS n_a,
+      |    CAST(sum(cents) AS BIGINT) AS s_a
+      |  FROM ev WHERE split = 0 GROUP BY hr, action),
+      |nx AS (SELECT hr, CAST(sum(n_a) AS BIGINT) AS n_fit FROM aa GROUP BY hr),
+      |pi AS (
+      |  SELECT hr, action AS pi_action, n_a AS n_fit_action,
+      |    s_a // n_a AS dm_cents
+      |  FROM (SELECT aa.*, row_number() OVER (
+      |          PARTITION BY hr ORDER BY s_a // n_a DESC, action) AS rn
+      |        FROM aa)
+      |  WHERE rn = 1),
+      |bb AS (
+      |  SELECT hr, action, count(*) AS n_b,
+      |    CAST(sum(cents) AS BIGINT) AS s_b
+      |  FROM ev WHERE split = 1 GROUP BY hr, action),
+      |bx AS (
+      |  SELECT hr, CAST(sum(n_b) AS BIGINT) AS n_eval,
+      |    CAST(sum(s_b) AS BIGINT) AS s_eval
+      |  FROM bb GROUP BY hr)
+      |SELECT pi.hr, pi.pi_action,
+      |  (1000000 * pi.n_fit_action) // nx.n_fit AS mu_ppm,
+      |  bx.n_eval, coalesce(bb.n_b, 0) AS n_eval_matched,
+      |  (coalesce(bb.s_b, 0) * nx.n_fit)
+      |    // (pi.n_fit_action * bx.n_eval) AS ips_cents,
+      |  pi.dm_cents, bx.s_eval // bx.n_eval AS logged_cents
+      |FROM pi JOIN nx ON nx.hr = pi.hr JOIN bx ON bx.hr = pi.hr
+      |LEFT JOIN bb ON bb.hr = pi.hr AND bb.action = pi.pi_action
+      |ORDER BY pi.hr""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).select(
+      hour(col("ts")).cast("bigint").as("hr"),
+      col("event_type").as("action"),
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+      (col("event_id") % 2).as("split"))
+    val aa = ev.filter(col("split") === 0)
+      .groupBy(col("hr"), col("action"))
+      .agg(count(lit(1)).as("n_a"), sum(col("cents")).as("s_a"))
+    val nx = aa.groupBy(col("hr")).agg(sum(col("n_a")).as("n_fit"))
+    val piW = Window.partitionBy(col("hr"))
+      .orderBy(expr("s_a div n_a").desc, col("action"))
+    val pi = aa.withColumn("rn", row_number().over(piW))
+      .filter(col("rn") === 1)
+      .select(col("hr"), col("action").as("pi_action"),
+        col("n_a").as("n_fit_action"), expr("s_a div n_a").as("dm_cents"))
+    val bb = ev.filter(col("split") === 1)
+      .groupBy(col("hr"), col("action"))
+      .agg(count(lit(1)).as("n_b"), sum(col("cents")).as("s_b"))
+    val bx = bb.groupBy(col("hr"))
+      .agg(sum(col("n_b")).as("n_eval"), sum(col("s_b")).as("s_eval"))
+    pi.join(broadcast(nx), Seq("hr"))
+      .join(broadcast(bx), Seq("hr"))
+      .join(broadcast(bb),
+        bb("hr") === pi("hr") && bb("action") === pi("pi_action"), "left")
+      .select(pi("hr"), col("pi_action"),
+        expr("(1000000 * n_fit_action) div n_fit").as("mu_ppm"),
+        col("n_eval"), coalesce(col("n_b"), lit(0L)).as("n_eval_matched"),
+        expr("(coalesce(s_b, CAST(0 AS BIGINT)) * n_fit) " +
+          "div (n_fit_action * n_eval)").as("ips_cents"),
+        col("dm_cents"),
+        expr("s_eval div n_eval").as("logged_cents"))
+      .orderBy(pi("hr"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q230Sprt,
+    q230Sprt, q236OffPolicy,
     q196SchemaDrift, q199SessionEntropy, q219SloBurn, q220Stickiness,
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,

@@ -267,5 +267,89 @@ object Layout {
       .orderBy("shard")
   }
 
-  val all: Seq[QueryDef] = Seq(q93ZOrder, q205ZonemapPrune, q233Rendezvous)
+  private val COMPACT_TARGET = 2000L // target compacted "file" size (chars)
+  private val COMPACT_MIN = 400L     // files >= this pass through untouched
+
+  /** q237 — small-files compaction planner (the Delta/Iceberg
+    * OPTIMIZE shape): treating each document as one stored file of
+    * `n_chars` bytes, files under COMPACT_MIN are packed into
+    * target-size rewrite groups by the streaming-fill rule
+    * group = ⌊exclusive-running-size / TARGET⌋ (exactly how Spark's
+    * own FilePartition bin-packs splits), while larger files pass
+    * through untouched — rewriting them would be pure write
+    * amplification. Per source: file counts before/after, groups
+    * planned, bytes rewritten, and the largest planned group. The
+    * small-files problem is THE operational tax of a 100 TB lake
+    * (every file is a task + a NameNode/manifest entry); this query
+    * is the planning pass that sizes the rewrite before any I/O.
+    *
+    * Differs from q87 (sequence packing): q87 is capacity-respecting
+    * first-fit of whole items for training windows; compaction SPLITS
+    * the stream at byte boundaries — a group may exceed TARGET by at
+    * most one file's tail, the property that makes the assignment a
+    * closed-form running-sum expression instead of a sequential scan.
+    *
+    * Scale design (100 TB): the only ordered pass is
+    * [[ScaleRank.withRunningSum]] over (source, doc_id) — every task
+    * bounded by a range chunk; group stats are partial-aggregable
+    * counts/sums over ≤ bytes/TARGET group keys; per-source frames
+    * join on the bounded source axis. All integer arithmetic. */
+  val q237Compaction: QueryDef = QueryDef(
+    "q237_compaction",
+    s"""WITH sm AS (
+      |  SELECT source, doc_id, n_chars,
+      |    (CAST(sum(n_chars) OVER (
+      |       PARTITION BY source ORDER BY doc_id
+      |       ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_chars)
+      |      // $COMPACT_TARGET AS grp
+      |  FROM documents WHERE n_chars < $COMPACT_MIN),
+      |ga AS (
+      |  SELECT source, grp, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS grp_chars
+      |  FROM sm GROUP BY source, grp),
+      |gr AS (
+      |  SELECT source, count(*) AS n_groups,
+      |    max(grp_chars) AS max_group_chars,
+      |    CAST(sum(grp_chars) AS BIGINT) AS chars_rewritten
+      |  FROM ga GROUP BY source),
+      |base AS (
+      |  SELECT source, count(*) AS n_files_before,
+      |    CAST(sum(CASE WHEN n_chars < $COMPACT_MIN THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_small
+      |  FROM documents GROUP BY source)
+      |SELECT base.source, n_files_before, n_small,
+      |  coalesce(n_groups, 0) AS n_groups,
+      |  n_files_before - n_small + coalesce(n_groups, 0) AS n_files_after,
+      |  coalesce(chars_rewritten, 0) AS chars_rewritten,
+      |  coalesce(max_group_chars, 0) AS max_group_chars
+      |FROM base LEFT JOIN gr USING (source)
+      |ORDER BY base.source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val sm = ScaleRank.withRunningSum(
+      docs.filter(col("n_chars") < COMPACT_MIN),
+      Seq("source"), Seq(col("doc_id")), col("n_chars"), "cum")
+      .withColumn("grp", expr(s"(cum - n_chars) div $COMPACT_TARGET"))
+    val ga = sm.groupBy(col("source"), col("grp"))
+      .agg(sum(col("n_chars")).as("grp_chars"))
+    val gr = ga.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_groups"),
+        max(col("grp_chars")).as("max_group_chars"),
+        sum(col("grp_chars")).as("chars_rewritten"))
+    val base = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_files_before"),
+        sum(when(col("n_chars") < COMPACT_MIN, 1L).otherwise(0L))
+          .as("n_small"))
+    base.join(broadcast(gr), Seq("source"), "left")
+      .select(col("source"), col("n_files_before"), col("n_small"),
+        coalesce(col("n_groups"), lit(0L)).as("n_groups"),
+        (col("n_files_before") - col("n_small") +
+          coalesce(col("n_groups"), lit(0L))).as("n_files_after"),
+        coalesce(col("chars_rewritten"), lit(0L)).as("chars_rewritten"),
+        coalesce(col("max_group_chars"), lit(0L)).as("max_group_chars"))
+      .orderBy("source")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q93ZOrder, q205ZonemapPrune, q233Rendezvous, q237Compaction)
 }

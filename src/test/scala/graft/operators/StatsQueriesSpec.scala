@@ -35,6 +35,38 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q236: off-policy estimates are well-formed per hour") {
+    val rows = EventOps.q236OffPolicy.build(spark, dir).collect()
+    assert(rows.length == 24)
+    for (r <- rows) {
+      val mu = r.getAs[Long]("mu_ppm")
+      assert(mu > 0L && mu <= 1000000L, s"propensity $mu outside (0, 1e6]")
+      assert(r.getAs[Long]("n_eval_matched") <= r.getAs[Long]("n_eval"))
+      assert(r.getAs[Long]("ips_cents") >= 0L)
+      assert(r.getAs[Long]("dm_cents") >= 0L)
+      if (r.getAs[Long]("n_eval_matched") == 0L)
+        assert(r.getAs[Long]("ips_cents") == 0L,
+          "no matched rows must mean a zero IPS numerator")
+    }
+  }
+
+  test("q237: compaction plan never grows the file count; group sizes bounded") {
+    val rows = Layout.q237Compaction.build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val before = r.getAs[Long]("n_files_before")
+      val small = r.getAs[Long]("n_small")
+      val groups = r.getAs[Long]("n_groups")
+      assert(r.getAs[Long]("n_files_after") <= before)
+      assert(groups <= small)
+      assert((groups == 0L) == (small == 0L))
+      // streaming fill: a group spans < TARGET of boundary plus one
+      // tail file, each tail file < MIN
+      assert(r.getAs[Long]("max_group_chars") < 2000L + 400L,
+        s"group exceeds the streaming-fill bound in ${r.getAs[String]("source")}")
+    }
+  }
+
   test("q224: KS D in [0, 1e6] ppm and sample sizes match the fact table") {
     val r = DataProfile.q224KsTest.build(spark, dir).head()
     val na = r.getAs[Long]("na")
