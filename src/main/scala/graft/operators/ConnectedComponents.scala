@@ -25,6 +25,19 @@ object ConnectedComponents {
 
   val DefaultDriverLimit = 5000000L
 
+  /** DuckDB oracle twin: recursive reachability closure over a CTE
+    * named `edges` (columns a, b), yielding `comp(node, component)`
+    * with component = min reachable node — the exact contract of
+    * [[compute]]. Splice into a `WITH RECURSIVE` list after `edges`. */
+  val oracleCte: String =
+    """nodes AS (SELECT DISTINCT x AS node FROM (SELECT a AS x FROM edges UNION SELECT b FROM edges)),
+      |undirected AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      |reach(src, dst) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT r.src, u.b FROM reach r JOIN undirected u ON r.dst = u.a),
+      |comp AS (SELECT src AS node, min(dst) AS component FROM reach GROUP BY src)""".stripMargin
+
   def compute(spark: SparkSession, edges: DataFrame,
       driverLimit: Long = DefaultDriverLimit): DataFrame = {
     val cached = edges.select(col("a").cast("long"), col("b").cast("long")).localCheckpoint()

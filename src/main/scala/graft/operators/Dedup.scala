@@ -397,15 +397,8 @@ object Dedup {
     * jumping beyond that. The oracle computes the same components with
     * a recursive CTE. */
   /** Oracle CTE text for nodes → reach → comp (recursive closure over
-    * the verified edges). */
-  private val componentsOracleCte: String =
-    """nodes AS (SELECT DISTINCT x AS node FROM (SELECT a AS x FROM edges UNION SELECT b FROM edges)),
-      |undirected AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-      |reach(src, dst) AS (
-      |  SELECT node, node FROM nodes
-      |  UNION
-      |  SELECT r.src, u.b FROM reach r JOIN undirected u ON r.dst = u.a),
-      |comp AS (SELECT src AS node, min(dst) AS component FROM reach GROUP BY src)""".stripMargin
+    * the verified edges) — the shared [[ConnectedComponents.oracleCte]]. */
+  private val componentsOracleCte: String = ConnectedComponents.oracleCte
 
   val q37DupClusters: QueryDef = QueryDef(
     "q37_dup_clusters",

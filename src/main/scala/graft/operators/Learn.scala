@@ -675,7 +675,140 @@ object Learn {
       .orderBy("seg")
   }
 
+  private val DB_EPS = 20000L        // ε in micro-units (0.02)
+  private val DB_MINPTS = 4          // |N_ε(p)| incl. self for core status
+  private val DB_SHIFT = 10000000L   // coords → non-negative (div ≡ //)
+
+  /** q238 — grid-blocked DBSCAN (Ester et al. KDD'96) over the first
+    * two embedding coordinates: core points have ≥ MINPTS points
+    * (incl. self) within ε, clusters are the connected components of
+    * the core-core ε-graph, border points attach to the MIN cluster
+    * id of their core neighbors (pinned — classic DBSCAN leaves border
+    * assignment order-dependent), the rest is noise. Density-based
+    * clustering is the complement of q95's k-means: no k, arbitrary
+    * cluster shape, an explicit noise class — the embedding-space
+    * outlier screen a curation pipeline runs where centroids mislead.
+    *
+    * Exactness: coordinates are the q95 floor-quantized micro-units
+    * shifted non-negative (so Spark `div` ≡ DuckDB `//` for the cell
+    * id), distances are exact int64 squares against ε², and component
+    * ids ride [[ConnectedComponents]] vs its recursive-closure oracle
+    * twin ([[ConnectedComponents.oracleCte]]); isolated cores (no core
+    * neighbor) keep their own id via the coalesce.
+    *
+    * Scale design (100 TB): the ε-neighborhood join NEVER compares all
+    * pairs — each point probes the 9 grid cells of side ε around it
+    * (an equi-join on cell id after a 9-way literal offset explode),
+    * so candidates are bounded by local density, the same blocking
+    * argument as the LSH families; neighbor counts and per-cluster
+    * rollups are partial-aggregable; the core-core edge list entering
+    * component closure is density-pruned (ConnectedComponents picks
+    * union-find vs distributed min-label by edge count). */
+  val q238Dbscan: QueryDef = QueryDef(
+    "q238_dbscan",
+    s"""WITH RECURSIVE pc AS (
+      |  SELECT vec_id,
+      |    CAST(floor(CAST(embedding[1] AS DOUBLE) * $SCALE) AS BIGINT)
+      |      + $DB_SHIFT AS qx,
+      |    CAST(floor(CAST(embedding[2] AS DOUBLE) * $SCALE) AS BIGINT)
+      |      + $DB_SHIFT AS qy
+      |  FROM embeddings),
+      |pg AS (SELECT vec_id, qx, qy,
+      |         qx // $DB_EPS AS cx, qy // $DB_EPS AS cy FROM pc),
+      |prs AS (
+      |  SELECT a.vec_id AS a, b.vec_id AS b
+      |  FROM pg a JOIN pg b
+      |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+      |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+      |   AND a.vec_id <> b.vec_id
+      |   AND (a.qx - b.qx) * (a.qx - b.qx)
+      |     + (a.qy - b.qy) * (a.qy - b.qy) <= ${DB_EPS * DB_EPS}),
+      |cores AS (SELECT a AS core FROM prs
+      |          GROUP BY a HAVING count(*) >= ${DB_MINPTS - 1}),
+      |edges AS (
+      |  SELECT a, b FROM prs
+      |  WHERE a < b AND a IN (SELECT core FROM cores)
+      |    AND b IN (SELECT core FROM cores)),
+      |${ConnectedComponents.oracleCte},
+      |core_comp AS (
+      |  SELECT c.core AS node, coalesce(mp.component, c.core) AS cluster
+      |  FROM cores c LEFT JOIN comp mp ON mp.node = c.core),
+      |borders AS (
+      |  SELECT p.a AS node, min(cc.cluster) AS cluster
+      |  FROM prs p JOIN core_comp cc ON cc.node = p.b
+      |  WHERE p.a NOT IN (SELECT core FROM cores)
+      |  GROUP BY p.a),
+      |ca AS (SELECT cluster, count(*) AS n_core FROM core_comp GROUP BY cluster),
+      |ba AS (SELECT cluster, count(*) AS n_border FROM borders GROUP BY cluster)
+      |SELECT ca.cluster, ca.n_core,
+      |  coalesce(ba.n_border, 0) AS n_border,
+      |  ca.n_core + coalesce(ba.n_border, 0) AS n_members
+      |FROM ca LEFT JOIN ba USING (cluster)
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT) AS cluster, CAST(0 AS BIGINT) AS n_core,
+      |  CAST(0 AS BIGINT) AS n_border, count(*) AS n_members
+      |FROM pc WHERE vec_id NOT IN (SELECT node FROM core_comp)
+      |  AND vec_id NOT IN (SELECT node FROM borders)
+      |ORDER BY cluster""".stripMargin) { (s, dir) =>
+    val pg = Tables.embeddings(s, dir)
+      .repartition(col("vec_id")) // single-file scan -> use every core
+      .select(col("vec_id"),
+        (floor(element_at(col("embedding"), 1).cast("double") * SCALE)
+          .cast("long") + DB_SHIFT).as("qx"),
+        (floor(element_at(col("embedding"), 2).cast("double") * SCALE)
+          .cast("long") + DB_SHIFT).as("qy"))
+      .withColumn("cx", expr(s"qx div $DB_EPS"))
+      .withColumn("cy", expr(s"qy div $DB_EPS"))
+      .localCheckpoint() // probe side + build side + the noise rollup
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val probes = pg.select(col("vec_id").as("a"), col("qx").as("qxa"),
+        col("qy").as("qya"), explode(offsets).as("o"),
+        col("cx"), col("cy"))
+      .select(col("a"), col("qxa"), col("qya"),
+        (col("cx") + col("o.dx")).as("cxp"), (col("cy") + col("o.dy")).as("cyp"))
+    val prs = probes.join(
+        pg.select(col("vec_id").as("b"), col("qx").as("qxb"),
+          col("qy").as("qyb"), col("cx").as("cxb"), col("cy").as("cyb")),
+        col("cxp") === col("cxb") && col("cyp") === col("cyb") &&
+          col("a") =!= col("b"))
+      .filter((col("qxa") - col("qxb")) * (col("qxa") - col("qxb")) +
+        (col("qya") - col("qyb")) * (col("qya") - col("qyb")) <=
+        DB_EPS * DB_EPS)
+      .select(col("a"), col("b"))
+      .localCheckpoint() // feeds cores, edges, and the border pass
+    val cores = prs.groupBy(col("a")).agg(count(lit(1)).as("n_nb"))
+      .filter(col("n_nb") >= DB_MINPTS - 1).select(col("a").as("core"))
+    val edges = prs.filter(col("a") < col("b"))
+      .join(cores.select(col("core").as("a")), Seq("a"), "semi")
+      .join(cores.select(col("core").as("b")), Seq("b"), "semi")
+      .select(col("a"), col("b"))
+    val comp = ConnectedComponents.compute(s, edges)
+    val coreComp = cores
+      .join(comp, cores("core") === comp("node"), "left")
+      .select(col("core").as("node"),
+        coalesce(col("component"), col("core")).as("cluster"))
+    val borders = prs
+      .join(cores.select(col("core").as("a")), Seq("a"), "anti")
+      .join(coreComp.select(col("node").as("b"), col("cluster")), Seq("b"))
+      .groupBy(col("a")).agg(min(col("cluster")).as("cluster"))
+      .select(col("a").as("node"), col("cluster"))
+    val ca = coreComp.groupBy(col("cluster")).agg(count(lit(1)).as("n_core"))
+    val ba = borders.groupBy(col("cluster")).agg(count(lit(1)).as("n_border"))
+    val clusters = ca.join(ba, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_core"),
+        coalesce(col("n_border"), lit(0L)).as("n_border"),
+        (col("n_core") + coalesce(col("n_border"), lit(0L))).as("n_members"))
+    val assigned = coreComp.select(col("node"))
+      .union(borders.select(col("node")))
+    val noise = pg.join(assigned, pg("vec_id") === assigned("node"), "anti")
+      .agg(count(lit(1)).as("n_members"))
+      .select(lit(-1L).as("cluster"), lit(0L).as("n_core"),
+        lit(0L).as("n_border"), col("n_members"))
+    clusters.unionByName(noise).orderBy("cluster")
+  }
+
   val all: Seq[QueryDef] = Seq(q95Kmeans, q96CentroidClassify,
     q159ClusterPurity, q173Stump, q174Calibration, q227NaiveBayes,
-    q235Conformal)
+    q235Conformal, q238Dbscan)
 }

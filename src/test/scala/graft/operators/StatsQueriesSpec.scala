@@ -67,6 +67,20 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q238: DBSCAN partitions every point exactly once") {
+    val rows = Learn.q238Dbscan.build(spark, dir).collect()
+    val total = Tables.embeddings(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == total,
+      "clusters + noise must partition the point set")
+    val noise = rows.filter(_.getAs[Long]("cluster") == -1L)
+    assert(noise.length == 1 && noise.head.getAs[Long]("n_core") == 0L)
+    for (r <- rows; if r.getAs[Long]("cluster") >= 0L) {
+      assert(r.getAs[Long]("n_core") >= 1L, "a cluster needs a core point")
+      assert(r.getAs[Long]("n_members") ==
+        r.getAs[Long]("n_core") + r.getAs[Long]("n_border"))
+    }
+  }
+
   test("q224: KS D in [0, 1e6] ppm and sample sizes match the fact table") {
     val r = DataProfile.q224KsTest.build(spark, dir).head()
     val na = r.getAs[Long]("na")
