@@ -116,5 +116,107 @@ object PageRank {
       .limit(25)
   }
 
-  val all: Seq[QueryDef] = Seq(q65PageRank)
+  private val HITS_ITERS = 4
+
+  /** Oracle twin of [[q239Hits]]: the identical integer iteration
+    * unrolled into MATERIALIZED CTE rounds (plain CTEs would re-expand
+    * the chain multiplicatively — the q150 lesson). */
+  private def hitsOracleSql: String = {
+    val rounds = (1 to HITS_ITERS).map { r =>
+      val hPrev = if (r == 1) "h0" else s"h${r - 1}"
+      s"""a${r}r AS MATERIALIZED (
+         |  SELECT p, CAST(sum(h) AS BIGINT) AS ar
+         |  FROM e JOIN $hPrev USING (c) GROUP BY p),
+         |a$r AS MATERIALIZED (
+         |  SELECT p, (ar * $SCALE) // (SELECT max(ar) FROM a${r}r) AS a
+         |  FROM a${r}r),
+         |h${r}r AS MATERIALIZED (
+         |  SELECT c, CAST(sum(a) AS BIGINT) AS hr
+         |  FROM e JOIN a$r USING (p) GROUP BY c),
+         |h$r AS MATERIALIZED (
+         |  SELECT c, (hr * $SCALE) // (SELECT max(hr) FROM h${r}r) AS h
+         |  FROM h${r}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |h0 AS (SELECT DISTINCT c, CAST($SCALE AS BIGINT) AS h FROM e),
+       |$rounds,
+       |ta AS (SELECT 'auth' AS side,
+       |         CAST(row_number() OVER (ORDER BY a DESC, p) AS BIGINT) AS rk,
+       |         p AS id, a AS score FROM a$HITS_ITERS),
+       |th AS (SELECT 'hub' AS side,
+       |         CAST(row_number() OVER (ORDER BY h DESC, c) AS BIGINT) AS rk,
+       |         c AS id, h AS score FROM h$HITS_ITERS)
+       |SELECT side, rk, id, score FROM ta WHERE rk <= 10
+       |UNION ALL SELECT side, rk, id, score FROM th WHERE rk <= 10
+       |ORDER BY side, rk""".stripMargin
+  }
+
+  /** q239 — HITS hubs & authorities (Kleinberg JACM'99) on the
+    * DIRECTED customer→part purchase graph: a part's authority is the
+    * summed hub weight of its buyers, a customer's hub weight the
+    * summed authority of their basket — the mutually-reinforcing
+    * eigenpair that surfaces "curator" customers and "canonical"
+    * parts, where PageRank's single random walk (q65) conflates the
+    * two roles. Four alternating rounds, then the top-10 of each side.
+    *
+    * Exactness: integer scores normalized each half-round by the
+    * CURRENT MAX (L∞) instead of the L2 norm — same fixed point
+    * direction, but max+truncating-div is exact integer arithmetic in
+    * both engines, where an L2 norm would couple the gate to sqrt
+    * rounding. Headroom: score ≤ 1e6, so a sum is ≤ 1e6·deg and the
+    * ×1e6 rescale stays under int64 to deg ≈ 9e6; past that, rescale
+    * by `div` before multiply (documented, not needed at any shipped
+    * scale).
+    *
+    * Scale design (100 TB): identical Pregel shape to q65 — static
+    * distinct edge list checkpointed once; the frontier (≤|V| rows,
+    * one side at a time) BROADCASTS into the edge join each
+    * half-round, so edges never shuffle; each max is a 1-row
+    * broadcast. Top-10s plan as TakeOrdered (per-partition heaps) and
+    * the rank window runs over 10 collected rows. */
+  val q239Hits: QueryDef = QueryDef("q239_hits", hitsOracleSql) { (s, dir) =>
+    val e = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint()
+    var h = e.select(col("c")).distinct()
+      .select(col("c"), lit(SCALE).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to HITS_ITERS) {
+      // checkpoint each half-round frontier: the normalize step consumes
+      // its input twice (sum + max), so an unbroken lineage would
+      // re-execute every earlier round multiplicatively per branch
+      val ar = broadcast(h).join(e, Seq("c"))
+        .groupBy(col("p")).agg(sum(col("h")).as("ar"))
+        .localCheckpoint()
+      val am = ar.agg(max(col("ar")).as("am"))
+      a = ar.crossJoin(broadcast(am))
+        .select(col("p"), expr(s"(ar * $SCALE) div am").as("a"))
+      val hr = broadcast(a).join(e, Seq("p"))
+        .groupBy(col("c")).agg(sum(col("a")).as("hr"))
+        .localCheckpoint()
+      val hm = hr.agg(max(col("hr")).as("hm"))
+      h = hr.crossJoin(broadcast(hm))
+        .select(col("c"), expr(s"(hr * $SCALE) div hm").as("h"))
+    }
+    def top(df: DataFrame, idCol: String, scoreCol: String,
+        side: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(scoreCol).desc, col(idCol))
+      df.orderBy(col(scoreCol).desc, col(idCol)).limit(10)
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .select(lit(side).as("side"), col("rk"), col(idCol).as("id"),
+          col(scoreCol).as("score"))
+    }
+    top(a, "p", "a", "auth").unionByName(top(h, "c", "h", "hub"))
+      .orderBy("side", "rk")
+  }
+
+  val all: Seq[QueryDef] = Seq(q65PageRank, q239Hits)
 }

@@ -10,6 +10,22 @@ class ScaleOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("q239 HITS: L-inf normalization pins each side's top score at exactly 1e6") {
+    val rows = PageRank.q239Hits.build(spark, "/root/testdata/sf0.001").collect()
+    val bySide = rows.groupBy(_.getAs[String]("side"))
+    assert(bySide.keySet == Set("auth", "hub"))
+    for ((_, rs) <- bySide) {
+      assert(rs.map(_.getAs[Long]("rk")).sorted.sameElements(1L to rs.length))
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.head.getAs[Long]("score") == 1000000L,
+        "max-normalized top score must be exactly 1e6")
+      // scores are non-increasing in rank and stay in (0, 1e6]
+      val scores = sorted.map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+      assert(scores.forall(v => v > 0L && v <= 1000000L))
+    }
+  }
+
   test("q191 dyadic quantile sketch: estimate shares the exact value's octave (error < 2x)") {
     val rows = Sketches.q191QuantileSketch.build(spark, "/root/testdata/sf0.001")
       .collect()
