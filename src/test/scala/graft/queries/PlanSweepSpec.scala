@@ -119,5 +119,9 @@ object PlanSweepAllowlist {
       "week-grain aggregate below the window: calendar-bounded axis"),
     ("q164_survival", "repartition(1)",
       "sequential KM scan over the aggregated lifetime-day axis " +
-        "(pinned in ScalePlanAuditSpec)"))
+        "(pinned in ScalePlanAuditSpec)"),
+    ("q239_hits", "a#",
+      "authority rank window runs over the TakeOrdered top-10 slice (literal k)"),
+    ("q239_hits", "h#",
+      "hub rank window runs over the TakeOrdered top-10 slice (literal k)"))
 }
