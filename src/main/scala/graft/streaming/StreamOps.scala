@@ -160,6 +160,31 @@ object StreamOps {
         expr("(1000000 * errs) div n").as("err_ppm"),
         expr("(1000000 * errs * 40) div n").as("burn_rate_ppm"))
 
+  /** Streaming conformal out-of-band monitor — the streaming twin of
+    * [[graft.operators.Learn.q235Conformal]]: a batch-fit conformal
+    * model `(seg, yhat, qhat_cents)` broadcasts into the stream
+    * (stream–static join, no state), each row is flagged when
+    * |cents − ŷ| > q̂ — outside the 90%-coverage band — and a
+    * watermarked tumbling window counts the violation rate per
+    * segment. Under exchangeability the rate hovers at ≤ 10% ppm by
+    * the conformal guarantee; a sustained excess IS the
+    * distribution-shift alarm, with no tuning knob beyond the batch
+    * fit's miscoverage level. Money uses the same half-up-cents floor
+    * as the batch gate, so stream and batch decisions agree
+    * row-for-row (pinned in StreamOpsSpec). */
+  def conformalMonitor(df: DataFrame, model: DataFrame,
+      windowLen: String, delay: String): DataFrame =
+    df.withColumn("cents", expr("CAST(floor(amount * 100 + 0.5) AS BIGINT)"))
+      .join(broadcast(model), Seq("seg"))
+      .withColumn("oob",
+        when(abs(col("cents") - col("yhat")) > col("qhat_cents"), 1L)
+          .otherwise(0L))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("oob")).as("n_out"))
+      .select(col("w.start").as("window_start"), col("seg"), col("n"),
+        col("n_out"), expr("(1000000 * n_out) div n").as("out_ppm"))
+
   /** Streaming VARIANT extraction (q86's streaming twin): each JSON
     * payload is parsed ONCE into the binary variant encoding on
     * arrival — the scale path when the same payload feeds several

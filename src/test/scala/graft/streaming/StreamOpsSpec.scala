@@ -1083,6 +1083,45 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("conformalMonitor flags exactly the out-of-band rows per window and segment") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val model = Seq(("A", 10000L, 500L), ("B", 2000L, 100L))
+      .toDF("seg", "yhat", "qhat_cents")
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "seg", "amount")
+    val q = StreamOps.conformalMonitor(df, model, "15 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("conformal_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // band A = 10000±500 cents: 104.99 in (499), 95.00 in (exactly 500,
+      // inclusive), 105.01/94.99 out (501); band B = 2000±100
+      val data = Seq(
+        (ts(1), "A", 100.00), (ts(2), "A", 104.99), (ts(3), "A", 105.01),
+        (ts(4), "A", 95.00), (ts(5), "A", 94.99),
+        (ts(6), "B", 20.00), (ts(7), "B", 25.00),
+        (ts(16), "A", 200.00), (ts(17), "A", 100.00))
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData((ts(60), "A", 100.0)) // advance watermark past both windows
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        ((r.getTimestamp(0).getTime - Base) / 60000, r.getString(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))
+      val got = spark.table("conformal_out").collect().map(key).toSet
+      // 15-min windows align to the EPOCH, not Base (the q199 lesson):
+      // Base sits 5 min into its window, so starts land at -5 and +10
+      assert(got.contains((-5L, "A", 5L, 2L, 400000L)), s"got: $got")
+      assert(got.contains((-5L, "B", 2L, 1L, 500000L)), s"got: $got")
+      assert(got.contains((10L, "A", 2L, 1L, 500000L)), s"got: $got")
+      // batch twin: the identical flag + fold on the same rows
+      val batch = StreamOps.conformalMonitor(
+        data.toDF("ts", "seg", "amount"), model, "15 minutes", "5 minutes")
+        .collect().map(key).toSet
+      assert(got.subsetOf(batch), s"stream rows absent from batch: ${got.diff(batch)}")
+    } finally q.stop()
+  }
+
   test("quantileSketch converges bit-exactly on the batch q191 estimates") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[StreamOps.AsofEvent]
