@@ -2089,8 +2089,88 @@ object EventOps {
       .orderBy(pi("hr"))
   }
 
+  /** q240 — SAX symbolization (Lin et al., DMKD'07): each day's event
+    * volume-value series is compressed to a 6-symbol word — PAA means
+    * over six 4-hour frames, each mapped to {a,b,c,d} by where it
+    * falls against the corpus-wide quartile breakpoints. The symbolic
+    * form is what makes motif/novelty search over years of telemetry
+    * tractable: words are joinable/groupable strings, and equal words
+    * ⇒ similar shapes with a provable distance lower bound. Quartile
+    * (rank-based) breakpoints replace the classic Gaussian table so
+    * the gate stays engine-exact without a normality assumption.
+    *
+    * Exactness: PAA means are truncating integer cents; breakpoints
+    * ride the q17 weighted-percentile contract (identical
+    * interpolation doubles in both engines); int-vs-double CASE
+    * comparisons are exact; missing frames print '_' via coalesce in
+    * both engines.
+    *
+    * Scale design (100 TB): PAA is one partial-aggregable
+    * (day, frame) pass; the breakpoint frame is ONE broadcast row
+    * computed over the value-collapsed (paa, count) domain (bounded
+    * by the discrete cents-mean domain, the q17 argument); word
+    * assembly is a 6-slot conditional-max pivot per day — no windows,
+    * no sequential scan, day axis calendar-bounded. */
+  val q240Sax: QueryDef = QueryDef(
+    "q240_sax",
+    """WITH ev AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(EXTRACT(hour FROM ts) AS BIGINT) // 4 AS frame,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |paa AS (
+      |  SELECT day, frame, CAST(sum(cents) AS BIGINT) // count(*) AS paa
+      |  FROM ev GROUP BY day, frame),
+      |bp AS (
+      |  SELECT quantile_cont(paa, 0.25) AS p25, quantile_cont(paa, 0.5) AS p50,
+      |    quantile_cont(paa, 0.75) AS p75
+      |  FROM paa),
+      |sym AS (
+      |  SELECT day, frame,
+      |    CASE WHEN paa < p25 THEN 'a' WHEN paa < p50 THEN 'b'
+      |         WHEN paa < p75 THEN 'c' ELSE 'd' END AS s
+      |  FROM paa, bp),
+      |w AS (
+      |  SELECT day,
+      |    coalesce(max(CASE WHEN frame = 0 THEN s END), '_')
+      |    || coalesce(max(CASE WHEN frame = 1 THEN s END), '_')
+      |    || coalesce(max(CASE WHEN frame = 2 THEN s END), '_')
+      |    || coalesce(max(CASE WHEN frame = 3 THEN s END), '_')
+      |    || coalesce(max(CASE WHEN frame = 4 THEN s END), '_')
+      |    || coalesce(max(CASE WHEN frame = 5 THEN s END), '_') AS word
+      |  FROM sym GROUP BY day),
+      |n AS (SELECT day, count(*) AS n_events FROM ev GROUP BY day)
+      |SELECT w.day, n.n_events, w.word
+      |FROM w JOIN n USING (day) ORDER BY w.day""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).select(
+      to_date(col("ts")).as("day"),
+      expr("CAST(hour(ts) AS BIGINT) div 4").as("frame"),
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val paa = ev.groupBy(col("day"), col("frame"))
+      .agg(sum(col("cents")).as("sc"), count(lit(1)).as("cn"))
+      .select(col("day"), col("frame"), expr("sc div cn").as("paa"))
+    val bp = paa.groupBy(col("paa")).agg(count(lit(1)).as("pn"))
+      .agg(expr("percentile(paa, 0.25D, pn)").as("p25"),
+        expr("percentile(paa, 0.5D, pn)").as("p50"),
+        expr("percentile(paa, 0.75D, pn)").as("p75"))
+    val sym = paa.crossJoin(broadcast(bp))
+      .select(col("day"), col("frame"),
+        when(col("paa") < col("p25"), "a")
+          .when(col("paa") < col("p50"), "b")
+          .when(col("paa") < col("p75"), "c")
+          .otherwise("d").as("s"))
+    val word = sym.groupBy(col("day"))
+      .agg(concat((0 to 5).map(k =>
+        coalesce(max(when(col("frame") === k, col("s"))), lit("_"))): _*)
+        .as("word"))
+    val n = ev.groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    word.join(n, Seq("day"))
+      .select(col("day"), col("n_events"), col("word"))
+      .orderBy("day")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q230Sprt, q236OffPolicy,
+    q230Sprt, q236OffPolicy, q240Sax,
     q196SchemaDrift, q199SessionEntropy, q219SloBurn, q220Stickiness,
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,

@@ -218,5 +218,90 @@ object PageRank {
       .orderBy("side", "rk")
   }
 
-  val all: Seq[QueryDef] = Seq(q65PageRank, q239Hits)
+  private val LPA_ITERS = 3
+
+  /** Oracle twin of [[q241LabelProp]]: the same synchronous rounds
+    * unrolled as MATERIALIZED CTEs, with the argmax spelled as the
+    * max-count ⋈ min-label join both engines execute identically. */
+  private def lpaOracleSql: String = {
+    val rounds = (1 to LPA_ITERS).map { r =>
+      s"""v$r AS MATERIALIZED (
+         |  SELECT e.src AS node, l.lab AS cand
+         |  FROM edges e JOIN l${r - 1} l ON e.dst = l.node
+         |  UNION ALL SELECT node, lab FROM l${r - 1}),
+         |vc$r AS MATERIALIZED (
+         |  SELECT node, cand, count(*) AS c FROM v$r GROUP BY node, cand),
+         |mx$r AS MATERIALIZED (
+         |  SELECT node, max(c) AS mc FROM vc$r GROUP BY node),
+         |l$r AS MATERIALIZED (
+         |  SELECT vc.node, min(vc.cand) AS lab
+         |  FROM vc$r vc JOIN mx$r m ON vc.node = m.node AND vc.c = m.mc
+         |  GROUP BY vc.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bought AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey + $PART_OFFSET AS p
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT c AS src, p AS dst FROM bought
+       |  UNION ALL SELECT p, c FROM bought),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+       |$rounds
+       |SELECT lab, count(*) AS n_members,
+       |  CAST(sum(CASE WHEN node < $PART_OFFSET THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_cust,
+       |  CAST(sum(CASE WHEN node >= $PART_OFFSET THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_parts
+       |FROM l$LPA_ITERS GROUP BY lab
+       |ORDER BY n_members DESC, lab LIMIT 25""".stripMargin
+  }
+
+  /** q241 — label-propagation communities (Raghavan et al. PRE'07) on
+    * the purchase graph: every node adopts the most frequent label
+    * among its neighbors AND itself each synchronous round (the
+    * self-vote damps the oscillation sync-LPA suffers on bipartite
+    * graphs), ties to the MIN label so the fixpoint is deterministic.
+    * Communities are co-purchase market baskets — the graph-native
+    * complement of q37's connected components (which merge on ANY
+    * path) and q95's k-means (which needs a k and a metric space).
+    *
+    * Exactness: labels are node ids, votes are integer counts, and
+    * the argmax is the max-count ⋈ min-label join — no floats, no
+    * window, identical in both engines; a fixed round count keeps the
+    * plan finite (the q65 discipline).
+    *
+    * Scale design (100 TB): the |V|-row label frontier BROADCASTS
+    * into the static checkpointed edge list each round (edges never
+    * shuffle); vote counts are partial-aggregable on (node, cand);
+    * the max-count frame is |V| rows, broadcast back. Top-25 output
+    * is a TakeOrdered heap. */
+  val q241LabelProp: QueryDef = QueryDef("q241_label_prop", lpaOracleSql) {
+    (s, dir) =>
+    val e = edges(Tables.orders(s, dir), Tables.lineitem(s, dir))
+      .localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint()
+    for (_ <- 1 to LPA_ITERS) {
+      val nbr = e.join(broadcast(labels.withColumnRenamed("node", "dst")),
+          Seq("dst"))
+        .select(col("src").as("node"), col("lab").as("cand"))
+      val votes = nbr.unionAll(
+        labels.select(col("node"), col("lab").as("cand")))
+      val vc = votes.groupBy(col("node"), col("cand"))
+        .agg(count(lit(1)).as("c"))
+      val mx = vc.groupBy(col("node")).agg(max(col("c")).as("mc"))
+      labels = vc.join(broadcast(mx.withColumnRenamed("mc", "c")),
+          Seq("node", "c"))
+        .groupBy(col("node")).agg(min(col("cand")).as("lab"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("node") < PART_OFFSET, 1L).otherwise(0L)).as("n_cust"),
+        sum(when(col("node") >= PART_OFFSET, 1L).otherwise(0L)).as("n_parts"))
+      .orderBy(col("n_members").desc, col("lab"))
+      .limit(25)
+  }
+
+  val all: Seq[QueryDef] = Seq(q65PageRank, q239Hits, q241LabelProp)
 }

@@ -26,6 +26,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q241 LPA: communities are bipartite-consistent and size-ranked") {
+    val rows = PageRank.q241LabelProp.build(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val sizes = rows.map(_.getAs[Long]("n_members"))
+    assert(sizes.zip(sizes.tail).forall { case (x, y) => x >= y },
+      "top-25 must be ordered by community size")
+    for (r <- rows)
+      assert(r.getAs[Long]("n_members") ==
+        r.getAs[Long]("n_cust") + r.getAs[Long]("n_parts"),
+        "every member is either a customer or a part")
+  }
+
   test("q191 dyadic quantile sketch: estimate shares the exact value's octave (error < 2x)") {
     val rows = Sketches.q191QuantileSketch.build(spark, "/root/testdata/sf0.001")
       .collect()

@@ -81,6 +81,20 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q240: SAX words are 6 symbols over {a,b,c,d} with quartile balance") {
+    val rows = EventOps.q240Sax.build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val words = rows.map(_.getAs[String]("word"))
+    assert(words.forall(w => w.length == 6 && w.forall("abcd_".contains(_))))
+    val syms = words.flatMap(_.toSeq).filter(_ != '_')
+    // quartile breakpoints put ~25% of PAA cells in each symbol class
+    for (c <- "abcd") {
+      val share = syms.count(_ == c).toDouble / syms.length
+      assert(share > 0.10 && share < 0.40,
+        s"symbol '$c' share $share violates the quartile balance")
+    }
+  }
+
   test("q224: KS D in [0, 1e6] ppm and sample sizes match the fact table") {
     val r = DataProfile.q224KsTest.build(spark, dir).head()
     val na = r.getAs[Long]("na")
