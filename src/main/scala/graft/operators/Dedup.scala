@@ -1058,7 +1058,72 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** q244 — golden-record survivorship (the MDM merge step): after
+    * q37's component closure identifies near-dup clusters, each
+    * cluster is collapsed to ONE canonical record by explicit
+    * survivorship rules — "longest content wins" picks the survivor
+    * (max n_chars, ties to the min doc_id so the rule is total), and
+    * the lineage columns report what the merge absorbed (members,
+    * distinct sources, distinct langs). This is the step a curation
+    * pipeline runs BETWEEN dedup detection (q37) and the drop
+    * decision (q38): q38 keeps min-id; the golden record keeps the
+    * best-evidence member and records provenance.
+    *
+    * Exactness: the argmax is the max-chars ⋈ min-id join (no window,
+    * engine-identical); everything else is counts over the cluster
+    * frame.
+    *
+    * Scale design (100 TB): components come from the shared
+    * [[ConnectedComponents]] (edge list already LSH+verify-pruned);
+    * the member frame joins components to documents by doc_id
+    * (equi-join, text column pruned away before any shuffle);
+    * survivorship is two partial-aggregable passes over cluster keys.
+    * Every cluster has ≥ 2 members by construction (each component
+    * node carries an edge), so the output IS the merge worklist. */
+  val q244GoldenRecord: QueryDef = QueryDef(
+    "q244_golden_record",
+    s"""WITH RECURSIVE $mhOracleCte,
+       |$lshCandOracleCte,
+       |$edgesOracleCte,
+       |$componentsOracleCte,
+       |gold AS (
+       |  SELECT comp.component, d.doc_id, d.n_chars, d.source, d.lang
+       |  FROM comp JOIN documents d ON comp.node = d.doc_id),
+       |mx AS (SELECT component, max(n_chars) AS mc FROM gold GROUP BY component),
+       |surv AS (
+       |  SELECT g.component, min(g.doc_id) AS survivor_doc
+       |  FROM gold g JOIN mx ON g.component = mx.component AND g.n_chars = mx.mc
+       |  GROUP BY g.component)
+       |SELECT g.component, count(*) AS n_merged, s.survivor_doc,
+       |  mx.mc AS survivor_chars,
+       |  count(DISTINCT g.source) AS n_sources,
+       |  count(DISTINCT g.lang) AS n_langs
+       |FROM gold g JOIN mx USING (component) JOIN surv s USING (component)
+       |GROUP BY g.component, s.survivor_doc, mx.mc
+       |ORDER BY g.component""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val gold = ConnectedComponents.compute(s, nearDupEdges(docs))
+      .join(docs.select(col("doc_id"), col("n_chars"), col("source"),
+        col("lang")), col("node") === col("doc_id"))
+    val mx = gold.groupBy(col("component").as("mcomp"))
+      .agg(max(col("n_chars")).as("mc"))
+    val surv = gold.join(broadcast(mx), col("component") === col("mcomp")
+        && col("n_chars") === col("mc"))
+      .groupBy(col("component").as("scomp"))
+      .agg(min(col("doc_id")).as("survivor_doc"))
+    gold.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_merged"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"))
+      .join(broadcast(mx), col("component") === col("mcomp"))
+      .join(broadcast(surv), col("component") === col("scomp"))
+      .select(col("component"), col("n_merged"), col("survivor_doc"),
+        col("mc").as("survivor_chars"), col("n_sources"), col("n_langs"))
+      .orderBy("component")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q244GoldenRecord,
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
     q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters, q38DedupPipeline,
     q69SpanDedup, q75Contamination, q78SortedNeighborhood, q100SemanticDedup,

@@ -303,5 +303,83 @@ object PageRank {
       .limit(25)
   }
 
-  val all: Seq[QueryDef] = Seq(q65PageRank, q239Hits, q241LabelProp)
+  private val SSSP_ROUNDS = 4
+  private val SSSP_SOURCE = 1L // customer node 1 (min custkey at every SF)
+
+  /** Oracle twin of [[q242Sssp]]: the same Bellman–Ford relaxations
+    * unrolled as MATERIALIZED CTE rounds. */
+  private def ssspOracleSql: String = {
+    val rounds = (1 to SSSP_ROUNDS).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT e.dst AS node, d.dist + e.w AS dist
+         |    FROM e JOIN d${r - 1} d ON e.src = d.node
+         |    UNION ALL SELECT node, dist FROM d${r - 1})
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ew AS MATERIALIZED (
+       |  SELECT o.o_custkey AS c, l.l_partkey + $PART_OFFSET AS p,
+       |    min(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS w
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |  GROUP BY 1, 2),
+       |e AS MATERIALIZED (
+       |  SELECT c AS src, p AS dst, w FROM ew
+       |  UNION ALL SELECT p, c, w FROM ew),
+       |d0 AS (SELECT CAST($SSSP_SOURCE AS BIGINT) AS node,
+       |       CAST(0 AS BIGINT) AS dist),
+       |$rounds
+       |SELECT node, dist,
+       |  CASE WHEN node >= $PART_OFFSET THEN 'part' ELSE 'customer' END
+       |    AS node_type
+       |FROM d$SSSP_ROUNDS ORDER BY dist, node LIMIT 25""".stripMargin
+  }
+
+  /** q242 — Bellman–Ford single-source shortest paths on the purchase
+    * graph, edge weight = cheapest line (half-up cents) ever shipped
+    * on that customer–part link: the "cost to reach" metric behind
+    * related-product distance and supply-path audits. Four synchronous
+    * relaxation rounds bound path length at 4 hops (2 customer↔part
+    * alternations each way) — the frontier-expansion sibling of q65
+    * (fixed-round diffusion) and q37 (unweighted closure).
+    *
+    * Exactness: weights and distances are int64 cents; each round is
+    * min(previous, min(neighbor + w)) — associative mins over exact
+    * integers, identical under any execution order; unreachable nodes
+    * simply never enter the frontier (no ∞ sentinel to encode).
+    *
+    * Scale design (100 TB): the distance frontier (≤|V| rows)
+    * BROADCASTS into the static checkpointed weighted edge list each
+    * round; the relax step is a partial-aggregable min on dst. Top-25
+    * output is a TakeOrdered heap. */
+  val q242Sssp: QueryDef = QueryDef("q242_sssp", ssspOracleSql) { (s, dir) =>
+    val ew = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("c"),
+        (col("l_partkey") + PART_OFFSET).as("p"))
+      .agg(min(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+        .as("w"))
+    val e = ew.select(col("c").as("src"), col("p").as("dst"), col("w"))
+      .unionAll(ew.select(col("p").as("src"), col("c").as("dst"), col("w")))
+      .localCheckpoint()
+    var dist = e.sparkSession.range(1)
+      .select(lit(SSSP_SOURCE).as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to SSSP_ROUNDS) {
+      val relaxed = e.join(broadcast(dist.withColumnRenamed("node", "src")),
+          Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = relaxed.unionAll(dist)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.select(col("node"), col("dist"),
+        when(col("node") >= PART_OFFSET, "part").otherwise("customer")
+          .as("node_type"))
+      .orderBy(col("dist"), col("node"))
+      .limit(25)
+  }
+
+  val all: Seq[QueryDef] = Seq(q65PageRank, q239Hits, q241LabelProp, q242Sssp)
 }

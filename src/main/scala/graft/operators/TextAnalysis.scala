@@ -2061,8 +2061,71 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // 2^4 slots — sized to the synthetic 31-token vocabulary so the
+  // collision classes are POPULATED (31 tokens in 2^12 slots would
+  // audit an all-ones histogram); production sizing is 2^18+, and the
+  // plan is invariant to the constant
+  private val FH_BUCKETS = 16L
+
+  /** q243 — feature-hashing (hashing-trick, Weinberger et al.
+    * ICML'09) collision audit: the vocabulary is hashed into 2⁴
+    * feature slots (the dictionary-free vectorization every
+    * large-scale text model front-end uses) and the audit reports the
+    * slot-occupancy histogram — how many slots hold k distinct tokens
+    * — plus the token count and document-frequency mass riding each
+    * occupancy class. The df-mass column is the actionable part: mass
+    * landing in occupancy ≥ 2 slots is signal irrecoverably summed
+    * with other features, the quantity you trade against dimension.
+    *
+    * Exactness: the slot is the md5-prefix 60-bit integer (q36
+    * contract) mod a literal power of two — non-negative, so `%`
+    * agrees across engines; everything else is counts. The
+    * occupancy-0 row is closed-form (2⁴ − slots used).
+    *
+    * Scale design (100 TB): the vocabulary is never collected or
+    * broadcast — df, slot loads, and the histogram are three stacked
+    * partial-aggregable passes, each output smaller than the last
+    * (vocab → ≤slot-count rows → ≤max-occupancy rows). */
+  val q243FeatureHashing: QueryDef = QueryDef(
+    "q243_feature_hashing",
+    s"""WITH v AS (
+      |  SELECT tok, count(DISTINCT doc_id) AS df
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY tok),
+      |b AS (
+      |  SELECT ('0x' || substring(md5(tok), 1, 15))::BIGINT % $FH_BUCKETS
+      |      AS slot,
+      |    count(*) AS k, CAST(sum(df) AS BIGINT) AS dfm
+      |  FROM v GROUP BY 1),
+      |h AS (
+      |  SELECT k AS occupancy, count(*) AS n_slots,
+      |    CAST(sum(k) AS BIGINT) AS n_tokens,
+      |    CAST(sum(dfm) AS BIGINT) AS df_mass
+      |  FROM b GROUP BY k)
+      |SELECT occupancy, n_slots, n_tokens, df_mass FROM h
+      |UNION ALL
+      |SELECT CAST(0 AS BIGINT), $FH_BUCKETS - (SELECT count(*) FROM b),
+      |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |ORDER BY occupancy""".stripMargin) { (s, dir) =>
+    val v = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val b = v.groupBy((conv(substring(md5(col("tok")), 1, 15), 16, 10)
+        .cast("long") % FH_BUCKETS).as("slot"))
+      .agg(count(lit(1)).as("k"), sum(col("df")).as("dfm"))
+    val h = b.groupBy(col("k").as("occupancy"))
+      .agg(count(lit(1)).as("n_slots"), sum(col("k")).as("n_tokens"),
+        sum(col("dfm")).as("df_mass"))
+    val zero = b.agg(count(lit(1)).as("u"))
+      .select(lit(0L).as("occupancy"), (lit(FH_BUCKETS) - col("u")).as("n_slots"),
+        lit(0L).as("n_tokens"), lit(0L).as("df_mass"))
+    h.unionByName(zero).orderBy("occupancy")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q232LooInfluence, q197Keyness, q198Readability, q200Burstiness, q215KnPpl,
+    Seq(q232LooInfluence, q243FeatureHashing,
+      q197Keyness, q198Readability, q200Burstiness, q215KnPpl,
       q216NegativeSampling, q221ScalingLaw,
       q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,
       q25Tfidf, q26PiiRedact, q27Repetition, q28Sample, q74Mixture,

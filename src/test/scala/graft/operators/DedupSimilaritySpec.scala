@@ -76,6 +76,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(bySrc("srcB").getAs[Long]("n_docs_shared") >= 1L)
   }
 
+  test("q244: golden record merges the near-dup cluster under longest-wins") {
+    val rows = Dedup.q244GoldenRecord.build(spark, dir).collect()
+    // docs 0 and 2 (one word swapped) shingle-match into one cluster;
+    // doc 1 (reversed word order) has different 3-gram shingles and
+    // stays out. Longest-wins picks doc 0 (doc 2 lost a char in
+    // small->tiny)
+    val c0 = rows.find(_.getAs[Long]("component") == 0L)
+    assert(c0.isDefined, s"cluster 0 missing: ${rows.mkString(";")}")
+    assert(c0.get.getAs[Long]("n_merged") == 2L)
+    assert(c0.get.getAs[Long]("survivor_doc") == 0L)
+    assert(c0.get.getAs[Long]("n_sources") == 2L) // srcA + srcB
+    assert(c0.get.getAs[Long]("n_langs") == 1L)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_merged") >= 2L,
+        "every emitted component carries an edge, so >= 2 members")
+      assert(r.getAs[Long]("n_sources") <= r.getAs[Long]("n_merged"))
+    }
+  }
+
   test("q32: LSH surfaces the near-dup candidate pair and verifies it") {
     val Row(nCand: Long, nVerified: Long, _) =
       Dedup.q32LshPairs.build(spark, dir).head()

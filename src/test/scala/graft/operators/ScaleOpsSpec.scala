@@ -39,6 +39,29 @@ class ScaleOpsSpec extends AnyFunSuite {
         "every member is either a customer or a part")
   }
 
+  test("q242 SSSP: source at distance 0, output sorted by exact cents distance") {
+    val rows = PageRank.q242Sssp.build(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("node") == 1L &&
+      rows.head.getAs[Long]("dist") == 0L,
+      "the source must be its own nearest node at distance 0")
+    val dists = rows.map(_.getAs[Long]("dist"))
+    assert(dists.zip(dists.tail).forall { case (x, y) => x <= y })
+    assert(dists.forall(_ >= 0L))
+  }
+
+  test("q243 feature hashing: histogram accounts for every slot and every token") {
+    val rows = graft.operators.TextAnalysis.q243FeatureHashing
+      .build(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getAs[Long]("n_slots")).sum == 16L,
+      "occupancy classes must partition the 16 slots")
+    val vocab = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == vocab,
+      "every vocabulary token lands in exactly one slot")
+  }
+
   test("q191 dyadic quantile sketch: estimate shares the exact value's octave (error < 2x)") {
     val rows = Sketches.q191QuantileSketch.build(spark, "/root/testdata/sf0.001")
       .collect()
