@@ -268,6 +268,88 @@ object Forecast {
       .orderBy("k")
   }
 
+  /** q245 — offline changepoint detection (binary segmentation, first
+    * split): over the daily revenue series, find the split day t that
+    * minimizes SSE_left + SSE_right — equivalently maximizes
+    * S_l²/t + S_r²/(n−t) (total Σy² is split-invariant) — the CUSUM
+    * complement: q178 monitors a stream against a threshold, this
+    * finds the single most likely level-shift point in a closed
+    * series, the first step of every segmentation (PELT/binseg)
+    * pipeline.
+    *
+    * Exactness: daily sums are exact int64 cents (< 2⁵³, so the cast
+    * to double is exact); the score is ONE fixed IEEE expression
+    * (square, divide, add — the q108/q123 left-associated-chain
+    * doctrine), identical bits in both engines, so the argmax
+    * (max-score ⋈ min-t join, no window rank) and the floor'd gain
+    * are engine-identical. Means are truncating integer cents.
+    *
+    * Scale design (100 TB): the series is a day-grain aggregate
+    * (calendar-bounded axis — the prefix window and the ≤n candidate
+    * frame are bounded by days, not data, the q118/q178 adjudication;
+    * note PlanSweepSpec cannot see these windows because they sit
+    * below the eager localCheckpoint — this scaladoc IS the
+    * adjudication record); everything below the day grain is one
+    * partial-aggregable pass over events. */
+  val q245Changepoint: QueryDef = QueryDef(
+    "q245_changepoint",
+    """WITH ev AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (SELECT day, CAST(sum(cents) AS BIGINT) AS s FROM ev GROUP BY day),
+      |tot AS (SELECT count(*) AS n, CAST(sum(s) AS BIGINT) AS sx FROM d),
+      |pre AS (
+      |  SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+      |    CAST(sum(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS sxl
+      |  FROM d),
+      |cand AS (
+      |  SELECT day, t, sxl, tot.n, tot.sx,
+      |    CAST(sxl AS DOUBLE) * CAST(sxl AS DOUBLE) / t
+      |      + CAST(tot.sx - sxl AS DOUBLE) * CAST(tot.sx - sxl AS DOUBLE)
+      |        / (tot.n - t) AS score
+      |  FROM pre, tot WHERE t < tot.n),
+      |mx AS (SELECT max(score) AS ms FROM cand),
+      |best AS (
+      |  SELECT min(t) AS bt FROM cand, mx WHERE cand.score = mx.ms)
+      |SELECT c.day AS split_day, c.t AS n_left, c.n - c.t AS n_right,
+      |  c.sxl // c.t AS mean_left_cents,
+      |  (c.sx - c.sxl) // (c.n - c.t) AS mean_right_cents,
+      |  CAST(floor(c.score
+      |    - CAST(c.sx AS DOUBLE) * CAST(c.sx AS DOUBLE) / c.n) AS BIGINT)
+      |    AS gain_floor
+      |FROM cand c JOIN best ON c.t = best.bt""".stripMargin) { (s, dir) =>
+    val d = graft.Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("s"))
+    val tot = d.agg(count(lit(1)).as("n"), sum(col("s")).as("sx"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val pre = d
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("sxl", sum(col("s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val cand = pre.crossJoin(broadcast(tot))
+      .filter(col("t") < col("n"))
+      .withColumn("score",
+        expr("CAST(sxl AS DOUBLE) * CAST(sxl AS DOUBLE) / t " +
+          "+ CAST(sx - sxl AS DOUBLE) * CAST(sx - sxl AS DOUBLE) / (n - t)"))
+      .localCheckpoint() // feeds the max frame and the final pick
+    val mx = cand.agg(max(col("score")).as("ms"))
+    val best = cand.crossJoin(broadcast(mx))
+      .filter(col("score") === col("ms"))
+      .agg(min(col("t")).as("bt"))
+    cand.join(broadcast(best), col("t") === col("bt"))
+      .select(col("day").as("split_day"), col("t").as("n_left"),
+        (col("n") - col("t")).as("n_right"),
+        expr("sxl div t").as("mean_left_cents"),
+        expr("(sx - sxl) div (n - t)").as("mean_right_cents"),
+        expr("CAST(floor(score - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)" +
+          " AS BIGINT)").as("gain_floor"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail)
+    Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail,
+      q245Changepoint)
 }

@@ -95,6 +95,17 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q245: changepoint split partitions the day axis with non-negative gain") {
+    val r = Forecast.q245Changepoint.build(spark, dir).head()
+    val nDays = Tables.events(spark, dir)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(r.getAs[Long]("n_left") + r.getAs[Long]("n_right") == nDays)
+    assert(r.getAs[Long]("n_left") >= 1L && r.getAs[Long]("n_right") >= 1L)
+    // between-group gain is >= 0 in exact arithmetic (Cauchy-Schwarz);
+    // allow one ulp of IEEE slack before the floor
+    assert(r.getAs[Long]("gain_floor") >= -1L)
+  }
+
   test("q224: KS D in [0, 1e6] ppm and sample sizes match the fact table") {
     val r = DataProfile.q224KsTest.build(spark, dir).head()
     val na = r.getAs[Long]("na")

@@ -120,6 +120,10 @@ object PlanSweepAllowlist {
     ("q164_survival", "repartition(1)",
       "sequential KM scan over the aggregated lifetime-day axis " +
         "(pinned in ScalePlanAuditSpec)"),
+    // q245_changepoint's day-axis rank/prefix windows are calendar-
+    // bounded but sit BELOW its eager localCheckpoint, so the sweep
+    // never sees them (the LogicalRDD hides the already-executed
+    // prefix) — the adjudication lives in the query's scaladoc instead
     ("q239_hits", "a#",
       "authority rank window runs over the TakeOrdered top-10 slice (literal k)"),
     ("q239_hits", "h#",
