@@ -2169,8 +2169,156 @@ object EventOps {
       .orderBy("day")
   }
 
+  private val MK_ROUNDS = 8
+  private val MK_CHANNELS = Seq("click", "error", "signup", "view")
+
+  /** Oracle twin of [[q246MarkovAttribution]]: the identical
+    * fixed-point rounds unrolled as MATERIALIZED CTEs over the
+    * scenario-expanded transition table. */
+  private def markovOracleSql: String = {
+    val chans = MK_CHANNELS.map(c => s"'$c'").mkString(", ")
+    val rounds = (1 to MK_ROUNDS).map { r =>
+      s"""v$r AS MATERIALIZED (
+         |  SELECT st.scen, st.state,
+         |    coalesce(max(pp.p), 0)
+         |      + coalesce(CAST(sum(tt.p * pv.v) AS BIGINT) // 1000000, 0) AS v
+         |  FROM st
+         |  LEFT JOIN pp ON pp.scen = st.scen AND pp.f = st.state
+         |  LEFT JOIN tt ON tt.scen = st.scen AND tt.f = st.state
+         |  LEFT JOIN v${r - 1} pv ON pv.scen = tt.scen AND pv.state = tt.t
+         |  GROUP BY st.scen, st.state)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT event_type AS t,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |pairs AS (
+       |  SELECT CASE WHEN prev IS NULL OR prev = 'purchase'
+       |              THEN 'start' ELSE prev END AS f, t
+       |  FROM seq),
+       |denom AS (
+       |  SELECT f, count(*) AS d FROM (
+       |    SELECT CASE WHEN prev IS NULL OR prev = 'purchase'
+       |                THEN 'start' ELSE 'x' END AS f FROM seq
+       |    UNION ALL
+       |    SELECT t FROM seq WHERE t <> 'purchase') WHERE f <> 'x'
+       |  GROUP BY f),
+       |base_tr AS (
+       |  SELECT p.f, p.t, (1000000 * count(*)) // max(d.d) AS p
+       |  FROM pairs p JOIN denom d ON d.f = p.f
+       |  GROUP BY p.f, p.t),
+       |scens AS (SELECT unnest(['base', $chans]) AS scen),
+       |tr AS (
+       |  SELECT s.scen, b.f, b.t, b.p FROM scens s JOIN base_tr b
+       |  ON s.scen = 'base' OR (b.f <> s.scen AND b.t <> s.scen)),
+       |st AS (
+       |  SELECT DISTINCT s.scen, x.f AS state
+       |  FROM scens s JOIN (SELECT DISTINCT f FROM base_tr) x
+       |  ON s.scen = 'base' OR x.f <> s.scen),
+       |pp AS (SELECT scen, f, p FROM tr WHERE t = 'purchase'),
+       |tt AS (SELECT scen, f, t, p FROM tr
+       |       WHERE t <> 'purchase' AND t IN (SELECT state FROM st WHERE st.scen = tr.scen)),
+       |v0 AS (SELECT scen, state, CAST(0 AS BIGINT) AS v FROM st),
+       |$rounds
+       |SELECT c.scen AS channel, b.v AS base_ppm, c.v AS removed_ppm,
+       |  b.v - c.v AS effect_ppm
+       |FROM v$MK_ROUNDS c
+       |JOIN v$MK_ROUNDS b ON b.scen = 'base' AND b.state = 'start'
+       |WHERE c.state = 'start' AND c.scen <> 'base'
+       |ORDER BY channel""".stripMargin
+  }
+
+  /** q246 — Markov removal-effect attribution (Anderl et al. 2016):
+    * credit each channel by how much the corpus-wide conversion
+    * probability DROPS when the channel is deleted from the journey
+    * graph — the principled successor to q142's first/last-touch
+    * heuristics (which pay only endpoints). Journeys are per-user
+    * event sequences restarting after each purchase; the chain has
+    * transient states {start, view, click, signup, error}, absorbing
+    * conversion (purchase) and implicit dropout (1 − Σp: dangling
+    * last events). Removing channel c deletes its rows unrenormalized
+    * — severed mass flows to dropout, exactly the removal-effect
+    * convention. Absorption probabilities come from 8 fixed
+    * value-iteration rounds of v = p_conv + P_transient·v (geometric
+    * convergence; 8 rounds moves ppm values by < 1 at these mixing
+    * rates, and the count is part of the spec'd semantics).
+    *
+    * Exactness: transition probabilities are integer ppm ratios; each
+    * round is int64 products summed then one truncating div —
+    * engine-identical at every round, so the fixed rounds ARE the
+    * contract (no float fixpoint tolerance).
+    *
+    * Scale design (100 TB): the only data-scaled work is the per-user
+    * lag window (unbounded key cardinality — hash-ranged tasks) and
+    * one transition-count aggregate; everything after lives on a
+    * ≤ 5-scenario × ≤ 30-row transition table iterated with broadcast
+    * joins — the value iteration costs the same at any corpus size. */
+  val q246MarkovAttribution: QueryDef = QueryDef(
+    "q246_markov_attribution", markovOracleSql) { (s, dir) =>
+    val seq0 = Tables.events(s, dir).select(
+      col("event_type").as("t"),
+      lag(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))).as("prev"))
+      .localCheckpoint() // one corpus pass feeds pairs + denominators
+    val f = when(col("prev").isNull || col("prev") === "purchase", "start")
+      .otherwise(col("prev"))
+    val pairs = seq0.select(f.as("f"), col("t"))
+    val denom = seq0.select(
+        when(col("prev").isNull || col("prev") === "purchase", "start")
+          .otherwise(lit("x")).as("f"))
+      .unionAll(seq0.filter(col("t") =!= "purchase").select(col("t").as("f")))
+      .filter(col("f") =!= "x")
+      .groupBy(col("f")).agg(count(lit(1)).as("d"))
+    val baseTr = pairs.groupBy(col("f"), col("t"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(denom), Seq("f"))
+      .select(col("f"), col("t"), expr("(1000000 * n) div d").as("p"))
+      .localCheckpoint() // the <=30-row chain everything below iterates on
+    val scens = s.createDataFrame(
+      ("base" +: MK_CHANNELS).map(Tuple1(_))).toDF("scen")
+    val tr = scens.crossJoin(baseTr)
+      .filter(col("scen") === "base" ||
+        (col("f") =!= col("scen") && col("t") =!= col("scen")))
+    val st = scens.crossJoin(baseTr.select(col("f")).distinct())
+      .filter(col("scen") === "base" || col("f") =!= col("scen"))
+      .select(col("scen"), col("f").as("state")).distinct()
+    val pp = tr.filter(col("t") === "purchase")
+      .select(col("scen"), col("f"), col("p"))
+    val tt = tr.filter(col("t") =!= "purchase")
+      .join(st.select(col("scen"), col("state").as("t")), Seq("scen", "t"))
+      .select(col("scen"), col("f"), col("t"), col("p"))
+    var v = st.select(col("scen"), col("state"), lit(0L).as("v"))
+    for (_ <- 1 to MK_ROUNDS) {
+      val flow = tt.join(broadcast(v.select(col("scen"),
+          col("state").as("t"), col("v").as("pv"))), Seq("scen", "t"))
+        .groupBy(col("scen"), col("f"))
+        .agg(expr("CAST(sum(p * pv) AS BIGINT) div 1000000").as("fl"))
+      v = st.join(broadcast(pp), st("scen") === pp("scen")
+            && col("state") === pp("f"), "left")
+        .select(st("scen"), col("state"), coalesce(col("p"), lit(0L)).as("cp"))
+        .join(broadcast(flow.select(col("scen"), col("f").as("state"),
+          col("fl"))), Seq("scen", "state"), "left")
+        .select(col("scen"), col("state"),
+          (col("cp") + coalesce(col("fl"), lit(0L))).as("v"))
+        // <=25-row frame: truncating per round keeps the plan depth
+        // (and catalyst time) constant instead of 3 joins x 8 rounds
+        .localCheckpoint()
+    }
+    val vs = v.filter(col("state") === "start").localCheckpoint()
+    val base = vs.filter(col("scen") === "base")
+      .select(col("v").as("base_ppm"))
+    vs.filter(col("scen") =!= "base")
+      .crossJoin(broadcast(base))
+      .select(col("scen").as("channel"), col("base_ppm"),
+        col("v").as("removed_ppm"),
+        (col("base_ppm") - col("v")).as("effect_ppm"))
+      .orderBy("channel")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q230Sprt, q236OffPolicy, q240Sax,
+    q230Sprt, q236OffPolicy, q240Sax, q246MarkovAttribution,
     q196SchemaDrift, q199SessionEntropy, q219SloBurn, q220Stickiness,
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,

@@ -106,6 +106,24 @@ class StatsQueriesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("gain_floor") >= -1L)
   }
 
+  test("q246: removal effects are non-negative and consistent with the base rate") {
+    val rows = EventOps.q246MarkovAttribution.build(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("channel")).sorted.toSeq ==
+      Seq("click", "error", "signup", "view"))
+    val bases = rows.map(_.getAs[Long]("base_ppm")).distinct
+    assert(bases.length == 1, "base conversion must be scenario-invariant")
+    for (r <- rows) {
+      val b = r.getAs[Long]("base_ppm")
+      val rem = r.getAs[Long]("removed_ppm")
+      val eff = r.getAs[Long]("effect_ppm")
+      assert(eff == b - rem)
+      // unrenormalized removal only deletes probability mass, so the
+      // removed-graph conversion can never exceed the base
+      assert(rem >= 0L && rem <= b)
+      assert(b >= 0L && b <= 1000000L)
+    }
+  }
+
   test("q224: KS D in [0, 1e6] ppm and sample sizes match the fact table") {
     val r = DataProfile.q224KsTest.build(spark, dir).head()
     val na = r.getAs[Long]("na")
