@@ -324,7 +324,89 @@ object Privacy {
       .orderBy("nation", "seg")
   }
 
+  private val RR_CATS = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q247 — k-ary randomized response (Warner'65; the RAPPOR
+    * primitive): each event reports its type truthfully with
+    * probability 3/4, otherwise a uniformly drawn category — the
+    * LOCAL differential-privacy mechanism (ε = ln(p·k/(1−p)) =
+    * ln 15 ≈ 2.7 per report) under which the collector can still
+    * estimate POPULATION frequencies: E[obs] = p·π + (1−p)/k, so
+    * π̂ = (obs − (1−p)/k)/p. The audit reports true, observed,
+    * debiased, and residual-error shares per category — debiased
+    * must track true while observed is pulled toward uniform.
+    *
+    * Determinism: the mechanism's coins are md5-prefix integers of
+    * the event id (q36 contract) — the REPLAYABLE stand-in for the
+    * mechanism's RNG, so both engines flip identical coins and the
+    * gate pins the exact debias arithmetic, not a statistical
+    * tolerance. Negative debiased shares clamp at 0 BEFORE the
+    * truncating div (`greatest` on both sides — the signed-div
+    * portability rule).
+    *
+    * Scale design (100 TB): one map-side expression pair per row
+    * (two md5s + a CASE against a broadcast 5-row category axis),
+    * two partial-aggregable count passes, a 1-row total broadcast —
+    * nothing downstream of the scan exceeds |categories| rows. */
+  val q247RandomizedResponse: QueryDef = QueryDef(
+    "q247_randomized_response",
+    s"""WITH base AS (
+      |  SELECT event_type AS true_cat,
+      |    ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 4 AS coin,
+      |    ('0x' || substring(md5('r|' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % ${RR_CATS.size} AS ri
+      |  FROM events),
+      |cats AS (
+      |  SELECT unnest([${RR_CATS.map(c => s"'$c'").mkString(", ")}]) AS cat,
+      |    CAST(unnest(range(${RR_CATS.size})) AS BIGINT) AS idx),
+      |rep AS (
+      |  SELECT CASE WHEN b.coin < 3 THEN b.true_cat ELSE c.cat END AS rep_cat,
+      |    b.true_cat
+      |  FROM base b JOIN cats c ON c.idx = b.ri),
+      |tot AS (SELECT count(*) AS n FROM rep),
+      |o AS (SELECT rep_cat AS cat, count(*) AS o FROM rep GROUP BY 1),
+      |t AS (SELECT true_cat AS cat, count(*) AS t FROM rep GROUP BY 1)
+      |SELECT c.cat,
+      |  (1000000 * coalesce(t.t, 0)) // tot.n AS true_ppm,
+      |  (1000000 * coalesce(o.o, 0)) // tot.n AS obs_ppm,
+      |  greatest(0, 4 * ((1000000 * coalesce(o.o, 0)) // tot.n) - 200000)
+      |    // 3 AS est_ppm,
+      |  abs(greatest(0, 4 * ((1000000 * coalesce(o.o, 0)) // tot.n) - 200000)
+      |    // 3 - (1000000 * coalesce(t.t, 0)) // tot.n) AS err_ppm
+      |FROM cats c LEFT JOIN o ON o.cat = c.cat LEFT JOIN t ON t.cat = c.cat
+      |CROSS JOIN tot ORDER BY c.cat""".stripMargin) { (s, dir) =>
+    val cats = s.createDataFrame(RR_CATS.zipWithIndex.map {
+      case (c, i) => (c, i.toLong)
+    }).toDF("cat", "idx")
+    val base = Tables.events(s, dir).select(
+      col("event_type").as("true_cat"),
+      (conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 4).as("coin"),
+      (conv(substring(md5(concat(lit("r|"), col("event_id").cast("string"))),
+        1, 15), 16, 10).cast("long") % RR_CATS.size).as("ri"))
+    val rep = base.join(broadcast(cats), col("idx") === col("ri"))
+      .select(when(col("coin") < 3, col("true_cat")).otherwise(col("cat"))
+        .as("rep_cat"), col("true_cat"))
+      .localCheckpoint() // feeds total + both count passes
+    val tot = rep.agg(count(lit(1)).as("n"))
+    val o = rep.groupBy(col("rep_cat").as("cat")).agg(count(lit(1)).as("o"))
+    val t = rep.groupBy(col("true_cat").as("cat")).agg(count(lit(1)).as("t"))
+    cats.join(broadcast(o), Seq("cat"), "left")
+      .join(broadcast(t), Seq("cat"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cat"),
+        expr("(1000000 * coalesce(t, CAST(0 AS BIGINT))) div n").as("true_ppm"),
+        expr("(1000000 * coalesce(o, CAST(0 AS BIGINT))) div n").as("obs_ppm"),
+        expr("greatest(0, 4 * ((1000000 * coalesce(o, CAST(0 AS BIGINT))) div n)" +
+          " - 200000) div 3").as("est_ppm"),
+        expr("abs(greatest(0, 4 * ((1000000 * coalesce(o, CAST(0 AS BIGINT)))" +
+          " div n) - 200000) div 3" +
+          " - (1000000 * coalesce(t, CAST(0 AS BIGINT))) div n)").as("err_ppm"))
+      .orderBy("cat")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q201KAnonymity, q202LDiversity, q203GeneralizationLadder,
-    q217Pseudonymize, q223TCloseness)
+    q217Pseudonymize, q223TCloseness, q247RandomizedResponse)
 }

@@ -124,6 +124,22 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q247: randomized-response debiasing recovers true shares within noise") {
+    val rows = Privacy.q247RandomizedResponse.build(spark, dir).collect()
+    assert(rows.length == 5)
+    val trueSum = rows.map(_.getAs[Long]("true_ppm")).sum
+    assert(math.abs(trueSum - 1000000L) <= 5L, s"true shares must sum to 1: $trueSum")
+    for (r <- rows) {
+      assert(r.getAs[Long]("est_ppm") >= 0L)
+      assert(r.getAs[Long]("err_ppm") ==
+        math.abs(r.getAs[Long]("est_ppm") - r.getAs[Long]("true_ppm")))
+      // ~1.2k events/category at smoke scale: 4 sigma of debiased
+      // sampling noise is ~4%
+      assert(r.getAs[Long]("err_ppm") < 40000L,
+        s"${r.getAs[String]("cat")} debias error ${r.getAs[Long]("err_ppm")}")
+    }
+  }
+
   test("q224: KS D in [0, 1e6] ppm and sample sizes match the fact table") {
     val r = DataProfile.q224KsTest.build(spark, dir).head()
     val na = r.getAs[Long]("na")

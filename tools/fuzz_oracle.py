@@ -138,6 +138,15 @@ QUERIES = [
     # the text redraw through per-(word,source) ln chains and the
     # unique-word vocabulary subtraction
     "q230_sprt", "q232_loo_influence",
+    # round-6 additions: winnowing/golden-record/feature-hashing ride
+    # the text redraw (gram hashes, shingle clusters, slot loads);
+    # conformal/changepoint/SSSP ride the money redraw (cents order
+    # statistics, IEEE split scores, min-cents edge weights); the
+    # off-policy and SAX screens ride the events value redraw
+    # (propensity argmax regroup, PAA quartile breakpoints)
+    "q234_winnowing", "q235_conformal", "q236_offpolicy",
+    "q240_sax", "q242_sssp", "q243_feature_hashing",
+    "q244_golden_record", "q245_changepoint",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
