@@ -808,7 +808,97 @@ object Learn {
     clusters.unionByName(noise).orderBy("cluster")
   }
 
+  private val KC_K = 5 // coreset size (seed + 4 greedy picks)
+
+  /** Oracle twin of [[q249KCenter]]: seed + unrolled greedy rounds as
+    * MATERIALIZED CTEs over the shared quantized-points CTE. */
+  private def kcenterOracleSql: String = {
+    val rounds = (2 to KC_K).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT min(vec_id) AS cid, max(dmin) AS r2 FROM d${r - 1}
+         |  WHERE dmin = (SELECT max(dmin) FROM d${r - 1})),
+         |d$r AS MATERIALIZED (
+         |  SELECT p.vec_id,
+         |    least(dd.dmin, CAST(sum((p.q - c.q) * (p.q - c.q)) AS BIGINT))
+         |      AS dmin
+         |  FROM pts p
+         |  JOIN (SELECT pos, q FROM pts JOIN p$r ON pts.vec_id = p$r.cid) c
+         |    USING (pos)
+         |  JOIN d${r - 1} dd ON dd.vec_id = p.vec_id
+         |  GROUP BY p.vec_id, dd.dmin)""".stripMargin
+    }.mkString(",\n")
+    val rows = (2 to KC_K).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rk, cid AS vec_id, r2 AS radius_sq FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH $ptsCte,
+       |c0 AS (SELECT min(vec_id) AS cid FROM pts),
+       |d1 AS MATERIALIZED (
+       |  SELECT p.vec_id, CAST(sum((p.q - c.q) * (p.q - c.q)) AS BIGINT)
+       |    AS dmin
+       |  FROM pts p
+       |  JOIN (SELECT pos, q FROM pts JOIN c0 ON pts.vec_id = c0.cid) c
+       |    USING (pos)
+       |  GROUP BY p.vec_id),
+       |$rounds
+       |SELECT CAST(1 AS BIGINT) AS rk, cid AS vec_id,
+       |  CAST(0 AS BIGINT) AS radius_sq FROM c0
+       |UNION ALL $rows
+       |ORDER BY rk""".stripMargin
+  }
+
+  /** q249 — greedy k-center coreset (Gonzalez'85 farthest-point
+    * traversal, the 2-approximation): pick the min-id seed, then
+    * repeatedly the point FARTHEST from every chosen center (ties to
+    * min vec_id). The radius_sq trail is the certificate: after k
+    * picks every point sits within radius_sq(k) of a center, the
+    * coverage bound that makes the k points a faithful exemplar set.
+    * This is the diversity-first data-selection step of a curation
+    * pipeline (dedup keeps one PER near-dup class; the coreset keeps
+    * the most SPREAD exemplars for labeling/eval budgets) — the
+    * geometric opposite of q95's density-seeking k-means and the
+    * deterministic cousin of k-means++ seeding.
+    *
+    * Exactness: q95's floor-quantized micro-unit coordinates; all
+    * distances are int64 squared sums (≤ 64·(2·3·10¹¹) ≪ 2⁶³);
+    * argmax is max-dmin ⋈ min-id (no window); the greedy recurrence
+    * dmin' = least(dmin, d(·, new)) is exact mins over ints.
+    *
+    * Scale design (100 TB): each round broadcasts ONE 64-row center
+    * vector against the checkpointed points layout — the corpus is
+    * scanned per round but never shuffled (partial-aggregable
+    * per-point distance sums, then a 1-row max broadcast); k is a
+    * small constant, so the plan is k linear passes. */
+  val q249KCenter: QueryDef = QueryDef("q249_kcenter", kcenterOracleSql) {
+    (s, dir) =>
+    val pts = points(Tables.embeddings(s, dir)).localCheckpoint()
+    def centerVec(cid: DataFrame): DataFrame =
+      pts.join(broadcast(cid), pts("vec_id") === cid("cid"))
+        .select(col("pos"), col("q").as("qc"))
+    def distTo(cv: DataFrame): DataFrame =
+      pts.join(broadcast(cv), Seq("pos"))
+        .groupBy(col("vec_id"))
+        .agg(sum((col("q") - col("qc")) * (col("q") - col("qc"))).as("dc"))
+    val c0 = pts.agg(min(col("vec_id")).as("cid")).localCheckpoint()
+    var rows = c0.select(lit(1L).as("rk"), col("cid").as("vec_id"),
+      lit(0L).as("radius_sq"))
+    var d = distTo(centerVec(c0))
+      .select(col("vec_id"), col("dc").as("dmin")).localCheckpoint()
+    for (r <- 2 to KC_K) {
+      val mx = d.agg(max(col("dmin")).as("mx"))
+      val pick = d.crossJoin(broadcast(mx))
+        .filter(col("dmin") === col("mx"))
+        .agg(min(col("vec_id")).as("cid"), max(col("mx")).as("r2"))
+        .localCheckpoint()
+      rows = rows.unionByName(pick.select(lit(r.toLong).as("rk"),
+        col("cid").as("vec_id"), col("r2").as("radius_sq")))
+      d = d.join(distTo(centerVec(pick.select(col("cid")))), Seq("vec_id"))
+        .select(col("vec_id"), least(col("dmin"), col("dc")).as("dmin"))
+        .localCheckpoint()
+    }
+    rows.orderBy("rk")
+  }
+
   val all: Seq[QueryDef] = Seq(q95Kmeans, q96CentroidClassify,
     q159ClusterPurity, q173Stump, q174Calibration, q227NaiveBayes,
-    q235Conformal, q238Dbscan)
+    q235Conformal, q238Dbscan, q249KCenter)
 }

@@ -265,6 +265,67 @@ object Retrieval {
     }
   }
 
+  /** q248 — postings compression audit: model each term's posting
+    * list as delta gaps + LEB128 varints (the Lucene/PISA on-disk
+    * encoding) and report the modeled size against raw 8-byte ids.
+    * Delta-gap + varint is why a posting list costs ~1–2 bytes per
+    * entry instead of 8: common terms have SMALL gaps (they hit most
+    * docs), so exactly the lists that dominate the index compress
+    * best — the audit makes that inverse df↔bytes-per-posting
+    * relationship visible per term, which is the number an index
+    * capacity plan starts from.
+    *
+    * Exactness: gaps are int64 differences over the per-term sorted
+    * distinct doc ids (first entry encodes its absolute id); the
+    * varint size is a literal threshold CASE (< 2⁷, 2¹⁴, 2²¹, else 4
+    * — ids stay under 2²⁸ at every shipped scale; the CASE gains a
+    * 5-byte arm at planet-scale ids); ratio is an integer ppm.
+    *
+    * Scale design (100 TB): the (term, doc) explosion deduplicates
+    * with map-side combine; the gap window partitions by TERM —
+    * unbounded key cardinality, hash-ranged tasks (never a global
+    * sort); byte sums are partial-aggregable. Output is one row per
+    * vocabulary term. */
+  val q248PostingsCompression: QueryDef = QueryDef(
+    "q248_postings_compression",
+    """WITH p AS (
+      |  SELECT DISTINCT tok, doc_id
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)),
+      |g AS (
+      |  SELECT tok,
+      |    coalesce(doc_id - lag(doc_id) OVER (PARTITION BY tok ORDER BY doc_id),
+      |             doc_id) AS gap
+      |  FROM p),
+      |b AS (
+      |  SELECT tok,
+      |    CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+      |         WHEN gap < 2097152 THEN 3 ELSE 4 END AS nb
+      |  FROM g)
+      |SELECT tok, count(*) AS df,
+      |  CAST(8 * count(*) AS BIGINT) AS raw_bytes,
+      |  CAST(sum(nb) AS BIGINT) AS varint_bytes,
+      |  (1000000 * CAST(sum(nb) AS BIGINT)) // (8 * count(*)) AS ratio_ppm
+      |FROM b GROUP BY tok ORDER BY tok""".stripMargin) { (s, dir) =>
+    val p = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val w = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
+    val g = p.select(col("tok"),
+      coalesce(col("doc_id") - lag(col("doc_id"), 1).over(w), col("doc_id"))
+        .as("gap"))
+    g.select(col("tok"),
+        when(col("gap") < 128L, 1L).when(col("gap") < 16384L, 2L)
+          .when(col("gap") < 2097152L, 3L).otherwise(4L).as("nb"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("nb")).as("vb"))
+      .select(col("tok"), col("df"), (lit(8L) * col("df")).as("raw_bytes"),
+        col("vb").as("varint_bytes"),
+        expr("(1000000 * vb) div (8 * df)").as("ratio_ppm"))
+      .orderBy("tok")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q70Bm25, q103InvertedIndex, q117PhraseIndex, q160HybridRrf)
+    Seq(q70Bm25, q103InvertedIndex, q117PhraseIndex, q160HybridRrf,
+      q248PostingsCompression)
 }

@@ -62,6 +62,33 @@ class ScaleOpsSpec extends AnyFunSuite {
       "every vocabulary token lands in exactly one slot")
   }
 
+  test("q248 postings: varint model never exceeds raw and stays >= 1 byte/entry") {
+    val rows = Retrieval.q248PostingsCompression
+      .build(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val df = r.getAs[Long]("df")
+      val vb = r.getAs[Long]("varint_bytes")
+      assert(vb >= df && vb <= r.getAs[Long]("raw_bytes"))
+      assert(r.getAs[Long]("ratio_ppm") >= 125000L &&
+        r.getAs[Long]("ratio_ppm") <= 500000L,
+        s"${r.getAs[String]("tok")} models outside [1,4] bytes/posting")
+    }
+  }
+
+  test("q249 k-center: greedy radii are non-increasing and centers distinct") {
+    val rows = Learn.q249KCenter.build(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getAs[Long]("rk"))
+    assert(rows.length == 5)
+    assert(rows.head.getAs[Long]("radius_sq") == 0L)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 5,
+      "a point can be picked at most once")
+    val radii = rows.tail.map(_.getAs[Long]("radius_sq"))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"farthest-point radii must shrink: ${radii.mkString(",")}")
+    assert(radii.forall(_ > 0L))
+  }
+
   test("q191 dyadic quantile sketch: estimate shares the exact value's octave (error < 2x)") {
     val rows = Sketches.q191QuantileSketch.build(spark, "/root/testdata/sf0.001")
       .collect()
