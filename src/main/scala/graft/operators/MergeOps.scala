@@ -228,6 +228,66 @@ object MergeOps {
         sum(when(col("last_op") =!= "D", col("last_cents"))).as("live_cents"))
   }
 
+  /** q250 — incremental view maintenance with retractions (the
+    * materialized-view delta algebra: V' = V ⊎ agg(ΔI) ⊖ agg(ΔD)):
+    * the per-nation revenue view is maintained from a stale base
+    * snapshot (orders with key %4 ≠ 0) by MERGING signed partial
+    * aggregates for the insert batch (%4 = 0 minus %8 = 1) and the
+    * retraction batch (%8 = 1 within the base) — never rescanning the
+    * base fact table. This is the refresh path every warehouse MV
+    * runs on CDC feeds; the reference's append-only load (J1) is the
+    * degenerate no-retraction case.
+    *
+    * Oracle leverage (the q206 pattern): the DuckDB twin computes the
+    * FINAL state directly — one flat aggregate over the post-change
+    * row set, no staging — so the hash match PROVES the signed-merge
+    * algebra commutes with the aggregation, not merely that two
+    * copies of the same staged plan agree.
+    *
+    * Exactness: revenue is half-up cents; counts/sums merge by signed
+    * int64 addition (associative, partial-aggregable).
+    *
+    * Scale design (100 TB): the base-view aggregate is computed once
+    * (in production: already materialized); each delta batch
+    * aggregates DOWN to |nation| rows before the merge, so refresh
+    * cost scales with the CHANGE set, not the view's base — the whole
+    * point of IVM. All three partials merge on the bounded nation
+    * axis. */
+  val q250IvmView: QueryDef = QueryDef(
+    "q250_ivm_view",
+    """WITH live AS (
+      |  SELECT n.n_name AS nation,
+      |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  WHERE o.o_orderkey % 8 <> 1)
+      |SELECT nation, count(*) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+      |FROM live GROUP BY nation ORDER BY nation""".stripMargin) { (s, dir) =>
+    val rows = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("o_orderkey").as("k"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    def agg(df: org.apache.spark.sql.DataFrame, sign: Long) =
+      df.groupBy(col("nation"))
+        .agg((lit(sign) * count(lit(1))).as("dn"),
+          (lit(sign) * sum(col("cents"))).as("dr"))
+    // stale base view: the %4 != 0 snapshot, aggregated once
+    val baseView = agg(rows.filter(col("k") % 4 =!= 0), 1L)
+    // CDC batches: inserts (%4 == 0 net of %8 == 1), retractions
+    // (%8 == 1 rows present in the base)
+    val inserts = agg(rows.filter(col("k") % 4 === 0 && col("k") % 8 =!= 1), 1L)
+    val deletes = agg(rows.filter(col("k") % 8 === 1 && col("k") % 4 =!= 0), -1L)
+    baseView.unionAll(inserts).unionAll(deletes)
+      .groupBy(col("nation"))
+      .agg(sum(col("dn")).as("n_orders"), sum(col("dr")).as("revenue_cents"))
+      .orderBy("nation")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q80MergeUpsert, q92SnapshotDiff, q120ForgetCascade, q212CdcCompact)
+    Seq(q80MergeUpsert, q92SnapshotDiff, q120ForgetCascade, q212CdcCompact,
+      q250IvmView)
 }

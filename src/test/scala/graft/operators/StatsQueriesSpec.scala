@@ -140,6 +140,23 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q250: the maintained view equals a direct recompute of the live rows") {
+    val maintained = MergeOps.q250IvmView.build(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 8 =!= 1)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("revenue_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(maintained == direct,
+      "signed-merge maintenance must commute with the aggregation")
+    assert(maintained.nonEmpty)
+  }
+
   test("q224: KS D in [0, 1e6] ppm and sample sizes match the fact table") {
     val r = DataProfile.q224KsTest.build(spark, dir).head()
     val na = r.getAs[Long]("na")
