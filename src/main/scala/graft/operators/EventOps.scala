@@ -2317,8 +2317,193 @@ object EventOps {
       .orderBy("channel")
   }
 
+  /** Oracle twin of [[q251ShapleyAttribution]]: the q246 rounds over a
+    * 16-coalition axis, then the literal Shapley pair table. */
+  private def shapleyOracleSql: String = {
+    val k = MK_CHANNELS.size
+    // coalition CTE rows: (scen bitmask, allowed-state list)
+    val coalitions = (0 until (1 << k)).map { m =>
+      val allowed = ("'start'" +: MK_CHANNELS.zipWithIndex.collect {
+        case (c, i) if (m & (1 << i)) != 0 => s"'$c'"
+      }).mkString(", ")
+      s"SELECT $m AS scen, unnest([$allowed]) AS state"
+    }.mkString("\nUNION ALL ")
+    // Shapley pairs: (channel, without-mask, with-mask, weight); k=4
+    // weights |S|!(k-1-|S|)! are [6,2,2,6] over denominator 4! = 24
+    val wt = Seq(6, 2, 2, 6)
+    val pairs = (for {
+      (c, i) <- MK_CHANNELS.zipWithIndex
+      m <- 0 until (1 << k) if (m & (1 << i)) == 0
+    } yield {
+      val size = Integer.bitCount(m)
+      s"SELECT '$c' AS channel, $m AS lo, ${m | (1 << i)} AS hi, ${wt(size)} AS w"
+    }).mkString("\nUNION ALL ")
+    val rounds = (1 to MK_ROUNDS).map { r =>
+      s"""v$r AS MATERIALIZED (
+         |  SELECT st.scen, st.state,
+         |    coalesce(max(pp.p), 0)
+         |      + coalesce(CAST(sum(tt.p * pv.v) AS BIGINT) // 1000000, 0) AS v
+         |  FROM st
+         |  LEFT JOIN pp ON pp.scen = st.scen AND pp.f = st.state
+         |  LEFT JOIN tt ON tt.scen = st.scen AND tt.f = st.state
+         |  LEFT JOIN v${r - 1} pv ON pv.scen = tt.scen AND pv.state = tt.t
+         |  GROUP BY st.scen, st.state)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT event_type AS t,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |pairs0 AS (
+       |  SELECT CASE WHEN prev IS NULL OR prev = 'purchase'
+       |              THEN 'start' ELSE prev END AS f, t
+       |  FROM seq),
+       |denom AS (
+       |  SELECT f, count(*) AS d FROM (
+       |    SELECT CASE WHEN prev IS NULL OR prev = 'purchase'
+       |                THEN 'start' ELSE 'x' END AS f FROM seq
+       |    UNION ALL
+       |    SELECT t FROM seq WHERE t <> 'purchase') WHERE f <> 'x'
+       |  GROUP BY f),
+       |base_tr AS (
+       |  SELECT p.f, p.t, (1000000 * count(*)) // max(d.d) AS p
+       |  FROM pairs0 p JOIN denom d ON d.f = p.f
+       |  GROUP BY p.f, p.t),
+       |st AS ($coalitions),
+       |tr AS (
+       |  SELECT sf.scen, b.f, b.t, b.p
+       |  FROM base_tr b
+       |  JOIN st sf ON sf.state = b.f
+       |  WHERE b.t = 'purchase'
+       |     OR b.t IN (SELECT state FROM st s2 WHERE s2.scen = sf.scen)),
+       |pp AS (SELECT scen, f, p FROM tr WHERE t = 'purchase'),
+       |tt AS (SELECT scen, f, t, p FROM tr WHERE t <> 'purchase'),
+       |v0 AS (SELECT scen, state, CAST(0 AS BIGINT) AS v FROM st),
+       |$rounds,
+       |vs AS (SELECT scen, v FROM v$MK_ROUNDS WHERE state = 'start'),
+       |sp AS ($pairs)
+       |SELECT sp.channel,
+       |  CAST(sum(sp.w * (vh.v - vl.v)) AS BIGINT) AS phi24_ppm,
+       |  (CAST(sum(sp.w * (vh.v - vl.v)) AS BIGINT) + 2400000000) // 24
+       |    - 100000000 AS phi_ppm,
+       |  (SELECT v FROM vs WHERE scen = 15) AS v_full_ppm,
+       |  (SELECT v FROM vs WHERE scen = 0) AS v_empty_ppm
+       |FROM sp JOIN vs vh ON vh.scen = sp.hi JOIN vs vl ON vl.scen = sp.lo
+       |GROUP BY sp.channel ORDER BY sp.channel""".stripMargin
+  }
+
+  /** q251 — EXACT Shapley-value channel attribution (Shapley'53;
+    * Zhao et al. 2018 for journeys): each channel's credit is its
+    * average marginal contribution to the journey graph's conversion
+    * probability over all 2⁴ channel coalitions — the axiomatically
+    * fair division q246's single-removal effect approximates. The
+    * characteristic function v(S) is the q246 absorbing-chain
+    * conversion probability computed on the graph restricted to
+    * coalition S (severed mass → dropout), all 16 coalitions value-
+    * iterated JOINTLY as one scenario axis.
+    *
+    * Exactness: v(S) are integer ppm (the q246 contract); Shapley
+    * weights for k=4 are the integers [6,2,2,6] over 4! = 24, so
+    * φ·24 is an exact int64 sum — and the efficiency axiom
+    * Σφ·24 = 24·(v(full) − v(∅)) holds as an exact integer identity
+    * (it telescopes for ANY v), pinned in StatsQueriesSpec.
+    *
+    * Scale design (100 TB): identical to q246 — one per-user lag
+    * window and one transition aggregate touch data; the 16-scenario
+    * value iteration lives on a ≤ 16·30-row broadcast frame, constant
+    * cost at any corpus size. The 2^k coalition axis is the exact-
+    * Shapley tradeoff: it caps k at ~10 channels; past that, sampled
+    * permutations ride the same joint-scenario machinery. */
+  val q251ShapleyAttribution: QueryDef = QueryDef(
+    "q251_shapley_attribution", shapleyOracleSql) { (s, dir) =>
+    val k = MK_CHANNELS.size
+    val seq0 = Tables.events(s, dir).select(
+      col("event_type").as("t"),
+      lag(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))).as("prev"))
+      .localCheckpoint()
+    val f = when(col("prev").isNull || col("prev") === "purchase", "start")
+      .otherwise(col("prev"))
+    val pairs0 = seq0.select(f.as("f"), col("t"))
+    val denom = seq0.select(
+        when(col("prev").isNull || col("prev") === "purchase", "start")
+          .otherwise(lit("x")).as("f"))
+      .unionAll(seq0.filter(col("t") =!= "purchase").select(col("t").as("f")))
+      .filter(col("f") =!= "x")
+      .groupBy(col("f")).agg(count(lit(1)).as("d"))
+    val baseTr = pairs0.groupBy(col("f"), col("t"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(denom), Seq("f"))
+      .select(col("f"), col("t"), expr("(1000000 * n) div d").as("p"))
+      .localCheckpoint()
+    val coalitionRows = for {
+      m <- 0 until (1 << k)
+      state <- "start" +: MK_CHANNELS.zipWithIndex.collect {
+        case (c, i) if (m & (1 << i)) != 0 => c
+      }
+    } yield (m, state)
+    val st = s.createDataFrame(coalitionRows).toDF("scen", "state")
+    // fresh literal frame for the target-side membership probe (same
+    // rows; a shared lineage would trip the ambiguous-self-join check)
+    val stT = s.createDataFrame(coalitionRows).toDF("scen", "t")
+    val tr = st.withColumnRenamed("state", "f").join(baseTr, Seq("f"))
+      .join(stT.withColumn("tok", lit(1)), Seq("scen", "t"), "left")
+      .filter(col("t") === "purchase" || col("tok").isNotNull)
+      .select(col("scen"), col("f"), col("t"), col("p"))
+    // fresh attribute ids (createDataFrame from the computed rows):
+    // pp/tt/v all descend from the same literal coalition frame, and
+    // the per-round three-way joins would trip the self-join check
+    def rematerialize(df: org.apache.spark.sql.DataFrame) =
+      s.createDataFrame(df.rdd, df.schema)
+    val pp = rematerialize(tr.filter(col("t") === "purchase")
+      .select(col("scen"), col("f"), col("p")))
+    val tt = rematerialize(tr.filter(col("t") =!= "purchase")
+      .select(col("scen"), col("f"), col("t"), col("p")))
+    var v = st.select(col("scen"), col("state"), lit(0L).as("v"))
+    for (_ <- 1 to MK_ROUNDS) {
+      val flow = tt.join(broadcast(v.select(col("scen"),
+          col("state").as("t"), col("v").as("pv"))), Seq("scen", "t"))
+        .groupBy(col("scen"), col("f"))
+        .agg(expr("CAST(sum(p * pv) AS BIGINT) div 1000000").as("fl"))
+      v = st.join(broadcast(pp), st("scen") === pp("scen")
+            && col("state") === pp("f"), "left")
+        .select(st("scen"), col("state"), coalesce(col("p"), lit(0L)).as("cp"))
+        .join(broadcast(flow.select(col("scen"), col("f").as("state"),
+          col("fl"))), Seq("scen", "state"), "left")
+        .select(col("scen"), col("state"),
+          (col("cp") + coalesce(col("fl"), lit(0L))).as("v"))
+        .localCheckpoint()
+    }
+    val vs = v.filter(col("state") === "start")
+      .select(col("scen"), col("v")).localCheckpoint()
+    val wt = Seq(6L, 2L, 2L, 6L)
+    val sp = s.createDataFrame(for {
+      (c, i) <- MK_CHANNELS.zipWithIndex
+      m <- 0 until (1 << k) if (m & (1 << i)) == 0
+    } yield (c, m, m | (1 << i), wt(Integer.bitCount(m))))
+      .toDF("channel", "lo", "hi", "w")
+    sp.join(broadcast(vs.select(col("scen").as("hi"), col("v").as("vh"))),
+        Seq("hi"))
+      .join(broadcast(vs.select(col("scen").as("lo"), col("v").as("vl"))),
+        Seq("lo"))
+      .groupBy(col("channel"))
+      .agg(sum(col("w") * (col("vh") - col("vl"))).as("phi24_ppm"))
+      .select(col("channel"), col("phi24_ppm"),
+        // ppm truncation can nudge a marginal negative; the +2.4e9
+        // shift keeps the operand positive so truncating div == floor
+        // in both engines (the signed-div portability rule)
+        expr("(phi24_ppm + 2400000000) div 24 - 100000000").as("phi_ppm"))
+      .crossJoin(broadcast(vs.filter(col("scen") === 15)
+        .select(col("v").as("v_full_ppm"))))
+      .crossJoin(broadcast(vs.filter(col("scen") === 0)
+        .select(col("v").as("v_empty_ppm"))))
+      .orderBy("channel")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q230Sprt, q236OffPolicy, q240Sax, q246MarkovAttribution,
+    q251ShapleyAttribution,
     q196SchemaDrift, q199SessionEntropy, q219SloBurn, q220Stickiness,
     q48Retention, q49GapFill, q50JsonExtract, q51Sessionize, q52Tumbling,
     q53AsofJoin, q54Rollup, q55ComplexTypes, q56GroupingSets, q57Funnel,

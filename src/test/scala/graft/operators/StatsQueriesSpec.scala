@@ -157,6 +157,21 @@ class StatsQueriesSpec extends AnyFunSuite {
     assert(maintained.nonEmpty)
   }
 
+  test("q251: Shapley efficiency holds as an exact integer identity") {
+    val rows = EventOps.q251ShapleyAttribution.build(spark, dir).collect()
+    assert(rows.length == 4)
+    val vFull = rows.head.getAs[Long]("v_full_ppm")
+    val vEmpty = rows.head.getAs[Long]("v_empty_ppm")
+    // sum of phi*24 telescopes to 24*(v(N) - v(empty)) for ANY v —
+    // exact even under the per-coalition ppm truncation
+    assert(rows.map(_.getAs[Long]("phi24_ppm")).sum == 24L * (vFull - vEmpty),
+      "efficiency axiom violated")
+    assert(vFull >= vEmpty, "adding channels cannot remove paths")
+    for (r <- rows)
+      assert(r.getAs[Long]("phi_ppm") >= -1L,
+        "marginals are monotone up to ppm truncation jitter")
+  }
+
   test("q224: KS D in [0, 1e6] ppm and sample sizes match the fact table") {
     val r = DataProfile.q224KsTest.build(spark, dir).head()
     val na = r.getAs[Long]("na")
