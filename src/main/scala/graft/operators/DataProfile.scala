@@ -1350,10 +1350,105 @@ object DataProfile {
       .orderBy("tbl", "fd")
   }
 
+  /** q252 — randomization (permutation) test for the click-vs-view
+    * mean-value difference: 32 deterministic Bernoulli relabelings of
+    * the pooled rows (the q179 hash-replicate trick — valid under the
+    * null's exchangeability, where labels carry no information)
+    * rebuild the between-group difference distribution (coin =
+    * md5-prefix parity, the q36 portable-RNG contract — a LINEAR
+    * integer hash mod 2 would collapse to two labelings), and the
+    * p-value is the add-one-smoothed fraction of relabelings at least
+    * as extreme as the observed gap. The distribution-free
+    * significance call that needs NO normality or variance model —
+    * the inference-side complement of q179 (which bounds the
+    * estimate) and q165 (which assumes the z model).
+    *
+    * Exactness: values are floor-milli ints; group means are
+    * truncating int64 divs; the relabeling coin is the q179 integer
+    * mixing hash — both engines flip identical coins, so the
+    * permutation distribution (not just its summary) is
+    * engine-identical; p is an integer ppm with the +1 smoothing
+    * making 0 impossible (the standard exact-test floor).
+    *
+    * Scale design (100 TB): the 32-way replicate axis is a map-side
+    * literal explode (data never moves — q179's shape); each
+    * replicate collapses map-side to (b, label) partial sums; the
+    * observed stat is the same aggregate at b=0. Everything after the
+    * explode is ≤ 66 rows. */
+  val q252PermutationTest: QueryDef = QueryDef(
+    "q252_permutation_test",
+    """WITH ev AS (
+      |  SELECT event_id % 1000003 AS m, event_type AS g,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |obs AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN g = 'click' THEN v END) AS BIGINT)
+      |      // count(CASE WHEN g = 'click' THEN 1 END)
+      |    - CAST(sum(CASE WHEN g = 'view' THEN v END) AS BIGINT)
+      |      // count(CASE WHEN g = 'view' THEN 1 END) AS d,
+      |    count(CASE WHEN g = 'click' THEN 1 END) AS n_click,
+      |    count(CASE WHEN g = 'view' THEN 1 END) AS n_view
+      |  FROM ev),
+      |bb AS (SELECT CAST(i AS BIGINT) AS b FROM unnest(range(1, 33)) AS t(i)),
+      |lab AS (
+      |  SELECT bb.b, ev.v,
+      |    ('0x' || substring(md5(CAST(bb.b AS VARCHAR) || '|'
+      |      || CAST(ev.m AS VARCHAR)), 1, 15))::BIGINT % 2 AS l
+      |  FROM ev CROSS JOIN bb),
+      |perm AS (
+      |  SELECT b,
+      |    abs(CAST(sum(CASE WHEN l = 0 THEN v END) AS BIGINT)
+      |      // count(CASE WHEN l = 0 THEN 1 END)
+      |    - CAST(sum(CASE WHEN l = 1 THEN v END) AS BIGINT)
+      |      // count(CASE WHEN l = 1 THEN 1 END)) AS ad
+      |  FROM lab GROUP BY b)
+      |SELECT obs.n_click, obs.n_view, obs.d AS diff_obs_milli,
+      |  CAST(32 AS BIGINT) AS n_perm,
+      |  CAST(sum(CASE WHEN perm.ad >= abs(obs.d) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_extreme,
+      |  (1000000 * (1 + CAST(sum(CASE WHEN perm.ad >= abs(obs.d)
+      |    THEN 1 ELSE 0 END) AS BIGINT))) // 33 AS p_ppm
+      |FROM perm CROSS JOIN obs
+      |GROUP BY obs.n_click, obs.n_view, obs.d""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(expr("event_id % 1000003").as("m"),
+        col("event_type").as("g"),
+        floor(col("value") * 1000).cast("bigint").as("v"))
+      .localCheckpoint() // feeds the observed stat and the 32 relabelings
+    val obs = ev.agg(
+      sum(when(col("g") === "click", col("v"))).as("sc"),
+      count(when(col("g") === "click", 1)).as("n_click"),
+      sum(when(col("g") === "view", col("v"))).as("sv"),
+      count(when(col("g") === "view", 1)).as("n_view"))
+      .select(col("n_click"), col("n_view"),
+        expr("sc div n_click - sv div n_view").as("d"))
+    val perm = ev
+      .withColumn("b", explode(array((1 to 32).map(i => lit(i.toLong)): _*)))
+      .withColumn("l",
+        expr("CAST(conv(substring(md5(concat(CAST(b AS STRING), '|', " +
+          "CAST(m AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("l") === 0, col("v"))).as("s0"),
+        count(when(col("l") === 0, 1)).as("n0"),
+        sum(when(col("l") === 1, col("v"))).as("s1"),
+        count(when(col("l") === 1, 1)).as("n1"))
+      .select(col("b"), expr("abs(s0 div n0 - s1 div n1)").as("ad"))
+    perm.crossJoin(broadcast(obs))
+      .groupBy(col("n_click"), col("n_view"), col("d"))
+      .agg(sum(when(col("ad") >= abs(col("d")), 1L).otherwise(0L))
+        .as("n_extreme"))
+      .select(col("n_click"), col("n_view"), col("d").as("diff_obs_milli"),
+        lit(32L).as("n_perm"), col("n_extreme"),
+        expr("(1000000 * (1 + n_extreme)) div 33").as("p_ppm"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
       q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers,
       q177MannWhitney, q179BootstrapCi, q182NeymanSample, q186Benford,
-      q209ContractAudit, q224KsTest, q225Spearman, q226FdAudit)
+      q209ContractAudit, q224KsTest, q225Spearman, q226FdAudit,
+      q252PermutationTest)
 }

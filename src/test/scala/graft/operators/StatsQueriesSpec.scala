@@ -172,6 +172,16 @@ class StatsQueriesSpec extends AnyFunSuite {
         "marginals are monotone up to ppm truncation jitter")
   }
 
+  test("q252: permutation p-value is the smoothed extreme fraction") {
+    val r = DataProfile.q252PermutationTest.build(spark, dir).head()
+    val ne = r.getAs[Long]("n_extreme")
+    assert(ne >= 0L && ne <= 32L)
+    assert(r.getAs[Long]("p_ppm") == (1000000L * (1 + ne)) / 33L)
+    val pooled = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view")).count()
+    assert(r.getAs[Long]("n_click") + r.getAs[Long]("n_view") == pooled)
+  }
+
   test("q224: KS D in [0, 1e6] ppm and sample sizes match the fact table") {
     val r = DataProfile.q224KsTest.build(spark, dir).head()
     val na = r.getAs[Long]("na")

@@ -147,6 +147,9 @@ QUERIES = [
     "q234_winnowing", "q235_conformal", "q236_offpolicy",
     "q240_sax", "q242_sssp", "q243_feature_hashing",
     "q244_golden_record", "q245_changepoint",
+    # postings gaps regroup with the text redraw; the IVM view rides
+    # the money redraw through every signed partial sum
+    "q248_postings_compression", "q250_ivm_view",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
