@@ -672,8 +672,80 @@ object FinanceAudit {
       .orderBy(col("peak_30d").desc, col("cust"))
   }
 
+  /** q253 — price/volume/mix variance decomposition (the FP&A
+    * bridge): per nation, the year-over-year revenue delta between
+    * pre-1998 and 1998+ orders splits into volume effect
+    * (Δn · avg₁), price effect (n₂ · Δavg), and the residual that
+    * closes the bridge exactly — rev₂ − rev₁ = vol + price + resid
+    * BY CONSTRUCTION, so the decomposition is auditable instead of
+    * approximately-explained (float bridges never close; integer
+    * ones do, and the residual is precisely the truncation the avg
+    * means absorbed). This is the "why did revenue move" waterfall
+    * every finance review starts from — the reference's ETL feeds
+    * exactly such reporting downstream.
+    *
+    * Exactness: cents are half-up floors; averages are truncating
+    * int64 divs; every effect is a product/difference of int64 —
+    * engine-identical, and the closure identity is pinned in
+    * StatsQueriesSpec.
+    *
+    * Scale design (100 TB): one partial-aggregable pass builds both
+    * periods' (nation, rev, n) rows simultaneously (conditional
+    * aggregation — the fact table is scanned once, never
+    * self-joined); the decomposition is row-local arithmetic on the
+    * ≤|nation| frame. */
+  val q253PriceVolumeMix: QueryDef = QueryDef(
+    "q253_price_volume_mix",
+    """WITH j AS (
+      |  SELECT n.n_name AS nation,
+      |    CASE WHEN o.o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 2 END
+      |      AS period,
+      |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |a AS (
+      |  SELECT nation,
+      |    CAST(sum(CASE WHEN period = 1 THEN cents ELSE 0 END) AS BIGINT)
+      |      AS rev1,
+      |    CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN period = 2 THEN cents ELSE 0 END) AS BIGINT)
+      |      AS rev2,
+      |    CAST(sum(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM j GROUP BY nation
+      |  HAVING sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) > 0
+      |     AND sum(CASE WHEN period = 2 THEN 1 ELSE 0 END) > 0)
+      |SELECT nation, rev1, rev2, n1, n2,
+      |  (n2 - n1) * (rev1 // n1) AS vol_effect,
+      |  n2 * (rev2 // n2 - rev1 // n1) AS price_effect,
+      |  rev2 - rev1 - (n2 - n1) * (rev1 // n1)
+      |    - n2 * (rev2 // n2 - rev1 // n1) AS resid
+      |FROM a ORDER BY nation""".stripMargin) { (s, dir) =>
+    val a = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"), 1)
+          .otherwise(2).as("period"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("nation"))
+      .agg(
+        sum(when(col("period") === 1, col("cents")).otherwise(0L)).as("rev1"),
+        sum(when(col("period") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("period") === 2, col("cents")).otherwise(0L)).as("rev2"),
+        sum(when(col("period") === 2, 1L).otherwise(0L)).as("n2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+    a.select(col("nation"), col("rev1"), col("rev2"), col("n1"), col("n2"),
+        expr("(n2 - n1) * (rev1 div n1)").as("vol_effect"),
+        expr("n2 * (rev2 div n2 - rev1 div n1)").as("price_effect"),
+        expr("rev2 - rev1 - (n2 - n1) * (rev1 div n1)" +
+          " - n2 * (rev2 div n2 - rev1 div n1)").as("resid"))
+      .orderBy("nation")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q188DupCharge, q189ParetoAbc, q192Vwap, q193Drawdown, q194Aging,
     q195RoundBias, q210DiffInDiff, q211AbcXyz, q214LedgerRegister,
-    q218WeeklyKpi, q222VelocityScreen)
+    q218WeeklyKpi, q222VelocityScreen, q253PriceVolumeMix)
 }

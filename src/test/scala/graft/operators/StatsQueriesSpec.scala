@@ -182,6 +182,21 @@ class StatsQueriesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_click") + r.getAs[Long]("n_view") == pooled)
   }
 
+  test("q253: the price/volume/mix bridge closes exactly for every nation") {
+    val rows = FinanceAudit.q253PriceVolumeMix.build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val dRev = r.getAs[Long]("rev2") - r.getAs[Long]("rev1")
+      assert(dRev == r.getAs[Long]("vol_effect") +
+        r.getAs[Long]("price_effect") + r.getAs[Long]("resid"),
+        s"${r.getAs[String]("nation")} bridge does not close")
+      // residual is only truncation slack from the integer averages
+      assert(math.abs(r.getAs[Long]("resid")) <=
+        r.getAs[Long]("n1") + r.getAs[Long]("n2"),
+        s"${r.getAs[String]("nation")} residual exceeds truncation bounds")
+    }
+  }
+
   test("q224: KS D in [0, 1e6] ppm and sample sizes match the fact table") {
     val r = DataProfile.q224KsTest.build(spark, dir).head()
     val na = r.getAs[Long]("na")

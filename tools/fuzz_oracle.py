@@ -150,6 +150,10 @@ QUERIES = [
     # postings gaps regroup with the text redraw; the IVM view rides
     # the money redraw through every signed partial sum
     "q248_postings_compression", "q250_ivm_view",
+    # the permutation test rides the events value redraw through every
+    # relabeled mean; the PVM bridge rides the money redraw through
+    # the truncating-average effects and the closure residual
+    "q252_permutation_test", "q253_price_volume_mix",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
