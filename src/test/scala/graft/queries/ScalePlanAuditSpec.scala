@@ -32,7 +32,11 @@ class ScalePlanAuditSpec extends AnyFunSuite {
     (graft.operators.FinanceAudit.q189ParetoAbc, "cents"),
     (graft.operators.Layout.q93ZOrder, "zv"),
     (graft.operators.DataProfile.q136GapRanges, "key"),
-    (graft.operators.Layout.q205ZonemapPrune, "sd"))
+    (graft.operators.Layout.q205ZonemapPrune, "sd"),
+    // round-6 ScaleRank riders: conformal's order statistic and the
+    // compaction planner's streaming-fill cumulative sums
+    (graft.operators.Learn.q235Conformal, "s"),
+    (graft.operators.Layout.q237Compaction, "doc_id"))
 
   test("converted queries range-chunk their rank/prefix stage") {
     for ((q, _) <- converted) {
