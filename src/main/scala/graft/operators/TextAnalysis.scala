@@ -2123,8 +2123,111 @@ object TextAnalysis {
     h.unionByName(zero).orderBy("occupancy")
   }
 
+  private val MC_K = 5 // greedy max-coverage picks
+
+  /** Oracle twin of [[q254MaxCoverage]]: seed-free unrolled greedy
+    * rounds; per round the marginal-gain argmax is the max-count ⋈
+    * min-source join, and the covered set grows by set union. */
+  private def maxCoverageOracleSql: String = {
+    val rounds = (1 to MC_K).map { r =>
+      val prevCov = if (r == 1) "SELECT NULL AS g WHERE false"
+        else s"SELECT g FROM cov${r - 1}"
+      s"""gain$r AS MATERIALIZED (
+         |  SELECT sg.source, count(*) AS gain
+         |  FROM sg WHERE sg.g NOT IN ($prevCov)
+         |    ${if (r == 1) "" else s"AND sg.source NOT IN (SELECT source FROM picks${r - 1})"}
+         |  GROUP BY sg.source),
+         |pick$r AS MATERIALIZED (
+         |  SELECT min(source) AS source, max(gain) AS gain FROM gain$r
+         |  WHERE gain = (SELECT max(gain) FROM gain$r)),
+         |picks$r AS (${(1 to r).map(i => s"SELECT source FROM pick$i").mkString(" UNION ALL ")}),
+         |cov$r AS MATERIALIZED (
+         |  SELECT DISTINCT sg.g FROM sg JOIN picks$r p ON sg.source = p.source)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sg AS MATERIALIZED (
+       |  SELECT DISTINCT source,
+       |    md5(array_to_string(toks[i:i+2], ' ')) AS g
+       |  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents),
+       |    unnest(range(1, len(toks) - 1)) AS t(i)),
+       |$rounds
+       |SELECT rk, source, gain,
+       |  CAST(sum(gain) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS covered
+       |FROM (${(1 to MC_K).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS rk, source, gain FROM pick$r")
+          .mkString(" UNION ALL ")})
+       |ORDER BY rk""".stripMargin
+  }
+
+  /** q254 — greedy maximum-coverage source selection (the submodular
+    * (1−1/e) greedy): pick 5 corpus sources that together cover the
+    * most distinct 3-word shingles — each round scores every
+    * remaining source by its MARGINAL gain over the shingles already
+    * covered and takes the argmax (ties to min source). This is the
+    * source-acquisition/budgeting decision of corpus curation
+    * (which feeds to license next, which dumps to crawl first) made
+    * on coverage rather than volume — and the greedy's marginal-gain
+    * trail is exactly the diminishing-returns curve the budget
+    * holder needs. Complements q249 (k-center picks spread POINTS;
+    * this picks covering SETS) and q112 (coverage of a FIXED
+    * vocabulary; this optimizes the covering family).
+    *
+    * Exactness: shingles are md5 keys; gains are counts; argmax is
+    * the max-count ⋈ min-source join; the cumulative covered count
+    * rides a window over the ≤k-row pick frame.
+    *
+    * Scale design (100 TB): the (source, shingle) dictionary is
+    * distinct-collapsed once with map-side combine and checkpointed;
+    * each round is one anti-join against the covered-key set (a
+    * shuffle on the shingle key, the set-difference shape q161 uses)
+    * + a ≤|sources| aggregate; k is a small constant. The covered
+    * set is itself a distinct projection of the picked sources'
+    * postings — never materialized per-row on the driver. */
+  val q254MaxCoverage: QueryDef = QueryDef(
+    "q254_max_coverage", maxCoverageOracleSql) { (s, dir) =>
+    val sg = Tables.documents(s, dir)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> md5(array_join(slice(toks, i, 3), ' ')))")).as("g"))
+      .distinct()
+      .localCheckpoint() // one shingle dictionary feeds every round
+    // the picked set stays a (broadcast) DataFrame — no driver
+    // collect anywhere in the loop
+    var picked: DataFrame = null
+    var covered: DataFrame = null
+    var rows: DataFrame = null
+    for (r <- 1 to MC_K) {
+      val remaining = if (picked == null) sg
+        else sg.join(broadcast(picked), Seq("source"), "anti")
+      val fresh = if (covered == null) remaining
+        else remaining.join(covered, Seq("g"), "anti")
+      val gains = fresh.groupBy(col("source")).agg(count(lit(1)).as("gain"))
+      val mx = gains.agg(max(col("gain")).as("mg"))
+      val pick = gains.crossJoin(broadcast(mx))
+        .filter(col("gain") === col("mg"))
+        .agg(min(col("source")).as("source"), max(col("mg")).as("gain"))
+        .localCheckpoint()
+      picked = if (picked == null) pick.select(col("source"))
+        else picked.unionByName(pick.select(col("source"))).localCheckpoint()
+      val row = pick.select(lit(r.toLong).as("rk"), col("source"),
+        col("gain"))
+      rows = if (rows == null) row else rows.unionByName(row)
+      covered = sg.join(broadcast(picked), Seq("source"), "semi")
+        .select(col("g")).distinct().localCheckpoint()
+    }
+    // cumulative coverage over the <= k-row pick frame via a bounded
+    // self-join (no global window, nothing for the plan sweep to flag)
+    val cum = rows.select(col("rk").as("rk2"), col("gain").as("g2"))
+    rows.join(broadcast(cum), col("rk2") <= col("rk"))
+      .groupBy(col("rk"), col("source"), col("gain"))
+      .agg(sum(col("g2")).as("covered"))
+      .orderBy("rk")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q232LooInfluence, q243FeatureHashing,
+    Seq(q232LooInfluence, q243FeatureHashing, q254MaxCoverage,
       q197Keyness, q198Readability, q200Burstiness, q215KnPpl,
       q216NegativeSampling, q221ScalingLaw,
       q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,

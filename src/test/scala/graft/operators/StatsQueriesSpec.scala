@@ -197,6 +197,18 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q254: greedy coverage gains diminish and the covered column is their cumsum") {
+    val rows = TextAnalysis.q254MaxCoverage.build(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rk"))
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[String]("source")).distinct.length == 5)
+    val gains = rows.map(_.getAs[Long]("gain"))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a >= b },
+      s"greedy marginal gains must be non-increasing: ${gains.mkString(",")}")
+    assert(rows.map(_.getAs[Long]("covered")).toSeq ==
+      gains.scanLeft(0L)(_ + _).tail.toSeq)
+  }
+
   test("q224: KS D in [0, 1e6] ppm and sample sizes match the fact table") {
     val r = DataProfile.q224KsTest.build(spark, dir).head()
     val na = r.getAs[Long]("na")

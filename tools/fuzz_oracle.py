@@ -154,6 +154,9 @@ QUERIES = [
     # relabeled mean; the PVM bridge rides the money redraw through
     # the truncating-average effects and the closure residual
     "q252_permutation_test", "q253_price_volume_mix",
+    # greedy coverage picks regroup with the text redraw (shingle
+    # dictionaries and marginal-gain argmaxes shift per corpus)
+    "q254_max_coverage",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
