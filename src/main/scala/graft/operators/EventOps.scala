@@ -2172,42 +2172,103 @@ object EventOps {
   private val MK_ROUNDS = 8
   private val MK_CHANNELS = Seq("click", "error", "signup", "view")
 
-  /** Oracle twin of [[q246MarkovAttribution]]: the identical
-    * fixed-point rounds unrolled as MATERIALIZED CTEs over the
-    * scenario-expanded transition table. */
+  /** Shared journey-chain SQL prelude (q246 + q251): per-user event
+    * sequences restarting after purchase → empirical ppm transition
+    * table `base_tr(f, t, p)`. One definition so the journey
+    * semantics (restart rule, dropout denominator) cannot fork
+    * between the removal-effect and Shapley twins. */
+  private val journeyChainCtes: String =
+    """seq AS (
+      |  SELECT event_type AS t,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |pairs0 AS (
+      |  SELECT CASE WHEN prev IS NULL OR prev = 'purchase'
+      |              THEN 'start' ELSE prev END AS f, t
+      |  FROM seq),
+      |denom AS (
+      |  SELECT f, count(*) AS d FROM (
+      |    SELECT CASE WHEN prev IS NULL OR prev = 'purchase'
+      |                THEN 'start' ELSE 'x' END AS f FROM seq
+      |    UNION ALL
+      |    SELECT t FROM seq WHERE t <> 'purchase') WHERE f <> 'x'
+      |  GROUP BY f),
+      |base_tr AS (
+      |  SELECT p.f, p.t, (1000000 * count(*)) // max(d.d) AS p
+      |  FROM pairs0 p JOIN denom d ON d.f = p.f
+      |  GROUP BY p.f, p.t)""".stripMargin
+
+  /** Shared value-iteration rounds v1..v8 over scenario-expanded
+    * st/pp/tt CTEs (q246 + q251). */
+  private val valueIterationCtes: String = (1 to MK_ROUNDS).map { r =>
+    s"""v$r AS MATERIALIZED (
+       |  SELECT st.scen, st.state,
+       |    coalesce(max(pp.p), 0)
+       |      + coalesce(CAST(sum(tt.p * pv.v) AS BIGINT) // 1000000, 0) AS v
+       |  FROM st
+       |  LEFT JOIN pp ON pp.scen = st.scen AND pp.f = st.state
+       |  LEFT JOIN tt ON tt.scen = st.scen AND tt.f = st.state
+       |  LEFT JOIN v${r - 1} pv ON pv.scen = tt.scen AND pv.state = tt.t
+       |  GROUP BY st.scen, st.state)""".stripMargin
+  }.mkString(",\n")
+
+  /** Shared Spark-side journey chain (q246 + q251): the checkpointed
+    * ≤30-row `(f, t, p)` ppm transition table. */
+  private def journeyTransitions(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val seq0 = Tables.events(s, dir).select(
+      col("event_type").as("t"),
+      lag(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))).as("prev"))
+      .localCheckpoint() // one corpus pass feeds pairs + denominators
+    val f = when(col("prev").isNull || col("prev") === "purchase", "start")
+      .otherwise(col("prev"))
+    val pairs = seq0.select(f.as("f"), col("t"))
+    val denom = seq0.select(
+        when(col("prev").isNull || col("prev") === "purchase", "start")
+          .otherwise(lit("x")).as("f"))
+      .unionAll(seq0.filter(col("t") =!= "purchase").select(col("t").as("f")))
+      .filter(col("f") =!= "x")
+      .groupBy(col("f")).agg(count(lit(1)).as("d"))
+    pairs.groupBy(col("f"), col("t"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(denom), Seq("f"))
+      .select(col("f"), col("t"), expr("(1000000 * n) div d").as("p"))
+      .localCheckpoint() // the chain everything downstream iterates on
+  }
+
+  /** Shared Spark-side absorption value iteration (q246 + q251):
+    * MK_ROUNDS rounds of v = p_conv + P_transient·v over the
+    * scenario-expanded frames; every frame is tiny and broadcast. */
+  private def iterateAbsorption(
+      st: DataFrame, pp: DataFrame, tt: DataFrame): DataFrame = {
+    var v = st.select(col("scen"), col("state"), lit(0L).as("v"))
+    for (_ <- 1 to MK_ROUNDS) {
+      val flow = tt.join(broadcast(v.select(col("scen"),
+          col("state").as("t"), col("v").as("pv"))), Seq("scen", "t"))
+        .groupBy(col("scen"), col("f"))
+        .agg(expr("CAST(sum(p * pv) AS BIGINT) div 1000000").as("fl"))
+      v = st.join(broadcast(pp), st("scen") === pp("scen")
+            && col("state") === pp("f"), "left")
+        .select(st("scen"), col("state"), coalesce(col("p"), lit(0L)).as("cp"))
+        .join(broadcast(flow.select(col("scen"), col("f").as("state"),
+          col("fl"))), Seq("scen", "state"), "left")
+        .select(col("scen"), col("state"),
+          (col("cp") + coalesce(col("fl"), lit(0L))).as("v"))
+        // tiny frame: truncating per round keeps the plan depth (and
+        // catalyst time) constant instead of 3 joins x 8 rounds
+        .localCheckpoint()
+    }
+    v
+  }
+
+  /** Oracle twin of [[q246MarkovAttribution]]: the shared journey
+    * chain + value-iteration rounds over the removal-scenario axis. */
   private def markovOracleSql: String = {
     val chans = MK_CHANNELS.map(c => s"'$c'").mkString(", ")
-    val rounds = (1 to MK_ROUNDS).map { r =>
-      s"""v$r AS MATERIALIZED (
-         |  SELECT st.scen, st.state,
-         |    coalesce(max(pp.p), 0)
-         |      + coalesce(CAST(sum(tt.p * pv.v) AS BIGINT) // 1000000, 0) AS v
-         |  FROM st
-         |  LEFT JOIN pp ON pp.scen = st.scen AND pp.f = st.state
-         |  LEFT JOIN tt ON tt.scen = st.scen AND tt.f = st.state
-         |  LEFT JOIN v${r - 1} pv ON pv.scen = tt.scen AND pv.state = tt.t
-         |  GROUP BY st.scen, st.state)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH seq AS (
-       |  SELECT event_type AS t,
-       |    lag(event_type) OVER (PARTITION BY user_id
-       |      ORDER BY ts, event_id) AS prev
-       |  FROM events),
-       |pairs AS (
-       |  SELECT CASE WHEN prev IS NULL OR prev = 'purchase'
-       |              THEN 'start' ELSE prev END AS f, t
-       |  FROM seq),
-       |denom AS (
-       |  SELECT f, count(*) AS d FROM (
-       |    SELECT CASE WHEN prev IS NULL OR prev = 'purchase'
-       |                THEN 'start' ELSE 'x' END AS f FROM seq
-       |    UNION ALL
-       |    SELECT t FROM seq WHERE t <> 'purchase') WHERE f <> 'x'
-       |  GROUP BY f),
-       |base_tr AS (
-       |  SELECT p.f, p.t, (1000000 * count(*)) // max(d.d) AS p
-       |  FROM pairs p JOIN denom d ON d.f = p.f
-       |  GROUP BY p.f, p.t),
+    s"""WITH $journeyChainCtes,
        |scens AS (SELECT unnest(['base', $chans]) AS scen),
        |tr AS (
        |  SELECT s.scen, b.f, b.t, b.p FROM scens s JOIN base_tr b
@@ -2220,7 +2281,7 @@ object EventOps {
        |tt AS (SELECT scen, f, t, p FROM tr
        |       WHERE t <> 'purchase' AND t IN (SELECT state FROM st WHERE st.scen = tr.scen)),
        |v0 AS (SELECT scen, state, CAST(0 AS BIGINT) AS v FROM st),
-       |$rounds
+       |$valueIterationCtes
        |SELECT c.scen AS channel, b.v AS base_ppm, c.v AS removed_ppm,
        |  b.v - c.v AS effect_ppm
        |FROM v$MK_ROUNDS c
@@ -2256,26 +2317,7 @@ object EventOps {
     * joins — the value iteration costs the same at any corpus size. */
   val q246MarkovAttribution: QueryDef = QueryDef(
     "q246_markov_attribution", markovOracleSql) { (s, dir) =>
-    val seq0 = Tables.events(s, dir).select(
-      col("event_type").as("t"),
-      lag(col("event_type"), 1).over(
-        Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))).as("prev"))
-      .localCheckpoint() // one corpus pass feeds pairs + denominators
-    val f = when(col("prev").isNull || col("prev") === "purchase", "start")
-      .otherwise(col("prev"))
-    val pairs = seq0.select(f.as("f"), col("t"))
-    val denom = seq0.select(
-        when(col("prev").isNull || col("prev") === "purchase", "start")
-          .otherwise(lit("x")).as("f"))
-      .unionAll(seq0.filter(col("t") =!= "purchase").select(col("t").as("f")))
-      .filter(col("f") =!= "x")
-      .groupBy(col("f")).agg(count(lit(1)).as("d"))
-    val baseTr = pairs.groupBy(col("f"), col("t"))
-      .agg(count(lit(1)).as("n"))
-      .join(broadcast(denom), Seq("f"))
-      .select(col("f"), col("t"), expr("(1000000 * n) div d").as("p"))
-      .localCheckpoint() // the <=30-row chain everything below iterates on
+    val baseTr = journeyTransitions(s, dir)
     val scens = s.createDataFrame(
       ("base" +: MK_CHANNELS).map(Tuple1(_))).toDF("scen")
     val tr = scens.crossJoin(baseTr)
@@ -2289,23 +2331,7 @@ object EventOps {
     val tt = tr.filter(col("t") =!= "purchase")
       .join(st.select(col("scen"), col("state").as("t")), Seq("scen", "t"))
       .select(col("scen"), col("f"), col("t"), col("p"))
-    var v = st.select(col("scen"), col("state"), lit(0L).as("v"))
-    for (_ <- 1 to MK_ROUNDS) {
-      val flow = tt.join(broadcast(v.select(col("scen"),
-          col("state").as("t"), col("v").as("pv"))), Seq("scen", "t"))
-        .groupBy(col("scen"), col("f"))
-        .agg(expr("CAST(sum(p * pv) AS BIGINT) div 1000000").as("fl"))
-      v = st.join(broadcast(pp), st("scen") === pp("scen")
-            && col("state") === pp("f"), "left")
-        .select(st("scen"), col("state"), coalesce(col("p"), lit(0L)).as("cp"))
-        .join(broadcast(flow.select(col("scen"), col("f").as("state"),
-          col("fl"))), Seq("scen", "state"), "left")
-        .select(col("scen"), col("state"),
-          (col("cp") + coalesce(col("fl"), lit(0L))).as("v"))
-        // <=25-row frame: truncating per round keeps the plan depth
-        // (and catalyst time) constant instead of 3 joins x 8 rounds
-        .localCheckpoint()
-    }
+    val v = iterateAbsorption(st, pp, tt)
     val vs = v.filter(col("state") === "start").localCheckpoint()
     val base = vs.filter(col("scen") === "base")
       .select(col("v").as("base_ppm"))
@@ -2338,37 +2364,7 @@ object EventOps {
       val size = Integer.bitCount(m)
       s"SELECT '$c' AS channel, $m AS lo, ${m | (1 << i)} AS hi, ${wt(size)} AS w"
     }).mkString("\nUNION ALL ")
-    val rounds = (1 to MK_ROUNDS).map { r =>
-      s"""v$r AS MATERIALIZED (
-         |  SELECT st.scen, st.state,
-         |    coalesce(max(pp.p), 0)
-         |      + coalesce(CAST(sum(tt.p * pv.v) AS BIGINT) // 1000000, 0) AS v
-         |  FROM st
-         |  LEFT JOIN pp ON pp.scen = st.scen AND pp.f = st.state
-         |  LEFT JOIN tt ON tt.scen = st.scen AND tt.f = st.state
-         |  LEFT JOIN v${r - 1} pv ON pv.scen = tt.scen AND pv.state = tt.t
-         |  GROUP BY st.scen, st.state)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH seq AS (
-       |  SELECT event_type AS t,
-       |    lag(event_type) OVER (PARTITION BY user_id
-       |      ORDER BY ts, event_id) AS prev
-       |  FROM events),
-       |pairs0 AS (
-       |  SELECT CASE WHEN prev IS NULL OR prev = 'purchase'
-       |              THEN 'start' ELSE prev END AS f, t
-       |  FROM seq),
-       |denom AS (
-       |  SELECT f, count(*) AS d FROM (
-       |    SELECT CASE WHEN prev IS NULL OR prev = 'purchase'
-       |                THEN 'start' ELSE 'x' END AS f FROM seq
-       |    UNION ALL
-       |    SELECT t FROM seq WHERE t <> 'purchase') WHERE f <> 'x'
-       |  GROUP BY f),
-       |base_tr AS (
-       |  SELECT p.f, p.t, (1000000 * count(*)) // max(d.d) AS p
-       |  FROM pairs0 p JOIN denom d ON d.f = p.f
-       |  GROUP BY p.f, p.t),
+    s"""WITH $journeyChainCtes,
        |st AS ($coalitions),
        |tr AS (
        |  SELECT sf.scen, b.f, b.t, b.p
@@ -2379,7 +2375,7 @@ object EventOps {
        |pp AS (SELECT scen, f, p FROM tr WHERE t = 'purchase'),
        |tt AS (SELECT scen, f, t, p FROM tr WHERE t <> 'purchase'),
        |v0 AS (SELECT scen, state, CAST(0 AS BIGINT) AS v FROM st),
-       |$rounds,
+       |$valueIterationCtes,
        |vs AS (SELECT scen, v FROM v$MK_ROUNDS WHERE state = 'start'),
        |sp AS ($pairs)
        |SELECT sp.channel,
@@ -2417,26 +2413,7 @@ object EventOps {
   val q251ShapleyAttribution: QueryDef = QueryDef(
     "q251_shapley_attribution", shapleyOracleSql) { (s, dir) =>
     val k = MK_CHANNELS.size
-    val seq0 = Tables.events(s, dir).select(
-      col("event_type").as("t"),
-      lag(col("event_type"), 1).over(
-        Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))).as("prev"))
-      .localCheckpoint()
-    val f = when(col("prev").isNull || col("prev") === "purchase", "start")
-      .otherwise(col("prev"))
-    val pairs0 = seq0.select(f.as("f"), col("t"))
-    val denom = seq0.select(
-        when(col("prev").isNull || col("prev") === "purchase", "start")
-          .otherwise(lit("x")).as("f"))
-      .unionAll(seq0.filter(col("t") =!= "purchase").select(col("t").as("f")))
-      .filter(col("f") =!= "x")
-      .groupBy(col("f")).agg(count(lit(1)).as("d"))
-    val baseTr = pairs0.groupBy(col("f"), col("t"))
-      .agg(count(lit(1)).as("n"))
-      .join(broadcast(denom), Seq("f"))
-      .select(col("f"), col("t"), expr("(1000000 * n) div d").as("p"))
-      .localCheckpoint()
+    val baseTr = journeyTransitions(s, dir)
     val coalitionRows = for {
       m <- 0 until (1 << k)
       state <- "start" +: MK_CHANNELS.zipWithIndex.collect {
@@ -2460,21 +2437,7 @@ object EventOps {
       .select(col("scen"), col("f"), col("p")))
     val tt = rematerialize(tr.filter(col("t") =!= "purchase")
       .select(col("scen"), col("f"), col("t"), col("p")))
-    var v = st.select(col("scen"), col("state"), lit(0L).as("v"))
-    for (_ <- 1 to MK_ROUNDS) {
-      val flow = tt.join(broadcast(v.select(col("scen"),
-          col("state").as("t"), col("v").as("pv"))), Seq("scen", "t"))
-        .groupBy(col("scen"), col("f"))
-        .agg(expr("CAST(sum(p * pv) AS BIGINT) div 1000000").as("fl"))
-      v = st.join(broadcast(pp), st("scen") === pp("scen")
-            && col("state") === pp("f"), "left")
-        .select(st("scen"), col("state"), coalesce(col("p"), lit(0L)).as("cp"))
-        .join(broadcast(flow.select(col("scen"), col("f").as("state"),
-          col("fl"))), Seq("scen", "state"), "left")
-        .select(col("scen"), col("state"),
-          (col("cp") + coalesce(col("fl"), lit(0L))).as("v"))
-        .localCheckpoint()
-    }
+    val v = iterateAbsorption(st, pp, tt)
     val vs = v.filter(col("state") === "start")
       .select(col("scen"), col("v")).localCheckpoint()
     val wt = Seq(6L, 2L, 2L, 6L)

@@ -277,10 +277,12 @@ object MergeOps {
           (lit(sign) * sum(col("cents"))).as("dr"))
     // stale base view: the %4 != 0 snapshot, aggregated once
     val baseView = agg(rows.filter(col("k") % 4 =!= 0), 1L)
-    // CDC batches: inserts (%4 == 0 net of %8 == 1), retractions
-    // (%8 == 1 rows present in the base)
-    val inserts = agg(rows.filter(col("k") % 4 === 0 && col("k") % 8 =!= 1), 1L)
-    val deletes = agg(rows.filter(col("k") % 8 === 1 && col("k") % 4 =!= 0), -1L)
+    // CDC batches: inserts are the %4 == 0 keys, retractions the
+    // %8 == 1 keys. The sets are disjoint BY ARITHMETIC (%8 == 1 ⇒
+    // odd ⇒ %4 == 1), so retractions always hit the base snapshot and
+    // never an in-flight insert — no overlap guard needed
+    val inserts = agg(rows.filter(col("k") % 4 === 0), 1L)
+    val deletes = agg(rows.filter(col("k") % 8 === 1), -1L)
     baseView.unionAll(inserts).unionAll(deletes)
       .groupBy(col("nation"))
       .agg(sum(col("dn")).as("n_orders"), sum(col("dr")).as("revenue_cents"))

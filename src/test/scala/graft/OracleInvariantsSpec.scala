@@ -17,9 +17,10 @@ class OracleInvariantsSpec extends AnyFunSuite {
   private val sfDirs =
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
-  test("q24/q61 byte-hash oracles: documents.text is pure ASCII") {
+  test("q24/q61/q234 byte-hash oracles: documents.text is pure ASCII") {
     // the oracles replay JVM byte hashes via DuckDB ord() codepoints,
-    // which equal signed UTF-8 bytes only for ASCII text
+    // which equal signed UTF-8 bytes only for ASCII text (q234's
+    // winnowing gram hashes ride the same contract)
     for (dir <- sfDirs) {
       val nonAscii = Tables.documents(spark, dir)
         .filter(!col("text").rlike("^[\\x00-\\x7F]*$"))

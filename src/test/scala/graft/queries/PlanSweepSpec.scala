@@ -36,11 +36,18 @@ class PlanSweepSpec extends AnyFunSuite {
     // P = shuffle parallelism — bounded by the cluster, not the data
     "__sr_pid")
 
-  /** (query, order-axis substring) -> why that global window's input
-    * is bounded. Every entry must match at least one swept offender. */
+  /** (query, order-axis pattern) -> why that global window's input is
+    * bounded. A pattern starting with '^' anchors to the FIRST sort
+    * attribute (so "^a#" cannot accidentally adjudicate a future
+    * "paa#…" window); otherwise plain substring. Every entry must
+    * match at least one swept offender. */
+  private def axisMatches(axis: String, ax: String): Boolean =
+    if (ax.startsWith("^")) axis.startsWith(ax.drop(1))
+    else axis.contains(ax)
+
   private def allow(q: String, axis: String): Option[String] =
     PlanSweepAllowlist.entries.collectFirst {
-      case (qq, ax, why) if qq == q && axis.contains(ax) => why
+      case (qq, ax, why) if qq == q && axisMatches(axis, ax) => why
     }
 
   test("no query plans an unbounded single-partition window or repartition(1)") {
@@ -60,7 +67,7 @@ class PlanSweepSpec extends AnyFunSuite {
           allow(q.name, axis) match {
             case Some(_) =>
               PlanSweepAllowlist.entries
-                .filter(e => e._1 == q.name && axis.contains(e._2))
+                .filter(e => e._1 == q.name && axisMatches(axis, e._2))
                 .foreach(e => unusedAllow.remove((e._1, e._2)))
             case None =>
               offenders += s"${q.name}: global window over [$axis]"
@@ -124,8 +131,8 @@ object PlanSweepAllowlist {
     // bounded but sit BELOW its eager localCheckpoint, so the sweep
     // never sees them (the LogicalRDD hides the already-executed
     // prefix) — the adjudication lives in the query's scaladoc instead
-    ("q239_hits", "a#",
+    ("q239_hits", "^a#",
       "authority rank window runs over the TakeOrdered top-10 slice (literal k)"),
-    ("q239_hits", "h#",
+    ("q239_hits", "^h#",
       "hub rank window runs over the TakeOrdered top-10 slice (literal k)"))
 }
