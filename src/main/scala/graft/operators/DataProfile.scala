@@ -1444,11 +1444,248 @@ object DataProfile {
         expr("(1000000 * (1 + n_extreme)) div 33").as("p_ppm"))
   }
 
+  /** q256 — Kendall tau-b rank correlation between line-item quantity
+    * and discount, computed entirely from the JOINT VALUE HISTOGRAM:
+    * both variables are discrete, so every one of the ~n²/2 row pairs
+    * collapses to a pair of histogram cells — concordant/discordant
+    * mass is Σ c₁·c₂ over cell pairs, and the tie corrections come
+    * from the marginals. Complements q225 (Spearman weights by rank
+    * DISTANCE; tau-b counts pair ORDER inversions — the statistic
+    * behind "what fraction of pairs does the ranking get right",
+    * i.e. 2·AUC−1 for binary outcomes).
+    *
+    * Exactness: cell counts are int64; pair products and the tie
+    * terms accumulate in DECIMAL(38)/HUGEINT (exact, order-free);
+    * tau is ONE 1-row IEEE chain — two casts, one sqrt, one ppm
+    * floor — identical in both engines; outputs are clamped to
+    * BIGINT (exact below ~10⁹ rows; the internal moments are exact
+    * at any scale).
+    *
+    * Scale design (100 TB): one partial-aggregable pass builds the
+    * ≤ 51×11-cell joint histogram; the concordance pair join and
+    * both marginal tie sums run on that broadcast bounded frame —
+    * O(cells²) ≈ 160k cheap products regardless of corpus size. No
+    * windows, no collect. */
+  val q256KendallTau: QueryDef = QueryDef(
+    "q256_kendall_tau",
+    """WITH f AS (
+      |  SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |h AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1, 2),
+      |p AS (
+      |  SELECT
+      |    sum(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c
+      |      ELSE CAST(0 AS HUGEINT) END) AS conc,
+      |    sum(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c
+      |      ELSE CAST(0 AS HUGEINT) END) AS disc
+      |  FROM h a JOIN h b ON a.x < b.x),
+      |mx AS (
+      |  SELECT sum(CAST(cx AS HUGEINT) * (cx - 1) // 2) AS tx FROM (
+      |    SELECT CAST(sum(c) AS BIGINT) AS cx FROM h GROUP BY x)),
+      |my AS (
+      |  SELECT sum(CAST(cy AS HUGEINT) * (cy - 1) // 2) AS ty FROM (
+      |    SELECT CAST(sum(c) AS BIGINT) AS cy FROM h GROUP BY y)),
+      |m AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM f),
+      |z AS (
+      |  SELECT n, conc, disc, tx, ty, n * (n - 1) // 2 AS n0
+      |  FROM p, mx, my, m)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(conc AS BIGINT) AS conc,
+      |  CAST(disc AS BIGINT) AS disc, CAST(tx AS BIGINT) AS ties_x,
+      |  CAST(ty AS BIGINT) AS ties_y,
+      |  CAST(floor(1000000.0 *
+      |    (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE)) /
+      |    sqrt((CAST(n0 AS DOUBLE) - CAST(tx AS DOUBLE)) *
+      |         (CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE)))) AS BIGINT)
+      |    AS tau_b_ppm
+      |FROM z
+      |WHERE (CAST(n0 AS DOUBLE) - CAST(tx AS DOUBLE)) *
+      |      (CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE)) > 0""".stripMargin) {
+    (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val h = Tables.lineitem(s, dir)
+      .select(floor(col("l_quantity")).cast("bigint").as("x"),
+        round(col("l_discount") * 100).cast("bigint").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // bounded joint histogram feeds all four sums
+    val p = h.as("a").join(broadcast(h.as("b")), col("a.x") < col("b.x"))
+      .agg(
+        sum(when(col("a.y") < col("b.y"), dec(col("a.c")) * col("b.c"))
+          .otherwise(dec(lit(0)))).as("conc"),
+        sum(when(col("a.y") > col("b.y"), dec(col("a.c")) * col("b.c"))
+          .otherwise(dec(lit(0)))).as("disc"))
+    val tx = h.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+      .agg(sum(expr("cast(cx as decimal(38,0)) * (cx - 1) div 2")).as("tx"))
+    val ty = h.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+      .agg(sum(expr("cast(cy as decimal(38,0)) * (cy - 1) div 2")).as("ty"))
+    val m = h.agg(dec(sum(col("c"))).as("n"))
+    val z = p.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .crossJoin(broadcast(m))
+      .withColumn("n0", expr("n * (n - 1) div 2"))
+    val den = (col("n0").cast("double") - col("tx").cast("double")) *
+      (col("n0").cast("double") - col("ty").cast("double"))
+    z.filter(den > 0)
+      .select(col("n").cast("bigint").as("n"),
+        col("conc").cast("bigint").as("conc"),
+        col("disc").cast("bigint").as("disc"),
+        col("tx").cast("bigint").as("ties_x"),
+        col("ty").cast("bigint").as("ties_y"),
+        floor(lit(1000000.0) *
+          (col("conc").cast("double") - col("disc").cast("double")) /
+          sqrt(den)).cast("bigint").as("tau_b_ppm"))
+  }
+
+  /** q257 — one-way ANOVA F-test of account balance across market
+    * segments: does segment explain ANY of the balance variance? The
+    * between/within sum-of-squares decomposition, its F statistic,
+    * and the effect size η² — the parametric k-group companion to
+    * q177 (two-group, rank-based) and q252 (two-group,
+    * randomization). This is the "is this grouping column
+    * informative at all" gate run before investing in per-group
+    * models.
+    *
+    * Exactness: balances are floor-quantized to integer cents once;
+    * n, Σx, Σx² accumulate in DECIMAL(38)/HUGEINT (order-free,
+    * exact); each group's S²_g/n_g and the grand S²/N go through
+    * truncating integer division on NON-NEGATIVE squares (so `div`
+    * ≡ `//` — no negative-floor divergence even though balances can
+    * be negative), making SSB/SSW exact integers up to ≤ k floor
+    * units, with SSB clamped at 0 from below in both engines; F and
+    * η² are ONE IEEE chain each off those integers.
+    *
+    * Scale design (100 TB): one partial-aggregable pass to the
+    * ≤ |segments| moment rows, then 1-row arithmetic — nothing but
+    * k moment triples ever moves. No windows, no collect. */
+  val q257Anova: QueryDef = QueryDef(
+    "q257_anova",
+    """WITH f AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer),
+      |g AS (
+      |  SELECT seg, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(cents AS HUGEINT)) AS sx,
+      |    sum(CAST(cents AS HUGEINT) * cents) AS sxx
+      |  FROM f GROUP BY seg),
+      |t AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS k, sum(n) AS nn,
+      |    sum(sx) AS ss, sum(sxx) AS qq,
+      |    sum(sx * sx // n) AS tg
+      |  FROM g),
+      |z AS (
+      |  SELECT k, nn, greatest(CAST(0 AS HUGEINT), tg - ss * ss // nn) AS ssb,
+      |    qq - tg AS ssw
+      |  FROM t)
+      |SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n,
+      |  CAST(ssb AS BIGINT) AS ssb_cents2, CAST(ssw AS BIGINT) AS ssw_cents2,
+      |  CAST(floor(1000.0 *
+      |    (CAST(ssb AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)) /
+      |    (CAST(ssw AS DOUBLE) / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))))
+      |    AS BIGINT) AS f_milli,
+      |  CAST(floor(1000000.0 * CAST(ssb AS DOUBLE) /
+      |    (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE))) AS BIGINT)
+      |    AS eta2_ppm
+      |FROM z WHERE ssw > 0 AND k > 1 AND nn > k""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = Tables.customer(s, dir)
+      .select(col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 100).cast("bigint").as("cents"))
+      .groupBy(col("seg"))
+      .agg(dec(count(lit(1))).as("n"), sum(dec(col("cents"))).as("sx"),
+        sum(dec(col("cents")) * col("cents")).as("sxx"))
+    val t = g.agg(dec(count(lit(1))).as("k"), sum(col("n")).as("nn"),
+      sum(col("sx")).as("ss"), sum(col("sxx")).as("qq"),
+      sum(expr("sx * sx div n")).as("tg"))
+    val z = t.select(col("k"), col("nn"),
+      greatest(dec(lit(0)), expr("tg - ss * ss div nn")).as("ssb"),
+      expr("qq - tg").as("ssw"))
+    val kd = col("k").cast("double")
+    val nd = col("nn").cast("double")
+    z.filter(col("ssw") > 0 && col("k") > 1 && col("nn") > col("k"))
+      .select(col("k").cast("bigint").as("k_groups"),
+        col("nn").cast("bigint").as("n"),
+        col("ssb").cast("bigint").as("ssb_cents2"),
+        col("ssw").cast("bigint").as("ssw_cents2"),
+        floor(lit(1000.0) *
+          (col("ssb").cast("double") / (kd - lit(1.0))) /
+          (col("ssw").cast("double") / (nd - kd)))
+          .cast("bigint").as("f_milli"),
+        floor(lit(1000000.0) * col("ssb").cast("double") /
+          (col("ssb").cast("double") + col("ssw").cast("double")))
+          .cast("bigint").as("eta2_ppm"))
+  }
+
+  /** q258 — population-stability-index (PSI) drift report between the
+    * pre-1999 and 1999+ order populations over 20 equal-width price
+    * buckets: PSI = Σ (p_a − p_e)·ln(p_a / p_e), the industry-
+    * standard score for "has this feature's distribution moved since
+    * the model was fit" (rule of thumb: <0.10 stable, >0.25 act).
+    * Complements q224 (KS: max ECDF gap, a location test) and q143
+    * (total-variation distance: L1, no weighting) — PSI's log weight
+    * makes TAIL drift loud, which is where scoring models break.
+    *
+    * Exactness: bucket counts are exact int64; proportions are
+    * add-one smoothed (every bucket present on both sides by
+    * construction, so ln never sees 0); each bucket's contribution
+    * is ONE IEEE chain floor(10⁹·(p_a−p_e)·ln(p_a/p_e)) — a product
+    * of same-sign factors, so every term is ≥ 0 and the spec can
+    * assert it.
+    *
+    * Scale design (100 TB): one partial-aggregable pass collapses
+    * both populations to ≤ 20 (bucket, side) counts; the totals
+    * broadcast back over the bounded bucket frame. No windows, no
+    * collect, no second scan. */
+  val q258Psi: QueryDef = QueryDef(
+    "q258_psi",
+    """WITH f AS (
+      |  SELECT least(19, CAST(floor(o_totalprice / 25000) AS BIGINT)) AS bucket,
+      |    CASE WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN 0 ELSE 1 END AS side
+      |  FROM orders),
+      |b AS (
+      |  SELECT g.bucket,
+      |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+      |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca
+      |  FROM (SELECT unnest(range(0, 20)) AS bucket) g
+      |    LEFT JOIN f ON f.bucket = g.bucket
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(ce) AS BIGINT) AS ne, CAST(sum(ca) AS BIGINT) AS na
+      |  FROM b)
+      |SELECT b.bucket, b.ce AS n_expected, b.ca AS n_actual,
+      |  CAST(floor(1000000000.0 *
+      |    ((CAST(b.ca + 1 AS DOUBLE) / CAST(t.na + 20 AS DOUBLE)) -
+      |     (CAST(b.ce + 1 AS DOUBLE) / CAST(t.ne + 20 AS DOUBLE))) *
+      |    ln((CAST(b.ca + 1 AS DOUBLE) / CAST(t.na + 20 AS DOUBLE)) /
+      |       (CAST(b.ce + 1 AS DOUBLE) / CAST(t.ne + 20 AS DOUBLE))))
+      |    AS BIGINT) AS psi_nano
+      |FROM b, t ORDER BY b.bucket""".stripMargin) { (s, dir) =>
+    val f = Tables.orders(s, dir)
+      .select(least(lit(19L),
+        floor(col("o_totalprice") / 25000).cast("bigint")).as("bucket"),
+        when(col("o_orderdate") < lit("1999-01-01").cast("timestamp"), 0)
+          .otherwise(1).as("side"))
+    val grid = s.range(0, 20).select(col("id").as("bucket"))
+    val b = grid.join(f, Seq("bucket"), "left")
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("ce"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("ca"))
+      .localCheckpoint() // <=20 rows; feeds totals AND the report
+    val t = b.agg(sum(col("ce")).as("ne"), sum(col("ca")).as("na"))
+    val pa = (col("ca") + 1).cast("double") / (col("na") + 20).cast("double")
+    val pe = (col("ce") + 1).cast("double") / (col("ne") + 20).cast("double")
+    b.crossJoin(broadcast(t))
+      .select(col("bucket"), col("ce").as("n_expected"),
+        col("ca").as("n_actual"),
+        floor(lit(1000000000.0) * (pa - pe) * log(pa / pe))
+          .cast("bigint").as("psi_nano"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
       q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers,
       q177MannWhitney, q179BootstrapCi, q182NeymanSample, q186Benford,
       q209ContractAudit, q224KsTest, q225Spearman, q226FdAudit,
-      q252PermutationTest)
+      q252PermutationTest, q256KendallTau, q257Anova, q258Psi)
 }

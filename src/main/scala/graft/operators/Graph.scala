@@ -303,6 +303,99 @@ object Graph {
     }
   }
 
+  /** q260 — Weisfeiler–Lehman color refinement over the co-purchase
+    * graph (2 rounds): every node starts colored by its degree, then
+    * each round recolors to hash(own color, multiset of neighbor
+    * colors); the per-round partition profile (distinct colors, the
+    * largest color class, singleton count) is the graph's structural
+    * fingerprint — the kernel feature behind WL graph kernels and
+    * GNN expressiveness, and operationally the "how role-diverse is
+    * this graph" profile that decides whether degree alone is an
+    * adequate blocking key (q241 communities group by PROXIMITY; WL
+    * colors group by local ROLE — two nodes far apart get the same
+    * color iff their neighborhoods look alike).
+    *
+    * Exactness: the neighbor-color multiset is folded through a
+    * COMMUTATIVE hash — Σ over neighbors of the 60-bit md5 prefix of
+    * the neighbor's color, accumulated in DECIMAL(38)/HUGEINT
+    * (order-free, no overflow at any degree) — so no per-node sort
+    * or collect is needed and the result is partition-invariant;
+    * recolor = md5(old ‖ ':' ‖ digit string of the sum), identical
+    * in both engines.
+    *
+    * Scale design (100 TB): each round is ONE equi-join (neighbor
+    * color lookup on u) + ONE partial-aggregable sum on v — two
+    * exchanges per round, R = 2 fixed rounds, lineage cut per round;
+    * the sum-fold means a 10⁶-degree hub costs the combiner, not a
+    * sort. Reports are bounded 1-row aggregates per round. */
+  val q260WlRefinement: QueryDef = {
+    val R = 2
+    val MIN_PAIR = 2
+    val rounds = (1 to R).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT a.v, md5(p.c || ':' || CAST(
+         |      sum(('0x' || substring(md5(n.c), 1, 15))::BIGINT)
+         |      AS VARCHAR)) AS c
+         |  FROM adj a JOIN c${i - 1} n ON a.u = n.v
+         |    JOIN c${i - 1} p ON p.v = a.v
+         |  GROUP BY a.v, p.c)""".stripMargin
+    }.mkString(",\n")
+    val report = (0 to R).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round,
+         |  CAST(count(*) AS BIGINT) AS n_colors,
+         |  CAST(max(m) AS BIGINT) AS max_class,
+         |  CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_singletons
+         |FROM (SELECT c, count(*) AS m FROM c$i GROUP BY c)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    QueryDef(
+      "q260_wl_refinement",
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT f1.p AS a, f2.p AS b2
+         |  FROM b f1 JOIN b f2 ON f1.o = f2.o AND f1.p < f2.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $MIN_PAIR),
+         |adj AS MATERIALIZED (
+         |  SELECT a AS v, b2 AS u FROM e0
+         |  UNION ALL SELECT b2 AS v, a AS u FROM e0),
+         |c0 AS MATERIALIZED (
+         |  SELECT v, md5(CAST(count(*) AS VARCHAR)) AS c
+         |  FROM adj GROUP BY v),
+         |$rounds
+         |$report
+         |ORDER BY round""".stripMargin) { (s, dir) =>
+      val e = coPurchaseEdges(s, dir, MIN_PAIR)
+      val adj = e.select(col("a").as("v"), col("b2").as("u"))
+        .unionByName(e.select(col("b2").as("v"), col("a").as("u")))
+        .localCheckpoint()
+      def summarize(r: Int, cdf: org.apache.spark.sql.DataFrame) =
+        cdf.groupBy(col("c")).agg(count(lit(1)).as("m"))
+          .agg(count(lit(1)).as("n_colors"), max(col("m")).as("max_class"),
+            sum(when(col("m") === 1, 1L).otherwise(0L)).as("n_singletons"))
+          .select(lit(r.toLong).as("round"), col("n_colors"),
+            col("max_class"), col("n_singletons"))
+      var color = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .select(col("v"), md5(col("deg").cast("string")).as("c"))
+        .localCheckpoint()
+      var out = summarize(0, color)
+      for (r <- 1 to R) {
+        val nh = adj
+          .join(color.select(col("v").as("u"), col("c").as("cu")), Seq("u"))
+          .groupBy(col("v"))
+          .agg(sum(expr(
+            "cast(conv(substring(md5(cu), 1, 15), 16, 10) as decimal(38,0))"))
+            .as("sh"))
+        color = color.join(nh, Seq("v"))
+          .select(col("v"),
+            md5(concat(col("c"), lit(":"), col("sh").cast("string"))).as("c"))
+          .localCheckpoint()
+        out = out.unionByName(summarize(r, color))
+      }
+      out.orderBy("round")
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q104Triangles, q132BomExplosion, q150KcorePeel, q155LinkPredict)
+    Seq(q104Triangles, q132BomExplosion, q150KcorePeel, q155LinkPredict,
+      q260WlRefinement)
 }

@@ -898,7 +898,157 @@ object Learn {
     rows.orderBy("rk")
   }
 
+  /** q255 — isotonic (PAV) probability calibration, exact minimax
+    * form: orders are binned by total price (20 equal-width bins) and
+    * the per-bin 'F'-status rate is projected onto the best
+    * MONOTONE non-decreasing fit — the calibration map a ranker's
+    * raw score needs before its outputs can be read as
+    * probabilities. Where q174 only REPORTS the reliability curve,
+    * this FITS the correction. Instead of the sequential
+    * pool-adjacent-violators sweep (order-dependent, driver-shaped),
+    * the unique isotonic solution is computed closed-form via the
+    * minimax identity fit(i) = max_{j≤i} min_{k≥i} wmean(j..k) —
+    * every interval's pooled rate materialized at once, which is
+    * embarrassingly parallel where PAV is inherently serial.
+    *
+    * Exactness: pooled interval rates are (10⁶·Σs) div Σn integer
+    * floor-divs; min/max over those integers; the fitted curve is
+    * monotone for ANY value matrix under the minimax (j grows with
+    * i, k shrinks), so the isotonic invariant survives the 1 ppm
+    * quantization.
+    *
+    * Scale design (100 TB): one partial-aggregable pass collapses
+    * the fact table to ≤20 (bin, n, s) rows; the j×k×member
+    * interval expansion and both minimax reductions run on that
+    * broadcast ≤20-row frame — O(B³) = 8000 tiny rows regardless of
+    * corpus size. No windows, no collect. */
+  val q255Isotonic: QueryDef = QueryDef(
+    "q255_isotonic",
+    """WITH b AS (
+      |  SELECT least(19, CAST(floor(o_totalprice / 25000) AS BIGINT)) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS s
+      |  FROM orders GROUP BY 1),
+      |iv AS (
+      |  SELECT j.bin AS jb, k.bin AS kb,
+      |    (1000000 * sum(m.s)) // sum(m.n) AS avg_ppm
+      |  FROM b j JOIN b k ON j.bin <= k.bin
+      |    JOIN b m ON m.bin BETWEEN j.bin AND k.bin
+      |  GROUP BY 1, 2),
+      |mn AS (
+      |  SELECT i.bin, iv.jb, min(iv.avg_ppm) AS lo
+      |  FROM b i JOIN iv ON iv.jb <= i.bin AND iv.kb >= i.bin
+      |  GROUP BY 1, 2),
+      |fit AS (SELECT bin, CAST(max(lo) AS BIGINT) AS iso_ppm FROM mn GROUP BY bin)
+      |SELECT b.bin, b.n, b.s AS events,
+      |  (1000000 * b.s) // b.n AS rate_ppm, f.iso_ppm
+      |FROM b JOIN fit f USING (bin) ORDER BY b.bin""".stripMargin) {
+    (s, dir) =>
+    val b = Tables.orders(s, dir)
+      .groupBy(least(lit(19L),
+        floor(col("o_totalprice") / 25000).cast("bigint")).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("s"))
+      .localCheckpoint() // <=20 rows; feeds intervals, minimax, and output
+    val iv = broadcast(b.select(col("bin").as("jb")))
+      .join(broadcast(b.select(col("bin").as("kb"))), col("jb") <= col("kb"))
+      .join(broadcast(b.select(col("bin").as("mb"), col("n"), col("s"))),
+        col("mb").between(col("jb"), col("kb")))
+      .groupBy(col("jb"), col("kb"))
+      .agg(expr("(1000000 * sum(s)) div sum(n)").as("avg_ppm"))
+    val mn = broadcast(b.select(col("bin")))
+      .join(broadcast(iv), col("jb") <= col("bin") && col("kb") >= col("bin"))
+      .groupBy(col("bin"), col("jb")).agg(min(col("avg_ppm")).as("lo"))
+    val fit = mn.groupBy(col("bin")).agg(max(col("lo")).cast("bigint").as("iso_ppm"))
+    b.join(broadcast(fit), Seq("bin"))
+      .select(col("bin"), col("n"), col("s").as("events"),
+        expr("(1000000 * s) div n").as("rate_ppm"), col("iso_ppm"))
+      .orderBy("bin")
+  }
+
+  /** q259 — empirical-Bayes (beta-binomial) shrinkage of per-customer
+    * finished-order rates: each customer's raw rate s/n is pulled
+    * toward the corpus prior with strength inversely proportional to
+    * their evidence — the estimator that stops a 1-for-1 customer
+    * ranking above a 99-for-100 one. The prior (α, β) is fit by
+    * method-of-moments on the per-customer ppm rates; the posterior
+    * mean (s+α)/(n+α+β) is the shrunk estimate. This is the
+    * small-sample-ranking fix every per-entity quality score
+    * (source trust, seller rating, doc-quality per domain) needs
+    * before a top-k cut.
+    *
+    * Exactness: raw rates are integer ppm floor-divs; the MoM moment
+    * sums are DECIMAL(38) (order-free); the prior fit and posterior
+    * mean are ONE shared IEEE-double chain — written with identical
+    * operation order in both engines — with the degenerate
+    * variance/strength domain pinned to strength 1 BEFORE any float
+    * (fuzz-proof), and a final 1 ppm floor.
+    *
+    * Scale design (100 TB): one partial-aggregable rollup to
+    * customer grain, one 1-row moment aggregate over the rates,
+    * prior broadcast back over the customer frame — two exchanges
+    * total, no windows, no collect. */
+  val q259EbShrinkage: QueryDef = QueryDef(
+    "q259_eb_shrinkage",
+    """WITH c AS (
+      |  SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS s
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT custkey, n, s, (1000000 * s) // n AS raw_ppm FROM c),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nc,
+      |    sum(CAST(raw_ppm AS HUGEINT)) AS sr,
+      |    sum(CAST(raw_ppm AS HUGEINT) * raw_ppm) AS srr
+      |  FROM r),
+      |prior AS (
+      |  SELECT CAST(sr AS DOUBLE) / CAST(nc AS DOUBLE) / 1000000.0 AS mu,
+      |    (CAST(nc AS DOUBLE) * CAST(srr AS DOUBLE) -
+      |     CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)) /
+      |    (CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE)) / 1000000000000.0 AS v
+      |  FROM m),
+      |st AS (
+      |  SELECT mu,
+      |    CASE WHEN v > 0 AND mu * (1.0 - mu) / v - 1.0 > 0
+      |      THEN mu * (1.0 - mu) / v - 1.0 ELSE 1.0 END AS strength
+      |  FROM prior)
+      |SELECT r.custkey, r.n, r.s, r.raw_ppm,
+      |  CAST(floor(1000000.0 *
+      |    (CAST(r.s AS DOUBLE) + st.mu * st.strength) /
+      |    (CAST(r.n AS DOUBLE) + st.strength)) AS BIGINT) AS shrunk_ppm
+      |FROM r, st
+      |WHERE r.n >= 5
+      |ORDER BY r.custkey""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val r = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("s"))
+      .withColumn("raw_ppm", expr("(1000000 * s) div n"))
+      .localCheckpoint() // feeds the moment pass AND the posterior pass
+    val m = r.agg(count(lit(1)).as("nc"),
+      sum(dec(col("raw_ppm"))).as("sr"),
+      sum(dec(col("raw_ppm")) * col("raw_ppm")).as("srr"))
+    val ncd = col("nc").cast("double")
+    val mu = col("sr").cast("double") / ncd / lit(1000000.0)
+    val v = (ncd * col("srr").cast("double") -
+      col("sr").cast("double") * col("sr").cast("double")) /
+      (ncd * ncd) / lit(1000000000000.0)
+    val st = m.select(mu.as("mu"),
+      when(v > 0 && mu * (lit(1.0) - mu) / v - lit(1.0) > 0,
+        mu * (lit(1.0) - mu) / v - lit(1.0)).otherwise(lit(1.0))
+        .as("strength"))
+    r.filter(col("n") >= 5).crossJoin(broadcast(st))
+      .select(col("custkey"), col("n"), col("s"), col("raw_ppm"),
+        floor(lit(1000000.0) *
+          (col("s").cast("double") + col("mu") * col("strength")) /
+          (col("n").cast("double") + col("strength")))
+          .cast("bigint").as("shrunk_ppm"))
+      .orderBy("custkey")
+  }
+
   val all: Seq[QueryDef] = Seq(q95Kmeans, q96CentroidClassify,
     q159ClusterPurity, q173Stump, q174Calibration, q227NaiveBayes,
-    q235Conformal, q238Dbscan, q249KCenter)
+    q235Conformal, q238Dbscan, q249KCenter, q255Isotonic, q259EbShrinkage)
 }

@@ -323,4 +323,78 @@ class StatsQueriesSpec extends AnyFunSuite {
       "full-dimension ranking compared to itself must have perfect recall")
     assert(rows.values.forall(r => r >= 0 && r <= 1000000L))
   }
+
+  test("q255: the isotonic fit is monotone and inside the raw-rate range") {
+    val rows = Learn.q255Isotonic.build(spark, dir)
+      .orderBy("bin").collect()
+    assert(rows.nonEmpty)
+    val iso = rows.map(_.getAs[Long]("iso_ppm"))
+    val raw = rows.map(_.getAs[Long]("rate_ppm"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b },
+      s"isotonic fit must be non-decreasing: ${iso.mkString(",")}")
+    // minimax pooling can't escape the raw-rate envelope (1 ppm floor slop)
+    assert(iso.forall(v => v >= raw.min - 1 && v <= raw.max + 1))
+  }
+
+  test("q256: tau-b is a correlation; pair accounting is consistent") {
+    val r = DataProfile.q256KendallTau.build(spark, dir).head()
+    val n = r.getAs[Long]("n")
+    val n0 = n * (n - 1) / 2
+    val tau = r.getAs[Long]("tau_b_ppm")
+    assert(tau >= -1000000L && tau <= 1000000L)
+    // concordant + discordant + all tied pairs can never exceed n-choose-2
+    assert(r.getAs[Long]("conc") + r.getAs[Long]("disc") <= n0)
+    assert(r.getAs[Long]("ties_x") <= n0 && r.getAs[Long]("ties_y") <= n0)
+  }
+
+  test("q257: variance decomposition is non-negative and eta2 is a fraction") {
+    val r = DataProfile.q257Anova.build(spark, dir).head()
+    assert(r.getAs[Long]("k_groups") == 5L)
+    assert(r.getAs[Long]("ssb_cents2") >= 0L)
+    assert(r.getAs[Long]("ssw_cents2") > 0L)
+    assert(r.getAs[Long]("f_milli") >= 0L)
+    val eta = r.getAs[Long]("eta2_ppm")
+    assert(eta >= 0L && eta <= 1000000L)
+  }
+
+  test("q258: every PSI contribution is non-negative (same-sign product)") {
+    val rows = DataProfile.q258Psi.build(spark, dir).collect()
+    assert(rows.length == 20) // the fixed bucket grid, empty buckets included
+    assert(rows.forall(_.getAs[Long]("psi_nano") >= 0L))
+  }
+
+  test("q259: shrinkage pulls every raw rate TOWARD the prior mean") {
+    val rows = Learn.q259EbShrinkage.build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the prior mean is the mean raw rate over ALL customers (the fit
+    // population), recomputed here independently of the query
+    val muPpm = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(expr("(1000000 * sum(case when o_orderstatus = 'F' then 1 else 0 end)) div count(1)").as("r"))
+      .agg(avg(col("r"))).head().getDouble(0)
+    for (r <- rows) {
+      val raw = r.getAs[Long]("raw_ppm")
+      val shrunk = r.getAs[Long]("shrunk_ppm")
+      assert(shrunk >= 0L && shrunk <= 1000000L)
+      if (raw < muPpm - 1) assert(shrunk >= raw - 1,
+        s"below-prior rate must shrink UP: raw=$raw shrunk=$shrunk mu=$muPpm")
+      if (raw > muPpm + 1) assert(shrunk <= raw + 1,
+        s"above-prior rate must shrink DOWN: raw=$raw shrunk=$shrunk mu=$muPpm")
+    }
+  }
+
+  test("q260: WL refinement only ever SPLITS color classes") {
+    val rows = Graph.q260WlRefinement.build(spark, dir)
+      .orderBy("round").collect()
+    assert(rows.length == 3)
+    val colors = rows.map(_.getAs[Long]("n_colors"))
+    val maxc = rows.map(_.getAs[Long]("max_class"))
+    val single = rows.map(_.getAs[Long]("n_singletons"))
+    assert(colors.zip(colors.tail).forall { case (a, b) => a <= b },
+      "distinct colors can only grow under refinement")
+    assert(maxc.zip(maxc.tail).forall { case (a, b) => a >= b },
+      "the largest class can only shrink under refinement")
+    assert(single.zip(single.tail).forall { case (a, b) => a <= b },
+      "singleton classes never re-merge under refinement")
+  }
 }

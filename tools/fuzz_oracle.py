@@ -157,6 +157,11 @@ QUERIES = [
     # greedy coverage picks regroup with the text redraw (shingle
     # dictionaries and marginal-gain argmaxes shift per corpus)
     "q254_max_coverage",
+    # the calibration/drift/shrinkage quartet rides the money redraw
+    # (price bins, interval pooling, MoM prior fit, ln drift terms);
+    # Kendall rides the discount/quantity joint histogram regroup
+    "q255_isotonic", "q256_kendall_tau", "q257_anova", "q258_psi",
+    "q259_eb_shrinkage",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
