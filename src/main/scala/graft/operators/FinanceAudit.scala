@@ -744,8 +744,73 @@ object FinanceAudit {
       .orderBy("nation")
   }
 
+  /** q263 — Herfindahl–Hirschman supplier-concentration index per
+    * nation: Σ over suppliers of squared revenue share, plus the
+    * equivalent number of equal-size suppliers (1/HHI) — the
+    * procurement-risk audit ("is this nation's supply base one
+    * whale?"). q133's Gini measures INEQUALITY of the distribution;
+    * HHI measures CONCENTRATION mass and is the form antitrust and
+    * supply-chain policies threshold on (0.25 = the DOJ line).
+    *
+    * Exactness: revenue is exact cents; Σ revₛ and Σ revₛ² accumulate
+    * in DECIMAL(38)/HUGEINT (order-free); HHI = Σr²/(Σr)² and its
+    * reciprocal are each ONE IEEE floor chain (the identical-digits
+    * double conversion of exact integers), so no float ever sums.
+    *
+    * Scale design (100 TB): facts roll up to (nation, supplier)
+    * grain in one partial-aggregable pass (supplier dim broadcast);
+    * the moment pass collapses to ≤|nation| rows. No windows, no
+    * collect. */
+  val q263Hhi: QueryDef = QueryDef(
+    "q263_hhi",
+    """WITH sr AS (
+      |  SELECT s.s_nationkey AS nk, l.l_suppkey AS supp,
+      |    CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |a AS (
+      |  SELECT nk, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |    sum(CAST(cents AS HUGEINT)) AS tot,
+      |    sum(CAST(cents AS HUGEINT) * cents) AS sq
+      |  FROM sr GROUP BY nk)
+      |SELECT n.n_name AS nation, a.n_suppliers,
+      |  CAST(a.tot AS BIGINT) AS rev_cents,
+      |  CAST(floor(1000000.0 * CAST(a.sq AS DOUBLE) /
+      |    (CAST(a.tot AS DOUBLE) * CAST(a.tot AS DOUBLE))) AS BIGINT)
+      |    AS hhi_ppm,
+      |  CAST(floor(1000.0 * CAST(a.tot AS DOUBLE) * CAST(a.tot AS DOUBLE) /
+      |    CAST(a.sq AS DOUBLE)) AS BIGINT) AS eff_suppliers_milli
+      |FROM a JOIN nation n ON a.nk = n.n_nationkey
+      |WHERE a.tot > 0
+      |ORDER BY nation""".stripMargin) { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val sr = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("nk"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nk"), col("l_suppkey").as("supp"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("bigint"))
+        .as("cents"))
+    val a = sr.groupBy(col("nk"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(dec(col("cents"))).as("tot"),
+        sum(dec(col("cents")) * col("cents")).as("sq"))
+    val totd = col("tot").cast("double")
+    a.join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("nk") === col("n_nationkey"))
+      .filter(col("tot") > 0)
+      .select(col("nation"), col("n_suppliers"),
+        col("tot").cast("bigint").as("rev_cents"),
+        floor(lit(1000000.0) * col("sq").cast("double") / (totd * totd))
+          .cast("bigint").as("hhi_ppm"),
+        floor(lit(1000.0) * totd * totd / col("sq").cast("double"))
+          .cast("bigint").as("eff_suppliers_milli"))
+      .orderBy("nation")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q188DupCharge, q189ParetoAbc, q192Vwap, q193Drawdown, q194Aging,
     q195RoundBias, q210DiffInDiff, q211AbcXyz, q214LedgerRegister,
-    q218WeeklyKpi, q222VelocityScreen, q253PriceVolumeMix)
+    q218WeeklyKpi, q222VelocityScreen, q253PriceVolumeMix, q263Hhi)
 }

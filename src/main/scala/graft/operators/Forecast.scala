@@ -349,7 +349,75 @@ object Forecast {
           " AS BIGINT)").as("gain_floor"))
   }
 
+  /** q261 — classical additive seasonal decomposition of the daily
+    * revenue series: trend = 7-day centered moving average, weekly
+    * seasonal index per day-of-week = mean of the detrended residual
+    * — the decomposition behind "is Monday really slow, or is that
+    * the trend?" q134 profiles raw day-of-week means (trend leaks
+    * into the index when the series drifts); subtracting the
+    * centered MA first is what makes the index a SEASONAL effect.
+    *
+    * Exactness: daily cents are exact int64; the centered MA is a
+    * truncating div on a non-negative 7-day sum (Spark div ≡ DuckDB
+    * //); the detrended residual is exact int64 (possibly negative —
+    * never integer-divided); each day-of-week index is ONE IEEE
+    * floor chain to milli-cents. Edge days (incomplete 7-day
+    * neighborhoods, incl. interior gaps) are excluded identically in
+    * both engines via the cnt = 7 guard.
+    *
+    * Scale design (100 TB): facts collapse to the bounded day axis
+    * in one partial-aggregable pass; the centered window is an
+    * explode of 7 literal offsets + one equi-join on the day key
+    * (the q163/q170 lag shape — no day-axis sort, no window); the
+    * final index is a ≤7-row aggregate. */
+  val q261SeasonalDecomp: QueryDef = QueryDef(
+    "q261_seasonal_decomp",
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT a.day, a.cents,
+      |    CAST(sum(b.cents) AS BIGINT) AS s7, count(*) AS c7
+      |  FROM d a
+      |  JOIN d b ON b.day BETWEEN a.day - 3 AND a.day + 3
+      |  GROUP BY a.day, a.cents),
+      |det AS (
+      |  SELECT day, cents - s7 // 7 AS det_cents
+      |  FROM w WHERE c7 = 7)
+      |SELECT dayofweek(day) + 1 AS dow,
+      |  CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(sum(det_cents) AS BIGINT) AS sum_det_cents,
+      |  CAST(floor(1000.0 * CAST(sum(det_cents) AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE)) AS BIGINT) AS seasonal_millicents
+      |FROM det GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val d = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .as("cents"))
+      .localCheckpoint() // day axis feeds both sides of the lag join
+    val probes = d.select(col("day"), col("cents"),
+      explode(expr("sequence(-3, 3)")).as("off"))
+      .select(col("day"), col("cents"),
+        date_add(col("day"), col("off")).as("nday"))
+    val w = probes
+      .join(d.select(col("day").as("nday"), col("cents").as("ncents")),
+        Seq("nday"))
+      .groupBy(col("day"), col("cents"))
+      .agg(sum(col("ncents")).as("s7"), count(lit(1)).as("c7"))
+    val det = w.filter(col("c7") === 7)
+      .select(col("day"), (col("cents") - expr("s7 div 7")).as("det_cents"))
+    det.groupBy((dayofweek(col("day"))).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("det_cents")).as("sum_det_cents"))
+      .select(col("dow").cast("bigint").as("dow"), col("n_days"),
+        col("sum_det_cents"),
+        floor(lit(1000.0) * col("sum_det_cents").cast("double") /
+          col("n_days").cast("double")).cast("bigint").as("seasonal_millicents"))
+      .orderBy("dow")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail,
-      q245Changepoint)
+      q245Changepoint, q261SeasonalDecomp)
 }

@@ -123,5 +123,154 @@ object Segmentation {
       .orderBy("seg")
   }
 
-  val all: Seq[QueryDef] = Seq(q119Rfm, q133Gini)
+  /** q262 — growth-accounting decomposition of monthly active
+    * customers: every month's active count split exactly into new
+    * (first-ever month), retained (also active last month), and
+    * resurrected (active before, but not last month), plus the
+    * churned-from-previous count — the canonical MAU waterfall
+    * (new + retained + resurrected = active;
+    * retained + churned = previous active; both identities exact by
+    * construction, and the spec asserts them). q48's cohort
+    * retention answers "how do cohorts decay"; this answers "where
+    * did THIS month's number come from".
+    *
+    * Scale design (100 TB): facts collapse once to the distinct
+    * (customer, month) activity frame — every downstream quantity is
+    * an equi-join or aggregate on that frame: first-month is a
+    * customer-grain min; retained is a self-join on
+    * (customer, month−1); churned is previous-month active minus
+    * retained, computed on the bounded month axis. No windows, no
+    * anti-join scans of the fact table, no collect. */
+  val q262GrowthAccounting: QueryDef = QueryDef(
+    "q262_growth_accounting",
+    """WITH um AS (
+      |  SELECT DISTINCT o_custkey AS cust,
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) AS mo
+      |  FROM orders),
+      |fm AS (SELECT cust, min(mo) AS fmo FROM um GROUP BY cust),
+      |act AS (SELECT mo, CAST(count(*) AS BIGINT) AS n_active FROM um GROUP BY mo),
+      |nw AS (SELECT fmo AS mo, CAST(count(*) AS BIGINT) AS n_new FROM fm GROUP BY fmo),
+      |ret AS (
+      |  SELECT a.mo, CAST(count(*) AS BIGINT) AS n_retained
+      |  FROM um a JOIN um b
+      |    ON a.cust = b.cust AND b.mo = CAST(a.mo - INTERVAL 1 MONTH AS DATE)
+      |  GROUP BY a.mo),
+      |prev AS (
+      |  SELECT CAST(mo + INTERVAL 1 MONTH AS DATE) AS mo,
+      |    n_active AS n_prev
+      |  FROM act)
+      |SELECT act.mo, act.n_active,
+      |  coalesce(nw.n_new, 0) AS n_new,
+      |  coalesce(ret.n_retained, 0) AS n_retained,
+      |  act.n_active - coalesce(nw.n_new, 0) - coalesce(ret.n_retained, 0)
+      |    AS n_resurrected,
+      |  coalesce(prev.n_prev, 0) - coalesce(ret.n_retained, 0) AS n_churned
+      |FROM act
+      |LEFT JOIN nw USING (mo)
+      |LEFT JOIN ret USING (mo)
+      |LEFT JOIN prev USING (mo)
+      |ORDER BY act.mo""".stripMargin) { (s, dir) =>
+    val um = Tables.orders(s, dir)
+      .select(col("o_custkey").as("cust"),
+        trunc(col("o_orderdate").cast("date"), "month").as("mo"))
+      .distinct()
+      .localCheckpoint() // activity frame feeds four derivations
+    val act = um.groupBy(col("mo")).agg(count(lit(1)).as("n_active"))
+    val nw = um.groupBy(col("cust")).agg(min(col("mo")).as("mo"))
+      .groupBy(col("mo")).agg(count(lit(1)).as("n_new"))
+    val ret = um
+      .join(um.select(col("cust"), add_months(col("mo"), 1).as("mo")),
+        Seq("cust", "mo"))
+      .groupBy(col("mo")).agg(count(lit(1)).as("n_retained"))
+    val prev = act.select(add_months(col("mo"), 1).as("mo"),
+      col("n_active").as("n_prev"))
+    act
+      .join(nw, Seq("mo"), "left")
+      .join(ret, Seq("mo"), "left")
+      .join(prev, Seq("mo"), "left")
+      .select(col("mo"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        (col("n_active") - coalesce(col("n_new"), lit(0L)) -
+          coalesce(col("n_retained"), lit(0L))).as("n_resurrected"),
+        (coalesce(col("n_prev"), lit(0L)) -
+          coalesce(col("n_retained"), lit(0L))).as("n_churned"))
+      .orderBy("mo")
+  }
+
+  /** q265 — cumulative-gains table over price-ranked orders: rank all
+    * orders by total price (descending, orderkey tiebreaker), cut
+    * into exact deciles, and report each decile's event ('F' status)
+    * capture — the gains/lift curve that decides whether a score is
+    * worth acting on ("the top 10% holds x% of all events"). q174
+    * audits calibration (are the probabilities right?); this audits
+    * TARGETING (how fast does acting in score order capture events?).
+    *
+    * Exactness: deciles are [[ScaleRank]]'s closed-form exact ntile
+    * over (cents desc, orderkey) — byte-identical to the oracle's
+    * ntile window; counts are int64 and gains/lift are non-negative
+    * integer ppm floor-divs; the cumulative sum runs over the
+    * 10-row decile frame via a bounded triangular self-join.
+    *
+    * Scale design (100 TB): one fact pass to (cents, key, y); the
+    * rank is ScaleRank's two-level scheme (every task bounded by a
+    * range chunk — no global sort task); everything after is a
+    * ≤10-row frame. */
+  val q265CumGains: QueryDef = QueryDef(
+    "q265_cum_gains",
+    """WITH f AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |  FROM orders),
+      |q AS (
+      |  SELECT y, ntile(10) OVER (ORDER BY cents DESC, k) AS decile
+      |  FROM f),
+      |d AS (
+      |  SELECT CAST(decile AS BIGINT) AS decile,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS events
+      |  FROM q GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+      |    CAST(sum(events) AS BIGINT) AS tot_events
+      |  FROM d),
+      |c AS (
+      |  SELECT a.decile, a.n, a.events,
+      |    CAST(sum(b.events) AS BIGINT) AS cum_events
+      |  FROM d a JOIN d b ON b.decile <= a.decile
+      |  GROUP BY a.decile, a.n, a.events)
+      |SELECT c.decile, c.n, c.events, c.cum_events,
+      |  (1000000 * c.cum_events) // t.tot_events AS gain_ppm,
+      |  (1000000 * c.events * t.tot_n) // (c.n * t.tot_events) AS lift_ppm
+      |FROM c, t WHERE t.tot_events > 0 ORDER BY c.decile""".stripMargin) {
+    (s, dir) =>
+    val f = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("bigint").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+    val ranked = ScaleRank.withRowNumber(f, Nil,
+      Seq(col("cents").desc, col("k")), "rk", "nt")
+    val d = ranked
+      .withColumn("decile",
+        ScaleRank.ntileFromRank(10, col("rk"), col("nt")).cast("bigint"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("events"))
+      .localCheckpoint() // 10 rows; feeds totals and the cumsum join
+    val t = d.agg(sum(col("n")).as("tot_n"), sum(col("events")).as("tot_events"))
+    val c = d.as("a")
+      .join(broadcast(d.select(col("decile").as("d2"), col("events").as("e2"))),
+        col("d2") <= col("decile"))
+      .groupBy(col("decile"), col("n"), col("events"))
+      .agg(sum(col("e2")).as("cum_events"))
+    c.crossJoin(broadcast(t))
+      .filter(col("tot_events") > 0)
+      .select(col("decile"), col("n"), col("events"), col("cum_events"),
+        expr("(1000000 * cum_events) div tot_events").as("gain_ppm"),
+        expr("(1000000 * events * tot_n) div (n * tot_events)").as("lift_ppm"))
+      .orderBy("decile")
+  }
+
+  val all: Seq[QueryDef] = Seq(q119Rfm, q133Gini, q262GrowthAccounting,
+    q265CumGains)
 }

@@ -2226,8 +2226,68 @@ object TextAnalysis {
       .orderBy("rk")
   }
 
+  /** q264 — McNemar's paired test between two corpus-admission
+    * policies (length ≥ 300 chars vs lang = 'en') over the same
+    * documents: the 2×2 pass/fail agreement table and the
+    * continuity-corrected statistic (|b−c|−1)²/(b+c) on the
+    * DISCORDANT cells — the right test for "do these two filters
+    * admit the same fraction" because concordant documents carry no
+    * information about the marginal difference (a naive two-sample
+    * proportion test on the same rows double-counts them). The
+    * decision compares against the χ²₁ 5% line (3.841).
+    *
+    * Exactness: the whole statistic is integer arithmetic — exact
+    * counts, an exact squared discordance (clamped at 0 after the
+    * continuity −1), and one non-negative integer floor-div to
+    * milli-units; no floats anywhere.
+    *
+    * Scale design (100 TB): ONE partial-aggregable pass over the
+    * corpus produces the four cells; everything after is 1-row
+    * arithmetic. */
+  val q264McNemar: QueryDef = QueryDef(
+    "q264_mcnemar",
+    """WITH f AS (
+      |  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pa,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pb
+      |  FROM documents),
+      |cells AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN pa = 0 AND pb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+      |    CAST(sum(CASE WHEN pa = 0 AND pb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |    CAST(sum(CASE WHEN pa = 1 AND pb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |    CAST(sum(CASE WHEN pa = 1 AND pb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+      |  FROM f),
+      |z AS (
+      |  SELECT n00, n01, n10, n11,
+      |    greatest(0, abs(n10 - n01) - 1) AS d
+      |  FROM cells)
+      |SELECT n00, n01, n10, n11,
+      |  CASE WHEN n01 + n10 = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE (1000 * d * d) // (n01 + n10) END AS chi2_milli,
+      |  CASE WHEN n01 + n10 = 0 THEN CAST(0 AS BIGINT)
+      |    WHEN (1000 * d * d) // (n01 + n10) >= 3841 THEN CAST(1 AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS significant
+      |FROM z""".stripMargin) { (s, dir) =>
+    val cells = Tables.documents(s, dir)
+      .select(when(col("n_chars") >= 300, 1).otherwise(0).as("pa"),
+        when(col("lang") === "en", 1).otherwise(0).as("pb"))
+      .agg(
+        sum(when(col("pa") === 0 && col("pb") === 0, 1L).otherwise(0L)).as("n00"),
+        sum(when(col("pa") === 0 && col("pb") === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("pa") === 1 && col("pb") === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("pa") === 1 && col("pb") === 1, 1L).otherwise(0L)).as("n11"))
+    cells
+      .withColumn("d", greatest(lit(0L), abs(col("n10") - col("n01")) - 1))
+      .select(col("n00"), col("n01"), col("n10"), col("n11"),
+        when(col("n01") + col("n10") === 0, 0L)
+          .otherwise(expr("(1000 * d * d) div (n01 + n10)")).as("chi2_milli"),
+        when(col("n01") + col("n10") === 0, 0L)
+          .when(expr("(1000 * d * d) div (n01 + n10)") >= 3841, 1L)
+          .otherwise(0L).as("significant"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q232LooInfluence, q243FeatureHashing, q254MaxCoverage,
+    Seq(q232LooInfluence, q243FeatureHashing, q254MaxCoverage, q264McNemar,
       q197Keyness, q198Readability, q200Burstiness, q215KnPpl,
       q216NegativeSampling, q221ScalingLaw,
       q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,

@@ -383,6 +383,72 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q261: seasonal indexes are per-weekday means over complete neighborhoods") {
+    val rows = Forecast.q261SeasonalDecomp.build(spark, dir).collect()
+    // at smoke scale most days are absent, so only SOME weekdays have
+    // complete 7-day neighborhoods — but each present index must be a
+    // valid weekday with at least one contributing day, listed once
+    assert(rows.nonEmpty)
+    val dows = rows.map(_.getAs[Long]("dow"))
+    assert(dows.distinct.length == dows.length)
+    assert(dows.forall(d => d >= 1L && d <= 7L))
+    assert(rows.forall(_.getAs[Long]("n_days") >= 1L))
+  }
+
+  test("q262: the growth-accounting waterfall closes exactly") {
+    val rows = Segmentation.q262GrowthAccounting.build(spark, dir)
+      .orderBy("mo").collect()
+    assert(rows.nonEmpty)
+    val activeByMo = rows.map(r =>
+      r.getAs[java.sql.Date]("mo").toString -> r.getAs[Long]("n_active")).toMap
+    for ((r, i) <- rows.zipWithIndex) {
+      assert(r.getAs[Long]("n_new") + r.getAs[Long]("n_retained") +
+        r.getAs[Long]("n_resurrected") == r.getAs[Long]("n_active"),
+        s"active split must close at ${r.getAs[java.sql.Date]("mo")}")
+      val prevMo = r.getAs[java.sql.Date]("mo").toLocalDate.minusMonths(1).toString
+      activeByMo.get(prevMo).foreach { prevActive =>
+        assert(r.getAs[Long]("n_retained") + r.getAs[Long]("n_churned")
+          == prevActive,
+          s"retained+churned must equal previous active at month $i")
+      }
+      if (i == 0) assert(r.getAs[Long]("n_new") == r.getAs[Long]("n_active"),
+        "the first month is all-new by definition")
+    }
+  }
+
+  test("q263: HHI sits between perfect spread (1/n) and monopoly (1)") {
+    val rows = FinanceAudit.q263Hhi.build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_suppliers")
+      val hhi = r.getAs[Long]("hhi_ppm")
+      assert(hhi >= 1000000L / n - 1 && hhi <= 1000000L,
+        s"${r.getAs[String]("nation")}: HHI $hhi outside [1e6/$n, 1e6]")
+      assert(r.getAs[Long]("eff_suppliers_milli") <= n * 1000L + 1)
+    }
+  }
+
+  test("q264: McNemar cells cover the corpus; decision matches the statistic") {
+    val r = TextAnalysis.q264McNemar.build(spark, dir).head()
+    val total = r.getAs[Long]("n00") + r.getAs[Long]("n01") +
+      r.getAs[Long]("n10") + r.getAs[Long]("n11")
+    assert(total == Tables.documents(spark, dir).count())
+    val chi2 = r.getAs[Long]("chi2_milli")
+    assert(chi2 >= 0L)
+    assert(r.getAs[Long]("significant") == (if (chi2 >= 3841L) 1L else 0L))
+  }
+
+  test("q265: gains accumulate to exactly 100% and cum is monotone") {
+    val rows = Segmentation.q265CumGains.build(spark, dir)
+      .orderBy("decile").collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val cum = rows.map(_.getAs[Long]("cum_events"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+    assert(cum.last == rows.map(_.getAs[Long]("events")).sum)
+    assert(rows.last.getAs[Long]("gain_ppm") == 1000000L,
+      "the full population captures every event by definition")
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()

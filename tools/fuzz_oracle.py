@@ -162,6 +162,9 @@ QUERIES = [
     # Kendall rides the discount/quantity joint histogram regroup
     "q255_isotonic", "q256_kendall_tau", "q257_anova", "q258_psi",
     "q259_eb_shrinkage",
+    # seasonal/HHI/gains ride the money redraw (daily cents, shares,
+    # decile cuts); McNemar rides the text redraw (n_chars threshold)
+    "q261_seasonal_decomp", "q263_hhi", "q264_mcnemar", "q265_cum_gains",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
