@@ -1681,11 +1681,132 @@ object DataProfile {
       .orderBy("bucket")
   }
 
+  /** q266 — CUPED variance reduction for the event A/B readout: each
+    * user's experiment-period spend is adjusted by their PRE-period
+    * spend (y′ = y − θ(x − x̄), θ = cov(x,y)/var(x)) before arm
+    * means are compared — the standard experimentation-platform
+    * trick that removes between-user baseline variance from the
+    * treatment contrast (the reported var_red is exactly ρ², the
+    * fraction of metric variance the covariate explains). Arms are
+    * the portable md5-parity coin on user_id (the q36/q252
+    * contract). q252 tests a difference; CUPED is the step that
+    * makes such tests SENSITIVE.
+    *
+    * Exactness: spend is exact cents; per-user (x, y) and all five
+    * moments accumulate in DECIMAL(38)/HUGEINT; θ, ρ², and the
+    * adjusted arm means are ONE shared IEEE chain written with
+    * identical operation order in both engines, each landing in a
+    * milli/ppm floor; degenerate var(x)·var(y) ≤ 0 drops the row
+    * identically in both engines (fuzz-proof).
+    *
+    * Scale design (100 TB): one partial-aggregable pass to user
+    * grain (pre/post split via conditional sums — no second scan),
+    * one 1-row moment aggregate, one ≤2-row arm aggregate with the
+    * moments broadcast back. No windows, no collect. */
+  val q266Cuped: QueryDef = QueryDef(
+    "q266_cuped",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
+      |      AS BIGINT) AS x,
+      |    CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
+      |      AS BIGINT) AS y,
+      |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+      |      AS arm
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM u),
+      |a AS (
+      |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+      |    sum(CAST(x AS HUGEINT)) AS sxa, sum(CAST(y AS HUGEINT)) AS sya
+      |  FROM u GROUP BY arm)
+      |SELECT a.arm, a.n_users,
+      |  CAST(floor(1000.0 * CAST(a.sya AS DOUBLE) / CAST(a.n_users AS DOUBLE))
+      |    AS BIGINT) AS mean_y_millicents,
+      |  CAST(floor(1000.0 * (CAST(a.sya AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+      |    - ((CAST(m.n AS DOUBLE) * CAST(m.sxy AS DOUBLE)
+      |        - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE)) /
+      |       (CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+      |        - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)))
+      |      * (CAST(a.sxa AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+      |         - CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))))
+      |    AS BIGINT) AS mean_adj_millicents,
+      |  CAST(floor(1000000.0 *
+      |    (CAST(m.n AS DOUBLE) * CAST(m.sxy AS DOUBLE)
+      |     - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE)) /
+      |    (CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+      |     - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))) AS BIGINT)
+      |    AS theta_ppm,
+      |  CAST(floor(1000000.0 *
+      |    ((CAST(m.n AS DOUBLE) * CAST(m.sxy AS DOUBLE)
+      |      - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE)) *
+      |     (CAST(m.n AS DOUBLE) * CAST(m.sxy AS DOUBLE)
+      |      - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE))) /
+      |    ((CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+      |      - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)) *
+      |     (CAST(m.n AS DOUBLE) * CAST(m.syy AS DOUBLE)
+      |      - CAST(m.sy AS DOUBLE) * CAST(m.sy AS DOUBLE)))) AS BIGINT)
+      |    AS var_red_ppm
+      |FROM a, m
+      |WHERE (CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+      |       - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)) *
+      |      (CAST(m.n AS DOUBLE) * CAST(m.syy AS DOUBLE)
+      |       - CAST(m.sy AS DOUBLE) * CAST(m.sy AS DOUBLE)) > 0
+      |ORDER BY a.arm""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cents = expr("cast(floor(value * 100 + 0.5) as bigint)")
+    val cut = lit("2024-01-16").cast("timestamp")
+    val u = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("ts") < cut, cents)), lit(0L)).as("x"),
+        coalesce(sum(when(col("ts") >= cut, cents)), lit(0L)).as("y"))
+      .withColumn("arm", expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) " +
+          "as bigint) % 2"))
+      .localCheckpoint() // user grain feeds moments AND arms
+    val m = u.agg(dec(count(lit(1))).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("y")) * col("y")).as("syy"))
+    val a = u.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(dec(col("x"))).as("sxa"), sum(dec(col("y"))).as("sya"))
+    val nd = col("n").cast("double")
+    val cov = nd * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varx = nd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vary = nd * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val meanY = col("sya").cast("double") / col("n_users").cast("double")
+    val meanXa = col("sxa").cast("double") / col("n_users").cast("double")
+    val meanX = col("sx").cast("double") / nd
+    a.crossJoin(broadcast(m))
+      .filter(varx * vary > 0)
+      .select(col("arm"), col("n_users"),
+        floor(lit(1000.0) * meanY).cast("bigint").as("mean_y_millicents"),
+        floor(lit(1000.0) * (meanY - (cov / varx) * (meanXa - meanX)))
+          .cast("bigint").as("mean_adj_millicents"),
+        floor(lit(1000000.0) * cov / varx).cast("bigint").as("theta_ppm"),
+        floor(lit(1000000.0) * (cov * cov) / (varx * vary))
+          .cast("bigint").as("var_red_ppm"))
+      .orderBy("arm")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
       q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers,
       q177MannWhitney, q179BootstrapCi, q182NeymanSample, q186Benford,
       q209ContractAudit, q224KsTest, q225Spearman, q226FdAudit,
-      q252PermutationTest, q256KendallTau, q257Anova, q258Psi)
+      q252PermutationTest, q256KendallTau, q257Anova, q258Psi, q266Cuped)
 }

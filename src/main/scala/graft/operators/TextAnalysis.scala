@@ -2286,8 +2286,115 @@ object TextAnalysis {
           .otherwise(0L).as("significant"))
   }
 
+  /** q267 — Burrows' Delta stylometric distance between corpus
+    * sources: each source is profiled by the relative frequency of
+    * the corpus's top-30 words (the "function word" proxy — the most
+    * frequent words carry style, not topic), each frequency is
+    * z-scored against the across-source distribution of that word,
+    * and Delta(s₁,s₂) = mean |z₁ − z₂| — the classic authorship-
+    * attribution distance, here the "were these two sources scraped
+    * from the same generator" audit that embedding similarity (q100)
+    * can't answer because it keys on TOPIC. Low Delta between
+    * nominally-distinct sources flags shared provenance (or
+    * templated/synthetic text) before dedup even runs.
+    *
+    * Exactness: frequencies are integer ppm floor-divs; per-word
+    * across-source moments are exact int64 (f ≤ 10⁶, k ≤ sources);
+    * each z is ONE IEEE chain quantized to milli BEFORE any
+    * cross-word sum (so the word-sum is integer — float sums would
+    * be order-sensitive); constant words (zero variance) drop
+    * identically in both engines; Delta is a non-negative integer
+    * floor-div.
+    *
+    * Scale design (100 TB): one token pass to (source, word) counts
+    * (partial-aggregable); the top-30 pick is a TakeOrdered top-k;
+    * the profile grid is |sources|×30 — broadcast everywhere
+    * downstream, including the pairwise join (on the word key, s₁ <
+    * s₂). The corpus is scanned once; everything after is bounded. */
+  val q267BurrowsDelta: QueryDef = QueryDef(
+    "q267_burrows_delta",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |sw AS (
+      |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2),
+      |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM sw GROUP BY 1),
+      |top AS (
+      |  SELECT w FROM (
+      |    SELECT w, CAST(sum(c) AS BIGINT) AS n FROM sw GROUP BY w
+      |    ORDER BY n DESC, w LIMIT 30)),
+      |grid AS (
+      |  SELECT st.source, top.w, st.tot,
+      |    coalesce(sw.c, 0) AS c
+      |  FROM st CROSS JOIN top
+      |  LEFT JOIN sw ON sw.source = st.source AND sw.w = top.w),
+      |f AS (
+      |  SELECT source, w, (1000000 * c) // tot AS fp
+      |  FROM grid WHERE tot > 0),
+      |wm AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(fp) AS BIGINT) AS sm,
+      |    CAST(sum(fp * fp) AS BIGINT) AS smm
+      |  FROM f GROUP BY w),
+      |z AS (
+      |  SELECT f.source, f.w,
+      |    CAST(floor(1000.0 *
+      |      (CAST(f.fp AS DOUBLE) - CAST(wm.sm AS DOUBLE) / CAST(wm.k AS DOUBLE)) /
+      |      sqrt((CAST(wm.k AS DOUBLE) * CAST(wm.smm AS DOUBLE)
+      |            - CAST(wm.sm AS DOUBLE) * CAST(wm.sm AS DOUBLE)) /
+      |           (CAST(wm.k AS DOUBLE) * CAST(wm.k AS DOUBLE)))) AS BIGINT)
+      |      AS zm
+      |  FROM f JOIN wm USING (w)
+      |  WHERE CAST(wm.k AS DOUBLE) * CAST(wm.smm AS DOUBLE)
+      |        - CAST(wm.sm AS DOUBLE) * CAST(wm.sm AS DOUBLE) > 0)
+      |SELECT a.source AS s1, b.source AS s2,
+      |  CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(abs(a.zm - b.zm)) AS BIGINT) // count(*) AS delta_milli
+      |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val sw = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds totals, the top-k, and the grid
+    val st = sw.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+    val top = sw.groupBy(col("w")).agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(30).select(col("w"))
+    val grid = st.crossJoin(broadcast(top))
+      .join(sw, Seq("source", "w"), "left")
+      .select(col("source"), col("w"), col("tot"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val f = grid.filter(col("tot") > 0)
+      .select(col("source"), col("w"), expr("(1000000 * c) div tot").as("fp"))
+      .localCheckpoint() // bounded |sources|x30 profile
+    val wm = f.groupBy(col("w"))
+      .agg(count(lit(1)).as("k"), sum(col("fp")).as("sm"),
+        sum(col("fp") * col("fp")).as("smm"))
+    val kd = col("k").cast("double")
+    val varw = kd * col("smm").cast("double") -
+      col("sm").cast("double") * col("sm").cast("double")
+    val z = f.join(broadcast(wm), Seq("w"))
+      .filter(varw > 0)
+      .select(col("source"), col("w"),
+        floor(lit(1000.0) *
+          (col("fp").cast("double") - col("sm").cast("double") / kd) /
+          sqrt(varw / (kd * kd))).cast("bigint").as("zm"))
+    z.as("a")
+      .join(broadcast(z
+          .select(col("w").as("w2"), col("source").as("s2"),
+            col("zm").as("zb"))),
+        col("a.w") === col("w2") && col("a.source") < col("s2"))
+      .groupBy(col("a.source").as("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(abs(col("zm") - col("zb"))).as("sz"))
+      .select(col("s1"), col("s2"), col("n_words"),
+        expr("sz div n_words").as("delta_milli"))
+      .orderBy("s1", "s2")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q232LooInfluence, q243FeatureHashing, q254MaxCoverage, q264McNemar,
+      q267BurrowsDelta,
       q197Keyness, q198Readability, q200Burstiness, q215KnPpl,
       q216NegativeSampling, q221ScalingLaw,
       q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,

@@ -792,6 +792,54 @@ object StreamOps {
       .agg(shares.head, shares.tail: _*)
   }
 
+  /** Streaming PSI drift monitor — the q258 population-stability
+    * index as a live per-window signal over the [[driftBaseline]]
+    * grid (shared with [[driftTv]], so one batch fit feeds both
+    * monitors): per tumbling window and event type, PSI =
+    * Σ (p_b − e_b)·ln(p_b / e_b) over the 16 value bins, add-one
+    * smoothed on BOTH sides so empty bins never reach ln. TV (L1)
+    * weighs all drift equally; PSI's log weight makes TAIL drift
+    * loud — the pair is the standard drift dashboard.
+    *
+    * Shape: 16 conditional counters + a total in ONE stateful
+    * aggregate (O(1) state per live window), baseline broadcast,
+    * then a stateless left-associated 16-term fold to the nano
+    * floor — every term is a same-sign product, so the emitted
+    * psi_nano is ≥ 0 by construction and agrees bit-for-bit with
+    * the identical batch fold (pinned in StreamOpsSpec). */
+  def psiDrift(events: DataFrame, baseline: DataFrame,
+      windowLen: String, delay: String): DataFrame = {
+    val bin = expr(
+      "least((cast(floor(value * 1000) as bigint) * 16) div 500000, 15L)")
+    val counters = (0 to 15).map(b =>
+      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b")) :+
+      count(lit(1)).as("n")
+    events
+      .withColumn("bin", bin)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(counters.head, counters.tail: _*)
+      .join(broadcast(baseline), Seq("event_type"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), expr(psiFold).as("psi_nano"))
+  }
+
+  /** The shared 16-term smoothed PSI fold (stream and batch twin use
+    * the same string, so agreement is by construction). Expected bin
+    * mass is the baseline share SCALED TO THE WINDOW SIZE before the
+    * add-one smoothing, so both proportions smooth at the same n —
+    * smoothing the ppm baseline directly would make every small
+    * window read as massive drift. */
+  private[graft] val psiFold: String = {
+    val terms = (0 to 15).map { b =>
+      val p = s"(cast(c$b + 1 as double) / cast(n + 16 as double))"
+      val e = s"((cast(b$b as double) * cast(n as double) / 1000000.0d + 1.0d)" +
+        s" / cast(n + 16 as double))"
+      s"($p - $e) * ln($p / $e)"
+    }.mkString("(", " + ", ")")
+    s"cast(floor(1000000000.0d * $terms) as bigint)"
+  }
+
   final case class CusumState(pf: Long, minpf: Long)
   final case class CusumOut(
       user_id: Long, event_id: Long, value_milli: Long,

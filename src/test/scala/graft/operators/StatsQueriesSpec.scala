@@ -449,6 +449,29 @@ class StatsQueriesSpec extends AnyFunSuite {
       "the full population captures every event by definition")
   }
 
+  test("q266: CUPED reports both arms, one shared theta, var_red = rho^2 in [0,1]") {
+    val rows = DataProfile.q266Cuped.build(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("arm")).sorted.toSeq == Seq(0L, 1L))
+    assert(rows.map(_.getAs[Long]("theta_ppm")).distinct.length == 1,
+      "theta is a corpus-level constant, identical on both arm rows")
+    for (r <- rows) {
+      val vr = r.getAs[Long]("var_red_ppm")
+      assert(vr >= 0L && vr <= 1000000L, s"rho^2 outside [0,1]: $vr")
+      assert(r.getAs[Long]("n_users") > 0L)
+    }
+  }
+
+  test("q267: Burrows Delta covers every source pair with bounded word panels") {
+    val rows = TextAnalysis.q267BurrowsDelta.build(spark, dir).collect()
+    val k = Tables.documents(spark, dir).select("source").distinct().count()
+    assert(rows.length == k * (k - 1) / 2,
+      s"expected all ${k * (k - 1) / 2} unordered source pairs")
+    assert(rows.forall(r => r.getAs[Long]("n_words") >= 1L &&
+      r.getAs[Long]("n_words") <= 30L))
+    assert(rows.forall(_.getAs[Long]("delta_milli") >= 0L))
+    assert(rows.forall(r => r.getAs[String]("s1") < r.getAs[String]("s2")))
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()

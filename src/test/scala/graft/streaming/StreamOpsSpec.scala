@@ -1028,6 +1028,55 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("psiDrift finalized windows agree with the batch fold; drift outscores match") {
+    implicit val sqlCtx = spark.sqlContext
+    val baseRef = Seq(
+      (ts(0), "click", 100.0), (ts(0), "click", 400.0), (ts(0), "click", 450.0),
+      (ts(0), "view", 100.0))
+      .toDF("ts", "event_type", "value")
+    val baseline = StreamOps.driftBaseline(baseRef)
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.psiDrift(df, baseline, "15 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // click mass moves into new bins; view matches the baseline
+      val data = Seq(
+        (ts(1), "click", 100.0), (ts(3), "click", 420.0),
+        (ts(5), "click", 900.0), (ts(2), "view", 100.0))
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData((ts(60), "view", 1.0)) // advance watermark past the window
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        ((r.getTimestamp(0).getTime - Base) / 60000, r.getString(1),
+          r.getLong(2), r.getLong(3))
+      val got = spark.table("psi_out").collect().map(key).toSet
+      // batch twin: identical histogram + the SHARED smoothed PSI fold
+      val bin = expr("least((cast(floor(value * 1000) as bigint) * 16) div 500000, 15L)")
+      val counters = (0 to 15).map(b =>
+        sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b")) :+
+        count(lit(1)).as("n")
+      val batch = data.toDF("ts", "event_type", "value")
+        .withColumn("bin", bin)
+        .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+        .agg(counters.head, counters.tail: _*)
+        .join(baseline, Seq("event_type"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), expr(StreamOps.psiFold).as("psi_nano"))
+        .collect().map(key).toSet
+      assert(batch.subsetOf(got), s"missing: ${batch.diff(got)}")
+      // every PSI is non-negative (same-sign products), and the
+      // shifted click window scores far above the matching view one
+      assert(got.forall(_._4 >= 0L))
+      val clickPsi = got.find(_._2 == "click").get._4
+      val viewPsi = got.find(_._2 == "view").get._4
+      assert(clickPsi > viewPsi * 10,
+        s"shifted window must outscore the in-distribution one: $got")
+    } finally q.stop()
+  }
+
   test("benfordMonitor finalized windows agree with the batch digit fold") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Double)]

@@ -165,6 +165,10 @@ QUERIES = [
     # seasonal/HHI/gains ride the money redraw (daily cents, shares,
     # decile cuts); McNemar rides the text redraw (n_chars threshold)
     "q261_seasonal_decomp", "q263_hhi", "q264_mcnemar", "q265_cum_gains",
+    # CUPED rides the events value redraw through every moment and the
+    # md5-arm split; Burrows Delta rides the text redraw through the
+    # top-30 panel, the z-scores, and the pairwise fold
+    "q266_cuped", "q267_burrows_delta",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
