@@ -1802,11 +1802,125 @@ object DataProfile {
       .orderBy("arm")
   }
 
+  /** The q268 range-predicate battery on the extended-price cents
+    * axis, shared verbatim by the Spark plan and the oracle SQL.
+    * Half-open [lo, hi) bounds; the last one is deliberately narrow
+    * (sub-bucket) so the audit exercises the interpolation path. */
+  private val SEL_PREDS: Seq[(Long, Long, Long)] = Seq(
+    (1L, 0L, 1000000L), (2L, 1000000L, 3000000L),
+    (3L, 3000000L, 7000000L), (4L, 7000000L, 20000000L),
+    (5L, 500000L, 550000L))
+
+  /** q268 — selectivity-estimation audit: estimate the row count of
+    * a range-predicate battery from a 20-bucket equi-depth histogram
+    * (uniform interpolation inside each bucket — the System R
+    * assumption every cost-based optimizer ships) and score each
+    * estimate against the true count. This is the optimizer-quality
+    * report behind "why did the planner mis-join": q129 builds the
+    * histogram, q231 audits JOIN cardinalities; this closes the loop
+    * on single-table RANGE selectivity, including a deliberately
+    * sub-bucket-width predicate where interpolation error peaks.
+    *
+    * Exactness: bucket bounds/counts are exact int64 (equi-depth via
+    * [[ScaleRank]]'s exact ntile, orderkey/linenumber tiebreak); the
+    * per-bucket overlap fraction is quantized to integer MICRO-rows
+    * ((10⁶·overlap) div width) before the cross-bucket sum, so the
+    * estimate is order-free integer arithmetic end to end; true
+    * counts are one conditional-sum pass; the error ratio is a
+    * non-negative integer floor-div with a greatest(1,·) guard.
+    *
+    * Scale design (100 TB): one ScaleRank pass (bounded range-chunk
+    * tasks) + one 20-row histogram; estimation runs on the broadcast
+    * 20×|preds| grid; truth is ONE partial-aggregable scan with
+    * |preds| counters. No windows over fact axes, no collect. */
+  val q268SelectivityAudit: QueryDef = {
+    val predRows = SEL_PREDS.map { case (i, a, b) =>
+      s"SELECT CAST($i AS BIGINT) AS pid, CAST($a AS BIGINT) AS lo_p, " +
+        s"CAST($b AS BIGINT) AS hi_p"
+    }.mkString(" UNION ALL ")
+    val actCols = SEL_PREDS.map { case (i, a, b) =>
+      s"CAST(sum(CASE WHEN cents >= $a AND cents < $b THEN 1 ELSE 0 END) " +
+        s"AS BIGINT) AS act$i"
+    }.mkString(", ")
+    val actRows = SEL_PREDS.map { case (i, _, _) =>
+      s"SELECT CAST($i AS BIGINT) AS pid, act$i AS actual_rows FROM act"
+    }.mkString(" UNION ALL ")
+    QueryDef(
+      "q268_selectivity_audit",
+      s"""WITH f AS (
+         |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         |    l_orderkey AS o, l_linenumber AS ln2
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT cents, ntile(20) OVER (ORDER BY cents, o, ln2) AS b
+         |  FROM f),
+         |h AS (
+         |  SELECT b, CAST(min(cents) AS BIGINT) AS lo,
+         |    CAST(max(cents) AS BIGINT) AS hi,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM r GROUP BY b),
+         |preds AS ($predRows),
+         |est AS (
+         |  SELECT p.pid, p.lo_p, p.hi_p,
+         |    CAST(sum(h.cnt * ((1000000 * greatest(0,
+         |      least(p.hi_p, h.hi + 1) - greatest(p.lo_p, h.lo)))
+         |      // (h.hi + 1 - h.lo))) AS BIGINT) // 1000000 AS est_rows
+         |  FROM preds p CROSS JOIN h
+         |  GROUP BY 1, 2, 3),
+         |act AS (SELECT $actCols FROM f),
+         |actu AS ($actRows)
+         |SELECT e.pid, e.lo_p AS lo_cents, e.hi_p AS hi_cents,
+         |  e.est_rows, a.actual_rows,
+         |  (1000000 * abs(e.est_rows - a.actual_rows))
+         |    // greatest(a.actual_rows, 1) AS err_ppm
+         |FROM est e JOIN actu a USING (pid)
+         |ORDER BY e.pid""".stripMargin) { (s, dir) =>
+      val f = Tables.lineitem(s, dir)
+        .select(floor(col("l_extendedprice") * 100 + 0.5).cast("bigint")
+          .as("cents"),
+          col("l_orderkey").as("o"), col("l_linenumber").as("ln2"))
+        .localCheckpoint() // feeds the histogram AND the truth pass
+      val h = ScaleRank.withRowNumber(f, Nil,
+          Seq(col("cents"), col("o"), col("ln2")), "rk", "nn")
+        .withColumn("b", ScaleRank.ntileFromRank(20, col("rk"), col("nn")))
+        .groupBy(col("b"))
+        .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+          count(lit(1)).as("cnt"))
+      import s.implicits._
+      val preds = SEL_PREDS.toDF("pid", "lo_p", "hi_p")
+      val est = broadcast(preds).crossJoin(broadcast(h))
+        .groupBy(col("pid"), col("lo_p"), col("hi_p"))
+        .agg((sum(col("cnt") *
+          expr("(1000000 * greatest(0, least(hi_p, hi + 1) - greatest(lo_p, lo))) div (hi + 1 - lo)"))
+          .cast("bigint")).as("est_micro"))
+        .select(col("pid"), col("lo_p"), col("hi_p"),
+          expr("est_micro div 1000000").as("est_rows"))
+      val act1 = f.agg(
+        SEL_PREDS.head match { case (i, a, b) =>
+          sum(when(col("cents") >= a && col("cents") < b, 1L).otherwise(0L))
+            .as(s"act$i") },
+        SEL_PREDS.tail.map { case (i, a, b) =>
+          sum(when(col("cents") >= a && col("cents") < b, 1L).otherwise(0L))
+            .as(s"act$i") }: _*)
+      val stackExpr = "stack(" + SEL_PREDS.length + ", " +
+        SEL_PREDS.map { case (i, _, _) => s"${i}L, act$i" }.mkString(", ") +
+        ") as (pid, actual_rows)"
+      val actu = act1.select(expr(stackExpr))
+      est.join(broadcast(actu), Seq("pid"))
+        .select(col("pid"), col("lo_p").as("lo_cents"),
+          col("hi_p").as("hi_cents"), col("est_rows"), col("actual_rows"),
+          expr("(1000000 * abs(est_rows - actual_rows)) div greatest(actual_rows, 1)")
+            .as("err_ppm"))
+        .orderBy("pid")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
       q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers,
       q177MannWhitney, q179BootstrapCi, q182NeymanSample, q186Benford,
       q209ContractAudit, q224KsTest, q225Spearman, q226FdAudit,
-      q252PermutationTest, q256KendallTau, q257Anova, q258Psi, q266Cuped)
+      q252PermutationTest, q256KendallTau, q257Anova, q258Psi, q266Cuped,
+      q268SelectivityAudit)
 }

@@ -350,6 +350,120 @@ object Layout {
       .orderBy("source")
   }
 
+  /** q269 — column-encoding advisor: profile seven lineitem columns
+    * in their physical write order (orderkey, linenumber) for the
+    * three statistics that decide a columnar codec — distinct ratio
+    * (dictionary viability), mean run length (RLE viability), and
+    * the fraction of non-decreasing adjacent deltas (delta-encoding
+    * viability) — and emit a deterministic recommendation per column
+    * (RLE ≻ DICT ≻ DELTA ≻ PLAIN, fixed threshold ladder). This is
+    * the write-path sibling of q205's read-path zonemap audit: the
+    * same per-file statistics thinking, pointed at encoding choice
+    * before a 100 TB rewrite.
+    *
+    * Exactness: values canonicalize to exact integers/strings
+    * (cents, day numbers, int64 renders — identical digit strings in
+    * both engines); runs and monotonicity count ADJACENT pairs,
+    * fetched via a (column, pos−1) equi-join on the ScaleRank
+    * position (the oracle's lag window, re-expressed without any
+    * fact-axis window); every ratio is a non-negative integer
+    * floor-div and the recommendation is a CASE over those integers.
+    *
+    * Scale design (100 TB): ONE ScaleRank pass assigns write-order
+    * positions (bounded range-chunk tasks); the 7-way unpivot is a
+    * map-side stack projection; the neighbor join is an equi-join on
+    * (column, pos) with both sides hash-partitioned identically; the
+    * report is a 7-row aggregate. */
+  val q269EncodingAdvisor: QueryDef = QueryDef(
+    "q269_encoding_advisor",
+    """WITH base AS (
+      |  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS pos,
+      |    l_returnflag AS rf, l_linestatus AS ls,
+      |    CAST(floor(l_quantity) AS BIGINT) AS qn,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS dc,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ep,
+      |    l_orderkey AS ok,
+      |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS sd
+      |  FROM lineitem),
+      |u AS (
+      |  SELECT 'l_returnflag' AS cname, pos, rf AS val_s,
+      |    CAST(NULL AS BIGINT) AS val_n FROM base
+      |  UNION ALL SELECT 'l_linestatus', pos, ls, CAST(NULL AS BIGINT) FROM base
+      |  UNION ALL SELECT 'l_quantity', pos, CAST(qn AS VARCHAR), qn FROM base
+      |  UNION ALL SELECT 'l_discount', pos, CAST(dc AS VARCHAR), dc FROM base
+      |  UNION ALL SELECT 'l_extendedprice', pos, CAST(ep AS VARCHAR), ep FROM base
+      |  UNION ALL SELECT 'l_orderkey', pos, CAST(ok AS VARCHAR), ok FROM base
+      |  UNION ALL SELECT 'l_shipdate', pos, CAST(sd AS VARCHAR), sd FROM base),
+      |lg AS (
+      |  SELECT cname, val_s, val_n,
+      |    lag(val_s) OVER (PARTITION BY cname ORDER BY pos) AS pv,
+      |    lag(val_n) OVER (PARTITION BY cname ORDER BY pos) AS pn
+      |  FROM u),
+      |st AS (
+      |  SELECT cname, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT val_s) AS BIGINT) AS nd,
+      |    CAST(1 + sum(CASE WHEN pv IS NOT NULL AND val_s <> pv
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+      |    CAST(sum(CASE WHEN pn IS NOT NULL AND val_n >= pn
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS ndc,
+      |    CAST(sum(CASE WHEN pn IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS npairs
+      |  FROM lg GROUP BY cname)
+      |SELECT cname, n, nd, runs,
+      |  (1000000 * nd) // n AS distinct_ppm,
+      |  (1000 * n) // runs AS avg_run_milli,
+      |  CASE WHEN npairs > 0 THEN (1000000 * ndc) // npairs
+      |    ELSE CAST(-1 AS BIGINT) END AS frac_nondec_ppm,
+      |  CASE WHEN (1000 * n) // runs >= 4000 THEN 'RLE'
+      |    WHEN (1000000 * nd) // n <= 10000 THEN 'DICT'
+      |    WHEN npairs > 0 AND (1000000 * ndc) // npairs >= 990000 THEN 'DELTA'
+      |    ELSE 'PLAIN' END AS recommendation
+      |FROM st ORDER BY cname""".stripMargin) { (s, dir) =>
+    val base0 = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln2"),
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        floor(col("l_quantity")).cast("bigint").as("qn"),
+        round(col("l_discount") * 100).cast("bigint").as("dc"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("bigint").as("ep"),
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01")
+          .cast("date")).cast("bigint").as("sd"))
+    val base = ScaleRank.withRowNumber(base0, Nil,
+      Seq(col("ok"), col("ln2")), "pos", "ntot")
+    val u = base.select(expr(
+      """stack(7,
+        |  'l_returnflag', rf, CAST(NULL AS BIGINT),
+        |  'l_linestatus', ls, CAST(NULL AS BIGINT),
+        |  'l_quantity', CAST(qn AS STRING), qn,
+        |  'l_discount', CAST(dc AS STRING), dc,
+        |  'l_extendedprice', CAST(ep AS STRING), ep,
+        |  'l_orderkey', CAST(ok AS STRING), ok,
+        |  'l_shipdate', CAST(sd AS STRING), sd
+        |) as (cname, val_s, val_n)""".stripMargin),
+      col("pos")).localCheckpoint() // feeds both join sides
+    val nbr = u.select(col("cname"), (col("pos") + 1).as("pos"),
+      col("val_s").as("pv"), col("val_n").as("pn"))
+    val st = u.join(nbr, Seq("cname", "pos"), "left")
+      .groupBy(col("cname"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("val_s")).as("nd"),
+        (lit(1L) + sum(when(col("pv").isNotNull && col("val_s") =!= col("pv"),
+          1L).otherwise(0L))).as("runs"),
+        sum(when(col("pn").isNotNull && col("val_n") >= col("pn"), 1L)
+          .otherwise(0L)).as("ndc"),
+        sum(when(col("pn").isNotNull, 1L).otherwise(0L)).as("npairs"))
+    st.select(col("cname"), col("n"), col("nd"), col("runs"),
+        expr("(1000000 * nd) div n").as("distinct_ppm"),
+        expr("(1000 * n) div runs").as("avg_run_milli"),
+        when(col("npairs") > 0, expr("(1000000 * ndc) div npairs"))
+          .otherwise(lit(-1L)).as("frac_nondec_ppm"),
+        when(expr("(1000 * n) div runs") >= 4000, "RLE")
+          .when(expr("(1000000 * nd) div n") <= 10000, "DICT")
+          .when(col("npairs") > 0 &&
+            expr("(1000000 * ndc) div npairs") >= 990000, "DELTA")
+          .otherwise("PLAIN").as("recommendation"))
+      .orderBy("cname")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q93ZOrder, q205ZonemapPrune, q233Rendezvous, q237Compaction)
+    Seq(q93ZOrder, q205ZonemapPrune, q233Rendezvous, q237Compaction,
+      q269EncodingAdvisor)
 }

@@ -223,29 +223,8 @@ object PageRank {
   /** Oracle twin of [[q241LabelProp]]: the same synchronous rounds
     * unrolled as MATERIALIZED CTEs, with the argmax spelled as the
     * max-count ⋈ min-label join both engines execute identically. */
-  private def lpaOracleSql: String = {
-    val rounds = (1 to LPA_ITERS).map { r =>
-      s"""v$r AS MATERIALIZED (
-         |  SELECT e.src AS node, l.lab AS cand
-         |  FROM edges e JOIN l${r - 1} l ON e.dst = l.node
-         |  UNION ALL SELECT node, lab FROM l${r - 1}),
-         |vc$r AS MATERIALIZED (
-         |  SELECT node, cand, count(*) AS c FROM v$r GROUP BY node, cand),
-         |mx$r AS MATERIALIZED (
-         |  SELECT node, max(c) AS mc FROM vc$r GROUP BY node),
-         |l$r AS MATERIALIZED (
-         |  SELECT vc.node, min(vc.cand) AS lab
-         |  FROM vc$r vc JOIN mx$r m ON vc.node = m.node AND vc.c = m.mc
-         |  GROUP BY vc.node)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH bought AS MATERIALIZED (
-       |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey + $PART_OFFSET AS p
-       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-       |edges AS MATERIALIZED (
-       |  SELECT c AS src, p AS dst FROM bought
-       |  UNION ALL SELECT p, c FROM bought),
-       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
-       |$rounds
+  private def lpaOracleSql: String =
+    s"""WITH $lpaCtePrefix
        |SELECT lab, count(*) AS n_members,
        |  CAST(sum(CASE WHEN node < $PART_OFFSET THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_cust,
@@ -253,7 +232,6 @@ object PageRank {
        |    AS n_parts
        |FROM l$LPA_ITERS GROUP BY lab
        |ORDER BY n_members DESC, lab LIMIT 25""".stripMargin
-  }
 
   /** q241 — label-propagation communities (Raghavan et al. PRE'07) on
     * the purchase graph: every node adopts the most frequent label
@@ -278,6 +256,18 @@ object PageRank {
     (s, dir) =>
     val e = edges(Tables.orders(s, dir), Tables.lineitem(s, dir))
       .localCheckpoint()
+    lpaLabels(e).groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("node") < PART_OFFSET, 1L).otherwise(0L)).as("n_cust"),
+        sum(when(col("node") >= PART_OFFSET, 1L).otherwise(0L)).as("n_parts"))
+      .orderBy(col("n_members").desc, col("lab"))
+      .limit(25)
+  }
+
+  /** The q241 synchronous LPA loop, shared with q270's modularity
+    * audit: fixed rounds, self-vote damping, max-count ⋈ min-label
+    * argmax. Returns the final (node, lab) assignment. */
+  private def lpaLabels(e: DataFrame): DataFrame = {
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
       .localCheckpoint()
@@ -295,12 +285,123 @@ object PageRank {
         .groupBy(col("node")).agg(min(col("cand")).as("lab"))
         .localCheckpoint()
     }
-    labels.groupBy(col("lab"))
-      .agg(count(lit(1)).as("n_members"),
-        sum(when(col("node") < PART_OFFSET, 1L).otherwise(0L)).as("n_cust"),
-        sum(when(col("node") >= PART_OFFSET, 1L).otherwise(0L)).as("n_parts"))
-      .orderBy(col("n_members").desc, col("lab"))
-      .limit(25)
+    labels
+  }
+
+  /** The shared SQL prefix for the LPA oracles: purchase edges, the
+    * identity labeling, and the unrolled synchronous rounds. The
+    * final labeling lives in CTE `l$LPA_ITERS`. */
+  private def lpaCtePrefix: String = {
+    val rounds = (1 to LPA_ITERS).map { r =>
+      s"""v$r AS MATERIALIZED (
+         |  SELECT e.src AS node, l.lab AS cand
+         |  FROM edges e JOIN l${r - 1} l ON e.dst = l.node
+         |  UNION ALL SELECT node, lab FROM l${r - 1}),
+         |vc$r AS MATERIALIZED (
+         |  SELECT node, cand, count(*) AS c FROM v$r GROUP BY node, cand),
+         |mx$r AS MATERIALIZED (
+         |  SELECT node, max(c) AS mc FROM vc$r GROUP BY node),
+         |l$r AS MATERIALIZED (
+         |  SELECT vc.node, min(vc.cand) AS lab
+         |  FROM vc$r vc JOIN mx$r m ON vc.node = m.node AND vc.c = m.mc
+         |  GROUP BY vc.node)""".stripMargin
+    }.mkString(",\n")
+    s"""bought AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey + $PART_OFFSET AS p
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT c AS src, p AS dst FROM bought
+       |  UNION ALL SELECT p, c FROM bought),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+       |$rounds""".stripMargin
+  }
+
+  /** q270 — Newman modularity audit of the q241-shared LPA
+    * communities: Q = Σ_c (e_c/m − (d_c/2m)²) over the same purchase
+    * graph, reported per top community (its internal-edge mass,
+    * degree mass, and modularity contribution) plus the grand total
+    * row (lab = −1), which IS the partition's modularity. q241 finds
+    * the communities; this scores whether the partition is actually
+    * better than chance — the acceptance gate before anyone ships
+    * "baskets" downstream (Q ≈ 0 means the communities are noise).
+    *
+    * Exactness: internal-edge and degree masses are exact int64
+    * counts over the DIRECTED edge list (both identities double, so
+    * the ratio is unchanged); each community's contribution is ONE
+    * IEEE floor chain to nano units; the total is an integer sum of
+    * those nanos (order-free) — deterministic in both engines.
+    *
+    * Scale design (100 TB): two equi-joins label the edge endpoints
+    * (hash-partitioned on node — the label frame is |V| rows, NOT
+    * broadcast), then everything is partial-aggregable per-label
+    * mass; top-25 is a TakeOrdered heap and the total a 1-row sum. */
+  val q270Modularity: QueryDef = QueryDef(
+    "q270_modularity",
+    s"""WITH $lpaCtePrefix,
+       |lab AS MATERIALIZED (SELECT node, lab FROM l$LPA_ITERS),
+       |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+       |ind AS (
+       |  SELECT a.lab, CAST(count(*) AS BIGINT) AS in_edges
+       |  FROM edges e JOIN lab a ON e.src = a.node
+       |    JOIN lab b ON e.dst = b.node
+       |  WHERE a.lab = b.lab GROUP BY 1),
+       |dg AS (
+       |  SELECT a.lab, CAST(count(*) AS BIGINT) AS deg_sum
+       |  FROM edges e JOIN lab a ON e.src = a.node GROUP BY 1),
+       |mem AS (
+       |  SELECT lab, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM lab GROUP BY 1),
+       |comm AS (
+       |  SELECT mem.lab, mem.n_members,
+       |    coalesce(ind.in_edges, 0) AS in_edges, dg.deg_sum,
+       |    CAST(floor(1000000000.0 *
+       |      (CAST(coalesce(ind.in_edges, 0) AS DOUBLE) / CAST(m2.m AS DOUBLE)
+       |       - (CAST(dg.deg_sum AS DOUBLE) / CAST(m2.m AS DOUBLE))
+       |         * (CAST(dg.deg_sum AS DOUBLE) / CAST(m2.m AS DOUBLE))))
+       |      AS BIGINT) AS contrib_nano
+       |  FROM mem JOIN dg USING (lab) LEFT JOIN ind USING (lab), m2),
+       |top AS (SELECT * FROM comm ORDER BY n_members DESC, lab LIMIT 25),
+       |tot AS (
+       |  SELECT CAST(-1 AS BIGINT) AS lab,
+       |    CAST(sum(n_members) AS BIGINT) AS n_members,
+       |    CAST(sum(in_edges) AS BIGINT) AS in_edges,
+       |    CAST(sum(deg_sum) AS BIGINT) AS deg_sum,
+       |    CAST(sum(contrib_nano) AS BIGINT) AS contrib_nano
+       |  FROM comm)
+       |SELECT * FROM tot UNION ALL SELECT * FROM top
+       |ORDER BY n_members DESC, lab""".stripMargin) { (s, dir) =>
+    val e = edges(Tables.orders(s, dir), Tables.lineitem(s, dir))
+      .localCheckpoint()
+    val lab = lpaLabels(e).localCheckpoint()
+    val m2 = e.agg(count(lit(1)).as("m"))
+    val el = e
+      .join(lab.select(col("node").as("src"), col("lab").as("ls")), Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("lab").as("ld")), Seq("dst"))
+    val ind = el.filter(col("ls") === col("ld"))
+      .groupBy(col("ls").as("lab")).agg(count(lit(1)).as("in_edges"))
+    val dg = e
+      .join(lab.select(col("node").as("src"), col("lab")), Seq("src"))
+      .groupBy(col("lab")).agg(count(lit(1)).as("deg_sum"))
+    val mem = lab.groupBy(col("lab")).agg(count(lit(1)).as("n_members"))
+    val md = col("m").cast("double")
+    val comm = mem.join(dg, Seq("lab")).join(ind, Seq("lab"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("lab"), col("n_members"),
+        coalesce(col("in_edges"), lit(0L)).as("in_edges"), col("deg_sum"),
+        floor(lit(1000000000.0) *
+          (coalesce(col("in_edges"), lit(0L)).cast("double") / md -
+            (col("deg_sum").cast("double") / md) *
+            (col("deg_sum").cast("double") / md)))
+          .cast("bigint").as("contrib_nano"))
+      .localCheckpoint() // feeds the top-25 heap AND the total row
+    val top = comm.orderBy(col("n_members").desc, col("lab")).limit(25)
+    val tot = comm.agg(sum(col("n_members")).as("n_members"),
+        sum(col("in_edges")).as("in_edges"),
+        sum(col("deg_sum")).as("deg_sum"),
+        sum(col("contrib_nano")).as("contrib_nano"))
+      .select(lit(-1L).as("lab"), col("n_members"), col("in_edges"),
+        col("deg_sum"), col("contrib_nano"))
+    tot.unionByName(top).orderBy(col("n_members").desc, col("lab"))
   }
 
   private val SSSP_ROUNDS = 4
@@ -381,5 +482,6 @@ object PageRank {
       .limit(25)
   }
 
-  val all: Seq[QueryDef] = Seq(q65PageRank, q239Hits, q241LabelProp, q242Sssp)
+  val all: Seq[QueryDef] = Seq(q65PageRank, q239Hits, q241LabelProp, q242Sssp,
+    q270Modularity)
 }

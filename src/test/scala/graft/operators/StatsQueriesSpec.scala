@@ -472,6 +472,48 @@ class StatsQueriesSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[String]("s1") < r.getAs[String]("s2")))
   }
 
+  test("q268: tiling predicates' estimates sum to ~n; truth sums exactly") {
+    val rows = DataProfile.q268SelectivityAudit.build(spark, dir)
+      .orderBy("pid").collect()
+    assert(rows.length == 5)
+    val n = Tables.lineitem(spark, dir).count()
+    // preds 1-4 tile [0, 2e7) which covers the whole cents domain
+    val est4 = rows.take(4).map(_.getAs[Long]("est_rows")).sum
+    val act4 = rows.take(4).map(_.getAs[Long]("actual_rows")).sum
+    assert(act4 == n, "tiling predicates must partition every row")
+    assert(math.abs(est4 - n) <= 100,
+      s"histogram mass must be conserved across a tiling battery: $est4 vs $n")
+    assert(rows.forall(_.getAs[Long]("est_rows") >= 0L))
+  }
+
+  test("q269: the advisor recognizes the sorted key and the 3-value flag") {
+    val rows = Layout.q269EncodingAdvisor.build(spark, dir).collect()
+      .map(r => r.getAs[String]("cname") -> r).toMap
+    assert(rows.size == 7)
+    assert(rows("l_orderkey").getAs[Long]("frac_nondec_ppm") == 1000000L,
+      "write order IS orderkey order, so the column is perfectly sorted")
+    // the sorted key repeats ~4x (one run per order), so RLE outranks
+    // DELTA in the ladder — both are valid, RLE is what the data says
+    assert(rows("l_orderkey").getAs[String]("recommendation") == "RLE")
+    assert(rows("l_returnflag").getAs[String]("recommendation") == "DICT")
+    assert(rows("l_extendedprice").getAs[String]("recommendation") == "PLAIN",
+      "near-unique random-order values defeat every structured codec")
+    assert(rows("l_returnflag").getAs[Long]("frac_nondec_ppm") == -1L,
+      "string columns carry no delta-monotonicity signal")
+  }
+
+  test("q270: modularity accounting is internally consistent") {
+    val rows = PageRank.q270Modularity.build(spark, dir).collect()
+    val (tot, comms) = rows.partition(_.getAs[Long]("lab") == -1L)
+    assert(tot.length == 1)
+    assert(comms.forall(r =>
+      r.getAs[Long]("in_edges") <= r.getAs[Long]("deg_sum")))
+    val q = tot.head.getAs[Long]("contrib_nano")
+    assert(q >= -1000000000L && q <= 1000000000L, s"Q outside [-1,1]: $q")
+    // the in-community edge mass can never exceed the total edge mass
+    assert(tot.head.getAs[Long]("in_edges") <= tot.head.getAs[Long]("deg_sum"))
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()

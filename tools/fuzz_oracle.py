@@ -169,6 +169,10 @@ QUERIES = [
     # md5-arm split; Burrows Delta rides the text redraw through the
     # top-30 panel, the z-scores, and the pairwise fold
     "q266_cuped", "q267_burrows_delta",
+    # the selectivity audit and encoding advisor ride the money redraw
+    # (histogram boundaries, interpolation fractions, run/monotone
+    # structure of the cents columns)
+    "q268_selectivity_audit", "q269_encoding_advisor",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
