@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Forensic finance audits over the order/lineitem facts — the
@@ -809,8 +810,84 @@ object FinanceAudit {
       .orderBy("nation")
   }
 
+  /** q271 — largest-remainder (Hamilton) rebate proration: a 5%
+    * order-level rebate is spread across the order's lines
+    * proportionally to line value, in EXACT cents — floor every
+    * share, then hand the leftover cents (strictly fewer than the
+    * line count) to the lines with the largest dropped fractional
+    * part, ties to the lowest line number. This is the allocation
+    * step every finance ETL needs where q253's bridge only AUDITS:
+    * naive rounding leaks cents (Σ lines ≠ header) and the GL never
+    * reconciles; Hamilton closure is the fix, and the closure
+    * Σ alloc = rebate holds exactly for every order BY CONSTRUCTION
+    * (pinned in the spec).
+    *
+    * Exactness: pure int64 arithmetic — shares are (R·eᵢ) div E with
+    * remainder rank on (R·eᵢ) mod E (all non-negative, so div ≡ //);
+    * the bump rank is a per-order window (≤ lines-per-order rows).
+    * Output is the deterministic orderkey % 10 = 1 slice so the gate
+    * stays line-grained without hashing the whole fact table.
+    *
+    * Scale design (100 TB): one shuffle to (order) grain for E and R,
+    * broadcast-free equi-join back on orderkey, and the remainder
+    * rank partitions BY ORDER — unbounded key cardinality, every
+    * task bounded by lines-per-order. No global windows, no
+    * collect. */
+  val q271Proration: QueryDef = QueryDef(
+    "q271_proration",
+    """WITH li AS (
+      |  SELECT l_orderkey AS ok, l_linenumber AS ln2,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS e
+      |  FROM lineitem),
+      |hdr AS (
+      |  SELECT li.ok, CAST(sum(e) AS BIGINT) AS etot,
+      |    CAST(sum(e) AS BIGINT) // 20 AS rebate
+      |  FROM li GROUP BY li.ok),
+      |base AS (
+      |  SELECT li.ok, li.ln2, li.e, h.rebate,
+      |    (h.rebate * li.e) // h.etot AS a0,
+      |    (h.rebate * li.e) % h.etot AS frac,
+      |    h.etot
+      |  FROM li JOIN hdr h ON li.ok = h.ok
+      |  WHERE h.etot > 0),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY ok
+      |    ORDER BY frac DESC, ln2) AS r,
+      |    rebate - CAST(sum(a0) OVER (PARTITION BY ok) AS BIGINT) AS short
+      |  FROM base)
+      |SELECT ok AS orderkey, CAST(ln2 AS BIGINT) AS linenumber,
+      |  e AS line_cents, rebate AS rebate_cents,
+      |  a0 + CASE WHEN r <= short THEN 1 ELSE 0 END AS alloc_cents,
+      |  CAST(CASE WHEN r <= short THEN 1 ELSE 0 END AS BIGINT) AS bumped
+      |FROM rk WHERE ok % 10 = 1
+      |ORDER BY orderkey, linenumber""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"),
+        col("l_linenumber").cast("bigint").as("ln2"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("bigint").as("e"))
+    val hdr = li.groupBy(col("ok"))
+      .agg(sum(col("e")).as("etot"), expr("sum(e) div 20").as("rebate"))
+    val base = li.join(hdr, Seq("ok"))
+      .filter(col("etot") > 0)
+      .select(col("ok"), col("ln2"), col("e"), col("rebate"),
+        expr("(rebate * e) div etot").as("a0"),
+        expr("(rebate * e) % etot").as("frac"))
+    val w = Window.partitionBy(col("ok"))
+    val rk = base
+      .withColumn("r", row_number().over(w.orderBy(col("frac").desc, col("ln2"))))
+      .withColumn("short", col("rebate") - sum(col("a0")).over(w))
+    rk.filter(col("ok") % 10 === 1)
+      .select(col("ok").as("orderkey"), col("ln2").as("linenumber"),
+        col("e").as("line_cents"), col("rebate").as("rebate_cents"),
+        (col("a0") + when(col("r") <= col("short"), 1L).otherwise(0L))
+          .as("alloc_cents"),
+        when(col("r") <= col("short"), 1L).otherwise(0L).as("bumped"))
+      .orderBy("orderkey", "linenumber")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q188DupCharge, q189ParetoAbc, q192Vwap, q193Drawdown, q194Aging,
     q195RoundBias, q210DiffInDiff, q211AbcXyz, q214LedgerRegister,
-    q218WeeklyKpi, q222VelocityScreen, q253PriceVolumeMix, q263Hhi)
+    q218WeeklyKpi, q222VelocityScreen, q253PriceVolumeMix, q263Hhi,
+    q271Proration)
 }

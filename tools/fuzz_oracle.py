@@ -173,6 +173,9 @@ QUERIES = [
     # (histogram boundaries, interpolation fractions, run/monotone
     # structure of the cents columns)
     "q268_selectivity_audit", "q269_encoding_advisor",
+    # proration rides the money redraw through every floor share,
+    # remainder rank, and the per-order closure
+    "q271_proration",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
