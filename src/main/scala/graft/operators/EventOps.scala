@@ -2475,5 +2475,72 @@ object EventOps {
     q114Twap, q118CumulativeUniques, q125IntervalJoin, q130TopPaths,
     q134Seasonality, q137DwellTimes, q138PeakConcurrency, q142Attribution,
     q156OhlcBars, q157CohortLtv, q163Acf, q164Survival, q165AbTest,
-    q178Cusum, q183FunnelCi, q184Mase)
+    q178Cusum, q183FunnelCi, q184Mase, q272LatenessProfile)
+
+  /** q272 — event-time lateness profile: per event type, how far
+    * behind the running event-time FRONTIER (max ts over all earlier
+    * arrivals, event_id = ingestion order) each event arrives — n
+    * late, worst lateness, and the p50/p95/p99 lateness quantiles.
+    * This is the data-driven answer to "what watermark delay should
+    * the streaming twins use": a `withWatermark(ts, d)` drops
+    * exactly the rows this profile counts beyond d, so p99 IS the
+    * 1%-loss operating point. The batch-side calibration for every
+    * watermark in [[graft.streaming.StreamOps]].
+    *
+    * Exactness: the strictly-preceding running max rides
+    * [[ScaleRank.withRunningMax]] (exact, chunk-bounded tasks — the
+    * oracle's window form re-expressed); lateness is non-negative
+    * int64 micros floor-divided to seconds; quantiles go through the
+    * weighted `percentile` over the (type, seconds) histogram ≡
+    * DuckDB `quantile_cont` (the q17/q106 bit-identical contract).
+    *
+    * Scale design (100 TB): one ScaleRank pass per the event_type
+    * group key (unbounded key, range-chunked tasks), one histogram
+    * collapse to the bounded (type, late_s) grain, one bounded-state
+    * weighted-percentile aggregate. No fact-axis windows, no
+    * collect. */
+  lazy val q272LatenessProfile: QueryDef = QueryDef(
+    "q272_lateness_profile",
+    """WITH ev AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+      |r AS (
+      |  SELECT event_type, us,
+      |    max(us) OVER (PARTITION BY event_type ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM ev),
+      |l AS (
+      |  SELECT event_type,
+      |    greatest(0, pmax - us) // 1000000 AS late_s,
+      |    CASE WHEN pmax > us THEN 1 ELSE 0 END AS is_late
+      |  FROM r)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(is_late) AS BIGINT) AS n_late,
+      |  CAST(max(late_s) AS BIGINT) AS max_late_s,
+      |  quantile_cont(CAST(late_s AS DOUBLE), 0.5) AS p50_s,
+      |  quantile_cont(CAST(late_s AS DOUBLE), 0.95) AS p95_s,
+      |  quantile_cont(CAST(late_s AS DOUBLE), 0.99) AS p99_s
+      |FROM l GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val r = ScaleRank.withRunningMax(ev, Seq("event_type"),
+      Seq(col("event_id")), col("us"), "pmax", inclusive = false)
+    val l = r.select(col("event_type"),
+      expr("greatest(0L, pmax - us) div 1000000").as("late_s"),
+      when(col("pmax") > col("us"), 1L).otherwise(0L).as("is_late"))
+      .localCheckpoint() // feeds the counts AND the histogram
+    val h = l.groupBy(col("event_type"), col("late_s"))
+      .agg(count(lit(1)).as("fn"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(cast(late_s as double), 0.5D, fn)").as("p50_s"),
+        expr("percentile(cast(late_s as double), 0.95D, fn)").as("p95_s"),
+        expr("percentile(cast(late_s as double), 0.99D, fn)").as("p99_s"))
+    l.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("is_late")).as("n_late"),
+        max(col("late_s")).as("max_late_s"))
+      .join(broadcast(h), Seq("event_type"))
+      .select(col("event_type"), col("n"), col("n_late"),
+        col("max_late_s"), col("p50_s"), col("p95_s"), col("p99_s"))
+      .orderBy("event_type")
+  }
 }

@@ -533,6 +533,20 @@ class StatsQueriesSpec extends AnyFunSuite {
     })
   }
 
+  test("q272: lateness quantiles are ordered and bounded by the max") {
+    val rows = EventOps.q272LatenessProfile.build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val p50 = r.getAs[Double]("p50_s"); val p95 = r.getAs[Double]("p95_s")
+      val p99 = r.getAs[Double]("p99_s")
+      val mx = r.getAs[Long]("max_late_s")
+      assert(p50 <= p95 && p95 <= p99 && p99 <= mx.toDouble,
+        s"${r.getAs[String]("event_type")}: quantiles out of order")
+      assert(r.getAs[Long]("n_late") <= r.getAs[Long]("n"))
+      if (r.getAs[Long]("n_late") == 0L) assert(mx == 0L)
+    }
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()

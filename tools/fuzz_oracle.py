@@ -176,6 +176,9 @@ QUERIES = [
     # proration rides the money redraw through every floor share,
     # remainder rank, and the per-order closure
     "q271_proration",
+    # the lateness profile rides the events redraw through the frontier
+    # running max and the weighted lateness quantiles
+    "q272_lateness_profile",
 ]
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
