@@ -1080,9 +1080,81 @@ object Similarity {
       .orderBy("d")
   }
 
+  private val NANCHOR = 200 // hard-negative mining batch
+
+  /** q273 — hard-negative mining for contrastive training: for each
+    * anchor in the mining batch, the most similar SAME-label vector
+    * (the easiest positive) and the most similar OTHER-label vector
+    * (the hardest negative); the 20 anchors with the smallest margin
+    * cos(pos) − cos(neg) are the training pairs worth gradient — a
+    * negative OUTSCORING every positive (margin ≤ 0) is exactly the
+    * confusion a contrastive update fixes, and uniform-random
+    * negatives almost never find it. The mining step between q154
+    * (is the space drifting?) and an embedding re-train.
+    *
+    * Exactness: cosines ride the native codegen `cosine_sim` ≡ the
+    * oracle's left-associated term sums (bit-exact doubles, the q40
+    * contract); both best-of picks are per-anchor windows with
+    * vec_id tiebreaks; the margin is one double subtraction of
+    * bit-identical operands; final order ties on vec_id.
+    *
+    * Scale design (100 TB): the anchor batch (a fixed mining shard —
+    * successive runs cover the corpus) BROADCASTS against one corpus
+    * scan; per-anchor windows partition on the anchor id (unbounded
+    * key); top-20 is a TakeOrdered heap. At index-serving scale the
+    * corpus scan swaps for the q145 IVF probe without touching this
+    * shape. */
+  val q273HardNegatives: QueryDef = QueryDef(
+    "q273_hard_negatives",
+    s"""WITH q AS (
+       |  SELECT vec_id AS aid, label AS alab, embedding AS vq
+       |  FROM embeddings WHERE vec_id < $NANCHOR),
+       |c AS (
+       |  SELECT q.aid, q.alab, e.vec_id, e.label,
+       |    ${cosSql("e.embedding", "q.vq")} AS cs
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.aid),
+       |p AS (
+       |  SELECT aid, alab, vec_id AS pos_id, cs AS cos_pos,
+       |    row_number() OVER (PARTITION BY aid ORDER BY cs DESC, vec_id) AS rn
+       |  FROM c WHERE label = alab),
+       |n AS (
+       |  SELECT aid, vec_id AS neg_id, cs AS cos_neg,
+       |    row_number() OVER (PARTITION BY aid ORDER BY cs DESC, vec_id) AS rn
+       |  FROM c WHERE label <> alab)
+       |SELECT p.aid AS anchor_id, p.alab AS label,
+       |  p.pos_id, n.neg_id, p.cos_pos, n.cos_neg,
+       |  p.cos_pos - n.cos_neg AS margin
+       |FROM p JOIN n ON p.aid = n.aid AND p.rn = 1 AND n.rn = 1
+       |ORDER BY margin, p.aid LIMIT 20""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = broadcast(e.filter(col("vec_id") < NANCHOR)
+      .select(col("vec_id").as("aid"), col("label").as("alab"),
+        col("embedding").as("vq")))
+    val c = e.repartition(col("vec_id")) // single-file scan -> all cores
+      .join(q, col("vec_id") =!= col("aid"))
+      .select(col("aid"), col("alab"), col("vec_id"), col("label"),
+        expr("cosine_sim(embedding, vq)").as("cs"))
+      .localCheckpoint() // one corpus scan feeds both best-of picks
+    val w = Window.partitionBy(col("aid")).orderBy(col("cs").desc, col("vec_id"))
+    val p = c.filter(col("label") === col("alab"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("aid"), col("alab"), col("vec_id").as("pos_id"),
+        col("cs").as("cos_pos"))
+    val n = c.filter(col("label") =!= col("alab"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("aid"), col("vec_id").as("neg_id"), col("cs").as("cos_neg"))
+    p.join(n, Seq("aid"))
+      .select(col("aid").as("anchor_id"), col("alab").as("label"),
+        col("pos_id"), col("neg_id"), col("cos_pos"), col("cos_neg"),
+        (col("cos_pos") - col("cos_neg")).as("margin"))
+      .orderBy(col("margin"), col("anchor_id"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells, q44CosineExpr,
       q45Quantize, q73Pq, q82IvfSearch, q84SqlSurface, q145IvfMultiprobe,
       q147PqRecall, q154EmbeddingDrift, q166IvfNdcg, q176MmrRerank,
-      q229Matryoshka)
+      q229Matryoshka, q273HardNegatives)
 }

@@ -547,6 +547,20 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q273: mined pairs are genuinely cross-label and sorted hardest-first") {
+    val rows = Similarity.q273HardNegatives.build(spark, dir).collect()
+    assert(rows.length == 20)
+    val margins = rows.map(_.getAs[Double]("margin"))
+    assert(margins.zip(margins.tail).forall { case (a, b) => a <= b },
+      "output must list the hardest (smallest-margin) anchors first")
+    for (r <- rows) {
+      assert(r.getAs[Long]("pos_id") != r.getAs[Long]("anchor_id"))
+      assert(r.getAs[Long]("neg_id") != r.getAs[Long]("anchor_id"))
+      assert(math.abs(r.getAs[Double]("margin") -
+        (r.getAs[Double]("cos_pos") - r.getAs[Double]("cos_neg"))) == 0.0)
+    }
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()

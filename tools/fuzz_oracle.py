@@ -180,6 +180,8 @@ QUERIES = [
     # running max and the weighted lateness quantiles
     "q272_lateness_profile",
 ]
+# q273 hard-negative mining reads only embeddings (COPY_AS_IS under the
+# fuzz redraw), so a fuzz entry would replay the identical corpus.
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
               "embeddings"]
