@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Market-basket association mining over the order/lineitem star —
@@ -86,5 +87,136 @@ object Association {
       .orderBy(col("lift_ppm").desc, col("item_a"), col("item_b"))
   }
 
-  val all: Seq[QueryDef] = Seq(q107AssocRules)
+  /** q274 — next-purchase recommendation evaluation: train a
+    * co-occurrence recommender on pre-1999 baskets, recommend each
+    * customer the top-5 NEW parts scored by Σ co-purchases with
+    * their training basket, and measure hit-rate@5 against the first
+    * part actually purchased in 1999+ — side by side with the
+    * global-popularity top-5 baseline a recommender must beat to
+    * justify itself. This is the offline eval harness for the q107
+    * association surface: the temporal split (model fitted strictly
+    * before the cutoff) is what makes the number honest — scoring on
+    * the training period would leak every answer.
+    *
+    * Exactness: all scores are integer co-occurrence counts with
+    * (score desc, part) tiebreaks; the per-customer top-5 is a
+    * per-customer window (unbounded key); the target pick is
+    * (min date, min part) — fully deterministic; rates are
+    * non-negative integer ppm floor-divs.
+    *
+    * Scale design (100 TB): the pair matrix is the q107 shape
+    * (support-pruned equi-join on the basket key, pair counts
+    * partial-aggregable); the scoring join fans each user's train
+    * part into its pair row — both sides hash-partitioned on the
+    * part key; everything per-customer stays windowed on the
+    * customer id. One 1-row report. */
+  val q274NextPurchaseEval: QueryDef = QueryDef(
+    "q274_next_purchase_eval",
+    """WITH tr AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS p, o.o_orderkey AS ok
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  WHERE o.o_orderdate < TIMESTAMP '1999-01-01'),
+      |tb AS (SELECT DISTINCT ok, p FROM tr),
+      |up AS (SELECT DISTINCT cust, p FROM tr),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS c
+      |  FROM tb a JOIN tb b ON a.ok = b.ok AND a.p <> b.p
+      |  GROUP BY 1, 2),
+      |tgt AS (
+      |  SELECT cust, p AS target FROM (
+      |    SELECT o.o_custkey AS cust, l.l_partkey AS p,
+      |      row_number() OVER (PARTITION BY o.o_custkey
+      |        ORDER BY o.o_orderdate, l.l_partkey) AS rn
+      |    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |    WHERE o.o_orderdate >= TIMESTAMP '1999-01-01')
+      |  WHERE rn = 1),
+      |ev AS (SELECT t.cust, t.target FROM tgt t
+      |       JOIN (SELECT DISTINCT cust FROM up) u ON t.cust = u.cust),
+      |score AS (
+      |  SELECT up.cust, pr.pb AS cand, CAST(sum(pr.c) AS BIGINT) AS s
+      |  FROM up JOIN pairs pr ON up.p = pr.pa
+      |  WHERE NOT EXISTS (SELECT 1 FROM up u2
+      |    WHERE u2.cust = up.cust AND u2.p = pr.pb)
+      |  GROUP BY 1, 2),
+      |rec AS (
+      |  SELECT cust, cand FROM (
+      |    SELECT cust, cand,
+      |      row_number() OVER (PARTITION BY cust ORDER BY s DESC, cand) AS rn
+      |    FROM score) WHERE rn <= 5),
+      |pop AS (
+      |  SELECT p AS cand FROM (
+      |    SELECT p, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY p
+      |    ORDER BY c DESC, p LIMIT 5)),
+      |hits AS (
+      |  SELECT ev.cust,
+      |    CASE WHEN EXISTS (SELECT 1 FROM rec
+      |      WHERE rec.cust = ev.cust AND rec.cand = ev.target)
+      |      THEN 1 ELSE 0 END AS h_cooc,
+      |    CASE WHEN EXISTS (SELECT 1 FROM pop WHERE pop.cand = ev.target)
+      |      THEN 1 ELSE 0 END AS h_pop
+      |  FROM ev)
+      |SELECT CAST(count(*) AS BIGINT) AS n_eval,
+      |  CAST(sum(h_cooc) AS BIGINT) AS hits_cooc,
+      |  CAST(sum(h_pop) AS BIGINT) AS hits_pop,
+      |  (1000000 * CAST(sum(h_cooc) AS BIGINT)) // greatest(count(*), 1)
+      |    AS rate_cooc_ppm,
+      |  (1000000 * CAST(sum(h_pop) AS BIGINT)) // greatest(count(*), 1)
+      |    AS rate_pop_ppm
+      |FROM hits""".stripMargin) { (s, dir) =>
+    val cut = lit("1999-01-01").cast("timestamp")
+    val ol = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+    val tr = ol.filter(col("o_orderdate") < cut)
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("p"),
+        col("o_orderkey").as("ok"))
+      .distinct()
+      .localCheckpoint() // feeds baskets, user profiles, and the matrix
+    val tb = tr.select(col("ok"), col("p")).distinct()
+    val up = tr.select(col("cust"), col("p")).distinct()
+    val pairs = tb.as("a")
+      .join(tb.select(col("ok"), col("p").as("pb")),
+        Seq("ok"))
+      .filter(col("p") =!= col("pb"))
+      .groupBy(col("p").as("pa"), col("pb"))
+      .agg(count(lit(1)).as("c"))
+    val wTgt = Window.partitionBy(col("cust"))
+      .orderBy(col("o_orderdate"), col("p"))
+    val tgt = ol.filter(col("o_orderdate") >= cut)
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("p"),
+        col("o_orderdate"))
+      .withColumn("rn", row_number().over(wTgt))
+      .filter(col("rn") === 1)
+      .select(col("cust"), col("p").as("target"))
+    val ev = tgt.join(up.select(col("cust")).distinct(), Seq("cust"))
+    val score = up.join(pairs, col("p") === col("pa"))
+      .join(up.select(col("cust"), col("p").as("pb")),
+        Seq("cust", "pb"), "anti") // never recommend an owned part
+      .groupBy(col("cust"), col("pb").as("cand"))
+      .agg(sum(col("c")).as("s"))
+    val wRec = Window.partitionBy(col("cust")).orderBy(col("s").desc, col("cand"))
+    val rec = score.withColumn("rn", row_number().over(wRec))
+      .filter(col("rn") <= 5).select(col("cust"), col("cand"))
+    val pop = tb.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("p")).limit(5)
+      .select(col("p").as("cand"))
+    val hits = ev
+      .join(rec.withColumnRenamed("cand", "target").withColumn("hc", lit(1L)),
+        Seq("cust", "target"), "left")
+      .join(broadcast(pop.withColumnRenamed("cand", "target")
+          .withColumn("hp", lit(1L))),
+        Seq("target"), "left")
+      .select(col("cust"), coalesce(col("hc"), lit(0L)).as("h_cooc"),
+        coalesce(col("hp"), lit(0L)).as("h_pop"))
+    hits
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("h_cooc")).as("hits_cooc"), sum(col("h_pop")).as("hits_pop"))
+      .select(col("n_eval"), col("hits_cooc"), col("hits_pop"),
+        expr("(1000000 * hits_cooc) div greatest(n_eval, 1)")
+          .as("rate_cooc_ppm"),
+        expr("(1000000 * hits_pop) div greatest(n_eval, 1)")
+          .as("rate_pop_ppm"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q107AssocRules, q274NextPurchaseEval)
 }

@@ -561,6 +561,19 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q274: eval population and hit accounting are consistent") {
+    val r = Association.q274NextPurchaseEval.build(spark, dir).head()
+    val n = r.getAs[Long]("n_eval")
+    assert(n > 0L)
+    for (c <- Seq("hits_cooc", "hits_pop")) {
+      assert(r.getAs[Long](c) >= 0L && r.getAs[Long](c) <= n)
+    }
+    assert(r.getAs[Long]("rate_cooc_ppm") ==
+      1000000L * r.getAs[Long]("hits_cooc") / n)
+    assert(r.getAs[Long]("rate_pop_ppm") ==
+      1000000L * r.getAs[Long]("hits_pop") / n)
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()

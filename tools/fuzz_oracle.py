@@ -179,6 +179,10 @@ QUERIES = [
     # the lateness profile rides the events redraw through the frontier
     # running max and the weighted lateness quantiles
     "q272_lateness_profile",
+    # the recommender eval rides the timestamp-preserving money redraw
+    # only through basket structure (keys preserved), but its temporal
+    # split depends on o_orderdate staying in-domain — keep it gated
+    "q274_next_purchase_eval",
 ]
 # q273 hard-negative mining reads only embeddings (COPY_AS_IS under the
 # fuzz redraw), so a fuzz entry would replay the identical corpus.
