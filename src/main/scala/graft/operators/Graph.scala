@@ -395,7 +395,97 @@ object Graph {
     }
   }
 
+  /** q275 — hub-removal robustness audit (targeted-attack
+    * percolation): remove the top-k highest-degree nodes from the
+    * co-purchase graph for k ∈ {0, 10, 25, 50} and report how the
+    * edge mass, component count, and giant-component size degrade —
+    * the scale-free-network fragility curve ("how much of the basket
+    * graph survives losing its hub products") that decides whether
+    * graph-derived features are robust to catalog churn. Complements
+    * q150 (k-core peels by LOCAL density; this attacks GLOBAL hubs).
+    *
+    * Exactness: hub picks are (degree desc, node) TakeOrdered —
+    * fully tie-broken; components come from the shared
+    * [[ConnectedComponents]] contract (min reachable node), whose
+    * recursive-CTE oracle is spliced once per k with suffixed
+    * identifiers; all stats are exact counts.
+    *
+    * Scale design (100 TB): the degree pass and each filtered edge
+    * set are partial-aggregable / anti-joins against a broadcast
+    * ≤50-row hub list; components ride the dual-path CC operator
+    * (driver union-find under the gate, distributed min-label
+    * above); four fixed k values = four bounded passes over the
+    * checkpointed edge list. */
+  val q275HubRobustness: QueryDef = {
+    val KS = Seq(0, 10, 25, 50)
+    def ccFor(sfx: String): String = ConnectedComponents.oracleCte
+      .replaceAll("\\bnodes\\b", s"nodes$sfx")
+      .replaceAll("\\bundirected\\b", s"und$sfx")
+      .replaceAll("\\breach\\b", s"reach$sfx")
+      .replaceAll("\\bcomp\\b", s"comp$sfx")
+      .replaceAll("\\bedges\\b", s"kept$sfx")
+    val perK = KS.map { k =>
+      s"""hubs$k AS (
+         |  SELECT node FROM deg ORDER BY d DESC, node LIMIT $k),
+         |kept$k AS (
+         |  SELECT a, b FROM e0x
+         |  WHERE a NOT IN (SELECT node FROM hubs$k)
+         |    AND b NOT IN (SELECT node FROM hubs$k)),
+         |${ccFor(k.toString)},
+         |st$k AS (
+         |  SELECT CAST($k AS BIGINT) AS k,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM comp$k) AS n_nodes,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM kept$k) AS n_edges,
+         |    (SELECT CAST(count(DISTINCT component) AS BIGINT) FROM comp$k)
+         |      AS n_components,
+         |    coalesce((SELECT CAST(max(m) AS BIGINT) FROM (
+         |      SELECT count(*) AS m FROM comp$k GROUP BY component)),
+         |      CAST(0 AS BIGINT)) AS gcc_size)""".stripMargin
+    }.mkString(",\n")
+    val report = KS.map(k => s"SELECT * FROM st$k").mkString("\nUNION ALL\n")
+    QueryDef(
+      "q275_hub_robustness",
+      s"""WITH RECURSIVE b AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0x AS MATERIALIZED (
+         |  SELECT f1.p AS a, f2.p AS b
+         |  FROM b f1 JOIN b f2 ON f1.o = f2.o AND f1.p < f2.p
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |deg AS MATERIALIZED (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT a AS node FROM e0x UNION ALL SELECT b FROM e0x)
+         |  GROUP BY node),
+         |$perK
+         |$report
+         |ORDER BY k""".stripMargin) { (s, dir) =>
+      val e = coPurchaseEdges(s, dir, 2)
+      val deg = e.select(col("a").as("node"))
+        .unionByName(e.select(col("b2").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        .localCheckpoint()
+      import s.implicits._
+      val rows = KS.map { k =>
+        val hubs = deg.orderBy(col("d").desc, col("node")).limit(k)
+          .select(col("node"))
+        val kept = e
+          .join(broadcast(hubs.select(col("node").as("a"))), Seq("a"), "anti")
+          .join(broadcast(hubs.select(col("node").as("b2"))), Seq("b2"), "anti")
+          .select(col("a"), col("b2").as("b"))
+        val comp = ConnectedComponents.compute(s, kept)
+        val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("m"))
+        val nNodes = comp.count()
+        val nEdges = kept.count()
+        val nComp = sizes.count()
+        val gcc = if (nComp == 0) 0L
+          else sizes.agg(max(col("m"))).head().getLong(0)
+        (k.toLong, nNodes, nEdges, nComp, gcc)
+      }
+      rows.toDF("k", "n_nodes", "n_edges", "n_components", "gcc_size")
+        .orderBy("k")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q104Triangles, q132BomExplosion, q150KcorePeel, q155LinkPredict,
-      q260WlRefinement)
+      q260WlRefinement, q275HubRobustness)
 }

@@ -574,6 +574,19 @@ class StatsQueriesSpec extends AnyFunSuite {
       1000000L * r.getAs[Long]("hits_pop") / n)
   }
 
+  test("q275: removing hubs only ever shrinks the graph") {
+    val rows = Graph.q275HubRobustness.build(spark, dir).orderBy("k").collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(0L, 10L, 25L, 50L))
+    def mono(c: String) = {
+      val v = rows.map(_.getAs[Long](c))
+      v.zip(v.tail).forall { case (a, b) => a >= b }
+    }
+    assert(mono("n_edges"), "edge count must be non-increasing in k")
+    assert(mono("gcc_size"), "the giant component can only shrink")
+    assert(rows.forall(r =>
+      r.getAs[Long]("gcc_size") <= r.getAs[Long]("n_nodes")))
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()
