@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling — the Deequ-style audit a pipeline runs
@@ -1915,6 +1915,155 @@ object DataProfile {
     }
   }
 
+  /** q277 — V-optimal histogram construction (Jagadish et al.
+    * VLDB'98) over the quantity axis: dynamic programming finds, for
+    * every bucket budget B = 1..8, the contiguous bucketing that
+    * minimizes total within-bucket SSE — the histogram that makes
+    * q268's selectivity estimates as good as B buckets can be — and
+    * the report places the optimum next to the equi-width-8 and
+    * equi-depth-8 heuristics (the optimality gap is the argument for
+    * paying the DP). The B-curve is the elbow plot that picks the
+    * bucket budget.
+    *
+    * Exactness: the axis collapses to ≤50 integer classes with
+    * exact (n, Σv, Σv²) per class; every interval SSE is quantized
+    * to integer micro-units (Q·10⁶ − (S²·10⁶) div N, non-negative
+    * by Cauchy–Schwarz, S² through DECIMAL/HUGEINT) BEFORE any
+    * min/+, so the whole DP is integer arithmetic — identical in
+    * both engines, no float ties.
+    *
+    * Scale design (100 TB): ONE partial-aggregable pass to the
+    * value-class stats; the interval table (≤1225 rows), the DP
+    * layers, and both baselines run on broadcast bounded frames —
+    * the DP is O(B·classes²) on ~50 rows regardless of corpus
+    * size. */
+  val q277VoptHistogram: QueryDef = {
+    val B = 8
+    val layers = (2 to B).map { b =>
+      s"""c$b AS MATERIALIZED (
+         |  SELECT sse.hi AS i, min(c${b - 1}.cost + sse.s) AS cost
+         |  FROM c${b - 1} JOIN sse ON sse.lo = c${b - 1}.i + 1
+         |  GROUP BY sse.hi)""".stripMargin
+    }.mkString(",\n")
+    val vrows = (1 to B).map { b =>
+      s"""SELECT 'voptimal' AS method, CAST($b AS BIGINT) AS n_buckets,
+         |  (SELECT cost FROM c$b WHERE i = (SELECT max(v) FROM cls))
+         |    AS sse_micro""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    QueryDef(
+      "q277_vopt_histogram",
+      s"""WITH cls AS MATERIALIZED (
+         |  SELECT CAST(floor(l_quantity) AS BIGINT) AS v,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sv,
+         |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+         |      * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qv
+         |  FROM lineitem GROUP BY 1),
+         |iv AS MATERIALIZED (
+         |  SELECT a.v AS lo, b.v AS hi,
+         |    CAST(sum(m.n) AS BIGINT) AS nn, sum(CAST(m.sv AS HUGEINT)) AS ss,
+         |    CAST(sum(m.qv) AS BIGINT) AS qq
+         |  FROM cls a JOIN cls b ON a.v <= b.v
+         |    JOIN cls m ON m.v BETWEEN a.v AND b.v
+         |  GROUP BY 1, 2),
+         |sse AS MATERIALIZED (
+         |  SELECT lo, hi,
+         |    CAST(qq AS HUGEINT) * 1000000 - (ss * ss * 1000000) // nn AS s
+         |  FROM iv),
+         |c1 AS MATERIALIZED (
+         |  SELECT hi AS i, s AS cost FROM sse
+         |  WHERE lo = (SELECT min(v) FROM cls)),
+         |$layers,
+         |cum AS MATERIALIZED (
+         |  SELECT a.v, CAST(sum(b.n) AS BIGINT) AS cumn,
+         |    (SELECT CAST(sum(n) AS BIGINT) FROM cls) AS nt
+         |  FROM cls a JOIN cls b ON b.v <= a.v GROUP BY a.v),
+         |ew AS (
+         |  SELECT CAST(sum(t.s) AS HUGEINT) AS sse_micro FROM (
+         |    SELECT (1000000 * CAST(sum(qv) AS HUGEINT))
+         |      - (sum(CAST(sv AS HUGEINT)) * sum(CAST(sv AS HUGEINT))
+         |         * 1000000) // sum(n) AS s
+         |    FROM cls GROUP BY ((v - (SELECT min(v) FROM cls)) * $B)
+         |      // ((SELECT max(v) - min(v) + 1 FROM cls))) t),
+         |ed AS (
+         |  SELECT CAST(sum(t.s) AS HUGEINT) AS sse_micro FROM (
+         |    SELECT (1000000 * CAST(sum(cls.qv) AS HUGEINT))
+         |      - (sum(CAST(cls.sv AS HUGEINT)) * sum(CAST(cls.sv AS HUGEINT))
+         |         * 1000000) // sum(cls.n) AS s
+         |    FROM cls JOIN cum ON cls.v = cum.v
+         |    GROUP BY ((cum.cumn - 1) * $B) // cum.nt) t)
+         |SELECT method, n_buckets, CAST(sse_micro AS BIGINT) AS sse_micro
+         |FROM (
+         |  $vrows
+         |  UNION ALL SELECT 'equiwidth', CAST($B AS BIGINT), sse_micro FROM ew
+         |  UNION ALL SELECT 'equidepth', CAST($B AS BIGINT), sse_micro FROM ed)
+         |ORDER BY method, n_buckets""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val cls = Tables.lineitem(s, dir)
+        .select(floor(col("l_quantity")).cast("bigint").as("v"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(col("v") * col("v")).as("qv"))
+        .localCheckpoint() // <=50 classes feed intervals, DP, baselines
+      val bounds = cls.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        sum(col("n")).as("nt")).localCheckpoint()
+      val iv = cls.select(col("v").as("lo"))
+        .join(broadcast(cls.select(col("v").as("hi"))), col("lo") <= col("hi"))
+        .join(broadcast(cls.select(col("v").as("mv"), col("n"), col("sv"),
+          col("qv"))), col("mv").between(col("lo"), col("hi")))
+        .groupBy(col("lo"), col("hi"))
+        .agg(sum(col("n")).as("nn"), sum(dec(col("sv"))).as("ss"),
+          sum(col("qv")).as("qq"))
+      val sse = iv.select(col("lo"), col("hi"),
+        (dec(col("qq")) * 1000000 -
+          expr("(ss * ss * 1000000) div nn")).as("s"))
+        .localCheckpoint()
+      var layer = sse.crossJoin(broadcast(bounds.select(col("vmin"))))
+        .filter(col("lo") === col("vmin"))
+        .select(col("hi").as("i"), col("s").as("cost"))
+      val vmaxRow = broadcast(bounds.select(col("vmax")))
+      val vrowsDf = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      vrowsDf += layer.crossJoin(vmaxRow).filter(col("i") === col("vmax"))
+        .select(lit("voptimal").as("method"), lit(1L).as("n_buckets"),
+          col("cost").as("sse_micro"))
+      for (b <- 2 to B) {
+        layer = layer
+          .join(broadcast(sse), col("lo") === col("i") + 1)
+          .groupBy(col("hi"))
+          .agg(min(col("cost") + col("s")).as("cost"))
+          .select(col("hi").as("i"), col("cost"))
+          .localCheckpoint()
+        vrowsDf += layer.crossJoin(vmaxRow).filter(col("i") === col("vmax"))
+          .select(lit("voptimal").as("method"), lit(b.toLong).as("n_buckets"),
+            col("cost").as("sse_micro"))
+      }
+      def groupSse(df: DataFrame, bucket: Column): DataFrame =
+        df.groupBy(bucket.as("bk"))
+          .agg((lit(1000000) * sum(dec(col("qv"))) -
+            expr("(sum(cast(sv as decimal(38,0))) * sum(cast(sv as decimal(38,0))) * 1000000) div sum(n)"))
+            .as("s"))
+          .agg(sum(col("s")).as("sse_micro"))
+      val ew = groupSse(
+        cls.crossJoin(broadcast(bounds)),
+        expr(s"((v - vmin) * $B) div (vmax - vmin + 1)"))
+        .select(lit("equiwidth").as("method"), lit(B.toLong).as("n_buckets"),
+          col("sse_micro"))
+      val cum = cls.as("a")
+        .join(broadcast(cls.select(col("v").as("v2"), col("n").as("n2"))),
+          col("v2") <= col("v"))
+        .groupBy(col("v")).agg(sum(col("n2")).as("cumn"))
+      val ed = groupSse(
+        cls.join(cum, Seq("v")).crossJoin(broadcast(bounds)),
+        expr(s"((cumn - 1) * $B) div nt"))
+        .select(lit("equidepth").as("method"), lit(B.toLong).as("n_buckets"),
+          col("sse_micro"))
+      (vrowsDf.reduce(_ unionByName _) unionByName ew unionByName ed)
+        .select(col("method"), col("n_buckets"),
+          col("sse_micro").cast("bigint").as("sse_micro"))
+        .orderBy("method", "n_buckets")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
@@ -1922,5 +2071,5 @@ object DataProfile {
       q177MannWhitney, q179BootstrapCi, q182NeymanSample, q186Benford,
       q209ContractAudit, q224KsTest, q225Spearman, q226FdAudit,
       q252PermutationTest, q256KendallTau, q257Anova, q258Psi, q266Cuped,
-      q268SelectivityAudit)
+      q268SelectivityAudit, q277VoptHistogram)
 }

@@ -839,8 +839,135 @@ object Sketches {
           .as("sysr_err_ppm"))
   }
 
+  /** q279 — System R join-order report for the filtered 3-table
+    * chain σ_{seg='BUILDING'}(customer) ⋈ orders ⋈ lineitem: both
+    * join orders are costed with the textbook estimator (filter
+    * selectivity 1/V(segment); join size |R|·|S| /
+    * max(V(key,R), V(key,S)) with V from exact ANALYZE-style
+    * distinct counts), the cheaper intermediate is chosen, and both
+    * plans' ESTIMATED intermediate/final sizes sit next to the
+    * ACTUAL ones — q231 audits the 2-way estimator; this is the
+    * decision the estimator exists for, including how wrong it was.
+    *
+    * Exactness: catalog stats are exact counts; every estimate is a
+    * non-negative integer floor-div chain (numerators ≤ |O|·|L|,
+    * DECIMAL/HUGEINT internally); actuals are exact join counts;
+    * the choice is min-estimate with a fixed plan-name tiebreak.
+    *
+    * Scale design (100 TB): the catalog pass is partial-aggregable
+    * distinct counts; the two actual-size probes are the joins a
+    * cost model would AVOID replaying in production — here they ARE
+    * the audit, each one equi-join + count, no windows, no
+    * collect. */
+  val q279JoinOrder: QueryDef = QueryDef(
+    "q279_join_order",
+    """WITH st AS (
+      |  SELECT
+      |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS nc,
+      |    (SELECT CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer) AS vseg,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS no,
+      |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS vco,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nl,
+      |    (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS vol),
+      |est AS (
+      |  SELECT nc // vseg AS est_sc,
+      |    ((nc // vseg) * no) // greatest(nc // vseg, vco) AS est_co,
+      |    (CAST(no AS HUGEINT) * nl) // greatest(no, vol) AS est_ol,
+      |    nc, no, nl, vseg, vco, vol
+      |  FROM st),
+      |est2 AS (
+      |  SELECT est_co AS est_inter_p1,
+      |    CAST((CAST(est_co AS HUGEINT) * nl) // greatest(no, vol) AS BIGINT)
+      |      AS est_final_p1,
+      |    CAST(est_ol AS BIGINT) AS est_inter_p2,
+      |    CAST((est_ol * (nc // vseg)) // greatest(nc // vseg, vco) AS BIGINT)
+      |      AS est_final_p2
+      |  FROM est),
+      |sc AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |aco AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM sc
+      |  JOIN orders ON sc.c_custkey = o_custkey),
+      |aol AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+      |  JOIN lineitem ON o_orderkey = l_orderkey),
+      |afin AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM sc
+      |  JOIN orders ON sc.c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey)
+      |SELECT plan, est_intermediate, act_intermediate, est_final, act_final,
+      |  CAST(CASE WHEN (SELECT est_inter_p1 FROM est2) <=
+      |            (SELECT est_inter_p2 FROM est2)
+      |    THEN CASE WHEN plan = 'co_then_l' THEN 1 ELSE 0 END
+      |    ELSE CASE WHEN plan = 'ol_then_c' THEN 1 ELSE 0 END
+      |  END AS BIGINT) AS chosen
+      |FROM (
+      |  SELECT 'co_then_l' AS plan,
+      |    (SELECT CAST(est_inter_p1 AS BIGINT) FROM est2) AS est_intermediate,
+      |    (SELECT n FROM aco) AS act_intermediate,
+      |    (SELECT est_final_p1 FROM est2) AS est_final,
+      |    (SELECT n FROM afin) AS act_final
+      |  UNION ALL
+      |  SELECT 'ol_then_c',
+      |    (SELECT est_inter_p2 FROM est2),
+      |    (SELECT n FROM aol),
+      |    (SELECT est_final_p2 FROM est2),
+      |    (SELECT n FROM afin))
+      |ORDER BY plan""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir); val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val st = c.agg(count(lit(1)).as("nc"),
+        countDistinct(col("c_mktsegment")).as("vseg"))
+      .crossJoin(o.agg(count(lit(1)).as("no"),
+        countDistinct(col("o_custkey")).as("vco")))
+      .crossJoin(l.agg(count(lit(1)).as("nl"),
+        countDistinct(col("l_orderkey")).as("vol")))
+    val est = st.select(
+      expr("nc div vseg").as("est_sc"),
+      expr("((nc div vseg) * no) div greatest(nc div vseg, vco)").as("est_co"),
+      expr("(cast(no as decimal(38,0)) * nl) div greatest(no, vol)").as("est_ol"),
+      col("nc"), col("no"), col("nl"), col("vseg"), col("vco"), col("vol"))
+    val est2 = est.select(
+      col("est_co").as("est_inter_p1"),
+      expr("cast((cast(est_co as decimal(38,0)) * nl) div greatest(no, vol) as bigint)")
+        .as("est_final_p1"),
+      col("est_ol").cast("bigint").as("est_inter_p2"),
+      expr("cast((est_ol * (nc div vseg)) div greatest(nc div vseg, vco) as bigint)")
+        .as("est_final_p2")).localCheckpoint()
+    val sc = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val aco = sc.join(o, col("c_custkey") === col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+    val aol = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    val afin = sc.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    val p1 = est2.crossJoin(broadcast(aco.withColumnRenamed("n", "act_i")))
+      .crossJoin(broadcast(afin.withColumnRenamed("n", "act_f")))
+      .select(lit("co_then_l").as("plan"),
+        col("est_inter_p1").as("est_intermediate"),
+        col("act_i").as("act_intermediate"),
+        col("est_final_p1").as("est_final"), col("act_f").as("act_final"),
+        col("est_inter_p1"), col("est_inter_p2"))
+    val p2 = est2.crossJoin(broadcast(aol.withColumnRenamed("n", "act_i")))
+      .crossJoin(broadcast(afin.withColumnRenamed("n", "act_f")))
+      .select(lit("ol_then_c").as("plan"),
+        col("est_inter_p2").as("est_intermediate"),
+        col("act_i").as("act_intermediate"),
+        col("est_final_p2").as("est_final"), col("act_f").as("act_final"),
+        col("est_inter_p1"), col("est_inter_p2"))
+    p1.unionByName(p2)
+      .select(col("plan"), col("est_intermediate"), col("act_intermediate"),
+        col("est_final"), col("act_final"),
+        when(col("est_inter_p1") <= col("est_inter_p2"),
+          when(col("plan") === "co_then_l", 1L).otherwise(0L))
+          .otherwise(when(col("plan") === "ol_then_c", 1L).otherwise(0L))
+          .as("chosen"))
+      .orderBy("plan")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q36KmvSketch, q67HeavyHitters, q85SampleQuantiles, q88ThetaSketch,
       q97CountMin, q191QuantileSketch, q206SketchRollup, q228F2Sketch,
-      q231JoinCardinality)
+      q231JoinCardinality, q279JoinOrder)
 }

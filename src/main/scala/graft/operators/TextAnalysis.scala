@@ -2392,9 +2392,203 @@ object TextAnalysis {
       .orderBy("s1", "s2")
   }
 
+  /** q276 — per-source quantile normalization with a KS certificate:
+    * each source's document-length distribution is mapped onto the
+    * corpus-wide reference distribution (every length v goes to the
+    * smallest reference length whose corpus ECDF reaches v's
+    * within-source midrank fraction — the discrete quantile map),
+    * and the report PROVES the batch-effect removal by showing each
+    * source's KS distance to the reference before and after the map.
+    * This is the batch-effect correction step (microarray heritage,
+    * here: "make source lengths comparable before length-based
+    * quality cuts") — and the after-column is the self-certification
+    * q224 only measures one-shot.
+    *
+    * Exactness: everything is integer — histograms, midrank
+    * fractions as integer pairs (numerator 2·cum−c over denominator
+    * 2·n_s), the map condition cross-multiplied (no division), and
+    * KS gaps as |cum_s·N − cum_ref·n_s| cross-products accumulated
+    * in DECIMAL(38)/HUGEINT with one non-negative ppm floor-div at
+    * the end. Every source value is in the reference support (the
+    * reference IS the corpus), so the ECDF supremum is attained at
+    * reference points — evaluating there is exact, not an
+    * approximation.
+    *
+    * Scale design (100 TB): one pass to the (source, length)
+    * histogram (value-domain-bounded); the reference histogram
+    * broadcasts; the map and both ECDF evaluations are inequality
+    * joins of bounded histograms against that broadcast — the fact
+    * table is scanned once, and nothing row-scaled ever joins. */
+  val q276QuantileNorm: QueryDef = QueryDef(
+    "q276_quantile_norm",
+    """WITH h AS (
+      |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+      |ref AS (SELECT v, CAST(sum(c) AS BIGINT) AS cr FROM h GROUP BY 1),
+      |nn AS (SELECT CAST(sum(cr) AS BIGINT) AS nt FROM ref),
+      |refc AS (
+      |  SELECT r.v, CAST(sum(r2.cr) AS BIGINT) AS cum
+      |  FROM ref r JOIN ref r2 ON r2.v <= r.v GROUP BY r.v),
+      |hs AS (
+      |  SELECT h.source, h.v, h.c,
+      |    CAST(sum(h2.c) AS BIGINT) AS cum
+      |  FROM h JOIN h h2 ON h2.source = h.source AND h2.v <= h.v
+      |  GROUP BY h.source, h.v, h.c),
+      |mp AS (
+      |  SELECT hs.source, hs.v, hs.c, min(refc.v) AS m
+      |  FROM hs JOIN ns ON hs.source = ns.source
+      |    JOIN nn ON true
+      |    JOIN refc ON CAST(refc.cum AS HUGEINT) * 2 * ns.n
+      |      >= CAST(nn.nt AS HUGEINT) * (2 * hs.cum - hs.c)
+      |  GROUP BY 1, 2, 3),
+      |ha AS (
+      |  SELECT source, m, CAST(sum(c) AS BIGINT) AS c FROM mp GROUP BY 1, 2),
+      |eb AS (
+      |  SELECT s.source, r.v,
+      |    coalesce(CAST(sum(hh.c) AS HUGEINT), CAST(0 AS HUGEINT)) AS cums
+      |  FROM (SELECT DISTINCT source FROM h) s
+      |  CROSS JOIN refc r
+      |  LEFT JOIN h hh ON hh.source = s.source AND hh.v <= r.v
+      |  GROUP BY 1, 2),
+      |ea AS (
+      |  SELECT s.source, r.v,
+      |    coalesce(CAST(sum(hh.c) AS HUGEINT), CAST(0 AS HUGEINT)) AS cums
+      |  FROM (SELECT DISTINCT source FROM h) s
+      |  CROSS JOIN refc r
+      |  LEFT JOIN ha hh ON hh.source = s.source AND hh.m <= r.v
+      |  GROUP BY 1, 2),
+      |kb AS (
+      |  SELECT eb.source,
+      |    max(abs(eb.cums * nn.nt - CAST(refc.cum AS HUGEINT) * ns.n)) AS g
+      |  FROM eb JOIN refc ON eb.v = refc.v
+      |    JOIN ns ON eb.source = ns.source JOIN nn ON true
+      |  GROUP BY 1),
+      |ka AS (
+      |  SELECT ea.source,
+      |    max(abs(ea.cums * nn.nt - CAST(refc.cum AS HUGEINT) * ns.n)) AS g
+      |  FROM ea JOIN refc ON ea.v = refc.v
+      |    JOIN ns ON ea.source = ns.source JOIN nn ON true
+      |  GROUP BY 1)
+      |SELECT ns.source, ns.n,
+      |  CAST((1000000 * kb.g) // (CAST(ns.n AS HUGEINT) * nn.nt) AS BIGINT)
+      |    AS ks_before_ppm,
+      |  CAST((1000000 * ka.g) // (CAST(ns.n AS HUGEINT) * nn.nt) AS BIGINT)
+      |    AS ks_after_ppm
+      |FROM ns JOIN kb ON ns.source = kb.source
+      |  JOIN ka ON ns.source = ka.source, nn
+      |ORDER BY ns.source""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val h = Tables.documents(s, dir)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // bounded histogram feeds everything
+    val ns = h.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val ref = h.groupBy(col("v")).agg(sum(col("c")).as("cr"))
+    val nn = ref.agg(sum(col("cr")).as("nt"))
+    val refc = ref.as("r")
+      .join(broadcast(ref.select(col("v").as("v2"), col("cr").as("cr2"))),
+        col("v2") <= col("v"))
+      .groupBy(col("v")).agg(sum(col("cr2")).as("cum"))
+      .localCheckpoint()
+    val hs = h
+      .join(broadcast(h.select(col("source").as("s2"), col("v").as("v2"),
+        col("c").as("c2"))),
+        col("s2") === col("source") && col("v2") <= col("v"))
+      .groupBy(col("source"), col("v"), col("c"))
+      .agg(sum(col("c2")).as("cum"))
+    val mp = hs.join(ns, Seq("source")).crossJoin(broadcast(nn))
+      .join(broadcast(refc.select(col("v").as("rv"), col("cum").as("rcum"))),
+        dec(col("rcum")) * 2 * col("n") >=
+          dec(col("nt")) * (lit(2) * col("cum") - col("c")))
+      .groupBy(col("source"), col("v"), col("c"))
+      .agg(min(col("rv")).as("m"))
+    val ha = mp.groupBy(col("source"), col("m")).agg(sum(col("c")).as("c"))
+    val sources = h.select(col("source")).distinct()
+    def ecdfAt(hist: DataFrame, valueCol: String): DataFrame =
+      sources.crossJoin(broadcast(refc.select(col("v"))))
+        .join(hist.select(col("source").as("s2"), col(valueCol).as("hv"),
+          col("c").as("hc")),
+          col("s2") === col("source") && col("hv") <= col("v"), "left")
+        .groupBy(col("source"), col("v"))
+        .agg(coalesce(sum(dec(col("hc"))), dec(lit(0))).as("cums"))
+    def ksOf(e: DataFrame): DataFrame =
+      e.join(broadcast(refc.select(col("v"), col("cum"))), Seq("v"))
+        .join(ns, Seq("source")).crossJoin(broadcast(nn))
+        .groupBy(col("source"))
+        .agg(max(abs(col("cums") * col("nt") - dec(col("cum")) * col("n")))
+          .as("g"))
+    val kb = ksOf(ecdfAt(h, "v"))
+    val ka = ksOf(ecdfAt(ha, "m"))
+    ns.join(kb, Seq("source")).join(ka.withColumnRenamed("g", "ga"), Seq("source"))
+      .crossJoin(broadcast(nn))
+      .select(col("source"), col("n"),
+        expr("cast((1000000 * g) div (cast(n as decimal(38,0)) * nt) as bigint)")
+          .as("ks_before_ppm"),
+        expr("cast((1000000 * ga) div (cast(n as decimal(38,0)) * nt) as bigint)")
+          .as("ks_after_ppm"))
+      .orderBy("source")
+  }
+
+  /** q278 — corpus datasheet: the one-row "Datasheets for Datasets"
+    * summary a corpus release ships with — volume (docs, tokens,
+    * chars), composition (sources, languages, English share),
+    * integrity (exact-duplicate rate via md5 text signatures), and
+    * shape (mean/median length) — every number already defined by a
+    * dedicated operator elsewhere (q30 dedup, q175 composition, q20
+    * tokens), here assembled in ONE corpus pass so the datasheet is
+    * cheap enough to regenerate per snapshot and diff.
+    *
+    * Exactness: counts are exact; the duplicate rate is
+    * docs − distinct(md5(text)) over docs in ppm; mean/median chars
+    * ride the exact integer mean (floor) and the weighted
+    * `percentile` ≡ `quantile_cont` contract.
+    *
+    * Scale design (100 TB): one aggregate pass (distinct counts
+    * partial-aggregable; the md5 distinct is the only wide state and
+    * is itself a 16-byte key) plus one bounded histogram pass for
+    * the median. No joins, no windows. */
+  val q278Datasheet: QueryDef = QueryDef(
+    "q278_datasheet",
+    """WITH m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+      |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_uniq
+      |  FROM documents),
+      |med AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars
+      |        FROM documents)
+      |SELECT m.n_docs, m.n_tokens, m.n_chars, m.n_sources, m.n_langs,
+      |  (1000000 * m.n_en) // m.n_docs AS en_ppm,
+      |  (1000000 * (m.n_docs - m.n_uniq)) // m.n_docs AS dup_ppm,
+      |  m.n_chars // m.n_docs AS mean_chars,
+      |  med.p50_chars
+      |FROM m, med""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+    val m = d.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+      countDistinct(md5(col("text"))).as("n_uniq"))
+    val med = d.groupBy(col("n_chars")).agg(count(lit(1)).as("fn"))
+      .agg(expr("percentile(cast(n_chars as double), 0.5D, fn)").as("p50_chars"))
+    m.crossJoin(broadcast(med))
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_sources"), col("n_langs"),
+        expr("(1000000 * n_en) div n_docs").as("en_ppm"),
+        expr("(1000000 * (n_docs - n_uniq)) div n_docs").as("dup_ppm"),
+        expr("n_chars div n_docs").as("mean_chars"),
+        col("p50_chars"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q232LooInfluence, q243FeatureHashing, q254MaxCoverage, q264McNemar,
-      q267BurrowsDelta,
+      q267BurrowsDelta, q276QuantileNorm, q278Datasheet,
       q197Keyness, q198Readability, q200Burstiness, q215KnPpl,
       q216NegativeSampling, q221ScalingLaw,
       q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,

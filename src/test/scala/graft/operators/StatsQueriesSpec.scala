@@ -587,6 +587,56 @@ class StatsQueriesSpec extends AnyFunSuite {
       r.getAs[Long]("gcc_size") <= r.getAs[Long]("n_nodes")))
   }
 
+  test("q276: the quantile map never worsens a source's KS distance") {
+    val rows = TextAnalysis.q276QuantileNorm.build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val before = r.getAs[Long]("ks_before_ppm")
+      val after = r.getAs[Long]("ks_after_ppm")
+      assert(before >= 0L && after >= 0L)
+      assert(after <= before,
+        s"${r.getAs[String]("source")}: normalization worsened KS " +
+          s"($before -> $after)")
+    }
+  }
+
+  test("q277: the DP is optimal — more buckets never hurt, heuristics never win") {
+    val rows = DataProfile.q277VoptHistogram.build(spark, dir).collect()
+    val vopt = rows.filter(_.getAs[String]("method") == "voptimal")
+      .sortBy(_.getAs[Long]("n_buckets"))
+    assert(vopt.length == 8)
+    val costs = vopt.map(_.getAs[Long]("sse_micro"))
+    assert(costs.zip(costs.tail).forall { case (a, b) => a >= b },
+      "optimal SSE must be non-increasing in the bucket budget")
+    val v8 = costs.last
+    for (m <- Seq("equiwidth", "equidepth")) {
+      val h = rows.find(_.getAs[String]("method") == m).get.getAs[Long]("sse_micro")
+      assert(v8 <= h, s"V-optimal(8) must not lose to $m ($v8 vs $h)")
+    }
+  }
+
+  test("q278: the datasheet row is internally consistent") {
+    val r = TextAnalysis.q278Datasheet.build(spark, dir).head()
+    val n = r.getAs[Long]("n_docs")
+    assert(n > 0L)
+    assert(r.getAs[Long]("n_tokens") >= n)
+    assert(r.getAs[Long]("en_ppm") >= 0L && r.getAs[Long]("en_ppm") <= 1000000L)
+    assert(r.getAs[Long]("dup_ppm") >= 0L && r.getAs[Long]("dup_ppm") < 1000000L)
+    assert(r.getAs[Long]("mean_chars") > 0L)
+    assert(r.getAs[Double]("p50_chars") > 0.0)
+  }
+
+  test("q279: exactly one plan is chosen and actual finals agree") {
+    val rows = Sketches.q279JoinOrder.build(spark, dir).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("chosen")).sum == 1L,
+      "the optimizer must pick exactly one join order")
+    assert(rows.map(_.getAs[Long]("act_final")).distinct.length == 1,
+      "both orders compute the same final join")
+    assert(rows.forall(r => r.getAs[Long]("est_intermediate") >= 0L &&
+      r.getAs[Long]("act_intermediate") >= 0L))
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()

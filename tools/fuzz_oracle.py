@@ -183,6 +183,11 @@ QUERIES = [
     # only through basket structure (keys preserved), but its temporal
     # split depends on o_orderdate staying in-domain — keep it gated
     "q274_next_purchase_eval",
+    # quantile normalization and the datasheet ride the text redraw
+    # (length histograms, md5 dup signatures); the V-optimal DP and
+    # the join-order costing ride the money/structure redraw
+    "q276_quantile_norm", "q277_vopt_histogram", "q278_datasheet",
+    "q279_join_order",
 ]
 # q273 hard-negative mining reads only embeddings (COPY_AS_IS under the
 # fuzz redraw), so a fuzz entry would replay the identical corpus.
