@@ -463,7 +463,167 @@ object Layout {
       .orderBy("cname")
   }
 
+  /** Appends the Hilbert-curve index of (`xCol`, `yCol`) — both in
+    * [0, 2^bits) — as `out`: the canonical xy2d walk, one level per
+    * bit from the top, expressed entirely in div/mod/CASE arithmetic
+    * (portable, codegen-friendly; each level is a fixed column
+    * transform, so the expression stays linear, never nested).
+    * Exhaustively pinned against the reference recursion in
+    * LayoutSpec. */
+  private[graft] def withHilbert(
+      df: DataFrame, xCol: String, yCol: String, bits: Int,
+      out: String): DataFrame = {
+    var cur = df.withColumn("__lx", col(xCol).cast("long"))
+      .withColumn("__ly", col(yCol).cast("long"))
+      .withColumn("__hd", lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      cur = cur
+        .withColumn("__rx", expr(s"__lx div $s"))
+        .withColumn("__ry", expr(s"__ly div $s"))
+        .withColumn("__hd", col("__hd") + lit(s * s) *
+          expr("CASE WHEN __rx = 0 THEN __ry ELSE 3 - __ry END"))
+        .withColumn("__xr", expr(s"__lx % $s"))
+        .withColumn("__yr", expr(s"__ly % $s"))
+        .withColumn("__nlx", expr(
+          s"CASE WHEN __ry = 0 THEN (CASE WHEN __rx = 1 THEN $s - 1 - __yr ELSE __yr END) ELSE __xr END"))
+        .withColumn("__nly", expr(
+          s"CASE WHEN __ry = 0 THEN (CASE WHEN __rx = 1 THEN $s - 1 - __xr ELSE __xr END) ELSE __yr END"))
+        .withColumn("__lx", col("__nlx"))
+        .withColumn("__ly", col("__nly"))
+    }
+    cur.withColumn(out, col("__hd"))
+      .drop("__lx", "__ly", "__rx", "__ry", "__xr", "__yr", "__nlx", "__nly",
+        "__hd")
+  }
+
+  /** The DuckDB CTE chain computing the same Hilbert walk: input CTE
+    * `src`(cols…, x, y) → output CTE `hv$bits`(cols…, hv). */
+  private def hilbertSql(bits: Int, carry: String): String = {
+    val levels = (0 until bits).map { k =>
+      val i = bits - 1 - k
+      val s = 1L << i
+      val prev = if (k == 0) "h0" else s"h$k"
+      s"""h${k + 1} AS (
+         |  SELECT $carry,
+         |    hd + ${s * s} * (CASE WHEN lx // $s = 0 THEN ly // $s
+         |      ELSE 3 - ly // $s END) AS hd,
+         |    CASE WHEN ly // $s = 0 THEN
+         |      (CASE WHEN lx // $s = 1 THEN $s - 1 - (ly % $s) ELSE ly % $s END)
+         |      ELSE lx % $s END AS lx,
+         |    CASE WHEN ly // $s = 0 THEN
+         |      (CASE WHEN lx // $s = 1 THEN $s - 1 - (lx % $s) ELSE lx % $s END)
+         |      ELSE ly % $s END AS ly
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""h0 AS (SELECT $carry, CAST(0 AS BIGINT) AS hd,
+       |  CAST(x AS BIGINT) AS lx, CAST(y AS BIGINT) AS ly FROM src),
+       |$levels""".stripMargin
+  }
+
+  /** q281 — space-filling-curve layout shoot-out: the part table is
+    * cut into 16 files under three physical orders — natural
+    * (partkey), Morton/Z (q93's curve), and Hilbert — and a battery
+    * of four 2-D range predicates is costed against each layout's
+    * min/max zone maps (files scanned + rows scanned). Hilbert's
+    * no-jump locality usually prunes tighter boxes than Morton on
+    * box queries; this query MEASURES that folklore on real
+    * statistics, which is how a 100 TB table picks its clustering
+    * curve. The Hilbert walk itself is div/mod/CASE arithmetic (no
+    * bit intrinsics), one fixed transform per bit level.
+    *
+    * Exactness: both curves are exact integers; file cuts ride
+    * [[ScaleRank]]'s exact rank (partkey tiebreak); zone maps and
+    * the intersect test are integer min/max logic.
+    *
+    * Scale design (100 TB): three ScaleRank passes (bounded
+    * range-chunk tasks — the write-side equivalent is
+    * repartitionByRange + sortWithinPartitions per layout); file
+    * stats are partial-aggregable; the costing is a 16-file × 4-pred
+    * broadcast cross. */
+  val q281CurveShootout: QueryDef = {
+    val FILES = 16
+    val RPF = 125
+    val PREDS = Seq( // (pid, szLo, szHi, pbLo, pbHi) over the 64x64 grid
+      (1L, 0L, 7L, 0L, 63L), (2L, 0L, 63L, 0L, 7L),
+      (3L, 20L, 29L, 20L, 29L), (4L, 40L, 49L, 0L, 15L))
+    val predRows = PREDS.map { case (p, a, b, c2, d2) =>
+      s"SELECT CAST($p AS BIGINT) AS pid, $a AS szlo, $b AS szhi, " +
+        s"$c2 AS pblo, $d2 AS pbhi"
+    }.mkString(" UNION ALL ")
+    QueryDef(
+      "q281_curve_shootout",
+      s"""WITH src AS (
+         |  SELECT p_partkey, p_size - 1 AS x,
+         |    CAST(floor((p_retailprice - 900.0) * 64.0 / 100.0) AS BIGINT) AS y
+         |  FROM part),
+         |${hilbertSql(6, "p_partkey, x, y")},
+         |keyed AS (
+         |  SELECT h6.p_partkey, h6.x AS sz, h6.y AS pb, h6.hd AS hv,
+         |    ${zvalSql("h6.x", "h6.y", 6)} AS zv
+         |  FROM h6),
+         |f AS (
+         |  SELECT sz, pb, lay, least(fid, ${FILES - 1}) AS fid FROM (
+         |    SELECT sz, pb, 'natural' AS lay,
+         |      (row_number() OVER (ORDER BY p_partkey) - 1) // $RPF AS fid
+         |    FROM keyed
+         |    UNION ALL
+         |    SELECT sz, pb, 'zorder',
+         |      (row_number() OVER (ORDER BY zv, p_partkey) - 1) // $RPF
+         |    FROM keyed
+         |    UNION ALL
+         |    SELECT sz, pb, 'hilbert',
+         |      (row_number() OVER (ORDER BY hv, p_partkey) - 1) // $RPF
+         |    FROM keyed)),
+         |stats AS (
+         |  SELECT lay, fid, CAST(count(*) AS BIGINT) AS n,
+         |    min(sz) AS min_sz, max(sz) AS max_sz,
+         |    min(pb) AS min_pb, max(pb) AS max_pb
+         |  FROM f GROUP BY 1, 2),
+         |preds AS ($predRows)
+         |SELECT p.pid, s.lay AS layout,
+         |  CAST(count(CASE WHEN s.max_sz >= p.szlo AND s.min_sz <= p.szhi
+         |    AND s.max_pb >= p.pblo AND s.min_pb <= p.pbhi THEN 1 END)
+         |    AS BIGINT) AS files_scanned,
+         |  CAST(coalesce(sum(CASE WHEN s.max_sz >= p.szlo AND s.min_sz <= p.szhi
+         |    AND s.max_pb >= p.pblo AND s.min_pb <= p.pbhi THEN s.n END), 0)
+         |    AS BIGINT) AS rows_scanned
+         |FROM preds p CROSS JOIN stats s
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val d = Tables.part(s, dir).select(
+        col("p_partkey"),
+        (col("p_size") - 1).cast("long").as("x"),
+        floor((col("p_retailprice") - lit(900.0)) * lit(64.0) / lit(100.0))
+          .cast("long").as("y"))
+      val keyed = withHilbert(d, "x", "y", 6, "hv")
+        .withColumn("zv", zval("x", "y", 6))
+        .withColumnRenamed("x", "sz").withColumnRenamed("y", "pb")
+        .localCheckpoint() // feeds all three layout rankings
+      def layoutStats(lay: String, sort: Seq[Column]): DataFrame =
+        ScaleRank.withRowNumber(keyed, Nil, sort, "rn", "__nr")
+          .withColumn("fid",
+            least(expr(s"(rn - 1) div $RPF"), lit(FILES - 1L)))
+          .groupBy(col("fid"))
+          .agg(count(lit(1)).as("n"),
+            min(col("sz")).as("min_sz"), max(col("sz")).as("max_sz"),
+            min(col("pb")).as("min_pb"), max(col("pb")).as("max_pb"))
+          .withColumn("lay", lit(lay))
+      val stats = layoutStats("natural", Seq(col("p_partkey")))
+        .unionByName(layoutStats("zorder", Seq(col("zv"), col("p_partkey"))))
+        .unionByName(layoutStats("hilbert", Seq(col("hv"), col("p_partkey"))))
+      import s.implicits._
+      val preds = PREDS.toDF("pid", "szlo", "szhi", "pblo", "pbhi")
+      val hit = col("max_sz") >= col("szlo") && col("min_sz") <= col("szhi") &&
+        col("max_pb") >= col("pblo") && col("min_pb") <= col("pbhi")
+      broadcast(preds).crossJoin(stats)
+        .groupBy(col("pid"), col("lay").as("layout"))
+        .agg(sum(when(hit, 1L).otherwise(0L)).as("files_scanned"),
+          coalesce(sum(when(hit, col("n"))), lit(0L)).as("rows_scanned"))
+        .orderBy("pid", "layout")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q93ZOrder, q205ZonemapPrune, q233Rendezvous, q237Compaction,
-      q269EncodingAdvisor)
+      q269EncodingAdvisor, q281CurveShootout)
 }

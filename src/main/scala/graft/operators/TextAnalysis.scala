@@ -2586,9 +2586,93 @@ object TextAnalysis {
         col("p50_chars"))
   }
 
+  /** q280 — Otsu auto-thresholding of the document-length
+    * distribution: for every candidate cut t, split the corpus into
+    * below/above-t classes and score the split by between-class
+    * variance w₀·w₁·(μ₀−μ₁)²; the argmax is the data-driven "short
+    * doc" cutoff — the unsupervised answer to where q21's quality
+    * filter should put its length knob (q173's stump needs labels;
+    * Otsu needs only the histogram's bimodality). The full candidate
+    * curve ships so the flatness around the optimum (= how arbitrary
+    * the cut is) is visible, with the argmax flagged.
+    *
+    * Exactness: the axis collapses to the bounded token-count
+    * histogram; each candidate's score is the EXACT integer
+    * (S₀w₁ − S₁w₀)² / (w₀w₁) comparison carried in DECIMAL/HUGEINT
+    * (never floated), the argmax ties to the smallest t, and the
+    * reported variance is one floor-div down to micro-token² units.
+    *
+    * Scale design (100 TB): one partial-aggregable histogram pass;
+    * prefix sums and the candidate scan run on the broadcast ≤90-row
+    * value frame. No windows, no collect. */
+  val q280OtsuThreshold: QueryDef = QueryDef(
+    "q280_otsu_threshold",
+    """WITH h AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sv
+      |  FROM documents GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(sv) AS BIGINT) AS st
+      |  FROM h),
+      |pre AS (
+      |  SELECT a.v AS t, CAST(sum(b.n) AS BIGINT) AS w0,
+      |    CAST(sum(b.sv) AS BIGINT) AS s0
+      |  FROM h a JOIN h b ON b.v < a.v GROUP BY a.v),
+      |cand AS (
+      |  SELECT pre.t, pre.w0, tot.nt - pre.w0 AS w1,
+      |    (CAST(pre.s0 AS HUGEINT) * (tot.nt - pre.w0)
+      |     - CAST(tot.st - pre.s0 AS HUGEINT) * pre.w0) AS d
+      |  FROM pre, tot
+      |  WHERE pre.w0 > 0 AND tot.nt - pre.w0 > 0),
+      |sc AS (
+      |  SELECT t, w0, w1,
+      |    (d * d) // (CAST(w0 AS HUGEINT) * w1) AS score
+      |  FROM cand),
+      |mx AS (SELECT max(score) AS ms FROM sc),
+      |best AS (SELECT min(t) AS bt FROM sc, mx WHERE sc.score = mx.ms)
+      |SELECT sc.t AS threshold, sc.w0, sc.w1,
+      |  CAST((1000000 * sc.score) // (CAST(tot.nt AS HUGEINT) * tot.nt)
+      |    AS BIGINT) AS sigma_b_micro,
+      |  CAST(CASE WHEN sc.t = best.bt THEN 1 ELSE 0 END AS BIGINT) AS best
+      |FROM sc, tot, best ORDER BY sc.t""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val h = Tables.documents(s, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .localCheckpoint() // bounded value histogram
+    val tot = h.agg(sum(col("n")).as("nt"), sum(col("sv")).as("st"))
+    val pre = h.select(col("v").as("t"))
+      .join(broadcast(h.select(col("v").as("v2"), col("n"), col("sv"))),
+        col("v2") < col("t"))
+      .groupBy(col("t")).agg(sum(col("n")).as("w0"), sum(col("sv")).as("s0"))
+    val cand = pre.crossJoin(broadcast(tot))
+      .filter(col("w0") > 0 && col("nt") - col("w0") > 0)
+      .select(col("t"), col("w0"), (col("nt") - col("w0")).as("w1"),
+        (dec(col("s0")) * (col("nt") - col("w0")) -
+          dec(col("st") - col("s0")) * col("w0")).as("d"))
+    val sc = cand
+      .select(col("t"), col("w0"), col("w1"),
+        expr("cast((d * d) as decimal(38,0))").as("dd"),
+        (dec(col("w0")) * col("w1")).as("ww"))
+      .select(col("t"), col("w0"), col("w1"),
+        expr("dd div ww").cast("decimal(38,0)").as("score"))
+      .localCheckpoint()
+    val mx = sc.agg(max(col("score")).as("ms"))
+    val best = sc.crossJoin(broadcast(mx)).filter(col("score") === col("ms"))
+      .agg(min(col("t")).as("bt"))
+    sc.crossJoin(broadcast(tot)).crossJoin(broadcast(best))
+      .select(col("t").as("threshold"), col("w0"), col("w1"),
+        expr("cast((1000000 * score) div (cast(nt as decimal(38,0)) * nt) as bigint)")
+          .as("sigma_b_micro"),
+        when(col("t") === col("bt"), 1L).otherwise(0L).as("best"))
+      .orderBy("threshold")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q232LooInfluence, q243FeatureHashing, q254MaxCoverage, q264McNemar,
-      q267BurrowsDelta, q276QuantileNorm, q278Datasheet,
+      q267BurrowsDelta, q276QuantileNorm, q278Datasheet, q280OtsuThreshold,
       q197Keyness, q198Readability, q200Burstiness, q215KnPpl,
       q216NegativeSampling, q221ScalingLaw,
       q20TokenStats, q21Quality, q22LangId, q23Fingerprint, q24RollingHash,

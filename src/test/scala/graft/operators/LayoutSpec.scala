@@ -55,4 +55,43 @@ class LayoutSpec extends AnyFunSuite {
     // zvalSql mirrors the same arithmetic text for the oracle
     assert(Layout.zvalSql("sz", "pb", 2).contains("// 1"))
   }
+
+  test("withHilbert is the canonical curve: bijective and unit-step adjacent") {
+    // reference: the canonical xy2d recursion (Wikipedia form)
+    def xy2d(n: Int, x0: Int, y0: Int): Int = {
+      var (x, y, d) = (x0, y0, 0)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) { // rotate
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val bits = 4 // exhaustive over the 16x16 grid
+    val n = 1 << bits
+    val grid = for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong)
+    val got = Layout.withHilbert(grid.toDF("x", "y"), "x", "y", bits, "hv")
+      .select("x", "y", "hv").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getLong(2))
+      .toMap
+    // matches the reference on every cell
+    for (((x, y), hv) <- got)
+      assert(hv == xy2d(n, x, y).toLong, s"mismatch at ($x,$y)")
+    // bijection onto 0..n^2-1
+    assert(got.values.toSeq.sorted == (0L until (n.toLong * n)).toSeq)
+    // the Hilbert property Morton lacks: consecutive codes are GRID
+    // NEIGHBORS (L1 distance exactly 1) — no diagonal jumps, ever
+    val byD = got.map(_.swap)
+    for (d <- 0L until (n.toLong * n - 1)) {
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump between d=$d ($x1,$y1) and d+1 ($x2,$y2)")
+    }
+  }
 }

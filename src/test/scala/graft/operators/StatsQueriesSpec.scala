@@ -637,6 +637,40 @@ class StatsQueriesSpec extends AnyFunSuite {
       r.getAs[Long]("act_intermediate") >= 0L))
   }
 
+  test("q280: exactly one Otsu argmax; it attains the curve's maximum") {
+    val rows = TextAnalysis.q280OtsuThreshold.build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.count(_.getAs[Long]("best") == 1L) == 1,
+      "the argmax must be unique (ties broken to the smallest threshold)")
+    val bestSigma = rows.find(_.getAs[Long]("best") == 1L).get
+      .getAs[Long]("sigma_b_micro")
+    assert(rows.forall(_.getAs[Long]("sigma_b_micro") <= bestSigma))
+    assert(rows.forall(r => r.getAs[Long]("w0") + r.getAs[Long]("w1") ==
+      rows.head.getAs[Long]("w0") + rows.head.getAs[Long]("w1")))
+  }
+
+  test("q281: zone-map scans are supersets of the true matches, never > 16 files") {
+    val rows = Layout.q281CurveShootout.build(spark, dir).collect()
+    assert(rows.length == 12)
+    assert(rows.forall(_.getAs[Long]("files_scanned") <= 16L))
+    // true matching row counts per predicate, recomputed directly
+    val d = Tables.part(spark, dir).select(
+      (col("p_size") - 1).cast("long").as("sz"),
+      floor((col("p_retailprice") - lit(900.0)) * lit(64.0) / lit(100.0))
+        .cast("long").as("pb"))
+    val preds = Map(
+      1L -> ((0L, 7L, 0L, 63L)), 2L -> ((0L, 63L, 0L, 7L)),
+      3L -> ((20L, 29L, 20L, 29L)), 4L -> ((40L, 49L, 0L, 15L)))
+    for (r <- rows) {
+      val (a, b, c2, d2) = preds(r.getAs[Long]("pid"))
+      val truth = d.filter(col("sz").between(a, b) &&
+        col("pb").between(c2, d2)).count()
+      assert(r.getAs[Long]("rows_scanned") >= truth,
+        s"pred ${r.getAs[Long]("pid")} ${r.getAs[String]("layout")}: " +
+          s"a zone-map scan can never read fewer rows than actually match")
+    }
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()

@@ -188,6 +188,10 @@ QUERIES = [
     # the join-order costing ride the money/structure redraw
     "q276_quantile_norm", "q277_vopt_histogram", "q278_datasheet",
     "q279_join_order",
+    # Otsu rides the text redraw (token-count histogram); the curve
+    # shoot-out rides the money redraw (price buckets move every file
+    # box under all three layouts)
+    "q280_otsu_threshold", "q281_curve_shootout",
 ]
 # q273 hard-negative mining reads only embeddings (COPY_AS_IS under the
 # fuzz redraw), so a fuzz entry would replay the identical corpus.
