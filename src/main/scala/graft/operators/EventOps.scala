@@ -2479,13 +2479,21 @@ object EventOps {
 
   /** q272 — event-time lateness profile: per event type, how far
     * behind the running event-time FRONTIER (max ts over all earlier
-    * arrivals, event_id = ingestion order) each event arrives — n
-    * late, worst lateness, and the p50/p95/p99 lateness quantiles.
-    * This is the data-driven answer to "what watermark delay should
-    * the streaming twins use": a `withWatermark(ts, d)` drops
-    * exactly the rows this profile counts beyond d, so p99 IS the
-    * 1%-loss operating point. The batch-side calibration for every
-    * watermark in [[graft.streaming.StreamOps]].
+    * arrivals) each event arrives — n late, worst lateness, and the
+    * p50/p95/p99 lateness quantiles. This is the data-driven answer
+    * to "what watermark delay should the streaming twins use": a
+    * `withWatermark(ts, d)` drops exactly the rows this profile
+    * counts beyond d, so p99 IS the 1%-loss operating point. The
+    * batch-side calibration for every watermark in
+    * [[graft.streaming.StreamOps]].
+    *
+    * Arrival model: the driver's event_ids are globally ts-sorted
+    * (verified — the raw feed has ZERO disorder, which would make
+    * this profile vacuous), so ingestion jitter is modeled
+    * explicitly: arrival = ts + an md5-derived per-event delay in
+    * [0, 1h) (the portable-RNG q36 contract — both engines replay
+    * the identical delays). The profile then measures exactly the
+    * disorder that jitter induces.
     *
     * Exactness: the strictly-preceding running max rides
     * [[ScaleRank.withRunningMax]] (exact, chunk-bounded tasks — the
@@ -2502,10 +2510,13 @@ object EventOps {
   lazy val q272LatenessProfile: QueryDef = QueryDef(
     "q272_lateness_profile",
     """WITH ev AS (
-      |  SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+      |  SELECT event_type, event_id, epoch_us(ts) AS us,
+      |    epoch_us(ts) + ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 3600000000 AS arr
+      |  FROM events),
       |r AS (
       |  SELECT event_type, us,
-      |    max(us) OVER (PARTITION BY event_type ORDER BY event_id
+      |    max(us) OVER (PARTITION BY event_type ORDER BY arr, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
       |  FROM ev),
       |l AS (
@@ -2523,8 +2534,11 @@ object EventOps {
     val ev = Tables.events(s, dir)
       .select(col("event_type"), col("event_id"),
         unix_micros(col("ts")).as("us"))
+      .withColumn("arr", col("us") + expr(
+        "cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) " +
+          "as bigint) % 3600000000"))
     val r = ScaleRank.withRunningMax(ev, Seq("event_type"),
-      Seq(col("event_id")), col("us"), "pmax", inclusive = false)
+      Seq(col("arr"), col("event_id")), col("us"), "pmax", inclusive = false)
     val l = r.select(col("event_type"),
       expr("greatest(0L, pmax - us) div 1000000").as("late_s"),
       when(col("pmax") > col("us"), 1L).otherwise(0L).as("is_late"))

@@ -840,6 +840,58 @@ object StreamOps {
     s"cast(floor(1000000000.0d * $terms) as bigint)"
   }
 
+  final case class FrontierState(maxUs: Long)
+  final case class LatenessOut(
+      event_type: String, event_id: Long, late_s: Long, is_late: Boolean)
+
+  /** The q272 simulated-ingestion delay: an md5-derived per-event lag
+    * in [0, 1h), identical to the SQL
+    * `conv(substring(md5(event_id), 1, 15), 16, 10) % 3600000000`
+    * both engines compute (the q36 portable-RNG contract). */
+  private[graft] def md5DelayUs(eventId: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(eventId.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 3600000000L
+  }
+
+  /** Streaming event-time lateness monitor — the streaming twin of
+    * [[graft.operators.EventOps.q272LatenessProfile]]: per event
+    * type, custom state carries the event-time FRONTIER (max ts over
+    * all earlier arrivals; arrival = ts + the shared [[md5DelayUs]]
+    * ingestion jitter, the q272 contract) and every event is emitted
+    * with its lateness behind that frontier — the live signal that
+    * says "your watermark delay is about to drop data" BEFORE the
+    * drops happen, where q272 is the offline calibration over
+    * history. State per type is one long; per micro-batch events
+    * process in arrival order, so a feed ordered by arrival agrees
+    * with the batch profile row-for-row (pinned in StreamOpsSpec). */
+  def latenessMonitor(spark: SparkSession,
+      events: Dataset[AsofEvent]): Dataset[LatenessOut] = {
+    import spark.implicits._
+    def fn(etype: String, rows: Iterator[AsofEvent],
+        state: GroupState[FrontierState]): Iterator[LatenessOut] = {
+      val sorted = rows.toSeq
+        .sortBy(e => (micros(e.ts) + md5DelayUs(e.event_id), e.event_id))
+      var frontier = state.getOption.map(_.maxUs).getOrElse(Long.MinValue)
+      val out = List.newBuilder[LatenessOut]
+      sorted.foreach { e =>
+        val us = micros(e.ts)
+        val lateUs = if (frontier == Long.MinValue) 0L
+          else math.max(0L, frontier - us)
+        out += LatenessOut(etype, e.event_id, lateUs / 1000000L,
+          frontier != Long.MinValue && frontier > us)
+        frontier = math.max(frontier, us)
+      }
+      state.update(FrontierState(frontier))
+      out.result().iterator
+    }
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class CusumState(pf: Long, minpf: Long)
   final case class CusumOut(
       user_id: Long, event_id: Long, value_milli: Long,

@@ -545,6 +545,10 @@ class StatsQueriesSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_late") <= r.getAs[Long]("n"))
       if (r.getAs[Long]("n_late") == 0L) assert(mx == 0L)
     }
+    // the md5 ingestion jitter (up to 1h over ~4-minute event gaps)
+    // guarantees real disorder — the profile must not be vacuous
+    assert(rows.map(_.getAs[Long]("n_late")).sum > 0L,
+      "jittered arrivals must produce late events")
   }
 
   test("q273: mined pairs are genuinely cross-label and sorted hardest-first") {

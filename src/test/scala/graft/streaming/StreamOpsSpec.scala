@@ -1077,6 +1077,53 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("latenessMonitor agrees with the batch q272 frontier per event type") {
+    implicit val sqlCtx = spark.sqlContext
+    // arrival order = ts + the shared md5 ingestion jitter (the q272
+    // contract) — feed chunks in arrival order so cross-batch state
+    // sees the same sequence the batch profile assumes
+    val arr = expr(
+      "unix_micros(ts) + cast(conv(substring(md5(cast(event_id as string)), " +
+        "1, 15), 16, 10) as bigint) % 3600000000")
+    val all = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"),
+        col("event_id"), arr.as("arr"))
+      .orderBy("arr", "event_id")
+      .collect()
+      .map(r => StreamOps.AsofEvent(r.getLong(0), r.getTimestamp(1),
+        r.getString(2), r.getDouble(3), r.getLong(4)))
+      .toSeq
+    val per = (all.size + 2) / 3
+    val in = MemoryStream[StreamOps.AsofEvent]
+    val q = StreamOps.latenessMonitor(spark, in.toDS())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      all.grouped(per).foreach { c => in.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("late_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("arr"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"), arr.as("arr"))
+        .withColumn("pmax", max(col("us")).over(w))
+        .select(col("event_type"), col("event_id"),
+          expr("greatest(0L, pmax - us) div 1000000").as("late_s"),
+          coalesce(col("pmax") > col("us"), lit(false)).as("is_late"))
+        .na.fill(0L, Seq("late_s"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+      assert(batch.exists(_._4), "fixture must contain late arrivals")
+      assert(streamed == batch,
+        s"stream-batch: ${(streamed -- batch).take(5)}; " +
+          s"batch-stream: ${(batch -- streamed).take(5)}")
+    } finally q.stop()
+  }
+
   test("benfordMonitor finalized windows agree with the batch digit fold") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Double)]
