@@ -885,9 +885,91 @@ object FinanceAudit {
       .orderBy("orderkey", "linenumber")
   }
 
+  /** q282 — recency-decayed part leaderboard: every lineitem's
+    * revenue is weighted by a dyadic half-life decay (halved per 30
+    * days of age, floored at 2⁻⁴⁰ ≈ never-counted) and the top-10
+    * parts by DECAYED revenue sit next to each part's ALL-TIME rank
+    * — the "what's hot now" ranking that a raw total hides (a part
+    * that peaked years ago outranks a rising one forever on
+    * lifetime revenue). The dyadic weights are the q170 EWMA trick
+    * applied to a leaderboard: exact integers, no float decay chain.
+    *
+    * Exactness: age buckets are integer day floor-divs; the weight
+    * is the exact integer 2^(40 − age30) (zero beyond the floor);
+    * decayed mass is Σ cents·weight in DECIMAL/HUGEINT; both ranks
+    * are TakeOrdered top-k with partkey tiebreaks; the reported
+    * decayed revenue is scaled back by 2⁴⁰ via one integer
+    * floor-div.
+    *
+    * Scale design (100 TB): one partial-aggregable pass to part
+    * grain carrying both masses; the decayed leaderboard is a
+    * TakeOrdered top-10 heap; the all-time rank rides
+    * [[ScaleRank.withRowNumber]] over the part grain (bounded
+    * range-chunk tasks — never a global sort) and joins the 10-row
+    * board on the part key. */
+  val q282DecayedTopk: QueryDef = QueryDef(
+    "q282_decayed_topk",
+    """WITH mx AS (SELECT CAST(max(l_shipdate) AS DATE) AS maxd FROM lineitem),
+      |f AS (
+      |  SELECT l_partkey AS part,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    least(40, date_diff('day', CAST(l_shipdate AS DATE), mx.maxd) // 30)
+      |      AS age30
+      |  FROM lineitem, mx),
+      |g AS (
+      |  SELECT part,
+      |    sum(CAST(cents AS HUGEINT) *
+      |        CASE WHEN age30 >= 40 THEN CAST(0 AS HUGEINT)
+      |          ELSE CAST(power(2, 40 - age30) AS HUGEINT) END) AS dmass,
+      |    CAST(sum(cents) AS BIGINT) AS raw_cents
+      |  FROM f GROUP BY part),
+      |dr AS (
+      |  SELECT part, dmass, raw_cents,
+      |    row_number() OVER (ORDER BY dmass DESC, part) AS drank
+      |  FROM g),
+      |rr AS (
+      |  SELECT part, row_number() OVER (ORDER BY raw_cents DESC, part)
+      |    AS all_time_rank
+      |  FROM g)
+      |SELECT CAST(dr.drank AS BIGINT) AS rank, dr.part,
+      |  CAST(dr.dmass // 1099511627776 AS BIGINT) AS decayed_cents,
+      |  dr.raw_cents, CAST(rr.all_time_rank AS BIGINT) AS all_time_rank
+      |FROM dr JOIN rr ON dr.part = rr.part
+      |WHERE dr.drank <= 10
+      |ORDER BY rank""".stripMargin) { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val mx = Tables.lineitem(s, dir)
+      .agg(max(col("l_shipdate")).cast("date").as("maxd"))
+    val f = Tables.lineitem(s, dir)
+      .crossJoin(broadcast(mx))
+      .select(col("l_partkey").as("part"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("bigint").as("cents"),
+        least(lit(40L), expr(
+          "datediff(maxd, cast(l_shipdate as date)) div 30")).as("age30"))
+    val g = f.groupBy(col("part"))
+      .agg(sum(dec(col("cents")) *
+        when(col("age30") >= 40, dec(lit(0)))
+          .otherwise(dec(pow(lit(2.0), lit(40) - col("age30")).cast("long"))))
+        .as("dmass"),
+        sum(col("cents")).as("raw_cents"))
+      .localCheckpoint() // feeds both leaderboards
+    val dr = g.orderBy(col("dmass").desc, col("part")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("dmass").desc, col("part"))))
+    val rr = ScaleRank.withRowNumber(g, Nil,
+        Seq(col("raw_cents").desc, col("part")), "all_time_rank", "__n")
+      .select(col("part"), col("all_time_rank"))
+    dr.join(rr, Seq("part"))
+      .select(col("rank").cast("bigint").as("rank"), col("part"),
+        expr("cast(dmass div 1099511627776 as bigint)").as("decayed_cents"),
+        col("raw_cents"),
+        col("all_time_rank").cast("bigint").as("all_time_rank"))
+      .orderBy("rank")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q188DupCharge, q189ParetoAbc, q192Vwap, q193Drawdown, q194Aging,
     q195RoundBias, q210DiffInDiff, q211AbcXyz, q214LedgerRegister,
     q218WeeklyKpi, q222VelocityScreen, q253PriceVolumeMix, q263Hhi,
-    q271Proration)
+    q271Proration, q282DecayedTopk)
 }

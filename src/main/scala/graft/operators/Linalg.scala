@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -216,5 +217,103 @@ object Linalg {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q122Spmm, q124GroupRegression, q169PcaPower)
+  /** q283 — per-segment price elasticity of demand: the log-log OLS
+    * slope of ln(quantity) on ln(unit price) for every market
+    * segment, with R² — the textbook elasticity regression
+    * (β = %Δqty per %Δprice), fit in one moment pass per group.
+    * q124 regresses a LEVEL on time; the log-log transform is what
+    * turns a regression slope into an ELASTICITY, and the per-
+    * segment split is the pricing question ("who is price-
+    * sensitive") rather than the drift question.
+    *
+    * Exactness: both logs are quantized to integer nano-nats
+    * (floor(10⁹·ln·)) BEFORE aggregation — the q227 trick — so the
+    * five moments accumulate exactly in DECIMAL(38)/HUGEINT under
+    * any partitioning; slope and R² are ONE IEEE chain each off
+    * those integers, with the degenerate zero-variance guard
+    * identical in both engines.
+    *
+    * Scale design (100 TB): lineitem joins orders on the order key
+    * (both hash-partitioned), the customer dim broadcasts, and the
+    * rest is ONE partial-aggregable moment pass to ≤|segments| rows.
+    * No windows, no collect. */
+  val q283Elasticity: QueryDef = QueryDef(
+    "q283_elasticity",
+    """WITH f AS (
+      |  SELECT c.c_mktsegment AS seg,
+      |    CAST(floor(1000000000.0 * ln(l.l_extendedprice / l.l_quantity))
+      |      AS BIGINT) AS x,
+      |    CAST(floor(1000000000.0 * ln(l.l_quantity)) AS BIGINT) AS y
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE l.l_quantity > 0 AND l.l_extendedprice > 0),
+      |m AS (
+      |  SELECT seg, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM f GROUP BY seg)
+      |SELECT seg, CAST(n AS BIGINT) AS n,
+      |  CAST(floor(1000000.0 *
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+      |    AS elasticity_micro,
+      |  CAST(floor(1000000.0 *
+      |    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+      |     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+      |    ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)
+      |    AS r2_ppm
+      |FROM m
+      |WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+      |ORDER BY seg""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val f = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("seg"),
+        floor(lit(1000000000.0) *
+          log(col("l_extendedprice") / col("l_quantity")))
+          .cast("bigint").as("x"),
+        floor(lit(1000000000.0) * log(col("l_quantity")))
+          .cast("bigint").as("y"))
+    val m = f.groupBy(col("seg"))
+      .agg(dec(count(lit(1))).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * col("y")).as("sxy"),
+        sum(dec(col("x")) * col("x")).as("sxx"),
+        sum(dec(col("y")) * col("y")).as("syy"))
+    val nd = col("n").cast("double")
+    val cov = nd * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varx = nd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vary = nd * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.filter(varx * vary > 0)
+      .select(col("seg"), col("n").cast("bigint").as("n"),
+        floor(lit(1000000.0) * cov / varx).cast("bigint")
+          .as("elasticity_micro"),
+        floor(lit(1000000.0) * (cov * cov) / (varx * vary)).cast("bigint")
+          .as("r2_ppm"))
+      .orderBy("seg")
+  }
+
+  val all: Seq[QueryDef] = Seq(q122Spmm, q124GroupRegression, q169PcaPower,
+    q283Elasticity)
 }

@@ -675,6 +675,29 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q282: decayed revenue never exceeds raw; board is rank-ordered") {
+    val rows = FinanceAudit.q282DecayedTopk.build(spark, dir)
+      .orderBy("rank").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+    for (r <- rows) {
+      assert(r.getAs[Long]("decayed_cents") <= r.getAs[Long]("raw_cents"),
+        "decay weights are <= 1, so decayed mass cannot exceed lifetime mass")
+      assert(r.getAs[Long]("all_time_rank") >= 1L)
+    }
+  }
+
+  test("q283: elasticity is finite per segment and R2 is a fraction") {
+    val rows = Linalg.q283Elasticity.build(spark, dir).collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val r2 = r.getAs[Long]("r2_ppm")
+      assert(r2 >= 0L && r2 <= 1000000L)
+      assert(math.abs(r.getAs[Long]("elasticity_micro")) < 100000000L,
+        "a |slope| >= 100 on log axes means the moments are broken")
+    }
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()

@@ -192,6 +192,9 @@ QUERIES = [
     # shoot-out rides the money redraw (price buckets move every file
     # box under all three layouts)
     "q280_otsu_threshold", "q281_curve_shootout",
+    # decayed leaderboard and elasticity ride the money redraw (cents
+    # masses, ln chains); q272 rides the events redraw (frontier order)
+    "q282_decayed_topk", "q283_elasticity",
 ]
 # q273 hard-negative mining reads only embeddings (COPY_AS_IS under the
 # fuzz redraw), so a fuzz entry would replay the identical corpus.
