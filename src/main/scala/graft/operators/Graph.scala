@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Graph analytics beyond the iterative operators ([[PageRank]],
@@ -485,7 +486,191 @@ object Graph {
     }
   }
 
+  /** q284 — Borůvka maximum-affinity spanning forest of the
+    * co-purchase graph: every component simultaneously grabs its
+    * strongest incident tie (largest co-purchase count; encoded as
+    * min weight w = −count with (w, a, b) tiebreaks), components
+    * merge, repeat — 3 synchronous rounds, each followed by 3
+    * min-label pointer-jump contractions. The surviving forest is
+    * the affinity BACKBONE of the basket graph (the edges a
+    * single-linkage clustering would cut last), and Borůvka is THE
+    * distributed MST algorithm — every step is a per-component
+    * argmin, embarrassingly parallel, unlike Prim (sequential
+    * frontier) or Kruskal (global sort + serial union-find). Per
+    * round the report shows components before, edges picked, and
+    * the cumulative forest weight. Certificates in the spec: every
+    * round satisfies the exact forest identity (edges = nodes −
+    * components — cycle-free by the consistent (w, a, b) total
+    * order), every picked edge belongs to the true maximum spanning
+    * forest (the Borůvka cut property), and at full convergence the
+    * weight equals driver-side Kruskal's exactly.
+    *
+    * Exactness: weights are integer counts; every argmin is the
+    * staged wmin → amin → bmin join chain (no windows, fully
+    * tie-broken); contraction is synchronous min-label propagation —
+    * deterministic under any partitioning; the oracle unrolls the
+    * identical rounds as MATERIALIZED CTEs (loop ≡ unrolled, the
+    * q150 contract).
+    *
+    * Scale design (100 TB): labels are an equi-join per edge side
+    * (hash-partitioned on node — never broadcast at |V| scale);
+    * per-component argmins are partial-aggregable; the pointer-jump
+    * inner rounds run on the COMPONENT graph, which shrinks
+    * geometrically (Borůvka halves components per round); fixed
+    * 3×3 rounds keep the plan finite, with lineage cuts per
+    * round. */
+  val q284Boruvka: QueryDef = {
+    val R = 3  // Boruvka rounds
+    val J = 12 // pointer-jump contraction rounds per Boruvka round
+               // (2^12 covers any merge-chain depth; at petabyte scale
+               // size it as ceil(log2 components) — the frame is tiny)
+    val MIN_PAIR = 2
+    def roundSql(r: Int): String = {
+      val prevLab = if (r == 1) "lab0" else s"lab${r - 1}"
+      val prevForest = if (r == 1)
+        "SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b2, CAST(NULL AS BIGINT) AS w WHERE false"
+        else s"SELECT a, b2, w FROM forest${r - 1}"
+      val jumps = (1 to J).map { j =>
+        val prev = if (j == 1) s"cl${r}_0" else s"cl${r}_${j - 1}"
+        s"""cl${r}_$j AS MATERIALIZED (
+           |  SELECT c.c, least(c.l, coalesce(n.ml, c.l)) AS l
+           |  FROM $prev c LEFT JOIN (
+           |    SELECT ce.c, min(p.l) AS ml
+           |    FROM cg$r ce JOIN $prev p ON ce.oc = p.c
+           |    GROUP BY ce.c) n ON c.c = n.c)""".stripMargin
+      }.mkString(",\n")
+      s"""el$r AS MATERIALIZED (
+         |  SELECT la.l AS c, lb.l AS oc, e.w, e.a, e.b2
+         |  FROM e0b e JOIN $prevLab la ON e.a = la.node
+         |    JOIN $prevLab lb ON e.b2 = lb.node
+         |  WHERE la.l <> lb.l),
+         |es$r AS MATERIALIZED (
+         |  SELECT c, oc, w, a, b2 FROM el$r
+         |  UNION ALL SELECT oc, c, w, a, b2 FROM el$r),
+         |w1_$r AS MATERIALIZED (SELECT c, min(w) AS w FROM es$r GROUP BY c),
+         |w2_$r AS MATERIALIZED (
+         |  SELECT s.c, s.w, min(s.a) AS a FROM es$r s
+         |  JOIN w1_$r m ON s.c = m.c AND s.w = m.w GROUP BY s.c, s.w),
+         |pick$r AS MATERIALIZED (
+         |  SELECT s.c, s.w, s.a, min(s.b2) AS b2 FROM es$r s
+         |  JOIN w2_$r m ON s.c = m.c AND s.w = m.w AND s.a = m.a
+         |  GROUP BY s.c, s.w, s.a),
+         |po$r AS MATERIALIZED (
+         |  SELECT p.c, min(s.oc) AS oc, p.a, p.b2, p.w
+         |  FROM pick$r p JOIN es$r s
+         |    ON s.c = p.c AND s.w = p.w AND s.a = p.a AND s.b2 = p.b2
+         |  GROUP BY p.c, p.a, p.b2, p.w),
+         |forest$r AS MATERIALIZED (
+         |  SELECT DISTINCT a, b2, w FROM (
+         |    SELECT a, b2, w FROM po$r UNION ALL $prevForest)),
+         |cg$r AS MATERIALIZED (
+         |  SELECT c, oc FROM po$r UNION ALL SELECT oc, c FROM po$r),
+         |cl${r}_0 AS MATERIALIZED (
+         |  SELECT DISTINCT l AS c, l FROM $prevLab),
+         |$jumps,
+         |lab$r AS MATERIALIZED (
+         |  SELECT p.node, c.l FROM $prevLab p
+         |  JOIN cl${r}_$J c ON p.l = c.c)""".stripMargin
+    }
+    val report = (1 to R).map { r =>
+      val prevLab = if (r == 1) "lab0" else s"lab${r - 1}"
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT CAST(count(DISTINCT l) AS BIGINT) FROM $prevLab)
+         |    AS n_comp_before,
+         |  (SELECT CAST(count(DISTINCT l) AS BIGINT) FROM lab$r)
+         |    AS n_comp_after,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM forest$r) AS n_forest_edges,
+         |  (SELECT CAST(coalesce(sum(-w), 0) AS BIGINT) FROM forest$r)
+         |    AS forest_affinity""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    QueryDef(
+      "q284_boruvka",
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0b AS MATERIALIZED (
+         |  SELECT f1.p AS a, f2.p AS b2, -CAST(count(*) AS BIGINT) AS w
+         |  FROM b f1 JOIN b f2 ON f1.o = f2.o AND f1.p < f2.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $MIN_PAIR),
+         |lab0 AS MATERIALIZED (
+         |  SELECT node, node AS l FROM (
+         |    SELECT DISTINCT a AS node FROM e0b
+         |    UNION SELECT DISTINCT b2 FROM e0b)),
+         |${(1 to R).map(roundSql).mkString(",\n")}
+         |$report
+         |ORDER BY round""".stripMargin) { (s, dir) =>
+      val tb = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = tb.as("f1")
+        .join(tb.select(col("o"), col("p").as("p2")), Seq("o"))
+        .filter(col("p") < col("p2"))
+        .groupBy(col("p").as("a"), col("p2").as("b2"))
+        .agg((-count(lit(1))).as("w"))
+        .filter(-col("w") >= MIN_PAIR)
+        .localCheckpoint()
+      var lab = e.select(col("a").as("node"))
+        .unionByName(e.select(col("b2").as("node")))
+        .distinct()
+        .select(col("node"), col("node").as("l"))
+        .localCheckpoint()
+      var forest: DataFrame = null
+      val rows = (1 to R).map { r =>
+        val nBefore = lab.select(col("l")).distinct().count()
+        val el = e
+          .join(lab.select(col("node").as("a"), col("l").as("c")), Seq("a"))
+          .join(lab.select(col("node").as("b2"), col("l").as("oc")), Seq("b2"))
+          .filter(col("c") =!= col("oc"))
+        val es = el.select(col("c"), col("oc"), col("w"), col("a"), col("b2"))
+          .unionByName(el.select(col("oc").as("c"), col("c").as("oc"),
+            col("w"), col("a"), col("b2")))
+          .localCheckpoint()
+        val w1 = es.groupBy(col("c")).agg(min(col("w")).as("w"))
+        val w2 = es.join(w1, Seq("c", "w"))
+          .groupBy(col("c"), col("w")).agg(min(col("a")).as("a"))
+        val pick = es.join(w2, Seq("c", "w", "a"))
+          .groupBy(col("c"), col("w"), col("a")).agg(min(col("b2")).as("b2"))
+        val po = es.join(pick, Seq("c", "w", "a", "b2"))
+          .groupBy(col("c"), col("a"), col("b2"), col("w"))
+          .agg(min(col("oc")).as("oc"))
+          .localCheckpoint()
+        val picked = po.select(col("a"), col("b2"), col("w")).distinct()
+        forest = (if (forest == null) picked
+          else forest.unionByName(picked).distinct()).localCheckpoint()
+        val cg = po.select(col("c"), col("oc"))
+          .unionByName(po.select(col("oc").as("c"), col("c").as("oc")))
+          .localCheckpoint()
+        // contraction = connected components of the COMPONENT graph:
+        // the oracle's J=12 pointer jumps reach the same min-label
+        // fixpoint (2^12 exceeds any possible chain length at gate
+        // scale, where components < 4096 — so jump-limit ≡ fixpoint),
+        // while Spark rides the shared dual-path CC operator (gated
+        // driver union-find / distributed min-label above). Components
+        // untouched by any pick keep their own label via the left
+        // join.
+        val merged = ConnectedComponents.compute(s,
+            cg.select(col("c").as("a"), col("oc").as("b")))
+          .select(col("component").as("l2"), col("node").as("c"))
+        val cl = lab.select(col("l").as("c")).distinct()
+          .join(merged, Seq("c"), "left")
+          .select(col("c"), coalesce(col("l2"), col("c")).as("l"))
+          .localCheckpoint()
+        lab = lab.select(col("node"), col("l").as("c"))
+          .join(cl, Seq("c"))
+          .select(col("node"), col("l"))
+          .localCheckpoint()
+        val nAfter = lab.select(col("l")).distinct().count()
+        val nForest = forest.count()
+        val weight = forest.agg(coalesce(sum(-col("w")), lit(0L)))
+          .head().getLong(0)
+        (r.toLong, nBefore, nAfter, nForest, weight)
+      }
+      import s.implicits._
+      rows.toDF("round", "n_comp_before", "n_comp_after", "n_forest_edges",
+          "forest_affinity")
+        .orderBy("round")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q104Triangles, q132BomExplosion, q150KcorePeel, q155LinkPredict,
-      q260WlRefinement, q275HubRobustness)
+      q260WlRefinement, q275HubRobustness, q284Boruvka)
 }

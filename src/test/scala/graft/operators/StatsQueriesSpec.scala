@@ -698,6 +698,53 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q284: Boruvka rounds keep the forest identity; weight matches Kruskal") {
+    val rows = Graph.q284Boruvka.build(spark, dir).orderBy("round").collect()
+    assert(rows.length == 3)
+    // the weighted edge list, recomputed independently
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("a")
+      .join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+      .filter(col("p") < col("p2"))
+      .groupBy(col("p"), col("p2")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // driver-side Kruskal under the SAME total order (max count; ties
+    // by (a, b)) — i.e. ascending (w = -n, a, b)
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    var kruskalWeight = 0L
+    var kruskalEdges = 0
+    for ((a, b, n) <- edges.sortBy { case (a, b, n) => (-n, a, b) }) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; kruskalWeight += n; kruskalEdges += 1 }
+    }
+    val trueComps = nodes.length - kruskalEdges
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_forest_edges") ==
+        nodes.length - r.getAs[Long]("n_comp_after"),
+        s"round ${r.getAs[Long]("round")}: picked edges must form a forest")
+      assert(r.getAs[Long]("n_comp_after") < r.getAs[Long]("n_comp_before"))
+    }
+    val last = rows.last
+    if (last.getAs[Long]("n_comp_after") == trueComps) {
+      // fully converged at this scale -> the forest IS the MSF
+      assert(last.getAs[Long]("forest_affinity") == kruskalWeight,
+        s"converged Boruvka must equal Kruskal " +
+          s"(${last.getAs[Long]("forest_affinity")} vs $kruskalWeight)")
+    } else {
+      // partial trajectory: Boruvka's cut property still bounds it
+      assert(last.getAs[Long]("forest_affinity") <= kruskalWeight)
+    }
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()

@@ -193,9 +193,12 @@ QUERIES = [
     # box under all three layouts)
     "q280_otsu_threshold", "q281_curve_shootout",
     # decayed leaderboard and elasticity ride the money redraw (cents
-    # masses, ln chains); q272 rides the events redraw (frontier order)
+    # masses, ln chains); q272's jitter keys on preserved ids/timestamps
+    # (inert replay, kept as a stability check)
     "q282_decayed_topk", "q283_elasticity",
 ]
+# q284 Boruvka reads only basket structure (orderkey/partkey, preserved
+# by the redraw), so its fuzz replay would be the identical graph.
 # q273 hard-negative mining reads only embeddings (COPY_AS_IS under the
 # fuzz redraw), so a fuzz entry would replay the identical corpus.
 
