@@ -2475,7 +2475,8 @@ object EventOps {
     q114Twap, q118CumulativeUniques, q125IntervalJoin, q130TopPaths,
     q134Seasonality, q137DwellTimes, q138PeakConcurrency, q142Attribution,
     q156OhlcBars, q157CohortLtv, q163Acf, q164Survival, q165AbTest,
-    q178Cusum, q183FunnelCi, q184Mase, q272LatenessProfile)
+    q178Cusum, q183FunnelCi, q184Mase, q272LatenessProfile,
+    q285WatermarkLoss)
 
   /** q272 — event-time lateness profile: per event type, how far
     * behind the running event-time FRONTIER (max ts over all earlier
@@ -2507,9 +2508,30 @@ object EventOps {
     * collapse to the bounded (type, late_s) grain, one bounded-state
     * weighted-percentile aggregate. No fact-axis windows, no
     * collect. */
-  lazy val q272LatenessProfile: QueryDef = QueryDef(
-    "q272_lateness_profile",
-    """WITH ev AS (
+  /** Shared per-event lateness frame for q272/q285: (event_type,
+    * late_s, is_late) under the jittered-arrival frontier (see
+    * [[q272LatenessProfile]]'s arrival model). */
+  private def latenessFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("arr", col("us") + expr(
+        "cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) " +
+          "as bigint) % 3600000000"))
+    ScaleRank.withRunningMax(ev, Seq("event_type"),
+        Seq(col("arr"), col("event_id")), col("us"), "pmax",
+        inclusive = false)
+      .select(col("event_type"),
+        expr("greatest(0L, pmax - us) div 1000000").as("late_s"),
+        when(col("pmax") > col("us"), 1L).otherwise(0L).as("is_late"))
+      .localCheckpoint() // feeds counts, histograms, and the loss curve
+  }
+
+  /** The matching oracle CTE prefix (CTEs ev, r, l — `l` is the
+    * lateness frame). */
+  private def latenessCtes: String =
+    """ev AS (
       |  SELECT event_type, event_id, epoch_us(ts) AS us,
       |    epoch_us(ts) + ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
       |      % 3600000000 AS arr
@@ -2523,7 +2545,11 @@ object EventOps {
       |  SELECT event_type,
       |    greatest(0, pmax - us) // 1000000 AS late_s,
       |    CASE WHEN pmax > us THEN 1 ELSE 0 END AS is_late
-      |  FROM r)
+      |  FROM r)""".stripMargin
+
+  lazy val q272LatenessProfile: QueryDef = QueryDef(
+    "q272_lateness_profile",
+    s"""WITH $latenessCtes
       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(is_late) AS BIGINT) AS n_late,
       |  CAST(max(late_s) AS BIGINT) AS max_late_s,
@@ -2531,18 +2557,7 @@ object EventOps {
       |  quantile_cont(CAST(late_s AS DOUBLE), 0.95) AS p95_s,
       |  quantile_cont(CAST(late_s AS DOUBLE), 0.99) AS p99_s
       |FROM l GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val ev = Tables.events(s, dir)
-      .select(col("event_type"), col("event_id"),
-        unix_micros(col("ts")).as("us"))
-      .withColumn("arr", col("us") + expr(
-        "cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) " +
-          "as bigint) % 3600000000"))
-    val r = ScaleRank.withRunningMax(ev, Seq("event_type"),
-      Seq(col("arr"), col("event_id")), col("us"), "pmax", inclusive = false)
-    val l = r.select(col("event_type"),
-      expr("greatest(0L, pmax - us) div 1000000").as("late_s"),
-      when(col("pmax") > col("us"), 1L).otherwise(0L).as("is_late"))
-      .localCheckpoint() // feeds the counts AND the histogram
+    val l = latenessFrame(s, dir)
     val h = l.groupBy(col("event_type"), col("late_s"))
       .agg(count(lit(1)).as("fn"))
       .groupBy(col("event_type"))
@@ -2556,5 +2571,51 @@ object EventOps {
       .select(col("event_type"), col("n"), col("n_late"),
         col("max_late_s"), col("p50_s"), col("p95_s"), col("p99_s"))
       .orderBy("event_type")
+  }
+
+  /** q285 — watermark loss curve: for each candidate watermark delay
+    * d, the exact fraction of events a `withWatermark(ts, d)` stream
+    * would DROP (lateness > d under the q272 arrival model), per
+    * event type — q272 summarizes the lateness distribution; this
+    * prices the actual decision ("1 minute loses 28%, 30 minutes
+    * loses 2%, an hour loses nothing") so the delay is chosen off a
+    * table, not a hunch. Shares q272's lateness frame verbatim —
+    * one computation feeds both reports.
+    *
+    * Exactness: lateness and the delay battery are integer seconds;
+    * drops are exact counts; the rate is a non-negative ppm
+    * floor-div.
+    *
+    * Scale design (100 TB): the shared checkpointed lateness frame
+    * (one ScaleRank pass) crossed with a 5-literal delay battery —
+    * a 5× conditional aggregate, partial-aggregable, no second
+    * scan. */
+  lazy val q285WatermarkLoss: QueryDef = {
+    val DELAYS = Seq(60L, 300L, 900L, 1800L, 3600L)
+    val delayRows = DELAYS.map(d =>
+      s"SELECT CAST($d AS BIGINT) AS delay_s").mkString(" UNION ALL ")
+    QueryDef(
+      "q285_watermark_loss",
+      s"""WITH $latenessCtes,
+        |d AS ($delayRows)
+        |SELECT l.event_type, d.delay_s,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN l.late_s > d.delay_s THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  (1000000 * CAST(sum(CASE WHEN l.late_s > d.delay_s THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // count(*) AS drop_ppm
+        |FROM l CROSS JOIN d
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val delays = DELAYS.toDF("delay_s")
+      latenessFrame(s, dir).crossJoin(broadcast(delays))
+        .groupBy(col("event_type"), col("delay_s"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("late_s") > col("delay_s"), 1L).otherwise(0L))
+            .as("n_dropped"))
+        .select(col("event_type"), col("delay_s"), col("n"), col("n_dropped"),
+          expr("(1000000 * n_dropped) div n").as("drop_ppm"))
+        .orderBy("event_type", "delay_s")
+    }
   }
 }

@@ -745,6 +745,19 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q285: the loss curve is monotone in the delay and ends near zero") {
+    val rows = EventOps.q285WatermarkLoss.build(spark, dir)
+      .orderBy("event_type", "delay_s").collect()
+    assert(rows.length == 25) // 5 types x 5 candidate delays
+    for (g <- rows.groupBy(_.getAs[String]("event_type")).values) {
+      val drops = g.sortBy(_.getAs[Long]("delay_s")).map(_.getAs[Long]("drop_ppm"))
+      assert(drops.zip(drops.tail).forall { case (a, b) => a >= b },
+        "a longer watermark can only drop fewer events")
+      assert(drops.last == 0L,
+        "the 1h delay equals the jitter bound, so nothing can be later")
+    }
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()
