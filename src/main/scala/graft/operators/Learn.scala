@@ -1048,7 +1048,207 @@ object Learn {
       .orderBy("custkey")
   }
 
+  // ---- q286 logistic regression: shared SQL fragments ----------------
+  // One source of truth for every IEEE chain: the SAME strings parse in
+  // Spark (expr) and DuckDB, so the two engines execute byte-identical
+  // arithmetic. Features are micro-quantized (x = xq/1e6); betas are
+  // micro ints; gradients/Hessians quantize per row to nano BEFORE the
+  // exact DECIMAL/HUGEINT sums.
+  private def lrEta: String =
+    "CAST(b0 AS DOUBLE) / 1000000.0 + " +
+      "CAST(b1 AS DOUBLE) / 1000000.0 * (CAST(x1q AS DOUBLE) / 1000000.0) + " +
+      "CAST(b2 AS DOUBLE) / 1000000.0 * (CAST(x2q AS DOUBLE) / 1000000.0)"
+  private def lrP: String = s"1.0 / (1.0 + exp(-($lrEta)))"
+  private def lrT: String =
+    s"CAST(floor(1000000000.0 * (CAST(y AS DOUBLE) - ($lrP))) AS BIGINT)"
+  private def lrW: String =
+    s"CAST(floor(1000000000.0 * ($lrP) * (1.0 - ($lrP))) AS BIGINT)"
+  /** Cramer solve of the 3x3 symmetric system H·delta = g, entry j —
+    * doubles off the exact integer moments (ha..hf upper triangle,
+    * g0..g2). */
+  private def lrDet: String =
+    "(CAST(ha AS DOUBLE) * (CAST(hd AS DOUBLE) * CAST(hf AS DOUBLE) - CAST(he AS DOUBLE) * CAST(he AS DOUBLE)) - " +
+      "CAST(hb AS DOUBLE) * (CAST(hb AS DOUBLE) * CAST(hf AS DOUBLE) - CAST(he AS DOUBLE) * CAST(hc AS DOUBLE)) + " +
+      "CAST(hc AS DOUBLE) * (CAST(hb AS DOUBLE) * CAST(he AS DOUBLE) - CAST(hd AS DOUBLE) * CAST(hc AS DOUBLE)))"
+  private def lrDetJ(j: Int): String = j match {
+    case 0 =>
+      "(CAST(g0 AS DOUBLE) * (CAST(hd AS DOUBLE) * CAST(hf AS DOUBLE) - CAST(he AS DOUBLE) * CAST(he AS DOUBLE)) - " +
+        "CAST(hb AS DOUBLE) * (CAST(g1 AS DOUBLE) * CAST(hf AS DOUBLE) - CAST(he AS DOUBLE) * CAST(g2 AS DOUBLE)) + " +
+        "CAST(hc AS DOUBLE) * (CAST(g1 AS DOUBLE) * CAST(he AS DOUBLE) - CAST(hd AS DOUBLE) * CAST(g2 AS DOUBLE)))"
+    case 1 =>
+      "(CAST(ha AS DOUBLE) * (CAST(g1 AS DOUBLE) * CAST(hf AS DOUBLE) - CAST(he AS DOUBLE) * CAST(g2 AS DOUBLE)) - " +
+        "CAST(g0 AS DOUBLE) * (CAST(hb AS DOUBLE) * CAST(hf AS DOUBLE) - CAST(he AS DOUBLE) * CAST(hc AS DOUBLE)) + " +
+        "CAST(hc AS DOUBLE) * (CAST(hb AS DOUBLE) * CAST(g2 AS DOUBLE) - CAST(g1 AS DOUBLE) * CAST(hc AS DOUBLE)))"
+    case _ =>
+      "(CAST(ha AS DOUBLE) * (CAST(hd AS DOUBLE) * CAST(g2 AS DOUBLE) - CAST(g1 AS DOUBLE) * CAST(he AS DOUBLE)) - " +
+        "CAST(hb AS DOUBLE) * (CAST(hb AS DOUBLE) * CAST(g2 AS DOUBLE) - CAST(g1 AS DOUBLE) * CAST(hc AS DOUBLE)) + " +
+        "CAST(g0 AS DOUBLE) * (CAST(hb AS DOUBLE) * CAST(he AS DOUBLE) - CAST(hd AS DOUBLE) * CAST(hc AS DOUBLE)))"
+  }
+  /** The micro-int beta update for coefficient j: the intercept's
+    * Newton delta is in natural units (x0 = 1), the quantized
+    * features' deltas carry the 1e6 de-scaling — see the D-matrix
+    * note in the q286 scaladoc. Degenerate det keeps beta. */
+  private def lrUpd(j: Int): String = {
+    val scale = if (j == 0) "1000000.0" else "1000000000000.0"
+    s"CASE WHEN $lrDet = 0.0 THEN b$j ELSE " +
+      s"b$j + CAST(floor($scale * (${lrDetJ(j)} / $lrDet)) AS BIGINT) END"
+  }
+  private def lrMomentsSelect: String =
+    s"""CAST(sum(CAST($lrW AS HUGEINT)) AS HUGEINT) AS ha,
+       |    sum(CAST($lrW AS HUGEINT) * x1q) AS hb,
+       |    sum(CAST($lrW AS HUGEINT) * x2q) AS hc,
+       |    sum(CAST($lrW AS HUGEINT) * x1q * x1q) AS hd,
+       |    sum(CAST($lrW AS HUGEINT) * x1q * x2q) AS he,
+       |    sum(CAST($lrW AS HUGEINT) * x2q * x2q) AS hf,
+       |    sum(CAST($lrT AS HUGEINT)) AS g0,
+       |    sum(CAST($lrT AS HUGEINT) * x1q) AS g1,
+       |    sum(CAST($lrT AS HUGEINT) * x2q) AS g2,
+       |    min(b0) AS b0, min(b1) AS b1, min(b2) AS b2""".stripMargin
+
+  /** q286 — logistic churn regression fit by TWO unrolled
+    * Newton–Raphson (IRLS) steps: P(churn) = σ(β₀ + β₁·ln(1+spend) +
+    * β₂·orders) over customers active before 1999, churn = no order
+    * after — the canonical GLM missing between q124 (linear) and
+    * q227 (naive Bayes), fit exactly the way a distributed engine
+    * should: each step is ONE moment pass (gradient + Hessian as
+    * nine partial-aggregable sums) and a closed-form 3×3 Cramer
+    * solve, no sequential optimizer. Features use PRE-cutoff data
+    * only (no label leakage), the q274 temporal-split discipline.
+    *
+    * Exactness: features micro-quantized once; per-row σ, gradient,
+    * and weight terms are IEEE chains built from ONE shared SQL
+    * string (the same text parses in Spark and DuckDB — agreement
+    * by construction), quantized to nano ints BEFORE the
+    * DECIMAL/HUGEINT sums; the Cramer solve and beta updates are
+    * 1-row chains; the de-scaling D = diag(1, 10⁶, 10⁶) maps the
+    * quantized-space solution back to natural units (H_int =
+    * 10⁹·D·H·D, g_int = 10⁹·D·g ⇒ Δ = D·(H_int⁻¹g_int)). The
+    * accuracy readout needs NO floats: sign(η) = sign(b0·10⁶ +
+    * b1·x1q + b2·x2q), exact integers.
+    *
+    * Scale design (100 TB): two moment passes over the customer
+    * frame (checkpointed once), each a partial-aggregable 1-row
+    * aggregate with the 3-int beta broadcast; everything else is
+    * 1-row arithmetic. No windows, no collect, no driver loop. */
+  val q286Logistic: QueryDef = QueryDef(
+    "q286_logistic",
+    s"""WITH cut AS (SELECT TIMESTAMP '1999-01-01' AS t),
+       |base AS (
+       |  SELECT o_custkey AS cust,
+       |    CAST(sum(CASE WHEN o_orderdate < (SELECT t FROM cut)
+       |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)
+       |      AS BIGINT) AS spend,
+       |    CAST(count(CASE WHEN o_orderdate < (SELECT t FROM cut) THEN 1 END)
+       |      AS BIGINT) AS n_pre,
+       |    CAST(count(CASE WHEN o_orderdate >= (SELECT t FROM cut) THEN 1 END)
+       |      AS BIGINT) AS n_post
+       |  FROM orders GROUP BY 1),
+       |feat AS (
+       |  SELECT cust,
+       |    CAST(floor(1000000.0 * ln(1.0 + CAST(spend AS DOUBLE))) AS BIGINT)
+       |      AS x1q,
+       |    n_pre * 1000000 AS x2q,
+       |    CASE WHEN n_post = 0 THEN 1 ELSE 0 END AS y
+       |  FROM base WHERE n_pre >= 1),
+       |beta0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
+       |  CAST(0 AS BIGINT) AS b2),
+       |mom1 AS MATERIALIZED (
+       |  SELECT $lrMomentsSelect
+       |  FROM feat CROSS JOIN beta0),
+       |beta1 AS MATERIALIZED (
+       |  SELECT ${lrUpd(0)} AS b0, ${lrUpd(1)} AS b1, ${lrUpd(2)} AS b2
+       |  FROM mom1),
+       |mom2 AS MATERIALIZED (
+       |  SELECT $lrMomentsSelect
+       |  FROM feat CROSS JOIN beta1),
+       |beta2 AS MATERIALIZED (
+       |  SELECT ${lrUpd(0)} AS b0, ${lrUpd(1)} AS b1, ${lrUpd(2)} AS b2
+       |  FROM mom2),
+       |scored AS (
+       |  SELECT y,
+       |    CASE WHEN CAST(b0 AS HUGEINT) * 1000000 + CAST(b1 AS HUGEINT) * x1q
+       |      + CAST(b2 AS HUGEINT) * x2q >= 0 THEN 1 ELSE 0 END AS pred,
+       |    CAST(floor(1000000000.0 * (CASE WHEN y = 1
+       |      THEN -ln(greatest(0.000000000001, $lrP))
+       |      ELSE -ln(greatest(0.000000000001, 1.0 - ($lrP))) END))
+       |      AS BIGINT) AS ll_nano
+       |  FROM feat CROSS JOIN beta2)
+       |SELECT metric, value FROM (
+       |  SELECT 'b0_micro' AS metric, b0 AS value FROM beta2
+       |  UNION ALL SELECT 'b1_micro', b1 FROM beta2
+       |  UNION ALL SELECT 'b2_micro', b2 FROM beta2
+       |  UNION ALL SELECT 'n', CAST(count(*) AS BIGINT) FROM scored
+       |  UNION ALL SELECT 'acc_ppm',
+       |    (1000000 * CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT))
+       |      // count(*) FROM scored
+       |  UNION ALL SELECT 'logloss_avg_nano',
+       |    CAST(sum(ll_nano) AS BIGINT) // count(*) FROM scored)
+       |ORDER BY metric""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cutT = lit("1999-01-01").cast("timestamp")
+    val feat = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(
+        sum(when(col("o_orderdate") < cutT,
+          floor(col("o_totalprice") * 100 + 0.5).cast("bigint"))).as("spend"),
+        count(when(col("o_orderdate") < cutT, 1)).as("n_pre"),
+        count(when(col("o_orderdate") >= cutT, 1)).as("n_post"))
+      .filter(col("n_pre") >= 1)
+      .select(col("cust"),
+        floor(lit(1000000.0) *
+          log(lit(1.0) + col("spend").cast("double"))).cast("bigint")
+          .as("x1q"),
+        (col("n_pre") * 1000000).as("x2q"),
+        when(col("n_post") === 0, 1).otherwise(0).as("y"))
+      .localCheckpoint() // both Newton passes and the scoring pass
+    def moments(beta: DataFrame): DataFrame =
+      feat.crossJoin(broadcast(beta))
+        .agg(
+          sum(dec(expr(lrW))).as("ha"),
+          sum(dec(expr(lrW)) * col("x1q")).as("hb"),
+          sum(dec(expr(lrW)) * col("x2q")).as("hc"),
+          sum(dec(expr(lrW)) * col("x1q") * col("x1q")).as("hd"),
+          sum(dec(expr(lrW)) * col("x1q") * col("x2q")).as("he"),
+          sum(dec(expr(lrW)) * col("x2q") * col("x2q")).as("hf"),
+          sum(dec(expr(lrT))).as("g0"),
+          sum(dec(expr(lrT)) * col("x1q")).as("g1"),
+          sum(dec(expr(lrT)) * col("x2q")).as("g2"),
+          min(col("b0")).as("b0"), min(col("b1")).as("b1"),
+          min(col("b2")).as("b2"))
+    def update(mom: DataFrame): DataFrame =
+      mom.select(expr(lrUpd(0)).as("b0"), expr(lrUpd(1)).as("b1"),
+        expr(lrUpd(2)).as("b2")).localCheckpoint()
+    import s.implicits._
+    val beta0 = Seq((0L, 0L, 0L)).toDF("b0", "b1", "b2")
+    val beta2 = update(moments(update(moments(beta0))))
+    val scored = feat.crossJoin(broadcast(beta2))
+      .select(col("y"),
+        when(dec(col("b0")) * 1000000 + dec(col("b1")) * col("x1q") +
+          dec(col("b2")) * col("x2q") >= 0, 1).otherwise(0).as("pred"),
+        expr("cast(floor(1000000000.0 * (case when y = 1 then " +
+          "-ln(greatest(0.000000000001, " + lrP + ")) else " +
+          "-ln(greatest(0.000000000001, 1.0 - (" + lrP + "))) end)) as bigint)")
+          .as("ll_nano"))
+    val m1 = beta2.select(lit("b0_micro").as("metric"), col("b0").as("value"))
+      .unionByName(beta2.select(lit("b1_micro").as("metric"), col("b1").as("value")))
+      .unionByName(beta2.select(lit("b2_micro").as("metric"), col("b2").as("value")))
+    val m2 = scored.agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("ncorr"),
+        sum(col("ll_nano")).as("ll"))
+      .select(
+        array(
+          struct(lit("n").as("metric"), col("n").as("value")),
+          struct(lit("acc_ppm").as("metric"),
+            expr("(1000000 * ncorr) div n").as("value")),
+          struct(lit("logloss_avg_nano").as("metric"),
+            expr("ll div n").as("value"))).as("ms"))
+      .select(explode(col("ms")).as("m"))
+      .select(col("m.metric"), col("m.value"))
+    m1.unionByName(m2).orderBy("metric")
+  }
+
   val all: Seq[QueryDef] = Seq(q95Kmeans, q96CentroidClassify,
     q159ClusterPurity, q173Stump, q174Calibration, q227NaiveBayes,
-    q235Conformal, q238Dbscan, q249KCenter, q255Isotonic, q259EbShrinkage)
+    q235Conformal, q238Dbscan, q249KCenter, q255Isotonic, q259EbShrinkage,
+    q286Logistic)
 }

@@ -758,6 +758,28 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q286: two Newton steps beat the coin and never lose to the majority") {
+    val rows = Learn.q286Logistic.build(spark, dir).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    assert(rows.size == 6)
+    val n = rows("n")
+    // the fit population is exactly the customers with pre-cutoff orders
+    val cut = lit("1999-01-01").cast("timestamp")
+    val expected = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cut)
+      .select(col("o_custkey")).distinct().count()
+    assert(n == expected)
+    assert(rows("logloss_avg_nano") < 693147181L,
+      "a fitted model must beat the uninformed ln(2) log-loss")
+    val churners = Tables.orders(spark, dir).groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("mx"))
+      .filter(col("mx") < cut).count()
+    val majority = math.max(churners, expected - churners)
+    assert(rows("acc_ppm") >= 1000000L * majority / expected - 20000L,
+      "Newton must not lose to the majority-class baseline")
+    assert(rows("acc_ppm") <= 1000000L)
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()

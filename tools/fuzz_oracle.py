@@ -196,6 +196,9 @@ QUERIES = [
     # masses, ln chains); q272's jitter keys on preserved ids/timestamps
     # (inert replay, kept as a stability check)
     "q282_decayed_topk", "q283_elasticity",
+    # the logistic fit rides the money redraw through every sigma/
+    # gradient/Hessian chain and both Cramer solves
+    "q286_logistic",
 ]
 # q284 Boruvka reads only basket structure (orderkey/partkey, preserved
 # by the redraw), so its fuzz replay would be the identical graph.
