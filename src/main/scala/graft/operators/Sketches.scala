@@ -966,8 +966,101 @@ object Sketches {
       .orderBy("plan")
   }
 
+  /** q287 — join-size estimation by CORRELATED (key-universe)
+    * sampling vs naive independent row sampling: both estimators
+    * spend the same 1/64 budget on orders ⋈ lineitem, but the
+    * universe sampler hashes the JOIN KEY (both sides keep the same
+    * 1/64 of keys, so sampled keys join at full fan-out — unbiased
+    * with low variance), while the row sampler thins each side
+    * independently (matching pairs survive with probability 1/64²,
+    * so the estimate rides a handful of lucky collisions). The
+    * side-by-side error is THE argument for universe sampling in
+    * every modern optimizer's sample-based estimator. Completes the
+    * estimation suite: q231 (histogram formulas), q268 (range
+    * selectivity), q279 (join ordering) — this is the sampling
+    * alternative those formulas compete with.
+    *
+    * Exactness: both samples are md5-prefix hash predicates (the
+    * q36 portable-RNG contract — identical membership in both
+    * engines); counts are exact; estimates are integer scale-ups;
+    * errors are non-negative ppm floor-divs against the exact join
+    * size.
+    *
+    * Scale design (100 TB): the sample predicates push into the
+    * scans; each sampled join is an equi-join over ~1/64 (universe)
+    * or ~1/64-per-side (row) of the data; the exact control join is
+    * the audit's cost, not the estimator's. No windows, no
+    * collect. */
+  val q287SamplingJoinEst: QueryDef = QueryDef(
+    "q287_sampling_join_est",
+    """WITH ou AS (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 64 = 0),
+      |lu AS (
+      |  SELECT l_orderkey FROM lineitem
+      |  WHERE ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 64 = 0),
+      |orr AS (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE ('0x' || substring(md5('o|' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 64 = 0),
+      |lr AS (
+      |  SELECT l_orderkey FROM lineitem
+      |  WHERE ('0x' || substring(md5('l|' || CAST(l_orderkey AS VARCHAR) || '#'
+      |    || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 64 = 0),
+      |ju AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ou
+      |       JOIN lu ON o_orderkey = l_orderkey),
+      |jr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orr
+      |       JOIN lr ON o_orderkey = l_orderkey),
+      |ex AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+      |       JOIN lineitem ON o_orderkey = l_orderkey)
+      |SELECT method, sample_join_rows, est_rows, actual_rows,
+      |  (1000000 * abs(est_rows - actual_rows)) // greatest(actual_rows, 1)
+      |    AS err_ppm
+      |FROM (
+      |  SELECT 'universe' AS method, ju.n AS sample_join_rows,
+      |    ju.n * 64 AS est_rows, ex.n AS actual_rows FROM ju, ex
+      |  UNION ALL
+      |  SELECT 'row', jr.n, jr.n * 4096, ex.n FROM jr, ex)
+      |ORDER BY method""".stripMargin) { (s, dir) =>
+    def keyHashMod(c: org.apache.spark.sql.Column,
+        m: Int): org.apache.spark.sql.Column =
+      expr(s"cast(conv(substring(md5(cast(${c.toString} as string)), 1, 15), " +
+        s"16, 10) as bigint) % $m")
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val ou = o.filter(keyHashMod(col("o_orderkey"), 64) === 0)
+      .select(col("o_orderkey"))
+    val lu = l.filter(keyHashMod(col("l_orderkey"), 64) === 0)
+      .select(col("l_orderkey"))
+    val orr = o.filter(expr(
+      "cast(conv(substring(md5(concat('o|', cast(o_orderkey as string))), " +
+        "1, 15), 16, 10) as bigint) % 64") === 0)
+      .select(col("o_orderkey"))
+    val lr = l.filter(expr(
+      "cast(conv(substring(md5(concat('l|', cast(l_orderkey as string), '#', " +
+        "cast(l_linenumber as string))), 1, 15), 16, 10) as bigint) % 64") === 0)
+      .select(col("l_orderkey"))
+    val ju = ou.join(lu, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    val jr = orr.join(lr, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    val ex = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    val u = ju.crossJoin(broadcast(ex.withColumnRenamed("n", "actual")))
+      .select(lit("universe").as("method"), col("n").as("sample_join_rows"),
+        (col("n") * 64).as("est_rows"), col("actual").as("actual_rows"))
+    val r = jr.crossJoin(broadcast(ex.withColumnRenamed("n", "actual")))
+      .select(lit("row").as("method"), col("n").as("sample_join_rows"),
+        (col("n") * 4096).as("est_rows"), col("actual").as("actual_rows"))
+    u.unionByName(r)
+      .select(col("method"), col("sample_join_rows"), col("est_rows"),
+        col("actual_rows"),
+        expr("(1000000 * abs(est_rows - actual_rows)) div greatest(actual_rows, 1)")
+          .as("err_ppm"))
+      .orderBy("method")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q36KmvSketch, q67HeavyHitters, q85SampleQuantiles, q88ThetaSketch,
       q97CountMin, q191QuantileSketch, q206SketchRollup, q228F2Sketch,
-      q231JoinCardinality, q279JoinOrder)
+      q231JoinCardinality, q279JoinOrder, q287SamplingJoinEst)
 }

@@ -780,6 +780,25 @@ class StatsQueriesSpec extends AnyFunSuite {
     assert(rows("acc_ppm") <= 1000000L)
   }
 
+  test("q287: universe sampling retains far more joint evidence than row sampling") {
+    val rows = Sketches.q287SamplingJoinEst.build(spark, dir).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(rows.size == 2)
+    val u = rows("universe"); val r = rows("row")
+    assert(u.getAs[Long]("actual_rows") == r.getAs[Long]("actual_rows"))
+    // same budget, but correlated keys survive at 1/64 while
+    // independent rows pair-survive at 1/64^2
+    assert(u.getAs[Long]("sample_join_rows") > r.getAs[Long]("sample_join_rows"),
+      "key-universe sampling must keep more matched pairs per budget")
+    for (x <- Seq(u, r)) {
+      assert(x.getAs[Long]("est_rows") >= 0L)
+      assert(x.getAs[Long]("err_ppm") ==
+        1000000L * math.abs(x.getAs[Long]("est_rows") -
+          x.getAs[Long]("actual_rows")) /
+          math.max(x.getAs[Long]("actual_rows"), 1L))
+    }
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()

@@ -199,6 +199,9 @@ QUERIES = [
     # the logistic fit rides the money redraw through every sigma/
     # gradient/Hessian chain and both Cramer solves
     "q286_logistic",
+    # the sampling estimators key on preserved ids (inert membership),
+    # kept as a stability check on the scale-up arithmetic
+    "q287_sampling_join_est",
 ]
 # q284 Boruvka reads only basket structure (orderkey/partkey, preserved
 # by the redraw), so its fuzz replay would be the identical graph.
