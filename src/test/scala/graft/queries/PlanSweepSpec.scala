@@ -134,5 +134,8 @@ object PlanSweepAllowlist {
     ("q239_hits", "^a#",
       "authority rank window runs over the TakeOrdered top-10 slice (literal k)"),
     ("q239_hits", "^h#",
-      "hub rank window runs over the TakeOrdered top-10 slice (literal k)"))
+      "hub rank window runs over the TakeOrdered top-10 slice (literal k)"),
+    ("q282_decayed_topk", "dmass",
+      "leaderboard rank window runs over the TakeOrdered top-10 slice " +
+        "(literal k); the all-time rank rides ScaleRank"))
 }
