@@ -2064,6 +2064,139 @@ object DataProfile {
     }
   }
 
+  /** q288 — Benjamini–Hochberg FDR control over the all-pairs
+    * mean-difference battery: every event-type pair gets q252's
+    * md5-coin permutation test (32 relabelings), and the TEN
+    * p-values then ride the BH step-up at FDR 10% — the
+    * multiple-testing correction without which a 10-test dashboard
+    * "finds" a false positive every other week (at α=0.05, testing
+    * 10 true nulls fires ~40% of the time). q252 answers "is this
+    * ONE difference real"; this answers the question dashboards
+    * actually ask — "which of ALL these differences survive
+    * correction".
+    *
+    * Exactness: the q252 machinery verbatim per pair (integer milli
+    * means, md5 coins keyed on (pair, relabeling, event) so no two
+    * tests share coins, add-one-smoothed p); BH runs entirely on
+    * the 10-row p frame — rank by (p, pair) via a bounded
+    * triangular self-join (no window), the step-up cut 10⁴·rank ppm
+    * exactly, kmax a 1-row max.
+    *
+    * Scale design (100 TB): events fan out ×(pairs containing their
+    * type) map-side, then ONE partial-aggregable conditional-sum
+    * pass per (pair, relabeling) grain — 330 cells; everything
+    * after is the broadcast 10-row frame. No windows, no collect. */
+  val q288BhFdr: QueryDef = {
+    val TYPES = Seq("click", "error", "purchase", "signup", "view")
+    val PAIRS = for {
+      i <- TYPES.indices; j <- (i + 1) until TYPES.length
+    } yield (TYPES(i), TYPES(j))
+    val pairRows = PAIRS.map { case (a, b) =>
+      s"SELECT '$a' AS x, '$b' AS y"
+    }.mkString(" UNION ALL ")
+    QueryDef(
+      "q288_bh_fdr",
+      s"""WITH pb AS ($pairRows),
+         |ev AS (
+         |  SELECT event_id % 1000003 AS m, event_type AS g,
+         |    CAST(floor(value * 1000) AS BIGINT) AS v
+         |  FROM events),
+         |pe AS (
+         |  SELECT pb.x, pb.y, ev.m, ev.g, ev.v
+         |  FROM ev JOIN pb ON ev.g = pb.x OR ev.g = pb.y),
+         |obs AS (
+         |  SELECT x, y,
+         |    CAST(sum(CASE WHEN g = x THEN v END) AS BIGINT)
+         |      // count(CASE WHEN g = x THEN 1 END)
+         |    - CAST(sum(CASE WHEN g = y THEN v END) AS BIGINT)
+         |      // count(CASE WHEN g = y THEN 1 END) AS d
+         |  FROM pe GROUP BY x, y),
+         |bb AS (SELECT CAST(i AS BIGINT) AS b FROM unnest(range(1, 33)) AS t(i)),
+         |lab AS (
+         |  SELECT pe.x, pe.y, bb.b, pe.v,
+         |    ('0x' || substring(md5(pe.x || '~' || pe.y || '|'
+         |      || CAST(bb.b AS VARCHAR) || '|' || CAST(pe.m AS VARCHAR)), 1, 15))::BIGINT
+         |      % 2 AS l
+         |  FROM pe CROSS JOIN bb),
+         |perm AS (
+         |  SELECT x, y, b,
+         |    abs(CAST(sum(CASE WHEN l = 0 THEN v END) AS BIGINT)
+         |      // count(CASE WHEN l = 0 THEN 1 END)
+         |    - CAST(sum(CASE WHEN l = 1 THEN v END) AS BIGINT)
+         |      // count(CASE WHEN l = 1 THEN 1 END)) AS ad
+         |  FROM lab GROUP BY x, y, b),
+         |pv AS (
+         |  SELECT o.x, o.y, o.d,
+         |    (1000000 * (1 + CAST(sum(CASE WHEN p.ad >= abs(o.d)
+         |      THEN 1 ELSE 0 END) AS BIGINT))) // 33 AS p_ppm
+         |  FROM obs o JOIN perm p ON o.x = p.x AND o.y = p.y
+         |  GROUP BY o.x, o.y, o.d),
+         |rk AS (
+         |  SELECT a.x, a.y, a.d, a.p_ppm,
+         |    CAST(count(*) AS BIGINT) AS bh_rank
+         |  FROM pv a JOIN pv c
+         |    ON c.p_ppm < a.p_ppm OR (c.p_ppm = a.p_ppm
+         |      AND (c.x < a.x OR (c.x = a.x AND c.y <= a.y)))
+         |  GROUP BY a.x, a.y, a.d, a.p_ppm),
+         |km AS (
+         |  SELECT coalesce(max(CASE WHEN p_ppm <= 10000 * bh_rank
+         |    THEN bh_rank END), 0) AS kmax
+         |  FROM rk)
+         |SELECT rk.x, rk.y, rk.d AS diff_milli, rk.p_ppm, rk.bh_rank,
+         |  CAST(10000 * rk.bh_rank AS BIGINT) AS bh_cut_ppm,
+         |  CAST(CASE WHEN rk.bh_rank <= km.kmax THEN 1 ELSE 0 END AS BIGINT)
+         |    AS significant
+         |FROM rk, km ORDER BY rk.x, rk.y""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val pb = PAIRS.toDF("x", "y")
+      val ev = Tables.events(s, dir)
+        .select(expr("event_id % 1000003").as("m"),
+          col("event_type").as("g"),
+          floor(col("value") * 1000).cast("bigint").as("v"))
+      val pe = ev.join(broadcast(pb),
+          col("g") === col("x") || col("g") === col("y"))
+        .localCheckpoint() // feeds the observed pass AND the coin fan-out
+      val obs = pe.groupBy(col("x"), col("y"))
+        .agg((expr("sum(case when g = x then v end) div " +
+          "count(case when g = x then 1 end)") -
+          expr("sum(case when g = y then v end) div " +
+            "count(case when g = y then 1 end)")).as("d"))
+      val bb = (1L to 32L).toDF("b")
+      val perm = pe.crossJoin(broadcast(bb))
+        .withColumn("l", expr(
+          "cast(conv(substring(md5(concat(x, '~', y, '|', cast(b as string), " +
+            "'|', cast(m as string))), 1, 15), 16, 10) as bigint) % 2"))
+        .groupBy(col("x"), col("y"), col("b"))
+        .agg(abs(expr("sum(case when l = 0 then v end) div " +
+          "count(case when l = 0 then 1 end)") -
+          expr("sum(case when l = 1 then v end) div " +
+            "count(case when l = 1 then 1 end)")).as("ad"))
+      val pv = obs.join(perm, Seq("x", "y"))
+        .groupBy(col("x"), col("y"), col("d"))
+        .agg(expr("(1000000 * (1 + sum(case when ad >= abs(d) then 1 else 0 end))) div 33")
+          .as("p_ppm"))
+        .localCheckpoint() // 10 rows; feeds rank join AND kmax
+      val rk = pv.as("a")
+        .join(broadcast(pv.select(col("x").as("cx"), col("y").as("cy"),
+          col("p_ppm").as("cp"))),
+          col("cp") < col("p_ppm") || (col("cp") === col("p_ppm") &&
+            (col("cx") < col("x") ||
+              (col("cx") === col("x") && col("cy") <= col("y")))))
+        .groupBy(col("x"), col("y"), col("d"), col("p_ppm"))
+        .agg(count(lit(1)).as("bh_rank"))
+        .localCheckpoint()
+      val km = rk.agg(coalesce(max(when(col("p_ppm") <= lit(10000L) * col("bh_rank"),
+        col("bh_rank"))), lit(0L)).as("kmax"))
+      rk.crossJoin(broadcast(km))
+        .select(col("x"), col("y"), col("d").as("diff_milli"),
+          col("p_ppm"), col("bh_rank"),
+          (lit(10000L) * col("bh_rank")).as("bh_cut_ppm"),
+          when(col("bh_rank") <= col("kmax"), 1L).otherwise(0L)
+            .as("significant"))
+        .orderBy("x", "y")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
@@ -2071,5 +2204,5 @@ object DataProfile {
       q177MannWhitney, q179BootstrapCi, q182NeymanSample, q186Benford,
       q209ContractAudit, q224KsTest, q225Spearman, q226FdAudit,
       q252PermutationTest, q256KendallTau, q257Anova, q258Psi, q266Cuped,
-      q268SelectivityAudit, q277VoptHistogram)
+      q268SelectivityAudit, q277VoptHistogram, q288BhFdr)
 }
