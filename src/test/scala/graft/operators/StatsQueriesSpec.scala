@@ -799,6 +799,24 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q288: BH ranks are a permutation and significance is downward-closed") {
+    val rows = DataProfile.q288BhFdr.build(spark, dir).collect()
+    assert(rows.length == 10)
+    val ranks = rows.map(_.getAs[Long]("bh_rank")).sorted.toSeq
+    assert(ranks == (1L to 10L), s"ranks must be a permutation: $ranks")
+    for (r <- rows) {
+      assert(r.getAs[Long]("bh_cut_ppm") == 10000L * r.getAs[Long]("bh_rank"))
+      val p = r.getAs[Long]("p_ppm")
+      assert(p >= 1000000L / 33 && p <= 1000000L,
+        s"smoothed permutation p outside its possible range: $p")
+    }
+    // the BH step-up rejects a PREFIX of the sorted p-values
+    val byRank = rows.sortBy(_.getAs[Long]("bh_rank"))
+      .map(_.getAs[Long]("significant"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+      "significance must be downward-closed in the BH rank")
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()

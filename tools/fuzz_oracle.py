@@ -202,6 +202,9 @@ QUERIES = [
     # the sampling estimators key on preserved ids (inert membership),
     # kept as a stability check on the scale-up arithmetic
     "q287_sampling_join_est",
+    # the BH battery rides the events value redraw through every pair's
+    # observed/permuted means, the p-values, and the step-up cut
+    "q288_bh_fdr",
 ]
 # q284 Boruvka reads only basket structure (orderkey/partkey, preserved
 # by the redraw), so its fuzz replay would be the identical graph.
