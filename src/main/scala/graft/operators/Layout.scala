@@ -623,7 +623,154 @@ object Layout {
     }
   }
 
+  /** q289 — greedy materialized-view selection (Harinarayan–
+    * Rajaraman–Ullman, SIGMOD'96) over the 3-dimension cube lattice
+    * (returnflag × linestatus × orderpriority): starting from the
+    * base cuboid, pick 3 views to materialize, each round choosing
+    * the view whose materialization saves the most total rows across
+    * every query it can answer (benefit = Σ over answerable cuboids
+    * of the current-cost improvement; HRU's greedy is within
+    * (1−1/e) of optimal). This is the warehouse-design decision
+    * behind every "should we pre-aggregate" debate, made on exact
+    * cuboid sizes instead of folklore — and the size pass itself is
+    * ONE `CUBE` aggregate (Spark's Expand), the operator this
+    * advisor exists to tame.
+    *
+    * Exactness: cuboid sizes are exact group counts (the masks
+    * derived from `grouping_id` are re-expressed in the oracle as
+    * eight explicit grouping sets — no cross-engine GROUPING bit
+    * convention is relied on); answerability is pure mask
+    * arithmetic; benefits are integer sums with greatest(0,·)
+    * clamps; the argmax ties to the smallest mask.
+    *
+    * Scale design (100 TB): one cube pass (map-side Expand ×8,
+    * partial-aggregable) collapses the fact; the lattice is 8 rows —
+    * every greedy round is a handful of broadcast joins on it. No
+    * windows, no collect. */
+  val q289ViewSelection: QueryDef = {
+    val R = 3
+    // answerable(w, v): every attribute of w is present in v
+    def ansSql(wm: String, vm: String): String =
+      s"(($wm // 4) % 2 <= ($vm // 4) % 2 AND ($wm // 2) % 2 <= ($vm // 2) % 2" +
+        s" AND $wm % 2 <= $vm % 2)"
+    val namesRows = Seq(
+      (0, "total"), (1, "P"), (2, "L"), (3, "L,P"),
+      (4, "R"), (5, "R,P"), (6, "R,L"), (7, "R,L,P"))
+      .map { case (m, n) => s"SELECT CAST($m AS BIGINT) AS mask, '$n' AS view_name" }
+      .mkString(" UNION ALL ")
+    val sizeSets = (0 to 7).map { m =>
+      val cols = Seq(
+        if ((m & 4) != 0) Some("rf") else None,
+        if ((m & 2) != 0) Some("ls") else None,
+        if ((m & 1) != 0) Some("pr") else None).flatten
+      // the apex cuboid (no dims) is ONE group: group by the literal
+      val grp = if (cols.isEmpty) " GROUP BY 1"
+        else s" GROUP BY ${cols.mkString(", ")}"
+      s"""SELECT CAST($m AS BIGINT) AS mask, CAST(count(*) AS BIGINT) AS vsize
+         |  FROM (SELECT ${if (cols.isEmpty) "1 AS one" else cols.mkString(", ")}
+         |        FROM fact$grp)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val rounds = (1 to R).map { r =>
+      val prevM = if (r == 1) "m0" else s"m${r - 1}"
+      s"""cc$r AS MATERIALIZED (
+         |  SELECT l.mask AS wm, min(lv.vsize) AS cost
+         |  FROM lat l JOIN $prevM m ON ${ansSql("l.mask", "m.mask")}
+         |  JOIN lat lv ON lv.mask = m.mask
+         |  GROUP BY l.mask),
+         |bene$r AS MATERIALIZED (
+         |  SELECT v.mask, v.vsize,
+         |    CAST(sum(greatest(0, cc.cost - v.vsize)) AS BIGINT) AS benefit
+         |  FROM lat v JOIN cc$r cc ON ${ansSql("cc.wm", "v.mask")}
+         |  WHERE v.mask NOT IN (SELECT mask FROM $prevM)
+         |  GROUP BY v.mask, v.vsize),
+         |pick$r AS MATERIALIZED (
+         |  SELECT min(mask) AS mask FROM bene$r
+         |  WHERE benefit = (SELECT max(benefit) FROM bene$r)),
+         |m$r AS (SELECT mask FROM $prevM UNION ALL SELECT mask FROM pick$r),
+         |cost$r AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS total FROM (
+         |    SELECT min(lv.vsize) AS c
+         |    FROM lat l JOIN m$r m ON ${ansSql("l.mask", "m.mask")}
+         |    JOIN lat lv ON lv.mask = m.mask
+         |    GROUP BY l.mask))""".stripMargin
+    }.mkString(",\n")
+    val report = (1 to R).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS rk, n.view_name,
+         |  (SELECT vsize FROM lat WHERE mask = (SELECT mask FROM pick$r))
+         |    AS view_size,
+         |  (SELECT benefit FROM bene$r WHERE mask = (SELECT mask FROM pick$r))
+         |    AS benefit,
+         |  (SELECT total FROM cost$r) AS total_cost_after
+         |FROM names n WHERE n.mask = (SELECT mask FROM pick$r)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    QueryDef(
+      "q289_view_selection",
+      s"""WITH fact AS (
+         |  SELECT l.l_returnflag AS rf, l.l_linestatus AS ls,
+         |    o.o_orderpriority AS pr
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |lat AS MATERIALIZED ($sizeSets),
+         |names AS ($namesRows),
+         |m0 AS (SELECT CAST(7 AS BIGINT) AS mask),
+         |$rounds
+         |$report
+         |ORDER BY rk""".stripMargin) { (s, dir) =>
+      val fact = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          col("o_orderpriority").as("pr"))
+      // ONE cube pass; grouping_id: bit 4 = rf absent, 2 = ls absent,
+      // 1 = pr absent -> present-attribute mask = 7 - gid
+      val lat = fact.cube(col("rf"), col("ls"), col("pr"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"))
+        .select((lit(7) - col("gid")).cast("bigint").as("mask"))
+        .groupBy(col("mask")).agg(count(lit(1)).as("vsize"))
+        .localCheckpoint() // the 8-row lattice feeds every round
+      import s.implicits._
+      val names = Seq((0L, "total"), (1L, "P"), (2L, "L"), (3L, "L,P"),
+        (4L, "R"), (5L, "R,P"), (6L, "R,L"), (7L, "R,L,P"))
+        .toDF("mask", "view_name")
+      def ans(wm: Column, vm: Column): Column =
+        expr(s"(${wm.toString} div 4) % 2") <= expr(s"(${vm.toString} div 4) % 2") &&
+          expr(s"(${wm.toString} div 2) % 2") <= expr(s"(${vm.toString} div 2) % 2") &&
+          wm % 2 <= vm % 2
+      def curCost(m: DataFrame): DataFrame =
+        lat.select(col("mask").as("wm"))
+          .join(broadcast(m.join(lat, Seq("mask"))
+            .select(col("mask").as("vm"), col("vsize"))),
+            ans(col("wm"), col("vm")))
+          .groupBy(col("wm")).agg(min(col("vsize")).as("cost"))
+      var m = Seq(7L).toDF("mask").localCheckpoint()
+      val out = (1 to R).map { r =>
+        val cc = curCost(m)
+        val bene = lat.join(m.withColumnRenamed("mask", "got"),
+            col("mask") === col("got"), "anti")
+          .select(col("mask").as("vm"), col("vsize"))
+          .join(broadcast(cc), ans(col("wm"), col("vm")))
+          .groupBy(col("vm"), col("vsize"))
+          .agg(sum(greatest(lit(0L), col("cost") - col("vsize"))).as("benefit"))
+        val mx = bene.agg(max(col("benefit")).as("mb"))
+        val pick = bene.crossJoin(broadcast(mx))
+          .filter(col("benefit") === col("mb"))
+          .agg(min(col("vm")).as("mask"))
+          .localCheckpoint()
+        m = m.unionByName(pick).localCheckpoint()
+        val total = curCost(m).agg(sum(col("cost")).as("total"))
+        pick
+          .join(broadcast(names), Seq("mask"))
+          .join(broadcast(lat), Seq("mask"))
+          .join(broadcast(bene.select(col("vm").as("mask"),
+            col("benefit"))), Seq("mask"))
+          .crossJoin(broadcast(total))
+          .select(lit(r.toLong).as("rk"), col("view_name"),
+            col("vsize").as("view_size"), col("benefit"),
+            col("total").as("total_cost_after"))
+      }
+      out.reduce(_ unionByName _).orderBy("rk")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q93ZOrder, q205ZonemapPrune, q233Rendezvous, q237Compaction,
-      q269EncodingAdvisor, q281CurveShootout)
+      q269EncodingAdvisor, q281CurveShootout, q289ViewSelection)
 }

@@ -817,6 +817,20 @@ class StatsQueriesSpec extends AnyFunSuite {
       "significance must be downward-closed in the BH rank")
   }
 
+  test("q289: HRU greedy benefits diminish and the answer cost only falls") {
+    val rows = Layout.q289ViewSelection.build(spark, dir).orderBy("rk").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("view_name")).distinct.length == 3,
+      "the greedy must never re-pick a materialized view")
+    val bene = rows.map(_.getAs[Long]("benefit"))
+    assert(bene.zip(bene.tail).forall { case (a, b) => a >= b },
+      "greedy marginal benefits are non-increasing (submodularity)")
+    val costs = rows.map(_.getAs[Long]("total_cost_after"))
+    assert(costs.zip(costs.tail).forall { case (a, b) => a >= b },
+      "materializing more views can never raise the total answer cost")
+    assert(rows.forall(_.getAs[Long]("benefit") >= 0L))
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()

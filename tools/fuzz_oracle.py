@@ -206,6 +206,8 @@ QUERIES = [
     # observed/permuted means, the p-values, and the step-up cut
     "q288_bh_fdr",
 ]
+# q289 HRU view selection reads only categorical dimension columns
+# (preserved by the redraw) — an inert replay, not registered.
 # q284 Boruvka reads only basket structure (orderkey/partkey, preserved
 # by the redraw), so its fuzz replay would be the identical graph.
 # q273 hard-negative mining reads only embeddings (COPY_AS_IS under the
