@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -417,7 +418,125 @@ object Forecast {
       .orderBy("dow")
   }
 
+  /** Shared q261/q290 machinery: the daily revenue series with the
+    * centered-MA trend removed — (day, cents, trend_cents,
+    * det_cents), complete 7-day neighborhoods only. */
+  private def detrendedDays(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val d = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .as("cents"))
+      .localCheckpoint()
+    val probes = d.select(col("day"), col("cents"),
+      explode(expr("sequence(-3, 3)")).as("off"))
+      .select(col("day"), col("cents"),
+        date_add(col("day"), col("off")).as("nday"))
+    probes
+      .join(d.select(col("day").as("nday"), col("cents").as("ncents")),
+        Seq("nday"))
+      .groupBy(col("day"), col("cents"))
+      .agg(sum(col("ncents")).as("s7"), count(lit(1)).as("c7"))
+      .filter(col("c7") === 7)
+      .select(col("day"), col("cents"), expr("s7 div 7").as("trend_cents"),
+        (col("cents") - expr("s7 div 7")).as("det_cents"))
+      .localCheckpoint()
+  }
+
+  /** The matching oracle CTE chain (d, w, det — `det` carries day,
+    * cents, trend_cents, det_cents). */
+  private def detrendedCtes: String =
+    """d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT a.day, a.cents,
+      |    CAST(sum(b.cents) AS BIGINT) AS s7, count(*) AS c7
+      |  FROM d a
+      |  JOIN d b ON b.day BETWEEN a.day - 3 AND a.day + 3
+      |  GROUP BY a.day, a.cents),
+      |det AS (
+      |  SELECT day, cents, s7 // 7 AS trend_cents,
+      |    cents - s7 // 7 AS det_cents
+      |  FROM w WHERE c7 = 7)""".stripMargin
+
+  /** q290 — seasonally-adjusted revenue anomalies: remove the trend
+    * (q261's centered MA) AND the weekday effect from every complete
+    * day, z-score the remaining residual, and surface the 15 most
+    * anomalous days — the "something actually happened here" screen
+    * that raw daily revenue can't run (a strong Monday is not an
+    * anomaly; a strong Monday AFTER discounting Mondays is). This is
+    * what the q261 decomposition is FOR.
+    *
+    * Exactness: residuals are exact milli ints (det·1000 minus the
+    * q261 floor-chain weekday index); the z denominators come from
+    * exact DECIMAL/HUGEINT moments with ONE IEEE chain; the top-15
+    * is a TakeOrdered heap on (|z| desc, day).
+    *
+    * Scale design (100 TB): the shared checkpointed detrended frame
+    * (7-literal offset join, no day-axis window), a ≤7-row weekday
+    * index broadcast back, a 1-row moment pass, and a top-k heap. */
+  val q290SeasonalAnomaly: QueryDef = QueryDef(
+    "q290_seasonal_anomaly",
+    s"""WITH $detrendedCtes,
+       |sea AS (
+       |  SELECT dayofweek(day) + 1 AS dow,
+       |    CAST(floor(1000.0 * CAST(sum(det_cents) AS DOUBLE) /
+       |      CAST(count(*) AS DOUBLE)) AS BIGINT) AS smilli
+       |  FROM det GROUP BY 1),
+       |res AS (
+       |  SELECT det.day, det.cents, det.trend_cents,
+       |    det.det_cents * 1000 - sea.smilli AS resid_milli
+       |  FROM det JOIN sea ON dayofweek(det.day) + 1 = sea.dow),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(resid_milli AS HUGEINT)) AS sr,
+       |    sum(CAST(resid_milli AS HUGEINT) * resid_milli) AS srr
+       |  FROM res)
+       |SELECT res.day, res.cents, res.trend_cents, res.resid_milli,
+       |  CAST(floor(1000.0 *
+       |    (CAST(res.resid_milli AS DOUBLE)
+       |     - CAST(m.sr AS DOUBLE) / CAST(m.n AS DOUBLE)) /
+       |    sqrt((CAST(m.n AS DOUBLE) * CAST(m.srr AS DOUBLE)
+       |          - CAST(m.sr AS DOUBLE) * CAST(m.sr AS DOUBLE)) /
+       |         (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)))) AS BIGINT)
+       |    AS z_milli
+       |FROM res, m
+       |WHERE CAST(m.n AS DOUBLE) * CAST(m.srr AS DOUBLE)
+       |      - CAST(m.sr AS DOUBLE) * CAST(m.sr AS DOUBLE) > 0
+       |ORDER BY abs(z_milli) DESC, res.day
+       |LIMIT 15""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val det = detrendedDays(s, dir)
+    val sea = det.groupBy((dayofweek(col("day"))).as("dow"))
+      .agg(floor(lit(1000.0) * sum(col("det_cents")).cast("double") /
+        count(lit(1)).cast("double")).cast("bigint").as("smilli"))
+    val res = det.join(broadcast(sea),
+        dayofweek(col("day")) === col("dow"))
+      .select(col("day"), col("cents"), col("trend_cents"),
+        (col("det_cents") * 1000 - col("smilli")).as("resid_milli"))
+      .localCheckpoint() // feeds the moment pass AND the scoring pass
+    val m = res.agg(count(lit(1)).as("n"),
+      sum(dec(col("resid_milli"))).as("sr"),
+      sum(dec(col("resid_milli")) * col("resid_milli")).as("srr"))
+    val nd = col("n").cast("double")
+    val varr = (nd * col("srr").cast("double") -
+      col("sr").cast("double") * col("sr").cast("double")) / (nd * nd)
+    val z = floor(lit(1000.0) *
+      (col("resid_milli").cast("double") - col("sr").cast("double") / nd) /
+      sqrt(varr)).cast("bigint")
+    res.crossJoin(broadcast(m))
+      .filter(nd * col("srr").cast("double") -
+        col("sr").cast("double") * col("sr").cast("double") > 0)
+      .select(col("day"), col("cents"), col("trend_cents"),
+        col("resid_milli"), z.as("z_milli"))
+      .orderBy(abs(col("z_milli")).desc, col("day"))
+      .limit(15)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail,
-      q245Changepoint, q261SeasonalDecomp)
+      q245Changepoint, q261SeasonalDecomp, q290SeasonalAnomaly)
 }

@@ -831,6 +831,22 @@ class StatsQueriesSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("benefit") >= 0L))
   }
 
+  test("q290: anomaly scores are sorted hardest-first and self-consistent") {
+    val rows = Forecast.q290SeasonalAnomaly.build(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    val zabs = rows.map(r => math.abs(r.getAs[Long]("z_milli")))
+    assert(zabs.zip(zabs.tail).forall { case (a, b) => a >= b },
+      "output must be ordered by |z| descending")
+    for (r <- rows) {
+      // residual = (cents - trend)*1000 - weekday index, so it must be
+      // within one weekday-index unit of the detrended value
+      val det = (r.getAs[Long]("cents") - r.getAs[Long]("trend_cents")) * 1000
+      assert(math.abs(r.getAs[Long]("resid_milli") - det) <
+        100000000L, "residual should be the detrended value minus a " +
+        "bounded weekday index")
+    }
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()

@@ -205,6 +205,9 @@ QUERIES = [
     # the BH battery rides the events value redraw through every pair's
     # observed/permuted means, the p-values, and the step-up cut
     "q288_bh_fdr",
+    # the seasonal anomaly screen rides the money redraw through the
+    # trend, the weekday index, and every z chain
+    "q290_seasonal_anomaly",
 ]
 # q289 HRU view selection reads only categorical dimension columns
 # (preserved by the redraw) — an inert replay, not registered.
