@@ -837,13 +837,17 @@ class StatsQueriesSpec extends AnyFunSuite {
     val zabs = rows.map(r => math.abs(r.getAs[Long]("z_milli")))
     assert(zabs.zip(zabs.tail).forall { case (a, b) => a >= b },
       "output must be ordered by |z| descending")
+    // exact identity: residual = detrended*1000 - that weekday's index,
+    // with the index recomputed here independently
+    val seasonal = Forecast.q261SeasonalDecomp.build(spark, dir).collect()
+      .map(r => r.getAs[Long]("dow") -> r.getAs[Long]("seasonal_millicents"))
+      .toMap
     for (r <- rows) {
-      // residual = (cents - trend)*1000 - weekday index, so it must be
-      // within one weekday-index unit of the detrended value
+      val day = r.getAs[java.sql.Date]("day").toLocalDate
+      val dow = (day.getDayOfWeek.getValue % 7) + 1 // Spark: Sunday = 1
       val det = (r.getAs[Long]("cents") - r.getAs[Long]("trend_cents")) * 1000
-      assert(math.abs(r.getAs[Long]("resid_milli") - det) <
-        100000000L, "residual should be the detrended value minus a " +
-        "bounded weekday index")
+      assert(r.getAs[Long]("resid_milli") == det - seasonal(dow),
+        s"$day: residual must equal detrended minus the dow-$dow index")
     }
   }
 
