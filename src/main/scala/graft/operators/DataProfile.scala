@@ -2094,6 +2094,17 @@ object DataProfile {
     val pairRows = PAIRS.map { case (a, b) =>
       s"SELECT '$a' AS x, '$b' AS y"
     }.mkString(" UNION ALL ")
+    val wideColsSql = (1 to 32).map { b =>
+      val w = 1L << (b - 1)
+      s"CAST(sum(CASE WHEN (h // $w) % 2 = 0 THEN v END) AS BIGINT) AS s0_$b, " +
+        s"CAST(count(CASE WHEN (h // $w) % 2 = 0 THEN 1 END) AS BIGINT) AS c0_$b, " +
+        s"CAST(sum(CASE WHEN (h // $w) % 2 = 1 THEN v END) AS BIGINT) AS s1_$b, " +
+        s"CAST(count(CASE WHEN (h // $w) % 2 = 1 THEN 1 END) AS BIGINT) AS c1_$b"
+    }.mkString(",\n    ")
+    val permRowsSql = (1 to 32).map { b =>
+      s"SELECT x, y, CAST($b AS BIGINT) AS b, " +
+        s"abs(s0_$b // c0_$b - s1_$b // c1_$b) AS ad FROM wide"
+    }.mkString(" UNION ALL ")
     QueryDef(
       "q288_bh_fdr",
       s"""WITH pb AS ($pairRows),
@@ -2111,20 +2122,14 @@ object DataProfile {
          |    - CAST(sum(CASE WHEN g = y THEN v END) AS BIGINT)
          |      // count(CASE WHEN g = y THEN 1 END) AS d
          |  FROM pe GROUP BY x, y),
-         |bb AS (SELECT CAST(i AS BIGINT) AS b FROM unnest(range(1, 33)) AS t(i)),
-         |lab AS (
-         |  SELECT pe.x, pe.y, bb.b, pe.v,
-         |    ('0x' || substring(md5(pe.x || '~' || pe.y || '|'
-         |      || CAST(bb.b AS VARCHAR) || '|' || CAST(pe.m AS VARCHAR)), 1, 15))::BIGINT
-         |      % 2 AS l
-         |  FROM pe CROSS JOIN bb),
-         |perm AS (
-         |  SELECT x, y, b,
-         |    abs(CAST(sum(CASE WHEN l = 0 THEN v END) AS BIGINT)
-         |      // count(CASE WHEN l = 0 THEN 1 END)
-         |    - CAST(sum(CASE WHEN l = 1 THEN v END) AS BIGINT)
-         |      // count(CASE WHEN l = 1 THEN 1 END)) AS ad
-         |  FROM lab GROUP BY x, y, b),
+         |ph AS (
+         |  SELECT x, y, v,
+         |    ('0x' || substring(md5(x || '~' || y || '|'
+         |      || CAST(m AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM pe),
+         |wide AS MATERIALIZED (
+         |  SELECT x, y, $wideColsSql FROM ph GROUP BY x, y),
+         |perm AS ($permRowsSql),
          |pv AS (
          |  SELECT o.x, o.y, o.d,
          |    (1000000 * (1 + CAST(sum(CASE WHEN p.ad >= abs(o.d)
@@ -2161,16 +2166,26 @@ object DataProfile {
           "count(case when g = x then 1 end)") -
           expr("sum(case when g = y then v end) div " +
             "count(case when g = y then 1 end)")).as("d"))
-      val bb = (1L to 32L).toDF("b")
-      val perm = pe.crossJoin(broadcast(bb))
-        .withColumn("l", expr(
-          "cast(conv(substring(md5(concat(x, '~', y, '|', cast(b as string), " +
-            "'|', cast(m as string))), 1, 15), 16, 10) as bigint) % 2"))
-        .groupBy(col("x"), col("y"), col("b"))
-        .agg(abs(expr("sum(case when l = 0 then v end) div " +
-          "count(case when l = 0 then 1 end)") -
-          expr("sum(case when l = 1 then v end) div " +
-            "count(case when l = 1 then 1 end)")).as("ad"))
+      // ONE md5 per (pair, event); the 32 relabelings read independent
+      // BITS of the 60-bit prefix, and ALL 32 abs-mean-differences come
+      // out of ONE wide conditional aggregate — no 32x row fan-out
+      val ph = pe.select(col("x"), col("y"), col("v"), expr(
+        "cast(conv(substring(md5(concat(x, '~', y, '|', cast(m as string))), " +
+          "1, 15), 16, 10) as bigint)").as("h"))
+      val wideAggs: Seq[Column] = (1 to 32).flatMap { b =>
+        val w = 1L << (b - 1)
+        Seq(
+          sum(when(expr(s"(h div ${w}L) % 2") === 0, col("v"))).as(s"s0_$b"),
+          count(when(expr(s"(h div ${w}L) % 2") === 0, 1)).as(s"c0_$b"),
+          sum(when(expr(s"(h div ${w}L) % 2") === 1, col("v"))).as(s"s1_$b"),
+          count(when(expr(s"(h div ${w}L) % 2") === 1, 1)).as(s"c1_$b"))
+      }
+      val wide = ph.groupBy(col("x"), col("y"))
+        .agg(wideAggs.head, wideAggs.tail: _*)
+      val stackExpr = "stack(32, " + (1 to 32).map(b =>
+        s"cast($b as bigint), abs(s0_$b div c0_$b - s1_$b div c1_$b)")
+        .mkString(", ") + ") as (b, ad)"
+      val perm = wide.select(col("x"), col("y"), expr(stackExpr))
       val pv = obs.join(perm, Seq("x", "y"))
         .groupBy(col("x"), col("y"), col("d"))
         .agg(expr("(1000000 * (1 + sum(case when ad >= abs(d) then 1 else 0 end))) div 33")
