@@ -1152,9 +1152,81 @@ object Similarity {
       .limit(20)
   }
 
+  /** q291 — label-noise audit by mutual nearest neighbors: every
+    * vector's single nearest neighbor is computed, and the pairs
+    * that are EACH OTHER'S nearest neighbor but carry DIFFERENT
+    * labels are surfaced, most-similar first — the confident-
+    * learning-style screen for mislabeled examples (two points that
+    * reciprocally claim each other as closest are overwhelmingly
+    * same-class in a clean corpus; a cross-label mutual pair is
+    * either a labeling error or a genuinely ambiguous boundary
+    * case, and both belong in a review queue before training).
+    * q273 mines hard negatives GIVEN trusted labels; this questions
+    * the labels themselves.
+    *
+    * Exactness: cosines are the native codegen `cosine_sim` ≡ the
+    * oracle's left-associated term sums; the top-1 pick is a
+    * per-vector window with vec_id tiebreak; mutuality is one
+    * equi-join on the (nn(a)=b, nn(b)=a) pair; output ties break on
+    * the pair ids.
+    *
+    * Scale design (100 TB): shown brute-force over the bounded
+    * embedding table (one corpus×corpus cosine pass, per-vector
+    * windows on the unbounded vec key); at index scale the
+    * nearest-neighbor pass swaps for the q145 IVF probe without
+    * changing the mutual join or the audit semantics. */
+  val q291LabelNoise: QueryDef = QueryDef(
+    "q291_label_noise",
+    s"""WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+       |c AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst, b.label AS dlab,
+       |    ${cosSql("a.v", "b.v")} AS cs
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       |nn AS (
+       |  SELECT src, dst, cs FROM (
+       |    SELECT src, dst, cs,
+       |      row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) AS rn
+       |    FROM c) WHERE rn = 1),
+       |mutual AS (
+       |  SELECT a.src AS ida, a.dst AS idb, a.cs
+       |  FROM nn a JOIN nn b ON a.dst = b.src AND b.dst = a.src
+       |  WHERE a.src < a.dst)
+       |SELECT m.ida, m.idb, ea.label AS label_a, eb.label AS label_b, m.cs
+       |FROM mutual m
+       |JOIN e ea ON m.ida = ea.vec_id JOIN e eb ON m.idb = eb.vec_id
+       |WHERE ea.label <> eb.label
+       |ORDER BY m.cs DESC, m.ida""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .localCheckpoint() // both cosine sides and both label lookups
+    val c = e.repartition(col("vec_id"))
+      .select(col("vec_id").as("src"), col("v"))
+      .join(broadcast(e.select(col("vec_id").as("dst"), col("v").as("v2"))),
+        col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), expr("cosine_sim(v, v2)").as("cs"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cs").desc, col("dst"))
+    val nn = c.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("src"), col("dst"), col("cs"))
+      .localCheckpoint() // both sides of the mutuality join
+    val mutual = nn.as("a")
+      .join(nn.select(col("src").as("bsrc"), col("dst").as("bdst")),
+        col("dst") === col("bsrc") && col("bdst") === col("src"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("ida"), col("dst").as("idb"), col("cs"))
+    mutual
+      .join(e.select(col("vec_id").as("ida"), col("label").as("label_a")),
+        Seq("ida"))
+      .join(e.select(col("vec_id").as("idb"), col("label").as("label_b")),
+        Seq("idb"))
+      .filter(col("label_a") =!= col("label_b"))
+      .select(col("ida"), col("idb"), col("label_a"), col("label_b"), col("cs"))
+      .orderBy(col("cs").desc, col("ida"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells, q44CosineExpr,
       q45Quantize, q73Pq, q82IvfSearch, q84SqlSurface, q145IvfMultiprobe,
       q147PqRecall, q154EmbeddingDrift, q166IvfNdcg, q176MmrRerank,
-      q229Matryoshka, q273HardNegatives)
+      q229Matryoshka, q273HardNegatives, q291LabelNoise)
 }

@@ -851,6 +851,20 @@ class StatsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q291: flagged pairs are cross-label, canonical, and sorted") {
+    val rows = Similarity.q291LabelNoise.build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb")))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length == pairs.length,
+      "each mutual pair appears exactly once")
+    assert(rows.forall(r =>
+      r.getAs[Int]("label_a") != r.getAs[Int]("label_b")))
+    val cs = rows.map(_.getAs[Double]("cs"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+      "review queue must list the most-similar (most suspicious) first")
+  }
+
   test("q260: WL refinement only ever SPLITS color classes") {
     val rows = Graph.q260WlRefinement.build(spark, dir)
       .orderBy("round").collect()

@@ -211,6 +211,8 @@ QUERIES = [
 ]
 # q289 HRU view selection reads only categorical dimension columns
 # (preserved by the redraw) — an inert replay, not registered.
+# q291 mutual-NN label noise reads only embeddings (COPY_AS_IS) —
+# likewise inert.
 # q284 Boruvka reads only basket structure (orderkey/partkey, preserved
 # by the redraw), so its fuzz replay would be the identical graph.
 # q273 hard-negative mining reads only embeddings (COPY_AS_IS under the
