@@ -166,6 +166,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows.map(_._2).sum > 0, "ADC retrieved nothing on any query")
   }
 
+  test("q291: cone-pruned NN pass is EXACT vs in-test brute force at gate scale") {
+    // the r6 verdict's ask pinned here: the IVF-routed NN pass must
+    // agree with brute force — and because the cone prune is exact
+    // (triangle-inequality bound + conservative float slack), the
+    // agreement is total equality of the flagged-pair set, not a
+    // recall level. Brute force recomputed independently in-test.
+    graft.functions.GraftFunctions.register(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val brute = e.select(col("vec_id").as("src"), col("v"))
+      .crossJoin(e.select(col("vec_id").as("dst"), col("v").as("v2")))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), expr("cosine_sim(v, v2)").as("cs"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(col("cs").desc, col("dst"))))
+      .filter(col("rn") === 1).select(col("src"), col("dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bruteMutual = brute.collect {
+      case (a, b) if brute.get(b).contains(a) && a < b => (a, b)
+    }.toSet
+    val labels = e.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bruteFlagged = bruteMutual.filter { case (a, b) => labels(a) != labels(b) }
+    val coneFlagged = Similarity.q291LabelNoise.build(spark, sfDir)
+      .select(col("ida"), col("idb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(coneFlagged == bruteFlagged,
+      s"cone-pruned mutual-NN set diverged from brute force: " +
+        s"missing=${(bruteFlagged -- coneFlagged).take(5)} " +
+        s"extra=${(coneFlagged -- bruteFlagged).take(5)}")
+    assert(coneFlagged.nonEmpty)
+  }
+
   test("LSH bucket of a vector equals the sign pattern of its projections") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val withBucket = e.select(col("vec_id"),
