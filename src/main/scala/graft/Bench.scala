@@ -30,6 +30,12 @@ object Bench {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // the driver's artifact capture is head-bounded and the per-query
+    // map alone overflows it (r6's BENCH artifact ended mid-JSON with
+    // no recoverable total) — so emit a SHORT self-sufficient total
+    // line FIRST, then the full per-query line; any bounded prefix of
+    // stdout now contains a parseable {"metric":"total",...} record
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
@@ -48,6 +54,11 @@ object Bench {
       java.nio.file.Paths.get("target/bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // ...and LAST as well: r6's artifact was clipped on BOTH ends (it
+    // started and ended mid-map), so bracket the long line with the
+    // short record — a bounded capture from either end now contains a
+    // complete total
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,6 +18,9 @@ import graft.multimodal.MediaQueries
   */
 object SparkEntry {
 
+  // Numbering note: ids q29 and q152 are UNUSED — gaps left by queries
+  // renumbered during development, not missing work. Nothing in the
+  // repo (or any round's correctness artifact) claims them.
   private def allDefs: Seq[QueryDef] =
     CoreQueries.all ++ Dedup.all ++ Similarity.all ++
       TextAnalysis.all ++ EventOps.all ++ MediaQueries.all ++ Sketches.all ++

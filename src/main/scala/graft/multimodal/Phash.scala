@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -114,7 +116,7 @@ object Phash {
         min(when(col("rd") === 1, col("doc_id"))).as("max1"),
         min(when(col("rd") === 2, col("doc_id"))).as("max2"))
       .withColumn("sig_id", col("min1"))
-      .localCheckpoint() // feeds the band join twice + both sides below
+      .ckpt() // feeds the band join twice + both sides below
     // same-signature classes: C(n,2) pairs, all at hamming 0
     val within = sigs.filter(col("n") >= 2).select(
       lit(0L).as("hamming"),

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -171,7 +173,7 @@ object Association {
       .select(col("o_custkey").as("cust"), col("l_partkey").as("p"),
         col("o_orderkey").as("ok"))
       .distinct()
-      .localCheckpoint() // feeds baskets, user profiles, and the matrix
+      .ckpt() // feeds baskets, user profiles, and the matrix
     val tb = tr.select(col("ok"), col("p")).distinct()
     val up = tr.select(col("cust"), col("p")).distinct()
     val pairs = tb.as("a")
@@ -218,5 +220,85 @@ object Association {
           .as("rate_pop_ppm"))
   }
 
-  val all: Seq[QueryDef] = Seq(q107AssocRules, q274NextPurchaseEval)
+  /** q294 — sequential pattern rules (A then B): across each
+    * customer's CONSECUTIVE order pairs, how often does part A in
+    * order k precede part B in order k+1 — support, antecedent
+    * window count, and confidence. q107 mines CO-occurrence inside
+    * one basket; this is its temporal sibling (the 2-sequence core
+    * of SPADE/PrefixSpan-style mining, bounded to adjacent
+    * transitions so fan-out stays linear), and the statistic behind
+    * "customers who bought A come back for B".
+    *
+    * Exactness: pure integer counting over distinct
+    * (customer, transition, part) triples — order ranks come from a
+    * row_number over the unique (o_orderdate, o_orderkey) pair;
+    * confidence is a non-negative integer floor-div to ppm.
+    *
+    * Scale design (100 TB): order ranks ride a window PARTITIONED by
+    * customer; the transition join is an EQUI-join on
+    * (customer, rank) — per-key fan-out is basket_k × basket_{k+1}
+    * (≤ ~13² here; bounded by basket size, not corpus); supports are
+    * partial-aggregable counts; top-25 is a TakeOrdered heap. */
+  val q294SeqPatterns: QueryDef = {
+    val MINSUP = 3
+    QueryDef(
+      "q294_seq_patterns",
+      s"""WITH ranked AS (
+         |  SELECT o_custkey AS cust, o_orderkey,
+         |    row_number() OVER (PARTITION BY o_custkey
+         |                       ORDER BY o_orderdate, o_orderkey) AS rk
+         |  FROM orders),
+         |bi AS (
+         |  SELECT DISTINCT r.cust, r.rk, l.l_partkey AS part
+         |  FROM ranked r JOIN lineitem l ON r.o_orderkey = l.l_orderkey),
+         |pairs AS (
+         |  SELECT a.cust, a.rk, a.part AS ante, b.part AS cons
+         |  FROM bi a JOIN bi b ON a.cust = b.cust AND b.rk = a.rk + 1),
+         |sup AS (
+         |  SELECT ante, cons, CAST(count(*) AS BIGINT) AS s
+         |  FROM pairs GROUP BY 1, 2),
+         |aw AS (
+         |  SELECT a.part AS ante, CAST(count(*) AS BIGINT) AS windows
+         |  FROM bi a JOIN (SELECT DISTINCT cust, rk FROM bi) n
+         |    ON a.cust = n.cust AND n.rk = a.rk + 1
+         |  GROUP BY 1)
+         |SELECT sup.ante, sup.cons, sup.s AS support, aw.windows,
+         |  (1000000 * sup.s) // aw.windows AS conf_ppm
+         |FROM sup JOIN aw ON sup.ante = aw.ante
+         |WHERE sup.s >= $MINSUP
+         |ORDER BY support DESC, sup.ante, cons LIMIT 25""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val ranked = Tables.orders(s, dir)
+        .select(col("o_custkey").as("cust"), col("o_orderkey"),
+          row_number().over(w).as("rk"))
+      val bi = ranked
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("cust"), col("rk"), col("l_partkey").as("part"))
+        .distinct()
+        .ckpt() // feeds three join sides
+      val pairs = bi
+        .join(bi.select(col("cust").as("bcust"), col("rk").as("brk"),
+          col("part").as("cons")),
+          col("cust") === col("bcust") && col("brk") === col("rk") + 1)
+        .select(col("cust"), col("rk"), col("part").as("ante"), col("cons"))
+      val sup = pairs.groupBy(col("ante"), col("cons"))
+        .agg(count(lit(1)).as("s"))
+      val aw = bi
+        .join(bi.select(col("cust").as("wcust"), col("rk").as("wrk")).distinct(),
+          col("cust") === col("wcust") && col("wrk") === col("rk") + 1)
+        .groupBy(col("part").as("awante"))
+        .agg(count(lit(1)).as("windows"))
+      sup.filter(col("s") >= MINSUP)
+        .join(aw, col("ante") === col("awante"))
+        .select(col("ante"), col("cons"), col("s").as("support"), col("windows"),
+          expr("(1000000 * s) div windows").as("conf_ppm"))
+        .orderBy(col("support").desc, col("ante"), col("cons"))
+        .limit(25)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q107AssocRules, q274NextPurchaseEval,
+    q294SeqPatterns)
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
@@ -41,7 +43,7 @@ object Bitmap {
         expr("shiftleft(cast(1 as bigint), cast(user_id % 32 as int))").as("m"))
       .groupBy(col("event_type"), col("w"))
       .agg(expr("bit_or(m)").as("bits"))
-      .localCheckpoint() // counts + both sides of the word join
+      .ckpt() // counts + both sides of the word join
     val n = b.groupBy(col("event_type"))
       .agg(expr("cast(sum(bit_count(bits)) as bigint)").as("n_users"))
     val p = b.select(col("event_type").as("type_a"), col("w"), col("bits").as("ba"))

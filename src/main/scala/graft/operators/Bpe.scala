@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -149,7 +151,7 @@ object Bpe {
       .filter(!col("prev_active"))
       .select(col("word"), col("freq"), col("pos"),
         when(col("active"), concat(col("l"), col("r"))).otherwise(col("sym")).as("sym"))
-      .localCheckpoint()
+      .ckpt()
   }
 
   /** One Spark training round: returns (next state, this round's
@@ -162,7 +164,7 @@ object Bpe {
       .agg(sum(col("freq")).as("cnt"))
       .orderBy(col("cnt").desc, col("l"), col("r"))
       .limit(1)
-      .localCheckpoint() // consumed by the apply pass AND the output union
+      .ckpt() // consumed by the apply pass AND the output union
     (applyPair(state, best), best)
   }
 
@@ -175,7 +177,7 @@ object Bpe {
       .select(col("word"), col("freq"),
         explode(sequence(lit(1), length(col("word")))).as("pos"))
       .withColumn("sym", expr("substring(word, pos, 1)"))
-      .localCheckpoint()
+      .ckpt()
 
   /** Run `n` training rounds; returns the per-round 1-row merge
     * frames (each checkpointed — replayable without re-derivation). */

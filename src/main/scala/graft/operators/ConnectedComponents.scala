@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,7 +42,7 @@ object ConnectedComponents {
 
   def compute(spark: SparkSession, edges: DataFrame,
       driverLimit: Long = DefaultDriverLimit): DataFrame = {
-    val cached = edges.select(col("a").cast("long"), col("b").cast("long")).localCheckpoint()
+    val cached = edges.select(col("a").cast("long"), col("b").cast("long")).ckpt()
     if (cached.count() <= driverLimit) driverUnionFind(spark, cached)
     else distributed(cached)
   }
@@ -73,10 +75,10 @@ object ConnectedComponents {
   def distributed(edges: DataFrame): DataFrame = {
     val undirected = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+      .ckpt()
     var labels = undirected.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("component"))
-      .localCheckpoint()
+      .ckpt()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -92,7 +94,7 @@ object ConnectedComponents {
         .join(jump, col("c1") === col("jn"), "left")
         .select(col("node"), col("old"),
           least(col("c1"), coalesce(col("jc"), col("c1"))).as("component"))
-        .localCheckpoint()
+        .ckpt()
       converged = next.filter(col("component") < col("old")).isEmpty
       labels = next.select(col("node"), col("component"))
       rounds += 1

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -483,7 +485,7 @@ object DataProfile {
     // structural-correctness note applies verbatim).
     val r = isl.repartitionByRange(col("lo"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .ckpt()
     val wp = Window.partitionBy(col("pid")).orderBy(col("lo"))
     val wpd = Window.partitionBy(col("pid")).orderBy(col("lo").desc)
     val within = r
@@ -727,7 +729,7 @@ object DataProfile {
       .groupBy(col("event_type").as("t"),
         floor(col("value") * 1000).cast("bigint").as("v"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // feeds the type list AND both pair sides
+      .ckpt() // feeds the type list AND both pair sides
     val ty = h.select(col("t")).distinct()
     val pr = ty.as("a").join(ty.as("b"), col("a.t") < col("b.t"))
       .select(col("a.t").as("ta"), col("b.t").as("tb"))
@@ -1162,7 +1164,7 @@ object DataProfile {
     val h = p.groupBy("cents")
       .agg(sum(when(col("st") === "F", 1L).otherwise(0L)).as("ca"),
         sum(when(col("st") === "O", 1L).otherwise(0L)).as("cb"))
-      .localCheckpoint() // feeds the totals AND both prefix passes
+      .ckpt() // feeds the totals AND both prefix passes
     val cum = ScaleRank.withRunningSum(
       ScaleRank.withRunningSum(h, Nil, Seq(col("cents")), col("ca"), "fa"),
       Nil, Seq(col("cents")), col("cb"), "fb")
@@ -1170,7 +1172,7 @@ object DataProfile {
     val g = cum.crossJoin(broadcast(t))
       .select(col("cents"),
         abs(col("fa") * col("nb") - col("fb") * col("na")).as("gap"))
-      .localCheckpoint() // feeds the max AND its argmax locate
+      .ckpt() // feeds the max AND its argmax locate
     val d = g.agg(max("gap").as("d_num"))
     val loc = g.crossJoin(broadcast(d)).filter(col("gap") === col("d_num"))
       .agg(min("cents").as("at_cents"))
@@ -1244,7 +1246,7 @@ object DataProfile {
     val f = Tables.lineitem(s, dir)
       .select(floor(col("l_quantity")).cast("bigint").as("x"),
         (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint").as("y"))
-      .localCheckpoint() // feeds both histograms AND the moment join
+      .ckpt() // feeds both histograms AND the moment join
     def rank2(on: String, out: String) = {
       val h = f.groupBy(on).agg(count(lit(1)).as("c"))
       ScaleRank.withRunningSum(h, Nil, Seq(col(on)), col("c"), "cum")
@@ -1416,7 +1418,7 @@ object DataProfile {
       .select(expr("event_id % 1000003").as("m"),
         col("event_type").as("g"),
         floor(col("value") * 1000).cast("bigint").as("v"))
-      .localCheckpoint() // feeds the observed stat and the 32 relabelings
+      .ckpt() // feeds the observed stat and the 32 relabelings
     val obs = ev.agg(
       sum(when(col("g") === "click", col("v"))).as("sc"),
       count(when(col("g") === "click", 1)).as("n_click"),
@@ -1507,7 +1509,7 @@ object DataProfile {
       .select(floor(col("l_quantity")).cast("bigint").as("x"),
         round(col("l_discount") * 100).cast("bigint").as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
-      .localCheckpoint() // bounded joint histogram feeds all four sums
+      .ckpt() // bounded joint histogram feeds all four sums
     val p = h.as("a").join(broadcast(h.as("b")), col("a.x") < col("b.x"))
       .agg(
         sum(when(col("a.y") < col("b.y"), dec(col("a.c")) * col("b.c"))
@@ -1669,7 +1671,7 @@ object DataProfile {
       .groupBy(col("bucket"))
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("ce"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("ca"))
-      .localCheckpoint() // <=20 rows; feeds totals AND the report
+      .ckpt() // <=20 rows; feeds totals AND the report
     val t = b.agg(sum(col("ce")).as("ne"), sum(col("ca")).as("na"))
     val pa = (col("ca") + 1).cast("double") / (col("na") + 20).cast("double")
     val pe = (col("ce") + 1).cast("double") / (col("ne") + 20).cast("double")
@@ -1771,7 +1773,7 @@ object DataProfile {
       .withColumn("arm", expr(
         "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) " +
           "as bigint) % 2"))
-      .localCheckpoint() // user grain feeds moments AND arms
+      .ckpt() // user grain feeds moments AND arms
     val m = u.agg(dec(count(lit(1))).as("n"),
       sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
       sum(dec(col("x")) * col("x")).as("sxx"),
@@ -1879,7 +1881,7 @@ object DataProfile {
         .select(floor(col("l_extendedprice") * 100 + 0.5).cast("bigint")
           .as("cents"),
           col("l_orderkey").as("o"), col("l_linenumber").as("ln2"))
-        .localCheckpoint() // feeds the histogram AND the truth pass
+        .ckpt() // feeds the histogram AND the truth pass
       val h = ScaleRank.withRowNumber(f, Nil,
           Seq(col("cents"), col("o"), col("ln2")), "rk", "nn")
         .withColumn("b", ScaleRank.ntileFromRank(20, col("rk"), col("nn")))
@@ -2004,9 +2006,9 @@ object DataProfile {
         .groupBy(col("v"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
           sum(col("v") * col("v")).as("qv"))
-        .localCheckpoint() // <=50 classes feed intervals, DP, baselines
+        .ckpt() // <=50 classes feed intervals, DP, baselines
       val bounds = cls.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
-        sum(col("n")).as("nt")).localCheckpoint()
+        sum(col("n")).as("nt")).ckpt()
       val iv = cls.select(col("v").as("lo"))
         .join(broadcast(cls.select(col("v").as("hi"))), col("lo") <= col("hi"))
         .join(broadcast(cls.select(col("v").as("mv"), col("n"), col("sv"),
@@ -2017,7 +2019,7 @@ object DataProfile {
       val sse = iv.select(col("lo"), col("hi"),
         (dec(col("qq")) * 1000000 -
           expr("(ss * ss * 1000000) div nn")).as("s"))
-        .localCheckpoint()
+        .ckpt()
       var layer = sse.crossJoin(broadcast(bounds.select(col("vmin"))))
         .filter(col("lo") === col("vmin"))
         .select(col("hi").as("i"), col("s").as("cost"))
@@ -2032,7 +2034,7 @@ object DataProfile {
           .groupBy(col("hi"))
           .agg(min(col("cost") + col("s")).as("cost"))
           .select(col("hi").as("i"), col("cost"))
-          .localCheckpoint()
+          .ckpt()
         vrowsDf += layer.crossJoin(vmaxRow).filter(col("i") === col("vmax"))
           .select(lit("voptimal").as("method"), lit(b.toLong).as("n_buckets"),
             col("cost").as("sse_micro"))
@@ -2160,7 +2162,7 @@ object DataProfile {
           floor(col("value") * 1000).cast("bigint").as("v"))
       val pe = ev.join(broadcast(pb),
           col("g") === col("x") || col("g") === col("y"))
-        .localCheckpoint() // feeds the observed pass AND the coin fan-out
+        .ckpt() // feeds the observed pass AND the coin fan-out
       val obs = pe.groupBy(col("x"), col("y"))
         .agg((expr("sum(case when g = x then v end) div " +
           "count(case when g = x then 1 end)") -
@@ -2190,7 +2192,7 @@ object DataProfile {
         .groupBy(col("x"), col("y"), col("d"))
         .agg(expr("(1000000 * (1 + sum(case when ad >= abs(d) then 1 else 0 end))) div 33")
           .as("p_ppm"))
-        .localCheckpoint() // 10 rows; feeds rank join AND kmax
+        .ckpt() // 10 rows; feeds rank join AND kmax
       val rk = pv.as("a")
         .join(broadcast(pv.select(col("x").as("cx"), col("y").as("cy"),
           col("p_ppm").as("cp"))),
@@ -2199,7 +2201,7 @@ object DataProfile {
               (col("cx") === col("x") && col("cy") <= col("y")))))
         .groupBy(col("x"), col("y"), col("d"), col("p_ppm"))
         .agg(count(lit(1)).as("bh_rank"))
-        .localCheckpoint()
+        .ckpt()
       val km = rk.agg(coalesce(max(when(col("p_ppm") <= lit(10000L) * col("bh_rank"),
         col("bh_rank"))), lit(0L)).as("kmax"))
       rk.crossJoin(broadcast(km))
@@ -2212,8 +2214,91 @@ object DataProfile {
     }
   }
 
+  /** q301 — HBOS anomaly scores (Goldstein & Dengel's
+    * histogram-based outlier score): each order's outlier score is
+    * Σ over features of −ln(relative frequency of the order's bin) —
+    * price band (16 equi-width bins), line count, and priority. The
+    * linear-time, fully-aggregable alternative to isolation forests:
+    * density per feature from ONE histogram pass, score per row from
+    * ONE lookup join per feature. q106/q172 flag UNIVARIATE outliers;
+    * HBOS combines the features into one ranked review queue.
+    *
+    * Exactness: bin ids are one shared IEEE chain + floor (identical
+    * text in both engines); frequencies are exact counts; each
+    * −ln(cnt/n) term is floored to nano-nats separately and the
+    * score is their integer sum (the q83 per-term-floor contract).
+    *
+    * Scale design (100 TB): the min/max/count frame is ONE row
+    * (broadcast); each histogram is ≤ |bins| rows (broadcast,
+    * Aggregate-bounded); the per-order pass is three equi-joins
+    * against those tiny frames plus one partial-aggregable
+    * lines-per-order count. Top-25 is a TakeOrdered heap. */
+  val q301Hbos: QueryDef = {
+    val B = 16
+    // shared bin expression: identical text parsed by both engines
+    def binSql(x: String, mn: String, mx: String): String =
+      s"CAST(CASE WHEN $mx > $mn THEN least($B - 1, " +
+        s"CAST(floor((($x - $mn) * $B.0) / ($mx - $mn)) AS BIGINT)) " +
+        s"ELSE 0 END AS BIGINT)"
+    def lnTerm(cnt: String, n: String): String =
+      s"CAST(floor(1000000000.0 * ln(CAST($n AS DOUBLE) / $cnt)) AS BIGINT)"
+    QueryDef(
+      "q301_hbos",
+      s"""WITH nl AS (
+         |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+         |  FROM lineitem GROUP BY 1),
+         |base AS (
+         |  SELECT o.o_orderkey, o.o_totalprice AS price,
+         |    o.o_orderpriority AS prio, coalesce(nl.n_lines, 0) AS n_lines
+         |  FROM orders o LEFT JOIN nl ON o.o_orderkey = nl.l_orderkey),
+         |st AS (
+         |  SELECT min(price) AS mn, max(price) AS mx,
+         |    CAST(count(*) AS BIGINT) AS n FROM base),
+         |bb AS (
+         |  SELECT base.*, ${binSql("price", "st.mn", "st.mx")} AS pbin
+         |  FROM base CROSS JOIN st),
+         |fp AS (SELECT pbin, CAST(count(*) AS BIGINT) AS cp FROM bb GROUP BY 1),
+         |fl AS (SELECT n_lines, CAST(count(*) AS BIGINT) AS cl FROM bb GROUP BY 1),
+         |fr AS (SELECT prio, CAST(count(*) AS BIGINT) AS cr FROM bb GROUP BY 1)
+         |SELECT bb.o_orderkey, bb.pbin, bb.n_lines, bb.prio,
+         |  ${lnTerm("fp.cp", "st.n")} + ${lnTerm("fl.cl", "st.n")}
+         |    + ${lnTerm("fr.cr", "st.n")} AS score_nano
+         |FROM bb
+         |JOIN fp ON bb.pbin = fp.pbin
+         |JOIN fl ON bb.n_lines = fl.n_lines
+         |JOIN fr ON bb.prio = fr.prio
+         |CROSS JOIN st
+         |ORDER BY score_nano DESC, o_orderkey LIMIT 25""".stripMargin) { (s, dir) =>
+      val nl = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"),
+          col("o_orderpriority").as("prio"))
+        .join(nl, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("price"), col("prio"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+        .ckpt() // stats AND the scored pass
+      val st = base.agg(min(col("price")).as("mn"), max(col("price")).as("mx"),
+        count(lit(1)).as("n"))
+      val bb = base.crossJoin(broadcast(st))
+        .withColumn("pbin", expr(binSql("price", "mn", "mx")))
+      val fp = bb.groupBy(col("pbin")).agg(count(lit(1)).as("cp"))
+      val fl = bb.groupBy(col("n_lines")).agg(count(lit(1)).as("cl"))
+      val fr = bb.groupBy(col("prio")).agg(count(lit(1)).as("cr"))
+      bb.join(broadcast(fp), Seq("pbin"))
+        .join(broadcast(fl), Seq("n_lines"))
+        .join(broadcast(fr), Seq("prio"))
+        .select(col("o_orderkey"), col("pbin"), col("n_lines"), col("prio"),
+          (expr(lnTerm("cp", "n")) + expr(lnTerm("cl", "n")) +
+            expr(lnTerm("cr", "n"))).as("score_nano"))
+        .orderBy(col("score_nano").desc, col("o_orderkey"))
+        .limit(25)
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
+    Seq(q301Hbos,
+      q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
       q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers,
       q177MannWhitney, q179BootstrapCi, q182NeymanSample, q186Benford,

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -141,7 +143,7 @@ object Dedup {
   private def candidatePairs(docs: DataFrame): DataFrame = {
     // materialize ONCE: the bucket self-join would otherwise run the
     // whole tokenize→minhash→band derivation on BOTH sides
-    val buckets = lshBuckets(minhash(docs)).localCheckpoint()
+    val buckets = lshBuckets(minhash(docs)).ckpt()
     buckets.as("ba").join(buckets.as("bb"),
         col("ba.bucket") === col("bb.bucket") && col("ba.doc_id") < col("bb.doc_id"))
       .select(col("ba.doc_id").as("a"), col("bb.doc_id").as("b")).distinct()
@@ -155,7 +157,7 @@ object Dedup {
     * >= 0.5 — the single definition shared by q32/q37/q38. */
   private def nearDupEdges(docs: DataFrame): DataFrame = {
     // both verification sides probe this — derive the token sets once
-    val ts = tokenSets(docs).localCheckpoint()
+    val ts = tokenSets(docs).ckpt()
     candidatePairs(docs)
       .join(ts.select(col("doc_id").as("a"), col("ts").as("tsa")), Seq("a"))
       .join(ts.select(col("doc_id").as("b"), col("ts").as("tsb")), Seq("b"))
@@ -287,7 +289,7 @@ object Dedup {
     val rows = bg.select(col("doc_id"), size(col("bs")).as("n"),
         explode(col("bs")).as("bigram"), col("lang"))
       .select(col("doc_id"), col("n"), xxhash64(col("lang"), col("bigram")).as("kh"))
-      .localCheckpoint()
+      .ckpt()
     val hotKeys = rows.groupBy(col("kh"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
@@ -474,7 +476,7 @@ object Dedup {
     .select(col("doc_id"), explode(transform(
       sequence(lit(1), size(col("toks")) - 7),
       i => array_join(slice(col("toks"), i, lit(8)), " "))).as("span"))
-    .localCheckpoint()
+    .ckpt()
 
   /** Exact duplicated-span detection (substring-level dedup, the
     * word-shingle form of Lee et al.'s "Deduplicating Training Data
@@ -579,7 +581,7 @@ object Dedup {
     // optimizer artifact
     val r = d.repartitionByRange(col("snkey"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .ckpt()
     val wp = Window.partitionBy(col("pid"))
       .orderBy(col("snkey"), col("doc_id"))
     val wpd = Window.partitionBy(col("pid"))
@@ -705,11 +707,11 @@ object Dedup {
          |ORDER BY m.cid""".stripMargin) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
-      val pts = Learn.points(emb).localCheckpoint()
+      val pts = Learn.points(emb).ckpt()
       val cent = pts.filter(col("vec_id") < K)
         .select(col("vec_id").as("cid"), col("pos"), col("q").as("c"))
       // one assignment pass feeds the member counts AND both pair sides
-      val asg = Learn.assign(pts, cent).localCheckpoint()
+      val asg = Learn.assign(pts, cent).ckpt()
       val e = asg.select(col("vec_id"), col("cid"))
         .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       val dropped = e.select(col("vec_id").as("a"), col("cid"), col("embedding").as("va"))
@@ -763,7 +765,7 @@ object Dedup {
     val docs = Tables.documents(s, dir)
     // ONE minhash derivation feeds both the banded join and the
     // component comparison (candidatePairs(docs) would re-derive it)
-    val mh = minhash(docs).localCheckpoint()
+    val mh = minhash(docs).ckpt()
     val buckets = lshBuckets(mh)
     val cand = buckets.as("ba").join(buckets.as("bb"),
         col("ba.bucket") === col("bb.bucket") && col("ba.doc_id") < col("bb.doc_id"))
@@ -778,7 +780,7 @@ object Dedup {
     val lv = broadcast(Seq(4L, 5L, 6L, 7L, 8L).toDF("min_match"))
     val sel = lv.crossJoin(pm).filter(col("m") >= col("min_match"))
       .select(col("min_match"), col("a"), col("b"))
-      .localCheckpoint()
+      .ckpt()
     val np = sel.groupBy(col("min_match")).agg(count(lit(1)).as("n_pairs"))
     val nd = sel.select(col("min_match"), col("a").as("d"))
       .unionByName(sel.select(col("min_match"), col("b").as("d")))
@@ -863,7 +865,7 @@ object Dedup {
     QueryDef("q185_band_sweep", oracle) { (s, dir) =>
       import s.implicits._
       val sample = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
-      val mh = minhash(sample).localCheckpoint()
+      val mh = minhash(sample).ckpt()
       def shapeBuckets(bands: Int): DataFrame = {
         val r = K / bands
         mh.select(col("doc_id"), lit(bands.toLong).as("bands"),
@@ -874,17 +876,17 @@ object Dedup {
           }: _*)).as("bucket"))
       }
       val bks = shapes.map(shapeBuckets).reduce(_ unionByName _)
-        .localCheckpoint()
+        .ckpt()
       val cand = bks.as("ba").join(bks.as("bb"),
           col("ba.bands") === col("bb.bands") &&
             col("ba.bucket") === col("bb.bucket") &&
             col("ba.doc_id") < col("bb.doc_id"))
         .select(col("ba.bands").as("bands"), col("ba.doc_id").as("a"),
           col("bb.doc_id").as("b"))
-        .distinct().localCheckpoint()
+        .distinct().ckpt()
       val srows = shingles(sample)
         .select(col("doc_id"), col("shingle")).distinct()
-        .localCheckpoint()
+        .ckpt()
       val sz = srows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val pi = srows.select(col("doc_id").as("a"), col("shingle"))
         .join(srows.select(col("doc_id").as("b"), col("shingle").as("sgb")),
@@ -895,7 +897,7 @@ object Dedup {
         .join(broadcast(sz.select(col("doc_id").as("b"), col("n").as("nb"))), Seq("b"))
         .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
         .select(col("a"), col("b"))
-        .localCheckpoint()
+        .ckpt()
       val np = cand.groupBy(col("bands")).agg(count(lit(1)).as("n_candidates"))
       val nh = cand.join(truth, Seq("a", "b"), "left_semi")
         .groupBy(col("bands")).agg(count(lit(1)).as("n_hit"))
@@ -957,7 +959,7 @@ object Dedup {
       conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("ck"))
     val cs = d.groupBy(col("ck"), (col("ck") % 5 === 0).as("is_test"))
       .agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint() // feeds both the leak audit and the rollup
+      .ckpt() // feeds both the leak audit and the rollup
     val leak = cs.groupBy("ck")
       .agg(countDistinct(col("is_test")).as("sides"))
       .filter(col("sides") > 1)
@@ -1036,7 +1038,7 @@ object Dedup {
       .select(col("doc_id"), col("source"),
         expr(s"array_distinct(transform(sequence(0, size(hs) - $WIN_W), " +
           s"i -> array_min(slice(hs, i + 1, $WIN_W))))").as("fps"))
-      .localCheckpoint() // text/hashes dropped; feeds all three consumers
+      .ckpt() // text/hashes dropped; feeds all three consumers
     val e = fps.select(col("doc_id"), col("source"),
       explode(col("fps")).as("fp"))
     val shared = e.groupBy(col("fp"))
@@ -1122,6 +1124,174 @@ object Dedup {
       .orderBy("component")
   }
 
+  /** q297 — blocking-strategy quality evaluation: for three candidate
+    * blocking keys (char-length band, 16-char prefix, lang × length
+    * band), the two numbers every entity-resolution/dedup pipeline is
+    * tuned by — PAIRS COMPLETENESS (what fraction of true near-dup
+    * pairs land in the same block) and REDUCTION RATIO (what fraction
+    * of the n² comparison space the blocking removes). q135 evaluates
+    * ONE fixed blocker (LSH bands); this ranks alternative cheap keys
+    * against the same sampled shingle-Jaccard truth, the experiment
+    * run before committing a blocker at corpus scale.
+    *
+    * Exactness: truth is q135's exact set-similarity on the
+    * deterministic doc_id-parity sample (Jaccard ≥ ½ via the integer
+    * cross-multiplied containment identity); candidate counts are
+    * Σ b·(b−1)/2 over exact block sizes; both ratios are integer
+    * floor-divs to ppm.
+    *
+    * Scale design (100 TB): NO strategy ever materializes its
+    * candidate pairs — counts come from block-size aggregates, and
+    * completeness joins the (sampled, tiny) truth set against the
+    * per-doc key frame twice by doc id. The only quadratic-ish work
+    * is the truth join itself, which rides the same sampled
+    * shingle-postings equi-join q135 already bounds. */
+  val q297BlockingQuality: QueryDef = QueryDef(
+    "q297_blocking_quality",
+    s"""WITH $mhOracleCte,
+       |ds AS (
+       |  SELECT doc_id, lang, text, n_chars FROM documents WHERE doc_id % 2 = 0),
+       |srows AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 2 = 0),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM srows GROUP BY doc_id),
+       |pi AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM srows a JOIN srows b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT pi.a, pi.b
+       |  FROM pi JOIN sz za ON pi.a = za.doc_id JOIN sz zb ON pi.b = zb.doc_id
+       |  WHERE inter * 2 >= za.n + zb.n - inter),
+       |keys AS (
+       |  SELECT doc_id, 'len100' AS strategy, CAST(n_chars // 100 AS VARCHAR) AS k FROM ds
+       |  UNION ALL
+       |  SELECT doc_id, 'prefix16', substring(text, 1, 16) FROM ds
+       |  UNION ALL
+       |  SELECT doc_id, 'lang_len200',
+       |    lang || '|' || CAST(n_chars // 200 AS VARCHAR) FROM ds),
+       |blocks AS (
+       |  SELECT strategy, k, CAST(count(*) AS BIGINT) AS b
+       |  FROM keys GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT strategy, CAST(count(*) AS BIGINT) AS n_blocks,
+       |    CAST(sum(b * (b - 1) // 2) AS BIGINT) AS n_cand
+       |  FROM blocks GROUP BY 1),
+       |cob AS (
+       |  SELECT ka.strategy, CAST(count(*) AS BIGINT) AS n_coblocked
+       |  FROM truth t
+       |  JOIN keys ka ON t.a = ka.doc_id
+       |  JOIN keys kb ON t.b = kb.doc_id AND ka.strategy = kb.strategy
+       |    AND ka.k = kb.k
+       |  GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth
+       |  FROM ds)
+       |SELECT cand.strategy, cand.n_blocks, cand.n_cand, tot.n_truth,
+       |  coalesce(cob.n_coblocked, 0) AS n_coblocked,
+       |  CASE WHEN tot.n_truth > 0
+       |    THEN (1000000 * coalesce(cob.n_coblocked, 0)) // tot.n_truth END
+       |    AS completeness_ppm,
+       |  1000000 - (1000000 * cand.n_cand)
+       |    // (tot.n_docs * (tot.n_docs - 1) // 2) AS reduction_ppm
+       |FROM cand LEFT JOIN cob ON cand.strategy = cob.strategy
+       |CROSS JOIN tot ORDER BY cand.strategy""".stripMargin) { (s, dir) =>
+    val ds = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+    val srows = shingles(ds)
+      .select(col("doc_id"), col("shingle")).distinct()
+      .ckpt() // sizes + both sides of the shingle join
+    val sz = srows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pi = srows.select(col("doc_id").as("a"), col("shingle"))
+      .join(srows.select(col("doc_id").as("b"), col("shingle").as("sgb")),
+        col("shingle") === col("sgb") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val truth = pi
+      .join(broadcast(sz.select(col("doc_id").as("a"), col("n").as("na"))), Seq("a"))
+      .join(broadcast(sz.select(col("doc_id").as("b"), col("n").as("nb"))), Seq("b"))
+      .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      .select(col("a"), col("b"))
+      .ckpt() // counted AND joined per strategy
+    val keys = ds.select(col("doc_id"), expr(
+      "stack(3, " +
+        "'len100', CAST(n_chars div 100 AS STRING), " +
+        "'prefix16', substring(text, 1, 16), " +
+        "'lang_len200', concat(lang, '|', CAST(n_chars div 200 AS STRING))) " +
+        "AS (strategy, k)"))
+      .ckpt() // blocks + both completeness sides
+    val cand = keys.groupBy(col("strategy"), col("k"))
+      .agg(count(lit(1)).as("b"))
+      .groupBy(col("strategy"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(expr("b * (b - 1) div 2")).cast("bigint").as("n_cand"))
+    val cob = truth
+      .join(keys.select(col("doc_id").as("a"), col("strategy"), col("k")), Seq("a"))
+      .join(keys.select(col("doc_id").as("b"), col("strategy").as("s2"),
+        col("k").as("k2")), Seq("b"))
+      .filter(col("strategy") === col("s2") && col("k") === col("k2"))
+      .groupBy(col("strategy")).agg(count(lit(1)).as("n_coblocked"))
+    val tot = ds.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+    cand.join(cob, Seq("strategy"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("strategy"), col("n_blocks"), col("n_cand"), col("n_truth"),
+        coalesce(col("n_coblocked"), lit(0L)).as("n_coblocked"),
+        when(col("n_truth") > 0,
+          expr("(1000000 * coalesce(n_coblocked, 0)) div n_truth"))
+          .as("completeness_ppm"),
+        (lit(1000000) - expr(
+          "(1000000 * n_cand) div (n_docs * (n_docs - 1) div 2)"))
+          .as("reduction_ppm"))
+      .orderBy("strategy")
+  }
+
+  /** q300 — duplication-aware training weights: every document's
+    * sampling weight is 1/|its exact-dup cluster| (q30's signature),
+    * so each DISTINCT text contributes unit mass no matter how many
+    * times it was crawled — the standard reweighting alternative to
+    * hard-dropping duplicates, reported per source. eff_weight_ppm
+    * (mass/docs) is the per-source "how much of this feed is
+    * genuinely new" score a data-mixture planner reads.
+    *
+    * Exactness: cluster sizes are exact counts over the full corpus
+    * (clusters SPAN sources — sizes are computed before the source
+    * split); per-doc weight is the integer floor-div 10⁶//size; all
+    * downstream sums are integer.
+    *
+    * Scale design (100 TB): signature grouping is one
+    * partial-aggregable pass; the size frame joins back BY SIGNATURE
+    * (equi, high-cardinality, no skew beyond true dup multiplicity);
+    * output is |sources| rows. Text itself never shuffles — only the
+    * 32-char signature does. */
+  val q300DupWeights: QueryDef = QueryDef(
+    "q300_dup_weights",
+    """WITH sig AS (
+      |  SELECT doc_id, source,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS sg
+      |  FROM documents),
+      |cl AS (SELECT sg, CAST(count(*) AS BIGINT) AS sz FROM sig GROUP BY sg),
+      |w AS (
+      |  SELECT sig.source, sig.sg, 1000000 // cl.sz AS w_ppm
+      |  FROM sig JOIN cl ON sig.sg = cl.sg)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT sg) AS BIGINT) AS n_clusters,
+      |  CAST(sum(w_ppm) AS BIGINT) AS weight_mass_ppm,
+      |  CAST(sum(w_ppm) AS BIGINT) // count(*) AS eff_weight_ppm
+      |FROM w GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val sig = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), signature.as("sg"))
+    val cl = sig.groupBy(col("sg")).agg(count(lit(1)).as("sz"))
+    sig.join(cl, Seq("sg"))
+      .select(col("source"), col("sg"), expr("1000000 div sz").as("w_ppm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("sg")).as("n_clusters"),
+        sum(col("w_ppm")).cast("bigint").as("weight_mass_ppm"))
+      .select(col("source"), col("n_docs"), col("n_clusters"),
+        col("weight_mass_ppm"),
+        expr("weight_mass_ppm div n_docs").as("eff_weight_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q244GoldenRecord,
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
@@ -1129,7 +1299,7 @@ object Dedup {
     q69SpanDedup, q75Contamination, q78SortedNeighborhood, q100SemanticDedup,
     q128KeepBest, q135LshEval, q151DedupWhatif, q158SourceOverlap,
     q161AdmissionFunnel, q162Containment, q185BandSweep, q213LeakSafeSplit,
-    q234Winnowing)
+    q234Winnowing, q297BlockingQuality, q300DupWeights)
 
   /** q161 — corpus-admission funnel: every document walks the full
     * pretraining ingestion gauntlet — exact dedup, near-dup dedup,
@@ -1315,7 +1485,7 @@ object Dedup {
     val docs = Tables.documents(s, dir)
     val srows = shingles(docs.filter(col("doc_id") % 2 === 0))
       .select(col("doc_id"), col("shingle")).distinct()
-      .localCheckpoint() // sizes + both sides of the shingle join
+      .ckpt() // sizes + both sides of the shingle join
     val sz = srows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pi = srows.select(col("doc_id").as("a"), col("shingle"))
       .join(srows.select(col("doc_id").as("b"), col("shingle").as("sgb")),
@@ -1326,10 +1496,10 @@ object Dedup {
       .join(broadcast(sz.select(col("doc_id").as("b"), col("n").as("nb"))), Seq("b"))
       .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
       .select(col("a"), col("b"))
-      .localCheckpoint() // counted AND semi-joined below
+      .ckpt() // counted AND semi-joined below
     val sc = candidatePairs(docs)
       .filter(col("a") % 2 === 0 && col("b") % 2 === 0)
-      .localCheckpoint()
+      .ckpt()
     val hit = truth.join(sc, Seq("a", "b"), "left_semi")
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(sc.agg(count(lit(1)).as("n_candidates")))

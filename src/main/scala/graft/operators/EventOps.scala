@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -1275,7 +1277,7 @@ object EventOps {
         .cast("bigint")).cast("bigint").as("x"))
       // the day axis feeds BOTH sides of the lag self-join —
       // materialize once so the fact scan+aggregate runs once
-      .localCheckpoint()
+      .ckpt()
     val lagged = daily
       .withColumn("lag", explode(array((1 to 7).map(lit(_)): _*)))
       .withColumn("d2", date_add(col("d"), col("lag")))
@@ -1519,7 +1521,7 @@ object EventOps {
       .groupBy(col("o_orderdate").cast("date").as("d"))
       .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
         .cast("bigint")).cast("bigint").as("x"))
-      .localCheckpoint() // feeds the mean AND the series
+      .ckpt() // feeds the mean AND the series
     val mu = daily.agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
       .select(expr("sx div n").as("mu"),
         expr("(sx div n) div 20").as("k"),
@@ -1663,7 +1665,7 @@ object EventOps {
       .groupBy(col("o_orderdate").cast("date").as("d"))
       .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
         .cast("bigint")).cast("bigint").as("x"))
-      .localCheckpoint() // one fact collapse feeds both lag joins
+      .ckpt() // one fact collapse feeds both lag joins
     def lagErr(days: Int): DataFrame = daily.as("a")
       .join(daily.as("b"), expr(s"b.d = a.d - $days"))
       .select(abs(col("a.x") - col("b.x")).as("e"))
@@ -2222,7 +2224,7 @@ object EventOps {
       lag(col("event_type"), 1).over(
         Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))).as("prev"))
-      .localCheckpoint() // one corpus pass feeds pairs + denominators
+      .ckpt() // one corpus pass feeds pairs + denominators
     val f = when(col("prev").isNull || col("prev") === "purchase", "start")
       .otherwise(col("prev"))
     val pairs = seq0.select(f.as("f"), col("t"))
@@ -2236,7 +2238,7 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
       .join(broadcast(denom), Seq("f"))
       .select(col("f"), col("t"), expr("(1000000 * n) div d").as("p"))
-      .localCheckpoint() // the chain everything downstream iterates on
+      .ckpt() // the chain everything downstream iterates on
   }
 
   /** Shared Spark-side absorption value iteration (q246 + q251):
@@ -2259,7 +2261,7 @@ object EventOps {
           (col("cp") + coalesce(col("fl"), lit(0L))).as("v"))
         // tiny frame: truncating per round keeps the plan depth (and
         // catalyst time) constant instead of 3 joins x 8 rounds
-        .localCheckpoint()
+        .ckpt()
     }
     v
   }
@@ -2332,7 +2334,7 @@ object EventOps {
       .join(st.select(col("scen"), col("state").as("t")), Seq("scen", "t"))
       .select(col("scen"), col("f"), col("t"), col("p"))
     val v = iterateAbsorption(st, pp, tt)
-    val vs = v.filter(col("state") === "start").localCheckpoint()
+    val vs = v.filter(col("state") === "start").ckpt()
     val base = vs.filter(col("scen") === "base")
       .select(col("v").as("base_ppm"))
     vs.filter(col("scen") =!= "base")
@@ -2439,7 +2441,7 @@ object EventOps {
       .select(col("scen"), col("f"), col("t"), col("p")))
     val v = iterateAbsorption(st, pp, tt)
     val vs = v.filter(col("state") === "start")
-      .select(col("scen"), col("v")).localCheckpoint()
+      .select(col("scen"), col("v")).ckpt()
     val wt = Seq(6L, 2L, 2L, 6L)
     val sp = s.createDataFrame(for {
       (c, i) <- MK_CHANNELS.zipWithIndex
@@ -2476,7 +2478,176 @@ object EventOps {
     q134Seasonality, q137DwellTimes, q138PeakConcurrency, q142Attribution,
     q156OhlcBars, q157CohortLtv, q163Acf, q164Survival, q165AbTest,
     q178Cusum, q183FunnelCi, q184Mase, q272LatenessProfile,
-    q285WatermarkLoss)
+    q285WatermarkLoss, q293ControlChart, q299CcfLeadlag)
+
+  /** q293 — Western Electric control-chart screen per event type: the
+    * SPC rules a metrics platform runs on every daily series — rule 1
+    * (a point beyond 3σ), rule 2 (two of three consecutive points
+    * beyond 2σ on the same side), rule 4 (eight consecutive points on
+    * the same side of the center line) — over the daily value-sum
+    * series of each event type. q178's CUSUM detects slow drifts;
+    * these are the complementary spike/run screens, and together they
+    * are the classic chart battery.
+    *
+    * Exactness: NO floats anywhere — the k·σ zone tests ride the
+    * cross-multiplied integer identity
+    * (x·D − S)² > k²·(D·Q − S²)  ⇔  |x − μ| > k·σ
+    * with S = Σx, Q = Σx² held in DECIMAL(38)/HUGEINT, so the σ
+    * threshold is never materialized as a double; "side" is the exact
+    * sign of x·D − S. Run counts are integer window sums.
+    *
+    * Scale design (100 TB): the fact pass collapses to (type, day)
+    * grain map-side (the ONLY data-sized exchange); every window is
+    * PARTITIONED by event type over the calendar-bounded day axis
+    * (~37k rows/century per type); the per-type moment frame is
+    * ≤|types| rows, joined back by type. */
+  lazy val q293ControlChart: QueryDef = QueryDef(
+    "q293_control_chart",
+    """WITH daily AS (
+      |  SELECT event_type AS t, CAST(ts AS DATE) AS d,
+      |    CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT t, CAST(count(*) AS HUGEINT) AS dd,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS ss,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qq
+      |  FROM daily GROUP BY t),
+      |z AS (
+      |  SELECT daily.t, daily.d, daily.x,
+      |    CAST(daily.x AS HUGEINT) * m.dd - m.ss AS dev,
+      |    m.dd * m.qq - m.ss * m.ss AS var_d2
+      |  FROM daily JOIN m ON daily.t = m.t),
+      |f AS (
+      |  SELECT t, d,
+      |    CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1 ELSE 0 END AS side,
+      |    CASE WHEN dev * dev > 9 * var_d2 THEN 1 ELSE 0 END AS b3,
+      |    CASE WHEN dev * dev > 4 * var_d2 AND dev > 0 THEN 1 ELSE 0 END AS b2u,
+      |    CASE WHEN dev * dev > 4 * var_d2 AND dev < 0 THEN 1 ELSE 0 END AS b2d
+      |  FROM z),
+      |r AS (
+      |  SELECT t, d, side, b3, b2u, b2d,
+      |    sum(b2u) OVER w3 AS c2u, sum(b2d) OVER w3 AS c2d,
+      |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) OVER w8 AS u8,
+      |    sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) OVER w8 AS d8,
+      |    count(*) OVER w8 AS n8
+      |  FROM f
+      |  WINDOW w3 AS (PARTITION BY t ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      |         w8 AS (PARTITION BY t ORDER BY d ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+      |SELECT t AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+      |  CAST(sum(b3) AS BIGINT) AS n_rule1,
+      |  CAST(sum(CASE WHEN (b2u = 1 AND c2u >= 2) OR (b2d = 1 AND c2d >= 2)
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_rule2,
+      |  CAST(sum(CASE WHEN n8 = 8 AND (u8 = 8 OR d8 = 8)
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_rule4
+      |FROM r GROUP BY t ORDER BY t""".stripMargin) { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type").as("t"), col("ts").cast("date").as("d"))
+      .agg(sum(floor(col("value") * 1000 + 0.5).cast("bigint")).as("x"))
+    val m = daily.groupBy(col("t"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("dd"),
+        sum(dec(col("x"))).cast("decimal(38,0)").as("ss"),
+        sum(dec(col("x")) * col("x")).cast("decimal(38,0)").as("qq"))
+    val z = daily.join(m, Seq("t"))
+      .select(col("t"), col("d"),
+        (dec(col("x")) * col("dd") - col("ss")).as("dev"),
+        (col("dd") * col("qq") - col("ss") * col("ss")).as("var_d2"))
+    val f = z.select(col("t"), col("d"),
+      when(col("dev") > 0, 1).when(col("dev") < 0, -1).otherwise(0).as("side"),
+      when(col("dev") * col("dev") > col("var_d2") * 9, 1).otherwise(0).as("b3"),
+      when(col("dev") * col("dev") > col("var_d2") * 4 && col("dev") > 0, 1)
+        .otherwise(0).as("b2u"),
+      when(col("dev") * col("dev") > col("var_d2") * 4 && col("dev") < 0, 1)
+        .otherwise(0).as("b2d"))
+    val w3 = Window.partitionBy(col("t")).orderBy(col("d")).rowsBetween(-2, 0)
+    val w8 = Window.partitionBy(col("t")).orderBy(col("d")).rowsBetween(-7, 0)
+    f.withColumn("c2u", sum(col("b2u")).over(w3))
+      .withColumn("c2d", sum(col("b2d")).over(w3))
+      .withColumn("u8", sum(when(col("side") === 1, 1).otherwise(0)).over(w8))
+      .withColumn("d8", sum(when(col("side") === -1, 1).otherwise(0)).over(w8))
+      .withColumn("n8", count(lit(1)).over(w8))
+      .groupBy(col("t").as("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_above"),
+        sum(col("b3")).cast("bigint").as("n_rule1"),
+        sum(when((col("b2u") === 1 && col("c2u") >= 2) ||
+          (col("b2d") === 1 && col("c2d") >= 2), 1L).otherwise(0L)).as("n_rule2"),
+        sum(when(col("n8") === 8 && (col("u8") === 8 || col("d8") === 8), 1L)
+          .otherwise(0L)).as("n_rule4"))
+      .orderBy("event_type")
+  }
+
+  /** q299 — lead-lag cross-correlation (CCF) between the daily click
+    * and purchase count series: Pearson r at every lag in [-7, +7] —
+    * "does click volume LEAD purchases, and by how many days?" The
+    * time-series sibling of q163's ACF (one series vs itself) for TWO
+    * series, and the screen behind any "metric A predicts metric B"
+    * claim.
+    *
+    * Exactness: daily counts are integers, so all five moments per
+    * lag (n, Σx, Σy, Σxy, Σx², Σy²) are exact int64 sums; r is ONE
+    * IEEE chain per lag — cross-multiplied numerator over the product
+    * of two sqrt's, floored to micro (the q124 slope contract).
+    *
+    * Scale design (100 TB): facts collapse to (type, day) grain
+    * map-side; the lag alignment is an EQUI-join on the shifted day
+    * key against a 15-row literal lag frame (bounded crossJoin); each
+    * lag's moments are partial-aggregable. Everything after the first
+    * aggregate is calendar-bounded. */
+  lazy val q299CcfLeadlag: QueryDef = QueryDef(
+    "q299_ccf_leadlag",
+    """WITH daily AS (
+      |  SELECT event_type AS t, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+      |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2),
+      |lags AS (SELECT CAST(unnest(range(-7, 8)) AS BIGINT) AS lag),
+      |x AS (SELECT d, c FROM daily WHERE t = 'click'),
+      |y AS (SELECT d, c FROM daily WHERE t = 'purchase'),
+      |j AS (
+      |  SELECT lags.lag, x.c AS xc, y.c AS yc
+      |  FROM lags CROSS JOIN x JOIN y ON y.d = x.d + CAST(lags.lag AS INT)),
+      |mo AS (
+      |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+      |    CAST(sum(xc * yc) AS BIGINT) AS sxy,
+      |    CAST(sum(xc * xc) AS BIGINT) AS sxx,
+      |    CAST(sum(yc * yc) AS BIGINT) AS syy
+      |  FROM j GROUP BY lag)
+      |SELECT lag, n,
+      |  CAST(floor(1000000.0 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+      |    (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+      |     sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT)
+      |    AS r_micro
+      |FROM mo WHERE n >= 3
+      |  AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+      |  AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+      |ORDER BY lag""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type").as("t"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .ckpt() // feeds both series
+    val lags = s.range(-7, 8).select(col("id").as("lag"))
+    val x = daily.filter(col("t") === "click").select(col("d"), col("c").as("xc"))
+    val y = daily.filter(col("t") === "purchase")
+      .select(col("d").as("yd"), col("c").as("yc"))
+    val j = x.crossJoin(broadcast(lags))
+      .withColumn("target", date_add(col("d"), col("lag").cast("int")))
+      .join(y, col("yd") === col("target"))
+    val mo = j.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("xc")).as("sx"), sum(col("yc")).as("sy"),
+        sum(col("xc") * col("yc")).as("sxy"),
+        sum(col("xc") * col("xc")).as("sxx"),
+        sum(col("yc") * col("yc")).as("syy"))
+    val nd = col("n").cast("double")
+    val vx = nd * col("sxx") - col("sx").cast("double") * col("sx")
+    val vy = nd * col("syy") - col("sy").cast("double") * col("sy")
+    mo.filter(col("n") >= 3 && vx > 0 && vy > 0)
+      .select(col("lag"), col("n"),
+        floor(lit(1000000.0) * (nd * col("sxy") - col("sx").cast("double") * col("sy")) /
+          (sqrt(vx) * sqrt(vy))).cast("bigint").as("r_micro"))
+      .orderBy("lag")
+  }
 
   /** q272 — event-time lateness profile: per event type, how far
     * behind the running event-time FRONTIER (max ts over all earlier
@@ -2525,7 +2696,7 @@ object EventOps {
       .select(col("event_type"),
         expr("greatest(0L, pmax - us) div 1000000").as("late_s"),
         when(col("pmax") > col("us"), 1L).otherwise(0L).as("is_late"))
-      .localCheckpoint() // feeds counts, histograms, and the loss curve
+      .ckpt() // feeds counts, histograms, and the loss curve
   }
 
   /** The matching oracle CTE prefix (CTEs ev, r, l — `l` is the

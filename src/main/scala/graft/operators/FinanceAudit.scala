@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -123,7 +125,7 @@ object FinanceAudit {
       // materialize the per-customer aggregate once: it feeds the
       // rank's range sampling, the rank exchange, AND the total —
       // without this the fact scan would run three times
-      .localCheckpoint()
+      .ckpt()
     val withCum = ScaleRank.withRunningSum(
       cust, Seq.empty, Seq(col("cents").desc, col("cust")),
       col("cents"), "cum")
@@ -474,7 +476,7 @@ object FinanceAudit {
     val rev = li.groupBy(col("l_partkey").as("pk"))
       .agg(sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
         .cast("bigint")).cast("bigint").as("cents"))
-      .localCheckpoint() // feeds the rank's range sampling AND the total
+      .ckpt() // feeds the rank's range sampling AND the total
     val withCum = ScaleRank.withRunningSum(
       rev, Seq.empty, Seq(col("cents").desc, col("pk")), col("cents"), "cum")
     val tot = rev.agg(sum(col("cents")).as("t"))
@@ -786,9 +788,12 @@ object FinanceAudit {
       |WHERE a.tot > 0
       |ORDER BY nation""".stripMargin) { (s, dir) =>
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    // no broadcast hint on supplier: it is an SF-SCALED dim (10k rows
+    // per TPC-H SF — ~1B at 100 TB), so the hint would force an OOM at
+    // scale; AQE still picks broadcast at bench scale where it fits
     val sr = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.supplier(s, dir)
-        .select(col("s_suppkey"), col("s_nationkey").as("nk"))),
+      .join(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("nk")),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("nk"), col("l_suppkey").as("supp"))
       .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("bigint"))
@@ -952,7 +957,7 @@ object FinanceAudit {
           .otherwise(dec(pow(lit(2.0), lit(40) - col("age30")).cast("long"))))
         .as("dmass"),
         sum(col("cents")).as("raw_cents"))
-      .localCheckpoint() // feeds both leaderboards
+      .ckpt() // feeds both leaderboards
     val dr = g.orderBy(col("dmass").desc, col("part")).limit(10)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("dmass").desc, col("part"))))
@@ -967,9 +972,106 @@ object FinanceAudit {
       .orderBy("rank")
   }
 
+  /** q292 — FIFO lot costing: match each part's returns (issues)
+    * against its earlier shipments (receipt lots) in strict
+    * first-in-first-out order and cost the matched quantity at the
+    * consumed lot's price — the inventory-valuation step (COGS under
+    * FIFO) that every costing engine needs and that plain SQL
+    * famously makes hard. The classic formulation is a sequential
+    * cursor; the set-based one used here is the INTERVAL-ALGEBRA
+    * identity: give receipts and issues each a cumulative-quantity
+    * interval [lo, hi) per part, and FIFO matching IS interval
+    * overlap — lot i supplies issue j exactly
+    * min(r.hi, i.hi) − max(r.lo, i.lo) units when the intervals
+    * intersect.
+    *
+    * Exactness: quantities are integral (floor before BIGINT cast,
+    * the q188 contract); lot value is exact cents; the matched cost
+    * is mq·cents div q — integer division, identical in both
+    * engines; every cumulative sum orders by the unique
+    * (shipdate, orderkey, linenumber) triple.
+    *
+    * Scale design (100 TB): both cumulative windows are PARTITIONED
+    * by part (never global); the match join is an EQUI-join on
+    * partkey with the overlap predicate as a post-filter, so per-key
+    * work is lots×issues of ONE part — bounded by per-part line
+    * counts. If a single part's history outgrew a task, the standard
+    * refinement is banding the cumulative axis (band = lo div B) into
+    * an equi key — same plan shape, finer key. Top-25 is a
+    * TakeOrdered heap. */
+  val q292FifoCosting: QueryDef = {
+    val win = "PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    QueryDef(
+      "q292_fifo_costing",
+      s"""WITH r AS (
+         |  SELECT l_partkey AS pk,
+         |    CAST(floor(l_quantity) AS BIGINT) AS q,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         |    sum(CAST(floor(l_quantity) AS BIGINT)) OVER ($win)
+         |      - CAST(floor(l_quantity) AS BIGINT) AS lo,
+         |    sum(CAST(floor(l_quantity) AS BIGINT)) OVER ($win) AS hi
+         |  FROM lineitem WHERE l_returnflag <> 'R'),
+         |i AS (
+         |  SELECT l_partkey AS pk,
+         |    CAST(floor(l_quantity) AS BIGINT) AS q,
+         |    sum(CAST(floor(l_quantity) AS BIGINT)) OVER ($win)
+         |      - CAST(floor(l_quantity) AS BIGINT) AS lo,
+         |    sum(CAST(floor(l_quantity) AS BIGINT)) OVER ($win) AS hi
+         |  FROM lineitem WHERE l_returnflag = 'R'),
+         |m AS (
+         |  SELECT r.pk,
+         |    least(r.hi, i.hi) - greatest(r.lo, i.lo) AS mq,
+         |    r.cents, r.q
+         |  FROM r JOIN i ON r.pk = i.pk AND r.lo < i.hi AND i.lo < r.hi),
+         |iss AS (SELECT pk, CAST(sum(q) AS BIGINT) AS issued_qty FROM i GROUP BY pk),
+         |a AS (
+         |  SELECT pk, CAST(sum(mq) AS BIGINT) AS matched_qty,
+         |    CAST(sum(mq * cents // q) AS BIGINT) AS cogs_cents,
+         |    CAST(count(*) AS BIGINT) AS n_matches
+         |  FROM m GROUP BY pk)
+         |SELECT a.pk AS partkey, iss.issued_qty, a.matched_qty, a.cogs_cents,
+         |  a.n_matches
+         |FROM a JOIN iss ON a.pk = iss.pk
+         |ORDER BY cogs_cents DESC, partkey LIMIT 25""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("pk"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def lots(flagPred: org.apache.spark.sql.Column) = Tables.lineitem(s, dir)
+        .filter(flagPred)
+        .select(col("l_partkey").as("pk"),
+          floor(col("l_quantity")).cast("bigint").as("q"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("bigint").as("cents"),
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("hi", sum(col("q")).over(w))
+        .withColumn("lo", col("hi") - col("q"))
+      val r = lots(col("l_returnflag") =!= "R")
+        .select(col("pk"), col("q"), col("cents"), col("lo"), col("hi"))
+      val i = lots(col("l_returnflag") === "R")
+        .select(col("pk").as("ipk"), col("q").as("iq"),
+          col("lo").as("ilo"), col("hi").as("ihi"))
+      val m = r.join(i, col("pk") === col("ipk") &&
+          col("lo") < col("ihi") && col("ilo") < col("hi"))
+        .select(col("pk"),
+          (least(col("hi"), col("ihi")) - greatest(col("lo"), col("ilo"))).as("mq"),
+          col("cents"), col("q"))
+      val iss = i.groupBy(col("ipk").as("pk"))
+        .agg(sum(col("iq")).as("issued_qty"))
+      val a = m.groupBy(col("pk"))
+        .agg(sum(col("mq")).as("matched_qty"),
+          sum(expr("mq * cents div q")).as("cogs_cents"),
+          count(lit(1)).as("n_matches"))
+      a.join(iss, Seq("pk"))
+        .select(col("pk").as("partkey"), col("issued_qty"), col("matched_qty"),
+          col("cogs_cents"), col("n_matches"))
+        .orderBy(col("cogs_cents").desc, col("partkey"))
+        .limit(25)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q188DupCharge, q189ParetoAbc, q192Vwap, q193Drawdown, q194Aging,
     q195RoundBias, q210DiffInDiff, q211AbcXyz, q214LedgerRegister,
     q218WeeklyKpi, q222VelocityScreen, q253PriceVolumeMix, q263Hhi,
-    q271Proration, q282DecayedTopk)
+    q271Proration, q282DecayedTopk, q292FifoCosting)
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -186,7 +188,7 @@ object Forecast {
         lit("1970-01-01")).cast("bigint").as("d"))
       .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
         .cast("bigint")).cast("bigint").as("x"))
-      .localCheckpoint() // one fact collapse feeds both join sides
+      .ckpt() // one fact collapse feeds both join sides
     // pair generation: broadcast the tiny axis against an 8-way
     // repartition of itself — the nested loop parallelizes over the
     // stream side, so |days|²/2 pairs materialize on 8 tasks, not 1
@@ -336,7 +338,7 @@ object Forecast {
       .withColumn("score",
         expr("CAST(sxl AS DOUBLE) * CAST(sxl AS DOUBLE) / t " +
           "+ CAST(sx - sxl AS DOUBLE) * CAST(sx - sxl AS DOUBLE) / (n - t)"))
-      .localCheckpoint() // feeds the max frame and the final pick
+      .ckpt() // feeds the max frame and the final pick
     val mx = cand.agg(max(col("score")).as("ms"))
     val best = cand.crossJoin(broadcast(mx))
       .filter(col("score") === col("ms"))
@@ -397,7 +399,7 @@ object Forecast {
       .groupBy(col("o_orderdate").cast("date").as("day"))
       .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("bigint"))
         .as("cents"))
-      .localCheckpoint() // day axis feeds both sides of the lag join
+      .ckpt() // day axis feeds both sides of the lag join
     val probes = d.select(col("day"), col("cents"),
       explode(expr("sequence(-3, 3)")).as("off"))
       .select(col("day"), col("cents"),
@@ -427,7 +429,7 @@ object Forecast {
       .groupBy(col("o_orderdate").cast("date").as("day"))
       .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("bigint"))
         .as("cents"))
-      .localCheckpoint()
+      .ckpt()
     val probes = d.select(col("day"), col("cents"),
       explode(expr("sequence(-3, 3)")).as("off"))
       .select(col("day"), col("cents"),
@@ -440,7 +442,7 @@ object Forecast {
       .filter(col("c7") === 7)
       .select(col("day"), col("cents"), expr("s7 div 7").as("trend_cents"),
         (col("cents") - expr("s7 div 7")).as("det_cents"))
-      .localCheckpoint()
+      .ckpt()
   }
 
   /** The matching oracle CTE chain (d, w, det — `det` carries day,
@@ -517,7 +519,7 @@ object Forecast {
         dayofweek(col("day")) === col("dow"))
       .select(col("day"), col("cents"), col("trend_cents"),
         (col("det_cents") * 1000 - col("smilli")).as("resid_milli"))
-      .localCheckpoint() // feeds the moment pass AND the scoring pass
+      .ckpt() // feeds the moment pass AND the scoring pass
     val m = res.agg(count(lit(1)).as("n"),
       sum(dec(col("resid_milli"))).as("sr"),
       sum(dec(col("resid_milli")) * col("resid_milli")).as("srr"))

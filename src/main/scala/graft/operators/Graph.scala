@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -16,8 +18,17 @@ object Graph {
     * item arrays expand map-side into C(k,2) canonical pairs (q107's
     * structure), so the only shuffles are the basket distinct and the
     * pair count. Checkpointed because every caller reuses it on
-    * multiple join sides. */
+    * multiple join sides, and memoized per (session, dir, minPair)
+    * because FOUR separate queries (q150/q155/q238/q275) derive this
+    * identical frame in one Verify/Bench process — the cluster
+    * equivalent of a shared materialized view. */
   private[graft] def coPurchaseEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String, minPair: Int) =
+    graft.FrameCache.getOrBuild(s, s"coPurchaseEdges:$dir:$minPair") {
+      coPurchaseEdgesBuild(s, dir, minPair)
+    }
+
+  private def coPurchaseEdgesBuild(
       s: org.apache.spark.sql.SparkSession, dir: String, minPair: Int) =
     Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -33,7 +44,7 @@ object Graph {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minPair)
       .select(col("a"), col("b2"))
-      .localCheckpoint()
+      .ckpt()
 
   /** q104 — triangle counting over the token co-occurrence graph
     * (nodes = tokens, edge when two tokens are adjacent in ≥ T
@@ -87,7 +98,7 @@ object Graph {
       val edges = pairs.groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= T)
         .select(col("a"), col("b"))
-        .localCheckpoint()
+        .ckpt()
       val nodes = edges.select(col("a").as("node"))
         .union(edges.select(col("b").as("node")))
         .agg(countDistinct(col("node")).as("n_nodes"))
@@ -143,18 +154,18 @@ object Graph {
       .filter(col("child") <= col("mx"))
       .select(col("parent"), col("child"),
         (lit(1L) + col("child") % 3).as("eqty"))
-      .localCheckpoint() // reused by every frontier level
+      .ckpt() // reused by every frontier level
     var frontier = part.filter(col("p_partkey") < 10)
       .select(col("p_partkey").as("root"), col("p_partkey").as("node"),
         lit(1L).as("qty"))
-      .localCheckpoint()
+      .ckpt()
     var acc = frontier
     var more = true
     while (more) {
       frontier = frontier.join(edges, col("node") === col("parent"))
         .select(col("root"), col("child").as("node"),
           (col("qty") * col("eqty")).as("qty"))
-        .localCheckpoint() // cut lineage per level
+        .ckpt() // cut lineage per level
       if (frontier.isEmpty) more = false
       else acc = acc.unionByName(frontier)
     }
@@ -223,7 +234,7 @@ object Graph {
           .join(deg.select(col("node").as("a")), Seq("a"), "left_semi")
           .join(deg.select(col("node").as("b2")), Seq("b2"), "left_semi")
           .select(col("a"), col("b2"))
-          .localCheckpoint()
+          .ckpt()
         (i.toLong, nNodes, edges.count())
       }
       import s.implicits._
@@ -287,7 +298,7 @@ object Graph {
         .unionByName(edges.select(col("b2").as("n"), col("a").as("nb")))
       val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("d"))
       val centers = deg.filter(col("d") <= DCAP).select(col("n"))
-      val cadj = adj.join(centers, Seq("n"), "left_semi").localCheckpoint()
+      val cadj = adj.join(centers, Seq("n"), "left_semi").ckpt()
       val wedges = cadj.select(col("n"), col("nb").as("x"))
         .join(cadj.select(col("n"), col("nb").as("y")), Seq("n"))
         .filter(col("x") < col("y"))
@@ -368,7 +379,7 @@ object Graph {
       val e = coPurchaseEdges(s, dir, MIN_PAIR)
       val adj = e.select(col("a").as("v"), col("b2").as("u"))
         .unionByName(e.select(col("b2").as("v"), col("a").as("u")))
-        .localCheckpoint()
+        .ckpt()
       def summarize(r: Int, cdf: org.apache.spark.sql.DataFrame) =
         cdf.groupBy(col("c")).agg(count(lit(1)).as("m"))
           .agg(count(lit(1)).as("n_colors"), max(col("m")).as("max_class"),
@@ -377,7 +388,7 @@ object Graph {
             col("max_class"), col("n_singletons"))
       var color = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
         .select(col("v"), md5(col("deg").cast("string")).as("c"))
-        .localCheckpoint()
+        .ckpt()
       var out = summarize(0, color)
       for (r <- 1 to R) {
         val nh = adj
@@ -389,7 +400,7 @@ object Graph {
         color = color.join(nh, Seq("v"))
           .select(col("v"),
             md5(concat(col("c"), lit(":"), col("sh").cast("string"))).as("c"))
-          .localCheckpoint()
+          .ckpt()
         out = out.unionByName(summarize(r, color))
       }
       out.orderBy("round")
@@ -463,7 +474,7 @@ object Graph {
       val deg = e.select(col("a").as("node"))
         .unionByName(e.select(col("b2").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
-        .localCheckpoint()
+        .ckpt()
       import s.implicits._
       val rows = KS.map { k =>
         val hubs = deg.orderBy(col("d").desc, col("node")).limit(k)
@@ -606,12 +617,12 @@ object Graph {
         .groupBy(col("p").as("a"), col("p2").as("b2"))
         .agg((-count(lit(1))).as("w"))
         .filter(-col("w") >= MIN_PAIR)
-        .localCheckpoint()
+        .ckpt()
       var lab = e.select(col("a").as("node"))
         .unionByName(e.select(col("b2").as("node")))
         .distinct()
         .select(col("node"), col("node").as("l"))
-        .localCheckpoint()
+        .ckpt()
       var forest: DataFrame = null
       val rows = (1 to R).map { r =>
         val nBefore = lab.select(col("l")).distinct().count()
@@ -622,7 +633,7 @@ object Graph {
         val es = el.select(col("c"), col("oc"), col("w"), col("a"), col("b2"))
           .unionByName(el.select(col("oc").as("c"), col("c").as("oc"),
             col("w"), col("a"), col("b2")))
-          .localCheckpoint()
+          .ckpt()
         val w1 = es.groupBy(col("c")).agg(min(col("w")).as("w"))
         val w2 = es.join(w1, Seq("c", "w"))
           .groupBy(col("c"), col("w")).agg(min(col("a")).as("a"))
@@ -631,13 +642,13 @@ object Graph {
         val po = es.join(pick, Seq("c", "w", "a", "b2"))
           .groupBy(col("c"), col("a"), col("b2"), col("w"))
           .agg(min(col("oc")).as("oc"))
-          .localCheckpoint()
+          .ckpt()
         val picked = po.select(col("a"), col("b2"), col("w")).distinct()
         forest = (if (forest == null) picked
-          else forest.unionByName(picked).distinct()).localCheckpoint()
+          else forest.unionByName(picked).distinct()).ckpt()
         val cg = po.select(col("c"), col("oc"))
           .unionByName(po.select(col("oc").as("c"), col("c").as("oc")))
-          .localCheckpoint()
+          .ckpt()
         // contraction = connected components of the COMPONENT graph:
         // the oracle's J=12 pointer jumps reach the same min-label
         // fixpoint (2^12 exceeds any possible chain length at gate
@@ -652,11 +663,11 @@ object Graph {
         val cl = lab.select(col("l").as("c")).distinct()
           .join(merged, Seq("c"), "left")
           .select(col("c"), coalesce(col("l2"), col("c")).as("l"))
-          .localCheckpoint()
+          .ckpt()
         lab = lab.select(col("node"), col("l").as("c"))
           .join(cl, Seq("c"))
           .select(col("node"), col("l"))
-          .localCheckpoint()
+          .ckpt()
         val nAfter = lab.select(col("l")).distinct().count()
         val nForest = forest.count()
         val weight = forest.agg(coalesce(sum(-col("w")), lit(0L)))

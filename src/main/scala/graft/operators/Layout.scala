@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -252,7 +254,7 @@ object Layout {
       .select((0 until SHARDS9).map(i => h(i).as(s"h$i")): _*)
     val a = w.select(pick(SHARDS8).cast("bigint").as("s8"),
         pick(SHARDS9).cast("bigint").as("s9"))
-      .localCheckpoint() // feeds all three count passes
+      .ckpt() // feeds all three count passes
     val c8 = a.groupBy(col("s8").as("shard")).agg(count(lit(1)).as("n8"))
     val c9 = a.groupBy(col("s9").as("shard")).agg(count(lit(1)).as("n9"))
     val mv = a.filter(col("s8") =!= col("s9"))
@@ -439,7 +441,7 @@ object Layout {
         |  'l_orderkey', CAST(ok AS STRING), ok,
         |  'l_shipdate', CAST(sd AS STRING), sd
         |) as (cname, val_s, val_n)""".stripMargin),
-      col("pos")).localCheckpoint() // feeds both join sides
+      col("pos")).ckpt() // feeds both join sides
     val nbr = u.select(col("cname"), (col("pos") + 1).as("pos"),
       col("val_s").as("pv"), col("val_n").as("pn"))
     val st = u.join(nbr, Seq("cname", "pos"), "left")
@@ -598,7 +600,7 @@ object Layout {
       val keyed = withHilbert(d, "x", "y", 6, "hv")
         .withColumn("zv", zval("x", "y", 6))
         .withColumnRenamed("x", "sz").withColumnRenamed("y", "pb")
-        .localCheckpoint() // feeds all three layout rankings
+        .ckpt() // feeds all three layout rankings
       def layoutStats(lay: String, sort: Seq[Column]): DataFrame =
         ScaleRank.withRowNumber(keyed, Nil, sort, "rn", "__nr")
           .withColumn("fid",
@@ -725,7 +727,7 @@ object Layout {
         .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"))
         .select((lit(7) - col("gid")).cast("bigint").as("mask"))
         .groupBy(col("mask")).agg(count(lit(1)).as("vsize"))
-        .localCheckpoint() // the 8-row lattice feeds every round
+        .ckpt() // the 8-row lattice feeds every round
       import s.implicits._
       val names = Seq((0L, "total"), (1L, "P"), (2L, "L"), (3L, "L,P"),
         (4L, "R"), (5L, "R,P"), (6L, "R,L"), (7L, "R,L,P"))
@@ -740,7 +742,7 @@ object Layout {
             .select(col("mask").as("vm"), col("vsize"))),
             ans(col("wm"), col("vm")))
           .groupBy(col("wm")).agg(min(col("vsize")).as("cost"))
-      var m = Seq(7L).toDF("mask").localCheckpoint()
+      var m = Seq(7L).toDF("mask").ckpt()
       val out = (1 to R).map { r =>
         val cc = curCost(m)
         val bene = lat.join(m.withColumnRenamed("mask", "got"),
@@ -753,8 +755,8 @@ object Layout {
         val pick = bene.crossJoin(broadcast(mx))
           .filter(col("benefit") === col("mb"))
           .agg(min(col("vm")).as("mask"))
-          .localCheckpoint()
-        m = m.unionByName(pick).localCheckpoint()
+          .ckpt()
+        m = m.unionByName(pick).ckpt()
         val total = curCost(m).agg(sum(col("cost")).as("total"))
         pick
           .join(broadcast(names), Seq("mask"))

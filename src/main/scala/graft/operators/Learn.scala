@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -116,15 +118,15 @@ object Learn {
          |ORDER BY a.cid""".stripMargin
     QueryDef("q95_kmeans", oracle) { (s, dir) =>
       // materialize ONCE: every assign/update round re-reads these rows
-      val pts = points(Tables.embeddings(s, dir)).localCheckpoint()
+      val pts = points(Tables.embeddings(s, dir)).ckpt()
       var cent = pts.filter(col("vec_id") < K)
         .select(col("vec_id").as("cid"), col("pos"), col("q").as("c"))
       var asg: DataFrame = null
       for (_ <- 1 to ITERS) {
         // tiny frames (k·dim and N rows) — checkpoint to truncate the
         // per-round lineage, the q37/q65/q94 iterative pattern
-        asg = assign(pts, cent).localCheckpoint()
-        cent = update(asg, pts).localCheckpoint()
+        asg = assign(pts, cent).ckpt()
+        cent = update(asg, pts).ckpt()
       }
       asg.groupBy(col("cid"))
         .agg(count(lit(1)).as("n_points"), sum(col("dist")).as("inertia"))
@@ -159,7 +161,7 @@ object Learn {
          |ORDER BY l.label, pred""".stripMargin
     QueryDef("q96_centroid_classify", oracle) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val pts = points(emb).localCheckpoint()
+      val pts = points(emb).ckpt()
       val lab = emb.select(col("vec_id"), col("label"))
       val ctrain = pts.filter(col("vec_id") % 2 === 0)
         .join(lab, Seq("vec_id"))
@@ -272,7 +274,7 @@ object Learn {
           expr("(q - pmod(q, 125000)) div 125000").as("qb"),
           col("label"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .ckpt()
       val pc = cube.filter(col("pos") === 1)
         .groupBy(col("label")).agg(sum(col("c")).as("cp"))
       val nTot = pc.agg(sum(col("cp")).as("n"))
@@ -375,7 +377,7 @@ object Learn {
          |FROM conf GROUP BY 1 ORDER BY bin""".stripMargin
     QueryDef("q174_calibration", oracle) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val pts = points(emb).localCheckpoint()
+      val pts = points(emb).ckpt()
       val lab = emb.select(col("vec_id"), col("label"))
       val ctrain = pts.filter(col("vec_id") % 2 === 0)
         .join(lab, Seq("vec_id"))
@@ -436,13 +438,13 @@ object Learn {
          |FROM top t JOIN tot USING (cid) ORDER BY t.cid""".stripMargin
     QueryDef("q159_cluster_purity", oracle) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val pts = points(emb).localCheckpoint()
+      val pts = points(emb).ckpt()
       var cent = pts.filter(col("vec_id") < K)
         .select(col("vec_id").as("cid"), col("pos"), col("q").as("c"))
       var asg: DataFrame = null
       for (_ <- 1 to ITERS) {
-        asg = assign(pts, cent).localCheckpoint()
-        cent = update(asg, pts).localCheckpoint()
+        asg = assign(pts, cent).ckpt()
+        cent = update(asg, pts).ckpt()
       }
       val lab = asg.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
         .groupBy(col("cid"), col("label"))
@@ -538,9 +540,9 @@ object Learn {
       .select(col("doc_id"), col("source"), col("text"))
     val ttok = tr.select(col("source").as("c"),
         explode(split(col("text"), " ")).as("w"))
-      .localCheckpoint() // feeds (class,word) counts AND the vocab size
+      .ckpt() // feeds (class,word) counts AND the vocab size
     val cw = ttok.groupBy("c", "w").agg(count(lit(1)).as("cwc"))
-      .localCheckpoint() // feeds class totals, vocab list, lp table
+      .ckpt() // feeds class totals, vocab list, lp table
     val nc = cw.groupBy("c").agg(sum("cwc").as("n"))
     val vv = ttok.agg(countDistinct("w").as("v"))
     val pri = tr.groupBy(col("source").as("c")).agg(count(lit(1)).as("dc"))
@@ -759,7 +761,7 @@ object Learn {
           .cast("long") + DB_SHIFT).as("qy"))
       .withColumn("cx", expr(s"qx div $DB_EPS"))
       .withColumn("cy", expr(s"qy div $DB_EPS"))
-      .localCheckpoint() // probe side + build side + the noise rollup
+      .ckpt() // probe side + build side + the noise rollup
     val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
     val probes = pg.select(col("vec_id").as("a"), col("qx").as("qxa"),
@@ -776,7 +778,7 @@ object Learn {
         (col("qya") - col("qyb")) * (col("qya") - col("qyb")) <=
         DB_EPS * DB_EPS)
       .select(col("a"), col("b"))
-      .localCheckpoint() // feeds cores, edges, and the border pass
+      .ckpt() // feeds cores, edges, and the border pass
     val cores = prs.groupBy(col("a")).agg(count(lit(1)).as("n_nb"))
       .filter(col("n_nb") >= DB_MINPTS - 1).select(col("a").as("core"))
     val edges = prs.filter(col("a") < col("b"))
@@ -870,7 +872,7 @@ object Learn {
     * small constant, so the plan is k linear passes. */
   val q249KCenter: QueryDef = QueryDef("q249_kcenter", kcenterOracleSql) {
     (s, dir) =>
-    val pts = points(Tables.embeddings(s, dir)).localCheckpoint()
+    val pts = points(Tables.embeddings(s, dir)).ckpt()
     def centerVec(cid: DataFrame): DataFrame =
       pts.join(broadcast(cid), pts("vec_id") === cid("cid"))
         .select(col("pos"), col("q").as("qc"))
@@ -878,22 +880,22 @@ object Learn {
       pts.join(broadcast(cv), Seq("pos"))
         .groupBy(col("vec_id"))
         .agg(sum((col("q") - col("qc")) * (col("q") - col("qc"))).as("dc"))
-    val c0 = pts.agg(min(col("vec_id")).as("cid")).localCheckpoint()
+    val c0 = pts.agg(min(col("vec_id")).as("cid")).ckpt()
     var rows = c0.select(lit(1L).as("rk"), col("cid").as("vec_id"),
       lit(0L).as("radius_sq"))
     var d = distTo(centerVec(c0))
-      .select(col("vec_id"), col("dc").as("dmin")).localCheckpoint()
+      .select(col("vec_id"), col("dc").as("dmin")).ckpt()
     for (r <- 2 to KC_K) {
       val mx = d.agg(max(col("dmin")).as("mx"))
       val pick = d.crossJoin(broadcast(mx))
         .filter(col("dmin") === col("mx"))
         .agg(min(col("vec_id")).as("cid"), max(col("mx")).as("r2"))
-        .localCheckpoint()
+        .ckpt()
       rows = rows.unionByName(pick.select(lit(r.toLong).as("rk"),
         col("cid").as("vec_id"), col("r2").as("radius_sq")))
       d = d.join(distTo(centerVec(pick.select(col("cid")))), Seq("vec_id"))
         .select(col("vec_id"), least(col("dmin"), col("dc")).as("dmin"))
-        .localCheckpoint()
+        .ckpt()
     }
     rows.orderBy("rk")
   }
@@ -950,7 +952,7 @@ object Learn {
         floor(col("o_totalprice") / 25000).cast("bigint")).as("bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("s"))
-      .localCheckpoint() // <=20 rows; feeds intervals, minimax, and output
+      .ckpt() // <=20 rows; feeds intervals, minimax, and output
     val iv = broadcast(b.select(col("bin").as("jb")))
       .join(broadcast(b.select(col("bin").as("kb"))), col("jb") <= col("kb"))
       .join(broadcast(b.select(col("bin").as("mb"), col("n"), col("s"))),
@@ -1026,7 +1028,7 @@ object Learn {
       .agg(count(lit(1)).as("n"),
         sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("s"))
       .withColumn("raw_ppm", expr("(1000000 * s) div n"))
-      .localCheckpoint() // feeds the moment pass AND the posterior pass
+      .ckpt() // feeds the moment pass AND the posterior pass
     val m = r.agg(count(lit(1)).as("nc"),
       sum(dec(col("raw_ppm"))).as("sr"),
       sum(dec(col("raw_ppm")) * col("raw_ppm")).as("srr"))
@@ -1200,7 +1202,7 @@ object Learn {
           .as("x1q"),
         (col("n_pre") * 1000000).as("x2q"),
         when(col("n_post") === 0, 1).otherwise(0).as("y"))
-      .localCheckpoint() // both Newton passes and the scoring pass
+      .ckpt() // both Newton passes and the scoring pass
     def moments(beta: DataFrame): DataFrame =
       feat.crossJoin(broadcast(beta))
         .agg(
@@ -1217,7 +1219,7 @@ object Learn {
           min(col("b2")).as("b2"))
     def update(mom: DataFrame): DataFrame =
       mom.select(expr(lrUpd(0)).as("b0"), expr(lrUpd(1)).as("b1"),
-        expr(lrUpd(2)).as("b2")).localCheckpoint()
+        expr(lrUpd(2)).as("b2")).ckpt()
     import s.implicits._
     val beta0 = Seq((0L, 0L, 0L)).toDF("b0", "b1", "b2")
     val beta2 = update(moments(update(moments(beta0))))
@@ -1247,8 +1249,103 @@ object Learn {
     m1.unionByName(m2).orderBy("metric")
   }
 
+  /** q296 — information-gain feature ranking: for each candidate
+    * categorical feature (order priority, customer segment, order
+    * year), the mutual information IG(Y; X) = H(Y) − H(Y|X) against
+    * the binary "order finalized" label — the feature-selection
+    * screen run before training any tree/NB model (q173's stump picks
+    * ONE split by Gini; this ranks whole FEATURES by entropy). Also
+    * the standard leakage smell-test: a feature with IG ≈ H(Y) is a
+    * label proxy.
+    *
+    * Exactness: all counts are exact integers; every entropy term is
+    * ONE shared SQL string (the q286 contract — Spark `expr()` parses
+    * the SAME text DuckDB runs) evaluated per feature VALUE and
+    * floored to nano-nats BEFORE the integer sum, so cross-engine
+    * equality is by construction (the q83 per-term-floor trick).
+    *
+    * Scale design (100 TB): one partial-aggregable pass per feature
+    * collapses facts to (value, n, n₁) grain (≤ |domain| rows — 5
+    * priorities, 5 segments, ~7 years); the label total is a 1-row
+    * frame joined into each; the final union is 3 rows. The segment
+    * feature's customer join is a plain equi-join (SF-scaled dim —
+    * never hint-broadcast; AQE decides). */
+  val q296InfoGain: QueryDef = {
+    // shared between engines: -(p ln p) with the 0·ln0 := 0 guard, as
+    // ONE text both parsers compile — p = num/den as DOUBLE
+    def plogp(num: String, den: String): String =
+      s"(CASE WHEN $num > 0 THEN (CAST($num AS DOUBLE) / $den) * " +
+        s"ln(CAST($num AS DOUBLE) / $den) ELSE CAST(0.0 AS DOUBLE) END)"
+    // per-value conditional term, floored to nano-nats: weight nv/nt
+    // times the binary entropy of (n1 of nv)
+    def termNano(n1: String, nv: String, nt: String): String =
+      s"CAST(floor(-1000000000.0 * (CAST($nv AS DOUBLE) / $nt) * " +
+        s"(${plogp(n1, nv)} + ${plogp(s"($nv - $n1)", nv)})) AS BIGINT)"
+    val hyNano = termNano("n1t", "nt", "nt")
+    val condNano = termNano("n1", "nv", "nt")
+    QueryDef(
+      "q296_info_gain",
+      s"""WITH lab AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+         |    o_orderpriority AS prio,
+         |    CAST(year(o_orderdate) AS VARCHAR) AS yr
+         |  FROM orders),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nt, CAST(sum(y) AS BIGINT) AS n1t
+         |  FROM lab),
+         |f AS (
+         |  SELECT 'priority' AS feature, prio AS v,
+         |    CAST(count(*) AS BIGINT) AS nv, CAST(sum(y) AS BIGINT) AS n1
+         |  FROM lab GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'year', yr, CAST(count(*) AS BIGINT), CAST(sum(y) AS BIGINT)
+         |  FROM lab GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'segment', c.c_mktsegment,
+         |    CAST(count(*) AS BIGINT), CAST(sum(y) AS BIGINT)
+         |  FROM lab JOIN customer c ON lab.o_custkey = c.c_custkey
+         |  GROUP BY 1, 2),
+         |per AS (
+         |  SELECT feature, CAST(count(*) AS BIGINT) AS n_values,
+         |    CAST(sum($condNano) AS BIGINT) AS h_cond_nano
+         |  FROM f CROSS JOIN tot GROUP BY feature),
+         |hy AS (SELECT $hyNano AS h_y_nano FROM tot)
+         |SELECT feature, n_values, hy.h_y_nano, per.h_cond_nano,
+         |  hy.h_y_nano - per.h_cond_nano AS ig_nano
+         |FROM per CROSS JOIN hy ORDER BY feature""".stripMargin) { (s, dir) =>
+      val lab = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderstatus") === "F", 1).otherwise(0).as("y"),
+          col("o_orderpriority").as("prio"),
+          year(col("o_orderdate")).cast("string").as("yr"))
+        .ckpt() // feeds the total AND all three feature passes
+      val tot = lab.agg(count(lit(1)).as("nt"), sum(col("y")).cast("bigint").as("n1t"))
+      def valueFrame(name: String, df: DataFrame, v: Column) =
+        df.groupBy(v.as("v"))
+          .agg(count(lit(1)).as("nv"), sum(col("y")).cast("bigint").as("n1"))
+          .select(lit(name).as("feature"), col("v"), col("nv"), col("n1"))
+      val f = valueFrame("priority", lab, col("prio"))
+        .unionByName(valueFrame("year", lab, col("yr")))
+        .unionByName(valueFrame("segment",
+          lab.join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey")),
+          col("c_mktsegment")))
+      val per = f.crossJoin(broadcast(tot))
+        .groupBy(col("feature"))
+        .agg(count(lit(1)).as("n_values"),
+          sum(expr(condNano)).cast("bigint").as("h_cond_nano"))
+      val hy = tot.select(expr(hyNano).as("h_y_nano"))
+      per.crossJoin(broadcast(hy))
+        .select(col("feature"), col("n_values"), col("h_y_nano"),
+          col("h_cond_nano"),
+          (col("h_y_nano") - col("h_cond_nano")).as("ig_nano"))
+        .orderBy("feature")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q95Kmeans, q96CentroidClassify,
     q159ClusterPurity, q173Stump, q174Calibration, q227NaiveBayes,
     q235Conformal, q238Dbscan, q249KCenter, q255Isotonic, q259EbShrinkage,
-    q286Logistic)
+    q286Logistic, q296InfoGain)
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
@@ -184,7 +186,7 @@ object Linalg {
       val g = pts.as("a").join(pts.as("b"), Seq("vec_id"))
         .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
         .agg(sum(dec(col("a.q")) * dec(col("b.q"))).as("gv"))
-        .localCheckpoint()
+        .ckpt()
       var v = Seq((1, 1000L)).toDF("vi", "val")
       for (_ <- 1 to ROUNDS) {
         val u = g.join(broadcast(v), col("j") === col("vi"))
@@ -196,7 +198,7 @@ object Linalg {
               floor(lit(VSCALE.toDouble) * col("u").cast("double") / col("mx"))
                 .cast("long"))
               .otherwise(lit(0L)).as("val"))
-          .localCheckpoint() // 64-row frame; cut the per-round lineage
+          .ckpt() // 64-row frame; cut the per-round lineage
       }
       val tr = g.filter(col("i") === col("j")).agg(sum(col("gv")).as("trace"))
       val vtv = v.agg(sum(dec(col("val")) * dec(col("val"))).as("vv"))
@@ -283,8 +285,10 @@ object Linalg {
       .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
       .join(Tables.orders(s, dir),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+      // no broadcast hint: customer is SF-scaled (150k/SF) — AQE
+      // chooses broadcast where it fits; pinning it would OOM at 100 TB
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg")),
         col("o_custkey") === col("c_custkey"))
       .select(col("seg"),
         floor(lit(1000000000.0) *

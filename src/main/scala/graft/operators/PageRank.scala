@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -49,17 +51,29 @@ object PageRank {
       .unionAll(bought.select(col("p").as("src"), col("c").as("dst")))
   }
 
-  def compute(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val e = edges(orders, lineitem)
-    // outdeg rides ON the edge row: one static (src, dst, outdeg) list
-    // materialized once, so each round is ONE join + one agg — not a
-    // second outdeg join per iteration. Computed via a window over
-    // src: ONE shuffle and ONE pass over the edge derivation (a
-    // self-join e ⋈ groupBy(e) would execute the whole
-    // orders⋈lineitem→distinct lineage twice, once per side).
-    val eDeg = e.withColumn("outdeg",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .localCheckpoint()
+  /** The checkpointed bipartite edge list, memoized per (session,
+    * dir): q65, q241 and q270 all derive this identical frame in one
+    * Verify/Bench process — share it like a materialized view. */
+  private[operators] def ckptEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.FrameCache.getOrBuild(s, s"prBipartiteEdges:$dir") {
+      edges(Tables.orders(s, dir), Tables.lineitem(s, dir)).ckpt()
+    }
+
+  def compute(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    computeFrom(withOutdeg(edges(orders, lineitem)).ckpt())
+
+  // outdeg rides ON the edge row: one static (src, dst, outdeg) list
+  // materialized once, so each round is ONE join + one agg — not a
+  // second outdeg join per iteration. Computed via a window over
+  // src: ONE shuffle and ONE pass over the edge derivation (a
+  // self-join e ⋈ groupBy(e) would execute the whole
+  // orders⋈lineitem→distinct lineage twice, once per side).
+  private def withOutdeg(e: DataFrame): DataFrame =
+    e.withColumn("outdeg",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+
+  private def computeFrom(eDeg: DataFrame): DataFrame = {
     var ranks = eDeg.select(col("src").as("node")).distinct()
       .select(col("node"), lit(SCALE).as("rank"))
     for (_ <- 1 to ITERS) {
@@ -109,7 +123,9 @@ object PageRank {
   }
 
   val q65PageRank: QueryDef = QueryDef("q65_pagerank", oracleSql) { (s, dir) =>
-    compute(Tables.orders(s, dir), Tables.lineitem(s, dir))
+    computeFrom(graft.FrameCache.getOrBuild(s, s"prEdgesDeg:$dir") {
+      withOutdeg(ckptEdges(s, dir)).ckpt()
+    })
       .select(col("node"), col("rank"),
         when(col("node") >= PART_OFFSET, "part").otherwise("customer").as("node_type"))
       .orderBy(col("rank").desc, col("node"))
@@ -184,7 +200,7 @@ object PageRank {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     var h = e.select(col("c")).distinct()
       .select(col("c"), lit(SCALE).as("h"))
     var a: DataFrame = null
@@ -194,13 +210,13 @@ object PageRank {
       // re-execute every earlier round multiplicatively per branch
       val ar = broadcast(h).join(e, Seq("c"))
         .groupBy(col("p")).agg(sum(col("h")).as("ar"))
-        .localCheckpoint()
+        .ckpt()
       val am = ar.agg(max(col("ar")).as("am"))
       a = ar.crossJoin(broadcast(am))
         .select(col("p"), expr(s"(ar * $SCALE) div am").as("a"))
       val hr = broadcast(a).join(e, Seq("p"))
         .groupBy(col("c")).agg(sum(col("a")).as("hr"))
-        .localCheckpoint()
+        .ckpt()
       val hm = hr.agg(max(col("hr")).as("hm"))
       h = hr.crossJoin(broadcast(hm))
         .select(col("c"), expr(s"(hr * $SCALE) div hm").as("h"))
@@ -254,8 +270,7 @@ object PageRank {
     * is a TakeOrdered heap. */
   val q241LabelProp: QueryDef = QueryDef("q241_label_prop", lpaOracleSql) {
     (s, dir) =>
-    val e = edges(Tables.orders(s, dir), Tables.lineitem(s, dir))
-      .localCheckpoint()
+    val e = ckptEdges(s, dir)
     lpaLabels(e).groupBy(col("lab"))
       .agg(count(lit(1)).as("n_members"),
         sum(when(col("node") < PART_OFFSET, 1L).otherwise(0L)).as("n_cust"),
@@ -270,7 +285,7 @@ object PageRank {
   private def lpaLabels(e: DataFrame): DataFrame = {
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
-      .localCheckpoint()
+      .ckpt()
     for (_ <- 1 to LPA_ITERS) {
       val nbr = e.join(broadcast(labels.withColumnRenamed("node", "dst")),
           Seq("dst"))
@@ -283,7 +298,7 @@ object PageRank {
       labels = vc.join(broadcast(mx.withColumnRenamed("mc", "c")),
           Seq("node", "c"))
         .groupBy(col("node")).agg(min(col("cand")).as("lab"))
-        .localCheckpoint()
+        .ckpt()
     }
     labels
   }
@@ -370,9 +385,8 @@ object PageRank {
        |  FROM comm)
        |SELECT * FROM tot UNION ALL SELECT * FROM top
        |ORDER BY n_members DESC, lab""".stripMargin) { (s, dir) =>
-    val e = edges(Tables.orders(s, dir), Tables.lineitem(s, dir))
-      .localCheckpoint()
-    val lab = lpaLabels(e).localCheckpoint()
+    val e = ckptEdges(s, dir)
+    val lab = lpaLabels(e).ckpt()
     val m2 = e.agg(count(lit(1)).as("m"))
     val el = e
       .join(lab.select(col("node").as("src"), col("lab").as("ls")), Seq("src"))
@@ -393,7 +407,7 @@ object PageRank {
             (col("deg_sum").cast("double") / md) *
             (col("deg_sum").cast("double") / md)))
           .cast("bigint").as("contrib_nano"))
-      .localCheckpoint() // feeds the top-25 heap AND the total row
+      .ckpt() // feeds the top-25 heap AND the total row
     val top = comm.orderBy(col("n_members").desc, col("lab")).limit(25)
     val tot = comm.agg(sum(col("n_members")).as("n_members"),
         sum(col("in_edges")).as("in_edges"),
@@ -464,7 +478,7 @@ object PageRank {
         .as("w"))
     val e = ew.select(col("c").as("src"), col("p").as("dst"), col("w"))
       .unionAll(ew.select(col("p").as("src"), col("c").as("dst"), col("w")))
-      .localCheckpoint()
+      .ckpt()
     var dist = e.sparkSession.range(1)
       .select(lit(SSSP_SOURCE).as("node"), lit(0L).as("dist"))
     for (_ <- 1 to SSSP_ROUNDS) {
@@ -473,7 +487,7 @@ object PageRank {
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = relaxed.unionAll(dist)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .ckpt()
     }
     dist.select(col("node"), col("dist"),
         when(col("node") >= PART_OFFSET, "part").otherwise("customer")

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
@@ -299,7 +301,7 @@ object Privacy {
       .groupBy(col("c_nationkey").as("nation"), col("c_mktsegment").as("seg"),
         expr(bucketSql.format("div")).as("bucket"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // feeds group totals, global histogram, grid
+      .ckpt() // feeds group totals, global histogram, grid
     val gt = g.groupBy("nation", "seg").agg(sum("n").as("ng"))
     val gl = g.groupBy("bucket").agg(sum("n").as("m"))
     val tot = gl.agg(count(lit(1)).as("mcnt"), sum("m").as("nn"))
@@ -388,7 +390,7 @@ object Privacy {
     val rep = base.join(broadcast(cats), col("idx") === col("ri"))
       .select(when(col("coin") < 3, col("true_cat")).otherwise(col("cat"))
         .as("rep_cat"), col("true_cat"))
-      .localCheckpoint() // feeds total + both count passes
+      .ckpt() // feeds total + both count passes
     val tot = rep.agg(count(lit(1)).as("n"))
     val o = rep.groupBy(col("rep_cat").as("cat")).agg(count(lit(1)).as("o"))
     val t = rep.groupBy(col("true_cat").as("cat")).agg(count(lit(1)).as("t"))

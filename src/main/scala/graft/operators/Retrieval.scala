@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -126,7 +128,7 @@ object Retrieval {
       val docs = Tables.documents(s, dir)
         .repartition(col("doc_id")) // single-file scan -> use every core
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .localCheckpoint() // feeds the tf pass AND the posting pass
+        .ckpt() // feeds the tf pass AND the posting pass
       val tf = docs.groupBy(col("term")).agg(count(lit(1)).as("total_tf"))
       val idx = docs.distinct()
         .groupBy(col("term"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -155,7 +157,7 @@ object Scd {
         col("off").cast("int")))
       .groupBy(col("off"), col("cust"))
       .agg(max_by(col("prio"), col("pk")).as("prio"))
-      .localCheckpoint() // belief feeds truth, the offsets list, AND the join
+      .ckpt() // belief feeds truth, the offsets list, AND the join
     val truth = belief.filter(col("off") === 9999)
       .select(col("cust"), col("prio").as("t_prio"))
     val offRows = belief.filter(col("off") =!= 9999).select(col("off")).distinct()

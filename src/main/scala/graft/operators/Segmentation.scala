@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
@@ -104,9 +106,12 @@ object Segmentation {
       |  CAST(floor((CAST(2 * src - (n + 1) * tot AS DOUBLE) * 1000000.0) /
       |       CAST(n * tot AS DOUBLE)) AS BIGINT) AS gini_ppm
       |FROM a WHERE n * tot > 0 ORDER BY seg""".stripMargin) { (s, dir) =>
+    // no broadcast hint: customer is an SF-scaled dim (150k/SF) — at
+    // 100 TB it cannot be pinned broadcast; AQE picks broadcast
+    // whenever the dim fits
     val sp = Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("seg"), col("o_custkey").as("cust"))
       .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("bigint")).as("cents"))
@@ -174,7 +179,7 @@ object Segmentation {
       .select(col("o_custkey").as("cust"),
         trunc(col("o_orderdate").cast("date"), "month").as("mo"))
       .distinct()
-      .localCheckpoint() // activity frame feeds four derivations
+      .ckpt() // activity frame feeds four derivations
     val act = um.groupBy(col("mo")).agg(count(lit(1)).as("n_active"))
     val nw = um.groupBy(col("cust")).agg(min(col("mo")).as("mo"))
       .groupBy(col("mo")).agg(count(lit(1)).as("n_new"))
@@ -256,7 +261,7 @@ object Segmentation {
         ScaleRank.ntileFromRank(10, col("rk"), col("nt")).cast("bigint"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("events"))
-      .localCheckpoint() // 10 rows; feeds totals and the cumsum join
+      .ckpt() // 10 rows; feeds totals and the cumsum join
     val t = d.agg(sum(col("n")).as("tot_n"), sum(col("events")).as("tot_events"))
     val c = d.as("a")
       .join(broadcast(d.select(col("decile").as("d2"), col("events").as("e2"))),

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -363,7 +365,7 @@ object Similarity {
         .withColumn("rn", row_number().over(aw))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cid"), col("v"), col("cs").as("acs"))
-        .localCheckpoint()
+        .ckpt()
     }
 
     /** Query set (qid, qv) — read off the assignment frame. */
@@ -546,7 +548,7 @@ object Similarity {
         .filter(col("crank") <= col("np"))
       val lw = Window.partitionBy(col("qid"), col("np"))
         .orderBy(col("cs").desc, col("vec_id"))
-      val lvlRn = lvl.withColumn("rn", row_number().over(lw)).localCheckpoint()
+      val lvlRn = lvl.withColumn("rn", row_number().over(lw)).ckpt()
       val ncand = lvlRn.groupBy(col("qid"), col("np"))
         .agg(count(lit(1)).as("n_cand"))
       val truth = IvfIndex.exactTruth(e, q, TOPK)
@@ -665,7 +667,7 @@ object Similarity {
         .withColumn("rn", row_number().over(aw))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("s"), col("cid").as("code"))
-        .localCheckpoint()
+        .ckpt()
       val q = emb.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val lut = broadcast(q.crossJoin(cents)
@@ -989,11 +991,11 @@ object Similarity {
           floor(lit(1000000.0) * expr("cosine_sim(embedding, vq)"))
             .cast("bigint").as("rel"))
         .orderBy(col("rel").desc, col("vec_id")).limit(50)
-        .localCheckpoint()
+        .ckpt()
       var sel = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
         .select(col("vec_id"), col("v"), col("rel"),
           lit(0L).as("pen"), lit(1).as("pick"))
-        .localCheckpoint()
+        .ckpt()
       for (k <- 2 to K) {
         val pen = cand
           .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
@@ -1007,8 +1009,8 @@ object Similarity {
           .orderBy((col("rel") - col("pen")).desc, col("vec_id")).limit(1)
           .select(col("vec_id"), col("v"), col("rel"), col("pen"),
             lit(k).as("pick"))
-          .localCheckpoint()
-        sel = sel.unionByName(pick).localCheckpoint()
+          .ckpt()
+        sel = sel.unionByName(pick).ckpt()
       }
       sel.select(col("pick").cast("bigint").as("pick"), col("vec_id"),
           col("rel").as("rel_ppm"), col("pen").as("pen_ppm"))
@@ -1069,7 +1071,7 @@ object Similarity {
       .join(q, col("vec_id") =!= col("qid"))
       .select(Seq(col("qid"), col("vec_id")) ++
         MDIMS.map(d => cosCol("v", "vq", d).as(s"c$d")): _*)
-      .localCheckpoint() // feeds all four rankings
+      .ckpt() // feeds all four rankings
     val top = MDIMS.map { d =>
       val w = Window.partitionBy(col("qid")).orderBy(col(s"c$d").desc, col("vec_id"))
       c.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
@@ -1138,7 +1140,7 @@ object Similarity {
       .join(q, col("vec_id") =!= col("aid"))
       .select(col("aid"), col("alab"), col("vec_id"), col("label"),
         expr("cosine_sim(embedding, vq)").as("cs"))
-      .localCheckpoint() // one corpus scan feeds both best-of picks
+      .ckpt() // one corpus scan feeds both best-of picks
     val w = Window.partitionBy(col("aid")).orderBy(col("cs").desc, col("vec_id"))
     val p = c.filter(col("label") === col("alab"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -1220,7 +1222,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
-      .localCheckpoint() // feeds the index build and both label lookups
+      .ckpt() // feeds the index build and both label lookups
     val cent = IvfIndex.centroids(e)
     val asg = IvfIndex.assign(e, cent) // (vec_id, cid, v, acs)
     // pass 1 — own-cell exact candidates (equi-join on cid): gives
@@ -1258,7 +1260,7 @@ object Similarity {
     val nn = ownCand.unionByName(otherCand)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("src"), col("dst"), col("cs"))
-      .localCheckpoint() // both sides of the mutuality join
+      .ckpt() // both sides of the mutuality join
     val mutual = nn.as("a")
       .join(nn.select(col("src").as("bsrc"), col("dst").as("bdst")),
         col("dst") === col("bsrc") && col("bdst") === col("src"))
@@ -1274,9 +1276,89 @@ object Similarity {
       .orderBy(col("cs").desc, col("ida"))
   }
 
+  /** q298 — intrinsic-dimension estimate (Facco et al.'s Two-NN,
+    * Sci. Rep. 2017) per label: from each probe vector's two nearest
+    * neighbors, the ratio μ = d₂/d₁ follows a Pareto(ID) law, so
+    * ID = n / Σ ln μ — the "how many dimensions does this embedding
+    * REALLY use" diagnostic that decides matryoshka truncation depth
+    * (q229) and PQ codebook sizing (q73), and flags collapsed
+    * representation subspaces per class.
+    *
+    * Exactness: squared Euclidean distances are the shared
+    * left-associated dot-product chains ([[VectorOps]] — bit-equal
+    * across engines); ln μ = ½·ln(d₂²/d₁²) is floored to nano-nats
+    * PER PROBE before the integer sum (the q83 contract); the final
+    * ID is one integer cross-multiplied floor-div (non-negative:
+    * d₂ ≥ d₁ ⇒ every term ≥ 0).
+    *
+    * Scale design (100 TB): the probe set is a LITERAL slice
+    * (vec_id < NSAMP) — broadcast is O(NSAMP·dim) regardless of
+    * corpus size; one corpus pass scores all probes; the top-2 window
+    * is PARTITIONED by probe. Exact duplicates of a probe (d₁ = 0)
+    * are excluded by predicate, deterministically in both engines. */
+  val q298TwoNnId: QueryDef = {
+    val NSAMP = 100
+    def d2Sql(x: String, y: String): String =
+      s"(${VectorOps.dotSql(x, x)}) + (${VectorOps.dotSql(y, y)}) " +
+        s"- 2*(${VectorOps.dotSql(x, y)})"
+    QueryDef(
+      "q298_twonn_id",
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, label, embedding AS vq FROM embeddings
+         |  WHERE vec_id < $NSAMP),
+         |c AS (
+         |  SELECT q.qid, q.label, e.vec_id, ${d2Sql("e.embedding", "q.vq")} AS d2
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+         |r AS (
+         |  SELECT qid, label, d2,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
+         |  FROM c),
+         |p AS (
+         |  SELECT qid, label,
+         |    max(CASE WHEN rn = 1 THEN d2 END) AS d1sq,
+         |    max(CASE WHEN rn = 2 THEN d2 END) AS d2sq
+         |  FROM r WHERE rn <= 2 GROUP BY qid, label),
+         |t AS (
+         |  SELECT label,
+         |    CAST(floor(500000000.0 * ln(d2sq / d1sq)) AS BIGINT) AS ln_nano
+         |  FROM p WHERE d1sq > 0 AND d2sq > 0)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_probes,
+         |  CAST(sum(ln_nano) AS BIGINT) AS sum_ln_nano,
+         |  CAST((1000 * count(*) * 1000000000) // CAST(sum(ln_nano) AS BIGINT)
+         |    AS BIGINT) AS id_milli
+         |FROM t GROUP BY label HAVING CAST(sum(ln_nano) AS BIGINT) > 0
+         |ORDER BY label""".stripMargin) { (s, dir) =>
+      import VectorOps.dotCol
+      val e = Tables.embeddings(s, dir)
+      val q = broadcast(e.filter(col("vec_id") < NSAMP)
+        .select(col("vec_id").as("qid"), col("label"), col("embedding").as("vq")))
+      val c = e.select(col("vec_id"), col("embedding").as("v"))
+        .join(q, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("label"), col("vec_id"),
+          ((dotCol("v", "v") + dotCol("vq", "vq")) -
+            (lit(2.0) * dotCol("v", "vq"))).as("d2"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+      val p = c.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .groupBy(col("qid"), col("label"))
+        .agg(max(when(col("rn") === 1, col("d2"))).as("d1sq"),
+          max(when(col("rn") === 2, col("d2"))).as("d2sq"))
+      p.filter(col("d1sq") > 0 && col("d2sq") > 0)
+        .select(col("label"),
+          floor(lit(500000000.0) * log(col("d2sq") / col("d1sq")))
+            .cast("bigint").as("ln_nano"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_probes"), sum(col("ln_nano")).as("sum_ln_nano"))
+        .filter(col("sum_ln_nano") > 0)
+        .select(col("label"), col("n_probes"), col("sum_ln_nano"),
+          expr("(1000 * n_probes * 1000000000) div sum_ln_nano").as("id_milli"))
+        .orderBy("label")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells, q44CosineExpr,
       q45Quantize, q73Pq, q82IvfSearch, q84SqlSurface, q145IvfMultiprobe,
       q147PqRecall, q154EmbeddingDrift, q166IvfNdcg, q176MmrRerank,
-      q229Matryoshka, q273HardNegatives, q291LabelNoise)
+      q229Matryoshka, q273HardNegatives, q291LabelNoise, q298TwoNnId)
 }

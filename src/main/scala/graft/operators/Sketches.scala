@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
@@ -440,7 +442,7 @@ object Sketches {
       .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= k)
       .withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
       .select(col("s"), col("h"), col("rn"))
-      .localCheckpoint() // ≤2k rows, consumed by kth AND both join sides
+      .ckpt() // ≤2k rows, consumed by kth AND both join sides
     val kth = bk.agg(
       least(
         coalesce(max(when(col("s") === "A" && col("rn") === k, col("h"))), lit(HMAX)),
@@ -517,7 +519,7 @@ object Sketches {
       val toks = Tables.documents(s, dir)
         .repartition(col("doc_id")) // single-file scan -> use every core
         .select(explode(split(col("text"), " ")).as("tok"))
-        .localCheckpoint() // feeds the grid build AND the true counts
+        .ckpt() // feeds the grid build AND the true counts
       val cms = withBuckets(toks)
         .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
       val tc = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
@@ -611,7 +613,7 @@ object Sketches {
       .groupBy(col("etype"), col("v")).agg(count(lit(1)).as("cnt"))
       // ONE fact collapse (bounded by the discrete milli domain)
       // feeds the sketch, the totals, and the truth
-      .localCheckpoint()
+      .ckpt()
     val tot = vh.groupBy(col("etype")).agg(sum(col("cnt")).as("n"))
     val oct = vh
       .groupBy(col("etype"), length(bin(col("v"))).cast("bigint").as("b"))
@@ -760,7 +762,7 @@ object Sketches {
       |FROM ex, med""".stripMargin) { (s, dir) =>
     val f = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("f"))
-      .localCheckpoint() // feeds the exact arm AND the 16 projections
+      .ckpt() // feeds the exact arm AND the 16 projections
     val ex = f.agg(count(lit(1)).as("n_keys"),
       sum(col("f") * col("f")).as("exact_f2"))
     val js = s.range(16).select(col("id").as("j"))
@@ -820,10 +822,10 @@ object Sketches {
       |FROM so, sl, ex""".stripMargin) { (s, dir) =>
     val fo = Tables.orders(s, dir)
       .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("f"))
-      .localCheckpoint() // feeds the moment arm AND the exact join
+      .ckpt() // feeds the moment arm AND the exact join
     val fl = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("f"))
-      .localCheckpoint()
+      .ckpt()
     val so = fo.agg(count(lit(1)).as("d_o"), sum("f").as("n_o"),
       sum(col("f") * col("f")).as("f2_o"))
     val sl = fl.agg(count(lit(1)).as("d_l"), sum("f").as("n_l"),
@@ -932,7 +934,7 @@ object Sketches {
         .as("est_final_p1"),
       col("est_ol").cast("bigint").as("est_inter_p2"),
       expr("cast((est_ol * (nc div vseg)) div greatest(nc div vseg, vco) as bigint)")
-        .as("est_final_p2")).localCheckpoint()
+        .as("est_final_p2")).ckpt()
     val sc = c.filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
     val aco = sc.join(o, col("c_custkey") === col("o_custkey"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CkptOps
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -437,7 +439,7 @@ object TextAnalysis {
     val tok = Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("t"))
     val st = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // feeds stot, gt, and the term join
+      .ckpt() // feeds stot, gt, and the term join
     val stot = st.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
     val gt = st.groupBy(col("t")).agg(sum(col("cnt")).as("gcnt"))
     val gtot = gt.agg(sum(col("gcnt")).as("g"))
@@ -590,7 +592,7 @@ object TextAnalysis {
       .repartition(col("doc_id")) // single-file scan -> use every core
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("t"))
-      .localCheckpoint() // feeds the vocab agg AND the term join
+      .ckpt() // feeds the vocab agg AND the term join
     val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).cast("double").as("n_total"))
     tok.join(vocab, "t")
@@ -1253,7 +1255,7 @@ object TextAnalysis {
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val cm = q22LangId.build(s, dir)
       .select(col("actual"), col("pred"), col("n"))
-      .localCheckpoint() // bounded (|langs|+1)^2 frame; one derivation
+      .ckpt() // bounded (|langs|+1)^2 frame; one derivation
     val ra = cm.groupBy(col("actual").as("cls")).agg(sum(col("n")).as("n_actual"))
     val rp = cm.groupBy(col("pred").as("cls")).agg(sum(col("n")).as("n_pred"))
     val marg = ra.join(rp, Seq("cls"), "full_outer")
@@ -1342,7 +1344,7 @@ object TextAnalysis {
         count(lit(1)).as("n_sources"),
         sum(dec(col("chars"))).as("chars"),
         sum(dec(col("n_docs")) * dec(col("n_docs"))).as("ss"))
-      .localCheckpoint()
+      .ckpt()
     val tot = lg.agg(sum(col("chars")).as("tchars"))
     lg.crossJoin(broadcast(tot))
       .select(col("lang"), col("n_docs"), col("n_sources"),
@@ -1431,7 +1433,7 @@ object TextAnalysis {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val docs = Tables.documents(s, dir)
     val mx = docs.agg(max(col("doc_id")).as("maxid"))
-      .localCheckpoint() // 1-row frame; keeps the max pass out of both shingle scans
+      .ckpt() // 1-row frame; keeps the max pass out of both shingle scans
     val ts3 = split(col("text"), " ")
     val tri = zip_with(
       slice(ts3, lit(1), greatest(lit(0), size(ts3) - 2)),
@@ -1751,7 +1753,7 @@ object TextAnalysis {
     val c1 = uni.groupBy(col("x")).agg(count(lit(1)).as("c1c"))
     val c2 = bigrams(tr, Seq.empty)
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c2c"))
-      .localCheckpoint() // feeds n1p, ncy, tt AND the score join
+      .ckpt() // feeds n1p, ncy, tt AND the score join
     val n1p = c2.groupBy(col("x")).agg(count(lit(1)).as("n1pn"))
     val ncy = c2.groupBy(col("y")).agg(count(lit(1)).as("ncyn"))
     val tt = c2.agg(count(lit(1)).as("t"))
@@ -1944,7 +1946,7 @@ object TextAnalysis {
     val lg = pt.select(col("s"), col("toks"), col("avg_nll_nn"),
       expr("CAST(floor(1000000000.0 * ln(CAST(toks AS DOUBLE))) AS BIGINT)").as("lx"),
       expr("CAST(floor(1000000000.0 * ln(CAST(avg_nll_nn AS DOUBLE) / 1000000000.0)) AS BIGINT)").as("ly"))
-      .localCheckpoint() // feeds both the per-size rows and the fit
+      .ckpt() // feeds both the per-size rows and the fit
     val fit = lg.agg(expr(
       """CAST(floor((CAST(CAST(count(*) AS DECIMAL(38,0)) * sum(CAST(lx AS DECIMAL(38,0)) * ly)
         |     - CAST(sum(lx) AS DECIMAL(38,0)) * sum(ly) AS DOUBLE) * 1000.0)
@@ -2027,7 +2029,7 @@ object TextAnalysis {
     val tok = docs.repartition(col("doc_id")) // single-file scan -> all cores
       .select(col("source").as("s"), explode(split(col("text"), " ")).as("w"))
     val sw = tok.groupBy("s", "w").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // feeds global counts, per-source totals, terms
+      .ckpt() // feeds global counts, per-source totals, terms
     val g = sw.groupBy("w").agg(sum("c").as("gc"), count(lit(1)).as("nsrc"))
     val tot = g.agg(sum("gc").as("nn"), count(lit(1)).as("v"))
     val per = sw.groupBy("s").agg(sum("c").as("ns"))
@@ -2192,7 +2194,7 @@ object TextAnalysis {
         "transform(sequence(1, size(toks) - 2), " +
           "i -> md5(array_join(slice(toks, i, 3), ' ')))")).as("g"))
       .distinct()
-      .localCheckpoint() // one shingle dictionary feeds every round
+      .ckpt() // one shingle dictionary feeds every round
     // the picked set stays a (broadcast) DataFrame — no driver
     // collect anywhere in the loop
     var picked: DataFrame = null
@@ -2208,14 +2210,14 @@ object TextAnalysis {
       val pick = gains.crossJoin(broadcast(mx))
         .filter(col("gain") === col("mg"))
         .agg(min(col("source")).as("source"), max(col("mg")).as("gain"))
-        .localCheckpoint()
+        .ckpt()
       picked = if (picked == null) pick.select(col("source"))
-        else picked.unionByName(pick.select(col("source"))).localCheckpoint()
+        else picked.unionByName(pick.select(col("source"))).ckpt()
       val row = pick.select(lit(r.toLong).as("rk"), col("source"),
         col("gain"))
       rows = if (rows == null) row else rows.unionByName(row)
       covered = sg.join(broadcast(picked), Seq("source"), "semi")
-        .select(col("g")).distinct().localCheckpoint()
+        .select(col("g")).distinct().ckpt()
     }
     // cumulative coverage over the <= k-row pick frame via a bounded
     // self-join (no global window, nothing for the plan sweep to flag)
@@ -2356,7 +2358,7 @@ object TextAnalysis {
     val sw = Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint() // feeds totals, the top-k, and the grid
+      .ckpt() // feeds totals, the top-k, and the grid
     val st = sw.groupBy(col("source")).agg(sum(col("c")).as("tot"))
     val top = sw.groupBy(col("w")).agg(sum(col("c")).as("n"))
       .orderBy(col("n").desc, col("w")).limit(30).select(col("w"))
@@ -2366,7 +2368,7 @@ object TextAnalysis {
         coalesce(col("c"), lit(0L)).as("c"))
     val f = grid.filter(col("tot") > 0)
       .select(col("source"), col("w"), expr("(1000000 * c) div tot").as("fp"))
-      .localCheckpoint() // bounded |sources|x30 profile
+      .ckpt() // bounded |sources|x30 profile
     val wm = f.groupBy(col("w"))
       .agg(count(lit(1)).as("k"), sum(col("fp")).as("sm"),
         sum(col("fp") * col("fp")).as("smm"))
@@ -2482,7 +2484,7 @@ object TextAnalysis {
     val h = Tables.documents(s, dir)
       .groupBy(col("source"), col("n_chars").as("v"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // bounded histogram feeds everything
+      .ckpt() // bounded histogram feeds everything
     val ns = h.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val ref = h.groupBy(col("v")).agg(sum(col("c")).as("cr"))
     val nn = ref.agg(sum(col("cr")).as("nt"))
@@ -2490,7 +2492,7 @@ object TextAnalysis {
       .join(broadcast(ref.select(col("v").as("v2"), col("cr").as("cr2"))),
         col("v2") <= col("v"))
       .groupBy(col("v")).agg(sum(col("cr2")).as("cum"))
-      .localCheckpoint()
+      .ckpt()
     val hs = h
       .join(broadcast(h.select(col("source").as("s2"), col("v").as("v2"),
         col("c").as("c2"))),
@@ -2641,7 +2643,7 @@ object TextAnalysis {
       .select(size(split(col("text"), " ")).cast("long").as("v"))
       .groupBy(col("v"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
-      .localCheckpoint() // bounded value histogram
+      .ckpt() // bounded value histogram
     val tot = h.agg(sum(col("n")).as("nt"), sum(col("sv")).as("st"))
     val pre = h.select(col("v").as("t"))
       .join(broadcast(h.select(col("v").as("v2"), col("n"), col("sv"))),
@@ -2658,7 +2660,7 @@ object TextAnalysis {
         (dec(col("w0")) * col("w1")).as("ww"))
       .select(col("t"), col("w0"), col("w1"),
         expr("dd div ww").cast("decimal(38,0)").as("score"))
-      .localCheckpoint()
+      .ckpt()
     val mx = sc.agg(max(col("score")).as("ms"))
     val best = sc.crossJoin(broadcast(mx)).filter(col("score") === col("ms"))
       .agg(min(col("t")).as("bt"))
@@ -2670,8 +2672,66 @@ object TextAnalysis {
       .orderBy("threshold")
   }
 
+  /** q295 — Yule's K lexical-richness characteristic per language:
+    * K = 10⁴·(Σ m²·V(m) − N)/N² over the token frequency spectrum
+    * V(m) (how many types occur exactly m times), the classic
+    * repeat-rate statistic that is (unlike raw type/token ratio)
+    * approximately length-invariant — the stylometric complement of
+    * q190's Heaps-law growth and q180's Zipf fit, and a routine
+    * corpus-quality scalar in LLM data reports (high K = repetitive,
+    * TEMPLATE-heavy text; low K = lexically diverse).
+    *
+    * Exactness: the spectrum is pure integer counting; N, ΣVm and
+    * A = Σm²Vm are exact DECIMAL(38)/HUGEINT sums; K lands as ONE
+    * integer cross-multiplied floor, floor(10¹⁰·(A−N)/N²), so no
+    * float exists anywhere.
+    *
+    * Scale design (100 TB): token counts collapse map-side to
+    * (lang, token) grain — the only corpus-sized exchange; the
+    * spectrum pass is ≤|vocab| rows to (lang, m) grain; the final
+    * frame is |langs| rows. No windows, no collect, no broadcast. */
+  val q295YulesK: QueryDef = QueryDef(
+    "q295_yules_k",
+    """WITH tc AS (
+      |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS m
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |spec AS (
+      |  SELECT lang, m, CAST(count(*) AS BIGINT) AS vm
+      |  FROM tc GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT lang,
+      |    CAST(sum(CAST(m AS HUGEINT) * vm) AS HUGEINT) AS n,
+      |    CAST(sum(vm) AS BIGINT) AS vocab,
+      |    CAST(sum(CAST(m AS HUGEINT) * m * vm) AS HUGEINT) AS a
+      |  FROM spec GROUP BY lang)
+      |SELECT lang, CAST(n AS BIGINT) AS n_tokens, vocab,
+      |  CAST((10000000000 * (a - n)) // (n * n) AS BIGINT) AS k_micro
+      |FROM agg WHERE n > 0 ORDER BY lang""".stripMargin) { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val tc = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // single-file scan -> use every core
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("m"))
+    val spec = tc.groupBy(col("lang"), col("m")).agg(count(lit(1)).as("vm"))
+    spec.groupBy(col("lang"))
+      .agg(sum(dec(col("m")) * col("vm")).cast("decimal(38,0)").as("n"),
+        sum(col("vm")).as("vocab"),
+        sum(dec(col("m")) * col("m") * col("vm")).cast("decimal(38,0)").as("a"))
+      .filter(col("n") > 0)
+      // `div` (not `/` + cast): decimal cast ROUNDS half-up where
+      // DuckDB's `//` floors — div truncates, which equals floor on
+      // this non-negative domain (A >= N since m² >= m)
+      .select(col("lang"), col("n").cast("bigint").as("n_tokens"), col("vocab"),
+        expr("CAST((CAST(10000000000 AS DECIMAL(38,0)) * (a - n)) div (n * n) AS BIGINT)")
+          .as("k_micro"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q232LooInfluence, q243FeatureHashing, q254MaxCoverage, q264McNemar,
+    Seq(q295YulesK,
+      q232LooInfluence, q243FeatureHashing, q254MaxCoverage, q264McNemar,
       q267BurrowsDelta, q276QuantileNorm, q278Datasheet, q280OtsuThreshold,
       q197Keyness, q198Readability, q200Burstiness, q215KnPpl,
       q216NegativeSampling, q221ScalingLaw,

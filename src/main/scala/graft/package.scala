@@ -1,0 +1,61 @@
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Engine-wide checkpoint seam: every eager `localCheckpoint()` in the
+  * query surface goes through `.ckpt()` so plan audits can see the
+  * subtrees a checkpoint would otherwise hide.
+  *
+  * Why: `localCheckpoint()` replaces the plan below it with a
+  * LogicalRDD, which hides that subtree from any mechanized plan sweep
+  * (the r6 verdict's q245 blind spot — its calendar-bounded day-axis
+  * windows sat below an eager checkpoint and were adjudicated only in
+  * a comment). Simply DISABLING checkpoints for the audit does not
+  * work: iterative queries (PageRank, power iteration, Borůvka, BPE)
+  * rely on the lineage cut to keep the logical plan linear — without
+  * it the plan doubles per iteration and `optimizedPlan` alone runs
+  * for hours (measured: >15 min on one query before abort). So audit
+  * mode RECORDS instead: inside `Ckpt.withAudit { ... }` each
+  * `.ckpt()` appends the segment's own optimized plan to a buffer and
+  * then checkpoints as usual. Every lineage segment stays small, the
+  * query builds exactly as in production, and the sweep audits the
+  * final plan PLUS every recorded segment — full coverage, no blowup.
+  *
+  * The buffer is a ThreadLocal because sbt runs suites concurrently in
+  * one forked JVM — a global would leak audit segments across
+  * whichever specs are interleaved with the sweep.
+  */
+package object graft {
+
+  object Ckpt {
+    private val rec: ThreadLocal[Option[collection.mutable.ArrayBuffer[LogicalPlan]]] =
+      ThreadLocal.withInitial(() => None)
+
+    private[graft] def record(p: => LogicalPlan): Unit =
+      rec.get().foreach(_ += p)
+
+    /** True while THIS thread is inside [[withAudit]] — memoizers use
+      * it to bypass their cache so every query's full build (and its
+      * checkpointed segments) is actually swept, not served from a
+      * frame some earlier query recorded. */
+    def auditing: Boolean = rec.get().isDefined
+
+    /** Run `f` in plan-audit mode on THIS thread: returns (result,
+      * optimized plan of every checkpointed segment built inside `f`,
+      * in build order). Always restores, including on exceptions. */
+    def withAudit[A](f: => A): (A, Seq[LogicalPlan]) = {
+      val buf = collection.mutable.ArrayBuffer.empty[LogicalPlan]
+      rec.set(Some(buf))
+      try { val a = f; (a, buf.toSeq) } finally rec.set(None)
+    }
+  }
+
+  implicit class CkptOps[T](private val ds: Dataset[T]) extends AnyVal {
+    /** Eager local checkpoint (lineage cut + materialization). In
+      * plan-audit mode, additionally records this segment's optimized
+      * plan so the sweep sees what the checkpoint hides. */
+    def ckpt(): Dataset[T] = {
+      Ckpt.record(ds.queryExecution.optimizedPlan)
+      ds.localCheckpoint()
+    }
+  }
+}

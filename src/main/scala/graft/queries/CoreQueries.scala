@@ -263,7 +263,10 @@ object CoreQueries {
       |ORDER BY revenue DESC, p_partkey
       |LIMIT 10""".stripMargin) { (s, dir) =>
     val li = Tables.lineitem(s, dir)
-    val p = broadcast(Tables.part(s, dir))
+    // no broadcast hint: part is an SF-SCALED dim (200k rows per TPC-H
+    // SF — too big to pin as broadcast at 100 TB); AQE still chooses
+    // broadcast at any scale where the dim actually fits
+    val p = Tables.part(s, dir)
     li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_partkey"), col("p_name"))
       .agg(d(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))).as("revenue"))

@@ -1,29 +1,42 @@
 package graft.queries
 
 import graft.TestSpark
-import org.apache.spark.sql.catalyst.expressions.SortOrder
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Repartition, RepartitionByExpression, Window => LWindow}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, BinaryComparison, Cast, EqualNullSafe, EqualTo, Expression, In, InSet, IsNotNull, IsNull, Literal, Not, Or, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LeafNode, LocalLimit, LocalRelation, LogicalPlan, OneRowRelation, Repartition, RepartitionByExpression, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, BROADCAST}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.LogicalRDD
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The mechanized version of the per-query scale audit: sweep EVERY
-  * registered query's optimized plan and flag the single-partition
-  * shapes that kill a 100 TB run —
+  * registered query's optimized plan — including the plan of every
+  * checkpointed lineage segment, via `Ckpt.withAudit` (the r6 q245
+  * blind spot: subtrees below an eager localCheckpoint are otherwise
+  * invisible) — and flag the shapes that kill a 100 TB run:
   *
   *  - a logical Window with an EMPTY partition spec (plans as "move
   *    everything to one task, sort it there"), unless its order axis
   *    is an adjudicated-bounded frame (see the allowlist);
   *  - an explicit 1-partition repartition/coalesce anywhere except a
-  *    bounded frame.
+  *    bounded frame;
+  *  - a BROADCAST join hint whose hinted side is RAW data — reaches a
+  *    scan leaf with no Aggregate or Limit compressing it on the way
+  *    (the r6 q291 shape: `broadcast(wholeTable.select(...))` is an
+  *    OOM at scale no matter how small the test data is);
+  *  - a join with NO equi keys (cross, or θ-only condition) where BOTH
+  *    sides are raw data — O(N·M) work that no partitioning saves.
   *
   * Boundedness cannot be decided mechanically, so the allowlist is
   * explicit and REQUIRED to stay exercised: an entry no query uses
-  * fails the spec too (rot in either direction is caught). Axes are
-  * matched against the window's order-by expression string.
+  * fails the spec too (rot in either direction is caught). Window
+  * entries match the order-by expression string; broadcast / non-equi
+  * entries use the patterns "broadcast" / "nonequi".
   *
   * What this deliberately does NOT flag: global Sort (plans as a
-  * range-partitioned distributed sort), Limit/TakeOrdered heaps, and
-  * SinglePartition exchanges under 1-row global aggregates — all
-  * distributed or bounded by construction.
+  * range-partitioned distributed sort), Limit/TakeOrdered heaps,
+  * SinglePartition exchanges under 1-row global aggregates, broadcast
+  * of aggregated/limited frames (compressed to key-domain or literal-k
+  * size), and equi-joins — all distributed or bounded by construction.
   */
 class PlanSweepSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -36,11 +49,6 @@ class PlanSweepSpec extends AnyFunSuite {
     // P = shuffle parallelism — bounded by the cluster, not the data
     "__sr_pid")
 
-  /** (query, order-axis pattern) -> why that global window's input is
-    * bounded. A pattern starting with '^' anchors to the FIRST sort
-    * attribute (so "^a#" cannot accidentally adjudicate a future
-    * "paa#…" window); otherwise plain substring. Every entry must
-    * match at least one swept offender. */
   private def axisMatches(axis: String, ax: String): Boolean =
     if (ax.startsWith("^")) axis.startsWith(ax.drop(1))
     else axis.contains(ax)
@@ -50,52 +58,154 @@ class PlanSweepSpec extends AnyFunSuite {
       case (qq, ax, why) if qq == q && axisMatches(axis, ax) => why
     }
 
-  test("no query plans an unbounded single-partition window or repartition(1)") {
+  /** A filter that selects a literal-bounded slice: SOME top-level
+    * conjunct references exactly one column and compares it only
+    * against literals — the `vec_id = 0` / `vec_id < NQUERY`
+    * query-set selections of the ANN family (extra conjuncts, e.g.
+    * planner-added isnotnull(f(x)), only shrink further). Any
+    * function call (md5, pmod, hash …) inside the conjunct
+    * disqualifies it: those are FRACTION-of-data samples and still
+    * scale. The rule is deliberately permissive on non-key columns
+    * (`price < 100` would pass too); what it can never excuse is the
+    * q291 class — a whole-table broadcast with no filter at all. */
+  private def literalSlice(f: Filter): Boolean =
+    conjuncts(f.condition).exists { c =>
+      c.references.size == 1 &&
+        c.find {
+          case _: Attribute | _: Literal => false
+          case _: BinaryComparison | _: In | _: InSet => false
+          case _: And | _: Or | _: Not | _: IsNull | _: IsNotNull | _: Cast => false
+          case _ => true
+        }.isEmpty &&
+        // must actually COMPARE against a literal — a bare isnotnull
+        // conjunct bounds nothing
+        c.exists {
+          case _: BinaryComparison | _: In | _: InSet => true
+          case _ => false
+        }
+    }
+
+  /** The two fixed-cardinality dimension tables (5 regions, 25
+    * nations — literal domains that do not grow with SF). */
+  private def fixedDim(lr: LogicalRelation): Boolean = lr.relation match {
+    case fs: HadoopFsRelation =>
+      fs.location.rootPaths.exists { p =>
+        val s = p.toString
+        s.contains("region.parquet") || s.contains("nation.parquet")
+      }
+    case _ => false
+  }
+
+  /** True iff some root→leaf path reaches a data scan with nothing
+    * compressing it on the way: no Aggregate (grouped aggregates
+    * collapse to key-domain size), no Limit, no literal-slice Filter,
+    * and not a LocalRelation/OneRowRelation/fixed-dim leaf.
+    * LogicalRDD (a checkpointed segment) counts as BOUNDED here
+    * because the segment's own plan is recorded by `Ckpt.withAudit`
+    * and swept separately — raw data broadcast inside it is flagged
+    * there, at the point where the shape is actually built. */
+  private def rawData(p: LogicalPlan): Boolean = p match {
+    case _: GlobalLimit | _: LocalLimit => false
+    case _: Aggregate => false
+    case f: Filter if literalSlice(f) => false
+    case _: LocalRelation | _: OneRowRelation => false
+    // spark.range(n): literal bound known at plan time — an axis
+    // frame, not data
+    case _: org.apache.spark.sql.catalyst.plans.logical.Range => false
+    case _: LogicalRDD => false
+    case lr: LogicalRelation if fixedDim(lr) => false
+    case _: LeafNode => true
+    case other => other.children.exists(rawData)
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case x => Seq(x)
+  }
+
+  /** An equi key usable for hash/sort-merge partitioning: a top-level
+    * conjunct `l = r` with one side referencing only the left child
+    * and the other only the right. */
+  private def hasEquiKey(j: Join): Boolean = j.condition.exists { c =>
+    conjuncts(c).exists {
+      case eq @ (_: EqualTo | _: EqualNullSafe) =>
+        val Seq(a, b) = eq.children
+        (a.references.subsetOf(j.left.outputSet) &&
+          b.references.subsetOf(j.right.outputSet)) ||
+          (a.references.subsetOf(j.right.outputSet) &&
+            b.references.subsetOf(j.left.outputSet))
+      case _ => false
+    }
+  }
+
+  private def isBroadcast(h: Option[HintInfo]): Boolean =
+    h.exists(_.strategy.contains(BROADCAST))
+
+  test("no query plans an unbounded single-partition, broadcast-raw, or non-equi shape") {
     graft.plans.TopKInstall.install(spark)
     val unusedAllow = collection.mutable.Set(
       PlanSweepAllowlist.entries.map(e => (e._1, e._2)): _*)
     val offenders = collection.mutable.ArrayBuffer[String]()
+    def adjudicate(q: String, pattern: String, offence: => String): Unit =
+      allow(q, pattern) match {
+        case Some(_) =>
+          PlanSweepAllowlist.entries
+            .filter(e => e._1 == q && axisMatches(pattern, e._2))
+            .foreach(e => unusedAllow.remove((e._1, e._2)))
+        case None => offenders += offence
+      }
     for (q <- graft.SparkEntry.defs) {
-      val lp: LogicalPlan = q.build(spark, dir).queryExecution.optimizedPlan
-      val windows = lp.collectWithSubqueries {
-        case w: LWindow if w.partitionSpec.isEmpty => w
+      // audit mode: the final plan PLUS the optimized plan of every
+      // checkpointed lineage segment (disabling checkpoints instead
+      // would double iterative plans per iteration — unusable)
+      val (finalPlan, segments) = graft.Ckpt.withAudit {
+        q.build(spark, dir).queryExecution.optimizedPlan
       }
-      for (w <- windows) {
-        val axis = w.orderSpec.collect { case s: SortOrder => s.child.toString }
-          .mkString(",")
-        if (!globallyBounded.exists(axis.contains)) {
-          allow(q.name, axis) match {
-            case Some(_) =>
-              PlanSweepAllowlist.entries
-                .filter(e => e._1 == q.name && axisMatches(axis, e._2))
-                .foreach(e => unusedAllow.remove((e._1, e._2)))
-            case None =>
-              offenders += s"${q.name}: global window over [$axis]"
-          }
+      for (lp <- finalPlan +: segments) {
+        val windows = lp.collectWithSubqueries {
+          case w: LWindow if w.partitionSpec.isEmpty => w
         }
-      }
-      val rep1 = lp.collectWithSubqueries {
-        case r: Repartition if r.numPartitions == 1 => r: LogicalPlan
-        case r: RepartitionByExpression if r.optNumPartitions.contains(1) =>
-          r: LogicalPlan
-      }
-      for (_ <- rep1) {
-        allow(q.name, "repartition(1)") match {
-          case Some(_) => unusedAllow.remove((q.name, "repartition(1)"))
-          case None => offenders += s"${q.name}: explicit 1-partition repartition"
+        for (w <- windows) {
+          val axis = w.orderSpec.collect { case s: SortOrder => s.child.toString }
+            .mkString(",")
+          if (!globallyBounded.exists(axis.contains))
+            adjudicate(q.name, axis, s"${q.name}: global window over [$axis]")
+        }
+        val rep1 = lp.collectWithSubqueries {
+          case r: Repartition if r.numPartitions == 1 => r: LogicalPlan
+          case r: RepartitionByExpression if r.optNumPartitions.contains(1) =>
+            r: LogicalPlan
+        }
+        for (_ <- rep1)
+          adjudicate(q.name, "repartition(1)",
+            s"${q.name}: explicit 1-partition repartition")
+        val joins = lp.collectWithSubqueries { case j: Join => j }
+        for (j <- joins) {
+          if (isBroadcast(j.hint.leftHint) && rawData(j.left))
+            adjudicate(q.name, "broadcast",
+              s"${q.name}: broadcast hint over raw data (left: ${j.left.nodeName})")
+          if (isBroadcast(j.hint.rightHint) && rawData(j.right))
+            adjudicate(q.name, "broadcast",
+              s"${q.name}: broadcast hint over raw data (right: ${j.right.nodeName})")
+          if (!hasEquiKey(j) && rawData(j.left) && rawData(j.right))
+            adjudicate(q.name, "nonequi",
+              s"${q.name}: non-equi ${j.joinType} join, both sides raw")
         }
       }
     }
     assert(offenders.isEmpty,
-      s"unadjudicated single-partition shapes:\n${offenders.mkString("\n")}")
+      s"unadjudicated scale-hostile shapes:\n${offenders.distinct.mkString("\n")}")
     assert(unusedAllow.isEmpty,
       s"allowlist entries no longer exercised (stale adjudications):\n" +
         unusedAllow.mkString("\n"))
   }
 }
 
-/** The adjudicated-bounded frames: (query, order-axis substring, why).
-  * Each "why" must name the bound that keeps the single task small. */
+/** The adjudicated-bounded frames: (query, pattern, why). Window
+  * entries: pattern matches the order-axis string ('^' anchors to the
+  * first sort attribute). "repartition(1)" / "broadcast" / "nonequi"
+  * adjudicate those offence classes for the query. Each "why" must
+  * name the bound that keeps the shape safe at scale. */
 object PlanSweepAllowlist {
   val entries: Seq[(String, String, String)] = Seq(
     ("q78_sorted_neighborhood", "snkey",
@@ -127,10 +237,12 @@ object PlanSweepAllowlist {
     ("q164_survival", "repartition(1)",
       "sequential KM scan over the aggregated lifetime-day axis " +
         "(pinned in ScalePlanAuditSpec)"),
-    // q245_changepoint's day-axis rank/prefix windows are calendar-
-    // bounded but sit BELOW its eager localCheckpoint, so the sweep
-    // never sees them (the LogicalRDD hides the already-executed
-    // prefix) — the adjudication lives in the query's scaladoc instead
+    ("q245_changepoint", "day",
+      "day-grain aggregate below the (audit-visible) eager checkpoint: " +
+        "calendar-bounded axis — the r6 blind spot, now swept via Ckpt.withAudit"),
+    ("q80_merge_upsert", "broadcast",
+      "updates side models a CDC batch — bounded by the arrival window, " +
+        "not the base table; the orderkey%10 filter is the test-data stand-in"),
     ("q239_hits", "^a#",
       "authority rank window runs over the TakeOrdered top-10 slice (literal k)"),
     ("q239_hits", "^h#",
