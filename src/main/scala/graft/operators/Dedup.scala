@@ -1292,6 +1292,92 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** q303 — MinHash estimator calibration: on the deterministic
+    * doc-parity sample, bucket candidate pairs by their EXACT shingle
+    * Jaccard (deciles) and report, per bucket, the mean K-component
+    * MinHash ESTIMATE against the mean exact value — the bias curve
+    * that answers "is K=8 enough at my dedup threshold". q135 scores
+    * the LSH blocker's recall/precision at one τ; this audits the
+    * underlying ESTIMATOR across the whole similarity range (the
+    * E[matches/K] = J identity, whose sampling error is what q185's
+    * band sweep trades against).
+    *
+    * Exactness: exact Jaccard deciles ride the integer
+    * cross-multiplied floor (10·∩ // ∪, capped at 9); per-pair
+    * estimates are integer (10⁶·matches) div K; bucket means are
+    * integer floor-divs of exact sums.
+    *
+    * Scale design (100 TB): candidate pairs come from the SAMPLED
+    * shingle-postings equi-join (q135's bounded truth machinery —
+    * never all-pairs); signatures join by doc id (two equi-joins
+    * against the K·8-char signature frame); everything downstream is
+    * ≤10 rows. */
+  val q303MinhashCalibration: QueryDef = QueryDef(
+    "q303_minhash_calibration",
+    s"""WITH $mhOracleCte,
+       |srows AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 2 = 0),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM srows GROUP BY doc_id),
+       |pi AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM srows a JOIN srows b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |ja AS (
+       |  SELECT pi.a, pi.b, pi.inter, za.n + zb.n - pi.inter AS un
+       |  FROM pi JOIN sz za ON pi.a = za.doc_id JOIN sz zb ON pi.b = zb.doc_id),
+       |est AS (
+       |  SELECT ja.a, ja.b, ja.inter, ja.un,
+       |    ${(0 until K).map(k =>
+            s"(CASE WHEN ma.h$k = mb.h$k THEN 1 ELSE 0 END)").mkString(" + ")}
+       |      AS matches
+       |  FROM ja JOIN mh ma ON ja.a = ma.doc_id JOIN mh mb ON ja.b = mb.doc_id),
+       |bk AS (
+       |  SELECT least(9, (10 * inter) // un) AS decile,
+       |    (1000000 * inter) // un AS exact_ppm,
+       |    (1000000 * matches) // $K AS est_ppm
+       |  FROM est)
+       |SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(exact_ppm) AS BIGINT) // count(*) AS mean_exact_ppm,
+       |  CAST(sum(est_ppm) AS BIGINT) // count(*) AS mean_est_ppm,
+       |  CAST(sum(est_ppm) AS BIGINT) // count(*)
+       |    - CAST(sum(exact_ppm) AS BIGINT) // count(*) AS bias_ppm
+       |FROM bk GROUP BY decile ORDER BY decile""".stripMargin) { (s, dir) =>
+    val sample = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+    val srows = shingles(sample)
+      .select(col("doc_id"), col("shingle")).distinct()
+      .ckpt() // sizes + both sides of the postings join
+    val sz = srows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pi = srows.select(col("doc_id").as("a"), col("shingle"))
+      .join(srows.select(col("doc_id").as("b"), col("shingle").as("sgb")),
+        col("shingle") === col("sgb") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val ja = pi
+      .join(broadcast(sz.select(col("doc_id").as("a"), col("n").as("na"))), Seq("a"))
+      .join(broadcast(sz.select(col("doc_id").as("b"), col("n").as("nb"))), Seq("b"))
+      .select(col("a"), col("b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("un"))
+    val mh = minhash(sample).ckpt() // joined on both pair sides
+    val matches = (0 until K).map(k =>
+      when(col(s"ah$k") === col(s"bh$k"), 1).otherwise(0)).reduce(_ + _)
+    val est = ja
+      .join(mh.select(col("doc_id").as("a") +:
+        (0 until K).map(k => col(s"h$k").as(s"ah$k")): _*), Seq("a"))
+      .join(mh.select(col("doc_id").as("b") +:
+        (0 until K).map(k => col(s"h$k").as(s"bh$k")): _*), Seq("b"))
+      .select(col("inter"), col("un"), matches.as("matches"))
+    est
+      .select(least(lit(9), expr("(10 * inter) div un")).as("decile"),
+        expr("(1000000 * inter) div un").as("exact_ppm"),
+        expr(s"(1000000 * matches) div $K").as("est_ppm"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("exact_ppm")).as("se"), sum(col("est_ppm")).as("sm"))
+      .select(col("decile"), col("n_pairs"),
+        expr("se div n_pairs").as("mean_exact_ppm"),
+        expr("sm div n_pairs").as("mean_est_ppm"),
+        (expr("sm div n_pairs") - expr("se div n_pairs")).as("bias_ppm"))
+      .orderBy("decile")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q244GoldenRecord,
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
@@ -1299,7 +1385,8 @@ object Dedup {
     q69SpanDedup, q75Contamination, q78SortedNeighborhood, q100SemanticDedup,
     q128KeepBest, q135LshEval, q151DedupWhatif, q158SourceOverlap,
     q161AdmissionFunnel, q162Containment, q185BandSweep, q213LeakSafeSplit,
-    q234Winnowing, q297BlockingQuality, q300DupWeights)
+    q234Winnowing, q297BlockingQuality, q300DupWeights,
+    q303MinhashCalibration)
 
   /** q161 — corpus-admission funnel: every document walks the full
     * pretraining ingestion gauntlet — exact dedup, near-dup dedup,

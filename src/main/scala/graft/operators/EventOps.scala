@@ -2478,7 +2478,60 @@ object EventOps {
     q134Seasonality, q137DwellTimes, q138PeakConcurrency, q142Attribution,
     q156OhlcBars, q157CohortLtv, q163Acf, q164Survival, q165AbTest,
     q178Cusum, q183FunnelCi, q184Mase, q272LatenessProfile,
-    q285WatermarkLoss, q293ControlChart, q299CcfLeadlag)
+    q285WatermarkLoss, q293ControlChart, q299CcfLeadlag, q304Overdispersion)
+
+  /** q304 — overdispersion screen per event type: the variance-to-mean
+    * ratio (dispersion index) of per-user event counts, exact. A
+    * Poisson arrival process has D = 1; D ≫ 1 means burst-driven
+    * (negative-binomial) traffic, which invalidates every
+    * Poisson-assuming alert threshold downstream (q230's SPRT, rate
+    * SLOs) — so this is the test run BEFORE trusting them. Includes
+    * the (n−1)·D statistic that is χ²(n−1) under H₀.
+    *
+    * Exactness: NO floats — D = Var/Mean collapses to the integer
+    * identity (n·Σx² − S²) / (S·(n−1)) with the moments in
+    * DECIMAL(38)/HUGEINT, emitted as ONE cross-multiplied floor-div
+    * to milli; the χ² statistic is the same numerator over S, also
+    * integer.
+    *
+    * Scale design (100 TB): one partial-aggregable pass to
+    * (type, user) counts — the only data-sized exchange; the moment
+    * pass collapses to |types| rows. No windows, no broadcast. */
+  lazy val q304Overdispersion: QueryDef = QueryDef(
+    "q304_overdispersion",
+    """WITH uc AS (
+      |  SELECT event_type AS t, user_id, CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT t, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+      |  FROM uc GROUP BY t)
+      |SELECT t AS event_type, CAST(n AS BIGINT) AS n_users,
+      |  CAST(s AS BIGINT) AS n_events,
+      |  CAST((1000 * s) // n AS BIGINT) AS mean_milli,
+      |  CAST((1000 * (n * q - s * s)) // (s * (n - 1)) AS BIGINT)
+      |    AS dispersion_milli,
+      |  CAST((n * q - s * s) // s AS BIGINT) AS chi2_stat
+      |FROM m WHERE n > 1 AND s > 0 ORDER BY t""".stripMargin) { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val uc = Tables.events(s, dir)
+      .groupBy(col("event_type").as("t"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    uc.groupBy(col("t"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(dec(col("x"))).cast("decimal(38,0)").as("s"),
+        sum(dec(col("x")) * col("x")).cast("decimal(38,0)").as("q"))
+      .filter(col("n") > 1 && col("s") > 0)
+      .select(col("t").as("event_type"),
+        col("n").cast("bigint").as("n_users"),
+        col("s").cast("bigint").as("n_events"),
+        expr("CAST((1000 * s) div n AS BIGINT)").as("mean_milli"),
+        expr("CAST((1000 * (n * q - s * s)) div (s * (n - 1)) AS BIGINT)")
+          .as("dispersion_milli"),
+        expr("CAST((n * q - s * s) div s AS BIGINT)").as("chi2_stat"))
+      .orderBy("event_type")
+  }
 
   /** q293 — Western Electric control-chart screen per event type: the
     * SPC rules a metrics platform runs on every daily series — rule 1

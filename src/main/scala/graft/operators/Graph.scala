@@ -681,7 +681,66 @@ object Graph {
     }
   }
 
+  /** q302 — BFS reachability profile: hop-distance histogram from the
+    * smallest co-purchase node over 5 synchronous frontier rounds —
+    * "how small is the world around a product", the
+    * neighborhood-growth curve that sizes graph-sampling fan-outs and
+    * detects fragmented catalogs (a flat curve = disconnected
+    * islands; q37/q275 count components, this measures their RADIUS).
+    * Unweighted sibling of q242's Bellman–Ford (hops, not cents).
+    *
+    * Exactness: hop counts are associative integer mins over exact
+    * rounds — identical under any execution order; the seed is the
+    * deterministic min node id.
+    *
+    * Scale design (100 TB): rides the MEMOIZED checkpointed
+    * co-purchase edge list (shared with q150/q155/q238/q275); each
+    * round BROADCASTS the ≤|V|-row frontier into the static edge
+    * list (edges never shuffle) and checkpoints (the frontier is
+    * consumed twice per round — join + union — an unbroken lineage
+    * would re-execute 2^R times). Output is ≤ R+1 rows. */
+  val q302BfsHops: QueryDef = {
+    val MIN_PAIR = 2
+    val HOPS = 5
+    val rounds = (1 to HOPS).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT node, min(hop) AS hop FROM (
+         |    SELECT ed.dst AS node, d.hop + 1 AS hop
+         |    FROM ed JOIN d${r - 1} d ON ed.src = d.node
+         |    UNION ALL SELECT node, hop FROM d${r - 1})
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    QueryDef(
+      "q302_bfs_hops",
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT f1.p AS a, f2.p AS b2
+         |  FROM b f1 JOIN b f2 ON f1.o = f2.o AND f1.p < f2.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $MIN_PAIR),
+         |ed AS MATERIALIZED (
+         |  SELECT a AS src, b2 AS dst FROM e0 UNION ALL SELECT b2, a FROM e0),
+         |d0 AS (SELECT min(a) AS node, CAST(0 AS BIGINT) AS hop FROM e0),
+         |$rounds
+         |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM d$HOPS GROUP BY hop ORDER BY hop""".stripMargin) { (s, dir) =>
+      val e0 = coPurchaseEdges(s, dir, MIN_PAIR)
+      val ed = e0.select(col("a").as("src"), col("b2").as("dst"))
+        .unionByName(e0.select(col("b2").as("src"), col("a").as("dst")))
+        .ckpt()
+      var d = e0.agg(min(col("a")).as("node"))
+        .select(col("node"), lit(0L).as("hop"))
+      for (_ <- 1 to HOPS) {
+        d = broadcast(d).join(ed, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("hop") + 1).as("hop"))
+          .unionByName(d.select(col("node"), col("hop")))
+          .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+          .ckpt()
+      }
+      d.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes")).orderBy("hop")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q104Triangles, q132BomExplosion, q150KcorePeel, q155LinkPredict,
-      q260WlRefinement, q275HubRobustness, q284Boruvka)
+      q260WlRefinement, q275HubRobustness, q284Boruvka, q302BfsHops)
 }

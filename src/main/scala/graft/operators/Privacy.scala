@@ -408,7 +408,66 @@ object Privacy {
       .orderBy("cat")
   }
 
+  /** q305 — ε-differentially-private histogram (Laplace mechanism)
+    * over customer market segments, with its utility report: each
+    * count is released as count + Lap(Δf/ε) with sensitivity 1, and
+    * the output carries true vs noisy side by side plus the absolute
+    * error — the "what does ε cost me" table a privacy review reads.
+    * q247 privatizes INDIVIDUAL rows (randomized response, local DP);
+    * this is the central-DP aggregate release that a stats endpoint
+    * publishes.
+    *
+    * Determinism: the Laplace draw inverts a uniform built from the
+    * md5 prefix of the segment name (the q247/q217 portable-coin
+    * contract — both engines hash identical bytes): u ∈ (0,1),
+    * noise = −b·sgn(u−½)·ln(1−2|u−½|), evaluated as ONE shared IEEE
+    * chain + floor to milli in identical text, so the release is
+    * reproducible and the oracle hash-matches. (A production release
+    * would swap the md5 coin for a CSPRNG draw — one expression, same
+    * plan.)
+    *
+    * Scale design (100 TB): one partial-aggregable count pass to
+    * |segments| rows; the noise is O(1) arithmetic per released cell.
+    * Nothing else touches data. */
+  val q305DpHistogram: QueryDef = {
+    val EPS_MILLI = 500 // ε = 0.5 → b = 1/ε = 2.0
+    // shared noise text: u from the md5 prefix (60 bits / 2^60), then
+    // the inverse-CDF Laplace with scale b = 1000/EPS_MILLI
+    val u = "((CAST(uhex AS DOUBLE) + 0.5) / 1152921504606846976.0)"
+    val noiseMilli =
+      s"CAST(floor(1000.0 * (0.0 - ${1000.0 / EPS_MILLI} * " +
+        s"(CASE WHEN $u >= 0.5 THEN 1.0 ELSE -1.0 END) * " +
+        s"ln(1.0 - 2.0 * abs($u - 0.5)))) AS BIGINT)"
+    QueryDef(
+      "q305_dp_histogram",
+      s"""WITH h AS (
+         |  SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n
+         |  FROM customer GROUP BY 1),
+         |c AS (
+         |  SELECT seg, n,
+         |    ('0x' || substring(md5('lap' || seg), 1, 15))::BIGINT AS uhex
+         |  FROM h),
+         |r AS (SELECT seg, n, $noiseMilli AS noise_milli FROM c)
+         |SELECT seg, n AS true_count,
+         |  1000 * n + noise_milli AS noisy_milli,
+         |  abs(noise_milli) AS abs_err_milli
+         |FROM r ORDER BY seg""".stripMargin) { (s, dir) =>
+      val h = Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"))
+      h.select(col("seg"), col("n"),
+          conv(substring(md5(concat(lit("lap"), col("seg"))), 1, 15), 16, 10)
+            .cast("bigint").as("uhex"))
+        .select(col("seg"), col("n"), expr(noiseMilli).as("noise_milli"))
+        .select(col("seg"), col("n").as("true_count"),
+          (lit(1000) * col("n") + col("noise_milli")).as("noisy_milli"),
+          abs(col("noise_milli")).as("abs_err_milli"))
+        .orderBy("seg")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q201KAnonymity, q202LDiversity, q203GeneralizationLadder,
-    q217Pseudonymize, q223TCloseness, q247RandomizedResponse)
+    q217Pseudonymize, q223TCloseness, q247RandomizedResponse,
+    q305DpHistogram)
 }

@@ -779,6 +779,48 @@ object StreamOps {
         expr(chi2).as("chi2_ppm"))
   }
 
+  /** Batch-side baseline for [[controlChartMonitor]]: per-type
+    * count/Σx/Σx² moments of a reference window-sum series (q293's
+    * center-line frame). `ref` carries (event_type, x: BIGINT) rows —
+    * one per reference window, produced at the SAME window length the
+    * monitor will use. Bounded output: |types| rows. */
+  def controlChartBaseline(ref: DataFrame): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    ref.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("dd"),
+        sum(dec(col("x"))).cast("decimal(38,0)").as("ss"),
+        sum(dec(col("x")) * col("x")).cast("decimal(38,0)").as("qq"))
+  }
+
+  /** Streaming twin of q293's Western Electric ZONE tests: per
+    * finalized (type, window), the milli-sum of value against the
+    * baseline center line — side of center plus the 2σ/3σ zone flags,
+    * via the same integer cross-multiplied identity
+    * (x·D − S)² > k²·(D·Q − S²), so no σ (and no float) is ever
+    * materialized. The run-length rules (2-of-3, 8-run) need ordered
+    * window HISTORY and remain batch-side in q293; the per-window
+    * zone alarm is the streaming-appropriate screen.
+    *
+    * Scale: watermark-bounded windowed sum (partial-aggregable),
+    * then a broadcast join against the |types|-row moment frame. */
+  def controlChartMonitor(events: DataFrame, baseline: DataFrame,
+      windowLen: String, delay: String): DataFrame = {
+    val dev = "(CAST(x AS DECIMAL(38,0)) * dd - ss)"
+    val varD2 = "(dd * qq - ss * ss)"
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(sum(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)")).as("x"))
+      .join(broadcast(baseline), Seq("event_type"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("x"),
+        expr(s"CASE WHEN $dev > 0 THEN 1 WHEN $dev < 0 THEN -1 ELSE 0 END")
+          .as("side"),
+        expr(s"CASE WHEN $dev * $dev > 4 * $varD2 THEN 1 ELSE 0 END")
+          .as("beyond2"),
+        expr(s"CASE WHEN $dev * $dev > 9 * $varD2 THEN 1 ELSE 0 END")
+          .as("beyond3"))
+  }
+
   /** The q143-grid baseline for [[driftTv]]: per-type bin shares (ppm)
     * of a reference frame, pivoted wide (b0..b15) for the broadcast
     * join. Batch-side, bounded output. */

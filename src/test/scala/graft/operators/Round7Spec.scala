@@ -183,6 +183,56 @@ class Round7Spec extends AnyFunSuite {
     assert(mass >= nSig * 1000000L - docs.count() , s"mass $mass vs $nSig clusters")
   }
 
+  test("q302 BFS: hop 0 is exactly the seed, frontier growth is monotone in reach") {
+    val rows = run("q302_bfs_hops")
+    assert(rows.nonEmpty)
+    val byHop = rows.map(r => r.getAs[Long]("hop") -> r.getAs[Long]("n_nodes")).toMap
+    assert(byHop.get(0L).contains(1L), s"hop 0 must be the single seed: $byHop")
+    assert(byHop.keySet.forall(h => h >= 0 && h <= 5))
+  }
+
+  test("q303 calibration: estimator means stay in [0, 1e6], exact means rise with decile") {
+    val rows = run("q303_minhash_calibration")
+    assert(rows.nonEmpty)
+    val exacts = rows.map(r => (r.getAs[Long]("decile"), r.getAs[Long]("mean_exact_ppm")))
+    for ((_, e) <- exacts) assert(e >= 0 && e <= 1000000L)
+    assert(exacts.sortBy(_._1).map(_._2).toSeq.sliding(2).forall {
+      case Seq(a, b) => a <= b; case _ => true
+    }, s"exact means must be monotone in decile: $exacts")
+    rows.foreach { r =>
+      val m = r.getAs[Long]("mean_est_ppm")
+      assert(m >= 0 && m <= 1000000L)
+      assert(r.getAs[Long]("bias_ppm") ==
+        m - r.getAs[Long]("mean_exact_ppm"))
+    }
+  }
+
+  test("q304 overdispersion: D > 0, chi2 consistent with D") {
+    val rows = run("q304_overdispersion")
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("dispersion_milli") >= 0)
+      assert(r.getAs[Long]("chi2_stat") >= 0)
+      assert(r.getAs[Long]("n_events") >= r.getAs[Long]("n_users"))
+    }
+  }
+
+  test("q305 DP histogram: noise bounded by the Laplace tail at 60-bit resolution") {
+    val rows = run("q305_dp_histogram")
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val err = r.getAs[Long]("abs_err_milli")
+      // |noise| <= b * ln(2^60) = 2.0 * 41.59 ~ 83.2 -> 83200 milli
+      assert(err >= 0 && err <= 84000L, s"noise outside inverse-CDF range: $r")
+      assert(r.getAs[Long]("noisy_milli") ==
+        1000L * r.getAs[Long]("true_count") +
+          (r.getAs[Long]("noisy_milli") - 1000L * r.getAs[Long]("true_count")))
+    }
+    // reproducibility: the release is deterministic
+    val again = run("q305_dp_histogram")
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("q301 HBOS: scores non-negative, descending, and the rarest bins score highest") {
     val rows = run("q301_hbos")
     assert(rows.length == 25)

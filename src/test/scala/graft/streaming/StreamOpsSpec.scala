@@ -1124,6 +1124,54 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("controlChartMonitor flags the out-of-zone window, clears the in-control one") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference: 4 windows of 'click' milli-sums {1000, 1100, 900, 1000}
+    // -> mean 1000000 milli? no: x values below; center = 1000, sigma^2 = 5000
+    val ref = Seq(("click", 1000L), ("click", 1100L), ("click", 900L),
+      ("click", 1000L)).toDF("event_type", "x")
+    val baseline = StreamOps.controlChartBaseline(ref)
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.controlChartMonitor(df, baseline, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("cchart_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window A (0-10): value sum = 1.0 -> x = 1000 milli, dead center
+      // window B (10-20): value sum = 5.0 -> x = 5000, way beyond 3 sigma
+      in.addData((ts(1), "click", 0.4), (ts(2), "click", 0.6),
+        (ts(11), "click", 2.5), (ts(12), "click", 2.5))
+      q.processAllAvailable()
+      in.addData((ts(90), "click", 0.001)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("cchart_out").collect()
+        .map(r => ((r.getTimestamp(0).getTime - Base) / 60000,
+          r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5))).toSet
+      assert(got.contains((0L, 1000L, 0, 0, 0)), s"in-control window wrong: $got")
+      assert(got.contains((10L, 5000L, 1, 1, 1)), s"outlier window wrong: $got")
+      // batch twin on the same rows computes identical flags
+      val batch = Seq((ts(1), "click", 0.4), (ts(2), "click", 0.6),
+        (ts(11), "click", 2.5), (ts(12), "click", 2.5))
+        .toDF("ts", "event_type", "value")
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(sum(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)")).as("x"))
+        .join(baseline, Seq("event_type"))
+        .select(col("w.start"), col("x"),
+          expr("CASE WHEN (CAST(x AS DECIMAL(38,0)) * dd - ss) > 0 THEN 1 " +
+            "WHEN (CAST(x AS DECIMAL(38,0)) * dd - ss) < 0 THEN -1 ELSE 0 END"),
+          expr("CASE WHEN (CAST(x AS DECIMAL(38,0)) * dd - ss) * " +
+            "(CAST(x AS DECIMAL(38,0)) * dd - ss) > 4 * (dd * qq - ss * ss) " +
+            "THEN 1 ELSE 0 END"),
+          expr("CASE WHEN (CAST(x AS DECIMAL(38,0)) * dd - ss) * " +
+            "(CAST(x AS DECIMAL(38,0)) * dd - ss) > 9 * (dd * qq - ss * ss) " +
+            "THEN 1 ELSE 0 END"))
+        .collect()
+        .map(r => ((r.getTimestamp(0).getTime - Base) / 60000,
+          r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSet
+      assert(batch.subsetOf(got), s"batch/stream disagree: ${batch.diff(got)}")
+    } finally q.stop()
+  }
+
   test("benfordMonitor finalized windows agree with the batch digit fold") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Double)]
