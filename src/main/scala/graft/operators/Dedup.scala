@@ -1378,6 +1378,81 @@ object Dedup {
       .orderBy("decile")
   }
 
+  /** q308 — redundancy growth curve: split the corpus into four
+    * ingestion-order quartiles (doc_id is arrival order) and report,
+    * per quartile, how many documents share at least one 5-word span
+    * with ANY earlier document — the "dedup pressure vs corpus size"
+    * curve that decides WHEN near-dup dedup must turn on in a growing
+    * crawl (redundancy compounds: each quartile dedups against
+    * everything before it, so the rate should rise; a flat curve
+    * means the sources are disjoint and dedup can wait). q69 counts
+    * duplicated spans at a fixed corpus; this tracks the trajectory.
+    *
+    * Exactness: first-seen is an associative min over doc_id per
+    * span; the quartile cut is the integer (4·doc_id) div (max+1);
+    * rates are cross-multiplied ppm floor-divs on non-negative
+    * counts.
+    *
+    * Scale design (100 TB): spans explode with one projection (no
+    * text self-join); the span→min(doc_id) collapse is
+    * partial-aggregable; the verdict is an equi-join back on the span
+    * key followed by a (doc)-keyed max — text never shuffles. The
+    * 1-row max-id frame is broadcast. Output is 4 rows. */
+  val q308DedupGrowth: QueryDef = {
+    val W = 5
+    QueryDef(
+      "q308_dedup_growth",
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sp AS (
+         |  SELECT DISTINCT doc_id,
+         |    array_to_string(t[i:i+${W - 1}], ' ') AS span
+         |  FROM tk, unnest(range(1, len(t) - ${W - 2})) AS r(i)
+         |  WHERE len(t) >= $W),
+         |fs AS (SELECT span, min(doc_id) AS first_seen FROM sp GROUP BY span),
+         |d AS (
+         |  SELECT s.doc_id,
+         |    max(CASE WHEN s.doc_id > f.first_seen THEN 1 ELSE 0 END) AS dup
+         |  FROM sp s JOIN fs f ON s.span = f.span GROUP BY s.doc_id),
+         |mx AS (SELECT max(doc_id) AS mid FROM documents),
+         |q AS (
+         |  SELECT least(3, (4 * doc.doc_id) // (mx.mid + 1)) AS quartile,
+         |    coalesce(d.dup, 0) AS dup
+         |  FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id, mx)
+         |SELECT CAST(quartile AS BIGINT) AS quartile,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dup) AS BIGINT) AS n_redundant,
+         |  (1000000 * CAST(sum(dup) AS BIGINT)) // count(*) AS red_ppm
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sp = docs
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= W)
+        .repartition(col("doc_id")) // single-file scan -> use every core
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - (W - 1)),
+          i => array_join(slice(col("t"), i, lit(W)), " "))).as("span"))
+        .distinct()
+        .ckpt() // feeds first-seen AND the verdict join
+      val fs = sp.groupBy(col("span")).agg(min(col("doc_id")).as("first_seen"))
+      val d = sp.join(fs, Seq("span"))
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("doc_id") > col("first_seen"), 1L).otherwise(0L))
+          .as("dup"))
+      val mx = docs.agg(max(col("doc_id")).as("mid"))
+      docs.select(col("doc_id"))
+        .join(d, Seq("doc_id"), "left")
+        .crossJoin(broadcast(mx))
+        .select(expr("least(3, (4 * doc_id) div (mid + 1))").as("quartile"),
+          coalesce(col("dup"), lit(0L)).as("dup"))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dup")).as("n_redundant"))
+        .select(col("quartile").cast("bigint").as("quartile"),
+          col("n_docs"), col("n_redundant"),
+          expr("(1000000 * n_redundant) div n_docs").as("red_ppm"))
+        .orderBy("quartile")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q244GoldenRecord,
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
@@ -1386,7 +1461,7 @@ object Dedup {
     q128KeepBest, q135LshEval, q151DedupWhatif, q158SourceOverlap,
     q161AdmissionFunnel, q162Containment, q185BandSweep, q213LeakSafeSplit,
     q234Winnowing, q297BlockingQuality, q300DupWeights,
-    q303MinhashCalibration)
+    q303MinhashCalibration, q308DedupGrowth)
 
   /** q161 — corpus-admission funnel: every document walks the full
     * pretraining ingestion gauntlet — exact dedup, near-dup dedup,

@@ -318,6 +318,82 @@ object Linalg {
       .orderBy("seg")
   }
 
+  /** q312 — effective rank (participation ratio) of the embedding
+    * space, per label: PR = (tr C)² / tr(C²) of the covariance matrix
+    * — the eigenvalue-free "how many dimensions are really in use"
+    * diagnostic (PR = d for isotropic noise, 1 for a collapsed line;
+    * Gao et al. 2017's neural-dimensionality measure). Computed
+    * WITHOUT any eigendecomposition via the trace identities
+    * tr C = Σ_d c_dd and tr C² = Σ_{dd'} c_dd'² — so it runs as pure
+    * aggregates where q169's power iteration needs 8 rounds, and it
+    * catches per-class representation collapse q169's global top
+    * eigenvector can't see (complements q298's fractal intrinsic
+    * dimension: PR is a second-moment measure, TwoNN a local-metric
+    * one).
+    *
+    * Exactness: coordinates are the q95/q169 floor-quantized integer
+    * micro-units; with A_dd' = n·Q_dd' − S_d·S_d' (all integer,
+    * DECIMAL(38)/HUGEINT), PR = (Σ_d A_dd)² / (Σ_{dd'} A_dd'²)
+    * exactly — the n² normalizations cancel. The two Σ magnitudes
+    * (~10³⁴ at gate scale) exceed int64, so the final milli ratio is
+    * ONE mirrored IEEE chain over the correctly-rounded DOUBLE casts
+    * of the exact integer sums.
+    *
+    * Scale design (100 TB): the N·d² explode-and-aggregate is the
+    * single fact-sized stage (map-side combinable straight into
+    * |labels|·4096 cells — the q169 Gram shape with a label key); the
+    * PR fold is a |labels|-row aggregate over that bounded frame. No
+    * windows, no broadcast, no iteration. */
+  val q312EffectiveRank: QueryDef = QueryDef(
+    "q312_effective_rank",
+    s"""WITH ${Learn.ptsCte},
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |g AS (
+       |  SELECT l.label, a.pos AS i, b.pos AS j,
+       |    CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS qq,
+       |    CAST(sum(CAST(a.q AS HUGEINT)) AS HUGEINT) AS sa,
+       |    CAST(sum(CAST(b.q AS HUGEINT)) AS HUGEINT) AS sb
+       |  FROM pts a JOIN pts b USING (vec_id) JOIN lab l USING (vec_id)
+       |  GROUP BY 1, 2, 3),
+       |c AS (
+       |  SELECT label, i, j, n, n * qq - sa * sb AS a_cell FROM g),
+       |f AS (
+       |  SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+       |    sum(CASE WHEN i = j THEN a_cell ELSE 0 END) AS tr_a,
+       |    sum(a_cell * a_cell) AS tr_a2
+       |  FROM c GROUP BY label)
+       |SELECT CAST(label AS BIGINT) AS label, n_vecs,
+       |  CASE WHEN tr_a2 > 0
+       |    THEN CAST(floor(1e3 * (CAST(tr_a AS DOUBLE) * CAST(tr_a AS DOUBLE))
+       |      / CAST(tr_a2 AS DOUBLE)) AS BIGINT) END AS pr_milli
+       |FROM f ORDER BY label""".stripMargin) { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val emb = Tables.embeddings(s, dir)
+    val pts = Learn.points(emb)
+    val lab = emb.select(col("vec_id"), col("label"))
+    val g = pts.as("a").join(pts.as("b"), Seq("vec_id"))
+      .join(lab, Seq("vec_id"))
+      .groupBy(col("label"), col("a.pos").as("i"), col("b.pos").as("j"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(dec(col("a.q")) * col("b.q")).cast("decimal(38,0)").as("qq"),
+        sum(dec(col("a.q"))).cast("decimal(38,0)").as("sa"),
+        sum(dec(col("b.q"))).cast("decimal(38,0)").as("sb"))
+    val c = g.select(col("label"), col("i"), col("j"), col("n"),
+      (col("n") * col("qq") - col("sa") * col("sb")).as("a_cell"))
+    c.groupBy(col("label"))
+      .agg(max(col("n")).cast("bigint").as("n_vecs"),
+        sum(when(col("i") === col("j"), col("a_cell")).otherwise(lit(0)))
+          .as("tr_a"),
+        sum(col("a_cell") * col("a_cell")).as("tr_a2"))
+      .select(col("label").cast("bigint").as("label"), col("n_vecs"),
+        when(col("tr_a2") > 0,
+          floor(lit(1e3) * (col("tr_a").cast("double") *
+            col("tr_a").cast("double")) / col("tr_a2").cast("double"))
+            .cast("bigint")).as("pr_milli"))
+      .orderBy("label")
+  }
+
   val all: Seq[QueryDef] = Seq(q122Spmm, q124GroupRegression, q169PcaPower,
-    q283Elasticity)
+    q283Elasticity, q312EffectiveRank)
 }

@@ -1,0 +1,335 @@
+package graft.operators
+
+import graft.{CkptOps, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-admission filter batteries and data-selection scoring — the
+  * published-pipeline operators (Gopher rule filters, DSIR importance
+  * weighting, smoothing-grid model selection) that sit between raw
+  * crawl and tokenizer in an LLM data pipeline. Complements the
+  * dedup/decontamination family (Dedup.scala) and the per-doc quality
+  * metrics (TextAnalysis.qualityMetrics): these are the SELECTION
+  * operators — which docs enter, and with what weight.
+  *
+  * Scale design (100 TB):
+  *  - every per-document metric is a codegen'd built-in expression
+  *    over one scan; the only data-sized exchanges are
+  *    partial-aggregable token collapses keyed by (doc, word/bucket);
+  *  - model/profile frames are bounded (64 hash buckets, 5 grid
+  *    points, |langs| rows) and broadcast;
+  *  - determinism: integer counts, cross-multiplied floor-divs on
+  *    non-negative numerators, and floored-per-term nano-nat logs
+  *    before any sum (the q83/q181 contract).
+  */
+object PipelineFilters {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** q306 — Gopher-style document-admission rules (Rae et al. 2021,
+    * "Scaling Language Models", Table A1): word-count bounds, mean
+    * word length bounds, minimum stopword evidence, and a top-word
+    * repetition cap, reported per language as NON-exclusive per-rule
+    * kill counts plus the surviving-document count — the rule-level
+    * diagnostic a pipeline owner reads before enabling a filter
+    * (which rule does the killing, and does it differ by language?).
+    * Thresholds are corpus-tuned config (the published bounds target
+    * web crawl; this corpus is synthetic), not constants of the
+    * operator.
+    *
+    * Exactness: all counts integer; mean word length rides the
+    * (1000·chars) div n_tok cross-multiplied floor (chars = text
+    * minus spaces — exact under single-space tokenization); the
+    * repetition ratio is (10⁶·max word count) div n_tok.
+    *
+    * Scale design (100 TB): the doc-metric pass is one scan of
+    * codegen'd string built-ins; the top-word count is the only
+    * shuffle — partial-aggregable (doc, word) collapse, then a
+    * (doc)-keyed max — joined back equi on doc_id. Output |langs|
+    * rows. */
+  val q306GopherRules: QueryDef = {
+    val MIN_TOK = 25L; val MAX_TOK = 90L
+    val MIN_MWL = 4000L; val MAX_MWL = 5100L // milli-chars/word
+    val MIN_STOP = 2L
+    val MAX_TOPW_PPM = 125000L // top word > 1/8 of doc = repetition
+    QueryDef(
+      "q306_gopher_rules",
+      s"""WITH m AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chr,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+         |      AS n_stop
+         |  FROM documents),
+         |tw AS (
+         |  SELECT doc_id, max(c) AS topw FROM (
+         |    SELECT doc_id, x, CAST(count(*) AS BIGINT) AS c
+         |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS x
+         |          FROM documents) GROUP BY 1, 2) GROUP BY doc_id),
+         |f AS (
+         |  SELECT m.lang,
+         |    CASE WHEN m.n_tok < $MIN_TOK OR m.n_tok > $MAX_TOK
+         |      THEN 1 ELSE 0 END AS f_len,
+         |    CASE WHEN (1000 * m.n_chr) // m.n_tok < $MIN_MWL
+         |      OR (1000 * m.n_chr) // m.n_tok > $MAX_MWL
+         |      THEN 1 ELSE 0 END AS f_mwl,
+         |    CASE WHEN m.n_stop < $MIN_STOP THEN 1 ELSE 0 END AS f_stop,
+         |    CASE WHEN (1000000 * tw.topw) // m.n_tok > $MAX_TOPW_PPM
+         |      THEN 1 ELSE 0 END AS f_rep
+         |  FROM m JOIN tw ON m.doc_id = tw.doc_id)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(f_len) AS BIGINT) AS kill_len,
+         |  CAST(sum(f_mwl) AS BIGINT) AS kill_mwl,
+         |  CAST(sum(f_stop) AS BIGINT) AS kill_stop,
+         |  CAST(sum(f_rep) AS BIGINT) AS kill_rep,
+         |  CAST(sum(CASE WHEN f_len + f_mwl + f_stop + f_rep = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val docs = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // single-file scan -> use every core
+      val m = docs.select(
+        col("doc_id"), col("lang"),
+        size(toks).cast("bigint").as("n_tok"),
+        length(regexp_replace(col("text"), " ", "")).cast("bigint")
+          .as("n_chr"),
+        size(filter(toks, t => t.isInCollection(stopwords))).cast("bigint")
+          .as("n_stop"))
+      val tw = docs
+        .select(col("doc_id"), explode(toks).as("x"))
+        .groupBy(col("doc_id"), col("x")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("topw"))
+      m.join(tw, Seq("doc_id"))
+        .select(col("lang"),
+          when(col("n_tok") < MIN_TOK || col("n_tok") > MAX_TOK, 1L)
+            .otherwise(0L).as("f_len"),
+          when(expr("(1000 * n_chr) div n_tok") < MIN_MWL ||
+            expr("(1000 * n_chr) div n_tok") > MAX_MWL, 1L)
+            .otherwise(0L).as("f_mwl"),
+          when(col("n_stop") < MIN_STOP, 1L).otherwise(0L).as("f_stop"),
+          when(expr("(1000000 * topw) div n_tok") > MAX_TOPW_PPM, 1L)
+            .otherwise(0L).as("f_rep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f_len")).as("kill_len"),
+          sum(col("f_mwl")).as("kill_mwl"),
+          sum(col("f_stop")).as("kill_stop"),
+          sum(col("f_rep")).as("kill_rep"),
+          sum(when(col("f_len") + col("f_mwl") + col("f_stop") +
+            col("f_rep") === 0, 1L).otherwise(0L)).as("n_pass"))
+        .orderBy("lang")
+    }
+  }
+
+  /** q307 — DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * out-of-domain document by the log-likelihood ratio of a hashed
+    * unigram model fit on the target domain vs one fit on the raw
+    * pool, and surface the top raw documents — the ranking that
+    * importance-resamples a web crawl toward a trusted domain without
+    * training a classifier. Target = sources src0/src1; raw = the
+    * other 18 sources (scored side).
+    *
+    * Exactness: tokens hash into 64 buckets via the md5-prefix mod
+    * (portable coin contract — both engines hash identical bytes);
+    * bucket log-ratios are add-one smoothed, computed as ONE shared
+    * IEEE chain and floored to nano-nats per BUCKET (64 values —
+    * possibly negative, so only floor, never div, touches them); a
+    * doc's weight is the exact integer Σ count·ratio_nn, and the
+    * per-token average is a single IEEE division of two exact int64s
+    * (bit-portable). Top-20 slice ties break on doc_id.
+    *
+    * Scale design (100 TB): ONE token explode + (doc, side, bucket)
+    * collapse is the only data-sized exchange; both sides' 64-row
+    * bucket totals and the per-doc raw counts derive from that
+    * checkpointed frame, the 64-row ratio frame is BROADCAST back
+    * into it, and the top-20 is a TakeOrdered per-partition heap,
+    * never a global sort. */
+  val q307DsirWeights: QueryDef = {
+    val B = 64
+    // shared IEEE chain for the bucket log-ratio, nano-nats, floored.
+    // e-notation keeps every literal DOUBLE in both parsers (bare
+    // decimals are DECIMAL in Spark AND DuckDB).
+    val ratioNn =
+      s"CAST(floor(1e9 * ln((CAST(coalesce(tc, 0) + 1 AS DOUBLE) /" +
+        s" CAST(tt + $B AS DOUBLE))" +
+        s" / (CAST(rc + 1 AS DOUBLE) / CAST(rt + $B AS DOUBLE)))) AS BIGINT)"
+    QueryDef(
+      "q307_dsir_weights",
+      s"""WITH tok AS (
+         |  SELECT doc_id, source,
+         |    ('0x' || substring(md5(x), 1, 15))::BIGINT % $B AS b
+         |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS x
+         |        FROM documents)),
+         |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM tok
+         |        WHERE source IN ('src0', 'src1') GROUP BY b),
+         |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS rc FROM tok
+         |        WHERE source NOT IN ('src0', 'src1') GROUP BY b),
+         |tot AS (
+         |  SELECT CAST(sum(tc) AS BIGINT) AS tt FROM tgt),
+         |rot AS (
+         |  SELECT CAST(sum(rc) AS BIGINT) AS rt FROM raw),
+         |lr AS (
+         |  SELECT r.b, $ratioNn AS rnn
+         |  FROM (SELECT b, rc FROM raw) r
+         |  LEFT JOIN tgt ON r.b = tgt.b, tot, rot),
+         |dc AS (
+         |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM tok
+         |  WHERE source NOT IN ('src0', 'src1') GROUP BY doc_id, b),
+         |w AS (
+         |  SELECT dc.doc_id, CAST(sum(dc.c * lr.rnn) AS BIGINT) AS logw_nn,
+         |    CAST(sum(dc.c) AS BIGINT) AS n_tok
+         |  FROM dc JOIN lr ON dc.b = lr.b GROUP BY dc.doc_id)
+         |SELECT d.doc_id, d.source, w.n_tok, w.logw_nn,
+         |  CAST(w.logw_nn AS DOUBLE) / CAST(w.n_tok AS DOUBLE) AS avg_nn
+         |FROM w JOIN documents d ON w.doc_id = d.doc_id
+         |ORDER BY avg_nn DESC, d.doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // single-file scan -> use every core
+      val isTgt = col("source").isin("src0", "src1")
+      // ONE token explode + (doc, bucket) collapse feeds everything —
+      // bucket totals per side and the per-doc raw counts all derive
+      // from this ≤ |docs|·B frame (checkpointed: 3 consumers).
+      val dcAll = docs
+        .select(col("doc_id"), isTgt.as("tgt"),
+          explode(split(col("text"), " ")).as("x"))
+        .select(col("doc_id"), col("tgt"),
+          (conv(substring(md5(col("x")), 1, 15), 16, 10).cast("bigint")
+            % B).as("b"))
+        .groupBy(col("doc_id"), col("tgt"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .ckpt()
+      val tgt = dcAll.filter(col("tgt")).groupBy(col("b"))
+        .agg(sum(col("c")).cast("bigint").as("tc"))
+      val raw = dcAll.filter(!col("tgt")).groupBy(col("b"))
+        .agg(sum(col("c")).cast("bigint").as("rc"))
+      val tt = tgt.agg(sum(col("tc")).cast("bigint").as("tt"))
+      val rt = raw.agg(sum(col("rc")).cast("bigint").as("rt"))
+      val lr = broadcast(raw
+        .join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
+        .select(col("b"), expr(ratioNn).as("rnn")))
+      val dc = dcAll.filter(!col("tgt"))
+        .select(col("doc_id"), col("b"), col("c"))
+      val w = dc.join(lr, Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * col("rnn")).cast("bigint").as("logw_nn"),
+          sum(col("c")).cast("bigint").as("n_tok"))
+      w.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("logw_nn"),
+          (col("logw_nn").cast("double") / col("n_tok").cast("double"))
+            .as("avg_nn"))
+        .orderBy(col("avg_nn").desc, col("doc_id"))
+        .limit(20)
+    }
+  }
+
+  /** q309 — Jelinek–Mercer interpolation grid: the held-out bigram
+    * NLL of p = λ·p_ML(w₂|w₁) + (1−λ)·p_uni(w₂) across five λ values
+    * — the classic smoothing-hyperparameter sweep (Chen & Goodman
+    * 1998) that brackets where q215's Kneser–Ney and q181's add-one
+    * land, run as ONE pass over the held-out bigrams (train even
+    * doc_ids, test odd, the q181 split convention).
+    *
+    * Exactness: the interpolated probability is ONE shared IEEE chain
+    * (e-notation literals keep every constant DOUBLE in both
+    * parsers); p > 0 because the unigram leg is add-one floored, and
+    * p ≤ 1 because both legs are ML probabilities — so the per-term
+    * nano-nat NLL floor is non-negative and the final integer
+    * floor-div is portable. Grid explode is a 5-literal array, CAST
+    * BIGINT in output (driver hash is type-sensitive).
+    *
+    * Scale design (100 TB): identical shape to q181 — count collapses
+    * are partial-aggregable, model lookups are equi-joins that
+    * Spark's size-based planning broadcasts iff they fit, only the
+    * 1-row vocab/total frame is unconditionally broadcast; the ×5
+    * grid multiplies the ≤|distinct test bigram| frame AFTER the
+    * joins, and collapses straight to 5 rows. */
+  val q309JmGrid: QueryDef = {
+    val lams = Seq(100, 300, 500, 700, 900)
+    // shared IEEE chain: interpolated bigram probability -> -ln,
+    // floored to nano-nats. All literals e-notation (DOUBLE in both).
+    val nllNn =
+      "CAST(floor(1e9 * (0e0 - ln(" +
+        "(CAST(lam AS DOUBLE) / 1e3) * (CASE WHEN c2c IS NULL OR c1c IS NULL" +
+        " THEN 0e0 ELSE CAST(c2c AS DOUBLE) / CAST(c1c AS DOUBLE) END)" +
+        " + (1e0 - CAST(lam AS DOUBLE) / 1e3) *" +
+        " (CAST(cu + 1 AS DOUBLE) / CAST(tot + vs AS DOUBLE))))) AS BIGINT)"
+    QueryDef(
+      "q309_jm_grid",
+      s"""WITH tr AS (
+         |  SELECT string_split(text, ' ') AS tk FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |te AS (
+         |  SELECT string_split(text, ' ') AS tk FROM documents
+         |  WHERE doc_id % 2 = 1),
+         |u AS (SELECT unnest(tk) AS x FROM tr),
+         |v AS (SELECT CAST(count(DISTINCT x) AS BIGINT) AS vs,
+         |             CAST(count(*) AS BIGINT) AS tot FROM u),
+         |c1 AS (SELECT x, CAST(count(*) AS BIGINT) AS c1c FROM u GROUP BY x),
+         |c2 AS (
+         |  SELECT tk[CAST(i AS INT)] AS x, tk[CAST(i AS INT)+1] AS y,
+         |    CAST(count(*) AS BIGINT) AS c2c
+         |  FROM tr, unnest(range(1, len(tk))) AS r(i) GROUP BY 1, 2),
+         |tb AS (
+         |  SELECT tk[CAST(i AS INT)] AS x, tk[CAST(i AS INT)+1] AS y,
+         |    CAST(count(*) AS BIGINT) AS m
+         |  FROM te, unnest(range(1, len(tk))) AS r(i) GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT tb.m, c2.c2c, uc.c1c, coalesce(u1.c1c, 0) AS cu, v.vs, v.tot
+         |  FROM tb LEFT JOIN c2 ON tb.x = c2.x AND tb.y = c2.y
+         |  LEFT JOIN c1 uc ON tb.x = uc.x
+         |  LEFT JOIN c1 u1 ON tb.y = u1.x, v),
+         |g AS (
+         |  SELECT lam, m, $nllNn AS nll_nn
+         |  FROM sc, unnest([${lams.mkString(", ")}]) AS l(lam))
+         |SELECT CAST(lam AS BIGINT) AS lam_milli,
+         |  CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CAST(m AS HUGEINT) * nll_nn) //
+         |       CAST(sum(m) AS HUGEINT) AS BIGINT) AS avg_nll_nn
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val tk = col("tk")
+      def bigrams(df: DataFrame): DataFrame =
+        df.filter(size(tk) >= 2)
+          .select(explode(zip_with(
+            slice(tk, lit(1), size(tk) - 1),
+            slice(tk, lit(2), size(tk) - 1),
+            (x, y) => struct(x.as("x"), y.as("y")))).as("p"))
+          .select(col("p.x").as("x"), col("p.y").as("y"))
+      val docs = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // single-file scan -> use every core
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val tr = docs.filter(col("doc_id") % 2 === 0)
+      val te = docs.filter(col("doc_id") % 2 === 1)
+      val uni = tr.select(explode(tk).as("x"))
+      val v = uni.agg(count_distinct(col("x")).as("vs"),
+        count(lit(1)).as("tot"))
+      val c1 = uni.groupBy(col("x")).agg(count(lit(1)).as("c1c"))
+      val c2 = bigrams(tr).groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("c2c"))
+      val tb = bigrams(te).groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("m"))
+      tb.join(c2, Seq("x", "y"), "left")
+        .join(c1, Seq("x"), "left")
+        .join(c1.select(col("x").as("y"), col("c1c").as("cuv")),
+          Seq("y"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("m"), col("c2c"), col("c1c"),
+          coalesce(col("cuv"), lit(0L)).as("cu"), col("vs"), col("tot"))
+        .select(col("m"), col("c2c"), col("c1c"), col("cu"), col("vs"),
+          col("tot"), explode(array(lams.map(lit): _*)).as("lam"))
+        .select(col("lam"), col("m"), expr(nllNn).as("nll_nn"))
+        .groupBy(col("lam"))
+        .agg(sum(col("m")).as("n_bigrams"),
+          sum(dec(col("m")) * col("nll_nn")).as("swn"))
+        .select(col("lam").cast("bigint").as("lam_milli"),
+          col("n_bigrams"),
+          expr("CAST(swn div n_bigrams AS BIGINT)").as("avg_nll_nn"))
+        .orderBy("lam_milli")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q306GopherRules, q307DsirWeights, q309JmGrid)
+}

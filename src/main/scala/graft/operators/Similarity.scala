@@ -1356,9 +1356,181 @@ object Similarity {
     }
   }
 
+  /** q310 — 1-bit sign quantization + Hamming reranking audit: pack
+    * each 64-dim embedding into two 32-bit sign words (bit set iff
+    * coordinate > 0 — 64 bits/vector, a 128× compression over fp32),
+    * rank neighbors by Hamming distance with `bit_count(xor)`, and
+    * report recall@10 vs the exact-cosine top-10 per probe — the
+    * binary-embedding screen (Indyk–Motwani SimHash bound: P[bit
+    * match] = 1 − θ/π) that prices "can the first-pass index be 64
+    * BITS per vector". q45/q73 audit int8/PQ codes the same way; this
+    * is the extreme end of that quantization ladder.
+    *
+    * Exactness: packing and Hamming are pure integer ops (two 32-bit
+    * halves — bit 63 in one word would overflow a signed sum under
+    * ANSI); recall counts are integer; ties in both rankings break on
+    * vec_id.
+    *
+    * Scale design (100 TB): the probe set is a LITERAL slice (vec_id
+    * < 10) — broadcast O(NQ·dim); ONE corpus pass scores both the
+    * Hamming and cosine ranks (the packed words travel with the scan,
+    * 16 bytes/row); per-probe top-10s are windows PARTITIONED by
+    * probe. At index scale the packed words would be the stored
+    * column and the fp32 embedding only fetched for rerank. */
+  val q310SignAnn: QueryDef = {
+    val NQ = 10
+    def packSql(v: String, lo: Int): String = // 32 bits from dim lo+1..lo+32
+      (1 to 32).map(i =>
+        s"(CASE WHEN $v[${lo + i}] > 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+        .mkString(" + ")
+    def packCol(v: String, lo: Int): Column =
+      (1 to 32).map(i =>
+        when(element_at(col(v), lo + i) > 0, lit(1L << (i - 1)))
+          .otherwise(lit(0L))).reduce(_ + _)
+    QueryDef(
+      "q310_sign_ann",
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding AS v,
+         |    ${packSql("embedding", 0)} AS h0,
+         |    ${packSql("embedding", 32)} AS h1
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS vq, h0 AS q0, h1 AS q1
+         |      FROM e WHERE vec_id < $NQ),
+         |sc AS (
+         |  SELECT q.qid, e.vec_id,
+         |    bit_count(xor(e.h0, q.q0)) + bit_count(xor(e.h1, q.q1)) AS ham,
+         |    ${cosSql("e.v", "q.vq")} AS cs
+         |  FROM e JOIN q ON e.vec_id <> q.qid),
+         |th AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS rn
+         |    FROM sc) WHERE rn <= 10),
+         |tc AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rn
+         |    FROM sc) WHERE rn <= 10)
+         |SELECT th.qid, CAST(count(tc.vec_id) AS BIGINT) AS n_overlap,
+         |  CAST(100000 * count(tc.vec_id) AS BIGINT) AS recall_ppm
+         |FROM th LEFT JOIN tc ON th.qid = tc.qid AND th.vec_id = tc.vec_id
+         |GROUP BY th.qid ORDER BY th.qid""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .repartition(col("vec_id")) // single-file scan -> use every core
+        .select(col("vec_id"), col("embedding").as("v"),
+          packCol("embedding", 0).as("h0"), packCol("embedding", 32).as("h1"))
+      val q = broadcast(e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("v").as("vq"),
+          col("h0").as("q0"), col("h1").as("q1")))
+      val sc = e.join(q, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (bit_count(expr("h0 ^ q0")) + bit_count(expr("h1 ^ q1"))).as("ham"),
+          cosCol("v", "vq").as("cs"))
+        .ckpt() // one corpus pass feeds both rankings
+      val wh = Window.partitionBy(col("qid")).orderBy(col("ham"), col("vec_id"))
+      val wc = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))
+      val th = sc.withColumn("rn", row_number().over(wh))
+        .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+      val tc = sc.withColumn("rn", row_number().over(wc))
+        .filter(col("rn") <= 10)
+        .select(col("qid").as("cqid"), col("vec_id").as("cvid"))
+      th.join(tc, col("qid") === col("cqid") && col("vec_id") === col("cvid"),
+          "left")
+        .groupBy(col("qid"))
+        .agg(count(col("cvid")).as("n_overlap"),
+          (lit(100000L) * count(col("cvid"))).as("recall_ppm"))
+        .orderBy("qid")
+    }
+  }
+
+  /** q311 — Johnson–Lindenstrauss distortion audit: project every
+    * embedding from 64 to 16 dims with a ±1 sign matrix (Achlioptas
+    * 2003's database-friendly JL), then measure, over all probe
+    * pairs, the ratio of projected to original squared distance
+    * (normalized by k so the expectation is 1) — the empirical answer
+    * to "how much pairwise geometry does a 4× dimension cut cost",
+    * which prices the cheap-projection variant of every downstream
+    * ANN/dedup index. The matrix reuses [[VectorOps.planeSign]] —
+    * the SAME hyperplane family as the LSH bucketer, so the audit
+    * measures the exact projections the index would use.
+    *
+    * Exactness: projections and distances are the shared
+    * left-associated IEEE chains (bit-equal across engines); each
+    * pair's ratio is floored to milli BEFORE the integer mean
+    * (floor-then-sum, q83 discipline); zero-distance pairs are
+    * excluded by predicate in both engines.
+    *
+    * Scale design (100 TB): the per-vector projection is ONE
+    * codegen'd 16-chain map (no shuffle); the pair audit runs on a
+    * LITERAL probe slice (vec_id < 32 ⇒ ≤496 pairs) with both sides
+    * broadcast-bounded — the corpus-wide projection itself never
+    * pairs. Output is 1 row. */
+  val q311JlDistortion: QueryDef = {
+    val K = 16 // target dims
+    val NP = 32 // probe slice: pairs = NP*(NP-1)/2
+    def yCols(v: String): Seq[(String, String, Column)] =
+      (0 until K).map(j =>
+        (s"y$j", s"(${planeDotSql(v, j)})", planeDotCol(v, j)))
+    val dySql = (0 until K).map(j => s"(a.y$j - b.y$j)*(a.y$j - b.y$j)")
+      .mkString(" + ")
+    val dxSql = (1 to DIM).map(i =>
+      s"(CAST(a.v[$i] AS DOUBLE) - CAST(b.v[$i] AS DOUBLE))*" +
+        s"(CAST(a.v[$i] AS DOUBLE) - CAST(b.v[$i] AS DOUBLE))").mkString(" + ")
+    val dyCol = (0 until K).map { j =>
+      val d = col(s"ay$j") - col(s"by$j"); d * d
+    }.reduce(_ + _)
+    val dxCol = (1 to DIM).map { i =>
+      val d = element_at(col("va"), i).cast("double") -
+        element_at(col("vb"), i).cast("double")
+      d * d
+    }.reduce(_ + _)
+    QueryDef(
+      "q311_jl_distortion",
+      s"""WITH p AS (
+         |  SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < $NP),
+         |y AS (
+         |  SELECT vec_id, v,
+         |    ${yCols("v").map { case (n, sql, _) => s"$sql AS $n" }
+            .mkString(",\n    ")}
+         |  FROM p),
+         |r AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    ($dySql) AS dy2, ($dxSql) AS dx2
+         |  FROM y a JOIN y b ON a.vec_id < b.vec_id),
+         |m AS (
+         |  SELECT CAST(floor(1e3 * dy2 / (${K}e0 * dx2)) AS BIGINT) AS ratio_milli
+         |  FROM r WHERE dx2 > 0e0)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  min(ratio_milli) AS min_milli,
+         |  max(ratio_milli) AS max_milli,
+         |  CAST(sum(ratio_milli) AS BIGINT) // count(*) AS mean_milli
+         |FROM m""".stripMargin) { (s, dir) =>
+      val p = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < NP)
+        .select(col("vec_id"), col("embedding").as("v"))
+      val y = p.select(col("vec_id") +: col("v") +:
+        yCols("v").map { case (n, _, c) => c.as(n) }: _*)
+      val a = broadcast(y.select(col("vec_id").as("ia") +: col("v").as("va") +:
+        (0 until K).map(j => col(s"y$j").as(s"ay$j")): _*))
+      val b = y.select(col("vec_id").as("ib") +: col("v").as("vb") +:
+        (0 until K).map(j => col(s"y$j").as(s"by$j")): _*)
+      a.join(b, col("ia") < col("ib"))
+        .select(dyCol.as("dy2"), dxCol.as("dx2"))
+        .filter(col("dx2") > 0d)
+        .select(floor(lit(1e3) * col("dy2") / (lit(K.toDouble) * col("dx2")))
+          .cast("bigint").as("ratio_milli"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("ratio_milli")).as("min_milli"),
+          max(col("ratio_milli")).as("max_milli"),
+          expr("CAST(sum(ratio_milli) AS BIGINT) div count(*)")
+            .as("mean_milli"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells, q44CosineExpr,
       q45Quantize, q73Pq, q82IvfSearch, q84SqlSurface, q145IvfMultiprobe,
       q147PqRecall, q154EmbeddingDrift, q166IvfNdcg, q176MmrRerank,
-      q229Matryoshka, q273HardNegatives, q291LabelNoise, q298TwoNnId)
+      q229Matryoshka, q273HardNegatives, q291LabelNoise, q298TwoNnId,
+      q310SignAnn, q311JlDistortion)
 }
