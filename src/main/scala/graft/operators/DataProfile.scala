@@ -2296,8 +2296,215 @@ object DataProfile {
     }
   }
 
+  /** q313 — covariate-balance audit of a hashed A/B split:
+    * standardized mean difference (SMD) of three customer covariates
+    * (account balance, order count, total spend) between the two arms
+    * of the md5-coin assignment — the pre-experiment sanity check
+    * ("is my randomization actually balanced?") and the
+    * post-stratification diagnostic for observational comparisons;
+    * |SMD| < 0.1 is the standard epidemiology bar (Austin 2009).
+    * q266's CUPED consumes a split like this; this audits it first.
+    *
+    * Exactness: covariates are exact integers (half-up cents, int
+    * counts); per-arm moments (n, Σx, Σx²) ride DECIMAL(38)/HUGEINT;
+    * the SMD is ONE mirrored IEEE chain over the DOUBLE casts of
+    * those exact sums, floored to milli (floor on a possibly-negative
+    * value is portable — only `div` is not); the balance flag
+    * compares the floored magnitude against the 100-milli bar.
+    *
+    * Scale design (100 TB): per-customer features are one
+    * partial-aggregable orders collapse joined equi on custkey; the
+    * unpivot is a 3-way Expand of the feature frame (map-side); arm
+    * moments collapse to 3×2 rows. No windows, no broadcast of
+    * anything unbounded. */
+  val q313CovariateBalance: QueryDef = {
+    // shared IEEE chain: Welch-style pooled-SD standardized difference
+    val smd =
+      "CAST(floor(1e3 * " +
+        "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+        "CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / " +
+        "sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)" +
+        " / CAST(n1 AS DOUBLE)) / CAST(n1 AS DOUBLE) + " +
+        "(CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)" +
+        " / CAST(n0 AS DOUBLE)) / CAST(n0 AS DOUBLE)) / 2e0)) AS BIGINT)"
+    QueryDef(
+      "q313_covariate_balance",
+      s"""WITH f AS (
+         |  SELECT c.c_custkey,
+         |    ('0x' || substring(md5('bal' || c.c_custkey), 1, 15))::BIGINT % 2
+         |      AS arm,
+         |    CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+         |    CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+         |    CAST(coalesce(sum(CAST(floor(o.o_totalprice * 100 + 0.5)
+         |      AS BIGINT)), 0) AS BIGINT) AS spend_cents
+         |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+         |  GROUP BY 1, 2, 3),
+         |u AS (
+         |  SELECT arm, 'acctbal_cents' AS feature, acctbal_cents AS x FROM f
+         |  UNION ALL SELECT arm, 'n_orders', n_orders FROM f
+         |  UNION ALL SELECT arm, 'spend_cents', spend_cents FROM f),
+         |m AS (
+         |  SELECT feature,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n0,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+         |    CAST(sum(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) ELSE 0 END)
+         |      AS HUGEINT) AS s0,
+         |    CAST(sum(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) ELSE 0 END)
+         |      AS HUGEINT) AS s1,
+         |    CAST(sum(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+         |      AS HUGEINT) AS q0,
+         |    CAST(sum(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+         |      AS HUGEINT) AS q1
+         |  FROM u GROUP BY feature)
+         |SELECT feature, CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+         |  $smd AS smd_milli,
+         |  CAST(CASE WHEN abs($smd) <= 100 THEN 1 ELSE 0 END AS BIGINT) AS balanced
+         |FROM m ORDER BY feature""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val f = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"),
+          (conv(substring(md5(concat(lit("bal"), col("c_custkey"))), 1, 15),
+            16, 10).cast("bigint") % 2).as("arm"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+            .as("acctbal_cents"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")),
+            lit(0L)).as("spend_cents"))
+      val u = f.select(col("arm"), lit("acctbal_cents").as("feature"),
+          col("acctbal_cents").as("x"))
+        .unionByName(f.select(col("arm"), lit("n_orders").as("feature"),
+          col("n_orders").as("x")))
+        .unionByName(f.select(col("arm"), lit("spend_cents").as("feature"),
+          col("spend_cents").as("x")))
+      u.groupBy(col("feature"))
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L))
+            .cast("decimal(38,0)").as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L))
+            .cast("decimal(38,0)").as("n1"),
+          sum(when(col("arm") === 0, dec(col("x"))).otherwise(lit(0)))
+            .cast("decimal(38,0)").as("s0"),
+          sum(when(col("arm") === 1, dec(col("x"))).otherwise(lit(0)))
+            .cast("decimal(38,0)").as("s1"),
+          sum(when(col("arm") === 0, dec(col("x")) * col("x")).otherwise(lit(0)))
+            .cast("decimal(38,0)").as("q0"),
+          sum(when(col("arm") === 1, dec(col("x")) * col("x")).otherwise(lit(0)))
+            .cast("decimal(38,0)").as("q1"))
+        .select(col("feature"),
+          col("n0").cast("bigint").as("n_a"),
+          col("n1").cast("bigint").as("n_b"),
+          expr(smd).as("smd_milli"),
+          when(abs(expr(smd)) <= 100, 1L).otherwise(0L).as("balanced"))
+        .orderBy("feature")
+    }
+  }
+
+  /** q317 — bucketed 1-D Wasserstein drift: the earth-mover distance
+    * between each market segment's order-amount distribution and the
+    * global one, over a 64-bin equi-width grid — the drift metric
+    * that SEES how far mass moved where q143's total-variation only
+    * counts it and q224's KS takes the single worst point; the
+    * standard distribution-shift score for monitoring feature/price
+    * drift between cohorts. W1 on binned CDFs = Σ_b |F_seg − F_all|
+    * / nbins, exact over the binned view.
+    *
+    * Exactness: cents are half-up integers; the global min/max frame
+    * is exact; bins are cross-multiplied integer floor-divs; CDF
+    * differences ride |cum_s·N_g − cum_g·N_s| (integer,
+    * DECIMAL/HUGEINT) and ONE final floor-div emits milli (numerator
+    * non-negative by abs).
+    *
+    * Scale design (100 TB): one partial-aggregable (segment, bin)
+    * collapse over the fact join; the dense 64-bin skeleton is a
+    * literal-range cross join against the |segments|-row domain; CDFs
+    * are windows PARTITIONED by segment over the 64-bin axis; the
+    * global CDF reuses the per-segment cums (global = Σ segments —
+    * no second fact pass, no unpartitioned window). Output |segments|
+    * rows. */
+  val q317Wasserstein: QueryDef = {
+    val NB = 64
+    QueryDef(
+      "q317_wasserstein",
+      s"""WITH o AS (
+         |  SELECT c.c_mktsegment AS seg,
+         |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM o),
+         |h AS (
+         |  SELECT seg, least($NB - 1, ($NB * (cents - mn)) // (mx - mn + 1))
+         |    AS bin, CAST(count(*) AS BIGINT) AS c
+         |  FROM o, b GROUP BY 1, 2),
+         |segs AS (SELECT DISTINCT seg FROM h),
+         |grid AS (
+         |  SELECT s.seg, CAST(g.bin AS BIGINT) AS bin, coalesce(h.c, 0) AS c
+         |  FROM segs s CROSS JOIN (SELECT unnest(range(0, $NB)) AS bin) g
+         |  LEFT JOIN h ON h.seg = s.seg AND h.bin = g.bin),
+         |cum AS (
+         |  SELECT seg, bin, c,
+         |    CAST(sum(c) OVER (PARTITION BY seg ORDER BY bin) AS BIGINT)
+         |      AS cs,
+         |    CAST(sum(c) OVER (PARTITION BY seg) AS BIGINT) AS ns
+         |  FROM grid),
+         |g AS (
+         |  SELECT bin, CAST(sum(cs) AS BIGINT) AS cg,
+         |    CAST(sum(ns) AS BIGINT) AS ng
+         |  FROM cum GROUP BY bin),
+         |d AS (
+         |  SELECT cum.seg, cum.ns,
+         |    CAST(sum(abs(CAST(cum.cs AS HUGEINT) * g.ng
+         |      - CAST(g.cg AS HUGEINT) * cum.ns)) AS HUGEINT) AS num
+         |  FROM cum JOIN g ON cum.bin = g.bin GROUP BY 1, 2)
+         |SELECT seg, CAST(ns AS BIGINT) AS n_orders,
+         |  CAST((1000 * num) // ($NB * CAST(ns AS HUGEINT) * ng) AS BIGINT)
+         |    AS w1_milli
+         |FROM d, (SELECT CAST(max(ng) AS HUGEINT) AS ng FROM g) t
+         |ORDER BY seg""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val o = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      val b = o.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      val h = o.crossJoin(broadcast(b))
+        .select(col("seg"),
+          least(lit(NB - 1), expr(s"($NB * (cents - mn)) div (mx - mn + 1)"))
+            .as("bin"))
+        .groupBy(col("seg"), col("bin")).agg(count(lit(1)).as("c"))
+        .ckpt() // feeds the skeleton join AND the distinct-segment list
+      val segs = h.select(col("seg")).distinct()
+      val grid = segs
+        .crossJoin(s.range(0, NB).select(col("id").as("bin"))) // literal axis
+        .join(h, Seq("seg", "bin"), "left")
+        .select(col("seg"), col("bin"), coalesce(col("c"), lit(0L)).as("c"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("seg")).orderBy(col("bin"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
+      val cum = grid
+        .select(col("seg"), col("bin"), col("c"),
+          sum(col("c")).over(wCum).cast("bigint").as("cs"),
+          sum(col("c")).over(wAll).cast("bigint").as("ns"))
+        .ckpt() // feeds the global fold AND the distance join
+      val g = cum.groupBy(col("bin"))
+        .agg(sum(col("cs")).cast("bigint").as("cg"),
+          sum(col("ns")).cast("bigint").as("ng"))
+      val ngTot = g.agg(max(col("ng")).cast("decimal(38,0)").as("ngt"))
+      cum.join(g, Seq("bin"))
+        .groupBy(col("seg"), col("ns"))
+        .agg(sum(abs(dec(col("cs")) * col("ng") - dec(col("cg")) * col("ns")))
+          .cast("decimal(38,0)").as("num"))
+        .crossJoin(broadcast(ngTot))
+        .select(col("seg"), col("ns").cast("bigint").as("n_orders"),
+          expr(s"CAST((1000 * num) div ($NB * CAST(ns AS DECIMAL(38,0)) * ngt)"
+            + " AS BIGINT)").as("w1_milli"))
+        .orderBy("seg")
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q301Hbos,
+    Seq(q301Hbos, q313CovariateBalance, q317Wasserstein,
       q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
       q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers,

@@ -2466,7 +2466,144 @@ object EventOps {
       .orderBy("channel")
   }
 
+  /** q315 — capture–recapture population estimate (Chapman's
+    * bias-corrected Lincoln–Petersen): treat the first and second
+    * halves of the event window as two independent "captures" of the
+    * user population and estimate total population from the overlap,
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — the classic "how many users exist
+    * that we have NOT seen yet" estimator (mark–recapture ecology,
+    * reused for dedup-universe and darknumber estimation). Reported
+    * against the directly-observed distinct count with a signed
+    * error, so the output doubles as a validity check of the
+    * independence assumption (heavy repeat users violate it and bias
+    * N̂ low).
+    *
+    * Exactness: the half boundary is the integer micros midpoint of
+    * the exact (min, max) timestamp frame; capture flags are per-user
+    * maxes; the estimator and error are integer floor-divs on
+    * non-negative numerators (N̂ ≥ m ≥ 0; error emitted as sign ·
+    * magnitude to keep div portable).
+    *
+    * Scale design (100 TB): one partial-aggregable (user → seen-in-
+    * half flags) collapse over the stream — the only data-sized
+    * exchange; the 1-row bounds frame is broadcast; the fold is a
+    * 1-row aggregate. Output 1 row. */
+  val q315CaptureRecapture: QueryDef = QueryDef(
+    "q315_capture_recapture",
+    """WITH b AS (
+      |  SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS t0,
+      |         CAST(epoch_us(max(ts)) AS BIGINT) AS t1
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN epoch_us(ts) - b.t0 < (b.t1 - b.t0 + 1) // 2
+      |      THEN 1 ELSE 0 END) AS h1,
+      |    max(CASE WHEN epoch_us(ts) - b.t0 >= (b.t1 - b.t0 + 1) // 2
+      |      THEN 1 ELSE 0 END) AS h2
+      |  FROM events, b GROUP BY user_id),
+      |f AS (
+      |  SELECT CAST(sum(h1) AS BIGINT) AS n1, CAST(sum(h2) AS BIGINT) AS n2,
+      |    CAST(sum(h1 * h2) AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n_true
+      |  FROM u)
+      |SELECT n1, n2, m, n_true,
+      |  ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS n_hat,
+      |  CASE WHEN ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 >= n_true
+      |    THEN 1 ELSE -1 END *
+      |  ((1000000 * abs(((n1 + 1) * (n2 + 1)) // (m + 1) - 1 - n_true))
+      |    // n_true) AS err_ppm
+      |FROM f""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+    val b = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+    val u = ev.crossJoin(broadcast(b))
+      .select(col("user_id"),
+        when(col("us") - col("t0") <
+          expr("(t1 - t0 + 1) div 2"), 1L).otherwise(0L).as("in1"),
+        when(col("us") - col("t0") >=
+          expr("(t1 - t0 + 1) div 2"), 1L).otherwise(0L).as("in2"))
+      .groupBy(col("user_id"))
+      .agg(max(col("in1")).as("h1"), max(col("in2")).as("h2"))
+    u.agg(sum(col("h1")).as("n1"), sum(col("h2")).as("n2"),
+        sum(col("h1") * col("h2")).as("m"), count(lit(1)).as("n_true"))
+      .select(col("n1"), col("n2"), col("m"), col("n_true"),
+        expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1").as("n_hat"),
+        (when(expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1") >= col("n_true"),
+          1L).otherwise(-1L) *
+          expr("(1000000 * abs(((n1 + 1) * (n2 + 1)) div (m + 1) - 1" +
+            " - n_true)) div n_true")).as("err_ppm"))
+  }
+
+  /** q316 — two-proportion power analysis per event type: from each
+    * type's observed success rate (value > 100), the required sample
+    * size PER ARM to detect relative lifts of 2/5/10% at α = 0.05
+    * (two-sided) and 80% power, via the standard normal-approximation
+    * formula n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₁q₁+p₂q₂))²/(p₂−p₁)² —
+    * the experiment-sizing table every A/B platform prints before
+    * q165/q230/q266 ever run. Emitting the grid per type exposes how
+    * baseline rates drive feasibility (detecting +2% on a rare event
+    * can need millions of samples).
+    *
+    * Exactness: p₁ derives from exact integer counts; the whole
+    * formula is ONE shared IEEE chain (e-notation literals, fixed
+    * z constants) with a single ceil to integer; lift rows come from
+    * a 3-literal unnest CAST BIGINT.
+    *
+    * Scale design (100 TB): one partial-aggregable count pass to
+    * |types| rows; the ×3 grid explodes the bounded frame. Output
+    * |types|·3 rows. */
+  val q316PowerAnalysis: QueryDef = {
+    val lifts = Seq(2, 5, 10)
+    // shared IEEE chain; za = z_{0.025}, zb = z_{0.20} (80% power)
+    val nReq =
+      "CAST(ceil(" +
+        "((1.959964e0 * sqrt(2e0 * ((p1 + p2) / 2e0) *" +
+        " (1e0 - (p1 + p2) / 2e0))" +
+        " + 0.841621e0 * sqrt(p1 * (1e0 - p1) + p2 * (1e0 - p2))) *" +
+        "(1.959964e0 * sqrt(2e0 * ((p1 + p2) / 2e0) *" +
+        " (1e0 - (p1 + p2) / 2e0))" +
+        " + 0.841621e0 * sqrt(p1 * (1e0 - p1) + p2 * (1e0 - p2))))" +
+        " / ((p2 - p1) * (p2 - p1))) AS BIGINT)"
+    QueryDef(
+      "q316_power_analysis",
+      s"""WITH c AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |    CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_succ
+         |  FROM events GROUP BY event_type),
+         |g AS (
+         |  SELECT event_type, n_events, n_succ,
+         |    CAST(lift AS BIGINT) AS lift_pct,
+         |    CAST(n_succ AS DOUBLE) / CAST(n_events AS DOUBLE) AS p1,
+         |    (CAST(n_succ AS DOUBLE) / CAST(n_events AS DOUBLE)) *
+         |      (1e0 + CAST(lift AS DOUBLE) / 1e2) AS p2
+         |  FROM c, unnest([${lifts.mkString(", ")}]) AS l(lift)
+         |  WHERE n_succ > 0 AND n_succ * (100 + lift) < n_events * 100)
+         |SELECT event_type, lift_pct,
+         |  (1000000 * n_succ) // n_events AS p1_ppm,
+         |  $nReq AS n_per_arm
+         |FROM g ORDER BY event_type, lift_pct""".stripMargin) { (s, dir) =>
+      val c = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("value") > 100.0, 1L).otherwise(0L)).as("n_succ"))
+        .filter(col("n_succ") > 0)
+      c.select(col("event_type"), col("n_events"), col("n_succ"),
+          explode(array(lifts.map(l => lit(l.toLong)): _*)).as("lift_pct"))
+        .filter(col("n_succ") * (lit(100L) + col("lift_pct")) <
+          col("n_events") * 100)
+        .select(col("event_type"), col("lift_pct"),
+          expr("(1000000 * n_succ) div n_events").as("p1_ppm"),
+          expr("CAST(n_succ AS DOUBLE) / CAST(n_events AS DOUBLE)").as("p1"),
+          expr("(CAST(n_succ AS DOUBLE) / CAST(n_events AS DOUBLE)) *" +
+            " (1e0 + CAST(lift_pct AS DOUBLE) / 1e2)").as("p2"))
+        .select(col("event_type"), col("lift_pct"), col("p1_ppm"),
+          expr(nReq).as("n_per_arm"))
+        .orderBy("event_type", "lift_pct")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q315CaptureRecapture, q316PowerAnalysis,
     q230Sprt, q236OffPolicy, q240Sax, q246MarkovAttribution,
     q251ShapleyAttribution,
     q196SchemaDrift, q199SessionEntropy, q219SloBurn, q220Stickiness,

@@ -1069,9 +1069,84 @@ object FinanceAudit {
     }
   }
 
+  /** q314 — Hill tail-index estimate of the order-amount
+    * distribution at three tail depths: α̂(k) = k / Σ_{i≤k}
+    * ln(x_(i)/x_(k+1)) over the k largest amounts (Hill 1975) — the
+    * heavy-tail diagnostic behind capacity planning and fraud
+    * thresholds (α ≤ 2 means infinite variance: percentile-based
+    * alerts and mean-based forecasts are both broken). Reporting
+    * k ∈ {50, 100, 200} side by side is the standard stability check
+    * (a genuine power law gives a flat α̂(k) plateau; drift across k
+    * flags a truncated or lognormal body instead).
+    *
+    * Exactness: amounts are half-up cents; the top-(k+1) slice is a
+    * TakeOrdered (per-partition heaps) with orderkey tiebreak; each
+    * ln(x_i/x_{k+1}) is ONE IEEE chain floored to nano-nats (terms
+    * ≥ 0 since x_i ≥ x_{k+1}); α̂ is one integer cross-multiplied
+    * floor-div, guarded against an all-ties zero denominator.
+    *
+    * Scale design (100 TB): ONE corpus pass feeds a TakeOrdered
+    * top-201 heap; everything after (rank window, per-k thresholds,
+    * the α̂ fold) runs on that ≤201-row literal-limited frame — the
+    * rank window is single-partition by construction but its input
+    * is bounded by the LIMIT above it (allowlisted). Output 3 rows. */
+  val q314TailIndex: QueryDef = {
+    val KS = Seq(50, 100, 200)
+    val TOP = KS.max + 1
+    QueryDef(
+      "q314_tail_index",
+      s"""WITH top AS (
+         |  SELECT cents, rn FROM (
+         |    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         |      o_orderkey,
+         |      row_number() OVER (ORDER BY floor(o_totalprice * 100 + 0.5)
+         |        DESC, o_orderkey) AS rn
+         |    FROM orders) WHERE rn <= $TOP),
+         |ks AS (SELECT CAST(unnest([${KS.mkString(", ")}]) AS BIGINT) AS k),
+         |thr AS (
+         |  SELECT ks.k, t.cents AS xmin
+         |  FROM ks JOIN top t ON t.rn = ks.k + 1),
+         |terms AS (
+         |  SELECT thr.k, thr.xmin,
+         |    CAST(floor(1e9 * ln(CAST(t.cents AS DOUBLE)
+         |      / CAST(thr.xmin AS DOUBLE))) AS BIGINT) AS ln_nn
+         |  FROM thr JOIN top t ON t.rn <= thr.k)
+         |SELECT k, CAST(max(xmin) AS BIGINT) AS xmin_cents,
+         |  CASE WHEN sum(ln_nn) > 0
+         |    THEN CAST((k * 1000000000000) // CAST(sum(ln_nn) AS HUGEINT)
+         |      AS BIGINT) END AS hill_milli
+         |FROM terms GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cents").desc, col("o_orderkey"))
+      val top = Tables.orders(s, dir)
+        .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"), col("o_orderkey"))
+        .orderBy(col("cents").desc, col("o_orderkey"))
+        .limit(TOP) // TakeOrdered heap bounds the window input below
+        .withColumn("rn", row_number().over(w))
+        .ckpt() // ≤201 rows; feeds thresholds AND terms
+      val ks = KS.map(_.toLong).toDF("k")
+      val thr = broadcast(ks.join(top, col("rn") === col("k") + 1)
+        .select(col("k"), col("cents").as("xmin")))
+      thr.join(top, col("rn") <= col("k"))
+        .select(col("k"), col("xmin"),
+          floor(lit(1e9) * log(col("cents").cast("double") /
+            col("xmin").cast("double"))).cast("bigint").as("ln_nn"))
+        .groupBy(col("k"))
+        .agg(max(col("xmin")).cast("bigint").as("xmin_cents"),
+          sum(col("ln_nn")).as("sl"))
+        .select(col("k"), col("xmin_cents"),
+          when(col("sl") > 0,
+            expr("CAST((k * 1000000000000) div sl AS BIGINT)"))
+            .as("hill_milli"))
+        .orderBy("k")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q188DupCharge, q189ParetoAbc, q192Vwap, q193Drawdown, q194Aging,
     q195RoundBias, q210DiffInDiff, q211AbcXyz, q214LedgerRegister,
     q218WeeklyKpi, q222VelocityScreen, q253PriceVolumeMix, q263Hhi,
-    q271Proration, q282DecayedTopk, q292FifoCosting)
+    q271Proration, q282DecayedTopk, q292FifoCosting, q314TailIndex)
 }

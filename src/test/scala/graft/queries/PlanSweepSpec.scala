@@ -249,5 +249,7 @@ object PlanSweepAllowlist {
       "hub rank window runs over the TakeOrdered top-10 slice (literal k)"),
     ("q282_decayed_topk", "dmass",
       "leaderboard rank window runs over the TakeOrdered top-10 slice " +
-        "(literal k); the all-time rank rides ScaleRank"))
+        "(literal k); the all-time rank rides ScaleRank"),
+    ("q314_tail_index", "^cents",
+      "Hill rank window runs over the TakeOrdered top-201 slice (literal k)"))
 }
