@@ -2503,8 +2503,71 @@ object DataProfile {
     }
   }
 
+  /** q319 — sample-ratio-mismatch (SRM) guardrail: the χ²(1) test of
+    * each hashed 50/50 assignment against its design ratio, for the
+    * customer-level 'bal' coin (q313's split) and a user-level 'exp'
+    * coin over the event stream — THE first trust check every
+    * experimentation platform runs before reading any metric (Fabijan
+    * et al. 2019: a failed SRM invalidates the experiment, no matter
+    * how significant the lift). q313 asks "are covariates balanced?";
+    * this asks the prior question "did the units even split 50/50?".
+    *
+    * Exactness: unit collapses and arm counts are exact integers; the
+    * χ² statistic for a 50/50 design reduces to (n_a − n_b)²/n,
+    * emitted as a cross-multiplied integer milli floor-div, and the
+    * alarm compares 1000·(n_a−n_b)² > 3841·n exactly (the χ²₀.₀₅(1)
+    * critical value) — no float ever decides the flag.
+    *
+    * Scale design (100 TB): one partial-aggregable distinct-unit
+    * collapse per assignment (the event side collapses users
+    * map-side); the verdict is a 2-row fold. */
+  val q319Srm: QueryDef = {
+    def coinSql(salt: String, key: String): String =
+      s"('0x' || substring(md5('$salt' || $key), 1, 15))::BIGINT % 2"
+    QueryDef(
+      "q319_srm",
+      s"""WITH cu AS (
+         |  SELECT 'customers_bal' AS assignment,
+         |    ${coinSql("bal", "c_custkey")} AS arm
+         |  FROM customer),
+         |eu AS (
+         |  SELECT 'users_exp' AS assignment, ${coinSql("exp", "user_id")} AS arm
+         |  FROM (SELECT DISTINCT user_id FROM events)),
+         |a AS (
+         |  SELECT assignment,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         |  FROM (SELECT * FROM cu UNION ALL SELECT * FROM eu) GROUP BY 1)
+         |SELECT assignment, n_a, n_b,
+         |  (1000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b) AS chi2_milli,
+         |  CAST(CASE WHEN 1000 * (n_a - n_b) * (n_a - n_b)
+         |    > 3841 * (n_a + n_b) THEN 1 ELSE 0 END AS BIGINT) AS srm_alarm
+         |FROM a ORDER BY assignment""".stripMargin) { (s, dir) =>
+      def coin(salt: String, key: Column): Column =
+        conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15),
+          16, 10).cast("bigint") % 2
+      val cu = Tables.customer(s, dir)
+        .select(lit("customers_bal").as("assignment"),
+          coin("bal", col("c_custkey")).as("arm"))
+      val eu = Tables.events(s, dir).select(col("user_id")).distinct()
+        .select(lit("users_exp").as("assignment"),
+          coin("exp", col("user_id")).as("arm"))
+      cu.unionByName(eu)
+        .groupBy(col("assignment"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+        .select(col("assignment"), col("n_a"), col("n_b"),
+          expr("(1000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)")
+            .as("chi2_milli"),
+          when(lit(1000L) * (col("n_a") - col("n_b")) *
+            (col("n_a") - col("n_b")) > lit(3841L) * (col("n_a") + col("n_b")),
+            1L).otherwise(0L).as("srm_alarm"))
+        .orderBy("assignment")
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q301Hbos, q313CovariateBalance, q317Wasserstein,
+    Seq(q301Hbos, q313CovariateBalance, q317Wasserstein, q319Srm,
       q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
       q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers,

@@ -1344,8 +1344,60 @@ object Learn {
     }
   }
 
+  /** q322 — class-balanced loss weights by effective number of
+    * samples (Cui et al. 2019, CVPR): per label, the effective sample
+    * count E_n = (1−β^n)/(1−β) at β = 0.999 and the normalized
+    * per-class weight ∝ 1/E_n — the reweighting table that a trainer
+    * loads to counter class imbalance without the over-correction of
+    * plain 1/n (E_n saturates: the 10,000th near-duplicate sample of
+    * a class adds almost nothing, so its weight stops shrinking).
+    * Complements q182's Neyman allocation (which sizes SAMPLES;
+    * this sizes LOSS).
+    *
+    * Exactness: label counts are exact; β^n = exp(n·ln β) and the
+    * per-label weight are ONE shared IEEE chain floored to
+    * nano-units; normalization is an integer cross-multiplied ppm
+    * floor-div over the exact nano-weight sum (order-free — no float
+    * sum ever happens).
+    *
+    * Scale design (100 TB): one partial-aggregable label count pass
+    * to |labels| rows; the weight math and the 1-row weight-sum
+    * broadcast run on that bounded frame. */
+  val q322ClassWeights: QueryDef = {
+    // (1 - beta) / (1 - beta^n), nano-scaled; beta = 0.999
+    val wNano =
+      "CAST(floor(1e9 * (1e0 - 0.999e0) /" +
+        " (1e0 - exp(CAST(n AS DOUBLE) * ln(0.999e0)))) AS BIGINT)"
+    val enbMilli =
+      "CAST(floor(1e3 * (1e0 - exp(CAST(n AS DOUBLE) * ln(0.999e0))) /" +
+        " (1e0 - 0.999e0)) AS BIGINT)"
+    QueryDef(
+      "q322_class_weights",
+      s"""WITH c AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n
+         |  FROM embeddings GROUP BY label),
+         |w AS (
+         |  SELECT label, n, $enbMilli AS enb_milli, $wNano AS w_nano
+         |  FROM c),
+         |t AS (SELECT CAST(sum(w_nano) AS BIGINT) AS tot FROM w)
+         |SELECT CAST(w.label AS BIGINT) AS label, w.n, w.enb_milli,
+         |  (1000000 * w.w_nano) // t.tot AS w_ppm
+         |FROM w, t ORDER BY label""".stripMargin) { (s, dir) =>
+      val c = Tables.embeddings(s, dir)
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val w = c.select(col("label"), col("n"),
+        expr(enbMilli).as("enb_milli"), expr(wNano).as("w_nano"))
+      val t = w.agg(sum(col("w_nano")).as("tot"))
+      w.crossJoin(broadcast(t))
+        .select(col("label").cast("bigint").as("label"), col("n"),
+          col("enb_milli"),
+          expr("(1000000 * w_nano) div tot").as("w_ppm"))
+        .orderBy("label")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q95Kmeans, q96CentroidClassify,
     q159ClusterPurity, q173Stump, q174Calibration, q227NaiveBayes,
     q235Conformal, q238Dbscan, q249KCenter, q255Isotonic, q259EbShrinkage,
-    q286Logistic, q296InfoGain)
+    q286Logistic, q296InfoGain, q322ClassWeights)
 }

@@ -1061,8 +1061,93 @@ object Sketches {
       .orderBy("method")
   }
 
+  /** q318 — Bloom-filter false-positive audit: build an m=4096-bit,
+    * k=3 Bloom filter over the customers who have orders, probe it
+    * with an equal-sized disjoint key space (guaranteed non-members
+    * at every SF and under value-domain fuzz), and report the measured
+    * false-positive rate next to the theoretical
+    * (1 − (1−1/m)^{kn})^k — the calibration check run before trusting
+    * a Bloom-pruned join (q68 USES a Bloom filter; this measures
+    * whether its advertised FPR holds on real keys). An inflated
+    * measured rate flags correlated hash positions — the failure mode
+    * that silently destroys Bloom-join selectivity.
+    *
+    * Exactness: positions are md5-prefix mods (portable coins, k
+    * independent salts); membership and FP counts are pure integers;
+    * the theoretical rate is ONE shared exp/ln IEEE chain (the
+    * engines' ln/exp have matched bitwise across the whole q83/q181
+    * family) floored to ppm.
+    *
+    * Scale design (100 TB): member keys collapse to ≤ m occupied-bit
+    * rows (partial-aggregable DISTINCT), which BROADCAST into the
+    * probe-side explode (3 rows per probe, grouped back per probe) —
+    * the probe side never shuffles more than (probe, j) pairs; the
+    * verdict is a 1-row fold. Output 1 row. */
+  val q318BloomFpr: QueryDef = {
+    val M = 4096
+    val K = 3
+    val theo =
+      s"CAST(floor(1e6 * exp(${K}e0 * ln(1e0 - exp(${K}e0 *" +
+        s" CAST(n_members AS DOUBLE) * ln(1e0 - 1e0 / ${M}e0))))) AS BIGINT)"
+    QueryDef(
+      "q318_bloom_fpr",
+      s"""WITH mem AS (SELECT DISTINCT o_custkey AS key FROM orders),
+         |nonmem AS (SELECT 'p' || c_custkey AS key FROM customer),
+         |occ AS (
+         |  SELECT DISTINCT
+         |    ('0x' || substring(md5('bf' || j || '_' || key), 1, 15))::BIGINT
+         |      % $M AS pos
+         |  FROM mem, unnest([${(0 until K).mkString(", ")}]) AS u(j)),
+         |probe AS (
+         |  SELECT key,
+         |    ('0x' || substring(md5('bf' || j || '_' || key), 1, 15))::BIGINT
+         |      % $M AS pos
+         |  FROM nonmem, unnest([${(0 until K).mkString(", ")}]) AS u(j)),
+         |hit AS (
+         |  SELECT p.key, count(o.pos) AS hits
+         |  FROM probe p LEFT JOIN occ o ON p.pos = o.pos
+         |  GROUP BY p.key),
+         |f AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_members,
+         |    CAST(count(*) AS BIGINT) AS n_probes,
+         |    CAST(sum(CASE WHEN hits = $K THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_fp,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM occ) AS bits_set
+         |  FROM hit)
+         |SELECT n_members, n_probes, n_fp, bits_set,
+         |  (1000000 * n_fp) // n_probes AS measured_ppm,
+         |  $theo AS theo_ppm
+         |FROM f""".stripMargin) { (s, dir) =>
+      def pos(key: org.apache.spark.sql.Column,
+          j: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        conv(substring(md5(concat(lit("bf"), j.cast("string"), lit("_"),
+          key.cast("string"))), 1, 15), 16, 10).cast("bigint") % M
+      val js = explode(array((0 until K).map(j => lit(j)): _*)).as("j")
+      val mem = Tables.orders(s, dir).select(col("o_custkey").as("key"))
+        .distinct().ckpt() // feeds the filter build AND the member count
+      val nonmem = Tables.customer(s, dir)
+        .select(concat(lit("p"), col("c_custkey").cast("string")).as("key"))
+      val occ = broadcast(mem.select(col("key"), js)
+        .select(pos(col("key"), col("j")).as("pos")).distinct())
+      val hit = nonmem.select(col("key"), js)
+        .select(col("key"), pos(col("key"), col("j")).as("pos"))
+        .join(occ.select(col("pos").as("opos")),
+          col("pos") === col("opos"), "left")
+        .groupBy(col("key")).agg(count(col("opos")).as("hits"))
+      val nm = mem.agg(count(lit(1)).as("n_members"))
+      val bs = occ.agg(count(lit(1)).as("bits_set"))
+      hit.agg(count(lit(1)).as("n_probes"),
+          sum(when(col("hits") === K, 1L).otherwise(0L)).as("n_fp"))
+        .crossJoin(broadcast(nm)).crossJoin(broadcast(bs))
+        .select(col("n_members"), col("n_probes"), col("n_fp"),
+          col("bits_set"),
+          expr("(1000000 * n_fp) div n_probes").as("measured_ppm"),
+          expr(theo).as("theo_ppm"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q36KmvSketch, q67HeavyHitters, q85SampleQuantiles, q88ThetaSketch,
       q97CountMin, q191QuantileSketch, q206SketchRollup, q228F2Sketch,
-      q231JoinCardinality, q279JoinOrder, q287SamplingJoinEst)
+      q231JoinCardinality, q279JoinOrder, q287SamplingJoinEst, q318BloomFpr)
 }

@@ -2729,8 +2729,127 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** q320 — per-source novelty profile: the fraction of each source's
+    * distinct 5-word spans that occur in NO other source — the
+    * "what does this feed uniquely contribute" number that decides
+    * whether a source is worth its licensing/crawl cost in a data-mix
+    * negotiation (a low-novelty source is already covered by the
+    * rest of the corpus; q158 measures pairwise overlap, this is the
+    * corpus-complement view per source). The distinct-span count
+    * doubles as the source's content-volume denominator.
+    *
+    * Exactness: pure integer counts; novelty is one cross-multiplied
+    * ppm floor-div on non-negative counts.
+    *
+    * Scale design (100 TB): spans explode with one projection; the
+    * span→distinct-source collapse is two-level partial aggregation
+    * (distinct (span, source) map-side, then source counts); the
+    * verdict joins back equi on span and collapses to |sources|
+    * rows. Text never shuffles — only hashes would at real scale
+    * (q69's xxhash64 note applies). */
+  val q320SourceNovelty: QueryDef = QueryDef(
+    "q320_source_novelty",
+    """WITH tk AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      |sp AS (
+      |  SELECT DISTINCT source, array_to_string(t[i:i+4], ' ') AS span
+      |  FROM tk, unnest(range(1, len(t) - 3)) AS r(i)
+      |  WHERE len(t) >= 5),
+      |ns AS (SELECT span, count(*) AS n_src FROM sp GROUP BY span)
+      |SELECT s.source, CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(CASE WHEN ns.n_src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unique,
+      |  (1000000 * CAST(sum(CASE WHEN ns.n_src = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT)) // count(*) AS novelty_ppm
+      |FROM sp s JOIN ns ON s.span = ns.span
+      |GROUP BY s.source ORDER BY s.source""".stripMargin) { (s, dir) =>
+    val sp = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .repartition(col("doc_id")) // single-file scan -> use every core
+      .select(col("source"), explode(transform(
+        sequence(lit(1), size(col("t")) - 4),
+        i => array_join(slice(col("t"), i, lit(5)), " "))).as("span"))
+      .distinct()
+      .ckpt() // feeds the source-frequency collapse AND the verdict
+    val ns = sp.groupBy(col("span")).agg(count(lit(1)).as("n_src"))
+      .select(col("span").as("nspan"), col("n_src"))
+    sp.join(ns, col("span") === col("nspan"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_src") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("source"), col("n_spans"), col("n_unique"),
+        expr("(1000000 * n_unique) div n_spans").as("novelty_ppm"))
+      .orderBy("source")
+  }
+
+  /** q321 — character-level conditional entropy rate per language:
+    * H(Y|X) = −Σ p(x,y)·ln(c_xy/c_x) over character bigrams — the
+    * compressibility/regularity fingerprint that separates natural
+    * language from templated or machine-generated text (low H = rigid
+    * structure), and the information-theoretic denominator behind
+    * per-language tokenizer budgets. q181/q215 model WORD streams on
+    * a train/test split; this is the in-corpus CHARACTER structure
+    * measure (Shannon's classic printed-English estimate, per lang).
+    *
+    * Exactness: bigram/prefix counts are exact integers (prefix
+    * counts derive from the bigram frame — one collapse, no second
+    * scan); each distinct bigram's −ln(c_xy/c_x) is ONE IEEE chain
+    * floored to nano-nats, weighted by its exact count, summed in
+    * DECIMAL/HUGEINT, and divided once (non-negative throughout).
+    *
+    * Scale design (100 TB): the native `char_ngrams` expression
+    * explodes bigrams in one codegen'd pass; counts are
+    * partial-aggregable; the prefix join is equi on (lang, x) whose
+    * cardinality is the alphabet — Spark's size-based planning
+    * broadcasts it. Output |langs| rows. */
+  val q321CharEntropy: QueryDef = QueryDef(
+    "q321_char_entropy",
+    """WITH bg AS (
+      |  SELECT lang, substr(text, CAST(i AS INT), 2) AS g
+      |  FROM documents, unnest(range(1, len(text))) AS t(i)
+      |  WHERE len(text) >= 2),
+      |c2 AS (
+      |  SELECT lang, g, CAST(count(*) AS BIGINT) AS cxy
+      |  FROM bg GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT lang, substring(g, 1, 1) AS x, CAST(sum(cxy) AS BIGINT) AS cx
+      |  FROM c2 GROUP BY 1, 2),
+      |t AS (
+      |  SELECT c2.lang, c2.cxy,
+      |    CAST(floor(1e9 * (0e0 - ln(CAST(c2.cxy AS DOUBLE)
+      |      / CAST(c1.cx AS DOUBLE)))) AS BIGINT) AS nn
+      |  FROM c2 JOIN c1 ON c2.lang = c1.lang AND substring(c2.g, 1, 1) = c1.x)
+      |SELECT lang, CAST(sum(cxy) AS BIGINT) AS n_bigrams,
+      |  CAST(count(*) AS BIGINT) AS n_distinct,
+      |  CAST(sum(CAST(cxy AS HUGEINT) * nn) // CAST(sum(cxy) AS HUGEINT)
+      |    AS BIGINT) AS h_cond_nn
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val c2 = Tables.documents(s, dir)
+      .repartition(col("doc_id")) // single-file scan -> use every core
+      .filter(length(col("text")) >= 2)
+      .select(col("lang"), explode(expr("char_ngrams(text, 2)")).as("g"))
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("cxy"))
+      .ckpt() // feeds the prefix collapse AND the term join
+    val c1 = c2.groupBy(col("lang"), substring(col("g"), 1, 1).as("x"))
+      .agg(sum(col("cxy")).as("cx"))
+      .select(col("lang").as("lang2"), col("x"), col("cx"))
+    c2.join(c1, col("lang") === col("lang2") &&
+        substring(col("g"), 1, 1) === col("x"))
+      .select(col("lang"), col("cxy"),
+        floor(lit(1e9) * -log(col("cxy").cast("double") /
+          col("cx").cast("double"))).cast("bigint").as("nn"))
+      .groupBy(col("lang"))
+      .agg(sum(col("cxy")).as("n_bigrams"), count(lit(1)).as("n_distinct"),
+        sum(dec(col("cxy")) * col("nn")).as("swn"))
+      .select(col("lang"), col("n_bigrams"), col("n_distinct"),
+        expr("CAST(swn div n_bigrams AS BIGINT)").as("h_cond_nn"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q295YulesK,
+    Seq(q295YulesK, q320SourceNovelty, q321CharEntropy,
       q232LooInfluence, q243FeatureHashing, q254MaxCoverage, q264McNemar,
       q267BurrowsDelta, q276QuantileNorm, q278Datasheet, q280OtsuThreshold,
       q197Keyness, q198Readability, q200Burstiness, q215KnPpl,
