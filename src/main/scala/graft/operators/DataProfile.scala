@@ -2566,8 +2566,88 @@ object DataProfile {
     }
   }
 
+  /** q326 — one-pass Pearson correlation matrix over the four numeric
+    * lineitem measures (quantity, extendedprice, discount, tax): all
+    * 6 pairwise correlations from a SINGLE aggregate pass computing
+    * the 15 joint moments — the standard profiling matrix that feeds
+    * feature selection, multicollinearity checks (q124's regressions
+    * assume the off-diagonals are small), and q269-style layout
+    * decisions (highly-correlated columns compress together). One
+    * scan for the whole matrix is the point: the naive per-pair
+    * `corr()` battery reads the fact table 6 times.
+    *
+    * Exactness: measures are quantized to exact integer units
+    * (centi-units/cents/basis points, half-up) at the scan; moments
+    * ride DECIMAL(38)/HUGEINT; each r is the q323 mirrored IEEE
+    * chain over DOUBLE casts of exact sums, floored to milli
+    * (sign-portable). Constant columns (zero variance) yield NULL by
+    * the shared guard.
+    *
+    * Scale design (100 TB): ONE partial-aggregable pass to a 1-row
+    * 15-moment frame; the 6-row matrix unpivots from that frame with
+    * literal selects. Nothing else touches data. */
+  val q326CorrMatrix: QueryDef = {
+    val cols = Seq(
+      ("qty", "l_quantity", 100), ("price", "l_extendedprice", 100),
+      ("disc", "l_discount", 10000), ("tax", "l_tax", 10000))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i)._1, cols(j)._1)
+    def rMilli(a: String, b: String): String =
+      s"CASE WHEN (CAST(n AS DOUBLE) * CAST(s_${a}_$a AS DOUBLE)" +
+        s" - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) > 0e0 AND" +
+        s" (CAST(n AS DOUBLE) * CAST(s_${b}_$b AS DOUBLE)" +
+        s" - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)) > 0e0 THEN" +
+        s" CAST(floor(1e3 * (CAST(n AS DOUBLE) * CAST(s_${a}_$b AS DOUBLE)" +
+        s" - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /" +
+        s" sqrt((CAST(n AS DOUBLE) * CAST(s_${a}_$a AS DOUBLE)" +
+        s" - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) *" +
+        s" (CAST(n AS DOUBLE) * CAST(s_${b}_$b AS DOUBLE)" +
+        s" - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))) AS BIGINT)" +
+        s" END"
+    val momentsSql = (
+      cols.map { case (n, _, _) => s"CAST(sum(CAST($n AS HUGEINT)) AS HUGEINT) AS s_$n" } ++
+        (for { i <- cols.indices; j <- cols.indices if i <= j }
+          yield s"CAST(sum(CAST(${cols(i)._1} AS HUGEINT) * ${cols(j)._1})" +
+            s" AS HUGEINT) AS s_${cols(i)._1}_${cols(j)._1}")
+      ).mkString(",\n    ")
+    val unionSql = pairs.map { case (a, b) =>
+      s"SELECT '${a}__$b' AS pair, ${rMilli(a, b)} AS r_milli FROM m"
+    }.mkString("\n  UNION ALL ")
+    QueryDef(
+      "q326_corr_matrix",
+      s"""WITH q AS (
+         |  SELECT ${cols.map { case (n, c, s) =>
+             s"CAST(floor($c * $s + 0.5) AS BIGINT) AS $n" }.mkString(", ")}
+         |  FROM lineitem),
+         |m AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    $momentsSql
+         |  FROM q)
+         |SELECT pair, r_milli FROM (
+         |  $unionSql)
+         |ORDER BY pair""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val q = Tables.lineitem(s, dir).select(cols.map { case (n, c, sc) =>
+        expr(s"CAST(floor($c * $sc + 0.5) AS BIGINT)").as(n)
+      }: _*)
+      val aggs =
+        cols.map { case (n, _, _) =>
+          sum(dec(col(n))).cast("decimal(38,0)").as(s"s_$n") } ++
+          (for { i <- cols.indices; j <- cols.indices if i <= j } yield
+            sum(dec(col(cols(i)._1)) * col(cols(j)._1)).cast("decimal(38,0)")
+              .as(s"s_${cols(i)._1}_${cols(j)._1}"))
+      val m = q.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        aggs: _*).ckpt() // 1 row; 6 unpivot selects read it
+      pairs.map { case (a, b) =>
+        m.select(lit(s"${a}__$b").as("pair"), expr(rMilli(a, b)).as("r_milli"))
+      }.reduce(_ unionByName _).orderBy("pair")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q301Hbos, q313CovariateBalance, q317Wasserstein, q319Srm,
+      q326CorrMatrix,
       q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
       q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers,

@@ -740,7 +740,212 @@ object Graph {
     }
   }
 
+  /** Shared DuckDB CTE prefix for the co-purchase graph at
+    * minPair = 2: canonical undirected edges `e0(a, b2)` and the
+    * directed doubling `ed(src, dst)` — the oracle twin of
+    * [[coPurchaseEdges]]. */
+  private def edgeCte(minPair: Int): String =
+    s"""b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT f1.p AS a, f2.p AS b2
+       |  FROM b f1 JOIN b f2 ON f1.o = f2.o AND f1.p < f2.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $minPair),
+       |ed AS MATERIALIZED (
+       |  SELECT a AS src, b2 AS dst FROM e0 UNION ALL SELECT b2, a FROM e0)""".stripMargin
+
+  /** q323 — degree assortativity of the co-purchase graph: the
+    * Pearson correlation of endpoint degrees over all directed edges
+    * (Newman 2002) — positive means hubs buy with hubs (a
+    * core-periphery catalog), negative means hubs bridge long-tail
+    * parts (the typical retail shape); the sign decides whether
+    * q275's hub-removal robustness audit is even the right threat
+    * model, and predicts how badly q79-style join skew concentrates.
+    *
+    * Exactness: degrees are exact integers; all five moments ride
+    * DECIMAL(38)/HUGEINT; r is ONE mirrored IEEE chain over their
+    * DOUBLE casts, floored to milli (floor is sign-portable).
+    *
+    * Scale design (100 TB): rides the MEMOIZED checkpointed edge
+    * list; the degree table is one partial-aggregable collapse,
+    * joined back equi on each endpoint; moments collapse to 1 row.
+    * No windows, no broadcast of anything data-sized. */
+  val q323Assortativity: QueryDef = {
+    val MIN_PAIR = 2
+    val rMilli =
+      "CAST(floor(1e3 * (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /" +
+        " sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *" +
+        " (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)" +
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)"
+    QueryDef(
+      "q323_assortativity",
+      s"""WITH ${edgeCte(MIN_PAIR)},
+         |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY src),
+         |p AS (
+         |  SELECT da.deg AS x, db.deg AS y
+         |  FROM ed JOIN d da ON ed.src = da.src JOIN d db ON ed.dst = db.src),
+         |m AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS m,
+         |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+         |  FROM p)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_nodes,
+         |  CAST(m // 2 AS BIGINT) AS n_edges,
+         |  $rMilli AS r_milli
+         |FROM m""".stripMargin) { (s, dir) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val e0 = coPurchaseEdges(s, dir, MIN_PAIR)
+      val ed = e0.select(col("a").as("src"), col("b2").as("dst"))
+        .unionByName(e0.select(col("b2").as("src"), col("a").as("dst")))
+      val d = ed.groupBy(col("src")).agg(count(lit(1)).as("deg")).ckpt()
+      val p = ed
+        .join(d.select(col("src"), col("deg").as("x")), Seq("src"))
+        .join(d.select(col("src").as("dst"), col("deg").as("y")), Seq("dst"))
+      val nn = d.agg(count(lit(1)).as("n_nodes"))
+      p.agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+          sum(dec(col("x"))).cast("decimal(38,0)").as("sx"),
+          sum(dec(col("y"))).cast("decimal(38,0)").as("sy"),
+          sum(dec(col("x")) * col("x")).cast("decimal(38,0)").as("sxx"),
+          sum(dec(col("y")) * col("y")).cast("decimal(38,0)").as("syy"),
+          sum(dec(col("x")) * col("y")).cast("decimal(38,0)").as("sxy"))
+        .crossJoin(broadcast(nn))
+        .select(col("n_nodes"),
+          expr("CAST(m div 2 AS BIGINT)").as("n_edges"),
+          expr(rMilli).as("r_milli"))
+    }
+  }
+
+  /** q324 — rich-club coefficient at three degree thresholds:
+    * φ(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph of nodes with
+    * degree > k (Colizza et al. 2006) — "do the best-connected parts
+    * preferentially co-occur with each other", the density view that
+    * complements q323's correlation view (a graph can be
+    * disassortative yet still have a dense rich club). Rising φ(k)
+    * justifies caching hub–hub edges hot, and predicts q104's
+    * triangle concentration.
+    *
+    * Exactness: degrees, memberships, and edge counts are exact
+    * integers; φ is one cross-multiplied ppm floor-div on
+    * non-negative counts; thresholds with fewer than 2 rich nodes
+    * are excluded by predicate in both engines.
+    *
+    * Scale design (100 TB): degree collapse once (shared shape with
+    * q323); per threshold the rich set is a filter of the degree
+    * table and E_k is two semi-joins of the canonical edge list
+    * against it — the edge list scans three times but never
+    * shuffles wider than its keys. Output ≤ 3 rows. */
+  val q324RichClub: QueryDef = {
+    val MIN_PAIR = 2
+    val KS = Seq(2, 3, 4)
+    QueryDef(
+      "q324_rich_club",
+      s"""WITH ${edgeCte(MIN_PAIR)},
+         |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY src),
+         |ks AS (SELECT CAST(unnest([${KS.mkString(", ")}]) AS BIGINT) AS k),
+         |rich AS (
+         |  SELECT ks.k, d.src FROM ks JOIN d ON d.deg > ks.k),
+         |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k FROM rich GROUP BY k),
+         |ek AS (
+         |  SELECT r1.k, CAST(count(*) AS BIGINT) AS e_k
+         |  FROM e0 JOIN rich r1 ON e0.a = r1.src
+         |          JOIN rich r2 ON e0.b2 = r2.src AND r1.k = r2.k
+         |  GROUP BY r1.k)
+         |SELECT nk.k, nk.n_k, coalesce(ek.e_k, 0) AS e_k,
+         |  (2000000 * coalesce(ek.e_k, 0)) // (nk.n_k * (nk.n_k - 1))
+         |    AS phi_ppm
+         |FROM nk LEFT JOIN ek ON nk.k = ek.k
+         |WHERE nk.n_k >= 2 ORDER BY nk.k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e0 = coPurchaseEdges(s, dir, MIN_PAIR)
+      val ed = e0.select(col("a").as("src"), col("b2").as("dst"))
+        .unionByName(e0.select(col("b2").as("src"), col("a").as("dst")))
+      val d = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val ks = KS.map(_.toLong).toDF("k")
+      val rich = broadcast(ks).join(d, col("deg") > col("k"))
+        .select(col("k"), col("src")).ckpt() // ≤3 joins read it
+      val nk = rich.groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+      val ek = e0
+        .join(rich.select(col("k"), col("src").as("a")), Seq("a"))
+        .join(rich.select(col("k").as("k2"), col("src").as("rb")),
+          col("b2") === col("rb") && col("k") === col("k2"))
+        .groupBy(col("k")).agg(count(lit(1)).as("e_k"))
+      nk.join(ek.select(col("k").as("ek_k"), col("e_k")),
+          col("k") === col("ek_k"), "left")
+        .filter(col("n_k") >= 2)
+        .select(col("k"), col("n_k"),
+          coalesce(col("e_k"), lit(0L)).as("e_k"))
+        .select(col("k"), col("n_k"), col("e_k"),
+          expr("(2000000 * e_k) div (n_k * (n_k - 1))").as("phi_ppm"))
+        .orderBy("k")
+    }
+  }
+
+  /** q325 — hash-partition quality of the co-purchase graph at the
+    * session's parallelism (P = 32): the fraction of edges whose
+    * endpoints land in different `pmod(node, P)` partitions (the
+    * communication volume of every Pregel superstep in this repo —
+    * q65/q239/q241/q242 all pay it), plus the node-balance skew of
+    * the partitioning. Near-(1−1/P) cut means hash placement is as
+    * bad as random and a locality-aware repartition (METIS-style or
+    * q93's z-order on community id) would pay; balance skew prices
+    * the straggler risk.
+    *
+    * Exactness: partition ids, cut flags, and balance counts are
+    * exact integers; ratios are cross-multiplied ppm floor-divs.
+    *
+    * Scale design (100 TB): one projection over the memoized edge
+    * list computes cut flags (no join at all — both endpoint mods
+    * are per-row expressions); the balance side is one degree-table
+    * collapse to P rows. Output 1 row. */
+  val q325PartitionQuality: QueryDef = {
+    val MIN_PAIR = 2
+    val P = 32
+    QueryDef(
+      "q325_partition_quality",
+      s"""WITH ${edgeCte(MIN_PAIR)},
+         |cut AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         |    CAST(sum(CASE WHEN a % $P <> b2 % $P THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS cut_edges
+         |  FROM e0),
+         |nodes AS (SELECT DISTINCT src FROM ed),
+         |parts AS (
+         |  SELECT src % $P AS pid, CAST(count(*) AS BIGINT) AS n
+         |  FROM nodes GROUP BY 1),
+         |bal AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_parts,
+         |    CAST(max(n) AS BIGINT) AS max_nodes,
+         |    CAST(sum(n) AS BIGINT) AS n_nodes
+         |  FROM parts)
+         |SELECT c.n_edges, c.cut_edges,
+         |  (1000000 * c.cut_edges) // c.n_edges AS cut_ppm,
+         |  b.n_nodes, b.max_nodes,
+         |  (1000000 * b.max_nodes * b.n_parts) // b.n_nodes AS skew_ppm
+         |FROM cut c, bal b""".stripMargin) { (s, dir) =>
+      val e0 = coPurchaseEdges(s, dir, MIN_PAIR)
+      val cut = e0.agg(count(lit(1)).as("n_edges"),
+        sum(when(expr(s"a % $P") =!= expr(s"b2 % $P"), 1L).otherwise(0L))
+          .as("cut_edges"))
+      val nodes = e0.select(col("a").as("src"))
+        .unionByName(e0.select(col("b2").as("src"))).distinct()
+      val bal = nodes.select(expr(s"src % $P").as("pid"))
+        .groupBy(col("pid")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_parts"), max(col("n")).as("max_nodes"),
+          sum(col("n")).as("n_nodes"))
+      cut.crossJoin(broadcast(bal))
+        .select(col("n_edges"), col("cut_edges"),
+          expr("(1000000 * cut_edges) div n_edges").as("cut_ppm"),
+          col("n_nodes"), col("max_nodes"),
+          expr("(1000000 * max_nodes * n_parts) div n_nodes").as("skew_ppm"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q104Triangles, q132BomExplosion, q150KcorePeel, q155LinkPredict,
-      q260WlRefinement, q275HubRobustness, q284Boruvka, q302BfsHops)
+      q260WlRefinement, q275HubRobustness, q284Boruvka, q302BfsHops,
+      q323Assortativity, q324RichClub, q325PartitionQuality)
 }

@@ -779,6 +779,40 @@ object StreamOps {
         expr(chi2).as("chi2_ppm"))
   }
 
+  /** Streaming twin of q319's SRM guardrail: per finalized event
+    * window, the event-weighted 50/50 sample-ratio χ²(1) of the
+    * hashed 'exp' user coin — the near-real-time "did assignment
+    * break THIS hour" alarm that pages before the batch SRM reads a
+    * corrupted experiment. Event-weighted by design (per-window
+    * distinct users would need a second stateful op); the batch q319
+    * remains the unit-level authority.
+    *
+    * Exactness: the coin is the q319 md5 chain verbatim; the χ²
+    * statistic and alarm ride the same cross-multiplied integer
+    * identities — bit-agreement with a batch fold is pinned in
+    * StreamOpsSpec.
+    *
+    * Scale: ONE watermark-bounded windowed aggregate
+    * (partial-aggregable conditional counts); state is O(open
+    * windows). */
+  def srmMonitor(events: DataFrame, windowLen: String, delay: String): DataFrame = {
+    val arm = expr(
+      "CAST(conv(substring(md5(concat('exp', CAST(user_id AS STRING))), 1," +
+        " 15), 16, 10) AS BIGINT) % 2")
+    events
+      .withColumn("arm", arm)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("w.start").as("window_start"), col("n_a"), col("n_b"),
+        expr("(1000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)")
+          .as("chi2_milli"),
+        when(lit(1000L) * (col("n_a") - col("n_b")) *
+          (col("n_a") - col("n_b")) > lit(3841L) * (col("n_a") + col("n_b")),
+          1L).otherwise(0L).as("srm_alarm"))
+  }
+
   /** Batch-side baseline for [[controlChartMonitor]]: per-type
     * count/Σx/Σx² moments of a reference window-sum series (q293's
     * center-line frame). `ref` carries (event_type, x: BIGINT) rows —

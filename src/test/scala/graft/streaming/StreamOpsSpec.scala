@@ -1172,6 +1172,54 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("srmMonitor finalized windows agree bit-exactly with the batch chi2 fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "user_id")
+    val q = StreamOps.srmMonitor(df, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("srm_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // window A: balanced-ish user draw; window B: one user hammered
+      val winA = (1L to 8L).map(u => (ts(u % 8), u))
+      val winB = Seq.fill(100)((ts(12), 4242L))
+      in.addData(winA ++ winB: _*)
+      q.processAllAvailable()
+      in.addData((ts(90), 1L)) // advance watermark past both windows
+      q.processAllAvailable()
+      val got = spark.table("srm_out").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got.size >= 2)
+      // internal identities on every emitted window
+      for ((_, na, nb, chi2, alarm) <- got) {
+        val d = na - nb
+        assert(chi2 == 1000 * d * d / (na + nb))
+        assert((alarm == 1L) == (1000 * d * d > 3841 * (na + nb)))
+      }
+      // the hammered window must alarm (one arm holds all 100 events)
+      assert(got.exists { case (_, na, nb, _, alarm) =>
+        na + nb == 100 && alarm == 1L })
+      // bit-agreement with the batch fold on the same rows
+      val batch = (winA ++ winB).toDF("ts", "user_id")
+        .withColumn("arm", expr(
+          "CAST(conv(substring(md5(concat('exp', CAST(user_id AS STRING)))," +
+            " 1, 15), 16, 10) AS BIGINT) % 2"))
+        .groupBy(window(col("ts"), "10 minutes").as("w"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+        .select(col("w.start"), col("n_a"), col("n_b"),
+          expr("(1000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)"),
+          when(lit(1000L) * (col("n_a") - col("n_b")) *
+            (col("n_a") - col("n_b")) >
+            lit(3841L) * (col("n_a") + col("n_b")), 1L).otherwise(0L))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(batch.subsetOf(got), s"batch/stream disagree: ${batch.diff(got)}")
+    } finally q.stop()
+  }
+
   test("benfordMonitor finalized windows agree with the batch digit fold") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Double)]
