@@ -1396,8 +1396,91 @@ object Learn {
     }
   }
 
+  /** q328 — inter-labeler agreement (Cohen's κ) between two
+    * independent document-quality rules, per language: labeler A =
+    * the Gopher length rule (25 ≤ words ≤ 90), labeler B = the
+    * stopword-evidence rule (≥ 2 stopword hits) — the κ statistic
+    * that corrects raw agreement for chance (Cohen 1960), the
+    * standard check before trusting ANY ensemble of weak labelers or
+    * annotator pool (κ ≈ 0 means the rules fire independently and
+    * their conjunction in q306 is doing real work; κ ≈ 1 means one
+    * rule is redundant). Same machinery applies verbatim to human
+    * annotation audits over a labels table.
+    *
+    * Exactness: the 2×2 confusion cells are exact integers; κ =
+    * (n·(n₁₁+n₀₀) − (a₁b₁+a₀b₀)) / (n² − (a₁b₁+a₀b₀)) is ONE
+    * mirrored IEEE chain over DOUBLE casts of exact products, floored
+    * to milli (sign-portable floor; κ can be negative).
+    *
+    * Scale design (100 TB): both rules are codegen'd expressions in
+    * ONE document scan; the confusion collapse is partial-aggregable
+    * to |langs| rows; the κ math runs on that bounded frame. */
+  val q328CohensKappa: QueryDef = {
+    val kMilli =
+      "CASE WHEN CAST(n AS DOUBLE) * CAST(n AS DOUBLE)" +
+        " - (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)" +
+        " + CAST(a0 AS DOUBLE) * CAST(b0 AS DOUBLE)) > 0e0 THEN" +
+        " CAST(floor(1e3 *" +
+        " (CAST(n AS DOUBLE) * CAST(agree AS DOUBLE)" +
+        " - (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)" +
+        " + CAST(a0 AS DOUBLE) * CAST(b0 AS DOUBLE))) /" +
+        " (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)" +
+        " - (CAST(a1 AS DOUBLE) * CAST(b1 AS DOUBLE)" +
+        " + CAST(a0 AS DOUBLE) * CAST(b0 AS DOUBLE)))) AS BIGINT) END"
+    QueryDef(
+      "q328_cohens_kappa",
+      s"""WITH l AS (
+         |  SELECT lang,
+         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 25 AND 90
+         |      THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN len(list_filter(string_split(text, ' '),
+         |      t -> t IN ('the','a','of','and','to','in','is'))) >= 2
+         |      THEN 1 ELSE 0 END AS b
+         |  FROM documents),
+         |m AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n11,
+         |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n00,
+         |    CAST(sum(a) AS BIGINT) AS a1, CAST(sum(b) AS BIGINT) AS b1
+         |  FROM l GROUP BY lang),
+         |k AS (
+         |  SELECT lang, n, n11, n00, a1, b1, n - a1 AS a0, n - b1 AS b0,
+         |    n11 + n00 AS agree
+         |  FROM m)
+         |SELECT lang, n AS n_docs, n11, n00,
+         |  (1000 * agree) // n AS po_milli,
+         |  $kMilli AS kappa_milli
+         |FROM k ORDER BY lang""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      val l = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // single-file scan -> use every core
+        .select(col("lang"),
+          when(size(toks).between(25, 90), 1L).otherwise(0L).as("a"),
+          when(size(filter(toks, t => t.isInCollection(stop))) >= 2, 1L)
+            .otherwise(0L).as("b"))
+      l.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+            .as("n11"),
+          sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L))
+            .as("n00"),
+          sum(col("a")).as("a1"), sum(col("b")).as("b1"))
+        .select(col("lang"), col("n"), col("n11"), col("n00"), col("a1"),
+          col("b1"), (col("n") - col("a1")).as("a0"),
+          (col("n") - col("b1")).as("b0"),
+          (col("n11") + col("n00")).as("agree"))
+        .select(col("lang"), col("n").as("n_docs"), col("n11"), col("n00"),
+          expr("(1000 * agree) div n").as("po_milli"),
+          expr(kMilli).as("kappa_milli"))
+        .orderBy("lang")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q95Kmeans, q96CentroidClassify,
     q159ClusterPurity, q173Stump, q174Calibration, q227NaiveBayes,
     q235Conformal, q238Dbscan, q249KCenter, q255Isotonic, q259EbShrinkage,
-    q286Logistic, q296InfoGain, q322ClassWeights)
+    q286Logistic, q296InfoGain, q322ClassWeights, q328CohensKappa)
 }

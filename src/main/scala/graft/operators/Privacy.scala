@@ -466,7 +466,124 @@ object Privacy {
     }
   }
 
+  /** q327 — ε-differentially-private median by the exponential
+    * mechanism (McSherry–Talwar 2007), per market segment: order
+    * amounts bucket into 64 bins, each bin b gets rank utility
+    * u_b = −|2·cum_b − n| (sensitivity 2), and the released bin
+    * maximizes ε·u/(2Δ) + Gumbel noise — selection-based DP for the
+    * statistic Laplace counts can't protect (q305 releases COUNTS;
+    * medians need the exponential mechanism because rank utility, not
+    * the value itself, is what's perturbed). The output carries the
+    * true-median bin and the released bin's rank error side by side —
+    * the utility report a privacy review reads at a given ε.
+    *
+    * Determinism: the Gumbel draw −ln(−ln u) inverts a uniform built
+    * from the md5 prefix of (segment, bin) — the q247/q305 portable-
+    * coin contract — evaluated in ONE shared IEEE chain; the argmax
+    * ties break on bin. (A production release swaps the coin for a
+    * CSPRNG — same plan.)
+    *
+    * Scale design (100 TB): one partial-aggregable (segment, bin)
+    * collapse over the fact join; the CDF is a window PARTITIONED by
+    * segment over the literal 64-bin axis; scoring and selection run
+    * on the |segments|·64-row bounded frame. Output |segments| rows. */
+  val q327DpMedian: QueryDef = {
+    val NB = 64
+    val EPS_MILLI = 500 // ε = 0.5; Δu = 2 ⇒ coefficient ε/4 = 0.125
+    // shared IEEE score chain over integer (cum, n) and the coin
+    val u = "((CAST(uhex AS DOUBLE) + 0.5) / 1152921504606846976.0)"
+    val score =
+      s"(0.125e0 * (0e0 - CAST(abs(2 * cum - n) AS DOUBLE))" +
+        s" + (0e0 - ln(0e0 - ln($u))))"
+    QueryDef(
+      "q327_dp_median",
+      s"""WITH o AS (
+         |  SELECT c.c_mktsegment AS seg,
+         |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         |bnd AS (SELECT min(cents) AS mn, max(cents) AS mx FROM o),
+         |h AS (
+         |  SELECT seg, least($NB - 1, ($NB * (cents - mn)) // (mx - mn + 1))
+         |    AS bin, CAST(count(*) AS BIGINT) AS c
+         |  FROM o, bnd GROUP BY 1, 2),
+         |segs AS (SELECT DISTINCT seg FROM h),
+         |grid AS (
+         |  SELECT s.seg, CAST(g.bin AS BIGINT) AS bin, coalesce(h.c, 0) AS c
+         |  FROM segs s CROSS JOIN (SELECT unnest(range(0, $NB)) AS bin) g
+         |  LEFT JOIN h ON h.seg = s.seg AND h.bin = g.bin),
+         |cum AS (
+         |  SELECT seg, bin, c,
+         |    CAST(sum(c) OVER (PARTITION BY seg ORDER BY bin) AS BIGINT)
+         |      AS cum,
+         |    CAST(sum(c) OVER (PARTITION BY seg) AS BIGINT) AS n
+         |  FROM grid),
+         |sc AS (
+         |  SELECT seg, bin, cum, n,
+         |    ('0x' || substring(md5('em' || seg || '_' || bin), 1, 15))::BIGINT
+         |      AS uhex
+         |  FROM cum),
+         |pick AS (
+         |  SELECT seg, bin, cum, n FROM (
+         |    SELECT seg, bin, cum, n,
+         |      row_number() OVER (PARTITION BY seg ORDER BY $score DESC, bin)
+         |        AS rn
+         |    FROM sc) WHERE rn = 1),
+         |tru AS (
+         |  SELECT seg, min(bin) AS true_bin
+         |  FROM cum WHERE 2 * cum >= n GROUP BY seg)
+         |SELECT p.seg, p.n AS n_orders, t.true_bin, p.bin AS dp_bin,
+         |  abs(p.bin - t.true_bin) AS bin_err,
+         |  (1000000 * abs(2 * p.cum - p.n)) // p.n AS rank_err_ppm
+         |FROM pick p JOIN tru t ON p.seg = t.seg
+         |ORDER BY p.seg""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      val bnd = o.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      val h = o.crossJoin(broadcast(bnd))
+        .select(col("seg"),
+          least(lit(NB - 1), expr(s"($NB * (cents - mn)) div (mx - mn + 1)"))
+            .as("bin"))
+        .groupBy(col("seg"), col("bin")).agg(count(lit(1)).as("c"))
+        .ckpt() // feeds the skeleton join AND the segment list
+      val segs = h.select(col("seg")).distinct()
+      val grid = segs
+        .crossJoin(s.range(0, NB).select(col("id").as("bin")))
+        .join(h, Seq("seg", "bin"), "left")
+        .select(col("seg"), col("bin"), coalesce(col("c"), lit(0L)).as("c"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("seg")).orderBy(col("bin"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
+      val cum = grid
+        .select(col("seg"), col("bin"),
+          sum(col("c")).over(wCum).cast("bigint").as("cum"),
+          sum(col("c")).over(wAll).cast("bigint").as("n"))
+        .ckpt() // feeds the pick AND the true-median fold
+      val sc = cum.select(col("seg"), col("bin"), col("cum"), col("n"),
+        conv(substring(md5(concat(lit("em"), col("seg"), lit("_"),
+          col("bin").cast("string"))), 1, 15), 16, 10).cast("bigint")
+          .as("uhex"))
+      val wPick = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("seg")).orderBy(expr(score).desc, col("bin"))
+      val pick = sc.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("seg"), col("bin"), col("cum"), col("n"))
+      val tru = cum.filter(lit(2) * col("cum") >= col("n"))
+        .groupBy(col("seg")).agg(min(col("bin")).as("true_bin"))
+      pick.join(tru.select(col("seg").as("tseg"), col("true_bin")),
+          col("seg") === col("tseg"))
+        .select(col("seg"), col("n").as("n_orders"), col("true_bin"),
+          col("bin").as("dp_bin"),
+          abs(col("bin") - col("true_bin")).as("bin_err"),
+          expr("(1000000 * abs(2 * cum - n)) div n").as("rank_err_ppm"))
+        .orderBy("seg")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q327DpMedian,
     q201KAnonymity, q202LDiversity, q203GeneralizationLadder,
     q217Pseudonymize, q223TCloseness, q247RandomizedResponse,
     q305DpHistogram)
