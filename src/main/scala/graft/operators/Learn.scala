@@ -1479,8 +1479,153 @@ object Learn {
     }
   }
 
+  /** q329 — out-of-distribution mining by per-class diagonal
+    * Mahalanobis distance: fit per-(label, dim) mean/variance on the
+    * even-vec_id half, score every odd-half vector's z² =
+    * Σ_d (x_d − μ_d)²/σ²_d against ITS OWN label's Gaussian, and
+    * surface the 20 most-outlying examples — the classic OOD/outlier
+    * review queue (Lee et al. 2018's Mahalanobis detector, diagonal
+    * form) that catches corrupted embeddings and wrong-class examples
+    * BEFORE q291's mutual-NN audit spends O(N·cell) on them.
+    *
+    * Exactness: coordinates are the integer micro-units; with
+    * moments (n, S_d, Q_d) per (label, dim), each dimension's term is
+    * the exact integer identity z²_d = (n·x − S)²/(n·Q − S²) (the n²
+    * factors of (x−μ)² and σ² cancel), floored to micro PER
+    * DIMENSION, then integer-summed (order-free, the q83
+    * discipline). Zero-variance dims contribute 0 by guard.
+    *
+    * Scale design (100 TB): the model is |labels|·64 moment rows
+    * (partial-aggregable, broadcast); scoring is one equi-join on
+    * (label, pos) over the exploded test half and a per-vector sum;
+    * the queue is a TakeOrdered heap. Output 20 rows. */
+  val q329OodMahalanobis: QueryDef = {
+    val term =
+      "CASE WHEN nn * qq - ss * ss > 0 THEN" +
+        " CAST((1000000 * (nn * CAST(q AS HUGEINT) - ss)" +
+        " * (nn * CAST(q AS HUGEINT) - ss)) // (nn * qq - ss * ss)" +
+        " AS BIGINT) ELSE 0 END"
+    val termSpark =
+      "CASE WHEN nn * qq - ss * ss > 0 THEN" +
+        " CAST((1000000 * (nn * CAST(q AS DECIMAL(38,0)) - ss)" +
+        " * (nn * CAST(q AS DECIMAL(38,0)) - ss))" +
+        " div (nn * qq - ss * ss) AS BIGINT) ELSE 0 END"
+    QueryDef(
+      "q329_ood_mahalanobis",
+      s"""WITH $ptsCte,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |mom AS (
+         |  SELECT l.label, p.pos, CAST(count(*) AS HUGEINT) AS nn,
+         |    CAST(sum(CAST(p.q AS HUGEINT)) AS HUGEINT) AS ss,
+         |    CAST(sum(CAST(p.q AS HUGEINT) * p.q) AS HUGEINT) AS qq
+         |  FROM pts p JOIN lab l USING (vec_id)
+         |  WHERE p.vec_id % 2 = 0 GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT p.vec_id, l.label, $term AS t
+         |  FROM pts p JOIN lab l USING (vec_id)
+         |  JOIN mom m ON m.label = l.label AND m.pos = p.pos
+         |  WHERE p.vec_id % 2 = 1)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(sum(t) AS BIGINT) AS z2_micro
+         |FROM sc GROUP BY 1, 2
+         |ORDER BY z2_micro DESC, vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pts = points(emb).ckpt()
+      val lab = emb.select(col("vec_id"), col("label"))
+      val mom = broadcast(pts.filter(col("vec_id") % 2 === 0)
+        .join(lab, Seq("vec_id"))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("nn"),
+          sum(col("q").cast("decimal(38,0)")).cast("decimal(38,0)").as("ss"),
+          sum(col("q").cast("decimal(38,0)") * col("q"))
+            .cast("decimal(38,0)").as("qq")))
+      pts.filter(col("vec_id") % 2 === 1)
+        .join(lab, Seq("vec_id"))
+        .join(mom, Seq("label", "pos"))
+        .select(col("vec_id"), col("label"), expr(termSpark).as("t"))
+        .groupBy(col("vec_id"), col("label").cast("bigint").as("label"))
+        .agg(sum(col("t")).as("z2_micro"))
+        .orderBy(col("z2_micro").desc, col("vec_id"))
+        .limit(20)
+    }
+  }
+
+  /** q331 — active-learning acquisition queue by centroid margin:
+    * classify the odd-vec_id half against q96's even-half per-label
+    * centroids, and surface the 20 examples with the SMALLEST margin
+    * between nearest and second-nearest centroid — uncertainty
+    * sampling (Lewis & Gale 1994), the standard "label these next"
+    * queue that buys the most model improvement per annotation
+    * dollar. Reuses q96's exact integer-distance chain, so the queue
+    * provably agrees with what the deployed classifier finds hard.
+    *
+    * Exactness: distances are exact integer squared-distance sums
+    * over quantized coordinates; the margin d₂ − d₁ is integer; both
+    * the per-vector top-2 window and the final queue break ties on
+    * (cid)/(vec_id).
+    *
+    * Scale design (100 TB): the centroid model is |labels|·64 rows
+    * broadcast into the exploded test half (equi-join on pos —
+    * q96's shape); per-(vector, centroid) distances collapse
+    * partial-aggregably; the top-2 window is PARTITIONED by vector;
+    * the queue is a TakeOrdered heap. Output 20 rows. */
+  val q331AlMargin: QueryDef = QueryDef(
+    "q331_al_margin",
+    s"""WITH $ptsCte,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |ctrain AS (
+       |  SELECT l.label AS cid, p.pos, CAST(sum(p.q) // count(*) AS BIGINT) AS c
+       |  FROM pts p JOIN lab l USING (vec_id)
+       |  WHERE p.vec_id % 2 = 0 GROUP BY 1, 2),
+       |d AS (
+       |  SELECT p.vec_id, c.cid,
+       |    CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS dist
+       |  FROM pts p JOIN ctrain c ON p.pos = c.pos
+       |  WHERE p.vec_id % 2 = 1 GROUP BY 1, 2),
+       |r AS (
+       |  SELECT vec_id, cid, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM d),
+       |t AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN rn = 1 THEN cid END) AS pred,
+       |    max(CASE WHEN rn = 1 THEN dist END) AS d1,
+       |    max(CASE WHEN rn = 2 THEN dist END) AS d2
+       |  FROM r WHERE rn <= 2 GROUP BY vec_id)
+       |SELECT t.vec_id, CAST(t.pred AS BIGINT) AS pred,
+       |  CAST(l.label AS BIGINT) AS label, t.d1, t.d2,
+       |  t.d2 - t.d1 AS margin
+       |FROM t JOIN lab l ON t.vec_id = l.vec_id
+       |ORDER BY margin, t.vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val pts = points(emb).ckpt()
+    val lab = emb.select(col("vec_id"), col("label"))
+    val ctrain = broadcast(pts.filter(col("vec_id") % 2 === 0)
+      .join(lab, Seq("vec_id"))
+      .groupBy(col("label").as("cid"), col("pos"))
+      .agg(expr("sum(q) div count(1)").as("c")))
+    val d = pts.filter(col("vec_id") % 2 === 1)
+      .join(ctrain, Seq("pos"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    val t = d.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("rn") === 1, col("cid"))).as("pred"),
+        max(when(col("rn") === 1, col("dist"))).as("d1"),
+        max(when(col("rn") === 2, col("dist"))).as("d2"))
+    t.join(lab.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("pred").cast("bigint").as("pred"),
+        col("label").cast("bigint").as("label"), col("d1"), col("d2"),
+        (col("d2") - col("d1")).as("margin"))
+      .orderBy(col("margin"), col("vec_id"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(q95Kmeans, q96CentroidClassify,
     q159ClusterPurity, q173Stump, q174Calibration, q227NaiveBayes,
     q235Conformal, q238Dbscan, q249KCenter, q255Isotonic, q259EbShrinkage,
-    q286Logistic, q296InfoGain, q322ClassWeights, q328CohensKappa)
+    q286Logistic, q296InfoGain, q322ClassWeights, q328CohensKappa,
+    q329OodMahalanobis, q331AlMargin)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{CkptOps, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-admission filter batteries and data-selection scoring — the
@@ -26,6 +27,14 @@ object PipelineFilters {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  // Gopher-rule thresholds — shared by q306 (per-rule kill report) and
+  // q330 (budget allocator quality signal) so the two can never
+  // disagree on what "admitted" means.
+  private val MIN_TOK = 25L; private val MAX_TOK = 90L
+  private val MIN_MWL = 4000L; private val MAX_MWL = 5100L
+  private val MIN_STOP = 2L
+  private val MAX_TOPW_PPM = 125000L
+
   /** q306 — Gopher-style document-admission rules (Rae et al. 2021,
     * "Scaling Language Models", Table A1): word-count bounds, mean
     * word length bounds, minimum stopword evidence, and a top-word
@@ -48,10 +57,6 @@ object PipelineFilters {
     * (doc)-keyed max — joined back equi on doc_id. Output |langs|
     * rows. */
   val q306GopherRules: QueryDef = {
-    val MIN_TOK = 25L; val MAX_TOK = 90L
-    val MIN_MWL = 4000L; val MAX_MWL = 5100L // milli-chars/word
-    val MIN_STOP = 2L
-    val MAX_TOPW_PPM = 125000L // top word > 1/8 of doc = repetition
     QueryDef(
       "q306_gopher_rules",
       s"""WITH m AS (
@@ -331,5 +336,120 @@ object PipelineFilters {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q306GopherRules, q307DsirWeights, q309JmGrid)
+  /** q330 — greedy token-budget allocation across sources: rank
+    * sources by Gopher-rule pass rate (q306's thresholds verbatim),
+    * then fill a budget of 60% of the corpus's admitted tokens
+    * greedily — full allocation while the budget lasts, a partial
+    * slice at the boundary source, zero after — the data-mix planning
+    * table ("which feeds make the cut, and how much of the boundary
+    * feed") behind every fixed-token-budget pretraining run
+    * (DoReMi/SlimPajama-style mix curation, greedy-by-quality form).
+    * Tokens are counted over ADMITTED docs only: paying for docs the
+    * filter will drop is the classic mix-planning mistake.
+    *
+    * Exactness: pass flags and token counts are exact integers; the
+    * budget is one integer floor-div of the 1-row total; the greedy
+    * fill is an exclusive running sum over the ranked source frame
+    * with integer clamp arithmetic.
+    *
+    * Scale design (100 TB): the doc-metric pass is q306's shape (one
+    * scan + one (doc, word) collapse for the repetition rule); the
+    * allocator then runs entirely on the |sources|-row aggregate
+    * frame — its ranking window is unpartitioned by design and
+    * bounded by the source domain (allowlisted). Output |sources|
+    * rows. */
+  val q330TokenBudget: QueryDef = {
+    val BUDGET_PCT = 60
+    QueryDef(
+      "q330_token_budget",
+      s"""WITH m AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chr,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+         |      AS n_stop
+         |  FROM documents),
+         |tw AS (
+         |  SELECT doc_id, max(c) AS topw FROM (
+         |    SELECT doc_id, x, CAST(count(*) AS BIGINT) AS c
+         |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS x
+         |          FROM documents) GROUP BY 1, 2) GROUP BY doc_id),
+         |f AS (
+         |  SELECT m.source, m.n_tok,
+         |    CASE WHEN m.n_tok >= $MIN_TOK AND m.n_tok <= $MAX_TOK
+         |      AND (1000 * m.n_chr) // m.n_tok >= $MIN_MWL
+         |      AND (1000 * m.n_chr) // m.n_tok <= $MAX_MWL
+         |      AND m.n_stop >= $MIN_STOP
+         |      AND (1000000 * tw.topw) // m.n_tok <= $MAX_TOPW_PPM
+         |      THEN 1 ELSE 0 END AS pass
+         |  FROM m JOIN tw ON m.doc_id = tw.doc_id),
+         |src AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(pass) AS BIGINT) AS n_pass,
+         |    (1000000 * CAST(sum(pass) AS BIGINT)) // count(*)
+         |      AS quality_ppm,
+         |    CAST(sum(pass * n_tok) AS BIGINT) AS adm_tokens
+         |  FROM f GROUP BY source),
+         |bud AS (
+         |  SELECT ($BUDGET_PCT * CAST(sum(adm_tokens) AS BIGINT)) // 100
+         |    AS budget FROM src),
+         |ranked AS (
+         |  SELECT src.*, bud.budget,
+         |    CAST(coalesce(sum(adm_tokens) OVER (
+         |      ORDER BY quality_ppm DESC, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS before_me
+         |  FROM src, bud)
+         |SELECT source, n_docs, n_pass, quality_ppm, adm_tokens,
+         |  CAST(least(adm_tokens, greatest(0, budget - before_me))
+         |    AS BIGINT) AS alloc_tokens
+         |FROM ranked ORDER BY source""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val docs = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // single-file scan -> use every core
+      val m = docs.select(
+        col("doc_id"), col("source"),
+        size(toks).cast("bigint").as("n_tok"),
+        length(regexp_replace(col("text"), " ", "")).cast("bigint")
+          .as("n_chr"),
+        size(filter(toks, t => t.isInCollection(stopwords))).cast("bigint")
+          .as("n_stop"))
+      val tw = docs
+        .select(col("doc_id"), explode(toks).as("x"))
+        .groupBy(col("doc_id"), col("x")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("topw"))
+      val f = m.join(tw, Seq("doc_id"))
+        .select(col("source"), col("n_tok"),
+          when(col("n_tok") >= MIN_TOK && col("n_tok") <= MAX_TOK &&
+            expr("(1000 * n_chr) div n_tok") >= MIN_MWL &&
+            expr("(1000 * n_chr) div n_tok") <= MAX_MWL &&
+            col("n_stop") >= MIN_STOP &&
+            expr("(1000000 * topw) div n_tok") <= MAX_TOPW_PPM,
+            1L).otherwise(0L).as("pass"))
+      val src = f.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"),
+          expr("(1000000 * CAST(sum(pass) AS BIGINT)) div count(*)")
+            .as("quality_ppm"),
+          sum(col("pass") * col("n_tok")).as("adm_tokens"))
+      val bud = src.agg(
+        expr(s"($BUDGET_PCT * CAST(sum(adm_tokens) AS BIGINT)) div 100")
+          .as("budget"))
+      val wFill = Window.orderBy(col("quality_ppm").desc, col("source"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      src.crossJoin(broadcast(bud))
+        .withColumn("before_me",
+          coalesce(sum(col("adm_tokens")).over(wFill), lit(0L))
+            .cast("bigint"))
+        .select(col("source"), col("n_docs"), col("n_pass"),
+          col("quality_ppm"), col("adm_tokens"),
+          least(col("adm_tokens"),
+            greatest(lit(0L), col("budget") - col("before_me")))
+            .cast("bigint").as("alloc_tokens"))
+        .orderBy("source")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q306GopherRules, q307DsirWeights, q309JmGrid,
+    q330TokenBudget)
 }

@@ -251,5 +251,8 @@ object PlanSweepAllowlist {
       "leaderboard rank window runs over the TakeOrdered top-10 slice " +
         "(literal k); the all-time rank rides ScaleRank"),
     ("q314_tail_index", "^cents",
-      "Hill rank window runs over the TakeOrdered top-201 slice (literal k)"))
+      "Hill rank window runs over the TakeOrdered top-201 slice (literal k)"),
+    ("q330_token_budget", "quality_ppm",
+      "greedy fill runs over the |sources| aggregate frame (source-domain " +
+        "bounded, below a groupBy)"))
 }
