@@ -2645,9 +2645,86 @@ object DataProfile {
     }
   }
 
+  /** q335 — split-stratification audit: the χ² test of the label
+    * distribution between the even/odd vec_id halves (the split every
+    * Learn-family query trains/evaluates on) — the "is my test set
+    * label-representative" check that must pass before any accuracy
+    * comparison across the split means anything; the per-label
+    * contribution column localizes WHICH class drifted when it
+    * fails. Multi-class sibling of q319's 2-cell SRM.
+    *
+    * Exactness: counts exact; each label's χ² term
+    * (n·n_even_l − n_even·n_l)² / (n_even·n_test-scaled expectation)
+    * rides ONE cross-multiplied integer identity floored to milli
+    * per label — term_milli = (1000·n·(n·e_l − n_e·t_l)²) div
+    * (n_e·n_o·t_l·n) with t_l the label total — all non-negative;
+    * the total is the exact integer sum of the floored terms.
+    *
+    * Scale design (100 TB): one partial-aggregable (label, parity)
+    * collapse; everything after runs on |labels| rows with the 1-row
+    * totals broadcast. Output |labels| rows. */
+  val q335SplitStratification: QueryDef = {
+    // chi2 term for one label, milli, from exact integers:
+    //   observed e_l vs expected n_e*t_l/n over both halves:
+    //   term = (e_l - n_e*t_l/n)^2 / (n_e*t_l/n)
+    //        + (o_l - n_o*t_l/n)^2 / (n_o*t_l/n)
+    // cross-multiplied: (n*e_l - n_e*t_l)^2 * 1000 // (n_e*t_l*n)
+    //                 + (n*o_l - n_o*t_l)^2 * 1000 // (n_o*t_l*n)
+    val term =
+      "CAST((1000 * (n * el - ne * tl) * (n * el - ne * tl))" +
+        " // (ne * tl * n) +" +
+        " (1000 * (n * ol - no * tl) * (n * ol - no * tl))" +
+        " // (no * tl * n) AS BIGINT)"
+    val termSpark =
+      "CAST((1000 * (n * el - ne * tl) * (n * el - ne * tl))" +
+        " div (ne * tl * n) +" +
+        " (1000 * (n * ol - no * tl) * (n * ol - no * tl))" +
+        " div (no * tl * n) AS BIGINT)"
+    QueryDef(
+      "q335_split_stratification",
+      s"""WITH c AS (
+         |  SELECT label, CAST(vec_id % 2 AS BIGINT) AS odd,
+         |    CAST(count(*) AS HUGEINT) AS n
+         |  FROM embeddings GROUP BY 1, 2),
+         |l AS (
+         |  SELECT label,
+         |    CAST(sum(CASE WHEN odd = 0 THEN n ELSE 0 END) AS HUGEINT) AS el,
+         |    CAST(sum(CASE WHEN odd = 1 THEN n ELSE 0 END) AS HUGEINT) AS ol,
+         |    CAST(sum(n) AS HUGEINT) AS tl
+         |  FROM c GROUP BY label),
+         |t AS (
+         |  SELECT CAST(sum(el) AS HUGEINT) AS ne,
+         |    CAST(sum(ol) AS HUGEINT) AS no,
+         |    CAST(sum(tl) AS HUGEINT) AS n FROM l)
+         |SELECT CAST(l.label AS BIGINT) AS label,
+         |  CAST(l.el AS BIGINT) AS n_even, CAST(l.ol AS BIGINT) AS n_odd,
+         |  $term AS term_milli
+         |FROM l, t ORDER BY label""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val c = Tables.embeddings(s, dir)
+        .groupBy(col("label"), (col("vec_id") % 2).as("odd"))
+        .agg(count(lit(1)).as("cn"))
+      val l = c.groupBy(col("label"))
+        .agg(sum(when(col("odd") === 0, col("cn")).otherwise(lit(0L)))
+          .cast("decimal(38,0)").as("el"),
+          sum(when(col("odd") === 1, col("cn")).otherwise(lit(0L)))
+            .cast("decimal(38,0)").as("ol"),
+          sum(col("cn")).cast("decimal(38,0)").as("tl"))
+      val t = l.agg(sum(col("el")).cast("decimal(38,0)").as("ne"),
+        sum(col("ol")).cast("decimal(38,0)").as("no"),
+        sum(col("tl")).cast("decimal(38,0)").as("n"))
+      l.crossJoin(broadcast(t))
+        .select(col("label").cast("bigint").as("label"),
+          col("el").cast("bigint").as("n_even"),
+          col("ol").cast("bigint").as("n_odd"),
+          expr(termSpark).as("term_milli"))
+        .orderBy("label")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q301Hbos, q313CovariateBalance, q317Wasserstein, q319Srm,
-      q326CorrMatrix,
+      q326CorrMatrix, q335SplitStratification,
       q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
       q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers,

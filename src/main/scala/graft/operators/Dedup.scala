@@ -1453,8 +1453,123 @@ object Dedup {
     }
   }
 
+  /** q333 — SimHash Hamming-radius dedup by block decomposition
+    * (Manku, Jain & Das Sarma 2007, "Detecting Near-Duplicates for
+    * Web Crawling"): split each 16-bit simhash (q33's signature,
+    * verbatim) into 4 blocks of 4 bits; any pair within Hamming
+    * distance ≤ 3 must agree on ≥ 1 whole block (pigeonhole), so the
+    * block equi-join generates a COMPLETE candidate set without an
+    * all-pairs pass; exact `bit_count(xor)` then buckets the pairs by
+    * distance 0–3. Output is the radius profile — how many near-dup
+    * pairs each Hamming budget admits — the tuning table for the
+    * simhash analog of q185's band sweep. (Production: 64-bit sigs,
+    * d+1 blocks for radius d — same shape, stated here at the q33
+    * test width.)
+    *
+    * Exactness: signatures, blocks, and Hamming distances are pure
+    * integer ops; pair multiplicities come from the distinct-
+    * signature dictionary (cnt_a·cnt_b cross products, n·(n−1)/2
+    * within a class), so duplicate-heavy corpora cannot go quadratic
+    * in the join (the q115 lesson).
+    *
+    * Scale design (100 TB): one signature pass (16 partial sums, one
+    * shuffle — q33's shape) collapses to the distinct-sig dictionary;
+    * the block join runs over (block-id, block-value) keys of that
+    * DICTIONARY, not of docs; multi-block agreements dedupe on the
+    * (s1, s2) pair before distance counting. Output 4 rows. */
+  val q333SimhashRadius: QueryDef = {
+    val simhashSql =
+      s"""tk3 AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |agg3 AS (SELECT doc_id, count(*) AS n,
+         |  ${(0 until 16).map(b => s"sum(ascii(substr(md5(tok), ${b + 1}, 1)) % 2) AS s$b").mkString(", ")}
+         |  FROM tk3 GROUP BY doc_id),
+         |sh AS (SELECT doc_id,
+         |  ${(0 until 16).map(b => s"(CASE WHEN 2*s$b > n THEN ${1 << b} ELSE 0 END)").mkString(" + ")} AS sig
+         |  FROM agg3)""".stripMargin
+    QueryDef(
+      "q333_simhash_radius",
+      s"""WITH $simhashSql,
+         |dict AS (SELECT sig, CAST(count(*) AS BIGINT) AS cnt FROM sh GROUP BY sig),
+         |bl AS (
+         |  SELECT sig, cnt, j, (sig // (CASE j WHEN 0 THEN 1 WHEN 1 THEN 16
+         |    WHEN 2 THEN 256 ELSE 4096 END)) % 16 AS bv
+         |  FROM dict, unnest([0, 1, 2, 3]) AS u(j)),
+         |cand AS (
+         |  SELECT DISTINCT b1.sig AS s1, b2.sig AS s2
+         |  FROM bl b1 JOIN bl b2 ON b1.j = b2.j AND b1.bv = b2.bv
+         |    AND b1.sig < b2.sig),
+         |cross_d AS (
+         |  SELECT bit_count(xor(c.s1, c.s2)) AS d,
+         |    CAST(sum(d1.cnt * d2.cnt) AS BIGINT) AS n_pairs
+         |  FROM cand c JOIN dict d1 ON c.s1 = d1.sig
+         |    JOIN dict d2 ON c.s2 = d2.sig
+         |  WHERE bit_count(xor(c.s1, c.s2)) <= 3
+         |  GROUP BY 1),
+         |zero_d AS (
+         |  SELECT 0 AS d, CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS n_pairs
+         |  FROM dict WHERE cnt >= 2),
+         |grid AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS d)
+         |SELECT g.d,
+         |  CAST(coalesce(z.n_pairs, 0) + coalesce(x.n_pairs, 0) AS BIGINT)
+         |    AS n_pairs
+         |FROM grid g
+         |LEFT JOIN zero_d z ON g.d = z.d
+         |LEFT JOIN cross_d x ON g.d = x.d
+         |ORDER BY g.d""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tk = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // single-file scan -> use every core
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val agg = tk.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          (0 until 16).map(b =>
+            sum(ascii(substring(md5(col("tok")), b + 1, 1)) % 2)
+              .as(s"s$b")): _*)
+      val sig = (0 until 16)
+        .map(b => when(lit(2) * col(s"s$b") > col("n"), lit(1 << b))
+          .otherwise(lit(0))).reduce(_ + _)
+      val dict = agg.select(sig.as("sig"))
+        .groupBy(col("sig")).agg(count(lit(1)).as("cnt"))
+        .ckpt() // feeds blocks AND both count lookups
+      val bl = dict
+        .select(col("sig"), col("cnt"),
+          explode(array((0 until 4).map(lit): _*)).as("j"))
+        .select(col("sig"), col("j"),
+          expr("(sig div (CASE j WHEN 0 THEN 1 WHEN 1 THEN 16" +
+            " WHEN 2 THEN 256 ELSE 4096 END)) % 16").as("bv"))
+      val cand = bl.select(col("j"), col("bv"), col("sig").as("s1"))
+        .join(bl.select(col("j").as("j2"), col("bv").as("bv2"),
+          col("sig").as("s2")),
+          col("j") === col("j2") && col("bv") === col("bv2") &&
+            col("s1") < col("s2"))
+        .select(col("s1"), col("s2")).distinct()
+      val crossD = cand
+        .join(dict.select(col("sig").as("s1"), col("cnt").as("c1")),
+          Seq("s1"))
+        .join(dict.select(col("sig").as("s2"), col("cnt").as("c2")),
+          Seq("s2"))
+        .filter(bit_count(expr("s1 ^ s2")) <= 3)
+        .groupBy(bit_count(expr("s1 ^ s2")).cast("bigint").as("d"))
+        .agg(sum(col("c1") * col("c2")).as("n_pairs"))
+      val zeroD = dict.filter(col("cnt") >= 2)
+        .agg(sum(expr("cnt * (cnt - 1) div 2")).as("n_pairs"))
+        .select(lit(0L).as("d"), col("n_pairs"))
+      val grid = Seq(0L, 1L, 2L, 3L).toDF("d")
+      grid
+        .join(zeroD.select(col("d").as("zd"), col("n_pairs").as("zp")),
+          col("d") === col("zd"), "left")
+        .join(crossD.select(col("d").as("xd"), col("n_pairs").as("xp")),
+          col("d") === col("xd"), "left")
+        .select(col("d"),
+          (coalesce(col("zp"), lit(0L)) + coalesce(col("xp"), lit(0L)))
+            .cast("bigint").as("n_pairs"))
+        .orderBy("d")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q244GoldenRecord,
+    q244GoldenRecord, q333SimhashRadius,
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
     q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters, q38DedupPipeline,
     q69SpanDedup, q75Contamination, q78SortedNeighborhood, q100SemanticDedup,

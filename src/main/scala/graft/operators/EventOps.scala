@@ -2602,8 +2602,69 @@ object EventOps {
     }
   }
 
+  /** q334 — temporal-split entity leakage audit: split the event
+    * stream at 80% of its time span (train = before, test = after)
+    * and report, per event type, how many TEST-side users also
+    * appear in train — the eval-design check for every
+    * "predict-the-future" model: high overlap means a time-split
+    * evaluation is really a same-user personalization eval (entity
+    * leakage), and a user-disjoint split (q213's group-aware
+    * discipline) is required on top of the time cut. The per-type
+    * breakdown shows which surfaces are repeat-user-driven.
+    *
+    * Exactness: the split boundary is integer micros arithmetic on
+    * the exact (min, max) frame; membership flags are per-(type,
+    * user) maxes; ratios are non-negative ppm floor-divs.
+    *
+    * Scale design (100 TB): one partial-aggregable (type, user) →
+    * flags collapse (the only data-sized exchange); the 1-row bounds
+    * frame is broadcast; per-type folds are |types| rows. */
+  val q334TemporalLeakage: QueryDef = QueryDef(
+    "q334_temporal_leakage",
+    """WITH b AS (
+      |  SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS t0,
+      |         CAST(epoch_us(max(ts)) AS BIGINT) AS t1
+      |  FROM events),
+      |u AS (
+      |  SELECT event_type, user_id,
+      |    max(CASE WHEN (epoch_us(ts) - b.t0) * 10 < (b.t1 - b.t0) * 8
+      |      THEN 1 ELSE 0 END) AS tr,
+      |    max(CASE WHEN (epoch_us(ts) - b.t0) * 10 >= (b.t1 - b.t0) * 8
+      |      THEN 1 ELSE 0 END) AS te
+      |  FROM events, b GROUP BY 1, 2)
+      |SELECT event_type,
+      |  CAST(sum(tr) AS BIGINT) AS n_train_users,
+      |  CAST(sum(te) AS BIGINT) AS n_test_users,
+      |  CAST(sum(tr * te) AS BIGINT) AS n_overlap,
+      |  (1000000 * CAST(sum(tr * te) AS BIGINT)) // CAST(sum(te) AS BIGINT)
+      |    AS leak_ppm
+      |FROM u GROUP BY event_type HAVING sum(te) > 0
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts)").as("us"))
+    val b = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+    val u = ev.crossJoin(broadcast(b))
+      .select(col("event_type"), col("user_id"),
+        when((col("us") - col("t0")) * 10 < (col("t1") - col("t0")) * 8, 1L)
+          .otherwise(0L).as("in_tr"),
+        when((col("us") - col("t0")) * 10 >= (col("t1") - col("t0")) * 8, 1L)
+          .otherwise(0L).as("in_te"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(max(col("in_tr")).as("tr"), max(col("in_te")).as("te"))
+    u.groupBy(col("event_type"))
+      .agg(sum(col("tr")).as("n_train_users"),
+        sum(col("te")).as("n_test_users"),
+        sum(col("tr") * col("te")).as("n_overlap"))
+      .filter(col("n_test_users") > 0)
+      .select(col("event_type"), col("n_train_users"), col("n_test_users"),
+        col("n_overlap"),
+        expr("(1000000 * n_overlap) div n_test_users").as("leak_ppm"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q315CaptureRecapture, q316PowerAnalysis,
+    q315CaptureRecapture, q316PowerAnalysis, q334TemporalLeakage,
     q230Sprt, q236OffPolicy, q240Sax, q246MarkovAttribution,
     q251ShapleyAttribution,
     q196SchemaDrift, q199SessionEntropy, q219SloBurn, q220Stickiness,

@@ -1623,9 +1623,88 @@ object Learn {
       .limit(20)
   }
 
+  /** q332 — query-by-committee difficulty map: a committee of 8
+    * single-dimension nearest-class-mean classifiers (dims 1–8, means
+    * fit on the even-vec_id half) votes on every odd-half example;
+    * the 20 examples with the fewest correct votes (ambiguity count
+    * as tiebreak) surface as the hard/mislabeled review queue — the
+    * dataset-cartography idea (Swayamdipta et al. 2020: confidence ×
+    * variability locates label errors and hard regions) with
+    * committee disagreement standing in for training dynamics, and
+    * the classic QBC acquisition rule (Seung–Opper–Sompolinsky 1992)
+    * complementing q331's margin queue: margin measures ONE model's
+    * uncertainty, disagreement measures ensemble instability.
+    *
+    * Exactness: per-(dim, label) means are truncating integer
+    * divisions of exact sums (both engines truncate integer
+    * division toward zero); each vote is an integer |q − mean|
+    * argmin with label tiebreak; vote tallies are exact counts; the
+    * queue breaks ties on vec_id.
+    *
+    * Scale design (100 TB): the model is 8·|labels| rows broadcast
+    * into the dims-1–8 slice of the exploded test half; the
+    * per-(vector, dim) argmin is a window PARTITIONED by (vector,
+    * dim); tallies collapse partial-aggregably per vector; the queue
+    * is a TakeOrdered heap. Output 20 rows. */
+  val q332Committee: QueryDef = {
+    val DIMS = 8
+    QueryDef(
+      "q332_committee",
+      s"""WITH $ptsCte,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |mu AS (
+         |  SELECT l.label AS cid, p.pos,
+         |    CAST(sum(p.q) // count(*) AS BIGINT) AS c
+         |  FROM pts p JOIN lab l USING (vec_id)
+         |  WHERE p.vec_id % 2 = 0 AND p.pos <= $DIMS GROUP BY 1, 2),
+         |v AS (
+         |  SELECT p.vec_id, p.pos, m.cid,
+         |    row_number() OVER (PARTITION BY p.vec_id, p.pos
+         |      ORDER BY abs(p.q - m.c), m.cid) AS rn
+         |  FROM pts p JOIN mu m ON p.pos = m.pos
+         |  WHERE p.vec_id % 2 = 1),
+         |votes AS (SELECT vec_id, pos, cid FROM v WHERE rn = 1),
+         |t AS (
+         |  SELECT vo.vec_id, l.label,
+         |    CAST(sum(CASE WHEN vo.cid = l.label THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_correct,
+         |    CAST(count(DISTINCT vo.cid) AS BIGINT) AS n_distinct_preds
+         |  FROM votes vo JOIN lab l ON vo.vec_id = l.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label, n_correct,
+         |  n_distinct_preds
+         |FROM t ORDER BY n_correct, n_distinct_preds DESC, vec_id
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pts = points(emb).ckpt()
+      val lab = emb.select(col("vec_id"), col("label"))
+      val mu = broadcast(pts.filter(col("vec_id") % 2 === 0 &&
+          col("pos") <= DIMS)
+        .join(lab, Seq("vec_id"))
+        .groupBy(col("label").as("cid"), col("pos"))
+        .agg(expr("sum(q) div count(1)").as("c")))
+      val w = Window.partitionBy(col("vec_id"), col("pos"))
+        .orderBy(abs(col("q") - col("c")), col("cid"))
+      val votes = pts.filter(col("vec_id") % 2 === 1)
+        .join(mu, Seq("pos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("pos"), col("cid"))
+      votes.join(lab, Seq("vec_id"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(when(col("cid") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"),
+          count_distinct(col("cid")).as("n_distinct_preds"))
+        .select(col("vec_id"), col("label").cast("bigint").as("label"),
+          col("n_correct"), col("n_distinct_preds"))
+        .orderBy(col("n_correct"), col("n_distinct_preds").desc,
+          col("vec_id"))
+        .limit(20)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q95Kmeans, q96CentroidClassify,
     q159ClusterPurity, q173Stump, q174Calibration, q227NaiveBayes,
     q235Conformal, q238Dbscan, q249KCenter, q255Isotonic, q259EbShrinkage,
     q286Logistic, q296InfoGain, q322ClassWeights, q328CohensKappa,
-    q329OodMahalanobis, q331AlMargin)
+    q329OodMahalanobis, q331AlMargin, q332Committee)
 }
