@@ -2722,9 +2722,107 @@ object DataProfile {
     }
   }
 
+  /** q336 — distribution-free quantile confidence bands (DKW
+    * inequality, Massart's tight constant): for p ∈ {0.5, 0.9, 0.99}
+    * of the order-amount distribution, the point estimate plus the
+    * simultaneous 95% band obtained by shifting the EMPIRICAL CDF by
+    * ε = √(ln(2/α)/2n) — the "how sure is this percentile" report
+    * that needs NO distributional assumption, which is what makes it
+    * honest on heavy-tailed money data (q314 shows the tail is
+    * heavy; a normal-theory band would lie). The band width doubles
+    * as a sample-size adequacy check for q17/q85-style dashboards.
+    *
+    * Exactness: ε is ONE shared IEEE chain floored to ppm; all three
+    * rank targets are then pure integer arithmetic
+    * (1 + (n−1)·pp div 10⁶, clamped), and each rank's value is the
+    * exact lower order statistic via the distributed running-count
+    * frame — no interpolation, no float compare.
+    *
+    * Scale design (100 TB): the (value, count) collapse is
+    * partial-aggregable; the cumulative count rides
+    * [[ScaleRank.withRunningSum]] (bounded per-task windows, never a
+    * global sort); the 9 rank lookups are one non-equi join of the
+    * ≤9-row target frame against the collapsed value table followed
+    * by a min fold. Output 3 rows. */
+  val q336DkwBands: QueryDef = {
+    val ps = Seq(500, 900, 990) // milli
+    val eps = "CAST(floor(1e6 * sqrt(ln(4e1) / (2e0 * CAST(n AS DOUBLE))))" +
+      " AS BIGINT)"
+    QueryDef(
+      "q336_dkw_bands",
+      s"""WITH o AS (
+         |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM orders),
+         |vc AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM o GROUP BY cents),
+         |cum AS (
+         |  SELECT cents,
+         |    CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum
+         |  FROM vc),
+         |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vc),
+         |tgt AS (
+         |  SELECT CAST(p AS BIGINT) AS p_milli, n, $eps AS eps_ppm,
+         |    1 + ((n - 1) * greatest(0, 1000 * CAST(p AS BIGINT)
+         |      - $eps)) // 1000000 AS r_lo,
+         |    1 + ((n - 1) * (1000 * CAST(p AS BIGINT))) // 1000000 AS r_est,
+         |    1 + ((n - 1) * least(1000000, 1000 * CAST(p AS BIGINT)
+         |      + $eps)) // 1000000 AS r_hi
+         |  FROM nn, unnest([${ps.mkString(", ")}]) AS u(p)),
+         |look AS (
+         |  SELECT t.p_milli, which, r, min(c.cents) AS v
+         |  FROM (
+         |    SELECT p_milli, 'lo' AS which, r_lo AS r FROM tgt
+         |    UNION ALL SELECT p_milli, 'est', r_est FROM tgt
+         |    UNION ALL SELECT p_milli, 'hi', r_hi FROM tgt) t
+         |  JOIN cum c ON c.cum >= t.r
+         |  GROUP BY 1, 2, 3)
+         |SELECT t.p_milli, t.n, t.eps_ppm,
+         |  max(CASE WHEN l.which = 'est' THEN l.v END) AS est_cents,
+         |  max(CASE WHEN l.which = 'lo' THEN l.v END) AS lo_cents,
+         |  max(CASE WHEN l.which = 'hi' THEN l.v END) AS hi_cents
+         |FROM tgt t JOIN look l ON t.p_milli = l.p_milli
+         |GROUP BY 1, 2, 3 ORDER BY t.p_milli""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      val vc = o.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+      val cum = ScaleRank.withRunningSum(vc, Seq.empty, Seq(col("cents")),
+          col("cnt"), "cum")
+        .select(col("cents"), col("cum").cast("bigint").as("cum"))
+        .ckpt() // 9 rank lookups probe it
+      val nn = vc.agg(sum(col("cnt")).cast("bigint").as("n"))
+      val tgt = broadcast(nn
+        .crossJoin(ps.map(_.toLong).toDF("p"))
+        .select(col("p").as("p_milli"), col("n"), expr(eps).as("eps_ppm"))
+        .select(col("p_milli"), col("n"), col("eps_ppm"),
+          expr("1 + ((n - 1) * greatest(0, 1000 * p_milli - eps_ppm))" +
+            " div 1000000").as("r_lo"),
+          expr("1 + ((n - 1) * (1000 * p_milli)) div 1000000").as("r_est"),
+          expr("1 + ((n - 1) * least(1000000, 1000 * p_milli + eps_ppm))" +
+            " div 1000000").as("r_hi")))
+      val t9 = tgt.select(col("p_milli"), lit("lo").as("which"),
+          col("r_lo").as("r"))
+        .unionByName(tgt.select(col("p_milli"), lit("est").as("which"),
+          col("r_est").as("r")))
+        .unionByName(tgt.select(col("p_milli"), lit("hi").as("which"),
+          col("r_hi").as("r")))
+      val look = broadcast(t9).join(cum, col("cum") >= col("r"))
+        .groupBy(col("p_milli"), col("which"), col("r"))
+        .agg(min(col("cents")).as("v"))
+      tgt.join(look.select(col("p_milli").as("lp"), col("which"), col("v")),
+          col("p_milli") === col("lp"))
+        .groupBy(col("p_milli"), col("n"), col("eps_ppm"))
+        .agg(max(when(col("which") === "est", col("v"))).as("est_cents"),
+          max(when(col("which") === "lo", col("v"))).as("lo_cents"),
+          max(when(col("which") === "hi", col("v"))).as("hi_cents"))
+        .orderBy("p_milli")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q301Hbos, q313CovariateBalance, q317Wasserstein, q319Srm,
-      q326CorrMatrix, q335SplitStratification,
+      q326CorrMatrix, q335SplitStratification, q336DkwBands,
       q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
       q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers,

@@ -2848,8 +2848,71 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** q337 — feature-hashing collision curve: the measured fraction of
+    * distinct tokens lost to hash collisions at table sizes
+    * B ∈ {1024, 4096, 16384}, next to the birthday-bound prediction
+    * B·(1−(1−1/B)^n) — the sizing table for q243's hashed feature
+    * space (and any hashed embedding/vocab table): pick the smallest
+    * B whose measured collision rate is below the budget, and flag a
+    * hash family whose measured rate beats the prediction by a
+    * margin (correlated keys). q318 audits Bloom membership the same
+    * way; this audits cardinality preservation.
+    *
+    * Exactness: distinct-token and distinct-bucket counts are exact
+    * integers (md5-prefix mod, the portable-coin contract); measured
+    * ppm is a cross-multiplied floor-div; the prediction is ONE
+    * shared exp/ln IEEE chain floored to ppm.
+    *
+    * Scale design (100 TB): ONE distinct-token collapse feeds all
+    * three bucket countings (map-side mod + partial-aggregable
+    * distinct); the verdict is 3 rows of arithmetic. */
+  val q337HashCollisionCurve: QueryDef = {
+    val bs = Seq(1024, 4096, 16384)
+    def pred(n: String): String =
+      s"CAST(floor(1e6 * (CAST($n AS DOUBLE) - CAST(b AS DOUBLE)" +
+        s" * (1e0 - exp(CAST($n AS DOUBLE) * ln(1e0 - 1e0" +
+        s" / CAST(b AS DOUBLE))))) / CAST($n AS DOUBLE)) AS BIGINT)"
+    QueryDef(
+      "q337_hash_collision_curve",
+      s"""WITH tok AS (
+         |  SELECT DISTINCT unnest(string_split(text, ' ')) AS x
+         |  FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+         |m AS (
+         |  SELECT CAST(b AS BIGINT) AS b, CAST(count(DISTINCT
+         |    ('0x' || substring(md5(x), 1, 15))::BIGINT % b) AS BIGINT)
+         |    AS n_buckets
+         |  FROM tok, unnest([${bs.mkString(", ")}]) AS u(b)
+         |  GROUP BY 1)
+         |SELECT m.b, n.n AS n_distinct, m.n_buckets,
+         |  (1000000 * (n.n - m.n_buckets)) // n.n AS measured_ppm,
+         |  ${pred("n.n")} AS predicted_ppm
+         |FROM m, n ORDER BY m.b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tok = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // single-file scan -> use every core
+        .select(explode(split(col("text"), " ")).as("x"))
+        .distinct()
+        .select(conv(substring(md5(col("x")), 1, 15), 16, 10).cast("bigint")
+          .as("h"))
+        .ckpt() // feeds the count AND all three bucket foldings
+      val n = tok.agg(count(lit(1)).as("n"))
+      val m = tok
+        .crossJoin(bs.map(_.toLong).toDF("b"))
+        .select(col("b"), (col("h") % col("b")).as("bk"))
+        .groupBy(col("b")).agg(count_distinct(col("bk")).as("n_buckets"))
+      m.crossJoin(broadcast(n))
+        .select(col("b"), col("n").as("n_distinct"), col("n_buckets"),
+          expr("(1000000 * (n_distinct - n_buckets)) div n_distinct")
+            .as("measured_ppm"),
+          expr(pred("n_distinct")).as("predicted_ppm"))
+        .orderBy("b")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q295YulesK, q320SourceNovelty, q321CharEntropy,
+      q337HashCollisionCurve,
       q232LooInfluence, q243FeatureHashing, q254MaxCoverage, q264McNemar,
       q267BurrowsDelta, q276QuantileNorm, q278Datasheet, q280OtsuThreshold,
       q197Keyness, q198Readability, q200Burstiness, q215KnPpl,

@@ -80,4 +80,42 @@ class Round7hSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("term_milli")).sum <= 45000L,
       "even/odd label split reads as systematically stratified")
   }
+
+  test("q336 DKW: bands bracket the estimate and widen with tail p") {
+    val rows = run("q336_dkw_bands")
+    assert(rows.map(_.getAs[Long]("p_milli")).toSeq == Seq(500L, 900L, 990L))
+    val n = graft.Tables.orders(spark, dir).count()
+    for (r <- rows) {
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("lo_cents") <= r.getAs[Long]("est_cents"))
+      assert(r.getAs[Long]("est_cents") <= r.getAs[Long]("hi_cents"))
+      val eps = r.getAs[Long]("eps_ppm")
+      val expectEps = math.floor(1e6 *
+        math.sqrt(math.log(40.0) / (2.0 * n))).toLong
+      assert(eps == expectEps)
+    }
+    // estimates are monotone in p
+    val ests = rows.map(_.getAs[Long]("est_cents")).toSeq
+    assert(ests.sliding(2).forall { case Seq(a, b) => a <= b; case _ => true })
+  }
+
+  test("q337 collision curve: fewer collisions with bigger tables, prediction replay") {
+    val rows = run("q337_hash_collision_curve")
+    assert(rows.map(_.getAs[Long]("b")).toSeq == Seq(1024L, 4096L, 16384L))
+    val ms = rows.map(_.getAs[Long]("measured_ppm")).toSeq
+    assert(ms.sliding(2).forall { case Seq(a, b) => a >= b; case _ => true },
+      s"collision rate must fall with table size: $ms")
+    for (r <- rows) {
+      val (n, b) = (r.getAs[Long]("n_distinct"), r.getAs[Long]("b"))
+      assert(r.getAs[Long]("n_buckets") <= math.min(n, b))
+      assert(r.getAs[Long]("measured_ppm") ==
+        1000000L * (n - r.getAs[Long]("n_buckets")) / n)
+      val pred = math.floor(1e6 * (n.toDouble - b.toDouble *
+        (1.0 - math.exp(n.toDouble * math.log(1.0 - 1.0 / b)))) / n).toLong
+      assert(r.getAs[Long]("predicted_ppm") == pred)
+      // md5 behaves like a uniform hash: measured within 4x of the
+      // birthday prediction, and not absurdly below it either
+      assert(r.getAs[Long]("measured_ppm") <= 4 * pred + 2000)
+    }
+  }
 }
