@@ -4,6 +4,7 @@ import graft.CkptOps
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling — the Deequ-style audit a pipeline runs
@@ -2820,9 +2821,73 @@ object DataProfile {
     }
   }
 
+  /** q339 — largest-remainder (Hamilton/Hare) quota allocation:
+    * apportion a 1000-row sample across the nation strata of the
+    * customer table proportionally, with the integer seats that
+    * proportionality alone cannot settle going to the largest
+    * fractional remainders — the exact apportionment rule behind
+    * proportional stratified sampling (complementing q182's Neyman
+    * allocation, which optimizes variance; this one guarantees
+    * Σ alloc = SAMPLE exactly and |alloc_i − quota_i| < 1, which
+    * downstream joins on "exactly N rows" need).
+    *
+    * Exactness: pure integer arithmetic — base = (SAMPLE·n_i) div N,
+    * remainder = SAMPLE·n_i mod N ranked with nation-key tiebreak,
+    * top (SAMPLE − Σ base) strata get +1. No floats anywhere.
+    *
+    * Scale design (100 TB): one partial-aggregable strata count; the
+    * allocator runs on the |nations|-row aggregate frame (its rank
+    * window is unpartitioned by design and nation-domain bounded —
+    * allowlisted). Output |nations| rows. */
+  val q339LargestRemainder: QueryDef = {
+    val SAMPLE = 1000
+    QueryDef(
+      "q339_largest_remainder",
+      s"""WITH s AS (
+         |  SELECT c_nationkey AS nation, CAST(count(*) AS BIGINT) AS n
+         |  FROM customer GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM s),
+         |q AS (
+         |  SELECT s.nation, s.n,
+         |    ($SAMPLE * s.n) // t.total AS base,
+         |    ($SAMPLE * s.n) % t.total AS rem,
+         |    t.total
+         |  FROM s, t),
+         |r AS (
+         |  SELECT q.*, row_number() OVER (ORDER BY rem DESC, nation) AS rk,
+         |    (SELECT $SAMPLE - CAST(sum(base) AS BIGINT) FROM q) AS n_extra
+         |  FROM q)
+         |SELECT CAST(nation AS BIGINT) AS nation, n, base,
+         |  CAST(CASE WHEN rk <= n_extra THEN 1 ELSE 0 END AS BIGINT) AS extra,
+         |  CAST(base + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END AS BIGINT)
+         |    AS alloc
+         |FROM r ORDER BY nation""".stripMargin) { (s, dir) =>
+      val st = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n"))
+      val t = st.agg(sum(col("n")).cast("bigint").as("total"))
+      val q = st.crossJoin(broadcast(t))
+        .select(col("nation"), col("n"),
+          expr(s"($SAMPLE * n) div total").as("base"),
+          expr(s"($SAMPLE * n) % total").as("rem"))
+      val extra = q.agg((lit(SAMPLE.toLong) - sum(col("base")))
+        .cast("bigint").as("n_extra"))
+      val w = Window.orderBy(col("rem").desc, col("nation"))
+      q.crossJoin(broadcast(extra))
+        .withColumn("rk", row_number().over(w))
+        .select(col("nation").cast("bigint").as("nation"), col("n"),
+          col("base"),
+          when(col("rk") <= col("n_extra"), 1L).otherwise(0L).as("extra"),
+          (col("base") + when(col("rk") <= col("n_extra"), 1L)
+            .otherwise(0L)).as("alloc"))
+        .orderBy("nation")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q301Hbos, q313CovariateBalance, q317Wasserstein, q319Srm,
       q326CorrMatrix, q335SplitStratification, q336DkwBands,
+      q339LargestRemainder,
       q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
       q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers,

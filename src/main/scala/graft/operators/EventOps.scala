@@ -2663,8 +2663,73 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** q338 — negative-binomial fit of per-user event counts
+    * (method of moments), per event type: r = m²/(v−m), p = m/v from
+    * the exact sample moments — the parametric follow-up to q304's
+    * overdispersion screen (q304 says "not Poisson"; this says WHICH
+    * negative binomial, so rate alerts and capacity models can use
+    * NB quantiles instead of the broken Poisson ones). Fitted on
+    * OBSERVED users (zero-truncation caveat in the columns: users
+    * with no events are invisible here, so r is biased high for
+    * sparse types — stated, not hidden).
+    *
+    * Exactness: moments ride DECIMAL(38)/HUGEINT; mean/variance and
+    * the (r, p) map are ONE mirrored IEEE chain each over DOUBLE
+    * casts of exact sums, floored to milli; under-dispersed types
+    * (v ≤ m, where no NB exists) yield NULL by the shared guard.
+    *
+    * Scale design (100 TB): the (type, user) count collapse is the
+    * only data-sized exchange (q304's shape, shared discipline);
+    * the fit runs on |types| rows. */
+  val q338NbFit: QueryDef = {
+    // sample mean / variance from (n, s, q):
+    //   m = s/n, v = (n*q - s*s) / (n*(n-1))
+    val mD = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    val vD = "((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)" +
+      " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))" +
+      " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0)))"
+    val guard = s"$vD > $mD"
+    val rMilli = s"CASE WHEN $guard THEN CAST(floor(1e3 * $mD * $mD" +
+      s" / ($vD - $mD)) AS BIGINT) END"
+    val pMilli = s"CASE WHEN $guard THEN CAST(floor(1e3 * $mD / $vD)" +
+      s" AS BIGINT) END"
+    QueryDef(
+      "q338_nb_fit",
+      s"""WITH uc AS (
+         |  SELECT event_type AS t, user_id, CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |m AS (
+         |  SELECT t, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+         |  FROM uc GROUP BY t)
+         |SELECT t AS event_type, CAST(n AS BIGINT) AS n_users,
+         |  CAST(floor(1e3 * $mD) AS BIGINT) AS mean_milli,
+         |  CAST(floor(1e3 * $vD) AS BIGINT) AS var_milli,
+         |  $rMilli AS r_milli,
+         |  $pMilli AS p_milli
+         |FROM m WHERE n > 1 ORDER BY t""".stripMargin) { (s, dir) =>
+      val uc = Tables.events(s, dir)
+        .groupBy(col("event_type").as("t"), col("user_id"))
+        .agg(count(lit(1)).as("x"))
+      uc.groupBy(col("t"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x").cast("decimal(38,0)")).cast("decimal(38,0)").as("s"),
+          sum(col("x").cast("decimal(38,0)") * col("x"))
+            .cast("decimal(38,0)").as("q"))
+        .filter(col("n") > 1)
+        .select(col("t").as("event_type"),
+          col("n").cast("bigint").as("n_users"),
+          expr(s"CAST(floor(1e3 * $mD) AS BIGINT)").as("mean_milli"),
+          expr(s"CAST(floor(1e3 * $vD) AS BIGINT)").as("var_milli"),
+          expr(rMilli).as("r_milli"),
+          expr(pMilli).as("p_milli"))
+        .orderBy("event_type")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q315CaptureRecapture, q316PowerAnalysis, q334TemporalLeakage,
+    q315CaptureRecapture, q316PowerAnalysis, q334TemporalLeakage, q338NbFit,
     q230Sprt, q236OffPolicy, q240Sax, q246MarkovAttribution,
     q251ShapleyAttribution,
     q196SchemaDrift, q199SessionEntropy, q219SloBurn, q220Stickiness,

@@ -813,6 +813,36 @@ object StreamOps {
           1L).otherwise(0L).as("srm_alarm"))
   }
 
+  /** Streaming twin of q305's Laplace-mechanism release: per
+    * finalized (type, window), the event count released as
+    * count·1000 + Lap(Δf/ε) milli-noise — the continually-released
+    * private statistics feed (each window is a disjoint dataset, so
+    * per-window ε composes in parallel, not sequentially). The noise
+    * coin hashes (type, window-start), so every window's release is
+    * independent AND reproducible; the chain is q305's verbatim
+    * (portable-coin inverse-CDF Laplace, b = 1/ε = 2.0).
+    *
+    * Scale: ONE watermark-bounded windowed count; the noise is O(1)
+    * arithmetic per released cell. Batch bit-agreement pinned in
+    * StreamOpsSpec. */
+  def dpCountMonitor(events: DataFrame, windowLen: String, delay: String): DataFrame = {
+    val u = "((CAST(uhex AS DOUBLE) + 0.5) / 1152921504606846976.0)"
+    val noiseMilli =
+      s"CAST(floor(1000.0 * (0.0 - 2.0 * " +
+        s"(CASE WHEN $u >= 0.5 THEN 1.0 ELSE -1.0 END) * " +
+        s"ln(1.0 - 2.0 * abs($u - 0.5)))) AS BIGINT)"
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"),
+        expr("CAST(conv(substring(md5(concat('lap', event_type, '_'," +
+          " CAST(unix_millis(w.start) AS STRING))), 1, 15), 16, 10)" +
+          " AS BIGINT)").as("uhex"))
+      .select(col("window_start"), col("event_type"),
+        (lit(1000L) * col("n") + expr(noiseMilli)).as("noisy_milli"))
+  }
+
   /** Batch-side baseline for [[controlChartMonitor]]: per-type
     * count/Σx/Σx² moments of a reference window-sum series (q293's
     * center-line frame). `ref` carries (event_type, x: BIGINT) rows —

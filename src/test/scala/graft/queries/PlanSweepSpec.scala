@@ -254,5 +254,8 @@ object PlanSweepAllowlist {
       "Hill rank window runs over the TakeOrdered top-201 slice (literal k)"),
     ("q330_token_budget", "quality_ppm",
       "greedy fill runs over the |sources| aggregate frame (source-domain " +
-        "bounded, below a groupBy)"))
+        "bounded, below a groupBy)"),
+    ("q339_largest_remainder", "rem",
+      "remainder rank runs over the |nations| aggregate frame " +
+        "(nation-domain bounded, below a groupBy)"))
 }

@@ -1220,6 +1220,46 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dpCountMonitor releases reproducible Laplace-noised counts per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "event_type")
+    val q = StreamOps.dpCountMonitor(df, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("dp_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rows = (1 to 40).map(i => (ts(i % 9), "click")) ++
+        (1 to 7).map(i => (ts(11 + i % 5), "view"))
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      in.addData((ts(90), "click"))
+      q.processAllAvailable()
+      val got = spark.table("dp_out").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got.size >= 2)
+      // batch replay of count + coin chain must agree bit-exactly
+      val batch = rows.toDF("ts", "event_type")
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start"), col("event_type"),
+          (lit(1000L) * col("n") + expr(
+            "CAST(floor(1000.0 * (0.0 - 2.0 * (CASE WHEN " +
+              "((CAST(CAST(conv(substring(md5(concat('lap', event_type, " +
+              "'_', CAST(unix_millis(w.start) AS STRING))), 1, 15), 16, " +
+              "10) AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0) " +
+              ">= 0.5 THEN 1.0 ELSE -1.0 END) * ln(1.0 - 2.0 * abs(" +
+              "((CAST(CAST(conv(substring(md5(concat('lap', event_type, " +
+              "'_', CAST(unix_millis(w.start) AS STRING))), 1, 15), 16, " +
+              "10) AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0) " +
+              "- 0.5)))) AS BIGINT)")).as("noisy"))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(batch.subsetOf(got), s"batch/stream disagree: ${batch.diff(got)}")
+    } finally q.stop()
+  }
+
   test("benfordMonitor finalized windows agree with the batch digit fold") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Double)]
