@@ -394,6 +394,110 @@ object Linalg {
       .orderBy("label")
   }
 
+  /** q340 — quantile regression by slope grid + exact intercept: fit
+    * y = m·x + b minimizing pinball loss at p ∈ {0.5, 0.9} for
+    * extendedprice on quantity, over a literal 9-slope grid, using
+    * the exactness shortcut that for ANY fixed slope the optimal
+    * intercept is the p-quantile of the residuals — so the 2-D search
+    * collapses to 9 exact 1-D order statistics plus one loss fold
+    * (Koenker & Bassett 1978). Reports the chosen line per p; the
+    * p=0.9 line is the "90% of line items cost at most THIS much at
+    * quantity q" planning curve that q124's OLS (mean regression)
+    * cannot provide on heavy-tailed money data.
+    *
+    * Exactness: residuals r = y_cents − m·x are exact integers per
+    * (slope, r) class; intercepts are exact lower order statistics
+    * via the distributed running-count frame (no interpolation);
+    * pinball terms p·(r−b) / (p−1000)·(r−b) are integer milli,
+    * summed in DECIMAL; argmin ties break on slope.
+    *
+    * Scale design (100 TB): ONE ×9 map-side expand feeds a
+    * partial-aggregable (slope, residual) collapse — the only
+    * data-sized exchange; cumulative counts ride
+    * [[ScaleRank.withRowNumber]]'s running-sum sibling GROUPED by
+    * slope (bounded per-task windows); rank lookups and the loss
+    * fold run on the collapsed frame; the final argmin is a window
+    * over 9·|p| rows. Output |p| rows. */
+  val q340QuantileRegression: QueryDef = {
+    val slopes = (-4 to 4).map(_ * 10000L) // cents per quantity unit
+    val ps = Seq(500L, 900L)
+    QueryDef(
+      "q340_quantile_regression",
+      s"""WITH f AS (
+         |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+         |  FROM lineitem),
+         |vc AS (
+         |  SELECT m, y - m * x AS r, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM f, unnest([${slopes.mkString(", ")}]) AS s(m)
+         |  GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT m, r, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY m ORDER BY r) AS BIGINT) AS cum
+         |  FROM vc),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+         |tgt AS (
+         |  SELECT CAST(m AS BIGINT) AS m, CAST(p AS BIGINT) AS p,
+         |    1 + ((n - 1) * p) // 1000 AS rk
+         |  FROM nn, unnest([${slopes.mkString(", ")}]) AS s(m),
+         |    unnest([${ps.mkString(", ")}]) AS pp(p)),
+         |icept AS (
+         |  SELECT t.m, t.p, min(c.r) AS b
+         |  FROM tgt t JOIN cum c ON c.m = t.m AND c.cum >= t.rk
+         |  GROUP BY 1, 2),
+         |loss AS (
+         |  SELECT i.m, i.p, i.b,
+         |    CAST(sum(v.cnt * (CASE WHEN v.r - i.b >= 0
+         |      THEN i.p * (v.r - i.b)
+         |      ELSE (i.p - 1000) * (v.r - i.b) END)) AS HUGEINT) AS l
+         |  FROM vc v JOIN icept i ON v.m = i.m
+         |  GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT p, m, b, l,
+         |    row_number() OVER (PARTITION BY p ORDER BY l, m) AS rn
+         |  FROM loss)
+         |SELECT p AS p_milli, m AS slope_cents, b AS icept_cents,
+         |  CAST(l AS BIGINT) AS loss_milli
+         |FROM best WHERE rn = 1 ORDER BY p""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val f = Tables.lineitem(s, dir)
+        .select(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("x"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("y"))
+      val vc = f
+        .select(col("x"), col("y"),
+          explode(array(slopes.map(lit): _*)).as("m"))
+        .select(col("m"), (col("y") - col("m") * col("x")).as("r"))
+        .groupBy(col("m"), col("r")).agg(count(lit(1)).as("cnt"))
+        .ckpt() // feeds cum, the rank lookup AND the loss fold
+      val cum = ScaleRank.withRunningSum(vc, Seq("m"), Seq(col("r")),
+          col("cnt"), "cum")
+        .select(col("m"), col("r"), col("cum").cast("bigint").as("cum"))
+      val nn = f.agg(count(lit(1)).as("n"))
+      val tgt = broadcast(nn
+        .crossJoin(slopes.toDF("m"))
+        .crossJoin(ps.toDF("p"))
+        .select(col("m"), col("p"),
+          expr("1 + ((n - 1) * p) div 1000").as("rk")))
+      val icept = broadcast(tgt
+        .join(cum.select(col("m"), col("r"), col("cum")),
+          tgt("m") === cum("m") && col("cum") >= col("rk"))
+        .groupBy(tgt("m").as("im"), col("p"))
+        .agg(min(col("r")).as("b")))
+      val loss = vc
+        .join(icept, col("m") === col("im"))
+        .groupBy(col("m"), col("p"), col("b"))
+        .agg(sum((col("cnt") * when(col("r") - col("b") >= 0,
+          col("p") * (col("r") - col("b")))
+          .otherwise((col("p") - 1000) * (col("r") - col("b"))))
+          .cast("decimal(38,0)")).as("l"))
+      val w = Window.partitionBy(col("p")).orderBy(col("l"), col("m"))
+      loss.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("p").as("p_milli"), col("m").as("slope_cents"),
+          col("b").as("icept_cents"), col("l").cast("bigint").as("loss_milli"))
+        .orderBy("p_milli")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q122Spmm, q124GroupRegression, q169PcaPower,
-    q283Elasticity, q312EffectiveRank)
+    q283Elasticity, q312EffectiveRank, q340QuantileRegression)
 }

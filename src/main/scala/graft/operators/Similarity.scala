@@ -1527,10 +1527,80 @@ object Similarity {
     }
   }
 
+  /** q341 — semantic-dedup threshold calibration: on a literal probe
+    * slice, the fraction of vector pairs at cosine ≥ τ that share a
+    * label, across a τ grid — the curve that turns q100's SemDeDup
+    * threshold from folklore into a measured choice (labels proxy
+    * "genuinely same content"; pick the smallest τ whose same-label
+    * precision clears the bar, because every τ notch lower deletes
+    * more data). Low precision across the WHOLE grid — as on this
+    * near-uniform synthetic corpus — is itself the finding: cosine
+    * alone cannot drive dedup here, and the pipeline must fall back
+    * to q31/q234's lexical families.
+    *
+    * Exactness: cosines are the shared left-associated chains,
+    * floored to milli BEFORE the τ compare (so the threshold test is
+    * an integer compare in both engines); counts and precision are
+    * integer ppm math; empty-τ rows are kept with NULL precision.
+    *
+    * Scale design (100 TB): the pair frame is a LITERAL slice
+    * (vec_id < 64 ⇒ ≤2016 pairs, broadcast); ONE pass computes each
+    * pair's cosine and label flag; the ×|τ| grid multiplies only the
+    * bounded pair frame. Output |τ| rows. */
+  val q341CosLabelCurve: QueryDef = {
+    val NP = 64
+    val taus = Seq(100L, 150L, 200L, 250L, 300L)
+    QueryDef(
+      "q341_cos_label_curve",
+      s"""WITH p AS (
+         |  SELECT vec_id, label, embedding AS v FROM embeddings
+         |  WHERE vec_id < $NP),
+         |pr AS (
+         |  SELECT CAST(floor(1e3 * ${cosSql("a.v", "b.v")}) AS BIGINT)
+         |      AS cos_milli,
+         |    CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same
+         |  FROM p a JOIN p b ON a.vec_id < b.vec_id),
+         |g AS (
+         |  SELECT CAST(tau AS BIGINT) AS tau_milli,
+         |    CAST(sum(CASE WHEN cos_milli >= tau THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN cos_milli >= tau THEN same ELSE 0 END)
+         |      AS BIGINT) AS n_same
+         |  FROM pr, unnest([${taus.mkString(", ")}]) AS t(tau)
+         |  GROUP BY 1)
+         |SELECT tau_milli, n_pairs, n_same,
+         |  CASE WHEN n_pairs > 0
+         |    THEN (1000000 * n_same) // n_pairs END AS precision_ppm
+         |FROM g ORDER BY tau_milli""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val p = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < NP)
+        .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      val a = broadcast(p.select(col("vec_id").as("ia"),
+        col("label").as("la"), col("v").as("va")))
+      val pr = a.join(p.select(col("vec_id").as("ib"),
+          col("label").as("lb"), col("v").as("vb")),
+          col("ia") < col("ib"))
+        .select(floor(lit(1e3) * cosCol("va", "vb")).cast("bigint")
+          .as("cos_milli"),
+          when(col("la") === col("lb"), 1L).otherwise(0L).as("same"))
+      pr.crossJoin(taus.toDF("tau"))
+        .groupBy(col("tau").as("tau_milli"))
+        .agg(sum(when(col("cos_milli") >= col("tau"), 1L).otherwise(0L))
+          .as("n_pairs"),
+          sum(when(col("cos_milli") >= col("tau"), col("same"))
+            .otherwise(0L)).as("n_same"))
+        .select(col("tau_milli"), col("n_pairs"), col("n_same"),
+          when(col("n_pairs") > 0,
+            expr("(1000000 * n_same) div n_pairs")).as("precision_ppm"))
+        .orderBy("tau_milli")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q40CosineTopk, q41KnnJoin, q42LshAnn, q43IvfCells, q44CosineExpr,
       q45Quantize, q73Pq, q82IvfSearch, q84SqlSurface, q145IvfMultiprobe,
       q147PqRecall, q154EmbeddingDrift, q166IvfNdcg, q176MmrRerank,
       q229Matryoshka, q273HardNegatives, q291LabelNoise, q298TwoNnId,
-      q310SignAnn, q311JlDistortion)
+      q310SignAnn, q311JlDistortion, q341CosLabelCurve)
 }
