@@ -2884,10 +2884,147 @@ object DataProfile {
     }
   }
 
+  /** q342 — exact two-sample energy distance (Székely & Rizzo 2004)
+    * between the BUILDING segment's order amounts and everyone
+    * else's: e = 2·E|X−Y| − E|X−X′| − E|Y−Y′| — the
+    * distribution-shift statistic that is zero iff the distributions
+    * are EQUAL (unlike W1/KS it is a proper metric sensitive to all
+    * moments, and it generalizes to vectors unchanged). The
+    * O(n·m) double sums collapse EXACTLY to prefix sums over the
+    * merged order statistics: Σ_j |x−y_j| = y_j(2c_j − n) + (T −
+    * 2s_j) with c_j/s_j the count/sum of x at or below y_j — so the
+    * whole statistic is one distributed prefix-sum pass, not a pair
+    * join.
+    *
+    * Exactness: amounts are half-up cents; the merged cumulative
+    * (count, sum) frames ride [[ScaleRank.withRunningSum]]
+    * (tie order is irrelevant — tie terms cancel in the identity);
+    * the three double-sum components are exact DECIMAL/HUGEINT
+    * integers, and only the final e emerges from ONE mirrored IEEE
+    * chain, floored to micro-cents.
+    *
+    * Scale design (100 TB): one (value, group) collapse, four
+    * grouped running sums over the collapsed frame (bounded per-task
+    * windows — no global sort, no pair join anywhere), a per-row
+    * O(1) contribution map, and three 1-row folds. Output 1 row. */
+  val q342EnergyDistance: QueryDef = {
+    // e_micro from exact integers (sxy, sxx, syy, nx, ny):
+    val eChain =
+      "CAST(floor(1e6 * (2e0 * CAST(sxy AS DOUBLE)" +
+        " / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))" +
+        " - CAST(sxx AS DOUBLE) / (CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE))" +
+        " - CAST(syy AS DOUBLE) / (CAST(ny AS DOUBLE) * CAST(ny AS DOUBLE)))" +
+        ") AS BIGINT)"
+    QueryDef(
+      "q342_energy_distance",
+      s"""WITH o AS (
+         |  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+         |    AS grp,
+         |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         |vc AS (
+         |  SELECT cents, grp, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(count(*) AS BIGINT) * cents AS csum
+         |  FROM o GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT cents, grp, cnt,
+         |    CAST(sum(CASE WHEN grp = 1 THEN cnt ELSE 0 END)
+         |      OVER (ORDER BY cents, grp) AS BIGINT) AS cx,
+         |    CAST(sum(CASE WHEN grp = 1 THEN csum ELSE 0 END)
+         |      OVER (ORDER BY cents, grp) AS HUGEINT) AS sx,
+         |    CAST(sum(CASE WHEN grp = 0 THEN cnt ELSE 0 END)
+         |      OVER (ORDER BY cents, grp) AS BIGINT) AS cy,
+         |    CAST(sum(CASE WHEN grp = 0 THEN csum ELSE 0 END)
+         |      OVER (ORDER BY cents, grp) AS HUGEINT) AS sy
+         |  FROM vc),
+         |tot AS (
+         |  SELECT CAST(sum(CASE WHEN grp = 1 THEN cnt ELSE 0 END) AS BIGINT)
+         |      AS nx,
+         |    CAST(sum(CASE WHEN grp = 1 THEN csum ELSE 0 END) AS HUGEINT)
+         |      AS tx,
+         |    CAST(sum(CASE WHEN grp = 0 THEN cnt ELSE 0 END) AS BIGINT)
+         |      AS ny,
+         |    CAST(sum(CASE WHEN grp = 0 THEN csum ELSE 0 END) AS HUGEINT)
+         |      AS ty
+         |  FROM vc),
+         |comp AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN grp = 0 THEN
+         |      cnt * (cents * (2 * cx - t.nx)) + cnt * (t.tx - 2 * sx)
+         |      ELSE 0 END) AS HUGEINT) AS sxy,
+         |    CAST(sum(CASE WHEN grp = 1 THEN
+         |      cnt * (cents * (2 * cx - t.nx)) + cnt * (t.tx - 2 * sx)
+         |      ELSE 0 END) AS HUGEINT) AS sxx,
+         |    CAST(sum(CASE WHEN grp = 0 THEN
+         |      cnt * (cents * (2 * cy - t.ny)) + cnt * (t.ty - 2 * sy)
+         |      ELSE 0 END) AS HUGEINT) AS syy
+         |  FROM cum, tot t)
+         |SELECT t.nx, t.ny, CAST(c.sxy AS BIGINT) AS sxy_cents,
+         |  CAST(c.sxx AS BIGINT) AS sxx_cents,
+         |  CAST(c.syy AS BIGINT) AS syy_cents,
+         |  ${eChain.replace("sxy", "c.sxy").replace("sxx", "c.sxx")
+            .replace("syy", "c.syy").replace("nx", "t.nx")
+            .replace("ny", "t.ny")} AS e_micro
+         |FROM comp c, tot t""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val o = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+          .as("grp"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      val vc = o.groupBy(col("cents"), col("grp"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("cents"), col("grp"), col("cnt"),
+          (col("cnt") * col("cents")).as("csum"))
+        .ckpt() // four running sums + totals read it
+      val sortKeys = Seq(col("cents"), col("grp"))
+      val c1 = ScaleRank.withRunningSum(vc, Seq.empty, sortKeys,
+        when(col("grp") === 1, col("cnt")).otherwise(lit(0L)), "cx")
+      val c2 = ScaleRank.withRunningSum(c1, Seq.empty, sortKeys,
+        when(col("grp") === 1, dec(col("csum"))).otherwise(lit(0)), "sx")
+      val c3 = ScaleRank.withRunningSum(c2, Seq.empty, sortKeys,
+        when(col("grp") === 0, col("cnt")).otherwise(lit(0L)), "cy")
+      val cum = ScaleRank.withRunningSum(c3, Seq.empty, sortKeys,
+        when(col("grp") === 0, dec(col("csum"))).otherwise(lit(0)), "sy")
+      val tot = vc.agg(
+        sum(when(col("grp") === 1, col("cnt")).otherwise(lit(0L)))
+          .cast("bigint").as("nx"),
+        sum(when(col("grp") === 1, dec(col("csum"))).otherwise(lit(0)))
+          .cast("decimal(38,0)").as("tx"),
+        sum(when(col("grp") === 0, col("cnt")).otherwise(lit(0L)))
+          .cast("bigint").as("ny"),
+        sum(when(col("grp") === 0, dec(col("csum"))).otherwise(lit(0)))
+          .cast("decimal(38,0)").as("ty"))
+      val comp = cum.crossJoin(broadcast(tot))
+        .agg(
+          sum(when(col("grp") === 0,
+            dec(col("cnt")) * (dec(col("cents")) * (lit(2) * col("cx")
+              - col("nx"))) + dec(col("cnt")) * (col("tx")
+              - lit(2) * col("sx"))).otherwise(lit(0)))
+            .cast("decimal(38,0)").as("sxy"),
+          sum(when(col("grp") === 1,
+            dec(col("cnt")) * (dec(col("cents")) * (lit(2) * col("cx")
+              - col("nx"))) + dec(col("cnt")) * (col("tx")
+              - lit(2) * col("sx"))).otherwise(lit(0)))
+            .cast("decimal(38,0)").as("sxx"),
+          sum(when(col("grp") === 0,
+            dec(col("cnt")) * (dec(col("cents")) * (lit(2) * col("cy")
+              - col("ny"))) + dec(col("cnt")) * (col("ty")
+              - lit(2) * col("sy"))).otherwise(lit(0)))
+            .cast("decimal(38,0)").as("syy"))
+      comp.crossJoin(broadcast(tot))
+        .select(col("nx"), col("ny"),
+          col("sxy").cast("bigint").as("sxy_cents"),
+          col("sxx").cast("bigint").as("sxx_cents"),
+          col("syy").cast("bigint").as("syy_cents"),
+          expr(eChain).as("e_micro"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q301Hbos, q313CovariateBalance, q317Wasserstein, q319Srm,
       q326CorrMatrix, q335SplitStratification, q336DkwBands,
-      q339LargestRemainder,
+      q339LargestRemainder, q342EnergyDistance,
       q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,
       q123ChisqIndependence, q127TrimmedStats, q129EquiDepth,
       q131Reconciliation, q136GapRanges, q143DriftTv, q172MadOutliers,

@@ -55,4 +55,29 @@ class Round7jSpec extends AnyFunSuite {
       else assert(r.isNullAt(r.fieldIndex("precision_ppm")))
     }
   }
+
+  test("q342 energy distance: brute-force pair replay confirms the prefix-sum identity") {
+    val r = run("q342_energy_distance").head
+    val o = graft.Tables.orders(spark, dir)
+      .join(graft.Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect()
+    val x = o.filter(_.getString(0) == "BUILDING").map(_.getLong(1))
+    val y = o.filter(_.getString(0) != "BUILDING").map(_.getLong(1))
+    assert(r.getAs[Long]("nx") == x.length && r.getAs[Long]("ny") == y.length)
+    def cross(a: Array[Long], b: Array[Long]): BigInt =
+      a.foldLeft(BigInt(0))((acc, av) =>
+        acc + b.foldLeft(BigInt(0))((in, bv) => in + BigInt((av - bv).abs)))
+    val (sxy, sxx, syy) = (cross(x, y), cross(x, x), cross(y, y))
+    assert(BigInt(r.getAs[Long]("sxy_cents")) == sxy)
+    assert(BigInt(r.getAs[Long]("sxx_cents")) == sxx)
+    assert(BigInt(r.getAs[Long]("syy_cents")) == syy)
+    val e = math.floor(1e6 * (2.0 * sxy.toDouble / (x.length.toDouble * y.length)
+      - sxx.toDouble / (x.length.toDouble * x.length)
+      - syy.toDouble / (y.length.toDouble * y.length))).toLong
+    assert(r.getAs[Long]("e_micro") == e)
+    assert(r.getAs[Long]("e_micro") >= 0, "energy distance is non-negative")
+  }
 }
