@@ -2728,8 +2728,103 @@ object EventOps {
     }
   }
 
+  /** q343 — A/B funnel comparison: the view → click → purchase
+    * presence funnel per arm of the hashed 'exp' user assignment
+    * (q319's coin verbatim), with the per-step two-proportion z
+    * statistic — the experiment readout that q57's single funnel and
+    * q165's single-metric test can't give: WHERE in the funnel did
+    * the treatment move users, and is the move outside noise at that
+    * step's sample size. Steps are user-presence based (did the user
+    * ever reach the event type), the assignment-stable funnel form.
+    *
+    * Exactness: reach flags and counts are exact integers; each
+    * step's conversion is a ppm floor-div from the PREVIOUS step's
+    * reach; z is ONE mirrored IEEE chain over exact counts, floored
+    * to milli (sign-portable).
+    *
+    * Scale design (100 TB): one partial-aggregable (user → 3 flags)
+    * collapse over the stream; everything after runs on a 2-arm ×
+    * 3-step bounded frame. Output 3 rows. */
+  val q343AbFunnel: QueryDef = {
+    val steps = Seq("view", "click", "purchase")
+    // two-proportion z on (ka of na) vs (kb of nb), milli
+    val z =
+      "CASE WHEN ka > 0 AND kb > 0 AND ka < na AND kb < nb THEN" +
+        " CAST(floor(1e3 * (CAST(ka AS DOUBLE) / CAST(na AS DOUBLE)" +
+        " - CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE))" +
+        " / sqrt((CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE))" +
+        " * (1e0 - CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE))" +
+        " * (1e0 / CAST(na AS DOUBLE) + 1e0 / CAST(nb AS DOUBLE))))" +
+        " AS BIGINT) END"
+    QueryDef(
+      "q343_ab_funnel",
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    ('0x' || substring(md5('exp' || user_id), 1, 15))::BIGINT % 2
+         |      AS arm,
+         |    ${steps.map(st =>
+             s"max(CASE WHEN event_type = '$st' THEN 1 ELSE 0 END) AS f_$st")
+             .mkString(",\n    ")}
+         |  FROM events GROUP BY 1, 2),
+         |a AS (
+         |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         |    ${steps.map(st =>
+             s"CAST(sum(f_$st) AS BIGINT) AS r_$st").mkString(",\n    ")}
+         |  FROM u GROUP BY arm),
+         |s AS (
+         |  ${steps.zipWithIndex.map { case (st, i) =>
+             val prev = if (i == 0) "n_users" else s"r_${steps(i - 1)}"
+             s"SELECT $i AS step, '$st' AS event_type, arm, $prev AS base," +
+               s" r_$st AS reach FROM a"
+           }.mkString("\n  UNION ALL ")}),
+         |w AS (
+         |  SELECT step, event_type,
+         |    max(CASE WHEN arm = 0 THEN reach END) AS ka,
+         |    max(CASE WHEN arm = 0 THEN base END) AS na,
+         |    max(CASE WHEN arm = 1 THEN reach END) AS kb,
+         |    max(CASE WHEN arm = 1 THEN base END) AS nb
+         |  FROM s GROUP BY 1, 2)
+         |SELECT CAST(step AS BIGINT) AS step, event_type, ka, na, kb, nb,
+         |  (1000000 * ka) // na AS conv_a_ppm,
+         |  (1000000 * kb) // nb AS conv_b_ppm,
+         |  $z AS z_milli
+         |FROM w ORDER BY step""".stripMargin) { (s, dir) =>
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          (conv(substring(md5(concat(lit("exp"),
+            col("user_id").cast("string"))), 1, 15), 16, 10).cast("bigint")
+            % 2).as("arm"))
+        .agg(max(when(col("event_type") === steps.head, 1L).otherwise(0L))
+          .as(s"f_${steps.head}"),
+          steps.tail.map(st =>
+            max(when(col("event_type") === st, 1L).otherwise(0L))
+              .as(s"f_$st")): _*)
+      val a = u.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          steps.map(st => sum(col(s"f_$st")).as(s"r_$st")): _*)
+      val sFrames = steps.zipWithIndex.map { case (st, i) =>
+        val prev = if (i == 0) col("n_users") else col(s"r_${steps(i - 1)}")
+        a.select(lit(i.toLong).as("step"), lit(st).as("event_type"),
+          col("arm"), prev.as("base"), col(s"r_$st").as("reach"))
+      }
+      val sAll = sFrames.reduce(_ unionByName _)
+      sAll.groupBy(col("step"), col("event_type"))
+        .agg(max(when(col("arm") === 0, col("reach"))).as("ka"),
+          max(when(col("arm") === 0, col("base"))).as("na"),
+          max(when(col("arm") === 1, col("reach"))).as("kb"),
+          max(when(col("arm") === 1, col("base"))).as("nb"))
+        .select(col("step"), col("event_type"), col("ka"), col("na"),
+          col("kb"), col("nb"),
+          expr("(1000000 * ka) div na").as("conv_a_ppm"),
+          expr("(1000000 * kb) div nb").as("conv_b_ppm"),
+          expr(z).as("z_milli"))
+        .orderBy("step")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q315CaptureRecapture, q316PowerAnalysis, q334TemporalLeakage, q338NbFit,
+    q343AbFunnel,
     q230Sprt, q236OffPolicy, q240Sax, q246MarkovAttribution,
     q251ShapleyAttribution,
     q196SchemaDrift, q199SessionEntropy, q219SloBurn, q220Stickiness,

@@ -327,7 +327,97 @@ object Retrieval {
       .orderBy("tok")
   }
 
+  /** q344 — trigram-index selectivity audit (the pg_trgm planning
+    * model): for a literal battery of substring patterns, the
+    * trigram-postings UPPER BOUND on matching documents (a doc can
+    * only contain the pattern if it contains EVERY pattern trigram —
+    * estimate = |∩ postings|, the exact index-intersection count)
+    * next to the true `LIKE '%p%'` match count — the
+    * selectivity-model audit that decides whether a substring
+    * predicate should drive an index scan or a full scan, and whose
+    * estimate/actual ratio calibrates the planner's cost model
+    * (q268's selectivity audit for equality predicates, extended to
+    * substring search).
+    *
+    * Exactness: postings and intersections are exact distinct
+    * counts; ratios are ppm floor-divs with a zero-actual guard
+    * (every pattern in the battery carries >= 1 trigram).
+    *
+    * Scale design (100 TB): the trigram postings explode ONCE
+    * (native `char_ngrams`, distinct (doc, gram)); the ≤|patterns|·k
+    * pattern-gram frame is BROADCAST into it, and the intersection
+    * is a counting equi-join (docs matching ALL k grams of a
+    * pattern = groups with k gram hits); the truth pass is one
+    * corpus scan of codegen'd `contains`. Output |patterns| rows. */
+  val q344TrgmSelectivity: QueryDef = {
+    val pats = Seq("the table", "spark", "window win", "zzzq")
+    QueryDef(
+      "q344_trgm_selectivity",
+      s"""WITH pats AS (
+         |  SELECT * FROM (VALUES ${pats.map(p => s"('$p')").mkString(", ")})
+         |    AS t(pat)),
+         |pg AS (
+         |  SELECT pat, substr(pat, CAST(i AS INT), 3) AS g
+         |  FROM pats, unnest(range(1, len(pat) - 1)) AS r(i)
+         |  WHERE len(pat) >= 3),
+         |pgd AS (SELECT DISTINCT pat, g FROM pg),
+         |pk AS (SELECT pat, CAST(count(*) AS BIGINT) AS k FROM pgd
+         |       GROUP BY pat),
+         |post AS (
+         |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+         |  FROM documents, unnest(range(1, len(text) - 1)) AS r(i)
+         |  WHERE len(text) >= 3),
+         |hits AS (
+         |  SELECT p.pat, post.doc_id, CAST(count(*) AS BIGINT) AS h
+         |  FROM pgd p JOIN post ON p.g = post.g
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT pk.pat, CAST(count(h.doc_id) AS BIGINT) AS est_docs
+         |  FROM pk LEFT JOIN hits h ON h.pat = pk.pat AND h.h = pk.k
+         |  GROUP BY 1),
+         |act AS (
+         |  SELECT p.pat, CAST(count(CASE WHEN d.text LIKE '%' || p.pat || '%'
+         |    THEN 1 END) AS BIGINT) AS true_docs
+         |  FROM pats p, documents d GROUP BY 1)
+         |SELECT a.pat, e.est_docs, a.true_docs,
+         |  CASE WHEN a.true_docs > 0
+         |    THEN (1000000 * e.est_docs) // a.true_docs END AS overest_ppm
+         |FROM act a JOIN est e ON a.pat = e.pat
+         |ORDER BY a.pat""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val patsDf = pats.toDF("pat")
+      val pgd = broadcast(patsDf
+        .filter(length(col("pat")) >= 3)
+        .select(col("pat"), explode(expr("char_ngrams(pat, 3)")).as("g"))
+        .distinct())
+      val pk = broadcast(pgd.groupBy(col("pat")).agg(count(lit(1)).as("k")))
+      val post = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // single-file scan -> use every core
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), explode(expr("char_ngrams(text, 3)")).as("g"))
+        .distinct()
+      val hits = pgd.join(post, Seq("g"))
+        .groupBy(col("pat"), col("doc_id")).agg(count(lit(1)).as("h"))
+      val est = pk
+        .join(hits.select(col("pat").as("hp"), col("doc_id"), col("h")),
+          col("pat") === col("hp") && col("h") === col("k"), "left")
+        .groupBy(col("pat")).agg(count(col("doc_id")).as("est_docs"))
+      val act = Tables.documents(s, dir)
+        .crossJoin(broadcast(patsDf))
+        .groupBy(col("pat"))
+        .agg(sum(when(col("text").contains(col("pat")), 1L).otherwise(0L))
+          .as("true_docs"))
+      act.join(est.select(col("pat").as("ep"), col("est_docs")),
+          col("pat") === col("ep"))
+        .select(col("pat"), col("est_docs"), col("true_docs"),
+          when(col("true_docs") > 0,
+            expr("(1000000 * est_docs) div true_docs")).as("overest_ppm"))
+        .orderBy("pat")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q70Bm25, q103InvertedIndex, q117PhraseIndex, q160HybridRrf,
-      q248PostingsCompression)
+      q248PostingsCompression, q344TrgmSelectivity)
 }
