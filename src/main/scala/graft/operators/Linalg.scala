@@ -3,7 +3,7 @@ package graft.operators
 import graft.CkptOps
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -411,13 +411,14 @@ object Linalg {
     * pinball terms p·(r−b) / (p−1000)·(r−b) are integer milli,
     * summed in DECIMAL; argmin ties break on slope.
     *
-    * Scale design (100 TB): ONE ×9 map-side expand feeds a
-    * partial-aggregable (slope, residual) collapse — the only
-    * data-sized exchange; cumulative counts ride
-    * [[ScaleRank.withRowNumber]]'s running-sum sibling GROUPED by
-    * slope (bounded per-task windows); rank lookups and the loss
-    * fold run on the collapsed frame; the final argmin is a window
-    * over 9·|p| rows. Output |p| rows. */
+    * Scale design (100 TB): the ×9 expand is map-side; cumulative
+    * counts ride [[ScaleRank.withRunningSum]] GROUPED by slope over
+    * the RAW residual rows (cent-exact prices are near-distinct, so
+    * a pre-collapse would shuffle the same volume for no
+    * compression) — that one range exchange is the rank path's only
+    * shuffle; the loss fold is a map-side broadcast join + partial
+    * aggregate; the final argmin is a window over 9·|p| rows.
+    * Output |p| rows. */
   val q340QuantileRegression: QueryDef = {
     val slopes = (-4 to 4).map(_ * 10000L) // cents per quantity unit
     val ps = Seq(500L, 900L)
@@ -463,32 +464,40 @@ object Linalg {
       val f = Tables.lineitem(s, dir)
         .select(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("x"),
           expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("y"))
-      val vc = f
+      // residuals are near-distinct (cent-exact prices), so a (m, r)
+      // pre-collapse would shuffle ~9·|rows| for no compression —
+      // feed RAW rows into the running count: ONE range shuffle is
+      // the only exchange on the rank path (7.1 s -> 3.4 s at sf0.1)
+      def resid(df: DataFrame): DataFrame = df
         .select(col("x"), col("y"),
           explode(array(slopes.map(lit): _*)).as("m"))
         .select(col("m"), (col("y") - col("m") * col("x")).as("r"))
-        .groupBy(col("m"), col("r")).agg(count(lit(1)).as("cnt"))
-        .ckpt() // feeds cum, the rank lookup AND the loss fold
-      val cum = ScaleRank.withRunningSum(vc, Seq("m"), Seq(col("r")),
-          col("cnt"), "cum")
+      val cum = ScaleRank.withRunningSum(resid(f), Seq("m"), Seq(col("r")),
+          lit(1L), "cum")
         .select(col("m"), col("r"), col("cum").cast("bigint").as("cum"))
+        .ckpt() // one ranged pass feeds BOTH the rank lookup and the loss
       val nn = f.agg(count(lit(1)).as("n"))
       val tgt = broadcast(nn
         .crossJoin(slopes.toDF("m"))
         .crossJoin(ps.toDF("p"))
         .select(col("m"), col("p"),
           expr("1 + ((n - 1) * p) div 1000").as("rk")))
+      // over RAW unit increments the running count hits EVERY integer,
+      // so "min r with cum >= rk" degenerates to the single row with
+      // cum = rk — an equi join (the >= form nested-loops ~|rows|·|tgt|
+      // comparisons and materializes the whole upper tail: 6.3 s;
+      // the equi form is 3 s)
       val icept = broadcast(tgt
         .join(cum.select(col("m"), col("r"), col("cum")),
-          tgt("m") === cum("m") && col("cum") >= col("rk"))
+          tgt("m") === cum("m") && col("cum") === col("rk"))
         .groupBy(tgt("m").as("im"), col("p"))
         .agg(min(col("r")).as("b")))
-      val loss = vc
+      val loss = cum
         .join(icept, col("m") === col("im"))
         .groupBy(col("m"), col("p"), col("b"))
-        .agg(sum((col("cnt") * when(col("r") - col("b") >= 0,
+        .agg(sum(when(col("r") - col("b") >= 0,
           col("p") * (col("r") - col("b")))
-          .otherwise((col("p") - 1000) * (col("r") - col("b"))))
+          .otherwise((col("p") - 1000) * (col("r") - col("b")))
           .cast("decimal(38,0)")).as("l"))
       val w = Window.partitionBy(col("p")).orderBy(col("l"), col("m"))
       loss.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
