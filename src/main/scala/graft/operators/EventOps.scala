@@ -2822,9 +2822,79 @@ object EventOps {
     }
   }
 
+  /** q347 — token-bucket rate-limit audit: replay every user's event
+    * stream against a leaky bucket (capacity 5 tokens, refill 1 per
+    * 6 h — a daily-quota-class limit matched to this feed's event
+    * density so the violation path is exercised) and report the top
+    * offenders by violation count — the
+    * abuse/rate-limit screen an API gateway runs offline to tune its
+    * production limiter. The sequential bucket recursion
+    * L_i = max(0, L_{i-1} + 1 − r·Δt) has the EXACT closed form
+    * L_i = (i+1) − r·t_i + max_{j≤i}(r·t_j − j) (max-plus algebra
+    * linearization), so the per-user replay is one running max —
+    * no stateful scan, no driver loop.
+    *
+    * Exactness: with the refill period P in exact micros, the
+    * violation test cross-multiplies to pure int64:
+    * (i+1)·P − t_i + max_j(t_j − j·P) > cap·P, evaluated with the
+    * per-user running max over (t_j − j·P) — every quantity exact.
+    * Event-order ties break on event_id inside the per-user window.
+    *
+    * Scale design (100 TB): ONE window pass PARTITIONED by user
+    * (row_number + inclusive running max), then a per-user
+    * partial-aggregable violation count; the leaderboard is a
+    * TakeOrdered heap. Output 15 rows. */
+  val q347TokenBucket: QueryDef = {
+    val P = 21600000000L // refill period: 6h in micros
+    val CAP = 5L
+    QueryDef(
+      "q347_token_bucket",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id,
+         |    CAST(epoch_us(ts) AS BIGINT) AS t,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) - 1 AS i
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id, event_id, t, i,
+         |    max(t - i * $P) OVER (PARTITION BY user_id
+         |      ORDER BY i ROWS UNBOUNDED PRECEDING) AS mx
+         |  FROM e),
+         |v AS (
+         |  SELECT user_id,
+         |    CAST(count(*) AS BIGINT) AS n_events,
+         |    CAST(sum(CASE WHEN (i + 1) * $P - t + mx > $CAP * $P
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+         |  FROM m GROUP BY user_id)
+         |SELECT user_id, n_events, n_violations,
+         |  (1000000 * n_violations) // n_events AS viol_ppm
+         |FROM v WHERE n_violations > 0
+         |ORDER BY n_violations DESC, user_id LIMIT 15""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("t"))
+        .withColumn("i", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("t"), col("event_id"))) - 1)
+      val wMax = Window.partitionBy(col("user_id")).orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val m = e.withColumn("mx",
+        max(col("t") - col("i") * P).over(wMax))
+      m.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when((col("i") + 1) * P - col("t") + col("mx") > CAP * P, 1L)
+            .otherwise(0L)).as("n_violations"))
+        .filter(col("n_violations") > 0)
+        .select(col("user_id"), col("n_events"), col("n_violations"),
+          expr("(1000000 * n_violations) div n_events").as("viol_ppm"))
+        .orderBy(col("n_violations").desc, col("user_id"))
+        .limit(15)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q315CaptureRecapture, q316PowerAnalysis, q334TemporalLeakage, q338NbFit,
-    q343AbFunnel,
+    q343AbFunnel, q347TokenBucket,
     q230Sprt, q236OffPolicy, q240Sax, q246MarkovAttribution,
     q251ShapleyAttribution,
     q196SchemaDrift, q199SessionEntropy, q219SloBurn, q220Stickiness,

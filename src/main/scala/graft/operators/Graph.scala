@@ -944,8 +944,78 @@ object Graph {
     }
   }
 
+  /** q346 — clustering spectrum C(k): the mean local clustering
+    * coefficient of co-purchase nodes at each degree, cc(v) =
+    * 2·T(v)/(deg(v)·(deg(v)−1)) — the curve whose ~k⁻¹ decay is the
+    * standard hierarchical-modularity signature (Ravasz–Barabási
+    * 2003); flat-and-low means the graph is locally tree-like and
+    * q104's global triangle count came from a few dense pockets.
+    * Together with q323 (assortativity) and q324 (rich club) this
+    * completes the three classic structure curves over the SAME
+    * memoized edge list.
+    *
+    * Exactness: per-node triangle counts come from the q104
+    * lexicographic enumeration (each triangle credited to its three
+    * corners exactly once); cc is floored to ppm PER NODE (integer
+    * cross-multiplied), then averaged as an integer floor-div per
+    * degree bucket.
+    *
+    * Scale design (100 TB): rides the MEMOIZED checkpointed edge
+    * list; the wedge join + closing join are the q104 equi-join
+    * shapes; the per-node credit explode is 3 rows per triangle;
+    * degrees collapse partial-aggregably. Output ≤ max-degree
+    * rows. */
+  val q346ClusteringSpectrum: QueryDef = {
+    val MIN_PAIR = 2
+    QueryDef(
+      "q346_clustering_spectrum",
+      s"""WITH ${edgeCte(MIN_PAIR)},
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b2 AS y, e2.b2 AS z
+         |  FROM e0 e1 JOIN e0 e2 ON e1.b2 = e2.a
+         |  JOIN e0 e3 ON e3.a = e1.a AND e3.b2 = e2.b2),
+         |tn AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+         |    SELECT x AS node FROM tri
+         |    UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri)
+         |  GROUP BY node),
+         |d AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |      FROM ed GROUP BY src),
+         |cc AS (
+         |  SELECT d.node, d.deg,
+         |    (2000000 * coalesce(tn.t, 0)) // (d.deg * (d.deg - 1)) AS cc_ppm
+         |  FROM d LEFT JOIN tn ON d.node = tn.node
+         |  WHERE d.deg >= 2)
+         |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(cc_ppm) AS BIGINT) // count(*) AS avg_cc_ppm
+         |FROM cc GROUP BY deg ORDER BY deg""".stripMargin) { (s, dir) =>
+      val e0 = coPurchaseEdges(s, dir, MIN_PAIR)
+      val tri = e0.select(col("a").as("x"), col("b2").as("y"))
+        .join(e0.select(col("a").as("y"), col("b2").as("z")), Seq("y"))
+        .join(e0.select(col("a").as("x"), col("b2").as("z")), Seq("x", "z"))
+      val tn = tri.select(col("x").as("node"))
+        .unionByName(tri.select(col("y").as("node")))
+        .unionByName(tri.select(col("z").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("t"))
+      val ed = e0.select(col("a").as("node"))
+        .unionByName(e0.select(col("b2").as("node")))
+      val d = ed.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      d.filter(col("deg") >= 2)
+        .join(tn, Seq("node"), "left")
+        .select(col("deg"),
+          expr("(2000000 * coalesce(t, 0)) div (deg * (deg - 1))")
+            .as("cc_ppm"))
+        .groupBy(col("deg"))
+        .agg(count(lit(1)).as("n_nodes"),
+          expr("CAST(sum(cc_ppm) AS BIGINT) div count(*)").as("avg_cc_ppm"))
+        .orderBy("deg")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q104Triangles, q132BomExplosion, q150KcorePeel, q155LinkPredict,
       q260WlRefinement, q275HubRobustness, q284Boruvka, q302BfsHops,
-      q323Assortativity, q324RichClub, q325PartitionQuality)
+      q323Assortativity, q324RichClub, q325PartitionQuality,
+      q346ClusteringSpectrum)
 }

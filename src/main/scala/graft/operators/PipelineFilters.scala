@@ -450,6 +450,164 @@ object PipelineFilters {
     }
   }
 
+  /** q345 — optimal 0/1 source selection vs the greedy prefix: the
+    * exact dynamic-programming knapsack over the 20 sources (value =
+    * admitted docs, weight = admitted tokens in percent units of the
+    * corpus) evaluated at budgets of 20/40/60 units, next to q330's
+    * quality-ordered greedy prefix at the same budgets — the
+    * optimality-gap report that says whether the cheap greedy mix
+    * planner is leaving value on the table (gap = 0 certifies it; a
+    * persistent gap justifies running the DP for real). The DP state
+    * is the classic best-value-per-budget frontier, advanced one
+    * source at a time.
+    *
+    * Exactness: values, weights, and every DP cell are exact
+    * integers; source order is lexicographic; the greedy is the
+    * take-while-it-fits PREFIX rule (stated — true greedy-with-skip
+    * is sequential and belongs to the DP side of this comparison).
+    *
+    * Scale design (100 TB): the per-source stats are q306's one-scan
+    * shape; the |sources|-row item frame is then fetched to the
+    * driver to SEQUENCE the DP loop (the adjudicated bounded-frame
+    * collect class — the loop ORDER is inherently sequential; the
+    * data volume is the source domain, not the corpus), and the DP
+    * itself runs on a 101-row budget frame × |sources| bounded
+    * self-joins with lineage cut every 5 rounds (the q284
+    * checkpoint-budget lesson). Output 3 rows. */
+  val q345KnapsackMix: QueryDef = {
+    val W = 100 // weight grid: percent of total admitted tokens
+    val budgets = Seq(20L, 40L, 60L)
+    QueryDef(
+      "q345_knapsack_mix",
+      {
+        // oracle: unrolled DP — one MATERIALIZED CTE per item
+        val dpCtes = (1 to 20).map { k =>
+          s"""dp$k AS MATERIALIZED (
+             |  SELECT d.w,
+             |    greatest(d.best, CASE WHEN i.wu <= d.w
+             |      THEN coalesce(p.best, 0) + i.v ELSE d.best END) AS best
+             |  FROM dp${k - 1} d
+             |  JOIN (SELECT wu, v FROM items WHERE rk = $k) i ON true
+             |  LEFT JOIN dp${k - 1} p ON p.w = d.w - i.wu)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH m AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chr,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |      t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+           |      AS n_stop
+           |  FROM documents),
+           |tw AS (
+           |  SELECT doc_id, max(c) AS topw FROM (
+           |    SELECT doc_id, x, CAST(count(*) AS BIGINT) AS c
+           |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS x
+           |          FROM documents) GROUP BY 1, 2) GROUP BY doc_id),
+           |f AS (
+           |  SELECT m.source, m.n_tok,
+           |    CASE WHEN m.n_tok >= $MIN_TOK AND m.n_tok <= $MAX_TOK
+           |      AND (1000 * m.n_chr) // m.n_tok >= $MIN_MWL
+           |      AND (1000 * m.n_chr) // m.n_tok <= $MAX_MWL
+           |      AND m.n_stop >= $MIN_STOP
+           |      AND (1000000 * tw.topw) // m.n_tok <= $MAX_TOPW_PPM
+           |      THEN 1 ELSE 0 END AS pass
+           |  FROM m JOIN tw ON m.doc_id = tw.doc_id),
+           |src AS (
+           |  SELECT source, CAST(sum(pass) AS BIGINT) AS v,
+           |    CAST(sum(pass * n_tok) AS BIGINT) AS adm
+           |  FROM f GROUP BY source),
+           |tot AS (SELECT CAST(sum(adm) AS BIGINT) AS t FROM src),
+           |items AS (
+           |  SELECT source, v, greatest(1, ($W * adm) // t.t) AS wu,
+           |    row_number() OVER (ORDER BY source) AS rk,
+           |    (1000000 * v) // greatest(1, ($W * adm) // t.t) AS density
+           |  FROM src, tot t),
+           |dp0 AS (
+           |  SELECT CAST(unnest(range(0, ${W + 1})) AS BIGINT) AS w,
+           |    CAST(0 AS BIGINT) AS best),
+           |$dpCtes,
+           |gr AS (
+           |  SELECT i.*, CAST(coalesce(sum(wu) OVER (
+           |      ORDER BY density DESC, source
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+           |      AS BIGINT) AS cumw
+           |  FROM items i),
+           |bud AS (SELECT CAST(unnest([${budgets.mkString(", ")}]) AS BIGINT)
+           |        AS b),
+           |greedy AS (
+           |  SELECT bud.b, CAST(coalesce(sum(CASE WHEN gr.cumw <= bud.b
+           |    THEN gr.v ELSE 0 END), 0) AS BIGINT) AS greedy_value
+           |  FROM bud, gr GROUP BY bud.b)
+           |SELECT g.b AS budget_units, d.best AS dp_value, g.greedy_value,
+           |  d.best - g.greedy_value AS gap
+           |FROM greedy g JOIN dp20 d ON d.w = g.b
+           |ORDER BY g.b""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val toks = split(col("text"), " ")
+      val docs = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // single-file scan -> use every core
+      val m = docs.select(
+        col("doc_id"), col("source"),
+        size(toks).cast("bigint").as("n_tok"),
+        length(regexp_replace(col("text"), " ", "")).cast("bigint")
+          .as("n_chr"),
+        size(filter(toks, t => t.isInCollection(stopwords))).cast("bigint")
+          .as("n_stop"))
+      val tw = docs
+        .select(col("doc_id"), explode(toks).as("x"))
+        .groupBy(col("doc_id"), col("x")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("topw"))
+      val f = m.join(tw, Seq("doc_id"))
+        .select(col("source"), col("n_tok"),
+          when(col("n_tok") >= MIN_TOK && col("n_tok") <= MAX_TOK &&
+            expr("(1000 * n_chr) div n_tok") >= MIN_MWL &&
+            expr("(1000 * n_chr) div n_tok") <= MAX_MWL &&
+            col("n_stop") >= MIN_STOP &&
+            expr("(1000000 * topw) div n_tok") <= MAX_TOPW_PPM,
+            1L).otherwise(0L).as("pass"))
+      val src = f.groupBy(col("source"))
+        .agg(sum(col("pass")).as("v"),
+          sum(col("pass") * col("n_tok")).as("adm"))
+      val tot = src.agg(sum(col("adm")).cast("bigint").as("t"))
+      val wItems = Window.orderBy(col("source"))
+      val items = src.crossJoin(broadcast(tot))
+        .select(col("source"), col("v"),
+          greatest(lit(1L), expr(s"($W * adm) div t")).as("wu"))
+        .withColumn("rk", row_number().over(wItems))
+        .withColumn("density", expr("(1000000 * v) div wu"))
+        .ckpt() // 20 rows; the DP loop and the greedy both read it
+      // DP frontier: 101 budget rows advanced once per source
+      val itemRows = items.select(col("rk"), col("wu"), col("v"))
+        .collect().sortBy(_.getAs[Int]("rk"))
+      var dp = s.range(0, W + 1).select(col("id").as("w"),
+        lit(0L).as("best"))
+      for ((it, idx) <- itemRows.zipWithIndex) {
+        val (wu, v) = (it.getAs[Long]("wu"), it.getAs[Long]("v"))
+        val shifted = dp.select((col("w") + wu).as("w"),
+          (col("best") + v).as("cand"))
+        dp = dp.join(shifted, Seq("w"), "left")
+          .select(col("w"),
+            greatest(col("best"), coalesce(col("cand"), lit(0L)))
+              .as("best"))
+        if (idx % 5 == 4) dp = dp.ckpt() // bounded lineage (q284 lesson)
+      }
+      val wGreedy = Window.orderBy(col("density").desc, col("source"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val gr = items.withColumn("cumw",
+        coalesce(sum(col("wu")).over(wGreedy), lit(0L)).cast("bigint"))
+      val bud = budgets.toDF("b")
+      val greedy = broadcast(bud).crossJoin(gr)
+        .groupBy(col("b"))
+        .agg(coalesce(sum(when(col("cumw") <= col("b"), col("v"))
+          .otherwise(lit(0L))), lit(0L)).cast("bigint").as("greedy_value"))
+      greedy.join(dp.select(col("w"), col("best")), col("w") === col("b"))
+        .select(col("b").as("budget_units"), col("best").as("dp_value"),
+          col("greedy_value"), (col("best") - col("greedy_value")).as("gap"))
+        .orderBy("budget_units")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q306GopherRules, q307DsirWeights, q309JmGrid,
-    q330TokenBudget)
+    q330TokenBudget, q345KnapsackMix)
 }

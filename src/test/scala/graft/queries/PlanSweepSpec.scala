@@ -257,5 +257,11 @@ object PlanSweepAllowlist {
         "bounded, below a groupBy)"),
     ("q339_largest_remainder", "rem",
       "remainder rank runs over the |nations| aggregate frame " +
-        "(nation-domain bounded, below a groupBy)"))
+        "(nation-domain bounded, below a groupBy)"),
+    ("q345_knapsack_mix", "source",
+      "item ranking runs over the |sources| aggregate frame " +
+        "(source-domain bounded, below a groupBy)"),
+    ("q345_knapsack_mix", "density",
+      "greedy fill runs over the |sources| aggregate frame " +
+        "(source-domain bounded, below a groupBy)"))
 }
