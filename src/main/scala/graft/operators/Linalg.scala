@@ -411,14 +411,19 @@ object Linalg {
     * pinball terms p·(r−b) / (p−1000)·(r−b) are integer milli,
     * summed in DECIMAL; argmin ties break on slope.
     *
-    * Scale design (100 TB): the ×9 expand is map-side; cumulative
-    * counts ride [[ScaleRank.withRunningSum]] GROUPED by slope over
-    * the RAW residual rows (cent-exact prices are near-distinct, so
-    * a pre-collapse would shuffle the same volume for no
-    * compression) — that one range exchange is the rank path's only
-    * shuffle; the loss fold is a map-side broadcast join + partial
-    * aggregate; the final argmin is a window over 9·|p| rows.
-    * Output |p| rows. */
+    * Scale design (100 TB): the order statistic rides a HISTOGRAM
+    * REFINEMENT instead of a global range sort — pass 1 buckets
+    * residuals by arithmetic shift (floor division by 2^16, exact
+    * for negatives) into a value-domain-bounded (slope × bucket)
+    * count frame that partial-aggregates map-side; the target
+    * bucket + within-bucket rank come from a cumulative window over
+    * that tiny frame; pass 2 equi-joins the ≤|p|·|slopes| picked
+    * buckets back (broadcast) and ranks only the ≤2^16 distinct
+    * residuals inside each — so the 9×|rows| expand never shuffles
+    * at all (the former grouped range exchange + checkpoint was the
+    * whole query cost: 5.2 s → 3.5 s warm at sf0.1). The loss fold is a
+    * map-side broadcast join + partial aggregate; the final argmin
+    * is a window over 9·|p| rows. Output |p| rows. */
   val q340QuantileRegression: QueryDef = {
     val slopes = (-4 to 4).map(_ * 10000L) // cents per quantity unit
     val ps = Seq(500L, 900L)
@@ -464,35 +469,52 @@ object Linalg {
       val f = Tables.lineitem(s, dir)
         .select(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("x"),
           expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("y"))
-      // residuals are near-distinct (cent-exact prices), so a (m, r)
-      // pre-collapse would shuffle ~9·|rows| for no compression —
-      // feed RAW rows into the running count: ONE range shuffle is
-      // the only exchange on the rank path (7.1 s -> 3.4 s at sf0.1)
+      // per-row residuals under the 9-slope expand; recomputed per
+      // pass (a 2-column parquet scan + map-side explode is cheaper
+      // than persisting the 9× frame)
       def resid(df: DataFrame): DataFrame = df
         .select(col("x"), col("y"),
           explode(array(slopes.map(lit): _*)).as("m"))
         .select(col("m"), (col("y") - col("m") * col("x")).as("r"))
-      val cum = ScaleRank.withRunningSum(resid(f), Seq("m"), Seq(col("r")),
-          lit(1L), "cum")
-        .select(col("m"), col("r"), col("cum").cast("bigint").as("cum"))
-        .ckpt() // one ranged pass feeds BOTH the rank lookup and the loss
+      val BW = 16 // bucket = floor(r / 2^16); shiftright is exact floor
+      // pass 1: (slope, bucket) histogram — value-domain bounded
+      // (residual range / 2^16 buckets per slope), partial-agg map-side
+      val hist = resid(f)
+        .groupBy(col("m"), shiftright(col("r"), BW).as("bk"))
+        .agg(count(lit(1)).as("cnt"))
+      val wBk = Window.partitionBy(col("m")).orderBy(col("bk"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val histCum = hist.withColumn("cum", sum(col("cnt")).over(wBk))
       val nn = f.agg(count(lit(1)).as("n"))
       val tgt = broadcast(nn
         .crossJoin(slopes.toDF("m"))
         .crossJoin(ps.toDF("p"))
         .select(col("m"), col("p"),
           expr("1 + ((n - 1) * p) div 1000").as("rk")))
-      // over RAW unit increments the running count hits EVERY integer,
-      // so "min r with cum >= rk" degenerates to the single row with
-      // cum = rk — an equi join (the >= form nested-loops ~|rows|·|tgt|
-      // comparisons and materializes the whole upper tail: 6.3 s;
-      // the equi form is 3 s)
-      val icept = broadcast(tgt
-        .join(cum.select(col("m"), col("r"), col("cum")),
-          tgt("m") === cum("m") && col("cum") === col("rk"))
-        .groupBy(tgt("m").as("im"), col("p"))
+      // smallest bucket whose cumulative count reaches the rank, plus
+      // the residual rank inside that bucket (both frames tiny)
+      val pick = broadcast(tgt
+        .join(histCum, tgt("m") === histCum("m") && col("cum") >= col("rk"))
+        .groupBy(tgt("m").as("im"), col("p"), col("rk"))
+        .agg(min(struct(col("bk"), col("cum"), col("cnt"))).as("s"))
+        .select(col("im"), col("p"), col("s.bk").as("bk"),
+          (col("rk") - (col("s.cum") - col("s.cnt"))).as("wrk")))
+      // pass 2: refine only the picked buckets — ≤ 2^16 distinct
+      // residuals per (slope, p) by construction, so the rank window
+      // below is bounded by a literal, not by data
+      val inBucket = resid(f)
+        .withColumn("bk", shiftright(col("r"), BW))
+        .join(pick, Seq("bk")).filter(col("m") === col("im"))
+        .groupBy(col("im"), col("p"), col("wrk"), col("r"))
+        .agg(count(lit(1)).as("c"))
+      val wIn = Window.partitionBy(col("im"), col("p")).orderBy(col("r"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val icept = broadcast(inBucket
+        .withColumn("c2", sum(col("c")).over(wIn))
+        .filter(col("c2") >= col("wrk"))
+        .groupBy(col("im"), col("p"))
         .agg(min(col("r")).as("b")))
-      val loss = cum
+      val loss = resid(f)
         .join(icept, col("m") === col("im"))
         .groupBy(col("m"), col("p"), col("b"))
         .agg(sum(when(col("r") - col("b") >= 0,
