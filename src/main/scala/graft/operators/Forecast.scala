@@ -538,7 +538,123 @@ object Forecast {
       .limit(15)
   }
 
+  /** q349 — variance-time curve and Hurst exponent of event traffic
+    * (the aggregated-variance method, Leland et al. '94 "On the
+    * Self-Similar Nature of Ethernet Traffic"): block the per-minute
+    * arrival counts at dyadic scales m ∈ {1..256} minutes, compute
+    * the population variance of block sums AT EACH SCALE (zero
+    * blocks included — dropping empty minutes biases the curve), and
+    * fit ln Var(m) against ln m. For Poisson-like traffic the slope
+    * is 1 (H = 0.5); slope → 2 means long-range dependence — burst
+    * structure that invalidates every "independent arrivals" capacity
+    * assumption downstream (q200 measures burstiness at ONE scale;
+    * this is the whole spectrum plus the LRD verdict).
+    *
+    * Exactness: block sums are exact integers; empty blocks enter
+    * through the closed-form axis count nt = hi//m − lo//m + 1, so
+    * Σv and Σv² over NONZERO blocks plus nt give the exact population
+    * variance. Σv² accumulates in DECIMAL(38,0)/HUGEINT (v² overflows
+    * int64 past ~3·10⁹ events per block). var_micro, the per-scale
+    * micro-nat log points, and the final slope ride shared all-DOUBLE
+    * SQL chains (q286/q348 contract); the 9-point OLS sums are exact
+    * BIGINT (micro-nat products ≤ ~10¹⁵).
+    *
+    * Scale design (100 TB): ONE corpus pass collapses events to the
+    * per-minute count frame (partial-aggregable; the axis is bounded
+    * by the time span, not data volume); the 9× dyadic expand, block
+    * aggregation, variance, and OLS all run on that bounded axis. The
+    * fit frame is ≤9 rows, crossJoined back broadcast. Output 9
+    * rows. */
+  val q349VarianceTime: QueryDef = {
+    val scales = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L)
+    val varMicro = "CASE WHEN nt = 0 THEN NULL ELSE " +
+      "CAST(floor((1000000.0 * (CAST(nt AS DOUBLE) * CAST(s2 AS DOUBLE) - " +
+      "CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) / " +
+      "(CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))) AS BIGINT) END"
+    val den = "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    val num = "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    val slopePpm = s"CASE WHEN $den = 0.0 THEN NULL ELSE " +
+      s"CAST(floor((1000000.0 * ($num)) / ($den)) AS BIGINT) END"
+    val hurstPpm = s"CASE WHEN $den = 0.0 THEN NULL ELSE " +
+      s"CAST(floor((500000.0 * ($num)) / ($den)) AS BIGINT) END"
+    QueryDef(
+      "q349_variance_time",
+      s"""WITH base AS (
+         |  SELECT epoch_us(ts) // 60000000 AS mn,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         |bounds AS (SELECT min(mn) AS lo, max(mn) AS hi FROM base),
+         |blocks AS (
+         |  SELECT sc.m, base.mn // sc.m AS blk, CAST(sum(base.c) AS BIGINT) AS v
+         |  FROM base, (SELECT CAST(unnest([${scales.mkString(", ")}])
+         |              AS BIGINT) AS m) sc
+         |  GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT b.m, CAST(count(*) AS BIGINT) AS nz_blocks,
+         |    CAST(sum(v) AS BIGINT) AS s1,
+         |    sum(CAST(v AS HUGEINT) * v) AS s2,
+         |    (SELECT hi FROM bounds) // b.m
+         |      - (SELECT lo FROM bounds) // b.m + 1 AS nt
+         |  FROM blocks b GROUP BY 1),
+         |vv AS (
+         |  SELECT m, nt, nz_blocks, $varMicro AS var_micro FROM agg),
+         |fp AS (
+         |  SELECT CAST(floor(1000000.0 * ln(CAST(m AS DOUBLE))) AS BIGINT)
+         |      AS fx,
+         |    CAST(floor(1000000.0 * ln(CAST(var_micro AS DOUBLE))) AS BIGINT)
+         |      AS fy
+         |  FROM vv WHERE var_micro > 0),
+         |fit AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(fx) AS BIGINT) AS sx, CAST(sum(fy) AS BIGINT) AS sy,
+         |    CAST(sum(fx * fy) AS BIGINT) AS sxy,
+         |    CAST(sum(fx * fx) AS BIGINT) AS sxx
+         |  FROM fp)
+         |SELECT vv.m, CAST(vv.nt AS BIGINT) AS n_blocks, vv.nz_blocks,
+         |  vv.var_micro, fit.n AS n_fit,
+         |  $slopePpm AS slope_ppm, $hurstPpm AS hurst_ppm
+         |FROM vv, fit ORDER BY vv.m""".stripMargin) { (s, dir) =>
+      val base = Tables.events(s, dir)
+        .groupBy(expr("unix_micros(ts) div 60000000").as("mn"))
+        .agg(count(lit(1)).as("c"))
+        .ckpt() // one fact collapse feeds blocks AND bounds
+      val bounds = broadcast(base.agg(min(col("mn")).as("lo"),
+        max(col("mn")).as("hi")))
+      val blocks = base
+        .select(col("mn"), col("c"),
+          explode(array(scales.map(lit): _*)).as("m"))
+        .groupBy(col("m"), expr("mn div m").as("blk"))
+        .agg(sum(col("c")).as("v"))
+      val agg = blocks.groupBy(col("m"))
+        .agg(count(lit(1)).as("nz_blocks"),
+          sum(col("v")).as("s1"),
+          sum(col("v").cast("decimal(19,0)") * col("v")).as("s2"))
+        .crossJoin(bounds)
+        .withColumn("nt", expr("hi div m - lo div m + 1"))
+      val vv = agg.select(col("m"), col("nt"), col("nz_blocks"),
+        expr(varMicro).as("var_micro"))
+      val fit = broadcast(vv.filter(col("var_micro") > 0)
+        .select(
+          expr("CAST(floor(1000000.0 * ln(CAST(m AS DOUBLE))) AS BIGINT)")
+            .as("fx"),
+          expr("CAST(floor(1000000.0 * ln(CAST(var_micro AS DOUBLE))) " +
+            "AS BIGINT)").as("fy"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("fx")).as("sx"), sum(col("fy")).as("sy"),
+          sum(col("fx") * col("fy")).as("sxy"),
+          sum(col("fx") * col("fx")).as("sxx")))
+      vv.crossJoin(fit)
+        .select(col("m"), col("nt").cast("bigint").as("n_blocks"),
+          col("nz_blocks"), col("var_micro"), col("n").as("n_fit"),
+          expr(slopePpm).as("slope_ppm"), expr(hurstPpm).as("hurst_ppm"))
+        .orderBy("m")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail,
-      q245Changepoint, q261SeasonalDecomp, q290SeasonalAnomaly)
+      q245Changepoint, q261SeasonalDecomp, q290SeasonalAnomaly,
+      q349VarianceTime)
 }

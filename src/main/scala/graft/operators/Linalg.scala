@@ -529,6 +529,138 @@ object Linalg {
     }
   }
 
+  /** q348 — RANSAC consensus line fit (Fischler & Bolles '81) of
+    * price vs quantity: 16 candidate lines, each through an
+    * md5-chosen pair of lineitem rows, scored by how many raw rows
+    * fall within a ±$3000 vertical band of the line; every candidate
+    * then gets an exact least-squares refit over ITS OWN inlier set.
+    * The consensus ranking is the robust complement to q187's
+    * Theil–Sen (which medians pairwise slopes over a bounded axis)
+    * and q124's OLS (breakdown point 0%): here the model is voted on
+    * by the raw corpus, so a minority of wild part-price regimes
+    * cannot move the winner.
+    *
+    * Determinism: the "random" sample is the 32 rows with the
+    * smallest md5(orderkey|linenumber) prefix (the q36 portable-RNG
+    * contract), paired consecutively in hash order; degenerate pairs
+    * (x1 = x2, vertical line) are dropped. Inlier test is pure
+    * integer: |(y−y1)(x2−x1) − (y2−y1)(x−x1)| ≤ TOL·|x2−x1| — the
+    * vertical-residual form, every product < 2³² · 2³⁰ so int64 is
+    * safe. Refit slope/intercept ride ONE shared SQL chain on
+    * all-DOUBLE casts of the exact conditional sums (the q286
+    * contract: both engines parse the identical string, so
+    * cross-engine agreement is by construction); a zero variance
+    * denominator yields NULL.
+    *
+    * Scale design (100 TB): seeding is TakeOrdered (per-partition
+    * heaps, 32 rows out) + a 32-row single-partition window; the
+    * candidate table (≤16 rows) broadcasts into ONE corpus pass that
+    * computes consensus counts AND all five refit sums per candidate
+    * as conditional aggregates — map-side partial, 16× row expand
+    * only inside the projection, no shuffle of expanded rows. Output
+    * ≤16 rows. Sums accumulate in DECIMAL(38,0) (int64 would
+    * overflow Σxy at production volume). */
+  val q348RansacConsensus: QueryDef = {
+    val TOL = 300000L // vertical tolerance, cents ($3000)
+    // inlier predicate over a candidate (x1,y1,x2,y2) and point (x,y)
+    def inl(px: String, py: String): String =
+      s"abs(($py - y1) * (x2 - x1) - (y2 - y1) * ($px - x1)) " +
+        s"<= $TOL * abs(x2 - x1)"
+    // shared IEEE refit chains on the exact aggregates (n,sx,sy,sxy,sxx)
+    val denom = "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    val num = "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    val lsSlope = s"CASE WHEN $denom = 0.0 THEN NULL ELSE " +
+      s"CAST(floor((1000.0 * ($num)) / ($denom)) AS BIGINT) END"
+    val lsIcept = s"CASE WHEN $denom = 0.0 THEN NULL ELSE " +
+      s"CAST(floor((CAST(sy AS DOUBLE) - (($num) / ($denom)) * " +
+      s"CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT) END"
+    QueryDef(
+      "q348_ransac_consensus",
+      s"""WITH pts AS (
+         |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+         |    CAST(l_orderkey AS VARCHAR) || '|'
+         |      || CAST(l_linenumber AS VARCHAR) AS k
+         |  FROM lineitem),
+         |seed AS (
+         |  SELECT x, y, row_number() OVER (ORDER BY
+         |      ('0x' || substring(md5(k), 1, 15))::BIGINT, k, x, y) AS rn
+         |  FROM pts
+         |  ORDER BY ('0x' || substring(md5(k), 1, 15))::BIGINT, k, x, y
+         |  LIMIT 32),
+         |cand AS (
+         |  SELECT CAST((rn + 1) // 2 AS BIGINT) AS cand,
+         |    CAST(max(CASE WHEN rn % 2 = 1 THEN x END) AS BIGINT) AS x1,
+         |    CAST(max(CASE WHEN rn % 2 = 1 THEN y END) AS BIGINT) AS y1,
+         |    CAST(max(CASE WHEN rn % 2 = 0 THEN x END) AS BIGINT) AS x2,
+         |    CAST(max(CASE WHEN rn % 2 = 0 THEN y END) AS BIGINT) AS y2
+         |  FROM seed GROUP BY 1
+         |  HAVING max(CASE WHEN rn % 2 = 1 THEN x END)
+         |      <> max(CASE WHEN rn % 2 = 0 THEN x END)),
+         |cons AS (
+         |  SELECT c.cand, c.x1, c.y1, c.x2, c.y2,
+         |    CAST(floor((1000.0 * (c.y2 - c.y1)) / (c.x2 - c.x1)) AS BIGINT)
+         |      AS pair_slope_milli,
+         |    CAST(sum(CASE WHEN ${inl("p.x", "p.y")} THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n,
+         |    sum(CASE WHEN ${inl("p.x", "p.y")} THEN p.x END) AS sx,
+         |    sum(CASE WHEN ${inl("p.x", "p.y")} THEN p.y END) AS sy,
+         |    sum(CASE WHEN ${inl("p.x", "p.y")} THEN p.x * p.y END) AS sxy,
+         |    sum(CASE WHEN ${inl("p.x", "p.y")} THEN p.x * p.x END) AS sxx,
+         |    CAST(count(*) AS BIGINT) AS n_total
+         |  FROM cand c, pts p GROUP BY 1, 2, 3, 4, 5, 6)
+         |SELECT cand, x1, y1, x2, y2, pair_slope_milli, n AS n_inliers,
+         |  (1000000 * n) // n_total AS inlier_ppm,
+         |  $lsSlope AS ls_slope_milli,
+         |  $lsIcept AS ls_icept_cents
+         |FROM cons ORDER BY n_inliers DESC, cand""".stripMargin) { (s, dir) =>
+      val pts = Tables.lineitem(s, dir).select(
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("x"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("y"),
+        expr("concat(CAST(l_orderkey AS STRING), '|', " +
+          "CAST(l_linenumber AS STRING))").as("k"))
+      val hashed = pts.withColumn("h",
+        expr("CAST(conv(substring(md5(k), 1, 15), 16, 10) AS BIGINT)"))
+      // TakeOrdered slice, then a 32-row single-partition window —
+      // the q112/q130 adjudicated shape
+      // (orderkey, linenumber) is NOT unique in the driver testdata —
+      // x, y join the tiebreak so hash-tied rows order identically in
+      // both engines
+      val seed = hashed.orderBy(col("h"), col("k"), col("x"), col("y"))
+        .limit(32)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("h"), col("k"), col("x"), col("y"))))
+      val cand = broadcast(seed
+        .groupBy(expr("CAST((rn + 1) div 2 AS BIGINT)").as("cand"))
+        .agg(max(when(col("rn") % 2 === 1, col("x"))).as("x1"),
+          max(when(col("rn") % 2 === 1, col("y"))).as("y1"),
+          max(when(col("rn") % 2 === 0, col("x"))).as("x2"),
+          max(when(col("rn") % 2 === 0, col("y"))).as("y2"))
+        .filter(col("x1") =!= col("x2")))
+      val isInl = expr(inl("x", "y"))
+      val cons = pts.crossJoin(cand)
+        .groupBy(col("cand"), col("x1"), col("y1"), col("x2"), col("y2"))
+        .agg(
+          sum(when(isInl, 1L).otherwise(0L)).cast("bigint").as("n"),
+          sum(when(isInl, col("x")).cast("decimal(38,0)")).as("sx"),
+          sum(when(isInl, col("y")).cast("decimal(38,0)")).as("sy"),
+          sum(when(isInl, col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum(when(isInl, col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          count(lit(1)).as("n_total"))
+      cons.select(col("cand"), col("x1"), col("y1"), col("x2"), col("y2"),
+        expr("CAST(floor((1000.0 * (y2 - y1)) / (x2 - x1)) AS BIGINT)")
+          .as("pair_slope_milli"),
+        col("n").as("n_inliers"),
+        expr("(1000000 * n) div n_total").as("inlier_ppm"),
+        expr(lsSlope).as("ls_slope_milli"),
+        expr(lsIcept).as("ls_icept_cents"))
+        .orderBy(col("n_inliers").desc, col("cand"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q122Spmm, q124GroupRegression, q169PcaPower,
-    q283Elasticity, q312EffectiveRank, q340QuantileRegression)
+    q283Elasticity, q312EffectiveRank, q340QuantileRegression,
+    q348RansacConsensus)
 }

@@ -263,5 +263,8 @@ object PlanSweepAllowlist {
         "(source-domain bounded, below a groupBy)"),
     ("q345_knapsack_mix", "density",
       "greedy fill runs over the |sources| aggregate frame " +
-        "(source-domain bounded, below a groupBy)"))
+        "(source-domain bounded, below a groupBy)"),
+    ("q348_ransac_consensus", "^h#",
+      "seed pairing window runs over the TakeOrdered 32-row md5 slice " +
+        "(literal k — the q112/q130 shape)"))
 }
