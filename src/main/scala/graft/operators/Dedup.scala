@@ -1568,7 +1568,185 @@ object Dedup {
     }
   }
 
+  /** q351 — Fellegi–Sunter probabilistic record linkage (Fellegi &
+    * Sunter '69) with two unrolled EM rounds (Winkler '88): a "dirty"
+    * twin of every customer is derived with md5-portable corruption
+    * coins (name truncated 20%, balance shifted 30%, segment
+    * clobbered 10%); candidate pairs come from nation blocking; each
+    * pair reduces to a 3-bit agreement pattern (name, balance-cents,
+    * segment), and EM estimates the match prevalence p and the
+    * per-field m/u probabilities FROM THE PATTERN COUNTS ALONE — no
+    * labels. Output: the 8 patterns with pair counts, the round-2
+    * match posterior, and the FS log₂ likelihood-ratio weight — the
+    * classic entity-resolution decision table (q111 fuzzy-matches,
+    * q244 merges survivors; this supplies the PRINCIPLED threshold).
+    *
+    * Exactness: the corpus-scale work ends at the 8-row pattern-count
+    * frame (exact integers). Every EM quantity is quantized to
+    * integer nano units between rounds — per-pattern posteriors
+    * floor(10⁹·w) BIGINT, M-step sums in DECIMAL(38,0)/HUGEINT
+    * (order-free), parameter ratios through shared all-DOUBLE SQL
+    * chains (q286/q348 contract) — so both engines walk the identical
+    * EM trajectory bit-for-bit. Degenerate masses (zero match or
+    * unmatch weight) pin to 0 via CASE guards; the FS weight is NULL
+    * when either conditional likelihood is 0.
+    *
+    * Scale design (100 TB): blocking bounds the pair space (per-block
+    * quadratic is the linkage trade the operator makes explicit — the
+    * blocking key is config); the pattern collapse is one
+    * partial-aggregable pass over pairs; the checkpointed 8-row frame
+    * feeds both EM rounds and the output, so pairs materialize ONCE;
+    * both rounds are crossJoins against broadcast 1-row parameter
+    * frames. Output ≤8 rows. */
+  val q351FellegiSunter: QueryDef = {
+    // portable corruption coin on the customer key
+    def coinSql(salt: String) =
+      s"('0x' || substring(md5('$salt' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 100"
+    def coinSpark(salt: String) =
+      s"CAST(conv(substring(md5(concat('$salt', CAST(c_custkey AS STRING))), " +
+        s"1, 15), 16, 10) AS BIGINT) % 100"
+    // EM weight chain over columns (g1,g2,g3, p,m1,m2,m3,u1,u2,u3)
+    def prod(c: String) =
+      s"(CASE WHEN g1 = 1 THEN CAST(${c}1 AS DOUBLE) / 1e9 " +
+        s"ELSE 1.0 - CAST(${c}1 AS DOUBLE) / 1e9 END) * " +
+        s"(CASE WHEN g2 = 1 THEN CAST(${c}2 AS DOUBLE) / 1e9 " +
+        s"ELSE 1.0 - CAST(${c}2 AS DOUBLE) / 1e9 END) * " +
+        s"(CASE WHEN g3 = 1 THEN CAST(${c}3 AS DOUBLE) / 1e9 " +
+        s"ELSE 1.0 - CAST(${c}3 AS DOUBLE) / 1e9 END)"
+    val aLik = s"(CAST(p AS DOUBLE) / 1e9) * (${prod("m")})"
+    val bLik = s"(1.0 - CAST(p AS DOUBLE) / 1e9) * (${prod("u")})"
+    val wn = s"CASE WHEN ($aLik) + ($bLik) = 0.0 THEN 0 ELSE " +
+      s"CAST(floor(1000000000.0 * (($aLik) / (($aLik) + ($bLik)))) " +
+      s"AS BIGINT) END"
+    // M-step ratios over the summed columns
+    val pN = "CASE WHEN scnt = 0 THEN 0 ELSE " +
+      "CAST(floor(CAST(sw AS DOUBLE) / CAST(scnt AS DOUBLE)) AS BIGINT) END"
+    def mN(i: Int) = s"CASE WHEN CAST(sw AS DOUBLE) = 0.0 THEN 0 ELSE " +
+      s"CAST(floor(1000000000.0 * CAST(sg$i AS DOUBLE) / " +
+      s"CAST(sw AS DOUBLE)) AS BIGINT) END"
+    def uN(i: Int) = s"CASE WHEN CAST(vw AS DOUBLE) = 0.0 THEN 0 ELSE " +
+      s"CAST(floor(1000000000.0 * CAST(vg$i AS DOUBLE) / " +
+      s"CAST(vw AS DOUBLE)) AS BIGINT) END"
+    val fsMilli = s"CASE WHEN (${prod("m")}) > 0.0 AND (${prod("u")}) > 0.0 " +
+      s"THEN CAST(floor(1000.0 * (ln(${prod("m")}) - ln(${prod("u")})) / " +
+      s"ln(2.0)) AS BIGINT) ELSE NULL END"
+    // round CTE pair (duck side): weights then sums then params
+    def roundSql(prev: String, t: Int) =
+      s"""r${t}w AS (
+         |  SELECT pc.*, $wn AS wn FROM pc, $prev),
+         |r${t}s AS (
+         |  SELECT sum(CAST(wn AS HUGEINT) * cnt) AS sw,
+         |    sum(CAST(wn AS HUGEINT) * cnt * g1) AS sg1,
+         |    sum(CAST(wn AS HUGEINT) * cnt * g2) AS sg2,
+         |    sum(CAST(wn AS HUGEINT) * cnt * g3) AS sg3,
+         |    sum(CAST(1000000000 - wn AS HUGEINT) * cnt) AS vw,
+         |    sum(CAST(1000000000 - wn AS HUGEINT) * cnt * g1) AS vg1,
+         |    sum(CAST(1000000000 - wn AS HUGEINT) * cnt * g2) AS vg2,
+         |    sum(CAST(1000000000 - wn AS HUGEINT) * cnt * g3) AS vg3,
+         |    CAST(sum(cnt) AS BIGINT) AS scnt
+         |  FROM r${t}w),
+         |p$t AS (
+         |  SELECT $pN AS p, ${mN(1)} AS m1, ${mN(2)} AS m2, ${mN(3)} AS m3,
+         |    ${uN(1)} AS u1, ${uN(2)} AS u2, ${uN(3)} AS u3
+         |  FROM r${t}s)""".stripMargin
+    QueryDef(
+      "q351_fellegi_sunter",
+      s"""WITH twin AS (
+         |  SELECT c_custkey AS tkey, c_nationkey AS tnat,
+         |    CASE WHEN ${coinSql("fsn")} < 20
+         |      THEN substring(c_name, 1, length(c_name) - 1)
+         |      ELSE c_name END AS name2,
+         |    CASE WHEN ${coinSql("fsb")} < 30
+         |      THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100
+         |      ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS bal2,
+         |    CASE WHEN ${coinSql("fss")} < 10
+         |      THEN 'CORRUPTED' ELSE c_mktsegment END AS seg2
+         |  FROM customer),
+         |pc AS (
+         |  SELECT CAST(CASE WHEN a.c_name = t.name2 THEN 1 ELSE 0 END
+         |      AS BIGINT) AS g1,
+         |    CAST(CASE WHEN CAST(floor(a.c_acctbal * 100 + 0.5) AS BIGINT)
+         |        = t.bal2 THEN 1 ELSE 0 END AS BIGINT) AS g2,
+         |    CAST(CASE WHEN a.c_mktsegment = t.seg2 THEN 1 ELSE 0 END
+         |      AS BIGINT) AS g3,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM customer a JOIN twin t ON a.c_nationkey = t.tnat
+         |  GROUP BY 1, 2, 3),
+         |p0 AS (
+         |  SELECT CAST(100000000 AS BIGINT) AS p,
+         |    CAST(900000000 AS BIGINT) AS m1, CAST(900000000 AS BIGINT) AS m2,
+         |    CAST(900000000 AS BIGINT) AS m3,
+         |    CAST(100000000 AS BIGINT) AS u1, CAST(100000000 AS BIGINT) AS u2,
+         |    CAST(100000000 AS BIGINT) AS u3),
+         |${roundSql("p0", 1)},
+         |${roundSql("p1", 2)}
+         |SELECT pc.g1, pc.g2, pc.g3, pc.cnt AS n_pairs, $wn AS w_nano,
+         |  $fsMilli AS fs_milli,
+         |  p AS p_nano, m1 AS m1_nano, m2 AS m2_nano, m3 AS m3_nano,
+         |  u1 AS u1_nano, u2 AS u2_nano, u3 AS u3_nano
+         |FROM pc, p2 ORDER BY pc.g1, pc.g2, pc.g3""".stripMargin) { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val twin = cust.select(col("c_custkey").as("tkey"),
+        col("c_nationkey").as("tnat"),
+        expr(s"CASE WHEN ${coinSpark("fsn")} < 20 " +
+          "THEN substring(c_name, 1, length(c_name) - 1) " +
+          "ELSE c_name END").as("name2"),
+        expr(s"CASE WHEN ${coinSpark("fsb")} < 30 " +
+          "THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100 " +
+          "ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END").as("bal2"),
+        expr(s"CASE WHEN ${coinSpark("fss")} < 10 " +
+          "THEN 'CORRUPTED' ELSE c_mktsegment END").as("seg2"))
+      val pc = cust.join(twin, col("c_nationkey") === col("tnat"))
+        .groupBy(
+          expr("CAST(CASE WHEN c_name = name2 THEN 1 ELSE 0 END AS BIGINT)")
+            .as("g1"),
+          expr("CAST(CASE WHEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) " +
+            "= bal2 THEN 1 ELSE 0 END AS BIGINT)").as("g2"),
+          expr("CAST(CASE WHEN c_mktsegment = seg2 THEN 1 ELSE 0 END " +
+            "AS BIGINT)").as("g3"))
+        .agg(count(lit(1)).as("cnt"))
+        .ckpt() // pairs materialize once; both EM rounds ride this frame
+      val p0 = s.range(1).select(
+        lit(100000000L).as("p"),
+        lit(900000000L).as("m1"), lit(900000000L).as("m2"),
+        lit(900000000L).as("m3"),
+        lit(100000000L).as("u1"), lit(100000000L).as("u2"),
+        lit(100000000L).as("u3"))
+      def emRound(params: DataFrame): DataFrame =
+        pc.crossJoin(broadcast(params))
+          .select(col("g1"), col("g2"), col("g3"), col("cnt"),
+            expr(wn).as("wn"))
+          .agg(
+            expr("sum(CAST(wn AS DECIMAL(19,0)) * cnt)").as("sw"),
+            expr("sum(CAST(wn AS DECIMAL(19,0)) * cnt * g1)").as("sg1"),
+            expr("sum(CAST(wn AS DECIMAL(19,0)) * cnt * g2)").as("sg2"),
+            expr("sum(CAST(wn AS DECIMAL(19,0)) * cnt * g3)").as("sg3"),
+            expr("sum(CAST(1000000000 - wn AS DECIMAL(19,0)) * cnt)").as("vw"),
+            expr("sum(CAST(1000000000 - wn AS DECIMAL(19,0)) * cnt * g1)")
+              .as("vg1"),
+            expr("sum(CAST(1000000000 - wn AS DECIMAL(19,0)) * cnt * g2)")
+              .as("vg2"),
+            expr("sum(CAST(1000000000 - wn AS DECIMAL(19,0)) * cnt * g3)")
+              .as("vg3"),
+            expr("CAST(sum(cnt) AS BIGINT)").as("scnt"))
+          .select(expr(pN).as("p"),
+            expr(mN(1)).as("m1"), expr(mN(2)).as("m2"), expr(mN(3)).as("m3"),
+            expr(uN(1)).as("u1"), expr(uN(2)).as("u2"), expr(uN(3)).as("u3"))
+      val p2 = emRound(emRound(p0))
+      pc.crossJoin(broadcast(p2))
+        .select(col("g1"), col("g2"), col("g3"), col("cnt").as("n_pairs"),
+          expr(wn).as("w_nano"), expr(fsMilli).as("fs_milli"),
+          col("p").as("p_nano"),
+          col("m1").as("m1_nano"), col("m2").as("m2_nano"),
+          col("m3").as("m3_nano"),
+          col("u1").as("u1_nano"), col("u2").as("u2_nano"),
+          col("u3").as("u3_nano"))
+        .orderBy("g1", "g2", "g3")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q351FellegiSunter,
     q244GoldenRecord, q333SimhashRadius,
     q30ExactDedup, q31Minhash, q32LshPairs, q33Simhash,
     q34NgramJaccard, q35EmbeddingNeardup, q37DupClusters, q38DedupPipeline,

@@ -2910,8 +2910,102 @@ object TextAnalysis {
     }
   }
 
+  /** q350 — RAKE keyword extraction (Rose et al. 2010, "Automatic
+    * Keyword Extraction from Individual Documents"): candidate
+    * phrases are maximal stopword-free word runs (capped at 4 words,
+    * the published default); each word scores degree/frequency where
+    * degree sums the lengths of every phrase the word instance
+    * appears in; a phrase scores the sum of its member-word scores.
+    * Top-20 corpus keywords, score-descending. Complements q108
+    * (PMI collocations — association strength) and q197 (keyness —
+    * corpus contrast): RAKE ranks multi-word CANDIDATE PHRASES by
+    * within-phrase co-occurrence structure, the classic cheap
+    * keyword-list pass before expensive embedding-based labeling.
+    *
+    * Exactness: phrase segmentation is the gaps-and-islands identity
+    * (position − dense rank among non-stopwords); word scores are
+    * (10⁶·deg) div freq on non-negative integers; phrase scores are
+    * integer sums — every number exact, and a phrase's score is a
+    * pure function of corpus word stats, so duplicate occurrences
+    * agree by construction (pinned via min() = the value).
+    *
+    * Scale design (100 TB): islands ride a PER-DOC window (doc count
+    * unbounded, rows per doc bounded); phrase assembly is one
+    * (doc, island) aggregate with an in-row sort — no self-join: the
+    * member list explodes back out of the same aggregate; word stats
+    * collapse to vocabulary grain (partial-aggregable); the score
+    * join is equi on word (vocabulary can exceed broadcast at corpus
+    * scale, so it shuffles — deliberately no broadcast hint); the
+    * final top-20 is TakeOrdered. */
+  val q350RakeKeywords: QueryDef = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val stopSql = stop.map(w => s"'$w'").mkString(", ")
+    QueryDef(
+      "q350_rake_keywords",
+      s"""WITH w AS (
+         |  SELECT doc_id, i, ws[i] AS w,
+         |    CASE WHEN ws[i] IN ($stopSql) THEN 1 ELSE 0 END AS stop
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |    unnest(range(1, len(ws) + 1)) AS t(i)),
+         |nw AS (
+         |  SELECT doc_id, i, w,
+         |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+         |  FROM w WHERE stop = 0),
+         |ph AS (
+         |  SELECT doc_id, island,
+         |    string_agg(w, ' ' ORDER BY i) AS phrase,
+         |    list(w ORDER BY i) AS wlist,
+         |    CAST(count(*) AS BIGINT) AS n_words
+         |  FROM nw GROUP BY 1, 2 HAVING count(*) <= 4),
+         |member AS (
+         |  SELECT doc_id, island, phrase, n_words, unnest(wlist) AS w FROM ph),
+         |wscore AS (
+         |  SELECT w, (1000000 * CAST(sum(n_words) AS BIGINT))
+         |      // CAST(count(*) AS BIGINT) AS score_ppm
+         |  FROM member GROUP BY 1),
+         |pscore AS (
+         |  SELECT m.phrase, m.n_words, m.doc_id, m.island,
+         |    CAST(sum(ws.score_ppm) AS BIGINT) AS score_ppm
+         |  FROM member m JOIN wscore ws ON m.w = ws.w
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT phrase, n_words, CAST(count(*) AS BIGINT) AS n_occ,
+         |  min(score_ppm) AS score_ppm
+         |FROM pscore GROUP BY 1, 2
+         |ORDER BY score_ppm DESC, phrase LIMIT 20""".stripMargin) { (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // single-file scan -> use every core
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("i0", "w")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("w"))
+        .withColumn("stop",
+          col("w").isin(stop.map(x => x: Any): _*).cast("int"))
+      val nw = words.filter(col("stop") === 0)
+        .withColumn("island", col("i") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+      val ph = nw.groupBy(col("doc_id"), col("island"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, w))), " +
+          "x -> x.w)").as("wlist"),
+          count(lit(1)).as("n_words"))
+        .filter(col("n_words") <= 4)
+        .withColumn("phrase", concat_ws(" ", col("wlist")))
+      val member = ph.select(col("doc_id"), col("island"), col("phrase"),
+        col("n_words"), explode(col("wlist")).as("w"))
+      val wscore = member.groupBy(col("w"))
+        .agg(expr("(1000000 * CAST(sum(n_words) AS BIGINT)) " +
+          "div count(*)").as("score_ppm"))
+      val pscore = member.join(wscore, Seq("w"))
+        .groupBy(col("phrase"), col("n_words"), col("doc_id"), col("island"))
+        .agg(sum(col("score_ppm")).cast("bigint").as("score_ppm"))
+      pscore.groupBy(col("phrase"), col("n_words"))
+        .agg(count(lit(1)).as("n_occ"), min(col("score_ppm")).as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("phrase"))
+        .limit(20)
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q295YulesK, q320SourceNovelty, q321CharEntropy,
+    Seq(q350RakeKeywords,
+      q295YulesK, q320SourceNovelty, q321CharEntropy,
       q337HashCollisionCurve,
       q232LooInfluence, q243FeatureHashing, q254MaxCoverage, q264McNemar,
       q267BurrowsDelta, q276QuantileNorm, q278Datasheet, q280OtsuThreshold,

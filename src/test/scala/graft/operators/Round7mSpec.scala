@@ -118,4 +118,126 @@ class Round7mSpec extends AnyFunSuite {
     // (0, 2]·1e6 for any counting process
     assert(slope > 0 && slope <= 2000000L, s"slope_ppm $slope")
   }
+
+  test("q350 RAKE: driver replay of segmentation, scoring, ranking") {
+    val rows = run("q350_rake_keywords")
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    // phrases: maximal stopword-free runs, capped at 4 words
+    val phrases = docs.flatMap { case (d, t) =>
+      val runs = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var cur = List.empty[String]
+      for (w <- t.split(" ")) {
+        if (stop(w)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur = w :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs.filter(_.length <= 4).map(ws => (d, ws))
+    }
+    val freq = phrases.flatMap(_._2).groupBy(identity).map {
+      case (w, xs) => w -> xs.length.toLong
+    }
+    val deg = phrases.flatMap { case (_, ws) =>
+      ws.map(w => w -> ws.length.toLong)
+    }.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    val wscore = freq.map { case (w, f) => w -> 1000000L * deg(w) / f }
+    val expected = phrases
+      .map { case (_, ws) => (ws.mkString(" "), ws.length.toLong,
+        ws.map(wscore).sum) }
+      .groupBy(p => (p._1, p._2, p._3))
+      .map { case ((p, nw, sc), xs) => (p, nw, xs.length.toLong, sc) }
+      .toSeq.sortBy(t => (-t._4, t._1)).take(rows.length)
+    val got = rows.map(r => (r.getAs[String]("phrase"),
+      r.getAs[Long]("n_words"), r.getAs[Long]("n_occ"),
+      r.getAs[Long]("score_ppm"))).toSeq
+    assert(got == expected)
+  }
+
+  test("q351 Fellegi-Sunter: driver EM replay, posterior sanity") {
+    val rows = run("q351_fellegi_sunter")
+    assert(rows.length <= 8 && rows.nonEmpty)
+    // pattern counts replay with the same md5 coins
+    val cust = graft.Tables.customer(spark, dir).selectExpr(
+      "c_custkey", "c_nationkey", "c_name",
+      "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal",
+      "c_mktsegment",
+      "CAST(conv(substring(md5(concat('fsn', CAST(c_custkey AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100 AS cn",
+      "CAST(conv(substring(md5(concat('fsb', CAST(c_custkey AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100 AS cb",
+      "CAST(conv(substring(md5(concat('fss', CAST(c_custkey AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100 AS cs")
+      .collect().map(r => (r.getAs[Number]("c_custkey").longValue,
+        r.getAs[Number]("c_nationkey").longValue, r.getAs[String]("c_name"),
+        r.getAs[Long]("bal"), r.getAs[String]("c_mktsegment"),
+        r.getAs[Long]("cn"), r.getAs[Long]("cb"), r.getAs[Long]("cs")))
+    val twins = cust.map { case (k, nat, name, bal, seg, cn, cb, cs) =>
+      (nat, if (cn < 20) name.dropRight(1) else name,
+        if (cb < 30) bal + 100 else bal,
+        if (cs < 10) "CORRUPTED" else seg)
+    }
+    val byNat = twins.groupBy(_._1)
+    val counts = scala.collection.mutable.Map[(Int, Int, Int), Long]()
+      .withDefaultValue(0L)
+    for ((_, nat, name, bal, seg, _, _, _) <- cust;
+         (_, n2, b2, s2) <- byNat.getOrElse(nat, Array.empty[(Long, String, Long, String)])) {
+      val g = (if (name == n2) 1 else 0, if (bal == b2) 1 else 0,
+        if (seg == s2) 1 else 0)
+      counts(g) += 1L
+    }
+    val got = rows.map(r => (r.getAs[Long]("g1").toInt,
+      r.getAs[Long]("g2").toInt, r.getAs[Long]("g3").toInt) ->
+      r.getAs[Long]("n_pairs")).toMap
+    assert(got == counts.toMap, "pattern counts")
+    // EM replay in nano-int arithmetic, exactly as the shared chains
+    var p = 100000000L
+    var m = Array(900000000L, 900000000L, 900000000L)
+    var u = Array(100000000L, 100000000L, 100000000L)
+    def weight(g: (Int, Int, Int)): Long = {
+      val gs = Array(g._1, g._2, g._3)
+      var a = p.toDouble / 1e9; var b = 1.0 - p.toDouble / 1e9
+      for (i <- 0 until 3) {
+        a *= (if (gs(i) == 1) m(i).toDouble / 1e9 else 1.0 - m(i).toDouble / 1e9)
+        b *= (if (gs(i) == 1) u(i).toDouble / 1e9 else 1.0 - u(i).toDouble / 1e9)
+      }
+      if (a + b == 0.0) 0L else math.floor(1e9 * (a / (a + b))).toLong
+    }
+    for (_ <- 1 to 2) {
+      val ws = counts.toSeq.map { case (g, c) => (g, c, weight(g)) }
+      val sw = ws.map { case (_, c, w) => BigInt(w) * c }.sum
+      val vw = ws.map { case (_, c, w) => BigInt(1000000000L - w) * c }.sum
+      val scnt = ws.map(_._2).sum
+      val sg = Array(0, 1, 2).map(i => ws.map { case (g, c, w) =>
+        BigInt(w) * c * Array(g._1, g._2, g._3)(i) }.sum)
+      val vg = Array(0, 1, 2).map(i => ws.map { case (g, c, w) =>
+        BigInt(1000000000L - w) * c * Array(g._1, g._2, g._3)(i) }.sum)
+      p = if (scnt == 0) 0L
+        else math.floor(sw.toDouble / scnt.toDouble).toLong
+      m = sg.zipWithIndex.map { case (s, _) =>
+        if (sw.toDouble == 0.0) 0L
+        else math.floor(1e9 * s.toDouble / sw.toDouble).toLong }
+      u = vg.zipWithIndex.map { case (s, _) =>
+        if (vw.toDouble == 0.0) 0L
+        else math.floor(1e9 * s.toDouble / vw.toDouble).toLong }
+    }
+    for (r <- rows) {
+      assert(r.getAs[Long]("p_nano") == p)
+      assert(Seq("m1_nano", "m2_nano", "m3_nano").map(r.getAs[Long])
+        == m.toSeq)
+      assert(Seq("u1_nano", "u2_nano", "u3_nano").map(r.getAs[Long])
+        == u.toSeq)
+      val g = (r.getAs[Long]("g1").toInt, r.getAs[Long]("g2").toInt,
+        r.getAs[Long]("g3").toInt)
+      assert(r.getAs[Long]("w_nano") == weight(g), s"posterior $g")
+    }
+    // the linkage decision table must separate: all-agree posterior
+    // above 0.99, all-disagree below 0.01 (the corruption rates and
+    // field entropies guarantee it at any SF)
+    val w111 = rows.find(r => r.getAs[Long]("g1") == 1 &&
+      r.getAs[Long]("g2") == 1 && r.getAs[Long]("g3") == 1)
+    val w000 = rows.find(r => r.getAs[Long]("g1") == 0 &&
+      r.getAs[Long]("g2") == 0 && r.getAs[Long]("g3") == 0)
+    assert(w111.forall(_.getAs[Long]("w_nano") > 990000000L))
+    assert(w000.forall(_.getAs[Long]("w_nano") < 10000000L))
+  }
 }
