@@ -1144,9 +1144,99 @@ object FinanceAudit {
     }
   }
 
+  /** q352 — historical Value-at-Risk and Expected Shortfall of the
+    * daily revenue P&L (RiskMetrics '96 / Basel ES): day-over-day
+    * revenue deltas become a loss series; VaR_α is the EXACT α order
+    * statistic of losses (no interpolation — rank-selected, the
+    * regulatory historical-simulation convention) and ES_α is the
+    * exact mean of the tail at-or-beyond VaR. Reported at α = 95% and
+    * 99%. Complements q193 (drawdown — path risk) and q314 (Hill
+    * index — tail SHAPE): this is the tail MAGNITUDE certificate.
+    *
+    * Exactness: losses are exact cents; the rank is
+    * (α·n + 999) div 1000 (ceiling of α·n, non-negative); the tail
+    * mean comes from ONE equi join at rank = rk plus the running
+    * prefix sum — tail_sum = total − prefix + loss@rk, all integer;
+    * the final mean is an IEEE floor chain (losses go negative, so
+    * integer div's truncation-vs-floor divergence is avoided
+    * entirely).
+    *
+    * Scale design (100 TB): the fact table collapses to the day axis
+    * once (partial-aggregable); the lag/rank/prefix windows run over
+    * that calendar-bounded frame (adjudicated in the plan sweep, the
+    * q118/q178 shape); alphas are a 2-row literal frame; the tail is
+    * closed-form from the prefix sum — no non-equi join, no tail
+    * materialization. Output 2 rows. */
+  val q352VarEs: QueryDef = {
+    val alphas = Seq(950L, 990L)
+    val esChain = "CAST(floor(CAST(tail_sum AS DOUBLE) / " +
+      "CAST(n_tail AS DOUBLE)) AS BIGINT)"
+    QueryDef(
+      "q352_var_es",
+      s"""WITH daily AS (
+         |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+         |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |        AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |pnl AS (
+         |  SELECT d, rev - lag(rev) OVER (ORDER BY d) AS p
+         |  FROM daily),
+         |loss AS (SELECT d, -p AS l FROM pnl WHERE p IS NOT NULL),
+         |ranked AS (
+         |  SELECT l, CAST(row_number() OVER (ORDER BY l, d) AS BIGINT) AS rn,
+         |    CAST(sum(l) OVER (ORDER BY l, d
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+         |  FROM loss),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(l) AS BIGINT) AS total FROM loss),
+         |aa AS (
+         |  SELECT alpha_milli, n, total,
+         |    (alpha_milli * n + 999) // 1000 AS rk
+         |  FROM (SELECT CAST(unnest([${alphas.mkString(", ")}]) AS BIGINT)
+         |        AS alpha_milli), nt),
+         |pick AS (
+         |  SELECT aa.alpha_milli, aa.n, r.l AS var_cents,
+         |    aa.total - r.prefix + r.l AS tail_sum, aa.n - r.rn + 1 AS n_tail
+         |  FROM aa JOIN ranked r ON r.rn = aa.rk)
+         |SELECT alpha_milli, n AS n_days, var_cents,
+         |  $esChain AS es_cents, n_tail
+         |FROM pick ORDER BY alpha_milli""".stripMargin) { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01")).cast("bigint").as("d"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("bigint")).cast("bigint").as("rev"))
+      val wD = Window.orderBy(col("d"))
+      val loss = daily
+        .withColumn("p", col("rev") - lag(col("rev"), 1).over(wD))
+        .filter(col("p").isNotNull)
+        .select(col("d"), (-col("p")).as("l"))
+      val wL = Window.orderBy(col("l"), col("d"))
+      val ranked = loss
+        .withColumn("rn", row_number().over(wL).cast("bigint"))
+        .withColumn("prefix", sum(col("l")).over(
+          wL.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"))
+      val nt = loss.agg(count(lit(1)).as("n"),
+        sum(col("l")).cast("bigint").as("total"))
+      import s.implicits._
+      val aa = broadcast(alphas.toDF("alpha_milli").crossJoin(nt)
+        .withColumn("rk", expr("(alpha_milli * n + 999) div 1000")))
+      aa.join(ranked, col("rk") === col("rn"))
+        .select(col("alpha_milli"), col("n").as("n_days"),
+          col("l").as("var_cents"),
+          (col("total") - col("prefix") + col("l")).as("tail_sum"),
+          (col("n") - col("rn") + 1).as("n_tail"))
+        .select(col("alpha_milli"), col("n_days"), col("var_cents"),
+          expr(esChain).as("es_cents"), col("n_tail"))
+        .orderBy("alpha_milli")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q188DupCharge, q189ParetoAbc, q192Vwap, q193Drawdown, q194Aging,
     q195RoundBias, q210DiffInDiff, q211AbcXyz, q214LedgerRegister,
     q218WeeklyKpi, q222VelocityScreen, q253PriceVolumeMix, q263Hhi,
-    q271Proration, q282DecayedTopk, q292FifoCosting, q314TailIndex)
+    q271Proration, q282DecayedTopk, q292FifoCosting, q314TailIndex,
+    q352VarEs)
 }

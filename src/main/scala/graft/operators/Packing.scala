@@ -170,5 +170,129 @@ object Packing {
         max(col("peak")).as("peak"))
   }
 
-  val all: Seq[QueryDef] = Seq(q87Packing, q126ClampedBalance)
+  /** q354 — newsvendor optimal stocking per brand (Arrow–Harris–
+    * Marschak '51): from each brand's empirical daily-demand
+    * distribution, the critical-fractile stock level
+    * S* = min{s : F(s) ≥ cu/(cu+co)} for two cost scenarios
+    * (underage:overage 9:1 and 1:1), with the exact expected daily
+    * mismatch cost of S* versus the mean-demand and max-demand
+    * heuristics. For the DISCRETE empirical distribution the critical
+    * fractile is provably optimal over all integer stock levels, so
+    * cost(S*) ≤ cost(mean) and ≤ cost(max) are INVARIANTS the spec
+    * pins — an end-to-end optimality certificate, not just a
+    * computation. Complements q87 (packing — capacity) and q126
+    * (clamped balance): this is the stochastic-inventory decision.
+    *
+    * Exactness: demand day-sums are exact integers; the fractile test
+    * is cross-multiplied (cf·(cu+co) ≥ cu·n — no division); expected
+    * costs are integer sums scaled to milli via a non-negative floor
+    * div; the mean heuristic is a non-negative div.
+    *
+    * Scale design (100 TB): facts collapse once to (brand, day)
+    * demand, then to the (brand, demand-value) distribution — both
+    * partial-aggregable; cumulative F rides a PER-BRAND window
+    * (brands unbounded, values-per-brand bounded by active days); the
+    * scenario axis is a 2-row literal; the cost pass is ONE equi join
+    * of the ≤|brands|·2 candidate frame back to the distribution with
+    * three conditional sums — the three candidate levels are columns,
+    * not rows, so no extra fan-out. Output |brands|·2 rows. */
+  val q354Newsvendor: QueryDef = {
+    val scen = Seq((9L, 1L), (1L, 1L))
+    val scenSql = scen.map { case (cu, co) => s"($cu, $co)" }.mkString(", ")
+    QueryDef(
+      "q354_newsvendor",
+      s"""WITH dem AS (
+         |  SELECT p.p_brand AS brand,
+         |    CAST(date_diff('day', DATE '1970-01-01',
+         |      CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d,
+         |    CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS q
+         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |  GROUP BY 1, 2),
+         |dist AS (
+         |  SELECT brand, q, CAST(count(*) AS BIGINT) AS c
+         |  FROM dem GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT brand, q, c,
+         |    CAST(sum(c) OVER (PARTITION BY brand ORDER BY q
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cf,
+         |    CAST(sum(c) OVER (PARTITION BY brand) AS BIGINT) AS n
+         |  FROM dist),
+         |sc AS (SELECT CAST(s.cu AS BIGINT) AS cu, CAST(s.co AS BIGINT) AS co
+         |       FROM (VALUES $scenSql) s(cu, co)),
+         |sstar AS (
+         |  SELECT cum.brand, sc.cu, sc.co, min(cum.q) AS s_star,
+         |    min(cum.n) AS n_days
+         |  FROM cum, sc WHERE cum.cf * (sc.cu + sc.co) >= sc.cu * cum.n
+         |  GROUP BY 1, 2, 3),
+         |heur AS (
+         |  SELECT brand, CAST(sum(q * c) // sum(c) AS BIGINT) AS s_mean,
+         |    max(q) AS s_max
+         |  FROM dist GROUP BY 1),
+         |cand AS (
+         |  SELECT s.brand, s.cu, s.co, s.s_star, s.n_days, h.s_mean, h.s_max
+         |  FROM sstar s JOIN heur h ON s.brand = h.brand),
+         |cost AS (
+         |  SELECT cand.brand, cand.cu, cand.co, cand.s_star, cand.s_mean,
+         |    cand.s_max, cand.n_days,
+         |    CAST(sum(d.c * (cand.cu * greatest(d.q - cand.s_star, 0)
+         |      + cand.co * greatest(cand.s_star - d.q, 0))) AS BIGINT) AS x1,
+         |    CAST(sum(d.c * (cand.cu * greatest(d.q - cand.s_mean, 0)
+         |      + cand.co * greatest(cand.s_mean - d.q, 0))) AS BIGINT) AS x2,
+         |    CAST(sum(d.c * (cand.cu * greatest(d.q - cand.s_max, 0)
+         |      + cand.co * greatest(cand.s_max - d.q, 0))) AS BIGINT) AS x3
+         |  FROM cand JOIN dist d ON cand.brand = d.brand
+         |  GROUP BY 1, 2, 3, 4, 5, 6, 7)
+         |SELECT brand, cu, co, s_star, s_mean, s_max, n_days,
+         |  (1000 * x1) // n_days AS cost_star_milli,
+         |  (1000 * x2) // n_days AS cost_mean_milli,
+         |  (1000 * x3) // n_days AS cost_max_milli
+         |FROM cost ORDER BY brand, cu""".stripMargin) { (s, dir) =>
+      val dem = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+          datediff(col("l_shipdate").cast("date"), lit("1970-01-01"))
+            .cast("bigint").as("d"))
+        .agg(sum(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)"))
+          .cast("bigint").as("q"))
+      val dist = dem.groupBy(col("brand"), col("q"))
+        .agg(count(lit(1)).as("c"))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("brand")).orderBy(col("q"))
+      val cum = dist
+        .withColumn("cf", sum(col("c")).over(
+          wB.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)).cast("bigint"))
+        .withColumn("n", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("brand")))
+          .cast("bigint"))
+      import s.implicits._
+      val sc = scen.toDF("cu", "co")
+      val sstar = cum.crossJoin(broadcast(sc))
+        .filter(col("cf") * (col("cu") + col("co")) >= col("cu") * col("n"))
+        .groupBy(col("brand"), col("cu"), col("co"))
+        .agg(min(col("q")).as("s_star"), min(col("n")).as("n_days"))
+      val heur = dist.groupBy(col("brand"))
+        .agg(expr("CAST(sum(q * c) div sum(c) AS BIGINT)").as("s_mean"),
+          max(col("q")).as("s_max"))
+      val cand = sstar.join(heur, Seq("brand"))
+      def mism(sCol: String) =
+        s"sum(c * (cu * greatest(q - $sCol, 0) + co * greatest($sCol - q, 0)))"
+      cand.join(dist, Seq("brand"))
+        .groupBy(col("brand"), col("cu"), col("co"), col("s_star"),
+          col("s_mean"), col("s_max"), col("n_days"))
+        .agg(expr(s"CAST(${mism("s_star")} AS BIGINT)").as("x1"),
+          expr(s"CAST(${mism("s_mean")} AS BIGINT)").as("x2"),
+          expr(s"CAST(${mism("s_max")} AS BIGINT)").as("x3"))
+        .select(col("brand"), col("cu"), col("co"), col("s_star"),
+          col("s_mean"), col("s_max"), col("n_days"),
+          expr("(1000 * x1) div n_days").as("cost_star_milli"),
+          expr("(1000 * x2) div n_days").as("cost_mean_milli"),
+          expr("(1000 * x3) div n_days").as("cost_max_milli"))
+        .orderBy("brand", "cu")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q87Packing, q126ClampedBalance, q354Newsvendor)
 }

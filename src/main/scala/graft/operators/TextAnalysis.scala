@@ -3003,8 +3003,88 @@ object TextAnalysis {
     }
   }
 
+  /** q353 — Good–Turing frequency re-estimation (Good '53): from the
+    * unigram frequency-of-frequencies N_r, the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r for r = 1..10, the per-type smoothed
+    * probability r* over N, and the total unseen mass P₀ = N₁/N — the
+    * smoothing family that q215 (Kneser–Ney) DISCOUNTS from and q309
+    * (Jelinek–Mercer) interpolates against; this is the raw estimator
+    * those methods stabilize, reported so a pipeline owner can see
+    * WHERE the naive GT curve gets noisy (high r, small N_r) and a
+    * discount cap is warranted.
+    *
+    * Exactness: all N_r, N, N₁ are exact integers from two
+    * aggregation passes; r* and the probability ride shared
+    * all-DOUBLE floor chains (q348 contract); P₀ is a non-negative
+    * cross-multiplied floor div. Absent N_{r+1} coalesces to 0 (r*=0,
+    * the correct GT statement that mass vanishes); N_r = 0 yields
+    * NULL (estimator undefined).
+    *
+    * Scale design (100 TB): one corpus pass to (token, count)
+    * vocabulary grain, one vocabulary pass to the ≤11-row
+    * frequency-of-frequencies frame (both partial-aggregable); the
+    * rank axis is a 10-row literal; joins are broadcast against
+    * bounded frames. Output 10 rows. */
+  val q353GoodTuring: QueryDef = {
+    val rStar = "CASE WHEN n_r > 0 THEN CAST(floor((1000000.0 * (r + 1) * " +
+      "CAST(n_r1 AS DOUBLE)) / CAST(n_r AS DOUBLE)) AS BIGINT) " +
+      "ELSE NULL END"
+    val gtPpb = "CASE WHEN n_r > 0 THEN CAST(floor((1000000000.0 * (r + 1) " +
+      "* CAST(n_r1 AS DOUBLE)) / (CAST(n_r AS DOUBLE) * " +
+      "CAST(n_tok AS DOUBLE))) AS BIGINT) ELSE NULL END"
+    QueryDef(
+      "q353_good_turing",
+      s"""WITH tc AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+         |        FROM documents) GROUP BY 1),
+         |ff AS (
+         |  SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r
+         |  FROM tc WHERE c <= 11 GROUP BY 1),
+         |nt AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n_tok,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+         |  FROM tc),
+         |rr AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS r),
+         |j AS (
+         |  SELECT rr.r, coalesce(f1.n_r, 0) AS n_r,
+         |    coalesce(f2.n_r, 0) AS n_r1
+         |  FROM rr LEFT JOIN ff f1 ON rr.r = f1.r
+         |    LEFT JOIN ff f2 ON rr.r + 1 = f2.r)
+         |SELECT j.r, j.n_r, j.n_r1,
+         |  $rStar AS r_star_ppm, $gtPpb AS gt_prob_ppb,
+         |  (1000000 * nt.n1) // nt.n_tok AS p0_ppm,
+         |  nt.n_tok AS n_tokens, nt.n_types
+         |FROM j, nt ORDER BY j.r""".stripMargin) { (s, dir) =>
+      val tc = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // single-file scan -> use every core
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val ff = broadcast(tc.filter(col("c") <= 11)
+        .groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r")))
+      val nt = broadcast(tc.agg(
+        sum(col("c")).cast("bigint").as("n_tok"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("bigint").as("n1")))
+      import s.implicits._
+      val rr = (1L to 10L).toDF("r")
+      rr.join(ff.as("f1"), rr("r") === col("f1.r"), "left")
+        .join(ff.as("f2"), rr("r") + 1 === col("f2.r"), "left")
+        .select(rr("r"),
+          coalesce(col("f1.n_r"), lit(0L)).as("n_r"),
+          coalesce(col("f2.n_r"), lit(0L)).as("n_r1"))
+        .crossJoin(nt)
+        .select(col("r"), col("n_r"), col("n_r1"),
+          expr(rStar).as("r_star_ppm"), expr(gtPpb).as("gt_prob_ppb"),
+          expr("(1000000 * n1) div n_tok").as("p0_ppm"),
+          col("n_tok").as("n_tokens"), col("n_types"))
+        .orderBy("r")
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q350RakeKeywords,
+    Seq(q350RakeKeywords, q353GoodTuring,
       q295YulesK, q320SourceNovelty, q321CharEntropy,
       q337HashCollisionCurve,
       q232LooInfluence, q243FeatureHashing, q254MaxCoverage, q264McNemar,

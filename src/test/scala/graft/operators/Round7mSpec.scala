@@ -240,4 +240,105 @@ class Round7mSpec extends AnyFunSuite {
     assert(w111.forall(_.getAs[Long]("w_nano") > 990000000L))
     assert(w000.forall(_.getAs[Long]("w_nano") < 10000000L))
   }
+
+  test("q352 VaR/ES: sequential replay of the loss order statistics") {
+    val rows = run("q352_var_es")
+    assert(rows.map(_.getAs[Long]("alpha_milli")).toSeq == Seq(950L, 990L))
+    val daily = graft.Tables.orders(spark, dir)
+      .groupBy(expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+        "DATE '1970-01-01') AS BIGINT)").as("d"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 " +
+        "AS BIGINT)")).cast("bigint").as("rev"))
+      .collect().map(r => (r.getAs[Long]("d"), r.getAs[Long]("rev")))
+      .sortBy(_._1)
+    val losses = daily.sliding(2).collect {
+      case Array((_, r1), (d2, r2)) => (d2, r1 - r2) // loss = -(r2 - r1)
+    }.toSeq.sortBy(t => (t._2, t._1)).map(_._2)
+    val n = losses.length.toLong
+    for (r <- rows) {
+      val alpha = r.getAs[Long]("alpha_milli")
+      val rk = ((alpha * n + 999) / 1000).toInt
+      assert(r.getAs[Long]("n_days") == n)
+      assert(r.getAs[Long]("var_cents") == losses(rk - 1), s"VaR a=$alpha")
+      val tail = losses.drop(rk - 1)
+      assert(r.getAs[Long]("n_tail") == tail.length.toLong)
+      assert(r.getAs[Long]("es_cents") ==
+        math.floor(tail.sum.toDouble / tail.length.toDouble).toLong)
+      // the tail mean can never sit below its own minimum
+      assert(r.getAs[Long]("es_cents") >= r.getAs[Long]("var_cents"))
+    }
+  }
+
+  test("q353 Good-Turing: frequency-of-frequencies replay") {
+    val rows = run("q353_good_turing")
+    assert(rows.map(_.getAs[Long]("r")).toSeq == (1L to 10L))
+    val counts = graft.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getAs[Long]("count"))
+    val nTok = counts.sum
+    val ff = counts.groupBy(identity).map { case (c, xs) =>
+      c -> xs.length.toLong
+    }
+    for (r <- rows) {
+      val rr = r.getAs[Long]("r")
+      val nr = ff.getOrElse(rr, 0L); val nr1 = ff.getOrElse(rr + 1, 0L)
+      assert(r.getAs[Long]("n_r") == nr && r.getAs[Long]("n_r1") == nr1)
+      if (nr > 0) {
+        assert(r.getAs[Long]("r_star_ppm") ==
+          math.floor(1e6 * (rr + 1) * nr1.toDouble / nr.toDouble).toLong)
+        assert(r.getAs[Long]("gt_prob_ppb") ==
+          math.floor(1e9 * (rr + 1) * nr1.toDouble /
+            (nr.toDouble * nTok.toDouble)).toLong)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("r_star_ppm")))
+      }
+      assert(r.getAs[Long]("p0_ppm") ==
+        1000000L * ff.getOrElse(1L, 0L) / nTok)
+      assert(r.getAs[Long]("n_tokens") == nTok)
+      assert(r.getAs[Long]("n_types") == counts.length.toLong)
+    }
+  }
+
+  test("q354 newsvendor: fractile optimality certificate and replay") {
+    val rows = run("q354_newsvendor")
+    assert(rows.nonEmpty)
+    val dem = graft.Tables.lineitem(spark, dir)
+      .join(graft.Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') " +
+          "AS BIGINT)").as("d"))
+      .agg(sum(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)"))
+        .cast("bigint").as("q"))
+      .collect().map(r => (r.getAs[String]("brand"), r.getAs[Long]("q")))
+    val byBrand = dem.groupBy(_._1).map { case (b, xs) =>
+      b -> xs.map(_._2).sorted
+    }
+    def cost(ds: Seq[Long], s: Long, cu: Long, co: Long): Long =
+      ds.map(q => cu * math.max(q - s, 0L) + co * math.max(s - q, 0L)).sum
+    for (r <- rows) {
+      val (b, cu, co) = (r.getAs[String]("brand"), r.getAs[Long]("cu"),
+        r.getAs[Long]("co"))
+      val ds = byBrand(b)
+      val n = ds.length.toLong
+      assert(r.getAs[Long]("n_days") == n)
+      // replay the critical fractile: min s in the support with
+      // F(s)·(cu+co) >= cu·n
+      val sStar = ds.distinct.sorted.find(s =>
+        ds.count(_ <= s).toLong * (cu + co) >= cu * n).get
+      assert(r.getAs[Long]("s_star") == sStar, s"$b $cu:$co s*")
+      assert(r.getAs[Long]("s_mean") == ds.sum / n)
+      assert(r.getAs[Long]("s_max") == ds.max)
+      val c1 = r.getAs[Long]("cost_star_milli")
+      assert(c1 == 1000L * cost(ds, sStar, cu, co) / n)
+      // discrete newsvendor optimality: the critical fractile beats
+      // EVERY integer stock level, hence both heuristics
+      assert(c1 <= r.getAs[Long]("cost_mean_milli"), s"$b $cu:$co vs mean")
+      assert(c1 <= r.getAs[Long]("cost_max_milli"), s"$b $cu:$co vs max")
+      val exhaustive = (ds.min to ds.max).map(cost(ds, _, cu, co)).min
+      assert(cost(ds, sStar, cu, co) == exhaustive, s"$b $cu:$co optimal")
+    }
+  }
 }

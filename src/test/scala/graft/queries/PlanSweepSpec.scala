@@ -266,5 +266,9 @@ object PlanSweepAllowlist {
         "(source-domain bounded, below a groupBy)"),
     ("q348_ransac_consensus", "^h#",
       "seed pairing window runs over the TakeOrdered 32-row md5 slice " +
-        "(literal k — the q112/q130 shape)"))
+        "(literal k — the q112/q130 shape)"),
+    ("q352_var_es", "^d#",
+      "day-over-day lag window: calendar-bounded day axis"),
+    ("q352_var_es", "^l#",
+      "loss rank/prefix windows over the calendar-bounded day-P&L frame"))
 }
