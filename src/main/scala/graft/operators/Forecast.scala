@@ -653,8 +653,139 @@ object Forecast {
     }
   }
 
+  /** q355 — burst-interval annotation by optimal 2-state labeling
+    * (the Kleinberg '02 burst-automaton shape on a day grid): label
+    * every trading day base/burst to minimize Hamming disagreement
+    * with the "high-volume day" indicator (count strictly above the
+    * global mean, cross-multiplied integers) plus γ=2 per state
+    * switch — the exact global optimum via min-plus forward AND
+    * backward DP (state = argmin of fwd+bwd, ties to base), so no
+    * backtrace is needed and both engines derive the identical
+    * labeling from the two recurrences alone. Output: the maximal
+    * burst intervals. q245 finds ONE changepoint; q178 flags CUSUM
+    * excursions; this produces the globally-optimal segmentation into
+    * burst episodes with a certified objective value.
+    *
+    * Exactness: all DP cells are small exact integers (cost ≤ n_days
+    * + 2γ·switches); the high flag is integer cross-multiplied;
+    * interval extraction is the gaps-and-islands identity.
+    *
+    * Scale design (100 TB): facts collapse to the calendar-bounded
+    * day axis ONCE (partial-aggregable); the min-plus recurrences are
+    * inherently sequential, so they run as ONE per-partition scan
+    * over the repartition(1) day frame (the q164/q87 adjudicated
+    * shape — the frame is bounded by the calendar, not data); island
+    * extraction windows over the same bounded axis. Output
+    * |bursts| rows. */
+  val q355BurstIntervals: QueryDef = {
+    val G = 2L
+    QueryDef(
+      "q355_burst_intervals",
+      s"""WITH RECURSIVE base AS MATERIALIZED (
+         |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM orders GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(c) AS BIGINT) AS tot FROM base),
+         |dd AS MATERIALIZED (
+         |  SELECT base.d, base.c,
+         |    CAST(CASE WHEN base.c * nt.n > nt.tot THEN 1 ELSE 0 END
+         |      AS BIGINT) AS h,
+         |    CAST(row_number() OVER (ORDER BY base.d) AS BIGINT) AS rn,
+         |    nt.n
+         |  FROM base, nt),
+         |fwd AS (
+         |  SELECT rn, h AS f0, $G + (1 - h) AS f1 FROM dd WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.rn, least(f.f0, f.f1 + $G) + d.h,
+         |    least(f.f1, f.f0 + $G) + (1 - d.h)
+         |  FROM fwd f JOIN dd d ON d.rn = f.rn + 1),
+         |bwd AS (
+         |  SELECT n AS rn, CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1
+         |  FROM nt
+         |  UNION ALL
+         |  SELECT b.rn - 1, least(d.h + b.b0, $G + (1 - d.h) + b.b1),
+         |    least((1 - d.h) + b.b1, $G + d.h + b.b0)
+         |  FROM bwd b JOIN dd d ON d.rn = b.rn WHERE b.rn > 1),
+         |st AS (
+         |  SELECT dd.rn, dd.d, dd.h,
+         |    CASE WHEN f.f0 + b.b0 <= f.f1 + b.b1 THEN 0 ELSE 1 END AS s
+         |  FROM dd JOIN fwd f ON dd.rn = f.rn JOIN bwd b ON dd.rn = b.rn),
+         |obj AS (
+         |  SELECT least(f.f0, f.f1) AS obj_cost, nt.n AS n_days
+         |  FROM fwd f, nt WHERE f.rn = nt.n),
+         |isl AS (
+         |  SELECT d, h, rn - row_number() OVER (ORDER BY rn) AS island
+         |  FROM st WHERE s = 1),
+         |iv AS (
+         |  SELECT min(d) AS start_d, max(d) AS end_d,
+         |    CAST(count(*) AS BIGINT) AS len_days,
+         |    CAST(sum(h) AS BIGINT) AS n_high
+         |  FROM isl GROUP BY island),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bursts FROM iv)
+         |SELECT iv.start_d, iv.end_d, iv.len_days, iv.n_high,
+         |  obj.n_days, obj.obj_cost, nb.n_bursts
+         |FROM iv, obj, nb ORDER BY iv.start_d""".stripMargin) { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01")).cast("bigint").as("d"))
+        .agg(count(lit(1)).as("c"))
+      val nt = broadcast(base.agg(count(lit(1)).as("n"),
+        sum(col("c")).cast("bigint").as("tot")))
+      val dd = base.crossJoin(nt)
+        .select(col("d"),
+          when(col("c") * col("n") > col("tot"), 1L).otherwise(0L).as("h"))
+      import s.implicits._
+      // min-plus forward/backward DP: inherently sequential, one scan
+      // over the calendar-bounded day axis (q164/q87 shape)
+      val labeled = dd.repartition(1).sortWithinPartitions("d")
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val days = it.toArray
+          val n = days.length
+          if (n == 0) Iterator.empty
+          else {
+            val f0 = new Array[Long](n); val f1 = new Array[Long](n)
+            f0(0) = days(0)._2; f1(0) = G + (1 - days(0)._2)
+            for (i <- 1 until n) {
+              val h = days(i)._2
+              f0(i) = math.min(f0(i - 1), f1(i - 1) + G) + h
+              f1(i) = math.min(f1(i - 1), f0(i - 1) + G) + (1 - h)
+            }
+            val b0 = new Array[Long](n); val b1 = new Array[Long](n)
+            for (i <- n - 2 to 0 by -1) {
+              val h = days(i + 1)._2
+              b0(i) = math.min(h + b0(i + 1), G + (1 - h) + b1(i + 1))
+              b1(i) = math.min((1 - h) + b1(i + 1), G + h + b0(i + 1))
+            }
+            val obj = math.min(f0(n - 1), f1(n - 1))
+            Iterator.range(0, n).map { i =>
+              val st = if (f0(i) + b0(i) <= f1(i) + b1(i)) 0L else 1L
+              (i + 1L, days(i)._1, days(i)._2, st, obj, n.toLong)
+            }
+          }
+        }.toDF("rn", "d", "h", "s", "obj_cost", "n_days")
+      // islands over the day RANK (consecutive present days), matching
+      // the oracle — calendar gaps do not split a burst episode
+      val isl = labeled.filter(col("s") === 1)
+        .withColumn("island", col("rn") - row_number().over(
+          Window.orderBy(col("rn"))))
+      val iv = isl.groupBy(col("island"))
+        .agg(min(col("d")).as("start_d"), max(col("d")).as("end_d"),
+          count(lit(1)).as("len_days"),
+          sum(col("h")).cast("bigint").as("n_high"),
+          min(col("obj_cost")).as("obj_cost"), min(col("n_days")).as("n_days"))
+      val nb = broadcast(iv.agg(count(lit(1)).as("n_bursts")))
+      iv.crossJoin(nb)
+        .select(col("start_d"), col("end_d"), col("len_days"), col("n_high"),
+          col("n_days"), col("obj_cost"), col("n_bursts"))
+        .orderBy("start_d")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail,
       q245Changepoint, q261SeasonalDecomp, q290SeasonalAnomaly,
-      q349VarianceTime)
+      q349VarianceTime, q355BurstIntervals)
 }

@@ -341,4 +341,68 @@ class Round7mSpec extends AnyFunSuite {
       assert(cost(ds, sStar, cu, co) == exhaustive, s"$b $cu:$co optimal")
     }
   }
+
+  test("q355 bursts: DP replay, objective identity, 1-flip optimality") {
+    val G = 2L
+    val rows = run("q355_burst_intervals")
+    val daily = graft.Tables.orders(spark, dir)
+      .groupBy(expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+        "DATE '1970-01-01') AS BIGINT)").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getAs[Long]("d"), r.getAs[Long]("c")))
+      .sortBy(_._1)
+    val n = daily.length
+    val tot = daily.map(_._2).sum
+    val high = daily.map { case (_, c) => if (c * n > tot) 1L else 0L }
+    def labelingCost(st: Seq[Long]): Long = {
+      val ham = st.zip(high).count { case (s, h) => s != h }.toLong
+      val sw = (Seq(0L) ++ st).sliding(2).count {
+        case Seq(a, b) => a != b; case _ => false
+      }.toLong
+      ham + G * sw
+    }
+    // replay the fwd/bwd DP
+    val f0 = new Array[Long](n); val f1 = new Array[Long](n)
+    f0(0) = high(0); f1(0) = G + (1 - high(0))
+    for (i <- 1 until n) {
+      f0(i) = math.min(f0(i - 1), f1(i - 1) + G) + high(i)
+      f1(i) = math.min(f1(i - 1), f0(i - 1) + G) + (1 - high(i))
+    }
+    val b0 = new Array[Long](n); val b1 = new Array[Long](n)
+    for (i <- n - 2 to 0 by -1) {
+      val h = high(i + 1)
+      b0(i) = math.min(h + b0(i + 1), G + (1 - h) + b1(i + 1))
+      b1(i) = math.min((1 - h) + b1(i + 1), G + h + b0(i + 1))
+    }
+    val obj = math.min(f0(n - 1), f1(n - 1))
+    val st = (0 until n).map(i =>
+      if (f0(i) + b0(i) <= f1(i) + b1(i)) 0L else 1L)
+    // intervals replay (rank space)
+    val ivs = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    var s0 = -1
+    for (i <- 0 to n) {
+      val cur = if (i < n) st(i) else 0L
+      if (cur == 1L && s0 < 0) s0 = i
+      if (cur == 0L && s0 >= 0) {
+        ivs += ((daily(s0)._1, daily(i - 1)._1, (i - s0).toLong,
+          (s0 until i).map(high).sum))
+        s0 = -1
+      }
+    }
+    val got = rows.map(r => (r.getAs[Long]("start_d"), r.getAs[Long]("end_d"),
+      r.getAs[Long]("len_days"), r.getAs[Long]("n_high"))).toSeq
+    assert(got == ivs.toSeq)
+    for (r <- rows) {
+      assert(r.getAs[Long]("obj_cost") == obj)
+      assert(r.getAs[Long]("n_days") == n.toLong)
+      assert(r.getAs[Long]("n_bursts") == ivs.length.toLong)
+    }
+    // the fwd+bwd argmin labeling achieves the DP optimum exactly
+    assert(labelingCost(st) == obj, "labeling cost equals DP objective")
+    // 1-flip local optimality: no single-day state change improves it
+    for (i <- 0 until n) {
+      val flipped = st.updated(i, 1L - st(i))
+      assert(labelingCost(flipped) >= obj, s"flip at $i improves")
+    }
+  }
 }

@@ -270,5 +270,10 @@ object PlanSweepAllowlist {
     ("q352_var_es", "^d#",
       "day-over-day lag window: calendar-bounded day axis"),
     ("q352_var_es", "^l#",
-      "loss rank/prefix windows over the calendar-bounded day-P&L frame"))
+      "loss rank/prefix windows over the calendar-bounded day-P&L frame"),
+    ("q355_burst_intervals", "repartition(1)",
+      "sequential min-plus DP over the aggregated day axis " +
+        "(calendar-bounded, the q164 shape)"),
+    ("q355_burst_intervals", "^rn#",
+      "island extraction over the calendar-bounded labeled day frame"))
 }
