@@ -577,21 +577,24 @@ object PipelineFilters {
         .withColumn("rk", row_number().over(wItems))
         .withColumn("density", expr("(1000000 * v) div wu"))
         .ckpt() // 20 rows; the DP loop and the greedy both read it
-      // DP frontier: 101 budget rows advanced once per source
+      // DP table: (W+1) x |sources| integer cells on a frame that is
+      // ALREADY collected for loop control (bounded by the source
+      // domain, the union-find class of adjudicated driver compute) —
+      // 20 Spark joins of a 101-row frontier were pure scheduling
+      // overhead (4.4 s -> corpus-pass cost only)
       val itemRows = items.select(col("rk"), col("wu"), col("v"))
         .collect().sortBy(_.getAs[Int]("rk"))
-      var dp = s.range(0, W + 1).select(col("id").as("w"),
-        lit(0L).as("best"))
-      for ((it, idx) <- itemRows.zipWithIndex) {
+      val dpArr = new Array[Long](W + 1)
+      for (it <- itemRows) {
         val (wu, v) = (it.getAs[Long]("wu"), it.getAs[Long]("v"))
-        val shifted = dp.select((col("w") + wu).as("w"),
-          (col("best") + v).as("cand"))
-        dp = dp.join(shifted, Seq("w"), "left")
-          .select(col("w"),
-            greatest(col("best"), coalesce(col("cand"), lit(0L)))
-              .as("best"))
-        if (idx % 5 == 4) dp = dp.ckpt() // bounded lineage (q284 lesson)
+        var w = W.toLong
+        while (w >= wu) {
+          val cand = dpArr((w - wu).toInt) + v
+          if (cand > dpArr(w.toInt)) dpArr(w.toInt) = cand
+          w -= 1
+        }
       }
+      val dp = budgets.map(b => (b, dpArr(b.toInt))).toDF("w", "best")
       val wGreedy = Window.orderBy(col("density").desc, col("source"))
         .rowsBetween(Window.unboundedPreceding, 0)
       val gr = items.withColumn("cumw",
