@@ -1702,9 +1702,248 @@ object Learn {
     }
   }
 
+  /** q356 — depth-2 CART (Breiman et al. '84) over the labeled
+    * embeddings: q173's stump search picks the root split, the corpus
+    * is partitioned by it, and the SAME exact-entropy argmax runs
+    * independently inside each side to pick two child splits — then
+    * the 4-leaf majority-vote accuracy is reported against the
+    * 1-split stump's, the classic "does a second level pay?" model
+    * check. The per-group gain machinery is q173's, threaded through
+    * a side column, so root and children share one code path.
+    *
+    * Exactness: identical to q173 — integer count cubes, per-term
+    * floor(1e9·(c/n)·ln(·)) nano-nats summed order-free; split pick
+    * deterministic (gain desc, pos, threshold); accuracies are
+    * non-negative ppm floor-divs of exact majority counts.
+    *
+    * Scale design (100 TB): three fact-sized passes — the root cube,
+    * the side flag (a pos = root-dim filtered projection joined to a
+    * 1-row broadcast), and the per-side cube — each partial-
+    * aggregable; every gain computation runs on the ≤ |sides|·4·17
+    * candidate grid (literal-bounded); the child pick is a window
+    * PARTITIONED by side over that bounded grid. No iteration beyond
+    * the two fixed levels. Output 3 rows. */
+  val q356TreeDepth2: QueryDef = {
+    val B = 125000L
+    // per-group exact-entropy gain chain over a side-keyed cube —
+    // emits candN CTEs; caller picks the argmax per side
+    def gainSql(sfx: String, cube: String): String =
+      s"""pc$sfx AS (
+         |  SELECT sd, label, CAST(sum(c) AS BIGINT) AS cp
+         |  FROM $cube WHERE pos = 1 GROUP BY 1, 2),
+         |n$sfx AS (SELECT sd, CAST(sum(cp) AS BIGINT) AS n
+         |          FROM pc$sfx GROUP BY 1),
+         |hp$sfx AS (
+         |  SELECT p.sd, CAST(sum(CAST(floor(1000000000.0 *
+         |      (-((CAST(p.cp AS DOUBLE) / CAST(nn.n AS DOUBLE)) *
+         |          ln(CAST(p.cp AS DOUBLE) / CAST(nn.n AS DOUBLE)))))
+         |      AS BIGINT)) AS BIGINT) AS hp_nn
+         |  FROM pc$sfx p JOIN n$sfx nn ON p.sd = nn.sd GROUP BY 1),
+         |thr$sfx AS (SELECT DISTINCT sd, pos, qb AS t FROM $cube),
+         |lc$sfx AS (
+         |  SELECT th.sd, th.pos, th.t, p.label, p.cp,
+         |    CAST(coalesce(sum(cu.c), 0) AS BIGINT) AS cl
+         |  FROM thr$sfx th JOIN pc$sfx p ON th.sd = p.sd
+         |  LEFT JOIN $cube cu ON cu.sd = th.sd AND cu.pos = th.pos
+         |    AND cu.label = p.label AND cu.qb <= th.t
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |nl$sfx AS (SELECT sd, pos, t, CAST(sum(cl) AS BIGINT) AS nl
+         |           FROM lc$sfx GROUP BY 1, 2, 3),
+         |terms$sfx AS (
+         |  SELECT lc.sd, lc.pos, lc.t,
+         |    CAST(sum(
+         |      CASE WHEN lc.cl > 0 THEN
+         |        CAST(floor(1000000000.0 *
+         |          ((CAST(lc.cl AS DOUBLE) / CAST(nn.n AS DOUBLE)) *
+         |           ln(CAST(nl.nl AS DOUBLE) / CAST(lc.cl AS DOUBLE))))
+         |          AS BIGINT)
+         |      ELSE 0 END +
+         |      CASE WHEN lc.cp - lc.cl > 0 THEN
+         |        CAST(floor(1000000000.0 *
+         |          ((CAST(lc.cp - lc.cl AS DOUBLE) / CAST(nn.n AS DOUBLE)) *
+         |           ln(CAST(nn.n - nl.nl AS DOUBLE) /
+         |              CAST(lc.cp - lc.cl AS DOUBLE)))) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS child_nn
+         |  FROM lc$sfx lc
+         |  JOIN nl$sfx nl ON lc.sd = nl.sd AND lc.pos = nl.pos
+         |    AND lc.t = nl.t
+         |  JOIN n$sfx nn ON lc.sd = nn.sd
+         |  GROUP BY 1, 2, 3),
+         |cand$sfx AS (
+         |  SELECT tm.sd, tm.pos, tm.t, nl.nl,
+         |    hp.hp_nn - tm.child_nn AS gain_nn,
+         |    row_number() OVER (PARTITION BY tm.sd
+         |      ORDER BY hp.hp_nn - tm.child_nn DESC, tm.pos, tm.t) AS rk
+         |  FROM terms$sfx tm
+         |  JOIN nl$sfx nl ON tm.sd = nl.sd AND tm.pos = nl.pos
+         |    AND tm.t = nl.t
+         |  JOIN hp$sfx hp ON tm.sd = hp.sd)""".stripMargin
+    val oracle =
+      s"""WITH $ptsCte,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |cube1 AS (
+         |  SELECT CAST(0 AS BIGINT) AS sd, p.pos,
+         |    (p.q - ((p.q % $B + $B) % $B)) // $B AS qb,
+         |    l.label, CAST(count(*) AS BIGINT) AS c
+         |  FROM pts p JOIN lab l USING (vec_id)
+         |  WHERE p.pos <= 4 GROUP BY 1, 2, 3, 4),
+         |${gainSql("1", "cube1")},
+         |root AS (SELECT pos, t, nl, gain_nn FROM cand1 WHERE rk = 1),
+         |sidef AS (
+         |  SELECT p.vec_id,
+         |    CAST(CASE WHEN (p.q - ((p.q % $B + $B) % $B)) // $B <= r.t
+         |      THEN 0 ELSE 1 END AS BIGINT) AS sd
+         |  FROM pts p, root r WHERE p.pos = r.pos),
+         |cube2 AS (
+         |  SELECT s.sd, p.pos,
+         |    (p.q - ((p.q % $B + $B) % $B)) // $B AS qb,
+         |    l.label, CAST(count(*) AS BIGINT) AS c
+         |  FROM pts p JOIN sidef s USING (vec_id) JOIN lab l USING (vec_id)
+         |  WHERE p.pos <= 4 GROUP BY 1, 2, 3, 4),
+         |${gainSql("2", "cube2")},
+         |best2 AS (SELECT sd, pos, t, nl, gain_nn FROM cand2 WHERE rk = 1),
+         |acc1 AS (
+         |  SELECT CAST(sum(mx) AS BIGINT) AS hit1 FROM (
+         |    SELECT sd, max(cp) AS mx FROM pc2 GROUP BY sd)),
+         |leaf AS (
+         |  SELECT s.vec_id, s.sd,
+         |    CAST(CASE WHEN (p.q - ((p.q % $B + $B) % $B)) // $B <= b.t
+         |      THEN 0 ELSE 1 END AS BIGINT) AS lf
+         |  FROM sidef s JOIN best2 b ON b.sd = s.sd
+         |  JOIN pts p ON p.vec_id = s.vec_id AND p.pos = b.pos),
+         |leafc AS (
+         |  SELECT lf2.sd, lf2.lf, l.label, CAST(count(*) AS BIGINT) AS c
+         |  FROM leaf lf2 JOIN lab l USING (vec_id) GROUP BY 1, 2, 3),
+         |acc2 AS (
+         |  SELECT CAST(sum(mx) AS BIGINT) AS hit2 FROM (
+         |    SELECT sd, lf, max(c) AS mx FROM leafc GROUP BY sd, lf)),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         |outp AS (
+         |  SELECT 'root' AS node, r.pos, r.t AS thr, nt.n AS n_node,
+         |    r.gain_nn FROM root r, nt
+         |  UNION ALL
+         |  SELECT CASE WHEN b.sd = 0 THEN 'left' ELSE 'right' END,
+         |    b.pos, b.t, nn.n, b.gain_nn
+         |  FROM best2 b JOIN n2 nn ON b.sd = nn.sd)
+         |SELECT o.node, CAST(o.pos AS BIGINT) AS pos, o.thr, o.n_node,
+         |  o.gain_nn,
+         |  (1000000 * a1.hit1) // nt.n AS acc_stump_ppm,
+         |  (1000000 * a2.hit2) // nt.n AS acc_tree_ppm
+         |FROM outp o, acc1 a1, acc2 a2, nt ORDER BY o.node""".stripMargin
+    QueryDef("q356_tree_depth2", oracle) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val lab = emb.select(col("vec_id"), col("label"))
+      val qb = expr(s"(q - pmod(q, $B)) div $B")
+      def mkCube(ptsF: DataFrame, sideF: Option[DataFrame]): DataFrame = {
+        val base = sideF match {
+          case Some(sf) => ptsF.join(sf, Seq("vec_id"))
+          case None     => ptsF.withColumn("sd", lit(0L))
+        }
+        base.join(lab, Seq("vec_id"))
+          .groupBy(col("sd"), col("pos"), qb.as("qb"), col("label"))
+          .agg(count(lit(1)).as("c"))
+          .ckpt()
+      }
+      // per-side best split over a side-keyed cube (q173's chain)
+      def bestSplit(cube: DataFrame): (DataFrame, DataFrame) = {
+        val pc = cube.filter(col("pos") === 1)
+          .groupBy(col("sd"), col("label")).agg(sum(col("c")).as("cp"))
+        val nG = pc.groupBy(col("sd")).agg(sum(col("cp")).as("n"))
+        val pD = col("cp").cast("double") / col("n").cast("double")
+        val hp = pc.join(nG, Seq("sd"))
+          .select(col("sd"),
+            floor(lit(1000000000.0) * (-(pD * log(pD))))
+              .cast("bigint").as("t_nn"))
+          .groupBy(col("sd")).agg(sum(col("t_nn")).as("hp_nn"))
+        val thr = cube.select(col("sd"), col("pos"), col("qb").as("t"))
+          .distinct()
+        val lcx = thr.as("th")
+          .join(pc.as("pc"), col("th.sd") === col("pc.sd"))
+          .join(cube.as("cu"),
+            col("cu.sd") === col("th.sd") &&
+              col("cu.pos") === col("th.pos") &&
+              col("cu.label") === col("pc.label") &&
+              col("cu.qb") <= col("th.t"), "left")
+          .groupBy(col("th.sd").as("sd"), col("th.pos").as("pos"),
+            col("th.t").as("t"), col("pc.label").as("label"),
+            col("pc.cp").as("cp"))
+          .agg(coalesce(sum(col("cu.c")), lit(0L)).as("cl"))
+        val nlF = lcx.groupBy(col("sd"), col("pos"), col("t"))
+          .agg(sum(col("cl")).as("nl"))
+        val base = lcx.join(nlF, Seq("sd", "pos", "t")).join(nG, Seq("sd"))
+        val dl = col("cl").cast("double") / col("n").cast("double")
+        val dr = (col("cp") - col("cl")).cast("double") /
+          col("n").cast("double")
+        val terms = base.select(col("sd"), col("pos"), col("t"),
+            (when(col("cl") > 0,
+              floor(lit(1000000000.0) * (dl *
+                log(col("nl").cast("double") / col("cl").cast("double"))))
+                .cast("bigint")).otherwise(0L) +
+             when(col("cp") - col("cl") > 0,
+              floor(lit(1000000000.0) * (dr *
+                log((col("n") - col("nl")).cast("double") /
+                  (col("cp") - col("cl")).cast("double"))))
+                .cast("bigint")).otherwise(0L)).as("t_nn"))
+          .groupBy(col("sd"), col("pos"), col("t"))
+          .agg(sum(col("t_nn")).as("child_nn"))
+        val cand = terms.join(nlF, Seq("sd", "pos", "t"))
+          .join(hp, Seq("sd"))
+          .select(col("sd"), col("pos"), col("t"), col("nl"),
+            (col("hp_nn") - col("child_nn")).as("gain_nn"))
+        val w = Window.partitionBy(col("sd"))
+          .orderBy(col("gain_nn").desc, col("pos"), col("t"))
+        (cand.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1).drop("rk"), nG)
+      }
+      val pts = points(emb).filter(col("pos") <= 4)
+      val (root, _) = bestSplit(mkCube(pts, None))
+      val rootB = broadcast(root)
+      val sidef = pts.join(rootB.select(col("pos"), col("t")), Seq("pos"))
+        .select(col("vec_id"),
+          when(qb <= col("t"), 0L).otherwise(1L).as("sd"))
+      val cube2 = mkCube(pts, Some(sidef))
+      val (best2, n2) = bestSplit(cube2)
+      val best2B = broadcast(best2)
+      val pc2 = cube2.filter(col("pos") === 1)
+        .groupBy(col("sd"), col("label")).agg(sum(col("c")).as("cp"))
+      val acc1 = pc2.groupBy(col("sd")).agg(max(col("cp")).as("mx"))
+        .agg(sum(col("mx")).cast("bigint").as("hit1"))
+      val leafF = sidef.as("sf")
+        .join(best2B.select(col("sd"), col("pos").as("cpos"),
+          col("t").as("ct")), Seq("sd"))
+        .join(pts.as("pp"), col("pp.vec_id") === col("sf.vec_id") &&
+          col("pp.pos") === col("cpos"))
+        .select(col("sf.vec_id").as("vec_id"), col("sd"),
+          when(expr(s"(pp.q - pmod(pp.q, $B)) div $B") <= col("ct"), 0L)
+            .otherwise(1L).as("lf"))
+      val leafc = leafF.join(lab, Seq("vec_id"))
+        .groupBy(col("sd"), col("lf"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val acc2 = leafc.groupBy(col("sd"), col("lf"))
+        .agg(max(col("c")).as("mx"))
+        .agg(sum(col("mx")).cast("bigint").as("hit2"))
+      val nt = emb.agg(count(lit(1)).as("n"))
+      val rootRow = rootB.crossJoin(broadcast(nt))
+        .select(lit("root").as("node"), col("pos").cast("bigint").as("pos"),
+          col("t").as("thr"), col("n").as("n_node"), col("gain_nn"))
+      val childRows = best2B.join(n2, Seq("sd"))
+        .select(when(col("sd") === 0, "left").otherwise("right").as("node"),
+          col("pos").cast("bigint").as("pos"), col("t").as("thr"),
+          col("n").as("n_node"), col("gain_nn"))
+      rootRow.unionByName(childRows)
+        .crossJoin(broadcast(acc1)).crossJoin(broadcast(acc2))
+        .crossJoin(broadcast(nt.select(col("n").as("ntot"))))
+        .select(col("node"), col("pos"), col("thr"), col("n_node"),
+          col("gain_nn"),
+          expr("(1000000 * hit1) div ntot").as("acc_stump_ppm"),
+          expr("(1000000 * hit2) div ntot").as("acc_tree_ppm"))
+        .orderBy("node")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q95Kmeans, q96CentroidClassify,
     q159ClusterPurity, q173Stump, q174Calibration, q227NaiveBayes,
     q235Conformal, q238Dbscan, q249KCenter, q255Isotonic, q259EbShrinkage,
     q286Logistic, q296InfoGain, q322ClassWeights, q328CohensKappa,
-    q329OodMahalanobis, q331AlMargin, q332Committee)
+    q329OodMahalanobis, q331AlMargin, q332Committee, q356TreeDepth2)
 }

@@ -405,4 +405,51 @@ class Round7mSpec extends AnyFunSuite {
       assert(labelingCost(flipped) >= obj, s"flip at $i improves")
     }
   }
+
+  test("q356 depth-2 tree: root = q173 winner, refinement, replay") {
+    val rows = run("q356_tree_depth2")
+    assert(rows.map(_.getAs[String]("node")).sorted.toSeq ==
+      Seq("left", "right", "root"))
+    val byNode = rows.map(r => r.getAs[String]("node") -> r).toMap
+    val root = byNode("root")
+    // the root split IS q173's argmax (identical machinery)
+    val stumpTop = run("q173_stump").head
+    assert(root.getAs[Long]("pos") == stumpTop.getAs[Long]("pos"))
+    assert(root.getAs[Long]("thr") == stumpTop.getAs[Long]("thr"))
+    assert(root.getAs[Long]("gain_nn") == stumpTop.getAs[Long]("gain_nn"))
+    // side sizes partition the corpus
+    assert(byNode("left").getAs[Long]("n_node") +
+      byNode("right").getAs[Long]("n_node") ==
+      root.getAs[Long]("n_node"))
+    // a finer partition's majority vote can never be less accurate
+    val acc1 = root.getAs[Long]("acc_stump_ppm")
+    val acc2 = root.getAs[Long]("acc_tree_ppm")
+    assert(acc2 >= acc1, s"tree $acc2 < stump $acc1")
+    // full replay of sides, leaves, and both accuracies from raw data
+    val B = 125000L
+    val emb = graft.Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "label", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Number]("label").longValue,
+        r.getAs[scala.collection.Seq[Float]]("embedding")))
+    def q(v: Float): Long = math.floor(v.toDouble * 1000000L).toLong
+    def bucket(x: Long): Long = math.floorDiv(x, B)
+    val rp = root.getAs[Long]("pos").toInt
+    val rt = root.getAs[Long]("thr")
+    val sides = emb.map { case (id, lbl, e) =>
+      (id, lbl, e, if (bucket(q(e(rp - 1))) <= rt) "left" else "right")
+    }
+    for (nd <- Seq("left", "right"))
+      assert(byNode(nd).getAs[Long]("n_node") ==
+        sides.count(_._4 == nd).toLong, s"$nd size")
+    val hit1 = sides.groupBy(_._4).values.map(g =>
+      g.groupBy(_._2).values.map(_.length).max).sum
+    assert(acc1 == 1000000L * hit1 / emb.length)
+    val hit2 = sides.groupBy(_._4).map { case (nd, g) =>
+      val cp = byNode(nd).getAs[Long]("pos").toInt
+      val ct = byNode(nd).getAs[Long]("thr")
+      g.groupBy(x => bucket(q(x._3(cp - 1))) <= ct).values.map(lf =>
+        lf.groupBy(_._2).values.map(_.length).max).sum
+    }.sum
+    assert(acc2 == 1000000L * hit2 / emb.length)
+  }
 }
