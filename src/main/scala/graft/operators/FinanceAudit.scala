@@ -1233,10 +1233,116 @@ object FinanceAudit {
     }
   }
 
+  /** q357 — peaks-over-threshold GPD tail model of the daily loss
+    * distribution (Pickands '75; the EVT half of the Basel toolkit):
+    * exceedances over the exact q90 loss quantile are fit to a
+    * Generalized Pareto by method of moments (ξ = ½(1 − m²/v),
+    * β = ½m(1 + m²/v)) and the model-implied VaR₉₉ is reported NEXT
+    * TO the empirical order statistic — the parametric-vs-empirical
+    * agreement check a risk desk runs before trusting the model to
+    * extrapolate beyond observed quantiles (q352 reads the empirical
+    * tail; q314's Hill index reads its shape; this fits the
+    * distribution and closes the loop).
+    *
+    * Exactness: the threshold and the empirical VaR are exact rank
+    * selections (q352's machinery); exceedance moments are exact
+    * integer sums in DECIMAL(38,0) (Σe² overflows int64 at cent
+    * scale); ξ, β, and the implied quantile ride shared all-DOUBLE
+    * chains — the power (k/(n·0.01))^ξ is exp(ξ·ln(·)), the q286
+    * exp/ln portability contract, with the ξ=0 exponential-tail limit
+    * guarded to a ln chain.
+    *
+    * Scale design (100 TB): identical to q352 — one fact collapse to
+    * the calendar-bounded day axis, rank/lag windows on that bounded
+    * frame (adjudicated), exceedance moments partial-aggregable, all
+    * model arithmetic on 1-row frames. Output 1 row. */
+  val q357PotGpd: QueryDef = {
+    // moment chains over (k, s1, s2) exceedance sums and (n, u) —
+    // m = s1/k, v = s2/k − m²
+    val mD = "(CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))"
+    val vD = s"(CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE) - ($mD) * ($mD))"
+    val xiD = s"(0.5 * (1.0 - ($mD) * ($mD) / ($vD)))"
+    val betaD = s"(0.5 * ($mD) * (1.0 + ($mD) * ($mD) / ($vD)))"
+    // (k / (n·0.01))^xi via exp/ln; xi = 0 → exponential tail
+    val ratioD = "(CAST(k AS DOUBLE) / (CAST(n AS DOUBLE) * 0.01))"
+    val var99D = s"CASE WHEN ($xiD) = 0.0 " +
+      s"THEN CAST(u AS DOUBLE) + ($betaD) * ln($ratioD) " +
+      s"ELSE CAST(u AS DOUBLE) + (($betaD) / ($xiD)) * " +
+      s"(exp(($xiD) * ln($ratioD)) - 1.0) END"
+    QueryDef(
+      "q357_pot_gpd",
+      s"""WITH daily AS (
+         |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+         |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |        AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |pnl AS (SELECT d, rev - lag(rev) OVER (ORDER BY d) AS p FROM daily),
+         |loss AS (SELECT d, -p AS l FROM pnl WHERE p IS NOT NULL),
+         |ranked AS (
+         |  SELECT l, CAST(row_number() OVER (ORDER BY l, d) AS BIGINT) AS rn
+         |  FROM loss),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM loss),
+         |u AS (
+         |  SELECT r.l AS u FROM ranked r, nt
+         |  WHERE r.rn = (900 * nt.n + 999) // 1000),
+         |emp AS (
+         |  SELECT r.l AS var99_emp FROM ranked r, nt
+         |  WHERE r.rn = (990 * nt.n + 999) // 1000),
+         |exc AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k,
+         |    sum(CAST(loss.l - u.u AS HUGEINT)) AS s1,
+         |    sum(CAST(loss.l - u.u AS HUGEINT) * (loss.l - u.u)) AS s2
+         |  FROM loss, u WHERE loss.l > u.u)
+         |SELECT nt.n AS n_days, u.u AS u_cents, exc.k AS n_exceed,
+         |  CAST(floor($mD) AS BIGINT) AS mean_exc_cents,
+         |  CAST(floor(1000000.0 * ($xiD)) AS BIGINT) AS xi_micro,
+         |  CAST(floor($betaD) AS BIGINT) AS beta_cents,
+         |  CAST(floor($var99D) AS BIGINT) AS var99_gpd_cents,
+         |  emp.var99_emp AS var99_emp_cents
+         |FROM nt, u, exc, emp""".stripMargin) { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01")).cast("bigint").as("d"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("bigint")).cast("bigint").as("rev"))
+      val wD = Window.orderBy(col("d"))
+      val loss = daily
+        .withColumn("p", col("rev") - lag(col("rev"), 1).over(wD))
+        .filter(col("p").isNotNull)
+        .select(col("d"), (-col("p")).as("l"))
+      val wL = Window.orderBy(col("l"), col("d"))
+      val ranked = loss
+        .withColumn("rn", row_number().over(wL).cast("bigint"))
+        .ckpt() // one ranked pass feeds threshold AND empirical VaR
+      val nt = broadcast(loss.agg(count(lit(1)).as("n")))
+      val u = broadcast(ranked.crossJoin(nt)
+        .filter(expr("rn = (900 * n + 999) div 1000"))
+        .select(col("l").as("u")))
+      val emp = broadcast(ranked.crossJoin(nt)
+        .filter(expr("rn = (990 * n + 999) div 1000"))
+        .select(col("l").as("var99_emp")))
+      val exc = loss.crossJoin(u)
+        .filter(col("l") > col("u"))
+        .select((col("l") - col("u")).as("e"))
+        .agg(count(lit(1)).as("k"),
+          sum(col("e").cast("decimal(19,0)")).as("s1"),
+          sum(col("e").cast("decimal(19,0)") * col("e")).as("s2"))
+      exc.crossJoin(nt).crossJoin(u).crossJoin(broadcast(emp))
+        .select(col("n").as("n_days"), col("u").as("u_cents"),
+          col("k").as("n_exceed"),
+          expr(s"CAST(floor($mD) AS BIGINT)").as("mean_exc_cents"),
+          expr(s"CAST(floor(1000000.0 * ($xiD)) AS BIGINT)").as("xi_micro"),
+          expr(s"CAST(floor($betaD) AS BIGINT)").as("beta_cents"),
+          expr(s"CAST(floor($var99D) AS BIGINT)").as("var99_gpd_cents"),
+          col("var99_emp").as("var99_emp_cents"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q188DupCharge, q189ParetoAbc, q192Vwap, q193Drawdown, q194Aging,
     q195RoundBias, q210DiffInDiff, q211AbcXyz, q214LedgerRegister,
     q218WeeklyKpi, q222VelocityScreen, q253PriceVolumeMix, q263Hhi,
     q271Proration, q282DecayedTopk, q292FifoCosting, q314TailIndex,
-    q352VarEs)
+    q352VarEs, q357PotGpd)
 }

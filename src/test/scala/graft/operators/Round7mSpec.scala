@@ -452,4 +452,43 @@ class Round7mSpec extends AnyFunSuite {
     }.sum
     assert(acc2 == 1000000L * hit2 / emb.length)
   }
+
+  test("q357 POT/GPD: moment replay and tail-model sanity") {
+    val r = run("q357_pot_gpd").head
+    val daily = graft.Tables.orders(spark, dir)
+      .groupBy(expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+        "DATE '1970-01-01') AS BIGINT)").as("d"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 " +
+        "AS BIGINT)")).cast("bigint").as("rev"))
+      .collect().map(x => (x.getAs[Long]("d"), x.getAs[Long]("rev")))
+      .sortBy(_._1)
+    val losses = daily.sliding(2).collect {
+      case Array((_, r1), (_, r2)) => r1 - r2
+    }.toSeq.sorted
+    val n = losses.length
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    val u = losses((900 * n + 999) / 1000 - 1)
+    assert(r.getAs[Long]("u_cents") == u)
+    assert(r.getAs[Long]("var99_emp_cents") ==
+      losses((990 * n + 999) / 1000 - 1))
+    val exc = losses.filter(_ > u).map(_ - u)
+    val k = exc.length
+    assert(r.getAs[Long]("n_exceed") == k.toLong)
+    val s1 = exc.map(BigInt(_)).sum.toDouble
+    val s2 = exc.map(e => BigInt(e) * BigInt(e)).sum.toDouble
+    val m = s1 / k; val v = s2 / k - m * m
+    val xi = 0.5 * (1.0 - m * m / v)
+    val beta = 0.5 * m * (1.0 + m * m / v)
+    assert(r.getAs[Long]("mean_exc_cents") == math.floor(m).toLong)
+    assert(r.getAs[Long]("xi_micro") == math.floor(1e6 * xi).toLong)
+    assert(r.getAs[Long]("beta_cents") == math.floor(beta).toLong)
+    val ratio = k.toDouble / (n.toDouble * 0.01)
+    val var99 = if (xi == 0.0) u + beta * math.log(ratio)
+      else u + (beta / xi) * (math.exp(xi * math.log(ratio)) - 1.0)
+    assert(r.getAs[Long]("var99_gpd_cents") == math.floor(var99).toLong)
+    // method-of-moments structure: v > 0 forces xi < 0.5; the implied
+    // 99% quantile must sit strictly above the 90% threshold
+    assert(r.getAs[Long]("xi_micro") < 500000L)
+    assert(r.getAs[Long]("var99_gpd_cents") > r.getAs[Long]("u_cents"))
+  }
 }

@@ -275,5 +275,9 @@ object PlanSweepAllowlist {
       "sequential min-plus DP over the aggregated day axis " +
         "(calendar-bounded, the q164 shape)"),
     ("q355_burst_intervals", "^rn#",
-      "island extraction over the calendar-bounded labeled day frame"))
+      "island extraction over the calendar-bounded labeled day frame"),
+    ("q357_pot_gpd", "^d#",
+      "day-over-day lag window: calendar-bounded day axis"),
+    ("q357_pot_gpd", "^l#",
+      "loss rank window over the calendar-bounded day-P&L frame"))
 }

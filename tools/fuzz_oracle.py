@@ -208,6 +208,26 @@ QUERIES = [
     # the seasonal anomaly screen rides the money redraw through the
     # trend, the weekday index, and every z chain
     "q290_seasonal_anomaly",
+    # the quantile-regression grid rides the lineitem money redraw
+    # through residual bucketing (shiftright on signed residuals), the
+    # histogram refinement, and the pinball DECIMAL fold
+    "q340_quantile_regression",
+    # RANSAC rides the lineitem redraw through the md5 seed RANKING
+    # (prices feed the tiebreak), every integer inlier test, and the
+    # all-double refit chains
+    "q348_ransac_consensus",
+    # RAKE and Good-Turing ride the documents text redraw through
+    # segmentation, word stats, and the freq-of-freq frame
+    "q350_rake_keywords", "q353_good_turing",
+    # Fellegi-Sunter rides the customer balance redraw through the g2
+    # agreement field, the pattern counts, and both EM rounds
+    "q351_fellegi_sunter",
+    # VaR/ES rides the orders money redraw through day P&L, the loss
+    # order statistics, and the tail-mean floor chain
+    "q352_var_es",
+    # the newsvendor rides the lineitem quantity redraw through every
+    # demand distribution, fractile pick, and cost sum
+    "q354_newsvendor",
 ]
 # q289 HRU view selection reads only categorical dimension columns
 # (preserved by the redraw) — an inert replay, not registered.
@@ -217,6 +237,9 @@ QUERIES = [
 # by the redraw), so its fuzz replay would be the identical graph.
 # q273 hard-negative mining reads only embeddings (COPY_AS_IS under the
 # fuzz redraw), so a fuzz entry would replay the identical corpus.
+# q349 variance-time and q355 burst intervals read only timestamps/
+# dates and row counts (preserved by the redraw) — inert replays.
+# q356 depth-2 tree reads only embeddings (COPY_AS_IS) — inert.
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
               "embeddings"]
