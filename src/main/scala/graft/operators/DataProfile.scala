@@ -3021,8 +3021,108 @@ object DataProfile {
     }
   }
 
+  /** q359 — empirical upper-tail dependence λ_U(q) between order
+    * quantity and line revenue (Sibuya '60; the copula-tail statistic
+    * behind joint-extremes risk): at q ∈ {90%, 95%, 99%},
+    * λ̂_U(q) = P(X > x_q, Y > y_q)/(1−q) — 1·10⁶ ppm means the
+    * extremes move TOGETHER (co-monotone), (1−q)·10⁶ means
+    * independent tails. Global rank correlations (q225 Spearman,
+    * q256 Kendall) average over the whole distribution and can hide
+    * tail decoupling; this reads dependence exactly where joint
+    * blow-ups live, completing the q357/q314 extreme-value family
+    * with its DEPENDENCE axis.
+    *
+    * Exactness: both thresholds are exact rank-selected order
+    * statistics; the joint exceedance count is an exact integer;
+    * λ and its independence baseline are all-DOUBLE floor chains
+    * (counts × 10⁹ overflow int64 at production volume).
+    *
+    * Scale design (100 TB): each margin ranks via
+    * [[ScaleRank.withRowNumber]] (two-level distributed rank — one
+    * range exchange per margin, no single-task sort); the three
+    * thresholds arrive by equi-join on the precomputed rank;
+    * exceedance counting is ONE corpus pass against the broadcast
+    * 3-row threshold frame with conditional sums. Output 3 rows. */
+  val q359TailDependence: QueryDef = {
+    val qs = Seq(900L, 950L, 990L)
+    val lamPpm = "CAST(floor((1000000.0 * CAST(cnt AS DOUBLE) * 1000.0) / " +
+      "(CAST(n AS DOUBLE) * CAST(1000 - qm AS DOUBLE))) AS BIGINT)"
+    // discrete-margin-honest ratio: observed joint over the EMPIRICAL
+    // independence null nx*ny/n (NULL when a margin saturates to 0)
+    val ratioPpm = "CASE WHEN nx = 0 OR ny = 0 THEN NULL ELSE " +
+      "CAST(floor((1000000.0 * CAST(cnt AS DOUBLE) * CAST(n AS DOUBLE)) / " +
+      "(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) AS BIGINT) END"
+    QueryDef(
+      "q359_tail_dependence",
+      s"""WITH pts AS (
+         |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+         |  FROM lineitem),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+         |rx AS (SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT)
+         |       AS rn FROM pts),
+         |ry AS (SELECT y, CAST(row_number() OVER (ORDER BY y) AS BIGINT)
+         |       AS rn FROM pts),
+         |qq AS (
+         |  SELECT qm, (qm * nt.n + 999) // 1000 AS rk, nt.n
+         |  FROM (SELECT CAST(unnest([${qs.mkString(", ")}]) AS BIGINT)
+         |        AS qm), nt),
+         |thr AS (
+         |  SELECT qq.qm, qq.n, rx.x AS tx, ry.y AS ty
+         |  FROM qq JOIN rx ON rx.rn = qq.rk JOIN ry ON ry.rn = qq.rk),
+         |cnts AS (
+         |  SELECT t.qm, t.n, t.tx, t.ty,
+         |    CAST(sum(CASE WHEN p.x > t.tx AND p.y > t.ty
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+         |    CAST(sum(CASE WHEN p.x > t.tx THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nx,
+         |    CAST(sum(CASE WHEN p.y > t.ty THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ny
+         |  FROM thr t, pts p GROUP BY 1, 2, 3, 4)
+         |SELECT qm AS q_milli, n, tx AS thr_x, ty AS thr_y_cents,
+         |  cnt AS n_joint, nx AS n_exc_x, ny AS n_exc_y,
+         |  $lamPpm AS lambda_ppm,
+         |  (1000 * (1000 - qm)) AS indep_ppm,
+         |  $ratioPpm AS dep_ratio_ppm
+         |FROM cnts ORDER BY qm""".stripMargin) { (s, dir) =>
+      val pts = Tables.lineitem(s, dir).select(
+        expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("x"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("y"))
+        .ckpt() // one fact projection feeds both rank passes + counting
+      val nt = broadcast(pts.agg(count(lit(1)).as("n")))
+      val rx = ScaleRank.withRowNumber(
+        pts.select(col("x")), Seq.empty, Seq(col("x")), "rn", "nn")
+      val ry = ScaleRank.withRowNumber(
+        pts.select(col("y")), Seq.empty, Seq(col("y")), "rn", "nn")
+      import s.implicits._
+      val qq = broadcast(qs.toDF("qm").crossJoin(nt)
+        .withColumn("rk", expr("(qm * n + 999) div 1000")))
+      val thr = broadcast(qq
+        .join(rx.select(col("x").as("tx"), col("rn")), col("rn") === col("rk"))
+        .drop("rn")
+        .join(ry.select(col("y").as("ty"), col("rn")), col("rn") === col("rk"))
+        .select(col("qm"), col("n"), col("tx"), col("ty")))
+      pts.crossJoin(thr)
+        .groupBy(col("qm"), col("n"), col("tx"), col("ty"))
+        .agg(sum(when(col("x") > col("tx") && col("y") > col("ty"), 1L)
+          .otherwise(0L)).cast("bigint").as("cnt"),
+          sum(when(col("x") > col("tx"), 1L).otherwise(0L))
+            .cast("bigint").as("nx"),
+          sum(when(col("y") > col("ty"), 1L).otherwise(0L))
+            .cast("bigint").as("ny"))
+        .select(col("qm").as("q_milli"), col("n"), col("tx").as("thr_x"),
+          col("ty").as("thr_y_cents"), col("cnt").as("n_joint"),
+          col("nx").as("n_exc_x"), col("ny").as("n_exc_y"),
+          expr(lamPpm).as("lambda_ppm"),
+          (lit(1000L) * (lit(1000L) - col("qm"))).as("indep_ppm"),
+          expr(ratioPpm).as("dep_ratio_ppm"))
+        .orderBy("q_milli")
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q301Hbos, q313CovariateBalance, q317Wasserstein, q319Srm,
+    Seq(q359TailDependence,
+      q301Hbos, q313CovariateBalance, q317Wasserstein, q319Srm,
       q326CorrMatrix, q335SplitStratification, q336DkwBands,
       q339LargestRemainder, q342EnergyDistance,
       q71Profile, q106IqrOutliers, q116Histogram, q121FkAudit,

@@ -3083,8 +3083,101 @@ object TextAnalysis {
     }
   }
 
+  /** q358 — word adaptation / burstiness audit (Church & Gale '95,
+    * "Poisson Mixtures"; Church 2000, "Empirical Estimates of
+    * Adaptation"): per dyadic corpus-frequency band, the measured
+    * adaptation P(word occurs ≥2 in a doc | occurs ≥1) against the
+    * independence null (binomial with the word's global rate over the
+    * mean doc length). Natural text adapts — a word that appeared is
+    * far likelier to reappear than Poisson allows — and the
+    * band-resolved burst ratio is the signal a topical-dedup or
+    * keyword pipeline reads to separate FUNCTION words (ratio ≈ 1)
+    * from CONTENT words (ratio ≫ 1). q200 measures burstiness per
+    * document; this measures it per WORD-frequency band with an
+    * explicit null.
+    *
+    * Exactness: df and repeat-df are exact integers; the measured
+    * adaptation is a non-negative ppm floor-div of band sums; each
+    * word's null P(≥2|≥1) = (1 − q^L − Lp·q^(L−1))/(1 − q^L) is ONE
+    * shared exp/ln double chain (q286 contract) floored to nano per
+    * word BEFORE band-summing (order-free), then averaged by integer
+    * division over the band's type count.
+    *
+    * Scale design (100 TB): one corpus pass to (doc, word) counts,
+    * one vocabulary pass to per-word stats, one ≤64-row band
+    * collapse — all partial-aggregable, zero windows, zero joins
+    * beyond the 1-row totals broadcast. Output ≤ ~15 rows. */
+  val q358WordAdaptation: QueryDef = {
+    val MIN_DF = 5L
+    // per-word null chain over (nw, ntok, ndoc): p = nw/ntok,
+    // L = ntok/ndoc, q = 1-p
+    val pD = "(CAST(nw AS DOUBLE) / CAST(ntok AS DOUBLE))"
+    val lD = "(CAST(ntok AS DOUBLE) / CAST(ndoc AS DOUBLE))"
+    val qlD = s"exp(($lD) * ln(1.0 - ($pD)))"
+    val ql1D = s"exp((($lD) - 1.0) * ln(1.0 - ($pD)))"
+    val nullNano = s"CAST(floor(1000000000.0 * " +
+      s"((1.0 - ($qlD) - ($lD) * ($pD) * ($ql1D)) / (1.0 - ($qlD)))) " +
+      s"AS BIGINT)"
+    QueryDef(
+      "q358_word_adaptation",
+      s"""WITH dw AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents) GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS ntok,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS ndoc
+         |  FROM dw),
+         |ws AS (
+         |  SELECT tok, CAST(sum(c) AS BIGINT) AS nw,
+         |    CAST(count(*) AS BIGINT) AS df,
+         |    CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2
+         |  FROM dw GROUP BY 1),
+         |wn AS (
+         |  SELECT CAST(floor(ln(CAST(nw AS DOUBLE)) / ln(2.0)) AS BIGINT)
+         |      AS band,
+         |    df, r2, $nullNano AS null_nano
+         |  FROM ws, tot WHERE df >= $MIN_DF)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(df) AS BIGINT) AS sum_df,
+         |  CAST(sum(r2) AS BIGINT) AS sum_r2,
+         |  (1000000 * CAST(sum(r2) AS BIGINT))
+         |    // CAST(sum(df) AS BIGINT) AS adapt_ppm,
+         |  CAST(sum(null_nano) AS BIGINT)
+         |    // (1000 * CAST(count(*) AS BIGINT)) AS null_ppm
+         |FROM wn GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+      val dw = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // single-file scan -> use every core
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .ckpt() // one (doc, word) collapse feeds totals AND word stats
+      val tot = broadcast(dw.agg(
+        sum(col("c")).cast("bigint").as("ntok"),
+        countDistinct(col("doc_id")).as("ndoc")))
+      val ws = dw.groupBy(col("tok"))
+        .agg(sum(col("c")).cast("bigint").as("nw"),
+          count(lit(1)).as("df"),
+          sum(when(col("c") >= 2, 1L).otherwise(0L)).cast("bigint").as("r2"))
+        .filter(col("df") >= MIN_DF)
+      ws.crossJoin(tot)
+        .select(
+          expr("CAST(floor(ln(CAST(nw AS DOUBLE)) / ln(2.0)) AS BIGINT)")
+            .as("band"),
+          col("df"), col("r2"), expr(nullNano).as("null_nano"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("df")).cast("bigint").as("sum_df"),
+          sum(col("r2")).cast("bigint").as("sum_r2"),
+          sum(col("null_nano")).cast("bigint").as("sn"))
+        .select(col("band"), col("n_types"), col("sum_df"), col("sum_r2"),
+          expr("(1000000 * sum_r2) div sum_df").as("adapt_ppm"),
+          expr("sn div (1000 * n_types)").as("null_ppm"))
+        .orderBy("band")
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q350RakeKeywords, q353GoodTuring,
+    Seq(q350RakeKeywords, q353GoodTuring, q358WordAdaptation,
       q295YulesK, q320SourceNovelty, q321CharEntropy,
       q337HashCollisionCurve,
       q232LooInfluence, q243FeatureHashing, q254MaxCoverage, q264McNemar,

@@ -491,4 +491,70 @@ class Round7mSpec extends AnyFunSuite {
     assert(r.getAs[Long]("xi_micro") < 500000L)
     assert(r.getAs[Long]("var99_gpd_cents") > r.getAs[Long]("u_cents"))
   }
+
+  test("q358 adaptation: per-word replay of stats and the null chain") {
+    val rows = run("q358_word_adaptation")
+    assert(rows.nonEmpty)
+    val dw = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").count().collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("tok"),
+        r.getAs[Long]("count")))
+    val nTok = dw.map(_._3).sum
+    val nDoc = dw.map(_._1).distinct.length.toLong
+    val ws = dw.groupBy(_._2).map { case (_, xs) =>
+      (xs.map(_._3).sum, xs.length.toLong, xs.count(_._3 >= 2).toLong)
+    }.filter(_._2 >= 5L).toSeq
+    val byBand = ws.groupBy { case (nw, _, _) =>
+      math.floor(math.log(nw.toDouble) / math.log(2.0)).toLong
+    }
+    assert(rows.map(_.getAs[Long]("band")).toSet == byBand.keySet)
+    for (r <- rows) {
+      val g = byBand(r.getAs[Long]("band"))
+      assert(r.getAs[Long]("n_types") == g.length.toLong)
+      val sdf = g.map(_._2).sum; val sr2 = g.map(_._3).sum
+      assert(r.getAs[Long]("sum_df") == sdf)
+      assert(r.getAs[Long]("sum_r2") == sr2)
+      assert(r.getAs[Long]("adapt_ppm") == 1000000L * sr2 / sdf)
+      val sn = g.map { case (nw, _, _) =>
+        val p = nw.toDouble / nTok.toDouble
+        val l = nTok.toDouble / nDoc.toDouble
+        val ql = math.exp(l * math.log(1.0 - p))
+        val ql1 = math.exp((l - 1.0) * math.log(1.0 - p))
+        math.floor(1e9 * ((1.0 - ql - l * p * ql1) / (1.0 - ql))).toLong
+      }.sum
+      assert(r.getAs[Long]("null_ppm") == sn / (1000L * g.length))
+    }
+  }
+
+  test("q359 tail dependence: threshold and count replay") {
+    val rows = run("q359_tail_dependence")
+    assert(rows.map(_.getAs[Long]("q_milli")).toSeq == Seq(900L, 950L, 990L))
+    val pts = graft.Tables.lineitem(spark, dir)
+      .selectExpr("CAST(floor(l_quantity + 0.5) AS BIGINT) AS x",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y")
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")))
+    val n = pts.length
+    val xs = pts.map(_._1).sorted; val ys = pts.map(_._2).sorted
+    for (r <- rows) {
+      val q = r.getAs[Long]("q_milli")
+      val rk = ((q * n + 999) / 1000).toInt
+      val (tx, ty) = (xs(rk - 1), ys(rk - 1))
+      assert(r.getAs[Long]("thr_x") == tx && r.getAs[Long]("thr_y_cents") == ty)
+      val cnt = pts.count { case (x, y) => x > tx && y > ty }.toLong
+      val nx = pts.count(_._1 > tx).toLong
+      val ny = pts.count(_._2 > ty).toLong
+      assert(r.getAs[Long]("n_joint") == cnt)
+      assert(r.getAs[Long]("n_exc_x") == nx && r.getAs[Long]("n_exc_y") == ny)
+      assert(r.getAs[Long]("lambda_ppm") ==
+        math.floor(1000000.0 * cnt * 1000.0 / (n.toDouble * (1000 - q))).toLong)
+      if (nx == 0 || ny == 0)
+        assert(r.isNullAt(r.fieldIndex("dep_ratio_ppm")))
+      else
+        assert(r.getAs[Long]("dep_ratio_ppm") ==
+          math.floor(1000000.0 * cnt * n / (nx.toDouble * ny.toDouble)).toLong)
+      // exceedance structure: joint <= each margin, margins <= n - rk + ties
+      assert(cnt <= math.min(nx, ny))
+    }
+  }
 }
