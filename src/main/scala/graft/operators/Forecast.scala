@@ -784,8 +784,84 @@ object Forecast {
     }
   }
 
+  /** q360 — Diebold–Mariano forecast comparison (Diebold & Mariano
+    * '95): one-step absolute-error losses of the SEASONAL-NAIVE
+    * forecaster (ŷ_t = y_{t−7}) against the RANDOM-WALK forecaster
+    * (ŷ_t = y_{t−1}) on daily revenue, with the DM statistic
+    * mean(d)/√(var(d)/n) on the loss differential d_t = |e₁|−|e₂|
+    * (lag-0 variance — exact for 1-step-ahead, the textbook case).
+    * q184's MASE scores ONE forecaster against a scale; this is the
+    * INFERENCE layer — is the seasonal model's edge statistically
+    * real, or day-to-day noise?
+    *
+    * Exactness: both error series are exact integer cents over the
+    * day-rank sequence (consecutive present days — calendar gaps do
+    * not fabricate forecasts); Σd is int64, Σd² rides DECIMAL(38,0);
+    * the z statistic is one shared all-DOUBLE chain.
+    *
+    * Scale design (100 TB): one fact collapse to the calendar-bounded
+    * day axis; both lags ride ONE window pass over that bounded frame
+    * (adjudicated, the q352 shape); the moments are a 1-row
+    * aggregate. Output 1 row. */
+  val q360DieboldMariano: QueryDef = {
+    val mD = "(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))"
+    val vD = s"(CAST(sdd AS DOUBLE) / CAST(n AS DOUBLE) - ($mD) * ($mD))"
+    val zMilli = s"CASE WHEN ($vD) <= 0.0 THEN NULL ELSE " +
+      s"CAST(floor(1000.0 * ($mD) / sqrt(($vD) / CAST(n AS DOUBLE))) " +
+      s"AS BIGINT) END"
+    QueryDef(
+      "q360_diebold_mariano",
+      s"""WITH daily AS (
+         |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+         |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |        AS BIGINT)) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1),
+         |lagd AS (
+         |  SELECT d, y, lag(y, 7) OVER (ORDER BY d) AS y7,
+         |    lag(y, 1) OVER (ORDER BY d) AS y1
+         |  FROM daily),
+         |err AS (
+         |  SELECT abs(y - y7) AS e1, abs(y - y1) AS e2,
+         |    abs(y - y7) - abs(y - y1) AS dd
+         |  FROM lagd WHERE y7 IS NOT NULL),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(e1) AS BIGINT) AS se1, CAST(sum(e2) AS BIGINT) AS se2,
+         |    CAST(sum(dd) AS BIGINT) AS sd,
+         |    sum(CAST(dd AS HUGEINT) * dd) AS sdd
+         |  FROM err)
+         |SELECT n, se1 // n AS mae_seasonal_cents, se2 // n AS mae_rw_cents,
+         |  sd AS sum_diff_cents, $zMilli AS dm_z_milli
+         |FROM agg""".stripMargin) { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01")).cast("bigint").as("d"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("bigint")).cast("bigint").as("y"))
+      val wD = Window.orderBy(col("d"))
+      val err = daily
+        .withColumn("y7", lag(col("y"), 7).over(wD))
+        .withColumn("y1", lag(col("y"), 1).over(wD))
+        .filter(col("y7").isNotNull)
+        .select(abs(col("y") - col("y7")).as("e1"),
+          abs(col("y") - col("y1")).as("e2"),
+          (abs(col("y") - col("y7")) - abs(col("y") - col("y1"))).as("dd"))
+      err.agg(count(lit(1)).as("n"),
+          sum(col("e1")).cast("bigint").as("se1"),
+          sum(col("e2")).cast("bigint").as("se2"),
+          sum(col("dd")).cast("bigint").as("sd"),
+          sum(col("dd").cast("decimal(19,0)") * col("dd")).as("sdd"))
+        .select(col("n"),
+          expr("se1 div n").as("mae_seasonal_cents"),
+          expr("se2 div n").as("mae_rw_cents"),
+          col("sd").as("sum_diff_cents"),
+          expr(zMilli).as("dm_z_milli"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail,
       q245Changepoint, q261SeasonalDecomp, q290SeasonalAnomaly,
-      q349VarianceTime, q355BurstIntervals)
+      q349VarianceTime, q355BurstIntervals, q360DieboldMariano)
 }

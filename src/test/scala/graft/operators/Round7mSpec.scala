@@ -557,4 +557,29 @@ class Round7mSpec extends AnyFunSuite {
       assert(cnt <= math.min(nx, ny))
     }
   }
+
+  test("q360 Diebold-Mariano: sequential error replay") {
+    val r = run("q360_diebold_mariano").head
+    val daily = graft.Tables.orders(spark, dir)
+      .groupBy(expr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+        "DATE '1970-01-01') AS BIGINT)").as("d"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 " +
+        "AS BIGINT)")).cast("bigint").as("y"))
+      .collect().map(x => (x.getAs[Long]("d"), x.getAs[Long]("y")))
+      .sortBy(_._1).map(_._2)
+    val errs = (7 until daily.length).map { i =>
+      (math.abs(daily(i) - daily(i - 7)), math.abs(daily(i) - daily(i - 1)))
+    }
+    val n = errs.length
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(r.getAs[Long]("mae_seasonal_cents") == errs.map(_._1).sum / n)
+    assert(r.getAs[Long]("mae_rw_cents") == errs.map(_._2).sum / n)
+    val ds = errs.map { case (a, b) => a - b }
+    assert(r.getAs[Long]("sum_diff_cents") == ds.sum)
+    val sd = ds.sum.toDouble
+    val sdd = ds.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+    val m = sd / n; val v = sdd / n - m * m
+    assert(r.getAs[Long]("dm_z_milli") ==
+      math.floor(1000.0 * m / math.sqrt(v / n)).toLong)
+  }
 }

@@ -279,5 +279,8 @@ object PlanSweepAllowlist {
     ("q357_pot_gpd", "^d#",
       "day-over-day lag window: calendar-bounded day axis"),
     ("q357_pot_gpd", "^l#",
-      "loss rank window over the calendar-bounded day-P&L frame"))
+      "loss rank window over the calendar-bounded day-P&L frame"),
+    ("q360_diebold_mariano", "^d#",
+      "both forecast lags ride one window over the calendar-bounded " +
+        "day axis"))
 }
