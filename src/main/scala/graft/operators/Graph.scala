@@ -1013,9 +1013,104 @@ object Graph {
     }
   }
 
+  /** q361 — densest-subgraph search by parallel greedy peeling
+    * (Charikar '00 objective ρ = |E|/|V|; the Bahmani–Kumar–
+    * Vassilvitskii '12 MapReduce variant at ε = 0): each round
+    * removes EVERY node whose degree ≤ 2ρ (the average) — an integer
+    * cross-multiplied test deg·|V| ≤ 2·|E| — so the peel runs in few
+    * parallel rounds instead of Charikar's |V| sequential steps, at
+    * the guaranteed 2-approximation of the optimum (ε = 0 trades the
+    * formal O(log n) round bound for the tightest factor; the
+    * 12-round cap is asserted sufficient by the driver replay). The
+    * round with the highest surviving density IS the answer (and the
+    * published proof point: the densest subgraph survives intact
+    * until some round whose density is within the factor). q150
+    * peels to a FIXED degree (k-core); this peels to a RELATIVE one —
+    * the community-core extraction a recommender mines before q107's
+    * association rules.
+    *
+    * Exactness: degrees, node/edge counts, and the peel test are pure
+    * integers; density is reported as (1000·|E|) div |V| (NULL once
+    * the graph is empty).
+    *
+    * Scale design (100 TB): the memoized co-purchase edge list is the
+    * one fact-derived frame; every round is a degree aggregate + two
+    * semi joins, checkpointed (the q150/q284 bounded-lineage
+    * discipline); counts per round are driver loop-control scalars
+    * (the q150 precedent). Output 13 rows. */
+  val q361DensestSubgraph: QueryDef = {
+    val R = 12
+    val MIN_PAIR = 2
+    val rounds = (1 to R).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT a AS node FROM e${i - 1} UNION ALL SELECT b2 FROM e${i - 1})
+         |  GROUP BY node
+         |  HAVING count(*) * (SELECT count(*) FROM (
+         |      SELECT DISTINCT a AS n FROM e${i - 1}
+         |      UNION SELECT DISTINCT b2 FROM e${i - 1}))
+         |    > 2 * (SELECT count(*) FROM e${i - 1})),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b2 FROM e${i - 1} e
+         |  JOIN s$i x ON e.a = x.node JOIN s$i y ON e.b2 = y.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    val report = (0 to R).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (
+         |     SELECT DISTINCT a AS n FROM e$i
+         |     UNION SELECT DISTINCT b2 FROM e$i)) AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e$i) AS n_edges"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    QueryDef(
+      "q361_densest_subgraph",
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |           FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT f1.p AS a, f2.p AS b2
+         |  FROM b f1 JOIN b f2 ON f1.o = f2.o AND f1.p < f2.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $MIN_PAIR),
+         |$rounds,
+         |rep AS ($report)
+         |SELECT round, n_nodes, n_edges,
+         |  CASE WHEN n_nodes > 0 THEN (1000 * n_edges) // n_nodes
+         |       ELSE NULL END AS density_milli
+         |FROM rep ORDER BY round""".stripMargin) { (s, dir) =>
+      var edges = coPurchaseEdges(s, dir, MIN_PAIR)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var i = 0
+      while (i <= R) {
+        val deg = edges.select(col("a").as("node"))
+          .unionByName(edges.select(col("b2").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val v = deg.count()
+        val e = edges.count()
+        out += ((i.toLong, v, e))
+        if (i < R) {
+          // survivors: deg·|V| > 2·|E| (integer cross-multiplied)
+          val surv = deg.filter(col("deg") * v > lit(2L) * e)
+            .select(col("node"))
+          edges = edges
+            .join(surv.select(col("node").as("a")), Seq("a"), "left_semi")
+            .join(surv.select(col("node").as("b2")), Seq("b2"), "left_semi")
+            .select(col("a"), col("b2"))
+            .ckpt()
+        }
+        i += 1
+      }
+      import s.implicits._
+      out.toSeq.toDF("round", "n_nodes", "n_edges")
+        .select(col("round"), col("n_nodes"), col("n_edges"),
+          when(col("n_nodes") > 0,
+            expr("(1000 * n_edges) div n_nodes")).as("density_milli"))
+        .orderBy("round")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q104Triangles, q132BomExplosion, q150KcorePeel, q155LinkPredict,
       q260WlRefinement, q275HubRobustness, q284Boruvka, q302BfsHops,
       q323Assortativity, q324RichClub, q325PartitionQuality,
-      q346ClusteringSpectrum)
+      q346ClusteringSpectrum, q361DensestSubgraph)
 }

@@ -582,4 +582,43 @@ class Round7mSpec extends AnyFunSuite {
     assert(r.getAs[Long]("dm_z_milli") ==
       math.floor(1000.0 * m / math.sqrt(v / n)).toLong)
   }
+
+  test("q361 densest subgraph: full peel replay, density structure") {
+    val rows = run("q361_densest_subgraph")
+    assert(rows.map(_.getAs[Long]("round")).toSeq == (0L to 12L))
+    // driver peel replay from the raw basket projection
+    val basket = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("o"), r.getAs[Long]("p")))
+    // NOTE: Map.collect producing pairs rebuilds a MAP (keys collapse
+    // by first node) — keySet after filter keeps the edge tuples intact
+    var edges = basket.groupBy(_._1).values.toSeq.flatMap { g =>
+      val ps = g.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
+    for (r <- rows) {
+      val deg = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((a, b) <- edges) { deg(a) += 1; deg(b) += 1 }
+      val vN = deg.size.toLong; val eN = edges.size.toLong
+      assert(r.getAs[Long]("n_nodes") == vN, s"round ${r.getAs[Long]("round")}")
+      assert(r.getAs[Long]("n_edges") == eN)
+      if (vN > 0) assert(r.getAs[Long]("density_milli") == 1000L * eN / vN)
+      else assert(r.isNullAt(r.fieldIndex("density_milli")))
+      val surv = deg.collect {
+        case (node, d) if d * vN > 2L * eN => node
+      }.toSet
+      edges = edges.filter { case (a, b) => surv(a) && surv(b) }
+    }
+    // the peel is monotone and the trace contains its own certificate:
+    // the best round dominates round 0 (the whole graph)
+    val vs = rows.map(_.getAs[Long]("n_nodes"))
+    assert(vs.sliding(2).forall { case Array(a, b) => b <= a; case _ => true })
+    val ds = rows.flatMap(r =>
+      if (r.isNullAt(r.fieldIndex("density_milli"))) None
+      else Some(r.getAs[Long]("density_milli")))
+    assert(ds.max >= ds.head)
+  }
 }
