@@ -2892,7 +2892,91 @@ object EventOps {
     }
   }
 
+  /** q362 — Krichevsky–Trofimov online-coding regret audit (KT '81;
+    * Cesa-Bianchi & Lugosi ch. 9): replay the event-type stream in
+    * arrival order and charge each event the KT sequential
+    * probability p_t = (c_{s,t} + ½)/(t − 1 + k/2) — the add-half
+    * universal predictor. The total codelength minus the empirical
+    * entropy bound n·H(p̂) is the REGRET, and KT's theorem caps it at
+    * ((k−1)/2)·ln n + O(1) nats — a closed-form certificate the spec
+    * pins, making this an end-to-end "is my sequential-prediction
+    * machinery implemented right" audit (q181/q215 score FIXED
+    * models; this scores the universal ONLINE one, the codelength
+    * view a compression-based quality filter builds on).
+    *
+    * Exactness: with c the 1-based occurrence index and t the global
+    * arrival rank, −ln p_t = ln(2t − 2 + k) − ln(2c − 1) — both
+    * arguments exact integers, each ln floored to nano-nats PER TERM
+    * before the order-free integer sum (q83 discipline); the entropy
+    * bound is per-type floored. Ties in ts break on event_id.
+    *
+    * Scale design (100 TB): the global arrival rank rides
+    * [[ScaleRank.withRowNumber]] (two-level distributed rank, one
+    * range exchange); the per-type occurrence index is a PARTITIONED
+    * window (unbounded key count, bounded per-type rows per task via
+    * hash ranges); everything else is partial-aggregable 1-row
+    * moments. Output 1 row. */
+  val q362KtRegret: QueryDef = {
+    QueryDef(
+      "q362_kt_regret",
+      s"""WITH ev AS (
+         |  SELECT event_type AS s,
+         |    CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS t,
+         |    CAST(row_number() OVER (PARTITION BY event_type
+         |      ORDER BY ts, event_id) AS BIGINT) AS c
+         |  FROM events),
+         |kk AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS k,
+         |  CAST(count(*) AS BIGINT) AS n FROM ev),
+         |cl AS (
+         |  SELECT CAST(sum(
+         |    CAST(floor(1000000000.0 * ln(CAST(2 * ev.t - 2 + kk.k
+         |      AS DOUBLE))) AS BIGINT)
+         |    - CAST(floor(1000000000.0 * ln(CAST(2 * ev.c - 1 AS DOUBLE)))
+         |      AS BIGINT)) AS BIGINT) AS cl_nano
+         |  FROM ev, kk),
+         |hh AS (
+         |  SELECT CAST(sum(CAST(floor(1000000000.0 *
+         |      CAST(ns AS DOUBLE) * (ln(CAST(kk.n AS DOUBLE))
+         |        - ln(CAST(ns AS DOUBLE)))) AS BIGINT)) AS BIGINT) AS nh_nano
+         |  FROM (SELECT s, CAST(count(*) AS BIGINT) AS ns
+         |        FROM ev GROUP BY 1), kk)
+         |SELECT kk.n, kk.k, cl.cl_nano, hh.nh_nano,
+         |  cl.cl_nano - hh.nh_nano AS regret_nano,
+         |  CAST(floor(1000000000.0 * (0.5 * CAST(kk.k - 1 AS DOUBLE)
+         |    * ln(CAST(kk.n AS DOUBLE)) + 2.0)) AS BIGINT) AS kt_bound_nano
+         |FROM kk, cl, hh""".stripMargin) { (s, dir) =>
+      val base = Tables.events(s, dir)
+        .select(col("event_type").as("s"), col("ts"), col("event_id"))
+      val ranked = ScaleRank.withRowNumber(base, Seq.empty,
+        Seq(col("ts"), col("event_id")), "t", "ntot")
+      val ev = ranked.withColumn("c", row_number().over(
+        Window.partitionBy(col("s")).orderBy(col("ts"), col("event_id")))
+        .cast("bigint")).ckpt() // one ranked frame feeds cl AND counts
+      val kk = broadcast(ev.agg(countDistinct(col("s")).as("k"),
+        count(lit(1)).as("n")))
+      val cl = ev.crossJoin(kk)
+        .select((
+          expr("CAST(floor(1000000000.0 * ln(CAST(2 * t - 2 + k AS DOUBLE)))" +
+            " AS BIGINT)") -
+          expr("CAST(floor(1000000000.0 * ln(CAST(2 * c - 1 AS DOUBLE)))" +
+            " AS BIGINT)")).as("term"))
+        .agg(sum(col("term")).cast("bigint").as("cl_nano"))
+      val hh = ev.groupBy(col("s")).agg(count(lit(1)).as("ns"))
+        .crossJoin(kk)
+        .select(expr("CAST(floor(1000000000.0 * CAST(ns AS DOUBLE) * " +
+          "(ln(CAST(n AS DOUBLE)) - ln(CAST(ns AS DOUBLE)))) AS BIGINT)")
+          .as("term"))
+        .agg(sum(col("term")).cast("bigint").as("nh_nano"))
+      kk.crossJoin(broadcast(cl)).crossJoin(broadcast(hh))
+        .select(col("n"), col("k"), col("cl_nano"), col("nh_nano"),
+          (col("cl_nano") - col("nh_nano")).as("regret_nano"),
+          expr("CAST(floor(1000000000.0 * (0.5 * CAST(k - 1 AS DOUBLE) * " +
+            "ln(CAST(n AS DOUBLE)) + 2.0)) AS BIGINT)").as("kt_bound_nano"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q362KtRegret,
     q315CaptureRecapture, q316PowerAnalysis, q334TemporalLeakage, q338NbFit,
     q343AbFunnel, q347TokenBucket,
     q230Sprt, q236OffPolicy, q240Sax, q246MarkovAttribution,

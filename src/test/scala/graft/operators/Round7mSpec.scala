@@ -621,4 +621,38 @@ class Round7mSpec extends AnyFunSuite {
       else Some(r.getAs[Long]("density_milli")))
     assert(ds.max >= ds.head)
   }
+
+  test("q362 KT regret: sequential replay and the KT theorem bound") {
+    val r = run("q362_kt_regret").head
+    val ev = graft.Tables.events(spark, dir)
+      .selectExpr("event_type", "unix_micros(ts) AS tsu", "event_id")
+      .collect()
+      .map(x => (x.getAs[String]("event_type"), x.getAs[Long]("tsu"),
+        x.getAs[Long]("event_id")))
+      .sortBy(t => (t._2, t._3))
+    val n = ev.length.toLong
+    val k = ev.map(_._1).distinct.length.toLong
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("k") == k)
+    // sequential KT replay: -ln p = ln(2t-2+k) - ln(2c-1), per-term nano
+    val seen = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    var cl = 0L
+    for ((t, (s, _, _)) <- (1L to n).zip(ev)) {
+      val c = seen(s) + 1L; seen(s) = c
+      cl += math.floor(1e9 * math.log((2 * t - 2 + k).toDouble)).toLong -
+        math.floor(1e9 * math.log((2 * c - 1).toDouble)).toLong
+    }
+    assert(r.getAs[Long]("cl_nano") == cl)
+    val nh = seen.values.map(ns =>
+      math.floor(1e9 * ns.toDouble *
+        (math.log(n.toDouble) - math.log(ns.toDouble))).toLong).sum
+    assert(r.getAs[Long]("nh_nano") == nh)
+    val regret = r.getAs[Long]("regret_nano")
+    assert(regret == cl - nh)
+    // the KT theorem: 0 <= regret <= ((k-1)/2) ln n + O(1); allow the
+    // per-term flooring slop (2 nano per event + k entropy terms)
+    assert(regret >= -(2L * n + k), s"regret $regret below zero")
+    assert(regret <= r.getAs[Long]("kt_bound_nano"),
+      s"regret $regret exceeds the KT bound")
+  }
 }
