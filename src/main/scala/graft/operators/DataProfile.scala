@@ -3120,8 +3120,127 @@ object DataProfile {
     }
   }
 
+  /** q363 — Jonckheere–Terpstra ordered-trend test (Jonckheere '54;
+    * Terpstra '52): does order value trend MONOTONICALLY across the
+    * ordered priority classes 1-URGENT … 5-LOW? JT sums the pairwise
+    * Mann–Whitney exceedance counts over every ordered class pair —
+    * q257's ANOVA asks "do the groups differ AT ALL" and q177's MW
+    * compares TWO groups; JT is the k-group test with power aimed
+    * exactly at ordered alternatives (the hypothesis a pricing or
+    * SLA audit actually holds). Tie-corrected normal approximation
+    * (Hollander & Wolfe §6.2), ties induced by the documented $100
+    * value resolution.
+    *
+    * Exactness: values collapse to $100 buckets (the statistic is
+    * DEFINED at that resolution); 2·U_ij = Σ_b c_j(b)·(2C_i(b)−c_i(b))
+    * on the dense (group × bucket) grid — all integers, the ½-tie
+    * term scaled out; every moment (Σn_i², the cubic tie sums) is an
+    * exact DECIMAL/HUGEINT sum; only the final z rides a shared
+    * all-DOUBLE chain.
+    *
+    * Scale design (100 TB): one fact pass collapses to the
+    * (5 × ~5·10³ price-bucket) grid — value-domain bounded, so the
+    * per-group cumulative windows and the ordered-pair self-join all
+    * run on a bounded frame (adjudicated); tie sums are bucket-grain
+    * aggregates. Output 1 row. */
+  val q363Jonckheere: QueryDef = {
+    val aD = "(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * " +
+      "CAST(2 * n + 5 AS DOUBLE) - CAST(sg3 AS DOUBLE) - CAST(st3 AS DOUBLE))"
+    val bD = "(CAST(sgc AS DOUBLE) * CAST(stc AS DOUBLE))"
+    val cD = "(CAST(sg2 AS DOUBLE) * CAST(st2 AS DOUBLE))"
+    val varD = s"(($aD) / 72.0 + ($bD) / (36.0 * CAST(n AS DOUBLE) * " +
+      s"CAST(n - 1 AS DOUBLE) * CAST(n - 2 AS DOUBLE)) + " +
+      s"($cD) / (8.0 * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+    val zMilli = s"CASE WHEN ($varD) <= 0.0 THEN NULL ELSE " +
+      s"CAST(floor((1000.0 * (CAST(u2 AS DOUBLE) - CAST(e2 AS DOUBLE))) / " +
+      s"(2.0 * sqrt($varD))) AS BIGINT) END"
+    QueryDef(
+      "q363_jonckheere",
+      s"""WITH base AS (
+         |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |      // 10000 AS b
+         |  FROM orders),
+         |gc AS (SELECT g, b, CAST(count(*) AS BIGINT) AS c
+         |       FROM base GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT gg.g, ax.b, CAST(coalesce(gc.c, 0) AS BIGINT) AS c
+         |  FROM (SELECT DISTINCT g FROM gc) gg
+         |  CROSS JOIN (SELECT DISTINCT b FROM gc) ax
+         |  LEFT JOIN gc ON gc.g = gg.g AND gc.b = ax.b),
+         |cum AS (
+         |  SELECT g, b, c, CAST(sum(c) OVER (PARTITION BY g ORDER BY b
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+         |  FROM grid),
+         |uu AS (
+         |  SELECT CAST(sum(j.c * (2 * i.cc - i.c)) AS BIGINT) AS u2
+         |  FROM cum i JOIN cum j ON i.b = j.b AND i.g < j.g),
+         |ni AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_i FROM gc GROUP BY 1),
+         |nn AS (
+         |  SELECT CAST(sum(n_i) AS BIGINT) AS n,
+         |    CAST(sum(n_i * n_i) AS BIGINT) AS sn2,
+         |    sum(CAST(n_i AS HUGEINT) * (n_i - 1) * (2 * n_i + 5)) AS sg3,
+         |    sum(CAST(n_i AS HUGEINT) * (n_i - 1) * (n_i - 2)) AS sgc,
+         |    CAST(sum(n_i * (n_i - 1)) AS BIGINT) AS sg2
+         |  FROM ni),
+         |tt AS (SELECT b, CAST(sum(c) AS BIGINT) AS t FROM gc GROUP BY 1),
+         |tv AS (
+         |  SELECT sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS st3,
+         |    sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS stc,
+         |    CAST(sum(t * (t - 1)) AS BIGINT) AS st2
+         |  FROM tt),
+         |ee AS (SELECT (nn.n * nn.n - nn.sn2) // 2 AS e2 FROM nn)
+         |SELECT nn.n, (SELECT CAST(count(*) AS BIGINT) FROM ni) AS k,
+         |  uu.u2 AS jt2, ee.e2 AS e_jt2,
+         |  CAST(floor($varD) AS BIGINT) AS var_floor,
+         |  $zMilli AS z_milli
+         |FROM nn, tv, uu, ee""".stripMargin) { (s, dir) =>
+      val base = Tables.orders(s, dir).select(
+        expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("g"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) " +
+          "div 10000").as("b"))
+      val gc = base.groupBy(col("g"), col("b"))
+        .agg(count(lit(1)).as("c")).ckpt() // one fact collapse feeds all
+      val grid = gc.select(col("g")).distinct()
+        .crossJoin(gc.select(col("b")).distinct())
+        .join(gc, Seq("g", "b"), "left")
+        .select(col("g"), col("b"),
+          coalesce(col("c"), lit(0L)).cast("bigint").as("c"))
+      val wG = Window.partitionBy(col("g")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = grid.withColumn("cc", sum(col("c")).over(wG).cast("bigint"))
+      val uu = cum.as("i")
+        .join(cum.as("j"),
+          col("i.b") === col("j.b") && col("i.g") < col("j.g"))
+        .agg(sum(col("j.c") * (lit(2L) * col("i.cc") - col("i.c")))
+          .cast("bigint").as("u2"))
+      val ni = gc.groupBy(col("g")).agg(sum(col("c")).as("n_i"))
+      val nn = ni.agg(
+        sum(col("n_i")).cast("bigint").as("n"),
+        sum(col("n_i") * col("n_i")).cast("bigint").as("sn2"),
+        expr("sum(CAST(n_i AS DECIMAL(19,0)) * (n_i - 1) * (2 * n_i + 5))")
+          .as("sg3"),
+        expr("sum(CAST(n_i AS DECIMAL(19,0)) * (n_i - 1) * (n_i - 2))")
+          .as("sgc"),
+        expr("CAST(sum(n_i * (n_i - 1)) AS BIGINT)").as("sg2"),
+        count(lit(1)).as("k"))
+      val tv = gc.groupBy(col("b")).agg(sum(col("c")).as("t"))
+        .agg(
+          expr("sum(CAST(t AS DECIMAL(19,0)) * (t - 1) * (2 * t + 5))")
+            .as("st3"),
+          expr("sum(CAST(t AS DECIMAL(19,0)) * (t - 1) * (t - 2))").as("stc"),
+          expr("CAST(sum(t * (t - 1)) AS BIGINT)").as("st2"))
+      broadcast(nn).crossJoin(broadcast(tv)).crossJoin(broadcast(uu))
+        .withColumn("e2", expr("(n * n - sn2) div 2"))
+        .select(col("n"), col("k"), col("u2").as("jt2"),
+          col("e2").as("e_jt2"),
+          expr(s"CAST(floor($varD) AS BIGINT)").as("var_floor"),
+          expr(zMilli).as("z_milli"))
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q359TailDependence,
+    Seq(q359TailDependence, q363Jonckheere,
       q301Hbos, q313CovariateBalance, q317Wasserstein, q319Srm,
       q326CorrMatrix, q335SplitStratification, q336DkwBands,
       q339LargestRemainder, q342EnergyDistance,

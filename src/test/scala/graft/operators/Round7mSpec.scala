@@ -655,4 +655,40 @@ class Round7mSpec extends AnyFunSuite {
     assert(regret <= r.getAs[Long]("kt_bound_nano"),
       s"regret $regret exceeds the KT bound")
   }
+
+  test("q363 Jonckheere: brute-force pair replay confirms the identity") {
+    val r = run("q363_jonckheere").head
+    val pts = graft.Tables.orders(spark, dir)
+      .selectExpr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) " +
+          "div 10000 AS b")
+      .collect().map(x => (x.getAs[Long]("g"), x.getAs[Long]("b")))
+    val n = pts.length
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(r.getAs[Long]("k") == pts.map(_._1).distinct.length.toLong)
+    // brute force: 2*JT = sum over ordered-group pairs of
+    // (2*[x < y] + [x == y])
+    var jt2 = 0L
+    for ((gi, bi) <- pts; (gj, bj) <- pts if gi < gj) {
+      if (bi < bj) jt2 += 2L else if (bi == bj) jt2 += 1L
+    }
+    assert(r.getAs[Long]("jt2") == jt2, "prefix-sum identity vs brute force")
+    val ni = pts.groupBy(_._1).values.map(_.length.toLong).toSeq
+    val e2 = (n.toLong * n - ni.map(x => x * x).sum) / 2
+    assert(r.getAs[Long]("e_jt2") == e2)
+    // tie-corrected variance replay (Hollander & Wolfe 6.2)
+    val t = pts.groupBy(_._2).values.map(_.length.toLong).toSeq
+    def s3(xs: Seq[Long]) = xs.map(x =>
+      BigInt(x) * (x - 1) * (2 * x + 5)).sum.toDouble
+    def sc(xs: Seq[Long]) = xs.map(x =>
+      BigInt(x) * (x - 1) * (x - 2)).sum.toDouble
+    def s2(xs: Seq[Long]) = xs.map(x => x * (x - 1)).sum.toDouble
+    val nD = n.toDouble
+    val vv = (nD * (nD - 1) * (2 * nD + 5) - s3(ni) - s3(t)) / 72.0 +
+      (sc(ni) * sc(t)) / (36.0 * nD * (nD - 1) * (nD - 2)) +
+      (s2(ni) * s2(t)) / (8.0 * nD * (nD - 1))
+    assert(r.getAs[Long]("var_floor") == math.floor(vv).toLong)
+    assert(r.getAs[Long]("z_milli") ==
+      math.floor(1000.0 * (jt2 - e2).toDouble / (2.0 * math.sqrt(vv))).toLong)
+  }
 }
