@@ -3239,8 +3239,182 @@ object DataProfile {
     }
   }
 
+  /** q364 — entropic optimal transport by Sinkhorn scaling (Cuturi
+    * '13; Sinkhorn '64): the cheapest coupling (at ε = 1) between the
+    * weekday revenue profiles of the FIRST and SECOND halves of the
+    * date range, under the cyclic weekday ground distance
+    * min(|i−j|, 7−|i−j|). Three unrolled scaling rounds
+    * v ← b/(Kᵀu), u ← a/(Kv) on the 7×7 kernel; the output is the
+    * transport PLAN — which weekday's mass moved where — plus its
+    * cost against the independence coupling a⊗b. q317's Wasserstein
+    * gives the 1-D distance NUMBER; this gives the 2-D PLAN on a
+    * cyclic geometry, and the entropic-optimality inequality
+    * cost(P_ε) ≤ cost(a⊗b) is a spec-pinned certificate (a⊗b has
+    * zero KL penalty, so the ε-optimum must beat it on cost).
+    *
+    * Exactness: marginals are exact integer cents; u, v are
+    * nano-quantized between half-rounds and every kernel sum is
+    * floored PER TERM before an order-free BIGINT sum (the
+    * q351/q83 discipline), so both engines walk the identical scaling
+    * trajectory; plan cells are ppm floors and both cost totals are
+    * pure integer Σ ppm·distance over the emitted cells.
+    *
+    * Scale design (100 TB): one fact pass to the (half, weekday)
+    * marginals (partial-aggregable, the day split from a 1-row
+    * bounds broadcast); all Sinkhorn work lives on 7-row/49-cell
+    * literal-bounded frames. Output 49 rows. */
+  val q364Sinkhorn: QueryDef = {
+    val R = 3
+    // per-term floored kernel product: (k/1e9)·(x/1e9) in nano
+    def term(x: String) =
+      s"CAST(floor(CAST(k_nano AS DOUBLE) * CAST($x AS DOUBLE) / 1e9) " +
+        s"AS BIGINT)"
+    // scale update: nano(b / (s/1e9)) = 1e18·share/s
+    def upd(shareNum: String, shareDen: String) =
+      s"CAST(floor(1e18 * (CAST($shareNum AS DOUBLE) / " +
+        s"CAST($shareDen AS DOUBLE)) / CAST(s AS DOUBLE)) AS BIGINT)"
+    val planPpm = "CAST(floor(CAST(u_nano AS DOUBLE) * " +
+      "CAST(k_nano AS DOUBLE) * CAST(v_nano AS DOUBLE) / 1e21) AS BIGINT)"
+    val indepPpm = "CAST(floor(1e6 * (CAST(ra AS DOUBLE) / " +
+      "CAST(ta AS DOUBLE)) * (CAST(rb AS DOUBLE) / CAST(tb AS DOUBLE))) " +
+      "AS BIGINT)"
+    val roundsSql = (1 to R).map { t =>
+      s"""sv$t AS (
+         |  SELECT cells.j, CAST(sum(${term(s"u${t - 1}.u_nano")}) AS BIGINT)
+         |    AS s
+         |  FROM cells JOIN u${t - 1} ON cells.i = u${t - 1}.i GROUP BY 1),
+         |v$t AS (
+         |  SELECT sv$t.j, ${upd("mb.rev", "mb.tot")} AS v_nano
+         |  FROM sv$t JOIN mb ON sv$t.j = mb.dow),
+         |su$t AS (
+         |  SELECT cells.i, CAST(sum(${term(s"v$t.v_nano")}) AS BIGINT) AS s
+         |  FROM cells JOIN v$t ON cells.j = v$t.j GROUP BY 1),
+         |u$t AS (
+         |  SELECT su$t.i, ${upd("ma.rev", "ma.tot")} AS u_nano
+         |  FROM su$t JOIN ma ON su$t.i = ma.dow)""".stripMargin
+    }.mkString(",\n")
+    QueryDef(
+      "q364_sinkhorn",
+      s"""WITH dd AS (
+         |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         |  FROM orders),
+         |bounds AS (SELECT (min(d) + max(d)) // 2 AS mid FROM dd),
+         |marg AS (
+         |  SELECT CASE WHEN dd.d < bounds.mid THEN 0 ELSE 1 END AS half,
+         |    dd.d % 7 AS dow, CAST(sum(dd.cents) AS BIGINT) AS rev
+         |  FROM dd, bounds GROUP BY 1, 2),
+         |ma AS (
+         |  SELECT dow, rev, CAST(sum(rev) OVER () AS BIGINT) AS tot
+         |  FROM marg WHERE half = 0),
+         |mb AS (
+         |  SELECT dow, rev, CAST(sum(rev) OVER () AS BIGINT) AS tot
+         |  FROM marg WHERE half = 1),
+         |cells AS (
+         |  SELECT a.i, b.j,
+         |    least(abs(a.i - b.j), 7 - abs(a.i - b.j)) AS c,
+         |    CAST(floor(1e9 * exp(-CAST(least(abs(a.i - b.j),
+         |      7 - abs(a.i - b.j)) AS DOUBLE))) AS BIGINT) AS k_nano
+         |  FROM (SELECT CAST(unnest(range(0, 7)) AS BIGINT) AS i) a,
+         |       (SELECT CAST(unnest(range(0, 7)) AS BIGINT) AS j) b),
+         |u0 AS (SELECT CAST(unnest(range(0, 7)) AS BIGINT) AS i,
+         |       CAST(1000000000 AS BIGINT) AS u_nano),
+         |$roundsSql,
+         |plan AS (
+         |  SELECT cells.i, cells.j, cells.c, $planPpm AS plan_ppm,
+         |    $indepPpm AS indep_ppm
+         |  FROM cells
+         |  JOIN u$R ON cells.i = u$R.i JOIN v$R ON cells.j = v$R.j
+         |  JOIN (SELECT dow, rev AS ra, tot AS ta FROM ma) x
+         |    ON cells.i = x.dow
+         |  JOIN (SELECT dow, rev AS rb, tot AS tb FROM mb) y
+         |    ON cells.j = y.dow),
+         |costs AS (
+         |  SELECT CAST(sum(plan_ppm * c) AS BIGINT) AS cost_sink_micro,
+         |    CAST(sum(indep_ppm * c) AS BIGINT) AS cost_indep_micro
+         |  FROM plan),
+         |merr AS (
+         |  SELECT CAST(max(abs(rs - ap)) AS BIGINT) AS max_marg_err_ppm
+         |  FROM (
+         |    SELECT p.i, CAST(sum(p.plan_ppm) AS BIGINT) AS rs,
+         |      CAST(floor(1e6 * CAST(ma.rev AS DOUBLE)
+         |        / CAST(ma.tot AS DOUBLE)) AS BIGINT) AS ap
+         |    FROM plan p JOIN ma ON p.i = ma.dow
+         |    GROUP BY p.i, ma.rev, ma.tot))
+         |SELECT plan.i, plan.j, plan.c, plan.plan_ppm, plan.indep_ppm,
+         |  costs.cost_sink_micro, costs.cost_indep_micro,
+         |  merr.max_marg_err_ppm
+         |FROM plan, costs, merr ORDER BY plan.i, plan.j""".stripMargin) {
+      (s, dir) =>
+      val dd = Tables.orders(s, dir).select(
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+          .cast("bigint").as("d"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("bigint").as("cents"))
+      val bounds = broadcast(dd.agg(
+        expr("(min(d) + max(d)) div 2").as("mid")))
+      val marg = dd.crossJoin(bounds)
+        .groupBy(when(col("d") < col("mid"), 0L).otherwise(1L).as("half"),
+          (col("d") % 7).as("dow"))
+        .agg(sum(col("cents")).cast("bigint").as("rev"))
+        .ckpt() // one fact collapse feeds both marginals
+      def withTot(h: Long) = {
+        val m = marg.filter(col("half") === h).select(col("dow"), col("rev"))
+        broadcast(m.crossJoin(broadcast(
+          m.agg(sum(col("rev")).cast("bigint").as("tot")))))
+      }
+      val ma = withTot(0L); val mb = withTot(1L)
+      import s.implicits._
+      val cells = broadcast((for (i <- 0L to 6L; j <- 0L to 6L) yield {
+        val c = math.min(math.abs(i - j), 7 - math.abs(i - j))
+        (i, j, c, math.floor(1e9 * math.exp(-c.toDouble)).toLong)
+      }).toDF("i", "j", "c", "k_nano"))
+      var u = broadcast((0L to 6L).map((_, 1000000000L)).toDF("i", "u_nano"))
+      var v: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to R) {
+        val sv = cells.join(u, Seq("i"))
+          .select(col("j"), expr(term("u_nano")).as("tm"))
+          .groupBy(col("j")).agg(sum(col("tm")).cast("bigint").as("s"))
+        v = broadcast(sv.join(mb.select(col("dow").as("j"), col("rev"),
+            col("tot")), Seq("j"))
+          .select(col("j"), expr(upd("rev", "tot")).as("v_nano")))
+        val su = cells.join(v, Seq("j"))
+          .select(col("i"), expr(term("v_nano")).as("tm"))
+          .groupBy(col("i")).agg(sum(col("tm")).cast("bigint").as("s"))
+        u = broadcast(su.join(ma.select(col("dow").as("i"), col("rev"),
+            col("tot")), Seq("i"))
+          .select(col("i"), expr(upd("rev", "tot")).as("u_nano")))
+      }
+      val plan = cells.join(u, Seq("i")).join(v, Seq("j"))
+        .join(ma.select(col("dow").as("i"), col("rev").as("ra"),
+          col("tot").as("ta")), Seq("i"))
+        .join(mb.select(col("dow").as("j"), col("rev").as("rb"),
+          col("tot").as("tb")), Seq("j"))
+        .select(col("i"), col("j"), col("c"),
+          expr(planPpm).as("plan_ppm"), expr(indepPpm).as("indep_ppm"))
+        .ckpt()
+      val costs = broadcast(plan.agg(
+        sum(col("plan_ppm") * col("c")).cast("bigint").as("cost_sink_micro"),
+        sum(col("indep_ppm") * col("c")).cast("bigint")
+          .as("cost_indep_micro")))
+      val merr = broadcast(plan.join(
+          ma.select(col("dow").as("i"), col("rev"), col("tot")), Seq("i"))
+        .groupBy(col("i"), col("rev"), col("tot"))
+        .agg(sum(col("plan_ppm")).cast("bigint").as("rs"))
+        .select((col("rs") - expr("CAST(floor(1e6 * CAST(rev AS DOUBLE) / " +
+          "CAST(tot AS DOUBLE)) AS BIGINT)")).as("diff"))
+        .agg(max(abs(col("diff"))).cast("bigint").as("max_marg_err_ppm")))
+      plan.crossJoin(costs).crossJoin(merr)
+        .select(col("i"), col("j"), col("c"), col("plan_ppm"),
+          col("indep_ppm"), col("cost_sink_micro"), col("cost_indep_micro"),
+          col("max_marg_err_ppm"))
+        .orderBy("i", "j")
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q359TailDependence, q363Jonckheere,
+    Seq(q359TailDependence, q363Jonckheere, q364Sinkhorn,
       q301Hbos, q313CovariateBalance, q317Wasserstein, q319Srm,
       q326CorrMatrix, q335SplitStratification, q336DkwBands,
       q339LargestRemainder, q342EnergyDistance,

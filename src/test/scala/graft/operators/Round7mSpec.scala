@@ -691,4 +691,60 @@ class Round7mSpec extends AnyFunSuite {
     assert(r.getAs[Long]("z_milli") ==
       math.floor(1000.0 * (jt2 - e2).toDouble / (2.0 * math.sqrt(vv))).toLong)
   }
+
+  test("q364 Sinkhorn: quantized scaling replay and OT certificates") {
+    val rows = run("q364_sinkhorn")
+    assert(rows.length == 49)
+    // marginals replay
+    val days = graft.Tables.orders(spark, dir)
+      .selectExpr("CAST(datediff(CAST(o_orderdate AS DATE), " +
+        "DATE '1970-01-01') AS BIGINT) AS d",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents")
+      .collect().map(x => (x.getAs[Long]("d"), x.getAs[Long]("cents")))
+    val mid = (days.map(_._1).min + days.map(_._1).max) / 2
+    val a = new Array[Long](7); val b = new Array[Long](7)
+    for ((d, c) <- days) {
+      if (d < mid) a((d % 7).toInt) += c else b((d % 7).toInt) += c
+    }
+    val ta = a.sum; val tb = b.sum
+    def cost(i: Int, j: Int) = math.min(math.abs(i - j), 7 - math.abs(i - j))
+    val kN = Array.tabulate(7, 7)((i, j) =>
+      math.floor(1e9 * math.exp(-cost(i, j).toDouble)).toLong)
+    var u = Array.fill(7)(1000000000L)
+    var v = Array.fill(7)(0L)
+    for (_ <- 1 to 3) {
+      v = Array.tabulate(7) { j =>
+        val s = (0 until 7).map(i =>
+          math.floor(kN(i)(j).toDouble * u(i).toDouble / 1e9).toLong).sum
+        math.floor(1e18 * (b(j).toDouble / tb.toDouble) / s.toDouble).toLong
+      }
+      u = Array.tabulate(7) { i =>
+        val s = (0 until 7).map(j =>
+          math.floor(kN(i)(j).toDouble * v(j).toDouble / 1e9).toLong).sum
+        math.floor(1e18 * (a(i).toDouble / ta.toDouble) / s.toDouble).toLong
+      }
+    }
+    var sink = 0L; var indep = 0L; var mass = 0L
+    for (r <- rows) {
+      val (i, j) = (r.getAs[Long]("i").toInt, r.getAs[Long]("j").toInt)
+      assert(r.getAs[Long]("c") == cost(i, j).toLong)
+      val p = math.floor(
+        u(i).toDouble * kN(i)(j).toDouble * v(j).toDouble / 1e21).toLong
+      assert(r.getAs[Long]("plan_ppm") == p, s"cell ($i,$j)")
+      val q = math.floor(1e6 * (a(i).toDouble / ta) * (b(j).toDouble / tb))
+        .toLong
+      assert(r.getAs[Long]("indep_ppm") == q)
+      sink += p * cost(i, j); indep += q * cost(i, j); mass += p
+    }
+    val r0 = rows.head
+    assert(r0.getAs[Long]("cost_sink_micro") == sink)
+    assert(r0.getAs[Long]("cost_indep_micro") == indep)
+    // entropic optimality: the eps-optimum must beat the independence
+    // coupling on raw cost (it pays the KL penalty instead)
+    assert(sink <= indep, s"sinkhorn $sink > independence $indep")
+    // three rounds land the marginals within quantization slop, and
+    // the plan carries (almost) unit mass
+    assert(r0.getAs[Long]("max_marg_err_ppm") <= 100L)
+    assert(math.abs(mass - 1000000L) <= 200L, s"plan mass $mass")
+  }
 }
