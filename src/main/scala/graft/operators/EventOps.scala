@@ -2975,8 +2975,151 @@ object EventOps {
     }
   }
 
+  /** q365 — Hedge / exponential-weights regret audit (Littlestone &
+    * Warmuth '94; Freund & Schapire '97): an online portfolio over
+    * the five event-type "arms" re-weights multiplicatively
+    * (η = 0.1) on each hourly reward round, and its cumulative gain
+    * is scored against the best FIXED arm in hindsight. Unlike UCB's
+    * iid analysis, the Hedge bound regret ≤ ln k/η + ηT/8 holds for
+    * ARBITRARY bounded reward sequences — so the spec can pin it
+    * against this deterministic replay. q362 audits the universal
+    * CODING machinery; this audits the universal DECISION machinery —
+    * the pair covers both halves of online learning the engine's
+    * adaptive-pipeline operators (q330 budget, q331 margin queues)
+    * implicitly rely on.
+    *
+    * Exactness: hourly rewards are milli ints normalized by the
+    * global max hourly mass; the expected-gain increment is the PURE
+    * INTEGER (Σ wₐ·rₐ) div 10⁶; weights are nano-quantized every
+    * round (floor(w·exp(η·r)) then floor-normalized to Σ = 10⁹), so
+    * both engines walk the identical trajectory; per-arm cums are
+    * exact milli ints. Empty hours are skipped — a zero-reward round
+    * moves neither weights nor gains, so the statistic is unchanged.
+    *
+    * Scale design (100 TB): one fact pass to the (hour, type) grid —
+    * bounded by the time span × 5 arms; the multiplicative-weights
+    * recurrence is inherently sequential, so it runs as ONE
+    * per-partition scan over the repartition(1) pivoted hour frame
+    * (the q355/q164 adjudicated shape). Output ≤ ~7 checkpoint
+    * rows. */
+  val q365HedgeRegret: QueryDef = {
+    val ARMS = Seq("click", "error", "purchase", "signup", "view")
+    val ETA = 0.1
+    val CK = 120L // checkpoint every 120 rounds (plus the final round)
+    val k = ARMS.length
+    val boundMicro = s"CAST(floor(1000000.0 * (ln(${k}.0) / $ETA + " +
+      s"$ETA * CAST(t AS DOUBLE) / 8.0)) AS BIGINT)"
+    val armCols = ARMS.indices.map(i => s"r${i + 1}")
+    val gridSql = ARMS.zipWithIndex.map { case (a, i) =>
+      s"coalesce(max(CASE WHEN s = '$a' THEN rm END), 0) AS r${i + 1}"
+    }.mkString(",\n         |    ")
+    // one recursion step: integer gain add, exp reweight, normalize
+    def stepSql: String = {
+      val gains = ARMS.indices.map(i =>
+        s"st.g${i + 1} + g.r${i + 1}").mkString(", ")
+      val us = ARMS.indices.map(i =>
+        s"floor(CAST(st.w${i + 1} AS DOUBLE) * " +
+          s"exp($ETA * CAST(g.r${i + 1} AS DOUBLE) / 1000.0))")
+      val usum = us.mkString(" + ")
+      val ws = us.map(u =>
+        s"CAST(floor(1000000000.0 * ($u) / ($usum)) AS BIGINT)")
+        .mkString(", ")
+      val wr = ARMS.indices.map(i =>
+        s"st.w${i + 1} * g.r${i + 1}").mkString(" + ")
+      s"""SELECT g.t, $ws,
+         |    st.alg + ($wr) // 1000000, $gains
+         |  FROM st JOIN grid g ON g.t = st.t + 1"""
+        .stripMargin
+    }
+    QueryDef(
+      "q365_hedge_regret",
+      s"""WITH RECURSIVE hr AS (
+         |  SELECT epoch_us(ts) // 3600000000 AS h, event_type AS s,
+         |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |vm AS (SELECT max(v) AS vmax FROM hr),
+         |grid0 AS (
+         |  SELECT h, s, (1000 * v) // vm.vmax AS rm FROM hr, vm),
+         |grid AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS t,
+         |    $gridSql
+         |  FROM grid0 GROUP BY h),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS tmax FROM grid),
+         |st AS (
+         |  SELECT CAST(0 AS BIGINT) AS t,
+         |    ${ARMS.indices.map(i => s"CAST(200000000 AS BIGINT) AS w${i + 1}")
+              .mkString(", ")},
+         |    CAST(0 AS BIGINT) AS alg,
+         |    ${ARMS.indices.map(i => s"CAST(0 AS BIGINT) AS g${i + 1}")
+              .mkString(", ")}
+         |  UNION ALL
+         |  $stepSql)
+         |SELECT st.t, st.alg AS alg_micro,
+         |  1000 * greatest(${ARMS.indices.map(i => s"st.g${i + 1}")
+            .mkString(", ")}) AS best_micro,
+         |  1000 * greatest(${ARMS.indices.map(i => s"st.g${i + 1}")
+            .mkString(", ")}) - st.alg AS regret_micro,
+         |  $boundMicro AS bound_micro
+         |FROM st, nt
+         |WHERE st.t > 0 AND (st.t % $CK = 0 OR st.t = nt.tmax)
+         |ORDER BY st.t""".stripMargin) { (s, dir) =>
+      val hr = Tables.events(s, dir)
+        .groupBy(expr("unix_micros(ts) div 3600000000").as("h"),
+          col("event_type").as("s"))
+        .agg(sum(floor(col("value") * 1000).cast("bigint")).as("v"))
+        .ckpt() // one fact collapse feeds vmax AND the grid
+      val vm = broadcast(hr.agg(max(col("v")).as("vmax")))
+      val grid = hr.crossJoin(vm)
+        .select(col("h"), col("s"),
+          expr("(1000 * v) div vmax").as("rm"))
+        .groupBy(col("h"))
+        .agg(ARMS.zipWithIndex.map { case (a, i) =>
+          coalesce(max(when(col("s") === a, col("rm"))), lit(0L))
+            .as(s"r${i + 1}")
+        }.head, ARMS.zipWithIndex.tail.map { case (a, i) =>
+          coalesce(max(when(col("s") === a, col("rm"))), lit(0L))
+            .as(s"r${i + 1}")
+        }: _*)
+      import s.implicits._
+      // multiplicative-weights scan: sequential over the bounded
+      // hour axis (q355/q164 shape)
+      val rows = grid.repartition(1).sortWithinPartitions("h")
+        .select((col("h") +: armCols.map(col)): _*)
+        .as[(Long, Long, Long, Long, Long, Long)]
+        .mapPartitions { it =>
+          val buf = it.toArray
+          val tmax = buf.length.toLong
+          val w = Array.fill(k)(200000000L)
+          val g = new Array[Long](k)
+          var alg = 0L
+          val out = scala.collection.mutable.ArrayBuffer[
+            (Long, Long, Long, Long)]()
+          for ((row, idx) <- buf.zipWithIndex) {
+            val t = idx + 1L
+            val r = Array(row._2, row._3, row._4, row._5, row._6)
+            alg += (0 until k).map(i => w(i) * r(i)).sum / 1000000L
+            val u = (0 until k).map(i =>
+              math.floor(w(i).toDouble * math.exp(ETA * r(i).toDouble / 1000.0)))
+            val usum = u.sum
+            for (i <- 0 until k)
+              w(i) = math.floor(1000000000.0 * u(i) / usum).toLong
+            for (i <- 0 until k) g(i) += r(i)
+            if (t % CK == 0 || t == tmax) {
+              val best = g.max * 1000L
+              out += ((t, alg, best, best - alg))
+            }
+          }
+          out.iterator
+        }.toDF("t", "alg_micro", "best_micro", "regret_micro")
+      rows.select(col("t"), col("alg_micro"), col("best_micro"),
+          col("regret_micro"),
+          expr(boundMicro).as("bound_micro"))
+        .orderBy("t")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q362KtRegret,
+    q362KtRegret, q365HedgeRegret,
     q315CaptureRecapture, q316PowerAnalysis, q334TemporalLeakage, q338NbFit,
     q343AbFunnel, q347TokenBucket,
     q230Sprt, q236OffPolicy, q240Sax, q246MarkovAttribution,

@@ -747,4 +747,50 @@ class Round7mSpec extends AnyFunSuite {
     assert(r0.getAs[Long]("max_marg_err_ppm") <= 100L)
     assert(math.abs(mass - 1000000L) <= 200L, s"plan mass $mass")
   }
+
+  test("q365 Hedge: sequential replay and the adversarial regret bound") {
+    val ARMS = Seq("click", "error", "purchase", "signup", "view")
+    val ETA = 0.1
+    val rows = run("q365_hedge_regret")
+    assert(rows.nonEmpty)
+    val hr = graft.Tables.events(spark, dir)
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("h"),
+        col("event_type").as("s"))
+      .agg(sum(floor(col("value") * 1000).cast("bigint")).as("v"))
+      .collect().map(x => ((x.getAs[Long]("h"), x.getAs[String]("s")),
+        x.getAs[Long]("v"))).toMap
+    val vmax = hr.values.max
+    val hours = hr.keys.map(_._1).toSeq.distinct.sorted
+    val k = ARMS.length
+    val w = Array.fill(k)(200000000L)
+    val g = new Array[Long](k)
+    var alg = 0L
+    val got = rows.map(r => r.getAs[Long]("t") ->
+      (r.getAs[Long]("alg_micro"), r.getAs[Long]("best_micro"),
+        r.getAs[Long]("regret_micro"), r.getAs[Long]("bound_micro"))).toMap
+    for ((h, idx) <- hours.zipWithIndex) {
+      val t = idx + 1L
+      val r = ARMS.map(a => 1000L * hr.getOrElse((h, a), 0L) / vmax).toArray
+      alg += (0 until k).map(i => w(i) * r(i)).sum / 1000000L
+      val u = (0 until k).map(i =>
+        math.floor(w(i).toDouble * math.exp(ETA * r(i).toDouble / 1000.0)))
+      val usum = u.sum
+      for (i <- 0 until k)
+        w(i) = math.floor(1000000000.0 * u(i) / usum).toLong
+      for (i <- 0 until k) g(i) += r(i)
+      if (t % 120 == 0 || t == hours.length.toLong) {
+        val (ga, gb, gr, bound) = got(t)
+        val best = g.max * 1000L
+        assert(ga == alg, s"t=$t alg")
+        assert(gb == best, s"t=$t best")
+        assert(gr == best - alg)
+        assert(bound == math.floor(
+          1e6 * (math.log(5.0) / ETA + ETA * t / 8.0)).toLong)
+        // the Hedge guarantee holds for ANY bounded reward sequence
+        assert(gr <= bound, s"t=$t regret $gr exceeds Hedge bound $bound")
+      }
+    }
+    assert(got.keySet == hours.indices.map(_ + 1L)
+      .filter(t => t % 120 == 0 || t == hours.length.toLong).toSet)
+  }
 }
