@@ -1941,9 +1941,136 @@ object Learn {
     }
   }
 
+  /** q366 — Murphy decomposition of the Brier score (Murphy '73):
+    * the nearest-centroid classifier's margin confidence, quantized
+    * to ten bin-center forecasts, is scored as
+    * Brier = REL − RES + UNC — reliability (how far bin confidence
+    * sits from bin accuracy), resolution (how much the bins separate
+    * outcomes), and the outcome uncertainty floor. The identity is
+    * EXACT for bin-center forecasts, so it doubles as an end-to-end
+    * certificate of the whole scoring pipeline; q174 plots the
+    * reliability CURVE, this reduces it to the three-way skill
+    * attribution a model owner actually acts on (miscalibrated →
+    * recalibrate; unresolved → retrain).
+    *
+    * Exactness: outcomes and bin counts are integers; the raw Brier
+    * is the PURE INTEGER Σ(p − 1000y)² div (n·10⁶→ milli² scaling);
+    * REL/RES/UNC terms are per-bin nano-floored double chains over
+    * exact bin aggregates (≤10 terms, order-free); the spec pins
+    * |REL − RES + UNC − Brier| within the flooring slop.
+    *
+    * Scale design (100 TB): the margin pass is q174's (broadcast
+    * centroid table, per-vector window over a ≤|labels| frame); the
+    * decomposition runs entirely on the 10-row bin frame. Output 1
+    * row. */
+  val q366BrierDecomposition: QueryDef = {
+    val relTermNano = "CAST(floor(1000000000.0 * " +
+      "(CAST(nb AS DOUBLE) * (CAST(pc AS DOUBLE) / 1000.0 - " +
+      "CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE)) * " +
+      "(CAST(pc AS DOUBLE) / 1000.0 - CAST(kb AS DOUBLE) / " +
+      "CAST(nb AS DOUBLE)))) AS BIGINT)"
+    val resTermNano = "CAST(floor(1000000000.0 * " +
+      "(CAST(nb AS DOUBLE) * (CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE) - " +
+      "CAST(kt AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      "(CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE) - CAST(kt AS DOUBLE) / " +
+      "CAST(n AS DOUBLE)))) AS BIGINT)"
+    val uncMicro = "CAST(floor(1000000.0 * (CAST(kt AS DOUBLE) / " +
+      "CAST(n AS DOUBLE)) * (1.0 - CAST(kt AS DOUBLE) / " +
+      "CAST(n AS DOUBLE))) AS BIGINT)"
+    val oracle =
+      s"""WITH $ptsCte,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |ctrain AS (
+         |  SELECT l.label AS cid, p.pos, CAST(sum(p.q) // count(*) AS BIGINT)
+         |    AS c
+         |  FROM pts p JOIN lab l USING (vec_id)
+         |  WHERE p.vec_id % 2 = 0 GROUP BY 1, 2),
+         |d AS (
+         |  SELECT p.vec_id, ct.cid,
+         |    CAST(sum((p.q - ct.c) * (p.q - ct.c)) AS HUGEINT) AS dist
+         |  FROM pts p JOIN ctrain ct ON p.pos = ct.pos
+         |  WHERE p.vec_id % 2 = 1 GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT vec_id, cid, dist,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cid) AS rn
+         |  FROM d),
+         |two AS (
+         |  SELECT a.vec_id, a.cid AS pred, a.dist AS d1, b.dist AS d2
+         |  FROM rk a JOIN rk b ON a.vec_id = b.vec_id
+         |  WHERE a.rn = 1 AND b.rn = 2),
+         |sc AS (
+         |  SELECT t.vec_id,
+         |    100 * ((1000 * (t.d2 - t.d1)) // t.d2 // 100) + 50 AS p,
+         |    CASE WHEN t.pred = l.label THEN 1 ELSE 0 END AS y
+         |  FROM two t JOIN lab l USING (vec_id)),
+         |bins AS (
+         |  SELECT p AS pc, CAST(count(*) AS BIGINT) AS nb,
+         |    CAST(sum(y) AS BIGINT) AS kb
+         |  FROM sc GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS kt,
+         |    CAST(sum((p - 1000 * y) * (p - 1000 * y)) AS BIGINT) AS bsum
+         |  FROM sc),
+         |terms AS (
+         |  SELECT CAST(sum($relTermNano) AS BIGINT) AS rel_nano,
+         |    CAST(sum($resTermNano) AS BIGINT) AS res_nano
+         |  FROM bins, tot)
+         |SELECT tot.n, tot.kt AS n_correct,
+         |  tot.bsum // tot.n AS brier_micro,
+         |  (terms.rel_nano // tot.n) // 1000 AS rel_micro,
+         |  (terms.res_nano // tot.n) // 1000 AS res_micro,
+         |  $uncMicro AS unc_micro
+         |FROM tot, terms""".stripMargin
+    QueryDef("q366_brier_decomposition", oracle) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pts = points(emb).ckpt()
+      val lab = emb.select(col("vec_id"), col("label"))
+      val ctrain = pts.filter(col("vec_id") % 2 === 0)
+        .join(lab, Seq("vec_id"))
+        .groupBy(col("label").as("cid"), col("pos"))
+        .agg(expr("sum(q) div count(1)").as("c"))
+      val d = pts.filter(col("vec_id") % 2 === 1)
+        .join(broadcast(ctrain), Seq("pos"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c")))
+          .cast("decimal(38,0)").as("dist"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      val rk = d.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+      val sc = rk.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("pred"), col("dist").as("d1"))
+        .join(rk.filter(col("rn") === 2)
+          .select(col("vec_id"), col("dist").as("d2")), Seq("vec_id"))
+        .join(lab, Seq("vec_id"))
+        .select(
+          expr("100 * ((1000 * CAST(d2 - d1 AS BIGINT)) div " +
+            "CAST(d2 AS BIGINT) div 100) + 50").as("p"),
+          when(col("pred") === col("label"), 1L).otherwise(0L).as("y"))
+        .ckpt() // one scored frame feeds bins AND totals
+      val bins = sc.groupBy(col("p").as("pc"))
+        .agg(count(lit(1)).as("nb"), sum(col("y")).cast("bigint").as("kb"))
+      val tot = broadcast(sc.agg(count(lit(1)).as("n"),
+        sum(col("y")).cast("bigint").as("kt"),
+        sum((col("p") - lit(1000L) * col("y")) *
+          (col("p") - lit(1000L) * col("y"))).cast("bigint").as("bsum")))
+      val terms = bins.crossJoin(tot)
+        .select(expr(relTermNano).as("rl"), expr(resTermNano).as("rs"))
+        .agg(sum(col("rl")).cast("bigint").as("rel_nano"),
+          sum(col("rs")).cast("bigint").as("res_nano"))
+      tot.crossJoin(broadcast(terms))
+        .select(col("n"), col("kt").as("n_correct"),
+          expr("bsum div n").as("brier_micro"),
+          expr("(rel_nano div n) div 1000").as("rel_micro"),
+          expr("(res_nano div n) div 1000").as("res_micro"),
+          expr(uncMicro).as("unc_micro"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q95Kmeans, q96CentroidClassify,
     q159ClusterPurity, q173Stump, q174Calibration, q227NaiveBayes,
     q235Conformal, q238Dbscan, q249KCenter, q255Isotonic, q259EbShrinkage,
     q286Logistic, q296InfoGain, q322ClassWeights, q328CohensKappa,
-    q329OodMahalanobis, q331AlMargin, q332Committee, q356TreeDepth2)
+    q329OodMahalanobis, q331AlMargin, q332Committee, q356TreeDepth2,
+    q366BrierDecomposition)
 }

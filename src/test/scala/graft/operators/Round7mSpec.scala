@@ -793,4 +793,30 @@ class Round7mSpec extends AnyFunSuite {
     assert(got.keySet == hours.indices.map(_ + 1L)
       .filter(t => t % 120 == 0 || t == hours.length.toLong).toSet)
   }
+
+  test("q366 Brier decomposition: Murphy identity and q96 agreement") {
+    val r = run("q366_brier_decomposition").head
+    // the identity REL - RES + UNC = Brier is exact for bin-center
+    // forecasts, up to the documented nano->micro flooring slop
+    val brier = r.getAs[Long]("brier_micro")
+    val rel = r.getAs[Long]("rel_micro")
+    val res = r.getAs[Long]("res_micro")
+    val unc = r.getAs[Long]("unc_micro")
+    assert(math.abs((rel - res + unc) - brier) <= 3L,
+      s"Murphy identity: $rel - $res + $unc vs $brier")
+    assert(rel >= 0 && res >= 0 && unc >= 0 && unc <= 250000L)
+    val n = r.getAs[Long]("n"); val kt = r.getAs[Long]("n_correct")
+    assert(kt >= 0 && kt <= n && n > 0)
+    assert(unc == math.floor(
+      1e6 * (kt.toDouble / n) * (1.0 - kt.toDouble / n)).toLong)
+    // cross-query consistency: the same test-split classifier feeds
+    // q96, so n and the correct count must equal its confusion matrix
+    val conf = run("q96_centroid_classify")
+    val total = conf.map(_.getAs[Long]("n")).sum
+    val diag = conf.filter(x =>
+      x.getAs[Number]("label").longValue ==
+        x.getAs[Number]("pred").longValue).map(_.getAs[Long]("n")).sum
+    assert(n == total, s"n $n vs q96 total $total")
+    assert(kt == diag, s"correct $kt vs q96 diagonal $diag")
+  }
 }
