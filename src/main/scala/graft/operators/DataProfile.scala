@@ -3413,8 +3413,78 @@ object DataProfile {
     }
   }
 
+  /** q367 — Anderson–Darling uniformity audit of the portable md5
+    * RNG (Anderson & Darling '52): the 60-bit md5-prefix uniforms
+    * that EVERY md5-coin operator in this engine rides (q36's
+    * contract — sampling, permutation tests, randomized response,
+    * corruption coins) are themselves put under the most
+    * tail-sensitive classical GoF statistic,
+    * A² = −n − (1/n)Σ[(2j−1)ln u₍ⱼ₎ + (2n+1−2j)ln(1−u₍ⱼ₎)].
+    * q224's KS checks DATA against a model; this checks the ENGINE'S
+    * randomness against uniformity, with the published critical
+    * values in the output — a standing self-test that the coin
+    * machinery hasn't been subtly broken (a biased substring or
+    * signed-parse bug would light it up long before any downstream
+    * gate).
+    *
+    * Exactness: u = (2h+1)/2⁶¹ (lattice continuity correction — no
+    * log(0) cliff); the re-indexing identity folds the u₍ₙ₊₁₋ⱼ₎ term
+    * into the SAME ranked row (coefficient 2n+1−2j), so ONE ranked
+    * pass suffices — no rank self-join; each row's term is
+    * micro-floored before the order-free DECIMAL/HUGEINT sum; only
+    * the final A² rides a double chain.
+    *
+    * Scale design (100 TB): the only exchange is
+    * [[ScaleRank.withRowNumber]]'s range pass over the hash column;
+    * everything else is a map-side projection plus one 1-row
+    * aggregate. Output 1 row. */
+  val q367AndersonDarling: QueryDef = {
+    val TWO61 = "2305843009213693952.0"
+    val uD = s"((2.0 * CAST(h AS DOUBLE) + 1.0) / $TWO61)"
+    val termMicro = s"CAST(floor(1000000.0 * " +
+      s"((2.0 * CAST(rn AS DOUBLE) - 1.0) * ln($uD) + " +
+      s"(2.0 * CAST(n AS DOUBLE) + 1.0 - 2.0 * CAST(rn AS DOUBLE)) * " +
+      s"ln(1.0 - $uD))) AS BIGINT)"
+    val adMilli = "CAST(floor(1000.0 * (-CAST(n AS DOUBLE) - " +
+      "(CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE))) AS BIGINT)"
+    QueryDef(
+      "q367_anderson_darling",
+      s"""WITH hh AS (
+         |  SELECT ('0x' || substring(md5('adu' || CAST(o_orderkey AS VARCHAR)),
+         |    1, 15))::BIGINT AS h
+         |  FROM orders),
+         |rk AS (
+         |  SELECT h, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER () AS BIGINT) AS n
+         |  FROM hh),
+         |ss AS (
+         |  SELECT CAST(max(n) AS BIGINT) AS n,
+         |    sum(CAST($termMicro AS HUGEINT)) AS s
+         |  FROM rk)
+         |SELECT n, $adMilli AS ad_milli,
+         |  CAST(1933 AS BIGINT) AS crit10_milli,
+         |  CAST(2492 AS BIGINT) AS crit5_milli,
+         |  CAST(3857 AS BIGINT) AS crit1_milli,
+         |  CASE WHEN $adMilli > 2492 THEN 1 ELSE 0 END AS reject5
+         |FROM ss""".stripMargin) { (s, dir) =>
+      val hh = Tables.orders(s, dir).select(
+        expr("CAST(conv(substring(md5(concat('adu', " +
+          "CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      val rk = ScaleRank.withRowNumber(hh, Seq.empty, Seq(col("h")), "rn", "n")
+      val ss = rk
+        .select(expr(termMicro).cast("decimal(38,0)").as("t"), col("n"))
+        .agg(max(col("n")).as("n"), sum(col("t")).as("s"))
+      ss.select(col("n").cast("bigint").as("n"),
+          expr(adMilli).as("ad_milli"),
+          lit(1933L).as("crit10_milli"), lit(2492L).as("crit5_milli"),
+          lit(3857L).as("crit1_milli"),
+          expr(s"CASE WHEN $adMilli > 2492 THEN 1 ELSE 0 END").as("reject5"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q359TailDependence, q363Jonckheere, q364Sinkhorn,
+      q367AndersonDarling,
       q301Hbos, q313CovariateBalance, q317Wasserstein, q319Srm,
       q326CorrMatrix, q335SplitStratification, q336DkwBands,
       q339LargestRemainder, q342EnergyDistance,

@@ -819,4 +819,32 @@ class Round7mSpec extends AnyFunSuite {
     assert(n == total, s"n $n vs q96 total $total")
     assert(kt == diag, s"correct $kt vs q96 diagonal $diag")
   }
+
+  test("q367 Anderson-Darling: ranked replay, md5 uniformity holds") {
+    val r = run("q367_anderson_darling").head
+    val hs = graft.Tables.orders(spark, dir)
+      .selectExpr("CAST(conv(substring(md5(concat('adu', " +
+        "CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h")
+      .collect().map(_.getAs[Long]("h")).sorted
+    val n = hs.length
+    assert(r.getAs[Long]("n") == n.toLong)
+    val two61 = 2305843009213693952.0
+    var s = BigInt(0)
+    for ((h, j0) <- hs.zipWithIndex) {
+      val j = j0 + 1
+      val u = (2.0 * h + 1.0) / two61
+      s += BigInt(math.floor(1000000.0 *
+        ((2.0 * j - 1.0) * math.log(u) +
+          (2.0 * n + 1.0 - 2.0 * j) * math.log(1.0 - u))).toLong)
+    }
+    val ad = math.floor(
+      1000.0 * (-n.toDouble - (s.toDouble / 1e6) / n)).toLong
+    assert(r.getAs[Long]("ad_milli") == ad)
+    // the engine's portable-RNG contract: md5-prefix uniforms must
+    // pass AD at the 5% level (a biased substring/parse bug would
+    // blow far past the critical value)
+    assert(r.getAs[Long]("ad_milli") < r.getAs[Long]("crit5_milli"),
+      s"md5 uniformity rejected: ${r.getAs[Long]("ad_milli")}")
+    assert(r.getAs[Number]("reject5").longValue == 0L)
+  }
 }
