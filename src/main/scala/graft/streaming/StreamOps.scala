@@ -1226,4 +1226,73 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  final case class HedgeState(
+      curHour: Long, sums: Seq[Long], w: Seq[Long], g: Seq[Long],
+      alg: Long, t: Long)
+  final case class HedgeOut(t: Long, hour: Long, alg_micro: Long,
+      best_micro: Long, regret_micro: Long)
+
+  /** Streaming Hedge monitor — the stateful twin of q365
+    * ([[graft.operators.EventOps.q365HedgeRegret]]): the
+    * exponential-weights portfolio over the five event-type arms,
+    * advanced ONLINE as hourly reward rounds complete. An hour
+    * finalizes when the first event of a LATER hour arrives (the
+    * in-order-arrival contract shared with [[cusum]]); the reward
+    * normalizer `vmax` is a batch-computed baseline, exactly like
+    * [[driftTv]]'s reference frame. Identical integer/nano-quantized
+    * arithmetic to the batch fold — the same (Σ wₐ·rₐ) div 10⁶ gain,
+    * the same floor(w·exp(η·r)) reweight and floor-normalization — so
+    * the emitted checkpoint trail is bit-exact against q365's scan
+    * through the last COMPLETED hour. State is O(k) longs on a single
+    * monitor key (the portfolio is global by construction — this is
+    * a dashboard monitor, not a per-entity operator). */
+  def hedgeMonitor(spark: SparkSession, events: Dataset[AsofEvent],
+      vmax: Long, eta: Double = 0.1): Dataset[HedgeOut] = {
+    import spark.implicits._
+    val arms = Seq("click", "error", "purchase", "signup", "view")
+    val k = arms.length
+
+    def fn(key: Long, rows: Iterator[AsofEvent],
+        state: GroupState[HedgeState]): Iterator[HedgeOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var st = state.getOption.getOrElse(HedgeState(
+        Long.MinValue, Seq.fill(k)(0L), Seq.fill(k)(1000000000L / k),
+        Seq.fill(k)(0L), 0L, 0L))
+      val out = List.newBuilder[HedgeOut]
+      def finalizeHour(): Unit = if (st.curHour != Long.MinValue) {
+        val r = st.sums.map(v => 1000L * v / vmax)
+        val alg = st.alg +
+          (0 until k).map(i => st.w(i) * r(i)).sum / 1000000L
+        val u = (0 until k).map(i =>
+          math.floor(st.w(i).toDouble * math.exp(eta * r(i).toDouble / 1000.0)))
+        val usum = u.sum
+        val w = u.map(x => math.floor(1000000000.0 * x / usum).toLong)
+        val g = (0 until k).map(i => st.g(i) + r(i))
+        val t = st.t + 1
+        val best = g.max * 1000L
+        out += HedgeOut(t, st.curHour, alg, best, best - alg)
+        st = HedgeState(st.curHour, Seq.fill(k)(0L), w, g, alg, t)
+      }
+      sorted.foreach { e =>
+        val h = micros(e.ts) / 3600000000L
+        if (h != st.curHour) {
+          finalizeHour()
+          st = st.copy(curHour = h, sums = Seq.fill(k)(0L))
+        }
+        val ai = arms.indexOf(e.event_type)
+        if (ai >= 0) {
+          val v = math.floor(e.value * 1000).toLong
+          st = st.copy(sums = st.sums.updated(ai, st.sums(ai) + v))
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_ => 0L)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

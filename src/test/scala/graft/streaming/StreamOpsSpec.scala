@@ -1386,4 +1386,55 @@ class StreamOpsSpec extends AnyFunSuite {
         s"stream-batch: ${streamed -- batch}; batch-stream: ${batch -- streamed}")
     } finally q.stop()
   }
+
+  test("hedgeMonitor agrees bit-exactly with the q365 batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val arms = Seq("click", "error", "purchase", "signup", "view")
+    val eta = 0.1
+    // batch baseline: per-(hour, type) milli sums and their max
+    val hr = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("h"),
+        col("event_type").as("s"))
+      .agg(sum(floor(col("value") * 1000).cast("bigint")).as("v"))
+      .collect().map(r => ((r.getAs[Long]("h"), r.getAs[String]("s")),
+        r.getAs[Long]("v"))).toMap
+    val vmax = hr.values.max
+    val in = MemoryStream[StreamOps.AsofEvent]
+    val q = StreamOps.hedgeMonitor(spark, in.toDS(), vmax, eta)
+      .writeStream.format("memory").queryName("hedge_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      eventChunks(3).foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("hedge_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1)
+      // batch fold: the q365 recurrence over the present-hour axis
+      val hours = hr.keys.map(_._1).toSeq.distinct.sorted
+      val k = arms.length
+      val w = Array.fill(k)(1000000000L / k)
+      val g = new Array[Long](k)
+      var alg = 0L
+      val batch = hours.zipWithIndex.map { case (h, idx) =>
+        val r = arms.map(a => 1000L * hr.getOrElse((h, a), 0L) / vmax).toArray
+        alg += (0 until k).map(i => w(i) * r(i)).sum / 1000000L
+        val u = (0 until k).map(i =>
+          math.floor(w(i).toDouble * math.exp(eta * r(i).toDouble / 1000.0)))
+        val usum = u.sum
+        for (i <- 0 until k)
+          w(i) = math.floor(1000000000.0 * u(i) / usum).toLong
+        for (i <- 0 until k) g(i) += r(i)
+        val best = g.max * 1000L
+        (idx + 1L, h, alg, best, best - alg)
+      }
+      // the stream finalizes an hour on the next hour's first event,
+      // so it trails the batch fold by exactly the last open hour
+      assert(streamed.nonEmpty)
+      assert(streamed.length == hours.length - 1,
+        s"${streamed.length} streamed rounds vs ${hours.length} hours")
+      assert(streamed.sameElements(batch.take(streamed.length)),
+        s"first diff: ${streamed.zip(batch).find(p => p._1 != p._2)}")
+    } finally q.stop()
+  }
 }
