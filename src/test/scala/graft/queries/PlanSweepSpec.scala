@@ -282,5 +282,8 @@ object PlanSweepAllowlist {
       "loss rank window over the calendar-bounded day-P&L frame"),
     ("q360_diebold_mariano", "^d#",
       "both forecast lags ride one window over the calendar-bounded " +
-        "day axis"))
+        "day axis"),
+    ("q365_hedge_regret", "repartition(1)",
+      "sequential multiplicative-weights scan over the time-span-bounded " +
+        "hour grid (the q355/q164 shape)"))
 }
