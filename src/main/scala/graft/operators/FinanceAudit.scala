@@ -1339,10 +1339,102 @@ object FinanceAudit {
     }
   }
 
+  /** q368 — Theil-T inequality decomposition of customer spend by
+    * market segment (Theil '67): unlike Gini (q133), the Theil index
+    * is EXACTLY additively decomposable — T = T_within + T_between —
+    * so it answers the question Gini cannot: how much revenue
+    * concentration lives INSIDE segments versus BETWEEN them (the
+    * "is our whale problem a segment problem" audit). The identity
+    * itself is the certificate: both sides are computed from
+    * INDEPENDENT formulas (per-row logs vs the 5-row group frame)
+    * and the spec pins their agreement within the flooring slop.
+    *
+    * Exactness: spends are exact cents; the per-row expansions
+    * T = Σᵢ (xᵢ/S)·ln(xᵢ·n/S) and
+    * T_within = Σᵢ (xᵢ/S)·ln(xᵢ·n_g/S_g) are each nano-floored PER
+    * ROW before order-free HUGEINT/DECIMAL sums (q83 discipline);
+    * T_between comes from the 5-row group frame the same way.
+    *
+    * Scale design (100 TB): one fact collapse to per-customer spend,
+    * one equi-join to the segment dimension, group stats on the
+    * ≤|segments| frame broadcast back — two partial-aggregable
+    * passes, zero windows. Output 1 row. */
+  val q368TheilDecomposition: QueryDef = {
+    // per-row nano terms over (x, n, S) resp. (x, ng, sg)
+    def termNano(nC: String, sC: String) =
+      s"CAST(floor(1000000000.0 * (CAST(x AS DOUBLE) / CAST(s AS DOUBLE)) * " +
+        s"ln(CAST(x AS DOUBLE) * CAST($nC AS DOUBLE) / " +
+        s"CAST($sC AS DOUBLE))) AS BIGINT)"
+    val betweenNano = "CAST(floor(1000000000.0 * " +
+      "(CAST(sg AS DOUBLE) / CAST(s AS DOUBLE)) * " +
+      "ln((CAST(sg AS DOUBLE) * CAST(n AS DOUBLE)) / " +
+      "(CAST(s AS DOUBLE) * CAST(ng AS DOUBLE)))) AS BIGINT)"
+    QueryDef(
+      "q368_theil_decomposition",
+      s"""WITH spend AS (
+         |  SELECT o_custkey AS ck,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x
+         |  FROM orders GROUP BY 1),
+         |seg AS (
+         |  SELECT sp.ck, sp.x, c.c_mktsegment AS g
+         |  FROM spend sp JOIN customer c ON sp.ck = c.c_custkey),
+         |gs AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+         |    CAST(sum(x) AS BIGINT) AS sg
+         |  FROM seg GROUP BY 1),
+         |nt AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+         |  CAST(sum(sg) AS BIGINT) AS s FROM gs),
+         |rows_t AS (
+         |  SELECT sum(CAST(${termNano("nt.n", "nt.s")} AS HUGEINT)) AS t_nn,
+         |    sum(CAST(${termNano("gs.ng", "gs.sg")} AS HUGEINT)) AS w_nn
+         |  FROM seg JOIN gs ON seg.g = gs.g, nt),
+         |bt AS (
+         |  SELECT sum(CAST($betweenNano AS HUGEINT)) AS b_nn
+         |  FROM gs, nt)
+         |SELECT nt.n, (SELECT CAST(count(*) AS BIGINT) FROM gs) AS k,
+         |  CAST(floor(CAST(rows_t.t_nn AS DOUBLE) / 1000.0) AS BIGINT)
+         |    AS theil_micro,
+         |  CAST(floor(CAST(rows_t.w_nn AS DOUBLE) / 1000.0) AS BIGINT)
+         |    AS within_micro,
+         |  CAST(floor(CAST(bt.b_nn AS DOUBLE) / 1000.0) AS BIGINT)
+         |    AS between_micro
+         |FROM nt, rows_t, bt""".stripMargin) { (s, dir) =>
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("bigint")).cast("bigint").as("x"))
+      val seg = spend.join(Tables.customer(s, dir)
+          .select(col("c_custkey").as("ck"), col("c_mktsegment").as("g")),
+        Seq("ck"))
+      val gs = seg.groupBy(col("g"))
+        .agg(count(lit(1)).as("ng"), sum(col("x")).cast("bigint").as("sg"))
+        .ckpt() // the 5-row group frame feeds rows AND between
+      val nt = broadcast(gs.agg(sum(col("ng")).cast("bigint").as("n"),
+        sum(col("sg")).cast("bigint").as("s")))
+      val rowsT = seg.join(broadcast(gs), Seq("g")).crossJoin(nt)
+        .select(expr(termNano("n", "s")).cast("decimal(38,0)").as("tt"),
+          expr(termNano("ng", "sg")).cast("decimal(38,0)").as("tw"))
+        .agg(sum(col("tt")).as("t_nn"), sum(col("tw")).as("w_nn"))
+      val bt = gs.crossJoin(nt)
+        .select(expr(betweenNano).cast("decimal(38,0)").as("tb"))
+        .agg(sum(col("tb")).as("b_nn"))
+      val kf = broadcast(gs.agg(count(lit(1)).as("k")))
+      nt.crossJoin(broadcast(rowsT)).crossJoin(broadcast(bt)).crossJoin(kf)
+        .select(col("n"), col("k"),
+          expr("CAST(floor(CAST(t_nn AS DOUBLE) / 1000.0) AS BIGINT)")
+            .as("theil_micro"),
+          expr("CAST(floor(CAST(w_nn AS DOUBLE) / 1000.0) AS BIGINT)")
+            .as("within_micro"),
+          expr("CAST(floor(CAST(b_nn AS DOUBLE) / 1000.0) AS BIGINT)")
+            .as("between_micro"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q188DupCharge, q189ParetoAbc, q192Vwap, q193Drawdown, q194Aging,
     q195RoundBias, q210DiffInDiff, q211AbcXyz, q214LedgerRegister,
     q218WeeklyKpi, q222VelocityScreen, q253PriceVolumeMix, q263Hhi,
     q271Proration, q282DecayedTopk, q292FifoCosting, q314TailIndex,
-    q352VarEs, q357PotGpd)
+    q352VarEs, q357PotGpd, q368TheilDecomposition)
 }

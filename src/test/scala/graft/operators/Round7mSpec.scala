@@ -847,4 +847,46 @@ class Round7mSpec extends AnyFunSuite {
       s"md5 uniformity rejected: ${r.getAs[Long]("ad_milli")}")
     assert(r.getAs[Number]("reject5").longValue == 0L)
   }
+
+  test("q368 Theil: per-row replay and the exact decomposability") {
+    val r = run("q368_theil_decomposition").head
+    val seg = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 " +
+        "AS BIGINT)")).cast("bigint").as("x"))
+      .join(graft.Tables.customer(spark, dir)
+        .selectExpr("c_custkey AS ck", "c_mktsegment AS g"), Seq("ck"))
+      .collect().map(x => (x.getAs[String]("g"), x.getAs[Long]("x")))
+    val n = seg.length.toLong
+    val sTot = seg.map(x => BigInt(x._2)).sum
+    val gs = seg.groupBy(_._1).map { case (g, xs) =>
+      g -> (xs.length.toLong, xs.map(x => BigInt(x._2)).sum)
+    }
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("k") == gs.size.toLong)
+    def nano(x: Long, nC: Double, sC: Double): Long =
+      math.floor(1e9 * (x.toDouble / sTot.toDouble) *
+        math.log(x.toDouble * nC / sC)).toLong
+    val tNn = seg.map { case (_, x) =>
+      BigInt(nano(x, n.toDouble, sTot.toDouble)) }.sum
+    val wNn = seg.map { case (g, x) =>
+      val (ng, sg) = gs(g); BigInt(nano(x, ng.toDouble, sg.toDouble)) }.sum
+    val bNn = gs.values.map { case (ng, sg) =>
+      BigInt(math.floor(1e9 * (sg.toDouble / sTot.toDouble) *
+        math.log(sg.toDouble * n / (sTot.toDouble * ng))).toLong)
+    }.sum
+    assert(r.getAs[Long]("theil_micro") ==
+      math.floor(tNn.toDouble / 1000.0).toLong)
+    assert(r.getAs[Long]("within_micro") ==
+      math.floor(wNn.toDouble / 1000.0).toLong)
+    assert(r.getAs[Long]("between_micro") ==
+      math.floor(bNn.toDouble / 1000.0).toLong)
+    // Theil's exact additive decomposability, up to per-term floors
+    val slop = (2 * n + gs.size) / 1000 + 3
+    val t = r.getAs[Long]("theil_micro")
+    val w = r.getAs[Long]("within_micro")
+    val b = r.getAs[Long]("between_micro")
+    assert(math.abs(t - (w + b)) <= slop, s"T=$t vs W+B=${w + b}")
+    // both components are non-negative (between is KL-like)
+    assert(b >= -slop && w >= -slop && t >= -slop)
+  }
 }
