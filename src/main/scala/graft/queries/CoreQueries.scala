@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.CkptOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -527,7 +528,13 @@ object CoreQueries {
   }
 
   /** Join-type battery — every join strategy family as one summary
-    * row: cross, full outer, inner, anti, left outer, semi. */
+    * row: cross, full outer, inner, anti, left outer, semi. Both
+    * inputs are checkpointed once ([[CkptOps.ckpt]]): the six branches
+    * share `big` and `cust`, and without materialization each branch
+    * re-scans orders — six scans of the fact table for one battery
+    * (the r7 +34% drift). The checkpoint is an ordinary distributed
+    * materialization (scales with the distinct high-value custkeys,
+    * never collected to the driver). */
   val q39JoinTypes: QueryDef = QueryDef(
     "q39_join_types",
     """WITH big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 250000),
@@ -540,9 +547,9 @@ object CoreQueries {
       |UNION ALL SELECT 'left_semi', (SELECT count(*) FROM cust WHERE EXISTS (SELECT 1 FROM big WHERE big.k = cust.k))
       |ORDER BY jt""".stripMargin) { (s, dir) =>
     val big = Tables.orders(s, dir).filter(col("o_totalprice") > 250000)
-      .select(col("o_custkey").as("k")).distinct()
+      .select(col("o_custkey").as("k")).distinct().ckpt()
     val cust = Tables.customer(s, dir).filter(col("c_custkey") <= 300)
-      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      .select(col("c_custkey").as("k"), col("c_mktsegment")).ckpt()
     def row(jt: String, df: org.apache.spark.sql.DataFrame) =
       df.agg(count(lit(1)).as("n")).select(lit(jt).as("jt"), col("n"))
     row("cross", big.crossJoin(cust))
@@ -620,17 +627,25 @@ object CoreQueries {
     * per nation within one region and year. The canonical "did the
     * optimizer get the join order right" query, stated declaratively:
     *
-    *  - region→nation is the only hint-broadcast: those stay tiny at
-    *    any SF, and the region filter prunes nations (and through the
-    *    join, customers) before any fact row is touched;
+    *  - region/nation are the only hint-broadcasts: those are
+    *    CONSTANT-cardinality (5 regions, 25 nations) at any SF, and
+    *    the ASIA membership reaches customer as a LEFT-SEMI join —
+    *    semi joins keep the probe side's size statistics, so the
+    *    initial (pre-AQE) plan already sees customer at its true scan
+    *    size and picks broadcast at small SF without materializing
+    *    ensure-requirements exchanges first (the r7 +69% regression:
+    *    an inner customer⋈nation join inflated the size estimate,
+    *    forcing an SMJ initial plan whose shuffles AQE then paid for
+    *    before converting to broadcast anyway);
     *  - customer and supplier SCALE WITH SF — they are declared as
-    *    plain equi-joins, shuffling on their keys at 100 TB while AQE
-    *    freely converts them to broadcast at small SF. Hint-forcing
-    *    them would OOM the driver at scale (the q35-label lesson:
-    *    never bake a size assumption that the data outgrows);
-    *  - the fact-fact exchanges (orders⋈lineitem, then supplier)
-    *    carry rows already cut by the pushed-down date filter and the
-    *    nation semi-join;
+    *    plain equi-joins, shuffling on their keys at 100 TB while the
+    *    planner freely broadcasts them at small SF. Hint-forcing them
+    *    would OOM the driver at scale (the q35-label lesson: never
+    *    bake a size assumption that the data outgrows);
+    *  - n_name is decoded AFTER aggregation: the fact pipeline groups
+    *    on c_nationkey (≤25 groups), and only the ≤25-row aggregate
+    *    joins the nation names — the wide string column never rides
+    *    through the fact joins;
     *  - revenue sums as decimal (exact, order-insensitive), the q01
     *    discipline. */
   val q99StarJoin: QueryDef = QueryDef(
@@ -655,8 +670,9 @@ object CoreQueries {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey"), col("n_name"))
     val cust = Tables.customer(s, dir)
-      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nations.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
     val ord = Tables.orders(s, dir)
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
@@ -670,8 +686,10 @@ object CoreQueries {
       .join(supp,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
-      .groupBy(col("n_name"))
+      .groupBy(col("c_nationkey"))
       .agg(d(sum(col("rev"))).as("revenue"), count(lit(1)).as("n_lineitems"))
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("revenue"), col("n_lineitems"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
