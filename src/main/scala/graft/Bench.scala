@@ -5,6 +5,10 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional arg: comma-separated query names for a targeted local
+    // perf loop (the driver passes no args -> full surface)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val spark = Harness.session()
     spark.sparkContext.setLogLevel("WARN")
     // uncounted warm-up: JIT + codegen + shuffle machinery, so the
@@ -22,7 +26,9 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     // a crashed query must read as a failure (-1), never as a fast run
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val runs = Seq.fill(3)(once(fn))
       val best = if (runs.forall(_._2)) runs.map(_._1).min else -1.0
       (name, best, runs.map(_._1))

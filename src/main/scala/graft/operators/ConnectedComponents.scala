@@ -43,9 +43,17 @@ object ConnectedComponents {
   def compute(spark: SparkSession, edges: DataFrame,
       driverLimit: Long = DefaultDriverLimit): DataFrame = {
     val cached = edges.select(col("a").cast("long"), col("b").cast("long")).ckpt()
-    if (cached.count() <= driverLimit) driverUnionFind(spark, cached)
-    else distributed(cached)
+    computeCkpt(spark, cached, cached.count(), driverLimit)
   }
+
+  /** Variant for callers that already hold a materialized (a, b)
+    * long-keyed frame AND its row count (e.g. a loop that needs the
+    * edge count for its own report row): skips the extra checkpoint +
+    * count pass [[compute]] would pay. Same dual-path dispatch. */
+  def computeCkpt(spark: SparkSession, cachedEdges: DataFrame, nEdges: Long,
+      driverLimit: Long = DefaultDriverLimit): DataFrame =
+    if (nEdges <= driverLimit) driverUnionFind(spark, cachedEdges)
+    else distributed(cachedEdges)
 
   /** Path-compressed, size-united union-find over collected edges. */
   def driverUnionFind(spark: SparkSession, edges: DataFrame): DataFrame = {

@@ -294,10 +294,15 @@ object PageRank {
         labels.select(col("node"), col("lab").as("cand")))
       val vc = votes.groupBy(col("node"), col("cand"))
         .agg(count(lit(1)).as("c"))
-      val mx = vc.groupBy(col("node")).agg(max(col("c")).as("mc"))
-      labels = vc.join(broadcast(mx.withColumnRenamed("mc", "c")),
-          Seq("node", "c"))
-        .groupBy(col("node")).agg(min(col("cand")).as("lab"))
+      // argmax(count) ⋈ argmin(label) fused as one lexicographic
+      // struct-max: (c, -cand) max picks the largest count, then the
+      // smallest candidate label — same fully-tie-broken result as
+      // the oracle's mx-join-min chain, one partial-aggregable pass
+      // instead of a second shuffle + broadcast join per round
+      labels = vc
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("cand")).as("nc"))).as("m"))
+        .select(col("node"), (-col("m.nc")).as("lab"))
         .ckpt()
     }
     labels
