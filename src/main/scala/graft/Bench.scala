@@ -56,8 +56,12 @@ object Bench {
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"sf":"$sfDir"}"""
+    // a FILTERED run must not clobber the full-surface artifact the
+    // closing summary is derived from (verify_pass.py --summary)
+    val artifact =
+      if (only.isEmpty) "target/bench_full.json" else "target/bench_some.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/bench_full.json"),
+      java.nio.file.Paths.get(artifact),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // ...and LAST as well: r6's artifact was clipped on BOTH ends (it

@@ -1,0 +1,66 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver-compute counterpart of [[PlanSweepSpec]]: plan shapes are
+  * swept mechanically there, but a `.collect()` never shows up in a
+  * logical plan — it IS the action. So this spec sweeps the SOURCE for
+  * every materialize-to-driver call (`collect()`, `collectAsList()`,
+  * `toLocalIterator`) under `src/main` and requires each site to carry
+  * a registered bound in [[DriverComputeRegistry]].
+  *
+  * Both directions are enforced, like the plan-sweep allowlist: an
+  * unregistered site fails (a new driver loop must name its bound
+  * before it ships), and a registry entry whose site disappeared fails
+  * too (stale adjudications rot the audit).
+  *
+  * Driver-side `.head()` on a 1-row aggregate and `rows.toDF` loop
+  * scalars are deliberately out of scope: they move O(1) rows by
+  * construction. What this catches is the O(data) class — pulling a
+  * frame whose size is NOT provably bounded into driver memory.
+  */
+class DriverComputeSweepSpec extends AnyFunSuite {
+  private val root = Paths.get("src/main/scala/graft")
+  private val call = raw"\.collect\(\)|\.collectAsList\(\)|\.toLocalIterator".r
+
+  test("every driver-materialize site in src/main is registered with a bound") {
+    val hits: Seq[(String, String)] = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .flatMap { p: Path =>
+        Files.readAllLines(p).asScala.zipWithIndex.collect {
+          case (line, _) if call.findFirstIn(line).isDefined &&
+            !line.trim.startsWith("//") && !line.trim.startsWith("*") =>
+            (root.relativize(p).toString, line.trim)
+        }
+      }.toSeq
+    val unmatched = hits.filterNot { case (f, line) =>
+      DriverComputeRegistry.sites.exists { case (rf, marker, _) =>
+        rf == f && line.contains(marker)
+      }
+    }
+    assert(unmatched.isEmpty,
+      "driver-materialize calls without a registered bound (add to " +
+        s"DriverComputeRegistry with the bound that keeps them O(small)):\n" +
+        unmatched.map { case (f, l) => s"  $f: $l" }.mkString("\n"))
+    val stale = DriverComputeRegistry.sites.filterNot { case (rf, marker, _) =>
+      hits.exists { case (f, line) => f == rf && line.contains(marker) }
+    }
+    assert(stale.isEmpty,
+      s"registry entries whose site no longer exists:\n" +
+        stale.map { case (f, m, _) => s"  $f [$m]" }.mkString("\n"))
+  }
+}
+
+/** Declared driver-compute sites: (file under graft/, line marker,
+  * the bound that keeps the pull O(small) at any data scale). */
+object DriverComputeRegistry {
+  val sites: Seq[(String, String, String)] = Seq(
+    ("operators/ConnectedComponents.scala", "edges.as[(Long, Long)].collect()",
+      "gated by driverLimit (default 5M edges) in compute/computeCkpt; " +
+        "above it the property-tested distributed min-label path runs"),
+    ("operators/PipelineFilters.scala", "collect().sortBy(_.getAs[Int](\"rk\"))",
+      "q330/q345 knapsack DP input: a groupBy(source) aggregate frame, " +
+        "<= |sources| rows (source domain, not data volume)"))
+}

@@ -16,6 +16,9 @@ timestamps (so a green rerun is a no-op diff). That file IS the green
 log artifact the verdict asked for — commit it when it changes.
 
 Usage: python3 tools/verify_pass.py [sfDir]
+       python3 tools/verify_pass.py --summary   # closing numbers ONLY,
+           derived from target/test_summary.json + target/bench_full.json
+           (never hand-write close-out numbers — VERDICT r7 item 1)
 """
 import json
 import re
@@ -32,6 +35,9 @@ def run(cmd):
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--summary":
+        print(closing_summary())
+        return
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = "/tmp/verify_out"
     log = {"sf": sf, "stages": {}}
@@ -64,12 +70,45 @@ def main():
     finish(log, rc)
 
 
+def closing_summary():
+    """The ONLY legitimate source of close-out numbers (VERDICT r7 item
+    1: commit 6f86099 hand-claimed 399 tests / 218.2s while the
+    artifacts held 374 / 232.0). Reads target/test_summary.json +
+    target/bench_full.json and prints the summary string to paste into
+    the closing commit / SURVEY 6.1 — never write those numbers by
+    hand."""
+    parts = []
+    try:
+        t = json.load(open(f"{REPO}/target/test_summary.json"))
+        parts.append(
+            f"{t['tests']} tests green in {t['suites']} suites"
+            if t.get("failed", 0) == 0 else
+            f"TESTS RED: {t['failed']} failed of {t['tests']}")
+    except Exception as e:
+        parts.append(f"(no test_summary.json: {e})")
+    try:
+        b = json.load(open(f"{REPO}/target/bench_full.json"))
+        qs = b["queries"]
+        n = len(qs)
+        bad = sorted(k for k, v in qs.items() if v < 0)
+        tot = sum(v for v in qs.values() if v >= 0)
+        s = (f"best-of-3 bench {tot:.1f}s/{n} at sf0.1 "
+             f"(mean {tot / max(n, 1):.3f}s)")
+        if bad:
+            s += f" — {len(bad)} FAILED: {', '.join(bad)}"
+        parts.append(s)
+    except Exception as e:
+        parts.append(f"(no bench_full.json: {e})")
+    return "; ".join(parts)
+
+
 def finish(log, rc):
     log["green"] = rc == 0
     with open(f"{REPO}/FUZZLOG.json", "w") as f:
         json.dump(log, f, indent=2, sort_keys=True)
         f.write("\n")
     print(f"== verify pass {'GREEN' if rc == 0 else 'RED'} ==")
+    print(f"closing summary (artifact-derived): {closing_summary()}")
     sys.exit(rc)
 
 
