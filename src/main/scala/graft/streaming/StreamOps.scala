@@ -1295,4 +1295,217 @@ object StreamOps {
       .groupByKey(_ => 0L)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  /** Per-type baseline moments for [[controlChartMonitor]]: D = #days,
+    * S = Σx, Q = Σx² over the training corpus' daily milli-sums —
+    * exactly q293's `m` frame, shipped to the monitor the way
+    * [[driftTv]] ships its reference histogram. BigInt mirrors the
+    * batch DECIMAL(38,0) arithmetic headroom. */
+  final case class SpcBaseline(dd: BigInt, ss: BigInt, qq: BigInt)
+  final case class SpcState(
+      curDay: Long, x: Long, sides: Seq[Int], b2us: Seq[Int],
+      b2ds: Seq[Int], nDays: Long, nAbove: Long, r1: Long, r2: Long,
+      r4: Long)
+  final case class SpcOut(
+      event_type: String, day: Long, side: Int, rule1: Int, rule2: Int,
+      rule4: Int, n_days: Long, n_above: Long, n_rule1: Long,
+      n_rule2: Long, n_rule4: Long)
+
+  /** Streaming Western-Electric control chart — the stateful twin of
+    * q293 ([[graft.operators.EventOps.q293ControlChart]]): per event
+    * type, each day's milli-value sum is zone-tested against FIXED
+    * baseline moments (rule 1: beyond 3σ; rule 2: two of three
+    * consecutive beyond 2σ same side; rule 4: eight consecutive on one
+    * side) using the identical cross-multiplied integer identity
+    * (x·D − S)² > k²·(D·Q − S²) — σ is never materialized as a double.
+    * A day finalizes when that type's first event of a LATER day
+    * arrives (the in-order-arrival contract shared with [[cusum]] /
+    * [[hedgeMonitor]]). With the baseline trained on the full corpus
+    * the emitted flag trail is bit-exact against the batch chart
+    * through each type's last closed day; in production the baseline
+    * is a frozen reference period, exactly like [[driftTv]].
+    *
+    * State per type is O(1): the open day's sum, a 7-deep side ring, a
+    * 2-deep 2σ-flag ring, and five counters — nothing grows with
+    * stream length, and the key space is the event-type domain. */
+  def controlChartMonitor(spark: SparkSession, events: Dataset[AsofEvent],
+      baseline: Map[String, SpcBaseline]): Dataset[SpcOut] = {
+    import spark.implicits._
+
+    def fn(etype: String, rows: Iterator[AsofEvent],
+        state: GroupState[SpcState]): Iterator[SpcOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var st = state.getOption.getOrElse(SpcState(
+        Long.MinValue, 0L, Nil, Nil, Nil, 0L, 0L, 0L, 0L, 0L))
+      val out = List.newBuilder[SpcOut]
+      val b = baseline.get(etype)
+      def closeDay(): Unit = if (st.curDay != Long.MinValue && b.isDefined) {
+        val SpcBaseline(dd, ss, qq) = b.get
+        val dev = BigInt(st.x) * dd - ss
+        val var2 = dd * qq - ss * ss
+        val side = dev.signum
+        val d2 = dev * dev
+        val b3 = if (d2 > var2 * 9) 1 else 0
+        val b2u = if (d2 > var2 * 4 && side > 0) 1 else 0
+        val b2d = if (d2 > var2 * 4 && side < 0) 1 else 0
+        val c2u = b2u + st.b2us.sum
+        val c2d = b2d + st.b2ds.sum
+        val r2 = if ((b2u == 1 && c2u >= 2) || (b2d == 1 && c2d >= 2)) 1 else 0
+        val ring8 = (st.sides :+ side).takeRight(8)
+        val r4 = if (ring8.size == 8 &&
+          (ring8.forall(_ == 1) || ring8.forall(_ == -1))) 1 else 0
+        st = SpcState(st.curDay, st.x,
+          (st.sides :+ side).takeRight(7),
+          (st.b2us :+ b2u).takeRight(2), (st.b2ds :+ b2d).takeRight(2),
+          st.nDays + 1, st.nAbove + (if (side > 0) 1 else 0),
+          st.r1 + b3, st.r2 + r2, st.r4 + r4)
+        out += SpcOut(etype, st.curDay, side, b3, r2, r4,
+          st.nDays, st.nAbove, st.r1, st.r2, st.r4)
+      }
+      sorted.foreach { e =>
+        val d = micros(e.ts) / 86400000000L
+        if (d != st.curDay) {
+          closeDay()
+          st = st.copy(curDay = d, x = 0L)
+        }
+        st = st.copy(x = st.x + math.floor(e.value * 1000 + 0.5).toLong)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  final case class LossState(
+      curDay: Long, cents: Long, prevRev: Long, hasPrev: Boolean,
+      losses: Seq[Long])
+
+  /** Shared day-close fold for the risk monitors ([[varEsMonitor]],
+    * [[gpdTailMonitor]]): accumulate each day's cent-sum of event
+    * values, convert day-over-day deltas into the loss series
+    * l_d = −(rev_d − rev_{d−1}) as days complete, and hand the updated
+    * series to `emit`. State is the single global risk key holding the
+    * day-loss vector — CALENDAR-bounded (~37k rows/century), the same
+    * adjudicated bound as the batch queries' day-axis windows, not
+    * data-volume-bounded. In-order arrival finalizes a day on the
+    * first event of a later day (the [[hedgeMonitor]] contract). */
+  private def lossMonitor[O: org.apache.spark.sql.Encoder](
+      spark: SparkSession, events: Dataset[AsofEvent],
+      emit: (Long, Long, Vector[Long]) => Option[O]): Dataset[O] = {
+    import spark.implicits._
+
+    def fn(key: Long, rows: Iterator[AsofEvent],
+        state: GroupState[LossState]): Iterator[O] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var st = state.getOption.getOrElse(
+        LossState(Long.MinValue, 0L, 0L, hasPrev = false, Nil))
+      val out = List.newBuilder[O]
+      def closeDay(): Unit = if (st.curDay != Long.MinValue) {
+        val rev = st.cents
+        if (st.hasPrev) {
+          val losses = st.losses :+ -(rev - st.prevRev)
+          emit(st.curDay, losses.size.toLong, losses.toVector)
+            .foreach(out += _)
+          st = st.copy(losses = losses)
+        }
+        st = st.copy(prevRev = rev, hasPrev = true)
+      }
+      sorted.foreach { e =>
+        val d = micros(e.ts) / 86400000000L
+        if (d != st.curDay) {
+          closeDay()
+          st = st.copy(curDay = d, cents = 0L)
+        }
+        st = st.copy(cents = st.cents + math.floor(e.value * 100 + 0.5).toLong)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_ => 0L)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  final case class VarEsOut(
+      day: Long, n_days: Long, var95_cents: Long, es95_cents: Long,
+      n_tail95: Long, var99_cents: Long, es99_cents: Long, n_tail99: Long)
+
+  /** Streaming historical VaR/ES — the stateful twin of q352
+    * ([[graft.operators.FinanceAudit.q352VarEs]]) over the event
+    * stream's daily cent-sum P&L: as each day closes, VaR_α is the
+    * exact (α·n+999) div 1000 order statistic of the losses-to-date
+    * and ES_α the exact tail mean at-or-beyond it — identical
+    * rank-selection and floor(tail/n_tail) IEEE arithmetic to the
+    * batch query, so each emitted row equals the batch computation run
+    * over the prefix through that closed day. */
+  def varEsMonitor(spark: SparkSession,
+      events: Dataset[AsofEvent]): Dataset[VarEsOut] = {
+    import spark.implicits._
+    lossMonitor[VarEsOut](spark, events, (day, n, losses) => {
+      val sorted = losses.sorted
+      def at(alphaMilli: Long): (Long, Long, Long) = {
+        val rk = (alphaMilli * n + 999) / 1000
+        val varC = sorted(rk.toInt - 1)
+        val tail = sorted.drop(rk.toInt - 1)
+        val es = math.floor(tail.sum.toDouble / tail.size.toDouble).toLong
+        (varC, es, n - rk + 1)
+      }
+      val (v95, e95, t95) = at(950L)
+      val (v99, e99, t99) = at(990L)
+      Some(VarEsOut(day, n, v95, e95, t95, v99, e99, t99))
+    })
+  }
+
+  final case class GpdOut(
+      day: Long, n_days: Long, u_cents: Long, n_exceed: Long,
+      mean_exc_cents: Long, xi_micro: Long, beta_cents: Long,
+      var99_gpd_cents: Long, var99_emp_cents: Long)
+
+  /** Streaming peaks-over-threshold GPD tail fit — the stateful twin
+    * of q357 ([[graft.operators.FinanceAudit.q357PotGpd]]): as each
+    * day closes, exceedances over the exact q90 loss order statistic
+    * are refit by method of moments (ξ = ½(1 − m²/v),
+    * β = ½m(1 + m²/v)) and the model-implied VaR₉₉ is emitted next to
+    * the empirical order statistic — the live parametric-vs-empirical
+    * agreement feed. Same exact rank thresholds, BigInt exceedance
+    * moments (the batch DECIMAL headroom), and all-DOUBLE model
+    * chains as the batch query; days whose exceedance set is too
+    * small or degenerate to fit (k < 2 or zero variance) emit
+    * nothing, and the spec replays the identical rule. */
+  def gpdTailMonitor(spark: SparkSession,
+      events: Dataset[AsofEvent]): Dataset[GpdOut] = {
+    import spark.implicits._
+    lossMonitor[GpdOut](spark, events, (day, n, losses) => {
+      val sorted = losses.sorted
+      val u = sorted(((900L * n + 999) / 1000).toInt - 1)
+      val emp = sorted(((990L * n + 999) / 1000).toInt - 1)
+      val exc = sorted.filter(_ > u).map(_ - u)
+      val k = exc.size
+      if (k < 2) None
+      else {
+        val s1 = exc.map(BigInt(_)).sum
+        val s2 = exc.map(e => BigInt(e) * e).sum
+        val m = s1.toDouble / k.toDouble
+        val v = s2.toDouble / k.toDouble - m * m
+        if (v <= 0.0) None
+        else {
+          val xi = 0.5 * (1.0 - m * m / v)
+          val beta = 0.5 * m * (1.0 + m * m / v)
+          val ratio = k.toDouble / (n.toDouble * 0.01)
+          val var99 =
+            if (xi == 0.0) u.toDouble + beta * math.log(ratio)
+            else u.toDouble + (beta / xi) * (math.exp(xi * math.log(ratio)) - 1.0)
+          Some(GpdOut(day, n, u, k.toLong, math.floor(m).toLong,
+            math.floor(1000000.0 * xi).toLong, math.floor(beta).toLong,
+            math.floor(var99).toLong, emp))
+        }
+      }
+    })
+  }
 }

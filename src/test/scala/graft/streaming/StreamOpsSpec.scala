@@ -1437,4 +1437,160 @@ class StreamOpsSpec extends AnyFunSuite {
         s"first diff: ${streamed.zip(batch).find(p => p._1 != p._2)}")
     } finally q.stop()
   }
+
+  test("controlChartMonitor agrees bit-exactly with the q293 batch chart") {
+    implicit val sqlCtx = spark.sqlContext
+    // per-(type, day) milli sums + per-type full-corpus baseline
+    // moments — exactly q293's daily/m frames
+    val daily = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("event_type").as("t"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)")).as("x"))
+      .collect()
+      .map(r => ((r.getAs[String]("t"), r.getAs[Long]("d")), r.getAs[Long]("x")))
+      .toMap
+    val baseline = daily.groupBy(_._1._1).map { case (t, xs) =>
+      val vals = xs.values.toSeq
+      t -> StreamOps.SpcBaseline(BigInt(vals.size),
+        vals.map(BigInt(_)).sum, vals.map(v => BigInt(v) * v).sum)
+    }
+    val in = MemoryStream[StreamOps.AsofEvent]
+    val q = StreamOps.controlChartMonitor(spark, in.toDS(), baseline)
+      .writeStream.format("memory").queryName("spc_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      eventChunks(3).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("spc_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getInt(5), r.getLong(6), r.getLong(7), r.getLong(8),
+          r.getLong(9), r.getLong(10)))
+        .groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2).toSeq }
+      // driver replay of the batch chart per type: same integer zone
+      // identity, same 3/8-row rings, through the last CLOSED day
+      for ((t, StreamOps.SpcBaseline(dd, ss, qq)) <- baseline) {
+        val days = daily.keys.filter(_._1 == t).map(_._2).toSeq.sorted
+        var sides = Vector.empty[Int]
+        var b2us = Vector.empty[Int]
+        var b2ds = Vector.empty[Int]
+        var (nA, r1c, r2c, r4c) = (0L, 0L, 0L, 0L)
+        val expected = days.zipWithIndex.map { case (d, i) =>
+          val dev = BigInt(daily((t, d))) * dd - ss
+          val var2 = dd * qq - ss * ss
+          val side = dev.signum
+          val b3 = if (dev * dev > var2 * 9) 1 else 0
+          val b2u = if (dev * dev > var2 * 4 && side > 0) 1 else 0
+          val b2d = if (dev * dev > var2 * 4 && side < 0) 1 else 0
+          val r2 = if ((b2u == 1 && b2u + b2us.takeRight(2).sum >= 2) ||
+            (b2d == 1 && b2d + b2ds.takeRight(2).sum >= 2)) 1 else 0
+          val ring8 = (sides :+ side).takeRight(8)
+          val r4 = if (ring8.size == 8 &&
+            (ring8.forall(_ == 1) || ring8.forall(_ == -1))) 1 else 0
+          sides = sides :+ side; b2us = b2us :+ b2u; b2ds = b2ds :+ b2d
+          nA += (if (side > 0) 1 else 0); r1c += b3; r2c += r2; r4c += r4
+          (t, d, side, b3, r2, r4, i + 1L, nA, r1c, r2c, r4c)
+        }
+        // the stream trails by exactly the open (last) day per type
+        val got = streamed.getOrElse(t, Seq.empty)
+        assert(got.length == days.length - 1,
+          s"$t: ${got.length} streamed days vs ${days.length} batch days")
+        assert(got == expected.take(got.length),
+          s"$t first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+      }
+      // the rules must actually FIRE somewhere or the test is vacuous
+      assert(streamed.values.flatten.map(_._9).max > 0L ||
+        streamed.values.flatten.map(_._10).max > 0L ||
+        streamed.values.flatten.map(_._8).max > 0L)
+    } finally q.stop()
+  }
+
+  test("varEsMonitor and gpdTailMonitor agree with the batch risk fold per closed day") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch daily cent-sums -> loss series (the q352/q357 chain on the
+    // event stream's value P&L)
+    val revByDay = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("rev"))
+      .collect().map(r => (r.getAs[Long]("d"), r.getAs[Long]("rev")))
+      .sortBy(_._1)
+    val losses = revByDay.sliding(2).collect {
+      case Array((_, p), (d, r)) => (d, -(r - p))
+    }.toVector
+    val inV = MemoryStream[StreamOps.AsofEvent]
+    val qV = StreamOps.varEsMonitor(spark, inV.toDS())
+      .writeStream.format("memory").queryName("vares_out")
+      .outputMode(OutputMode.Append).start()
+    val inG = MemoryStream[StreamOps.AsofEvent]
+    val qG = StreamOps.gpdTailMonitor(spark, inG.toDS())
+      .writeStream.format("memory").queryName("gpd_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      eventChunks(3).foreach { chunk =>
+        inV.addData(chunk); inG.addData(chunk)
+        qV.processAllAvailable(); qG.processAllAvailable()
+      }
+      // expected VaR/ES per closed day: exact rank select + tail mean
+      // over the loss prefix (q352 arithmetic)
+      val expV = losses.indices.map { i =>
+        val day = losses(i)._1
+        val pre = losses.take(i + 1).map(_._2).sorted
+        val n = pre.size.toLong
+        def at(a: Long) = {
+          val rk = (a * n + 999) / 1000
+          val tail = pre.drop(rk.toInt - 1)
+          (pre(rk.toInt - 1),
+            math.floor(tail.sum.toDouble / tail.size.toDouble).toLong,
+            n - rk + 1)
+        }
+        val (v95, e95, t95) = at(950L); val (v99, e99, t99) = at(990L)
+        (day, n, v95, e95, t95, v99, e99, t99)
+      }
+      val gotV = spark.table("vares_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+        .sortBy(_._1).toSeq
+      // the monitor trails by the open last day
+      assert(gotV.length == expV.length - 1,
+        s"${gotV.length} streamed vs ${expV.length} closed-day folds")
+      assert(gotV == expV.take(gotV.length),
+        s"first diff: ${gotV.zip(expV).find(p => p._1 != p._2)}")
+      // expected GPD fit per closed day: q357's MoM chains over the
+      // same prefix, with the k>=2 / v>0 emission rule
+      val expG = losses.indices.flatMap { i =>
+        val day = losses(i)._1
+        val pre = losses.take(i + 1).map(_._2).sorted
+        val n = pre.size.toLong
+        val u = pre(((900L * n + 999) / 1000).toInt - 1)
+        val emp = pre(((990L * n + 999) / 1000).toInt - 1)
+        val exc = pre.filter(_ > u).map(_ - u)
+        if (exc.size < 2) None
+        else {
+          val k = exc.size
+          val m = exc.map(BigInt(_)).sum.toDouble / k.toDouble
+          val v = exc.map(e => BigInt(e) * e).sum.toDouble / k.toDouble - m * m
+          if (v <= 0.0) None
+          else {
+            val xi = 0.5 * (1.0 - m * m / v)
+            val beta = 0.5 * m * (1.0 + m * m / v)
+            val ratio = k.toDouble / (n.toDouble * 0.01)
+            val var99 =
+              if (xi == 0.0) u.toDouble + beta * math.log(ratio)
+              else u.toDouble +
+                (beta / xi) * (math.exp(xi * math.log(ratio)) - 1.0)
+            Some((day, n, u, k.toLong, math.floor(m).toLong,
+              math.floor(1000000.0 * xi).toLong, math.floor(beta).toLong,
+              math.floor(var99).toLong, emp))
+          }
+        }
+      }
+      val gotG = spark.table("gpd_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getLong(8)))
+        .sortBy(_._1).toSeq
+      val expGClosed = expG.filter(_._1 <= gotV.map(_._1).max)
+      assert(gotG.nonEmpty, "GPD monitor never emitted")
+      assert(gotG == expGClosed,
+        s"first diff: ${gotG.zip(expGClosed).find(p => p._1 != p._2)}")
+    } finally { qV.stop(); qG.stop() }
+  }
 }
