@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""sf1 scaling probe (VERDICT r7 item 7): measure the top-10 bench
+heavies at ~10x the bench scale and check wall-time grows linear-ish.
+
+The driver ships sf0.1 as the largest corpus, so this synthesizes
+/tmp/sf1 as TEN DISJOINT SHIFTED COPIES of sf0.1 — the TPC-H scaling
+model (key domains grow with data): orderkeys/partkeys/suppkeys/
+custkeys/doc_ids/vec_ids shift by 1e6 per copy, and document tokens get
+a per-copy suffix so the copies share no vocabulary (a 10x corpus that
+is 90% verbatim duplicates would measure the DEDUP families' class-size
+quadratics, not the operators' scaling). Dimension tables and events
+are copied as-is (they are SF-fixed or unused by the probe set).
+
+Usage: python3 tools/scale_probe.py [--gen-only|--bench-only]
+Writes the measured table to target/scale_probe.json and prints it.
+"""
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sf1"
+COPIES = 10
+OFF = 1_000_000
+
+PROBE = [
+    "q22_lang_id", "q168_classifier_eval", "q275_hub_robustness",
+    "q284_boruvka", "q270_modularity", "q34_ngram_jaccard",
+    "q169_pca_power", "q254_max_coverage", "q241_label_prop",
+    "q239_hits", "q340_quantile_regression",
+]
+
+AS_IS = ["region", "nation", "customer", "supplier", "part", "events"]
+
+
+def gen():
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST)
+    for t in AS_IS:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW c AS SELECT unnest(range({COPIES})) AS i")
+    con.execute(f"""COPY (
+        SELECT l_orderkey + i * {OFF} AS l_orderkey,
+               l_partkey + i * {OFF} AS l_partkey,
+               l_suppkey + i * {OFF} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM '{SRC}/lineitem.parquet', c
+    ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (
+        SELECT o_orderkey + i * {OFF} AS o_orderkey,
+               o_custkey + i * {OFF} AS o_custkey,
+               * EXCLUDE (o_orderkey, o_custkey, i)
+        FROM '{SRC}/orders.parquet', c
+    ) TO '{DST}/orders.parquet' (FORMAT PARQUET)""")
+    # per-copy token suffix: copies share no vocabulary (see header)
+    con.execute(f"""COPY (
+        SELECT doc_id + i * {OFF} AS doc_id,
+               CASE WHEN i = 0 THEN text
+                    ELSE replace(text, ' ', '_c' || i || ' ') || '_c' || i
+               END AS text,
+               lang, source,
+               CAST(length(CASE WHEN i = 0 THEN text
+                    ELSE replace(text, ' ', '_c' || i || ' ') || '_c' || i
+               END) AS BIGINT) AS n_chars
+        FROM '{SRC}/documents.parquet', c
+    ) TO '{DST}/documents.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (
+        SELECT vec_id + i * {OFF} AS vec_id, embedding, label
+        FROM '{SRC}/embeddings.parquet', c
+    ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)""")
+    for t in ["lineitem", "orders", "documents", "embeddings"]:
+        n = con.sql(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+        print(f"  {t}: {n} rows")
+
+
+def bench(sf_dir):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    r = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Bench {','.join(PROBE)}"],
+        cwd="/root/repo", env=env, capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-4000:], r.stderr[-2000:])
+        sys.exit(1)
+    with open("/root/repo/target/bench_some.json") as f:
+        return json.load(f)["queries"]
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else ""
+    if mode != "--bench-only":
+        print(f"generating {DST} ({COPIES} shifted copies of {SRC}) ...")
+        gen()
+    if mode == "--gen-only":
+        return
+    print("bench @ sf0.1 ...")
+    base = bench(SRC)
+    print("bench @ sf1 ...")
+    big = bench(DST)
+    rows = []
+    for q in PROBE:
+        b, g = base.get(q, -1), big.get(q, -1)
+        ratio = round(g / b, 2) if b and b > 0 and g > 0 else None
+        rows.append({"query": q, "sf0.1_s": round(b, 3),
+                     "sf1_s": round(g, 3), "ratio": ratio})
+    out = {"copies": COPIES, "probe": rows,
+           "total_sf01": round(sum(r["sf0.1_s"] for r in rows), 1),
+           "total_sf1": round(sum(r["sf1_s"] for r in rows), 1)}
+    with open("/root/repo/target/scale_probe.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}")
+    for r in rows:
+        print(f"{r['query']:28s} {r['sf0.1_s']:8.2f} {r['sf1_s']:8.2f} "
+              f"{r['ratio'] if r['ratio'] is not None else '?':>6}")
+    print(f"{'TOTAL':28s} {out['total_sf01']:8.1f} {out['total_sf1']:8.1f} "
+          f"{round(out['total_sf1']/out['total_sf01'],2):>6}")
+
+
+if __name__ == "__main__":
+    main()
