@@ -28,7 +28,7 @@ COPIES = 10
 OFF = 1_000_000
 
 PROBE = [
-    "q22_lang_id", "q168_classifier_eval", "q275_hub_robustness",
+    "q22_langid", "q168_classifier_eval", "q275_hub_robustness",
     "q284_boruvka", "q270_modularity", "q34_ngram_jaccard",
     "q169_pca_power", "q254_max_coverage", "q241_label_prop",
     "q239_hits", "q340_quantile_regression",
