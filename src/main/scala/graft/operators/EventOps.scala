@@ -3118,7 +3118,172 @@ object EventOps {
     }
   }
 
+  /** q371 — two-group log-rank test (Mantel '66; the q164
+    * Kaplan–Meier curve's hypothesis-test companion): do
+    * HEAVY-ERROR users (per-user error count strictly above the exact
+    * corpus median) churn FASTER than the rest? At every churn time t
+    * the observed heavy-group deaths are compared to the
+    * hypergeometric expectation d·n₁/n given the at-risk sets, and
+    * the summed (O−E)²/V is χ²(1) under "the two survival curves are
+    * equal" — the standard A/B readout for any retention
+    * intervention, computed on the exact q164 lifetime frame (time
+    * from first to last purchase, churn = 7 quiet days before the
+    * horizon). (An ever-errored flag is vacuous on this feed — every
+    * purchase user has errors — so the split is the median one.)
+    *
+    * Exactness: the median is an exact order statistic picked from
+    * the (error-count, frequency) collapse by a θ-join over the
+    * bounded count domain (no window, no row-level rank); at-risk
+    * counts come from a bounded θ-join between the churn-time axis
+    * and the per-(group, lifetime) aggregate (both calendar-bounded
+    * day-axis frames); the E terms are EXACT integer floor-divs
+    * (1e9·d·n₁ div n, non-negative); the V terms are one shared
+    * nano-floored left-associated double chain (numerators overflow
+    * int64); the final χ² is one guarded IEEE chain from the two
+    * integer sums (NULL when V = 0 — a degenerate one-group corpus).
+    *
+    * Scale design (100 TB): the only data-sized passes are the q164
+    * per-user collapse and the per-user error count; everything after
+    * lives on (count-domain)² / (group × lifetime-day) aggregates.
+    * Output 1 row. */
+  val q371Logrank: QueryDef = {
+    val vTerm = "CAST(floor(1000000000.0e0 * ((CAST(d AS DOUBLE) * " +
+      "CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n0 AS DOUBLE) / " +
+      "CAST(n AS DOUBLE)) * CAST(n - d AS DOUBLE) / " +
+      "CAST(n - 1 AS DOUBLE)) AS BIGINT)"
+    val chi = "CASE WHEN v_nano > 0 THEN CAST(floor(1000.0e0 * " +
+      "(CAST(diff_nano AS DOUBLE) / " +
+      "1000000000.0e0) * (CAST(diff_nano AS DOUBLE) / 1000000000.0e0) / " +
+      "(CAST(v_nano AS DOUBLE) / 1000000000.0e0)) AS BIGINT) END"
+    QueryDef(
+      "q371_logrank",
+      s"""WITH u AS (
+         |  SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         |ue AS (
+         |  SELECT user_id, CAST(count(*) FILTER (WHERE event_type = 'error')
+         |    AS BIGINT) AS ec
+         |  FROM events GROUP BY user_id),
+         |uec AS (SELECT u.user_id, ue.ec FROM u JOIN ue USING (user_id)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM uec),
+         |ecd AS (SELECT ec, CAST(count(*) AS BIGINT) AS cnt FROM uec GROUP BY ec),
+         |med AS (
+         |  SELECT min(a.ec) AS med FROM (
+         |    SELECT a.ec, sum(b.cnt) AS cum
+         |    FROM ecd a JOIN ecd b ON b.ec <= a.ec GROUP BY a.ec) a, nn
+         |  WHERE a.cum >= (nn.n_users + 1) // 2),
+         |g AS (
+         |  SELECT user_id, CASE WHEN ec > med THEN 1 ELSE 0 END AS grp
+         |  FROM uec, med),
+         |h AS (SELECT max(CAST(ts AS DATE)) AS hz FROM events),
+         |lc AS (
+         |  SELECT g.grp,
+         |    CAST(CASE WHEN date_diff('day', d1, hz) >= 7
+         |      THEN date_diff('day', d0, d1)
+         |      ELSE date_diff('day', d0, hz) END AS BIGINT) AS t,
+         |    CASE WHEN date_diff('day', d1, hz) >= 7 THEN 1 ELSE 0 END AS churn
+         |  FROM u JOIN g USING (user_id), h),
+         |agg AS (
+         |  SELECT grp, t, CAST(sum(churn) AS BIGINT) AS d,
+         |    CAST(count(*) AS BIGINT) AS a
+         |  FROM lc GROUP BY 1, 2),
+         |dt AS (
+         |  SELECT t, CAST(sum(d) AS BIGINT) AS d FROM agg GROUP BY t
+         |  HAVING sum(d) > 0),
+         |risk AS (
+         |  SELECT dt.t, dt.d,
+         |    CAST(sum(CASE WHEN agg.grp = 1 THEN agg.a ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN agg.grp = 0 THEN agg.a ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN agg.grp = 1 THEN agg.d ELSE 0 END)
+         |      FILTER (WHERE agg.t = dt.t) AS BIGINT) AS d1g
+         |  FROM dt JOIN agg ON agg.t >= dt.t
+         |  GROUP BY dt.t, dt.d),
+         |terms AS (
+         |  SELECT d1g, (1000000000 * d * n1) // n AS e_nano, $vTerm AS v_nano
+         |  FROM (SELECT t, d, n1, n0, n1 + n0 AS n,
+         |          coalesce(d1g, 0) AS d1g FROM risk) WHERE n > 1),
+         |tot AS (
+         |  SELECT CAST(sum(d1g) AS BIGINT) AS o1,
+         |    CAST(sum(e_nano) AS BIGINT) AS e_nano,
+         |    CAST(sum(v_nano) AS BIGINT) AS v_nano
+         |  FROM terms),
+         |sz AS (
+         |  SELECT CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+         |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+         |  FROM lc)
+         |SELECT sz.n_err, sz.n_ok, tot.o1 AS obs_err_churn,
+         |  tot.e_nano AS exp_err_churn_nano, tot.v_nano,
+         |  $chi AS chi2_milli,
+         |  CASE WHEN $chi > 3841 THEN 1 ELSE 0 END AS reject_5pct
+         |FROM sz, (SELECT o1, e_nano, v_nano,
+         |  1000000000 * o1 - e_nano AS diff_nano FROM tot) tot""".stripMargin) {
+      (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts").cast("date").as("d"))
+        .ckpt() // feeds lifetimes, the error flag, and the horizon
+      val u = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .ckpt() // feeds the count frame AND the lifetime frame
+      val ue = ev.groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("ec"))
+      val uec = u.select(col("user_id")).join(ue, Seq("user_id"))
+        .ckpt() // per purchase-user error counts: median + grouping
+      val nn = uec.agg(count(lit(1)).as("n_users"))
+      val ecd = uec.groupBy(col("ec")).agg(count(lit(1)).as("cnt"))
+      val med = ecd.select(col("ec").as("ec_a"))
+        .join(ecd.select(col("ec").as("ec_b"), col("cnt")),
+          col("ec_b") <= col("ec_a"))
+        .groupBy(col("ec_a")).agg(sum(col("cnt")).as("cum"))
+        .crossJoin(broadcast(nn))
+        .filter(expr("cum >= (n_users + 1) div 2"))
+        .agg(min(col("ec_a")).as("med"))
+      val g = uec.crossJoin(broadcast(med))
+        .select(col("user_id"),
+          when(col("ec") > col("med"), 1).otherwise(0).as("grp"))
+      val h = ev.agg(max(col("d")).as("hz"))
+      val churned = datediff(col("hz"), col("d1")) >= 7
+      val lc = u.join(g, Seq("user_id")).crossJoin(broadcast(h))
+        .select(col("grp"),
+          when(churned, datediff(col("d1"), col("d0")))
+            .otherwise(datediff(col("hz"), col("d0"))).cast("long").as("t"),
+          when(churned, 1L).otherwise(0L).as("churn"))
+        .ckpt() // per-user frame: feeds agg AND group sizes
+      val agg = lc.groupBy(col("grp"), col("t"))
+        .agg(sum(col("churn")).as("d"), count(lit(1)).as("a"))
+        .ckpt() // (group x lifetime-day) aggregate: both theta sides
+      val dts = agg.groupBy(col("t")).agg(sum(col("d")).as("d"))
+        .filter(col("d") > 0)
+        .select(col("t").as("dt_t"), col("d").as("dt_d"))
+      val risk = dts.join(agg, col("t") >= col("dt_t"))
+        .groupBy(col("dt_t"), col("dt_d"))
+        .agg(sum(when(col("grp") === 1, col("a")).otherwise(0L)).as("n1"),
+          sum(when(col("grp") === 0, col("a")).otherwise(0L)).as("n0"),
+          sum(when(col("grp") === 1 && col("t") === col("dt_t"), col("d"))
+            .otherwise(0L)).as("d1g"))
+      val terms = risk
+        .select(col("dt_d").as("d"), col("n1"), col("n0"),
+          (col("n1") + col("n0")).as("n"), coalesce(col("d1g"), lit(0L)).as("d1g"))
+        .filter(col("n") > 1)
+        .select(col("d1g"),
+          expr("(1000000000 * d * n1) div n").as("e_nano"), expr(vTerm).as("v_nano"))
+      val tot = terms.agg(sum(col("d1g")).as("o1"),
+        sum(col("e_nano")).as("e_nano"), sum(col("v_nano")).as("v_nano"))
+      val sz = lc.agg(
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_err"),
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_ok"))
+      sz.crossJoin(broadcast(tot))
+        .withColumn("diff_nano", lit(1000000000L) * col("o1") - col("e_nano"))
+        .select(col("n_err"), col("n_ok"), col("o1").as("obs_err_churn"),
+          col("e_nano").as("exp_err_churn_nano"), col("v_nano"),
+          expr(chi).as("chi2_milli"),
+          when(expr(chi) > 3841, 1).otherwise(0).as("reject_5pct"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q371Logrank,
     q362KtRegret, q365HedgeRegret,
     q315CaptureRecapture, q316PowerAnalysis, q334TemporalLeakage, q338NbFit,
     q343AbFunnel, q347TokenBucket,

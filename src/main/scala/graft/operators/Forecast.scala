@@ -860,8 +860,134 @@ object Forecast {
     }
   }
 
+  /** q372 — Sakoe–Chiba banded Dynamic Time Warping between the daily
+    * click-count and purchase-count series (Sakoe & Chiba '78, band
+    * W=7): "are purchases a time-shifted echo of clicks, and how far
+    * does optimal alignment beat lockstep?" Reports the exact banded
+    * DTW cost next to (a) the lockstep L1 distance (DTW's W=0 upper
+    * bound) and (b) LB_Keogh (Keogh '02), the envelope lower bound —
+    * the quantity a 100 TB similarity search actually computes
+    * DISTRIBUTED to prune candidates before any DP runs. The
+    * LB ≤ DTW ≤ lockstep sandwich is pinned in the spec.
+    *
+    * Exactness: daily counts are integers, so every |aᵢ−bⱼ| cell
+    * cost, the DP, and both bounds are pure integer arithmetic — no
+    * floats anywhere.
+    *
+    * Scale design (100 TB): the fact pass is one (day, type) count
+    * collapse; LB_Keogh is relational (a bounded θ-join builds the
+    * ±W envelope on the day axis); the DP itself is inherently
+    * sequential, so it runs as adjudicated driver compute on the
+    * COLLECTED calendar-bounded day frame (≤37k rows/century — the
+    * same bound as every adjudicated day-axis window; registered in
+    * DriverComputeRegistry), state one band row of W·2+1 longs. The
+    * oracle unrolls the identical DP as a recursive CTE row by row.
+    * Output 1 row. */
+  val q372Dtw: QueryDef = {
+    val W = 7
+    QueryDef(
+      "q372_dtw",
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |      AS BIGINT) AS d,
+         |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS a,
+         |    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS b
+         |  FROM events GROUP BY 1),
+         |ax AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i, a, b
+         |  FROM daily),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ax),
+         |env AS (
+         |  SELECT x.i, min(y.b) AS lo, max(y.b) AS hi
+         |  FROM ax x JOIN ax y ON y.i BETWEEN x.i - $W AND x.i + $W
+         |  GROUP BY x.i),
+         |lbk AS (
+         |  SELECT CAST(sum(CASE WHEN x.a > e.hi THEN x.a - e.hi
+         |    WHEN x.a < e.lo THEN e.lo - x.a ELSE 0 END) AS BIGINT) AS lb
+         |  FROM ax x JOIN env e ON e.i = x.i),
+         |lock AS (
+         |  SELECT CAST(sum(abs(a - b)) AS BIGINT) AS lockstep FROM ax),
+         |seg AS MATERIALIZED (
+         |  -- segment cost of entering row i at column k and sliding
+         |  -- right to j (the within-row move closure): sum |a_i - b_m|
+         |  SELECT x.i, k.i AS k, j.i AS j,
+         |    CAST(sum(abs(x.a - y.b)) AS BIGINT) AS sc
+         |  FROM ax x
+         |  JOIN ax k ON k.i BETWEEN x.i - $W AND x.i + $W
+         |  JOIN ax j ON j.i BETWEEN k.i AND x.i + $W
+         |  JOIN ax y ON y.i BETWEEN k.i AND j.i
+         |  GROUP BY 1, 2, 3),
+         |dp AS (
+         |  SELECT 1::BIGINT AS i, seg.j, seg.sc AS c
+         |  FROM seg WHERE seg.i = 1 AND seg.k = 1
+         |  UNION ALL
+         |  -- m(k) = min(dp(i, k), dp(i, k-1)) via the 2-row expansion
+         |  -- (single recursive reference); then one banded min-join
+         |  SELECT s.i, s.j, min(s.sc + m.mv) AS c
+         |  FROM (
+         |    SELECT dp.i, dp.j + o.o AS k, min(dp.c) AS mv
+         |    FROM dp, (SELECT unnest([0, 1]) AS o) o
+         |    GROUP BY dp.i, dp.j + o.o) m
+         |  JOIN seg s ON s.i = m.i + 1 AND s.k = m.k
+         |  JOIN nn ON m.i < nn.n
+         |  GROUP BY s.i, s.j),
+         |fin AS (
+         |  SELECT min(dp.c) AS dtw FROM dp, nn
+         |  WHERE dp.i = nn.n AND dp.j = nn.n)
+         |SELECT nn.n AS n_days, lock.lockstep, lbk.lb AS lb_keogh, fin.dtw
+         |FROM nn, lock, lbk, fin""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01"))
+          .cast("bigint").as("d"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+        .ckpt() // calendar-bounded (day, clicks, purchases) frame
+      // LB_Keogh + lockstep: fully relational (the distributed prune path)
+      val ax = daily.select(col("d"), col("a"), col("b"))
+      val env = ax.select(col("d").as("di"), col("a").as("xa"))
+        .join(ax.select(col("d").as("dj"), col("b").as("yb")),
+          col("dj").between(col("di") - W, col("di") + W))
+        .groupBy(col("di"), col("xa"))
+        .agg(min(col("yb")).as("lo"), max(col("yb")).as("hi"))
+      val lbk = env.agg(sum(
+        when(col("xa") > col("hi"), col("xa") - col("hi"))
+          .when(col("xa") < col("lo"), col("lo") - col("xa"))
+          .otherwise(0L)).as("lb"))
+      val lock = ax.agg(sum(abs(col("a") - col("b"))).as("lockstep"))
+      // exact banded DP: adjudicated driver compute on the collected
+      // calendar-bounded day frame (DriverComputeRegistry entry)
+      val rows = daily.orderBy("d").collect()
+      val n = rows.length
+      val as = rows.map(_.getAs[Long]("a"))
+      val bs = rows.map(_.getAs[Long]("b"))
+      val INF = Long.MaxValue / 4
+      var prev = Array.fill(n)(INF)
+      for (i <- 0 until n) {
+        val cur = Array.fill(n)(INF)
+        val jlo = math.max(0, i - W)
+        val jhi = math.min(n - 1, i + W)
+        for (j <- jlo to jhi) {
+          val cost = math.abs(as(i) - bs(j))
+          val best =
+            if (i == 0 && j == 0) 0L
+            else math.min(
+              if (j > 0) cur(j - 1) else INF,
+              math.min(if (i > 0) prev(j) else INF,
+                if (i > 0 && j > 0) prev(j - 1) else INF))
+          if (best < INF) cur(j) = cost + best
+        }
+        prev = cur
+      }
+      val dtw = if (n == 0) 0L else prev(n - 1)
+      lock.crossJoin(broadcast(lbk))
+        .select(lit(n.toLong).as("n_days"), col("lockstep"),
+          col("lb").as("lb_keogh"), lit(dtw).as("dtw"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail,
       q245Changepoint, q261SeasonalDecomp, q290SeasonalAnomaly,
-      q349VarianceTime, q355BurstIntervals, q360DieboldMariano)
+      q349VarianceTime, q355BurstIntervals, q360DieboldMariano, q372Dtw)
 }

@@ -2067,10 +2067,236 @@ object Learn {
     }
   }
 
+  /** q370 — exact data-valuation Shapley over five training-data
+    * "vendors" (Ghorbani–Zou ICML'19, computed EXACTLY rather than by
+    * Monte Carlo): the 20 document sources are grouped into 5 vendor
+    * shards (src N mod 5 — the procurement granularity); the utility
+    * v(S) of a vendor subset is the held-out lang-id accuracy of a
+    * multinomial NB classifier trained only on S's documents, and each
+    * vendor's Shapley value is its exact average marginal contribution
+    * over all 2⁴ contexts — THE principled answer to "which data
+    * purchase is worth renewing". Also reports the leave-one-out delta
+    * (q232's influence notion) next to it, which famously disagrees.
+    *
+    * Exactness: all 31 subset models derive from ONE per-vendor count
+    * frame because NB sufficient statistics are ADDITIVE over disjoint
+    * vendor shards — the same statistic-additivity that makes the
+    * computation feasible at all; ln terms are per-term nano-floored
+    * (q227 discipline), scores are integer sums, argmax is
+    * (score desc, lang asc) tie-broken, and Shapley weights
+    * |S|!(4−|S|)!/5! are exact rationals reported in 1/120 units —
+    * the output is INTEGER. v(∅) = 0 by convention.
+    *
+    * Scale design (100 TB): one tokenization pass builds the
+    * per-(vendor, lang, word) counts; subset models materialize as a
+    * single frame keyed (mask, lang, word) — 31×|langs|×|vocab| rows,
+    * vocab-bounded, NOT corpus-bounded; test docs join it by word
+    * equi-key (per-test-token fanout ≤ 31·|langs|, a fixed 155×); the
+    * utilities frame is 31 rows and the Shapley pairing is a
+    * mask-arithmetic self-join on it. Output 5 rows. */
+  val q370DataShapley: QueryDef = {
+    val nano = "CAST(floor(1000000000.0e0 * ln(%s)) AS BIGINT)"
+    QueryDef(
+      "q370_data_shapley",
+      s"""WITH d0 AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(substring(source, 4) AS INT) % 5 AS vnd
+         |  FROM documents),
+         |tr AS (SELECT * FROM d0 WHERE
+         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 <> 0),
+         |te AS (SELECT doc_id, lang, text FROM d0 WHERE
+         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 = 0),
+         |ttok AS (
+         |  SELECT vnd, lang AS c, unnest(string_split(text, ' ')) AS w
+         |  FROM tr),
+         |cwv AS (
+         |  SELECT vnd, c, w, CAST(count(*) AS BIGINT) AS cwc
+         |  FROM ttok GROUP BY 1, 2, 3),
+         |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM ttok),
+         |priv AS (
+         |  SELECT vnd, lang AS c, CAST(count(*) AS BIGINT) AS dc
+         |  FROM tr GROUP BY 1, 2),
+         |mk AS (SELECT CAST(unnest(range(1, 32)) AS BIGINT) AS mask),
+         |mv AS (
+         |  SELECT mask, vnd FROM mk, (SELECT DISTINCT vnd FROM tr) s
+         |  WHERE (mask & (1::BIGINT << vnd)) <> 0),
+         |cw AS (
+         |  SELECT mv.mask, cwv.c, cwv.w, CAST(sum(cwv.cwc) AS BIGINT) AS cwc
+         |  FROM cwv JOIN mv ON mv.vnd = cwv.vnd GROUP BY 1, 2, 3),
+         |pri AS (
+         |  SELECT mv.mask, priv.c, CAST(sum(priv.dc) AS BIGINT) AS dc
+         |  FROM priv JOIN mv ON mv.vnd = priv.vnd GROUP BY 1, 2),
+         |nc AS (SELECT mask, c, CAST(sum(cwc) AS BIGINT) AS n
+         |  FROM cw GROUP BY 1, 2),
+         |pt AS (SELECT mask, CAST(sum(dc) AS BIGINT) AS dt FROM pri GROUP BY 1),
+         |cls AS (
+         |  SELECT pri.mask, pri.c,
+         |    ${nano.format("CAST(pri.dc AS DOUBLE) / CAST(pt.dt AS DOUBLE)")} AS prior_nn,
+         |    ${nano.format("1.0e0 / CAST(coalesce(nc.n, 0) + vv.v AS DOUBLE)")} AS def_nn,
+         |    coalesce(nc.n, 0) + vv.v AS den
+         |  FROM pri JOIN pt USING (mask)
+         |  LEFT JOIN nc ON nc.mask = pri.mask AND nc.c = pri.c
+         |  CROSS JOIN vv),
+         |lp AS (
+         |  SELECT cw.mask, cw.c, cw.w,
+         |    ${nano.format("CAST(cw.cwc + 1 AS DOUBLE) / CAST(cls.den AS DOUBLE)")} AS lp_nn
+         |  FROM cw JOIN cls ON cls.mask = cw.mask AND cls.c = cw.c),
+         |tetok AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM te)
+         |  GROUP BY 1, 2),
+         |tetv AS (
+         |  SELECT t.doc_id, t.w, t.cnt FROM tetok t
+         |  JOIN (SELECT DISTINCT w FROM cwv) vw ON vw.w = t.w),
+         |sc0 AS (
+         |  SELECT t.doc_id, cls.mask, cls.c,
+         |    CAST(sum(t.cnt * coalesce(lp.lp_nn, cls.def_nn)) AS BIGINT) AS tok_nn
+         |  FROM tetv t CROSS JOIN cls
+         |  LEFT JOIN lp ON lp.mask = cls.mask AND lp.c = cls.c AND lp.w = t.w
+         |  GROUP BY 1, 2, 3),
+         |scores AS (
+         |  SELECT te.doc_id, te.lang, cls.mask, cls.c,
+         |    cls.prior_nn + coalesce(sc0.tok_nn, 0) AS score_nn
+         |  FROM te CROSS JOIN cls
+         |  LEFT JOIN sc0 ON sc0.doc_id = te.doc_id AND sc0.mask = cls.mask
+         |    AND sc0.c = cls.c),
+         |pred AS (
+         |  SELECT doc_id, lang, mask, c,
+         |    row_number() OVER (PARTITION BY doc_id, mask
+         |      ORDER BY score_nn DESC, c) AS rn
+         |  FROM scores),
+         |util AS (
+         |  SELECT mask, CAST(sum(CASE WHEN c = lang THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS u
+         |  FROM pred WHERE rn = 1 GROUP BY mask
+         |  UNION ALL SELECT 0, 0),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_test FROM te),
+         |phi AS (
+         |  SELECT s.vnd,
+         |    CAST(sum((CASE bit_count(b.mask)
+         |        WHEN 0 THEN 24 WHEN 1 THEN 6 WHEN 2 THEN 4
+         |        WHEN 3 THEN 6 ELSE 24 END) * (wi.u - b.u)) AS BIGINT)
+         |      AS phi_120
+         |  FROM (SELECT DISTINCT vnd FROM tr) s
+         |  JOIN util b ON (b.mask & (1::BIGINT << s.vnd)) = 0
+         |  JOIN util wi ON wi.mask = b.mask + (1::BIGINT << s.vnd)
+         |  GROUP BY s.vnd),
+         |loo AS (
+         |  SELECT s.vnd, fu.u - wo.u AS loo_delta
+         |  FROM (SELECT DISTINCT vnd FROM tr) s
+         |  JOIN util fu ON fu.mask = 31
+         |  JOIN util wo ON wo.mask = 31 - (1::BIGINT << s.vnd))
+         |SELECT CAST(phi.vnd AS BIGINT) AS vendor, phi.phi_120,
+         |  CAST(loo.loo_delta AS BIGINT) AS loo_delta,
+         |  (SELECT u FROM util WHERE mask = 31) AS v_full,
+         |  nt.n_test
+         |FROM phi JOIN loo ON loo.vnd = phi.vnd CROSS JOIN nt
+         |ORDER BY vendor""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val nanoC = (x: Column) => floor(lit(1000000000.0) * log(x)).cast("long")
+      val d0 = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"),
+          (substring(col("source"), 4, 10).cast("int") % 5).as("vnd"))
+      // md5 split, NOT doc_id % 5: the generator assigns sources in
+      // doc_id round-robin, so a modulo split would be CONFOUNDED with
+      // the vendor grouping (vendor 0 would have zero training docs)
+      val hsplit = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long") % 5
+      val tr = d0.filter(hsplit =!= 0)
+      val te = d0.filter(hsplit === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val ttok = tr.select(col("vnd"), col("lang").as("c"),
+          explode(split(col("text"), " ")).as("w"))
+        .ckpt() // one tokenization pass feeds counts AND vocab size
+      val cwv = ttok.groupBy("vnd", "c", "w").agg(count(lit(1)).as("cwc"))
+        .ckpt() // the ADDITIVE per-vendor sufficient statistics
+      val vv = ttok.agg(countDistinct("w").as("v"))
+      val priv0 = tr.groupBy(col("vnd"), col("lang").as("c"))
+        .agg(count(lit(1)).as("dc"))
+      val vnds = tr.select(col("vnd")).distinct()
+      val mv = s.range(1, 32).toDF("mask")
+        .crossJoin(broadcast(vnds))
+        .filter(expr("(mask & shiftleft(CAST(1 AS BIGINT), vnd)) <> 0"))
+      val cw = cwv.join(broadcast(mv), Seq("vnd"))
+        .groupBy("mask", "c", "w").agg(sum("cwc").as("cwc"))
+        .ckpt() // all 31 subset models in one frame
+      val pri = priv0.join(broadcast(mv), Seq("vnd"))
+        .groupBy("mask", "c").agg(sum("dc").as("dc"))
+      val nc = cw.groupBy("mask", "c").agg(sum("cwc").as("n"))
+      val pt = pri.groupBy("mask").agg(sum("dc").as("dt"))
+      val cls = pri.join(broadcast(pt), Seq("mask"))
+        .join(broadcast(nc), Seq("mask", "c"), "left")
+        .crossJoin(broadcast(vv))
+        .select(col("mask"), col("c"),
+          nanoC(col("dc").cast("double") / col("dt").cast("double"))
+            .as("prior_nn"),
+          nanoC(lit(1.0) / (coalesce(col("n"), lit(0L)) + col("v"))
+            .cast("double")).as("def_nn"),
+          (coalesce(col("n"), lit(0L)) + col("v")).as("den"))
+        .ckpt() // ≤ 31·|langs| rows — broadcast everywhere below
+      val lp = cw.join(broadcast(cls.select(col("mask"), col("c"), col("den"))),
+          Seq("mask", "c"))
+        .select(col("mask"), col("c"), col("w"),
+          nanoC((col("cwc") + 1).cast("double") / col("den").cast("double"))
+            .as("lp_nn"))
+      val tetok = te
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      val tetv = tetok.join(cwv.select("w").distinct(), Seq("w"), "leftsemi")
+      val sc0 = tetv
+        .crossJoin(broadcast(cls.select(col("mask").as("m2"),
+          col("c").as("c2"), col("def_nn"))))
+        .join(lp, col("m2") === lp("mask") && col("c2") === lp("c") &&
+          lp("w") === tetv("w"), "left")
+        .groupBy(tetv("doc_id").as("sc_doc"), col("m2"), col("c2"))
+        .agg(sum(col("cnt") * coalesce(col("lp_nn"), col("def_nn")))
+          .as("tok_nn"))
+      val scores = te.select(col("doc_id"), col("lang"))
+        .crossJoin(broadcast(cls.select(col("mask"), col("c"), col("prior_nn"))))
+        .join(sc0, col("doc_id") === col("sc_doc") && col("mask") === col("m2")
+          && col("c") === col("c2"), "left")
+        .select(col("doc_id"), col("lang"), col("mask"), col("c"),
+          (col("prior_nn") + coalesce(col("tok_nn"), lit(0L))).as("score_nn"))
+      val w = Window.partitionBy(col("doc_id"), col("mask"))
+        .orderBy(col("score_nn").desc, col("c"))
+      val util = scores.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("mask"))
+        .agg(sum(when(col("c") === col("lang"), 1L).otherwise(0L)).as("u"))
+        .unionByName(Seq((0L, 0L)).toDF("mask", "u"))
+        .ckpt() // 32 rows: the utility table all valuation reads from
+      val nt = te.agg(count(lit(1)).as("n_test"))
+      val coef = "CASE bit_count(b_mask) WHEN 0 THEN 24 WHEN 1 THEN 6 " +
+        "WHEN 2 THEN 4 WHEN 3 THEN 6 ELSE 24 END"
+      val phi = vnds
+        .join(util.select(col("mask").as("b_mask"), col("u").as("b_u")),
+          expr("(b_mask & shiftleft(CAST(1 AS BIGINT), vnd)) = 0"))
+        .join(util.select(col("mask").as("w_mask"), col("u").as("w_u")),
+          expr("w_mask = b_mask + shiftleft(CAST(1 AS BIGINT), vnd)"))
+        .groupBy(col("vnd"))
+        .agg(sum(expr(coef) * (col("w_u") - col("b_u"))).cast("bigint")
+          .as("phi_120"))
+      val vfull = util.filter(col("mask") === 31)
+        .select(col("u").as("v_full"))
+      val loo = vnds
+        .join(util.select(col("mask").as("f_mask"), col("u").as("f_u")),
+          expr("f_mask = 31"))
+        .join(util.select(col("mask").as("o_mask"), col("u").as("o_u")),
+          expr("o_mask = 31 - shiftleft(CAST(1 AS BIGINT), vnd)"))
+        .select(col("vnd"), (col("f_u") - col("o_u")).as("loo_delta"))
+      phi.join(loo, Seq("vnd"))
+        .crossJoin(broadcast(vfull)).crossJoin(broadcast(nt))
+        .select(col("vnd").cast("bigint").as("vendor"), col("phi_120"),
+          col("loo_delta").cast("bigint").as("loo_delta"),
+          col("v_full"), col("n_test"))
+        .orderBy("vendor")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q95Kmeans, q96CentroidClassify,
     q159ClusterPurity, q173Stump, q174Calibration, q227NaiveBayes,
     q235Conformal, q238Dbscan, q249KCenter, q255Isotonic, q259EbShrinkage,
     q286Logistic, q296InfoGain, q322ClassWeights, q328CohensKappa,
     q329OodMahalanobis, q331AlMargin, q332Committee, q356TreeDepth2,
-    q366BrierDecomposition)
+    q366BrierDecomposition, q370DataShapley)
 }

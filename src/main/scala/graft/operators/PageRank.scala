@@ -501,6 +501,78 @@ object PageRank {
       .limit(25)
   }
 
+  /** q373 — personalized PageRank (Jeh–Widom '03) from the
+    * minimum-id customer: q65's teleport mass goes to ONE seed node
+    * instead of uniformly, turning global importance into
+    * seed-relative relevance — the similarity behind "customers like
+    * you bought" recommendations and local graph exploration, and the
+    * standard ANN-free candidate generator over interaction graphs.
+    * Same integer-exact iteration as q65 (rank' = 15%·SCALE·[seed] +
+    * 85%·Σ(rank div outdeg), all integer div), so the oracle's
+    * recursive CTE is bit-identical; same broadcast-frontier Pregel
+    * shape (the |V|-row frontier against the static memoized edge
+    * list, one partial-aggregable contrib sum per round). Output: the
+    * top-25 nodes by personalized rank — the seed's recommendation
+    * neighborhood. */
+  val q373Ppr: QueryDef = {
+    val s15 = SCALE * 15 / 100
+    QueryDef(
+      "q373_ppr",
+      s"""WITH RECURSIVE bought AS (
+         |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey + $PART_OFFSET AS p
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |edges AS (
+         |  SELECT c AS src, p AS dst FROM bought
+         |  UNION ALL SELECT p, c FROM bought),
+         |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |seed AS (SELECT min(c) AS sd FROM bought),
+         |pr(iter, node, rank) AS (
+         |  SELECT 0, src,
+         |    CAST(CASE WHEN src = seed.sd THEN $SCALE ELSE 0 END AS BIGINT)
+         |  FROM outdeg, seed
+         |  UNION ALL
+         |  SELECT pr.iter + 1, e.dst,
+         |    CAST(CASE WHEN e.dst = seed.sd THEN $s15 ELSE 0 END +
+         |      (85 * sum(pr.rank // o.outdeg)) // 100 AS BIGINT)
+         |  FROM pr JOIN edges e ON pr.node = e.src
+         |  JOIN outdeg o ON o.src = pr.node, seed
+         |  WHERE pr.iter < $ITERS
+         |  GROUP BY pr.iter + 1, e.dst, seed.sd),
+         |final AS (SELECT node, rank FROM pr WHERE iter = $ITERS)
+         |SELECT node, rank,
+         |  CASE WHEN node >= $PART_OFFSET THEN 'part' ELSE 'customer' END
+         |    AS node_type
+         |FROM final WHERE rank > 0 ORDER BY rank DESC, node
+         |LIMIT 25""".stripMargin) { (s, dir) =>
+      val eDeg = graft.FrameCache.getOrBuild(s, s"prEdgesDeg:$dir") {
+        withOutdeg(ckptEdges(s, dir)).ckpt()
+      }
+      val seed = eDeg.filter(col("src") < PART_OFFSET)
+        .agg(min(col("src")).as("sd"))
+      var ranks = eDeg.select(col("src").as("node")).distinct()
+        .crossJoin(broadcast(seed))
+        .select(col("node"),
+          when(col("node") === col("sd"), SCALE).otherwise(0L).as("rank"))
+      for (_ <- 1 to ITERS) {
+        ranks = broadcast(ranks)
+          .join(eDeg, col("node") === col("src"))
+          .select(col("dst"), expr("rank div outdeg").as("contrib"))
+          .groupBy(col("dst").as("node"))
+          .agg(expr("(85 * sum(contrib)) div 100").as("r85"))
+          .crossJoin(broadcast(seed))
+          .select(col("node"),
+            (when(col("node") === col("sd"), s15).otherwise(0L) + col("r85"))
+              .as("rank"))
+      }
+      ranks.filter(col("rank") > 0)
+        .select(col("node"), col("rank"),
+          when(col("node") >= PART_OFFSET, "part").otherwise("customer")
+            .as("node_type"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(25)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q65PageRank, q239Hits, q241LabelProp, q242Sssp,
-    q270Modularity)
+    q270Modularity, q373Ppr)
 }

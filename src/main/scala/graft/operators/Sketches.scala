@@ -1146,8 +1146,93 @@ object Sketches {
     }
   }
 
+  /** q369 — HyperLogLog distinct estimate per returnflag next to the
+    * exact count (Flajolet et al. '07), closing the sketch family's
+    * one gap: [[Kmv]] keeps k VALUES, HLL keeps m=64 REGISTERS — the
+    * fixed-size state every warehouse's approx_count_distinct ships,
+    * mergeable by elementwise max. Spark's own HLL is not
+    * engine-portable, so like q36 this builds the sketch from the
+    * 60-bit md5-prefix hash both engines compute identically: bucket =
+    * top 6 bits, register = max over the bucket of the leading-zero
+    * rank of the low 54 bits, estimate = α₆₄·m²/Σ2^(−M_j) with the
+    * linear-counting small-range correction.
+    *
+    * Exactness: ranks are integer string-length arithmetic (bin/conv
+    * — no log2 floats, the q191 octave discipline); the harmonic sum
+    * is held as the EXACT integer numerator Σ2^(55−M_j) over the 2^55
+    * common denominator (max 64·2^55 < 2^61), so the estimate is ONE
+    * IEEE double chain from integers; missing buckets contribute 2^55
+    * exactly, and V = 64 − present buckets drives the correction
+    * branch. Bit-identical in DuckDB.
+    *
+    * Scale design (100 TB): distinct(flag, key) collapses map-side;
+    * the register build is two partial-aggregable groupBys
+    * ((flag, bucket) max-rank, then ≤64 rows per flag); state per
+    * group is 64 longs no matter the input — the entire point. */
+  val q369Hll: QueryDef = {
+    val M = 64 // registers (b = 6 bucket bits, 54 rank bits)
+    val ALPHA = 0.709 // α for m = 64 (Flajolet '07 Table 1 regime)
+    // scientific-notation literals: DOUBLE in BOTH engines (bare
+    // decimals parse as DECIMAL in DuckDB and overflow the product)
+    val estD = s"($ALPHA" + "e0 * 64.0e0 * 64.0e0 * 36028797018963968.0e0)" +
+      " / CAST(num AS DOUBLE)"
+    val corrD = s"CASE WHEN ($estD) <= 160.0e0 AND v > 0 " +
+      s"THEN 64.0e0 * ln(64.0e0 / CAST(v AS DOUBLE)) ELSE ($estD) END"
+    QueryDef(
+      "q369_hll",
+      s"""WITH h AS (
+         |  SELECT DISTINCT l_returnflag AS flag,
+         |    ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM lineitem),
+         |rk AS (
+         |  SELECT flag, h // 18014398509481984 AS bucket,
+         |    CASE WHEN h % 18014398509481984 = 0 THEN 55
+         |         ELSE 55 - length(bin(h % 18014398509481984)) END AS r
+         |  FROM h),
+         |reg AS (
+         |  SELECT flag, bucket, max(r) AS m FROM rk GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT flag,
+         |    CAST(sum(1::BIGINT << (55 - m)) +
+         |      ($M - count(*)) * (1::BIGINT << 55) AS BIGINT) AS num,
+         |    CAST($M - count(*) AS BIGINT) AS v
+         |  FROM reg GROUP BY 1),
+         |e AS (
+         |  SELECT l_returnflag AS flag, count(DISTINCT l_orderkey) AS exact
+         |  FROM lineitem GROUP BY 1)
+         |SELECT e.flag AS l_returnflag, e.exact, agg.v AS v_zero,
+         |  CAST(floor($corrD) AS BIGINT) AS hll_est
+         |FROM e JOIN agg USING (flag) ORDER BY 1""".stripMargin) { (s, dir) =>
+      val keys = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"), col("l_orderkey"))
+        .distinct()
+        .select(col("flag"),
+          conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+      val reg = keys
+        .select(col("flag"), expr("h div 18014398509481984").as("bucket"),
+          when(col("h") % 18014398509481984L === 0, lit(55))
+            .otherwise(lit(55) -
+              length(bin(col("h") % 18014398509481984L))).as("r"))
+        .groupBy(col("flag"), col("bucket")).agg(max(col("r")).as("m"))
+      val agg = reg.groupBy(col("flag"))
+        .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")) +
+          (lit(M) - count(lit(1))) * lit(36028797018963968L))
+          .cast("bigint").as("num"),
+          (lit(M) - count(lit(1))).cast("bigint").as("v"))
+      val exact = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact"))
+      exact.join(agg, Seq("flag"))
+        .select(col("flag").as("l_returnflag"), col("exact"), col("v").as("v_zero"),
+          floor(expr(corrD)).cast("bigint").as("hll_est"))
+        .orderBy("l_returnflag")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q36KmvSketch, q67HeavyHitters, q85SampleQuantiles, q88ThetaSketch,
       q97CountMin, q191QuantileSketch, q206SketchRollup, q228F2Sketch,
-      q231JoinCardinality, q279JoinOrder, q287SamplingJoinEst, q318BloomFpr)
+      q231JoinCardinality, q279JoinOrder, q287SamplingJoinEst, q318BloomFpr,
+      q369Hll)
 }

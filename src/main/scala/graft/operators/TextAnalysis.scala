@@ -3188,8 +3188,160 @@ object TextAnalysis {
     }
   }
 
+  /** q374 — TextTiling topic-boundary detection (Hearst CL'97, the
+    * fixed-radius-peak variant): each document is cut into 20-token
+    * blocks, adjacent blocks are compared by bag-of-words cosine, and
+    * a gap is a SEGMENT BOUNDARY when its depth score (how far the
+    * similarity dips below the neighboring peaks, radius 2) exceeds
+    * the document's μ_d − σ_d/2 threshold — Hearst's cutoff. This is
+    * the semantic chunker for RAG ingestion (q90 cuts at fixed
+    * strides; this cuts where the TOPIC shifts), reported as per-source
+    * segmentation rates.
+    *
+    * Exactness: block vectors are integer token counts; each gap
+    * cosine is ONE floor-ppm sqrt chain (q44 discipline); depths are
+    * integer ppm; the per-doc threshold is one IEEE chain over exact
+    * integer depth moments, floored once; boundary flags are integer
+    * compares. Fixed-radius peaks (±2 gaps) replace Hearst's
+    * scan-to-local-max so the operator is window-relational rather
+    * than per-doc sequential — the documented simplification.
+    *
+    * Scale design (100 TB): one explode pass builds (doc, block,
+    * word) counts; the gap join is equi on (doc, word, block+1);
+    * every window is PARTITIONED BY doc over the gap axis (≤ len/20
+    * rows per doc); per-doc stats are grouped aggregates; output is
+    * |sources| rows. */
+  val q374TextTiling: QueryDef = {
+    val B = 20 // block size (tokens)
+    val cosChain = "CAST(floor(1000000.0e0 * CAST(dot AS DOUBLE) / " +
+      "sqrt(CAST(nl AS DOUBLE) * CAST(nr AS DOUBLE))) AS BIGINT)"
+    val thrChain = "CAST(floor(CAST(sd1 AS DOUBLE) / CAST(ng AS DOUBLE) - " +
+      "sqrt(CAST(ng AS DOUBLE) * CAST(sd2 AS DOUBLE) - " +
+      "CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE)) / " +
+      "(2.0e0 * CAST(ng AS DOUBLE))) AS BIGINT)"
+    QueryDef(
+      "q374_texttiling",
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n FROM documents),
+         |blk AS (
+         |  SELECT doc_id, source,
+         |    CAST((start_tok - 1) // $B AS BIGINT) AS b,
+         |    toks[start_tok : least(start_tok + ${B - 1}, n)] AS bt
+         |  FROM (SELECT doc_id, source, toks, n,
+         |          unnest(generate_series(1, n, $B)) AS start_tok FROM t)),
+         |bw AS (
+         |  SELECT doc_id, b, w, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT doc_id, b, unnest(bt) AS w FROM blk)
+         |  GROUP BY 1, 2, 3),
+         |nrm AS (
+         |  SELECT doc_id, b, CAST(sum(cnt * cnt) AS BIGINT) AS nn
+         |  FROM bw GROUP BY 1, 2),
+         |dots AS (
+         |  SELECT l.doc_id, l.b AS g, CAST(sum(l.cnt * r.cnt) AS BIGINT) AS dot
+         |  FROM bw l JOIN bw r ON r.doc_id = l.doc_id AND r.b = l.b + 1
+         |    AND r.w = l.w
+         |  GROUP BY 1, 2),
+         |gap0 AS (
+         |  SELECT nl.doc_id, nl.b AS g, coalesce(d.dot, 0) AS dot,
+         |    nl.nn AS nl, nr.nn AS nr
+         |  FROM nrm nl JOIN nrm nr ON nr.doc_id = nl.doc_id AND nr.b = nl.b + 1
+         |  LEFT JOIN dots d ON d.doc_id = nl.doc_id AND d.g = nl.b),
+         |gaps AS (
+         |  SELECT doc_id, g,
+         |    CASE WHEN dot = 0 THEN 0 ELSE $cosChain END AS s
+         |  FROM gap0),
+         |dep AS (
+         |  SELECT doc_id, g, s,
+         |    greatest(coalesce(max(s) OVER wl, s) - s, 0) +
+         |    greatest(coalesce(max(s) OVER wr, s) - s, 0) AS d
+         |  FROM gaps
+         |  WINDOW wl AS (PARTITION BY doc_id ORDER BY g
+         |    ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING),
+         |  wr AS (PARTITION BY doc_id ORDER BY g
+         |    ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING)),
+         |ds AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS ng,
+         |    CAST(sum(d) AS BIGINT) AS sd1, CAST(sum(d * d) AS BIGINT) AS sd2
+         |  FROM dep GROUP BY doc_id),
+         |thr AS (SELECT doc_id, ng, $thrChain AS thr FROM ds WHERE ng >= 2),
+         |db AS (
+         |  SELECT dep.doc_id,
+         |    CAST(sum(CASE WHEN dep.d > thr.thr THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nb,
+         |    max(thr.ng) AS ng
+         |  FROM dep JOIN thr ON thr.doc_id = dep.doc_id
+         |  GROUP BY dep.doc_id)
+         |SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(db.ng) AS BIGINT) AS n_gaps,
+         |  CAST(sum(db.nb) AS BIGINT) AS n_boundaries,
+         |  CAST((1000 * sum(db.nb)) // sum(db.ng) AS BIGINT)
+         |    AS boundary_rate_milli
+         |FROM db JOIN t ON t.doc_id = db.doc_id
+         |GROUP BY t.source ORDER BY t.source""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // single-file scan -> use the cores
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+      val blk = docs
+        .select(col("doc_id"), col("source"), col("toks"), col("n"),
+          explode(sequence(lit(1), col("n"), lit(B))).as("start_tok"))
+        .select(col("doc_id"),
+          expr(s"(start_tok - 1) div $B").cast("long").as("b"),
+          slice(col("toks"), col("start_tok"),
+            least(col("start_tok") + (B - 1), col("n")) - col("start_tok") + 1)
+            .as("bt"))
+      val bw = blk.select(col("doc_id"), col("b"), explode(col("bt")).as("w"))
+        .groupBy("doc_id", "b", "w").agg(count(lit(1)).as("cnt"))
+        .ckpt() // both sides of the adjacent-gap join
+      val nrm = bw.groupBy("doc_id", "b")
+        .agg(sum(col("cnt") * col("cnt")).as("nn"))
+        .ckpt() // both sides of the adjacent-norm join
+      val dots = bw.select(col("doc_id"), col("b").as("g"),
+          col("w"), col("cnt").as("lc"))
+        .join(bw.select(col("doc_id"), (col("b") - 1).as("g"), col("w"),
+          col("cnt").as("rc")), Seq("doc_id", "g", "w"))
+        .groupBy("doc_id", "g").agg(sum(col("lc") * col("rc")).as("dot"))
+      val gaps = nrm.select(col("doc_id"), col("b").as("g"), col("nn").as("nl"))
+        .join(nrm.select(col("doc_id"), (col("b") - 1).as("g"),
+          col("nn").as("nr")), Seq("doc_id", "g"))
+        .join(dots, Seq("doc_id", "g"), "left")
+        .select(col("doc_id"), col("g"),
+          when(coalesce(col("dot"), lit(0L)) === 0, 0L)
+            .otherwise(expr(cosChain)).as("s"))
+      val wl = Window.partitionBy(col("doc_id")).orderBy(col("g"))
+        .rowsBetween(-2, -1)
+      val wr = Window.partitionBy(col("doc_id")).orderBy(col("g"))
+        .rowsBetween(1, 2)
+      val dep = gaps.select(col("doc_id"), col("g"), col("s"),
+        (greatest(coalesce(max(col("s")).over(wl), col("s")) - col("s"), lit(0L)) +
+          greatest(coalesce(max(col("s")).over(wr), col("s")) - col("s"), lit(0L)))
+          .as("d"))
+        .ckpt() // feeds the per-doc moments AND the boundary count
+      val ds = dep.groupBy("doc_id")
+        .agg(count(lit(1)).as("ng"), sum(col("d")).as("sd1"),
+          sum(col("d") * col("d")).as("sd2"))
+      val thr = ds.filter(col("ng") >= 2)
+        .select(col("doc_id"), col("ng"), expr(thrChain).as("thr"))
+      val db = dep.join(thr, Seq("doc_id"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("d") > col("thr"), 1L).otherwise(0L)).as("nb"),
+          max(col("ng")).as("ng"))
+      db.join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ng")).as("n_gaps"),
+          sum(col("nb")).as("n_boundaries"))
+        .select(col("source"), col("n_docs"), col("n_gaps"),
+          col("n_boundaries"),
+          expr("(1000 * n_boundaries) div n_gaps").as("boundary_rate_milli"))
+        .orderBy("source")
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q350RakeKeywords, q353GoodTuring, q358WordAdaptation,
+    Seq(q374TextTiling,
+      q350RakeKeywords, q353GoodTuring, q358WordAdaptation,
       q295YulesK, q320SourceNovelty, q321CharEntropy,
       q337HashCollisionCurve,
       q232LooInfluence, q243FeatureHashing, q254MaxCoverage, q264McNemar,

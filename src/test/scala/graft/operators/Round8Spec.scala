@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-8 operators (q369+) — laws the
+  * oracle hash gate cannot express, checked at sf0.001. */
+class Round8Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, dir).collect()
+
+  test("q369 HLL: estimate lands within the m=64 error regime") {
+    val rows = run("q369_hll")
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val exact = r.getAs[Long]("exact")
+      val est = r.getAs[Long]("hll_est")
+      val v = r.getAs[Long]("v_zero")
+      assert(v >= 0 && v <= 64)
+      assert(est > 0)
+      // 1.04/sqrt(64) = 13% standard error; 4 sigma = 52%
+      assert(math.abs(est - exact).toDouble / exact < 0.52,
+        s"HLL est $est vs exact $exact out of regime")
+    }
+  }
+
+  test("q370 data Shapley: efficiency axiom holds exactly") {
+    val rows = run("q370_data_shapley")
+    assert(rows.length == 5, "five vendor shards")
+    val vFull = rows.head.getAs[Long]("v_full")
+    val nTest = rows.head.getAs[Long]("n_test")
+    // sum of Shapley values = v(N) - v(empty) = v(N), in 1/120 units
+    assert(rows.map(_.getAs[Long]("phi_120")).sum == 120L * vFull,
+      "Shapley efficiency: sum phi = v(full)")
+    assert(vFull >= 0 && vFull <= nTest)
+    for (r <- rows)
+      assert(math.abs(r.getAs[Long]("phi_120")) <= 120L * nTest)
+  }
+
+  test("q371 log-rank: O/E accounting and decision consistency") {
+    val r = run("q371_logrank").head
+    val o1 = r.getAs[Long]("obs_err_churn")
+    val nErr = r.getAs[Long]("n_err")
+    assert(nErr > 0 && r.getAs[Long]("n_ok") > 0,
+      "median split must yield two non-empty groups")
+    assert(o1 >= 0 && o1 <= nErr)
+    val chi = Option(r.getAs[Any]("chi2_milli")).map(_.asInstanceOf[Long])
+    chi.foreach { c =>
+      assert(c >= 0)
+      assert((c > 3841) == (r.getAs[Int]("reject_5pct") == 1))
+    }
+  }
+
+  test("q372 DTW: LB_Keogh <= DTW <= lockstep, and a memoized replay agrees") {
+    val r = run("q372_dtw").head
+    val (lb, dtw, lock) = (r.getAs[Long]("lb_keogh"), r.getAs[Long]("dtw"),
+      r.getAs[Long]("lockstep"))
+    assert(lb <= dtw, s"LB_Keogh $lb must lower-bound DTW $dtw")
+    assert(dtw <= lock, s"DTW $dtw must beat-or-match lockstep $lock")
+    // independent top-down memoized replay of the banded DP
+    val daily = graft.Tables.events(spark, dir)
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+      .orderBy("d").collect()
+    val as = daily.map(_.getAs[Long]("a"))
+    val bs = daily.map(_.getAs[Long]("b"))
+    val W = 7
+    val n = as.length
+    val memo = collection.mutable.Map[(Int, Int), Long]()
+    val INF = Long.MaxValue / 4
+    def f(i: Int, j: Int): Long =
+      if (i < 0 || j < 0 || math.abs(i - j) > W) INF
+      else memo.getOrElseUpdate((i, j), {
+        val c = math.abs(as(i) - bs(j))
+        if (i == 0 && j == 0) c
+        else c + math.min(f(i - 1, j - 1), math.min(f(i - 1, j), f(i, j - 1)))
+      })
+    assert(f(n - 1, n - 1) == dtw, "banded DP replay diverged")
+  }
+
+  test("q373 PPR: the seed node carries the maximum personalized rank") {
+    val rows = run("q373_ppr")
+    assert(rows.length == 25)
+    val ranks = rows.map(_.getAs[Long]("rank"))
+    assert(ranks.sameElements(ranks.sortBy(-_)), "sorted by rank desc")
+    // the seed is the min customer node; teleport mass keeps it on top
+    val seed = graft.Tables.orders(spark, dir)
+      .agg(min(col("o_custkey"))).head().getLong(0)
+    assert(rows.head.getAs[Long]("node") == seed,
+      s"seed $seed must head its own personalized ranking")
+    // personalization: rank mass is conserved-ish (integer div leaks
+    // only downward) — total never exceeds the teleport fixpoint SCALE
+    assert(ranks.sum <= 1000000L)
+  }
+
+  test("q374 TextTiling: boundary counts are gap-bounded and rules fire") {
+    val rows = run("q374_texttiling")
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (g, b) = (r.getAs[Long]("n_gaps"), r.getAs[Long]("n_boundaries"))
+      assert(b >= 0 && b <= g)
+      assert(r.getAs[Long]("boundary_rate_milli") == 1000 * b / g)
+    }
+    assert(rows.map(_.getAs[Long]("n_boundaries")).sum > 0,
+      "the cutoff must actually segment something")
+  }
+}

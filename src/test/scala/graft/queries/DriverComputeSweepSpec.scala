@@ -62,5 +62,10 @@ object DriverComputeRegistry {
         "above it the property-tested distributed min-label path runs"),
     ("operators/PipelineFilters.scala", "collect().sortBy(_.getAs[Int](\"rk\"))",
       "q330/q345 knapsack DP input: a groupBy(source) aggregate frame, " +
-        "<= |sources| rows (source domain, not data volume)"))
+        "<= |sources| rows (source domain, not data volume)"),
+    ("operators/Forecast.scala", "daily.orderBy(\"d\").collect()",
+      "q372 DTW DP input: the (day, clicks, purchases) collapse — " +
+        "calendar-bounded (~37k rows/century), the adjudicated day-axis " +
+        "bound; the DP is inherently sequential, the distributed path " +
+        "is the relational LB_Keogh prune computed alongside"))
 }

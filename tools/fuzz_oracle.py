@@ -228,6 +228,12 @@ QUERIES = [
     # the newsvendor rides the lineitem quantity redraw through every
     # demand distribution, fractile pick, and cost sum
     "q354_newsvendor",
+    # data-Shapley rides the documents text redraw through every NB
+    # count, the nano-ln model terms, and all 31 subset argmaxes
+    "q370_data_shapley",
+    # TextTiling rides the text redraw through block vectors, the
+    # cosine sqrt chains, and the per-doc depth thresholds
+    "q374_texttiling",
 ]
 # q289 HRU view selection reads only categorical dimension columns
 # (preserved by the redraw) — an inert replay, not registered.
