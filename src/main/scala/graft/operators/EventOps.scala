@@ -3282,8 +3282,395 @@ object EventOps {
     }
   }
 
+  /** q375 — UCB1 bandit replay (Auer–Cesa-Bianchi–Fischer '02) over
+    * the five event-type arms on hourly reward rounds: the
+    * optimism-in-the-face-of-uncertainty index
+    * mean_a + √(2 ln t / n_a) picks an arm each hour, and cumulative
+    * gain is scored against the best fixed arm in hindsight — the
+    * iid-analysis counterpart of q365's adversarial Hedge (the pair
+    * brackets the two classical bandit regimes; q362 covers coding).
+    * This is the allocation logic behind adaptive pipeline routing
+    * (which quality filter / which source to sample next).
+    *
+    * Exactness: rewards are the q365 milli grid; the index is
+    * mean_micro = (1000·g_a) div n_a (pure integer) plus ONE
+    * floor-micro sqrt/ln chain per arm per round — both engines walk
+    * the identical trajectory; ties break toward the lower arm index;
+    * the first k rounds play each arm once (the UCB1 init).
+    *
+    * Scale design (100 TB): identical to q365 — one fact collapse to
+    * the (hour × 5) grid, then an inherently-sequential scan over the
+    * repartition(1) time-span-bounded frame (adjudicated); the oracle
+    * walks the same recurrence as a recursive CTE. Output ≤ ~7
+    * checkpoint rows. */
+  val q375UcbRegret: QueryDef = {
+    val ARMS = Seq("click", "error", "purchase", "signup", "view")
+    val k = ARMS.length
+    val CK = 120L
+    val armCols = ARMS.indices.map(i => s"r${i + 1}")
+    val gridSql = ARMS.zipWithIndex.map { case (a, i) =>
+      s"coalesce(max(CASE WHEN s = '$a' THEN rm END), 0) AS r${i + 1}"
+    }.mkString(",\n         |    ")
+    // null-guarded UCB index (unplayed arms only occur in the forced
+    // init rounds, where the pick CASE never reads these)
+    def idxSql(i: Int): String =
+      s"(CASE WHEN st.n$i = 0 THEN NULL ELSE " +
+        s"(1000 * st.g$i) // st.n$i + " +
+        s"CAST(floor(1000000.0e0 * sqrt(2.0e0 * ln(CAST(st.t + 1 AS DOUBLE))" +
+        s" / CAST(st.n$i AS DOUBLE))) AS BIGINT) END)"
+    def stepSql: String = {
+      val mx = s"greatest(${(1 to k).map(idxSql).mkString(", ")})"
+      val pick = s"(CASE WHEN st.t + 1 <= $k THEN st.t + 1 " +
+        (1 to k).map(i => s"WHEN ${idxSql(i)} = $mx THEN $i").mkString(" ") +
+        " END)"
+      val ns = (1 to k).map(i =>
+        s"st.n$i + CASE WHEN $pick = $i THEN 1 ELSE 0 END").mkString(", ")
+      val gs = (1 to k).map(i =>
+        s"st.g$i + CASE WHEN $pick = $i THEN g.r$i ELSE 0 END").mkString(", ")
+      val cs = (1 to k).map(i => s"st.c$i + g.r$i").mkString(", ")
+      val rPick = (1 to k).map(i =>
+        s"CASE WHEN $pick = $i THEN g.r$i ELSE 0 END").mkString(" + ")
+      s"""SELECT g.t, $ns, st.alg + ($rPick), $gs, $cs
+         |  FROM st JOIN grid g ON g.t = st.t + 1"""
+        .stripMargin
+    }
+    QueryDef(
+      "q375_ucb_regret",
+      s"""WITH RECURSIVE hr AS (
+         |  SELECT epoch_us(ts) // 3600000000 AS h, event_type AS s,
+         |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |vm AS (SELECT max(v) AS vmax FROM hr),
+         |grid0 AS (
+         |  SELECT h, s, (1000 * v) // vm.vmax AS rm FROM hr, vm),
+         |grid AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS t,
+         |    $gridSql
+         |  FROM grid0 GROUP BY h),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS tmax FROM grid),
+         |st AS (
+         |  SELECT CAST(0 AS BIGINT) AS t,
+         |    ${(1 to k).map(i => s"CAST(0 AS BIGINT) AS n$i").mkString(", ")},
+         |    CAST(0 AS BIGINT) AS alg,
+         |    ${(1 to k).map(i => s"CAST(0 AS BIGINT) AS g$i").mkString(", ")},
+         |    ${(1 to k).map(i => s"CAST(0 AS BIGINT) AS c$i").mkString(", ")}
+         |  UNION ALL
+         |  $stepSql)
+         |SELECT st.t, st.alg AS alg_milli,
+         |  greatest(${(1 to k).map(i => s"st.c$i").mkString(", ")})
+         |    AS best_arm_milli,
+         |  ${(1 to k).map(i => s"st.n$i").mkString(" + ")} AS n_plays
+         |FROM st, nt
+         |WHERE st.t > 0 AND (st.t % $CK = 0 OR st.t = nt.tmax)
+         |ORDER BY st.t""".stripMargin) { (s, dir) =>
+      val hr = Tables.events(s, dir)
+        .groupBy(expr("unix_micros(ts) div 3600000000").as("h"),
+          col("event_type").as("s"))
+        .agg(sum(floor(col("value") * 1000).cast("bigint")).as("v"))
+        .ckpt()
+      val vm = broadcast(hr.agg(max(col("v")).as("vmax")))
+      val grid = hr.crossJoin(vm)
+        .select(col("h"), col("s"), expr("(1000 * v) div vmax").as("rm"))
+        .groupBy(col("h"))
+        .agg(ARMS.zipWithIndex.map { case (a, i) =>
+          coalesce(max(when(col("s") === a, col("rm"))), lit(0L))
+            .as(s"r${i + 1}")
+        }.head, ARMS.zipWithIndex.tail.map { case (a, i) =>
+          coalesce(max(when(col("s") === a, col("rm"))), lit(0L))
+            .as(s"r${i + 1}")
+        }: _*)
+      import s.implicits._
+      val rows = grid.repartition(1).sortWithinPartitions("h")
+        .select((col("h") +: armCols.map(col)): _*)
+        .as[(Long, Long, Long, Long, Long, Long)]
+        .mapPartitions { it =>
+          val buf = it.toArray
+          val tmax = buf.length.toLong
+          val n = new Array[Long](k)
+          val g = new Array[Long](k)
+          var alg = 0L
+          val out = scala.collection.mutable.ArrayBuffer[
+            (Long, Long, Long, Long)]()
+          for ((row, idx) <- buf.zipWithIndex) {
+            val t = idx + 1L
+            val r = Array(row._2, row._3, row._4, row._5, row._6)
+            val p =
+              if (t <= k) (t - 1).toInt
+              else {
+                val idxs = (0 until k).map { i =>
+                  (1000L * g(i)) / n(i) +
+                    math.floor(1000000.0 * math.sqrt(
+                      2.0 * math.log(t.toDouble) / n(i).toDouble)).toLong
+                }
+                val mx = idxs.max
+                idxs.indexWhere(_ == mx)
+              }
+            n(p) += 1
+            g(p) += r(p)
+            alg += r(p)
+            if (t % CK == 0 || t == tmax) {
+              // hindsight best arm = max cumulative reward had one arm
+              // been played every round so far
+              out += ((t, alg, 0L, n.sum))
+            }
+          }
+          // hindsight totals need the FULL per-arm sums; recompute in
+          // the same pass (buf is already materialized)
+          val cum = new Array[Long](k)
+          var ci = 0
+          val bestAt = scala.collection.mutable.Map[Long, Long]()
+          for ((row, idx) <- buf.zipWithIndex) {
+            val t = idx + 1L
+            val r = Array(row._2, row._3, row._4, row._5, row._6)
+            for (i <- 0 until k) cum(i) += r(i)
+            if (t % CK == 0 || t == tmax) bestAt(t) = cum.max
+          }
+          ci = 0
+          out.iterator.map { case (t, a, _, np) => (t, a, bestAt(t), np) }
+        }.toDF("t", "alg_milli", "best_arm_milli", "n_plays")
+      rows.orderBy("t")
+    }
+  }
+
+  /** q376 — Markov entropy rate of the per-user event stream
+    * (Shannon '48 §7; Cover & Thomas ch.4): the stationary
+    * distribution π of q109's transition matrix (8 integer-quantized
+    * power-iteration rounds, the q65 discipline) weights each row's
+    * conditional entropy H(X'|X=i) to give
+    * H_rate = −Σᵢ πᵢ Σⱼ pᵢⱼ ln pᵢⱼ — bits-per-event of the session
+    * PROCESS, reported next to the iid marginal entropy H₀(π). The
+    * gap H₀ − H_rate is exactly how much the Markov structure
+    * compresses (the justification for q215's conditional LM over a
+    * unigram one); conditioning-reduces-entropy (rate ≤ H₀) is pinned
+    * in the spec.
+    *
+    * Exactness: transition probs are exact ppm floor-divs; π updates
+    * are per-edge (πᵢ·pᵢⱼ) div 10⁶ integer contributions (order-free);
+    * every entropy term is an independently nano-floored
+    * p·(−ln p) chain — both engines produce identical BIGINTs, so the
+    * oracle's recursive CTE replays the power iteration bit-for-bit.
+    *
+    * Scale design (100 TB): one per-user lead window (partitioned by
+    * the shuffle key) collapses the stream to the |types|² count
+    * matrix; the iteration and all entropy algebra live on that
+    * ≤25-row frame. Output |types| rows. */
+  val q376EntropyRate: QueryDef = {
+    val R = 8
+    val nanoEnt = (p: String) => s"CAST(floor(1000000000.0e0 * " +
+      s"(CAST($p AS DOUBLE) / 1000000.0e0) * " +
+      s"(0.0e0 - ln(CAST($p AS DOUBLE) / 1000000.0e0))) AS BIGINT)"
+    QueryDef(
+      "q376_entropy_rate",
+      s"""WITH RECURSIVE o AS (
+         |  SELECT user_id, event_type AS src,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS dst
+         |  FROM events),
+         |c0 AS (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+         |  FROM o WHERE dst IS NOT NULL GROUP BY src, dst),
+         |tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS nt FROM c0 GROUP BY src),
+         |c AS MATERIALIZED (
+         |  SELECT c0.src, c0.dst, (1000000 * c0.n) // tot.nt AS p_ppm
+         |  FROM c0 JOIN tot USING (src)),
+         |pr(iter, state, pi) AS (
+         |  SELECT 0, src, CAST(200000 AS BIGINT) FROM tot
+         |  UNION ALL
+         |  SELECT pr.iter + 1, c.dst,
+         |    CAST(sum((pr.pi * c.p_ppm) // 1000000) AS BIGINT)
+         |  FROM pr JOIN c ON c.src = pr.state
+         |  WHERE pr.iter < $R GROUP BY 1, 2),
+         |pif AS (SELECT state, pi FROM pr WHERE iter = $R),
+         |hrow AS (
+         |  SELECT src AS state, CAST(sum(${nanoEnt("p_ppm")}) AS BIGINT) AS h_nano
+         |  FROM c GROUP BY src),
+         |rate AS (
+         |  SELECT CAST(sum((pif.pi * hrow.h_nano) // 1000000) AS BIGINT)
+         |    AS rate_nano
+         |  FROM pif JOIN hrow USING (state)),
+         |h0 AS (
+         |  SELECT CAST(sum(CASE WHEN pi > 0 THEN ${nanoEnt("pi")}
+         |    ELSE 0 END) AS BIGINT) AS h0_nano
+         |  FROM pif)
+         |SELECT pif.state, pif.pi AS pi_ppm, hrow.h_nano AS h_row_nano,
+         |  rate.rate_nano, h0.h0_nano
+         |FROM pif JOIN hrow USING (state), rate, h0
+         |ORDER BY pif.state""".stripMargin) { (s, dir) =>
+      val perUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val c0 = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("src"), col("ts"),
+          col("event_id"))
+        .withColumn("dst", lead(col("src"), 1).over(perUser))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+      val tot = c0.groupBy(col("src")).agg(sum(col("n")).as("nt"))
+      val c = c0.join(tot, Seq("src"))
+        .select(col("src"), col("dst"),
+          expr("(1000000 * n) div nt").as("p_ppm"))
+        .ckpt() // the <=|types|^2 matrix every round reads
+      val entTerm = (p: String) => expr(nanoEnt(p))
+      var pi = tot.select(col("src").as("state"), lit(200000L).as("pi"))
+      for (_ <- 1 to R)
+        pi = broadcast(pi).join(c, col("state") === col("src"))
+          .select(col("dst"), expr("(pi * p_ppm) div 1000000").as("contrib"))
+          .groupBy(col("dst").as("state"))
+          .agg(sum(col("contrib")).cast("bigint").as("pi"))
+      val pif = pi.ckpt() // feeds the rate, H0, and the output rows
+      val hrow = c.groupBy(col("src").as("state"))
+        .agg(sum(entTerm("p_ppm")).cast("bigint").as("h_nano"))
+      val rate = pif.join(hrow, Seq("state"))
+        .agg(sum(expr("(pi * h_nano) div 1000000")).cast("bigint")
+          .as("rate_nano"))
+      val h0 = pif.agg(sum(when(col("pi") > 0, entTerm("pi"))
+        .otherwise(0L)).cast("bigint").as("h0_nano"))
+      pif.join(hrow, Seq("state"))
+        .crossJoin(broadcast(rate)).crossJoin(broadcast(h0))
+        .select(col("state"), col("pi").as("pi_ppm"),
+          col("h_nano").as("h_row_nano"), col("rate_nano"), col("h0_nano"))
+        .orderBy("state")
+    }
+  }
+
+  /** q377 — propensity-stratified treatment-effect estimate
+    * (Rosenbaum–Rubin '83 subclassification; the estimator is
+    * algebraically IPW with within-stratum propensities): does heavy
+    * error exposure (above-median error count, q371's split) CAUSE
+    * fewer purchases? The naive treated-vs-control mean difference is
+    * confounded by activity (active users have more of BOTH), so
+    * users are subclassified into activity quintiles (exact
+    * order-statistic cuts on the total-event-count domain) and the
+    * within-stratum differences are averaged with stratum weights —
+    * the observational-causal sibling of q210 (DiD) / q266 (CUPED) /
+    * q313 (balance): those audit or adjust experiments, this adjusts
+    * a non-experiment.
+    *
+    * Exactness: quintile cuts and the median are exact order
+    * statistics picked by θ-joins over the bounded count domain (no
+    * windows); each stratum's mean difference is one nano-floored
+    * IEEE chain over integer sums; the weighted average is integer
+    * (nₛ·term) div N over usable strata (both arms present).
+    *
+    * Scale design (100 TB): two per-user collapses (counts, outcome);
+    * every subsequent frame is (count-domain)² or 5-row. Output 1
+    * row. */
+  val q377IpwAte: QueryDef = {
+    val dTerm = "CAST(floor(1000000000.0e0 * (CAST(sy1 AS DOUBLE) / " +
+      "CAST(nt AS DOUBLE) - CAST(sy0 AS DOUBLE) / CAST(nc AS DOUBLE))) " +
+      "AS BIGINT)"
+    val naive = "CAST(floor(1000000000.0e0 * (CAST(ty1 AS DOUBLE) / " +
+      "CAST(tn1 AS DOUBLE) - CAST(ty0 AS DOUBLE) / CAST(tn0 AS DOUBLE))) " +
+      "AS BIGINT)"
+    QueryDef(
+      "q377_ipw_ate",
+      s"""WITH u AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS tot,
+         |    CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS ec,
+         |    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+         |  FROM events GROUP BY user_id),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+         |ecd AS (SELECT ec, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY ec),
+         |med AS (
+         |  SELECT min(a.ec) AS med FROM (
+         |    SELECT a.ec, sum(b.cnt) AS cum
+         |    FROM ecd a JOIN ecd b ON b.ec <= a.ec GROUP BY a.ec) a, nn
+         |  WHERE a.cum >= (nn.n + 1) // 2),
+         |totd AS (SELECT tot, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY tot),
+         |cuts AS (
+         |  SELECT q.q, min(a.tot) AS cut FROM (
+         |    SELECT a.tot, sum(b.cnt) AS cum
+         |    FROM totd a JOIN totd b ON b.tot <= a.tot GROUP BY a.tot) a,
+         |    (SELECT unnest([1, 2, 3, 4]) AS q) q, nn
+         |  WHERE a.cum >= (q.q * nn.n + 4) // 5
+         |  GROUP BY q.q),
+         |su AS (
+         |  SELECT u.user_id, u.y,
+         |    CASE WHEN u.ec > med.med THEN 1 ELSE 0 END AS t,
+         |    1 + CAST(sum(CASE WHEN u.tot > cuts.cut THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS strat
+         |  FROM u, med, cuts
+         |  GROUP BY u.user_id, u.y, u.ec, med.med, u.tot),
+         |st AS (
+         |  SELECT strat,
+         |    CAST(sum(t) AS BIGINT) AS nt,
+         |    CAST(sum(1 - t) AS BIGINT) AS nc,
+         |    CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+         |    CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0
+         |  FROM su GROUP BY strat),
+         |used AS (SELECT * FROM st WHERE nt > 0 AND nc > 0),
+         |ate AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_strata_used,
+         |    CAST(sum(nt + nc) AS BIGINT) AS n_used,
+         |    CAST(sum((nt + nc) * $dTerm) AS BIGINT) AS wsum
+         |  FROM used),
+         |nv AS (
+         |  SELECT CAST(sum(t) AS BIGINT) AS tn1,
+         |    CAST(sum(1 - t) AS BIGINT) AS tn0,
+         |    CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS ty1,
+         |    CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS ty0
+         |  FROM su)
+         |SELECT nn.n AS n_users, nv.tn1 AS n_treated,
+         |  ate.n_strata_used, ate.n_used,
+         |  CAST(ate.wsum // ate.n_used AS BIGINT) AS ate_nano,
+         |  $naive AS naive_nano
+         |FROM nn, nv, ate""".stripMargin) { (s, dir) =>
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("tot"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("ec"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        .ckpt() // one per-user collapse feeds every frame below
+      val nn = u.agg(count(lit(1)).as("n"))
+      val ecd = u.groupBy(col("ec")).agg(count(lit(1)).as("cnt"))
+      val med = ecd.select(col("ec").as("ec_a"))
+        .join(ecd.select(col("ec").as("ec_b"), col("cnt")),
+          col("ec_b") <= col("ec_a"))
+        .groupBy(col("ec_a")).agg(sum(col("cnt")).as("cum"))
+        .crossJoin(broadcast(nn))
+        .filter(expr("cum >= (n + 1) div 2"))
+        .agg(min(col("ec_a")).as("med"))
+      val totd = u.groupBy(col("tot")).agg(count(lit(1)).as("cnt"))
+      import s.implicits._
+      val cuts = totd.select(col("tot").as("tot_a"))
+        .join(totd.select(col("tot").as("tot_b"), col("cnt")),
+          col("tot_b") <= col("tot_a"))
+        .groupBy(col("tot_a")).agg(sum(col("cnt")).as("cum"))
+        .crossJoin(broadcast(Seq(1L, 2L, 3L, 4L).toDF("q")))
+        .crossJoin(broadcast(nn))
+        .filter(expr("cum >= (q * n + 4) div 5"))
+        .groupBy(col("q")).agg(min(col("tot_a")).as("cut"))
+      val su = u.crossJoin(broadcast(med))
+        .crossJoin(broadcast(cuts.agg(
+          sum(lit(1)).as("nq"),
+          collect_list(col("cut")).as("cs"))))
+        .select(col("y"),
+          when(col("ec") > col("med"), 1L).otherwise(0L).as("t"),
+          expr("CAST(1 + size(filter(cs, c -> tot > c)) AS BIGINT)")
+            .as("strat"))
+        .ckpt() // per-user (outcome, arm, stratum) frame
+      val st = su.groupBy(col("strat"))
+        .agg(sum(col("t")).as("nt"), sum(lit(1L) - col("t")).as("nc"),
+          sum(when(col("t") === 1, col("y")).otherwise(0L)).as("sy1"),
+          sum(when(col("t") === 0, col("y")).otherwise(0L)).as("sy0"))
+      val used = st.filter(col("nt") > 0 && col("nc") > 0)
+      val ate = used.agg(count(lit(1)).as("n_strata_used"),
+        sum(col("nt") + col("nc")).as("n_used"),
+        sum((col("nt") + col("nc")) * expr(dTerm)).cast("bigint").as("wsum"))
+      val nv = su.agg(sum(col("t")).as("tn1"),
+        sum(lit(1L) - col("t")).as("tn0"),
+        sum(when(col("t") === 1, col("y")).otherwise(0L)).as("ty1"),
+        sum(when(col("t") === 0, col("y")).otherwise(0L)).as("ty0"))
+      nn.crossJoin(broadcast(nv)).crossJoin(broadcast(ate))
+        .select(col("n").as("n_users"), col("tn1").as("n_treated"),
+          col("n_strata_used"), col("n_used"),
+          expr("wsum div n_used").cast("bigint").as("ate_nano"),
+          expr(naive).as("naive_nano"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q371Logrank,
+    q371Logrank, q375UcbRegret, q376EntropyRate, q377IpwAte,
     q362KtRegret, q365HedgeRegret,
     q315CaptureRecapture, q316PowerAnalysis, q334TemporalLeakage, q338NbFit,
     q343AbFunnel, q347TokenBucket,

@@ -3339,8 +3339,123 @@ object TextAnalysis {
     }
   }
 
+  /** q378 — Fleiss' κ multi-rater agreement (Fleiss '71) over three
+    * independent document-quality heuristics: above-median character
+    * length, above-median type-token ratio, above-median mean word
+    * length — the "do our quality signals even agree" audit a
+    * filtering pipeline runs before ensembling them (q328's Cohen κ
+    * compares exactly two raters; Fleiss generalizes to n). Low κ
+    * means the heuristics measure different things and a vote/stack
+    * is warranted; high κ means they're redundant.
+    *
+    * Exactness: each heuristic's cut is an exact median picked by a
+    * θ-join over its bounded milli-ratio/length domain (no windows);
+    * per-doc agreement numerators n₁²+n₀²−3 are tiny integers; κ is
+    * ONE guarded IEEE chain from three integer sums (NULL when votes
+    * are unanimous — P_e = 1 leaves κ undefined).
+    *
+    * Scale design (100 TB): one token pass per doc builds all three
+    * features map-side; medians live on (domain, count) collapses;
+    * the κ algebra is a 1-row frame. Output 1 row. */
+  val q378FleissKappa: QueryDef = {
+    val kap = "CASE WHEN s1 > 0 AND s1 < 3 * nd THEN " +
+      "CAST(floor(1000000.0e0 * " +
+      "((CAST(sa AS DOUBLE) / (6.0e0 * CAST(nd AS DOUBLE))) - " +
+      "((CAST(s1 AS DOUBLE) / (3.0e0 * CAST(nd AS DOUBLE))) * " +
+      "(CAST(s1 AS DOUBLE) / (3.0e0 * CAST(nd AS DOUBLE))) + " +
+      "(1.0e0 - CAST(s1 AS DOUBLE) / (3.0e0 * CAST(nd AS DOUBLE))) * " +
+      "(1.0e0 - CAST(s1 AS DOUBLE) / (3.0e0 * CAST(nd AS DOUBLE))))) / " +
+      "(1.0e0 - ((CAST(s1 AS DOUBLE) / (3.0e0 * CAST(nd AS DOUBLE))) * " +
+      "(CAST(s1 AS DOUBLE) / (3.0e0 * CAST(nd AS DOUBLE))) + " +
+      "(1.0e0 - CAST(s1 AS DOUBLE) / (3.0e0 * CAST(nd AS DOUBLE))) * " +
+      "(1.0e0 - CAST(s1 AS DOUBLE) / (3.0e0 * CAST(nd AS DOUBLE)))))) " +
+      "AS BIGINT) END"
+    def medCte(src: String, v: String) =
+      s"""${v}d AS (SELECT $v AS v, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM $src GROUP BY 1),
+         |${v}m AS (
+         |  SELECT min(a.v) AS med FROM (
+         |    SELECT a.v, sum(b.cnt) AS cum
+         |    FROM ${v}d a JOIN ${v}d b ON b.v <= a.v GROUP BY a.v) a, nn
+         |  WHERE a.cum >= (nn.nd + 1) // 2)""".stripMargin
+    QueryDef(
+      "q378_fleiss_kappa",
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+         |    (1000 * CAST(len(list_distinct(string_split(text, ' ')))
+         |      AS BIGINT)) // CAST(len(string_split(text, ' ')) AS BIGINT)
+         |      AS ttr,
+         |    (1000 * (CAST(length(text) AS BIGINT) -
+         |      CAST(len(string_split(text, ' ')) AS BIGINT) + 1)) //
+         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS mwl
+         |  FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM f),
+         |${medCte("f", "len")},
+         |${medCte("f", "ttr")},
+         |${medCte("f", "mwl")},
+         |votes AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN f.len > lenm.med THEN 1 ELSE 0 END +
+         |     CASE WHEN f.ttr > ttrm.med THEN 1 ELSE 0 END +
+         |     CASE WHEN f.mwl > mwlm.med THEN 1 ELSE 0 END) AS n1,
+         |    CASE WHEN f.len > lenm.med THEN 1 ELSE 0 END AS v_len,
+         |    CASE WHEN f.ttr > ttrm.med THEN 1 ELSE 0 END AS v_ttr,
+         |    CASE WHEN f.mwl > mwlm.med THEN 1 ELSE 0 END AS v_mwl
+         |  FROM f, lenm, ttrm, mwlm),
+         |agg AS (
+         |  SELECT CAST(sum(n1) AS BIGINT) AS s1,
+         |    CAST(sum(n1 * n1 + (3 - n1) * (3 - n1) - 3) AS BIGINT) AS sa,
+         |    CAST(sum(v_len) AS BIGINT) AS p_len,
+         |    CAST(sum(v_ttr) AS BIGINT) AS p_ttr,
+         |    CAST(sum(v_mwl) AS BIGINT) AS p_mwl
+         |  FROM votes)
+         |SELECT nn.nd AS n_docs, agg.s1 AS n_pos_votes,
+         |  agg.p_len, agg.p_ttr, agg.p_mwl,
+         |  $kap AS kappa_micro
+         |FROM nn, agg""".stripMargin) { (s, dir) =>
+      val f = Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("bigint").as("len"),
+          split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("len"),
+          expr("(1000 * CAST(size(array_distinct(toks)) AS BIGINT)) div " +
+            "CAST(size(toks) AS BIGINT)").as("ttr"),
+          expr("(1000 * (len - CAST(size(toks) AS BIGINT) + 1)) div " +
+            "CAST(size(toks) AS BIGINT)").as("mwl"))
+        .ckpt() // one feature pass feeds three median cuts + votes
+      val nn = f.agg(count(lit(1)).as("nd"))
+      def med(v: String) = {
+        val d = f.groupBy(col(v).as("v")).agg(count(lit(1)).as("cnt"))
+        d.select(col("v").as("va"))
+          .join(d.select(col("v").as("vb"), col("cnt")), col("vb") <= col("va"))
+          .groupBy(col("va")).agg(sum(col("cnt")).as("cum"))
+          .crossJoin(broadcast(nn))
+          .filter(expr("cum >= (nd + 1) div 2"))
+          .agg(min(col("va")).as(s"med_$v"))
+      }
+      val votes = f
+        .crossJoin(broadcast(med("len"))).crossJoin(broadcast(med("ttr")))
+        .crossJoin(broadcast(med("mwl")))
+        .select(
+          (when(col("len") > col("med_len"), 1).otherwise(0) +
+            when(col("ttr") > col("med_ttr"), 1).otherwise(0) +
+            when(col("mwl") > col("med_mwl"), 1).otherwise(0)).as("n1"),
+          when(col("len") > col("med_len"), 1).otherwise(0).as("v_len"),
+          when(col("ttr") > col("med_ttr"), 1).otherwise(0).as("v_ttr"),
+          when(col("mwl") > col("med_mwl"), 1).otherwise(0).as("v_mwl"))
+      val agg = votes.agg(sum(col("n1")).as("s1"),
+        sum(col("n1") * col("n1") + (lit(3) - col("n1")) * (lit(3) - col("n1"))
+          - 3).as("sa"),
+        sum(col("v_len")).as("p_len"), sum(col("v_ttr")).as("p_ttr"),
+        sum(col("v_mwl")).as("p_mwl"))
+      nn.crossJoin(broadcast(agg))
+        .select(col("nd").as("n_docs"), col("s1").as("n_pos_votes"),
+          col("p_len"), col("p_ttr"), col("p_mwl"),
+          expr(kap).as("kappa_micro"))
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q374TextTiling,
+    Seq(q374TextTiling, q378FleissKappa,
       q350RakeKeywords, q353GoodTuring, q358WordAdaptation,
       q295YulesK, q320SourceNovelty, q321CharEntropy,
       q337HashCollisionCurve,

@@ -98,6 +98,69 @@ class Round8Spec extends AnyFunSuite {
     assert(ranks.sum <= 1000000L)
   }
 
+  test("q375 UCB1: play accounting and the per-round-oracle bound") {
+    val rows = run("q375_ucb_regret")
+    assert(rows.nonEmpty)
+    // the clairvoyant per-round maximum dominates ANY policy (the
+    // best-FIXED-arm baseline does not: adaptive switching may beat it)
+    val hourly = graft.Tables.events(spark, dir)
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("h"),
+        col("event_type").as("s"))
+      .agg(sum(floor(col("value") * 1000).cast("bigint")).as("v"))
+      .collect()
+    val vmax = hourly.map(_.getAs[Long]("v")).max
+    val perHourMax = hourly.groupBy(_.getAs[Long]("h")).view
+      .mapValues(_.map(r => 1000L * r.getAs[Long]("v") / vmax).max).toMap
+    val hours = perHourMax.keys.toSeq.sorted
+    var lastAlg = -1L
+    for (r <- rows) {
+      val (t, alg) = (r.getAs[Long]("t"), r.getAs[Long]("alg_milli"))
+      assert(r.getAs[Long]("n_plays") == t, "exactly one play per round")
+      val oracle = hours.take(t.toInt).map(perHourMax).sum
+      assert(alg <= oracle, s"round $t: gain $alg beats the clairvoyant $oracle")
+      assert(alg >= lastAlg, "rewards are non-negative, gain is monotone")
+      lastAlg = alg
+    }
+  }
+
+  test("q376 entropy rate: conditioning reduces entropy") {
+    val rows = run("q376_entropy_rate")
+    assert(rows.nonEmpty)
+    val rate = rows.head.getAs[Long]("rate_nano")
+    val h0 = rows.head.getAs[Long]("h0_nano")
+    // rate <= H0 up to the per-term nano-floor slop (<= ~30 terms)
+    assert(rate <= h0 + 50, s"entropy rate $rate must not exceed H0 $h0")
+    assert(rate > 0 && h0 <= math.ceil(1e9 * math.log(5.0)).toLong + 50,
+      "H0 is capped by ln(5) for five states")
+    // pi is a near-distribution (integer-div mass leak only downward)
+    val piSum = rows.map(_.getAs[Long]("pi_ppm")).sum
+    assert(piSum <= 1000000L && piSum > 990000L, s"pi mass $piSum")
+  }
+
+  test("q377 IPW: stratification accounting") {
+    val r = run("q377_ipw_ate").head
+    assert(r.getAs[Long]("n_used") <= r.getAs[Long]("n_users"))
+    assert(r.getAs[Long]("n_strata_used") >= 1 &&
+      r.getAs[Long]("n_strata_used") <= 5)
+    assert(r.getAs[Long]("n_treated") > 0 &&
+      r.getAs[Long]("n_treated") < r.getAs[Long]("n_users"),
+      "median split yields two arms")
+  }
+
+  test("q378 Fleiss kappa: vote accounting and range") {
+    val r = run("q378_fleiss_kappa").head
+    val nd = r.getAs[Long]("n_docs")
+    val s1 = r.getAs[Long]("n_pos_votes")
+    assert(s1 == r.getAs[Long]("p_len") + r.getAs[Long]("p_ttr") +
+      r.getAs[Long]("p_mwl"))
+    assert(s1 >= 0 && s1 <= 3 * nd)
+    // strictly-above-median positives can never exceed half per rater
+    for (c <- Seq("p_len", "p_ttr", "p_mwl"))
+      assert(r.getAs[Long](c) <= nd / 2, s"$c above-median overflow")
+    val k = r.getAs[Long]("kappa_micro")
+    assert(k >= -1000000L && k <= 1000000L)
+  }
+
   test("q374 TextTiling: boundary counts are gap-bounded and rules fire") {
     val rows = run("q374_texttiling")
     assert(rows.nonEmpty)

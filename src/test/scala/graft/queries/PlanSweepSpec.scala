@@ -285,5 +285,8 @@ object PlanSweepAllowlist {
         "day axis"),
     ("q365_hedge_regret", "repartition(1)",
       "sequential multiplicative-weights scan over the time-span-bounded " +
-        "hour grid (the q355/q164 shape)"))
+        "hour grid (the q355/q164 shape)"),
+    ("q375_ucb_regret", "repartition(1)",
+      "sequential UCB1 bandit replay over the time-span-bounded hour " +
+        "grid (the q365 shape)"))
 }

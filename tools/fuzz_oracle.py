@@ -234,6 +234,9 @@ QUERIES = [
     # TextTiling rides the text redraw through block vectors, the
     # cosine sqrt chains, and the per-doc depth thresholds
     "q374_texttiling",
+    # UCB1 rides the events value redraw through the reward grid, every
+    # sqrt/ln index chain, and the whole pick trajectory
+    "q375_ucb_regret",
 ]
 # q289 HRU view selection reads only categorical dimension columns
 # (preserved by the redraw) — an inert replay, not registered.
