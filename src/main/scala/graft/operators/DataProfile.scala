@@ -3482,8 +3482,205 @@ object DataProfile {
     }
   }
 
+  /** q379 — Kruskal–Wallis H test (KW '52): does order value differ
+    * across the five order priorities, by RANKS? The k-group
+    * generalization of q177's Mann–Whitney (and the rank-robust
+    * sibling of q257's ANOVA — same question, immune to the heavy
+    * tail that invalidates ANOVA's normality assumption); q363's
+    * Jonckheere adds an ORDERED alternative, this one is omnibus.
+    *
+    * Exactness: the 2dp money domain collapses to (cents, priority)
+    * counts, so midranks are exact integers in DOUBLED units
+    * (a2 = 2·cumBefore + c + 1 — the q177 merged-histogram
+    * discipline, no per-row ranks anywhere); rank sums R2_g are exact
+    * int64; the R2² terms ride DECIMAL(38)/HUGEINT with identical
+    * floor-division on both engines; the tie correction is one final
+    * IEEE chain from exact integer tie moments.
+    *
+    * Scale design (100 TB): one fact collapse to the bounded cents
+    * domain; the cumulative rank axis rides
+    * [[ScaleRank.withRunningSum]] (distributed two-level prefix sum,
+    * no global window); everything downstream is ≤|priorities| rows.
+    * Output 5 rows + constants. */
+  val q379KruskalWallis: QueryDef = {
+    val corr = "CAST(floor(CAST(h_milli AS DOUBLE) / (1.0e0 - " +
+      "CAST(tie AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * " +
+      "CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))) AS BIGINT)"
+    QueryDef(
+      "q379_kruskal_wallis",
+      s"""WITH f AS (
+         |  SELECT o_orderpriority AS g,
+         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM orders),
+         |vc AS (
+         |  SELECT cents, g, CAST(count(*) AS BIGINT) AS c
+         |  FROM f GROUP BY 1, 2),
+         |vt AS (
+         |  SELECT cents, CAST(sum(c) AS BIGINT) AS ctot,
+         |    CAST(sum(sum(c)) OVER (ORDER BY cents
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM vc GROUP BY cents),
+         |a2 AS (
+         |  SELECT cents, 2 * (cum - ctot) + ctot + 1 AS a2, ctot FROM vt),
+         |rg AS (
+         |  SELECT vc.g, CAST(sum(vc.c) AS BIGINT) AS ng,
+         |    CAST(sum(vc.c * a2.a2) AS BIGINT) AS r2
+         |  FROM vc JOIN a2 USING (cents) GROUP BY vc.g),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT g) AS BIGINT) AS k FROM f),
+         |tiec AS (
+         |  SELECT CAST(sum(ctot * ctot * ctot - ctot) AS BIGINT) AS tie
+         |  FROM vt),
+         |hsum AS (
+         |  SELECT CAST(sum(CAST(r2 AS HUGEINT) * r2 // (4 * ng))
+         |    AS HUGEINT) AS s FROM rg),
+         |h AS (
+         |  SELECT CAST((12000 * hsum.s) // (nn.n * (nn.n + 1)) -
+         |    3000 * (nn.n + 1) AS BIGINT) AS h_milli
+         |  FROM hsum, nn)
+         |SELECT rg.g AS priority, rg.ng AS n_g, rg.r2 AS rank2_sum,
+         |  nn.n, h.h_milli, tiec.tie,
+         |  $corr AS h_corrected_milli,
+         |  CASE WHEN $corr > 9488 THEN 1 ELSE 0 END AS reject_5pct
+         |FROM rg, nn, h, tiec
+         |ORDER BY priority""".stripMargin) { (s, dir) =>
+      val f = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("g"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      val vc = f.groupBy(col("cents"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .ckpt() // bounded cents-domain collapse: feeds vt AND rg
+      val vt0 = vc.groupBy(col("cents")).agg(sum(col("c")).as("ctot"))
+      val vt = ScaleRank.withRunningSum(vt0, Seq.empty,
+        Seq(col("cents")), col("ctot"), "cum")
+      val a2 = vt.select(col("cents"),
+        (lit(2) * (col("cum") - col("ctot")) + col("ctot") + 1).as("a2"),
+        col("ctot"))
+      val rg = vc.join(a2.select(col("cents"), col("a2")), Seq("cents"))
+        .groupBy(col("g"))
+        .agg(sum(col("c")).as("ng"), sum(col("c") * col("a2")).as("r2"))
+        .ckpt() // 5 rows: feeds H AND the output
+      val nn = f.agg(count(lit(1)).as("n"), countDistinct(col("g")).as("k"))
+      val tiec = vt.agg(
+        sum(col("ctot") * col("ctot") * col("ctot") - col("ctot")).as("tie"))
+      val hsum = rg.agg(sum(expr(
+        "(CAST(r2 AS DECIMAL(38,0)) * r2) div (4 * ng)")).as("s"))
+      val h = hsum.crossJoin(broadcast(nn))
+        .select(expr("CAST((12000 * CAST(s AS DECIMAL(38,0))) div " +
+          "(n * (n + 1)) - 3000 * (n + 1) AS BIGINT)").as("h_milli"))
+      rg.crossJoin(broadcast(nn)).crossJoin(broadcast(h))
+        .crossJoin(broadcast(tiec))
+        .select(col("g").as("priority"), col("ng").as("n_g"),
+          col("r2").as("rank2_sum"), col("n"), col("h_milli"), col("tie"),
+          expr(corr).as("h_corrected_milli"),
+          when(expr(corr) > 9488, 1).otherwise(0).as("reject_5pct"))
+        .orderBy("priority")
+    }
+  }
+
+  /** q382 — pairwise mutual-information matrix over the categorical
+    * order dimensions (market segment × order priority × order
+    * status): MI(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) for each of the
+    * three pairs, with marginal entropies and the √(H·H)-normalized
+    * NMI — the dependence screen a feature platform runs where q123's
+    * χ² only answers "independent or not": MI RANKS the dependencies
+    * in nats and feeds redundancy-aware feature selection (q296's
+    * info gain is exactly MI(feature; label) — this is its
+    * all-pairs-of-dims generalization).
+    *
+    * Exactness: all cell/margin counts are exact integers off ONE
+    * joined fact pass; every p·ln term is an independently
+    * nano-floored IEEE chain (q83 discipline — order-free integer
+    * sums); NMI is one guarded milli chain from the three nano sums.
+    * MI ≥ 0 up to flooring slop and MI ≤ min(H) are pinned in the
+    * spec.
+    *
+    * Scale design (100 TB): one orders⋈customer pass (equi on
+    * custkey) collapses to three (pair, x, y) cell frames bounded by
+    * the categorical domains (≤ 5×5 cells each); margins and all MI
+    * algebra live on those. Output 3 rows. */
+  val q382MiMatrix: QueryDef = {
+    val term = "CAST(floor(1000000000.0e0 * (CAST(c AS DOUBLE) / " +
+      "CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE) / " +
+      "(CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))) AS BIGINT)"
+    val ent = "CAST(floor(1000000000.0e0 * (CAST(c AS DOUBLE) / " +
+      "CAST(n AS DOUBLE)) * (0.0e0 - ln(CAST(c AS DOUBLE) / " +
+      "CAST(n AS DOUBLE)))) AS BIGINT)"
+    val nmi = "CASE WHEN hx_nano > 0 AND hy_nano > 0 THEN " +
+      "CAST(floor(1000.0e0 * CAST(mi_nano AS DOUBLE) / " +
+      "sqrt(CAST(hx_nano AS DOUBLE) * CAST(hy_nano AS DOUBLE))) " +
+      "AS BIGINT) END"
+    QueryDef(
+      "q382_mi_matrix",
+      s"""WITH f AS (
+         |  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+         |    o.o_orderstatus AS st
+         |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+         |cells AS (
+         |  SELECT 'seg_pri' AS pair, seg AS x, pri AS y,
+         |    CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 2, 3
+         |  UNION ALL
+         |  SELECT 'seg_st', seg, st, CAST(count(*) AS BIGINT)
+         |  FROM f GROUP BY 2, 3
+         |  UNION ALL
+         |  SELECT 'pri_st', pri, st, CAST(count(*) AS BIGINT)
+         |  FROM f GROUP BY 2, 3),
+         |mx AS (SELECT pair, x, CAST(sum(c) AS BIGINT) AS cx
+         |  FROM cells GROUP BY 1, 2),
+         |my AS (SELECT pair, y, CAST(sum(c) AS BIGINT) AS cy
+         |  FROM cells GROUP BY 1, 2),
+         |mi AS (
+         |  SELECT cells.pair, CAST(sum($term) AS BIGINT) AS mi_nano
+         |  FROM cells JOIN mx USING (pair, x) JOIN my USING (pair, y), nn
+         |  GROUP BY cells.pair),
+         |hx AS (
+         |  SELECT pair, CAST(sum($ent) AS BIGINT) AS hx_nano
+         |  FROM (SELECT pair, cx AS c FROM mx), nn GROUP BY pair),
+         |hy AS (
+         |  SELECT pair, CAST(sum($ent) AS BIGINT) AS hy_nano
+         |  FROM (SELECT pair, cy AS c FROM my), nn GROUP BY pair)
+         |SELECT mi.pair, nn.n, mi.mi_nano, hx.hx_nano, hy.hy_nano,
+         |  $nmi AS nmi_milli
+         |FROM mi JOIN hx USING (pair) JOIN hy USING (pair), nn
+         |ORDER BY mi.pair""".stripMargin) { (s, dir) =>
+      val f = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+        .ckpt() // one fact pass feeds all three pair collapses
+      val nn = f.agg(count(lit(1)).as("n"))
+      def pairCells(p: String, xc: String, yc: String) =
+        f.groupBy(col(xc).as("x"), col(yc).as("y"))
+          .agg(count(lit(1)).as("c")).select(lit(p).as("pair"),
+            col("x"), col("y"), col("c"))
+      val cells = pairCells("seg_pri", "seg", "pri")
+        .unionByName(pairCells("seg_st", "seg", "st"))
+        .unionByName(pairCells("pri_st", "pri", "st"))
+        .ckpt() // bounded (pair, x, y) cell frame
+      val mx = cells.groupBy("pair", "x").agg(sum(col("c")).as("cx"))
+      val my = cells.groupBy("pair", "y").agg(sum(col("c")).as("cy"))
+      val mi = cells.join(mx, Seq("pair", "x")).join(my, Seq("pair", "y"))
+        .crossJoin(broadcast(nn))
+        .groupBy("pair").agg(sum(expr(term)).cast("bigint").as("mi_nano"))
+      val hx = mx.select(col("pair"), col("cx").as("c"))
+        .crossJoin(broadcast(nn))
+        .groupBy("pair").agg(sum(expr(ent)).cast("bigint").as("hx_nano"))
+      val hy = my.select(col("pair"), col("cy").as("c"))
+        .crossJoin(broadcast(nn))
+        .groupBy("pair").agg(sum(expr(ent)).cast("bigint").as("hy_nano"))
+      mi.join(hx, Seq("pair")).join(hy, Seq("pair"))
+        .crossJoin(broadcast(nn))
+        .select(col("pair"), col("n"), col("mi_nano"), col("hx_nano"),
+          col("hy_nano"), expr(nmi).as("nmi_milli"))
+        .orderBy("pair")
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q359TailDependence, q363Jonckheere, q364Sinkhorn,
+    Seq(q379KruskalWallis, q382MiMatrix,
+      q359TailDependence, q363Jonckheere, q364Sinkhorn,
       q367AndersonDarling,
       q301Hbos, q313CovariateBalance, q317Wasserstein, q319Srm,
       q326CorrMatrix, q335SplitStratification, q336DkwBands,

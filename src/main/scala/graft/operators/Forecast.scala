@@ -986,8 +986,134 @@ object Forecast {
     }
   }
 
+  /** q380 — additive Holt–Winters (Holt '57; Winters '60) over daily
+    * revenue with weekly seasonality: level/trend/season state updated
+    * online (α=0.3, β=0.1, γ=0.2), one-step-ahead forecasts scored
+    * against the seasonal-naive baseline as a skill ratio — the
+    * triple-exponential-smoothing forecaster q360's Diebold–Mariano
+    * test assumes someone actually runs, and the state shape behind
+    * every capacity-planning dashboard. Zero-state cold start (l=b=s=0,
+    * scoring begins after a two-week burn-in) keeps the replay fully
+    * deterministic with no init heuristic to mirror.
+    *
+    * Exactness: revenue is exact cents; each of the three smoothing
+    * updates is an independently FLOORED IEEE chain (the q365 nano
+    * discipline — both engines walk the identical integer state
+    * trajectory); the seasonal and lag-7 buffers rotate through seven
+    * integer slots keyed by day-index mod 7; absolute errors and the
+    * final skill ratio are pure integers.
+    *
+    * Scale design (100 TB): one fact collapse to the calendar-bounded
+    * day axis; the recurrence is inherently sequential → the
+    * adjudicated repartition(1) scan (q355/q365 shape); the oracle
+    * unrolls the same recurrence as a recursive CTE carrying the
+    * 7-slot buffers as columns. Output ≤ ~13 checkpoint rows. */
+  val q380HoltWinters: QueryDef = {
+    val (a, b, g) = (0.3, 0.1, 0.2)
+    val CK = 30L
+    val BURN = 14L
+    def caseSlot(p: String) =
+      s"CASE ((g.t - 1) % 7) + 1 ${(1 to 7).map(i =>
+        s"WHEN $i THEN st.$p$i").mkString(" ")} END"
+    def stepSql: String = {
+      val sold = caseSlot("s")
+      val yold = caseSlot("y")
+      val lNew = s"CAST(floor($a" + "e0 * CAST(g.y - (" + sold +
+        s") AS DOUBLE) + ${1 - a}" + "e0 * CAST(st.l + st.b AS DOUBLE)) AS BIGINT)"
+      val bNew = s"CAST(floor($b" + s"e0 * CAST(($lNew) - st.l AS DOUBLE) + " +
+        s"${1 - b}" + "e0 * CAST(st.b AS DOUBLE)) AS BIGINT)"
+      val sNew = s"CAST(floor($g" + s"e0 * CAST(g.y - ($lNew) AS DOUBLE) + " +
+        s"${1 - g}" + "e0 * CAST((" + sold + ") AS DOUBLE)) AS BIGINT)"
+      val f = s"(st.l + st.b + ($sold))"
+      val ss = (1 to 7).map(i =>
+        s"CASE WHEN ((g.t - 1) % 7) + 1 = $i THEN ($sNew) ELSE st.s$i END")
+        .mkString(", ")
+      val ys = (1 to 7).map(i =>
+        s"CASE WHEN ((g.t - 1) % 7) + 1 = $i THEN g.y ELSE st.y$i END")
+        .mkString(", ")
+      s"""SELECT g.t, ($lNew), $bNew, $ss, $ys,
+         |    st.sae_hw + CASE WHEN g.t > $BURN
+         |      THEN abs(g.y - ($f)) ELSE 0 END,
+         |    st.sae_sn + CASE WHEN g.t > $BURN
+         |      THEN abs(g.y - ($yold)) ELSE 0 END
+         |  FROM st JOIN grid g ON g.t = st.t + 1"""
+        .stripMargin
+    }
+    QueryDef(
+      "q380_holt_winters",
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1),
+         |grid AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, y
+         |  FROM daily),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS tmax FROM grid),
+         |st AS (
+         |  SELECT CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS l,
+         |    CAST(0 AS BIGINT) AS b,
+         |    ${(1 to 7).map(i => s"CAST(0 AS BIGINT) AS s$i").mkString(", ")},
+         |    ${(1 to 7).map(i => s"CAST(0 AS BIGINT) AS y$i").mkString(", ")},
+         |    CAST(0 AS BIGINT) AS sae_hw, CAST(0 AS BIGINT) AS sae_sn
+         |  UNION ALL
+         |  $stepSql)
+         |SELECT st.t, st.l AS level_cents, st.b AS trend_cents,
+         |  st.sae_hw, st.sae_sn,
+         |  CASE WHEN st.sae_sn > 0
+         |    THEN (1000 * st.sae_hw) // st.sae_sn END AS skill_milli
+         |FROM st, nt
+         |WHERE st.t > 0 AND (st.t % $CK = 0 OR st.t = nt.tmax)
+         |ORDER BY st.t""".stripMargin) { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("bigint")).cast("bigint").as("y"))
+      import s.implicits._
+      val rows = daily.repartition(1).sortWithinPartitions("d")
+        .select(col("y")).as[Long]
+        .mapPartitions { it =>
+          val ys = it.toArray
+          val tmax = ys.length.toLong
+          var (l, bb) = (0L, 0L)
+          val sArr = new Array[Long](7)
+          val yArr = new Array[Long](7)
+          var (saeHw, saeSn) = (0L, 0L)
+          val out = scala.collection.mutable.ArrayBuffer[
+            (Long, Long, Long, Long, Long)]()
+          for ((y, idx) <- ys.zipWithIndex) {
+            val t = idx + 1L
+            val slot = ((t - 1) % 7).toInt
+            val sold = sArr(slot)
+            val yold = yArr(slot)
+            val fc = l + bb + sold
+            if (t > BURN) {
+              saeHw += math.abs(y - fc)
+              saeSn += math.abs(y - yold)
+            }
+            val l2 = math.floor(a * (y - sold).toDouble +
+              (1 - a) * (l + bb).toDouble).toLong
+            val b2 = math.floor(b * (l2 - l).toDouble +
+              (1 - b) * bb.toDouble).toLong
+            val s2 = math.floor(g * (y - l2).toDouble +
+              (1 - g) * sold.toDouble).toLong
+            l = l2; bb = b2; sArr(slot) = s2; yArr(slot) = y
+            if (t % CK == 0 || t == tmax)
+              out += ((t, l, bb, saeHw, saeSn))
+          }
+          out.iterator
+        }.toDF("t", "level_cents", "trend_cents", "sae_hw", "sae_sn")
+      rows.select(col("t"), col("level_cents"), col("trend_cents"),
+          col("sae_hw"), col("sae_sn"),
+          when(col("sae_sn") > 0,
+            expr("(1000 * sae_hw) div sae_sn")).as("skill_milli"))
+        .orderBy("t")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail,
       q245Changepoint, q261SeasonalDecomp, q290SeasonalAnomaly,
-      q349VarianceTime, q355BurstIntervals, q360DieboldMariano, q372Dtw)
+      q349VarianceTime, q355BurstIntervals, q360DieboldMariano, q372Dtw,
+      q380HoltWinters)
 }

@@ -1129,9 +1129,93 @@ object Graph {
     }
   }
 
+  /** q381 — k-truss peeling of the co-purchase graph (Cohen '08), at
+    * k=3: the maximal subgraph where every surviving edge closes ≥ 1 triangle
+    * WITH OTHER SURVIVORS — the triangle-reinforced community core
+    * that k-core (q150, degree-based) overcounts: a hub with many
+    * weak one-off neighbors survives a degree peel but not a truss
+    * peel. Per round, edge support comes from the q104 oriented
+    * triangle listing (a<b<c counted once, each supporting all three
+    * edges) and under-supported edges drop; the per-round
+    * (edges, triangles, survivors) trajectory is the output, and the
+    * spec checks the fixpoint property on the final round.
+    *
+    * Exactness: pure integer set arithmetic end to end; the oracle
+    * unrolls the identical R rounds as MATERIALIZED CTEs (the
+    * q150/q284 loop ≡ unrolled contract).
+    *
+    * Scale design (100 TB): each round is the lexicographic triangle
+    * join over the CURRENT (shrinking) edge set — all equi-joins over
+    * the memoized, checkpointed edge frame; supports are
+    * partial-aggregable; round counts are driver loop-report scalars
+    * only. Fixed R keeps the plan finite; sf0.01 converges in 3. */
+  val q381Ktruss: QueryDef = {
+    val MIN_PAIR = 2
+    val R = 5
+    val K = 3 // 3-truss: every edge closes >= 1 surviving triangle
+    val rounds = (1 to R).map { r =>
+      val prev = if (r == 1) "e0" else s"e${r - 1}"
+      s"""tri$r AS MATERIALIZED (
+         |  SELECT e1.a, e1.b2 AS b, e2.b2 AS c
+         |  FROM $prev e1 JOIN $prev e2 ON e2.a = e1.b2
+         |  JOIN $prev e3 ON e3.a = e1.a AND e3.b2 = e2.b2),
+         |sup$r AS (
+         |  SELECT ea, eb, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT a AS ea, b AS eb FROM tri$r
+         |    UNION ALL SELECT b, c FROM tri$r
+         |    UNION ALL SELECT a, c FROM tri$r)
+         |  GROUP BY 1, 2),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b2 FROM $prev e
+         |  JOIN sup$r s ON s.ea = e.a AND s.eb = e.b2
+         |  WHERE s.cnt >= ${K - 2})""".stripMargin
+    }.mkString(",\n")
+    val report = (1 to R).map { r =>
+      val prev = if (r == 1) "e0" else s"e${r - 1}"
+      s"SELECT CAST($r AS BIGINT) AS round, (SELECT CAST(count(*) AS BIGINT) FROM $prev) " +
+        s"AS n_edges, (SELECT CAST(count(*) AS BIGINT) FROM tri$r) " +
+        s"AS n_triangles, (SELECT CAST(count(*) AS BIGINT) FROM e$r) " +
+        "AS n_survivors"
+    }.mkString("\nUNION ALL ")
+    QueryDef(
+      "q381_ktruss",
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT f1.p AS a, f2.p AS b2
+         |  FROM b f1 JOIN b f2 ON f1.o = f2.o AND f1.p < f2.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $MIN_PAIR),
+         |$rounds
+         |SELECT * FROM ($report)
+         |ORDER BY round""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      var e = coPurchaseEdges(s, dir, MIN_PAIR)
+      val rows = (1 to R).map { r =>
+        val nE = e.count()
+        val tri = e.as("e1")
+          .join(e.select(col("a").as("ta"), col("b2").as("tb")),
+            col("ta") === col("b2"))
+          .select(col("a"), col("b2").as("b"), col("tb").as("c"))
+          .join(e.select(col("a").as("xa"), col("b2").as("xc")),
+            col("xa") === col("a") && col("xc") === col("c"), "leftsemi")
+          .ckpt() // the oriented triangle list of this round
+        val nT = tri.count()
+        val sup = tri.select(col("a").as("ea"), col("b").as("eb"))
+          .unionByName(tri.select(col("b").as("ea"), col("c").as("eb")))
+          .unionByName(tri.select(col("a").as("ea"), col("c").as("eb")))
+          .groupBy("ea", "eb").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= K - 2)
+        e = e.join(sup.select(col("ea").as("a"), col("eb").as("b2")),
+          Seq("a", "b2"), "leftsemi").ckpt()
+        (r.toLong, nE, nT, e.count())
+      }
+      rows.toDF("round", "n_edges", "n_triangles", "n_survivors")
+        .orderBy("round")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q104Triangles, q132BomExplosion, q150KcorePeel, q155LinkPredict,
       q260WlRefinement, q275HubRobustness, q284Boruvka, q302BfsHops,
       q323Assortativity, q324RichClub, q325PartitionQuality,
-      q346ClusteringSpectrum, q361DensestSubgraph)
+      q346ClusteringSpectrum, q361DensestSubgraph, q381Ktruss)
 }

@@ -1432,6 +1432,64 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class HllState(regs: Seq[Int], nSeen: Long)
+  final case class HllOut(event_type: String, n_seen: Long, v_zero: Long,
+    hll_est: Long)
+
+  /** Streaming HyperLogLog distinct-user monitor — the stateful twin
+    * of q369 ([[graft.operators.Sketches.q369Hll]]) keyed by event
+    * type: 64 max-rank registers over the portable 60-bit md5 hash of
+    * user_id, updated per batch and emitted as the same
+    * integer-numerator α₆₄ estimate (linear-counting correction
+    * included) — identical arithmetic to the batch sketch, so after
+    * any prefix of the stream the emitted row equals the batch
+    * computation over the same rows. THE register-sketch property on
+    * display: state is 64 ints per key forever, and merging two
+    * monitors is elementwise max (contrast [[quantileSketch]]'s
+    * octave counters — that sketches VALUES, this sketches
+    * CARDINALITY). */
+  def hllMonitor(spark: SparkSession,
+      events: Dataset[AsofEvent]): Dataset[HllOut] = {
+    import spark.implicits._
+
+    def fn(etype: String, rows: Iterator[AsofEvent],
+        state: GroupState[HllState]): HllOut = {
+      val regs = state.getOption.map(_.regs.toArray)
+        .getOrElse(Array.fill(64)(0))
+      var n = state.getOption.map(_.nSeen).getOrElse(0L)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.foreach { e =>
+        val hex = md.digest(e.user_id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        val h = java.lang.Long.parseLong(hex, 16)
+        val bucket = (h / 18014398509481984L).toInt
+        val rem = h % 18014398509481984L
+        val r = if (rem == 0L) 55
+          else 55 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+        if (r > regs(bucket)) regs(bucket) = r
+        n += 1
+      }
+      state.update(HllState(regs.toSeq, n))
+      // the exact q369 estimate chain: integer harmonic numerator
+      // over the 2^55 common denominator, then one IEEE chain
+      var num = 0L
+      var v = 0L
+      for (m <- regs) {
+        if (m == 0) { v += 1; num += 36028797018963968L }
+        else num += 1L << (55 - m)
+      }
+      val est = 0.709e0 * 64.0e0 * 64.0e0 * 36028797018963968.0 / num.toDouble
+      val corr = if (est <= 160.0 && v > 0)
+        64.0 * math.log(64.0 / v.toDouble) else est
+      HllOut(etype, n, v, math.floor(corr).toLong)
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class VarEsOut(
       day: Long, n_days: Long, var95_cents: Long, es95_cents: Long,
       n_tail95: Long, var99_cents: Long, es99_cents: Long, n_tail99: Long)

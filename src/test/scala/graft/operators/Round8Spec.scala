@@ -161,6 +161,62 @@ class Round8Spec extends AnyFunSuite {
     assert(k >= -1000000L && k <= 1000000L)
   }
 
+  test("q379 Kruskal-Wallis: rank accounting identities") {
+    val rows = run("q379_kruskal_wallis")
+    assert(rows.length == 5)
+    val n = rows.head.getAs[Long]("n")
+    assert(rows.map(_.getAs[Long]("n_g")).sum == n)
+    // total doubled-rank mass: sum over groups of R2 = 2*(1+...+N) = N(N+1)
+    assert(rows.map(_.getAs[Long]("rank2_sum")).sum == n * (n + 1),
+      "doubled midranks must sum to N(N+1)")
+    val h = rows.head.getAs[Long]("h_milli")
+    val hc = rows.head.getAs[Long]("h_corrected_milli")
+    assert(h >= 0 && hc >= h, "tie correction only inflates H")
+  }
+
+  test("q380 Holt-Winters: error accounting and forecast skill") {
+    val rows = run("q380_holt_winters")
+    assert(rows.nonEmpty)
+    var (lastHw, lastSn) = (-1L, -1L)
+    for (r <- rows) {
+      val (hw, sn) = (r.getAs[Long]("sae_hw"), r.getAs[Long]("sae_sn"))
+      assert(hw >= lastHw && sn >= lastSn, "absolute errors accumulate")
+      lastHw = hw; lastSn = sn
+    }
+    val skill = rows.last.getAs[Long]("skill_milli")
+    assert(skill > 0 && skill < 1000,
+      s"HW must beat seasonal-naive on this seasonal feed (skill $skill)")
+  }
+
+  test("q381 k-truss: peel is monotone and lands on a fixpoint") {
+    val rows = run("q381_ktruss")
+    assert(rows.length == 5)
+    var prev = Long.MaxValue
+    for (r <- rows) {
+      val (e, s) = (r.getAs[Long]("n_edges"), r.getAs[Long]("n_survivors"))
+      assert(s <= e, "peeling never adds edges")
+      assert(e <= prev, "edge sets are nested across rounds")
+      prev = r.getAs[Long]("n_survivors")
+    }
+    val last = rows.last
+    assert(last.getAs[Long]("n_edges") == last.getAs[Long]("n_survivors"),
+      "final round must be a fixpoint: every survivor keeps its support")
+  }
+
+  test("q382 MI matrix: information inequalities hold") {
+    val rows = run("q382_mi_matrix")
+    assert(rows.length == 3)
+    for (r <- rows) {
+      val (mi, hx, hy) = (r.getAs[Long]("mi_nano"), r.getAs[Long]("hx_nano"),
+        r.getAs[Long]("hy_nano"))
+      // MI >= 0 up to per-cell nano-floor slop (<= 25 cells)
+      assert(mi >= -50, s"MI must be non-negative: $mi")
+      assert(mi <= math.min(hx, hy) + 50, "MI is capped by either entropy")
+      val nmi = Option(r.getAs[Any]("nmi_milli")).map(_.asInstanceOf[Long])
+      nmi.foreach(v => assert(v >= -1 && v <= 1000))
+    }
+  }
+
   test("q374 TextTiling: boundary counts are gap-bounded and rules fire") {
     val rows = run("q374_texttiling")
     assert(rows.nonEmpty)

@@ -288,5 +288,8 @@ object PlanSweepAllowlist {
         "hour grid (the q355/q164 shape)"),
     ("q375_ucb_regret", "repartition(1)",
       "sequential UCB1 bandit replay over the time-span-bounded hour " +
-        "grid (the q365 shape)"))
+        "grid (the q365 shape)"),
+    ("q380_holt_winters", "repartition(1)",
+      "sequential Holt-Winters state scan over the calendar-bounded " +
+        "day axis (the q355/q365 shape)"))
 }

@@ -1503,6 +1503,53 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hllMonitor registers agree bit-exactly with the batch q369 chain") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.AsofEvent]
+    val q = StreamOps.hllMonitor(spark, in.toDS())
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      eventChunks(3).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      // Update mode emits one row per key per trigger; max-n is final
+      val streamed = spark.table("hll_out")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type")).orderBy(col("n_seen").desc)))
+        .where(col("rk") === 1)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+      // batch twin: the q369 register build + estimate chain keyed by
+      // event type over user_id (same expressions, batch plan)
+      val keys = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .select(col("event_type").as("flag"), col("user_id")).distinct()
+        .select(col("flag"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+      val reg = keys
+        .select(col("flag"), expr("h div 18014398509481984").as("bucket"),
+          when(col("h") % 18014398509481984L === 0, lit(55))
+            .otherwise(lit(55) - length(bin(col("h") % 18014398509481984L)))
+            .as("r"))
+        .groupBy(col("flag"), col("bucket")).agg(max(col("r")).as("m"))
+      val est = "(0.709e0 * 64.0e0 * 64.0e0 * 36028797018963968.0e0)" +
+        " / CAST(num AS DOUBLE)"
+      val batch = reg.groupBy(col("flag"))
+        .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")) +
+          (lit(64) - count(lit(1))) * lit(36028797018963968L))
+          .cast("bigint").as("num"),
+          (lit(64) - count(lit(1))).cast("bigint").as("v"))
+        .select(col("flag"), col("v"),
+          floor(expr(s"CASE WHEN ($est) <= 160.0e0 AND v > 0 THEN " +
+            s"64.0e0 * ln(64.0e0 / CAST(v AS DOUBLE)) ELSE ($est) END"))
+            .cast("bigint").as("hll_est"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"stream-batch: ${streamed -- batch}; batch-stream: ${batch -- streamed}")
+    } finally q.stop()
+  }
+
   test("varEsMonitor and gpdTailMonitor agree with the batch risk fold per closed day") {
     implicit val sqlCtx = spark.sqlContext
     // batch daily cent-sums -> loss series (the q352/q357 chain on the
