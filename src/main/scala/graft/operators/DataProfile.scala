@@ -3678,8 +3678,184 @@ object DataProfile {
     }
   }
 
+  /** q384 — Cochran–Armitage trend test (Cochran '54; Armitage '55):
+    * does the PROPORTION of fulfilled ('F') orders trend
+    * monotonically across the ordered priority classes (scores 1..5
+    * from the priority prefix)? The binary-outcome sibling of q363's
+    * Jonckheere (which trends a continuous outcome) and the
+    * dose-response test behind any "does severity tier affect
+    * completion rate" audit. One degree of freedom buys power over
+    * q123's omnibus χ² exactly when the alternative is ordered.
+    *
+    * Exactness: the trend numerator T_n = n·Σsᵍrᵍ − R·Σsᵍnᵍ and the
+    * score spread A = n·Σs²nᵍ − (Σsnᵍ)² are EXACT int64
+    * cross-multiplications; Z² = T_n²·n / (R(n−R)A) is one final IEEE
+    * chain from those integers (T_n² overflows int64 by design — it
+    * exists only inside the double chain).
+    *
+    * Scale design (100 TB): one grouped fact collapse to ≤5 rows;
+    * everything else is 1-row algebra. Output 5 rows + constants. */
+  val q384CochranArmitage: QueryDef = {
+    val chi = "CASE WHEN r > 0 AND r < n AND a > 0 THEN " +
+      "CAST(floor(1000.0e0 * CAST(tn AS DOUBLE) * CAST(tn AS DOUBLE) * " +
+      "CAST(n AS DOUBLE) / (CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE) * " +
+      "CAST(a AS DOUBLE))) AS BIGINT) END"
+    QueryDef(
+      "q384_cochran_armitage",
+      s"""WITH g AS (
+         |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS sc,
+         |    CAST(count(*) AS BIGINT) AS ng,
+         |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS rg
+         |  FROM orders GROUP BY 1),
+         |t AS (
+         |  SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(rg) AS BIGINT) AS r,
+         |    CAST(sum(sc * rg) AS BIGINT) AS ssr,
+         |    CAST(sum(sc * ng) AS BIGINT) AS ssn,
+         |    CAST(sum(sc * sc * ng) AS BIGINT) AS ss2n
+         |  FROM g),
+         |z AS (
+         |  SELECT n, r, n * ssr - r * ssn AS tn,
+         |    n * ss2n - ssn * ssn AS a
+         |  FROM t)
+         |SELECT g.sc AS score, g.ng AS n_g, g.rg AS n_fulfilled,
+         |  (1000000 * g.rg) // g.ng AS rate_ppm,
+         |  z.tn AS trend_num, $chi AS chi2_milli,
+         |  CASE WHEN $chi > 3841 THEN 1 ELSE 0 END AS reject_5pct
+         |FROM g, z ORDER BY score""".stripMargin) { (s, dir) =>
+      val g = Tables.orders(s, dir)
+        .groupBy(substring(col("o_orderpriority"), 1, 1).cast("bigint")
+          .as("sc"))
+        .agg(count(lit(1)).as("ng"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("rg"))
+        .ckpt() // <=5 rows: feeds the moments AND the output
+      val t = g.agg(sum(col("ng")).as("n"), sum(col("rg")).as("r"),
+        sum(col("sc") * col("rg")).as("ssr"),
+        sum(col("sc") * col("ng")).as("ssn"),
+        sum(col("sc") * col("sc") * col("ng")).as("ss2n"))
+      val z = t.select(col("n"), col("r"),
+        (col("n") * col("ssr") - col("r") * col("ssn")).as("tn"),
+        (col("n") * col("ss2n") - col("ssn") * col("ssn")).as("a"))
+      g.crossJoin(broadcast(z))
+        .select(col("sc").as("score"), col("ng").as("n_g"),
+          col("rg").as("n_fulfilled"),
+          expr("(1000000 * rg) div ng").as("rate_ppm"),
+          col("tn").as("trend_num"), expr(chi).as("chi2_milli"),
+          when(expr(chi) > 3841, 1).otherwise(0).as("reject_5pct"))
+        .orderBy("score")
+    }
+  }
+
+  /** q385 — Kendall's W coefficient of concordance (Kendall–Babington
+    * Smith '39), tie-corrected: how concordant are the three q378
+    * quality heuristics when read as full RANKINGS of the corpus
+    * (length, type-token ratio, mean word length)? Fleiss' κ scored
+    * their binary agreement; W scores rank agreement — the statistic
+    * that decides whether "sort by quality" even means one thing
+    * before a pipeline orders its training curriculum by a blended
+    * score. W = 12·Σ(Rᵢ−R̄)² / (m²(n³−n) − m·ΣTⱼ), Tⱼ the per-rater
+    * tie moments.
+    *
+    * Exactness: per-rater midranks come from value-domain collapses
+    * in DOUBLED units (the q177/q379 merged-histogram discipline —
+    * per-doc rank is one equi-join against the bounded domain frame,
+    * never a row-level window); ΣR₂² rides DECIMAL(38)/HUGEINT; W is
+    * one final IEEE chain from exact integer moments, identical both
+    * engines. The spec pins 0 ≤ W ≤ 1 and the rank-mass identity.
+    *
+    * Scale design (100 TB): one feature pass per doc; three bounded
+    * (value, count)² θ-joins for cumulative ranks; per-doc rank
+    * assembly is three broadcast equi-joins; moments are one
+    * aggregate. Output 1 row. */
+  val q385KendallW: QueryDef = {
+    val M = 3
+    val wChain = s"CAST(floor(1000.0e0 * 3.0e0 * (CAST(sr2 AS DOUBLE) - " +
+      s"CAST(n AS DOUBLE) * ${M * M}.0e0 * CAST(n + 1 AS DOUBLE) * " +
+      s"CAST(n + 1 AS DOUBLE)) / (${M * M}.0e0 * (CAST(n AS DOUBLE) * " +
+      s"CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) - " +
+      s"$M.0e0 * CAST(tt AS DOUBLE))) AS BIGINT)"
+    def domCte(v: String) =
+      s"""${v}d AS (SELECT $v AS v, CAST(count(*) AS BIGINT) AS c
+         |  FROM f GROUP BY 1),
+         |${v}a AS (
+         |  SELECT a.v, 2 * (CAST(sum(b.c) AS BIGINT) - a2.c) + a2.c + 1 AS a2
+         |  FROM ${v}d a JOIN ${v}d b ON b.v <= a.v
+         |  JOIN ${v}d a2 ON a2.v = a.v
+         |  GROUP BY a.v, a2.c),
+         |${v}t AS (SELECT CAST(sum(c * c * c - c) AS BIGINT) AS t
+         |  FROM ${v}d)""".stripMargin
+    QueryDef(
+      "q385_kendall_w",
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+         |    (1000 * CAST(len(list_distinct(string_split(text, ' ')))
+         |      AS BIGINT)) // CAST(len(string_split(text, ' ')) AS BIGINT)
+         |      AS ttr,
+         |    (1000 * (CAST(length(text) AS BIGINT) -
+         |      CAST(len(string_split(text, ' ')) AS BIGINT) + 1)) //
+         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS mwl
+         |  FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+         |${domCte("len")},
+         |${domCte("ttr")},
+         |${domCte("mwl")},
+         |r2 AS (
+         |  SELECT f.doc_id,
+         |    lena.a2 + ttra.a2 + mwla.a2 AS r2
+         |  FROM f JOIN lena ON lena.v = f.len
+         |  JOIN ttra ON ttra.v = f.ttr
+         |  JOIN mwla ON mwla.v = f.mwl),
+         |mom AS (
+         |  SELECT CAST(sum(r2) AS BIGINT) AS s1,
+         |    CAST(sum(CAST(r2 AS HUGEINT) * r2) AS BIGINT) AS sr2
+         |  FROM r2),
+         |tt AS (SELECT lent.t + ttrt.t + mwlt.t AS tt FROM lent, ttrt, mwlt)
+         |SELECT nn.n AS n_docs, mom.s1 AS rank2_total, tt.tt AS tie_moment,
+         |  $wChain AS w_milli
+         |FROM nn, mom, tt""".stripMargin) { (s, dir) =>
+      val f = Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("bigint").as("len"),
+          split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("len"),
+          expr("(1000 * CAST(size(array_distinct(toks)) AS BIGINT)) div " +
+            "CAST(size(toks) AS BIGINT)").as("ttr"),
+          expr("(1000 * (len - CAST(size(toks) AS BIGINT) + 1)) div " +
+            "CAST(size(toks) AS BIGINT)").as("mwl"))
+        .ckpt() // one feature pass feeds three domains + the assembly
+      val nn = f.agg(count(lit(1)).as("n"))
+      def dom(v: String) = {
+        val d = f.groupBy(col(v).as("v")).agg(count(lit(1)).as("c")).ckpt()
+        val a = d.select(col("v").as("va"), col("c").as("ca"))
+          .join(d.select(col("v").as("vb"), col("c").as("cb")),
+            col("vb") <= col("va"))
+          .groupBy(col("va"), col("ca")).agg(sum(col("cb")).as("cum"))
+          .select(col("va").as(s"v_$v"),
+            (lit(2) * (col("cum") - col("ca")) + col("ca") + 1).as(s"a2_$v"))
+        val t = d.agg(sum(col("c") * col("c") * col("c") - col("c"))
+          .as(s"t_$v"))
+        (a, t)
+      }
+      val (lenA, lenT) = dom("len")
+      val (ttrA, ttrT) = dom("ttr")
+      val (mwlA, mwlT) = dom("mwl")
+      val r2 = f
+        .join(broadcast(lenA), col("len") === col("v_len"))
+        .join(broadcast(ttrA), col("ttr") === col("v_ttr"))
+        .join(broadcast(mwlA), col("mwl") === col("v_mwl"))
+        .select((col("a2_len") + col("a2_ttr") + col("a2_mwl")).as("r2"))
+      val mom = r2.agg(sum(col("r2")).as("s1"),
+        expr("CAST(sum(CAST(r2 AS DECIMAL(38,0)) * r2) AS BIGINT)")
+          .as("sr2"))
+      val tt = lenT.crossJoin(ttrT).crossJoin(mwlT)
+        .select((col("t_len") + col("t_ttr") + col("t_mwl")).as("tt"))
+      nn.crossJoin(broadcast(mom)).crossJoin(broadcast(tt))
+        .select(col("n").as("n_docs"), col("s1").as("rank2_total"),
+          col("tt").as("tie_moment"), expr(wChain).as("w_milli"))
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q379KruskalWallis, q382MiMatrix,
+    Seq(q379KruskalWallis, q382MiMatrix, q384CochranArmitage, q385KendallW,
       q359TailDependence, q363Jonckheere, q364Sinkhorn,
       q367AndersonDarling,
       q301Hbos, q313CovariateBalance, q317Wasserstein, q319Srm,

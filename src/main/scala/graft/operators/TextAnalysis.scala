@@ -3454,8 +3454,60 @@ object TextAnalysis {
     }
   }
 
+  /** q383 — weighted sampling WITHOUT replacement via exponential
+    * keys (Efraimidis–Spirakis IPL'06; the ln-space form is the
+    * Gumbel-top-k trick): each document draws the key
+    * ln(u)/w from its portable md5 uniform u and weight w = n_chars,
+    * and the k LARGEST keys are exactly a weight-proportional sample
+    * without replacement — the one-pass, shuffle-light way a 100 TB
+    * pipeline samples quality-weighted training docs (q89's weighted
+    * sampler is WITH replacement; this is the without-replacement
+    * dual, and the key is mergeable: global top-k of per-partition
+    * top-ks).
+    *
+    * Exactness: u = (h + ½)/2⁶⁰ from the 60-bit md5 prefix (never 0
+    * or 1); the key is ONE floor-nano ln chain per doc; selection is
+    * TakeOrdered k=50 with doc_id tiebreak; ranks ride a window over
+    * the literal-k slice (the q112/q130 shape).
+    *
+    * Scale design (100 TB): one map-side key computation, one
+    * TakeOrdered heap — no shuffle beyond top-k merge. Output 50
+    * rows. */
+  val q383GumbelTopk: QueryDef = {
+    val K = 50
+    val key = "CAST(floor(1000000000.0e0 * ln((CAST(h AS DOUBLE) + 0.5e0) " +
+      "/ 1152921504606846976.0e0) / CAST(w AS DOUBLE)) AS BIGINT)"
+    QueryDef(
+      "q383_gumbel_topk",
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars AS w,
+         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM documents WHERE n_chars > 0),
+         |kk AS (SELECT doc_id, w, $key AS key_nano FROM d),
+         |top AS (
+         |  SELECT doc_id, w, key_nano,
+         |    row_number() OVER (ORDER BY key_nano DESC, doc_id) AS rk
+         |  FROM kk)
+         |SELECT CAST(rk AS BIGINT) AS rank, doc_id, w AS weight,
+         |  key_nano
+         |FROM top WHERE rk <= $K ORDER BY rank""".stripMargin) { (s, dir) =>
+      val kk = Tables.documents(s, dir)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars").as("w"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .select(col("doc_id"), col("w"), expr(key).as("key_nano"))
+      val w = Window.orderBy(col("key_nano").desc, col("doc_id"))
+      kk.orderBy(col("key_nano").desc, col("doc_id")).limit(K)
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .select(col("rank"), col("doc_id"), col("w").as("weight"),
+          col("key_nano"))
+        .orderBy("rank")
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q374TextTiling, q378FleissKappa,
+    Seq(q374TextTiling, q378FleissKappa, q383GumbelTopk,
       q350RakeKeywords, q353GoodTuring, q358WordAdaptation,
       q295YulesK, q320SourceNovelty, q321CharEntropy,
       q337HashCollisionCurve,

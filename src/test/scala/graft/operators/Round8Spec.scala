@@ -217,6 +217,57 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("q383 Gumbel top-k: a driver replay picks the identical sample, and it skews heavy") {
+    val rows = run("q383_gumbel_topk")
+    assert(rows.length == 50)
+    val docs = graft.Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      math.floor(1e9 * math.log((h.toDouble + 0.5) / 1152921504606846976.0)
+        / w.toDouble).toLong
+    }
+    val expect = docs.map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (id, _, k) => (-k, id) }.take(50)
+    val got = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("weight"),
+      r.getAs[Long]("key_nano")))
+    assert(got.sameElements(expect), "exponential-key replay diverged")
+    // weight-proportional sampling must oversample heavy docs
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"sample mean weight $sampleMean <= corpus mean $corpusMean")
+  }
+
+  test("q384 Cochran-Armitage: trend accounting") {
+    val rows = run("q384_cochran_armitage")
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("score")).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    for (r <- rows)
+      assert(r.getAs[Long]("n_fulfilled") <= r.getAs[Long]("n_g"))
+    val chi = Option(rows.head.getAs[Any]("chi2_milli"))
+      .map(_.asInstanceOf[Long])
+    chi.foreach { c =>
+      assert(c >= 0)
+      assert((c > 3841) == (rows.head.getAs[Int]("reject_5pct") == 1))
+    }
+  }
+
+  test("q385 Kendall W: rank-mass identity and range") {
+    val r = run("q385_kendall_w").head
+    val n = r.getAs[Long]("n_docs")
+    // three raters' doubled midranks each sum to n(n+1)
+    assert(r.getAs[Long]("rank2_total") == 3 * n * (n + 1),
+      "doubled midrank mass must be 3n(n+1)")
+    val w = r.getAs[Long]("w_milli")
+    assert(w >= 0 && w <= 1000, s"tie-corrected W out of [0,1]: $w")
+  }
+
   test("q374 TextTiling: boundary counts are gap-bounded and rules fire") {
     val rows = run("q374_texttiling")
     assert(rows.nonEmpty)

@@ -291,5 +291,7 @@ object PlanSweepAllowlist {
         "grid (the q365 shape)"),
     ("q380_holt_winters", "repartition(1)",
       "sequential Holt-Winters state scan over the calendar-bounded " +
-        "day axis (the q355/q365 shape)"))
+        "day axis (the q355/q365 shape)"),
+    ("q383_gumbel_topk", "key_nano",
+      "rank window runs over the TakeOrdered top-50 slice (literal k)"))
 }

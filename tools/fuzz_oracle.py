@@ -237,6 +237,9 @@ QUERIES = [
     # UCB1 rides the events value redraw through the reward grid, every
     # sqrt/ln index chain, and the whole pick trajectory
     "q375_ucb_regret",
+    # Gumbel top-k rides the text redraw through every n_chars weight
+    # and ln-key chain; Kendall W through all three rank domains
+    "q383_gumbel_topk", "q385_kendall_w",
 ]
 # q289 HRU view selection reads only categorical dimension columns
 # (preserved by the redraw) — an inert replay, not registered.
