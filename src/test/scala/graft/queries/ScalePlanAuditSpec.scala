@@ -56,9 +56,16 @@ class ScalePlanAuditSpec extends AnyFunSuite {
     graft.plans.TopKInstall.install(spark)
     for (q <- Seq(graft.operators.TextAnalysis.q22LangId,
                   graft.operators.TextAnalysis.q89WeightedSample)) {
-      val opt = q.build(spark, dir).queryExecution.optimizedPlan.toString
-      assert(opt.contains("TopKPerKey"),
-        s"${q.name}: bounded-key rn<=k window not rewritten:\n$opt")
+      // audit mode: bypass FrameCache (a memoized confusion frame
+      // built by an earlier suite would hide q22's lineage — the
+      // rewrite then lives in a checkpointed SEGMENT, not the final
+      // plan) and sweep final plan + all segments, like PlanSweepSpec
+      val (finalPlan, segments) = graft.Ckpt.withAudit {
+        q.build(spark, dir).queryExecution.optimizedPlan
+      }
+      val all = (finalPlan +: segments).map(_.toString)
+      assert(all.exists(_.contains("TopKPerKey")),
+        s"${q.name}: bounded-key rn<=k window not rewritten:\n${all.head}")
     }
   }
 
