@@ -3854,8 +3854,97 @@ object DataProfile {
     }
   }
 
+  /** q388 — Wald–Wolfowitz runs test (WW '40) on the sign sequence of
+    * day-over-day revenue changes: too FEW runs means momentum
+    * (positive serial dependence), too MANY means mean-reversion —
+    * the nonparametric randomness check that complements q387's
+    * Ljung–Box (which needs second moments; this needs only signs)
+    * and the direct test behind "are our daily deltas i.i.d.?"
+    *
+    * Exactness: deltas are exact cents over calendar-consecutive
+    * days; zero deltas are dropped (the standard convention); run
+    * counting is n − (adjacent same-sign pairs) via ONE equi-join on
+    * the ScaleRank row number (rn₂ = rn+1 — no windows, no driver
+    * sequence); E[R], Var[R], and Z² are one guarded IEEE chain from
+    * the four exact integers (n₁, n₂, n, R).
+    *
+    * Scale design (100 TB): one fact collapse to the day axis; the
+    * sign sequence is calendar-bounded; ranks ride the two-level
+    * distributed row number. Output 1 row. */
+  val q388RunsTest: QueryDef = {
+    val zChain = "CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 AND " +
+      "(2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
+      "(2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - " +
+      "CAST(n AS DOUBLE))) > 0.0e0 THEN " +
+      "CAST(floor(1000.0e0 * " +
+      "(CAST(r AS DOUBLE) - (1.0e0 + 2.0e0 * CAST(n1 AS DOUBLE) * " +
+      "CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE))) * " +
+      "(CAST(r AS DOUBLE) - (1.0e0 + 2.0e0 * CAST(n1 AS DOUBLE) * " +
+      "CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE))) / " +
+      "((2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
+      "(2.0e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - " +
+      "CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * " +
+      "(CAST(n AS DOUBLE) - 1.0e0)))) AS BIGINT) END"
+    QueryDef(
+      "q388_runs_test",
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |dl AS (
+         |  SELECT a.d, b.rev - a.rev AS p
+         |  FROM daily a JOIN daily b ON b.d = a.d + 1),
+         |sg AS (
+         |  SELECT d, CASE WHEN p > 0 THEN 1 ELSE -1 END AS s
+         |  FROM dl WHERE p <> 0),
+         |rn AS (
+         |  SELECT d, s, row_number() OVER (ORDER BY d) AS rk FROM sg),
+         |adj AS (
+         |  SELECT CAST(sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS same
+         |  FROM rn a JOIN rn b ON b.rk = a.rk + 1),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |  FROM sg)
+         |SELECT st.n, st.n1 AS n_up, st.n2 AS n_down,
+         |  st.n - adj.same AS n_runs, $zChain AS z2_milli,
+         |  CASE WHEN $zChain > 3841 THEN 1 ELSE 0 END AS reject_5pct
+         |FROM st, adj, (SELECT st.n - adj.same AS r FROM st, adj) rr
+         |""".stripMargin) { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("bigint")).cast("bigint").as("rev"))
+        .ckpt() // both sides of the consecutive-day join
+      val dl = daily.select(col("d"), col("rev"))
+        .join(daily.select(expr("date_add(d, -1)").as("d"),
+          col("rev").as("rev2")), Seq("d"))
+        .select(col("d"), (col("rev2") - col("rev")).as("p"))
+      val sg = dl.filter(col("p") =!= 0)
+        .select(col("d"), when(col("p") > 0, 1).otherwise(-1).as("s"))
+      val rn = ScaleRank.withRowNumber(sg, Seq.empty, Seq(col("d")),
+        "rk", "nr").ckpt() // both sides of the adjacency join
+      val adj = rn.select(col("rk"), col("s").as("sa"))
+        .join(rn.select((col("rk") - 1).as("rk"), col("s").as("sb")),
+          Seq("rk"))
+        .agg(sum(when(col("sa") === col("sb"), 1L).otherwise(0L)).as("same"))
+      val st = sg.agg(count(lit(1)).as("n"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("s") === -1, 1L).otherwise(0L)).as("n2"))
+      st.crossJoin(broadcast(adj))
+        .withColumn("r", col("n") - col("same"))
+        .select(col("n"), col("n1").as("n_up"), col("n2").as("n_down"),
+          col("r").as("n_runs"), expr(zChain).as("z2_milli"),
+          when(expr(zChain) > 3841, 1).otherwise(0).as("reject_5pct"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q379KruskalWallis, q382MiMatrix, q384CochranArmitage, q385KendallW,
+      q388RunsTest,
       q359TailDependence, q363Jonckheere, q364Sinkhorn,
       q367AndersonDarling,
       q301Hbos, q313CovariateBalance, q317Wasserstein, q319Srm,

@@ -3669,8 +3669,99 @@ object EventOps {
     }
   }
 
+  /** q387 — Ljung–Box portmanteau test (Ljung & Box '78) on the daily
+    * revenue series, h = 10 lags: Q = n(n+2)·Σ r_k²/(n−k) against
+    * χ²(h) — "is there ANY autocorrelation left," the one-number
+    * whiteness gate a forecasting pipeline runs on its residuals
+    * (q163 reports the per-lag ACF; this is the joint test of all of
+    * them, with the proper fixed-mean autocovariance r_k = c_k/c₀
+    * rather than q163's per-lag Pearson).
+    *
+    * Exactness: deviations are n-scaled integers (n·x_t − S), lag
+    * covariances ride DECIMAL(38)/HUGEINT products; r_k is one
+    * floor-micro double chain per lag (c_k/c₀ — signed, so integer
+    * div is OFF-LIMITS: Spark truncates, DuckDB floors); each Q term
+    * r²_micro div (1000(n−k)) is then exact non-negative integer
+    * arithmetic, and the final scale rides a DECIMAL div.
+    *
+    * Scale design (100 TB): one fact collapse to the day axis; lags
+    * are 10 calendar equi-joins of that bounded frame against itself;
+    * everything else is ≤10-row algebra. Output 10 rows +
+    * constants. */
+  val q387LjungBox: QueryDef = {
+    val H = 10
+    val rChain = "CAST(floor(1000000.0e0 * CAST(ck AS DOUBLE) / " +
+      "CAST(c0 AS DOUBLE)) AS BIGINT)"
+    QueryDef(
+      "q387_ljung_box",
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x
+         |  FROM orders GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sx FROM daily),
+         |dev AS (
+         |  SELECT d, CAST(nn.n AS HUGEINT) * x - nn.sx AS e FROM daily, nn),
+         |c0 AS (SELECT CAST(sum(e * e) AS HUGEINT) AS c0 FROM dev),
+         |ck AS (
+         |  SELECT l.lag, CAST(sum(a.e * b.e) AS HUGEINT) AS ck
+         |  FROM dev a
+         |  CROSS JOIN (SELECT CAST(unnest(range(1, ${H + 1})) AS BIGINT)
+         |    AS lag) l
+         |  JOIN dev b ON b.d = a.d + CAST(l.lag AS INTEGER)
+         |  GROUP BY l.lag),
+         |r AS (
+         |  SELECT lag, $rChain AS r_micro FROM ck, c0),
+         |terms AS (
+         |  SELECT lag, r_micro,
+         |    (r_micro * r_micro) // (1000 * (nn.n - lag)) AS t
+         |  FROM r, nn),
+         |q AS (
+         |  SELECT CAST((CAST(nn.n AS HUGEINT) * (nn.n + 2) *
+         |    (SELECT sum(t) FROM terms)) // 1000000 AS BIGINT) AS q_milli
+         |  FROM nn)
+         |SELECT terms.lag, terms.r_micro, q.q_milli,
+         |  CASE WHEN q.q_milli > 18307 THEN 1 ELSE 0 END AS reject_5pct
+         |FROM terms, q ORDER BY terms.lag""".stripMargin) { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("bigint")).cast("bigint").as("x"))
+        .ckpt() // the day axis feeds deviations on both lag sides
+      val nn = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val dev = daily.crossJoin(broadcast(nn))
+        .select(col("d"),
+          (col("n").cast("decimal(38,0)") * col("x") - col("sx")).as("e"),
+          col("n"))
+        .ckpt() // both sides of all ten lag joins
+      val c0 = dev.agg(sum(col("e") * col("e")).as("c0"))
+      import s.implicits._
+      val lags = (1 to H).map(_.toLong).toDF("lag")
+      val ck = dev.crossJoin(broadcast(lags))
+        .withColumn("d2", expr("date_add(d, CAST(lag AS INT))"))
+        .select(col("lag"), col("d2"), col("e").as("ea"))
+        .join(dev.select(col("d").as("d2"), col("e").as("eb")), Seq("d2"))
+        .groupBy(col("lag"))
+        .agg(sum(col("ea") * col("eb")).as("ck"))
+      val r = ck.crossJoin(broadcast(c0))
+        .select(col("lag"), expr(rChain).as("r_micro"))
+      val terms = r.crossJoin(broadcast(nn))
+        .select(col("lag"), col("r_micro"),
+          expr("(r_micro * r_micro) div (1000 * (n - lag))").as("t"))
+        .ckpt() // 10 rows: feeds Q AND the output
+      val q = terms.agg(sum(col("t")).as("st")).crossJoin(broadcast(nn))
+        .select(expr("CAST((CAST(n AS DECIMAL(38,0)) * (n + 2) * st) div " +
+          "1000000 AS BIGINT)").as("q_milli"))
+      terms.crossJoin(broadcast(q))
+        .select(col("lag"), col("r_micro"), col("q_milli"),
+          when(col("q_milli") > 18307, 1).otherwise(0).as("reject_5pct"))
+        .orderBy("lag")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q371Logrank, q375UcbRegret, q376EntropyRate, q377IpwAte,
+    q371Logrank, q375UcbRegret, q376EntropyRate, q377IpwAte, q387LjungBox,
     q362KtRegret, q365HedgeRegret,
     q315CaptureRecapture, q316PowerAnalysis, q334TemporalLeakage, q338NbFit,
     q343AbFunnel, q347TokenBucket,

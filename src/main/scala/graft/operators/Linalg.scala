@@ -660,7 +660,100 @@ object Linalg {
     }
   }
 
+  /** q389 — Cook's distance regression diagnostics (Cook '77) on the
+    * daily-revenue-vs-time OLS fit: leverage hᵢ, studentized
+    * residual, and Dᵢ = e²ᵢhᵢ/(p·s²(1−hᵢ)²) per day, top-10 most
+    * influential days out — the "which observations OWN this fit"
+    * audit that belongs next to q124's group regressions (a trend
+    * read off daily revenue can hinge on a handful of
+    * quarter-close spikes; this names them).
+    *
+    * Exactness: all OLS moments are exact integers/DECIMAL(38)
+    * (day-index x is small, revenue is cents); slope, intercept,
+    * SSE, and every per-day hᵢ/eᵢ/Dᵢ ride SHARED floor-quantized
+    * double chains built once and parsed by both engines (the q286
+    * one-string contract); the top-10 cut is TakeOrdered with the
+    * day as tiebreaker.
+    *
+    * Scale design (100 TB): one fact collapse to the calendar-bounded
+    * day axis, one moments aggregate broadcast back, one map-side
+    * per-day chain, one top-k heap. Output 10 rows. */
+  val q389CooksDistance: QueryDef = {
+    // shared double chains from exact integer moments (n, sx, sy,
+    // sxx, sxy) and per-row (x, y); beta/alpha inlined
+    val beta = "(CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) " +
+      "/ CAST(n * sxx - sx * sx AS DOUBLE))"
+    val resid = s"(CAST(y AS DOUBLE) - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)" +
+      s" - ($beta) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) - " +
+      s"($beta) * CAST(x AS DOUBLE))"
+    val lev = "(1.0e0 / CAST(n AS DOUBLE) + " +
+      "CAST((n * x - sx) * (n * x - sx) AS DOUBLE) / " +
+      "(CAST(n AS DOUBLE) * CAST(n * sxx - sx * sx AS DOUBLE)))"
+    // every chain saturates at +/-1e15 BEFORE the BIGINT cast: a fuzz
+    // corpus with extreme money outliers pushes D (and residuals) past
+    // int64 nano-scale — the capped statistic stays exact, portable,
+    // and deterministic (beyond the cap "infinitely influential" days
+    // tie-break by day)
+    val clamp = (x: String) =>
+      s"CAST(floor(least(greatest($x, -1.0e15), 1.0e15)) AS BIGINT)"
+    val eMicro = clamp(s"1000000.0e0 * ($resid)")
+    val hNano = clamp(s"1000000000.0e0 * ($lev)")
+    val dNano = clamp(s"1000000000.0e0 * ($resid) * ($resid) * ($lev) " +
+      s"/ (2.0e0 * (CAST(sse AS DOUBLE) / 1000000.0e0 / " +
+      s"CAST(n - 2 AS DOUBLE)) * (1.0e0 - ($lev)) * (1.0e0 - ($lev)))")
+    val sseTerm = clamp(s"($resid) * ($resid) / 1000000.0e0")
+    QueryDef(
+      "q389_cooks_distance",
+      s"""WITH daily AS (
+         |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy
+         |  FROM daily),
+         |sse0 AS (
+         |  SELECT CAST(sum($sseTerm) AS BIGINT) AS sse FROM daily, m),
+         |dd AS (
+         |  SELECT x, y, $eMicro AS e_micro, $hNano AS h_nano,
+         |    $dNano AS d_nano
+         |  FROM daily, m, sse0),
+         |top AS (
+         |  SELECT x, y, e_micro, h_nano, d_nano,
+         |    row_number() OVER (ORDER BY d_nano DESC, x) AS rk
+         |  FROM dd)
+         |SELECT CAST(rk AS BIGINT) AS rank, x AS day_epoch, y AS rev_cents,
+         |  e_micro, h_nano, d_nano
+         |FROM top WHERE rk <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+          .cast("bigint").as("x"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("bigint")).cast("bigint").as("y"))
+        .ckpt() // the day axis feeds moments, SSE, and the row chains
+      val m = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).cast("bigint").as("sxx"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+      val sse0 = daily.crossJoin(broadcast(m))
+        .agg(sum(expr(sseTerm)).cast("bigint").as("sse"))
+      val dd = daily.crossJoin(broadcast(m)).crossJoin(broadcast(sse0))
+        .select(col("x"), col("y"), expr(eMicro).as("e_micro"),
+          expr(hNano).as("h_nano"), expr(dNano).as("d_nano"))
+      val w = Window.orderBy(col("d_nano").desc, col("x"))
+      dd.orderBy(col("d_nano").desc, col("x")).limit(10)
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .select(col("rank"), col("x").as("day_epoch"), col("y").as("rev_cents"),
+          col("e_micro"), col("h_nano"), col("d_nano"))
+        .orderBy("rank")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q122Spmm, q124GroupRegression, q169PcaPower,
     q283Elasticity, q312EffectiveRank, q340QuantileRegression,
-    q348RansacConsensus)
+    q348RansacConsensus, q389CooksDistance)
 }

@@ -3506,8 +3506,93 @@ object TextAnalysis {
     }
   }
 
+  /** q386 — n-gram novelty profile of the held-out split against the
+    * training split, n = 1..5: what fraction of test n-gram INSTANCES
+    * never appear in training data? The memorization-vs-generalization
+    * audit run before trusting any held-out metric (q75's
+    * contamination screen flags whole overlapping DOCS; this measures
+    * the fine-grained leakage floor, and its decay across n is the
+    * classic novelty curve — unigrams mostly seen, 5-grams mostly
+    * novel).
+    *
+    * Exactness: grams are md5 hashes of space-joined token windows
+    * (identical construction both engines); counts are exact
+    * integers; novelty is an exact ppm floor-div.
+    *
+    * Scale design (100 TB): ONE corpus pass explodes all five gram
+    * orders together (tagged structs from five in-row transforms);
+    * the train side collapses to a DISTINCT (n, gram) dictionary
+    * before the equi-join (DF-style discipline — test instances never
+    * meet each other, only the dictionary). Output 5 rows. */
+  val q386NgramNovelty: QueryDef = {
+    val NS = 1 to 5
+    def gramsSql(src: String) = NS.map(n =>
+      s"(SELECT doc_id, $n AS n, unnest(list_transform(" +
+        s"range(1, len(toks) - ${n - 1} + 1), i_ -> " +
+        s"md5(array_to_string(toks[i_ : i_ + ${n - 1}], ' ')))) AS g " +
+        s"FROM $src)").mkString("\n         |  UNION ALL ")
+    QueryDef(
+      "q386_ngram_novelty",
+      s"""WITH d0 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % 5 AS sp
+         |  FROM documents),
+         |tr AS (SELECT doc_id, toks FROM d0 WHERE sp <> 0 AND len(toks) >= 5),
+         |te AS (SELECT doc_id, toks FROM d0 WHERE sp = 0 AND len(toks) >= 5),
+         |trg AS (SELECT DISTINCT n, g FROM (${gramsSql("tr")})),
+         |teg AS (
+         |  SELECT n, g, CAST(count(*) AS BIGINT) AS c
+         |  FROM (${gramsSql("te")}) GROUP BY 1, 2),
+         |j AS (
+         |  SELECT teg.n, CAST(sum(teg.c) AS BIGINT) AS total,
+         |    CAST(sum(CASE WHEN trg.g IS NULL THEN teg.c ELSE 0 END)
+         |      AS BIGINT) AS novel,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(CASE WHEN trg.g IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS novel_types
+         |  FROM teg LEFT JOIN trg ON trg.n = teg.n AND trg.g = teg.g
+         |  GROUP BY teg.n)
+         |SELECT CAST(n AS BIGINT) AS n, total AS test_instances,
+         |  novel AS novel_instances,
+         |  (1000000 * novel) // total AS novelty_ppm,
+         |  n_types, novel_types
+         |FROM j ORDER BY n""".stripMargin) { (s, dir) =>
+      val gramsExpr = NS.map(n =>
+        s"transform(sequence(1, size(toks) - ${n - 1}), i_ -> " +
+          s"struct($n AS n, md5(array_join(slice(toks, i_, $n), ' ')) AS g))")
+        .mkString("flatten(array(", ", ", "))")
+      val hsplit = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long") % 5
+      val d0 = Tables.documents(s, dir)
+        .repartition(col("doc_id")) // single-file scan -> use the cores
+        .select(col("doc_id"), split(col("text"), " ").as("toks"),
+          hsplit.as("sp"))
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .filter(size(col("toks")) >= 5)
+        .select(explode(expr(gramsExpr)).as("ng"))
+        .select(col("ng.n").as("n"), col("ng.g").as("g"))
+      val trg = grams(d0.filter(col("sp") =!= 0)).distinct()
+        .select(col("n").as("tn"), col("g").as("tg"))
+      val teg = grams(d0.filter(col("sp") === 0))
+        .groupBy("n", "g").agg(count(lit(1)).as("c"))
+      teg.join(trg, col("tn") === col("n") && col("tg") === col("g"), "left")
+        .groupBy(col("n"))
+        .agg(sum(col("c")).as("total"),
+          sum(when(col("tg").isNull, col("c")).otherwise(0L)).as("novel"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("tg").isNull, 1L).otherwise(0L)).as("novel_types"))
+        .select(col("n").cast("bigint").as("n"),
+          col("total").as("test_instances"),
+          col("novel").as("novel_instances"),
+          expr("(1000000 * novel) div total").as("novelty_ppm"),
+          col("n_types"), col("novel_types"))
+        .orderBy("n")
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q374TextTiling, q378FleissKappa, q383GumbelTopk,
+    Seq(q374TextTiling, q378FleissKappa, q383GumbelTopk, q386NgramNovelty,
       q350RakeKeywords, q353GoodTuring, q358WordAdaptation,
       q295YulesK, q320SourceNovelty, q321CharEntropy,
       q337HashCollisionCurve,

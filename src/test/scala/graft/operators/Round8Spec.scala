@@ -268,6 +268,71 @@ class Round8Spec extends AnyFunSuite {
     assert(w >= 0 && w <= 1000, s"tie-corrected W out of [0,1]: $w")
   }
 
+  test("q386 n-gram novelty: monotone in n and properly bounded") {
+    val rows = run("q386_ngram_novelty")
+    assert(rows.length == 5)
+    var last = -1L
+    for (r <- rows) {
+      val ppm = r.getAs[Long]("novelty_ppm")
+      assert(ppm >= 0 && ppm <= 1000000)
+      assert(r.getAs[Long]("novel_instances") <= r.getAs[Long]("test_instances"))
+      assert(r.getAs[Long]("novel_types") <= r.getAs[Long]("n_types"))
+      // longer contexts can only be MORE novel: a novel (n-1)-gram
+      // makes every containing n-gram novel
+      assert(ppm >= last, s"novelty must rise with n: $ppm after $last")
+      last = ppm
+    }
+    assert(rows.last.getAs[Long]("novelty_ppm") > 0,
+      "5-grams must show novelty or the split leaks")
+  }
+
+  test("q387 Ljung-Box: Q accounting against a driver ACF replay") {
+    val rows = run("q387_ljung_box")
+    assert(rows.length == 10)
+    val q = rows.head.getAs[Long]("q_milli")
+    assert(q >= 0)
+    assert((q > 18307) == (rows.head.getAs[Int]("reject_5pct") == 1))
+    // Q must equal the fold of the reported r_micro terms
+    val daily = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")).cast("bigint").as("x")).collect()
+    val n = daily.length.toLong
+    val fold = rows.map { r =>
+      val (lag, rm) = (r.getAs[Long]("lag"), r.getAs[Long]("r_micro"))
+      rm * rm / (1000 * (n - lag))
+    }.sum
+    assert(q == n * (n + 2) * fold / 1000000L, "Q fold mismatch")
+  }
+
+  test("q388 runs test: differenced white noise mean-reverts") {
+    val r = run("q388_runs_test").head
+    val (n, n1, n2) = (r.getAs[Long]("n"), r.getAs[Long]("n_up"),
+      r.getAs[Long]("n_down"))
+    assert(n1 + n2 == n)
+    val runs = r.getAs[Long]("n_runs")
+    assert(runs >= 1 && runs <= n)
+    // day-over-day deltas of iid daily sums are MA(1) with rho=-1/2:
+    // the test must detect EXCESS runs (mean reversion), not momentum
+    val expected = 1.0 + 2.0 * n1 * n2 / n
+    assert(runs > expected, s"runs $runs <= E[R] $expected on differenced noise")
+    assert(r.getAs[Int]("reject_5pct") == 1,
+      "alternation in differenced white noise must reject")
+  }
+
+  test("q389 Cook's distance: leverage and influence sanity") {
+    val rows = run("q389_cooks_distance")
+    assert(rows.length == 10)
+    val ds = rows.map(_.getAs[Long]("d_nano"))
+    assert(ds.sameElements(ds.sortBy(-_)), "sorted by influence")
+    for (r <- rows) {
+      val h = r.getAs[Long]("h_nano")
+      // leverage of a 2-parameter fit lies in [1/n, 1]
+      assert(h > 0 && h <= 1000000000L, s"leverage out of range: $h")
+      assert(r.getAs[Long]("d_nano") >= 0)
+    }
+  }
+
   test("q374 TextTiling: boundary counts are gap-bounded and rules fire") {
     val rows = run("q374_texttiling")
     assert(rows.nonEmpty)

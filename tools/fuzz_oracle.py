@@ -240,6 +240,11 @@ QUERIES = [
     # Gumbel top-k rides the text redraw through every n_chars weight
     # and ln-key chain; Kendall W through all three rank domains
     "q383_gumbel_topk", "q385_kendall_w",
+    # n-gram novelty rides the text redraw through every gram hash and
+    # the split regrouping; Ljung-Box / runs / Cook's ride the orders
+    # money redraw through deviations, signs, and the OLS chains
+    "q386_ngram_novelty", "q387_ljung_box", "q388_runs_test",
+    "q389_cooks_distance",
 ]
 # q289 HRU view selection reads only categorical dimension columns
 # (preserved by the redraw) — an inert replay, not registered.
