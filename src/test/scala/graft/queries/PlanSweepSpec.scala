@@ -293,5 +293,7 @@ object PlanSweepAllowlist {
       "sequential Holt-Winters state scan over the calendar-bounded " +
         "day axis (the q355/q365 shape)"),
     ("q383_gumbel_topk", "key_nano",
-      "rank window runs over the TakeOrdered top-50 slice (literal k)"))
+      "rank window runs over the TakeOrdered top-50 slice (literal k)"),
+    ("q389_cooks_distance", "^d_nano",
+      "rank window runs over the TakeOrdered top-10 slice (literal k)"))
 }
