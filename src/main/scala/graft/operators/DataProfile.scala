@@ -3942,9 +3942,97 @@ object DataProfile {
     }
   }
 
+  /** q391 — Friedman test (Friedman '37): is there a WEEKDAY effect
+    * on daily revenue, treating each complete epoch-week as a block
+    * and ranking its seven days within the block? The
+    * repeated-measures rank ANOVA — q379's Kruskal–Wallis assumes
+    * independent groups, but weekdays are matched within weeks, and
+    * blocking removes the week-to-week level drift that would swamp
+    * a between-groups test. The nonparametric twin of q134's
+    * seasonality profile and q261's weekly decomposition.
+    *
+    * Exactness: weekday/week are epoch-day arithmetic (no engine
+    * calendar conventions); within-block midranks ride the
+    * 2·(#less) + (#equal) + 1 doubled-unit self-join identity (the
+    * q379 discipline, here per 7-row block — bounded trivially);
+    * rank sums and the χ² numerator are exact int64; df = 6,
+    * critical 12.592.
+    *
+    * Scale design (100 TB): one fact collapse to the calendar-bounded
+    * day axis; the within-block self-join is 7×7 per week; everything
+    * downstream is a 7-row frame. Output 7 rows + constants. */
+  val q391Friedman: QueryDef = {
+    val K = 7
+    QueryDef(
+      "q391_friedman",
+      s"""WITH daily AS (
+         |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS ed,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |dd AS (
+         |  SELECT ed // 7 AS wk, ed % 7 AS wd, rev FROM daily),
+         |full_wk AS (
+         |  SELECT wk FROM dd GROUP BY wk HAVING count(*) = $K),
+         |b AS (SELECT dd.* FROM dd JOIN full_wk USING (wk)),
+         |rk AS (
+         |  SELECT a.wk, a.wd,
+         |    2 * CAST(sum(CASE WHEN x.rev < a.rev THEN 1 ELSE 0 END)
+         |      AS BIGINT) +
+         |    CAST(sum(CASE WHEN x.rev = a.rev THEN 1 ELSE 0 END)
+         |      AS BIGINT) + 1 AS a2
+         |  FROM b a JOIN b x ON x.wk = a.wk
+         |  GROUP BY a.wk, a.wd),
+         |rj AS (
+         |  SELECT wd, CAST(sum(a2) AS BIGINT) AS r2,
+         |    CAST(count(*) AS BIGINT) AS nb
+         |  FROM rk GROUP BY wd),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM full_wk),
+         |chi AS (
+         |  SELECT CAST((3000 * (SELECT sum(r2 * r2) FROM rj)) //
+         |    (nn.n * $K * ${K + 1}) - 3000 * nn.n * ${K + 1} AS BIGINT)
+         |    AS chi2_milli
+         |  FROM nn)
+         |SELECT rj.wd AS weekday, rj.nb AS n_weeks, rj.r2 AS rank2_sum,
+         |  chi.chi2_milli,
+         |  CASE WHEN chi.chi2_milli > 12592 THEN 1 ELSE 0 END AS reject_5pct
+         |FROM rj, chi ORDER BY weekday""".stripMargin) { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+          .cast("bigint").as("ed"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("bigint")).cast("bigint").as("rev"))
+      val dd = daily.select(expr("ed div 7").as("wk"),
+        (col("ed") % 7).as("wd"), col("rev"))
+      val fullWk = dd.groupBy("wk").agg(count(lit(1)).as("c"))
+        .filter(col("c") === K).select("wk")
+      val b = dd.join(fullWk, Seq("wk")).ckpt() // both block-join sides
+      val rk = b.select(col("wk"), col("wd"), col("rev"))
+        .join(b.select(col("wk"), col("rev").as("rev2")), Seq("wk"))
+        .groupBy(col("wk"), col("wd"))
+        .agg((lit(2) * sum(when(col("rev2") < col("rev"), 1L).otherwise(0L)) +
+          sum(when(col("rev2") === col("rev"), 1L).otherwise(0L)) + 1)
+          .as("a2"))
+      val rj = rk.groupBy(col("wd"))
+        .agg(sum(col("a2")).as("r2"), count(lit(1)).as("nb"))
+        .ckpt() // 7 rows: feeds chi AND the output
+      val nn = fullWk.agg(count(lit(1)).as("n"))
+      val chi = rj.agg(sum(col("r2") * col("r2")).as("s2"))
+        .crossJoin(broadcast(nn))
+        .select(expr(s"CAST((3000 * s2) div (n * $K * ${K + 1}) - " +
+          s"3000 * n * ${K + 1} AS BIGINT)").as("chi2_milli"))
+      rj.crossJoin(broadcast(chi))
+        .select(col("wd").as("weekday"), col("nb").as("n_weeks"),
+          col("r2").as("rank2_sum"), col("chi2_milli"),
+          when(col("chi2_milli") > 12592, 1).otherwise(0).as("reject_5pct"))
+        .orderBy("weekday")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q379KruskalWallis, q382MiMatrix, q384CochranArmitage, q385KendallW,
-      q388RunsTest,
+      q388RunsTest, q391Friedman,
       q359TailDependence, q363Jonckheere, q364Sinkhorn,
       q367AndersonDarling,
       q301Hbos, q313CovariateBalance, q317Wasserstein, q319Srm,

@@ -2067,6 +2067,145 @@ object Learn {
     }
   }
 
+  private val LOF_K = 5
+  private val LOF_CELL = 100000L // 0.1 in micro-units: 3x3 block radius
+
+  /** q390 — grid-blocked Local Outlier Factor (Breunig et al.
+    * SIGMOD'00), k=5, over the leading 2-coordinate embedding
+    * projection (q238's plane): LOF scores DENSITY-RELATIVE
+    * outliers — a point sparse relative to its own neighborhood —
+    * where q301's HBOS sees only global marginals and q329's
+    * Mahalanobis assumes one global covariance. The third, and most
+    * local, of the engine's outlier lenses.
+    *
+    * Semantics: block-LOF — k-distances, reachability, lrd, and LOF
+    * are all computed within each point's 3×3 grid block (cell =
+    * 0.1), and a point is flagged `resolved` when its k-distance ≤
+    * one cell, which PROVES its true kNN lies inside the block (the
+    * classic grid guarantee) — block-LOF = exact LOF for resolved
+    * points. Points with fewer than k block neighbors are excluded.
+    *
+    * Exactness: coordinates are shifted micro ints; squared distances
+    * are exact int64; each distance is one floor-sqrt chain;
+    * reachability is an integer max clamped ≥ 1 (duplicate-point
+    * guard); lrd = (10⁹·k) div Σreach and LOF = (10³·Σlrd_b) div
+    * (k·lrd_a) are exact non-negative integer divisions. Top-15 by
+    * LOF via TakeOrdered.
+    *
+    * Scale design (100 TB): the candidate join is cell-blocked
+    * (never all-pairs); per-point candidate sets are bounded by 3×3
+    * cell occupancy; the rank window is partitioned by point. */
+  val q390Lof: QueryDef = {
+    val dMicro = "CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT)"
+    QueryDef(
+      "q390_lof",
+      s"""WITH pc AS (
+         |  SELECT vec_id,
+         |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+         |      + 10000000 AS qx,
+         |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT)
+         |      + 10000000 AS qy
+         |  FROM embeddings),
+         |pg AS (SELECT vec_id, qx, qy,
+         |  qx // $LOF_CELL AS cx, qy // $LOF_CELL AS cy FROM pc),
+         |cand AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |    (a.qx - b.qx) * (a.qx - b.qx) +
+         |    (a.qy - b.qy) * (a.qy - b.qy) AS d2
+         |  FROM pg a JOIN pg b
+         |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+         |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+         |   AND a.vec_id <> b.vec_id),
+         |knn AS (
+         |  SELECT a, b, $dMicro AS d,
+         |    row_number() OVER (PARTITION BY a ORDER BY d2, b) AS rn
+         |  FROM cand QUALIFY rn <= $LOF_K),
+         |kd AS (SELECT a, max(d) AS kdist FROM knn
+         |  GROUP BY a HAVING count(*) = $LOF_K),
+         |reach AS (
+         |  SELECT knn.a, knn.b,
+         |    greatest(kdb.kdist, knn.d, 1) AS r
+         |  FROM knn JOIN kd kdb ON kdb.a = knn.b),
+         |lrd AS (
+         |  SELECT a, (CAST(1000000000 AS BIGINT) * $LOF_K) // CAST(sum(r) AS BIGINT) AS lrd
+         |  FROM reach GROUP BY a HAVING count(*) = $LOF_K),
+         |lof AS (
+         |  SELECT knn.a, (1000 * CAST(sum(lb.lrd) AS BIGINT)) //
+         |    ($LOF_K * max(la.lrd)) AS lof_milli,
+         |    max(la.lrd) AS lrd_a, max(kda.kdist) AS kdist
+         |  FROM knn JOIN lrd lb ON lb.a = knn.b
+         |  JOIN lrd la ON la.a = knn.a
+         |  JOIN kd kda ON kda.a = knn.a
+         |  GROUP BY knn.a HAVING count(*) = $LOF_K),
+         |top AS (
+         |  SELECT a, lof_milli, lrd_a, kdist,
+         |    row_number() OVER (ORDER BY lof_milli DESC, a) AS rk
+         |  FROM lof)
+         |SELECT CAST(rk AS BIGINT) AS rank, a AS vec_id, kdist AS kdist_micro,
+         |  lrd_a AS lrd_ppb, lof_milli,
+         |  CASE WHEN kdist <= $LOF_CELL THEN 1 ELSE 0 END AS resolved
+         |FROM top WHERE rk <= 15 ORDER BY rank""".stripMargin) { (s, dir) =>
+      val pg = Tables.embeddings(s, dir)
+        .repartition(col("vec_id")) // single-file scan -> use the cores
+        .select(col("vec_id"),
+          (floor(element_at(col("embedding"), 1).cast("double") * 1000000L)
+            .cast("long") + 10000000L).as("qx"),
+          (floor(element_at(col("embedding"), 2).cast("double") * 1000000L)
+            .cast("long") + 10000000L).as("qy"))
+        .select(col("vec_id"), col("qx"), col("qy"),
+          expr(s"qx div $LOF_CELL").as("cx"), expr(s"qy div $LOF_CELL").as("cy"))
+        .ckpt() // both sides of the blocked candidate join
+      val cand = pg.select(col("vec_id").as("a"), col("qx").as("ax"),
+          col("qy").as("ay"), col("cx"), col("cy"))
+        .join(pg.select(col("vec_id").as("b"), col("qx").as("bx"),
+          col("qy").as("by_"), col("cx").as("bcx"), col("cy").as("bcy")),
+          col("bcx").between(col("cx") - 1, col("cx") + 1) &&
+            col("bcy").between(col("cy") - 1, col("cy") + 1) &&
+            col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          ((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+            (col("ay") - col("by_")) * (col("ay") - col("by_"))).as("d2"))
+      val wA = Window.partitionBy(col("a")).orderBy(col("d2"), col("b"))
+      val knn = cand
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= LOF_K)
+        .select(col("a"), col("b"), expr(dMicro).as("d"))
+        .ckpt() // feeds kd, reach, and the LOF assembly
+      val kd = knn.groupBy(col("a"))
+        .agg(max(col("d")).as("kdist"), count(lit(1)).as("c"))
+        .filter(col("c") === LOF_K).drop("c")
+      val reach = knn
+        .join(kd.select(col("a").as("b"), col("kdist").as("kdb")), Seq("b"))
+        .select(col("a"), col("b"),
+          greatest(col("kdb"), col("d"), lit(1L)).as("r"))
+      val lrd = reach.groupBy(col("a"))
+        .agg(sum(col("r")).as("sr"), count(lit(1)).as("c"))
+        .filter(col("c") === LOF_K)
+        .select(col("a"),
+          expr(s"(CAST(1000000000 AS BIGINT) * $LOF_K) div sr").as("lrd"))
+        .ckpt() // both the self and neighbor sides below
+      val lof = knn
+        .join(lrd.select(col("a").as("b"), col("lrd").as("lrd_b")), Seq("b"))
+        .join(lrd.select(col("a"), col("lrd").as("lrd_a")), Seq("a"))
+        .join(kd, Seq("a"))
+        .groupBy(col("a"))
+        .agg(sum(col("lrd_b")).as("slb"), max(col("lrd_a")).as("lrd_a"),
+          max(col("kdist")).as("kdist"), count(lit(1)).as("c"))
+        .filter(col("c") === LOF_K)
+        .select(col("a"),
+          expr(s"(1000 * slb) div ($LOF_K * lrd_a)").as("lof_milli"),
+          col("lrd_a"), col("kdist"))
+      val wTop = Window.orderBy(col("lof_milli").desc, col("a"))
+      lof.orderBy(col("lof_milli").desc, col("a")).limit(15)
+        .withColumn("rank", row_number().over(wTop).cast("bigint"))
+        .select(col("rank"), col("a").as("vec_id"),
+          col("kdist").as("kdist_micro"), col("lrd_a").as("lrd_ppb"),
+          col("lof_milli"),
+          when(col("kdist") <= LOF_CELL, 1).otherwise(0).as("resolved"))
+        .orderBy("rank")
+    }
+  }
+
   /** q370 — exact data-valuation Shapley over five training-data
     * "vendors" (Ghorbani–Zou ICML'19, computed EXACTLY rather than by
     * Monte Carlo): the 20 document sources are grouped into 5 vendor
@@ -2298,5 +2437,5 @@ object Learn {
     q235Conformal, q238Dbscan, q249KCenter, q255Isotonic, q259EbShrinkage,
     q286Logistic, q296InfoGain, q322ClassWeights, q328CohensKappa,
     q329OodMahalanobis, q331AlMargin, q332Committee, q356TreeDepth2,
-    q366BrierDecomposition, q370DataShapley)
+    q366BrierDecomposition, q370DataShapley, q390Lof)
 }

@@ -333,6 +333,48 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("q390 LOF: density-ratio semantics and the brute-force replay on resolved points") {
+    val rows = run("q390_lof")
+    assert(rows.length == 15)
+    val lofs = rows.map(_.getAs[Long]("lof_milli"))
+    assert(lofs.sameElements(lofs.sortBy(-_)), "sorted by LOF desc")
+    assert(lofs.head > 1000, "the top outlier must be sparser than its neighbors")
+    for (r <- rows) assert(r.getAs[Long]("lrd_ppb") > 0)
+    // brute-force kNN check: for each RESOLVED top row, the block
+    // k-distance must equal the true global k-distance
+    val pts = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        (floor(element_at(col("embedding"), 1).cast("double") * 1000000L)
+          .cast("long") + 10000000L).as("qx"),
+        (floor(element_at(col("embedding"), 2).cast("double") * 1000000L)
+          .cast("long") + 10000000L).as("qy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (r <- rows if r.getAs[Int]("resolved") == 1) {
+      val id = r.getAs[Long]("vec_id")
+      val (_, ax, ay) = pts.find(_._1 == id).get
+      val d5 = pts.filter(_._1 != id)
+        .map { case (_, bx, by) =>
+          val d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+          math.floor(math.sqrt(d2.toDouble)).toLong
+        }.sorted.apply(4)
+      assert(d5 == r.getAs[Long]("kdist_micro"),
+        s"vec $id: resolved block k-dist must be the exact global k-dist")
+    }
+  }
+
+  test("q391 Friedman: within-block rank mass is conserved") {
+    val rows = run("q391_friedman")
+    assert(rows.length == 7)
+    val n = rows.head.getAs[Long]("n_weeks")
+    assert(rows.forall(_.getAs[Long]("n_weeks") == n), "complete blocks only")
+    // each block's doubled midranks sum to 7*8 = 56; totals to 56n
+    assert(rows.map(_.getAs[Long]("rank2_sum")).sum == 56 * n,
+      "block rank mass must be conserved")
+    val chi = rows.head.getAs[Long]("chi2_milli")
+    assert(chi >= 0)
+    assert((chi > 12592) == (rows.head.getAs[Int]("reject_5pct") == 1))
+  }
+
   test("q374 TextTiling: boundary counts are gap-bounded and rules fire") {
     val rows = run("q374_texttiling")
     assert(rows.nonEmpty)

@@ -295,5 +295,7 @@ object PlanSweepAllowlist {
     ("q383_gumbel_topk", "key_nano",
       "rank window runs over the TakeOrdered top-50 slice (literal k)"),
     ("q389_cooks_distance", "^d_nano",
-      "rank window runs over the TakeOrdered top-10 slice (literal k)"))
+      "rank window runs over the TakeOrdered top-10 slice (literal k)"),
+    ("q390_lof", "^lof_milli",
+      "rank window runs over the TakeOrdered top-15 slice (literal k)"))
 }

@@ -245,6 +245,10 @@ QUERIES = [
     # money redraw through deviations, signs, and the OLS chains
     "q386_ngram_novelty", "q387_ljung_box", "q388_runs_test",
     "q389_cooks_distance",
+    # Friedman rides the orders money redraw through every within-week
+    # rank comparison (q390 LOF reads only embeddings - COPY_AS_IS,
+    # inert, not registered)
+    "q391_friedman",
 ]
 # q289 HRU view selection reads only categorical dimension columns
 # (preserved by the redraw) — an inert replay, not registered.
