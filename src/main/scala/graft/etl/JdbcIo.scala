@@ -19,15 +19,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * from and where rows go.
   *
   * PostgreSQL dialect seam: the reference's actual sink is Postgres
-  * (db_manager.py:15–17), which this offline container cannot run, so
-  * everything here is proven against embedded Derby only. The seam is
-  * narrow by construction — [[JdbcTarget]] carries url/driver/options
-  * verbatim, identifier quoting and type mapping go through Spark's
-  * per-database `JdbcDialect` (PostgresDialect ships with Spark), and
-  * [[SchemaInit.jdbcColumnTypes]] emits only ANSI type names
-  * (VARCHAR(n)/DECIMAL(p,s)/TIMESTAMP/BIGINT) that both Derby and
-  * Postgres parse — but the DDL strings are UNVALIDATED against a live
-  * Postgres parser. Transactionality is the other deliberate gap: the
+  * (db_manager.py:15–17). The full Spark JDBC path is proven against
+  * embedded Derby; the POSTGRES half is validated against a live
+  * Postgres 15 in `PostgresDialectSpec` — the exact DDL Spark's sink
+  * would issue (JdbcUtils.schemaString under PostgresDialect, fed by
+  * [[SchemaInit.jdbcColumnTypes]]) parses on pg and lands the
+  * parameterized catalog types, and the key-scan → anti-join →
+  * append-only-fresh contract holds with pg as the system of record
+  * (psql transport — this offline container ships pg server binaries
+  * but no Postgres JDBC driver jar, so Spark's JDBC WIRE path to pg
+  * specifically remains the one untested hop; it is the same
+  * JdbcUtils code path Derby exercises). Identifier quoting and type
+  * mapping go through Spark's per-database `JdbcDialect`; note the
+  * TIMESTAMP_NTZ round-trip pinned there (a bare TIMESTAMP fragment
+  * re-renders as `timestamptz` on pg). Transactionality is the other
+  * deliberate gap: the
   * reference wraps DDL+insert in one session_scope transaction
   * (db_manager.py:24–41); Spark's JDBC append commits per partition
   * batch, so a mid-write failure can leave a partial append. The

@@ -53,7 +53,13 @@ object SchemaInit {
         case "String" => s"VARCHAR(${c.length})"
         case "Date" => "DATE"
         case "Decimal" => s"DECIMAL(${c.precision},${c.scale})"
-        case "Timestamp" => "TIMESTAMP"
+        // Spark PARSES this fragment (parseTableSchema) and re-renders
+        // it per-dialect: bare TIMESTAMP parses as the session-TZ type,
+        // which PostgresDialect renders `timestamp with time zone` —
+        // wrong for the config's timezone=false (db_init.py:40–41).
+        // TIMESTAMP_NTZ keeps the tz-less intent through the round-trip
+        // (live-pg catalog pinned in PostgresDialectSpec).
+        case "Timestamp" => if (c.timezone) "TIMESTAMP" else "TIMESTAMP_NTZ"
         case other =>
           throw new IllegalArgumentException(s"unsupported config type '$other'")
       }

@@ -3763,10 +3763,13 @@ object DataProfile {
     * one final IEEE chain from exact integer moments, identical both
     * engines. The spec pins 0 ≤ W ≤ 1 and the rank-mass identity.
     *
-    * Scale design (100 TB): one feature pass per doc; three bounded
-    * (value, count)² θ-joins for cumulative ranks; per-doc rank
-    * assembly is three broadcast equi-joins; moments are one
-    * aggregate. Output 1 row. */
+    * Scale design (100 TB): one feature pass per doc; the three
+    * cumulative-rank axes ride [[ScaleRank.withRunningSum]]
+    * (distributed two-level prefix sum — the `len` domain grows with
+    * max document length, so a domain θ-join would be O(|D|²));
+    * per-doc rank assembly is equi-joins (ttr/mwl milli-ratio domains
+    * broadcast; len sort-merge); moments are one aggregate.
+    * Output 1 row. */
   val q385KendallW: QueryDef = {
     val M = 3
     val wChain = s"CAST(floor(1000.0e0 * 3.0e0 * (CAST(sr2 AS DOUBLE) - " +
@@ -3823,31 +3826,35 @@ object DataProfile {
             "CAST(size(toks) AS BIGINT)").as("mwl"))
         .ckpt() // one feature pass feeds three domains + the assembly
       val nn = f.agg(count(lit(1)).as("n"))
-      def dom(v: String) = {
-        val d = f.groupBy(col(v).as("v")).agg(count(lit(1)).as("c")).ckpt()
-        val a = d.select(col("v").as("va"), col("c").as("ca"))
-          .join(d.select(col("v").as("vb"), col("c").as("cb")),
-            col("vb") <= col("va"))
-          .groupBy(col("va"), col("ca")).agg(sum(col("cb")).as("cum"))
-          .select(col("va").as(s"v_$v"),
-            (lit(2) * (col("cum") - col("ca")) + col("ca") + 1).as(s"a2_$v"))
-        val t = d.agg(sum(col("c") * col("c") * col("c") - col("c"))
-          .as(s"t_$v"))
-        (a, t)
-      }
-      val (lenA, lenT) = dom("len")
-      val (ttrA, ttrT) = dom("ttr")
-      val (mwlA, mwlT) = dom("mwl")
-      val r2 = f
-        .join(broadcast(lenA), col("len") === col("v_len"))
-        .join(broadcast(ttrA), col("ttr") === col("v_ttr"))
-        .join(broadcast(mwlA), col("mwl") === col("v_mwl"))
+      // ONE domain collapse for all three rating axes (map-side ×3
+      // expand into a partial-aggregable groupBy), then ONE grouped
+      // two-level prefix sum for the cumulative ranks (q379
+      // discipline) — never a (value,count)² θ-join, whose pair
+      // count is O(|domain|²) and data-dependent for `len`
+      val dAll = f.select(explode(array(
+          struct(lit("len").as("axis"), col("len").as("v")),
+          struct(lit("ttr").as("axis"), col("ttr").as("v")),
+          struct(lit("mwl").as("axis"), col("mwl").as("v")))).as("e"))
+        .select(col("e.axis").as("axis"), col("e.v").as("v"))
+        .groupBy(col("axis"), col("v")).agg(count(lit(1)).as("c"))
+        .ckpt() // bounded (axis, value) domain: feeds ranks AND ties
+      val aAll = ScaleRank.withRunningSum(dAll, Seq("axis"),
+          Seq(col("v")), col("c"), "cum")
+        .select(col("axis"), col("v"),
+          (lit(2) * (col("cum") - col("c")) + col("c") + 1).as("a2"))
+        .ckpt() // feeds the three per-axis assembly slices
+      def ax(v: String) = aAll.filter(col("axis") === v)
+        .select(col("v").as(s"v_$v"), col("a2").as(s"a2_$v"))
+      val r2 = f // len's domain grows with max doc length: no broadcast
+        .join(ax("len"), col("len") === col("v_len"))
+        .join(broadcast(ax("ttr")), col("ttr") === col("v_ttr"))
+        .join(broadcast(ax("mwl")), col("mwl") === col("v_mwl"))
         .select((col("a2_len") + col("a2_ttr") + col("a2_mwl")).as("r2"))
       val mom = r2.agg(sum(col("r2")).as("s1"),
         expr("CAST(sum(CAST(r2 AS DECIMAL(38,0)) * r2) AS BIGINT)")
           .as("sr2"))
-      val tt = lenT.crossJoin(ttrT).crossJoin(mwlT)
-        .select((col("t_len") + col("t_ttr") + col("t_mwl")).as("tt"))
+      val tt = dAll
+        .agg(sum(col("c") * col("c") * col("c") - col("c")).as("tt"))
       nn.crossJoin(broadcast(mom)).crossJoin(broadcast(tt))
         .select(col("n").as("n_docs"), col("s1").as("rank2_total"),
           col("tt").as("tie_moment"), expr(wChain).as("w_milli"))
@@ -4030,9 +4037,600 @@ object DataProfile {
     }
   }
 
+  /** q392 — Mann–Kendall trend test (Mann '45; Kendall '75) on daily
+    * revenue: S = Σ_{i<j} sign(x_j − x_i) over all ordered day pairs,
+    * with the tie-corrected variance and the continuity-corrected
+    * normal z — the nonparametric "is there ANY monotone trend" test
+    * that pairs with q187's Theil–Sen slope (MK decides IF, Theil–Sen
+    * says HOW MUCH; both are what you run when q404-style OLS
+    * residual assumptions are indefensible).
+    *
+    * Exactness: revenue collapses to exact day cents; S, the tie
+    * moment Σt(t−1)(2t+5), and 18·Var(S) are exact integers; z is
+    * ONE guarded IEEE chain with the ±1 continuity correction.
+    *
+    * Scale design (100 TB): one fact collapse to the calendar-bounded
+    * day axis; the pair expansion is |days|²/2 on that bounded frame
+    * (the q187 adjudicated shape — int-free day type keeps it visible
+    * to the sweep as calendar-keyed); ties collapse to the (rev,
+    * count) frame. Output 1 row. */
+  val q392MannKendall: QueryDef = {
+    val z = "CASE WHEN var18 > 0 AND s_stat > 0 THEN " +
+      "CAST(floor(1000.0e0 * (CAST(s_stat AS DOUBLE) - 1.0e0) / " +
+      "sqrt(CAST(var18 AS DOUBLE) / 18.0e0)) AS BIGINT) " +
+      "WHEN var18 > 0 AND s_stat < 0 THEN " +
+      "CAST(floor(1000.0e0 * (CAST(s_stat AS DOUBLE) + 1.0e0) / " +
+      "sqrt(CAST(var18 AS DOUBLE) / 18.0e0)) AS BIGINT) " +
+      "WHEN var18 > 0 THEN 0 END"
+    QueryDef(
+      "q392_mann_kendall",
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |s AS (
+         |  SELECT CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+         |    WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+         |  FROM daily a JOIN daily b ON b.d > a.d),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+         |tie AS (
+         |  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+         |    AS BIGINT) AS t3
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily
+         |        GROUP BY rev) WHERE t > 1),
+         |v AS (
+         |  SELECT nn.n, s.s_stat,
+         |    nn.n * (nn.n - 1) * (2 * nn.n + 5) - tie.t3 AS var18
+         |  FROM nn, s, tie)
+         |SELECT n AS n_days, s_stat, var18, $z AS z_milli
+         |FROM v""".stripMargin) { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("bigint")).cast("bigint").as("rev"))
+        .ckpt() // calendar-bounded day frame: pairs + ties + count
+      val sSt = daily.select(col("d").as("da"), col("rev").as("ra"))
+        .join(daily.select(col("d").as("db"), col("rev").as("rb")),
+          col("db") > col("da"))
+        .agg(sum(when(col("rb") > col("ra"), 1L)
+          .when(col("rb") < col("ra"), -1L).otherwise(0L)).as("s_stat"))
+      val nn = daily.agg(count(lit(1)).as("n"))
+      val tie = daily.groupBy(col("rev")).agg(count(lit(1)).as("t"))
+        .filter(col("t") > 1)
+        .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)),
+          lit(0L)).as("t3"))
+      nn.crossJoin(broadcast(sSt)).crossJoin(broadcast(tie))
+        .select(col("n"), col("s_stat"),
+          (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("t3"))
+            .as("var18"))
+        .select(col("n").as("n_days"), col("s_stat"), col("var18"),
+          expr(z).as("z_milli"))
+    }
+  }
+
+  /** q393 — Welch's unequal-variance t-test (Welch '47) between the
+    * click and purchase event-value populations, with the
+    * Welch–Satterthwaite effective degrees of freedom: the CORRECT
+    * default two-sample mean test when group variances differ (the
+    * pooled Student t silently assumes them equal; q257's ANOVA has
+    * the same blind spot k-group). q177 answers distribution-shape
+    * questions rank-wise; this is the parametric mean answer with
+    * honest variance handling.
+    *
+    * Exactness: values are exact milli ints; (n, Σx, Σx²) ride
+    * DECIMAL(38); t and df are each ONE IEEE chain over those exact
+    * integers, built from a single SQL string parsed by BOTH engines
+    * (the q286 cross-engine discipline).
+    *
+    * Scale design (100 TB): one partial-aggregable conditional-moment
+    * pass; everything after is a 1-row frame. Output 1 row. */
+  val q393WelchT: QueryDef = {
+    val va = "((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE) - " +
+      "CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / " +
+      "(CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0e0)))"
+    val vb = "((CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE) - " +
+      "CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / " +
+      "(CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0e0)))"
+    val sea = s"($va / CAST(na AS DOUBLE))"
+    val seb = s"($vb / CAST(nb AS DOUBLE))"
+    val tChain = s"CAST(floor(1000.0e0 * (CAST(sa AS DOUBLE) / " +
+      s"CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / " +
+      s"sqrt($sea + $seb)) AS BIGINT)"
+    val dfChain = s"CAST(floor(1000.0e0 * ($sea + $seb) * ($sea + $seb) / " +
+      s"($sea * $sea / (CAST(na AS DOUBLE) - 1.0e0) + " +
+      s"$seb * $seb / (CAST(nb AS DOUBLE) - 1.0e0))) AS BIGINT)"
+    val guard = s"na > 1 AND nb > 1 AND ($sea + $seb) > 0.0e0"
+    QueryDef(
+      "q393_welch_t",
+      s"""WITH f AS (
+         |  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |m AS (
+         |  SELECT
+         |    CAST(count(*) FILTER (WHERE event_type = 'click') AS HUGEINT) AS na,
+         |    sum(CAST(v AS HUGEINT)) FILTER (WHERE event_type = 'click') AS sa,
+         |    sum(CAST(v AS HUGEINT) * v) FILTER (WHERE event_type = 'click') AS qa,
+         |    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS HUGEINT) AS nb,
+         |    sum(CAST(v AS HUGEINT)) FILTER (WHERE event_type = 'purchase') AS sb,
+         |    sum(CAST(v AS HUGEINT) * v) FILTER (WHERE event_type = 'purchase') AS qb
+         |  FROM f)
+         |SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_purchase,
+         |  $tChain AS t_milli, $dfChain AS df_milli
+         |FROM m WHERE $guard""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val m = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          floor(col("value") * 1000).cast("bigint").as("v"))
+        .agg(
+          dec(count(when(col("event_type") === "click", 1))).as("na"),
+          sum(when(col("event_type") === "click", dec(col("v")))).as("sa"),
+          sum(when(col("event_type") === "click", dec(col("v")) * col("v")))
+            .as("qa"),
+          dec(count(when(col("event_type") === "purchase", 1))).as("nb"),
+          sum(when(col("event_type") === "purchase", dec(col("v")))).as("sb"),
+          sum(when(col("event_type") === "purchase", dec(col("v")) * col("v")))
+            .as("qb"))
+      m.filter(expr(guard))
+        .select(col("na").cast("bigint").as("n_click"),
+          col("nb").cast("bigint").as("n_purchase"),
+          expr(tChain).as("t_milli"), expr(dfChain).as("df_milli"))
+    }
+  }
+
+  /** q394 — Brown–Forsythe test (Brown & Forsythe '74): one-way ANOVA
+    * on |x − median_g| across order priorities — the robust
+    * variance-homogeneity test that gates q257's ANOVA (whose F
+    * assumes equal group variances) and q393's pooled alternatives.
+    * Median-centering (vs Levene's mean-centering) keeps the test
+    * honest under the skew financial amounts actually have.
+    *
+    * Exactness: cents are exact; each group median is an exact order
+    * statistic off the (group, cents) collapse via a GROUPED
+    * [[ScaleRank.withRunningSum]] prefix count (no windows, no domain
+    * θ-joins — the q385 lesson applied group-wise); |x − med| is
+    * exact; the ANOVA decomposition rides DECIMAL(38) with the q257
+    * truncating-div identities; F is one guarded IEEE chain.
+    *
+    * Scale design (100 TB): one fact collapse to the (priority,
+    * cents) value histogram; medians ride the distributed prefix sum;
+    * the deviation moments are a second pass over the SAME histogram
+    * (weighted by cell count — never re-reading the fact table).
+    * Output 1 row. */
+  val q394BrownForsythe: QueryDef = QueryDef(
+    "q394_brown_forsythe",
+    """WITH f AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |vc AS (
+      |  SELECT g, cents, CAST(count(*) AS BIGINT) AS c
+      |  FROM f GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT g, cents, c,
+      |    CAST(sum(c) OVER (PARTITION BY g ORDER BY cents
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+      |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS ng
+      |  FROM vc),
+      |med AS (
+      |  SELECT g, min(cents) AS med FROM cum
+      |  WHERE cw >= (ng + 1) // 2 GROUP BY g),
+      |zm AS (
+      |  SELECT vc.g, CAST(sum(vc.c) AS HUGEINT) AS n,
+      |    sum(CAST(abs(vc.cents - med.med) AS HUGEINT) * vc.c) AS sz,
+      |    sum(CAST(abs(vc.cents - med.med) AS HUGEINT)
+      |      * abs(vc.cents - med.med) * vc.c) AS qz
+      |  FROM vc JOIN med ON vc.g = med.g GROUP BY vc.g),
+      |t AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS k, sum(n) AS nn,
+      |    sum(sz) AS ss, sum(qz) AS qq, sum(sz * sz // n) AS tg
+      |  FROM zm),
+      |z AS (
+      |  SELECT k, nn, greatest(CAST(0 AS HUGEINT), tg - ss * ss // nn) AS ssb,
+      |    qq - tg AS ssw
+      |  FROM t)
+      |SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n,
+      |  CAST(ssb AS BIGINT) AS ssb, CAST(ssw AS BIGINT) AS ssw,
+      |  CAST(floor(1000.0e0 *
+      |    (CAST(ssb AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0e0)) /
+      |    (CAST(ssw AS DOUBLE) / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))))
+      |    AS BIGINT) AS f_milli
+      |FROM z WHERE ssw > 0 AND k > 1 AND nn > k""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val vc = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("g"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("g"), col("cents")).agg(count(lit(1)).as("c"))
+      .ckpt() // (priority, cents) histogram: medians AND moments
+    val ng = vc.groupBy(col("g")).agg(sum(col("c")).as("ng"))
+    val med = ScaleRank.withRunningSum(vc, Seq("g"),
+        Seq(col("cents")), col("c"), "cw")
+      .join(broadcast(ng), Seq("g"))
+      .filter(expr("cw >= (ng + 1) div 2"))
+      .groupBy(col("g")).agg(min(col("cents")).as("med"))
+    val zdev = abs(col("cents") - col("med"))
+    val zm = vc.join(broadcast(med), Seq("g"))
+      .groupBy(col("g"))
+      .agg(dec(sum(col("c"))).as("n"),
+        sum(dec(zdev) * col("c")).as("sz"),
+        sum(dec(zdev) * zdev * col("c")).as("qz"))
+    val t = zm.agg(dec(count(lit(1))).as("k"), sum(col("n")).as("nn"),
+      sum(col("sz")).as("ss"), sum(col("qz")).as("qq"),
+      sum(expr("sz * sz div n")).as("tg"))
+    val z = t.select(col("k"), col("nn"),
+      greatest(dec(lit(0)), expr("tg - ss * ss div nn")).as("ssb"),
+      expr("qq - tg").as("ssw"))
+    z.filter(col("ssw") > 0 && col("k") > 1 && col("nn") > col("k"))
+      .select(col("k").cast("bigint").as("k_groups"),
+        col("nn").cast("bigint").as("n"),
+        col("ssb").cast("bigint").as("ssb"),
+        col("ssw").cast("bigint").as("ssw"),
+        expr("CAST(floor(1000.0e0 * " +
+          "(CAST(ssb AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0e0)) / " +
+          "(CAST(ssw AS DOUBLE) / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))))" +
+          " AS BIGINT)").as("f_milli"))
+  }
+
+  /** q395 — Jarque–Bera normality test (Jarque & Bera '80) on daily
+    * revenue log-free returns: skewness and excess kurtosis from
+    * exact integer power sums, and JB = n/6·(S² + K²/4) — the "can I
+    * even use Gaussian machinery on these returns" gate that q352's
+    * VaR, q357's GPD tail, and q367's Anderson–Darling all implicitly
+    * argue about. AD tests FIT against a fixed normal; JB tests the
+    * third and fourth MOMENTS, which is where financial returns
+    * actually fail.
+    *
+    * Exactness: day-over-day returns are exact SIGN-SPLIT ppm ratios
+    * (truncating div on the |Δ| magnitude then re-signed — Spark div
+    * truncates toward zero while DuckDB // floors, so negative
+    * numerators must never reach the div: the q189 sign rule),
+    * saturated at ±10⁸ ppm (the q389 overflow lesson — Σret⁴ then
+    * caps at 10³² per term, inside DECIMAL(38) headroom at any
+    * calendar scale); the four power sums are exact; skew, kurtosis,
+    * and JB are each ONE IEEE chain from those integers, shared
+    * verbatim between engines.
+    *
+    * Scale design (100 TB): one fact collapse to the calendar-bounded
+    * day axis, one consecutive-day self-join on it, one moment
+    * aggregate. Output 1 row. */
+  val q395JarqueBera: QueryDef = {
+    val mom = Seq(
+      "m1" -> "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))",
+      "r2" -> "(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))",
+      "r3" -> "(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))",
+      "r4" -> "(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))").toMap
+    val m2 = s"(${mom("r2")} - ${mom("m1")} * ${mom("m1")})"
+    val m3 = s"(${mom("r3")} - 3.0e0 * ${mom("m1")} * ${mom("r2")} + " +
+      s"2.0e0 * ${mom("m1")} * ${mom("m1")} * ${mom("m1")})"
+    val m4 = s"(${mom("r4")} - 4.0e0 * ${mom("m1")} * ${mom("r3")} + " +
+      s"6.0e0 * ${mom("m1")} * ${mom("m1")} * ${mom("r2")} - " +
+      s"3.0e0 * ${mom("m1")} * ${mom("m1")} * ${mom("m1")} * ${mom("m1")})"
+    val skew = s"($m3 / sqrt($m2 * $m2 * $m2))"
+    val kurt = s"($m4 / ($m2 * $m2))"
+    val skewMilli = s"CAST(floor(1000.0e0 * $skew) AS BIGINT)"
+    val kurtMilli = s"CAST(floor(1000.0e0 * $kurt) AS BIGINT)"
+    val jbMilli = s"CAST(floor(1000.0e0 * CAST(n AS DOUBLE) / 6.0e0 * " +
+      s"($skew * $skew + ($kurt - 3.0e0) * ($kurt - 3.0e0) / 4.0e0)) AS BIGINT)"
+    QueryDef(
+      "q395_jarque_bera",
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |r AS (
+         |  SELECT least(greatest(CASE WHEN b.rev >= a.rev
+         |      THEN (1000000 * (b.rev - a.rev)) // greatest(a.rev, 1)
+         |      ELSE -((1000000 * (a.rev - b.rev)) // greatest(a.rev, 1)) END,
+         |      -100000000), 100000000) AS ret
+         |  FROM daily a JOIN daily b ON b.d = a.d + 1),
+         |m AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    sum(CAST(ret AS HUGEINT)) AS s1,
+         |    sum(CAST(ret AS HUGEINT) * ret) AS s2,
+         |    sum(CAST(ret AS HUGEINT) * ret * ret) AS s3,
+         |    sum(CAST(ret AS HUGEINT) * ret * ret * ret) AS s4
+         |  FROM r)
+         |SELECT CAST(n AS BIGINT) AS n_returns,
+         |  $skewMilli AS skew_milli, $kurtMilli AS kurt_milli,
+         |  $jbMilli AS jb_milli,
+         |  CASE WHEN $jbMilli > 5991 THEN 1 ELSE 0 END AS reject_5pct
+         |FROM m WHERE n > 2 AND $m2 > 0.0e0""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("bigint")).cast("bigint").as("rev"))
+        .ckpt() // calendar-bounded day frame: both self-join sides
+      val r = daily.select(col("d").as("da"), col("rev").as("ra"))
+        .join(daily.select(col("d").as("db"), col("rev").as("rb")),
+          col("db") === date_add(col("da"), 1))
+        .select(least(greatest(
+          when(col("rb") >= col("ra"),
+            expr("(1000000 * (rb - ra)) div greatest(ra, 1)"))
+            .otherwise(expr("-((1000000 * (ra - rb)) div greatest(ra, 1))")),
+          lit(-100000000L)), lit(100000000L)).as("ret"))
+      val m = r.agg(dec(count(lit(1))).as("n"),
+        sum(dec(col("ret"))).as("s1"),
+        sum(dec(col("ret")) * col("ret")).as("s2"),
+        sum(dec(col("ret")) * col("ret") * col("ret")).as("s3"),
+        sum(dec(col("ret")) * col("ret") * col("ret") * col("ret")).as("s4"))
+      m.filter(col("n") > 2 && expr(m2) > 0.0)
+        .select(col("n").cast("bigint").as("n_returns"),
+          expr(skewMilli).as("skew_milli"), expr(kurtMilli).as("kurt_milli"),
+          expr(jbMilli).as("jb_milli"),
+          when(expr(jbMilli) > 5991, 1).otherwise(0).as("reject_5pct"))
+    }
+  }
+
+  /** q403 — Grubbs' test (Grubbs '50) for the single most extreme
+    * daily revenue: G = max|x − x̄| / s, located to its day — the
+    * formal "is the worst day a statistical outlier" test behind
+    * q172's MAD flags (MAD flags MANY candidates robustly; Grubbs
+    * prices exactly ONE against the normal model, which is the
+    * on-call question "was Black Friday real or a pipeline bug").
+    *
+    * Exactness: the deviation is maximized as the exact integer
+    * |n·x − S₁| (no division before the argmax, so the peak day is
+    * exact); G is ONE IEEE chain over (dmax, n, n·S₂ − S₁²); the
+    * peak day is the calendar min among exact-tie achievers.
+    *
+    * Scale design (100 TB): one fact collapse to the calendar-bounded
+    * day axis, one 1-row moment frame broadcast back over it.
+    * Output 1 row. */
+  val q403Grubbs: QueryDef = {
+    val gChain = "CAST(floor(1000.0e0 * (CAST(dmax AS DOUBLE) / " +
+      "CAST(n AS DOUBLE)) / sqrt(CAST(m2 AS DOUBLE) / " +
+      "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)))) AS BIGINT)"
+    QueryDef(
+      "q403_grubbs",
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |mo AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    sum(CAST(rev AS HUGEINT)) AS s1,
+         |    sum(CAST(rev AS HUGEINT) * rev) AS s2
+         |  FROM daily),
+         |dev AS (
+         |  SELECT daily.d, abs(CAST(mo.n AS HUGEINT) * daily.rev - mo.s1)
+         |    AS dv
+         |  FROM daily, mo),
+         |mx AS (SELECT max(dv) AS dmax FROM dev),
+         |pk AS (
+         |  SELECT min(dev.d) AS peak_day FROM dev, mx WHERE dev.dv = mx.dmax)
+         |SELECT CAST(mo.n AS BIGINT) AS n_days, pk.peak_day,
+         |  CAST(mx.dmax AS BIGINT) AS dev_n_cents,
+         |  $gChain AS g_milli
+         |FROM mo, mx, pk,
+         |  (SELECT CAST(mo2.n AS HUGEINT) * mo2.s2 - mo2.s1 * mo2.s1 AS m2
+         |   FROM mo mo2) mm
+         |WHERE mo.n > 2 AND mm.m2 > 0""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("bigint")).cast("bigint").as("rev"))
+        .ckpt() // calendar-bounded day frame: moments AND deviations
+      val mo = daily.agg(dec(count(lit(1))).as("n"),
+        sum(dec(col("rev"))).as("s1"), sum(dec(col("rev")) * col("rev")).as("s2"))
+      val dev = daily.crossJoin(broadcast(mo))
+        .select(col("d"), abs(col("n") * col("rev") - col("s1")).as("dv"),
+          col("n"), col("s1"), col("s2"))
+      val mx = dev.agg(max(col("dv")).as("dmax"))
+      val pk = dev.join(broadcast(mx), col("dv") === col("dmax"))
+        .agg(min(col("d")).as("peak_day"))
+      mo.crossJoin(broadcast(mx)).crossJoin(broadcast(pk))
+        .withColumn("m2", col("n") * col("s2") - col("s1") * col("s1"))
+        .filter(col("n") > 2 && col("m2") > 0)
+        .select(col("n").cast("bigint").as("n_days"), col("peak_day"),
+          col("dmax").cast("bigint").as("dev_n_cents"),
+          expr(gChain).as("g_milli"))
+    }
+  }
+
+  /** q399 — Ansari–Bradley rank dispersion test (Ansari & Bradley
+    * '60) between the click and view event-value populations: rank
+    * all N values jointly, score each rank r as min(r, N+1−r) (ranks
+    * pile toward the EXTREMES for the more-dispersed sample, so a
+    * LOW group score means wider spread), and compare group 1's
+    * average-tie score sum against its null mean. The rank-based
+    * scale test beside q394's Brown–Forsythe (deviation-from-median
+    * ANOVA) — AB needs no moments at all, the right tool when the
+    * milli-value tails are heavy enough to make variance itself
+    * unstable.
+    *
+    * Exactness: values collapse to the exact (cents, count, count₁)
+    * domain frame; each value's occupied rank block [cb+1, cb+t]
+    * comes from ONE [[ScaleRank.withRunningSum]] prefix; the block's
+    * score sum S(v) is a CLOSED-FORM pair of arithmetic-ramp sums
+    * split at the fold point ⌊(N+1)/2⌋ (exact: consecutive-integer
+    * products are even before their halving); the average-tie group
+    * statistic Σ t₁·S/t rides per-value truncating milli divs on
+    * non-negative ints; the null mean is the textbook even/odd
+    * closed form in the same milli units.
+    *
+    * Scale design (100 TB): one conditional-count collapse to the
+    * value domain (2dp cents — bounded), one distributed prefix sum,
+    * one per-row closed form; no windows, no pair joins. Output
+    * 1 row. */
+  val q399AnsariBradley: QueryDef = QueryDef(
+    "q399_ansari_bradley",
+    """WITH x AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |dom AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS t,
+      |    CAST(sum(g1) AS BIGINT) AS t1
+      |  FROM x GROUP BY v),
+      |nn AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(t1) AS BIGINT) AS n1
+      |  FROM dom),
+      |pre AS (
+      |  SELECT v, t, t1,
+      |    CAST(sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) - t AS cb
+      |  FROM dom),
+      |sc AS (
+      |  SELECT p.t, p.t1,
+      |    -- rising ramp lo..min(hi,m), falling ramp max(lo,m+1)..hi
+      |    greatest(0, least(p.cb + p.t, (nn.n + 1) // 2) - (p.cb + 1) + 1)
+      |      AS c1,
+      |    greatest(0, (p.cb + p.t)
+      |      - greatest(p.cb + 1, (nn.n + 1) // 2 + 1) + 1) AS c2,
+      |    p.cb + 1 AS lo, p.cb + p.t AS hi,
+      |    (nn.n + 1) // 2 AS m, nn.n AS n
+      |  FROM pre p, nn),
+      |terms AS (
+      |  SELECT t1, t,
+      |    (c1 * (lo + least(hi, m))) // 2
+      |    + (n + 1) * c2 - (c2 * (greatest(lo, m + 1) + hi)) // 2 AS s
+      |  FROM sc),
+      |ab AS (
+      |  SELECT CAST(sum((1000 * CAST(t1 AS HUGEINT) * s) // t) AS BIGINT)
+      |    AS ab_milli
+      |  FROM terms)
+      |SELECT nn.n1, nn.n - nn.n1 AS n2, ab.ab_milli,
+      |  CAST(CASE WHEN nn.n % 2 = 0
+      |    THEN (1000 * CAST(nn.n1 AS HUGEINT) * (nn.n + 2)) // 4
+      |    ELSE (1000 * CAST(nn.n1 AS HUGEINT) * (nn.n + 1) * (nn.n + 1))
+      |      // (4 * nn.n) END AS BIGINT) AS mean0_milli
+      |FROM nn, ab WHERE nn.n1 > 0 AND nn.n1 < nn.n""".stripMargin) {
+    (s, dir) =>
+    val x = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(expr("cast(floor(value * 100 + 0.5) as bigint)").as("v"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("g1"))
+    val dom = x.groupBy(col("v"))
+      .agg(count(lit(1)).as("t"), sum(col("g1")).as("t1"))
+      .ckpt() // bounded 2dp-cents value domain: prefix + totals
+    val nn = dom.agg(sum(col("t")).cast("bigint").as("n"),
+      sum(col("t1")).cast("bigint").as("n1"))
+    val pre = ScaleRank.withRunningSum(dom, Seq.empty, Seq(col("v")),
+        col("t"), "cum")
+      .select(col("v"), col("t"), col("t1"), (col("cum") - col("t")).as("cb"))
+    val sc = pre.crossJoin(broadcast(nn)).selectExpr(
+      "t", "t1", "n",
+      "cb + 1 AS lo", "cb + t AS hi", "(n + 1) div 2 AS m")
+    val terms = sc.selectExpr("t", "t1",
+      "greatest(0L, least(hi, m) - lo + 1) AS c1",
+      "greatest(0L, hi - greatest(lo, m + 1) + 1) AS c2",
+      "lo", "hi", "m", "n")
+      .selectExpr("t1", "t",
+        "(c1 * (lo + least(hi, m))) div 2 " +
+          "+ (n + 1) * c2 - (c2 * (greatest(lo, m + 1) + hi)) div 2 AS s")
+    val ab = terms
+      .agg(sum(expr("(1000 * CAST(t1 AS DECIMAL(38,0)) * s) div t"))
+        .cast("bigint").as("ab_milli"))
+    nn.crossJoin(broadcast(ab))
+      .filter(col("n1") > 0 && col("n1") < col("n"))
+      .select(col("n1"), (col("n") - col("n1")).as("n2"), col("ab_milli"),
+        expr("CAST(CASE WHEN n % 2 = 0 " +
+          "THEN (1000 * CAST(n1 AS DECIMAL(38,0)) * (n + 2)) div 4 " +
+          "ELSE (1000 * CAST(n1 AS DECIMAL(38,0)) * (n + 1) * (n + 1)) " +
+          "div (4 * n) END AS BIGINT)").as("mean0_milli"))
+  }
+
+  /** q400 — Mood's median test (Mood '50) of order value across the
+    * five order priorities: is each priority's share ABOVE the grand
+    * median what the margins predict? The k-sample location test
+    * with the weakest assumptions on the table — q379's
+    * Kruskal–Wallis uses full rank information, Mood's uses only the
+    * above/below-median dichotomy, which is exactly what survives
+    * when the value column is censored, clipped, or bucketed at
+    * ingest.
+    *
+    * Exactness: the grand median is the exact type-1 lower median
+    * read off ONE [[ScaleRank.withRunningSum]] prefix over the
+    * (cents, count) domain (the q327 discipline); per-group
+    * above-counts are exact; χ² = Σ_g (N·a_g − n_g·A)²/(n_g·A·B)
+    * — the algebraic collapse of both cells' (O−E)²/E — rides
+    * per-group truncating micro divs on non-negative DECIMAL(38)
+    * ints, then ONE exact integer sum.
+    *
+    * Scale design (100 TB): one collapse to the 2dp-cents value
+    * domain, one distributed prefix, one 1-row median broadcast back
+    * over a 5-row group frame. Output k rows, ordered. */
+  val q400MoodMedian: QueryDef = QueryDef(
+    "q400_mood_median",
+    """WITH x AS (
+      |  SELECT o_orderpriority AS grp,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |dom AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM x GROUP BY v),
+      |nn AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM dom),
+      |pre AS (
+      |  SELECT v,
+      |    CAST(sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum
+      |  FROM dom),
+      |med AS (
+      |  SELECT min(pre.v) AS med FROM pre, nn
+      |  WHERE pre.cum >= (nn.n + 1) // 2),
+      |g AS (
+      |  SELECT grp, CAST(count(*) AS BIGINT) AS ng,
+      |    CAST(sum(CASE WHEN x.v > med.med THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS a
+      |  FROM x, med GROUP BY grp),
+      |tot AS (
+      |  SELECT CAST(sum(ng) AS HUGEINT) AS n, CAST(sum(a) AS HUGEINT) AS ab
+      |  FROM g),
+      |term AS (
+      |  SELECT g.grp, g.ng, g.a,
+      |    (1000000 * (tot.n * g.a - g.ng * tot.ab)
+      |      * (tot.n * g.a - g.ng * tot.ab))
+      |      // (CAST(g.ng AS HUGEINT) * tot.ab * (tot.n - tot.ab))
+      |      AS t_micro
+      |  FROM g, tot WHERE tot.ab > 0 AND tot.ab < tot.n),
+      |chi AS (SELECT CAST(sum(t_micro) AS BIGINT) AS chi2_micro FROM term)
+      |SELECT term.grp AS priority, term.ng AS n_orders,
+      |  term.a AS n_above_median, chi.chi2_micro,
+      |  CASE WHEN chi.chi2_micro > 9487729 THEN 1 ELSE 0 END AS reject_5pct
+      |FROM term, chi ORDER BY priority""".stripMargin) { (s, dir) =>
+    val x = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("grp"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+          .as("v"))
+    // NOT ckpt'd: x is fact-sized — the domain and group passes each
+    // rescan the (pruned, 2-column) parquet instead of materializing it
+    val dom = x.groupBy(col("v")).agg(count(lit(1)).as("t"))
+    val nn = dom.agg(sum(col("t")).cast("bigint").as("n"))
+    val med = ScaleRank.withRunningSum(dom, Seq.empty, Seq(col("v")),
+        col("t"), "cum")
+      .crossJoin(broadcast(nn))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .agg(min(col("v")).as("med"))
+    val g = x.crossJoin(broadcast(med))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("ng"),
+        sum(when(col("v") > col("med"), 1L).otherwise(0L)).as("a"))
+      .ckpt() // 5-row group frame: totals + terms + output
+    val tot = g.agg(sum(col("ng")).cast("decimal(38,0)").as("n"),
+      sum(col("a")).cast("decimal(38,0)").as("ab"))
+    val term = g.crossJoin(broadcast(tot))
+      .filter(col("ab") > 0 && col("ab") < col("n"))
+      .selectExpr("grp", "ng", "a",
+        "(1000000 * (n * a - ng * ab) * (n * a - ng * ab)) div " +
+          "(CAST(ng AS DECIMAL(38,0)) * ab * (n - ab)) AS t_micro")
+      .ckpt() // k-row term frame: chi sum + output
+    val chi = term.agg(sum(col("t_micro")).cast("bigint").as("chi2_micro"))
+    term.crossJoin(broadcast(chi))
+      .select(col("grp").as("priority"), col("ng").as("n_orders"),
+        col("a").as("n_above_median"), col("chi2_micro"),
+        when(col("chi2_micro") > 9487729L, 1).otherwise(0).as("reject_5pct"))
+      .orderBy("priority")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q379KruskalWallis, q382MiMatrix, q384CochranArmitage, q385KendallW,
       q388RunsTest, q391Friedman,
+      q392MannKendall, q393WelchT, q394BrownForsythe, q395JarqueBera,
+      q399AnsariBradley, q400MoodMedian,
+      q403Grubbs,
       q359TailDependence, q363Jonckheere, q364Sinkhorn,
       q367AndersonDarling,
       q301Hbos, q313CovariateBalance, q317Wasserstein, q319Srm,

@@ -2241,29 +2241,49 @@ object EventOps {
       .ckpt() // the chain everything downstream iterates on
   }
 
-  /** Shared Spark-side absorption value iteration (q246 + q251):
-    * MK_ROUNDS rounds of v = p_conv + P_transient·v over the
-    * scenario-expanded frames; every frame is tiny and broadcast. */
+  /** Shared absorption value iteration (q246 + q251): MK_ROUNDS
+    * rounds of v = p_conv + P_transient·v over the scenario-expanded
+    * frames. The frames are bounded by |scenarios|·|event types|
+    * (≤ 16·6 rows — scenario axis is a literal mask/channel lattice,
+    * states the categorical event-type domain), so the loop is
+    * REGISTERED driver compute (DriverComputeRegistry; the q345
+    * knapsack adjudication): 8 rounds × 3 broadcast joins as Spark
+    * jobs were pure scheduling overhead on broadcast-sized frames —
+    * measured 6.55 s for q251, ~3% of the whole bench (VERDICT r8
+    * item 3). Arithmetic is bit-identical to the distributed form:
+    * int64 products, truncating div on non-negative sums. */
   private def iterateAbsorption(
       st: DataFrame, pp: DataFrame, tt: DataFrame): DataFrame = {
-    var v = st.select(col("scen"), col("state"), lit(0L).as("v"))
+    val spark = st.sparkSession
+    val states = st.select(col("scen"), col("state")).collect() // <= 16*6 scenario-state rows
+      .map(r => (r.get(0), r.getString(1)))
+    val conv = pp.select(col("scen"), col("f"), col("p")).collect() // <= 16*6 conversion rows
+      .map(r => ((r.get(0), r.getString(1)), r.getLong(2))).toMap
+    val trans = tt.select(col("scen"), col("f"), col("t"), col("p")).collect() // <= 16*30 transition rows
+      .map(r => (r.get(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .groupBy(r => (r._1, r._2))
+    var v: Map[(Any, String), Long] =
+      states.map(k => ((k._1, k._2), 0L)).toMap
     for (_ <- 1 to MK_ROUNDS) {
-      val flow = tt.join(broadcast(v.select(col("scen"),
-          col("state").as("t"), col("v").as("pv"))), Seq("scen", "t"))
-        .groupBy(col("scen"), col("f"))
-        .agg(expr("CAST(sum(p * pv) AS BIGINT) div 1000000").as("fl"))
-      v = st.join(broadcast(pp), st("scen") === pp("scen")
-            && col("state") === pp("f"), "left")
-        .select(st("scen"), col("state"), coalesce(col("p"), lit(0L)).as("cp"))
-        .join(broadcast(flow.select(col("scen"), col("f").as("state"),
-          col("fl"))), Seq("scen", "state"), "left")
-        .select(col("scen"), col("state"),
-          (col("cp") + coalesce(col("fl"), lit(0L))).as("v"))
-        // tiny frame: truncating per round keeps the plan depth (and
-        // catalyst time) constant instead of 3 joins x 8 rounds
-        .ckpt()
+      v = states.map { case (scen, state) =>
+        val cp = conv.getOrElse((scen, state), 0L)
+        val fl = trans.get((scen, state)) match {
+          case Some(rows) =>
+            rows.map(r => r._4 * v.getOrElse((scen, r._3), 0L)).sum / 1000000L
+          case None => 0L
+        }
+        ((scen, state), cp + fl)
+      }.toMap
     }
-    v
+    val schema = org.apache.spark.sql.types.StructType(
+      st.schema.fields.take(2) :+
+        org.apache.spark.sql.types.StructField(
+          "v", org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = states.map { case (scen, state) =>
+      org.apache.spark.sql.Row(scen, state, v((scen, state)))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
   /** Oracle twin of [[q246MarkovAttribution]]: the shared journey
@@ -2315,8 +2335,9 @@ object EventOps {
     * Scale design (100 TB): the only data-scaled work is the per-user
     * lag window (unbounded key cardinality — hash-ranged tasks) and
     * one transition-count aggregate; everything after lives on a
-    * ≤ 5-scenario × ≤ 30-row transition table iterated with broadcast
-    * joins — the value iteration costs the same at any corpus size. */
+    * ≤ 5-scenario × ≤ 30-row transition table iterated as REGISTERED
+    * driver compute (iterateAbsorption / DriverComputeRegistry) —
+    * the value iteration costs the same at any corpus size. */
   val q246MarkovAttribution: QueryDef = QueryDef(
     "q246_markov_attribution", markovOracleSql) { (s, dir) =>
     val baseTr = journeyTransitions(s, dir)
@@ -2408,7 +2429,10 @@ object EventOps {
     *
     * Scale design (100 TB): identical to q246 — one per-user lag
     * window and one transition aggregate touch data; the 16-scenario
-    * value iteration lives on a ≤ 16·30-row broadcast frame, constant
+    * value iteration runs as REGISTERED driver compute on the
+    * collected ≤ 16·30-row frame (iterateAbsorption /
+    * DriverComputeRegistry — the q345 adjudication: 8 rounds of
+    * broadcast-join jobs were pure scheduling overhead), constant
     * cost at any corpus size. The 2^k coalition axis is the exact-
     * Shapley tradeoff: it caps k at ~10 channels; past that, sampled
     * permutations ride the same joint-scenario machinery. */
@@ -2430,15 +2454,10 @@ object EventOps {
       .join(stT.withColumn("tok", lit(1)), Seq("scen", "t"), "left")
       .filter(col("t") === "purchase" || col("tok").isNotNull)
       .select(col("scen"), col("f"), col("t"), col("p"))
-    // fresh attribute ids (createDataFrame from the computed rows):
-    // pp/tt/v all descend from the same literal coalition frame, and
-    // the per-round three-way joins would trip the self-join check
-    def rematerialize(df: org.apache.spark.sql.DataFrame) =
-      s.createDataFrame(df.rdd, df.schema)
-    val pp = rematerialize(tr.filter(col("t") === "purchase")
-      .select(col("scen"), col("f"), col("p")))
-    val tt = rematerialize(tr.filter(col("t") =!= "purchase")
-      .select(col("scen"), col("f"), col("t"), col("p")))
+    val pp = tr.filter(col("t") === "purchase")
+      .select(col("scen"), col("f"), col("p"))
+    val tt = tr.filter(col("t") =!= "purchase")
+      .select(col("scen"), col("f"), col("t"), col("p"))
     val v = iterateAbsorption(st, pp, tt)
     val vs = v.filter(col("state") === "start")
       .select(col("scen"), col("v")).ckpt()
@@ -3199,7 +3218,8 @@ object EventOps {
          |  FROM dt JOIN agg ON agg.t >= dt.t
          |  GROUP BY dt.t, dt.d),
          |terms AS (
-         |  SELECT d1g, (1000000000 * d * n1) // n AS e_nano, $vTerm AS v_nano
+         |  SELECT d1g, (1000000000 * CAST(d AS HUGEINT) * n1) // n
+         |    AS e_nano, $vTerm AS v_nano
          |  FROM (SELECT t, d, n1, n0, n1 + n0 AS n,
          |          coalesce(d1g, 0) AS d1g FROM risk) WHERE n > 1),
          |tot AS (
@@ -3231,14 +3251,15 @@ object EventOps {
       val uec = u.select(col("user_id")).join(ue, Seq("user_id"))
         .ckpt() // per purchase-user error counts: median + grouping
       val nn = uec.agg(count(lit(1)).as("n_users"))
+      // exact median via the distributed prefix sum over the sorted
+      // (ec, count) domain — the error-count domain grows with user
+      // activity, so a domain θ-join would be O(|D|²) (q385 lesson)
       val ecd = uec.groupBy(col("ec")).agg(count(lit(1)).as("cnt"))
-      val med = ecd.select(col("ec").as("ec_a"))
-        .join(ecd.select(col("ec").as("ec_b"), col("cnt")),
-          col("ec_b") <= col("ec_a"))
-        .groupBy(col("ec_a")).agg(sum(col("cnt")).as("cum"))
+      val med = ScaleRank.withRunningSum(ecd, Seq.empty,
+          Seq(col("ec")), col("cnt"), "cum")
         .crossJoin(broadcast(nn))
         .filter(expr("cum >= (n_users + 1) div 2"))
-        .agg(min(col("ec_a")).as("med"))
+        .agg(min(col("ec")).as("med"))
       val g = uec.crossJoin(broadcast(med))
         .select(col("user_id"),
           when(col("ec") > col("med"), 1).otherwise(0).as("grp"))
@@ -3267,7 +3288,11 @@ object EventOps {
           (col("n1") + col("n0")).as("n"), coalesce(col("d1g"), lit(0L)).as("d1g"))
         .filter(col("n") > 1)
         .select(col("d1g"),
-          expr("(1000000000 * d * n1) div n").as("e_nano"), expr(vTerm).as("v_nano"))
+          // d·n1 through DECIMAL(38): pure int64 wraps silently once
+          // d·n1 > ~9.2e9 — plausible at the 100 TB design point
+          // (ADVICE r8); floor-div identical on both engines
+          expr("(1000000000 * CAST(d AS DECIMAL(38,0)) * n1) div n")
+            .as("e_nano"), expr(vTerm).as("v_nano"))
       val tot = terms.agg(sum(col("d1g")).as("o1"),
         sum(col("e_nano")).as("e_nano"), sum(col("v_nano")).as("v_nano"))
       val sz = lc.agg(
@@ -3547,14 +3572,17 @@ object EventOps {
     * a non-experiment.
     *
     * Exactness: quintile cuts and the median are exact order
-    * statistics picked by θ-joins over the bounded count domain (no
-    * windows); each stratum's mean difference is one nano-floored
+    * statistics picked by [[ScaleRank.withRunningSum]] prefix counts
+    * over the (value, count) domain collapses (no windows, no domain
+    * θ-joins); each stratum's mean difference is one nano-floored
     * IEEE chain over integer sums; the weighted average is integer
     * (nₛ·term) div N over usable strata (both arms present).
     *
     * Scale design (100 TB): two per-user collapses (counts, outcome);
-    * every subsequent frame is (count-domain)² or 5-row. Output 1
-    * row. */
+    * cumulative counts ride the distributed two-level prefix sum
+    * (the ec/tot domains grow with user activity — a θ-join would be
+    * O(|D|²)); every subsequent frame is domain-linear or 5-row.
+    * Output 1 row. */
   val q377IpwAte: QueryDef = {
     val dTerm = "CAST(floor(1000000000.0e0 * (CAST(sy1 AS DOUBLE) / " +
       "CAST(nt AS DOUBLE) - CAST(sy0 AS DOUBLE) / CAST(nc AS DOUBLE))) " +
@@ -3622,24 +3650,24 @@ object EventOps {
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
         .ckpt() // one per-user collapse feeds every frame below
       val nn = u.agg(count(lit(1)).as("n"))
+      // cumulative counts over the sorted (value, count) domains via
+      // the distributed two-level prefix sum (q379/q385 discipline) —
+      // the per-user count/total domains grow with user activity, so
+      // a (value,count)² θ-join would be O(|D|²)
       val ecd = u.groupBy(col("ec")).agg(count(lit(1)).as("cnt"))
-      val med = ecd.select(col("ec").as("ec_a"))
-        .join(ecd.select(col("ec").as("ec_b"), col("cnt")),
-          col("ec_b") <= col("ec_a"))
-        .groupBy(col("ec_a")).agg(sum(col("cnt")).as("cum"))
+      val med = graft.operators.ScaleRank.withRunningSum(ecd, Seq.empty,
+          Seq(col("ec")), col("cnt"), "cum")
         .crossJoin(broadcast(nn))
         .filter(expr("cum >= (n + 1) div 2"))
-        .agg(min(col("ec_a")).as("med"))
+        .agg(min(col("ec")).as("med"))
       val totd = u.groupBy(col("tot")).agg(count(lit(1)).as("cnt"))
       import s.implicits._
-      val cuts = totd.select(col("tot").as("tot_a"))
-        .join(totd.select(col("tot").as("tot_b"), col("cnt")),
-          col("tot_b") <= col("tot_a"))
-        .groupBy(col("tot_a")).agg(sum(col("cnt")).as("cum"))
+      val cuts = graft.operators.ScaleRank.withRunningSum(totd, Seq.empty,
+          Seq(col("tot")), col("cnt"), "cum")
         .crossJoin(broadcast(Seq(1L, 2L, 3L, 4L).toDF("q")))
         .crossJoin(broadcast(nn))
         .filter(expr("cum >= (q * n + 4) div 5"))
-        .groupBy(col("q")).agg(min(col("tot_a")).as("cut"))
+        .groupBy(col("q")).agg(min(col("tot")).as("cut"))
       val su = u.crossJoin(broadcast(med))
         .crossJoin(broadcast(cuts.agg(
           sum(lit(1)).as("nq"),
@@ -3760,7 +3788,216 @@ object EventOps {
     }
   }
 
+  /** q397 — Nelson–Aalen cumulative-hazard estimator (Nelson '72;
+    * Aalen '78) with the Klein variance over the purchase-user
+    * lifetime frame: H(t) = Σ_{s≤t} d_s/n_s — the hazard-scale
+    * companion to q164's Kaplan–Meier (KM multiplies survival;
+    * NA sums hazard, is defined with zero-width risk sets, and is
+    * what q371's log-rank E/V terms integrate). The emitted curve is
+    * the "instantaneous churn pressure so far" a retention dashboard
+    * plots next to KM.
+    *
+    * Exactness: lifetimes and censoring reuse q371's exact day
+    * arithmetic (7-day horizon rule); at-risk counts n_s come from
+    * ONE suffix identity n_s = N − (cum_{≤s} − a_s) over the
+    * [[ScaleRank.withRunningSum]] prefix (no windows); each hazard
+    * increment (10⁹·d) div n and Klein term (10⁹·d·(n−d)) div n³ is
+    * an exact truncating div on non-negative DECIMAL(38) operands;
+    * the cumulative curves are a second exact prefix sum.
+    *
+    * Scale design (100 TB): one per-user collapse, one lifetime-day
+    * aggregate (calendar-bounded axis ≤ span days), two distributed
+    * prefix passes on that bounded frame. Output ≤ |event days|
+    * rows. */
+  val q397NelsonAalen: QueryDef = QueryDef(
+    "q397_nelson_aalen",
+    """WITH u AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |h AS (SELECT max(CAST(ts AS DATE)) AS hz FROM events),
+      |lc AS (
+      |  SELECT
+      |    CAST(CASE WHEN date_diff('day', d1, hz) >= 7
+      |      THEN date_diff('day', d0, d1)
+      |      ELSE date_diff('day', d0, hz) END AS BIGINT) AS t,
+      |    CASE WHEN date_diff('day', d1, hz) >= 7 THEN 1 ELSE 0 END AS churn
+      |  FROM u, h),
+      |agg AS (
+      |  SELECT t, CAST(sum(churn) AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS a
+      |  FROM lc GROUP BY t),
+      |ar AS (
+      |  SELECT t, d, a,
+      |    CAST(sum(a) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cuma,
+      |    (SELECT CAST(sum(a) AS BIGINT) FROM agg) AS tot
+      |  FROM agg),
+      |terms AS (
+      |  SELECT t, d, tot - (cuma - a) AS n,
+      |    CAST((1000000000 * CAST(d AS HUGEINT)) // (tot - (cuma - a))
+      |      AS BIGINT) AS h_term,
+      |    CAST((1000000000 * CAST(d AS HUGEINT) * (tot - (cuma - a) - d))
+      |      // (CAST(tot - (cuma - a) AS HUGEINT) * (tot - (cuma - a))
+      |         * (tot - (cuma - a))) AS BIGINT) AS v_term
+      |  FROM ar WHERE d > 0)
+      |SELECT t AS lifetime_days, d AS n_churn, n AS n_at_risk,
+      |  CAST(sum(h_term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS na_nano,
+      |  CAST(sum(v_term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS var_nano
+      |FROM terms ORDER BY t""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ev = Tables.events(s, dir)
+    val u = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts").cast("date")).as("d0"),
+        max(col("ts").cast("date")).as("d1"))
+    val h = ev.agg(max(col("ts").cast("date")).as("hz"))
+    val lc = u.crossJoin(broadcast(h))
+      .select(
+        when(datediff(col("hz"), col("d1")) >= 7,
+          datediff(col("d1"), col("d0")).cast("long"))
+          .otherwise(datediff(col("hz"), col("d0")).cast("long")).as("t"),
+        when(datediff(col("hz"), col("d1")) >= 7, 1L).otherwise(0L)
+          .as("churn"))
+    val agg = lc.groupBy(col("t"))
+      .agg(sum(col("churn")).as("d"), count(lit(1)).as("a"))
+      .ckpt() // lifetime-day frame (calendar-bounded axis)
+    val tot = agg.agg(sum(col("a")).as("tot"))
+    val ar = ScaleRank.withRunningSum(agg, Seq.empty, Seq(col("t")),
+        col("a"), "cuma")
+      .crossJoin(broadcast(tot))
+    val terms = ar.filter(col("d") > 0)
+      .select(col("t"), col("d"),
+        (col("tot") - (col("cuma") - col("a"))).as("n"))
+      .select(col("t"), col("d"), col("n"),
+        expr("CAST((1000000000 * CAST(d AS DECIMAL(38,0))) div n AS BIGINT)")
+          .as("h_term"),
+        expr("CAST((1000000000 * CAST(d AS DECIMAL(38,0)) * (n - d)) div " +
+          "(CAST(n AS DECIMAL(38,0)) * n * n) AS BIGINT)").as("v_term"))
+    val curves = ScaleRank.withRunningSum(
+      ScaleRank.withRunningSum(terms, Seq.empty, Seq(col("t")),
+        col("h_term"), "na_nano"),
+      Seq.empty, Seq(col("t")), col("v_term"), "var_nano")
+    curves.select(col("t").as("lifetime_days"), col("d").as("n_churn"),
+        col("n").as("n_at_risk"), col("na_nano"), col("var_nano"))
+      .orderBy("lifetime_days")
+  }
+
+  /** q398 — Mantel–Haenszel common odds ratio + Cochran–MH test
+    * (Mantel & Haenszel '59) for the purchase outcome by an
+    * md5-assigned user cohort, stratified by weekday: OR_MH =
+    * Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ) with the continuity-corrected CMH χ² —
+    * the stratified 2×2 workhorse that answers "does the cohort
+    * effect survive controlling for the weekday mix" (q264's McNemar
+    * is the PAIRED 2×2; q377's IPW handles continuous confounders;
+    * MH is the classic discrete-stratum pooling).
+    *
+    * Exactness: the 7 per-stratum 2×2 cells are exact conditional
+    * counts (cohort = md5 split — the q370 discipline, portable to
+    * the oracle via the same hex-prefix arithmetic); each stratum's
+    * ad/n, bc/n, E = n₁m₁/n, and V = n₁n₀m₁m₀/(n²(n−1)) terms are
+    * exact truncating divs in nano units on DECIMAL(38); the χ² and
+    * OR readouts are ONE guarded IEEE chain each over the exact
+    * integer sums.
+    *
+    * Scale design (100 TB): one conditional-count aggregate over the
+    * fact (map-side combinable to 7 rows); everything downstream is
+    * a 7-row frame. The nano-scaled V term keeps DECIMAL(38) headroom
+    * to ~10⁷ events per stratum-arm; beyond that the same identity
+    * drops to micro units. Output 1 row. */
+  val q398MantelHaenszel: QueryDef = QueryDef(
+    "q398_mantel_haenszel",
+    """WITH ev AS (
+      |  SELECT
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) % 7 AS wd,
+      |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 2 AS e,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |ct AS (
+      |  SELECT wd,
+      |    CAST(sum(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+      |      AS a,
+      |    CAST(sum(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+      |      AS b,
+      |    CAST(sum(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+      |      AS c,
+      |    CAST(sum(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+      |      AS d,
+      |    CAST(count(*) AS HUGEINT) AS n
+      |  FROM ev GROUP BY wd),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      |    CAST(sum((1000000000 * a * d) // n) AS BIGINT) AS r_nano,
+      |    CAST(sum((1000000000 * b * c) // n) AS BIGINT) AS s_nano,
+      |    CAST(sum(1000000000 * a) AS BIGINT) AS sa_nano,
+      |    CAST(sum((1000000000 * (a + b) * (a + c)) // n) AS BIGINT)
+      |      AS se_nano,
+      |    CAST(sum((1000000000 * (a + b) * (c + d) * (a + c) * (b + d))
+      |      // (n * n * (n - 1))) AS BIGINT) AS sv_nano
+      |  FROM ct WHERE n > 1)
+      |SELECT n_strata,
+      |  CAST((1000 * CAST(r_nano AS HUGEINT)) // s_nano AS BIGINT)
+      |    AS or_mh_milli,
+      |  CAST(floor(1000.0e0 *
+      |    greatest(0.0e0, abs(CAST(sa_nano AS DOUBLE)
+      |      - CAST(se_nano AS DOUBLE)) - 500000000.0e0)
+      |    * greatest(0.0e0, abs(CAST(sa_nano AS DOUBLE)
+      |      - CAST(se_nano AS DOUBLE)) - 500000000.0e0)
+      |    / (1000000000.0e0 * CAST(sv_nano AS DOUBLE))) AS BIGINT)
+      |    AS chi2_milli,
+      |  CASE WHEN floor(1000.0e0 *
+      |    greatest(0.0e0, abs(CAST(sa_nano AS DOUBLE)
+      |      - CAST(se_nano AS DOUBLE)) - 500000000.0e0)
+      |    * greatest(0.0e0, abs(CAST(sa_nano AS DOUBLE)
+      |      - CAST(se_nano AS DOUBLE)) - 500000000.0e0)
+      |    / (1000000000.0e0 * CAST(sv_nano AS DOUBLE))) > 3841
+      |    THEN 1 ELSE 0 END AS reject_5pct
+      |FROM s WHERE s_nano > 0 AND sv_nano > 0""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ev = Tables.events(s, dir).select(
+      (datediff(col("ts").cast("date"), lit("1970-01-01")).cast("bigint") % 7)
+        .as("wd"),
+      expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, " +
+        "10) as bigint) % 2").as("e"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val ct = ev.groupBy(col("wd")).agg(
+      dec(sum(when(col("e") === 1 && col("y") === 1, 1L).otherwise(0L)))
+        .as("a"),
+      dec(sum(when(col("e") === 1 && col("y") === 0, 1L).otherwise(0L)))
+        .as("b"),
+      dec(sum(when(col("e") === 0 && col("y") === 1, 1L).otherwise(0L)))
+        .as("c"),
+      dec(sum(when(col("e") === 0 && col("y") === 0, 1L).otherwise(0L)))
+        .as("d"),
+      dec(count(lit(1))).as("n"))
+    val sums = ct.filter(col("n") > 1).agg(
+      count(lit(1)).cast("bigint").as("n_strata"),
+      sum(expr("(1000000000 * a * d) div n")).cast("bigint").as("r_nano"),
+      sum(expr("(1000000000 * b * c) div n")).cast("bigint").as("s_nano"),
+      sum(expr("1000000000 * a")).cast("bigint").as("sa_nano"),
+      sum(expr("(1000000000 * (a + b) * (a + c)) div n")).cast("bigint")
+        .as("se_nano"),
+      sum(expr("(1000000000 * (a + b) * (c + d) * (a + c) * (b + d)) div " +
+        "(n * n * (n - 1))")).cast("bigint").as("sv_nano"))
+    val chi = "floor(1000.0e0 * " +
+      "greatest(0.0e0, abs(CAST(sa_nano AS DOUBLE) " +
+      "- CAST(se_nano AS DOUBLE)) - 500000000.0e0) " +
+      "* greatest(0.0e0, abs(CAST(sa_nano AS DOUBLE) " +
+      "- CAST(se_nano AS DOUBLE)) - 500000000.0e0) " +
+      "/ (1000000000.0e0 * CAST(sv_nano AS DOUBLE)))"
+    sums.filter(col("s_nano") > 0 && col("sv_nano") > 0)
+      .select(col("n_strata"),
+        expr("CAST((1000 * CAST(r_nano AS DECIMAL(38,0))) div s_nano " +
+          "AS BIGINT)").as("or_mh_milli"),
+        expr(s"CAST($chi AS BIGINT)").as("chi2_milli"),
+        expr(s"CASE WHEN $chi > 3841 THEN 1 ELSE 0 END").as("reject_5pct"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q397NelsonAalen, q398MantelHaenszel,
     q371Logrank, q375UcbRegret, q376EntropyRate, q377IpwAte, q387LjungBox,
     q362KtRegret, q365HedgeRegret,
     q315CaptureRecapture, q316PowerAnalysis, q334TemporalLeakage, q338NbFit,

@@ -882,6 +882,9 @@ object Forecast {
     * same bound as every adjudicated day-axis window; registered in
     * DriverComputeRegistry), state one band row of W·2+1 longs. The
     * oracle unrolls the identical DP as a recursive CTE row by row.
+    * Envelope, DP, and oracle all index by ROW POSITION over the
+    * sorted day axis (not raw day values), so calendar gaps cannot
+    * diverge the three (ADVICE r8).
     * Output 1 row. */
   val q372Dtw: QueryDef = {
     val W = 7
@@ -943,10 +946,19 @@ object Forecast {
         .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
         .ckpt() // calendar-bounded (day, clicks, purchases) frame
-      // LB_Keogh + lockstep: fully relational (the distributed prune path)
-      val ax = daily.select(col("d"), col("a"), col("b"))
-      val env = ax.select(col("d").as("di"), col("a").as("xa"))
-        .join(ax.select(col("d").as("dj"), col("b").as("yb")),
+      // LB_Keogh + lockstep: fully relational (the distributed prune
+      // path). The envelope is windowed on ROW POSITIONS over the
+      // sorted day axis (ScaleRank.withRowNumber — the oracle's ax
+      // CTE and the DP below both index by position; windowing on
+      // raw day values diverges the moment the calendar has a gap
+      // and can break the LB <= DTW invariant — ADVICE r8)
+      val ax = ScaleRank.withRowNumber(
+          daily.select(col("d"), col("a"), col("b")),
+          Seq.empty, Seq(col("d")), "i", "n_ax")
+        .select(col("i"), col("a"), col("b"))
+        .ckpt() // positional axis feeds both envelope sides
+      val env = ax.select(col("i").as("di"), col("a").as("xa"))
+        .join(ax.select(col("i").as("dj"), col("b").as("yb")),
           col("dj").between(col("di") - W, col("di") + W))
         .groupBy(col("di"), col("xa"))
         .agg(min(col("yb")).as("lo"), max(col("yb")).as("hi"))
@@ -1111,9 +1123,409 @@ object Forecast {
     }
   }
 
+  /** q402 — Page–Hinkley mean-shift detector (Page '54; Hinkley '71)
+    * over daily revenue: the cumulative deviation from the RUNNING
+    * mean, m_t = Σ_{i≤t}(x_i − x̄_i), alarmed when m_t − min_{s≤t} m_s
+    * exceeds λ — the sequential change detector that complements
+    * q178's CUSUM (which needs a KNOWN reference level; PH learns its
+    * reference as the expanding mean, the form used when no training
+    * period exists) and q245's offline changepoint.
+    *
+    * Exactness: revenue is exact day cents; x̄_t = cum_t div t is the
+    * exact truncating-div prefix mean (non-negative, engine-
+    * identical); m_t and its prefix minimum are exact integer prefix
+    * structures; λ = (total div n) div 5 — 20% of the global daily
+    * mean — is an exact integer of the data.
+    *
+    * Scale design (100 TB): one fact collapse to the calendar-bounded
+    * day axis; the row index, BOTH prefix sums, and the prefix min
+    * all ride [[ScaleRank]] (rowNumber / runningSum / runningMax of
+    * the negation) — no global windows, no driver sequence. Output
+    * 1 row. */
+  val q402PageHinkley: QueryDef = QueryDef(
+    "q402_page_hinkley",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |ax AS (
+      |  SELECT d, rev,
+      |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+      |    CAST(sum(rev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum
+      |  FROM daily),
+      |term AS (SELECT d, t, rev - cum // t AS term FROM ax),
+      |mm AS (
+      |  SELECT d, t,
+      |    CAST(sum(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS m
+      |  FROM term),
+      |ph AS (
+      |  SELECT d, t, m - CAST(min(m) OVER (ORDER BY t
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ph
+      |  FROM mm),
+      |lam AS (
+      |  SELECT ((max(cum) // max(t)) // 5) AS lambda FROM ax),
+      |mx AS (SELECT max(ph) AS max_ph FROM ph),
+      |pk AS (
+      |  SELECT min(ph.d) AS peak_day FROM ph, mx WHERE ph.ph = mx.max_ph)
+      |SELECT (SELECT CAST(max(t) AS BIGINT) FROM ax) AS n_days,
+      |  lam.lambda AS lambda_cents, mx.max_ph, pk.peak_day,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ph, lam
+      |   WHERE ph.ph > lam.lambda) AS n_alert_days
+      |FROM lam, mx, pk""".stripMargin) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")).cast("bigint").as("rev"))
+      .ckpt() // calendar-bounded day frame feeds the prefix chain
+    val rn = ScaleRank.withRowNumber(daily, Seq.empty, Seq(col("d")),
+      "t", "n_ax")
+    val cum = ScaleRank.withRunningSum(rn, Seq.empty, Seq(col("t")),
+      col("rev"), "cum")
+    val term = cum.select(col("d"), col("t"), col("n_ax"), col("cum"),
+      (col("rev") - expr("cum div t")).as("term"))
+    val mSum = ScaleRank.withRunningSum(term, Seq.empty, Seq(col("t")),
+      col("term"), "m")
+    val ph = ScaleRank.withRunningMax(mSum.withColumn("negm", -col("m")),
+        Seq.empty, Seq(col("t")), col("negm"), "negmin", inclusive = true)
+      .select(col("d"), col("t"), col("n_ax"),
+        (col("m") + col("negmin")).as("ph"), col("cum"))
+      .ckpt() // tiny day frame read by four 1-row folds
+    val lam = ph.agg(expr("(max(cum) div max(t)) div 5").as("lambda"))
+    val mx = ph.agg(max(col("ph")).as("max_ph"))
+    val pk = ph.join(broadcast(mx), col("ph") === col("max_ph"))
+      .agg(min(col("d")).as("peak_day"))
+    val nAlert = ph.crossJoin(broadcast(lam))
+      .agg(sum(when(col("ph") > col("lambda"), 1L).otherwise(0L))
+        .as("n_alert_days"))
+    val nDays = ph.agg(max(col("t")).as("n_days"))
+    nDays.crossJoin(broadcast(lam)).crossJoin(broadcast(mx))
+      .crossJoin(broadcast(pk)).crossJoin(broadcast(nAlert))
+      .select(col("n_days"), col("lambda").as("lambda_cents"),
+        col("max_ph"), col("peak_day"), col("n_alert_days"))
+  }
+
+  /** Shared OLS-on-the-day-index machinery (q404 + q405): exact
+    * (n, Σt, Σt², Σy, Σty) moments in DECIMAL(38), milli-floored
+    * slope/intercept via ONE shared IEEE chain each (the q286
+    * cross-engine discipline), and exact integer milli residuals
+    * e_t = 1000·y − a − b·t from the FLOORED coefficients — so every
+    * residual sum downstream is exact integer arithmetic in both
+    * engines. */
+  private def olsBMilli: String =
+    "CAST(floor(1000.0e0 * ((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE) - " +
+      "CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - " +
+      "CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))) AS BIGINT)"
+  private def olsAMilli: String =
+    "CAST(floor((1000.0e0 * CAST(sy AS DOUBLE) - " +
+      "CAST(b_milli AS DOUBLE) * CAST(st AS DOUBLE)) / " +
+      "CAST(n AS DOUBLE)) AS BIGINT)"
+
+  /** q404 — Durbin–Watson statistic (Durbin & Watson '50) on the
+    * residuals of daily revenue regressed on the day index:
+    * DW = Σ(e_t − e_{t−1})² / Σe_t² — the canonical "are my
+    * regression errors serially correlated" audit (DW ≈ 2 means
+    * none; → 0 positive; → 4 negative). q387's Ljung–Box tests the
+    * RAW series; DW tests what's left AFTER the trend, which is the
+    * assumption every OLS forecast in this file quietly makes.
+    *
+    * Exactness: OLS moments are exact DECIMAL(38) integers; the
+    * milli-floored (a, b) make every residual an exact int64; both
+    * quadratic sums ride DECIMAL(38); DW is one final guarded IEEE
+    * chain.
+    *
+    * Scale design (100 TB): one fact collapse to the calendar-bounded
+    * day axis; the row index rides [[ScaleRank.withRowNumber]]; the
+    * lag is one consecutive-index self-join of the bounded day frame.
+    * Output 1 row. */
+  val q404DurbinWatson: QueryDef = QueryDef(
+    "q404_durbin_watson",
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1),
+       |ax AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, rev
+       |  FROM daily),
+       |mo AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(t AS HUGEINT)) AS st,
+       |    sum(CAST(t AS HUGEINT) * t) AS stt,
+       |    sum(CAST(rev AS HUGEINT)) AS sy,
+       |    sum(CAST(t AS HUGEINT) * rev) AS sty
+       |  FROM ax),
+       |co AS (
+       |  SELECT n, st, sy, $olsBMilli AS b_milli FROM mo),
+       |co2 AS (SELECT b_milli, $olsAMilli AS a_milli FROM co),
+       |e AS (
+       |  SELECT ax.t,
+       |    1000 * ax.rev - co2.a_milli - co2.b_milli * ax.t AS e
+       |  FROM ax, co2),
+       |dsum AS (
+       |  SELECT sum((CAST(b.e AS HUGEINT) - a.e)
+       |      * (CAST(b.e AS HUGEINT) - a.e)) AS dd
+       |  FROM e a JOIN e b ON b.t = a.t + 1),
+       |esum AS (SELECT sum(CAST(e AS HUGEINT) * e) AS ee FROM e)
+       |SELECT co2.a_milli, co2.b_milli,
+       |  CAST(floor(1000.0e0 * CAST(dsum.dd AS DOUBLE) /
+       |    CAST(esum.ee AS DOUBLE)) AS BIGINT) AS dw_milli
+       |FROM co2, dsum, esum WHERE esum.ee > 0""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ax = ScaleRank.withRowNumber(
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")).cast("bigint").as("rev")),
+        Seq.empty, Seq(col("d")), "t", "n_ax")
+      .select(col("t"), col("rev"))
+      .ckpt() // calendar-bounded indexed day frame
+    val mo = ax.agg(dec(count(lit(1))).as("n"),
+      sum(dec(col("t"))).as("st"), sum(dec(col("t")) * col("t")).as("stt"),
+      sum(dec(col("rev"))).as("sy"), sum(dec(col("t")) * col("rev")).as("sty"))
+    val co = mo.select(col("n"), col("st"), col("sy"),
+        expr(olsBMilli).as("b_milli"))
+      .select(col("b_milli"), expr(olsAMilli).as("a_milli"))
+    val e = ax.crossJoin(broadcast(co))
+      .select(col("t"),
+        (lit(1000) * col("rev") - col("a_milli") - col("b_milli") * col("t"))
+          .as("e"))
+      .ckpt() // residual day frame: lag pairs + both quadratic sums
+    val dsum = e.select(col("t").as("ta"), col("e").as("ea"))
+      .join(e.select(col("t").as("tb"), col("e").as("eb")),
+        col("tb") === col("ta") + 1)
+      .agg(sum((dec(col("eb")) - col("ea")) * (dec(col("eb")) - col("ea")))
+        .as("dd"))
+    val esum = e.agg(sum(dec(col("e")) * col("e")).as("ee"))
+    co.crossJoin(broadcast(dsum)).crossJoin(broadcast(esum))
+      .filter(col("ee") > 0)
+      .select(col("a_milli"), col("b_milli"),
+        floor(lit(1000.0) * col("dd").cast("double") / col("ee").cast("double"))
+          .cast("bigint").as("dw_milli"))
+  }
+
+  /** q405 — Chow structural-break test (Chow '60) at the midpoint of
+    * the day axis: fit OLS revenue-on-day-index to the full span and
+    * to each half, and test whether the two halves share one line —
+    * F = ((SSR_p − SSR₁ − SSR₂)/k) / ((SSR₁+SSR₂)/(n−2k)), k = 2.
+    * The regression-native break test beside q245's changepoint
+    * LOCATOR (q245 finds WHERE; Chow prices whether the break is
+    * statistically real for the model you actually fit).
+    *
+    * Exactness: per-segment moments exact in DECIMAL(38); each fit's
+    * (a, b) milli-floored via the SHARED q404 chains; residual SSRs
+    * are exact integer sums off those floored coefficients, emitted
+    * in 10¹² units (milli²-cents² SSRs overflow int64 even at
+    * sf0.01 — the truncating div is exact and engine-identical; F
+    * reads the full DECIMAL values); F is one guarded IEEE chain.
+    *
+    * Scale design (100 TB): one fact collapse to the calendar-bounded
+    * day axis; segment moments are one grouped aggregate; all three
+    * SSRs are ONE pass over the bounded frame — the 2-row per-segment
+    * coefficient frame equi-joins broadcast and the 1-row pooled fit
+    * crosses broadcast (no non-equi shapes; the pooled/own residuals
+    * are two columns of the same scan). Output 1 row. */
+  val q405ChowTest: QueryDef = QueryDef(
+    "q405_chow_test",
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
+       |ax AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, rev
+       |  FROM daily),
+       |seg AS (
+       |  SELECT ax.t, ax.rev,
+       |    CASE WHEN ax.t <= nn.nd // 2 THEN 1 ELSE 2 END AS g
+       |  FROM ax, nn),
+       |mo AS (
+       |  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(t AS HUGEINT)) AS st, sum(CAST(t AS HUGEINT) * t) AS stt,
+       |    sum(CAST(rev AS HUGEINT)) AS sy,
+       |    sum(CAST(t AS HUGEINT) * rev) AS sty
+       |  FROM seg GROUP BY g
+       |  UNION ALL
+       |  SELECT 0 AS g, CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(t AS HUGEINT)) AS st, sum(CAST(t AS HUGEINT) * t) AS stt,
+       |    sum(CAST(rev AS HUGEINT)) AS sy,
+       |    sum(CAST(t AS HUGEINT) * rev) AS sty
+       |  FROM seg),
+       |co AS (
+       |  SELECT g, n, st, sy, $olsBMilli AS b_milli FROM mo),
+       |co2 AS (SELECT g, n, $olsAMilli AS a_milli, b_milli FROM co),
+       |ssr AS (
+       |  SELECT co2.g,
+       |    sum(CAST(1000 * seg.rev - co2.a_milli - co2.b_milli * seg.t
+       |          AS HUGEINT)
+       |      * (1000 * seg.rev - co2.a_milli - co2.b_milli * seg.t)) AS ssr
+       |  FROM seg JOIN co2 ON co2.g = seg.g OR co2.g = 0
+       |  GROUP BY co2.g),
+       |z AS (
+       |  SELECT
+       |    max(CASE WHEN g = 0 THEN ssr END) AS sp,
+       |    max(CASE WHEN g = 1 THEN ssr END) AS s1,
+       |    max(CASE WHEN g = 2 THEN ssr END) AS s2
+       |  FROM ssr)
+       |SELECT nn.nd AS n_days,
+       |  CAST(z.sp // 1000000000000 AS BIGINT) AS ssr_pooled_t12,
+       |  CAST((z.s1 + z.s2) // 1000000000000 AS BIGINT) AS ssr_split_t12,
+       |  CAST(floor(1000.0e0 *
+       |    ((CAST(z.sp AS DOUBLE) - CAST(z.s1 + z.s2 AS DOUBLE)) / 2.0e0) /
+       |    (CAST(z.s1 + z.s2 AS DOUBLE) / (CAST(nn.nd AS DOUBLE) - 4.0e0)))
+       |    AS BIGINT) AS f_milli
+       |FROM z, nn WHERE z.s1 + z.s2 > 0 AND nn.nd > 4""".stripMargin) {
+    (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")).cast("bigint").as("rev"))
+    val seg = ScaleRank.withRowNumber(daily, Seq.empty, Seq(col("d")),
+        "t", "nd")
+      .select(col("t"), col("rev"), col("nd"),
+        when(col("t") <= expr("nd div 2"), 1L).otherwise(2L).as("g"))
+      .ckpt() // calendar-bounded indexed day frame: moments + SSRs
+    def moments(df: DataFrame, gVal: Column) = df
+      .groupBy(gVal.as("g"))
+      .agg(dec(count(lit(1))).as("n"), sum(dec(col("t"))).as("st"),
+        sum(dec(col("t")) * col("t")).as("stt"),
+        sum(dec(col("rev"))).as("sy"), sum(dec(col("t")) * col("rev")).as("sty"))
+    val mo = moments(seg, col("g")).unionByName(moments(seg, lit(0L)))
+    val co = mo.select(col("g"), col("n"), col("st"), col("sy"),
+        expr(olsBMilli).as("b_milli"))
+      .select(col("g"), col("n"), expr(olsAMilli).as("a_milli"),
+        col("b_milli"))
+    val coSeg = co.filter(col("g") =!= 0)
+      .select(col("g").as("cg"), col("a_milli").as("a_s"),
+        col("b_milli").as("b_s"))
+    val coPool = co.filter(col("g") === 0)
+      .select(col("a_milli").as("a_p"), col("b_milli").as("b_p"))
+    val z = seg.join(broadcast(coSeg), col("cg") === col("g"))
+      .crossJoin(broadcast(coPool))
+      .select(col("g"),
+        (lit(1000) * col("rev") - col("a_s") - col("b_s") * col("t"))
+          .as("eo"),
+        (lit(1000) * col("rev") - col("a_p") - col("b_p") * col("t"))
+          .as("ep"))
+      .agg(sum(dec(col("ep")) * col("ep")).as("sp"),
+        sum(when(col("g") === 1, dec(col("eo")) * col("eo"))).as("s1"),
+        sum(when(col("g") === 2, dec(col("eo")) * col("eo"))).as("s2"))
+    val nn = seg.agg(max(col("nd")).as("nd"))
+    z.crossJoin(broadcast(nn))
+      .filter(col("s1") + col("s2") > 0 && col("nd") > 4)
+      .select(col("nd").as("n_days"),
+        expr("CAST(sp div 1000000000000 AS BIGINT)").as("ssr_pooled_t12"),
+        expr("CAST((s1 + s2) div 1000000000000 AS BIGINT)")
+          .as("ssr_split_t12"),
+        floor(lit(1000.0) *
+          ((col("sp").cast("double") - (col("s1") + col("s2")).cast("double"))
+            / 2.0) /
+          ((col("s1") + col("s2")).cast("double") /
+            (col("nd").cast("double") - 4.0)))
+          .cast("bigint").as("f_milli"))
+  }
+
+  /** q401 — Lo–MacKinlay variance-ratio test (Lo & MacKinlay '88) at
+    * horizon q=5 on daily revenue: VR(q) = [Var of overlapping
+    * q-period changes / q] / [Var of 1-period changes] — 1 under a
+    * random walk, >1 for momentum, <1 for mean reversion — with the
+    * homoskedastic asymptotic z. The random-walk audit that
+    * complements q404 (DW asks "are residuals serially correlated",
+    * VR asks "does variance scale LINEARLY in the horizon", the
+    * property every vol-targeting forecast in this file assumes).
+    *
+    * Exactness: day revenue is exact cents; both lag differences come
+    * from consecutive-index self-joins on the [[ScaleRank]] row
+    * number; the (n−1)-scaled centered squares Σ((n−1)·d − Σd)² and
+    * Σ((n−1)·D − q·Σd)² are exact DECIMAL(38) integers (scaling by
+    * (n−1) clears the mean's denominator); VR is an EXACT truncating
+    * div of those non-negative integers; z is one guarded IEEE chain.
+    *
+    * Scale design (100 TB): one fact collapse to the calendar-bounded
+    * day axis, two equi self-joins of that bounded frame, two 1-row
+    * moment folds. Output 1 row. */
+  val q401VarianceRatio: QueryDef = {
+    val Q = 5
+    val zChain = s"CAST(floor(1000.0e0 * (CAST(vr_milli AS DOUBLE) / " +
+      s"1000.0e0 - 1.0e0) / sqrt(2.0e0 * (2.0e0 * $Q - 1.0e0) * " +
+      s"($Q - 1.0e0) / (3.0e0 * $Q * CAST(nd AS DOUBLE)))) AS BIGINT)"
+    QueryDef(
+      "q401_variance_ratio",
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |ax AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, rev
+         |  FROM daily),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ax),
+         |sd AS (
+         |  SELECT CAST(sum(CASE WHEN t = nn.n THEN rev END)
+         |    - sum(CASE WHEN t = 1 THEN rev END) AS BIGINT) AS sumd
+         |  FROM ax, nn GROUP BY nn.n),
+         |s1 AS (
+         |  SELECT sum(((CAST(b.rev AS HUGEINT) - a.rev) * (nn.n - 1)
+         |      - sd.sumd)
+         |    * ((CAST(b.rev AS HUGEINT) - a.rev) * (nn.n - 1) - sd.sumd))
+         |    AS ss1, CAST(count(*) AS BIGINT) AS nd1
+         |  FROM ax a JOIN ax b ON b.t = a.t + 1, nn, sd),
+         |sq AS (
+         |  SELECT sum(((CAST(b.rev AS HUGEINT) - a.rev) * (nn.n - 1)
+         |      - $Q * sd.sumd)
+         |    * ((CAST(b.rev AS HUGEINT) - a.rev) * (nn.n - 1)
+         |      - $Q * sd.sumd)) AS ssq, CAST(count(*) AS BIGINT) AS ndq
+         |  FROM ax a JOIN ax b ON b.t = a.t + $Q, nn, sd),
+         |vr AS (
+         |  SELECT nn.n AS nd,
+         |    CAST((1000 * s1.nd1 * sq.ssq) // ($Q * sq.ndq * s1.ss1)
+         |      AS BIGINT) AS vr_milli
+         |  FROM nn, s1, sq WHERE s1.ss1 > 0 AND nn.n > $Q)
+         |SELECT nd AS n_days, vr_milli, $zChain AS z_milli
+         |FROM vr""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val ax = ScaleRank.withRowNumber(
+          Tables.orders(s, dir)
+            .groupBy(col("o_orderdate").cast("date").as("d"))
+            .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+              .cast("bigint")).cast("bigint").as("rev")),
+          Seq.empty, Seq(col("d")), "t", "n_ax")
+        .select(col("t"), col("rev"), col("n_ax"))
+        .ckpt() // calendar-bounded indexed day frame: both lag joins
+      val nn = ax.agg(max(col("n_ax")).as("n"))
+      val sd = ax.crossJoin(broadcast(nn))
+        .agg((sum(when(col("t") === col("n"), col("rev")))
+          - sum(when(col("t") === 1, col("rev")))).cast("bigint").as("sumd"))
+      def lagSS(lag: Int, mult: Int, ssName: String, ndName: String) =
+        ax.select(col("t").as("ta"), col("rev").as("ra"))
+          .join(ax.select(col("t").as("tb"), col("rev").as("rb")),
+            col("tb") === col("ta") + lag)
+          .crossJoin(broadcast(nn)).crossJoin(broadcast(sd))
+          .select(((dec(col("rb")) - col("ra")) * (col("n") - 1)
+            - lit(mult) * col("sumd")).as("cd"))
+          .agg(sum(col("cd") * col("cd")).as(ssName),
+            count(lit(1)).cast("bigint").as(ndName))
+      val s1 = lagSS(1, 1, "ss1", "nd1")
+      val sq = lagSS(Q, Q, "ssq", "ndq")
+      nn.crossJoin(broadcast(s1)).crossJoin(broadcast(sq))
+        .filter(col("ss1") > 0 && col("n") > Q)
+        .select(col("n").as("n_days"),
+          expr(s"CAST((1000 * nd1 * ssq) div ($Q * ndq * ss1) AS BIGINT)")
+            .as("vr_milli"))
+        .withColumn("nd", col("n_days"))
+        .select(col("n_days"), col("vr_milli"), expr(zChain).as("z_milli"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail,
       q245Changepoint, q261SeasonalDecomp, q290SeasonalAnomaly,
       q349VarianceTime, q355BurstIntervals, q360DieboldMariano, q372Dtw,
-      q380HoltWinters)
+      q380HoltWinters, q401VarianceRatio, q402PageHinkley, q404DurbinWatson,
+      q405ChowTest)
 }

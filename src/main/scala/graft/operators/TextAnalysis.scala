@@ -2429,10 +2429,13 @@ object TextAnalysis {
     * approximation.
     *
     * Scale design (100 TB): one pass to the (source, length)
-    * histogram (value-domain-bounded); the reference histogram
-    * broadcasts; the map and both ECDF evaluations are inequality
-    * joins of bounded histograms against that broadcast — the fact
-    * table is scanned once, and nothing row-scaled ever joins. */
+    * histogram; the length domain grows with max document length, so
+    * every cumulative structure rides [[ScaleRank]] — prefix sums
+    * for both ECDFs (probe rows merged into the mass stream, the
+    * q385 lesson: no domain θ-joins), and the quantile map as a
+    * descending-key merge carrying a running min of reference
+    * lengths (distributed searchsorted). The fact table is scanned
+    * once; the only cross join is ×|sources| grid probes. */
   val q276QuantileNorm: QueryDef = QueryDef(
     "q276_quantile_norm",
     """WITH h AS (
@@ -2500,32 +2503,50 @@ object TextAnalysis {
     val ns = h.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val ref = h.groupBy(col("v")).agg(sum(col("c")).as("cr"))
     val nn = ref.agg(sum(col("cr")).as("nt"))
-    val refc = ref.as("r")
-      .join(broadcast(ref.select(col("v").as("v2"), col("cr").as("cr2"))),
-        col("v2") <= col("v"))
-      .groupBy(col("v")).agg(sum(col("cr2")).as("cum"))
+    // every cumulative/quantile structure below rides the distributed
+    // two-level prefix machinery (q379/q385 discipline) — the n_chars
+    // domain grows with max document length, so the former
+    // domain-vs-domain θ-joins were O(|D|²) at scale
+    val refc = ScaleRank.withRunningSum(ref, Seq.empty,
+        Seq(col("v")), col("cr"), "cum")
       .ckpt()
-    val hs = h
-      .join(broadcast(h.select(col("source").as("s2"), col("v").as("v2"),
-        col("c").as("c2"))),
-        col("s2") === col("source") && col("v2") <= col("v"))
-      .groupBy(col("source"), col("v"), col("c"))
-      .agg(sum(col("c2")).as("cum"))
-    val mp = hs.join(ns, Seq("source")).crossJoin(broadcast(nn))
-      .join(broadcast(refc.select(col("v").as("rv"), col("cum").as("rcum"))),
-        dec(col("rcum")) * 2 * col("n") >=
-          dec(col("nt")) * (lit(2) * col("cum") - col("c")))
-      .groupBy(col("source"), col("v"), col("c"))
-      .agg(min(col("rv")).as("m"))
+    val hs = ScaleRank.withRunningSum(h, Seq("source"),
+      Seq(col("v")), col("c"), "cum")
+    // searchsorted: m = min refc.v with 2·n_s·refc.cum ≥ nt·(2·cum−c),
+    // i.e. refc.cum ≥ thr = ceil-div — a merge of the two sorted
+    // streams: walk the key axis DESCENDING with refc rows first at
+    // ties, carry the running min of refc.v (as max of −v), and each
+    // probe reads the min v among refc rows with cum ≥ its thr
+    val probes = hs.join(ns, Seq("source")).crossJoin(broadcast(nn))
+      .select(col("source"), col("v"), col("c"),
+        expr("CAST((CAST(nt AS DECIMAL(38,0)) * (2 * cum - c) + 2 * n - 1) " +
+          "div (2 * n) AS BIGINT)").as("key"),
+        lit(1).as("tag"), lit(null).cast("bigint").as("nrv"))
+    val refEvents = refc.select(
+      lit(null).cast("string").as("source"),
+      lit(null).cast("bigint").as("v"), lit(null).cast("bigint").as("c"),
+      col("cum").as("key"), lit(0).as("tag"), (-col("v")).as("nrv"))
+    val mp = ScaleRank.withRunningMax(refEvents.unionByName(probes),
+        Seq.empty, Seq(col("key").desc, col("tag")), col("nrv"), "mx",
+        inclusive = true)
+      .filter(col("tag") === 1)
+      .select(col("source"), col("v"), col("c"), (-col("mx")).as("m"))
     val ha = mp.groupBy(col("source"), col("m")).agg(sum(col("c")).as("c"))
     val sources = h.select(col("source")).distinct()
-    def ecdfAt(hist: DataFrame, valueCol: String): DataFrame =
-      sources.crossJoin(broadcast(refc.select(col("v"))))
-        .join(hist.select(col("source").as("s2"), col(valueCol).as("hv"),
-          col("c").as("hc")),
-          col("s2") === col("source") && col("hv") <= col("v"), "left")
-        .groupBy(col("source"), col("v"))
-        .agg(coalesce(sum(dec(col("hc"))), dec(lit(0))).as("cums"))
+    // ECDF of `hist` at every refc grid point: union mass rows with
+    // zero-mass probe rows and prefix-sum per source (mass at v counts
+    // for the probe at v — tag orders mass first at ties)
+    def ecdfAt(hist: DataFrame, valueCol: String): DataFrame = {
+      val mass = hist.select(col("source"), col(valueCol).as("v"),
+        dec(col("c")).as("mass"), lit(0).as("tag"))
+      val grid = sources.crossJoin(broadcast(refc.select(col("v"))))
+        .select(col("source"), col("v"), dec(lit(0)).as("mass"),
+          lit(1).as("tag"))
+      ScaleRank.withRunningSum(mass.unionByName(grid), Seq("source"),
+          Seq(col("v"), col("tag")), col("mass"), "cums")
+        .filter(col("tag") === 1)
+        .select(col("source"), col("v"), col("cums"))
+    }
     def ksOf(e: DataFrame): DataFrame =
       e.join(broadcast(refc.select(col("v"), col("cum"))), Seq("v"))
         .join(ns, Seq("source")).crossJoin(broadcast(nn))
@@ -3349,7 +3370,8 @@ object TextAnalysis {
     * is warranted; high κ means they're redundant.
     *
     * Exactness: each heuristic's cut is an exact median picked by a
-    * θ-join over its bounded milli-ratio/length domain (no windows);
+    * [[ScaleRank.withRunningSum]] prefix count over its (value, count)
+    * domain collapse (no windows, no domain θ-joins);
     * per-doc agreement numerators n₁²+n₀²−3 are tiny integers; κ is
     * ONE guarded IEEE chain from three integer sums (NULL when votes
     * are unanimous — P_e = 1 leaves κ undefined).
@@ -3423,18 +3445,27 @@ object TextAnalysis {
             "CAST(size(toks) AS BIGINT)").as("mwl"))
         .ckpt() // one feature pass feeds three median cuts + votes
       val nn = f.agg(count(lit(1)).as("nd"))
-      def med(v: String) = {
-        val d = f.groupBy(col(v).as("v")).agg(count(lit(1)).as("cnt"))
-        d.select(col("v").as("va"))
-          .join(d.select(col("v").as("vb"), col("cnt")), col("vb") <= col("va"))
-          .groupBy(col("va")).agg(sum(col("cnt")).as("cum"))
-          .crossJoin(broadcast(nn))
-          .filter(expr("cum >= (nd + 1) div 2"))
-          .agg(min(col("va")).as(s"med_$v"))
-      }
+      // ONE domain collapse for all three heuristics (map-side ×3
+      // expand), then ONE grouped two-level prefix sum for the three
+      // exact medians (q379/q385 discipline) — the `len` domain grows
+      // with max doc length, so a (value,count)² θ-join would be
+      // O(|D|²)
+      val dAll = f.select(explode(array(
+          struct(lit("len").as("axis"), col("len").as("v")),
+          struct(lit("ttr").as("axis"), col("ttr").as("v")),
+          struct(lit("mwl").as("axis"), col("mwl").as("v")))).as("e"))
+        .select(col("e.axis").as("axis"), col("e.v").as("v"))
+        .groupBy(col("axis"), col("v")).agg(count(lit(1)).as("cnt"))
+      val meds = ScaleRank.withRunningSum(dAll, Seq("axis"),
+          Seq(col("v")), col("cnt"), "cum")
+        .crossJoin(broadcast(nn))
+        .filter(expr("cum >= (nd + 1) div 2"))
+        .groupBy(col("axis")).agg(min(col("v")).as("med"))
+        .agg(max(when(col("axis") === "len", col("med"))).as("med_len"),
+          max(when(col("axis") === "ttr", col("med"))).as("med_ttr"),
+          max(when(col("axis") === "mwl", col("med"))).as("med_mwl"))
       val votes = f
-        .crossJoin(broadcast(med("len"))).crossJoin(broadcast(med("ttr")))
-        .crossJoin(broadcast(med("mwl")))
+        .crossJoin(broadcast(meds))
         .select(
           (when(col("len") > col("med_len"), 1).otherwise(0) +
             when(col("ttr") > col("med_ttr"), 1).otherwise(0) +
@@ -3451,6 +3482,118 @@ object TextAnalysis {
         .select(col("nd").as("n_docs"), col("s1").as("n_pos_votes"),
           col("p_len"), col("p_ttr"), col("p_mwl"),
           expr(kap).as("kappa_micro"))
+    }
+  }
+
+  /** q396 — Cochran's Q test (Cochran '50) over the three binary
+    * document-quality raters of q378 (above-median length / TTR /
+    * mean word length): do the k = 3 raters have the SAME marginal
+    * pass rate? Fleiss' κ (q378) measures per-document AGREEMENT;
+    * Q tests whether the raters are even exchangeable in level — the
+    * within-subjects binary ANOVA (and the k-treatment extension of
+    * q264's McNemar, exactly as q391's Friedman extends the paired
+    * t). A significant Q says "these heuristics pass different
+    * fractions — calibrate before ensembling".
+    *
+    * Exactness: medians are exact order statistics via the grouped
+    * [[ScaleRank.withRunningSum]] prefix count (the fused q378/q385
+    * machinery — one ×3 map-side expand, one prefix pass); the
+    * column totals C_j, the vote total N, and ΣR_i² are exact
+    * integers; Q = (k−1)(kΣC_j² − N²)/(kN − ΣR_i²) is ONE guarded
+    * IEEE chain with the squares ridden through DECIMAL(38).
+    *
+    * Scale design (100 TB): one token pass per doc; medians on the
+    * (axis, value) domain collapse; the Q algebra is a 1-row frame.
+    * Output 1 row. */
+  val q396CochranQ: QueryDef = {
+    val qChain = "CAST(floor(1000.0e0 * 2.0e0 * " +
+      "(3.0e0 * (CAST(c1 AS DOUBLE) * CAST(c1 AS DOUBLE) + " +
+      "CAST(c2 AS DOUBLE) * CAST(c2 AS DOUBLE) + " +
+      "CAST(c3 AS DOUBLE) * CAST(c3 AS DOUBLE)) - " +
+      "CAST(nv AS DOUBLE) * CAST(nv AS DOUBLE)) / " +
+      "(3.0e0 * CAST(nv AS DOUBLE) - CAST(sr2 AS DOUBLE))) AS BIGINT)"
+    def medCte(src: String, v: String) =
+      s"""${v}d AS (SELECT $v AS v, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM $src GROUP BY 1),
+         |${v}m AS (
+         |  SELECT min(a.v) AS med FROM (
+         |    SELECT a.v, sum(b.cnt) AS cum
+         |    FROM ${v}d a JOIN ${v}d b ON b.v <= a.v GROUP BY a.v) a, nn
+         |  WHERE a.cum >= (nn.nd + 1) // 2)""".stripMargin
+    QueryDef(
+      "q396_cochran_q",
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+         |    (1000 * CAST(len(list_distinct(string_split(text, ' ')))
+         |      AS BIGINT)) // CAST(len(string_split(text, ' ')) AS BIGINT)
+         |      AS ttr,
+         |    (1000 * (CAST(length(text) AS BIGINT) -
+         |      CAST(len(string_split(text, ' ')) AS BIGINT) + 1)) //
+         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS mwl
+         |  FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM f),
+         |${medCte("f", "len")},
+         |${medCte("f", "ttr")},
+         |${medCte("f", "mwl")},
+         |votes AS (
+         |  SELECT
+         |    CASE WHEN f.len > lenm.med THEN 1 ELSE 0 END AS v1,
+         |    CASE WHEN f.ttr > ttrm.med THEN 1 ELSE 0 END AS v2,
+         |    CASE WHEN f.mwl > mwlm.med THEN 1 ELSE 0 END AS v3
+         |  FROM f, lenm, ttrm, mwlm),
+         |agg AS (
+         |  SELECT CAST(sum(v1) AS HUGEINT) AS c1,
+         |    CAST(sum(v2) AS HUGEINT) AS c2,
+         |    CAST(sum(v3) AS HUGEINT) AS c3,
+         |    CAST(sum(v1 + v2 + v3) AS HUGEINT) AS nv,
+         |    CAST(sum((v1 + v2 + v3) * (v1 + v2 + v3)) AS HUGEINT) AS sr2
+         |  FROM votes)
+         |SELECT nn.nd AS n_docs, CAST(c1 AS BIGINT) AS pass_len,
+         |  CAST(c2 AS BIGINT) AS pass_ttr, CAST(c3 AS BIGINT) AS pass_mwl,
+         |  $qChain AS q_milli,
+         |  CASE WHEN $qChain > 5991 THEN 1 ELSE 0 END AS reject_5pct
+         |FROM nn, agg WHERE 3 * nv - sr2 > 0""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val f = Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("bigint").as("len"),
+          split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("len"),
+          expr("(1000 * CAST(size(array_distinct(toks)) AS BIGINT)) div " +
+            "CAST(size(toks) AS BIGINT)").as("ttr"),
+          expr("(1000 * (len - CAST(size(toks) AS BIGINT) + 1)) div " +
+            "CAST(size(toks) AS BIGINT)").as("mwl"))
+        .ckpt() // one feature pass feeds the median cuts + votes
+      val nn = f.agg(count(lit(1)).as("nd"))
+      val dAll = f.select(explode(array(
+          struct(lit("len").as("axis"), col("len").as("v")),
+          struct(lit("ttr").as("axis"), col("ttr").as("v")),
+          struct(lit("mwl").as("axis"), col("mwl").as("v")))).as("e"))
+        .select(col("e.axis").as("axis"), col("e.v").as("v"))
+        .groupBy(col("axis"), col("v")).agg(count(lit(1)).as("cnt"))
+      val meds = ScaleRank.withRunningSum(dAll, Seq("axis"),
+          Seq(col("v")), col("cnt"), "cum")
+        .crossJoin(broadcast(nn))
+        .filter(expr("cum >= (nd + 1) div 2"))
+        .groupBy(col("axis")).agg(min(col("v")).as("med"))
+        .agg(max(when(col("axis") === "len", col("med"))).as("med_len"),
+          max(when(col("axis") === "ttr", col("med"))).as("med_ttr"),
+          max(when(col("axis") === "mwl", col("med"))).as("med_mwl"))
+      val votes = f.crossJoin(broadcast(meds))
+        .select(when(col("len") > col("med_len"), 1L).otherwise(0L).as("v1"),
+          when(col("ttr") > col("med_ttr"), 1L).otherwise(0L).as("v2"),
+          when(col("mwl") > col("med_mwl"), 1L).otherwise(0L).as("v3"))
+      val agg = votes.agg(dec(sum(col("v1"))).as("c1"),
+        dec(sum(col("v2"))).as("c2"), dec(sum(col("v3"))).as("c3"),
+        dec(sum(col("v1") + col("v2") + col("v3"))).as("nv"),
+        dec(sum((col("v1") + col("v2") + col("v3")) *
+          (col("v1") + col("v2") + col("v3")))).as("sr2"))
+      nn.crossJoin(broadcast(agg))
+        .filter(expr("3 * nv - sr2 > 0"))
+        .select(col("nd").as("n_docs"), col("c1").cast("bigint").as("pass_len"),
+          col("c2").cast("bigint").as("pass_ttr"),
+          col("c3").cast("bigint").as("pass_mwl"),
+          expr(qChain).as("q_milli"),
+          when(expr(qChain) > 5991, 1).otherwise(0).as("reject_5pct"))
     }
   }
 
@@ -3593,6 +3736,7 @@ object TextAnalysis {
 
   val all: Seq[QueryDef] =
     Seq(q374TextTiling, q378FleissKappa, q383GumbelTopk, q386NgramNovelty,
+      q396CochranQ,
       q350RakeKeywords, q353GoodTuring, q358WordAdaptation,
       q295YulesK, q320SourceNovelty, q321CharEntropy,
       q337HashCollisionCurve,

@@ -29,9 +29,23 @@ package object graft {
   object Ckpt {
     private val rec: ThreadLocal[Option[collection.mutable.ArrayBuffer[LogicalPlan]]] =
       ThreadLocal.withInitial(() => None)
+    // checkpoint RDD id -> the segment plan the checkpoint replaced.
+    // Survives withAudit's return (the sweep resolves LogicalRDD
+    // leaves at join sites AFTER the audited build completes); keyed
+    // by RDD id because a self-join dedup re-instances the LogicalRDD
+    // with fresh exprIds but keeps the same underlying RDD.
+    private val segs: ThreadLocal[collection.mutable.Map[Int, LogicalPlan]] =
+      ThreadLocal.withInitial(() => collection.mutable.Map.empty[Int, LogicalPlan])
 
     private[graft] def record(p: => LogicalPlan): Unit =
       rec.get().foreach(_ += p)
+
+    private[graft] def recordSeg(rddId: Int, p: LogicalPlan): Unit =
+      if (auditing) segs.get().update(rddId, p)
+
+    /** The optimized segment plan a checkpoint with this RDD id hides
+      * — valid on the auditing thread until the next [[withAudit]]. */
+    def segmentFor(rddId: Int): Option[LogicalPlan] = segs.get().get(rddId)
 
     /** True while THIS thread is inside [[withAudit]] — memoizers use
       * it to bypass their cache so every query's full build (and its
@@ -45,6 +59,7 @@ package object graft {
     def withAudit[A](f: => A): (A, Seq[LogicalPlan]) = {
       val buf = collection.mutable.ArrayBuffer.empty[LogicalPlan]
       rec.set(Some(buf))
+      segs.get().clear()
       try { val a = f; (a, buf.toSeq) } finally rec.set(None)
     }
   }
@@ -52,10 +67,21 @@ package object graft {
   implicit class CkptOps[T](private val ds: Dataset[T]) extends AnyVal {
     /** Eager local checkpoint (lineage cut + materialization). In
       * plan-audit mode, additionally records this segment's optimized
-      * plan so the sweep sees what the checkpoint hides. */
+      * plan so the sweep sees what the checkpoint hides — both as a
+      * flat segment list and keyed by the checkpoint RDD's id so join
+      * sites over LogicalRDD leaves can be classified. */
     def ckpt(): Dataset[T] = {
-      Ckpt.record(ds.queryExecution.optimizedPlan)
-      ds.localCheckpoint()
+      if (Ckpt.auditing) {
+        val seg = ds.queryExecution.optimizedPlan
+        Ckpt.record(seg)
+        val out = ds.localCheckpoint()
+        out.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            Ckpt.recordSeg(l.rdd.id, seg)
+          case _ => ()
+        }
+        out
+      } else ds.localCheckpoint()
     }
   }
 }

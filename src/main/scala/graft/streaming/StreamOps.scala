@@ -1566,4 +1566,169 @@ object StreamOps {
       }
     })
   }
+
+  final case class HwState(
+      curDay: Long, cents: Long, t: Long, l: Long, b: Long,
+      s: Seq[Long], y: Seq[Long], saeHw: Long, saeSn: Long)
+  final case class HwOut(
+      t: Long, day: Long, level_cents: Long, trend_cents: Long,
+      sae_hw: Long, sae_sn: Long, skill_milli: Option[Long])
+
+  /** Streaming additive Holt–Winters — the stateful twin of q380
+    * ([[graft.operators.Forecast.q380HoltWinters]]) over the event
+    * stream's daily cent sums: as each day closes (first event of a
+    * LATER day arrives — the in-order-arrival contract shared with
+    * [[cusum]] / [[hedgeMonitor]]), the level/trend/season state
+    * advances through the IDENTICAL independently-floored IEEE
+    * smoothing chains as the batch fold (α=0.3, β=0.1, γ=0.2,
+    * zero-state cold start, 14-day burn-in before scoring), and the
+    * one-step-ahead absolute errors accumulate against the
+    * seasonal-naive baseline. Each emitted row equals the batch
+    * recursion evaluated through that closed day — the level/trend
+    * are the capacity forecast a dashboard reads live.
+    *
+    * State is O(s): two scalars, two 7-slot season rings, and two
+    * error accumulators on a single monitor key — nothing grows with
+    * stream length. */
+  def hwMonitor(spark: SparkSession, events: Dataset[AsofEvent],
+      alpha: Double = 0.3, beta: Double = 0.1,
+      gamma: Double = 0.2, burn: Long = 14L): Dataset[HwOut] = {
+    import spark.implicits._
+
+    def fn(key: Long, rows: Iterator[AsofEvent],
+        state: GroupState[HwState]): Iterator[HwOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var st = state.getOption.getOrElse(HwState(
+        Long.MinValue, 0L, 0L, 0L, 0L,
+        Seq.fill(7)(0L), Seq.fill(7)(0L), 0L, 0L))
+      val out = List.newBuilder[HwOut]
+      def closeDay(): Unit = if (st.curDay != Long.MinValue) {
+        val t = st.t + 1
+        val slot = ((t - 1) % 7).toInt
+        val yv = st.cents
+        val sold = st.s(slot)
+        val yold = st.y(slot)
+        val fc = st.l + st.b + sold
+        val saeHw = st.saeHw + (if (t > burn) math.abs(yv - fc) else 0L)
+        val saeSn = st.saeSn + (if (t > burn) math.abs(yv - yold) else 0L)
+        val l2 = math.floor(alpha * (yv - sold).toDouble +
+          (1 - alpha) * (st.l + st.b).toDouble).toLong
+        val b2 = math.floor(beta * (l2 - st.l).toDouble +
+          (1 - beta) * st.b.toDouble).toLong
+        val s2 = math.floor(gamma * (yv - l2).toDouble +
+          (1 - gamma) * sold.toDouble).toLong
+        st = st.copy(t = t, l = l2, b = b2,
+          s = st.s.updated(slot, s2), y = st.y.updated(slot, yv),
+          saeHw = saeHw, saeSn = saeSn)
+        out += HwOut(t, st.curDay, l2, b2, saeHw, saeSn,
+          if (saeSn > 0) Some(1000L * saeHw / saeSn) else None)
+      }
+      sorted.foreach { e =>
+        val d = micros(e.ts) / 86400000000L
+        if (d != st.curDay) {
+          closeDay()
+          st = st.copy(curDay = d, cents = 0L)
+        }
+        st = st.copy(cents = st.cents + math.floor(e.value * 100 + 0.5).toLong)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_ => 0L)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  final case class PhState(
+      curDay: Long, cents: Long, t: Long, cum: Long, m: Long, minM: Long)
+  final case class PhOut(
+      t: Long, day: Long, m: Long, ph: Long, lambda_cents: Long,
+      alert: Boolean)
+
+  /** Streaming Page–Hinkley mean-shift monitor — the stateful twin of
+    * q402 ([[graft.operators.Forecast.q402PageHinkley]]) over the
+    * event stream's daily cent sums: as each day closes (the in-order
+    * day-close contract shared with [[hwMonitor]]), the detector
+    * advances the IDENTICAL exact integer prefix chain as the batch
+    * fold — x̄_t = cum div t (truncating on non-negative), m_t =
+    * Σ(x_i − x̄_i), ph_t = m_t − min_{s≤t} m_s — so every emitted
+    * (t, m, ph) is bit-equal to the batch recursion through that day.
+    * The one deliberate divergence: the batch alarms against λ = 20%
+    * of the WHOLE-SPAN daily mean (it sees the full history); a live
+    * monitor cannot, so it alarms against the same 20% of the
+    * RUNNING mean (λ_t = (cum div t) div 5) — the end-of-stream λ_n
+    * equals the batch λ exactly, and the spec pins both the prefix
+    * identities and that terminal agreement.
+    *
+    * State is O(1): six longs on a single monitor key — nothing grows
+    * with stream length. */
+  def phMonitor(spark: SparkSession,
+      events: Dataset[AsofEvent]): Dataset[PhOut] = {
+    import spark.implicits._
+
+    def fn(key: Long, rows: Iterator[AsofEvent],
+        state: GroupState[PhState]): Iterator[PhOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var st = state.getOption.getOrElse(
+        PhState(Long.MinValue, 0L, 0L, 0L, 0L, Long.MaxValue))
+      val out = List.newBuilder[PhOut]
+      def closeDay(): Unit = if (st.curDay != Long.MinValue) {
+        val t = st.t + 1
+        val cum = st.cum + st.cents
+        val term = st.cents - cum / t // non-negative cum: exact batch div
+        val m = st.m + term
+        val minM = math.min(st.minM, m) // inclusive, like the batch
+        val ph = m - minM
+        val lambda = (cum / t) / 5
+        st = st.copy(t = t, cum = cum, m = m, minM = minM)
+        out += PhOut(t, st.curDay, m, ph, lambda, ph > lambda)
+      }
+      sorted.foreach { e =>
+        val d = micros(e.ts) / 86400000000L
+        if (d != st.curDay) {
+          closeDay()
+          st = st.copy(curDay = d, cents = 0L)
+        }
+        st = st.copy(cents = st.cents + math.floor(e.value * 100 + 0.5).toLong)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_ => 0L)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming n-gram novelty — the stateful twin of q386
+    * ([[graft.operators.TextAnalysis.q386NgramNovelty]]) as a
+    * first-seen monitor (the [[vocabNovelty]] pattern generalized to
+    * the n = 1..5 md5-gram axis): explode every document into its
+    * 1..5-gram md5 keys, keep each (n, gram)'s FIRST arrival
+    * (watermarked streaming dedup — state bounded by the horizon,
+    * the documented [[vocabNovelty]] tradeoff), and count survivors
+    * per (tumbling window, n). The per-n novel-type curve is q386's
+    * novelty signal as a live feed: a contamination event (test set
+    * leaking into training) shows as the high-n novelty rate
+    * collapsing. Docs shorter than 5 tokens drop, mirroring the
+    * batch length filter. */
+  def ngramNovelty(docs: DataFrame, windowLen: String, delay: String): DataFrame = {
+    val gramsExpr = (1 to 5).map(n =>
+      s"transform(sequence(1, size(toks) - ${n - 1}), i_ -> " +
+        s"struct($n AS n, md5(array_join(slice(toks, i_, $n), ' ')) AS g))")
+      .mkString("flatten(array(", ", ", "))")
+    docs.select(col("ts"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("ts"), explode(expr(gramsExpr)).as("ng"))
+      .select(col("ts"), col("ng.n").as("n"), col("ng.g").as("g"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("n", "g")
+      .groupBy(window(col("ts"), windowLen).as("w"), col("n"))
+      .agg(count(lit(1)).as("n_new_types"))
+      .select(col("w.start").as("window_start"),
+        col("n").cast("bigint").as("n"), col("n_new_types"))
+  }
 }

@@ -67,5 +67,16 @@ object DriverComputeRegistry {
       "q372 DTW DP input: the (day, clicks, purchases) collapse — " +
         "calendar-bounded (~37k rows/century), the adjudicated day-axis " +
         "bound; the DP is inherently sequential, the distributed path " +
-        "is the relational LB_Keogh prune computed alongside"))
+        "is the relational LB_Keogh prune computed alongside"),
+    ("operators/EventOps.scala", "<= 16*6 scenario-state rows",
+      "q246/q251 value-iteration states: scenario axis is a literal " +
+        "mask/channel lattice (<= 16), states the categorical event-type " +
+        "domain (<= 6) — bounded by spec constants, not data volume"),
+    ("operators/EventOps.scala", "<= 16*6 conversion rows",
+      "q246/q251 conversion vector: same scenario x state bound"),
+    ("operators/EventOps.scala", "<= 16*30 transition rows",
+      "q246/q251 transition matrix: scenario x (state x state) over " +
+        "the categorical event-type domain — spec-bounded; the 8-round " +
+        "iteration is inherently sequential (VERDICT r8 item 3 fold, " +
+        "the q345 knapsack adjudication)"))
 }

@@ -123,6 +123,42 @@ class PlanSweepSpec extends AnyFunSuite {
     case x => Seq(x)
   }
 
+  /** A grouping expression whose value domain is pinned by the
+    * calendar rather than the data: date/timestamp-typed, or derived
+    * from a date/timestamp attribute (year(d), datediff(d, lit), …).
+    * Everything else — doc lengths, cents, tokens — grows with the
+    * data and needs an adjudicated bound when it keys a θ-join side. */
+  private def calendarKey(e: Expression): Boolean =
+    e.dataType == org.apache.spark.sql.types.DateType ||
+      e.dataType == org.apache.spark.sql.types.TimestampType ||
+      e.references.exists(a =>
+        a.dataType == org.apache.spark.sql.types.DateType ||
+          a.dataType == org.apache.spark.sql.types.TimestampType)
+
+  /** The q385 blind spot (VERDICT r8 item 2): a θ-join side that is an
+    * Aggregate keyed on a non-literal, non-calendar expression — its
+    * row count is the key's distinct-value DOMAIN, which for keys like
+    * raw document length grows with the data, making the θ-join
+    * O(|D|²). Walks the same compression-aware path as [[rawData]],
+    * but descends THROUGH checkpoint LogicalRDD leaves via
+    * `Ckpt.segmentFor` (the pre-fix q385 shape θ-joined two ckpt'd
+    * aggregates, invisible to any leaf-level classification). Returns
+    * the offending grouping keys. */
+  private[queries] def dataDomainAggKey(p: LogicalPlan): Option[String] = p match {
+    case _: GlobalLimit | _: LocalLimit => None
+    case f: Filter if literalSlice(f) => None
+    case _: LocalRelation | _: OneRowRelation => None
+    case _: org.apache.spark.sql.catalyst.plans.logical.Range => None
+    case lr: LogicalRelation if fixedDim(lr) => None
+    case l: LogicalRDD =>
+      graft.Ckpt.segmentFor(l.rdd.id).flatMap(dataDomainAggKey)
+    case a: Aggregate =>
+      val bad = a.groupingExpressions.filter(g => !g.foldable && !calendarKey(g))
+      if (bad.nonEmpty) Some(bad.map(_.sql).mkString(",")) else None
+    case _: LeafNode => None
+    case other => other.children.flatMap(dataDomainAggKey).headOption
+  }
+
   /** An equi key usable for hash/sort-merge partitioning: a top-level
     * conjunct `l = r` with one side referencing only the left child
     * and the other only the right. */
@@ -190,6 +226,22 @@ class PlanSweepSpec extends AnyFunSuite {
           if (!hasEquiKey(j) && rawData(j.left) && rawData(j.right))
             adjudicate(q.name, "nonequi",
               s"${q.name}: non-equi ${j.joinType} join, both sides raw")
+          if (!hasEquiKey(j)) {
+            // the q385 shape: θ-join where a side is an Aggregate
+            // keyed on a data-dependent domain AND the other side is
+            // not literal-bounded either — O(|A|·|B|) pairs with both
+            // factors data-dependent. (A keyed frame crossed with a
+            // 1-row global aggregate is |A|·1: fine, not flagged.)
+            val lk = dataDomainAggKey(j.left)
+            val rk = dataDomainAggKey(j.right)
+            val lUnbounded = lk.nonEmpty || rawData(j.left)
+            val rUnbounded = rk.nonEmpty || rawData(j.right)
+            if ((lk.nonEmpty || rk.nonEmpty) && lUnbounded && rUnbounded &&
+                !(rawData(j.left) && rawData(j.right))) // both-raw: flagged above
+              adjudicate(q.name, "nonequi-agg",
+                s"${q.name}: non-equi ${j.joinType} join over data-domain " +
+                  s"aggregates [${lk.getOrElse("raw")} × ${rk.getOrElse("raw")}]")
+          }
         }
       }
     }
@@ -198,6 +250,25 @@ class PlanSweepSpec extends AnyFunSuite {
     assert(unusedAllow.isEmpty,
       s"allowlist entries no longer exercised (stale adjudications):\n" +
         unusedAllow.mkString("\n"))
+  }
+
+  test("detector teeth: the pre-fix q385 shape (θ-join of ckpt'd data-domain aggregates) is flagged") {
+    import org.apache.spark.sql.functions._
+    val f = spark.range(100).selectExpr("id AS doc_id", "id % 37 AS len")
+    val (join, _) = graft.Ckpt.withAudit {
+      val d = graft.CkptOps(
+        f.groupBy(col("len").as("v")).agg(count(lit(1)).as("c"))).ckpt()
+      d.select(col("v").as("va"), col("c").as("ca"))
+        .join(d.select(col("v").as("vb"), col("c").as("cb")),
+          col("vb") <= col("va"))
+        .queryExecution.optimizedPlan
+    }
+    val thetaJoins = join.collectWithSubqueries { case j: Join => j }
+      .filterNot(hasEquiKey)
+    assert(thetaJoins.nonEmpty, "toy build lost its θ-join")
+    assert(thetaJoins.exists(j =>
+      dataDomainAggKey(j.left).nonEmpty || dataDomainAggKey(j.right).nonEmpty),
+      "the q385 blind-spot shape walked through the detector again")
   }
 }
 
@@ -297,5 +368,54 @@ object PlanSweepAllowlist {
     ("q389_cooks_distance", "^d_nano",
       "rank window runs over the TakeOrdered top-10 slice (literal k)"),
     ("q390_lof", "^lof_milli",
-      "rank window runs over the TakeOrdered top-15 slice (literal k)"))
+      "rank window runs over the TakeOrdered top-15 slice (literal k)"),
+    // ---- nonequi-agg: θ-joins of aggregate frames (the r8 q385
+    // blind-spot class). Every entry names the DOMAIN bound that
+    // keeps the pair count safe at 100 TB; genuinely data-growing
+    // domains (q385 len, q378 len, q377/q371 activity counts, q276
+    // n_chars) were FIXED via ScaleRank instead of adjudicated.
+    ("q123_chisq_independence", "nonequi-agg",
+      "lang × source contingency cross: both axes categorical (≤7 langs, ≤5 sources)"),
+    ("q173_stump", "nonequi-agg",
+      "threshold grid ≤17/dim (fixed quantization) × binary label frame"),
+    ("q177_mannwhitney", "nonequi-agg",
+      "pair expansion over |event types|² ≤ 25 (categorical); histogram side joins the 10-row pair frame"),
+    ("q187_theil_sen", "nonequi-agg",
+      "day-axis pair frame: calendar-bounded |days|²/2 (int day index hides the date type from the sweep)"),
+    ("q221_scaling_law", "nonequi-agg",
+      "4-row literal size axis × 1-row score frames"),
+    ("q223_t_closeness", "nonequi-agg",
+      "QI groups (≤25 nations × 5 segments) × value-bucket axis (balance decile domain, ≤ literal buckets)"),
+    ("q227_naive_bayes", "nonequi-agg",
+      "×|classes| broadcast expansion: source side is the ≤5-row class prior frame"),
+    ("q255_isotonic", "nonequi-agg",
+      "≤20 quantized bins: interval expansion is O(B³)=8000 tiny rows"),
+    ("q256_kendall_tau", "nonequi-agg",
+      "joint histogram ≤51×11 cells (TPC-H quantity 1..50, discount 0..0.10 spec domains)"),
+    ("q265_cum_gains", "nonequi-agg",
+      "decile × decile triangular join: 10 literal deciles"),
+    ("q276_quantile_norm", "nonequi-agg",
+      "ECDF probe grid: ≤5-source categorical side × reference axis (the O(|D|²) θ-joins were replaced by ScaleRank merges)"),
+    ("q277_vopt_histogram", "nonequi-agg",
+      "quantity classes ≤50 (TPC-H spec domain): interval table ≤1225 rows, DP O(B·classes²)"),
+    ("q280_otsu_threshold", "nonequi-agg",
+      "quality-score histogram ≤90 literal classes"),
+    ("q288_bh_fdr", "nonequi-agg",
+      "BH step-up on the 10-row p frame (literal |type pairs| = C(5,2))"),
+    ("q289_view_selection", "nonequi-agg",
+      "cube lattice: 8 literal masks (2³ dimension subsets)"),
+    ("q348_ransac_consensus", "nonequi-agg",
+      "candidate frame ≤16 rows (TakeOrdered 32-seed pairing) broadcast into one corpus pass"),
+    ("q357_pot_gpd", "nonequi-agg",
+      "calendar-bounded day-P&L frame (int day index hides the date type from the sweep)"),
+    ("q363_jonckheere", "nonequi-agg",
+      "5 priorities × ~5·10³ price buckets (value-domain bounded grid, adjudicated in scaladoc)"),
+    ("q370_data_shapley", "nonequi-agg",
+      "31-row literal mask lattice (2⁵−1 vendor subsets); fanout a fixed 155×"),
+    ("q372_dtw", "nonequi-agg",
+      "±7-day LB_Keogh envelope on the calendar-bounded day axis (int day index hides the date type)"),
+    ("q405_chow_test", "nonequi-agg",
+      "g is a CASE-literal segment id with domain {0,1,2}: both " +
+        "coefficient frames are ≤2/1 rows, broadcast (the literal " +
+        "value domain is invisible across the ckpt boundary)"))
 }

@@ -1640,4 +1640,142 @@ class StreamOpsSpec extends AnyFunSuite {
         s"first diff: ${gotG.zip(expGClosed).find(p => p._1 != p._2)}")
     } finally { qV.stop(); qG.stop() }
   }
+
+  test("hwMonitor agrees with the batch Holt-Winters fold per closed day") {
+    implicit val sqlCtx = spark.sqlContext
+    val revByDay = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("rev"))
+      .collect().map(r => (r.getAs[Long]("d"), r.getAs[Long]("rev")))
+      .sortBy(_._1).toVector
+    val in = MemoryStream[StreamOps.AsofEvent]
+    val q = StreamOps.hwMonitor(spark, in.toDS())
+      .writeStream.format("memory").queryName("hw_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      eventChunks(3).foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+      // expected: the q380 recursion (zero state, independently
+      // floored IEEE chains, 14-day burn-in) over the daily cent sums
+      val (a, b, g, burn) = (0.3, 0.1, 0.2, 14L)
+      var (l, bb) = (0L, 0L)
+      val sArr = new Array[Long](7); val yArr = new Array[Long](7)
+      var (saeHw, saeSn) = (0L, 0L)
+      val exp = revByDay.zipWithIndex.map { case ((day, y), idx) =>
+        val t = idx + 1L
+        val slot = ((t - 1) % 7).toInt
+        val sold = sArr(slot); val yold = yArr(slot)
+        val fc = l + bb + sold
+        if (t > burn) { saeHw += math.abs(y - fc); saeSn += math.abs(y - yold) }
+        val l2 = math.floor(a * (y - sold).toDouble +
+          (1 - a) * (l + bb).toDouble).toLong
+        val b2 = math.floor(b * (l2 - l).toDouble +
+          (1 - b) * bb.toDouble).toLong
+        val s2 = math.floor(g * (y - l2).toDouble +
+          (1 - g) * sold.toDouble).toLong
+        l = l2; bb = b2; sArr(slot) = s2; yArr(slot) = y
+        (t, day, l2, b2, saeHw, saeSn,
+          if (saeSn > 0) Some(1000L * saeHw / saeSn) else None)
+      }
+      val got = spark.table("hw_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getLong(6))))
+        .sortBy(_._1).toSeq
+      // the monitor trails by the open last day
+      assert(got.length == exp.length - 1,
+        s"${got.length} streamed vs ${exp.length} closed-day folds")
+      assert(got == exp.take(got.length),
+        s"first diff: ${got.zip(exp).find(p => p._1 != p._2)}")
+    } finally q.stop()
+  }
+
+  test("phMonitor matches the batch Page-Hinkley prefix chain per closed day") {
+    implicit val sqlCtx = spark.sqlContext
+    val revByDay = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("rev"))
+      .collect().map(r => (r.getAs[Long]("d"), r.getAs[Long]("rev")))
+      .sortBy(_._1).toVector
+    val in = MemoryStream[StreamOps.AsofEvent]
+    val q = StreamOps.phMonitor(spark, in.toDS())
+      .writeStream.format("memory").queryName("ph_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      eventChunks(3).foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+      // expected: the q402 exact integer prefix recursion over the
+      // daily cent sums (truncating prefix mean, prefix min inclusive)
+      var (cum, m, minM) = (0L, 0L, Long.MaxValue)
+      val exp = revByDay.zipWithIndex.map { case ((day, y), idx) =>
+        val t = idx + 1L
+        cum += y
+        m += y - cum / t
+        minM = math.min(minM, m)
+        (t, day, m, m - minM, (cum / t) / 5, (m - minM) > (cum / t) / 5)
+      }
+      val got = spark.table("ph_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5)))
+        .sortBy(_._1).toSeq
+      // the monitor trails by the open last day
+      assert(got.length == exp.length - 1,
+        s"${got.length} streamed vs ${exp.length} closed-day folds")
+      assert(got == exp.take(got.length),
+        s"first diff: ${got.zip(exp).find(p => p._1 != p._2)}")
+      // terminal agreement: the last closed day's running lambda is the
+      // batch's whole-span lambda over the same closed prefix
+      val lastT = got.last._1
+      assert(got.last._5 == (revByDay.take(lastT.toInt).map(_._2).sum / lastT) / 5)
+    } finally q.stop()
+  }
+
+  test("ngramNovelty windows equal the batch first-appearance gram counts per n") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    // delay longer than the whole doc span: the dedup state never hits
+    // its horizon, so the stream is EXACT first-appearance counting and
+    // must equal the batch fold on every window (the 1h-horizon recount
+    // tradeoff is vocabNovelty's documented semantics, not under test)
+    val q = StreamOps.ngramNovelty(in.toDF().toDF("ts", "text"),
+        windowLen = "10 minutes", delay = "24 hours")
+      .writeStream.format("memory").queryName("ngnov_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one doc per minute, in event order so stream first-arrival ==
+      // batch min(ts) per (n, gram)
+      val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "text").orderBy("doc_id")
+        .collect().map(r => (ts(r.getLong(0)), r.getString(1))).toSeq
+      val per = (docs.size + 2) / 3
+      docs.grouped(per).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      // close the final windows (>= 5 tokens so the sentinel passes
+      // the length gate; far enough that watermark = sentinel - 24h
+      // still clears every real window's end)
+      in.addData((ts(docs.size + 2L * 24 * 60), "zz1 zz2 zz3 zz4 zz5"))
+      q.processAllAvailable()
+      val streamed = spark.table("ngnov_out")
+        .collect().map(r => ((r.getTimestamp(0).getTime, r.getLong(1)), r.getLong(2)))
+        .filter(_._2 > 0).toMap
+      val gramsExpr = (1 to 5).map(n =>
+        s"transform(sequence(1, size(toks) - ${n - 1}), i_ -> " +
+          s"struct($n AS n, md5(array_join(slice(toks, i_, $n), ' ')) AS g))")
+        .mkString("flatten(array(", ", ", "))")
+      val batch = spark.createDataFrame(docs).toDF("ts", "text")
+        .select(col("ts"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("ts"), explode(expr(gramsExpr)).as("ng"))
+        .groupBy(col("ng.n").as("n"), col("ng.g").as("g"))
+        .agg(min(col("ts")).as("first_ts"))
+        .groupBy(window(col("first_ts"), "10 minutes").as("w"), col("n"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => ((r.getStruct(0).getTimestamp(0).getTime,
+          r.getInt(1).toLong), r.getLong(2))).toMap
+      assert(batch.nonEmpty)
+      for ((k, n) <- batch) assert(streamed.get(k).contains(n),
+        s"window/n $k: stream=${streamed.get(k)} batch=$n")
+    } finally q.stop()
+  }
 }

@@ -33,7 +33,25 @@ def main():
     fuzz = set(re.findall(r'"(q\d+_[a-z0-9_]+)"',
                           (REPO / "tools/fuzz_oracle.py").read_text()))
     stream = (SRC / "streaming/StreamOps.scala").read_text()
-    twins = set(re.findall(r"q(\d+)", stream))
+    # anchored to the twin-declaration phrases: a bare q\d+ scan also
+    # matched incidental prose like "the exact q90 loss order
+    # statistic" (a percentile, not a query id) and mislabeled
+    # q90_chunking with a stream-twin gate (ADVICE r8). Scaladoc wraps
+    # mid-phrase, so join the " * " continuation lines first.
+    flat = re.sub(r"\n\s*\*\s?", " ", stream)
+    twin_pats = [
+        # "twin of qNNN" / "twin of [[graft...qNNNFoo]]"
+        r"twin of (?:\[\[[\w.]*?[qQ]|q)(\d+)",
+        r"q(\d+)'s streaming twin",
+        # the "qNNN's <batch shape> as a live/continuous/production..."
+        # opening-sentence convention (driftTv, vocabNovelty, ewma,
+        # cusum, benford, entropy, sloBurn, psiDrift, qualityFilter)
+        r"q(\d+)(?:'s| \w+[ -]\w+)? [^.]{0,80}? as (?:a live|a continuous"
+        r"|a STATELESS|it runs|per-key|a \w+ per-window)",
+        r"q(\d+)'s streaming sibling",   # entropyMonitor
+        r"q(\d+)'s per-window half",     # sloBurnMonitor
+    ]
+    twins = {m for p in twin_pats for m in re.findall(p, flat)}
 
     def num(n):
         return int(n.split("_")[0][1:])

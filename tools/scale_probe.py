@@ -11,8 +11,14 @@ is 90% verbatim duplicates would measure the DEDUP families' class-size
 quadratics, not the operators' scaling). Dimension tables and events
 are copied as-is (they are SF-fixed or unused by the probe set).
 
+A second, STEEPER point (30 copies ~ "sf3") reruns the three
+steepest sf1 scalers (q270 x4.29, q241 x4.10, q254 x3.99 in r8) to
+check the growth curve bends down, not up (VERDICT r8 item 6).
+
 Usage: python3 tools/scale_probe.py [--gen-only|--bench-only]
-Writes the measured table to target/scale_probe.json and prints it.
+Writes the measured table to target/scale_probe.json AND the committed
+SCALE_PROBE.json at the repo root (target/ is gitignored and the
+driver's rerun overwrites it — the r8 probe artifact lesson).
 """
 import json
 import os
@@ -24,7 +30,9 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sf1"
+DST3 = "/tmp/sf3"
 COPIES = 10
+COPIES3 = 30
 OFF = 1_000_000
 
 PROBE = [
@@ -36,14 +44,18 @@ PROBE = [
 
 AS_IS = ["region", "nation", "customer", "supplier", "part", "events"]
 
+# the three steepest sf1 scalers (r8): fixed-round iterative graph
+# algorithms — the ones whose curve needs a second, steeper point
+STEEP = ["q270_modularity", "q241_label_prop", "q254_max_coverage"]
 
-def gen():
-    shutil.rmtree(DST, ignore_errors=True)
-    os.makedirs(DST)
+
+def gen(dst=DST, copies=COPIES):
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
     for t in AS_IS:
-        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+        shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW c AS SELECT unnest(range({COPIES})) AS i")
+    con.execute(f"CREATE VIEW c AS SELECT unnest(range({copies})) AS i")
     con.execute(f"""COPY (
         SELECT l_orderkey + i * {OFF} AS l_orderkey,
                l_partkey + i * {OFF} AS l_partkey,
@@ -51,13 +63,13 @@ def gen():
                l_linenumber, l_quantity, l_extendedprice, l_discount,
                l_tax, l_returnflag, l_linestatus, l_shipdate
         FROM '{SRC}/lineitem.parquet', c
-    ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)""")
+    ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)""")
     con.execute(f"""COPY (
         SELECT o_orderkey + i * {OFF} AS o_orderkey,
                o_custkey + i * {OFF} AS o_custkey,
                * EXCLUDE (o_orderkey, o_custkey, i)
         FROM '{SRC}/orders.parquet', c
-    ) TO '{DST}/orders.parquet' (FORMAT PARQUET)""")
+    ) TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
     # per-copy token suffix: copies share no vocabulary (see header)
     con.execute(f"""COPY (
         SELECT doc_id + i * {OFF} AS doc_id,
@@ -69,20 +81,20 @@ def gen():
                     ELSE replace(text, ' ', '_c' || i || ' ') || '_c' || i
                END) AS BIGINT) AS n_chars
         FROM '{SRC}/documents.parquet', c
-    ) TO '{DST}/documents.parquet' (FORMAT PARQUET)""")
+    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
     con.execute(f"""COPY (
         SELECT vec_id + i * {OFF} AS vec_id, embedding, label
         FROM '{SRC}/embeddings.parquet', c
-    ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)""")
+    ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
     for t in ["lineitem", "orders", "documents", "embeddings"]:
-        n = con.sql(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+        n = con.sql(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
         print(f"  {t}: {n} rows")
 
 
-def bench(sf_dir):
+def bench(sf_dir, probe=None):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     r = subprocess.run(
-        ["sbt", "-batch", f"runMain graft.Bench {','.join(PROBE)}"],
+        ["sbt", "-batch", f"runMain graft.Bench {','.join(probe or PROBE)}"],
         cwd="/root/repo", env=env, capture_output=True, text=True)
     if r.returncode != 0:
         print(r.stdout[-4000:], r.stderr[-2000:])
@@ -96,23 +108,38 @@ def main():
     if mode != "--bench-only":
         print(f"generating {DST} ({COPIES} shifted copies of {SRC}) ...")
         gen()
+        print(f"generating {DST3} ({COPIES3} shifted copies of {SRC}) ...")
+        gen(DST3, COPIES3)
     if mode == "--gen-only":
         return
     print("bench @ sf0.1 ...")
     base = bench(SRC)
     print("bench @ sf1 ...")
     big = bench(DST)
+    print(f"bench @ sf3 (steep trio: {', '.join(STEEP)}) ...")
+    big3 = bench(DST3, STEEP)
     rows = []
     for q in PROBE:
         b, g = base.get(q, -1), big.get(q, -1)
         ratio = round(g / b, 2) if b and b > 0 and g > 0 else None
-        rows.append({"query": q, "sf0.1_s": round(b, 3),
-                     "sf1_s": round(g, 3), "ratio": ratio})
-    out = {"copies": COPIES, "probe": rows,
+        row = {"query": q, "sf0.1_s": round(b, 3),
+               "sf1_s": round(g, 3), "ratio": ratio}
+        if q in STEEP:
+            g3 = big3.get(q, -1)
+            row["sf3_s"] = round(g3, 3)
+            row["ratio30"] = round(g3 / b, 2) if b and b > 0 and g3 > 0 else None
+            # sub-linear continuation: tripling the data from sf1 to
+            # sf3 should cost < 3x the sf1 wall
+            row["sf3_over_sf1"] = round(g3 / g, 2) if g and g > 0 and g3 > 0 else None
+        rows.append(row)
+    out = {"copies": COPIES, "steep_copies": COPIES3, "probe": rows,
            "total_sf01": round(sum(r["sf0.1_s"] for r in rows), 1),
            "total_sf1": round(sum(r["sf1_s"] for r in rows), 1)}
     with open("/root/repo/target/scale_probe.json", "w") as f:
         json.dump(out, f, indent=2)
+    with open("/root/repo/SCALE_PROBE.json", "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
     print(f"{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}")
     for r in rows:
         print(f"{r['query']:28s} {r['sf0.1_s']:8.2f} {r['sf1_s']:8.2f} "
