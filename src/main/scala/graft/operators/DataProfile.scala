@@ -4625,11 +4625,345 @@ object DataProfile {
       .orderBy("priority")
   }
 
+  /** q407 — Cramér–von Mises two-sample test (Cramér '28; Anderson
+    * '62 computing form) between the click and view event-value
+    * populations: T = U/(n·m·N) − (4nm−1)/(6N) with
+    * U = n·Σᵢ(rᵢ−i)² + m·Σⱼ(sⱼ−j)² over midranks — the
+    * whole-distribution test that weights the ECDF gap EVERYWHERE
+    * (q224's KS sees only the single largest gap; CvM integrates the
+    * squared gap, catching spread/shape differences KS dilutes).
+    *
+    * Exactness: both populations collapse to the (cents, count,
+    * count₁) domain frame; global and per-group rank offsets are
+    * THREE [[ScaleRank.withRunningSum]] prefixes of that one frame;
+    * Σ(r−i)² per value is CLOSED FORM in doubled units — each tied
+    * block shares one doubled midrank d and occupies consecutive
+    * within-group doubled positions 2i, so Σ(d−2i)² = t·d² − 4d·S₁ +
+    * 4·S₂ with S₁/S₂ arithmetic and square-pyramidal partial sums
+    * (k(k+1)(2k+1) is divisible by 6 — the //6 is exact); U rides
+    * DECIMAL(38); T is ONE guarded IEEE chain (4× unit correction
+    * folded in).
+    *
+    * Scale design (100 TB): one conditional-count collapse to the
+    * bounded 2dp-cents domain, one prefix pass, one per-row closed
+    * form — no windows, no pair joins. Output 1 row. */
+  val q407CramerVonMises: QueryDef = QueryDef(
+    "q407_cramer_von_mises",
+    """WITH x AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |dom AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS t,
+      |    CAST(sum(g1) AS BIGINT) AS t1
+      |  FROM x GROUP BY v),
+      |nn AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(t1) AS BIGINT) AS n1
+      |  FROM dom),
+      |pre AS (
+      |  SELECT v, t, t1, t - t1 AS t2,
+      |    CAST(sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) - t AS cb,
+      |    CAST(sum(t1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) - t1 AS cb1,
+      |    CAST(sum(t - t1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) - (t - t1) AS cb2
+      |  FROM dom),
+      |terms AS (
+      |  SELECT
+      |    CAST(t1 AS HUGEINT) * ((2 * cb + t + 1) * (2 * cb + t + 1))
+      |      - 4 * (2 * cb + t + 1)
+      |        * (((cb1 + t1) * (cb1 + t1 + 1)) // 2
+      |           - ((cb1) * (cb1 + 1)) // 2)
+      |      + 4 * (((cb1 + t1) * (cb1 + t1 + 1)
+      |              * CAST(2 * (cb1 + t1) + 1 AS HUGEINT)) // 6
+      |             - ((cb1) * (cb1 + 1) * CAST(2 * cb1 + 1 AS HUGEINT))
+      |               // 6) AS q1,
+      |    CAST(t2 AS HUGEINT) * ((2 * cb + t + 1) * (2 * cb + t + 1))
+      |      - 4 * (2 * cb + t + 1)
+      |        * (((cb2 + t2) * (cb2 + t2 + 1)) // 2
+      |           - ((cb2) * (cb2 + 1)) // 2)
+      |      + 4 * (((cb2 + t2) * (cb2 + t2 + 1)
+      |              * CAST(2 * (cb2 + t2) + 1 AS HUGEINT)) // 6
+      |             - ((cb2) * (cb2 + 1) * CAST(2 * cb2 + 1 AS HUGEINT))
+      |               // 6) AS q2
+      |  FROM pre),
+      |u AS (
+      |  SELECT nn.n1 * sum(q1) + (nn.n - nn.n1) * sum(q2) AS u4
+      |  FROM terms, nn GROUP BY nn.n1, nn.n)
+      |SELECT nn.n1, nn.n - nn.n1 AS n2,
+      |  CAST(floor(1000000.0e0 * (CAST(u.u4 AS DOUBLE)
+      |    / (4.0e0 * nn.n1 * (nn.n - nn.n1) * nn.n)
+      |    - (4.0e0 * nn.n1 * (nn.n - nn.n1) - 1.0e0) / (6.0e0 * nn.n)))
+      |    AS BIGINT) AS t_micro,
+      |  CASE WHEN floor(1000000.0e0 * (CAST(u.u4 AS DOUBLE)
+      |    / (4.0e0 * nn.n1 * (nn.n - nn.n1) * nn.n)
+      |    - (4.0e0 * nn.n1 * (nn.n - nn.n1) - 1.0e0) / (6.0e0 * nn.n)))
+      |    > 461000 THEN 1 ELSE 0 END AS reject_5pct
+      |FROM nn, u WHERE nn.n1 > 0 AND nn.n1 < nn.n""".stripMargin) {
+    (s, dir) =>
+    val x = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(expr("cast(floor(value * 100 + 0.5) as bigint)").as("v"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("g1"))
+    val dom = x.groupBy(col("v"))
+      .agg(count(lit(1)).as("t"), sum(col("g1")).as("t1"))
+      .ckpt() // bounded 2dp-cents value domain: 3 prefixes + totals
+    val nn = dom.agg(sum(col("t")).cast("bigint").as("n"),
+      sum(col("t1")).cast("bigint").as("n1"))
+    val pre = ScaleRank.withRunningSum(
+        ScaleRank.withRunningSum(
+          ScaleRank.withRunningSum(
+            dom.withColumn("t2", col("t") - col("t1")),
+            Seq.empty, Seq(col("v")), col("t"), "cum"),
+          Seq.empty, Seq(col("v")), col("t1"), "cum1"),
+        Seq.empty, Seq(col("v")), col("t2"), "cum2")
+      .select(col("t"), col("t1"), col("t2"),
+        (col("cum") - col("t")).as("cb"),
+        (col("cum1") - col("t1")).as("cb1"),
+        (col("cum2") - col("t2")).as("cb2"))
+    def blockQ(tc: String, cbc: String) =
+      s"CAST($tc AS DECIMAL(38,0)) * ((2 * cb + t + 1) * (2 * cb + t + 1)) " +
+        s"- 4 * (2 * cb + t + 1) " +
+        s"* ((($cbc + $tc) * ($cbc + $tc + 1)) div 2 " +
+        s"- (($cbc) * ($cbc + 1)) div 2) " +
+        s"+ 4 * (((($cbc + $tc) * ($cbc + $tc + 1)) " +
+        s"* CAST(2 * ($cbc + $tc) + 1 AS DECIMAL(38,0))) div 6 " +
+        s"- ((($cbc) * ($cbc + 1)) * CAST(2 * $cbc + 1 AS DECIMAL(38,0))) " +
+        s"div 6)"
+    val terms = pre.select(expr(blockQ("t1", "cb1")).as("q1"),
+      expr(blockQ("t2", "cb2")).as("q2"))
+    val u = terms.agg(sum(col("q1")).as("sq1"), sum(col("q2")).as("sq2"))
+      .crossJoin(broadcast(nn))
+      .select(col("n"), col("n1"),
+        (col("n1") * col("sq1") + (col("n") - col("n1")) * col("sq2"))
+          .as("u4"))
+    val tChain = "floor(1000000.0e0 * (CAST(u4 AS DOUBLE) " +
+      "/ (4.0e0 * n1 * (n - n1) * n) " +
+      "- (4.0e0 * n1 * (n - n1) - 1.0e0) / (6.0e0 * n)))"
+    u.filter(col("n1") > 0 && col("n1") < col("n"))
+      .select(col("n1"), (col("n") - col("n1")).as("n2"),
+        expr(s"CAST($tChain AS BIGINT)").as("t_micro"),
+        expr(s"CASE WHEN $tChain > 461000 THEN 1 ELSE 0 END")
+          .as("reject_5pct"))
+  }
+
+  /** q408 — Tukey HSD post-hoc (Tukey '49) across the five order
+    * priorities: every pairwise |mean difference| studentized by the
+    * pooled within-group error, q = |x̄ᵢ − x̄ⱼ| / √(MSW/2·(1/nᵢ+1/nⱼ))
+    * — the family-wise honest answer to "WHICH priorities differ"
+    * after q257's ANOVA says "some do" (per-pair t-tests at 5%
+    * inflate the family error to ~23% over 10 pairs; HSD controls it
+    * with the studentized-range critical value, q₀.₀₅(5,∞) = 3.858).
+    *
+    * Exactness: per-group (n, Σx, Σx²) are exact DECIMAL(38) cents
+    * moments; each group's within-SS lands as the exact truncating
+    * (n·q − s²) div (n·10⁶) — 10⁶-cents² units, because `div` emits
+    * int64 and the raw cents² SS is ~10²⁶ (the q405 lesson: scale
+    * the REPORTING unit, keep the moments exact); group means are
+    * exact milli divs; the studentized q is ONE guarded IEEE chain
+    * per pair over those exact integers.
+    *
+    * Scale design (100 TB): one grouped moment pass (map-side
+    * combinable to 5 rows); the pair expansion is the 5×5 θ-join of
+    * that literal-domain group frame (10 pairs — allowlisted with
+    * the bound named). Output k(k−1)/2 rows, ordered. */
+  val q408TukeyHsd: QueryDef = {
+    val qChain = "floor(1000.0e0 * abs(CAST(mi AS DOUBLE) - mj) / " +
+      "(1000000.0e0 * sqrt(CAST(ssw_m6 AS DOUBLE) / " +
+      "(2.0e0 * CAST(dfw AS DOUBLE)) * (1.0e0 / ni + 1.0e0 / nj))))"
+    QueryDef(
+      "q408_tukey_hsd",
+      s"""WITH x AS (
+         |  SELECT o_orderpriority AS grp,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+         |  FROM orders),
+         |g AS (
+         |  SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+         |    sum(CAST(v AS HUGEINT)) AS s, sum(CAST(v AS HUGEINT) * v) AS q
+         |  FROM x GROUP BY grp),
+         |w AS (
+         |  SELECT CAST(sum((n * q - s * s) // (n * 1000000)) AS BIGINT)
+         |      AS ssw_m6,
+         |    CAST(sum(n) - count(*) AS BIGINT) AS dfw
+         |  FROM g),
+         |m AS (
+         |  SELECT grp, CAST(n AS BIGINT) AS n,
+         |    CAST((1000 * s) // n AS BIGINT) AS mean_milli
+         |  FROM g),
+         |p AS (
+         |  SELECT a.grp AS g1, b.grp AS g2, a.n AS ni, b.n AS nj,
+         |    a.mean_milli AS mi, b.mean_milli AS mj
+         |  FROM m a JOIN m b ON a.grp < b.grp)
+         |SELECT p.g1, p.g2, p.ni, p.nj,
+         |  p.mi - p.mj AS diff_milli,
+         |  CAST($qChain AS BIGINT) AS q_milli,
+         |  CASE WHEN $qChain > 3858 THEN 1 ELSE 0 END AS reject_5pct
+         |FROM p, w WHERE w.ssw_m6 > 0 AND w.dfw > 0
+         |ORDER BY g1, g2""".stripMargin) { (s, dir) =>
+      val x = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+            .as("v"))
+      val g = x.groupBy(col("grp")).agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("v").cast("decimal(38,0)")).as("s"),
+          sum(col("v").cast("decimal(38,0)") * col("v")).as("q"))
+        .ckpt() // 5-row literal-priority moment frame: SSW + means
+      val w = g.agg(
+        sum(expr("(n * q - s * s) div (n * 1000000)")).cast("bigint")
+          .as("ssw_m6"),
+        (sum(col("n")) - count(lit(1))).cast("bigint").as("dfw"))
+      val m = g.select(col("grp"), col("n").cast("bigint").as("n"),
+        expr("CAST((1000 * s) div n AS BIGINT)").as("mean_milli"))
+      val p = m.select(col("grp").as("g1"), col("n").as("ni"),
+          col("mean_milli").as("mi"))
+        .join(m.select(col("grp").as("g2"), col("n").as("nj"),
+          col("mean_milli").as("mj")), col("g1") < col("g2"))
+      p.crossJoin(broadcast(w))
+        .filter(col("ssw_m6") > 0 && col("dfw") > 0)
+        .select(col("g1"), col("g2"), col("ni"), col("nj"),
+          (col("mi") - col("mj")).as("diff_milli"),
+          expr(s"CAST($qChain AS BIGINT)").as("q_milli"),
+          expr(s"CASE WHEN $qChain > 3858 THEN 1 ELSE 0 END")
+            .as("reject_5pct"))
+        .orderBy("g1", "g2")
+    }
+  }
+
+  /** q411 — Quade test (Quade '79) on weekday revenue across full
+    * weeks: Friedman (q391) treats every week as equally informative;
+    * Quade weights each week by the rank of its RANGE, so
+    * high-variation weeks — the ones that actually discriminate
+    * weekdays — drive the statistic. F = (n−1)·B/(A−B) over
+    * S_ij = Q_i·(r_ij − (k+1)/2).
+    *
+    * Exactness: within-week midranks ride the 7×7 block identity in
+    * doubled units (the q391 discipline); week ranges are exact
+    * cents; range ranks across weeks ride the same doubled-midrank
+    * identity over the (range, count) domain; with both doublings
+    * S carries a fixed 4× unit that CANCELS in F — so A₁₆ = Σs²,
+    * B₁₆ₙ = Σ_j(Σᵢ s)², and F_milli = (1000·(n−1)·B₁₆ₙ) div
+    * (n·A₁₆ − B₁₆ₙ) is EXACT integer arithmetic end to end
+    * (denominator ≥ 0 by Cauchy–Schwarz; df = (6, 6(n−1)),
+    * asymptotic 5% critical 2.099).
+    *
+    * Scale design (100 TB): one fact collapse to the calendar-bounded
+    * day axis; the rank self-joins are 7×7 per week and
+    * domain×domain on the week-range frame (both calendar-bounded —
+    * weeks ≤ span/7); output is a 7-row weekday frame + constants. */
+  val q411Quade: QueryDef = {
+    val K = 7
+    QueryDef(
+      "q411_quade",
+      s"""WITH daily AS (
+         |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS ed,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |dd AS (
+         |  SELECT ed // 7 AS wk, ed % 7 AS wd, rev FROM daily),
+         |full_wk AS (
+         |  SELECT wk FROM dd GROUP BY wk HAVING count(*) = $K),
+         |b AS (SELECT dd.* FROM dd JOIN full_wk USING (wk)),
+         |rk AS (
+         |  SELECT a.wk, a.wd,
+         |    2 * CAST(sum(CASE WHEN x.rev < a.rev THEN 1 ELSE 0 END)
+         |      AS BIGINT) +
+         |    CAST(sum(CASE WHEN x.rev = a.rev THEN 1 ELSE 0 END)
+         |      AS BIGINT) + 1 AS r2
+         |  FROM b a JOIN b x ON x.wk = a.wk
+         |  GROUP BY a.wk, a.wd),
+         |rng AS (
+         |  SELECT wk, max(rev) - min(rev) AS rg FROM b GROUP BY wk),
+         |rdom AS (
+         |  SELECT rg, CAST(count(*) AS BIGINT) AS c FROM rng GROUP BY rg),
+         |rq AS (
+         |  SELECT a.rg,
+         |    2 * CAST(coalesce(sum(CASE WHEN x.rg < a.rg THEN x.c END), 0)
+         |      AS BIGINT) + a.c + 1 AS q2
+         |  FROM rdom a LEFT JOIN rdom x ON x.rg <= a.rg
+         |  GROUP BY a.rg, a.c),
+         |sframe AS (
+         |  SELECT rk.wk, rk.wd,
+         |    rq.q2 * (rk.r2 - ${K + 1}) AS s4
+         |  FROM rk JOIN rng ON rng.wk = rk.wk JOIN rq ON rq.rg = rng.rg),
+         |agg AS (
+         |  SELECT CAST(count(DISTINCT wk) AS BIGINT) AS n,
+         |    CAST(sum(CAST(s4 AS HUGEINT) * s4) AS HUGEINT) AS a16
+         |  FROM sframe),
+         |colsum AS (
+         |  SELECT wd, CAST(sum(s4) AS BIGINT) AS sj4 FROM sframe
+         |  GROUP BY wd),
+         |bsum AS (
+         |  SELECT CAST(sum(CAST(sj4 AS HUGEINT) * sj4) AS HUGEINT) AS b16n
+         |  FROM colsum),
+         |f AS (
+         |  SELECT agg.n,
+         |    CAST((1000 * (agg.n - 1) * bsum.b16n)
+         |      // (agg.n * agg.a16 - bsum.b16n) AS BIGINT) AS f_milli
+         |  FROM agg, bsum WHERE agg.n * agg.a16 - bsum.b16n > 0)
+         |SELECT colsum.wd AS weekday, colsum.sj4 AS s_col4, f.n AS n_weeks,
+         |  f.f_milli,
+         |  CASE WHEN f.f_milli > 2099 THEN 1 ELSE 0 END AS reject_5pct
+         |FROM colsum, f ORDER BY weekday""".stripMargin) { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+          .cast("bigint").as("ed"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("bigint")).cast("bigint").as("rev"))
+      val dd = daily.select(expr("ed div 7").as("wk"),
+        (col("ed") % 7).as("wd"), col("rev"))
+      val fullWk = dd.groupBy("wk").agg(count(lit(1)).as("c"))
+        .filter(col("c") === K).select("wk")
+      val b = dd.join(fullWk, Seq("wk")).ckpt() // block-join + range sides
+      val rk = b.select(col("wk"), col("wd"), col("rev"))
+        .join(b.select(col("wk"), col("rev").as("rev2")), Seq("wk"))
+        .groupBy(col("wk"), col("wd"))
+        .agg((lit(2) * sum(when(col("rev2") < col("rev"), 1L).otherwise(0L))
+          + sum(when(col("rev2") === col("rev"), 1L).otherwise(0L)) + 1)
+          .as("r2"))
+      val rng = b.groupBy(col("wk"))
+        .agg((max(col("rev")) - min(col("rev"))).as("rg"))
+        .ckpt() // week-range frame: domain ranks + the sframe join
+      val rdom = rng.groupBy(col("rg")).agg(count(lit(1)).as("c"))
+      val rq = ScaleRank.withRunningSum(rdom, Seq.empty, Seq(col("rg")),
+          col("c"), "cum")
+        .select(col("rg"),
+          (lit(2) * (col("cum") - col("c")) + col("c") + 1).as("q2"))
+      val sframe = rk.join(rng, Seq("wk"))
+        .join(broadcast(rq), Seq("rg"))
+        .select(col("wk"), col("wd"),
+          (col("q2") * (col("r2") - (K + 1))).as("s4"))
+        .ckpt() // n×7 S frame: A, column sums, output
+      val agg = sframe.agg(
+        countDistinct(col("wk")).cast("bigint").as("n"),
+        sum(col("s4").cast("decimal(38,0)") * col("s4")).as("a16"))
+      val colsum = sframe.groupBy(col("wd"))
+        .agg(sum(col("s4")).cast("bigint").as("sj4"))
+        .ckpt() // 7-row weekday frame: B fold + output
+      val bsum = colsum
+        .agg(sum(col("sj4").cast("decimal(38,0)") * col("sj4")).as("b16n"))
+      val f = agg.crossJoin(broadcast(bsum))
+        .filter(expr("n * a16 - b16n > 0"))
+        .select(col("n"),
+          expr("CAST((1000 * (n - 1) * b16n) div (n * a16 - b16n) " +
+            "AS BIGINT)").as("f_milli"))
+      colsum.crossJoin(broadcast(f))
+        .select(col("wd").as("weekday"), col("sj4").as("s_col4"),
+          col("n").as("n_weeks"), col("f_milli"),
+          when(col("f_milli") > 2099L, 1).otherwise(0).as("reject_5pct"))
+        .orderBy("weekday")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q379KruskalWallis, q382MiMatrix, q384CochranArmitage, q385KendallW,
       q388RunsTest, q391Friedman,
       q392MannKendall, q393WelchT, q394BrownForsythe, q395JarqueBera,
       q399AnsariBradley, q400MoodMedian,
+      q407CramerVonMises, q408TukeyHsd, q411Quade,
       q403Grubbs,
       q359TailDependence, q363Jonckheere, q364Sinkhorn,
       q367AndersonDarling,

@@ -1522,10 +1522,209 @@ object Forecast {
     }
   }
 
+  /** q406 — permutation entropy of order 3 (Bandt & Pompe '02) on
+    * daily revenue: encode every consecutive day triple by its
+    * ordinal pattern (which of the 3! orderings the values take,
+    * ties broken toward the earlier day — the stable-argsort
+    * convention) and read the Shannon entropy of the pattern
+    * distribution. The complexity gauge that needs NO amplitude
+    * model at all — white noise → ln 6, a monotone ramp → 0 — and
+    * is robust to any monotone transform of revenue; complements
+    * q376 (symbol entropy RATE of the event-type stream) and q402
+    * (mean-shift location).
+    *
+    * Exactness: triples come from two consecutive-index equi
+    * self-joins on the [[ScaleRank]] row number; the 3 pairwise ≤
+    * comparisons encode the pattern exactly; each pattern's entropy
+    * term is independently nano-floored (the q83/q199 discipline)
+    * and the sums are exact int64.
+    *
+    * Scale design (100 TB): one fact collapse to the calendar-bounded
+    * day axis, two equi lag joins of the bounded frame, a ≤6-row
+    * pattern aggregate. Output ≤6 rows + constants. */
+  val q406PermutationEntropy: QueryDef = QueryDef(
+    "q406_permutation_entropy",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |ax AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, rev
+      |  FROM daily),
+      |tri AS (
+      |  SELECT 4 * (CASE WHEN a.rev <= b.rev THEN 1 ELSE 0 END)
+      |    + 2 * (CASE WHEN b.rev <= c.rev THEN 1 ELSE 0 END)
+      |    + (CASE WHEN a.rev <= c.rev THEN 1 ELSE 0 END) AS pat
+      |  FROM ax a JOIN ax b ON b.t = a.t + 1 JOIN ax c ON c.t = a.t + 2),
+      |pc AS (
+      |  SELECT pat, CAST(count(*) AS BIGINT) AS cnt FROM tri GROUP BY pat),
+      |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM pc),
+      |terms AS (
+      |  SELECT pc.pat, pc.cnt,
+      |    CAST(floor(1000000000.0e0 * (-(CAST(pc.cnt AS DOUBLE)
+      |      / CAST(nn.n AS DOUBLE))
+      |      * ln(CAST(pc.cnt AS DOUBLE) / CAST(nn.n AS DOUBLE))))
+      |      AS BIGINT) AS h_nn
+      |  FROM pc, nn),
+      |h AS (SELECT CAST(sum(h_nn) AS BIGINT) AS h_nano FROM terms)
+      |SELECT terms.pat AS pattern, terms.cnt AS n_triples, h.h_nano,
+      |  CAST((1000 * h.h_nano) //
+      |    CAST(floor(1000000000.0e0 * ln(6.0e0)) AS BIGINT) AS BIGINT)
+      |    AS h_norm_milli
+      |FROM terms, h ORDER BY pattern""".stripMargin) { (s, dir) =>
+    val ax = ScaleRank.withRowNumber(
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")).cast("bigint").as("rev")),
+        Seq.empty, Seq(col("d")), "t", "n_ax")
+      .select(col("t"), col("rev"))
+      .ckpt() // calendar-bounded indexed day frame: both lag joins
+    val tri = ax.select(col("t").as("ta"), col("rev").as("ra"))
+      .join(ax.select(col("t").as("tb"), col("rev").as("rb")),
+        col("tb") === col("ta") + 1)
+      .join(ax.select(col("t").as("tc"), col("rev").as("rc")),
+        col("tc") === col("ta") + 2)
+      .select((lit(4) * when(col("ra") <= col("rb"), 1).otherwise(0)
+        + lit(2) * when(col("rb") <= col("rc"), 1).otherwise(0)
+        + when(col("ra") <= col("rc"), 1).otherwise(0)).as("pat"))
+    val pc = tri.groupBy(col("pat")).agg(count(lit(1)).as("cnt"))
+      .ckpt() // <=6-row pattern frame: total + terms + output
+    val nn = pc.agg(sum(col("cnt")).cast("bigint").as("n"))
+    val terms = pc.crossJoin(broadcast(nn))
+      .select(col("pat"), col("cnt"),
+        expr("CAST(floor(1000000000.0e0 * (-(CAST(cnt AS DOUBLE) " +
+          "/ CAST(n AS DOUBLE)) * ln(CAST(cnt AS DOUBLE) " +
+          "/ CAST(n AS DOUBLE)))) AS BIGINT)").as("h_nn"))
+      .ckpt() // terms feed the fold AND the output
+    val h = terms.agg(sum(col("h_nn")).cast("bigint").as("h_nano"))
+    terms.crossJoin(broadcast(h))
+      .select(col("pat").as("pattern"), col("cnt").as("n_triples"),
+        col("h_nano"),
+        expr("CAST((1000 * h_nano) div " +
+          "CAST(floor(1000000000.0e0 * ln(6.0e0)) AS BIGINT) AS BIGINT)")
+          .as("h_norm_milli"))
+      .orderBy("pattern")
+  }
+
+  /** q410 — Breusch–Pagan heteroskedasticity test (Breusch & Pagan
+    * '79, Koenker's studentized form) on the q404 OLS residuals:
+    * regress the squared residual on the day index and read
+    * BP = n·R² of that auxiliary fit. DW (q404) audits residual
+    * CORRELATION; BP audits residual VARIANCE drift — the assumption
+    * that turns a fan-shaped revenue trend into a false "stable
+    * forecast" (χ²₁, 5% critical 3.841).
+    *
+    * Exactness: residuals are the exact integer milli residuals off
+    * the SHARED q404 floored coefficients; the auxiliary variable is
+    * u = e² div 10⁹ (exact truncating — raw e⁴ sums would pass 10³⁸;
+    * the div keeps Σu² inside DECIMAL(38) headroom); the five
+    * auxiliary moments are exact DECIMAL(38) integers; BP is ONE
+    * guarded IEEE chain.
+    *
+    * Scale design (100 TB): the q404 plan plus one more fold of the
+    * same calendar-bounded residual frame. Output 1 row. */
+  val q410BreuschPagan: QueryDef = QueryDef(
+    "q410_breusch_pagan",
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1),
+       |ax AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, rev
+       |  FROM daily),
+       |mo AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(t AS HUGEINT)) AS st,
+       |    sum(CAST(t AS HUGEINT) * t) AS stt,
+       |    sum(CAST(rev AS HUGEINT)) AS sy,
+       |    sum(CAST(t AS HUGEINT) * rev) AS sty
+       |  FROM ax),
+       |co AS (
+       |  SELECT n, st, sy, $olsBMilli AS b_milli FROM mo),
+       |co2 AS (SELECT b_milli, $olsAMilli AS a_milli FROM co),
+       |e AS (
+       |  SELECT ax.t,
+       |    ((1000 * ax.rev - co2.a_milli - co2.b_milli * ax.t)
+       |      * CAST((1000 * ax.rev - co2.a_milli - co2.b_milli * ax.t)
+       |        AS HUGEINT)) // 1000000000 AS u
+       |  FROM ax, co2),
+       |am AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(t AS HUGEINT)) AS st,
+       |    sum(CAST(t AS HUGEINT) * t) AS stt,
+       |    sum(u) AS su, sum(CAST(t AS HUGEINT) * u) AS stu,
+       |    sum(u * u) AS suu
+       |  FROM e)
+       |SELECT CAST(n AS BIGINT) AS n_days,
+       |  CAST(floor(1000.0e0 * CAST(n AS DOUBLE)
+       |    * (CAST(n AS DOUBLE) * CAST(stu AS DOUBLE)
+       |       - CAST(st AS DOUBLE) * CAST(su AS DOUBLE))
+       |    * (CAST(n AS DOUBLE) * CAST(stu AS DOUBLE)
+       |       - CAST(st AS DOUBLE) * CAST(su AS DOUBLE))
+       |    / ((CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+       |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+       |       * (CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+       |          - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))))
+       |    AS BIGINT) AS bp_milli,
+       |  CASE WHEN floor(1000.0e0 * CAST(n AS DOUBLE)
+       |    * (CAST(n AS DOUBLE) * CAST(stu AS DOUBLE)
+       |       - CAST(st AS DOUBLE) * CAST(su AS DOUBLE))
+       |    * (CAST(n AS DOUBLE) * CAST(stu AS DOUBLE)
+       |       - CAST(st AS DOUBLE) * CAST(su AS DOUBLE))
+       |    / ((CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+       |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+       |       * (CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+       |          - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)))) > 3841
+       |    THEN 1 ELSE 0 END AS reject_5pct
+       |FROM am
+       |WHERE (n * suu - su * su) > 0 AND (n * stt - st * st) > 0
+       |""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ax = ScaleRank.withRowNumber(
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")).cast("bigint").as("rev")),
+        Seq.empty, Seq(col("d")), "t", "n_ax")
+      .select(col("t"), col("rev"))
+      .ckpt() // calendar-bounded indexed day frame
+    val mo = ax.agg(dec(count(lit(1))).as("n"),
+      sum(dec(col("t"))).as("st"), sum(dec(col("t")) * col("t")).as("stt"),
+      sum(dec(col("rev"))).as("sy"), sum(dec(col("t")) * col("rev")).as("sty"))
+    val co = mo.select(col("n"), col("st"), col("sy"),
+        expr(olsBMilli).as("b_milli"))
+      .select(col("b_milli"), expr(olsAMilli).as("a_milli"))
+    val e = ax.crossJoin(broadcast(co))
+      .select(col("t"),
+        expr("CAST(((1000 * rev - a_milli - b_milli * t) * " +
+          "CAST((1000 * rev - a_milli - b_milli * t) AS DECIMAL(38,0))) " +
+          "div 1000000000 AS DECIMAL(38,0))").as("u"))
+    val am = e.agg(dec(count(lit(1))).as("n"),
+      sum(dec(col("t"))).as("st"), sum(dec(col("t")) * col("t")).as("stt"),
+      sum(col("u")).as("su"), sum(dec(col("t")) * col("u")).as("stu"),
+      sum(col("u") * col("u")).as("suu"))
+    val bp = "floor(1000.0e0 * CAST(n AS DOUBLE) " +
+      "* (CAST(n AS DOUBLE) * CAST(stu AS DOUBLE) " +
+      "- CAST(st AS DOUBLE) * CAST(su AS DOUBLE)) " +
+      "* (CAST(n AS DOUBLE) * CAST(stu AS DOUBLE) " +
+      "- CAST(st AS DOUBLE) * CAST(su AS DOUBLE)) " +
+      "/ ((CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) " +
+      "- CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) " +
+      "* (CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) " +
+      "- CAST(su AS DOUBLE) * CAST(su AS DOUBLE))))"
+    am.filter(expr("(n * suu - su * su) > 0 AND (n * stt - st * st) > 0"))
+      .select(col("n").cast("bigint").as("n_days"),
+        expr(s"CAST($bp AS BIGINT)").as("bp_milli"),
+        expr(s"CASE WHEN $bp > 3841 THEN 1 ELSE 0 END").as("reject_5pct"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail,
       q245Changepoint, q261SeasonalDecomp, q290SeasonalAnomaly,
       q349VarianceTime, q355BurstIntervals, q360DieboldMariano, q372Dtw,
       q380HoltWinters, q401VarianceRatio, q402PageHinkley, q404DurbinWatson,
-      q405ChowTest)
+      q405ChowTest, q406PermutationEntropy, q410BreuschPagan)
 }

@@ -3734,9 +3734,87 @@ object TextAnalysis {
     }
   }
 
+  /** q409 — Cohen's quadratically-weighted kappa (Cohen '68) between
+    * two ordinal document "raters": the length quintile (by n_chars)
+    * and the token-count quintile — κ_w = 1 − Σwᵢⱼ·Oᵢⱼ / Σwᵢⱼ·Eᵢⱼ
+    * with wᵢⱼ = (i−j)². The chance-corrected agreement gauge for
+    * ORDINAL labels (q378's Fleiss handles many raters but treats
+    * categories as nominal; quadratic weights charge a 1↔5
+    * disagreement 16× a 1↔2 one — exactly how adjacent quality-score
+    * disagreements should be priced in a labeling pipeline audit).
+    *
+    * Exactness: both quintiles are the exact ntile assignment off
+    * [[ScaleRank.withRowNumber]] under unique (value, doc_id) total
+    * orders (the q129 discipline — bit-equal to the oracle's ntile
+    * window); the 25-cell joint table, both margins, Σw·O, and
+    * Σwᵢⱼ·rᵢ·cⱼ are exact integers; κ_w = 1000 − (1000·N·ΣwO) div
+    * ΣwRC is ONE exact truncating div of non-negative ints.
+    *
+    * Scale design (100 TB): two distributed rank passes over the doc
+    * frame joined back by doc_id (equi), one 25-cell aggregate;
+    * everything downstream is ≤25 rows. Output 1 row. */
+  val q409WeightedKappa: QueryDef = QueryDef(
+    "q409_weighted_kappa",
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+      |      AS BIGINT) AS n_toks
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id,
+      |    ntile(5) OVER (ORDER BY n_chars, doc_id) AS ra,
+      |    ntile(5) OVER (ORDER BY n_toks, doc_id) AS rb
+      |  FROM d),
+      |o AS (
+      |  SELECT ra, rb, CAST(count(*) AS BIGINT) AS c FROM r
+      |  GROUP BY ra, rb),
+      |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM o),
+      |wo AS (
+      |  SELECT CAST(sum((ra - rb) * (ra - rb) * c) AS BIGINT) AS swo
+      |  FROM o),
+      |ma AS (SELECT ra, CAST(sum(c) AS BIGINT) AS rc FROM o GROUP BY ra),
+      |mb AS (SELECT rb, CAST(sum(c) AS BIGINT) AS cc FROM o GROUP BY rb),
+      |we AS (
+      |  SELECT CAST(sum((ma.ra - mb.rb) * (ma.ra - mb.rb)
+      |    * CAST(ma.rc AS HUGEINT) * mb.cc) AS HUGEINT) AS swrc
+      |  FROM ma, mb)
+      |SELECT nn.n AS n_docs, wo.swo AS sum_wo,
+      |  CAST(1000 - (1000 * CAST(nn.n AS HUGEINT) * wo.swo) // we.swrc
+      |    AS BIGINT) AS kappa_milli
+      |FROM nn, wo, we WHERE we.swrc > 0""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+      .ckpt() // doc frame feeds both rank passes
+    val ra = ScaleRank.withRowNumber(d.select(col("doc_id"), col("n_chars")),
+        Seq.empty, Seq(col("n_chars"), col("doc_id")), "rk", "nt")
+      .select(col("doc_id"),
+        ScaleRank.ntileFromRank(5, col("rk"), col("nt")).as("ra"))
+    val rb = ScaleRank.withRowNumber(d.select(col("doc_id"), col("n_toks")),
+        Seq.empty, Seq(col("n_toks"), col("doc_id")), "rk", "nt")
+      .select(col("doc_id"),
+        ScaleRank.ntileFromRank(5, col("rk"), col("nt")).as("rb"))
+    val o = ra.join(rb, Seq("doc_id"))
+      .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("c"))
+      .ckpt() // 25-cell joint table: margins + both folds
+    val nn = o.agg(sum(col("c")).cast("bigint").as("n"))
+    val wo = o.agg(sum((col("ra") - col("rb")) * (col("ra") - col("rb"))
+      * col("c")).cast("bigint").as("swo"))
+    val ma = o.groupBy(col("ra")).agg(sum(col("c")).as("rc"))
+    val mb = o.groupBy(col("rb")).agg(sum(col("c")).as("cc"))
+    val we = ma.crossJoin(mb)
+      .agg(sum((col("ra") - col("rb")) * (col("ra") - col("rb"))
+        * col("rc").cast("decimal(38,0)") * col("cc")).as("swrc"))
+    nn.crossJoin(broadcast(wo)).crossJoin(broadcast(we))
+      .filter(col("swrc") > 0)
+      .select(col("n").as("n_docs"), col("swo").as("sum_wo"),
+        expr("CAST(1000 - (1000 * CAST(n AS DECIMAL(38,0)) * swo) " +
+          "div swrc AS BIGINT)").as("kappa_milli"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q374TextTiling, q378FleissKappa, q383GumbelTopk, q386NgramNovelty,
-      q396CochranQ,
+      q396CochranQ, q409WeightedKappa,
       q350RakeKeywords, q353GoodTuring, q358WordAdaptation,
       q295YulesK, q320SourceNovelty, q321CharEntropy,
       q337HashCollisionCurve,

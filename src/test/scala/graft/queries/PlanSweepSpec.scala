@@ -417,5 +417,11 @@ object PlanSweepAllowlist {
     ("q405_chow_test", "nonequi-agg",
       "g is a CASE-literal segment id with domain {0,1,2}: both " +
         "coefficient frames are ≤2/1 rows, broadcast (the literal " +
-        "value domain is invisible across the ckpt boundary)"))
+        "value domain is invisible across the ckpt boundary)"),
+    ("q408_tukey_hsd", "nonequi-agg",
+      "5 literal order priorities: both sides of the pair θ-join are " +
+        "the 5-row group-moment frame (10 pairs)"),
+    ("q409_weighted_kappa", "nonequi-agg",
+      "quintile margins: both sides of the expectation cross are " +
+        "ntile-bounded 5-row frames (25 cells)"))
 }
