@@ -4625,6 +4625,76 @@ object DataProfile {
       .orderBy("priority")
   }
 
+  /** q415 — intraclass correlation ICC(1,1) (Shrout & Fleiss '79) of
+    * daily revenue within calendar weeks: what share of day-to-day
+    * revenue variance is BETWEEN-week? ICC = (MSB − MSW)/(MSB +
+    * (k−1)·MSW) from the one-way ANOVA on full 7-day weeks — the
+    * "how clustered is my data" number that decides whether
+    * week-level experiment randomization (q319's SRM world) loses
+    * power to intra-week correlation, and the design-effect input
+    * 1 + (k−1)·ICC every cluster-sampled estimate needs.
+    *
+    * Exactness: per-week (Σx, Σx²) are exact DECIMAL(38) cents
+    * moments over the calendar-bounded day frame; the three pooled
+    * sums (S, ΣΣx², Σs_w²) are exact; MSB/MSW/ICC/F ride ONE shared
+    * IEEE chain each over those integers.
+    *
+    * Scale design (100 TB): one fact collapse to the day axis, one
+    * 7-row-per-week aggregate, one 1-row moment fold. Output 1 row. */
+  val q415Icc: QueryDef = {
+    val K = 7
+    val msb = s"((CAST(sw2 AS DOUBLE) / $K.0e0 - CAST(s AS DOUBLE) " +
+      s"* CAST(s AS DOUBLE) / ($K.0e0 * CAST(nw AS DOUBLE))) " +
+      s"/ (CAST(nw AS DOUBLE) - 1.0e0))"
+    val msw = s"((CAST(sq AS DOUBLE) - CAST(sw2 AS DOUBLE) / $K.0e0) " +
+      s"/ ($K.0e0 * CAST(nw AS DOUBLE) - CAST(nw AS DOUBLE)))"
+    val icc = s"(($msb - $msw) / ($msb + ${K - 1}.0e0 * $msw))"
+    QueryDef(
+      "q415_icc",
+      s"""WITH daily AS (
+         |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS ed,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |dd AS (SELECT ed // 7 AS wk, rev FROM daily),
+         |full_wk AS (
+         |  SELECT wk, CAST(sum(CAST(rev AS HUGEINT)) AS HUGEINT) AS s,
+         |    sum(CAST(rev AS HUGEINT) * rev) AS q
+         |  FROM dd GROUP BY wk HAVING count(*) = $K),
+         |mo AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS nw,
+         |    sum(s) AS s, sum(q) AS sq, sum(s * s) AS sw2
+         |  FROM full_wk)
+         |SELECT CAST(nw AS BIGINT) AS n_weeks,
+         |  CAST(floor(1000.0e0 * $icc) AS BIGINT) AS icc_milli,
+         |  CAST(floor(1000.0e0 * $msb / $msw) AS BIGINT) AS f_milli
+         |FROM mo WHERE nw > 1
+         |  AND (CAST(sq AS DOUBLE) - CAST(sw2 AS DOUBLE) / $K.0e0) > 0
+         |""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val dd = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+          .cast("bigint").as("ed"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("bigint")).cast("bigint").as("rev"))
+        .select(expr("ed div 7").as("wk"), col("rev"))
+      val fullWk = dd.groupBy(col("wk"))
+        .agg(count(lit(1)).as("c"), sum(dec(col("rev"))).as("s"),
+          sum(dec(col("rev")) * col("rev")).as("q"))
+        .filter(col("c") === K)
+      val mo = fullWk.agg(dec(count(lit(1))).as("nw"),
+        sum(col("s")).as("s"), sum(col("q")).as("sq"),
+        sum(col("s") * col("s")).as("sw2"))
+      mo.filter(col("nw") > 1 &&
+          expr(s"(CAST(sq AS DOUBLE) - CAST(sw2 AS DOUBLE) / $K.0e0) > 0"))
+        .select(col("nw").cast("bigint").as("n_weeks"),
+          expr(s"CAST(floor(1000.0e0 * $icc) AS BIGINT)").as("icc_milli"),
+          expr(s"CAST(floor(1000.0e0 * $msb / $msw) AS BIGINT)")
+            .as("f_milli"))
+    }
+  }
+
   /** q407 — Cramér–von Mises two-sample test (Cramér '28; Anderson
     * '62 computing form) between the click and view event-value
     * populations: T = U/(n·m·N) − (4nm−1)/(6N) with
@@ -4963,7 +5033,7 @@ object DataProfile {
       q388RunsTest, q391Friedman,
       q392MannKendall, q393WelchT, q394BrownForsythe, q395JarqueBera,
       q399AnsariBradley, q400MoodMedian,
-      q407CramerVonMises, q408TukeyHsd, q411Quade,
+      q407CramerVonMises, q408TukeyHsd, q411Quade, q415Icc,
       q403Grubbs,
       q359TailDependence, q363Jonckheere, q364Sinkhorn,
       q367AndersonDarling,

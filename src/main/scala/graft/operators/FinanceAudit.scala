@@ -3,6 +3,7 @@ package graft.operators
 import graft.CkptOps
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1431,10 +1432,200 @@ object FinanceAudit {
     }
   }
 
+  /** Shared VaR-backtest frame (q412 + q413): the day-over-day loss
+    * series split at its midpoint — VaR₉₅ is the exact rank-selected
+    * order statistic of the FIRST half (the estimation window), and
+    * the violation indicator sequence lives on the SECOND half (the
+    * true out-of-sample backtest — q352 reads the in-sample tail;
+    * these two tests judge whether that tail would have HELD). Exact
+    * integers end to end: cents losses, ceiling-rank selection,
+    * 0/1 violations on the indexed second-half axis. */
+  private def varBacktestFrame(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+        .cast("bigint").as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")).cast("bigint").as("rev"))
+    val ax = ScaleRank.withRowNumber(daily, Seq.empty, Seq(col("d")), "t",
+      "nd")
+    val loss = ax.select(col("t").as("ta"), col("rev").as("ra"), col("nd"))
+      .join(ax.select(col("t").as("tb"), col("rev").as("rb")),
+        col("tb") === col("ta") + 1)
+      .select((col("ta")).as("i"), (col("ra") - col("rb")).as("l"),
+        (col("nd") - 1).as("nl"))
+      .ckpt() // calendar-bounded loss frame: split + rank + backtest
+    val half = loss.select(col("i").as("hi"), col("l").as("hl"))
+      .crossJoin(broadcast(loss.agg(max(col("nl")).as("n"))))
+      .filter(col("hi") <= expr("n div 2"))
+    val ranked = ScaleRank.withRowNumber(half, Seq.empty,
+      Seq(col("hl"), col("hi")), "rn", "nh")
+    val varq = ranked
+      .filter(col("rn") === expr("(950 * nh + 999) div 1000"))
+      .select(col("hl").as("var95_cents"))
+    loss.crossJoin(broadcast(loss.agg(max(col("nl")).as("n"))))
+      .filter(col("i") > expr("n div 2"))
+      .crossJoin(broadcast(varq))
+      .select(col("i"), col("n"),
+        when(col("l") > col("var95_cents"), 1L).otherwise(0L).as("v"),
+        col("var95_cents"))
+  }
+
+  private def varBacktestSql: String =
+    """daily AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+      |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |        AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |ax AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, rev
+      |  FROM daily),
+      |loss AS (
+      |  SELECT a.t AS i, a.rev - b.rev AS l
+      |  FROM ax a JOIN ax b ON b.t = a.t + 1),
+      |nl AS (SELECT CAST(count(*) AS BIGINT) AS n FROM loss),
+      |ranked AS (
+      |  SELECT hl, CAST(row_number() OVER (ORDER BY hl, hi) AS BIGINT)
+      |    AS rn, CAST(count(*) OVER () AS BIGINT) AS nh
+      |  FROM (SELECT loss.i AS hi, loss.l AS hl FROM loss, nl
+      |        WHERE loss.i <= nl.n // 2)),
+      |varq AS (
+      |  SELECT hl AS var95_cents FROM ranked
+      |  WHERE rn = (950 * nh + 999) // 1000),
+      |bt AS (
+      |  SELECT loss.i, nl.n,
+      |    CASE WHEN loss.l > varq.var95_cents THEN 1 ELSE 0 END AS v,
+      |    varq.var95_cents
+      |  FROM loss, nl, varq WHERE loss.i > nl.n // 2)""".stripMargin
+
+  /** q412 — Kupiec proportion-of-failures VaR backtest (Kupiec '95):
+    * estimate VaR₉₅ on the first half of the loss history, count
+    * violations on the held-out second half, and likelihood-ratio
+    * test the violation RATE against the promised 5%:
+    * LR = −2[(n−x)ln(1−p) + x·ln p − (n−x)ln(1−x̂) − x·ln x̂],
+    * x̂ = x/n — the regulatory "did the model keep its coverage
+    * promise" certificate (χ²₁, 5% critical 3.841) that q352's
+    * in-sample tail read cannot answer.
+    *
+    * Exactness: the split, rank selection, and violation counts are
+    * exact integers (see [[varBacktestFrame]]); LR is ONE guarded
+    * IEEE chain over (n, x), with the x = 0 / x = n boundary handled
+    * by the 0·ln 0 = 0 convention in BOTH engines via CASE.
+    *
+    * Scale design (100 TB): one fact collapse to the calendar-bounded
+    * day axis; one lag join, one distributed rank, one count.
+    * Output 1 row. */
+  val q412KupiecPof: QueryDef = {
+    val lr = "(-2.0e0) * (" +
+      "(CAST(n2 AS DOUBLE) - x) * ln(0.95e0) + " +
+      "CAST(x AS DOUBLE) * ln(0.05e0) - " +
+      "(CASE WHEN x < n2 THEN (CAST(n2 AS DOUBLE) - x) * " +
+      "ln(1.0e0 - CAST(x AS DOUBLE) / CAST(n2 AS DOUBLE)) " +
+      "ELSE 0.0e0 END) - " +
+      "(CASE WHEN x > 0 THEN CAST(x AS DOUBLE) * " +
+      "ln(CAST(x AS DOUBLE) / CAST(n2 AS DOUBLE)) ELSE 0.0e0 END))"
+    QueryDef(
+      "q412_kupiec_pof",
+      s"""WITH $varBacktestSql,
+         |cnt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n2,
+         |    CAST(sum(v) AS BIGINT) AS x,
+         |    max(var95_cents) AS var95_cents
+         |  FROM bt)
+         |SELECT n2 AS n_backtest, x AS n_violations, var95_cents,
+         |  CAST(floor(1000.0e0 * $lr) AS BIGINT) AS lr_milli,
+         |  CASE WHEN floor(1000.0e0 * $lr) > 3841 THEN 1 ELSE 0 END
+         |    AS reject_5pct
+         |FROM cnt WHERE n2 > 0""".stripMargin) { (s, dir) =>
+      val bt = varBacktestFrame(s, dir)
+      bt.agg(count(lit(1)).cast("bigint").as("n2"),
+          sum(col("v")).cast("bigint").as("x"),
+          max(col("var95_cents")).as("var95_cents"))
+        .filter(col("n2") > 0)
+        .select(col("n2").as("n_backtest"), col("x").as("n_violations"),
+          col("var95_cents"),
+          expr(s"CAST(floor(1000.0e0 * $lr) AS BIGINT)").as("lr_milli"),
+          expr(s"CASE WHEN floor(1000.0e0 * $lr) > 3841 THEN 1 ELSE 0 END")
+            .as("reject_5pct"))
+    }
+  }
+
+  /** q413 — Christoffersen independence test (Christoffersen '98) on
+    * the same held-out violation sequence: do violations CLUSTER?
+    * Kupiec (q412) checks the rate; a model can pass it while every
+    * violation arrives in one losing streak — exactly the failure
+    * mode that breaks a desk. LR_ind compares the first-order Markov
+    * fit (π₀₁, π₁₁) against the iid fit (π):
+    * LR = −2[(n₀₀+n₁₀)ln(1−π) + (n₀₁+n₁₁)ln π − n₀₀ln(1−π₀₁)
+    * − n₀₁ln π₀₁ − n₁₀ln(1−π₁₁) − n₁₁ln π₁₁] (χ²₁).
+    *
+    * Exactness: transition counts come from ONE consecutive-index
+    * equi self-join of the violation frame — exact integers; LR is
+    * ONE guarded IEEE chain with every 0·ln 0 term CASE-zeroed
+    * identically in both engines.
+    *
+    * Scale design (100 TB): the [[varBacktestFrame]] plan plus one
+    * equi lag join of the calendar-bounded frame. Output 1 row. */
+  val q413Christoffersen: QueryDef = {
+    def term(cnt: String, prob: String) =
+      s"(CASE WHEN $cnt > 0 AND $prob > 0.0e0 THEN CAST($cnt AS DOUBLE) " +
+        s"* ln($prob) ELSE 0.0e0 END)"
+    val pi = "(CAST(n01 + n11 AS DOUBLE) / CAST(n00 + n01 + n10 + n11 AS DOUBLE))"
+    val p01 = "(CAST(n01 AS DOUBLE) / CAST(n00 + n01 AS DOUBLE))"
+    val p11 = "(CAST(n11 AS DOUBLE) / CAST(n10 + n11 AS DOUBLE))"
+    val lr = s"(-2.0e0) * (" +
+      term("(n00 + n10)", s"(1.0e0 - $pi)") + " + " +
+      term("(n01 + n11)", pi) + " - " +
+      term("n00", s"(1.0e0 - $p01)") + " - " +
+      term("n01", p01) + " - " +
+      term("n10", s"(1.0e0 - $p11)") + " - " +
+      term("n11", p11) + ")"
+    QueryDef(
+      "q413_christoffersen",
+      s"""WITH $varBacktestSql,
+         |tr AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN a.v = 0 AND b.v = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n00,
+         |    CAST(sum(CASE WHEN a.v = 0 AND b.v = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n01,
+         |    CAST(sum(CASE WHEN a.v = 1 AND b.v = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN a.v = 1 AND b.v = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n11
+         |  FROM bt a JOIN bt b ON b.i = a.i + 1)
+         |SELECT n00, n01, n10, n11,
+         |  CAST(floor(1000.0e0 * $lr) AS BIGINT) AS lr_milli,
+         |  CASE WHEN floor(1000.0e0 * $lr) > 3841 THEN 1 ELSE 0 END
+         |    AS reject_5pct
+         |FROM tr WHERE n00 + n01 + n10 + n11 > 0""".stripMargin) {
+      (s, dir) =>
+      val bt = varBacktestFrame(s, dir).ckpt() // both lag-join sides
+      val tr = bt.select(col("i").as("ia"), col("v").as("va"))
+        .join(bt.select(col("i").as("ib"), col("v").as("vb")),
+          col("ib") === col("ia") + 1)
+        .agg(
+          sum(when(col("va") === 0 && col("vb") === 0, 1L).otherwise(0L))
+            .cast("bigint").as("n00"),
+          sum(when(col("va") === 0 && col("vb") === 1, 1L).otherwise(0L))
+            .cast("bigint").as("n01"),
+          sum(when(col("va") === 1 && col("vb") === 0, 1L).otherwise(0L))
+            .cast("bigint").as("n10"),
+          sum(when(col("va") === 1 && col("vb") === 1, 1L).otherwise(0L))
+            .cast("bigint").as("n11"))
+      tr.filter(col("n00") + col("n01") + col("n10") + col("n11") > 0)
+        .select(col("n00"), col("n01"), col("n10"), col("n11"),
+          expr(s"CAST(floor(1000.0e0 * $lr) AS BIGINT)").as("lr_milli"),
+          expr(s"CASE WHEN floor(1000.0e0 * $lr) > 3841 THEN 1 ELSE 0 END")
+            .as("reject_5pct"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q188DupCharge, q189ParetoAbc, q192Vwap, q193Drawdown, q194Aging,
     q195RoundBias, q210DiffInDiff, q211AbcXyz, q214LedgerRegister,
     q218WeeklyKpi, q222VelocityScreen, q253PriceVolumeMix, q263Hhi,
     q271Proration, q282DecayedTopk, q292FifoCosting, q314TailIndex,
-    q352VarEs, q357PotGpd, q368TheilDecomposition)
+    q352VarEs, q357PotGpd, q368TheilDecomposition,
+    q412KupiecPof, q413Christoffersen)
 }

@@ -1721,10 +1721,213 @@ object Forecast {
         expr(s"CASE WHEN $bp > 3841 THEN 1 ELSE 0 END").as("reject_5pct"))
   }
 
+  /** q414 — Pettitt changepoint test (Pettitt '79) on daily revenue:
+    * K = max_t |U_t| with U_t = 2Σ_{i≤t}R_i − t(N+1) over global
+    * ranks — the rank-based single-changepoint test that needs no
+    * distributional model at all. q245 LOCATES a mean changepoint by
+    * squared-error; q402 alarms sequentially; Pettitt is the one
+    * whose null distribution is exact-rank-free, the right test when
+    * revenue is heavy-tailed enough that q245's SSE criterion chases
+    * outliers (approx p = 2·exp(−6K²/(N³+N²))).
+    *
+    * Exactness: global midranks ride the (value, count) domain
+    * collapse in DOUBLED units (one [[ScaleRank.withRunningSum]]
+    * prefix + one equi join back — never a row-level window); the
+    * day-ordered cumulative Σd is a second prefix pass; every
+    * U_t = Σ_{i≤t}dᵢ − t(N+1) is an exact int64; K and its argmax
+    * day are exact folds; p is ONE IEEE chain.
+    *
+    * Scale design (100 TB): one fact collapse to the calendar-bounded
+    * day axis, one bounded domain collapse, two distributed prefix
+    * passes, two 1-row folds. Output 1 row. */
+  val q414Pettitt: QueryDef = QueryDef(
+    "q414_pettitt",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |dom AS (
+      |  SELECT rev, CAST(count(*) AS BIGINT) AS c FROM daily GROUP BY rev),
+      |da AS (
+      |  SELECT rev,
+      |    2 * (CAST(sum(c) OVER (ORDER BY rev ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) - c) + c + 1 AS d2
+      |  FROM dom),
+      |ax AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY daily.d) AS BIGINT) AS t,
+      |    daily.d, da.d2
+      |  FROM daily JOIN da ON da.rev = daily.rev),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ax),
+      |uu AS (
+      |  SELECT ax.t, ax.d,
+      |    CAST(sum(ax.d2) OVER (ORDER BY ax.t ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) - ax.t * (nn.n + 1) AS u
+      |  FROM ax, nn),
+      |k AS (
+      |  SELECT max(abs(u)) AS k_stat FROM uu, nn WHERE uu.t < nn.n),
+      |pk AS (
+      |  SELECT min(uu.d) AS change_day FROM uu, k WHERE abs(uu.u) = k.k_stat)
+      |SELECT nn.n AS n_days, k.k_stat, pk.change_day,
+      |  CAST(floor(1000000.0e0 * 2.0e0 * exp(-6.0e0
+      |    * CAST(k.k_stat AS DOUBLE) * CAST(k.k_stat AS DOUBLE)
+      |    / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)
+      |       * CAST(nn.n AS DOUBLE)
+      |       + CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE))))
+      |    AS BIGINT) AS p_micro
+      |FROM nn, k, pk""".stripMargin) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")).cast("bigint").as("rev"))
+      .ckpt() // calendar-bounded day frame: domain + rank assembly
+    val dom = daily.groupBy(col("rev")).agg(count(lit(1)).as("c"))
+    val da = ScaleRank.withRunningSum(dom, Seq.empty, Seq(col("rev")),
+        col("c"), "cum")
+      .select(col("rev"), (lit(2) * (col("cum") - col("c")) + col("c") + 1)
+        .as("d2"))
+    val ax = ScaleRank.withRowNumber(
+      daily.join(da, Seq("rev")).select(col("d"), col("d2")),
+      Seq.empty, Seq(col("d")), "t", "n")
+    val uu = ScaleRank.withRunningSum(ax, Seq.empty, Seq(col("t")),
+        col("d2"), "cumd")
+      .select(col("t"), col("d"),
+        (col("cumd") - col("t") * (col("n") + 1)).as("u"),
+        col("n").as("nd"))
+      .ckpt() // bounded U walk: K fold + argmax + n
+    val nn = uu.agg(max(col("nd")).as("ndays"))
+    val k = uu.filter(col("t") < col("nd"))
+      .agg(max(abs(col("u"))).as("k_stat"))
+    val pk = uu.crossJoin(broadcast(k))
+      .filter(abs(col("u")) === col("k_stat"))
+      .agg(min(col("d")).as("change_day"))
+    val p = "floor(1000000.0e0 * 2.0e0 * exp(-6.0e0 " +
+      "* CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE) " +
+      "/ (CAST(ndays AS DOUBLE) * CAST(ndays AS DOUBLE) " +
+      "* CAST(ndays AS DOUBLE) " +
+      "+ CAST(ndays AS DOUBLE) * CAST(ndays AS DOUBLE))))"
+    nn.crossJoin(broadcast(k)).crossJoin(broadcast(pk))
+      .select(col("ndays").as("n_days"), col("k_stat"), col("change_day"),
+        expr(s"CAST($p AS BIGINT)").as("p_micro"))
+  }
+
+  /** q417 — CUSUM-of-squares stability test (Brown, Durbin & Evans
+    * '75) on the q404 OLS residuals: s_t = Σ_{i≤t}e²ᵢ / Σe²ᵢ must
+    * hug the diagonal t/n; its maximum gap D is the variance-break
+    * detector — q405 asks "did the LINE break at the midpoint",
+    * q410 asks "does variance TREND", this asks "did variance break
+    * ANYWHERE", locating it at the argmax day (asymptotic 5% band
+    * 0.948/√n).
+    *
+    * Exactness: residuals are exact milli ints off the SHARED q404
+    * floored coefficients; u = e² div 10⁹ (the q410 unit); the
+    * cumulative walk rides one [[ScaleRank.withRunningSum]] prefix;
+    * every gap |n·cumᵤ − t·totᵤ| is an exact DECIMAL(38) integer;
+    * D and its argmax are exact folds; the reported ratio and band
+    * are each ONE IEEE chain.
+    *
+    * Scale design (100 TB): the q404 plan plus one prefix pass and
+    * two 1-row folds on the calendar-bounded residual frame.
+    * Output 1 row. */
+  val q417CusumSquares: QueryDef = QueryDef(
+    "q417_cusum_squares",
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1),
+       |ax AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+       |    d, rev
+       |  FROM daily),
+       |mo AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(t AS HUGEINT)) AS st,
+       |    sum(CAST(t AS HUGEINT) * t) AS stt,
+       |    sum(CAST(rev AS HUGEINT)) AS sy,
+       |    sum(CAST(t AS HUGEINT) * rev) AS sty
+       |  FROM ax),
+       |co AS (
+       |  SELECT n, st, sy, $olsBMilli AS b_milli FROM mo),
+       |co2 AS (SELECT b_milli, $olsAMilli AS a_milli FROM co),
+       |e AS (
+       |  SELECT ax.t, ax.d,
+       |    ((1000 * ax.rev - co2.a_milli - co2.b_milli * ax.t)
+       |      * CAST((1000 * ax.rev - co2.a_milli - co2.b_milli * ax.t)
+       |        AS HUGEINT)) // 1000000000 AS u
+       |  FROM ax, co2),
+       |cum AS (
+       |  SELECT t, d,
+       |    CAST(sum(u) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+       |      AS HUGEINT) AS cu
+       |  FROM e),
+       |tot AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n, max(cu) AS tu FROM cum),
+       |gap AS (
+       |  SELECT cum.t, cum.d,
+       |    abs(tot.n * cum.cu - cum.t * tot.tu) AS g
+       |  FROM cum, tot),
+       |mx AS (SELECT max(g) AS gmax FROM gap),
+       |pk AS (
+       |  SELECT min(gap.d) AS break_day FROM gap, mx WHERE gap.g = mx.gmax)
+       |SELECT CAST(tot.n AS BIGINT) AS n_days, pk.break_day,
+       |  CAST((1000000 * mx.gmax) // (tot.n * tot.tu) AS BIGINT)
+       |    AS d_micro,
+       |  CAST(floor(1000000.0e0 * 0.948e0 / sqrt(CAST(tot.n AS DOUBLE)))
+       |    AS BIGINT) AS band_micro,
+       |  CASE WHEN (1000000 * mx.gmax) // (tot.n * tot.tu)
+       |    > CAST(floor(1000000.0e0 * 0.948e0
+       |        / sqrt(CAST(tot.n AS DOUBLE))) AS HUGEINT)
+       |    THEN 1 ELSE 0 END AS reject_5pct
+       |FROM tot, mx, pk WHERE tot.tu > 0""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ax = ScaleRank.withRowNumber(
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")).cast("bigint").as("rev")),
+        Seq.empty, Seq(col("d")), "t", "n_ax")
+      .select(col("t"), col("d"), col("rev"))
+      .ckpt() // calendar-bounded indexed day frame
+    val mo = ax.agg(dec(count(lit(1))).as("n"),
+      sum(dec(col("t"))).as("st"), sum(dec(col("t")) * col("t")).as("stt"),
+      sum(dec(col("rev"))).as("sy"), sum(dec(col("t")) * col("rev")).as("sty"))
+    val co = mo.select(col("n"), col("st"), col("sy"),
+        expr(olsBMilli).as("b_milli"))
+      .select(col("b_milli"), expr(olsAMilli).as("a_milli"))
+    val e = ax.crossJoin(broadcast(co))
+      .select(col("t"), col("d"),
+        expr("CAST(((1000 * rev - a_milli - b_milli * t) * " +
+          "CAST((1000 * rev - a_milli - b_milli * t) AS DECIMAL(38,0))) " +
+          "div 1000000000 AS DECIMAL(38,0))").as("u"))
+    val cum = ScaleRank.withRunningSum(e, Seq.empty, Seq(col("t")),
+        col("u"), "cu")
+      .select(col("t"), col("d"), col("cu"))
+      .ckpt() // bounded walk: total + gaps + argmax
+    val tot = cum.agg(dec(count(lit(1))).as("n"), max(col("cu")).as("tu"))
+    val gap = cum.crossJoin(broadcast(tot))
+      .select(col("t"), col("d"), col("n"), col("tu"),
+        abs(col("n") * col("cu") - dec(col("t")) * col("tu")).as("g"))
+      .ckpt() // gap frame: max fold + argmax
+    val mx = gap.agg(max(col("g")).as("gmax"))
+    val pk = gap.join(broadcast(mx), col("g") === col("gmax"))
+      .agg(min(col("d")).as("break_day"))
+    val band = "CAST(floor(1000000.0e0 * 0.948e0 " +
+      "/ sqrt(CAST(n AS DOUBLE))) AS BIGINT)"
+    tot.crossJoin(broadcast(mx)).crossJoin(broadcast(pk))
+      .filter(col("tu") > 0)
+      .select(col("n").cast("bigint").as("n_days"), col("break_day"),
+        expr("CAST((1000000 * gmax) div (n * tu) AS BIGINT)").as("d_micro"),
+        expr(band).as("band_micro"),
+        expr(s"CASE WHEN (1000000 * gmax) div (n * tu) > $band " +
+          "THEN 1 ELSE 0 END").as("reject_5pct"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail,
       q245Changepoint, q261SeasonalDecomp, q290SeasonalAnomaly,
       q349VarianceTime, q355BurstIntervals, q360DieboldMariano, q372Dtw,
       q380HoltWinters, q401VarianceRatio, q402PageHinkley, q404DurbinWatson,
-      q405ChowTest, q406PermutationEntropy, q410BreuschPagan)
+      q405ChowTest, q406PermutationEntropy, q410BreuschPagan, q414Pettitt,
+      q417CusumSquares)
 }

@@ -3812,9 +3812,104 @@ object TextAnalysis {
           "div swrc AS BIGINT)").as("kappa_milli"))
   }
 
+  /** q416 — Cronbach's alpha (Cronbach '51) over three per-document
+    * quality items — type-token ratio, mean word length, vowel
+    * density (all milli ratios): α = k/(k−1)·(1 − Σσᵢ²/σ²_total) —
+    * the internal-consistency gauge for a composite quality score.
+    * q378's Fleiss asks "do raters AGREE per doc"; q385's W asks "do
+    * their RANKINGS cohere"; α asks the scale-construction question:
+    * is summing these items into one 'quality' number even coherent
+    * (α → 1), or are they measuring different things (α → 0)?
+    *
+    * Exactness: each item is an exact per-doc milli ratio (truncating
+    * divs of non-negative ints — vowel counts via the
+    * length-of-replace identity, portable to DuckDB verbatim); the
+    * n-scaled variance numerators Mᵢ = n·Σxᵢ² − (Σxᵢ)² and
+    * M_tot = n·ΣT² − (ΣT)² are exact DECIMAL(38) integers (the n²
+    * denominators CANCEL in the ratio); α is ONE guarded IEEE chain.
+    *
+    * Scale design (100 TB): one feature pass per doc into one
+    * map-side-combinable moment fold. Output 1 row. */
+  val q416CronbachAlpha: QueryDef = {
+    val alpha = "(1.5e0 * (1.0e0 - (CAST(m1 AS DOUBLE) + CAST(m2 AS DOUBLE)" +
+      " + CAST(m3 AS DOUBLE)) / CAST(mt AS DOUBLE)))"
+    QueryDef(
+      "q416_cronbach_alpha",
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    (1000 * CAST(len(list_distinct(string_split(text, ' ')))
+         |      AS BIGINT)) // CAST(len(string_split(text, ' ')) AS BIGINT)
+         |      AS x1,
+         |    (1000 * (CAST(length(text) AS BIGINT) -
+         |      CAST(len(string_split(text, ' ')) AS BIGINT) + 1)) //
+         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS x2,
+         |    (1000 * (CAST(length(text) AS BIGINT) - CAST(length(
+         |      replace(replace(replace(replace(replace(text, 'a', ''),
+         |      'e', ''), 'i', ''), 'o', ''), 'u', '')) AS BIGINT))) //
+         |      CAST(length(text) AS BIGINT) AS x3
+         |  FROM documents),
+         |mo AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x1 AS HUGEINT) * x1)
+         |      AS q1,
+         |    sum(CAST(x2 AS HUGEINT)) AS s2, sum(CAST(x2 AS HUGEINT) * x2)
+         |      AS q2,
+         |    sum(CAST(x3 AS HUGEINT)) AS s3, sum(CAST(x3 AS HUGEINT) * x3)
+         |      AS q3,
+         |    sum(CAST(x1 + x2 + x3 AS HUGEINT)) AS st,
+         |    sum(CAST(x1 + x2 + x3 AS HUGEINT) * (x1 + x2 + x3)) AS qt
+         |  FROM f),
+         |m AS (
+         |  SELECT CAST(n AS BIGINT) AS n_docs,
+         |    n * q1 - s1 * s1 AS m1, n * q2 - s2 * s2 AS m2,
+         |    n * q3 - s3 * s3 AS m3, n * qt - st * st AS mt
+         |  FROM mo)
+         |SELECT n_docs, CAST(m1 AS BIGINT) AS var_n2_ttr,
+         |  CAST(m2 AS BIGINT) AS var_n2_mwl,
+         |  CAST(m3 AS BIGINT) AS var_n2_vow,
+         |  CAST(floor(1000.0e0 * $alpha) AS BIGINT) AS alpha_milli
+         |FROM m WHERE mt > 0""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val f = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          split(col("text"), " ").as("toks"))
+        .select(
+          expr("(1000 * CAST(size(array_distinct(toks)) AS BIGINT)) div " +
+            "CAST(size(toks) AS BIGINT)").as("x1"),
+          expr("(1000 * (CAST(length(text) AS BIGINT) - " +
+            "CAST(size(toks) AS BIGINT) + 1)) div " +
+            "CAST(size(toks) AS BIGINT)").as("x2"),
+          expr("(1000 * (CAST(length(text) AS BIGINT) - CAST(length(" +
+            "replace(replace(replace(replace(replace(text, 'a', ''), " +
+            "'e', ''), 'i', ''), 'o', ''), 'u', '')) AS BIGINT))) div " +
+            "CAST(length(text) AS BIGINT)").as("x3"))
+      val mo = f.agg(dec(count(lit(1))).as("n"),
+        sum(dec(col("x1"))).as("s1"), sum(dec(col("x1")) * col("x1"))
+          .as("q1"),
+        sum(dec(col("x2"))).as("s2"), sum(dec(col("x2")) * col("x2"))
+          .as("q2"),
+        sum(dec(col("x3"))).as("s3"), sum(dec(col("x3")) * col("x3"))
+          .as("q3"),
+        sum(dec(col("x1") + col("x2") + col("x3"))).as("st"),
+        sum(dec(col("x1") + col("x2") + col("x3"))
+          * (col("x1") + col("x2") + col("x3"))).as("qt"))
+      mo.select(col("n").cast("bigint").as("n_docs"),
+          (col("n") * col("q1") - col("s1") * col("s1")).as("m1"),
+          (col("n") * col("q2") - col("s2") * col("s2")).as("m2"),
+          (col("n") * col("q3") - col("s3") * col("s3")).as("m3"),
+          (col("n") * col("qt") - col("st") * col("st")).as("mt"))
+        .filter(col("mt") > 0)
+        .select(col("n_docs"), col("m1").cast("bigint").as("var_n2_ttr"),
+          col("m2").cast("bigint").as("var_n2_mwl"),
+          col("m3").cast("bigint").as("var_n2_vow"),
+          expr(s"CAST(floor(1000.0e0 * $alpha) AS BIGINT)")
+            .as("alpha_milli"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q374TextTiling, q378FleissKappa, q383GumbelTopk, q386NgramNovelty,
-      q396CochranQ, q409WeightedKappa,
+      q396CochranQ, q409WeightedKappa, q416CronbachAlpha,
       q350RakeKeywords, q353GoodTuring, q358WordAdaptation,
       q295YulesK, q320SourceNovelty, q321CharEntropy,
       q337HashCollisionCurve,

@@ -128,12 +128,13 @@ class PlanSweepSpec extends AnyFunSuite {
     * from a date/timestamp attribute (year(d), datediff(d, lit), …).
     * Everything else — doc lengths, cents, tokens — grows with the
     * data and needs an adjudicated bound when it keys a θ-join side. */
+  private def calendarType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.DateType ||
+      dt == org.apache.spark.sql.types.TimestampType ||
+      dt == org.apache.spark.sql.types.TimestampNTZType
   private def calendarKey(e: Expression): Boolean =
-    e.dataType == org.apache.spark.sql.types.DateType ||
-      e.dataType == org.apache.spark.sql.types.TimestampType ||
-      e.references.exists(a =>
-        a.dataType == org.apache.spark.sql.types.DateType ||
-          a.dataType == org.apache.spark.sql.types.TimestampType)
+    calendarType(e.dataType) ||
+      e.references.exists(a => calendarType(a.dataType))
 
   /** The q385 blind spot (VERDICT r8 item 2): a θ-join side that is an
     * Aggregate keyed on a non-literal, non-calendar expression — its
@@ -153,7 +154,34 @@ class PlanSweepSpec extends AnyFunSuite {
     case l: LogicalRDD =>
       graft.Ckpt.segmentFor(l.rdd.id).flatMap(dataDomainAggKey)
     case a: Aggregate =>
-      val bad = a.groupingExpressions.filter(g => !g.foldable && !calendarKey(g))
+      // partition-id keys (ScaleRank's __sr_pid machinery) are bounded
+      // by the cluster's parallelism, not the data — same rationale as
+      // the globallyBounded window-axis list
+      def pidBounded(g: Expression): Boolean =
+        g.find {
+          case _: org.apache.spark.sql.catalyst.expressions.SparkPartitionID =>
+            true
+          case _ => false
+        }.nonEmpty || g.references.exists(_.name.startsWith("__sr_"))
+      // the optimizer hoists computed grouping keys into a Project
+      // below the Aggregate and keys on the bare alias attribute
+      // (`_groupingexpression#N`) — resolve it back to the defining
+      // expression so calendar-derived keys (datediff(date, lit) etc.)
+      // classify by what they compute, not by their long-typed alias
+      lazy val aliasDefs: Map[Long, Expression] = a.child.collect {
+        case n => n
+      }.flatMap(_.expressions).flatMap(_.collect {
+        case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+          al.exprId.id -> al.child
+      }).toMap
+      def resolve(e: Expression, depth: Int = 0): Expression =
+        if (depth >= 4) e
+        else e.transformDown {
+          case attr: Attribute if aliasDefs.contains(attr.exprId.id) =>
+            resolve(aliasDefs(attr.exprId.id), depth + 1)
+        }
+      val bad = a.groupingExpressions.map(g => resolve(g)).filter(g =>
+        !g.foldable && !calendarKey(g) && !pidBounded(g))
       if (bad.nonEmpty) Some(bad.map(_.sql).mkString(",")) else None
     case _: LeafNode => None
     case other => other.children.flatMap(dataDomainAggKey).headOption
@@ -380,8 +408,6 @@ object PlanSweepAllowlist {
       "threshold grid ≤17/dim (fixed quantization) × binary label frame"),
     ("q177_mannwhitney", "nonequi-agg",
       "pair expansion over |event types|² ≤ 25 (categorical); histogram side joins the 10-row pair frame"),
-    ("q187_theil_sen", "nonequi-agg",
-      "day-axis pair frame: calendar-bounded |days|²/2 (int day index hides the date type from the sweep)"),
     ("q221_scaling_law", "nonequi-agg",
       "4-row literal size axis × 1-row score frames"),
     ("q223_t_closeness", "nonequi-agg",
@@ -392,8 +418,6 @@ object PlanSweepAllowlist {
       "≤20 quantized bins: interval expansion is O(B³)=8000 tiny rows"),
     ("q256_kendall_tau", "nonequi-agg",
       "joint histogram ≤51×11 cells (TPC-H quantity 1..50, discount 0..0.10 spec domains)"),
-    ("q265_cum_gains", "nonequi-agg",
-      "decile × decile triangular join: 10 literal deciles"),
     ("q276_quantile_norm", "nonequi-agg",
       "ECDF probe grid: ≤5-source categorical side × reference axis (the O(|D|²) θ-joins were replaced by ScaleRank merges)"),
     ("q277_vopt_histogram", "nonequi-agg",
@@ -406,14 +430,10 @@ object PlanSweepAllowlist {
       "cube lattice: 8 literal masks (2³ dimension subsets)"),
     ("q348_ransac_consensus", "nonequi-agg",
       "candidate frame ≤16 rows (TakeOrdered 32-seed pairing) broadcast into one corpus pass"),
-    ("q357_pot_gpd", "nonequi-agg",
-      "calendar-bounded day-P&L frame (int day index hides the date type from the sweep)"),
     ("q363_jonckheere", "nonequi-agg",
       "5 priorities × ~5·10³ price buckets (value-domain bounded grid, adjudicated in scaladoc)"),
     ("q370_data_shapley", "nonequi-agg",
       "31-row literal mask lattice (2⁵−1 vendor subsets); fanout a fixed 155×"),
-    ("q372_dtw", "nonequi-agg",
-      "±7-day LB_Keogh envelope on the calendar-bounded day axis (int day index hides the date type)"),
     ("q405_chow_test", "nonequi-agg",
       "g is a CASE-literal segment id with domain {0,1,2}: both " +
         "coefficient frames are ≤2/1 rows, broadcast (the literal " +
