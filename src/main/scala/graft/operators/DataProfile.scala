@@ -4625,6 +4625,252 @@ object DataProfile {
       .orderBy("priority")
   }
 
+  /** q418 — Dunn's test (Dunn '64) with Bonferroni control: the
+    * rank-based post-hoc that belongs to q379's Kruskal–Wallis
+    * exactly as q408's HSD belongs to q257's ANOVA — pairwise mean-
+    * rank gaps z = (R̄ᵢ−R̄ⱼ)/√((N(N+1)/12 − ΣT/(12(N−1)))(1/nᵢ+1/nⱼ)),
+    * tested at α/2·k(k−1) (z > 2.807). Use HSD when means are the
+    * question and variances behave; use Dunn when you already
+    * distrusted normality enough to run KW.
+    *
+    * Exactness: per-group doubled-midrank sums are the EXACT q379
+    * machinery (one value-domain collapse + one prefix); the tie
+    * moment is exact; each pair's z is ONE guarded IEEE chain over
+    * those integers (R̄ in doubled units, halved inside the chain).
+    *
+    * Scale design (100 TB): identical to q379 plus the 5×5 literal-
+    * priority pair θ-join (10 pairs — allowlisted). Output 10 rows. */
+  val q418Dunn: QueryDef = {
+    val se = "sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0e0) " +
+      "/ 12.0e0 - CAST(tie AS DOUBLE) / (12.0e0 * (CAST(n AS DOUBLE) " +
+      "- 1.0e0))) * (1.0e0 / ni + 1.0e0 / nj))"
+    val z = s"floor(1000.0e0 * abs(CAST(ri AS DOUBLE) / (2.0e0 * ni) " +
+      s"- CAST(rj AS DOUBLE) / (2.0e0 * nj)) / $se)"
+    QueryDef(
+      "q418_dunn",
+      s"""WITH f AS (
+         |  SELECT o_orderpriority AS g,
+         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM orders),
+         |vc AS (
+         |  SELECT cents, g, CAST(count(*) AS BIGINT) AS c
+         |  FROM f GROUP BY 1, 2),
+         |vt AS (
+         |  SELECT cents, CAST(sum(c) AS BIGINT) AS ctot,
+         |    CAST(sum(sum(c)) OVER (ORDER BY cents
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM vc GROUP BY cents),
+         |a2 AS (
+         |  SELECT cents, 2 * (cum - ctot) + ctot + 1 AS a2, ctot FROM vt),
+         |rg AS (
+         |  SELECT vc.g, CAST(sum(vc.c) AS BIGINT) AS ng,
+         |    CAST(sum(vc.c * a2.a2) AS BIGINT) AS r2
+         |  FROM vc JOIN a2 USING (cents) GROUP BY vc.g),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+         |tiec AS (
+         |  SELECT CAST(sum(ctot * ctot * ctot - ctot) AS BIGINT) AS tie
+         |  FROM vt),
+         |p AS (
+         |  SELECT a.g AS g1, b.g AS g2, a.ng AS ni, b.ng AS nj,
+         |    a.r2 AS ri, b.r2 AS rj
+         |  FROM rg a JOIN rg b ON a.g < b.g)
+         |SELECT p.g1, p.g2, p.ni, p.nj,
+         |  CAST($z AS BIGINT) AS z_milli,
+         |  CASE WHEN $z > 2807 THEN 1 ELSE 0 END AS reject_bonf_5pct
+         |FROM p, nn, tiec ORDER BY g1, g2""".stripMargin) { (s, dir) =>
+      val f = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("g"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      val vc = f.groupBy(col("cents"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .ckpt() // bounded cents-domain collapse: feeds vt AND rg
+      val vt0 = vc.groupBy(col("cents")).agg(sum(col("c")).as("ctot"))
+      val vt = ScaleRank.withRunningSum(vt0, Seq.empty,
+        Seq(col("cents")), col("ctot"), "cum")
+      val a2 = vt.select(col("cents"),
+        (lit(2) * (col("cum") - col("ctot")) + col("ctot") + 1).as("a2"))
+      val rg = vc.join(a2, Seq("cents"))
+        .groupBy(col("g"))
+        .agg(sum(col("c")).as("ng"), sum(col("c") * col("a2")).as("r2"))
+        .ckpt() // 5 rows: both pair-join sides
+      val nn = f.agg(count(lit(1)).as("n"))
+      val tiec = vt.agg(
+        sum(col("ctot") * col("ctot") * col("ctot") - col("ctot")).as("tie"))
+      val p = rg.select(col("g").as("g1"), col("ng").as("ni"),
+          col("r2").as("ri"))
+        .join(rg.select(col("g").as("g2"), col("ng").as("nj"),
+          col("r2").as("rj")), col("g1") < col("g2"))
+      p.crossJoin(broadcast(nn)).crossJoin(broadcast(tiec))
+        .select(col("g1"), col("g2"), col("ni"), col("nj"),
+          expr(s"CAST($z AS BIGINT)").as("z_milli"),
+          expr(s"CASE WHEN $z > 2807 THEN 1 ELSE 0 END")
+            .as("reject_bonf_5pct"))
+        .orderBy("g1", "g2")
+    }
+  }
+
+  /** q419 — Hellinger distance (Hellinger '09; Bhattacharyya '43)
+    * between the urgent (1-URGENT) and low (5-LOW) priority order-
+    * value distributions over the corpus's own global value deciles:
+    * BC = Σ√(pᵢqᵢ), H = √(1−BC) — the bounded [0,1] distribution
+    * distance that (unlike q258's PSI) never explodes on empty
+    * buckets and (unlike q224's KS) is a proper metric; the
+    * drift-certificate number for comparing segment mixes.
+    *
+    * Exactness: deciles are the exact ntile assignment off
+    * [[ScaleRank.withRowNumber]] under the unique (cents, orderkey)
+    * order (the q129 discipline); per-(bucket, group) counts are
+    * exact; each bucket's √(pq) term is independently nano-floored
+    * (the q83/q199 discipline) from exact integer ratios; BC is an
+    * exact int sum; H is ONE final chain on that integer.
+    *
+    * Scale design (100 TB): one distributed rank over the fact, one
+    * 10×2 conditional count; everything downstream ≤10 rows.
+    * Output 10 rows + constants. */
+  val q419Hellinger: QueryDef = {
+    val term = "CAST(floor(1000000000.0e0 * sqrt(" +
+      "(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * " +
+      "(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))) AS BIGINT)"
+    QueryDef(
+      "q419_hellinger",
+      s"""WITH b AS (
+         |  SELECT o_orderpriority AS g,
+         |    ntile(10) OVER (ORDER BY CAST(floor(o_totalprice * 100 + 0.5)
+         |      AS BIGINT), o_orderkey) AS bucket
+         |  FROM orders),
+         |ct AS (
+         |  SELECT bucket,
+         |    CAST(sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c2
+         |  FROM b GROUP BY bucket),
+         |nn AS (
+         |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         |    CAST(sum(c2) AS BIGINT) AS n2
+         |  FROM ct),
+         |terms AS (
+         |  SELECT ct.bucket, ct.c1, ct.c2, $term AS bc_nn
+         |  FROM ct, nn),
+         |bc AS (SELECT CAST(sum(bc_nn) AS BIGINT) AS bc_nano FROM terms)
+         |SELECT terms.bucket AS decile, terms.c1 AS n_urgent,
+         |  terms.c2 AS n_low, bc.bc_nano,
+         |  CAST(floor(1000.0e0 * sqrt(greatest(0.0e0,
+         |    1.0e0 - CAST(bc.bc_nano AS DOUBLE) / 1000000000.0e0)))
+         |    AS BIGINT) AS hellinger_milli
+         |FROM terms, bc ORDER BY decile""".stripMargin) { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("g"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"),
+          col("o_orderkey").as("okey"))
+      val b = ScaleRank.withRowNumber(base, Seq.empty,
+          Seq(col("cents"), col("okey")), "rk", "nt")
+        .select(col("g"),
+          ScaleRank.ntileFromRank(10, col("rk"), col("nt")).as("bucket"))
+      val ct = b.groupBy(col("bucket"))
+        .agg(sum(when(col("g") === "1-URGENT", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g") === "5-LOW", 1L).otherwise(0L)).as("c2"))
+        .ckpt() // 10-row decile frame: totals + terms + output
+      val nn = ct.agg(sum(col("c1")).cast("bigint").as("n1"),
+        sum(col("c2")).cast("bigint").as("n2"))
+      val terms = ct.crossJoin(broadcast(nn))
+        .select(col("bucket"), col("c1"), col("c2"),
+          expr(term).as("bc_nn"))
+        .ckpt() // terms feed the fold AND the output
+      val bc = terms.agg(sum(col("bc_nn")).cast("bigint").as("bc_nano"))
+      terms.crossJoin(broadcast(bc))
+        .select(col("bucket").as("decile"), col("c1").as("n_urgent"),
+          col("c2").as("n_low"), col("bc_nano"),
+          expr("CAST(floor(1000.0e0 * sqrt(greatest(0.0e0, " +
+            "1.0e0 - CAST(bc_nano AS DOUBLE) / 1000000000.0e0))) " +
+            "AS BIGINT)").as("hellinger_milli"))
+        .orderBy("decile")
+    }
+  }
+
+  /** q421 — Bartels rank von Neumann ratio (Bartels '82): the
+    * RANK-based serial-randomness test, RVN = Σ(Rₜ−Rₜ₊₁)²/Σ(Rₜ−R̄)²
+    * over daily revenue ranks — 2 under randomness, →0 for trend,
+    * →4 for alternation. q388's runs test sees only the
+    * above/below-median SIGN sequence; Bartels keeps rank magnitude
+    * and has ~twice the power against smooth trends, while staying
+    * immune to the heavy tails that break q404's parametric DW.
+    *
+    * Exactness: global doubled midranks ride the q414 domain
+    * machinery; R̄ doubles to EXACTLY N+1, so numerator and
+    * denominator are both exact int64 sums of squared doubled
+    * differences (the 4× cancels); RVN is an exact truncating milli
+    * div of non-negative ints; z is ONE IEEE chain.
+    *
+    * Scale design (100 TB): one fact collapse to the day axis, one
+    * bounded domain collapse + prefix, one consecutive-index equi
+    * join. Output 1 row. */
+  val q421BartelsRvn: QueryDef = QueryDef(
+    "q421_bartels_rvn",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |dom AS (
+      |  SELECT rev, CAST(count(*) AS BIGINT) AS c FROM daily GROUP BY rev),
+      |da AS (
+      |  SELECT rev,
+      |    2 * (CAST(sum(c) OVER (ORDER BY rev ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) - c) + c + 1 AS d2
+      |  FROM dom),
+      |ax AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY daily.d) AS BIGINT) AS t,
+      |    da.d2
+      |  FROM daily JOIN da ON da.rev = daily.rev),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ax),
+      |num AS (
+      |  SELECT CAST(sum((a.d2 - b.d2) * (a.d2 - b.d2)) AS BIGINT) AS num4
+      |  FROM ax a JOIN ax b ON b.t = a.t + 1),
+      |den AS (
+      |  SELECT CAST(sum((ax.d2 - (nn.n + 1)) * (ax.d2 - (nn.n + 1)))
+      |    AS BIGINT) AS den4
+      |  FROM ax, nn)
+      |SELECT nn.n AS n_days,
+      |  (1000 * num.num4) // den.den4 AS rvn_milli,
+      |  CAST(floor(1000.0e0 * (CAST((1000 * num.num4) // den.den4
+      |      AS DOUBLE) / 1000.0e0 - 2.0e0)
+      |    / (2.0e0 / sqrt(CAST(nn.n AS DOUBLE)))) AS BIGINT) AS z_milli
+      |FROM nn, num, den WHERE den.den4 > 0""".stripMargin) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")).cast("bigint").as("rev"))
+      .ckpt() // calendar-bounded day frame: domain + rank assembly
+    val dom = daily.groupBy(col("rev")).agg(count(lit(1)).as("c"))
+    val da = ScaleRank.withRunningSum(dom, Seq.empty, Seq(col("rev")),
+        col("c"), "cum")
+      .select(col("rev"), (lit(2) * (col("cum") - col("c")) + col("c") + 1)
+        .as("d2"))
+    val ax = ScaleRank.withRowNumber(
+        daily.join(da, Seq("rev")).select(col("d"), col("d2")),
+        Seq.empty, Seq(col("d")), "t", "n_ax")
+      .select(col("t"), col("d2"))
+      .ckpt() // bounded rank walk: lag join + moment folds
+    val nn = ax.agg(count(lit(1)).cast("bigint").as("n"))
+    val num = ax.select(col("t").as("ta"), col("d2").as("da2"))
+      .join(ax.select(col("t").as("tb"), col("d2").as("db2")),
+        col("tb") === col("ta") + 1)
+      .agg(sum((col("da2") - col("db2")) * (col("da2") - col("db2")))
+        .cast("bigint").as("num4"))
+    val den = ax.crossJoin(broadcast(nn))
+      .agg(sum((col("d2") - (col("n") + 1)) * (col("d2") - (col("n") + 1)))
+        .cast("bigint").as("den4"))
+    nn.crossJoin(broadcast(num)).crossJoin(broadcast(den))
+      .filter(col("den4") > 0)
+      .select(col("n").as("n_days"),
+        expr("(1000 * num4) div den4").as("rvn_milli"),
+        expr("CAST(floor(1000.0e0 * (CAST((1000 * num4) div den4 " +
+          "AS DOUBLE) / 1000.0e0 - 2.0e0) " +
+          "/ (2.0e0 / sqrt(CAST(n AS DOUBLE)))) AS BIGINT)").as("z_milli"))
+  }
+
   /** q415 — intraclass correlation ICC(1,1) (Shrout & Fleiss '79) of
     * daily revenue within calendar weeks: what share of day-to-day
     * revenue variance is BETWEEN-week? ICC = (MSB − MSW)/(MSB +
@@ -5034,6 +5280,7 @@ object DataProfile {
       q392MannKendall, q393WelchT, q394BrownForsythe, q395JarqueBera,
       q399AnsariBradley, q400MoodMedian,
       q407CramerVonMises, q408TukeyHsd, q411Quade, q415Icc,
+      q418Dunn, q419Hellinger, q421BartelsRvn,
       q403Grubbs,
       q359TailDependence, q363Jonckheere, q364Sinkhorn,
       q367AndersonDarling,

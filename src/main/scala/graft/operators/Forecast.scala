@@ -1923,11 +1923,191 @@ object Forecast {
           "THEN 1 ELSE 0 END").as("reject_5pct"))
   }
 
+
+  /** q420 — turning-points randomness test (Kendall & Stuart):
+    * count the STRICT local extrema of daily revenue; under iid the
+    * expected count is 2(n−2)/3 with variance (16n−29)/90 — the
+    * cheapest "is this series even noise" screen, reading ONLY the
+    * ordinal shape (q406's permutation entropy reads the full
+    * pattern distribution; this is its one-number z companion; ties
+    * break no peak, documented).
+    *
+    * Exactness: triples ride the q406 double lag equi join; the
+    * strict peak/trough indicator and its count are exact ints; z is
+    * ONE IEEE chain.
+    *
+    * Scale design (100 TB): one fact collapse to the day axis, two
+    * equi lag joins of the bounded frame, one count. Output 1 row. */
+  val q420TurningPoints: QueryDef = {
+    val z = "floor(1000.0e0 * (CAST(tp AS DOUBLE) - 2.0e0 " +
+      "* (CAST(n AS DOUBLE) - 2.0e0) / 3.0e0) " +
+      "/ sqrt((16.0e0 * CAST(n AS DOUBLE) - 29.0e0) / 90.0e0))"
+    QueryDef(
+      "q420_turning_points",
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |ax AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, rev
+         |  FROM daily),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ax),
+         |tp AS (
+         |  SELECT CAST(sum(CASE WHEN (b.rev > a.rev AND b.rev > c.rev)
+         |      OR (b.rev < a.rev AND b.rev < c.rev) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tp
+         |  FROM ax a JOIN ax b ON b.t = a.t + 1 JOIN ax c ON c.t = a.t + 2)
+         |SELECT nn.n AS n_days, tp.tp AS n_turning_points,
+         |  CAST(floor($z) AS BIGINT) AS z_milli,
+         |  CASE WHEN abs(floor($z)) > 1960 THEN 1 ELSE 0 END
+         |    AS reject_5pct
+         |FROM nn, tp WHERE nn.n > 2""".stripMargin) { (s, dir) =>
+      val ax = ScaleRank.withRowNumber(
+          Tables.orders(s, dir)
+            .groupBy(col("o_orderdate").cast("date").as("d"))
+            .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+              .cast("bigint")).cast("bigint").as("rev")),
+          Seq.empty, Seq(col("d")), "t", "n_ax")
+        .select(col("t"), col("rev"))
+        .ckpt() // calendar-bounded indexed day frame: both lag joins
+      val nn = ax.agg(count(lit(1)).cast("bigint").as("n"))
+      val tp = ax.select(col("t").as("ta"), col("rev").as("ra"))
+        .join(ax.select(col("t").as("tb"), col("rev").as("rb")),
+          col("tb") === col("ta") + 1)
+        .join(ax.select(col("t").as("tc"), col("rev").as("rc")),
+          col("tc") === col("ta") + 2)
+        .agg(sum(when((col("rb") > col("ra") && col("rb") > col("rc"))
+          || (col("rb") < col("ra") && col("rb") < col("rc")), 1L)
+          .otherwise(0L)).cast("bigint").as("tp"))
+      nn.crossJoin(broadcast(tp))
+        .filter(col("n") > 2)
+        .select(col("n").as("n_days"), col("tp").as("n_turning_points"),
+          expr(s"CAST(floor($z) AS BIGINT)").as("z_milli"),
+          expr(s"CASE WHEN abs(floor($z)) > 1960 THEN 1 ELSE 0 END")
+            .as("reject_5pct"))
+    }
+  }
+
+  /** q422 — Newey–West HAC t-statistic (Newey & West '87, Bartlett
+    * kernel, L = 5) for the q404 trend slope: the OLS t assumes iid
+    * errors, and q404/q410 exist precisely because revenue errors
+    * are neither uncorrelated nor homoskedastic — NW re-prices the
+    * slope's standard error against both, so "the trend is
+    * significant" survives the audit that q404 runs on its own
+    * residuals. Var(b) = S/D², S = Γ₀ + 2Σₗ(1−l/6)Γₗ with
+    * Γₗ = Σ eₜeₜ₋ₗ cₜcₜ₋ₗ on the centered index.
+    *
+    * Exactness: residuals are the exact q404 milli ints; the
+    * centered index DOUBLES to cₜ = 2t−(n+1) (exact — the q421
+    * trick); each lag's Γ rides an equi self-join into an exact
+    * DECIMAL(38) sum; the Bartlett weights clear to SIXTHS, so
+    * 6·S₄ = 6Γ₀₄ + 2Σ(6−l)Γₗ₄ is an exact integer; t is ONE guarded
+    * IEEE chain from (b_milli, 6S₄, D₄).
+    *
+    * Scale design (100 TB): the q404 plan plus SIX equi lag joins of
+    * the calendar-bounded residual frame (one per lag ≤ L), each a
+    * bounded sort-merge. Output 1 row. */
+  val q422NeweyWest: QueryDef = {
+    val L = 5
+    val t = "floor(1000.0e0 * (CAST(b_milli AS DOUBLE) / 1000.0e0) " +
+      "/ sqrt((CAST(s6 AS DOUBLE) / 6.0e0) " +
+      "/ ((CAST(d4 AS DOUBLE) / 4.0e0) * (CAST(d4 AS DOUBLE) / 4.0e0)) " +
+      "/ 1000000.0e0))"
+    QueryDef(
+      "q422_newey_west",
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |ax AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, rev
+         |  FROM daily),
+         |mo AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    sum(CAST(t AS HUGEINT)) AS st,
+         |    sum(CAST(t AS HUGEINT) * t) AS stt,
+         |    sum(CAST(rev AS HUGEINT)) AS sy,
+         |    sum(CAST(t AS HUGEINT) * rev) AS sty
+         |  FROM ax),
+         |co AS (
+         |  SELECT n, st, sy, $olsBMilli AS b_milli FROM mo),
+         |co2 AS (SELECT b_milli, $olsAMilli AS a_milli FROM co),
+         |e AS (
+         |  SELECT ax.t,
+         |    1000 * ax.rev - co2.a_milli - co2.b_milli * ax.t AS e,
+         |    2 * ax.t - (mo.n + 1) AS c2
+         |  FROM ax, co2, mo),
+         |g AS (
+         |  SELECT ll.l,
+         |    sum(CAST(a.e AS HUGEINT) * b.e * a.c2 * b.c2) AS gam4
+         |  FROM (SELECT unnest(range(0, ${L + 1})) AS l) ll
+         |    CROSS JOIN e a JOIN e b ON b.t = a.t + ll.l
+         |  GROUP BY ll.l),
+         |s6 AS (
+         |  SELECT CAST(sum(CASE WHEN l = 0 THEN 6 * gam4
+         |    ELSE 2 * (6 - l) * gam4 END) AS HUGEINT) AS s6
+         |  FROM g),
+         |d4 AS (SELECT sum(CAST(c2 AS HUGEINT) * c2) AS d4 FROM e)
+         |SELECT CAST(mo.n AS BIGINT) AS n_days, co2.b_milli,
+         |  CAST($t AS BIGINT) AS t_nw_milli,
+         |  CASE WHEN abs($t) > 1960 THEN 1 ELSE 0 END AS reject_5pct
+         |FROM mo, co2, s6, d4 WHERE s6.s6 > 0""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val ax = ScaleRank.withRowNumber(
+          Tables.orders(s, dir)
+            .groupBy(col("o_orderdate").cast("date").as("d"))
+            .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+              .cast("bigint")).cast("bigint").as("rev")),
+          Seq.empty, Seq(col("d")), "t", "n_ax")
+        .select(col("t"), col("rev"))
+        .ckpt() // calendar-bounded indexed day frame
+      val mo = ax.agg(dec(count(lit(1))).as("n"),
+        sum(dec(col("t"))).as("st"), sum(dec(col("t")) * col("t")).as("stt"),
+        sum(dec(col("rev"))).as("sy"),
+        sum(dec(col("t")) * col("rev")).as("sty"))
+      val co = mo.select(col("n"), col("st"), col("sy"),
+          expr(olsBMilli).as("b_milli"))
+        .select(col("b_milli"), expr(olsAMilli).as("a_milli"))
+      val e = ax.crossJoin(broadcast(co))
+        .crossJoin(broadcast(mo.select(col("n"))))
+        .select(col("t"),
+          (lit(1000) * col("rev") - col("a_milli")
+            - col("b_milli") * col("t")).as("e"),
+          (lit(2) * col("t") - (col("n") + 1)).as("c2"))
+        .ckpt() // residual frame: 6 lag joins + the D fold
+      val lags = s.range(0, L + 1).toDF("l")
+      val eA = e.select(col("t").as("ta"), col("e").as("ea"),
+        col("c2").as("ca"))
+      val eB = e.select(col("t").as("tb"), col("e").as("eb"),
+        col("c2").as("cb"))
+      // expand each residual row by the 6 literal lags (broadcast of a
+      // Range frame), then ONE equi join keyed tb = ta + l
+      val gam = eA.crossJoin(broadcast(lags))
+        .join(eB, col("tb") === col("ta") + col("l"))
+        .groupBy(col("l"))
+        .agg(sum(dec(col("ea")) * col("eb") * col("ca") * col("cb"))
+          .as("gam4"))
+      val s6 = gam.agg(sum(when(col("l") === 0, lit(6) * col("gam4"))
+        .otherwise(lit(2) * (lit(6) - col("l")) * col("gam4")))
+        .as("s6"))
+      val d4 = e.agg(sum(dec(col("c2")) * col("c2")).as("d4"))
+      mo.select(col("n")).crossJoin(broadcast(co))
+        .crossJoin(broadcast(s6)).crossJoin(broadcast(d4))
+        .filter(col("s6") > 0)
+        .select(col("n").cast("bigint").as("n_days"), col("b_milli"),
+          expr(s"CAST($t AS BIGINT)").as("t_nw_milli"),
+          expr(s"CASE WHEN abs($t) > 1960 THEN 1 ELSE 0 END")
+            .as("reject_5pct"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail,
       q245Changepoint, q261SeasonalDecomp, q290SeasonalAnomaly,
       q349VarianceTime, q355BurstIntervals, q360DieboldMariano, q372Dtw,
       q380HoltWinters, q401VarianceRatio, q402PageHinkley, q404DurbinWatson,
       q405ChowTest, q406PermutationEntropy, q410BreuschPagan, q414Pettitt,
-      q417CusumSquares)
+      q417CusumSquares, q420TurningPoints, q422NeweyWest)
 }

@@ -441,6 +441,9 @@ object PlanSweepAllowlist {
     ("q408_tukey_hsd", "nonequi-agg",
       "5 literal order priorities: both sides of the pair θ-join are " +
         "the 5-row group-moment frame (10 pairs)"),
+    ("q418_dunn", "nonequi-agg",
+      "5 literal order priorities: both sides of the pair θ-join are " +
+        "the 5-row rank-sum frame (10 pairs)"),
     ("q409_weighted_kappa", "nonequi-agg",
       "quintile margins: both sides of the expectation cross are " +
         "ntile-bounded 5-row frames (25 cells)"))

@@ -249,7 +249,22 @@ QUERIES = [
     # rank comparison (q390 LOF reads only embeddings - COPY_AS_IS,
     # inert, not registered)
     "q391_friedman",
+    # round-9 stats battery: everything below rides the orders money
+    # redraw (trend/OLS/rank chains over day revenue) or the events
+    # value redraw (two-sample rank/moment tests) or the text redraw
+    # (quality-item moments / quintiles)
+    "q392_mann_kendall", "q393_welch_t", "q394_brown_forsythe",
+    "q395_jarque_bera", "q396_cochran_q", "q399_ansari_bradley",
+    "q400_mood_median", "q401_variance_ratio", "q402_page_hinkley",
+    "q403_grubbs", "q404_durbin_watson", "q405_chow_test",
+    "q406_permutation_entropy", "q407_cramer_von_mises",
+    "q408_tukey_hsd", "q409_weighted_kappa", "q410_breusch_pagan",
+    "q411_quade", "q412_kupiec_pof", "q413_christoffersen",
+    "q414_pettitt", "q415_icc", "q416_cronbach_alpha",
+    "q417_cusum_squares",
 ]
+# q397 Nelson-Aalen and q398 Mantel-Haenszel read only ts/event_type/
+# user_id (all preserved by the redraw) — inert replays, not registered.
 # q289 HRU view selection reads only categorical dimension columns
 # (preserved by the redraw) — an inert replay, not registered.
 # q291 mutual-NN label noise reads only embeddings (COPY_AS_IS) —
