@@ -1703,6 +1703,90 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class VbtState(
+      curDay: Long, cents: Long, prevRev: Long, hasPrev: Boolean,
+      n: Long, x: Long, prevV: Int,
+      n00: Long, n01: Long, n10: Long, n11: Long)
+  final case class VbtOut(
+      n: Long, day: Long, loss_cents: Long, violation: Boolean,
+      n_violations: Long, lr_pof_milli: Option[Long],
+      n01: Long, n11: Long)
+
+  /** Streaming VaR backtest — the stateful twin of q412/q413
+    * ([[graft.operators.FinanceAudit.q412KupiecPof]] /
+    * [[graft.operators.FinanceAudit.q413Christoffersen]]) run LIVE
+    * against a FIXED VaR level (the deployed model's number — the
+    * batch pair re-estimates it from the first half; a live monitor
+    * holds the production parameter): each day close yields the
+    * day-over-day loss, its violation bit, the violation count, the
+    * Markov transition counts, and the running Kupiec LR through the
+    * SAME guarded IEEE chain as the batch oracle — so a desk watches
+    * coverage decay the day it starts, not at quarter end.
+    *
+    * Exactness: losses/violations/transition counts are exact
+    * integers advanced per closed day (the in-order day-close
+    * contract shared with [[hwMonitor]]); the LR at each step equals
+    * the batch chain evaluated on the prefix (n, x) — the spec pins
+    * bit-equality against the replayed recursion and the terminal
+    * batch formula. State is O(1): eleven scalars. */
+  def varBacktestMonitor(spark: SparkSession, events: Dataset[AsofEvent],
+      varCents: Long): Dataset[VbtOut] = {
+    import spark.implicits._
+
+    def lrPof(n: Long, x: Long): Option[Long] =
+      if (n == 0) None
+      else {
+        val nd = n.toDouble; val xd = x.toDouble
+        val lr = -2.0 * ((nd - xd) * math.log(0.95) + xd * math.log(0.05)
+          - (if (x < n) (nd - xd) * math.log(1.0 - xd / nd) else 0.0)
+          - (if (x > 0) xd * math.log(xd / nd) else 0.0))
+        Some(math.floor(1000.0 * lr).toLong)
+      }
+
+    def fn(key: Long, rows: Iterator[AsofEvent],
+        state: GroupState[VbtState]): Iterator[VbtOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var st = state.getOption.getOrElse(VbtState(
+        Long.MinValue, 0L, 0L, hasPrev = false, 0L, 0L, -1,
+        0L, 0L, 0L, 0L))
+      val out = List.newBuilder[VbtOut]
+      def closeDay(): Unit = if (st.curDay != Long.MinValue) {
+        if (st.hasPrev) {
+          val loss = st.prevRev - st.cents
+          val v = loss > varCents
+          val n = st.n + 1
+          val x = st.x + (if (v) 1L else 0L)
+          val (b00, b01, b10, b11) = st.prevV match {
+            case 0 => (if (!v) 1L else 0L, if (v) 1L else 0L, 0L, 0L)
+            case 1 => (0L, 0L, if (!v) 1L else 0L, if (v) 1L else 0L)
+            case _ => (0L, 0L, 0L, 0L) // first backtest day: no transition
+          }
+          st = st.copy(n = n, x = x, prevV = if (v) 1 else 0,
+            n00 = st.n00 + b00, n01 = st.n01 + b01,
+            n10 = st.n10 + b10, n11 = st.n11 + b11)
+          out += VbtOut(n, st.curDay, loss, v, x, lrPof(n, x),
+            st.n01, st.n11)
+        }
+        st = st.copy(prevRev = st.cents, hasPrev = true)
+      }
+      sorted.foreach { e =>
+        val d = micros(e.ts) / 86400000000L
+        if (d != st.curDay) {
+          closeDay()
+          st = st.copy(curDay = d, cents = 0L)
+        }
+        st = st.copy(cents = st.cents + math.floor(e.value * 100 + 0.5).toLong)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_ => 0L)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Streaming n-gram novelty — the stateful twin of q386
     * ([[graft.operators.TextAnalysis.q386NgramNovelty]]) as a
     * first-seen monitor (the [[vocabNovelty]] pattern generalized to

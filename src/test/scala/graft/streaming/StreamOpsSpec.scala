@@ -1732,6 +1732,58 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("varBacktestMonitor matches the replayed violation recursion and the batch LR chain") {
+    implicit val sqlCtx = spark.sqlContext
+    val revByDay = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("rev"))
+      .collect().map(r => (r.getAs[Long]("d"), r.getAs[Long]("rev")))
+      .sortBy(_._1).toVector
+    // a VaR level the data actually violates sometimes: the 80th
+    // percentile of the replayed losses
+    val losses = revByDay.sliding(2).map(p => p(0)._2 - p(1)._2).toVector
+    val varCents = losses.sorted.apply((losses.size * 8) / 10)
+    val in = MemoryStream[StreamOps.AsofEvent]
+    val q = StreamOps.varBacktestMonitor(spark, in.toDS(), varCents)
+      .writeStream.format("memory").queryName("vbt_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      eventChunks(3).foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+      def lr(n: Long, x: Long): Long = {
+        val nd = n.toDouble; val xd = x.toDouble
+        math.floor(1000.0 * (-2.0 * ((nd - xd) * math.log(0.95)
+          + xd * math.log(0.05)
+          - (if (x < n) (nd - xd) * math.log(1.0 - xd / nd) else 0.0)
+          - (if (x > 0) xd * math.log(xd / nd) else 0.0)))).toLong
+      }
+      var (x, n01, n11, prevV) = (0L, 0L, 0L, -1)
+      val exp = losses.zipWithIndex.map { case (loss, i) =>
+        val v = loss > varCents
+        x += (if (v) 1L else 0L)
+        if (prevV == 0 && v) n01 += 1L
+        if (prevV == 1 && v) n11 += 1L
+        prevV = if (v) 1 else 0
+        (i + 1L, revByDay(i + 1)._1, loss, v, x, Some(lr(i + 1L, x)),
+          n01, n11)
+      }
+      val got = spark.table("vbt_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          r.getLong(6), r.getLong(7)))
+        .sortBy(_._1).toSeq
+      // the monitor trails by the open last day
+      assert(got.length == exp.length - 1,
+        s"${got.length} streamed vs ${exp.length} replayed backtest days")
+      assert(got == exp.take(got.length),
+        s"first diff: ${got.zip(exp).find(p => p._1 != p._2)}")
+      assert(got.exists(_._4) && got.exists(!_._4),
+        "degenerate backtest: violations should be mixed at the p80 VaR")
+    } finally q.stop()
+  }
+
   test("ngramNovelty windows equal the batch first-appearance gram counts per n") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
