@@ -4255,11 +4255,18 @@ object DataProfile {
       .agg(dec(sum(col("c"))).as("n"),
         sum(dec(zdev) * col("c")).as("sz"),
         sum(dec(zdev) * zdev * col("c")).as("qz"))
+    // `div` emits int64 and the per-group sz²/n terms pass 9.2e18 at
+    // sf0.1 cents scale — the exact floor-div stays in DECIMAL via the
+    // subtract-pmod identity (numerator made divisible, so the decimal
+    // divide is exact; operands non-negative, so it equals // and div)
     val t = zm.agg(dec(count(lit(1))).as("k"), sum(col("n")).as("nn"),
       sum(col("sz")).as("ss"), sum(col("qz")).as("qq"),
-      sum(expr("sz * sz div n")).as("tg"))
+      sum(expr("CAST((sz * sz - pmod(sz * sz, n)) / n AS DECIMAL(38,0))"))
+        .as("tg"))
     val z = t.select(col("k"), col("nn"),
-      greatest(dec(lit(0)), expr("tg - ss * ss div nn")).as("ssb"),
+      greatest(dec(lit(0)),
+        expr("tg - CAST((ss * ss - pmod(ss * ss, nn)) / nn " +
+          "AS DECIMAL(38,0))")).as("ssb"),
       expr("qq - tg").as("ssw"))
     z.filter(col("ssw") > 0 && col("k") > 1 && col("nn") > col("k"))
       .select(col("k").cast("bigint").as("k_groups"),
