@@ -4878,6 +4878,270 @@ object DataProfile {
           "/ (2.0e0 / sqrt(CAST(n AS DOUBLE)))) AS BIGINT)").as("z_milli"))
   }
 
+  /** q425 — Hodges–Lehmann shift estimator (Hodges & Lehmann '63)
+    * between the second and first half of the daily-revenue history:
+    * the MEDIAN of all cross-half pairwise differences — the robust
+    * "how much did the level move" number whose breakdown point the
+    * mean difference lacks entirely. q393/q408 price a difference of
+    * MEANS; q177 tests whether a shift exists; HL says HOW MUCH,
+    * robustly, in the same cents the data came in.
+    *
+    * Exactness: halves split on the [[ScaleRank]] row number; the
+    * cross-pair difference DOMAIN collapses to (diff, count) via the
+    * product of the two halves' value histograms (one equi-free join
+    * of two BOUNDED day-value histograms — |V₁|·|V₂| pairs, each
+    * calendar-bounded); the median is the exact lower order statistic
+    * off one weighted prefix pass. Output is exact cents.
+    *
+    * Scale design (100 TB): one fact collapse to the day axis, two
+    * bounded histograms, their bounded product, one prefix. The
+    * histogram product is |days/2|² worst case — the q392 adjudicated
+    * calendar-pair class. Output 1 row. */
+  val q425HodgesLehmann: QueryDef = QueryDef(
+    "q425_hodges_lehmann",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |ax AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, rev
+      |  FROM daily),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ax),
+      |h1 AS (
+      |  SELECT rev, CAST(count(*) AS BIGINT) AS c FROM ax, nn
+      |  WHERE t <= n // 2 GROUP BY rev),
+      |h2 AS (
+      |  SELECT rev, CAST(count(*) AS BIGINT) AS c FROM ax, nn
+      |  WHERE t > n // 2 GROUP BY rev),
+      |dd AS (
+      |  SELECT h2.rev - h1.rev AS diff,
+      |    CAST(sum(h1.c * h2.c) AS BIGINT) AS c
+      |  FROM h1 CROSS JOIN h2 GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS m FROM dd),
+      |pre AS (
+      |  SELECT diff,
+      |    CAST(sum(c) OVER (ORDER BY diff ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum
+      |  FROM dd)
+      |SELECT tot.m AS n_pairs,
+      |  (SELECT min(pre.diff) FROM pre, tot
+      |   WHERE pre.cum >= (tot.m + 1) // 2) AS hl_shift_cents
+      |FROM tot""".stripMargin) { (s, dir) =>
+    val ax = ScaleRank.withRowNumber(
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")).cast("bigint").as("rev")),
+        Seq.empty, Seq(col("d")), "t", "n_ax")
+      .select(col("t"), col("rev"), col("n_ax"))
+      .ckpt() // calendar-bounded indexed day frame: both halves
+    val nn = ax.agg(max(col("n_ax")).cast("bigint").as("n"))
+    def half(cond: Column) = ax.crossJoin(broadcast(nn)).filter(cond)
+      .groupBy(col("rev")).agg(count(lit(1)).as("c"))
+    val h1 = half(col("t") <= expr("n div 2"))
+      .select(col("rev").as("r1"), col("c").as("c1"))
+    val h2 = half(col("t") > expr("n div 2"))
+      .select(col("rev").as("r2"), col("c").as("c2"))
+    val dd = h1.crossJoin(h2)
+      .groupBy((col("r2") - col("r1")).as("diff"))
+      .agg(sum(col("c1") * col("c2")).as("c"))
+    val tot = dd.agg(sum(col("c")).cast("bigint").as("m"))
+    val hl = ScaleRank.withRunningSum(dd, Seq.empty, Seq(col("diff")),
+        col("c"), "cum")
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= expr("(m + 1) div 2"))
+      .agg(min(col("diff")).as("hl_shift_cents"))
+    tot.crossJoin(broadcast(hl))
+      .select(col("m").as("n_pairs"), col("hl_shift_cents"))
+  }
+
+  /** q427 — Cucconi test (Cucconi '68; Marozzi '09 revival): the
+    * JOINT location–scale two-sample rank test, C = (U² + V² − 2ρUV)
+    * / (2(1−ρ²)) with U built from squared ranks and V from squared
+    * CONTRARY ranks — one statistic that catches what q177 (location
+    * only) and q399 (scale only) each miss alone, with power
+    * competitive against running both at split α.
+    *
+    * Exactness: group-2's rank-square sums ride the value-domain
+    * collapse in QUARTER units (Σd², d the doubled midrank — exact
+    * per-value closed products); contrary squares use
+    * Σ(2(N+1)−d)² = 4(N+1)²·m − 4(N+1)Σd + Σd², all exact integers;
+    * U, V, ρ, and C are ONE shared IEEE chain from those sums.
+    *
+    * Scale design (100 TB): one conditional-count collapse to the
+    * bounded 2dp-cents domain, one prefix pass, 1-row folds.
+    * Output 1 row. */
+  val q427Cucconi: QueryDef = {
+    // U = (6·ΣR² − m(N+1)(2N+1)) / sqrt(mn(N+1)(2N+1)(8N+11)/5)
+    // with ΣR² = sd2/4 (doubled-unit sums); V likewise on contrary
+    // ranks; rho = 2(N²−4)/((2N+1)(8N+11)) − 1
+    val den = "sqrt(CAST(m AS DOUBLE) * CAST(n - m AS DOUBLE) " +
+      "* (CAST(n AS DOUBLE) + 1.0e0) * (2.0e0 * CAST(n AS DOUBLE) " +
+      "+ 1.0e0) * (8.0e0 * CAST(n AS DOUBLE) + 11.0e0) / 5.0e0)"
+    val u = "((6.0e0 * CAST(sd2 AS DOUBLE) / 4.0e0 - CAST(m AS DOUBLE) " +
+      s"* (CAST(n AS DOUBLE) + 1.0e0) * (2.0e0 * CAST(n AS DOUBLE) " +
+      s"+ 1.0e0)) / $den)"
+    val sc2 = "(4.0e0 * (CAST(n AS DOUBLE) + 1.0e0) * (CAST(n AS DOUBLE) " +
+      "+ 1.0e0) * CAST(m AS DOUBLE) - 4.0e0 * (CAST(n AS DOUBLE) " +
+      "+ 1.0e0) * CAST(sd1 AS DOUBLE) + CAST(sd2 AS DOUBLE))"
+    val v = s"((6.0e0 * $sc2 / 4.0e0 - CAST(m AS DOUBLE) " +
+      s"* (CAST(n AS DOUBLE) + 1.0e0) * (2.0e0 * CAST(n AS DOUBLE) " +
+      s"+ 1.0e0)) / $den)"
+    val rho = "(2.0e0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 4.0e0) " +
+      "/ ((2.0e0 * CAST(n AS DOUBLE) + 1.0e0) * (8.0e0 " +
+      "* CAST(n AS DOUBLE) + 11.0e0)) - 1.0e0)"
+    val c = s"(($u * $u + $v * $v - 2.0e0 * $rho * $u * $v) " +
+      s"/ (2.0e0 * (1.0e0 - $rho * $rho)))"
+    QueryDef(
+      "q427_cucconi",
+      s"""WITH x AS (
+         |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+         |  FROM events WHERE event_type IN ('click', 'view')),
+         |dom AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS t,
+         |    CAST(sum(g1) AS BIGINT) AS t1
+         |  FROM x GROUP BY v),
+         |pre AS (
+         |  SELECT v, t, t1,
+         |    CAST(sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) - t AS cb
+         |  FROM dom),
+         |su AS (
+         |  SELECT CAST(sum(t) AS BIGINT) AS n,
+         |    CAST(sum(t1) AS BIGINT) AS m,
+         |    CAST(sum(t1 * (2 * cb + t + 1)) AS BIGINT) AS sd1,
+         |    CAST(sum(CAST(t1 AS HUGEINT) * (2 * cb + t + 1)
+         |      * (2 * cb + t + 1)) AS BIGINT) AS sd2
+         |  FROM pre)
+         |SELECT m AS n1, n - m AS n2,
+         |  CAST(floor(1000.0e0 * $u) AS BIGINT) AS u_milli,
+         |  CAST(floor(1000.0e0 * $v) AS BIGINT) AS v_milli,
+         |  CAST(floor(1000.0e0 * $c) AS BIGINT) AS c_milli,
+         |  CASE WHEN $c > 2.996e0 THEN 1 ELSE 0 END AS reject_5pct
+         |FROM su WHERE m > 0 AND m < n""".stripMargin) { (s, dir) =>
+      val x = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(expr("cast(floor(value * 100 + 0.5) as bigint)").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("g1"))
+      val dom = x.groupBy(col("v"))
+        .agg(count(lit(1)).as("t"), sum(col("g1")).as("t1"))
+      val pre = ScaleRank.withRunningSum(dom, Seq.empty, Seq(col("v")),
+          col("t"), "cum")
+        .select(col("t"), col("t1"),
+          (lit(2) * (col("cum") - col("t")) + col("t") + 1).as("d2"))
+      val su = pre.agg(sum(col("t")).cast("bigint").as("n"),
+        sum(col("t1")).cast("bigint").as("m"),
+        sum(col("t1") * col("d2")).cast("bigint").as("sd1"),
+        sum(col("t1").cast("decimal(38,0)") * col("d2") * col("d2"))
+          .cast("bigint").as("sd2"))
+      su.filter(col("m") > 0 && col("m") < col("n"))
+        .select(col("m").as("n1"), (col("n") - col("m")).as("n2"),
+          expr(s"CAST(floor(1000.0e0 * $u) AS BIGINT)").as("u_milli"),
+          expr(s"CAST(floor(1000.0e0 * $v) AS BIGINT)").as("v_milli"),
+          expr(s"CAST(floor(1000.0e0 * $c) AS BIGINT)").as("c_milli"),
+          expr(s"CASE WHEN $c > 2.996e0 THEN 1 ELSE 0 END")
+            .as("reject_5pct"))
+    }
+  }
+
+  /** q428 — Wilcoxon signed-rank test (Wilcoxon '45) on PAIRED
+    * per-user spend: each user's first-half vs second-half event
+    * cents — did the typical user's spend shift? q177 compares two
+    * INDEPENDENT samples; the paired design removes between-user
+    * variance entirely, which is why it's the default for
+    * before/after product changes. W⁺ = Σ ranks of |d| over positive
+    * d (zero diffs drop), z against n(n+1)/4 with the tie-corrected
+    * variance.
+    *
+    * Exactness: per-user halves are exact conditional cent sums; the
+    * |d| rank domain collapses to (|d|, count, count₊) with doubled
+    * midranks off ONE prefix pass; 2W⁺, the tie moment Σt³−t, and
+    * the variance numerator 48·Var = 2n(n+1)(2n+1) − Σ(t³−t) are
+    * exact integers; z is ONE guarded IEEE chain.
+    *
+    * Scale design (100 TB): one user-grain conditional aggregate
+    * (map-side combinable), one bounded |d|-domain collapse + prefix,
+    * 1-row folds. Output 1 row. */
+  val q428SignedRank: QueryDef = {
+    val z = "CAST(floor(1000.0e0 * (CAST(w2 AS DOUBLE) / 2.0e0 " +
+      "- CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0e0) / 4.0e0) " +
+      "/ sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0e0) " +
+      "* (2.0e0 * CAST(n AS DOUBLE) + 1.0e0) / 24.0e0 " +
+      "- CAST(tie AS DOUBLE) / 48.0e0)) AS BIGINT)"
+    QueryDef(
+      "q428_signed_rank",
+      s"""WITH cut AS (
+         |  SELECT (epoch_us(CAST(min(ts) AS TIMESTAMP))
+         |    + epoch_us(CAST(max(ts) AS TIMESTAMP))) // 2 AS mid_us
+         |  FROM events),
+         |u AS (
+         |  SELECT user_id,
+         |    CAST(coalesce(sum(CASE
+         |      WHEN epoch_us(CAST(ts AS TIMESTAMP)) < cut.mid_us
+         |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
+         |      AS BIGINT) AS x,
+         |    CAST(coalesce(sum(CASE
+         |      WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= cut.mid_us
+         |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
+         |      AS BIGINT) AS y
+         |  FROM events, cut GROUP BY user_id),
+         |dif AS (
+         |  SELECT y - x AS d, abs(y - x) AS ad FROM u WHERE y <> x),
+         |dom AS (
+         |  SELECT ad, CAST(count(*) AS BIGINT) AS t,
+         |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM dif GROUP BY ad),
+         |pre AS (
+         |  SELECT ad, t, tp,
+         |    CAST(sum(t) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) - t AS cb
+         |  FROM dom),
+         |su AS (
+         |  SELECT CAST(sum(t) AS BIGINT) AS n,
+         |    CAST(sum(tp * (2 * cb + t + 1)) AS BIGINT) AS w2,
+         |    CAST(sum(t * t * t - t) AS BIGINT) AS tie
+         |  FROM pre)
+         |SELECT n AS n_users_changed, w2 AS w_plus_doubled,
+         |  $z AS z_milli,
+         |  CASE WHEN abs($z) > 1960 THEN 1 ELSE 0 END AS reject_5pct
+         |FROM su WHERE n > 0""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val cut = ev.agg(expr(
+        "(unix_micros(CAST(min(ts) AS TIMESTAMP)) " +
+          "+ unix_micros(CAST(max(ts) AS TIMESTAMP))) div 2").as("mid_us"))
+      val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+      val tsUs = expr("unix_micros(CAST(ts AS TIMESTAMP))")
+      val u = ev.crossJoin(broadcast(cut))
+        .groupBy(col("user_id"))
+        .agg(coalesce(sum(when(tsUs < col("mid_us"), cents)), lit(0L))
+          .as("x"),
+          coalesce(sum(when(tsUs >= col("mid_us"), cents)), lit(0L))
+            .as("y"))
+      val dif = u.filter(col("y") =!= col("x"))
+        .select((col("y") - col("x")).as("d"),
+          abs(col("y") - col("x")).as("ad"))
+      val dom = dif.groupBy(col("ad"))
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("d") > 0, 1L).otherwise(0L)).as("tp"))
+      val su = ScaleRank.withRunningSum(dom, Seq.empty, Seq(col("ad")),
+          col("t"), "cum")
+        .select(col("t"), col("tp"),
+          (lit(2) * (col("cum") - col("t")) + col("t") + 1).as("d2"))
+        .agg(sum(col("t")).cast("bigint").as("n"),
+          sum(col("tp") * col("d2")).cast("bigint").as("w2"),
+          sum(col("t") * col("t") * col("t") - col("t")).cast("bigint")
+            .as("tie"))
+      su.filter(col("n") > 0)
+        .select(col("n").as("n_users_changed"),
+          col("w2").as("w_plus_doubled"),
+          expr(z).as("z_milli"),
+          expr(s"CASE WHEN abs($z) > 1960 THEN 1 ELSE 0 END")
+            .as("reject_5pct"))
+    }
+  }
+
   /** q415 — intraclass correlation ICC(1,1) (Shrout & Fleiss '79) of
     * daily revenue within calendar weeks: what share of day-to-day
     * revenue variance is BETWEEN-week? ICC = (MSB − MSW)/(MSB +
@@ -5288,6 +5552,7 @@ object DataProfile {
       q399AnsariBradley, q400MoodMedian,
       q407CramerVonMises, q408TukeyHsd, q411Quade, q415Icc,
       q418Dunn, q419Hellinger, q421BartelsRvn,
+      q425HodgesLehmann, q427Cucconi, q428SignedRank,
       q403Grubbs,
       q359TailDependence, q363Jonckheere, q364Sinkhorn,
       q367AndersonDarling,

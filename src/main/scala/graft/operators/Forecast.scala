@@ -2103,11 +2103,258 @@ object Forecast {
     }
   }
 
+  /** q423 — seasonal Mann–Kendall (Hirsch & Slack '84): q392's trend
+    * test computed WITHIN each weekday season and pooled, S = ΣSₛ,
+    * Var = ΣVarₛ — the form that detects a monotone trend hiding
+    * under weekly seasonality (plain MK dilutes it with cross-season
+    * pairs; q392 and q423 disagreeing is itself the "your series is
+    * seasonal" signal q391 then tests formally).
+    *
+    * Exactness: identical integer machinery to q392 per weekday —
+    * day pairs within a season, tie moments from the per-season
+    * (rev, count) collapse; pooled S and 18·Var are exact int64; z
+    * is ONE guarded continuity-corrected IEEE chain.
+    *
+    * Scale design (100 TB): the pair expansion is Σₛ|days/7|²/2 on
+    * the calendar-bounded day axis (¹⁄₇ of q392's); everything else
+    * is a 7-row frame. Output 7 rows + pooled constants. */
+  val q423SeasonalMk: QueryDef = {
+    val z = "CASE WHEN var18 > 0 AND s_stat > 0 THEN " +
+      "CAST(floor(1000.0e0 * (CAST(s_stat AS DOUBLE) - 1.0e0) / " +
+      "sqrt(CAST(var18 AS DOUBLE) / 18.0e0)) AS BIGINT) " +
+      "WHEN var18 > 0 AND s_stat < 0 THEN " +
+      "CAST(floor(1000.0e0 * (CAST(s_stat AS DOUBLE) + 1.0e0) / " +
+      "sqrt(CAST(var18 AS DOUBLE) / 18.0e0)) AS BIGINT) " +
+      "WHEN var18 > 0 THEN 0 END"
+    QueryDef(
+      "q423_seasonal_mk",
+      s"""WITH daily AS (
+         |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS ed,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |dd AS (SELECT ed, ed % 7 AS wd, rev FROM daily),
+         |sw AS (
+         |  SELECT a.wd,
+         |    CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+         |      WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_wd
+         |  FROM dd a JOIN dd b ON b.wd = a.wd AND b.ed > a.ed
+         |  GROUP BY a.wd),
+         |nw AS (
+         |  SELECT wd, CAST(count(*) AS BIGINT) AS n FROM dd GROUP BY wd),
+         |tw AS (
+         |  SELECT wd, CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+         |    AS BIGINT) AS t3
+         |  FROM (SELECT wd, CAST(count(*) AS BIGINT) AS t FROM dd
+         |        GROUP BY wd, rev) WHERE t > 1 GROUP BY wd),
+         |per AS (
+         |  SELECT nw.wd, nw.n, sw.s_wd,
+         |    nw.n * (nw.n - 1) * (2 * nw.n + 5)
+         |      - coalesce(tw.t3, 0) AS v18_wd
+         |  FROM nw JOIN sw ON sw.wd = nw.wd
+         |  LEFT JOIN tw ON tw.wd = nw.wd),
+         |tot AS (
+         |  SELECT CAST(sum(s_wd) AS BIGINT) AS s_stat,
+         |    CAST(sum(v18_wd) AS BIGINT) AS var18
+         |  FROM per)
+         |SELECT per.wd AS weekday, per.n AS n_days, per.s_wd,
+         |  per.v18_wd, tot.s_stat, tot.var18, $z AS z_milli
+         |FROM per, tot ORDER BY weekday""".stripMargin) { (s, dir) =>
+      val dd = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+          .cast("bigint").as("ed"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("bigint")).cast("bigint").as("rev"))
+        .select(col("ed"), (col("ed") % 7).as("wd"), col("rev"))
+        .ckpt() // calendar-bounded day frame: pairs + ties + counts
+      val sw = dd.select(col("wd"), col("ed").as("ea"), col("rev").as("ra"))
+        .join(dd.select(col("wd"), col("ed").as("eb"), col("rev").as("rb")),
+          Seq("wd"))
+        .filter(col("eb") > col("ea"))
+        .groupBy(col("wd"))
+        .agg(sum(when(col("rb") > col("ra"), 1L)
+          .when(col("rb") < col("ra"), -1L).otherwise(0L)).as("s_wd"))
+      val nw = dd.groupBy(col("wd")).agg(count(lit(1)).as("n"))
+      val tw = dd.groupBy(col("wd"), col("rev")).agg(count(lit(1)).as("t"))
+        .filter(col("t") > 1)
+        .groupBy(col("wd"))
+        .agg(coalesce(sum(col("t") * (col("t") - 1)
+          * (lit(2) * col("t") + 5)), lit(0L)).as("t3"))
+      val per = nw.join(sw, Seq("wd")).join(tw, Seq("wd"), "left")
+        .select(col("wd"), col("n"), col("s_wd"),
+          (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
+            - coalesce(col("t3"), lit(0L))).as("v18_wd"))
+        .ckpt() // 7-row per-season frame: pooled fold + output
+      val tot = per.agg(sum(col("s_wd")).cast("bigint").as("s_stat"),
+        sum(col("v18_wd")).cast("bigint").as("var18"))
+      per.crossJoin(broadcast(tot))
+        .select(col("wd").as("weekday"), col("n").as("n_days"),
+          col("s_wd"), col("v18_wd"), col("s_stat"), col("var18"),
+          expr(z).as("z_milli"))
+        .orderBy("weekday")
+    }
+  }
+
+  /** q424 — Cox–Stuart trend test (Cox & Stuart '55): pair day t
+    * with day t+n/2 and sign-test the pairs — the "fold the series
+    * in half" trend screen whose null is EXACTLY binomial(½) with no
+    * variance estimate at all; the cheapest member of the q392/q423
+    * family and the one whose p-value survives ANY dependence inside
+    * each half.
+    *
+    * Exactness: the fold pairing is one equi self-join at offset
+    * ⌊n/2⌋ on the [[ScaleRank]] row number; pos/neg counts are exact
+    * (ties drop, the standard convention); the continuity-corrected
+    * z is ONE IEEE chain.
+    *
+    * Scale design (100 TB): one fact collapse to the calendar-bounded
+    * day axis, ONE equi join, one count. Output 1 row. */
+  val q424CoxStuart: QueryDef = {
+    val z = "CASE WHEN pos + neg > 0 THEN " +
+      "CAST(floor(1000.0e0 * (abs(CAST(pos AS DOUBLE) - neg) - 1.0e0) / " +
+      "sqrt(CAST(pos + neg AS DOUBLE))) AS BIGINT) END"
+    QueryDef(
+      "q424_cox_stuart",
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |ax AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, rev
+         |  FROM daily),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ax),
+         |pr AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN b.rev > a.rev THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS pos,
+         |    CAST(sum(CASE WHEN b.rev < a.rev THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS neg
+         |  FROM ax a JOIN ax b
+         |    ON b.t = a.t + (SELECT n // 2 FROM nn))
+         |SELECT nn.n AS n_days, pr.pos AS n_up, pr.neg AS n_down,
+         |  $z AS z_milli,
+         |  CASE WHEN abs($z) > 1960 THEN 1 ELSE 0 END AS reject_5pct
+         |FROM nn, pr""".stripMargin) { (s, dir) =>
+      val ax = ScaleRank.withRowNumber(
+          Tables.orders(s, dir)
+            .groupBy(col("o_orderdate").cast("date").as("d"))
+            .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+              .cast("bigint")).cast("bigint").as("rev")),
+          Seq.empty, Seq(col("d")), "t", "n_ax")
+        .select(col("t"), col("rev"), col("n_ax"))
+        .ckpt() // calendar-bounded indexed day frame: the fold join
+      val nn = ax.agg(max(col("n_ax")).cast("bigint").as("n"))
+      val pr = ax.select(col("t").as("ta"), col("rev").as("ra"))
+        .crossJoin(broadcast(nn))
+        .join(ax.select(col("t").as("tb"), col("rev").as("rb")),
+          col("tb") === col("ta") + expr("n div 2"))
+        .agg(sum(when(col("rb") > col("ra"), 1L).otherwise(0L)).as("pos"),
+          sum(when(col("rb") < col("ra"), 1L).otherwise(0L)).as("neg"))
+      val z = "CASE WHEN pos + neg > 0 THEN " +
+        "CAST(floor(1000.0e0 * (abs(CAST(pos AS DOUBLE) - neg) - 1.0e0) / " +
+        "sqrt(CAST(pos + neg AS DOUBLE))) AS BIGINT) END"
+      nn.crossJoin(broadcast(pr))
+        .select(col("n").as("n_days"), col("pos").as("n_up"),
+          col("neg").as("n_down"), expr(z).as("z_milli"),
+          expr(s"CASE WHEN abs($z) > 1960 THEN 1 ELSE 0 END")
+            .as("reject_5pct"))
+    }
+  }
+
+  /** q426 — runs up-and-down test (Wallis & Moore '41): compress the
+    * nonzero day-over-day signs and count maximal monotone runs;
+    * E[R] = (2n−1)/3, Var = (16n−29)/90 — the difference-SIGN
+    * randomness screen (q388 tests signs AROUND THE MEDIAN — level
+    * randomness; this tests consecutive MOVEMENT, which is what
+    * autocorrelated momentum corrupts first; q420 counts the peaks
+    * those runs end at).
+    *
+    * Exactness: signs come from one consecutive-index equi join;
+    * zero diffs DROP (the standard convention) and the survivors are
+    * re-indexed by a second [[ScaleRank.withRowNumber]] pass so run
+    * boundaries are one more equi lag join — all exact integers; z
+    * is ONE IEEE chain.
+    *
+    * Scale design (100 TB): three equi joins on the calendar-bounded
+    * day axis, two 1-row folds. Output 1 row. */
+  val q426RunsUpDown: QueryDef = {
+    val z = "CAST(floor(1000.0e0 * (CAST(ch.changes + 1 AS DOUBLE) - " +
+      "(2.0e0 * CAST(nn.m + 1 AS DOUBLE) - 1.0e0) / 3.0e0) / " +
+      "sqrt((16.0e0 * CAST(nn.m + 1 AS DOUBLE) - 29.0e0) / 90.0e0)) " +
+      "AS BIGINT)"
+    QueryDef(
+      "q426_runs_updown",
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |ax AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, rev
+         |  FROM daily),
+         |sg AS (
+         |  SELECT a.t,
+         |    CASE WHEN b.rev > a.rev THEN 1 ELSE -1 END AS s
+         |  FROM ax a JOIN ax b ON b.t = a.t + 1
+         |  WHERE b.rev <> a.rev),
+         |sx AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i, s
+         |  FROM sg),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS m FROM sx),
+         |ch AS (
+         |  SELECT CAST(sum(CASE WHEN b.s <> a.s THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS changes
+         |  FROM sx a JOIN sx b ON b.i = a.i + 1)
+         |SELECT nn.m + 1 AS n_days_used, ch.changes + 1 AS n_runs,
+         |  $z AS z_milli,
+         |  CASE WHEN abs($z) > 1960 THEN 1 ELSE 0 END AS reject_5pct
+         |FROM nn, ch WHERE nn.m > 1""".stripMargin) { (s, dir) =>
+      val ax = ScaleRank.withRowNumber(
+          Tables.orders(s, dir)
+            .groupBy(col("o_orderdate").cast("date").as("d"))
+            .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+              .cast("bigint")).cast("bigint").as("rev")),
+          Seq.empty, Seq(col("d")), "t", "n_ax")
+        .select(col("t"), col("rev"))
+        .ckpt() // calendar-bounded indexed day frame: the sign join
+      val sg = ax.select(col("t").as("ta"), col("rev").as("ra"))
+        .join(ax.select(col("t").as("tb"), col("rev").as("rb")),
+          col("tb") === col("ta") + 1)
+        .filter(col("rb") =!= col("ra"))
+        .select(col("ta"),
+          when(col("rb") > col("ra"), 1L).otherwise(-1L).as("s"))
+      val sx = ScaleRank.withRowNumber(sg, Seq.empty, Seq(col("ta")),
+          "i", "m_ax")
+        .select(col("i"), col("s"))
+        .ckpt() // compressed sign walk: lag join + count
+      val nn = sx.agg(count(lit(1)).cast("bigint").as("m"))
+      val ch = sx.select(col("i").as("ia"), col("s").as("sa"))
+        .join(sx.select(col("i").as("ib"), col("s").as("sb")),
+          col("ib") === col("ia") + 1)
+        .agg(sum(when(col("sb") =!= col("sa"), 1L).otherwise(0L))
+          .cast("bigint").as("changes"))
+      val z = "CAST(floor(1000.0e0 * (CAST(changes + 1 AS DOUBLE) - " +
+        "(2.0e0 * CAST(m + 1 AS DOUBLE) - 1.0e0) / 3.0e0) / " +
+        "sqrt((16.0e0 * CAST(m + 1 AS DOUBLE) - 29.0e0) / 90.0e0)) " +
+        "AS BIGINT)"
+      nn.crossJoin(broadcast(ch))
+        .filter(col("m") > 1)
+        .select((col("m") + 1).as("n_days_used"),
+          (col("changes") + 1).as("n_runs"),
+          expr(z).as("z_milli"),
+          expr(s"CASE WHEN abs($z) > 1960 THEN 1 ELSE 0 END")
+            .as("reject_5pct"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail,
       q245Changepoint, q261SeasonalDecomp, q290SeasonalAnomaly,
       q349VarianceTime, q355BurstIntervals, q360DieboldMariano, q372Dtw,
       q380HoltWinters, q401VarianceRatio, q402PageHinkley, q404DurbinWatson,
       q405ChowTest, q406PermutationEntropy, q410BreuschPagan, q414Pettitt,
-      q417CusumSquares, q420TurningPoints, q422NeweyWest)
+      q417CusumSquares, q420TurningPoints, q422NeweyWest, q423SeasonalMk,
+      q424CoxStuart, q426RunsUpDown)
 }

@@ -444,6 +444,10 @@ object PlanSweepAllowlist {
     ("q418_dunn", "nonequi-agg",
       "5 literal order priorities: both sides of the pair θ-join are " +
         "the 5-row rank-sum frame (10 pairs)"),
+    ("q425_hodges_lehmann", "nonequi-agg",
+      "cross of two half-history day-value histograms: ≤|days/2| rows " +
+        "each (calendar-bounded — daily revenue has ≤|days| distinct " +
+        "values), the q392 adjudicated day-pair class"),
     ("q409_weighted_kappa", "nonequi-agg",
       "quintile margins: both sides of the expectation cross are " +
         "ntile-bounded 5-row frames (25 cells)"))

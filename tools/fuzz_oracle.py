@@ -262,6 +262,12 @@ QUERIES = [
     "q411_quade", "q412_kupiec_pof", "q413_christoffersen",
     "q414_pettitt", "q415_icc", "q416_cronbach_alpha",
     "q417_cusum_squares",
+    # round-9 batches 4-5: day-revenue rank/sign/pair machinery and the
+    # paired/two-sample event-value rank tests
+    "q418_dunn", "q419_hellinger", "q420_turning_points",
+    "q421_bartels_rvn", "q422_newey_west", "q423_seasonal_mk",
+    "q424_cox_stuart", "q425_hodges_lehmann", "q426_runs_updown",
+    "q427_cucconi", "q428_signed_rank",
 ]
 # q397 Nelson-Aalen and q398 Mantel-Haenszel read only ts/event_type/
 # user_id (all preserved by the redraw) — inert replays, not registered.
