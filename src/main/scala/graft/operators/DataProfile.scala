@@ -3921,11 +3921,7 @@ object DataProfile {
          |  CASE WHEN $zChain > 3841 THEN 1 ELSE 0 END AS reject_5pct
          |FROM st, adj, (SELECT st.n - adj.same AS r FROM st, adj) rr
          |""".stripMargin) { (s, dir) =>
-      val daily = Tables.orders(s, dir)
-        .groupBy(col("o_orderdate").cast("date").as("d"))
-        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-          .cast("bigint")).cast("bigint").as("rev"))
-        .ckpt() // both sides of the consecutive-day join
+      val daily = DayAxis.revCents(s, dir)
       val dl = daily.select(col("d"), col("rev"))
         .join(daily.select(expr("date_add(d, -1)").as("d"),
           col("rev").as("rev2")), Seq("d"))
@@ -4005,11 +4001,8 @@ object DataProfile {
          |  chi.chi2_milli,
          |  CASE WHEN chi.chi2_milli > 12592 THEN 1 ELSE 0 END AS reject_5pct
          |FROM rj, chi ORDER BY weekday""".stripMargin) { (s, dir) =>
-      val daily = Tables.orders(s, dir)
-        .groupBy(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
-          .cast("bigint").as("ed"))
-        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-          .cast("bigint")).cast("bigint").as("rev"))
+      val daily = DayAxis.revCentsEpoch(s, dir)
+        .select(col("d").as("ed"), col("rev").as("rev"))
       val dd = daily.select(expr("ed div 7").as("wk"),
         (col("ed") % 7).as("wd"), col("rev"))
       val fullWk = dd.groupBy("wk").agg(count(lit(1)).as("c"))
@@ -4085,11 +4078,7 @@ object DataProfile {
          |  FROM nn, s, tie)
          |SELECT n AS n_days, s_stat, var18, $z AS z_milli
          |FROM v""".stripMargin) { (s, dir) =>
-      val daily = Tables.orders(s, dir)
-        .groupBy(col("o_orderdate").cast("date").as("d"))
-        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-          .cast("bigint")).cast("bigint").as("rev"))
-        .ckpt() // calendar-bounded day frame: pairs + ties + count
+      val daily = DayAxis.revCents(s, dir)
       val sSt = daily.select(col("d").as("da"), col("rev").as("ra"))
         .join(daily.select(col("d").as("db"), col("rev").as("rb")),
           col("db") > col("da"))
@@ -4345,11 +4334,7 @@ object DataProfile {
          |  CASE WHEN $jbMilli > 5991 THEN 1 ELSE 0 END AS reject_5pct
          |FROM m WHERE n > 2 AND $m2 > 0.0e0""".stripMargin) { (s, dir) =>
       val dec = (c: Column) => c.cast("decimal(38,0)")
-      val daily = Tables.orders(s, dir)
-        .groupBy(col("o_orderdate").cast("date").as("d"))
-        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-          .cast("bigint")).cast("bigint").as("rev"))
-        .ckpt() // calendar-bounded day frame: both self-join sides
+      val daily = DayAxis.revCents(s, dir)
       val r = daily.select(col("d").as("da"), col("rev").as("ra"))
         .join(daily.select(col("d").as("db"), col("rev").as("rb")),
           col("db") === date_add(col("da"), 1))
@@ -4417,11 +4402,7 @@ object DataProfile {
          |   FROM mo mo2) mm
          |WHERE mo.n > 2 AND mm.m2 > 0""".stripMargin) { (s, dir) =>
       val dec = (c: Column) => c.cast("decimal(38,0)")
-      val daily = Tables.orders(s, dir)
-        .groupBy(col("o_orderdate").cast("date").as("d"))
-        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-          .cast("bigint")).cast("bigint").as("rev"))
-        .ckpt() // calendar-bounded day frame: moments AND deviations
+      val daily = DayAxis.revCents(s, dir)
       val mo = daily.agg(dec(count(lit(1))).as("n"),
         sum(dec(col("rev"))).as("s1"), sum(dec(col("rev")) * col("rev")).as("s2"))
       val dev = daily.crossJoin(broadcast(mo))
@@ -4845,11 +4826,7 @@ object DataProfile {
       |      AS DOUBLE) / 1000.0e0 - 2.0e0)
       |    / (2.0e0 / sqrt(CAST(nn.n AS DOUBLE)))) AS BIGINT) AS z_milli
       |FROM nn, num, den WHERE den.den4 > 0""".stripMargin) { (s, dir) =>
-    val daily = Tables.orders(s, dir)
-      .groupBy(col("o_orderdate").cast("date").as("d"))
-      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-        .cast("bigint")).cast("bigint").as("rev"))
-      .ckpt() // calendar-bounded day frame: domain + rank assembly
+    val daily = DayAxis.revCents(s, dir)
     val dom = daily.groupBy(col("rev")).agg(count(lit(1)).as("c"))
     val da = ScaleRank.withRunningSum(dom, Seq.empty, Seq(col("rev")),
         col("c"), "cum")
@@ -4929,10 +4906,7 @@ object DataProfile {
       |   WHERE pre.cum >= (tot.m + 1) // 2) AS hl_shift_cents
       |FROM tot""".stripMargin) { (s, dir) =>
     val ax = ScaleRank.withRowNumber(
-        Tables.orders(s, dir)
-          .groupBy(col("o_orderdate").cast("date").as("d"))
-          .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-            .cast("bigint")).cast("bigint").as("rev")),
+        DayAxis.revCents(s, dir),
         Seq.empty, Seq(col("d")), "t", "n_ax")
       .select(col("t"), col("rev"), col("n_ax"))
       .ckpt() // calendar-bounded indexed day frame: both halves
@@ -5190,11 +5164,8 @@ object DataProfile {
          |  AND (CAST(sq AS DOUBLE) - CAST(sw2 AS DOUBLE) / $K.0e0) > 0
          |""".stripMargin) { (s, dir) =>
       val dec = (c: Column) => c.cast("decimal(38,0)")
-      val dd = Tables.orders(s, dir)
-        .groupBy(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
-          .cast("bigint").as("ed"))
-        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-          .cast("bigint")).cast("bigint").as("rev"))
+      val dd = DayAxis.revCentsEpoch(s, dir)
+        .select(col("d").as("ed"), col("rev").as("rev"))
         .select(expr("ed div 7").as("wk"), col("rev"))
       val fullWk = dd.groupBy(col("wk"))
         .agg(count(lit(1)).as("c"), sum(dec(col("rev"))).as("s"),
@@ -5495,11 +5466,8 @@ object DataProfile {
          |  f.f_milli,
          |  CASE WHEN f.f_milli > 2099 THEN 1 ELSE 0 END AS reject_5pct
          |FROM colsum, f ORDER BY weekday""".stripMargin) { (s, dir) =>
-      val daily = Tables.orders(s, dir)
-        .groupBy(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
-          .cast("bigint").as("ed"))
-        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-          .cast("bigint")).cast("bigint").as("rev"))
+      val daily = DayAxis.revCentsEpoch(s, dir)
+        .select(col("d").as("ed"), col("rev").as("rev"))
       val dd = daily.select(expr("ed div 7").as("wk"),
         (col("ed") % 7).as("wd"), col("rev"))
       val fullWk = dd.groupBy("wk").agg(count(lit(1)).as("c"))

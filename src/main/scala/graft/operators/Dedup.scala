@@ -259,11 +259,16 @@ object Dedup {
     * similarity signal anyway. */
   private[graft] val NGRAM_DF_CAP = 1000
 
-  /** Distinct (doc, lang, bigram-set) rows for the n-gram join. */
+  /** Distinct (doc, lang, bigram-set) rows for the n-gram join.
+    * Accepts either a raw `text` frame (test fixtures) or the shared
+    * pre-tokenized corpus (a `tk` array from [[Corpus.tokenized]]). */
   private[graft] def bigramSets(docs: DataFrame): DataFrame = {
     val t = col("t")
-    docs
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+    val tokd =
+      if (docs.columns.contains("tk"))
+        docs.select(col("doc_id"), col("lang"), col("tk").as("t"))
+      else docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+    tokd
       .filter(size(col("t")) >= 2)
       .select(
         col("doc_id"), col("lang"),
@@ -331,9 +336,7 @@ object Dedup {
       |FROM bg a JOIN bg b ON a.lang = b.lang AND a.doc_id < b.doc_id
       |WHERE len(list_intersect(a.bs, b.bs)) * 10 >= len(list_distinct(list_cat(a.bs, b.bs))) * 3
       |ORDER BY j DESC, a, b LIMIT 50""".stripMargin) { (s, dir) =>
-    val bg = bigramSets(
-      Tables.documents(s, dir)
-        .repartition(col("doc_id"))) // single-file scan -> use every core
+    val bg = bigramSets(Corpus.tokenized(s, dir)) // shared corpus tokenize
     val sizes = bg.select(col("doc_id"), size(col("bs")).as("n"))
     val j = bigramPairInter(bg)
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))

@@ -1271,13 +1271,8 @@ object EventOps {
       |      sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))) AS BIGINT)
       |   END AS acf_ppm
       |FROM m ORDER BY lag""".stripMargin) { (s, dir) =>
-    val daily = Tables.orders(s, dir)
-      .groupBy(col("o_orderdate").cast("date").as("d"))
-      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-        .cast("bigint")).cast("bigint").as("x"))
-      // the day axis feeds BOTH sides of the lag self-join —
-      // materialize once so the fact scan+aggregate runs once
-      .ckpt()
+    val daily = DayAxis.revCents(s, dir)
+      .select(col("d"), col("rev").as("x"))
     val lagged = daily
       .withColumn("lag", explode(array((1 to 7).map(lit(_)): _*)))
       .withColumn("d2", date_add(col("d"), col("lag")))
@@ -1517,11 +1512,8 @@ object EventOps {
       |SELECT d, x AS revenue_cents, cusum AS cusum_cents,
       |  CAST(CASE WHEN cusum > h THEN 1 ELSE 0 END AS BIGINT) AS alarm
       |FROM s ORDER BY d""".stripMargin) { (s, dir) =>
-    val daily = Tables.orders(s, dir)
-      .groupBy(col("o_orderdate").cast("date").as("d"))
-      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-        .cast("bigint")).cast("bigint").as("x"))
-      .ckpt() // feeds the mean AND the series
+    val daily = DayAxis.revCents(s, dir)
+      .select(col("d"), col("rev").as("x"))
     val mu = daily.agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
       .select(expr("sx div n").as("mu"),
         expr("(sx div n) div 20").as("k"),
@@ -1661,11 +1653,8 @@ object EventOps {
       |  CAST((1000000 * CAST(s7 AS HUGEINT) * n1) //
       |       (CAST(s1 AS HUGEINT) * n7) AS BIGINT) AS mase_ppm
       |FROM m""".stripMargin) { (s, dir) =>
-    val daily = Tables.orders(s, dir)
-      .groupBy(col("o_orderdate").cast("date").as("d"))
-      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-        .cast("bigint")).cast("bigint").as("x"))
-      .ckpt() // one fact collapse feeds both lag joins
+    val daily = DayAxis.revCents(s, dir)
+      .select(col("d"), col("rev").as("x"))
     def lagErr(days: Int): DataFrame = daily.as("a")
       .join(daily.as("b"), expr(s"b.d = a.d - $days"))
       .select(abs(col("a.x") - col("b.x")).as("e"))
@@ -3752,11 +3741,8 @@ object EventOps {
          |SELECT terms.lag, terms.r_micro, q.q_milli,
          |  CASE WHEN q.q_milli > 18307 THEN 1 ELSE 0 END AS reject_5pct
          |FROM terms, q ORDER BY terms.lag""".stripMargin) { (s, dir) =>
-      val daily = Tables.orders(s, dir)
-        .groupBy(col("o_orderdate").cast("date").as("d"))
-        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-          .cast("bigint")).cast("bigint").as("x"))
-        .ckpt() // the day axis feeds deviations on both lag sides
+      val daily = DayAxis.revCents(s, dir)
+        .select(col("d"), col("rev").as("x"))
       val nn = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
       val dev = daily.crossJoin(broadcast(nn))
         .select(col("d"),

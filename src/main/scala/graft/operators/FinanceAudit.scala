@@ -1203,11 +1203,7 @@ object FinanceAudit {
          |SELECT alpha_milli, n AS n_days, var_cents,
          |  $esChain AS es_cents, n_tail
          |FROM pick ORDER BY alpha_milli""".stripMargin) { (s, dir) =>
-      val daily = Tables.orders(s, dir)
-        .groupBy(datediff(col("o_orderdate").cast("date"),
-          lit("1970-01-01")).cast("bigint").as("d"))
-        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-          .cast("bigint")).cast("bigint").as("rev"))
+      val daily = DayAxis.revCentsEpoch(s, dir)
       val wD = Window.orderBy(col("d"))
       val loss = daily
         .withColumn("p", col("rev") - lag(col("rev"), 1).over(wD))
@@ -1302,11 +1298,7 @@ object FinanceAudit {
          |  CAST(floor($var99D) AS BIGINT) AS var99_gpd_cents,
          |  emp.var99_emp AS var99_emp_cents
          |FROM nt, u, exc, emp""".stripMargin) { (s, dir) =>
-      val daily = Tables.orders(s, dir)
-        .groupBy(datediff(col("o_orderdate").cast("date"),
-          lit("1970-01-01")).cast("bigint").as("d"))
-        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-          .cast("bigint")).cast("bigint").as("rev"))
+      val daily = DayAxis.revCentsEpoch(s, dir)
       val wD = Window.orderBy(col("d"))
       val loss = daily
         .withColumn("p", col("rev") - lag(col("rev"), 1).over(wD))
@@ -1441,11 +1433,7 @@ object FinanceAudit {
     * integers end to end: cents losses, ceiling-rank selection,
     * 0/1 violations on the indexed second-half axis. */
   private def varBacktestFrame(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.orders(s, dir)
-      .groupBy(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
-        .cast("bigint").as("d"))
-      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-        .cast("bigint")).cast("bigint").as("rev"))
+    val daily = DayAxis.revCentsEpoch(s, dir)
     val ax = ScaleRank.withRowNumber(daily, Seq.empty, Seq(col("d")), "t",
       "nd")
     val loss = ax.select(col("t").as("ta"), col("rev").as("ra"), col("nd"))

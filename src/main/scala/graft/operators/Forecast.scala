@@ -183,12 +183,8 @@ object Forecast {
       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
       |  np AS n_pairs, slope AS ts_slope_milli
       |FROM r WHERE rk = (np + 1) // 2""".stripMargin) { (s, dir) =>
-    val daily = Tables.orders(s, dir)
-      .groupBy(datediff(col("o_orderdate").cast("date"),
-        lit("1970-01-01")).cast("bigint").as("d"))
-      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-        .cast("bigint")).cast("bigint").as("x"))
-      .ckpt() // one fact collapse feeds both join sides
+    val daily = DayAxis.revCentsEpoch(s, dir)
+      .select(col("d").as("d"), col("rev").as("x"))
     // pair generation: broadcast the tiny axis against an 8-way
     // repartition of itself — the nested loop parallelizes over the
     // stream side, so |days|²/2 pairs materialize on 8 tasks, not 1
@@ -395,11 +391,7 @@ object Forecast {
       |  CAST(floor(1000.0 * CAST(sum(det_cents) AS DOUBLE) /
       |    CAST(count(*) AS DOUBLE)) AS BIGINT) AS seasonal_millicents
       |FROM det GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val d = Tables.orders(s, dir)
-      .groupBy(col("o_orderdate").cast("date").as("day"))
-      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("bigint"))
-        .as("cents"))
-      .ckpt() // day axis feeds both sides of the lag join
+    val d = DayAxis.centsFloor(s, dir)
     val probes = d.select(col("day"), col("cents"),
       explode(expr("sequence(-3, 3)")).as("off"))
       .select(col("day"), col("cents"),
@@ -425,11 +417,7 @@ object Forecast {
     * det_cents), complete 7-day neighborhoods only. */
   private def detrendedDays(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    val d = Tables.orders(s, dir)
-      .groupBy(col("o_orderdate").cast("date").as("day"))
-      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("bigint"))
-        .as("cents"))
-      .ckpt()
+    val d = DayAxis.centsFloor(s, dir)
     val probes = d.select(col("day"), col("cents"),
       explode(expr("sequence(-3, 3)")).as("off"))
       .select(col("day"), col("cents"),
@@ -834,11 +822,8 @@ object Forecast {
          |SELECT n, se1 // n AS mae_seasonal_cents, se2 // n AS mae_rw_cents,
          |  sd AS sum_diff_cents, $zMilli AS dm_z_milli
          |FROM agg""".stripMargin) { (s, dir) =>
-      val daily = Tables.orders(s, dir)
-        .groupBy(datediff(col("o_orderdate").cast("date"),
-          lit("1970-01-01")).cast("bigint").as("d"))
-        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-          .cast("bigint")).cast("bigint").as("y"))
+      val daily = DayAxis.revCentsEpoch(s, dir)
+        .select(col("d").as("d"), col("rev").as("y"))
       val wD = Window.orderBy(col("d"))
       val err = daily
         .withColumn("y7", lag(col("y"), 7).over(wD))
@@ -1077,10 +1062,8 @@ object Forecast {
          |FROM st, nt
          |WHERE st.t > 0 AND (st.t % $CK = 0 OR st.t = nt.tmax)
          |ORDER BY st.t""".stripMargin) { (s, dir) =>
-      val daily = Tables.orders(s, dir)
-        .groupBy(col("o_orderdate").cast("date").as("d"))
-        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-          .cast("bigint")).cast("bigint").as("y"))
+      val daily = DayAxis.revCents(s, dir)
+        .select(col("d"), col("rev").as("y"))
       import s.implicits._
       val rows = daily.repartition(1).sortWithinPartitions("d")
         .select(col("y")).as[Long]
@@ -1175,11 +1158,7 @@ object Forecast {
       |  (SELECT CAST(count(*) AS BIGINT) FROM ph, lam
       |   WHERE ph.ph > lam.lambda) AS n_alert_days
       |FROM lam, mx, pk""".stripMargin) { (s, dir) =>
-    val daily = Tables.orders(s, dir)
-      .groupBy(col("o_orderdate").cast("date").as("d"))
-      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-        .cast("bigint")).cast("bigint").as("rev"))
-      .ckpt() // calendar-bounded day frame feeds the prefix chain
+    val daily = DayAxis.revCents(s, dir)
     val rn = ScaleRank.withRowNumber(daily, Seq.empty, Seq(col("d")),
       "t", "n_ax")
     val cum = ScaleRank.withRunningSum(rn, Seq.empty, Seq(col("t")),
@@ -1276,10 +1255,7 @@ object Forecast {
        |FROM co2, dsum, esum WHERE esum.ee > 0""".stripMargin) { (s, dir) =>
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val ax = ScaleRank.withRowNumber(
-        Tables.orders(s, dir)
-          .groupBy(col("o_orderdate").cast("date").as("d"))
-          .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-            .cast("bigint")).cast("bigint").as("rev")),
+        DayAxis.revCents(s, dir),
         Seq.empty, Seq(col("d")), "t", "n_ax")
       .select(col("t"), col("rev"))
       .ckpt() // calendar-bounded indexed day frame
@@ -1381,10 +1357,7 @@ object Forecast {
        |FROM z, nn WHERE z.s1 + z.s2 > 0 AND nn.nd > 4""".stripMargin) {
     (s, dir) =>
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val daily = Tables.orders(s, dir)
-      .groupBy(col("o_orderdate").cast("date").as("d"))
-      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-        .cast("bigint")).cast("bigint").as("rev"))
+    val daily = DayAxis.revCents(s, dir)
     val seg = ScaleRank.withRowNumber(daily, Seq.empty, Seq(col("d")),
         "t", "nd")
       .select(col("t"), col("rev"), col("nd"),
@@ -1490,10 +1463,7 @@ object Forecast {
          |FROM vr""".stripMargin) { (s, dir) =>
       val dec = (c: Column) => c.cast("decimal(38,0)")
       val ax = ScaleRank.withRowNumber(
-          Tables.orders(s, dir)
-            .groupBy(col("o_orderdate").cast("date").as("d"))
-            .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-              .cast("bigint")).cast("bigint").as("rev")),
+          DayAxis.revCents(s, dir),
           Seq.empty, Seq(col("d")), "t", "n_ax")
         .select(col("t"), col("rev"), col("n_ax"))
         .ckpt() // calendar-bounded indexed day frame: both lag joins
@@ -1574,10 +1544,7 @@ object Forecast {
       |    AS h_norm_milli
       |FROM terms, h ORDER BY pattern""".stripMargin) { (s, dir) =>
     val ax = ScaleRank.withRowNumber(
-        Tables.orders(s, dir)
-          .groupBy(col("o_orderdate").cast("date").as("d"))
-          .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-            .cast("bigint")).cast("bigint").as("rev")),
+        DayAxis.revCents(s, dir),
         Seq.empty, Seq(col("d")), "t", "n_ax")
       .select(col("t"), col("rev"))
       .ckpt() // calendar-bounded indexed day frame: both lag joins
@@ -1684,10 +1651,7 @@ object Forecast {
        |""".stripMargin) { (s, dir) =>
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val ax = ScaleRank.withRowNumber(
-        Tables.orders(s, dir)
-          .groupBy(col("o_orderdate").cast("date").as("d"))
-          .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-            .cast("bigint")).cast("bigint").as("rev")),
+        DayAxis.revCents(s, dir),
         Seq.empty, Seq(col("d")), "t", "n_ax")
       .select(col("t"), col("rev"))
       .ckpt() // calendar-bounded indexed day frame
@@ -1776,11 +1740,7 @@ object Forecast {
       |       + CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE))))
       |    AS BIGINT) AS p_micro
       |FROM nn, k, pk""".stripMargin) { (s, dir) =>
-    val daily = Tables.orders(s, dir)
-      .groupBy(col("o_orderdate").cast("date").as("d"))
-      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-        .cast("bigint")).cast("bigint").as("rev"))
-      .ckpt() // calendar-bounded day frame: domain + rank assembly
+    val daily = DayAxis.revCents(s, dir)
     val dom = daily.groupBy(col("rev")).agg(count(lit(1)).as("c"))
     val da = ScaleRank.withRunningSum(dom, Seq.empty, Seq(col("rev")),
         col("c"), "cum")
@@ -1882,10 +1842,7 @@ object Forecast {
        |FROM tot, mx, pk WHERE tot.tu > 0""".stripMargin) { (s, dir) =>
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val ax = ScaleRank.withRowNumber(
-        Tables.orders(s, dir)
-          .groupBy(col("o_orderdate").cast("date").as("d"))
-          .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-            .cast("bigint")).cast("bigint").as("rev")),
+        DayAxis.revCents(s, dir),
         Seq.empty, Seq(col("d")), "t", "n_ax")
       .select(col("t"), col("d"), col("rev"))
       .ckpt() // calendar-bounded indexed day frame
@@ -1964,10 +1921,7 @@ object Forecast {
          |    AS reject_5pct
          |FROM nn, tp WHERE nn.n > 2""".stripMargin) { (s, dir) =>
       val ax = ScaleRank.withRowNumber(
-          Tables.orders(s, dir)
-            .groupBy(col("o_orderdate").cast("date").as("d"))
-            .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-              .cast("bigint")).cast("bigint").as("rev")),
+          DayAxis.revCents(s, dir),
           Seq.empty, Seq(col("d")), "t", "n_ax")
         .select(col("t"), col("rev"))
         .ckpt() // calendar-bounded indexed day frame: both lag joins
@@ -2056,10 +2010,7 @@ object Forecast {
          |FROM mo, co2, s6, d4 WHERE s6.s6 > 0""".stripMargin) { (s, dir) =>
       val dec = (c: Column) => c.cast("decimal(38,0)")
       val ax = ScaleRank.withRowNumber(
-          Tables.orders(s, dir)
-            .groupBy(col("o_orderdate").cast("date").as("d"))
-            .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-              .cast("bigint")).cast("bigint").as("rev")),
+          DayAxis.revCents(s, dir),
           Seq.empty, Seq(col("d")), "t", "n_ax")
         .select(col("t"), col("rev"))
         .ckpt() // calendar-bounded indexed day frame
@@ -2161,11 +2112,8 @@ object Forecast {
          |SELECT per.wd AS weekday, per.n AS n_days, per.s_wd,
          |  per.v18_wd, tot.s_stat, tot.var18, $z AS z_milli
          |FROM per, tot ORDER BY weekday""".stripMargin) { (s, dir) =>
-      val dd = Tables.orders(s, dir)
-        .groupBy(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
-          .cast("bigint").as("ed"))
-        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-          .cast("bigint")).cast("bigint").as("rev"))
+      val dd = DayAxis.revCentsEpoch(s, dir)
+        .select(col("d").as("ed"), col("rev").as("rev"))
         .select(col("ed"), (col("ed") % 7).as("wd"), col("rev"))
         .ckpt() // calendar-bounded day frame: pairs + ties + counts
       val sw = dd.select(col("wd"), col("ed").as("ea"), col("rev").as("ra"))
@@ -2238,10 +2186,7 @@ object Forecast {
          |  CASE WHEN abs($z) > 1960 THEN 1 ELSE 0 END AS reject_5pct
          |FROM nn, pr""".stripMargin) { (s, dir) =>
       val ax = ScaleRank.withRowNumber(
-          Tables.orders(s, dir)
-            .groupBy(col("o_orderdate").cast("date").as("d"))
-            .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-              .cast("bigint")).cast("bigint").as("rev")),
+          DayAxis.revCents(s, dir),
           Seq.empty, Seq(col("d")), "t", "n_ax")
         .select(col("t"), col("rev"), col("n_ax"))
         .ckpt() // calendar-bounded indexed day frame: the fold join
@@ -2312,10 +2257,7 @@ object Forecast {
          |  CASE WHEN abs($z) > 1960 THEN 1 ELSE 0 END AS reject_5pct
          |FROM nn, ch WHERE nn.m > 1""".stripMargin) { (s, dir) =>
       val ax = ScaleRank.withRowNumber(
-          Tables.orders(s, dir)
-            .groupBy(col("o_orderdate").cast("date").as("d"))
-            .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-              .cast("bigint")).cast("bigint").as("rev")),
+          DayAxis.revCents(s, dir),
           Seq.empty, Seq(col("d")), "t", "n_ax")
         .select(col("t"), col("rev"))
         .ckpt() // calendar-bounded indexed day frame: the sign join

@@ -729,12 +729,8 @@ object Linalg {
          |SELECT CAST(rk AS BIGINT) AS rank, x AS day_epoch, y AS rev_cents,
          |  e_micro, h_nano, d_nano
          |FROM top WHERE rk <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
-      val daily = Tables.orders(s, dir)
-        .groupBy(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
-          .cast("bigint").as("x"))
-        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-          .cast("bigint")).cast("bigint").as("y"))
-        .ckpt() // the day axis feeds moments, SSE, and the row chains
+      val daily = DayAxis.revCentsEpoch(s, dir)
+        .select(col("d").as("x"), col("rev").as("y"))
       val m = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"),
         sum(col("x") * col("x")).cast("bigint").as("sxx"),

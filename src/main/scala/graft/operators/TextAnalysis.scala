@@ -695,9 +695,8 @@ object TextAnalysis {
       |FROM bc JOIN uc cx ON bc.x = cx.x JOIN uc cy ON bc.y = cy.x, nt, nb
       |ORDER BY assoc_ppm DESC, w1, w2""".stripMargin) { (s, dir) =>
     val tk = col("tk")
-    val docs = Tables.documents(s, dir)
-      .repartition(col("doc_id")) // single-file scan -> use every core
-      .select(split(col("text"), " ").as("tk"))
+    val docs = Corpus.tokenized(s, dir) // shared corpus tokenize
+      .select(col("tk"))
     val uni = docs.select(explode(tk).as("x"))
     val uc = uni.groupBy(col("x")).agg(count(lit(1)).as("c"))
     val nt = uni.agg(count(lit(1)).as("n_tok"))
@@ -1443,10 +1442,10 @@ object TextAnalysis {
       |    AS r2_ppm
       |FROM m""".stripMargin) { (s, dir) =>
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val docs = Tables.documents(s, dir)
+    val docs = Corpus.tokenized(s, dir) // shared corpus tokenize
     val mx = docs.agg(max(col("doc_id")).as("maxid"))
       .ckpt() // 1-row frame; keeps the max pass out of both shingle scans
-    val ts3 = split(col("text"), " ")
+    val ts3 = col("tk")
     val tri = zip_with(
       slice(ts3, lit(1), greatest(lit(0), size(ts3) - 2)),
       zip_with(
@@ -1455,7 +1454,6 @@ object TextAnalysis {
         (b, c) => concat(b, lit(" "), c)),
       (a, bc) => concat(a, lit(" "), bc))
     val t = docs
-      .repartition(col("doc_id")) // single-file scan -> use every core
       .crossJoin(broadcast(mx))
       .select(
         least(lit(19L), expr("(20 * doc_id) div (maxid + 1)")).as("bucket"),

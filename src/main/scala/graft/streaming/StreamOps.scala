@@ -1787,6 +1787,189 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class SeriesState(
+      curDay: Long, cents: Long, days: Seq[Long], revs: Seq[Long])
+  final case class PettittOut(
+      n_days: Long, day: Long, k_stat: Long, change_day: Long,
+      p_micro: Long)
+
+  /** Streaming Pettitt changepoint monitor — the stateful twin of
+    * q414 ([[graft.operators.Forecast.q414Pettitt]]) over the event
+    * stream's daily cent sums: as each day closes (the in-order
+    * day-close contract shared with [[hwMonitor]]), the monitor
+    * recomputes the EXACT batch rank chain on the closed prefix —
+    * doubled midranks off the (value, count) domain, the cumulative
+    * U_t = Σd2 − t(n+1) walk, K = max_{t<n}|U_t|, the argmax day,
+    * and the one-IEEE-chain p — so each emitted row is bit-equal to
+    * the batch statistic evaluated on exactly the days closed so
+    * far (terminal row = the full-series batch answer).
+    *
+    * State is CALENDAR-bounded, not stream-bounded: the closed
+    * (day, rev) series — global ranks are inherently a full-series
+    * statistic, so O(n_days) state is the information-theoretic
+    * floor for an exact Pettitt (contrast [[phMonitor]]'s O(1)
+    * sequential detector); events per day still fold into one
+    * accumulator, so state never grows with event volume. Per-close
+    * recompute is O(n_days log n_days) on ≤ thousands of days. */
+  def pettittMonitor(spark: SparkSession,
+      events: Dataset[AsofEvent]): Dataset[PettittOut] = {
+    import spark.implicits._
+
+    def stat(days: IndexedSeq[Long], revs: IndexedSeq[Long]): Option[PettittOut] = {
+      val n = revs.length
+      if (n < 2) None
+      else {
+        // doubled midranks via the (value, count) domain — the q414 d2
+        val counts = revs.groupBy(identity).map { case (v, g) => (v, g.length.toLong) }
+        val sortedVals = counts.keys.toArray.sorted
+        var cum = 0L
+        val d2 = collection.mutable.Map.empty[Long, Long]
+        for (v <- sortedVals) {
+          val c = counts(v)
+          cum += c
+          d2(v) = 2L * (cum - c) + c + 1L
+        }
+        var cumd = 0L
+        val us = new Array[Long](n)
+        for (t <- 1 to n) {
+          cumd += d2(revs(t - 1))
+          us(t - 1) = cumd - t.toLong * (n + 1L)
+        }
+        // K over t < n (batch `WHERE uu.t < nn.n`); the argmax-day
+        // scan runs over ALL t (the batch pk CTE is unrestricted —
+        // it only matters when K = 0, where |U_n| = 0 ties)
+        val kStat = (1 until n).map(t => math.abs(us(t - 1))).max
+        var changeDay = Long.MaxValue
+        for (t <- 1 to n)
+          if (math.abs(us(t - 1)) == kStat)
+            changeDay = math.min(changeDay, days(t - 1))
+        val nd = n.toDouble
+        val p = math.floor(1000000.0 * 2.0 *
+          math.exp(-6.0 * kStat.toDouble * kStat.toDouble /
+            (nd * nd * nd + nd * nd))).toLong
+        Some(PettittOut(n.toLong, days(n - 1), kStat, changeDay, p))
+      }
+    }
+
+    def fn(key: Long, rows: Iterator[AsofEvent],
+        state: GroupState[SeriesState]): Iterator[PettittOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var st = state.getOption.getOrElse(
+        SeriesState(Long.MinValue, 0L, Vector.empty, Vector.empty))
+      val out = List.newBuilder[PettittOut]
+      def closeDay(): Unit = if (st.curDay != Long.MinValue) {
+        st = st.copy(days = st.days :+ st.curDay, revs = st.revs :+ st.cents)
+        stat(st.days.toIndexedSeq, st.revs.toIndexedSeq).foreach(out += _)
+      }
+      sorted.foreach { e =>
+        val d = micros(e.ts) / 86400000000L
+        if (d != st.curDay) {
+          closeDay()
+          st = st.copy(curDay = d, cents = 0L)
+        }
+        st = st.copy(cents = st.cents + math.floor(e.value * 100 + 0.5).toLong)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_ => 0L)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  final case class CusumSqOut(
+      n_days: Long, day: Long, break_day: Long, d_micro: Long,
+      band_micro: Long, reject_5pct: Boolean)
+
+  /** Streaming CUSUM-of-squares stability monitor — the stateful
+    * twin of q417 ([[graft.operators.Forecast.q417CusumSquares]]):
+    * each day close refits the prefix OLS (the exact DECIMAL-moment
+    * → milli-floored coefficient chain of the batch), rebuilds the
+    * exact integer residual-square walk, and emits the maximum
+    * diagonal gap D, its argmax day, and the 0.948/√n band — every
+    * row bit-equal to the batch statistic on the closed prefix
+    * (terminal row = the full-series batch answer).
+    *
+    * Like [[pettittMonitor]], state is the CALENDAR-bounded closed
+    * (day, rev) series: residuals depend on the refitted whole-prefix
+    * trend, so an exact monitor cannot compress below the series
+    * itself; events per day fold into one accumulator. BigInt
+    * arithmetic mirrors DECIMAL(38)/HUGEINT exactly. */
+  def cusumSqMonitor(spark: SparkSession,
+      events: Dataset[AsofEvent]): Dataset[CusumSqOut] = {
+    import spark.implicits._
+
+    def stat(days: IndexedSeq[Long], revs: IndexedSeq[Long]): Option[CusumSqOut] = {
+      val n = revs.length
+      if (n < 2) None
+      else {
+        val nB = BigInt(n)
+        var st, stt, sy, sty = BigInt(0)
+        for (t <- 1 to n) {
+          val tB = BigInt(t); val yB = BigInt(revs(t - 1))
+          st += tB; stt += tB * tB; sy += yB; sty += tB * yB
+        }
+        val bMilli = math.floor(1000.0 *
+          ((nB.toDouble * sty.toDouble - st.toDouble * sy.toDouble) /
+            (nB.toDouble * stt.toDouble - st.toDouble * st.toDouble))).toLong
+        val aMilli = math.floor(
+          (1000.0 * sy.toDouble - bMilli.toDouble * st.toDouble) /
+            nB.toDouble).toLong
+        var cu = BigInt(0)
+        val cus = new Array[BigInt](n)
+        for (t <- 1 to n) {
+          val e = BigInt(1000L) * revs(t - 1) - aMilli - BigInt(bMilli) * t
+          cu += (e * e) / BigInt(1000000000L) // e² ≥ 0: floor = trunc
+          cus(t - 1) = cu
+        }
+        val tu = cu
+        if (tu <= 0) None
+        else {
+          var gmax = BigInt(-1)
+          var breakDay = Long.MaxValue
+          for (t <- 1 to n) {
+            val g = (nB * cus(t - 1) - BigInt(t) * tu).abs
+            if (g > gmax) { gmax = g; breakDay = days(t - 1) }
+            else if (g == gmax) breakDay = math.min(breakDay, days(t - 1))
+          }
+          val dMicro = ((BigInt(1000000L) * gmax) / (nB * tu)).toLong
+          val band = math.floor(1000000.0 * 0.948 / math.sqrt(n.toDouble)).toLong
+          Some(CusumSqOut(n.toLong, days(n - 1), breakDay, dMicro, band,
+            dMicro > band))
+        }
+      }
+    }
+
+    def fn(key: Long, rows: Iterator[AsofEvent],
+        state: GroupState[SeriesState]): Iterator[CusumSqOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var st = state.getOption.getOrElse(
+        SeriesState(Long.MinValue, 0L, Vector.empty, Vector.empty))
+      val out = List.newBuilder[CusumSqOut]
+      def closeDay(): Unit = if (st.curDay != Long.MinValue) {
+        st = st.copy(days = st.days :+ st.curDay, revs = st.revs :+ st.cents)
+        stat(st.days.toIndexedSeq, st.revs.toIndexedSeq).foreach(out += _)
+      }
+      sorted.foreach { e =>
+        val d = micros(e.ts) / 86400000000L
+        if (d != st.curDay) {
+          closeDay()
+          st = st.copy(curDay = d, cents = 0L)
+        }
+        st = st.copy(cents = st.cents + math.floor(e.value * 100 + 0.5).toLong)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_ => 0L)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Streaming n-gram novelty — the stateful twin of q386
     * ([[graft.operators.TextAnalysis.q386NgramNovelty]]) as a
     * first-seen monitor (the [[vocabNovelty]] pattern generalized to

@@ -1784,6 +1784,105 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pettittMonitor recomputes the exact rank chain on every closed prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val revByDay = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("rev"))
+      .collect().map(r => (r.getAs[Long]("d"), r.getAs[Long]("rev")))
+      .sortBy(_._1).toVector
+    val in = MemoryStream[StreamOps.AsofEvent]
+    val q = StreamOps.pettittMonitor(spark, in.toDS())
+      .writeStream.format("memory").queryName("pettitt_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      eventChunks(3).foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+      // independent replay: brute-force doubled midranks (count-less /
+      // count-equal per element — NOT the monitor's domain-prefix
+      // construction), then the U walk, K over t<n, min argmax day
+      // over all t, and the one-IEEE-chain p
+      def expected(m: Int): (Long, Long, Long, Long, Long) = {
+        val ys = revByDay.take(m).map(_._2)
+        val ds = revByDay.take(m).map(_._1)
+        val d2 = ys.map(y =>
+          2L * ys.count(_ < y) + ys.count(_ == y) + 1L)
+        val us = (1 to m).map(t => d2.take(t).sum - t.toLong * (m + 1L))
+        val k = (1 until m).map(t => math.abs(us(t - 1))).max
+        val cd = (1 to m).filter(t => math.abs(us(t - 1)) == k)
+          .map(t => ds(t - 1)).min
+        val nd = m.toDouble
+        val p = math.floor(1000000.0 * 2.0 * math.exp(
+          -6.0 * k.toDouble * k.toDouble / (nd * nd * nd + nd * nd))).toLong
+        (m.toLong, ds(m - 1), k, cd, p)
+      }
+      val exp = (2 until revByDay.size).map(expected) // last day stays open
+      val got = spark.table("pettitt_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .sortBy(_._1).toSeq
+      assert(got == exp, s"first diff: ${got.zip(exp).find(p => p._1 != p._2)}")
+    } finally q.stop()
+  }
+
+  test("cusumSqMonitor refits the prefix OLS and matches the exact gap walk per closed day") {
+    implicit val sqlCtx = spark.sqlContext
+    val revByDay = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("rev"))
+      .collect().map(r => (r.getAs[Long]("d"), r.getAs[Long]("rev")))
+      .sortBy(_._1).toVector
+    val in = MemoryStream[StreamOps.AsofEvent]
+    val q = StreamOps.cusumSqMonitor(spark, in.toDS())
+      .writeStream.format("memory").queryName("cusumsq_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      eventChunks(3).foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+      // independent replay of the q417 chain: DECIMAL-exact moments,
+      // milli-floored coefficients, integer residual-square walk,
+      // max diagonal gap + argmax day + 0.948/sqrt(n) band
+      def expected(m: Int): Option[(Long, Long, Long, Long, Long, Boolean)] = {
+        val ys = revByDay.take(m).map(_._2)
+        val ds = revByDay.take(m).map(_._1)
+        val ts = (1 to m).map(BigInt(_))
+        val (st, stt) = (ts.sum, ts.map(t => t * t).sum)
+        val sy = ys.map(BigInt(_)).sum
+        val sty = ts.zip(ys).map { case (t, y) => t * y }.sum
+        val b = math.floor(1000.0 * ((m.toDouble * sty.toDouble
+          - st.toDouble * sy.toDouble) / (m.toDouble * stt.toDouble
+          - st.toDouble * st.toDouble))).toLong
+        val a = math.floor((1000.0 * sy.toDouble - b.toDouble * st.toDouble)
+          / m.toDouble).toLong
+        val cus = (1 to m).scanLeft(BigInt(0)) { (acc, t) =>
+          val e = BigInt(1000L) * ys(t - 1) - a - BigInt(b) * t
+          acc + (e * e) / BigInt(1000000000L)
+        }.tail
+        val tu = cus.last
+        if (tu <= 0) None
+        else {
+          val gaps = (1 to m).map(t =>
+            (BigInt(m) * cus(t - 1) - BigInt(t) * tu).abs)
+          val gmax = gaps.max
+          val bd = (1 to m).filter(t => gaps(t - 1) == gmax)
+            .map(t => ds(t - 1)).min
+          val dMicro = ((BigInt(1000000L) * gmax) / (BigInt(m) * tu)).toLong
+          val band = math.floor(1000000.0 * 0.948
+            / math.sqrt(m.toDouble)).toLong
+          Some((m.toLong, ds(m - 1), bd, dMicro, band, dMicro > band))
+        }
+      }
+      val exp = (2 until revByDay.size).flatMap(expected)
+      val got = spark.table("cusumsq_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5)))
+        .sortBy(_._1).toSeq
+      assert(got == exp, s"first diff: ${got.zip(exp).find(p => p._1 != p._2)}")
+    } finally q.stop()
+  }
+
   test("ngramNovelty windows equal the batch first-appearance gram counts per n") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]

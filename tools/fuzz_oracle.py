@@ -11,7 +11,7 @@ invariant (events.value in [0,1000), ASCII text, props.k in the q86
 domain, doc_id < 1e6), then replays graft.VerifySome + the DuckDB
 compare on the redrawn corpus.
 
-Usage: python3 tools/fuzz_oracle.py [seed ...]   (default seeds 1..3)
+Usage: python3 tools/fuzz_oracle.py [seed ...]   (default seeds 1..5)
 
 Each seed is an independent corpus under /tmp/fuzz_sf_<seed>; exit 1 if
 any seed fails any query.
@@ -268,9 +268,13 @@ QUERIES = [
     "q421_bartels_rvn", "q422_newey_west", "q423_seasonal_mk",
     "q424_cox_stuart", "q425_hodges_lehmann", "q426_runs_updown",
     "q427_cucconi", "q428_signed_rank",
+    # survival/epidemiology IEEE chains: ride the event_type
+    # permutation + ts day-jitter (r10 — until then these were inert
+    # replays because the redraw preserved ts/event_type verbatim)
+    "q397_nelson_aalen", "q398_mantel_haenszel",
+    # timestamp-geometry stats: inert before the r10 ts day-jitter
+    "q349_variance_time", "q355_burst_intervals",
 ]
-# q397 Nelson-Aalen and q398 Mantel-Haenszel read only ts/event_type/
-# user_id (all preserved by the redraw) — inert replays, not registered.
 # q289 HRU view selection reads only categorical dimension columns
 # (preserved by the redraw) — an inert replay, not registered.
 # q291 mutual-NN label noise reads only embeddings (COPY_AS_IS) —
@@ -279,8 +283,8 @@ QUERIES = [
 # by the redraw), so its fuzz replay would be the identical graph.
 # q273 hard-negative mining reads only embeddings (COPY_AS_IS under the
 # fuzz redraw), so a fuzz entry would replay the identical corpus.
-# q349 variance-time and q355 burst intervals read only timestamps/
-# dates and row counts (preserved by the redraw) — inert replays.
+# q349 variance-time and q355 burst intervals read timestamps, which
+# the r10 ts day-jitter now redraws — registered above since r10.
 # q356 depth-2 tree reads only embeddings (COPY_AS_IS) — inert.
 
 COPY_AS_IS = ["region", "nation", "supplier", "part",
@@ -388,6 +392,27 @@ def gen_events(dst, seed):
     props = pa.array([one_props() for _ in range(n)], type=pa.string())
     t = t.set_column(t.schema.get_field_index("value"), "value", values)
     t = t.set_column(t.schema.get_field_index("props"), "props", props)
+    # r10: redraw the sequential/categorical axes too, so the
+    # survival/epidemiology chains (q397 Nelson-Aalen lifetimes from
+    # per-user purchase spans, q398 Mantel-Haenszel strata counts)
+    # actually see fresh inputs.
+    #  - event_type: a global PERMUTATION — marginal counts stay
+    #    exactly invariant (funnel/count shapes survive) while every
+    #    per-user sequence redraws.
+    #  - ts: a per-row day-level jitter in [-2, +2] days — day axes,
+    #    lifetimes, and inter-event gaps all redraw while the overall
+    #    calendar range moves by at most 2 days (oracle SQL recomputes
+    #    on the same redrawn parquet, so both engines shift together).
+    types = t.column("event_type").to_pylist()
+    rnd.shuffle(types)
+    t = t.set_column(t.schema.get_field_index("event_type"),
+                     "event_type", pa.array(types, type=pa.string()))
+    us = t.column("ts").cast(pa.timestamp("us")).to_pylist()
+    import datetime
+    jittered = [v + datetime.timedelta(days=rnd.randrange(-2, 3))
+                for v in us]
+    t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                     pa.array(jittered, type=pa.timestamp("us")))
     # force the TIMESTAMP(NANOS) physical layout regardless of what
     # the driver testdata currently ships (it flipped to micros in r5)
     # so the Spark nanosAsLong read path in Tables.events stays
@@ -399,7 +424,7 @@ def gen_events(dst, seed):
 
 
 def main():
-    seeds = [int(a) for a in sys.argv[1:]] or [1, 2, 3]
+    seeds = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
     failed = False
     for seed in seeds:
         dst = f"/tmp/fuzz_sf_{seed}"
