@@ -34,7 +34,8 @@ object SparkEntry {
       graft.multimodal.Phash.all ++ graft.operators.Segmentation.all ++
       graft.operators.Linalg.all ++ graft.operators.Bitmap.all ++
       graft.operators.Forecast.all ++ graft.operators.FinanceAudit.all ++
-      graft.operators.Privacy.all ++ graft.operators.PipelineFilters.all
+      graft.operators.Privacy.all ++ graft.operators.PipelineFilters.all ++
+      graft.queries.SqlSurface.all
 
   /** Full registry, for plan-shape audit sweeps (ScalePlanAuditSpec). */
   private[graft] def defs: Seq[QueryDef] = allDefs

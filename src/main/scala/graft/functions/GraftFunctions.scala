@@ -57,5 +57,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
+    // SQL-visible as-of join: TVF + strategy + by-name rewrite
+    ext.injectTableFunction((
+      FunctionIdentifier("asof_join"),
+      graft.plans.AsofSql.info,
+      graft.plans.AsofSql.builder))
+    ext.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.ResolveAsofJoinByName)
   }
 }

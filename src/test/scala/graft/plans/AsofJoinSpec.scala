@@ -84,4 +84,38 @@ class AsofJoinSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
     assert(df.count() == 1)
   }
+
+  test("asof_join TVF: a raw SQL string reaches AsofJoinExec (q430 path)") {
+    AsofSql.install(spark)
+    Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "t", "tag").createOrReplaceTempView("asof_tvf_l")
+    Seq((1L, 5L, 100L, "c5"), (1L, 10L, 101L, "c10"),
+      (1L, 15L, 102L, "c15"), (2L, 9L, 103L, "c9"))
+      .toDF("k", "rt", "id", "ctag").createOrReplaceTempView("asof_tvf_r")
+    val df = spark.sql("""
+      SELECT tag, ctag, rt
+      FROM asof_join(TABLE(asof_tvf_l), TABLE(asof_tvf_r),
+                     'k', 't', 'rt', 'id')""")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin "), s"SQL plan missed the operator:\n$p")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("p1", "c10", 10L), ("p2", "c15", 15L), ("p3", null, -1L)))
+  }
+
+  test("asof_join TVF: string view-name arguments work and ties use the tiebreak") {
+    AsofSql.install(spark)
+    Seq((7L, 100L, "p")).toDF("k", "t", "tag")
+      .createOrReplaceTempView("asof_tvf_l2")
+    Seq((7L, 100L, 1L, "first"), (7L, 100L, 3L, "third"),
+      (7L, 100L, 2L, "second"))
+      .toDF("k", "rt", "id", "ctag").createOrReplaceTempView("asof_tvf_r2")
+    val got = spark.sql(
+      "SELECT ctag FROM asof_join('asof_tvf_l2', 'asof_tvf_r2', " +
+        "'k', 't', 'rt', 'id')").head().getString(0)
+    assert(got == "third")
+  }
 }

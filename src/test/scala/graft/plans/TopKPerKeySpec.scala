@@ -56,6 +56,24 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(plan.substring(partialIdx).contains("2, true"), plan)
   }
 
+  test("raw SQL row_number idiom reaches TopKPerKeyExec (q429 path)") {
+    TopKInstall.install(spark)
+    randomDf(33).createOrReplaceTempView("topk_sql_spec")
+    val df = spark.sql("""
+      SELECT key, score, payload FROM (
+        SELECT key, score, payload,
+          row_number() OVER (PARTITION BY key ORDER BY score DESC) AS rn
+        FROM topk_sql_spec) t
+      WHERE rn <= 3""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"SQL plan missed the operator:\n$plan")
+    // equivalence with the un-rewritten window on a plain session path
+    val w = Window.partitionBy(col("key")).orderBy(col("score").desc)
+    val viaWindow = randomDf(33).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("key", "score", "payload")
+    assert(df.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(df).isEmpty)
+  }
+
   test("optimizer rule rewrites row_number+filter into the native operator") {
     val df = randomDf(21)
     val w = Window.partitionBy(col("key")).orderBy(col("score").desc)

@@ -283,13 +283,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q190: two map-collapsing corpus passes, shingles from one split, math on the bucket axis") {
+  test("q190: two map-collapsing passes over the SHARED tokenized corpus, math on the bucket axis") {
     val p = plan(graft.operators.TextAnalysis.q190HeapsLaw)
-    // exactly the two documented passes over documents — a third scan
-    // means a stage stopped collapsing map-side
-    assert("Scan parquet".r.findAllIn(p).size == 2, p)
-    // shingle explosion is the zip_with projection: one split() per
-    // pass feeds Generate, never an element-wise re-split
+    // r10: both corpus passes read the memoized Corpus.tokenized
+    // checkpoint — no parquet re-scan, no re-split, anywhere
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("ExistingRDD"), p)
+    // shingle explosion is the zip_with projection over the shared tk
+    // array: one Generate per pass, never an element-wise re-split
     assert("Generate explode".r.findAllIn(p).size == 2, p)
     assert(p.contains("partial_count") || p.contains("partial_min"), p)
   }

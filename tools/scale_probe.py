@@ -40,13 +40,21 @@ PROBE = [
     "q284_boruvka", "q270_modularity", "q34_ngram_jaccard",
     "q169_pca_power", "q254_max_coverage", "q241_label_prop",
     "q239_hits", "q340_quantile_regression",
+    # r10: the heaviest round-9 stats shapes — q425's |V1|x|V2|
+    # day-value histogram product is the one new super-day-linear
+    # term; q402/q418 pin the "calendar-bounded collapse" claim
+    # (10x rows, same day axis -> near-flat wall is the PASS)
+    "q402_page_hinkley", "q418_dunn", "q425_hodges_lehmann",
 ]
 
 AS_IS = ["region", "nation", "customer", "supplier", "part", "events"]
 
-# the three steepest sf1 scalers (r8): fixed-round iterative graph
-# algorithms — the ones whose curve needs a second, steeper point
-STEEP = ["q270_modularity", "q241_label_prop", "q254_max_coverage"]
+# the steepest sf1 scalers (r8): fixed-round iterative graph
+# algorithms — the ones whose curve needs a second, steeper point —
+# plus (r10) the bench-ceiling set-similarity join q34, probed to
+# sf3 so its shuffle-heavy growth curve has a second point too
+STEEP = ["q270_modularity", "q241_label_prop", "q254_max_coverage",
+         "q34_ngram_jaccard"]
 
 
 def gen(dst=DST, copies=COPIES):
