@@ -2291,6 +2291,465 @@ object Forecast {
     }
   }
 
+  /** Shared DuckDB CTE text: epoch-day daily revenue (the
+    * [[DayAxis.revCentsEpoch]] twin). */
+  private def dailyEpochCte: String =
+    """daily AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+      |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |        AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1)""".stripMargin
+
+  /** q431 — seasonal-strength scan over candidate periods: for each
+    * P ∈ {7, 14, 28, 91} days, the share of daily-revenue variance
+    * explained by the phase d mod P (the one-way-ANOVA SSB/SST) —
+    * the exact-arithmetic stand-in for a periodogram peak (libm
+    * cos/sin chains are not cross-engine contractual; integer phase
+    * means are) and the "which seasonality does this series actually
+    * have" screen run before committing q261/q380's period choice.
+    *
+    * Exactness: per-phase counts/sums are exact ints; each SSB term
+    * (N·s_g − n_g·S)² div n_g floors BEFORE the sum (q180
+    * discipline) in DECIMAL(38)/HUGEINT; the final ratio is ONE IEEE
+    * chain.
+    *
+    * Scale design (100 TB): one fact collapse to the day axis
+    * (shared [[DayAxis]] frame), a ≤(4 periods × 91 phases)
+    * literal-bounded group frame, 1-row moment broadcasts. The
+    * period×phase grid meets the 1-row total only (|A|·1 — not a
+    * θ-join shape). Output 4 rows. */
+  val q431PeriodStrength: QueryDef = QueryDef(
+    "q431_period_strength",
+    s"""WITH $dailyEpochCte,
+       |ps AS (SELECT CAST(unnest([7, 14, 28, 91]) AS BIGINT) AS p),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rev) AS BIGINT) AS s,
+       |    sum(CAST(rev AS HUGEINT) * rev) AS syy
+       |  FROM daily),
+       |g AS (
+       |  SELECT ps.p, daily.d % ps.p AS grp,
+       |    CAST(count(*) AS BIGINT) AS ng, CAST(sum(rev) AS BIGINT) AS sg
+       |  FROM daily, ps GROUP BY 1, 2),
+       |terms AS (
+       |  SELECT g.p,
+       |    (CAST(tot.n AS HUGEINT) * g.sg - CAST(g.ng AS HUGEINT) * tot.s)
+       |      * (CAST(tot.n AS HUGEINT) * g.sg - CAST(g.ng AS HUGEINT) * tot.s)
+       |      // g.ng AS term
+       |  FROM g, tot),
+       |ssb AS (
+       |  SELECT p, CAST(count(*) AS BIGINT) AS n_groups,
+       |    sum(term) AS ssbn2
+       |  FROM terms GROUP BY p)
+       |SELECT ssb.p AS period, ssb.n_groups,
+       |  CAST(floor((1000000.0e0 * CAST(ssb.ssbn2 AS DOUBLE)) /
+       |    (CAST(tot.n AS DOUBLE) *
+       |     CAST(tot.n * tot.syy - CAST(tot.s AS HUGEINT) * tot.s
+       |          AS DOUBLE))) AS BIGINT) AS strength_ppm
+       |FROM ssb, tot ORDER BY period""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = DayAxis.revCentsEpoch(s, dir)
+    val tot = daily.agg(count(lit(1)).cast("bigint").as("n"),
+      sum(col("rev")).cast("bigint").as("s"),
+      sum(dec(col("rev")) * col("rev")).as("syy"))
+    val g = daily
+      .select(col("d"), col("rev"),
+        explode(array(lit(7L), lit(14L), lit(28L), lit(91L))).as("p"))
+      .groupBy(col("p"), pmod(col("d"), col("p")).as("grp"))
+      .agg(count(lit(1)).cast("bigint").as("ng"),
+        sum(col("rev")).cast("bigint").as("sg"))
+    val terms = g.crossJoin(broadcast(tot))
+      .select(col("p"),
+        ((dec(col("n")) * col("sg") - dec(col("ng")) * col("s"))
+          * (dec(col("n")) * col("sg") - dec(col("ng")) * col("s")))
+          .as("t2"),
+        col("ng"))
+      // exact floor-div in DECIMAL via the subtract-pmod identity
+      // (Spark's infix div emits int64 and would overflow here)
+      .select(col("p"),
+        expr("CAST((t2 - pmod(t2, CAST(ng AS DECIMAL(38,0)))) " +
+          "/ CAST(ng AS DECIMAL(38,0)) AS DECIMAL(38,0))").as("term"))
+    val ssb = terms.groupBy(col("p"))
+      .agg(count(lit(1)).cast("bigint").as("n_groups"),
+        sum(col("term")).as("ssbn2"))
+    ssb.crossJoin(broadcast(tot))
+      .select(col("p").as("period"), col("n_groups"),
+        expr("CAST(floor((1000000.0e0 * CAST(ssbn2 AS DOUBLE)) / " +
+          "(CAST(n AS DOUBLE) * " +
+          "CAST(CAST(n AS DECIMAL(38,0)) * syy - " +
+          "CAST(s AS DECIMAL(38,0)) * s AS DOUBLE))) AS BIGINT)")
+          .as("strength_ppm"))
+      .orderBy("period")
+  }
+
+  /** q432 — KPSS level-stationarity test (Kwiatkowski et al. '92,
+    * lag-0 short-run variance): with partial sums S_t of the
+    * demeaned series, KPSS = Σ S_t² / (n² σ̂²). q404/q410 test the
+    * RESIDUALS of an assumed trend; KPSS tests the NULL of
+    * stationarity itself — the standard pre-commit check before any
+    * of this file's level-based forecasts is trusted. Reject at the
+    * 5% critical value 0.463.
+    *
+    * Exactness: everything rides the n-scaled demeaning ẽ_t =
+    * n·y_t − Σy (exact DECIMAL(38) ints, no mean rounding): with
+    * S̃_t = Σ_{i≤t}ẽ_i, KPSS = Σ S̃² / (n · Σ ẽ²) exactly, evaluated
+    * as ONE IEEE chain. The prefix rides one
+    * [[ScaleRank.withRunningSum]] pass.
+    *
+    * Scale design (100 TB): one fact collapse to the shared day
+    * axis, a 1-row moment broadcast, one distributed prefix pass,
+    * one fold. Output 1 row. */
+  val q432Kpss: QueryDef = QueryDef(
+    "q432_kpss",
+    s"""WITH $dailyEpochCte,
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(rev) AS BIGINT) AS s FROM daily),
+       |e AS (
+       |  SELECT daily.d,
+       |    CAST(nn.n AS HUGEINT) * daily.rev - nn.s AS ez
+       |  FROM daily, nn),
+       |pre AS (
+       |  SELECT d, ez,
+       |    sum(ez) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS sz
+       |  FROM e),
+       |mo AS (
+       |  SELECT sum(sz * sz) AS ssz, sum(ez * ez) AS see FROM pre)
+       |SELECT nn.n AS n_days,
+       |  CAST(floor((1000.0e0 * CAST(mo.ssz AS DOUBLE)) /
+       |    (CAST(nn.n AS DOUBLE) * CAST(mo.see AS DOUBLE))) AS BIGINT)
+       |    AS kpss_milli,
+       |  CASE WHEN (1000.0e0 * CAST(mo.ssz AS DOUBLE)) /
+       |    (CAST(nn.n AS DOUBLE) * CAST(mo.see AS DOUBLE)) > 463.0e0
+       |    THEN 1 ELSE 0 END AS reject_5pct
+       |FROM nn, mo WHERE mo.see > 0""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = DayAxis.revCentsEpoch(s, dir)
+    val nn = daily.agg(count(lit(1)).cast("bigint").as("n"),
+      sum(col("rev")).cast("bigint").as("s"))
+    val e = daily.crossJoin(broadcast(nn))
+      .select(col("d"), col("n"),
+        (dec(col("n")) * col("rev") - col("s")).as("ez"))
+    val pre = ScaleRank.withRunningSum(e, Seq.empty, Seq(col("d")),
+      col("ez"), "sz")
+    val mo = pre.agg(sum(col("sz") * col("sz")).as("ssz"),
+      sum(col("ez") * col("ez")).as("see"))
+    val chain = "(1000.0e0 * CAST(ssz AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(see AS DOUBLE))"
+    nn.crossJoin(broadcast(mo))
+      .filter(col("see") > 0)
+      .select(col("n").as("n_days"),
+        expr(s"CAST(floor($chain) AS BIGINT)").as("kpss_milli"),
+        expr(s"CASE WHEN $chain > 463.0e0 THEN 1 ELSE 0 END")
+          .as("reject_5pct"))
+  }
+
+  /** q433 — Hurst exponent by rescaled-range (R/S) analysis: split
+    * the day-indexed series into complete blocks of w ∈ {8, 16, 32,
+    * 64} days, compute each block's rescaled range R/S over its
+    * cumulative demeaned walk, and fit ln(avg R/S) on ln(w) — H ≈ ½
+    * is a memoryless series, H > ½ long-range persistence (the
+    * "does revenue trend or mean-revert at every horizon" read;
+    * q401's variance-ratio tests ONE horizon pair, this fits the
+    * whole scaling law, the q190 log-log discipline on the time
+    * axis).
+    *
+    * Exactness: block walks ride the w-scaled demeaning ỹ = w·y −
+    * Σ_block y (exact DECIMAL ints); R̃ = max(c̃,0) − min(c̃,0) over
+    * the in-block prefix (one partitioned [[ScaleRank]] pass); each
+    * block's R/S = R̃·√w/√(Σỹ²) is ONE shared IEEE chain floored to
+    * micro units before the per-w integer mean; the ln-ln fit
+    * floors to nano-nats per point before exact integer OLS moments
+    * (q190 discipline).
+    *
+    * Scale design (100 TB): one fact collapse to the shared day
+    * axis; the ×4 window expansion, block sums, prefix, and block
+    * folds are all equi-keyed on (w, block) — calendar-bounded
+    * frames throughout; the 4-point regression is a 1-row fold.
+    * Output 4 rows. */
+  val q433HurstRs: QueryDef = {
+    val rsChain = "CAST(floor(((1000000.0e0 * CAST(rbig AS DOUBLE)) * " +
+      "sqrt(CAST(w AS DOUBLE))) / sqrt(CAST(syy2 AS DOUBLE))) AS BIGINT)"
+    QueryDef(
+      "q433_hurst_rs",
+      s"""WITH $dailyEpochCte,
+         |ax AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, rev
+         |  FROM daily),
+         |e AS (
+         |  SELECT ws.w, (ax.t - 1) // ws.w AS b, ax.t, ax.rev
+         |  FROM ax, (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS w) ws),
+         |bs AS (
+         |  SELECT w, b, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(sum(rev) AS BIGINT) AS sb
+         |  FROM e GROUP BY w, b),
+         |ez AS (
+         |  SELECT e.w, e.b, e.t,
+         |    CAST(e.w AS HUGEINT) * e.rev - bs.sb AS yz
+         |  FROM e JOIN bs ON bs.w = e.w AND bs.b = e.b AND bs.c = e.w),
+         |pre AS (
+         |  SELECT w, b, yz,
+         |    sum(yz) OVER (PARTITION BY w, b ORDER BY t
+         |      ROWS UNBOUNDED PRECEDING) AS cz
+         |  FROM ez),
+         |blk AS (
+         |  SELECT w, b,
+         |    greatest(max(cz), 0) - least(min(cz), 0) AS rbig,
+         |    sum(yz * yz) AS syy2
+         |  FROM pre GROUP BY w, b),
+         |rs AS (
+         |  SELECT w, b, $rsChain AS rs_micro
+         |  FROM blk WHERE syy2 > 0),
+         |per AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+         |    CAST(sum(rs_micro) AS BIGINT) // count(*) AS rs_avg_micro
+         |  FROM rs GROUP BY w),
+         |xy AS (
+         |  SELECT w, n_blocks, rs_avg_micro,
+         |    CAST(floor(1000000000.0e0 * ln(CAST(w AS DOUBLE))) AS BIGINT) AS x,
+         |    CAST(floor(1000000000.0e0 *
+         |      ln(CAST(rs_avg_micro AS DOUBLE) / 1000000.0e0)) AS BIGINT) AS y
+         |  FROM per),
+         |mo AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS np,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx
+         |  FROM xy),
+         |h AS (
+         |  SELECT CAST(floor(1000.0e0 *
+         |    CAST(np * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+         |    CAST(np * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+         |    AS BIGINT) AS h_milli
+         |  FROM mo)
+         |SELECT xy.w, xy.n_blocks, xy.rs_avg_micro, h.h_milli
+         |FROM xy, h ORDER BY xy.w""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val daily = DayAxis.revCentsEpoch(s, dir)
+      val ax = ScaleRank.withRowNumber(daily, Seq.empty, Seq(col("d")),
+          "t", "n_ax")
+        .select(col("t"), col("rev"))
+      val e = ax.select(col("t"), col("rev"),
+          explode(array(lit(8L), lit(16L), lit(32L), lit(64L))).as("w"))
+        .select(col("w"), expr("(t - 1) div w").as("b"), col("t"), col("rev"))
+        .ckpt() // windowed day frame feeds block sums AND the walk
+      val bs = e.groupBy(col("w"), col("b"))
+        .agg(count(lit(1)).cast("bigint").as("c"),
+          sum(col("rev")).cast("bigint").as("sb"))
+        .filter(col("c") === col("w"))
+      val ez = e.join(bs, Seq("w", "b"))
+        .select(col("w"), col("b"), col("t"),
+          (dec(col("w")) * col("rev") - col("sb")).as("yz"))
+      val pre = ScaleRank.withRunningSum(ez, Seq("w", "b"),
+        Seq(col("t")), col("yz"), "cz")
+      val blk = pre.groupBy(col("w"), col("b"))
+        .agg((greatest(max(col("cz")), lit(0)) -
+          least(min(col("cz")), lit(0))).as("rbig"),
+          sum(col("yz") * col("yz")).as("syy2"))
+      val rs = blk.filter(col("syy2") > 0)
+        .select(col("w"), expr(rsChain).as("rs_micro"))
+      val per = rs.groupBy(col("w"))
+        .agg(count(lit(1)).cast("bigint").as("n_blocks"),
+          expr("CAST(sum(rs_micro) AS BIGINT) div count(*)")
+            .as("rs_avg_micro"))
+      val xy = per.select(col("w"), col("n_blocks"), col("rs_avg_micro"),
+        floor(lit(1000000000.0) * log(col("w").cast("double")))
+          .cast("bigint").as("x"),
+        floor(lit(1000000000.0) *
+          log(col("rs_avg_micro").cast("double") / lit(1000000.0)))
+          .cast("bigint").as("y"))
+        .ckpt() // 4-row point frame: moments + output rows
+      val mo = xy.agg(count(lit(1)).cast("bigint").as("np"),
+        sum(col("x")).cast("bigint").as("sx"),
+        sum(col("y")).cast("bigint").as("sy"),
+        sum(dec(col("x")) * col("y")).as("sxy"),
+        sum(dec(col("x")) * col("x")).as("sxx"))
+      val h = mo.select(expr("CAST(floor(1000.0e0 * " +
+        "CAST(CAST(np AS DECIMAL(38,0)) * sxy - " +
+        "CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) / " +
+        "CAST(CAST(np AS DECIMAL(38,0)) * sxx - " +
+        "CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)) AS BIGINT)")
+        .as("h_milli"))
+      xy.crossJoin(broadcast(h))
+        .select(col("w"), col("n_blocks"), col("rs_avg_micro"),
+          col("h_milli"))
+        .orderBy("w")
+    }
+  }
+
+  /** q434 — ARCH-LM test (Engle '82) on the daily-revenue trend
+    * residuals: regress the squared residual u_t on u_{t−1}; LM =
+    * (n−1)·R² ~ χ²(1) under no-ARCH. q404 asks "are residuals
+    * serially correlated", q410 "does their variance TREND", q417
+    * "did it BREAK" — this asks "does volatility CLUSTER", the
+    * precondition for any GARCH-style risk model over q352's VaR.
+    *
+    * Exactness: residuals are exact milli ints off the shared q404
+    * floored-coefficient chain; u = e² div 10⁹ (the q410 unit); the
+    * lag pairing is an equi join on the day index; all regression
+    * moments ride DECIMAL(38)/HUGEINT; R² is ONE IEEE chain.
+    *
+    * Scale design (100 TB): the q404 plan plus one equi lag join of
+    * the calendar-bounded residual frame and a 1-row fold. Output
+    * 1 row. */
+  val q434ArchLm: QueryDef = QueryDef(
+    "q434_arch_lm",
+    s"""WITH $dailyEpochCte,
+       |ax AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, rev
+       |  FROM daily),
+       |mo AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(t AS HUGEINT)) AS st,
+       |    sum(CAST(t AS HUGEINT) * t) AS stt,
+       |    sum(CAST(rev AS HUGEINT)) AS sy,
+       |    sum(CAST(t AS HUGEINT) * rev) AS sty
+       |  FROM ax),
+       |co AS (
+       |  SELECT n, st, sy, $olsBMilli AS b_milli FROM mo),
+       |co2 AS (SELECT b_milli, $olsAMilli AS a_milli FROM co),
+       |u AS (
+       |  SELECT ax.t,
+       |    ((1000 * ax.rev - co2.a_milli - co2.b_milli * ax.t)
+       |      * CAST((1000 * ax.rev - co2.a_milli - co2.b_milli * ax.t)
+       |        AS HUGEINT)) // 1000000000 AS u
+       |  FROM ax, co2),
+       |pair AS (
+       |  SELECT a.u AS ul, b.u AS uc
+       |  FROM u a JOIN u b ON b.t = a.t + 1),
+       |m2 AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS m,
+       |    sum(ul) AS sl, sum(uc) AS sc,
+       |    sum(ul * uc) AS slc, sum(ul * ul) AS sll,
+       |    sum(uc * uc) AS scc
+       |  FROM pair)
+       |SELECT CAST(m AS BIGINT) AS n_pairs,
+       |  CAST(floor(1000000.0e0 *
+       |    (CAST(m * slc - sl * sc AS DOUBLE)
+       |     * CAST(m * slc - sl * sc AS DOUBLE)) /
+       |    (CAST(m * sll - sl * sl AS DOUBLE)
+       |     * CAST(m * scc - sc * sc AS DOUBLE))) AS BIGINT) AS r2_ppm,
+       |  CAST(floor(CAST(m AS DOUBLE) * 1000.0e0 *
+       |    (CAST(m * slc - sl * sc AS DOUBLE)
+       |     * CAST(m * slc - sl * sc AS DOUBLE)) /
+       |    (CAST(m * sll - sl * sl AS DOUBLE)
+       |     * CAST(m * scc - sc * sc AS DOUBLE))) AS BIGINT) AS lm_milli,
+       |  CASE WHEN CAST(m AS DOUBLE) * 1000.0e0 *
+       |    (CAST(m * slc - sl * sc AS DOUBLE)
+       |     * CAST(m * slc - sl * sc AS DOUBLE)) /
+       |    (CAST(m * sll - sl * sl AS DOUBLE)
+       |     * CAST(m * scc - sc * sc AS DOUBLE)) > 3841.0e0
+       |    THEN 1 ELSE 0 END AS reject_5pct
+       |FROM m2
+       |WHERE (m * sll - sl * sl) > 0 AND (m * scc - sc * sc) > 0""".stripMargin) {
+    (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = DayAxis.revCentsEpoch(s, dir)
+    val ax = ScaleRank.withRowNumber(daily, Seq.empty, Seq(col("d")),
+        "t", "n_ax")
+      .select(col("t"), col("rev"))
+      .ckpt() // calendar-bounded indexed day frame: moments + residuals
+    val mo = ax.agg(dec(count(lit(1))).as("n"),
+      sum(dec(col("t"))).as("st"), sum(dec(col("t")) * col("t")).as("stt"),
+      sum(dec(col("rev"))).as("sy"), sum(dec(col("t")) * col("rev")).as("sty"))
+    val co = mo.select(col("n"), col("st"), col("sy"),
+        expr(olsBMilli).as("b_milli"))
+      .select(col("b_milli"), expr(olsAMilli).as("a_milli"))
+    val u = ax.crossJoin(broadcast(co))
+      .select(col("t"),
+        expr("CAST(((1000 * rev - a_milli - b_milli * t) * " +
+          "CAST((1000 * rev - a_milli - b_milli * t) AS DECIMAL(38,0))) " +
+          "div 1000000000 AS DECIMAL(38,0))").as("u"))
+      .ckpt() // residual-square frame feeds both lag-join sides
+    val pair = u.select(col("t").as("ta"), col("u").as("ul"))
+      .join(u.select(col("t").as("tb"), col("u").as("uc")),
+        col("tb") === col("ta") + 1)
+    val m2 = pair.agg(dec(count(lit(1))).as("m"),
+      sum(col("ul")).as("sl"), sum(col("uc")).as("sc"),
+      sum(col("ul") * col("uc")).as("slc"),
+      sum(col("ul") * col("ul")).as("sll"),
+      sum(col("uc") * col("uc")).as("scc"))
+    val r2 = "(CAST(m * slc - sl * sc AS DOUBLE) " +
+      "* CAST(m * slc - sl * sc AS DOUBLE)) / " +
+      "(CAST(m * sll - sl * sl AS DOUBLE) " +
+      "* CAST(m * scc - sc * sc AS DOUBLE))"
+    m2.filter(expr("(m * sll - sl * sl) > 0 AND (m * scc - sc * sc) > 0"))
+      .select(col("m").cast("bigint").as("n_pairs"),
+        expr(s"CAST(floor(1000000.0e0 * $r2) AS BIGINT)").as("r2_ppm"),
+        expr(s"CAST(floor(CAST(m AS DOUBLE) * 1000.0e0 * $r2) AS BIGINT)")
+          .as("lm_milli"),
+        expr(s"CASE WHEN CAST(m AS DOUBLE) * 1000.0e0 * $r2 > 3841.0e0 " +
+          "THEN 1 ELSE 0 END").as("reject_5pct"))
+  }
+
+  /** q435 — realized variance vs bipower variation (Barndorff-
+    * Nielsen & Shephard '04) on day-over-day revenue changes: RV =
+    * Σd², BV = (π/2)·Σ|d_t||d_{t−1}|. BV is jump-robust while RV
+    * is not, so the relative gap max(0, 1 − BV/RV) is the share of
+    * variation carried by JUMPS — the "is my volatility diffusive
+    * or event-driven" read that decides whether q352's VaR should
+    * fatten its tails.
+    *
+    * Exactness: day diffs and their |·| products are exact
+    * DECIMAL(38)/HUGEINT ints off equi lag joins; π/2 enters as the
+    * correctly-rounded double literal 1.5707963267948966e0 in both
+    * engines; RV/BV report div-10⁶ units (exact non-negative
+    * floor-div) and the jump share is ONE IEEE chain.
+    *
+    * Scale design (100 TB): one fact collapse to the shared day
+    * axis, two equi lag joins of the calendar-bounded diff frame,
+    * 1-row folds. Output 1 row. */
+  val q435RealizedBipower: QueryDef = QueryDef(
+    "q435_realized_bipower",
+    s"""WITH $dailyEpochCte,
+       |ax AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, rev
+       |  FROM daily),
+       |df AS (
+       |  SELECT b.t, abs(CAST(b.rev AS HUGEINT) - a.rev) AS ad
+       |  FROM ax a JOIN ax b ON b.t = a.t + 1),
+       |rv AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_diffs,
+       |    sum(ad * ad) AS rv FROM df),
+       |bv AS (
+       |  SELECT sum(a.ad * b.ad) AS bvsum, CAST(count(*) AS BIGINT) AS n_bp
+       |  FROM df a JOIN df b ON b.t = a.t + 1)
+       |SELECT rv.n_diffs, bv.n_bp,
+       |  CAST(rv.rv // 1000000 AS BIGINT) AS rv_e6,
+       |  CAST(bv.bvsum // 1000000 AS BIGINT) AS bv_e6,
+       |  CAST(floor(1000000.0e0 * greatest(0.0e0,
+       |    1.0e0 - (1.5707963267948966e0 * CAST(bv.bvsum AS DOUBLE))
+       |      / CAST(rv.rv AS DOUBLE))) AS BIGINT) AS jump_ppm
+       |FROM rv, bv WHERE rv.rv > 0""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = DayAxis.revCentsEpoch(s, dir)
+    val ax = ScaleRank.withRowNumber(daily, Seq.empty, Seq(col("d")),
+        "t", "n_ax")
+      .select(col("t"), col("rev"))
+      .ckpt() // indexed day frame: both sides of the diff lag join
+    val df = ax.select(col("t").as("ta"), col("rev").as("ra"))
+      .join(ax.select(col("t").as("t"), col("rev").as("rb")),
+        col("t") === col("ta") + 1)
+      .select(col("t"), abs(dec(col("rb")) - col("ra")).as("ad"))
+      .ckpt() // |diff| frame: RV fold + both bipower sides
+    val rv = df.agg(count(lit(1)).cast("bigint").as("n_diffs"),
+      sum(col("ad") * col("ad")).as("rv"))
+    val bv = df.select(col("t").as("ta"), col("ad").as("ada"))
+      .join(df.select(col("t").as("tb"), col("ad").as("adb")),
+        col("tb") === col("ta") + 1)
+      .agg(sum(col("ada") * col("adb")).as("bvsum"),
+        count(lit(1)).cast("bigint").as("n_bp"))
+    rv.crossJoin(broadcast(bv))
+      .filter(col("rv") > 0)
+      .select(col("n_diffs"), col("n_bp"),
+        expr("CAST((rv - pmod(rv, 1000000)) / 1000000 AS BIGINT)")
+          .as("rv_e6"),
+        expr("CAST((bvsum - pmod(bvsum, 1000000)) / 1000000 AS BIGINT)")
+          .as("bv_e6"),
+        expr("CAST(floor(1000000.0e0 * greatest(0.0e0, " +
+          "1.0e0 - (1.5707963267948966e0 * CAST(bvsum AS DOUBLE)) " +
+          "/ CAST(rv AS DOUBLE))) AS BIGINT)").as("jump_ppm"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail,
       q245Changepoint, q261SeasonalDecomp, q290SeasonalAnomaly,
@@ -2298,5 +2757,6 @@ object Forecast {
       q380HoltWinters, q401VarianceRatio, q402PageHinkley, q404DurbinWatson,
       q405ChowTest, q406PermutationEntropy, q410BreuschPagan, q414Pettitt,
       q417CusumSquares, q420TurningPoints, q422NeweyWest, q423SeasonalMk,
-      q424CoxStuart, q426RunsUpDown)
+      q424CoxStuart, q426RunsUpDown, q431PeriodStrength, q432Kpss,
+      q433HurstRs, q434ArchLm, q435RealizedBipower)
 }

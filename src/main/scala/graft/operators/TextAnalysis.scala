@@ -3905,6 +3905,238 @@ object TextAnalysis {
     }
   }
 
+  /** Shared 8-gram machinery for the contamination/overlap audits:
+    * distinct md5'd 8-token shingles per doc, derived from the shared
+    * tokenized corpus. Docs under 8 tokens drop (Spark's
+    * sequence(1, n−7) DESCENDS for n < 8 — the q386 lesson; DuckDB's
+    * range just empties, so both engines filter explicitly). */
+  private def gram8(s: SparkSession, dir: String): DataFrame =
+    Corpus.tokenized(s, dir)
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(tk) - 7), " +
+            "i_ -> md5(array_join(slice(tk, i_, 8), ' ')))"))).as("gh"))
+
+  /** DuckDB twin of [[gram8]] (doc_id, source, gh). */
+  private def gram8OracleCte: String =
+    """tk8 AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS tk
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      |g8 AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+      |      i -> md5(array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 7],
+      |                               ' '))))) AS gh
+      |  FROM tk8)""".stripMargin
+
+  /** q436 — train/test contamination audit: split docs by the md5
+    * hash of doc_id (NEVER doc_id % k — the r8 confounding lesson),
+    * hold out bucket 7 as "test", and count test docs sharing at
+    * least one 8-token shingle with ANY training doc — the
+    * decontamination check run before an eval set is trusted (the
+    * GPT-3-style n-gram leak audit), reported per source so a leaky
+    * vendor shows up by name.
+    *
+    * Exactness: gram membership is exact md5 equality; counts and
+    * the ppm rate are exact ints.
+    *
+    * Scale design (100 TB): shingles explode as an in-row transform
+    * over the shared tokenized corpus (distinct within doc first —
+    * map-side); the train side collapses to DISTINCT grams
+    * (vocabulary-sized) before ONE gram-keyed semi join; doc flags
+    * re-collapse to doc_id. No pair join ever forms — cost is
+    * O(grams), not O(docs²). Output ≤|sources| rows. */
+  val q436Contamination: QueryDef = QueryDef(
+    "q436_contamination",
+    s"""WITH $gram8OracleCte,
+       |gb AS (
+       |  SELECT doc_id, source, gh,
+       |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10
+       |      AS bucket
+       |  FROM g8),
+       |tr AS (SELECT DISTINCT gh FROM gb WHERE bucket <> 7),
+       |te AS (SELECT doc_id, source, gh FROM gb WHERE bucket = 7),
+       |hit AS (SELECT DISTINCT te.doc_id FROM te JOIN tr ON tr.gh = te.gh),
+       |tdocs AS (SELECT DISTINCT doc_id, source FROM te)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_test_docs,
+       |  CAST(count(h.doc_id) AS BIGINT) AS n_contaminated,
+       |  (1000000 * CAST(count(h.doc_id) AS BIGINT))
+       |    // CAST(count(*) AS BIGINT) AS contam_ppm
+       |FROM tdocs d LEFT JOIN hit h ON h.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+    val g = gram8(s, dir)
+      .withColumn("bucket", pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int"), lit(10)))
+      .ckpt() // one shingle derivation feeds train AND test sides
+    val tr = g.filter(col("bucket") =!= 7).select(col("gh")).distinct()
+    val te = g.filter(col("bucket") === 7)
+      .select(col("doc_id"), col("source"), col("gh"))
+    val hit = te.join(tr, Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("h", lit(1))
+    te.select(col("doc_id"), col("source")).distinct()
+      .join(hit, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_test_docs"),
+        count(col("h")).as("n_contaminated"),
+        expr("1000000 * count(h) div count(1)").as("contam_ppm"))
+      .orderBy("source")
+  }
+
+  /** q437 — source-pair shingle overlap matrix: exact Jaccard of the
+    * per-source DISTINCT 8-gram vocabularies for every source pair —
+    * "how much raw text do my vendors share" at the corpus level.
+    * q158 counts near-dup DOC pairs across sources (LSH recall);
+    * this is the exact set-overlap of the sources' gram spaces, the
+    * number a dataset card reports and a mixture-dedup plan starts
+    * from.
+    *
+    * Exactness: set sizes and intersections are exact distinct
+    * counts; Jaccard is an exact integer ppm floor-div.
+    *
+    * Scale design (100 TB): gram sets collapse per source FIRST
+    * (distinct — vocabulary-sized, map-side); the intersection is a
+    * gram-keyed equi self-join of that collapsed frame; only the
+    * ≤|sources|² size frame ever crosses. Adjudicated in the plan
+    * sweep (categorical source domain). Output ≤C(|sources|,2)
+    * rows. */
+  val q437SourceGramJaccard: QueryDef = QueryDef(
+    "q437_source_gram_jaccard",
+    s"""WITH $gram8OracleCte,
+       |sg AS (SELECT DISTINCT source, gh FROM g8),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+       |       FROM sg GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS i
+       |  FROM sg a JOIN sg b ON a.gh = b.gh AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT x.source AS src_a, y.source AS src_b, x.n AS na, y.n AS nb,
+       |    coalesce(i.i, 0) AS inter
+       |  FROM sz x JOIN sz y ON x.source < y.source
+       |  LEFT JOIN inter i ON i.sa = x.source AND i.sb = y.source)
+       |SELECT src_a, src_b, na, nb, inter,
+       |  (1000000 * inter) // (na + nb - inter) AS jaccard_ppm
+       |FROM pairs ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+    val sg = gram8(s, dir).select(col("source"), col("gh")).distinct()
+      .ckpt() // per-source gram sets: sizes AND both join sides
+    val sz = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sg.select(col("source").as("sa"), col("gh"))
+      .join(sg.select(col("source").as("sb"), col("gh").as("ghb")),
+        col("gh") === col("ghb") && col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("i"))
+    sz.select(col("source").as("src_a"), col("n").as("na"))
+      .join(sz.select(col("source").as("src_b"), col("n").as("nb")),
+        col("src_a") < col("src_b"))
+      .join(inter,
+        col("sa") === col("src_a") && col("sb") === col("src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+        coalesce(col("i"), lit(0L)).as("inter"))
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"), col("inter"),
+        expr("(1000000 * inter) div (na + nb - inter)").as("jaccard_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** q438 — context-length truncation plan: for each candidate
+    * context length L, the tokens kept under truncate-at-L, the
+    * docs overflowing, and the token share lost — the table that
+    * picks a packing length before a training run (q90 chunks at a
+    * FIXED length; this prices every candidate first).
+    *
+    * Exactness: token counts, min(n, L) sums, and ppm shares are
+    * exact ints.
+    *
+    * Scale design (100 TB): one corpus pass collapses to per-doc
+    * token counts map-side; the ×4 literal-L expansion groups on L.
+    * Output 4 rows. */
+  val q438TruncationPlan: QueryDef = QueryDef(
+    "q438_truncation_plan",
+    """WITH d AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents),
+      |ls AS (SELECT CAST(unnest([64, 256, 1024, 4096]) AS BIGINT) AS l),
+      |per AS (
+      |  SELECT ls.l, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(d.nt) AS BIGINT) AS tokens_total,
+      |    CAST(sum(least(d.nt, ls.l)) AS BIGINT) AS tokens_kept,
+      |    CAST(sum(CASE WHEN d.nt > ls.l THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS docs_over
+      |  FROM d, ls GROUP BY ls.l)
+      |SELECT l AS ctx_len, n_docs, docs_over, tokens_total, tokens_kept,
+      |  (1000000 * (tokens_total - tokens_kept)) // tokens_total AS lost_ppm
+      |FROM per ORDER BY ctx_len""".stripMargin) { (s, dir) =>
+    Corpus.tokenized(s, dir)
+      .select(size(col("tk")).cast("bigint").as("nt"),
+        explode(array(lit(64L), lit(256L), lit(1024L), lit(4096L))).as("l"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nt") > col("l"), 1L).otherwise(0L)).as("docs_over"),
+        sum(col("nt")).cast("bigint").as("tokens_total"),
+        sum(least(col("nt"), col("l"))).cast("bigint").as("tokens_kept"))
+      .select(col("l").as("ctx_len"), col("n_docs"), col("docs_over"),
+        col("tokens_total"), col("tokens_kept"),
+        expr("(1000000 * (tokens_total - tokens_kept)) div tokens_total")
+          .as("lost_ppm"))
+      .orderBy("ctx_len")
+  }
+
+  /** q439 — token-budget profile per source: doc counts, token and
+    * char volumes, chars-per-token, and the p50/p90 doc token
+    * lengths — the sizing table for a per-source sampling budget
+    * (q20 reports totals per LANG; this adds the distributional
+    * reads a budget needs, per SOURCE).
+    *
+    * Exactness: sums are exact ints; chars-per-token is an exact ppm
+    * floor-div; percentiles ride the weighted-percentile-over-
+    * histogram path (q17 contract — bit-identical interpolation in
+    * both engines).
+    *
+    * Scale design (100 TB): the corpus collapses map-side to
+    * per-source moments and to the (source, token-count) histogram —
+    * percentile state is O(distinct lengths), never O(docs). Output
+    * ≤|sources| rows. */
+  val q439TokenBudget: QueryDef = QueryDef(
+    "q439_token_budget",
+    """WITH t AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+      |    n_chars
+      |  FROM documents),
+      |agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(nt) AS BIGINT) AS tokens,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM t GROUP BY source),
+      |pct AS (
+      |  SELECT source, quantile_cont(nt, 0.5) AS p50_tok,
+      |    quantile_cont(nt, 0.9) AS p90_tok
+      |  FROM t GROUP BY source)
+      |SELECT a.source, a.n_docs, a.tokens, a.chars,
+      |  (1000000 * a.chars) // a.tokens AS chars_per_tok_ppm,
+      |  p.p50_tok, p.p90_tok
+      |FROM agg a JOIN pct p ON p.source = a.source
+      |ORDER BY a.source""".stripMargin) { (s, dir) =>
+    val t = Corpus.tokenized(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .select(col("source"), size(col("tk")).cast("bigint").as("nt"),
+        col("n_chars"))
+    val agg = t.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast("bigint").as("tokens"),
+        sum(col("n_chars")).cast("bigint").as("chars"))
+    val pct = t.groupBy(col("source"), col("nt"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(expr("percentile(nt, 0.5D, cnt)").as("p50_tok"),
+        expr("percentile(nt, 0.9D, cnt)").as("p90_tok"))
+    agg.join(pct, Seq("source"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("chars"),
+        expr("(1000000 * chars) div tokens").as("chars_per_tok_ppm"),
+        col("p50_tok"), col("p90_tok"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q374TextTiling, q378FleissKappa, q383GumbelTopk, q386NgramNovelty,
       q396CochranQ, q409WeightedKappa, q416CronbachAlpha,
@@ -3920,5 +4152,7 @@ object TextAnalysis {
       q83Divergence, q89WeightedSample, q90Chunking, q91DocLogprob,
       q101Split, q108Collocations, q112VocabCoverage, q146FilterYield,
       q148VocabGrowth, q167TempMixture, q168ClassifierEval, q175Composition,
-      q180Zipf, q181BigramPpl, q190HeapsLaw)
+      q180Zipf, q181BigramPpl, q190HeapsLaw,
+      q436Contamination, q437SourceGramJaccard, q438TruncationPlan,
+      q439TokenBudget)
 }

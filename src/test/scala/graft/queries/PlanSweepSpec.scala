@@ -450,5 +450,9 @@ object PlanSweepAllowlist {
         "values), the q392 adjudicated day-pair class"),
     ("q409_weighted_kappa", "nonequi-agg",
       "quintile margins: both sides of the expectation cross are " +
-        "ntile-bounded 5-row frames (25 cells)"))
+        "ntile-bounded 5-row frames (25 cells)"),
+    ("q437_source_gram_jaccard", "nonequi-agg",
+      "source-pair cross: both sides are the per-source gram-set SIZE " +
+        "frame (≤|sources| rows — categorical vendor domain, the q276 " +
+        "class); the gram intersection itself is an equi join"))
 }

@@ -274,6 +274,15 @@ QUERIES = [
     "q397_nelson_aalen", "q398_mantel_haenszel",
     # timestamp-geometry stats: inert before the r10 ts day-jitter
     "q349_variance_time", "q355_burst_intervals",
+    # round-10 additions: the SQL-surface pair rides redrawn
+    # lineitem money / event ts+value; the day-axis stats ride the
+    # money redraw through scaled-integer + IEEE chains; the
+    # contamination/overlap/budget audits ride the text redraw
+    "q429_sql_topk", "q430_sql_asof",
+    "q431_period_strength", "q432_kpss", "q433_hurst_rs",
+    "q434_arch_lm", "q435_realized_bipower",
+    "q436_contamination", "q437_source_gram_jaccard",
+    "q438_truncation_plan", "q439_token_budget",
 ]
 # q289 HRU view selection reads only categorical dimension columns
 # (preserved by the redraw) — an inert replay, not registered.
