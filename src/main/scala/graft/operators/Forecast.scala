@@ -2750,6 +2750,265 @@ object Forecast {
           "/ CAST(rv AS DOUBLE))) AS BIGINT)").as("jump_ppm"))
   }
 
+  /** Durbin–Levinson level expressions for [[q440Pacf]], generated
+    * ONCE and parsed by BOTH engines (the q286 one-string
+    * discipline): level k turns the φ_{k−1,·} columns into φ_{k,·}.
+    * Returns (selectExprs per level 2..k, per-level denominator
+    * guard texts). Level 1 is the literal "r1 AS p1_1". */
+  private def dlLevels(maxK: Int): (Seq[Seq[String]], Seq[String]) = {
+    val levels = (2 to maxK).map { k =>
+      val num = (1 until k).map(j => s"p${k - 1}_$j * r${k - j}")
+        .mkString(" + ")
+      val den = (1 until k).map(j => s"p${k - 1}_$j * r$j").mkString(" + ")
+      val pkk = s"((r$k - ($num)) / (1.0e0 - ($den)))"
+      val carries = (1 until k).map(j =>
+        s"p${k - 1}_$j - $pkk * p${k - 1}_${k - j} AS p${k}_$j")
+      (carries :+ s"$pkk AS p${k}_$k", s"abs(1.0e0 - ($den)) > 1.0e-9")
+    }
+    (levels.map(_._1), levels.map(_._2))
+  }
+
+  /** q440 — partial autocorrelation function (PACF) of daily revenue
+    * at lags 1..7 via the Durbin–Levinson recursion over the q163
+    * per-lag correlations: ACF answers "is lag k correlated at all",
+    * PACF answers "does lag k add anything AFTER lags 1..k−1" — the
+    * plot an AR order is actually read from, completing the q163/
+    * q387/q404 identification toolkit.
+    *
+    * Exactness: each ρ_k is the q163 exact-integer-moment Pearson
+    * chain (unfloored doubles); the DL recursion is GENERATED ONCE
+    * as shared expression text and parsed by both engines (q286
+    * discipline), so every φ is the identical IEEE chain;
+    * denominator guards filter the degenerate case in both engines
+    * identically.
+    *
+    * Scale design (100 TB): one fact collapse to the shared day
+    * axis, one ×7 literal lag expansion joined as an equi calendar
+    * join, a 7-row moment frame, then a 1-row recursion. Output
+    * 1 row. */
+  val q440Pacf: QueryDef = {
+    val (levels, guards) = dlLevels(7)
+    val rho = "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 " +
+      "THEN CAST(n * sxy - sx * sy AS DOUBLE) / " +
+      "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+      "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END"
+    val levelCtes = levels.zipWithIndex.map { case (exprs, i) =>
+      s"l${i + 2} AS (SELECT *, ${exprs.mkString(", ")} FROM l${i + 1})"
+    }.mkString(",\n")
+    val outCols = (1 to 7).map(k =>
+      s"CAST(floor(1000000.0e0 * p${k}_$k) AS BIGINT) AS pacf${k}_ppm")
+      .mkString(", ")
+    QueryDef(
+      "q440_pacf",
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x
+         |  FROM orders GROUP BY 1),
+         |p AS (
+         |  SELECT l.lag, a.x AS xa, b.x AS xb
+         |  FROM daily a
+         |  CROSS JOIN unnest([1,2,3,4,5,6,7]) AS l(lag)
+         |  JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)),
+         |m AS (
+         |  SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(xa) AS HUGEINT) AS sx, CAST(sum(xb) AS HUGEINT) AS sy,
+         |    sum(CAST(xa AS HUGEINT) * xb) AS sxy,
+         |    sum(CAST(xa AS HUGEINT) * xa) AS sxx,
+         |    sum(CAST(xb AS HUGEINT) * xb) AS syy
+         |  FROM p GROUP BY lag),
+         |rho AS (SELECT lag, $rho AS r FROM m),
+         |l1 AS (
+         |  SELECT ${(1 to 7).map(k =>
+             s"max(CASE WHEN lag = $k THEN r END) AS r$k").mkString(", ")},
+         |    r1 AS p1_1
+         |  FROM (SELECT lag, r FROM rho)
+         |  GROUP BY ()),
+         |$levelCtes
+         |SELECT $outCols FROM l7
+         |WHERE ${(1 to 7).map(k => s"r$k IS NOT NULL").mkString(" AND ")}
+         |  AND ${guards.mkString(" AND ")}""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val daily = DayAxis.revCents(s, dir)
+        .select(col("d"), col("rev").as("x"))
+      val lagged = daily
+        .withColumn("lag", explode(array((1 to 7).map(lit(_)): _*)))
+        .withColumn("d2", date_add(col("d"), col("lag")))
+        .select(col("lag"), col("d2"), col("x").as("xa"))
+      val pairs = lagged.join(
+        daily.select(col("d").as("d2"), col("x").as("xb")), Seq("d2"))
+      val m = pairs.groupBy(col("lag"))
+        .agg(dec(count(lit(1))).as("n"),
+          sum(col("xa")).cast("decimal(38,0)").as("sx"),
+          sum(col("xb")).cast("decimal(38,0)").as("sy"),
+          sum(dec(col("xa")) * col("xb")).as("sxy"),
+          sum(dec(col("xa")) * col("xa")).as("sxx"),
+          sum(dec(col("xb")) * col("xb")).as("syy"))
+      val rhoF = m.select(col("lag"), expr(rho).as("r"))
+      var lvl = rhoF.agg(
+        (1 to 7).map(k =>
+          max(when(col("lag") === k, col("r"))).as(s"r$k")).head,
+        (1 to 7).map(k =>
+          max(when(col("lag") === k, col("r"))).as(s"r$k")).tail: _*)
+        .selectExpr("*", "r1 AS p1_1")
+      // ckpt per level: each φ_{k,j} textually embeds φ_{k,k} which
+      // embeds every lower level — without a materialization barrier
+      // the collapsed projection tree (and its codegen) doubles per
+      // level (measured 48 s at sf0.1; ~1 s with the barriers). The
+      // frame is ONE row, so each checkpoint is trivial.
+      for (exprs <- dlLevels(7)._1)
+        lvl = lvl.selectExpr("*" +: exprs: _*).ckpt()
+      lvl
+        .filter(expr((1 to 7).map(k => s"r$k IS NOT NULL")
+          .mkString(" AND ")))
+        .filter(expr(dlLevels(7)._2.mkString(" AND ")))
+        .selectExpr((1 to 7).map(k =>
+          s"CAST(floor(1000000.0e0 * p${k}_$k) AS BIGINT) AS pacf${k}_ppm"): _*)
+    }
+  }
+
+  /** q442 — event study around the revenue peak: fit the daily trend
+    * EXCLUDING the ±5-day window around the maximum-revenue day,
+    * then report each window day's abnormal revenue (actual −
+    * fitted) and the running cumulative abnormal total (CAR) — the
+    * standard "how big was the spike really, net of trend" read
+    * (q245 asks WHERE the level breaks; this quantifies a known
+    * event's excess, the finance event-study shape).
+    *
+    * Exactness: the peak day is an exact argmax (min-day tiebreak);
+    * baseline coefficients ride the shared exact-moment milli-floor
+    * chain over the EXCLUDED-window day set; abnormal values are
+    * exact milli ints; CAR is an exact prefix sum
+    * ([[ScaleRank.withRunningSum]]).
+    *
+    * Scale design (100 TB): one fact collapse to the shared day
+    * axis, a 1-row argmax broadcast, one baseline moment fold, and
+    * an 11-row window frame. Output ≤11 rows. */
+  val q442EventStudy: QueryDef = QueryDef(
+    "q442_event_study",
+    s"""WITH $dailyEpochCte,
+       |ax AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, d, rev
+       |  FROM daily),
+       |pk AS (SELECT t AS pt, d AS pd FROM ax ORDER BY rev DESC, d LIMIT 1),
+       |base AS (
+       |  SELECT ax.t, ax.rev FROM ax, pk WHERE abs(ax.t - pk.pt) > 5),
+       |mo AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(t AS HUGEINT)) AS st,
+       |    sum(CAST(t AS HUGEINT) * t) AS stt,
+       |    sum(CAST(rev AS HUGEINT)) AS sy,
+       |    sum(CAST(t AS HUGEINT) * rev) AS sty
+       |  FROM base),
+       |co AS (
+       |  SELECT n, st, sy, $olsBMilli AS b_milli FROM mo),
+       |co2 AS (SELECT b_milli, $olsAMilli AS a_milli FROM co),
+       |win AS (
+       |  SELECT ax.t - pk.pt AS off, ax.d, ax.rev,
+       |    1000 * ax.rev - co2.a_milli - co2.b_milli * ax.t AS ab_milli
+       |  FROM ax, pk, co2 WHERE abs(ax.t - pk.pt) <= 5)
+       |SELECT off AS day_offset, d, rev,
+       |  CAST(ab_milli AS BIGINT) AS ab_milli,
+       |  CAST(sum(ab_milli) OVER (ORDER BY off ROWS UNBOUNDED PRECEDING)
+       |    AS BIGINT) AS car_milli
+       |FROM win ORDER BY day_offset""".stripMargin) { (s, dir) =>
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ax = ScaleRank.withRowNumber(DayAxis.revCentsEpoch(s, dir),
+        Seq.empty, Seq(col("d")), "t", "n_ax")
+      .select(col("t"), col("d"), col("rev"))
+      .ckpt() // day frame: argmax + baseline + window
+    val pk = ax.orderBy(col("rev").desc, col("d")).limit(1)
+      .select(col("t").as("pt"))
+      .ckpt() // 1-row peak
+    val base = ax.crossJoin(broadcast(pk)).filter(abs(col("t") - col("pt")) > 5)
+    val mo = base.agg(dec(count(lit(1))).as("n"),
+      sum(dec(col("t"))).as("st"), sum(dec(col("t")) * col("t")).as("stt"),
+      sum(dec(col("rev"))).as("sy"), sum(dec(col("t")) * col("rev")).as("sty"))
+    val co = mo.select(col("n"), col("st"), col("sy"),
+        expr(olsBMilli).as("b_milli"))
+      .select(col("b_milli"), expr(olsAMilli).as("a_milli"))
+    val win = ax.crossJoin(broadcast(pk)).crossJoin(broadcast(co))
+      .filter(abs(col("t") - col("pt")) <= 5)
+      .select((col("t") - col("pt")).as("off"), col("d"), col("rev"),
+        (lit(1000) * col("rev") - col("a_milli") - col("b_milli") * col("t"))
+          .as("ab_milli"))
+    ScaleRank.withRunningSum(win, Seq.empty, Seq(col("off")),
+        col("ab_milli"), "car")
+      .select(col("off").as("day_offset"), col("d"), col("rev"),
+        col("ab_milli").cast("bigint").as("ab_milli"),
+        col("car").cast("bigint").as("car_milli"))
+      .orderBy("day_offset")
+  }
+
+  /** q443 — iterative extreme studentized deviates (the generalized-
+    * ESD/Rosner screen, statistics only): three rounds of "find the
+    * most extreme day, report its studentized deviation, remove it,
+    * refit" on daily revenue. q403 Grubbs tests exactly ONE outlier
+    * and is blind when two mask each other — the iterative
+    * re-estimation is the standard fix, and the three R_i magnitudes
+    * are what an alerting threshold is tuned against.
+    *
+    * Exactness: deviations ride the n-scaled demeaning |n·y − S|
+    * (exact DECIMAL ints, no mean rounding); the argmax is exact
+    * with a min-day tiebreak; each R_i is ONE IEEE chain over exact
+    * moments; removal is an exact anti join.
+    *
+    * Scale design (100 TB): three 1-row folds + three broadcast
+    * anti joins over the calendar-bounded day frame — round count
+    * is literal (3), not data-driven. Output 3 rows. */
+  val q443Gesd: QueryDef = {
+    val rChain = "CAST(floor(1000.0e0 * CAST(dev AS DOUBLE) / " +
+      "sqrt((CAST(n AS DOUBLE) * CAST(nss AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) - 1.0e0))) AS BIGINT)"
+    val oracleRounds = (1 to 3).map { i =>
+      val prev = if (i == 1) "daily" else s"f${i - 1}"
+      s"""m$i AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(rev) AS BIGINT) AS sv,
+         |    sum(CAST(rev AS HUGEINT) * rev) AS syy
+         |  FROM $prev),
+         |p$i AS (
+         |  SELECT $prev.d, abs(m$i.n * $prev.rev - m$i.sv) AS dev,
+         |    m$i.n, m$i.n * m$i.syy - CAST(m$i.sv AS HUGEINT) * m$i.sv AS nss
+         |  FROM $prev, m$i ORDER BY dev DESC, d LIMIT 1),
+         |f$i AS (SELECT $prev.d, $prev.rev FROM $prev, p$i
+         |        WHERE $prev.d <> p$i.d)""".stripMargin
+    }.mkString(",\n")
+    val oracleOut = (1 to 3).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS round, d AS day, $rChain AS r_milli FROM p$i")
+      .mkString("\nUNION ALL ")
+    QueryDef(
+      "q443_gesd",
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |$oracleRounds
+         |SELECT * FROM ($oracleOut) ORDER BY round""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      var f = DayAxis.revCents(s, dir)
+      val outs = (1 to 3).map { i =>
+        val mo = f.agg(dec(count(lit(1))).as("n"),
+          sum(col("rev")).cast("bigint").as("sv"),
+          sum(dec(col("rev")) * col("rev")).as("syy"))
+        val pick = f.crossJoin(broadcast(mo))
+          .select(col("d"),
+            abs(dec(col("n")) * col("rev") - col("sv")).as("dev"),
+            col("n"),
+            (dec(col("n")) * col("syy") - dec(col("sv")) * col("sv"))
+              .as("nss"))
+          .orderBy(col("dev").desc, col("d"))
+          .limit(1)
+          .ckpt() // 1-row extreme: output AND the removal key
+        f = f.join(pick.select(col("d")), Seq("d"), "left_anti").ckpt()
+        pick.select(lit(i.toLong).as("round"), col("d").as("day"),
+          expr(rChain).as("r_milli"))
+      }
+      outs.reduce(_ unionAll _).orderBy("round")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail,
       q245Changepoint, q261SeasonalDecomp, q290SeasonalAnomaly,
@@ -2758,5 +3017,6 @@ object Forecast {
       q405ChowTest, q406PermutationEntropy, q410BreuschPagan, q414Pettitt,
       q417CusumSquares, q420TurningPoints, q422NeweyWest, q423SeasonalMk,
       q424CoxStuart, q426RunsUpDown, q431PeriodStrength, q432Kpss,
-      q433HurstRs, q434ArchLm, q435RealizedBipower)
+      q433HurstRs, q434ArchLm, q435RealizedBipower, q440Pacf,
+      q442EventStudy, q443Gesd)
 }

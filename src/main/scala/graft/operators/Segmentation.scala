@@ -3,6 +3,7 @@ package graft.operators
 import graft.CkptOps
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** RFM segmentation — the classic customer-analytics operator: score
@@ -276,6 +277,77 @@ object Segmentation {
       .orderBy("decile")
   }
 
+  /** q441 — value-segment migration matrix: score every customer's
+    * spend tercile in the first half of the calendar (orders before
+    * 1995-07-01) and again in the second half, and count customers
+    * per (from-tercile, to-tercile) cell — including the churn/new
+    * rows (tercile 0 = absent that half). q119 snapshots RFM ONCE;
+    * this is the between-period MOVEMENT a retention program actually
+    * manages ("how many high-value customers slid to mid").
+    *
+    * Exactness: spend is exact integer cents; terciles ride the
+    * distributed two-level rank + [[ScaleRank.ntileFromRank]]
+    * (bit-equal to the ntile window, the q119 contract) with the
+    * custkey tiebreaker; cell counts and the H2-spend column are
+    * exact ints.
+    *
+    * Scale design (100 TB): per-half collapses are map-side
+    * partial-aggregable on custkey; ranks are ScaleRank (no
+    * single-task sort); the migration join is a custkey full-outer
+    * equi join; output is the ≤4×4 literal cell grid. */
+  val q441RfmMigration: QueryDef = QueryDef(
+    "q441_rfm_migration",
+    """WITH h1 AS (
+      |  SELECT o_custkey AS cust,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1995-07-01'
+      |  GROUP BY 1),
+      |h2 AS (
+      |  SELECT o_custkey AS cust,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-07-01'
+      |  GROUP BY 1),
+      |t1 AS (
+      |  SELECT cust, ntile(3) OVER (ORDER BY cents DESC, cust) AS seg
+      |  FROM h1),
+      |t2 AS (
+      |  SELECT cust, cents, ntile(3) OVER (ORDER BY cents DESC, cust) AS seg
+      |  FROM h2),
+      |mig AS (
+      |  SELECT coalesce(t1.seg, 0) AS seg_from, coalesce(t2.seg, 0) AS seg_to,
+      |    coalesce(t2.cents, 0) AS cents2
+      |  FROM t1 FULL OUTER JOIN t2 ON t2.cust = t1.cust)
+      |SELECT CAST(seg_from AS BIGINT) AS seg_from,
+      |  CAST(seg_to AS BIGINT) AS seg_to,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(cents2) AS BIGINT) AS h2_cents
+      |FROM mig GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    def half(pred: Column): DataFrame = orders.filter(pred)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")).cast("bigint").as("cents"))
+    val cut = col("o_orderdate").cast("date") < lit("1995-07-01").cast("date")
+    def terciled(df: DataFrame): DataFrame = {
+      val rk = ScaleRank.withRowNumber(df, Nil,
+        Seq(col("cents").desc, col("cust")), "rk", "n")
+      rk.withColumn("seg", ScaleRank.ntileFromRank(3, col("rk"), col("n")))
+    }
+    val t1 = terciled(half(cut)).select(col("cust"), col("seg").as("seg_a"))
+    val t2 = terciled(half(!cut))
+      .select(col("cust"), col("cents").as("cents2"), col("seg").as("seg_b"))
+    t1.join(t2, Seq("cust"), "full_outer")
+      .select(coalesce(col("seg_a"), lit(0)).cast("bigint").as("seg_from"),
+        coalesce(col("seg_b"), lit(0)).cast("bigint").as("seg_to"),
+        coalesce(col("cents2"), lit(0L)).as("cents2"))
+      .groupBy(col("seg_from"), col("seg_to"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents2")).cast("bigint").as("h2_cents"))
+      .orderBy("seg_from", "seg_to")
+  }
+
   val all: Seq[QueryDef] = Seq(q119Rfm, q133Gini, q262GrowthAccounting,
-    q265CumGains)
+    q265CumGains, q441RfmMigration)
 }

@@ -4097,8 +4097,8 @@ object TextAnalysis {
     * per-source moments and to the (source, token-count) histogram —
     * percentile state is O(distinct lengths), never O(docs). Output
     * ≤|sources| rows. */
-  val q439TokenBudget: QueryDef = QueryDef(
-    "q439_token_budget",
+  val q439SourceSizing: QueryDef = QueryDef(
+    "q439_source_sizing",
     """WITH t AS (
       |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
       |    n_chars
@@ -4154,5 +4154,5 @@ object TextAnalysis {
       q148VocabGrowth, q167TempMixture, q168ClassifierEval, q175Composition,
       q180Zipf, q181BigramPpl, q190HeapsLaw,
       q436Contamination, q437SourceGramJaccard, q438TruncationPlan,
-      q439TokenBudget)
+      q439SourceSizing)
 }

@@ -282,7 +282,11 @@ QUERIES = [
     "q431_period_strength", "q432_kpss", "q433_hurst_rs",
     "q434_arch_lm", "q435_realized_bipower",
     "q436_contamination", "q437_source_gram_jaccard",
-    "q438_truncation_plan", "q439_token_budget",
+    "q438_truncation_plan", "q439_source_sizing",
+    # PACF's generated Durbin-Levinson chain, the tercile-migration
+    # ntile twins, the event-study OLS window, and the iterative ESD
+    # argmax rounds all ride the money redraw
+    "q440_pacf", "q441_rfm_migration", "q442_event_study", "q443_gesd",
 ]
 # q289 HRU view selection reads only categorical dimension columns
 # (preserved by the redraw) — an inert replay, not registered.
