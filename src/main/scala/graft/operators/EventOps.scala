@@ -3982,7 +3982,80 @@ object EventOps {
         expr(s"CASE WHEN $chi > 3841 THEN 1 ELSE 0 END").as("reject_5pct"))
   }
 
+  /** q444 — group-sequential conversion monitor with O'Brien–Fleming
+    * boundaries: test H₀ "purchase share = 20%" (the generator's
+    * uniform-mix null) at five interim looks — after 20%, 40%, …,
+    * 100% of the ts-ordered event stream — against the classical
+    * OBF two-sided α=0.05 boundaries for K=5
+    * (4.877, 3.357, 2.680, 2.290, 2.031; Pocock/OBF tables). q230's
+    * SPRT monitors per-event; group-sequential looks are what a
+    * peeking-safe A/B program actually runs, and OBF's early looks
+    * are deliberately near-unspendable.
+    *
+    * Exactness: look cut ranks are exact floor-divs of the total
+    * count; cumulative conversions at each cut ride one distributed
+    * prefix pass ([[ScaleRank]]) picked by TWO equi joins (rank =
+    * cut); each z is ONE IEEE chain over exact ints; boundaries are
+    * literal milli ints.
+    *
+    * Scale design (100 TB): one rank + one prefix pass over the
+    * stream, a 5-row literal look frame, two rank-equi joins.
+    * Output 5 rows. */
+  val q444ObrienFleming: QueryDef = {
+    val bounds = Seq(4877L, 3357L, 2680L, 2290L, 2031L)
+    val z = "CAST(floor(1000.0e0 * " +
+      "(CAST(x AS DOUBLE) - CAST(nk AS DOUBLE) * 0.2e0) / " +
+      "sqrt(CAST(nk AS DOUBLE) * 0.2e0 * 0.8e0)) AS BIGINT)"
+    QueryDef(
+      "q444_obrien_fleming",
+      s"""WITH ev AS (
+         |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         |    row_number() OVER (ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |pre AS (
+         |  SELECT rn, CAST(sum(y) OVER (ORDER BY rn
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM ev),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+         |looks AS (
+         |  SELECT k, CAST(b AS BIGINT) AS bound_milli,
+         |    (k * nn.n) // 5 AS nk
+         |  FROM (SELECT unnest([1, 2, 3, 4, 5]) AS k,
+         |        unnest([${bounds.mkString(", ")}]) AS b), nn),
+         |at AS (
+         |  SELECT looks.k, looks.nk, looks.bound_milli, pre.cum AS x
+         |  FROM looks JOIN pre ON pre.rn = looks.nk)
+         |SELECT CAST(k AS BIGINT) AS look, nk AS n_events, x AS n_purchases,
+         |  $z AS z_milli, bound_milli,
+         |  CASE WHEN abs($z) > bound_milli THEN 1 ELSE 0 END AS cross_bound
+         |FROM at ORDER BY look""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("y"), col("ts"), col("event_id"))
+      val rn = ScaleRank.withRowNumber(ev, Seq.empty,
+        Seq(col("ts"), col("event_id")), "rn", "n")
+      val pre = ScaleRank.withRunningSum(rn, Seq.empty, Seq(col("rn")),
+          col("y"), "cum")
+        .select(col("rn"), col("cum"), col("n"))
+        .ckpt() // prefix stream: the 5 look picks
+      val nn = pre.agg(max(col("n")).as("n"))
+      val looks = nn.select(col("n"),
+          posexplode(array(bounds.map(lit(_)): _*)).as(Seq("k0", "bound_milli")))
+        .select((col("k0") + 1).cast("bigint").as("k"), col("bound_milli"),
+          expr("((k0 + 1) * n) div 5").as("nk"))
+      looks.join(pre.select(col("rn"), col("cum").as("x")),
+          col("rn") === col("nk"))
+        .select(col("k").as("look"), col("nk").as("n_events"),
+          col("x").as("n_purchases"),
+          expr(z).as("z_milli"), col("bound_milli"),
+          expr(s"CASE WHEN abs($z) > bound_milli THEN 1 ELSE 0 END")
+            .as("cross_bound"))
+        .orderBy("look")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q444ObrienFleming,
     q397NelsonAalen, q398MantelHaenszel,
     q371Logrank, q375UcbRegret, q376EntropyRate, q377IpwAte, q387LjungBox,
     q362KtRegret, q365HedgeRegret,

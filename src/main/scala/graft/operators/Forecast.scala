@@ -3009,6 +3009,113 @@ object Forecast {
     }
   }
 
+  /** q445 — binary-segmentation changepoints (3 levels, ≤7 splits):
+    * find the SSE-optimal split of the whole daily-revenue series,
+    * then recursively the best split of each resulting segment, two
+    * more levels deep. q245 locates ONE mean changepoint; binary
+    * segmentation is the standard multi-changepoint extension, and
+    * the per-level gains read as a scree plot ("how many regimes
+    * does this series actually have").
+    *
+    * Exactness: with prefix sums S the split gain telescopes to
+    * (S_τ−S_{lo−1})²/lenL + (S_hi−S_τ)²/lenR − (S_hi−S_{lo−1})²/len
+    * (the Q terms cancel) — squares are exact DECIMAL(38)/HUGEINT
+    * ints and the gain is ONE shared IEEE chain; argmax per segment
+    * is deterministic (gain DESC, τ ASC) and identical in both
+    * engines because the doubles are identical.
+    *
+    * Scale design (100 TB): one fact collapse + one distributed
+    * prefix pass; each level's candidate scan is an interval join of
+    * the day frame against a ≤4-row segment frame (bounded by the
+    * rk=1 literal slice); the per-segment argmax is a partitioned
+    * top-1 window (TopKPerKey prunes it). Output ≤7 rows. */
+  val q445BinarySegmentation: QueryDef = {
+    val gain = "(CAST((st - s0) * (st - s0) AS DOUBLE) / " +
+      "(CAST(t AS DOUBLE) - CAST(lo AS DOUBLE) + 1.0e0) + " +
+      "CAST((s1 - st) * (s1 - st) AS DOUBLE) / " +
+      "(CAST(hi AS DOUBLE) - CAST(t AS DOUBLE)) - " +
+      "CAST((s1 - s0) * (s1 - s0) AS DOUBLE) / " +
+      "(CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE) + 1.0e0))"
+    val oracleLevels = (1 to 3).map { lvl =>
+      val segSrc =
+        if (lvl == 1) "SELECT CAST(1 AS BIGINT) AS lo, n AS hi FROM nn"
+        else s"SELECT lo, t AS hi FROM pick${lvl - 1} UNION ALL " +
+          s"SELECT t + 1 AS lo, hi FROM pick${lvl - 1}"
+      s"""seg$lvl AS ($segSrc),
+         |cand$lvl AS (
+         |  SELECT seg$lvl.lo, seg$lvl.hi, p.rn AS t, p.d,
+         |    a.s AS s0, b.s AS s1, p.s AS st
+         |  FROM seg$lvl
+         |  JOIN pre0 a ON a.rn = seg$lvl.lo - 1
+         |  JOIN pre0 b ON b.rn = seg$lvl.hi
+         |  JOIN pre0 p ON p.rn >= seg$lvl.lo AND p.rn < seg$lvl.hi),
+         |pick$lvl AS (
+         |  SELECT lo, hi, t, d, $gain AS g FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY lo, hi
+         |      ORDER BY $gain DESC, t) AS rk
+         |    FROM cand$lvl) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val oracleOut = (1 to 3).map(lvl =>
+      s"SELECT CAST($lvl AS BIGINT) AS level, lo, hi, t AS split_t, " +
+        s"d AS split_day, CAST(floor(g / 1000000.0e0) AS BIGINT) " +
+        s"AS gain_e6 FROM pick$lvl").mkString("\nUNION ALL ")
+    QueryDef(
+      "q445_binary_segmentation",
+      s"""WITH $dailyEpochCte,
+         |ax AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+         |    d, rev
+         |  FROM daily),
+         |pre AS (
+         |  SELECT rn, d, CAST(sum(rev) OVER (ORDER BY rn
+         |    ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS s
+         |  FROM ax),
+         |pre0 AS (
+         |  SELECT rn, d, s FROM pre
+         |  UNION ALL SELECT 0, CAST(-1 AS BIGINT), CAST(0 AS HUGEINT)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ax),
+         |$oracleLevels
+         |SELECT * FROM ($oracleOut) ORDER BY level, lo""".stripMargin) {
+      (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val daily = DayAxis.revCentsEpoch(s, dir)
+      val ax = ScaleRank.withRowNumber(daily, Seq.empty, Seq(col("d")),
+        "rn", "n_ax")
+      val pre = ScaleRank.withRunningSum(ax, Seq.empty, Seq(col("rn")),
+          col("rev"), "sraw")
+        .select(col("rn").cast("bigint").as("rn"), col("d"),
+          dec(col("sraw")).as("s"))
+      val pre0 = pre.unionByName(
+          s.range(1).select(lit(0L).as("rn"), lit(-1L).as("d"),
+            dec(lit(0L)).as("s")))
+        .ckpt() // prefix frame: every level's three attach joins
+      val nn = pre.agg(max(col("rn")).as("n"))
+      var segs = nn.select(lit(1L).as("lo"), col("n").as("hi"))
+      val picks = (1 to 3).map { lvl =>
+        val cand = segs
+          .join(pre0.select(col("rn").as("lo1"), col("s").as("s0")),
+            col("lo1") === col("lo") - 1)
+          .join(pre0.select(col("rn").as("hirn"), col("s").as("s1")),
+            col("hirn") === col("hi"))
+          .join(pre0.select(col("rn").as("t"), col("d"), col("s").as("st")),
+            col("t") >= col("lo") && col("t") < col("hi"))
+        val w = Window.partitionBy(col("lo"), col("hi"))
+          .orderBy(expr(gain).desc, col("t"))
+        val pick = cand.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("lo"), col("hi"), col("t"), col("d"),
+            expr(gain).as("g"))
+          .ckpt() // ≤4-row picks: output AND the next level's segments
+        segs = pick.select(col("lo"), col("t").as("hi"))
+          .unionByName(pick.select((col("t") + 1).as("lo"), col("hi")))
+        pick.select(lit(lvl.toLong).as("level"), col("lo"), col("hi"),
+          col("t").as("split_t"), col("d").as("split_day"),
+          expr("CAST(floor(g / 1000000.0e0) AS BIGINT)").as("gain_e6"))
+      }
+      picks.reduce(_ unionAll _).orderBy("level", "lo")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail,
       q245Changepoint, q261SeasonalDecomp, q290SeasonalAnomaly,
@@ -3018,5 +3125,5 @@ object Forecast {
       q417CusumSquares, q420TurningPoints, q422NeweyWest, q423SeasonalMk,
       q424CoxStuart, q426RunsUpDown, q431PeriodStrength, q432Kpss,
       q433HurstRs, q434ArchLm, q435RealizedBipower, q440Pacf,
-      q442EventStudy, q443Gesd)
+      q442EventStudy, q443Gesd, q445BinarySegmentation)
 }

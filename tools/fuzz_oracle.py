@@ -287,6 +287,10 @@ QUERIES = [
     # ntile twins, the event-study OLS window, and the iterative ESD
     # argmax rounds all ride the money redraw
     "q440_pacf", "q441_rfm_migration", "q442_event_study", "q443_gesd",
+    # the OBF looks ride the event_type permutation + ts jitter; the
+    # binary-segmentation gains ride the money redraw through the
+    # shared telescoped-SSE IEEE chain and the per-segment argmax
+    "q444_obrien_fleming", "q445_binary_segmentation",
 ]
 # q289 HRU view selection reads only categorical dimension columns
 # (preserved by the redraw) — an inert replay, not registered.
