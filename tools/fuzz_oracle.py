@@ -291,13 +291,18 @@ QUERIES = [
     # binary-segmentation gains ride the money redraw through the
     # shared telescoped-SSE IEEE chain and the per-segment argmax
     "q444_obrien_fleming", "q445_binary_segmentation",
+    # absorption times ride the event_type permutation (transition
+    # counts redraw); the EM mixture rides the money redraw through
+    # the responsibility floor chain and both M-step passes
+    "q446_absorption_time", "q447_em_mixture",
 ]
 # q289 HRU view selection reads only categorical dimension columns
 # (preserved by the redraw) — an inert replay, not registered.
 # q291 mutual-NN label noise reads only embeddings (COPY_AS_IS) —
 # likewise inert.
-# q284 Boruvka reads only basket structure (orderkey/partkey, preserved
-# by the redraw), so its fuzz replay would be the identical graph.
+# q284 Boruvka and q448 HyperANF read only basket structure
+# (orderkey/partkey, preserved by the redraw), so their fuzz replays
+# would be the identical graph.
 # q273 hard-negative mining reads only embeddings (COPY_AS_IS under the
 # fuzz redraw), so a fuzz entry would replay the identical corpus.
 # q349 variance-time and q355 burst intervals read timestamps, which

@@ -100,7 +100,14 @@ def gen(dst=DST, copies=COPIES):
 
 
 def bench(sf_dir, probe=None):
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    # sf1/sf3 run 10-30x the bench data through ONE JVM whose default
+    # heap (8g) is sized for sf0.1 — the r10 Corpus/DayAxis shared
+    # checkpoints pushed the sf3 graph heavies over it (BlockManager
+    # put failures). 16g fixes that; a 48g heap was MEASURED to slow
+    # the iterative graph heavies 3-8x (old-gen GC pathology: q254
+    # 18->107s at sf1), so keep the bump minimal.
+    mem = "8g" if sf_dir == SRC else "16g"
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_DRIVER_MEM=mem)
     r = subprocess.run(
         ["sbt", "-batch", f"runMain graft.Bench {','.join(probe or PROBE)}"],
         cwd="/root/repo", env=env, capture_output=True, text=True)
