@@ -4054,8 +4054,130 @@ object EventOps {
     }
   }
 
+  /** q446 — expected steps to conversion (absorbing-chain analysis):
+    * treat 'purchase' as the absorbing state of the q109 per-user
+    * event chain and solve (I − Q)·t = 1 for the four transient
+    * states — t_i is the expected number of events a user in state i
+    * takes before their next purchase. q109 reports one-step
+    * probabilities; the fundamental-matrix solve turns them into the
+    * multi-step distances a funnel designer actually wants.
+    *
+    * Exactness: transition counts are exact ints; the 4×4 system is
+    * solved by GENERATED Gaussian elimination + back-substitution
+    * expression text parsed by BOTH engines (the q286/q440 one-
+    * string discipline) over identically-derived doubles, with a
+    * 1-row materialization barrier per step (the q440 projection-
+    * doubling lesson); pivots 1−q_ii ≥ 1−q_ii > 0 need no row
+    * exchange (every state has out-mass to 5 targets).
+    *
+    * Scale design (100 TB): one per-user lead pass (the q109 plan),
+    * a ≤5×5 count pivot, then 1-row arithmetic. Output 1 row. */
+  val q446AbsorptionTime: QueryDef = {
+    val states = Seq("click", "error", "signup", "view")
+    val elim: Seq[Seq[String]] = (1 to 3).map { k =>
+      val rows = for {
+        i <- (k + 1) to 4; j <- (k + 1) to 4
+      } yield s"m${k - 1}_${i}_$j - (m${k - 1}_${i}_$k / m${k - 1}_${k}_$k)" +
+        s" * m${k - 1}_${k}_$j AS m${k}_${i}_$j"
+      val bs = ((k + 1) to 4).map(i =>
+        s"b${k - 1}_$i - (m${k - 1}_${i}_$k / m${k - 1}_${k}_$k)" +
+          s" * b${k - 1}_$k AS b${k}_$i")
+      (rows ++ bs).toSeq
+    }
+    val backs = Seq(
+      "b3_4 / m3_4_4 AS t4",
+      "(b2_3 - m2_3_4 * t4) / m2_3_3 AS t3",
+      "(b1_2 - m1_2_3 * t3 - m1_2_4 * t4) / m1_2_2 AS t2",
+      "(b0_1 - m0_1_2 * t2 - m0_1_3 * t3 - m0_1_4 * t4) / m0_1_1 AS t1")
+    val pivCols = (
+      (for { i <- 1 to 4; j <- 1 to 4 } yield
+        s"coalesce(max(CASE WHEN c.src = '${states(i - 1)}' AND " +
+          s"c.dst = '${states(j - 1)}' THEN c.n END), 0) AS c_${i}_$j") ++
+      (1 to 4).map(i =>
+        s"coalesce(max(CASE WHEN c.src = '${states(i - 1)}' THEN rt.rtot " +
+          s"END), 0) AS r_$i")).mkString(",\n    ")
+    val m0Cols = (
+      (for { i <- 1 to 4; j <- 1 to 4 } yield
+        s"${if (i == j) "1.0e0" else "0.0e0"} - " +
+          s"CAST(c_${i}_$j AS DOUBLE) / CAST(r_$i AS DOUBLE) AS m0_${i}_$j") ++
+      (1 to 4).map(i => s"1.0e0 AS b0_$i")).mkString(",\n    ")
+    val outCols = (1 to 4).map(i =>
+      s"CAST(floor(1000.0e0 * t$i) AS BIGINT) AS " +
+        s"steps_${states(i - 1)}_milli").mkString(", ")
+    val elimCtes = elim.zipWithIndex.map { case (exprs, i) =>
+      s"g${i + 1} AS (SELECT *, ${exprs.mkString(", ")} FROM g$i)"
+    }.mkString(",\n")
+    val backCtes = backs.zipWithIndex.map { case (e, i) =>
+      s"bs${i + 1} AS (SELECT *, $e FROM ${if (i == 0) "g3" else s"bs$i"})"
+    }.mkString(",\n")
+    QueryDef(
+      "q446_absorption_time",
+      s"""WITH o AS (
+         |  SELECT user_id, event_type AS src,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS dst
+         |  FROM events),
+         |c AS (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+         |  FROM o WHERE dst IS NOT NULL GROUP BY src, dst),
+         |rt AS (SELECT src AS rsrc, CAST(sum(n) AS BIGINT) AS rtot
+         |       FROM c GROUP BY src),
+         |piv AS (
+         |  SELECT
+         |    $pivCols
+         |  FROM c JOIN rt ON rt.rsrc = c.src),
+         |g0 AS (
+         |  SELECT
+         |    $m0Cols
+         |  FROM piv
+         |  WHERE r_1 > 0 AND r_2 > 0 AND r_3 > 0 AND r_4 > 0),
+         |$elimCtes,
+         |$backCtes
+         |SELECT $outCols FROM bs4""".stripMargin) { (s, dir) =>
+      val perUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val c = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("src"), col("ts"),
+          col("event_id"))
+        .withColumn("dst", lead(col("src"), 1).over(perUser))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+      val rt = c.groupBy(col("src"))
+        .agg(sum(col("n")).cast("bigint").as("rtot"))
+        .withColumnRenamed("src", "rsrc")
+      val pivAggs =
+        (for { i <- 1 to 4; j <- 1 to 4 } yield
+          coalesce(max(when(col("src") === states(i - 1) &&
+            col("dst") === states(j - 1), col("n"))), lit(0L))
+            .as(s"c_${i}_$j")) ++
+        (1 to 4).map(i =>
+          coalesce(max(when(col("src") === states(i - 1), col("rtot"))),
+            lit(0L)).as(s"r_$i"))
+      val piv = c.join(rt, col("src") === col("rsrc"))
+        .agg(pivAggs.head, pivAggs.tail: _*)
+      var lvl = piv
+        .filter(col("r_1") > 0 && col("r_2") > 0 &&
+          col("r_3") > 0 && col("r_4") > 0)
+        .selectExpr(
+          ((for { i <- 1 to 4; j <- 1 to 4 } yield
+            s"${if (i == j) "1.0e0" else "0.0e0"} - " +
+              s"CAST(c_${i}_$j AS DOUBLE) / CAST(r_$i AS DOUBLE)" +
+              s" AS m0_${i}_$j") ++
+          (1 to 4).map(i => s"1.0e0 AS b0_$i")): _*)
+        .ckpt()
+      for (exprs <- elim)
+        lvl = lvl.selectExpr("*" +: exprs: _*).ckpt()
+      for (e <- backs)
+        lvl = lvl.selectExpr("*", e).ckpt()
+      lvl.selectExpr((1 to 4).map(i =>
+        s"CAST(floor(1000.0e0 * t$i) AS BIGINT) AS " +
+          s"steps_${states(i - 1)}_milli"): _*)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q444ObrienFleming,
+    q444ObrienFleming, q446AbsorptionTime,
     q397NelsonAalen, q398MantelHaenszel,
     q371Logrank, q375UcbRegret, q376EntropyRate, q377IpwAte, q387LjungBox,
     q362KtRegret, q365HedgeRegret,

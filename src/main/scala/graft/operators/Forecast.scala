@@ -3116,6 +3116,164 @@ object Forecast {
     }
   }
 
+  /** q447 — two-component Gaussian mixture on daily revenue, three
+    * EM iterations: is the revenue distribution one regime or two
+    * (promo vs base days)? q167 fits a temperature mixture over
+    * CATEGORIES; this is the classic 1-D EM on the continuous day
+    * distribution — means, shared variance, and mixing weight after
+    * a fixed, deterministic schedule (3 iterations from the
+    * p25/p75 split — "EM as a relational recursion", every step a
+    * corpus pass plus a 1-row fold.)
+    *
+    * Exactness: responsibilities are computed with the odds form
+    * r₁ = 1/(1 + ((1−π)/π)·exp(Δ)) (no 0/0 underflow corner), as
+    * ONE shared expression text in both engines, then floored to
+    * nano units BEFORE every sum (floor-before-sum discipline —
+    * integer sums are order-independent where raw double sums are
+    * not); variance terms floor per row the same way; parameter
+    * updates are IEEE chains over those exact integers. exp enters
+    * per-row, same as the committed q402/q414 chains.
+    *
+    * Scale design (100 TB): per iteration, two map-side-collapsing
+    * passes over the calendar-bounded day frame against a broadcast
+    * 1-row parameter frame — no shuffles beyond the folds. Output
+    * 1 row. */
+  val q447EmMixture: QueryDef = {
+    val r1 = "1.0e0 / (1.0e0 + ((1.0e0 - pi) / pi) * " +
+      "exp((((x - mu1) * (x - mu1)) - ((x - mu2) * (x - mu2))) / " +
+      "(2.0e0 * s2)))"
+    val r1n = s"CAST(floor(1000000000.0e0 * ($r1)) AS BIGINT)"
+    val mu1n = "CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    val mu2n = "CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)"
+    // the raw weighted-square term reaches ~2e23 — beyond int64, so a
+    // bare floor() diverges between engines (Spark floor(double) is a
+    // LONG; DuckDB's stays double). Scale to 1e9-cents^2 units FIRST:
+    // the floored value stays under 2^53 and both engines floor the
+    // same double exactly.
+    val vterm = "CAST(floor((CAST(r1n AS DOUBLE) * ((x - mu1) * (x - mu1))" +
+      " + CAST(1000000000 - r1n AS DOUBLE) * ((x - mu2) * (x - mu2)))" +
+      " / 1000000000.0e0) AS BIGINT)"
+    val iterCtes = (1 to 3).map { k =>
+      s"""e$k AS (
+         |  SELECT x, $r1n AS r1n
+         |  FROM (SELECT CAST(daily.rev AS DOUBLE) AS x, mu1, mu2, s2, pi
+         |        FROM daily, p${k - 1})),
+         |a$k AS (
+         |  SELECT CAST(sum(r1n) AS BIGINT) AS n1,
+         |    CAST(sum(1000000000 - r1n) AS BIGINT) AS n2,
+         |    sum(CAST(r1n AS HUGEINT) * CAST(x AS BIGINT)) AS sx1,
+         |    sum(CAST(1000000000 - r1n AS HUGEINT) * CAST(x AS BIGINT))
+         |      AS sx2
+         |  FROM e$k),
+         |mu$k AS (
+         |  SELECT $mu1n AS mu1, $mu2n AS mu2,
+         |    CAST(n1 AS DOUBLE) /
+         |      (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS pi
+         |  FROM a$k WHERE n1 > 0 AND n2 > 0),
+         |v$k AS (
+         |  SELECT sum($vterm) AS vsum,
+         |    CAST(count(*) AS BIGINT) AS nd
+         |  FROM (SELECT e$k.x, e$k.r1n, mu$k.mu1, mu$k.mu2
+         |        FROM e$k, mu$k)),
+         |p$k AS (
+         |  SELECT mu$k.mu1, mu$k.mu2, mu$k.pi,
+         |    CAST(v$k.vsum AS DOUBLE) / CAST(v$k.nd AS DOUBLE) AS s2
+         |  FROM mu$k, v$k)""".stripMargin
+    }.mkString(",\n")
+    QueryDef(
+      "q447_em_mixture",
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY 1),
+         |mo AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nd,
+         |    CAST(sum(rev) AS BIGINT) AS sv,
+         |    sum(CAST(rev AS HUGEINT) * rev) AS syy
+         |  FROM daily),
+         |cum AS (
+         |  SELECT rev, CAST(sum(c) OVER (ORDER BY rev
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM (SELECT rev, CAST(count(*) AS BIGINT) AS c
+         |        FROM daily GROUP BY rev)),
+         |qq AS (
+         |  SELECT
+         |    (SELECT min(rev) FROM cum, mo
+         |     WHERE cum.cum >= (mo.nd + 3) // 4) AS q25,
+         |    (SELECT min(rev) FROM cum, mo
+         |     WHERE cum.cum >= (3 * mo.nd + 3) // 4) AS q75),
+         |p0 AS (
+         |  SELECT CAST(q25 AS DOUBLE) AS mu1, CAST(q75 AS DOUBLE) AS mu2,
+         |    CAST(nd * syy - CAST(sv AS HUGEINT) * sv AS DOUBLE) /
+         |      (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE) *
+         |       (CAST(nd AS DOUBLE) - 1.0e0)) AS s2,
+         |    0.5e0 AS pi
+         |  FROM mo, qq WHERE nd > 1 AND q25 < q75),
+         |$iterCtes
+         |SELECT CAST(floor(mu1) AS BIGINT) AS mu1_cents,
+         |  CAST(floor(mu2) AS BIGINT) AS mu2_cents,
+         |  CAST(floor(sqrt(s2)) AS BIGINT) AS sigma_cents,
+         |  CAST(floor(1000000.0e0 * pi) AS BIGINT) AS pi_ppm
+         |FROM p3""".stripMargin) { (s, dir) =>
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val daily = DayAxis.revCents(s, dir)
+      val cum = ScaleRank.withRunningSum(
+        daily.groupBy(col("rev")).agg(count(lit(1)).cast("bigint").as("c")),
+        Seq.empty, Seq(col("rev")), col("c"), "cum")
+      val mo = daily.agg(count(lit(1)).cast("bigint").as("nd"),
+          sum(col("rev")).cast("bigint").as("sv"),
+          sum(dec(col("rev")) * col("rev")).as("syy"))
+        .ckpt() // 1-row moments: rank cuts AND the s2 chain
+      // exact order-statistic init (NO interpolation: the engines'
+      // percentile interpolation formulas differ in the last ulp and
+      // 3 EM iterations amplify one ulp into different basins)
+      val q25 = cum.crossJoin(broadcast(mo))
+        .filter(col("cum") >= expr("(nd + 3) div 4"))
+        .agg(min(col("rev")).as("q25"))
+      val q75 = cum.crossJoin(broadcast(mo))
+        .filter(col("cum") >= expr("(3 * nd + 3) div 4"))
+        .agg(min(col("rev")).as("q75"))
+      var p = mo.crossJoin(broadcast(q25)).crossJoin(broadcast(q75))
+        .filter(col("nd") > 1 && col("q25") < col("q75"))
+        .selectExpr("CAST(q25 AS DOUBLE) AS mu1", "CAST(q75 AS DOUBLE) AS mu2",
+          "CAST(CAST(nd AS DECIMAL(38,0)) * syy - " +
+            "CAST(sv AS DECIMAL(38,0)) * sv AS DOUBLE) / " +
+            "(CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE) * " +
+            "(CAST(nd AS DOUBLE) - 1.0e0)) AS s2",
+          "0.5e0 AS pi")
+        .ckpt()
+      for (_ <- 1 to 3) {
+        val e = daily.crossJoin(broadcast(p))
+          .selectExpr("CAST(rev AS DOUBLE) AS x", "mu1", "mu2", "s2", "pi")
+          .selectExpr("x", s"$r1n AS r1n")
+        val a = e.agg(
+          sum(col("r1n")).cast("bigint").as("n1"),
+          sum(lit(1000000000L) - col("r1n")).cast("bigint").as("n2"),
+          sum(dec(col("r1n")) * col("x").cast("bigint")).as("sx1"),
+          sum(dec(lit(1000000000L) - col("r1n")) * col("x").cast("bigint"))
+            .as("sx2"))
+        val mu = a.filter(col("n1") > 0 && col("n2") > 0)
+          .selectExpr(s"$mu1n AS mu1", s"$mu2n AS mu2",
+            "CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + " +
+              "CAST(n2 AS DOUBLE)) AS pi")
+          .ckpt() // 1-row new means
+        val v = e.crossJoin(broadcast(mu))
+          .select(expr(vterm).as("vt"))
+          .agg(sum(col("vt").cast("decimal(38,0)")).as("vsum"),
+            count(lit(1)).cast("bigint").as("nd"))
+        p = mu.crossJoin(broadcast(v))
+          .selectExpr("mu1", "mu2", "pi",
+            "CAST(vsum AS DOUBLE) / CAST(nd AS DOUBLE) AS s2")
+          .ckpt()
+      }
+      p.selectExpr("CAST(floor(mu1) AS BIGINT) AS mu1_cents",
+        "CAST(floor(mu2) AS BIGINT) AS mu2_cents",
+        "CAST(floor(sqrt(s2)) AS BIGINT) AS sigma_cents",
+        "CAST(floor(1000000.0e0 * pi) AS BIGINT) AS pi_ppm")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q170Ewma, q171Interpolate, q187TheilSen, q204HaarDetail,
       q245Changepoint, q261SeasonalDecomp, q290SeasonalAnomaly,
@@ -3125,5 +3283,5 @@ object Forecast {
       q417CusumSquares, q420TurningPoints, q422NeweyWest, q423SeasonalMk,
       q424CoxStuart, q426RunsUpDown, q431PeriodStrength, q432Kpss,
       q433HurstRs, q434ArchLm, q435RealizedBipower, q440Pacf,
-      q442EventStudy, q443Gesd, q445BinarySegmentation)
+      q442EventStudy, q443Gesd, q445BinarySegmentation, q447EmMixture)
 }

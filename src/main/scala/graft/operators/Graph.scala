@@ -1213,9 +1213,117 @@ object Graph {
     }
   }
 
+  /** q448 — HyperANF neighborhood function (Boldi–Rosa–Vigna '11):
+    * the number of reachable pairs within distance t for t = 0..3 on
+    * the co-purchase graph, via per-node HyperLogLog counters
+    * advanced by t rounds of neighbor-register merges. q302 runs ONE
+    * exact BFS from one source; HyperANF estimates ALL sources at
+    * once — THE practical big-graph distance-distribution/effective-
+    * diameter algorithm (exact all-pairs is O(V·E) and dead at any
+    * scale; register merges are one equi join per round).
+    *
+    * Exactness: registers are the q369 HLL layout (md5 60-bit hash,
+    * m=64, rank ≤ 55) — deterministic by construction; merges are
+    * max-aggregates; each node's estimate is the q369 correction
+    * chain floored to an int BEFORE the global sum (floor-before-sum
+    * — raw double sums are partition-order-dependent); both engines
+    * run identical text.
+    *
+    * Scale design (100 TB): state is (node, bucket, maxrank) — ≤64
+    * rows per node; each round is one edge-keyed equi join + one
+    * max-aggregate (map-side combinable), checkpointed per round
+    * (the q150/q302 iterative contract, MATERIALIZED in the oracle
+    * against DuckDB's CTE re-expansion). Round count is literal.
+    * Output 4 rows. */
+  val q448Hyperanf: QueryDef = {
+    val MIN_PAIR = 2
+    val T = 3
+    val ALPHA = 0.709 // α for m = 64 (Flajolet '07 Table 1 regime)
+    val estD = s"($ALPHA" + "e0 * 64.0e0 * 64.0e0 * 36028797018963968.0e0)" +
+      " / CAST(num AS DOUBLE)"
+    val corrD = s"CASE WHEN ($estD) <= 160.0e0 AND v > 0 " +
+      s"THEN 64.0e0 * ln(64.0e0 / CAST(v AS DOUBLE)) ELSE ($estD) END"
+    val rounds = (1 to T).map { t =>
+      s"""r$t AS MATERIALIZED (
+         |  SELECT node, bucket, max(m) AS m FROM (
+         |    SELECT ed.src AS node, r.bucket, r.m
+         |    FROM ed JOIN r${t - 1} r ON r.node = ed.dst
+         |    UNION ALL SELECT node, bucket, m FROM r${t - 1})
+         |  GROUP BY node, bucket)""".stripMargin
+    }.mkString(",\n")
+    val estRounds = (0 to T).map { t =>
+      s"""est$t AS (
+         |  SELECT CAST($t AS BIGINT) AS t,
+         |    CAST(sum(ball) AS BIGINT) AS n_pairs_est FROM (
+         |    SELECT CAST(floor($corrD) AS BIGINT) AS ball FROM (
+         |      SELECT node,
+         |        CAST(sum(1::BIGINT << (55 - m)) +
+         |          (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS num,
+         |        CAST(64 - count(*) AS BIGINT) AS v
+         |      FROM r$t GROUP BY node)))""".stripMargin
+    }.mkString(",\n")
+    QueryDef(
+      "q448_hyperanf",
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT f1.p AS a, f2.p AS b2
+         |  FROM b f1 JOIN b f2 ON f1.o = f2.o AND f1.p < f2.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $MIN_PAIR),
+         |ed AS MATERIALIZED (
+         |  SELECT a AS src, b2 AS dst FROM e0 UNION ALL SELECT b2, a FROM e0),
+         |nodes AS (SELECT DISTINCT src AS node FROM ed),
+         |r0 AS MATERIALIZED (
+         |  SELECT node, h // 18014398509481984 AS bucket,
+         |    CASE WHEN h % 18014398509481984 = 0 THEN 55
+         |         ELSE 55 - length(bin(h % 18014398509481984)) END AS m
+         |  FROM (SELECT node,
+         |    ('0x' || substring(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT AS h
+         |    FROM nodes)),
+         |$rounds,
+         |$estRounds
+         |SELECT * FROM (
+         |  ${(0 to T).map(t => s"SELECT t, n_pairs_est FROM est$t")
+             .mkString("\n  UNION ALL ")}
+         |) ORDER BY t""".stripMargin) { (s, dir) =>
+      val e0 = coPurchaseEdges(s, dir, MIN_PAIR)
+      val ed = e0.select(col("a").as("src"), col("b2").as("dst"))
+        .unionByName(e0.select(col("b2").as("src"), col("a").as("dst")))
+        .ckpt() // both directions feed every round's merge
+      var r = ed.select(col("src").as("node")).distinct()
+        .select(col("node"),
+          conv(substring(md5(col("node").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .select(col("node"), expr("h div 18014398509481984").as("bucket"),
+          when(col("h") % 18014398509481984L === 0, lit(55))
+            .otherwise(lit(55) -
+              length(bin(col("h") % 18014398509481984L))).as("m"))
+        .ckpt()
+      def estOf(regs: DataFrame, t: Int): DataFrame =
+        regs.groupBy(col("node"))
+          .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")) +
+            (lit(64) - count(lit(1))) * lit(36028797018963968L))
+            .cast("bigint").as("num"),
+            (lit(64) - count(lit(1))).cast("bigint").as("v"))
+          .select(expr(s"CAST(floor($corrD) AS BIGINT)").as("ball"))
+          .agg(sum(col("ball")).cast("bigint").as("n_pairs_est"))
+          .select(lit(t.toLong).as("t"), col("n_pairs_est"))
+      val ests = collection.mutable.ArrayBuffer(estOf(r, 0))
+      for (t <- 1 to T) {
+        r = ed.join(r.withColumnRenamed("node", "dst"), Seq("dst"))
+          .select(col("src").as("node"), col("bucket"), col("m"))
+          .unionByName(r.select(col("node"), col("bucket"), col("m")))
+          .groupBy(col("node"), col("bucket")).agg(max(col("m")).as("m"))
+          .ckpt() // per-round register state (the q302 contract)
+        ests += estOf(r, t)
+      }
+      ests.reduce(_ unionAll _).orderBy("t")
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q104Triangles, q132BomExplosion, q150KcorePeel, q155LinkPredict,
       q260WlRefinement, q275HubRobustness, q284Boruvka, q302BfsHops,
       q323Assortativity, q324RichClub, q325PartitionQuality,
-      q346ClusteringSpectrum, q361DensestSubgraph, q381Ktruss)
+      q346ClusteringSpectrum, q361DensestSubgraph, q381Ktruss,
+      q448Hyperanf)
 }
