@@ -33,6 +33,28 @@ object Bench {
       val best = if (runs.forall(_._2)) runs.map(_._1).min else -1.0
       (name, best, runs.map(_._1))
     }
+    // Canary block (VERDICT r10 item 2): ten never-touched queries,
+    // 5 runs each, MEDIAN committed alongside the box load average —
+    // round-over-round comparisons divide overlap deltas by the canary
+    // drift ratio so box-tide noise (r10 measured a ×1.20 median move
+    // on untouched queries) can't masquerade as a plan regression.
+    val canaryNames = Seq(
+      "q01_pricing_summary", "q02_surrogate_key", "q06_try_numeric",
+      "q07_signed_amount", "q11_filter_project", "q13_left_join",
+      "q14_distinct", "q123_chisq_independence", "q127_trimmed_stats",
+      "q156_ohlc_bars")
+    val canaries = if (only.isEmpty) canaryNames.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val ts = Seq.fill(5)(once(fn)._1).sorted
+        (name, ts(2)) // median of 5
+      }
+    } else Seq.empty
+    val loadavg =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val canaryJson = canaries.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -43,7 +65,7 @@ object Bench {
     // stdout now contains a parseable {"metric":"total",...} record
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canaries":$canaryJson,"loadavg":[$loadavg],"sf":"$sfDir"}"""
     println(line)
     // the driver's artifact capture keeps only the TAIL of sbt output,
     // which once truncated the per-query map mid-JSON and made five
@@ -55,7 +77,7 @@ object Bench {
       .map { case (k, _, rs) => s"\"" + k + "\":" + rs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"canaries":$canaryJson,"loadavg":[$loadavg],"sf":"$sfDir"}"""
     // a FILTERED run must not clobber the full-surface artifact the
     // closing summary is derived from (verify_pass.py --summary)
     val artifact =

@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, Expression, ExpressionInfo, FunctionTableSubqueryArgumentExpression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, Expression, ExpressionInfo, FunctionTableSubqueryArgumentExpression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -52,19 +52,34 @@ case class AsofJoinByName(
 }
 
 /** Rewrites [[AsofJoinByName]] (planted by the `asof_join` TVF) to
-  * the attribute-bound [[AsofJoin]], with the same self-join
-  * right-side re-alias hygiene as [[Asof.joinKeys]]. */
+  * the attribute-bound [[AsofJoin]].
+  *
+  * Self-joins (asof_join(TABLE(v), TABLE(v), ...)): the analyzer's
+  * DeduplicateRelations renews the right child's exprIds during
+  * analysis — BEFORE this optimizer rule runs — so overlapping child
+  * outputs cannot legitimately reach this point. Re-aliasing here
+  * (post-analysis) would mint fresh exprIds that parent operators
+  * were never resolved against, so an overlap FAILS LOUDLY instead
+  * (ADVICE r10: the silent re-alias could dangle downstream
+  * references); AsofJoinSpec pins the TABLE(v) self-join path green. */
 object ResolveAsofJoinByName extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case AsofJoinByName(lp, rp0, keys, lt, rt, tb) =>
-      val rp =
-        if (lp.outputSet.intersect(rp0.outputSet).isEmpty) rp0
-        else Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+    case AsofJoinByName(lp, rp, keys, lt, rt, tb) =>
+      if (lp.outputSet.intersect(rp.outputSet).nonEmpty)
+        throw new IllegalStateException(
+          "asof_join: left and right sides share attribute ids after " +
+            "analysis (self-join dedup did not fire) — alias one side: " +
+            "asof_join(TABLE(v), TABLE(SELECT * FROM v), ...)")
       def attr(p: LogicalPlan, n: String, side: String): Attribute =
-        p.output.find(_.name.equalsIgnoreCase(n)).getOrElse(
-          throw new IllegalArgumentException(
+        p.output.filter(_.name.equalsIgnoreCase(n)) match {
+          case Seq(a) => a
+          case Seq() => throw new IllegalArgumentException(
             s"asof_join: no column '$n' on the $side side " +
-              s"(have ${p.output.map(_.name).mkString(", ")})"))
+              s"(have ${p.output.map(_.name).mkString(", ")})")
+          case dup => throw new IllegalArgumentException(
+            s"asof_join: column '$n' is ambiguous on the $side side " +
+              s"(${dup.size} matches) — project distinct names first")
+        }
       AsofJoin(lp, rp,
         keys.map(attr(lp, _, "left")), keys.map(attr(rp, _, "right")),
         attr(lp, lt, "left"), attr(rp, rt, "right"),

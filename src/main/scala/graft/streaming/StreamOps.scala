@@ -1863,6 +1863,15 @@ object StreamOps {
       }
       sorted.foreach { e =>
         val d = micros(e.ts) / 86400000000L
+        // in-order day-close contract, enforced: a late event for an
+        // already-closed day (admitted by the watermark in a LATER
+        // micro-batch) would silently reopen it as a new out-of-order
+        // series entry and skew every subsequent full-prefix recompute
+        // (ADVICE r10) — fail loudly instead
+        if (d < st.curDay)
+          throw new IllegalStateException(
+            s"day-close contract violated: event ${e.event_id} is for " +
+              s"day $d but day ${st.curDay} already opened")
         if (d != st.curDay) {
           closeDay()
           st = st.copy(curDay = d, cents = 0L)
@@ -1954,11 +1963,88 @@ object StreamOps {
       }
       sorted.foreach { e =>
         val d = micros(e.ts) / 86400000000L
+        // in-order day-close contract, enforced (see pettittMonitor)
+        if (d < st.curDay)
+          throw new IllegalStateException(
+            s"day-close contract violated: event ${e.event_id} is for " +
+              s"day $d but day ${st.curDay} already opened")
         if (d != st.curDay) {
           closeDay()
           st = st.copy(curDay = d, cents = 0L)
         }
         st = st.copy(cents = st.cents + math.floor(e.value * 100 + 0.5).toLong)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_ => 0L)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  final case class ObfState(
+      seen: Long, x: Long, lookIdx: Int, lastMicros: Long, lastId: Long)
+  final case class ObfOut(
+      look: Long, n_events: Long, n_purchases: Long, z_milli: Long,
+      bound_milli: Long, cross_bound: Long)
+
+  /** Streaming group-sequential monitor — the stateful twin of q444
+    * ([[graft.operators.EventOps.q444ObrienFleming]]): the PLANNED
+    * sample size is fixed up front (as a real group-sequential design
+    * requires — the batch derives it as count(*); a live experiment
+    * registers it before unblinding), and the monitor emits an
+    * interim-look row the moment the stream's cumulative event count
+    * crosses each O'Brien–Fleming look boundary k·N/5 — the
+    * peeking-safe A/B readout AS the data arrives instead of at the
+    * horizon.
+    *
+    * Exactness: the cumulative (events, purchases) counters are exact
+    * integers; each look's z rides the IDENTICAL left-associated IEEE
+    * chain as the batch oracle (1000·(x − nk·0.2)/√(nk·0.2·0.8),
+    * floored to milli), so every emitted row is bit-equal to the
+    * batch q444 row with the same look index — the spec pins the full
+    * five-row agreement. Boundaries are the literal OBF K=5 milli
+    * ints. State is O(1): five scalars.
+    *
+    * Look positions are RANK positions in the (ts, event_id) order —
+    * an out-of-order event would silently shift every later look, so
+    * the in-order contract is enforced loudly (the r10 day-close
+    * lesson applied at birth). */
+  def obfMonitor(spark: SparkSession, events: Dataset[AsofEvent],
+      plannedN: Long): Dataset[ObfOut] = {
+    import spark.implicits._
+    val bounds = Array(4877L, 3357L, 2680L, 2290L, 2031L)
+    val nks = Array.tabulate(5)(k => (k + 1) * plannedN / 5)
+
+    def fn(key: Long, rows: Iterator[AsofEvent],
+        state: GroupState[ObfState]): Iterator[ObfOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var st = state.getOption.getOrElse(
+        ObfState(0L, 0L, 0, Long.MinValue, Long.MinValue))
+      val out = List.newBuilder[ObfOut]
+      sorted.foreach { e =>
+        val m = micros(e.ts)
+        if (m < st.lastMicros || (m == st.lastMicros && e.event_id <= st.lastId))
+          throw new IllegalStateException(
+            s"look-rank contract violated: event ${e.event_id} arrives " +
+              s"out of (ts, event_id) order — look positions would shift")
+        st = st.copy(
+          seen = st.seen + 1,
+          x = st.x + (if (e.event_type == "purchase") 1L else 0L),
+          lastMicros = m, lastId = e.event_id)
+        while (st.lookIdx < 5 && st.seen == nks(st.lookIdx)) {
+          val k = st.lookIdx + 1
+          val nk = nks(st.lookIdx)
+          // the batch z chain verbatim: left-associated mult/div, one
+          // floor — 1000.0 * (x - nk*0.2) binds before the / sqrt
+          val z = math.floor(1000.0 * (st.x.toDouble - nk.toDouble * 0.2) /
+            math.sqrt(nk.toDouble * 0.2 * 0.8)).toLong
+          out += ObfOut(k.toLong, nk, st.x, z, bounds(st.lookIdx),
+            if (math.abs(z) > bounds(st.lookIdx)) 1L else 0L)
+          st = st.copy(lookIdx = st.lookIdx + 1)
+        }
       }
       state.update(st)
       out.result().iterator

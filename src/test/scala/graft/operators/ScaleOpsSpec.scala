@@ -279,19 +279,57 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(pairs > 0)
   }
 
+  test("adaptive LSH planes keep expected block size bounded as the corpus grows") {
+    // the integer derivation itself: smallest p with n <= 32*2^p,
+    // clamped to [4, 16]
+    import VectorOps.{adaptivePlanes, ADAPTIVE_TARGET_BLOCK}
+    assert(adaptivePlanes(1) == 4)      // clamp floor
+    assert(adaptivePlanes(500) == 4)    // sf0.001/sf0.01 gate scales unchanged
+    assert(adaptivePlanes(512) == 4)
+    assert(adaptivePlanes(513) == 5)
+    assert(adaptivePlanes(2000) == 6)   // sf0.1
+    assert(adaptivePlanes(4000) == 7)
+    assert(adaptivePlanes(Long.MaxValue) == 16) // clamp ceiling
+    // monotone: more corpus never means coarser blocking
+    assert((1L to 20).forall(k => adaptivePlanes(1L << k) <= adaptivePlanes(1L << (k + 1))))
+    // the r10 verdict's bound: under a 10x corpus the per-block
+    // candidate load must stay near the target, not scale with n²/16
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(31)
+    val n = 4000 // 10x the r10 test corpus
+    val e = (0 until n).map(i => (i.toLong, "hot", Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "label", "embedding")
+    val planes = adaptivePlanes(n.toLong)
+    val blocks = e.select(expr(s"lsh_bucket(embedding, $planes, 64)").as("bucket"))
+      .groupBy("bucket").count().collect().map(_.getLong(1))
+    // random-hyperplane buckets over random vectors are ~binomial:
+    // mean block = n / 2^planes ≈ 31; allow 4x imbalance slack
+    assert(blocks.max <= 4L * ADAPTIVE_TARGET_BLOCK,
+      s"max block ${blocks.max} exceeds 4x target $ADAPTIVE_TARGET_BLOCK")
+    // and the candidate volume collapses versus all-pairs: with a
+    // FIXED 16-way split it would be ~n²/32 ≈ 500k; adaptive blocking
+    // holds it near n * target
+    val pairs = Dedup.embeddingCandidates(e).count()
+    assert(pairs < n.toLong * ADAPTIVE_TARGET_BLOCK,
+      s"candidate pairs $pairs vs bound ${n.toLong * ADAPTIVE_TARGET_BLOCK}")
+  }
+
   test("ngram DF cap bounds candidate pairs under a stop-bigram corpus") {
     // adversarial corpus: every doc shares the bigram "the end"; all
     // other bigrams are unique per doc — without the cap, the shared
-    // key alone materializes all n*(n-1)/2 pairs
+    // key alone materializes all n*(n-1)/2 pairs (kernel increments or
+    // join rows alike; both paths honor the cap BEFORE pair counting)
     val n = 300
     val docs = (0 until n)
       .map(i => (i.toLong, "en", s"the end u${i}a u${i}b u${i}c"))
       .toDF("doc_id", "lang", "text")
     val bg = Dedup.bigramSets(docs)
-    val uncapped = Dedup.bigramPairInter(bg, dfCap = Int.MaxValue).count()
-    val capped = Dedup.bigramPairInter(bg, dfCap = 50).count()
-    assert(uncapped == n.toLong * (n - 1) / 2, s"uncapped $uncapped")
-    assert(capped == 0, s"capped $capped")
+    for (kmax <- Seq(Long.MaxValue, 0L)) { // kernel path, then shuffle path
+      val uncapped = Dedup.bigramPairInter(bg, dfCap = Int.MaxValue, kernelMaxRows = kmax).count()
+      val capped = Dedup.bigramPairInter(bg, dfCap = 50, kernelMaxRows = kmax).count()
+      assert(uncapped == n.toLong * (n - 1) / 2, s"kmax=$kmax uncapped $uncapped")
+      assert(capped == 0, s"kmax=$kmax capped $capped")
+    }
     // and on realistic data the default cap changes nothing (max DF at
     // every test scale is far below it)
     val real = Dedup.bigramSets(
@@ -299,6 +337,40 @@ class ScaleOpsSpec extends AnyFunSuite {
     val a = Dedup.bigramPairInter(real).collect().toSet
     val b = Dedup.bigramPairInter(real, dfCap = Int.MaxValue).collect().toSet
     assert(a == b)
+  }
+
+  test("q34 kernel and shuffle pair-count paths both equal the naive quadratic") {
+    // the size dispatch must be invisible: on pseudo-random corpora
+    // with heavy token reuse, BOTH paths must emit exactly the naive
+    // all-pairs result (every inter>=1 size-ratio-passing pair with
+    // its exact shared-bigram count)
+    for (seed <- Seq(11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector.tabulate(12)(i => s"w$i") // tiny vocab -> dense overlaps
+      val docs = (0 until 120).map { i =>
+        val len = 3 + rnd.nextInt(8)
+        (i.toLong, if (rnd.nextBoolean()) "en" else "de",
+          Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "lang", "text")
+      val bg = Dedup.bigramSets(docs).cache()
+      def run(kmax: Long): Set[(Long, Long, Long)] =
+        Dedup.bigramPairInter(bg, kernelMaxRows = kmax)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val kernel = run(Long.MaxValue)
+      val shuffle = run(0L)
+      val naive = bg.select(col("doc_id").as("a"), col("lang"), col("bs").as("ba"), size(col("bs")).as("na"))
+        .join(bg.select(col("doc_id").as("b"), col("lang").as("lb"), col("bs").as("bb"), size(col("bs")).as("nb")),
+          col("lang") === col("lb") && col("a") < col("b")
+            && col("na") * 10 >= col("nb") * 3 && col("nb") * 10 >= col("na") * 3)
+        .select(col("a"), col("b"),
+          size(array_intersect(col("ba"), col("bb"))).cast("long").as("inter"))
+        .filter(col("inter") >= 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(naive.nonEmpty, s"seed $seed: degenerate fixture, no qualifying pairs")
+      assert(kernel == naive, s"seed $seed: kernel path diverges from naive")
+      assert(shuffle == naive, s"seed $seed: shuffle path diverges from naive")
+      bg.unpersist()
+    }
   }
 
   test("sorted-neighborhood boundary reconstruction equals the global window on random corpora") {

@@ -106,6 +106,33 @@ class AsofJoinSpec extends AnyFunSuite {
       ("p1", "c10", 10L), ("p2", "c15", 15L), ("p3", null, -1L)))
   }
 
+  test("asof_join TVF: self-join TABLE(v) twice — analyzer dedup keeps sides distinct") {
+    // ADVICE r10: ResolveAsofJoinByName no longer silently re-aliases
+    // overlapping sides post-analysis; it relies on the analyzer's
+    // DeduplicateRelations having renewed the right child's exprIds
+    // and throws if they still overlap. This pins the self-join path:
+    // both TABLE() args name the SAME view and the join must resolve,
+    // plan AsofJoinExec, and match each row to itself (latest rt <= t).
+    AsofSql.install(spark)
+    Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "id").createOrReplaceTempView("asof_tvf_self")
+    // output carries BOTH sides' columns (duplicate names — select *)
+    val df = spark.sql("""
+      SELECT *
+      FROM asof_join(TABLE(asof_tvf_self), TABLE(asof_tvf_self),
+                     'k', 't', 't', 'id')""")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin "), s"self-join missed the operator:\n$p")
+    // each left row's as-of match at time t is its own right twin
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._2)
+    assert(got.toSeq == Seq(
+      (2L, 5L, 102L, 2L, 5L, 102L),
+      (1L, 10L, 100L, 1L, 10L, 100L),
+      (1L, 20L, 101L, 1L, 20L, 101L)))
+  }
+
   test("asof_join TVF: string view-name arguments work and ties use the tiebreak") {
     AsofSql.install(spark)
     Seq((7L, 100L, "p")).toDF("k", "t", "tag")

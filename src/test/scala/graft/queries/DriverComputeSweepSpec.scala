@@ -57,6 +57,11 @@ class DriverComputeSweepSpec extends AnyFunSuite {
   * the bound that keeps the pull O(small) at any data scale). */
 object DriverComputeRegistry {
   val sites: Seq[(String, String, String)] = Seq(
+    ("operators/Dedup.scala", ".collect() // bounded: kernelMaxRows dispatch",
+      "q34 AllPairs postings kernel input: gated by KERNEL_MAX_ROWS " +
+        "(8M exploded (doc,key) rows) in bigramPairInter; above it the " +
+        "shuffle count-join path runs — the ConnectedComponents-style " +
+        "size dispatch"),
     ("operators/ConnectedComponents.scala", "edges.as[(Long, Long)].collect()",
       "gated by driverLimit (default 5M edges) in compute/computeCkpt; " +
         "above it the property-tested distributed min-label path runs"),

@@ -80,6 +80,35 @@ class CsvMetaSourceSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("A1", "A2", "S1"))
   }
 
+  test("SQL DDL: CREATE TABLE ... USING csvmeta keeps file + column pruning") {
+    // the pure-SQL route to the connector (VERDICT r10 item 6): the
+    // short name resolves via the DataSourceRegister service file,
+    // and pruning must survive the SQL path exactly as the
+    // DataFrame path — same partition counts, same pushed filters
+    spark.sql("DROP TABLE IF EXISTS csvmeta_sql")
+    spark.sql(
+      s"CREATE TABLE csvmeta_sql USING csvmeta OPTIONS (path '$dir')")
+    try {
+      val all = spark.sql("SELECT * FROM csvmeta_sql")
+      assert(all.columns.toSeq ==
+        Seq("acc", "date", "amount", "bank", "acc_type", "file_name"))
+      assert(all.count() == 5)
+      val acme = spark.sql(
+        "SELECT acc, bank FROM csvmeta_sql WHERE bank = 'acme'")
+      assert(acme.rdd.getNumPartitions == 2,
+        "bank predicate through SQL must plan only acme's two files")
+      val plan = acme.queryExecution.executedPlan.toString
+      assert(plan.contains("EqualTo(bank,acme)"), plan)
+      assert(!plan.contains("amount"), plan) // column pruning survives SQL
+      assert(acme.collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("A1", "A2", "S1"))
+      val savings = spark.sql(
+        "SELECT acc FROM csvmeta_sql WHERE acc_type = 'savings'")
+      assert(savings.rdd.getNumPartitions == 1)
+      assert(savings.head().getString(0) == "S1")
+    } finally spark.sql("DROP TABLE IF EXISTS csvmeta_sql")
+  }
+
   test("rows agree with the EtlPipeline-style per-file read") {
     // same files through Spark's own CSV reader + literal metadata
     val expected = Seq(

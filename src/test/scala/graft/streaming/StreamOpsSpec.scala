@@ -1826,6 +1826,38 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("obfMonitor emits the five interim looks bit-equal to batch q444") {
+    implicit val sqlCtx = spark.sqlContext
+    // the batch answer on the same corpus (plannedN = the corpus size,
+    // which is exactly how q444 derives its look cuts)
+    val batch = graft.operators.EventOps.q444ObrienFleming
+      .build(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5).toLong))
+      .sortBy(_._1).toSeq
+    assert(batch.size == 5)
+    val plannedN = graft.Tables.events(spark, "/root/testdata/sf0.001").count()
+    val in = MemoryStream[StreamOps.AsofEvent]
+    val q = StreamOps.obfMonitor(spark, in.toDS(), plannedN)
+      .writeStream.format("memory").queryName("obf_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // looks MUST fire mid-stream, not only at the horizon: feed in 3
+      // chunks and check the first looks are already out after chunk 1
+      val chunks = eventChunks(3)
+      in.addData(chunks.head); q.processAllAvailable()
+      val early = spark.table("obf_out").count()
+      assert(early >= 1, "no interim look emitted after the first third")
+      chunks.tail.foreach { c => in.addData(c); q.processAllAvailable() }
+      val got = spark.table("obf_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .sortBy(_._1).toSeq
+      assert(got == batch, s"first diff: ${got.zip(batch).find(p => p._1 != p._2)}")
+    } finally q.stop()
+  }
+
   test("cusumSqMonitor refits the prefix OLS and matches the exact gap walk per closed day") {
     implicit val sqlCtx = spark.sqlContext
     val revByDay = graft.Tables.events(spark, "/root/testdata/sf0.001")

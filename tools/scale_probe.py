@@ -45,6 +45,10 @@ PROBE = [
     # term; q402/q418 pin the "calendar-bounded collapse" claim
     # (10x rows, same day axis -> near-flat wall is the PASS)
     "q402_page_hinkley", "q418_dunn", "q425_hodges_lehmann",
+    # r11: the new round-10 heavies (VERDICT r10 item 3) — EM's
+    # day-axis recursion, binary segmentation's changepoint splits,
+    # HyperANF's iterative register merges (graph family -> STEEP)
+    "q447_em_mixture", "q445_binary_segmentation", "q448_hyperanf",
 ]
 
 AS_IS = ["region", "nation", "customer", "supplier", "part", "events"]
@@ -54,7 +58,7 @@ AS_IS = ["region", "nation", "customer", "supplier", "part", "events"]
 # plus (r10) the bench-ceiling set-similarity join q34, probed to
 # sf3 so its shuffle-heavy growth curve has a second point too
 STEEP = ["q270_modularity", "q241_label_prop", "q254_max_coverage",
-         "q34_ngram_jaccard"]
+         "q34_ngram_jaccard", "q448_hyperanf"]
 
 
 def gen(dst=DST, copies=COPIES):
@@ -131,6 +135,14 @@ def main():
     base = bench(SRC)
     print("bench @ sf1 ...")
     big = bench(DST)
+    # q34's dual path: the default dispatch rides the in-memory
+    # postings kernel at every probe scale (rows <= 8M), so probe the
+    # SHUFFLE (any-scale) arm explicitly by forcing the dispatch off
+    print("bench @ sf0.1 + sf1, q34 shuffle arm (GRAFT_Q34_KERNEL_MAX=0) ...")
+    os.environ["GRAFT_Q34_KERNEL_MAX"] = "0"
+    shuf_base = bench(SRC, ["q34_ngram_jaccard"])
+    shuf_big = bench(DST, ["q34_ngram_jaccard"])
+    del os.environ["GRAFT_Q34_KERNEL_MAX"]
     print(f"bench @ sf3 (steep trio: {', '.join(STEEP)}) ...")
     big3 = bench(DST3, STEEP)
     rows = []
@@ -147,6 +159,10 @@ def main():
             # sf3 should cost < 3x the sf1 wall
             row["sf3_over_sf1"] = round(g3 / g, 2) if g and g > 0 and g3 > 0 else None
         rows.append(row)
+    sb, sg = shuf_base.get("q34_ngram_jaccard", -1), shuf_big.get("q34_ngram_jaccard", -1)
+    rows.append({"query": "q34_ngram_jaccard[shuffle-arm]",
+                 "sf0.1_s": round(sb, 3), "sf1_s": round(sg, 3),
+                 "ratio": round(sg / sb, 2) if sb and sb > 0 and sg > 0 else None})
     out = {"copies": COPIES, "steep_copies": COPIES3, "probe": rows,
            "total_sf01": round(sum(r["sf0.1_s"] for r in rows), 1),
            "total_sf1": round(sum(r["sf1_s"] for r in rows), 1)}

@@ -8,8 +8,9 @@ fuzz seeds' sbt time):
      SparkEntry query to parquet + oracle_sql.json
   2. tools/check_oracle.py — the DuckDB row/schema/type/value compare
      (the same semantics as the driver's CORRECTNESS gate)
-  3. tools/fuzz_oracle.py 1 2 3 — replay the fragile-query set on
-     three value-domain-redrawn corpora
+  3. tools/fuzz_oracle.py --sample 20 1..5 — replay the fragile-query
+     set PLUS a per-seed 20-query stable-set sample on five
+     value-domain-redrawn corpora
 
 Writes FUZZLOG.json at the repo root: per-stage rc + summary line, no
 timestamps (so a green rerun is a no-op diff). That file IS the green
@@ -61,7 +62,10 @@ def main():
         print(txt[-4000:])
         finish(log, 1)
 
-    rc, txt = run(["python3", "tools/fuzz_oracle.py", "1", "2", "3", "4", "5"])
+    # --sample 20: each seed also replays a seed-deterministic
+    # 20-query draw from the non-fragile set (VERDICT r10 item 5)
+    rc, txt = run(["python3", "tools/fuzz_oracle.py",
+                   "--sample", "20", "1", "2", "3", "4", "5"])
     seeds = {s: f"seed {s}: all green" in txt for s in (1, 2, 3, 4, 5)}
     log["stages"]["fuzz"] = {"rc": rc, "seeds_green": seeds}
     print(txt.strip().splitlines()[-1] if txt.strip() else "(no output)")
