@@ -530,6 +530,98 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** q449 — sign-LSH plane sweep ("measure, don't guess", the q185
+    * band-sweep discipline applied to the embedding blocking): on a
+    * constant-size deterministic sample (first 512 vecs by md5 of
+    * vec_id — CONSTANT work at any corpus size, unlike a fractional
+    * sample), compute exact cosine truth (>= 0.35, q35's threshold)
+    * over all sample pairs and score candidate recall/precision for
+    * planes in {2, 4, 6, 8}, flagging the row the corpus-adaptive
+    * derivation ([[VectorOps.adaptivePlanes]]) would operate at. This
+    * is the audit that answers "did raising planes with corpus size
+    * cost recall" — the r10 verdict's q35 concern, now measurable
+    * per corpus.
+    *
+    * Exactness: buckets are integer sums of sign bits over generated
+    * left-associated plane dots (bit-identical both engines); cosine
+    * threshold compares the identical IEEE chain; all outputs are
+    * counts and ppm integer divisions.
+    *
+    * Scale design (100 TB): the sample is TakeOrdered(512) — constant
+    * rows, constant pair count (~131k), one broadcast nested-loop
+    * join over a 512-row build side (allowlisted: the ONLY all-pairs
+    * here is over the fixed-size sample, never the corpus); the
+    * corpus-size count for the adaptive flag is one metadata-cheap
+    * aggregate. Output 4 rows. */
+  val q449PlaneSweep: QueryDef = {
+    val shapes = Seq(2, 4, 6, 8)
+    import VectorOps.lshBucketSql
+    val cos = VectorOps.cosSql("a.v", "b.v", DIM)
+    val bucketCols = shapes.map(p => s"${lshBucketSql("v", p)} AS b$p").mkString(",\n  ")
+    val candCase = shapes.map(p => s"WHEN ${p} THEN c$p").mkString(" ")
+    QueryDef(
+      "q449_plane_sweep",
+      s"""WITH ${adaptivePlanesSqlCte("pl", "embeddings")},
+         |s0 AS (SELECT vec_id, embedding AS v FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 512),
+         |sb AS (SELECT vec_id, v,
+         |  $bucketCols
+         |  FROM s0),
+         |pr AS (
+         |  SELECT CASE WHEN ($cos) >= 0.35e0 THEN 1 ELSE 0 END AS truth,
+         |    ${shapes.map(p => s"CASE WHEN a.b$p = b.b$p THEN 1 ELSE 0 END AS c$p").mkString(", ")}
+         |  FROM sb a JOIN sb b ON a.vec_id < b.vec_id),
+         |ag AS (
+         |  SELECT CAST(t.p AS BIGINT) AS planes,
+         |    CAST(sum(truth) AS BIGINT) AS n_truth,
+         |    CAST(sum(CASE t.p $candCase END) AS BIGINT) AS n_candidates,
+         |    CAST(sum((CASE t.p $candCase END) * truth) AS BIGINT) AS n_hit
+         |  FROM pr, (VALUES (2), (4), (6), (8)) t(p) GROUP BY 1)
+         |SELECT planes,
+         |  CAST(CASE WHEN planes = pl.p THEN 1 ELSE 0 END AS BIGINT) AS is_adaptive,
+         |  n_truth, n_candidates, n_hit,
+         |  CASE WHEN n_truth > 0 THEN (1000000 * n_hit) // n_truth END AS recall_ppm,
+         |  CASE WHEN n_candidates > 0 THEN (1000000 * n_hit) // n_candidates END AS precision_ppm
+         |FROM ag, pl ORDER BY planes""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+      val pAd = adaptivePlanes(e.count())
+      val sample = e
+        .select(col("vec_id"), col("embedding"),
+          md5(col("vec_id").cast("string")).as("mk"))
+        .orderBy(col("mk"), col("vec_id")).limit(512)
+        .select(Seq(col("vec_id"), col("embedding")) ++
+          shapes.map(p => expr(s"lsh_bucket(embedding, $p, $DIM)").as(s"b$p")): _*)
+        .ckpt() // both sides of the 512-row pair join
+      val left = sample.select(Seq(col("vec_id").as("a"), col("embedding").as("va")) ++
+        shapes.map(p => col(s"b$p").as(s"xa$p")): _*)
+      val right = sample.select(Seq(col("vec_id").as("b"), col("embedding").as("vb")) ++
+        shapes.map(p => col(s"b$p").as(s"xb$p")): _*)
+      val pairs = left.join(right, col("a") < col("b"))
+        .withColumn("truth",
+          (expr("cosine_sim(va, vb)") >= lit(0.35)).cast("long"))
+      pairs
+        .select(explode(array(shapes.map(p => struct(
+          lit(p.toLong).as("planes"),
+          (col(s"xa$p") === col(s"xb$p")).cast("long").as("cand"),
+          ((col(s"xa$p") === col(s"xb$p")).cast("long") * col("truth")).as("hit"),
+          col("truth").as("truth"))): _*)).as("x"))
+        .select(col("x.*"))
+        .groupBy(col("planes"))
+        .agg(sum(col("truth")).as("n_truth"),
+          sum(col("cand")).as("n_candidates"),
+          sum(col("hit")).as("n_hit"))
+        .select(col("planes"),
+          when(col("planes") === pAd, 1L).otherwise(0L).as("is_adaptive"),
+          col("n_truth"), col("n_candidates"), col("n_hit"),
+          when(col("n_truth") > 0,
+            expr("(1000000 * n_hit) div n_truth")).as("recall_ppm"),
+          when(col("n_candidates") > 0,
+            expr("(1000000 * n_hit) div n_candidates")).as("precision_ppm"))
+        .orderBy("planes")
+    }
+  }
+
   /** Duplicate-cluster identification — connected components over the
     * verified LSH near-dup graph (edges: candidate pairs with token-set
     * Jaccard >= 0.5). Component closure runs through
@@ -1894,7 +1986,7 @@ object Dedup {
     q128KeepBest, q135LshEval, q151DedupWhatif, q158SourceOverlap,
     q161AdmissionFunnel, q162Containment, q185BandSweep, q213LeakSafeSplit,
     q234Winnowing, q297BlockingQuality, q300DupWeights,
-    q303MinhashCalibration, q308DedupGrowth)
+    q303MinhashCalibration, q308DedupGrowth, q449PlaneSweep)
 
   /** q161 — corpus-admission funnel: every document walks the full
     * pretraining ingestion gauntlet — exact dedup, near-dup dedup,

@@ -81,14 +81,25 @@ class PlanAuditSpec extends AnyFunSuite {
       q.queryExecution.optimizedPlan.toString)
   }
 
-  test("q34: set-similarity join is an equi hash join on the compacted key") {
-    val p = plan(Dedup.q34NgramJaccard)
-    // the hashed-key derivation sits behind a localCheckpoint (it is
-    // shared by the hot-key scan and both join sides), so the final
-    // plan joins an ExistingRDD on the compacted kh column
-    assert(p.contains("Scan ExistingRDD") && p.contains("kh#"), p)
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  test("q34: both pair-count arms plan safe shapes (kernel MapPartitions / shuffle equi join)") {
+    // default dispatch at gate scale rides the AllPairs postings
+    // kernel: the pair stream is a MapPartitions over a Range of doc
+    // indices (distributed by `a` range), never a cartesian
+    val pk = plan(Dedup.q34NgramJaccard)
+    assert(pk.contains("MapPartitions") && pk.contains("Range"), pk)
+    assert(!pk.contains("CartesianProduct"), pk)
+    assert(!pk.contains("BroadcastNestedLoopJoin"), pk)
+    // the any-scale arm (forced via kernelMaxRows = 0): the hashed-key
+    // derivation sits behind a localCheckpoint (shared by the hot-key
+    // scan and both join sides), so the plan joins an ExistingRDD on
+    // the compacted kh column — an equi hash join, no pair explosion
+    val bg = Dedup.bigramSets(
+      graft.operators.Corpus.tokenized(spark, dir))
+    val ps = Dedup.bigramPairInter(bg, kernelMaxRows = 0L)
+      .queryExecution.executedPlan.toString
+    assert(ps.contains("Scan ExistingRDD") && ps.contains("kh#"), ps)
+    assert(!ps.contains("CartesianProduct"), ps)
+    assert(!ps.contains("BroadcastNestedLoopJoin"), ps)
   }
 
   test("q69: span dedup never joins on raw text and has no quadratic join") {
