@@ -280,11 +280,17 @@ object Dedup {
 
   /** Size-dispatch bound for the in-memory postings kernel: below this
     * many (doc, key) rows the exploded stream collects to the driver
-    * (~60 B/row as primitive tuples → ≤ ~0.5 GB transient) and pair
+    * (~60 B/row as primitive tuples → ≤ ~0.2 GB transient) and pair
     * counting runs as a broadcast-postings kernel distributed over doc
     * ranges; above it the shuffle count-join runs. Mirrors
-    * [[ConnectedComponents]]' size-dispatched dual path. */
-  private[graft] val KERNEL_MAX_ROWS = 8_000_000L
+    * [[ConnectedComponents]]' size-dispatched dual path. The bound is
+    * MEASURED, not guessed (r11 probe): at sf0.1 (256k rows) the
+    * kernel wins 2.4 s vs 9.6 s; at sf1 (2.6M rows) it still wins
+    * 10.7 s vs 13.6 s; at sf3 (7.7M rows) the driver-side index build
+    * and single-pass increments lose to the distributed hash-agg
+    * (38-70 s vs ~28 s) — so the crossover sits between sf1 and sf3
+    * and 3M rows keeps every winning case on the kernel. */
+  private[graft] val KERNEL_MAX_ROWS = 3_000_000L
 
   /** Shared-bigram counts per candidate pair (a < b, same lang), with
     * the DF cap applied and the j>=0.3 size-ratio prefilter. Dual

@@ -143,10 +143,11 @@ object Linalg {
     *
     * Scale design (100 TB): the N·d² explode-and-aggregate is the
     * single fact-sized stage (map-side combinable into d² = 4096
-    * cells); the Gram frame is localCheckpointed ONCE and every
-    * iteration, the trace, and the Rayleigh quotient run on that
-    * bounded frame with the current iterate broadcast — zero further
-    * corpus scans, zero windows, no driver collect. */
+    * cells); the 4096-cell Gram frame — CONSTANT at any corpus size —
+    * then collects once (registered driver compute, the q246/q251
+    * dimension-lattice class) and the eight power rounds, trace, and
+    * Rayleigh quotient are exact BigInt driver arithmetic: zero
+    * further corpus scans, zero windows, no per-round scheduling. */
   lazy val q169PcaPower: QueryDef = {
     val ROUNDS = 8
     val VSCALE = 1000 // per-round max-abs renormalization target
@@ -186,35 +187,40 @@ object Linalg {
       val g = pts.as("a").join(pts.as("b"), Seq("vec_id"))
         .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
         .agg(sum(dec(col("a.q")) * dec(col("b.q"))).as("gv"))
-        .ckpt()
-      var v = Seq((1, 1000L)).toDF("vi", "val")
+      // the Gram frame is d² = 4096 cells — CONSTANT at any corpus
+      // size — so the eight power rounds are a registered driver fold
+      // (the adjudicated q246/q251 class; r11: replaces 8 tiny
+      // distributed rounds + per-round checkpoints, ~2.5 s of pure
+      // scheduling on a 64-row frame). BigInt mirrors DECIMAL(38)/
+      // HUGEINT exactly; BigInteger.doubleValue and Spark's
+      // Decimal.toDouble are both correctly rounded, so the mirrored
+      // IEEE renormalization chain is unchanged bit for bit.
+      val cells = g.collect() // bounded: d*d = 4096 dimension-lattice rows
+      val D = graft.operators.VectorOps.DIM
+      val G = Array.ofDim[BigInt](D, D)
+      for (i <- 0 until D; j <- 0 until D) G(i)(j) = BigInt(0)
+      for (r <- cells)
+        G(r.getInt(0) - 1)(r.getInt(1) - 1) = BigInt(r.getDecimal(2).toBigInteger)
+      var v = Array.tabulate(D)(i => if (i == 0) VSCALE.toLong else 0L)
       for (_ <- 1 to ROUNDS) {
-        val u = g.join(broadcast(v), col("j") === col("vi"))
-          .groupBy(col("i")).agg(sum(col("gv") * col("val")).as("u"))
-        val m = u.agg(max(abs(col("u"))).cast("double").as("mx"))
-        v = u.crossJoin(broadcast(m))
-          .select(col("i").as("vi"),
-            when(col("mx") > 0,
-              floor(lit(VSCALE.toDouble) * col("u").cast("double") / col("mx"))
-                .cast("long"))
-              .otherwise(lit(0L)).as("val"))
-          .ckpt() // 64-row frame; cut the per-round lineage
+        val u = Array.tabulate(D)(i =>
+          (0 until D).map(j => G(i)(j) * v(j)).sum)
+        val mx = u.map(_.abs).max.toDouble
+        v = u.map(ui =>
+          if (mx > 0) math.floor(VSCALE.toDouble * ui.toDouble / mx).toLong
+          else 0L)
       }
-      val tr = g.filter(col("i") === col("j")).agg(sum(col("gv")).as("trace"))
-      val vtv = v.agg(sum(dec(col("val")) * dec(col("val"))).as("vv"))
-      val rq = g
-        .join(broadcast(v.select(col("vi").as("ia"), col("val").as("va"))),
-          col("i") === col("ia"))
-        .join(broadcast(v.select(col("vi").as("ib"), col("val").as("vb"))),
-          col("j") === col("ib"))
-        .agg(sum(dec(col("va")) * col("gv") * dec(col("vb"))).as("r"))
-      v.crossJoin(broadcast(tr)).crossJoin(broadcast(vtv))
-        .crossJoin(broadcast(rq))
-        .select(col("vi").cast("bigint").as("d"), col("val").as("v_milli"),
-          when(col("vv") > 0 && col("trace") > 0,
-            floor(lit(1000000.0) * col("r").cast("double") /
-              (col("vv").cast("double") * col("trace").cast("double")))
-              .cast("long")).as("evr_ppm"))
+      val trace = (0 until D).map(i => G(i)(i)).sum
+      val vv = v.map(x => BigInt(x) * BigInt(x)).sum
+      val r = (for (i <- 0 until D; j <- 0 until D)
+        yield BigInt(v(i)) * G(i)(j) * BigInt(v(j))).sum
+      val evr: Option[Long] =
+        if (vv > 0 && trace > 0)
+          Some(math.floor(1000000.0 * r.toDouble /
+            (vv.toDouble * trace.toDouble)).toLong)
+        else None
+      (1 to D).map(i => (i.toLong, v(i - 1), evr))
+        .toDF("d", "v_milli", "evr_ppm")
         .orderBy("d")
     }
   }

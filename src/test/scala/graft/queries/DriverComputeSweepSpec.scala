@@ -59,9 +59,14 @@ object DriverComputeRegistry {
   val sites: Seq[(String, String, String)] = Seq(
     ("operators/Dedup.scala", ".collect() // bounded: kernelMaxRows dispatch",
       "q34 AllPairs postings kernel input: gated by KERNEL_MAX_ROWS " +
-        "(8M exploded (doc,key) rows) in bigramPairInter; above it the " +
+        "(3M exploded (doc,key) rows — measured crossover) in " +
+        "bigramPairInter; above it the " +
         "shuffle count-join path runs — the ConnectedComponents-style " +
         "size dispatch"),
+    ("operators/Linalg.scala", "g.collect() // bounded: d*d = 4096",
+      "q169 Gram matrix: d² = 4096 dimension-lattice cells, constant " +
+        "at any corpus size — the power rounds are exact BigInt driver " +
+        "arithmetic over it (q246/q251 class)"),
     ("operators/ConnectedComponents.scala", "edges.as[(Long, Long)].collect()",
       "gated by driverLimit (default 5M edges) in compute/computeCkpt; " +
         "above it the property-tested distributed min-label path runs"),

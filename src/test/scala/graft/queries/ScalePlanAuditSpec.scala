@@ -171,10 +171,13 @@ class ScalePlanAuditSpec extends AnyFunSuite {
       s"q164: no per-day aggregate before the sequential scan:\n$p")
   }
 
-  test("q169's iterations ride the checkpointed Gram frame, never rescanning the corpus") {
+  test("q169's final plan is the driver-folded result — no corpus rescan") {
+    // the Gram pass collects its 4096-cell constant frame and the
+    // power rounds happen in driver BigInt arithmetic, so the final
+    // plan must be a local result, never a second corpus scan
     val p = plan(graft.operators.Linalg.q169PcaPower)
     assert(!p.contains("parquet"),
-      s"q169: final plan rescans the corpus — Gram checkpoint not reused:\n$p")
+      s"q169: final plan rescans the corpus:\n$p")
     assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
       s"q169: no materialized frame in plan:\n$p")
   }
