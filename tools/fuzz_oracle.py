@@ -32,6 +32,10 @@ SRC = "/root/testdata/sf0.001"
 # round-5 text/graph additions
 QUERIES = [
     "q01_pricing_summary", "q17_percentiles", "q86_variant_extract",
+    # r11: q34 rides the documents text redraw AND gained the
+    # dual-path pair counting — fuzz exercises the kernel arm + the
+    # naive-quadratic oracle twin on every redrawn corpus
+    "q34_ngram_jaccard",
     "q106_iqr_outliers", "q107_assoc_rules",
     "q108_collocations", "q113_rolling_zscore", "q116_histogram",
     "q119_rfm", "q123_chisq_independence", "q124_group_regression",

@@ -103,6 +103,13 @@ def gen(dst=DST, copies=COPIES):
         print(f"  {t}: {n} rows")
 
 
+def loadavg():
+    try:
+        return open("/proc/loadavg").read().split()[:3]
+    except OSError:
+        return []
+
+
 def bench(sf_dir, probe=None):
     # sf1/sf3 run 10-30x the bench data through ONE JVM whose default
     # heap (8g) is sized for sf0.1 — the r10 Corpus/DayAxis shared
@@ -111,6 +118,10 @@ def bench(sf_dir, probe=None):
     # the iterative graph heavies 3-8x (old-gen GC pathology: q254
     # 18->107s at sf1), so keep the bump minimal.
     mem = "8g" if sf_dir == SRC else "16g"
+    # the box shows multi-x load tides on ~20 min periods (r10/r11
+    # adjudications): record the load at each stage start so a
+    # poisoned stage is identifiable from the committed artifact alone
+    print(f"  loadavg at stage start: {' '.join(loadavg())}")
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_DRIVER_MEM=mem)
     r = subprocess.run(
         ["sbt", "-batch", f"runMain graft.Bench {','.join(probe or PROBE)}"],
@@ -163,7 +174,8 @@ def main():
     rows.append({"query": "q34_ngram_jaccard[shuffle-arm]",
                  "sf0.1_s": round(sb, 3), "sf1_s": round(sg, 3),
                  "ratio": round(sg / sb, 2) if sb and sb > 0 and sg > 0 else None})
-    out = {"copies": COPIES, "steep_copies": COPIES3, "probe": rows,
+    out = {"copies": COPIES, "steep_copies": COPIES3,
+           "loadavg_at_end": loadavg(), "probe": rows,
            "total_sf01": round(sum(r["sf0.1_s"] for r in rows), 1),
            "total_sf1": round(sum(r["sf1_s"] for r in rows), 1)}
     with open("/root/repo/target/scale_probe.json", "w") as f:
