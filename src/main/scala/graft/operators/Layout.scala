@@ -379,7 +379,11 @@ object Layout {
   val q269EncodingAdvisor: QueryDef = QueryDef(
     "q269_encoding_advisor",
     """WITH base AS (
-      |  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS pos,
+      |  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+      |      l_returnflag, l_linestatus, CAST(floor(l_quantity) AS BIGINT),
+      |      CAST(round(l_discount * 100) AS BIGINT),
+      |      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+      |      date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) AS pos,
       |    l_returnflag AS rf, l_linestatus AS ls,
       |    CAST(floor(l_quantity) AS BIGINT) AS qn,
       |    CAST(round(l_discount * 100) AS BIGINT) AS dc,
@@ -429,8 +433,15 @@ object Layout {
         floor(col("l_extendedprice") * 100 + 0.5).cast("bigint").as("ep"),
         datediff(col("l_shipdate").cast("date"), lit("1970-01-01")
           .cast("date")).cast("bigint").as("sd"))
+    // full-row tiebreak: (l_orderkey, l_linenumber) is NOT unique in
+    // the driver's lineitem (1161 dup groups, the q11 finding) — a
+    // bare-key row_number assigns dup rows arbitrary positions and the
+    // run/delta statistics diverge between engines; ordering by every
+    // projected column makes the position map engine-independent
+    // (identical full rows are swap-invariant)
     val base = ScaleRank.withRowNumber(base0, Nil,
-      Seq(col("ok"), col("ln2")), "pos", "ntot")
+      Seq(col("ok"), col("ln2"), col("rf"), col("ls"), col("qn"),
+        col("dc"), col("ep"), col("sd")), "pos", "ntot")
     val u = base.select(expr(
       """stack(7,
         |  'l_returnflag', rf, CAST(NULL AS BIGINT),

@@ -67,7 +67,7 @@ object CoreQueries {
     """SELECT l_orderkey, l_linenumber,
       |  md5(concat_ws('#', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), l_returnflag)) AS surrogate_key
       |FROM lineitem
-      |ORDER BY l_orderkey, l_linenumber
+      |ORDER BY l_orderkey, l_linenumber, surrogate_key
       |LIMIT 500""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
       .select(
@@ -76,7 +76,9 @@ object CoreQueries {
           col("l_orderkey").cast("string"),
           col("l_linenumber").cast("string"),
           col("l_returnflag"))).as("surrogate_key"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // surrogate tiebreak: (l_orderkey, l_linenumber) is NOT unique
+      // in the driver's lineitem (1161 dup groups) — see q11
+      .orderBy("l_orderkey", "l_linenumber", "surrogate_key")
       .limit(500)
   }
 
@@ -284,7 +286,7 @@ object CoreQueries {
       |  l_quantity AS qty, l_returnflag AS flag
       |FROM lineitem
       |WHERE l_returnflag = 'R' AND l_quantity > 25
-      |ORDER BY order_id, line_no
+      |ORDER BY order_id, line_no, qty
       |LIMIT 200""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
       .filter(col("l_returnflag") === "R" && col("l_quantity") > 25)
@@ -293,7 +295,13 @@ object CoreQueries {
         col("l_linenumber").as("line_no"),
         col("l_quantity").as("qty"),
         col("l_returnflag").as("flag"))
-      .orderBy("order_id", "line_no")
+      // qty tiebreak: the driver's lineitem is NOT unique on
+      // (l_orderkey, l_linenumber) — 1161 duplicate key groups — so a
+      // LIMIT cut on the bare key is nondeterministic when the
+      // boundary splits a tie group (fuzz seed 4's stable-set sample
+      // caught exactly that); ordering by every output column makes
+      // the 200-row multiset engine-independent
+      .orderBy("order_id", "line_no", "qty")
       .limit(200)
   }
 

@@ -36,6 +36,12 @@ QUERIES = [
     # dual-path pair counting — fuzz exercises the kernel arm + the
     # naive-quadratic oracle twin on every redrawn corpus
     "q34_ngram_jaccard",
+    # r11: the dup-key boundary family — (l_orderkey, l_linenumber)
+    # is NOT unique in the driver's lineitem (1161 dup groups); the
+    # seed-4 stable-set sample caught q11's LIMIT cut splitting a tie
+    # group (exactly what --sample exists for). All three now carry
+    # full tiebreaks; pinned here so every future redraw re-proves it
+    "q11_filter_project", "q02_surrogate_key", "q269_encoding_advisor",
     "q106_iqr_outliers", "q107_assoc_rules",
     "q108_collocations", "q113_rolling_zscore", "q116_histogram",
     "q119_rfm", "q123_chisq_independence", "q124_group_regression",
