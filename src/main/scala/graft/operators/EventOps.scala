@@ -29,13 +29,23 @@ object EventOps {
 
   private val SESSION_GAP_US = 1800000000L // 30 min in microseconds
 
-  /** JSON property extraction + typed aggregation. */
+  /** JSON property extraction + typed aggregation.
+    *
+    * Oracle note: the json_valid guard mirrors Spark's
+    * `get_json_object`, which null-coalesces malformed JSON where
+    * DuckDB's `json_extract_string` ERRORS on it (q86 hit the same
+    * cliff first; q50 was caught by the r11 stable-set fuzz sample —
+    * the generator injects the literal 'not json at all'). */
   val q50JsonExtract: QueryDef = QueryDef(
     "q50_json_extract",
-    """SELECT event_type, count(*) AS n,
-      |  count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
-      |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    """WITH e AS (
+      |  SELECT event_type,
+      |    TRY_CAST(CASE WHEN json_valid(props)
+      |      THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, count(*) AS n, count(k) AS n_k,
+      |  CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     // try_cast: a non-numeric props.k must yield null like the oracle's
     // TRY_CAST, not an ANSI cast error (Spark 4 default)
     val k = expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")

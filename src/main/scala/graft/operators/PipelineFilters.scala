@@ -518,9 +518,11 @@ object PipelineFilters {
            |  FROM f GROUP BY source),
            |tot AS (SELECT CAST(sum(adm) AS BIGINT) AS t FROM src),
            |items AS (
-           |  SELECT source, v, greatest(1, ($W * adm) // t.t) AS wu,
+           |  SELECT source, v,
+           |    greatest(1, ($W * adm) // greatest(1, t.t)) AS wu,
            |    row_number() OVER (ORDER BY source) AS rk,
-           |    (1000000 * v) // greatest(1, ($W * adm) // t.t) AS density
+           |    (1000000 * v) // greatest(1, ($W * adm) // greatest(1, t.t))
+           |      AS density
            |  FROM src, tot t),
            |dp0 AS (
            |  SELECT CAST(unnest(range(0, ${W + 1})) AS BIGINT) AS w,
@@ -571,9 +573,15 @@ object PipelineFilters {
           sum(col("pass") * col("n_tok")).as("adm"))
       val tot = src.agg(sum(col("adm")).cast("bigint").as("t"))
       val wItems = Window.orderBy(col("source"))
+      // greatest(1, t): a value-domain redraw can admit ZERO tokens
+      // from every source (t = 0), and ANSI integer div throws
+      // DIVIDE_BY_ZERO — found by tools/fuzz_oracle.py seed 1; the
+      // oracle text carries the identical guard so the degenerate
+      // corpus hashes the same on both sides (wu = 1 everywhere)
       val items = src.crossJoin(broadcast(tot))
         .select(col("source"), col("v"),
-          greatest(lit(1L), expr(s"($W * adm) div t")).as("wu"))
+          greatest(lit(1L), expr(s"($W * adm) div greatest(1L, t)"))
+            .as("wu"))
         .withColumn("rk", row_number().over(wItems))
         .withColumn("density", expr("(1000000 * v) div wu"))
         .ckpt() // 20 rows; the DP loop and the greedy both read it

@@ -42,6 +42,12 @@ QUERIES = [
     # group (exactly what --sample exists for). All three now carry
     # full tiebreaks; pinned here so every future redraw re-proves it
     "q11_filter_project", "q02_surrogate_key", "q269_encoding_advisor",
+    # r12: the two r11 stable-set catches, fixed and pinned —
+    # q345's corpus-total divisor can be 0 when a redraw admits no
+    # tokens (ANSI DIVIDE_BY_ZERO, now greatest(1,t)-guarded on both
+    # sides); q50's oracle needed q86's json_valid guard against the
+    # injected malformed-props literal
+    "q345_knapsack_mix", "q50_json_extract",
     "q106_iqr_outliers", "q107_assoc_rules",
     "q108_collocations", "q113_rolling_zscore", "q116_histogram",
     "q119_rfm", "q123_chisq_independence", "q124_group_regression",
