@@ -25,36 +25,60 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // a crashed query must read as a failure (-1), never as a fast run
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val runs = Seq.fill(3)(once(fn))
-      val best = if (runs.forall(_._2)) runs.map(_._1).min else -1.0
-      (name, best, runs.map(_._1))
-    }
-    // Canary block (VERDICT r10 item 2): ten never-touched queries,
-    // 5 runs each, MEDIAN committed alongside the box load average —
-    // round-over-round comparisons divide overlap deltas by the canary
-    // drift ratio so box-tide noise (r10 measured a ×1.20 median move
-    // on untouched queries) can't masquerade as a plan regression.
+    // Canary protocol (VERDICT r11 item 4): ten never-touched queries,
+    // run as INTERLEAVED passes — one single-run pass of all ten every
+    // ~45 main-loop queries plus one before the first and one after
+    // the last, each stamped with its loop position and the box load
+    // average AT THAT MOMENT. The r11 driver bench proved end-of-run
+    // canaries measure the wrong window: a mid-run load tide inflated
+    // 241 queries ×1.5 while the closing canary block read ×0.66
+    // (faster!) because the tide had passed. Per-window samples let
+    // bench_compare.py normalize each query by the drift of its
+    // NEAREST canary pass instead of one global (possibly inverted)
+    // ratio.
     val canaryNames = Seq(
       "q01_pricing_summary", "q02_surrogate_key", "q06_try_numeric",
       "q07_signed_amount", "q11_filter_project", "q13_left_join",
       "q14_distinct", "q123_chisq_independence", "q127_trimmed_stats",
       "q156_ohlc_bars")
-    val canaries = if (only.isEmpty) canaryNames.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val ts = Seq.fill(5)(once(fn)._1).sorted
-        (name, ts(2)) // median of 5
-      }
-    } else Seq.empty
-    val loadavg =
+    def loadavgNow: String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString(",")
       catch { case _: Throwable => "" }
+    val canaryPasses =
+      scala.collection.mutable.ArrayBuffer[(Int, String, Seq[(String, Double)])]()
+    def canaryPass(pos: Int): Unit = if (only.isEmpty) {
+      val la = loadavgNow
+      val ts = canaryNames.flatMap { n =>
+        SparkEntry.queries.get(n).map(fn => (n, once(fn)._1))
+      }
+      canaryPasses += ((pos, la, ts))
+    }
+    // a crashed query must read as a failure (-1), never as a fast run
+    val mainSeq = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = mainSeq.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx % 45 == 0) canaryPass(idx)
+      val runs = Seq.fill(3)(once(fn))
+      val best = if (runs.forall(_._2)) runs.map(_._1).min else -1.0
+      (name, best, runs.map(_._1))
+    }
+    canaryPass(mainSeq.size)
+    // legacy per-canary summary (kept for cross-round compare with
+    // r10/r11 artifacts): MEDIAN across this run's interleaved passes
+    val canaries = canaryNames.flatMap { n =>
+      val ts = canaryPasses.flatMap(_._3.collect { case (`n`, t) => t })
+        .sorted
+      if (ts.isEmpty) None else Some((n, ts(ts.size / 2)))
+    }
+    val loadavg = loadavgNow
     val canaryJson = canaries.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val passJson = canaryPasses.map { case (pos, la, ts) =>
+      val tj = ts.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"pos":$pos,"loadavg":[$la],"t":$tj}"""
+    }.mkString("[", ",", "]")
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -65,7 +89,7 @@ object Bench {
     // stdout now contains a parseable {"metric":"total",...} record
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canaries":$canaryJson,"loadavg":[$loadavg],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canaries":$canaryJson,"canary_passes":$passJson,"loadavg":[$loadavg],"sf":"$sfDir"}"""
     println(line)
     // the driver's artifact capture keeps only the TAIL of sbt output,
     // which once truncated the per-query map mid-JSON and made five
@@ -77,7 +101,7 @@ object Bench {
       .map { case (k, _, rs) => s"\"" + k + "\":" + rs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"canaries":$canaryJson,"loadavg":[$loadavg],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"canaries":$canaryJson,"canary_passes":$passJson,"loadavg":[$loadavg],"sf":"$sfDir"}"""
     // a FILTERED run must not clobber the full-surface artifact the
     // closing summary is derived from (verify_pass.py --summary)
     val artifact =

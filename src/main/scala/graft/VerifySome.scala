@@ -16,9 +16,25 @@ object VerifySome {
     val spark = Harness.session()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    // GRAFT_KEEP_GOING=1: survey ALL failures instead of dying at the
+    // first (the degenerate-corpus crash probe wants the full list —
+    // q345's r11 crash aborted the run and hid six queries behind it)
+    val keepGoing = sys.env.get("GRAFT_KEEP_GOING").contains("1")
+    var failed = List.empty[String]
     for (n <- names) {
-      SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$n")
-      println(s"[verifysome] wrote $n")
+      try {
+        SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$n")
+        println(s"[verifysome] wrote $n")
+      } catch {
+        case e: Throwable if keepGoing =>
+          failed ::= n
+          println(s"[verifysome] FAILED $n: ${e.toString.take(300)}")
+      }
+    }
+    if (failed.nonEmpty) {
+      println(s"[verifysome] ${failed.size} FAILED: ${failed.reverse.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
     }
     val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
       .map { case (k, v) => s"${Harness.jsonEscape(k)}: ${Harness.jsonEscape(v)}" }

@@ -542,11 +542,15 @@ object Dedup {
     * vec_id — CONSTANT work at any corpus size, unlike a fractional
     * sample), compute exact cosine truth (>= 0.35, q35's threshold)
     * over all sample pairs and score candidate recall/precision for
-    * planes in {2, 4, 6, 8}, flagging the row the corpus-adaptive
-    * derivation ([[VectorOps.adaptivePlanes]]) would operate at. This
-    * is the audit that answers "did raising planes with corpus size
-    * cost recall" — the r10 verdict's q35 concern, now measurable
-    * per corpus.
+    * planes in {2, 4, 6, 8, 12, 16}, flagging the row the
+    * corpus-adaptive derivation ([[VectorOps.adaptivePlanes]]) would
+    * operate at. This is the audit that answers "did raising planes
+    * with corpus size cost recall" — the r10 verdict's q35 concern,
+    * now measurable per corpus. The 12/16 rows cover the SATURATION
+    * region (VERDICT r11 item 6): adaptivePlanes clamps at 16, and
+    * this sweep measures the recall the clamp ceiling pays — the
+    * empirical basis for the cap (numbers recorded at
+    * [[VectorOps.adaptivePlanes]]'s scaladoc contract).
     *
     * Exactness: buckets are integer sums of sign bits over generated
     * left-associated plane dots (bit-identical both engines); cosine
@@ -558,9 +562,9 @@ object Dedup {
     * join over a 512-row build side (allowlisted: the ONLY all-pairs
     * here is over the fixed-size sample, never the corpus); the
     * corpus-size count for the adaptive flag is one metadata-cheap
-    * aggregate. Output 4 rows. */
+    * aggregate. Output 6 rows. */
   val q449PlaneSweep: QueryDef = {
-    val shapes = Seq(2, 4, 6, 8)
+    val shapes = Seq(2, 4, 6, 8, 12, 16)
     import VectorOps.lshBucketSql
     val cos = VectorOps.cosSql("a.v", "b.v", DIM)
     val bucketCols = shapes.map(p => s"${lshBucketSql("v", p)} AS b$p").mkString(",\n  ")
@@ -582,7 +586,8 @@ object Dedup {
          |    CAST(sum(truth) AS BIGINT) AS n_truth,
          |    CAST(sum(CASE t.p $candCase END) AS BIGINT) AS n_candidates,
          |    CAST(sum((CASE t.p $candCase END) * truth) AS BIGINT) AS n_hit
-         |  FROM pr, (VALUES (2), (4), (6), (8)) t(p) GROUP BY 1)
+         |  FROM pr, (VALUES (2), (4), (6), (8), (12), (16)) t(p)
+         |  GROUP BY 1)
          |SELECT planes,
          |  CAST(CASE WHEN planes = pl.p THEN 1 ELSE 0 END AS BIGINT) AS is_adaptive,
          |  n_truth, n_candidates, n_hit,

@@ -31,24 +31,32 @@ object EventOps {
 
   /** JSON property extraction + typed aggregation.
     *
-    * Oracle note: the json_valid guard mirrors Spark's
+    * Portability (both r11-fuzz-caught, both borrowing q86's proven
+    * twin shape): (a) the json_valid guard mirrors Spark's
     * `get_json_object`, which null-coalesces malformed JSON where
-    * DuckDB's `json_extract_string` ERRORS on it (q86 hit the same
-    * cliff first; q50 was caught by the r11 stable-set fuzz sample —
-    * the generator injects the literal 'not json at all'). */
+    * DuckDB's `json_extract_string` ERRORS on it (the generator
+    * injects the literal 'not json at all'); (b) both engines go
+    * string → DOUBLE → truncate → BIGINT, because the direct
+    * string→BIGINT casts DISAGREE on fractional k: Spark's try_cast
+    * nulls '5.5' while DuckDB's TRY_CAST rounds it to 6. Spark's
+    * double→bigint cast truncates toward zero; the oracle says
+    * trunc() explicitly (DuckDB's double→bigint cast rounds). Exact
+    * for every |k| < 2^53; NaN/Infinity/overflow null on both. */
   val q50JsonExtract: QueryDef = QueryDef(
     "q50_json_extract",
     """WITH e AS (
       |  SELECT event_type,
-      |    TRY_CAST(CASE WHEN json_valid(props)
-      |      THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+      |    TRY_CAST(trunc(TRY_CAST(CASE WHEN json_valid(props)
+      |      THEN json_extract_string(props, '$.k') END AS DOUBLE))
+      |      AS BIGINT) AS k
       |  FROM events)
       |SELECT event_type, count(*) AS n, count(k) AS n_k,
       |  CAST(sum(k) AS BIGINT) AS sum_k
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     // try_cast: a non-numeric props.k must yield null like the oracle's
     // TRY_CAST, not an ANSI cast error (Spark 4 default)
-    val k = expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+    val k = expr(
+      "try_cast(try_cast(get_json_object(props, '$.k') AS DOUBLE) AS BIGINT)")
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), count(k).as("n_k"), sum(k).as("sum_k"))

@@ -171,12 +171,17 @@ object ScaleRank {
     val cut = rem * (base + 1) // rows 1..cut fill the k-sized... (base+1)-sized tiles
     // when n < k: base = 0, cut = n, so every row takes the first
     // branch and the base-divisor branch (div by zero) is never
-    // evaluated (CaseWhen is lazy per row)
+    // evaluated (CaseWhen is lazy per row). safeBase == base whenever
+    // the otherwise-branch runs (rk > cut ⇒ n ≥ k ⇒ base ≥ 1) — the
+    // greatest() is a runtime no-op that makes the invariant visible
+    // to DivisorSweepSpec's static prover; the oracle text needs no
+    // twin because emitted values are bit-identical
     val inBig = rk - 1
     val inSmall = rk - cut - 1
+    val safeBase = greatest(lit(1L), base)
     when(rk <= cut,
       ((inBig - pmod(inBig, base + 1)) / (base + 1)).cast("long") + 1)
       .otherwise(rem +
-        ((inSmall - pmod(inSmall, base)) / base).cast("long") + 1)
+        ((inSmall - pmod(inSmall, safeBase)) / safeBase).cast("long") + 1)
   }
 }

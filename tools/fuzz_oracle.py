@@ -489,9 +489,206 @@ def sample_stable(n, seed):
     return sorted(rnd.sample(stable, min(n, len(stable))))
 
 
+LEDGER = "/root/repo/FUZZLEDGER.json"
+
+ALL_TABLES = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def gen_permuted(src, dst, seed):
+    """Row-order permutation of EVERY table, values untouched — the
+    Class-B probe (VERDICT r11 item 2): a LIMIT cut or row_number over
+    a non-unique sort key returns an engine/order-arbitrary row set,
+    which a value redraw only catches by luck. On a permuted corpus a
+    deterministic query must return EXACTLY what it returned on the
+    original row order; any diff is a real q11/q02/q269-class bug."""
+    import random
+    import pyarrow.parquet as pq
+    os.makedirs(dst, exist_ok=True)
+    for t in ALL_TABLES:
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        idx = list(range(tab.num_rows))
+        random.Random(77000 + seed).shuffle(idx)
+        pq.write_table(tab.take(idx), f"{dst}/{t}.parquet")
+
+
+def gen_degenerate(src, dst):
+    """Worst-plausible-case corpus for the CRASH-robustness probe
+    (Class A empirical backstop, VERDICT r11 item 2): every
+    value-dependent filter admits as little as possible — single-token
+    and empty documents (token-count-1 and zero-admission divisors),
+    malformed JSON everywhere, all-zero money/values (zero sums and
+    variances). Keys, row counts, timestamps, and schemas are
+    untouched. There is NO oracle compare here — degenerate values are
+    outside the generator's domain, so the only assertion is that
+    graft.VerifySome EXITS 0 (no ANSI DIVIDE_BY_ZERO / overflow kills
+    the surface). q345's crash was exactly this class."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(dst, exist_ok=True)
+    for t in ALL_TABLES:
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        if t == "documents":
+            n = tab.num_rows
+            texts = ["" if i % 3 == 0 else ("x" if i % 3 == 1 else "x x")
+                     for i in range(n)]
+            tab = tab.set_column(tab.schema.get_field_index("text"),
+                                 "text", pa.array(texts, type=pa.string()))
+        if t == "events":
+            n = tab.num_rows
+            idx = tab.schema.get_field_index("properties") \
+                if "properties" in tab.schema.names \
+                else tab.schema.get_field_index("props") \
+                if "props" in tab.schema.names else None
+            if idx is not None:
+                tab = tab.set_column(
+                    idx, tab.schema.names[idx],
+                    pa.array(["not json at all"] * n, type=pa.string()))
+            if "value" in tab.schema.names:
+                vi = tab.schema.get_field_index("value")
+                tab = tab.set_column(
+                    vi, "value", pa.array([0.0] * n, type=pa.float64()))
+        if t == "lineitem":
+            n = tab.num_rows
+            for c, v in [("l_extendedprice", 0.0), ("l_discount", 0.0),
+                         ("l_tax", 0.0)]:
+                if c in tab.schema.names:
+                    ci = tab.schema.get_field_index(c)
+                    tab = tab.set_column(
+                        ci, c, pa.array([v] * n, type=pa.float64()))
+        if t == "orders" and "o_totalprice" in tab.schema.names:
+            n = tab.num_rows
+            ci = tab.schema.get_field_index("o_totalprice")
+            tab = tab.set_column(
+                ci, "o_totalprice", pa.array([0.0] * n, type=pa.float64()))
+        if t == "customer" and "c_acctbal" in tab.schema.names:
+            n = tab.num_rows
+            ci = tab.schema.get_field_index("c_acctbal")
+            tab = tab.set_column(
+                ci, "c_acctbal", pa.array([0.0] * n, type=pa.float64()))
+        pq.write_table(tab, f"{dst}/{t}.parquet")
+
+
+def degenerate_check(src):
+    """Run the FULL surface on the degenerate corpus; pass = rc 0."""
+    dst = "/tmp/degenerate_sf"
+    out = "/tmp/degenerate_out"
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    print(f"== degenerate: generating {dst} from {src}")
+    gen_degenerate(src, dst)
+    queries = query_universe()
+    cmd = ["sbt", "-batch",
+           f"runMain graft.VerifySome {dst} {out} " + " ".join(queries)]
+    env = dict(os.environ, GRAFT_KEEP_GOING="1")
+    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True,
+                       text=True, env=env)
+    wrote = len([x for x in os.listdir(out)]) if os.path.isdir(out) else 0
+    print(f"== degenerate: rc={r.returncode}, {wrote} outputs written")
+    for line in r.stdout.splitlines():
+        if "FAILED" in line:
+            print(line)
+    return r.returncode
+
+
+def permute_check(sf_dir, ref_out, seed=1):
+    """Run the FULL query surface on a row-permuted copy of sf_dir and
+    require every output to row-match the reference Verify output
+    (same canonicalization as the driver gate). Returns (ok, fail)."""
+    import check_oracle
+    dst = f"/tmp/permute_sf_{seed}"
+    out = f"/tmp/permute_out_{seed}"
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    print(f"== permute seed {seed}: generating {dst} from {sf_dir}")
+    gen_permuted(sf_dir, dst, seed)
+    queries = query_universe()
+    cmd = ["sbt", "-batch",
+           f"runMain graft.VerifySome {dst} {out} " + " ".join(queries)]
+    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-4000:])
+        print(f"== permute seed {seed}: VerifySome FAILED")
+        return (0, len(queries))
+    con = duckdb.connect()
+    ok = fail = 0
+    for name in queries:
+        try:
+            a = check_oracle.canon(con.sql(
+                f"SELECT * FROM '{ref_out}/{name}/*.parquet'").fetchall())
+            b = check_oracle.canon(con.sql(
+                f"SELECT * FROM '{out}/{name}/*.parquet'").fetchall())
+        except Exception as e:
+            print(f"  [FAIL read] {name}: {e}")
+            fail += 1
+            continue
+        if a != b:
+            fail += 1
+            print(f"  [FAIL permute] {name}: {len(a)} ref rows vs "
+                  f"{len(b)} permuted")
+            for i, (x, y) in enumerate(zip(a, b)):
+                if x != y:
+                    print(f"    first diff at {i}:\n      ref     : {x}"
+                          f"\n      permuted: {y}")
+                    break
+        else:
+            ok += 1
+    print(f"== permute seed {seed}: {ok} ok, {fail} fail ==")
+    return (ok, fail)
+
+
+def ledger_record(seed, chk_stdout):
+    """Cumulative 'has been fuzzed at least once' ledger (VERDICT r11
+    item 5): per query, which seeds have replayed it on a redrawn
+    corpus and with what outcome. Merged across runs; committed at the
+    repo root so coverage of the once-never-fuzzed tail is auditable.
+    Only queries that actually reached the DuckDB compare are
+    recorded — a VerifySome crash records nothing for that seed."""
+    import json
+    try:
+        led = json.load(open(LEDGER))
+    except Exception:
+        led = {}
+    for line in chk_stdout.splitlines():
+        m = re.match(r"\s*\[(ok|FAIL [a-z]+)\] (\w+):", line)
+        if not m:
+            continue
+        outcome = "ok" if m.group(1) == "ok" else "fail"
+        ent = led.setdefault(m.group(2), {"ok": [], "fail": []})
+        if seed not in ent[outcome]:
+            ent[outcome].append(seed)
+            ent[outcome].sort()
+        # a later green run on the same seed clears the fail mark
+        if outcome == "ok" and seed in ent["fail"]:
+            ent["fail"].remove(seed)
+    with open(LEDGER, "w") as f:
+        json.dump(dict(sorted(led.items())), f, indent=1, sort_keys=True)
+        f.write("\n")
+    return led
+
+
 def main():
     args = sys.argv[1:]
+    if "--degenerate" in args:
+        # usage: --degenerate [sfDir]   (crash-robustness only, no oracle)
+        i = args.index("--degenerate")
+        src = args[i + 1] if len(args) > i + 1 else SRC
+        sys.exit(degenerate_check(src))
+    if "--permute" in args:
+        # usage: --permute <sfDir> <refVerifyOutDir> [seed]
+        i = args.index("--permute")
+        sf_dir, ref_out = args[i + 1], args[i + 2]
+        seed = int(args[i + 3]) if len(args) > i + 3 else 1
+        ok, fail = permute_check(sf_dir, ref_out, seed)
+        sys.exit(1 if fail else 0)
     sample_n = 0
+    run_all = False
+    if "--all" in args:
+        # full-surface mode: every oracle-gated query on every seed's
+        # redrawn corpus — the batch path for sweeping the
+        # never-fuzzed tail (one seed ~= one full VerifySome run)
+        run_all = True
+        args = [a for a in args if a != "--all"]
     if "--sample" in args:
         i = args.index("--sample")
         sample_n = int(args[i + 1])
@@ -504,7 +701,10 @@ def main():
         shutil.rmtree(dst, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
         queries = list(QUERIES)
-        if sample_n:
+        if run_all:
+            queries = query_universe()
+            print(f"== seed {seed}: FULL surface ({len(queries)} queries)")
+        elif sample_n:
             extra = sample_stable(sample_n, seed)
             print(f"== seed {seed}: stable-set sample ({len(extra)}): "
                   + " ".join(extra))
@@ -524,6 +724,8 @@ def main():
             ["python3", "tools/check_oracle.py", dst, out],
             cwd="/root/repo", capture_output=True, text=True)
         print(chk.stdout.strip())
+        led = ledger_record(seed, chk.stdout)
+        print(f"== ledger: {len(led)} queries fuzzed at least once")
         if chk.returncode != 0:
             print(f"== seed {seed}: ORACLE MISMATCH")
             failed = True

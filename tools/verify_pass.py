@@ -37,7 +37,7 @@ def run(cmd):
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--summary":
-        print(closing_summary())
+        print(closing_summary(snapshot=True))
         return
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = "/tmp/verify_out"
@@ -68,35 +68,82 @@ def main():
                    "--sample", "20", "1", "2", "3", "4", "5"])
     seeds = {s: f"seed {s}: all green" in txt for s in (1, 2, 3, 4, 5)}
     log["stages"]["fuzz"] = {"rc": rc, "seeds_green": seeds}
+    # cumulative "fuzzed at least once" coverage (VERDICT r11 item 5)
+    try:
+        led = json.load(open(f"{REPO}/FUZZLEDGER.json"))
+        log["stages"]["fuzz"]["ledger"] = {
+            "fuzzed_ever": len(led),
+            "universe": log["stages"]["oracle"]["ok"]
+            + log["stages"]["oracle"]["fail"],
+            "failing_now": sorted(q for q, e in led.items() if e["fail"]),
+        }
+    except Exception:
+        pass
     print(txt.strip().splitlines()[-1] if txt.strip() else "(no output)")
     if rc != 0:
         print(txt[-6000:])
-    finish(log, rc)
+    fuzz_rc = rc
+
+    # Class-B probe (VERDICT r11 item 2): full surface on a
+    # row-PERMUTED copy of the gate corpus must reproduce the stage-1
+    # Verify output exactly — catches order-dependent LIMIT/row_number
+    # cuts that value redraws only find by luck
+    rc, txt = run(["python3", "tools/fuzz_oracle.py",
+                   "--permute", sf, out, "1"])
+    m = re.search(r"== permute seed 1: (\d+) ok, (\d+) fail", txt)
+    log["stages"]["permute"] = {
+        "rc": rc,
+        "ok": int(m.group(1)) if m else None,
+        "fail": int(m.group(2)) if m else None,
+    }
+    print(txt.strip().splitlines()[-1] if txt.strip() else "(no output)")
+    if rc != 0:
+        print(txt[-6000:])
+    finish(log, fuzz_rc or rc)
 
 
-def closing_summary():
+def _mtime(path):
+    import datetime
+    import os
+    try:
+        return datetime.datetime.fromtimestamp(
+            os.path.getmtime(path)).strftime("%Y-%m-%d %H:%M")
+    except Exception:
+        return "missing"
+
+
+def closing_summary(snapshot=False):
     """The ONLY legitimate source of close-out numbers (VERDICT r7 item
     1: commit 6f86099 hand-claimed 399 tests / 218.2s while the
     artifacts held 374 / 232.0). Reads target/test_summary.json +
     target/bench_full.json and prints the summary string to paste into
     the closing commit / SURVEY 6.1 — never write those numbers by
-    hand."""
+    hand.
+
+    snapshot=True (the explicit `--summary` invocation ONLY) also
+    copies both source files to the committed `*_close_r{N}` names.
+    finish() prints the summary after every pass but must NOT
+    snapshot: r11's corrupted close (BENCH_close_r11.json = the r10
+    driver bench, VERDICT r11 item 3) happened exactly because a
+    stale target/ file was copied under a close filename as a side
+    effect. Source mtimes are printed either way — verify by eye that
+    both artifacts were generated in THIS round's close sequence
+    (fresh sbt test + fresh Bench) before pasting the numbers."""
     parts = []
+    rnd = _round_number()
     try:
         t = json.load(open(f"{REPO}/target/test_summary.json"))
         parts.append(
-            f"{t['tests']} tests green in {t['suites']} suites"
-            if t.get("failed", 0) == 0 else
-            f"TESTS RED: {t['failed']} failed of {t['tests']}")
-        # snapshot the EXACT scalatest summary the closing counts come
-        # from to a COMMITTED artifact — same treatment the bench got
-        # in r9 (BENCH_close_r9.json): the r9 close commit claimed
-        # "434 tests" while the regenerated artifact said 409, and
-        # nothing committed pinned either number (VERDICT r9 item 2)
-        rnd = _round_number()
-        shutil.copyfile(f"{REPO}/target/test_summary.json",
-                        f"{REPO}/TESTS_close_r{rnd}.json")
-        parts.append(f"snapshot: TESTS_close_r{rnd}.json")
+            (f"{t['tests']} tests green in {t['suites']} suites"
+             if t.get("failed", 0) == 0 else
+             f"TESTS RED: {t['failed']} failed of {t['tests']}")
+            + f" [generated {_mtime(f'{REPO}/target/test_summary.json')}]")
+        if snapshot:
+            # snapshot the EXACT scalatest summary the closing counts
+            # come from to a COMMITTED artifact (VERDICT r9 item 2)
+            shutil.copyfile(f"{REPO}/target/test_summary.json",
+                            f"{REPO}/TESTS_close_r{rnd}.json")
+            parts.append(f"snapshot: TESTS_close_r{rnd}.json")
     except Exception as e:
         parts.append(f"(no test_summary.json: {e})")
     try:
@@ -106,19 +153,18 @@ def closing_summary():
         bad = sorted(k for k, v in qs.items() if v < 0)
         tot = sum(v for v in qs.values() if v >= 0)
         s = (f"best-of-3 bench {tot:.1f}s/{n} at sf0.1 "
-             f"(mean {tot / max(n, 1):.3f}s)")
+             f"(mean {tot / max(n, 1):.3f}s)"
+             f" [generated {_mtime(f'{REPO}/target/bench_full.json')}]")
         if bad:
             s += f" — {len(bad)} FAILED: {', '.join(bad)}"
         parts.append(s)
-        # snapshot the EXACT bench JSON these numbers derive from to a
-        # COMMITTED artifact: target/bench_full.json is gitignored and
-        # the driver's post-commit rerun overwrites it, leaving the
-        # committed prose unverifiable (VERDICT r8 item 4 — the r8
-        # close claimed 219.2s from a file that then read 226.8s)
-        rnd = _round_number()
-        shutil.copyfile(f"{REPO}/target/bench_full.json",
-                        f"{REPO}/BENCH_close_r{rnd}.json")
-        parts.append(f"snapshot: BENCH_close_r{rnd}.json")
+        if snapshot:
+            # snapshot the EXACT bench JSON these numbers derive from
+            # (VERDICT r8 item 4: target/ is gitignored and the
+            # driver's post-commit rerun overwrites it)
+            shutil.copyfile(f"{REPO}/target/bench_full.json",
+                            f"{REPO}/BENCH_close_r{rnd}.json")
+            parts.append(f"snapshot: BENCH_close_r{rnd}.json")
     except Exception as e:
         parts.append(f"(no bench_full.json: {e})")
     return "; ".join(parts)
