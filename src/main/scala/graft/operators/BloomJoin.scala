@@ -42,13 +42,24 @@ object BloomJoin {
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
     graft.functions.GraftFunctions.register(fact.sparkSession)
-    val bf = dim.stat.bloomFilter(key, expectedItems, fpp)
-    val bytes = {
-      val bos = new ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
+    // An EMPTY dim side (every row filtered out — seen on the
+    // degenerate-corpus probe) makes the bloom aggregate's merged
+    // state a null bit buffer, and building/serializing the filter
+    // NPEs inside Spark. The join result is empty either way, so fall
+    // back to the unpruned join and let it produce it — the operator
+    // stays total, and on any non-empty dim the fast path is
+    // unchanged.
+    val bytesOpt =
+      try {
+        val bf = dim.stat.bloomFilter(key, expectedItems, fpp)
+        val bos = new ByteArrayOutputStream()
+        bf.writeTo(bos)
+        Some(bos.toByteArray)
+      } catch { case _: NullPointerException => None }
+    val pruned = bytesOpt match {
+      case Some(bytes) => fact.filter(mightContain(lit(bytes), col(key)))
+      case None => fact
     }
-    val pruned = fact.filter(mightContain(lit(bytes), col(key)))
     pruned.join(dim, Seq(key))
   }
 

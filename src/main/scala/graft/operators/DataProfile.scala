@@ -755,9 +755,13 @@ object DataProfile {
     agg.select(col("ta"), col("tb"), col("na"), col("nb"),
         (col("r2a") - dec(col("na")) * (col("na") + 1))
           .cast("bigint").as("u2a"),
-        floor(lit(1000.0) *
+        // zden = 0 when one fully-tied value group spans the whole
+        // pair (constant corpus): the tie correction collapses the
+        // variance exactly. ANSI would throw; emit NULL like the
+        // oracle's native x/0 (degenerate-corpus probe)
+        when(zden =!= 0.0, floor(lit(1000.0) *
           ((u2aD - col("na").cast("double") * col("nb").cast("double")) / 2.0) /
-          zden).cast("bigint").as("z_milli"))
+          zden).cast("bigint")).as("z_milli"))
       .orderBy("ta", "tb")
   }
 
@@ -892,7 +896,11 @@ object DataProfile {
           .cast("double"))).cast("bigint").as("w"))
     val tw = wm.agg(sum(col("w")).as("tw"))
     val rt = wm.crossJoin(broadcast(tw))
-      .withColumn("alloc", expr("(1000 * w) div tw"))
+      // tw = 0 when every stratum has zero variance (constant corpus:
+      // all w = floor(1000·sqrt(0)) = 0) — ANSI div would throw where
+      // the oracle's // natively NULLs; emit the same NULL
+      // (degenerate-corpus probe)
+      .withColumn("alloc", expr("if(tw = 0, null, (1000 * w) div tw)"))
       .withColumn("rate_ppm",
         when(col("alloc") >= col("n"), 1000000L)
           .otherwise(expr("(1000000 * alloc) div n")))
@@ -977,8 +985,11 @@ object DataProfile {
       .withColumn("t", sum(col("n"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col("digit"), col("n"),
-        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n) div t AS BIGINT)")
-          .as("obs_ppm"),
+        // nullif: an all-nonpositive-amount corpus empties obs, t = 0;
+        // ANSI would throw where the oracle's // natively NULLs
+        // (degenerate-corpus probe)
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n) div nullif(t, 0) " +
+          "AS BIGINT)").as("obs_ppm"),
         col("exp_ppm"))
       .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
         (col("obs_ppm") - col("exp_ppm")).as("dev_ppm"),
@@ -2320,14 +2331,19 @@ object DataProfile {
     * anything unbounded. */
   val q313CovariateBalance: QueryDef = {
     // shared IEEE chain: Welch-style pooled-SD standardized difference
+    // nullif(sqrt(…), 0): the pooled sd is 0 when a feature is
+    // CONSTANT in both arms (the degenerate all-zero corpus) — SMD is
+    // undefined there; ANSI Spark would throw on the double division
+    // where DuckDB natively NULLs, and nullif lands both engines on
+    // the same NULL (one shared string, parsed by both)
     val smd =
       "CAST(floor(1e3 * " +
         "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
         "CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / " +
-        "sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)" +
+        "nullif(sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)" +
         " / CAST(n1 AS DOUBLE)) / CAST(n1 AS DOUBLE) + " +
         "(CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)" +
-        " / CAST(n0 AS DOUBLE)) / CAST(n0 AS DOUBLE)) / 2e0)) AS BIGINT)"
+        " / CAST(n0 AS DOUBLE)) / CAST(n0 AS DOUBLE)) / 2e0), 0)) AS BIGINT)"
     QueryDef(
       "q313_covariate_balance",
       s"""WITH f AS (
@@ -3270,14 +3286,20 @@ object DataProfile {
       s"CAST(floor(CAST(k_nano AS DOUBLE) * CAST($x AS DOUBLE) / 1e9) " +
         s"AS BIGINT)"
     // scale update: nano(b / (s/1e9)) = 1e18·share/s
+    // nullif(…, 0): an all-zero-revenue corpus zeroes both marginal
+    // totals (the transport problem has no mass); ANSI Spark would
+    // throw on the double division where DuckDB natively NULLs —
+    // nullif lands both engines on the same NULL (shared strings,
+    // parsed by both; degenerate-corpus probe)
     def upd(shareNum: String, shareDen: String) =
       s"CAST(floor(1e18 * (CAST($shareNum AS DOUBLE) / " +
-        s"CAST($shareDen AS DOUBLE)) / CAST(s AS DOUBLE)) AS BIGINT)"
+        s"nullif(CAST($shareDen AS DOUBLE), 0)) / " +
+        s"nullif(CAST(s AS DOUBLE), 0)) AS BIGINT)"
     val planPpm = "CAST(floor(CAST(u_nano AS DOUBLE) * " +
       "CAST(k_nano AS DOUBLE) * CAST(v_nano AS DOUBLE) / 1e21) AS BIGINT)"
     val indepPpm = "CAST(floor(1e6 * (CAST(ra AS DOUBLE) / " +
-      "CAST(ta AS DOUBLE)) * (CAST(rb AS DOUBLE) / CAST(tb AS DOUBLE))) " +
-      "AS BIGINT)"
+      "nullif(CAST(ta AS DOUBLE), 0)) * (CAST(rb AS DOUBLE) / " +
+      "nullif(CAST(tb AS DOUBLE), 0))) AS BIGINT)"
     val roundsSql = (1 to R).map { t =>
       s"""sv$t AS (
          |  SELECT cells.j, CAST(sum(${term(s"u${t - 1}.u_nano")}) AS BIGINT)
@@ -3403,7 +3425,7 @@ object DataProfile {
         .groupBy(col("i"), col("rev"), col("tot"))
         .agg(sum(col("plan_ppm")).cast("bigint").as("rs"))
         .select((col("rs") - expr("CAST(floor(1e6 * CAST(rev AS DOUBLE) / " +
-          "CAST(tot AS DOUBLE)) AS BIGINT)")).as("diff"))
+          "nullif(CAST(tot AS DOUBLE), 0)) AS BIGINT)")).as("diff"))
         .agg(max(abs(col("diff"))).cast("bigint").as("max_marg_err_ppm")))
       plan.crossJoin(costs).crossJoin(merr)
         .select(col("i"), col("j"), col("c"), col("plan_ppm"),
@@ -3503,9 +3525,13 @@ object DataProfile {
     * no global window); everything downstream is ≤|priorities| rows.
     * Output 5 rows + constants. */
   val q379KruskalWallis: QueryDef = {
-    val corr = "CAST(floor(CAST(h_milli AS DOUBLE) / (1.0e0 - " +
+    // nullif: ONE tie group spanning the whole corpus (constant
+    // amounts) drives the tie correction to exactly 0 — H is
+    // undefined; ANSI Spark would throw where DuckDB natively NULLs
+    // (shared string, parsed by both; degenerate-corpus probe)
+    val corr = "CAST(floor(CAST(h_milli AS DOUBLE) / nullif(1.0e0 - " +
       "CAST(tie AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * " +
-      "CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))) AS BIGINT)"
+      "CAST(n AS DOUBLE) - CAST(n AS DOUBLE)), 0)) AS BIGINT)"
     QueryDef(
       "q379_kruskal_wallis",
       s"""WITH f AS (
@@ -4632,8 +4658,12 @@ object DataProfile {
     val se = "sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0e0) " +
       "/ 12.0e0 - CAST(tie AS DOUBLE) / (12.0e0 * (CAST(n AS DOUBLE) " +
       "- 1.0e0))) * (1.0e0 / ni + 1.0e0 / nj))"
+    // nullif: ONE tie group spanning the corpus (constant amounts)
+    // collapses the tie-corrected SE to exactly 0 — z undefined; ANSI
+    // Spark would throw where DuckDB natively NULLs (shared string;
+    // degenerate-corpus probe)
     val z = s"floor(1000.0e0 * abs(CAST(ri AS DOUBLE) / (2.0e0 * ni) " +
-      s"- CAST(rj AS DOUBLE) / (2.0e0 * nj)) / $se)"
+      s"- CAST(rj AS DOUBLE) / (2.0e0 * nj)) / nullif($se, 0))"
     QueryDef(
       "q418_dunn",
       s"""WITH f AS (

@@ -929,7 +929,13 @@ object EventOps {
         // div (truncate toward 0) and DuckDB's // (floor) disagree —
         // both land <= 0 though, so the greatest(0, ...) clamp makes
         // the engines agree AND pins R^2 to its [0, 1e6] domain
-        expr("greatest(0, (1000000 * (sst - ssw)) div sst)").as("r2_ppm"))
+        // if(sst = 0, …): a constant-valued corpus zeroes the total
+        // sum of squares and ANSI div throws — the degenerate-corpus
+        // probe caught it. Both engines land at greatest(0, NULL) = 0
+        // (DuckDB's // by zero is natively NULL, so the oracle text
+        // already agrees)
+        expr("greatest(0, if(sst = 0, null, (1000000 * (sst - ssw)) div sst))")
+          .as("r2_ppm"))
       .orderBy("event_type", "dow")
   }
 
@@ -1684,9 +1690,13 @@ object EventOps {
         expr("s1 div n1").as("mae1_cents"),
         expr("s7 div n7").as("mae7_cents"),
         // integral div, not decimal '/': Spark's decimal divide ROUNDS
-        // the quotient at scale, which can disagree with //'s floor
+        // the quotient at scale, which can disagree with //'s floor.
+        // nullif: s1 = 0 on an all-zero-price corpus (naive MAE 0 —
+        // MASE undefined); ANSI would throw where the oracle's //
+        // natively NULLs (degenerate-corpus probe)
         expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * s7 * n1) div " +
-          "(CAST(s1 AS DECIMAL(38,0)) * n7) AS BIGINT)").as("mase_ppm"))
+          "nullif(CAST(s1 AS DECIMAL(38,0)) * n7, 0) AS BIGINT)")
+          .as("mase_ppm"))
   }
 
   /** q196 — JSON schema-drift profile: the weekly presence footprint
@@ -3096,8 +3106,12 @@ object EventOps {
         .ckpt() // one fact collapse feeds vmax AND the grid
       val vm = broadcast(hr.agg(max(col("v")).as("vmax")))
       val grid = hr.crossJoin(vm)
+        // if(vmax = 0, …): an all-zero-value corpus zeroes the reward
+        // ceiling; ANSI div would throw where the oracle's // natively
+        // NULLs — both engines then coalesce the arm rewards to 0
+        // (degenerate-corpus probe)
         .select(col("h"), col("s"),
-          expr("(1000 * v) div vmax").as("rm"))
+          expr("if(vmax = 0, null, (1000 * v) div vmax)").as("rm"))
         .groupBy(col("h"))
         .agg(ARMS.zipWithIndex.map { case (a, i) =>
           coalesce(max(when(col("s") === a, col("rm"))), lit(0L))
@@ -3402,7 +3416,9 @@ object EventOps {
         .ckpt()
       val vm = broadcast(hr.agg(max(col("v")).as("vmax")))
       val grid = hr.crossJoin(vm)
-        .select(col("h"), col("s"), expr("(1000 * v) div vmax").as("rm"))
+        // if(vmax = 0, …): same degenerate-ceiling guard as q365
+        .select(col("h"), col("s"),
+          expr("if(vmax = 0, null, (1000 * v) div vmax)").as("rm"))
         .groupBy(col("h"))
         .agg(ARMS.zipWithIndex.map { case (a, i) =>
           coalesce(max(when(col("s") === a, col("rm"))), lit(0L))
@@ -3725,8 +3741,12 @@ object EventOps {
     * constants. */
   val q387LjungBox: QueryDef = {
     val H = 10
+    // nullif: a constant revenue series zeroes the lag-0
+    // autocovariance (autocorrelation undefined); ANSI Spark would
+    // throw where DuckDB natively NULLs (shared string, parsed by
+    // both; degenerate-corpus probe)
     val rChain = "CAST(floor(1000000.0e0 * CAST(ck AS DOUBLE) / " +
-      "CAST(c0 AS DOUBLE)) AS BIGINT)"
+      "nullif(CAST(c0 AS DOUBLE), 0)) AS BIGINT)"
     QueryDef(
       "q387_ljung_box",
       s"""WITH daily AS (

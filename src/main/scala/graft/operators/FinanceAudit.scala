@@ -140,7 +140,11 @@ object FinanceAudit {
       .groupBy(col("abc_class"), col("t"))
       .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("rev_cents"))
       .select(col("abc_class"), col("n_cust"), col("rev_cents"),
-        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * rev_cents) div t AS BIGINT)")
+        // nullif: an all-zero-amount corpus zeroes the revenue total;
+        // ANSI would throw where the oracle's // natively NULLs
+        // (degenerate-corpus probe)
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * rev_cents) " +
+          "div nullif(CAST(t AS DECIMAL(38,0)), 0) AS BIGINT)")
           .as("rev_share_ppm"))
       .orderBy("abc_class")
   }
@@ -615,7 +619,10 @@ object FinanceAudit {
       .withColumn("sum4", sum(col("cents")).over(frame))
       .withColumn("n4", count(lit(1)).over(frame))
       .select(col("wk"), col("cents"), col("n_orders"),
-        when(col("prev").isNull, lit(null).cast("long"))
+        // prev = 0 (zero-revenue week, degenerate-corpus probe): ANSI
+        // double division throws where the oracle's x/0 natively
+        // NULLs through its floor/CAST — emit the same NULL
+        when(col("prev").isNull || col("prev") === 0, lit(null).cast("long"))
           .otherwise(floor(((col("cents") - col("prev")).cast("double") *
             lit(1000000.0)) / col("prev")).cast("long")).as("wow_ppm"),
         expr("sum4 div n4").as("avg4_cents"))
@@ -1132,8 +1139,12 @@ object FinanceAudit {
         .select(col("k"), col("cents").as("xmin")))
       thr.join(top, col("rn") <= col("k"))
         .select(col("k"), col("xmin"),
-          floor(lit(1e9) * log(col("cents").cast("double") /
-            col("xmin").cast("double"))).cast("bigint").as("ln_nn"))
+          // xmin = 0 on an all-zero-amount corpus: ANSI double
+          // division throws where the oracle's 0/0 natively NULLs
+          // through ln/floor — emit the same NULL (degenerate probe)
+          when(col("xmin") =!= 0,
+            floor(lit(1e9) * log(col("cents").cast("double") /
+              col("xmin").cast("double"))).cast("bigint")).as("ln_nn"))
         .groupBy(col("k"))
         .agg(max(col("xmin")).cast("bigint").as("xmin_cents"),
           sum(col("ln_nn")).as("sl"))
@@ -1354,14 +1365,19 @@ object FinanceAudit {
     * passes, zero windows. Output 1 row. */
   val q368TheilDecomposition: QueryDef = {
     // per-row nano terms over (x, n, S) resp. (x, ng, sg)
+    // nullif(…, 0): an all-zero-spend corpus zeroes the grand total s
+    // (Theil is undefined on zero mass); ANSI Spark would throw on the
+    // double division where DuckDB natively NULLs — nullif lands both
+    // engines on the same NULL (shared strings, parsed by both)
     def termNano(nC: String, sC: String) =
-      s"CAST(floor(1000000000.0 * (CAST(x AS DOUBLE) / CAST(s AS DOUBLE)) * " +
+      s"CAST(floor(1000000000.0 * " +
+        s"(CAST(x AS DOUBLE) / nullif(CAST(s AS DOUBLE), 0)) * " +
         s"ln(CAST(x AS DOUBLE) * CAST($nC AS DOUBLE) / " +
-        s"CAST($sC AS DOUBLE))) AS BIGINT)"
+        s"nullif(CAST($sC AS DOUBLE), 0))) AS BIGINT)"
     val betweenNano = "CAST(floor(1000000000.0 * " +
-      "(CAST(sg AS DOUBLE) / CAST(s AS DOUBLE)) * " +
+      "(CAST(sg AS DOUBLE) / nullif(CAST(s AS DOUBLE), 0)) * " +
       "ln((CAST(sg AS DOUBLE) * CAST(n AS DOUBLE)) / " +
-      "(CAST(s AS DOUBLE) * CAST(ng AS DOUBLE)))) AS BIGINT)"
+      "nullif(CAST(s AS DOUBLE) * CAST(ng AS DOUBLE), 0))) AS BIGINT)"
     QueryDef(
       "q368_theil_decomposition",
       s"""WITH spend AS (
@@ -1558,9 +1574,15 @@ object FinanceAudit {
     def term(cnt: String, prob: String) =
       s"(CASE WHEN $cnt > 0 AND $prob > 0.0e0 THEN CAST($cnt AS DOUBLE) " +
         s"* ln($prob) ELSE 0.0e0 END)"
-    val pi = "(CAST(n01 + n11 AS DOUBLE) / CAST(n00 + n01 + n10 + n11 AS DOUBLE))"
-    val p01 = "(CAST(n01 AS DOUBLE) / CAST(n00 + n01 AS DOUBLE))"
-    val p11 = "(CAST(n11 AS DOUBLE) / CAST(n10 + n11 AS DOUBLE))"
+    // nullif: a violation-free (or violation-only) backtest empties a
+    // Markov transition row (n10 + n11 = 0 on the degenerate corpus) —
+    // the CASE guard must see prob as NULL, not crash computing it
+    // under ANSI; DuckDB's 0/0 is natively NULL, nullif makes Spark
+    // agree through the same shared string
+    val pi = "(CAST(n01 + n11 AS DOUBLE) / " +
+      "nullif(CAST(n00 + n01 + n10 + n11 AS DOUBLE), 0))"
+    val p01 = "(CAST(n01 AS DOUBLE) / nullif(CAST(n00 + n01 AS DOUBLE), 0))"
+    val p11 = "(CAST(n11 AS DOUBLE) / nullif(CAST(n10 + n11 AS DOUBLE), 0))"
     val lr = s"(-2.0e0) * (" +
       term("(n00 + n10)", s"(1.0e0 - $pi)") + " + " +
       term("(n01 + n11)", pi) + " - " +

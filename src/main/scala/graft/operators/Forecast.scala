@@ -2374,10 +2374,13 @@ object Forecast {
         sum(col("term")).as("ssbn2"))
     ssb.crossJoin(broadcast(tot))
       .select(col("p").as("period"), col("n_groups"),
+        // nullif: a constant revenue series zeroes the total variance
+        // (seasonal strength undefined); ANSI would throw where the
+        // oracle's x/0 natively NULLs (degenerate-corpus probe)
         expr("CAST(floor((1000000.0e0 * CAST(ssbn2 AS DOUBLE)) / " +
-          "(CAST(n AS DOUBLE) * " +
+          "nullif(CAST(n AS DOUBLE) * " +
           "CAST(CAST(n AS DECIMAL(38,0)) * syy - " +
-          "CAST(s AS DECIMAL(38,0)) * s AS DOUBLE))) AS BIGINT)")
+          "CAST(s AS DECIMAL(38,0)) * s AS DOUBLE), 0)) AS BIGINT)")
           .as("strength_ppm"))
       .orderBy("period")
   }
@@ -2957,9 +2960,12 @@ object Forecast {
     * anti joins over the calendar-bounded day frame — round count
     * is literal (3), not data-driven. Output 3 rows. */
   val q443Gesd: QueryDef = {
+    // nullif: a constant series zeroes nss (the scaled variance) and
+    // the GESD R statistic is undefined; ANSI Spark would throw where
+    // DuckDB natively NULLs (shared string; degenerate-corpus probe)
     val rChain = "CAST(floor(1000.0e0 * CAST(dev AS DOUBLE) / " +
-      "sqrt((CAST(n AS DOUBLE) * CAST(nss AS DOUBLE)) / " +
-      "(CAST(n AS DOUBLE) - 1.0e0))) AS BIGINT)"
+      "nullif(sqrt((CAST(n AS DOUBLE) * CAST(nss AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) - 1.0e0)), 0)) AS BIGINT)"
     val oracleRounds = (1 to 3).map { i =>
       val prev = if (i == 1) "daily" else s"f${i - 1}"
       s"""m$i AS (

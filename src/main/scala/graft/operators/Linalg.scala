@@ -704,9 +704,12 @@ object Linalg {
       s"CAST(floor(least(greatest($x, -1.0e15), 1.0e15)) AS BIGINT)"
     val eMicro = clamp(s"1000000.0e0 * ($resid)")
     val hNano = clamp(s"1000000000.0e0 * ($lev)")
+    // nullif: a zero-residual fit (constant zero revenue) zeroes the
+    // MSE and Cook's D is undefined; ANSI Spark would throw where
+    // DuckDB natively NULLs (shared string; degenerate-corpus probe)
     val dNano = clamp(s"1000000000.0e0 * ($resid) * ($resid) * ($lev) " +
-      s"/ (2.0e0 * (CAST(sse AS DOUBLE) / 1000000.0e0 / " +
-      s"CAST(n - 2 AS DOUBLE)) * (1.0e0 - ($lev)) * (1.0e0 - ($lev)))")
+      s"/ nullif(2.0e0 * (CAST(sse AS DOUBLE) / 1000000.0e0 / " +
+      s"CAST(n - 2 AS DOUBLE)) * (1.0e0 - ($lev)) * (1.0e0 - ($lev)), 0)")
     val sseTerm = clamp(s"($resid) * ($resid) / 1000000.0e0")
     QueryDef(
       "q389_cooks_distance",

@@ -320,9 +320,14 @@ object Privacy {
         .as("gapsum"))
       .select(col("nation"), col("seg"), col("ng").as("group_size"),
         col("mcnt").as("n_buckets"),
-        expr("(1000000 * gapsum) div ((mcnt - 1) * ng * nn)").as("emd_ppm"),
-        (expr("(1000000 * gapsum) div ((mcnt - 1) * ng * nn)") <= 200000L)
-          .as("meets_t_20"))
+        // nullif: an all-equal-balance corpus collapses the histogram
+        // to ONE bucket (mcnt = 1) and EMD over a single bin is
+        // undefined; ANSI would throw where the oracle's // natively
+        // NULLs (degenerate-corpus probe)
+        expr("(1000000 * gapsum) div nullif((mcnt - 1) * ng * nn, 0)")
+          .as("emd_ppm"),
+        (expr("(1000000 * gapsum) div nullif((mcnt - 1) * ng * nn, 0)")
+          <= 200000L).as("meets_t_20"))
       .orderBy("nation", "seg")
   }
 

