@@ -36,11 +36,18 @@ object Bench {
     // bench_compare.py normalize each query by the drift of its
     // NEAREST canary pass instead of one global (possibly inverted)
     // ratio.
+    // r12 addition: the original ten are all sub-0.3s scan-aggs, and
+    // the r12 close proved a box-state mode that slows mid-weight
+    // shuffle/CPU queries ~2x while leaving tiny scans at par (63
+    // false-flagged queries, adjudicated by an r11-code A/B) - three
+    // canaries FROM that cluster make the next such tide visible in
+    // the canary channel itself
     val canaryNames = Seq(
       "q01_pricing_summary", "q02_surrogate_key", "q06_try_numeric",
       "q07_signed_amount", "q11_filter_project", "q13_left_join",
       "q14_distinct", "q123_chisq_independence", "q127_trimmed_stats",
-      "q156_ohlc_bars")
+      "q156_ohlc_bars",
+      "q224_ks_test", "q230_sprt", "q115_phash_neardup")
     def loadavgNow: String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString(",")

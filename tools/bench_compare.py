@@ -33,7 +33,11 @@ CANARY_NAMES = [
     "q01_pricing_summary", "q02_surrogate_key", "q06_try_numeric",
     "q07_signed_amount", "q11_filter_project", "q13_left_join",
     "q14_distinct", "q123_chisq_independence", "q127_trimmed_stats",
-    "q156_ohlc_bars"]
+    "q156_ohlc_bars",
+    # r12: mid-weight shuffle/CPU canaries from the box-state cluster
+    # the tiny-scan set under-captured (fallback matching only; live
+    # canary times come from the snapshot's own canaries block)
+    "q224_ks_test", "q230_sprt", "q115_phash_neardup"]
 
 
 def canary_times(d):
