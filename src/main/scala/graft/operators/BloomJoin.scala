@@ -45,21 +45,23 @@ object BloomJoin {
     // An EMPTY dim side (every row filtered out — seen on the
     // degenerate-corpus probe) makes the bloom aggregate's merged
     // state a null bit buffer, and building/serializing the filter
-    // NPEs inside Spark. The join result is empty either way, so fall
-    // back to the unpruned join and let it produce it — the operator
-    // stays total, and on any non-empty dim the fast path is
-    // unchanged.
-    val bytesOpt =
-      try {
+    // NPEs inside Spark. Pre-check emptiness explicitly (O(1): a
+    // limit-1 probe that stops at the first row) rather than catching
+    // NullPointerException around the build — a blanket catch would
+    // silently downgrade any FUTURE NPE bug to the unpruned slow path
+    // (ADVICE r12). The join result is empty either way, so the
+    // unpruned fallback stays correct, and it is logged, not silent.
+    val pruned =
+      if (dim.select(key).limit(1).isEmpty) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"bloomPrunedJoin: EMPTY dim side on key=$key — bloom prune skipped")
+        fact
+      } else {
         val bf = dim.stat.bloomFilter(key, expectedItems, fpp)
         val bos = new ByteArrayOutputStream()
         bf.writeTo(bos)
-        Some(bos.toByteArray)
-      } catch { case _: NullPointerException => None }
-    val pruned = bytesOpt match {
-      case Some(bytes) => fact.filter(mightContain(lit(bytes), col(key)))
-      case None => fact
-    }
+        fact.filter(mightContain(lit(bos.toByteArray), col(key)))
+      }
     pruned.join(dim, Seq(key))
   }
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.TestSpark
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualNullSafe, EqualTo, Expression, Lag, Lead, NTile, RowNumber, WindowExpression}
-import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, OneRowRelation, Project, Range, Repartition, RepartitionByExpression, Sort, Window => LWindow}
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -168,9 +168,25 @@ class OrderSweepSpec extends AnyFunSuite {
           val ru = uniqueSets(j.right)
           val (lk, rk) = equiKeys(j)
           // a side whose equi keys contain its own unique set matches
-          // at most one row per probe: the OTHER side's sets survive
-          val keepL = if (ru.exists(u => u.nonEmpty && u.subsetOf(rk))) lu else Nil
-          val keepR = if (lu.exists(u => u.nonEmpty && u.subsetOf(lk))) ru else Nil
+          // at most one row per probe: the OTHER side's sets survive.
+          // Sound only when that other side's rows cannot ALSO appear
+          // null-extended: a FULL (resp. RIGHT for keepL, LEFT for
+          // keepR) outer join emits unmatched opposite-side rows with
+          // this side's key all-NULL, duplicating it — only the
+          // pair-union sets survive there (two null-extended rows
+          // still differ in the opposite side's unique columns).
+          val lPreservedOnce = j.joinType match {
+            case Inner | Cross | LeftOuter => true
+            case _ => false
+          }
+          val rPreservedOnce = j.joinType match {
+            case Inner | Cross | RightOuter => true
+            case _ => false
+          }
+          val keepL = if (lPreservedOnce &&
+            ru.exists(u => u.nonEmpty && u.subsetOf(rk))) lu else Nil
+          val keepR = if (rPreservedOnce &&
+            lu.exists(u => u.nonEmpty && u.subsetOf(lk))) ru else Nil
           val pairs = for (a <- lu.take(4); b <- ru.take(4)) yield a ++ b
           (keepL ++ keepR ++ pairs).take(8)
       }

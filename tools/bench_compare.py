@@ -65,15 +65,18 @@ def main(old_path, new_path):
     new = json.load(open(new_path))
     co, cn = canary_times(old), canary_times(new)
     shared = sorted(set(co) & set(cn))
-    if not shared:
-        print("no shared canaries; raw comparison only")
+    ratios = [cn[k] / co[k] for k in shared if co[k] > 0]
+    if not ratios:
+        # no shared canaries, or every old time <= 0 (pre-r10 fallback
+        # records failed queries as -1) -- degrade, don't crash
+        print("no usable shared canaries; raw comparison only")
         drift = 1.0
     else:
-        ratios = [cn[k] / co[k] for k in shared if co[k] > 0]
         drift = statistics.median(ratios)
         print(f"canary drift (global median of {len(ratios)}): x{drift:.3f}")
         for k in shared:
-            print(f"  {k}: {co[k]:.3f} -> {cn[k]:.3f} (x{cn[k]/co[k]:.2f})")
+            if co[k] > 0:
+                print(f"  {k}: {co[k]:.3f} -> {cn[k]:.3f} (x{cn[k]/co[k]:.2f})")
     windows = pass_drifts(new, co)
     if windows:
         print(f"\ninterleaved canary passes ({len(windows)}):")

@@ -534,6 +534,13 @@ def gen_degenerate(src, dst):
                      for i in range(n)]
             tab = tab.set_column(tab.schema.get_field_index("text"),
                                  "text", pa.array(texts, type=pa.string()))
+            # keep the table self-consistent: n_chars must match the
+            # rewritten text lengths (ADVICE r12 — unsafe otherwise if
+            # this corpus is ever reused for an oracle compare)
+            tab = tab.set_column(tab.schema.get_field_index("n_chars"),
+                                 "n_chars",
+                                 pa.array([len(s) for s in texts],
+                                          type=pa.int64()))
         if t == "events":
             n = tab.num_rows
             idx = tab.schema.get_field_index("properties") \

@@ -11,6 +11,10 @@ fuzz seeds' sbt time):
   3. tools/fuzz_oracle.py --sample 20 1..5 — replay the fragile-query
      set PLUS a per-seed 20-query stable-set sample on five
      value-domain-redrawn corpora
+  4. tools/fuzz_oracle.py --permute — full surface on a row-permuted
+     corpus must reproduce the stage-1 output exactly
+  5. tools/fuzz_oracle.py --degenerate — full surface must exit 0 on
+     the worst-plausible corpus (crash robustness, no oracle)
 
 Writes FUZZLOG.json at the repo root: per-stage rc + summary line, no
 timestamps (so a green rerun is a no-op diff). That file IS the green
@@ -68,17 +72,6 @@ def main():
                    "--sample", "20", "1", "2", "3", "4", "5"])
     seeds = {s: f"seed {s}: all green" in txt for s in (1, 2, 3, 4, 5)}
     log["stages"]["fuzz"] = {"rc": rc, "seeds_green": seeds}
-    # cumulative "fuzzed at least once" coverage (VERDICT r11 item 5)
-    try:
-        led = json.load(open(f"{REPO}/FUZZLEDGER.json"))
-        log["stages"]["fuzz"]["ledger"] = {
-            "fuzzed_ever": len(led),
-            "universe": log["stages"]["oracle"]["ok"]
-            + log["stages"]["oracle"]["fail"],
-            "failing_now": sorted(q for q, e in led.items() if e["fail"]),
-        }
-    except Exception:
-        pass
     print(txt.strip().splitlines()[-1] if txt.strip() else "(no output)")
     if rc != 0:
         print(txt[-6000:])
@@ -99,7 +92,18 @@ def main():
     print(txt.strip().splitlines()[-1] if txt.strip() else "(no output)")
     if rc != 0:
         print(txt[-6000:])
-    finish(log, fuzz_rc or rc)
+    permute_rc = rc
+
+    # Class-A empirical backstop (VERDICT r12 item 5): the full surface
+    # must EXIT 0 on the worst-plausible corpus (empty/1-token docs,
+    # malformed JSON, all-zero money) — the probe that found the 24
+    # ANSI DIVIDE_BY_ZERO crashers + the bloom NPE, now a per-close gate
+    rc, txt = run(["python3", "tools/fuzz_oracle.py", "--degenerate", sf])
+    log["stages"]["degenerate"] = {"rc": rc}
+    print(txt.strip().splitlines()[-1] if txt.strip() else "(no output)")
+    if rc != 0:
+        print(txt[-6000:])
+    finish(log, fuzz_rc or permute_rc or rc)
 
 
 def _mtime(path):
@@ -181,6 +185,24 @@ def _round_number():
 
 def finish(log, rc):
     log["green"] = rc == 0
+    # Ledger block is DERIVED from FUZZLEDGER.json at write time
+    # (VERDICT r12 item 4: the r12 close snapshot shipped
+    # fuzzed_ever: 298 while the ledger — updated by a later seed-6
+    # batch — said 447; computing it here means the two files can
+    # never disagree at the moment FUZZLOG is written)
+    try:
+        led = json.load(open(f"{REPO}/FUZZLEDGER.json"))
+        oracle = log.get("stages", {}).get("oracle", {})
+        universe = None
+        if oracle.get("ok") is not None and oracle.get("fail") is not None:
+            universe = oracle["ok"] + oracle["fail"]
+        log.setdefault("stages", {}).setdefault("fuzz", {})["ledger"] = {
+            "fuzzed_ever": len(led),
+            "universe": universe,
+            "failing_now": sorted(q for q, e in led.items() if e["fail"]),
+        }
+    except Exception:
+        pass
     with open(f"{REPO}/FUZZLOG.json", "w") as f:
         json.dump(log, f, indent=2, sort_keys=True)
         f.write("\n")
