@@ -18,6 +18,8 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("cosine_sim", (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)),
       classOf[CosineSimilarity].getName),
+    ("dot_product", (es: Seq[Expression]) => DotProduct(es(0), es(1)),
+      classOf[DotProduct].getName),
     ("rolling_hash", (es: Seq[Expression]) => RollingHash(es.head),
       classOf[RollingHash].getName),
     ("lsh_bucket", (es: Seq[Expression]) => LshBucket(es(0),

@@ -74,6 +74,68 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product of two float vectors, accumulated left to right in one
+  * codegen'd loop — EXACTLY the `dot` accumulator of
+  * [[CosineSimilarity]] (same index order, same IEEE sequence), split
+  * out so pair stages that carry pre-computed per-row norms evaluate
+  * ONE loop per pair instead of cosine_sim's three (r13, guide step 4:
+  * `dot_product(x, y) / (nx * ny)` is bit-identical to
+  * `cosine_sim(x, y)` when nx/ny are the rows' own
+  * `sqrt(dot_product(v, v))` — multiplication commutes in IEEE 754).
+  * The generated-term-sum column form ([[graft.operators.VectorOps]])
+  * emits O(dim) expression nodes, which at dim=64 already falls out of
+  * whole-stage codegen inside join stages (measured: a 64-term
+  * expression-tree dot in q291's pair stage ran ~30× slower than this
+  * loop). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Random-hyperplane LSH bucket id: bit p of the result is set iff the
   * signed projection of the vector onto plane p is >= 0. The plane
   * coefficients are data-independent ±1 signs derived from md5 parity

@@ -194,6 +194,9 @@ object Forecast {
       .select(col("a.d").as("ad"), col("b.d").as("bd"),
         floor(lit(1000.0) * (col("b.x") - col("a.x")) /
           (col("b.d") - col("a.d"))).cast("bigint").as("slope"))
+      .ckpt() // the rank's repartitionByRange SAMPLES its input first:
+              // without the cut the |days|²/2 nested-loop pair build
+              // ran twice (sample pass + partition pass) — r13, §2.4
     val ranked = ScaleRank.withRowNumber(
       pairs, Seq.empty, Seq(col("slope"), col("ad"), col("bd")), "rk", "np")
     val nDays = daily.agg(count(lit(1)).as("n_days"))

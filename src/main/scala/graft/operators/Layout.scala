@@ -738,48 +738,40 @@ object Layout {
         .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"))
         .select((lit(7) - col("gid")).cast("bigint").as("mask"))
         .groupBy(col("mask")).agg(count(lit(1)).as("vsize"))
-        .ckpt() // the 8-row lattice feeds every round
       import s.implicits._
-      val names = Seq((0L, "total"), (1L, "P"), (2L, "L"), (3L, "L,P"),
-        (4L, "R"), (5L, "R,P"), (6L, "R,L"), (7L, "R,L,P"))
-        .toDF("mask", "view_name")
-      def ans(wm: Column, vm: Column): Column =
-        expr(s"(${wm.toString} div 4) % 2") <= expr(s"(${vm.toString} div 4) % 2") &&
-          expr(s"(${wm.toString} div 2) % 2") <= expr(s"(${vm.toString} div 2) % 2") &&
-          wm % 2 <= vm % 2
-      def curCost(m: DataFrame): DataFrame =
-        lat.select(col("mask").as("wm"))
-          .join(broadcast(m.join(lat, Seq("mask"))
-            .select(col("mask").as("vm"), col("vsize"))),
-            ans(col("wm"), col("vm")))
-          .groupBy(col("wm")).agg(min(col("vsize")).as("cost"))
-      var m = Seq(7L).toDF("mask").ckpt()
+      // r13 (guide §1.2): the greedy rounds ran as ~60 tiny
+      // broadcast-join jobs over this 8-row frame — pure scheduling.
+      // The lattice is 2³ = 8 rows BY CONSTRUCTION (3 cube attributes),
+      // so the HRU rounds are exact integer driver arithmetic over the
+      // collected cells — the adjudicated q169/q246/q251
+      // dimension-lattice class; one cube-pass job remains. Identical
+      // integer benefits/argmin (ties to min mask), identical output.
+      val cells = lat.collect() // bounded: 2^3 = 8 cuboid-lattice rows
+      val size: Map[Long, Long] =
+        cells.map(row => row.getLong(0) -> row.getLong(1)).toMap
+      val nameOf = Map(0L -> "total", 1L -> "P", 2L -> "L", 3L -> "L,P",
+        4L -> "R", 5L -> "R,P", 6L -> "R,L", 7L -> "R,L,P")
+      def ans(wm: Long, vm: Long): Boolean =
+        ((wm >> 2) & 1) <= ((vm >> 2) & 1) &&
+          ((wm >> 1) & 1) <= ((vm >> 1) & 1) && (wm & 1) <= (vm & 1)
+      val masks: Seq[Long] = size.keys.toSeq.sorted // Seq: per-w terms must not set-collapse
+      def curCost(m: Set[Long]): Map[Long, Long] =
+        masks.map(wm =>
+          wm -> m.toSeq.filter(vm => ans(wm, vm)).map(size).min).toMap
+      var m = Set(7L)
       val out = (1 to R).map { r =>
         val cc = curCost(m)
-        val bene = lat.join(m.withColumnRenamed("mask", "got"),
-            col("mask") === col("got"), "anti")
-          .select(col("mask").as("vm"), col("vsize"))
-          .join(broadcast(cc), ans(col("wm"), col("vm")))
-          .groupBy(col("vm"), col("vsize"))
-          .agg(sum(greatest(lit(0L), col("cost") - col("vsize"))).as("benefit"))
-        val mx = bene.agg(max(col("benefit")).as("mb"))
-        val pick = bene.crossJoin(broadcast(mx))
-          .filter(col("benefit") === col("mb"))
-          .agg(min(col("vm")).as("mask"))
-          .ckpt()
-        m = m.unionByName(pick).ckpt()
-        val total = curCost(m).agg(sum(col("cost")).as("total"))
-        pick
-          .join(broadcast(names), Seq("mask"))
-          .join(broadcast(lat), Seq("mask"))
-          .join(broadcast(bene.select(col("vm").as("mask"),
-            col("benefit"))), Seq("mask"))
-          .crossJoin(broadcast(total))
-          .select(lit(r.toLong).as("rk"), col("view_name"),
-            col("vsize").as("view_size"), col("benefit"),
-            col("total").as("total_cost_after"))
+        val bene: Map[Long, Long] = masks.filterNot(m).map(vm =>
+          vm -> masks.filter(wm => ans(wm, vm))
+            .map(wm => math.max(0L, cc(wm) - size(vm))).sum).toMap
+        val mb = bene.values.max
+        val pick = bene.collect { case (vm, b) if b == mb => vm }.min
+        m = m + pick
+        val total = curCost(m).values.sum
+        (r.toLong, nameOf(pick), size(pick), bene(pick), total)
       }
-      out.reduce(_ unionByName _).orderBy("rk")
+      out.toDF("rk", "view_name", "view_size", "benefit",
+        "total_cost_after").orderBy("rk")
     }
   }
 

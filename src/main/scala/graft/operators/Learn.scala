@@ -56,6 +56,29 @@ object Learn {
        |    CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * $SCALE) AS BIGINT) AS q
        |  FROM embeddings, unnest(range(1, ${DIM + 1})) AS t(i))""".stripMargin
 
+  /** Quantized coordinate PAIRS (i, qi, j, qj) per vector — the Gram
+    * fan-out of `points ⋈ points USING (vec_id)` WITHOUT the self-join
+    * (r13, guide §2.4): the per-vector quantized array is computed once
+    * and posexploded twice, so the N·d rows never shuffle or sort into
+    * an equi-join — the pair stage is a pure map-side Generate chain
+    * feeding the (i, j)-cell partial aggregate. Values are identical
+    * to the join form for ANY embedding length (both yield len×len
+    * pairs with the same floor-quantized longs; `transform` preserves
+    * length, so short vectors degrade exactly as the exploded join
+    * did). `extra` columns (e.g. label) are carried through. */
+  private[graft] def pointPairs(emb: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val qv = expr(
+      s"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $SCALE) AS BIGINT))")
+    emb.repartition(col("vec_id")) // single-file scan -> use every core
+      .select(extra.map(col) :+ qv.as("__qv"): _*)
+      .select(extra.map(col) ++ Seq(
+        posexplode(col("__qv")).as(Seq("i0", "qi")), col("__qv")): _*)
+      .select(extra.map(col) ++ Seq((col("i0") + 1).as("i"), col("qi"),
+        posexplode(col("__qv")).as(Seq("j0", "qj"))): _*)
+      .select(extra.map(col) ++ Seq(col("i"), col("qi"),
+        (col("j0") + 1).as("j"), col("qj")): _*)
+  }
+
   /** Squared-distance assignment of each point to its nearest centroid
     * (tie → smaller centroid id). `cent` is (cid, pos, c) — broadcast:
     * the corpus side never shuffles for the join. Returns

@@ -183,10 +183,12 @@ object Linalg {
          |FROM v$ROUNDS v, tr, vtv, rq ORDER BY d""".stripMargin) { (s, dir) =>
       import s.implicits._
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-      val pts = Learn.points(Tables.embeddings(s, dir))
-      val g = pts.as("a").join(pts.as("b"), Seq("vec_id"))
-        .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
-        .agg(sum(dec(col("a.q")) * dec(col("b.q"))).as("gv"))
+      // Gram via the join-free pair explode (r13): one scan, zero
+      // pair-stage shuffles — see Learn.pointPairs. Cell values are
+      // the identical decimal sums of the identical long products.
+      val pp = Learn.pointPairs(Tables.embeddings(s, dir))
+      val g = pp.groupBy(col("i"), col("j"))
+        .agg(sum(dec(col("qi")) * dec(col("qj"))).as("gv"))
       // the Gram frame is d² = 4096 cells — CONSTANT at any corpus
       // size — so the eight power rounds are a registered driver fold
       // (the adjudicated q246/q251 class; r11: replaces 8 tiny
@@ -376,15 +378,15 @@ object Linalg {
        |FROM f ORDER BY label""".stripMargin) { (s, dir) =>
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val emb = Tables.embeddings(s, dir)
-    val pts = Learn.points(emb)
-    val lab = emb.select(col("vec_id"), col("label"))
-    val g = pts.as("a").join(pts.as("b"), Seq("vec_id"))
-      .join(lab, Seq("vec_id"))
-      .groupBy(col("label"), col("a.pos").as("i"), col("b.pos").as("j"))
+    // per-label Gram via the join-free pair explode (r13): the label
+    // rides the scan, so the former pts⋈pts⋈lab three-way join is one
+    // Generate chain into the same (label, i, j) cells
+    val g = Learn.pointPairs(emb, extra = Seq("label"))
+      .groupBy(col("label"), col("i"), col("j"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
-        sum(dec(col("a.q")) * col("b.q")).cast("decimal(38,0)").as("qq"),
-        sum(dec(col("a.q"))).cast("decimal(38,0)").as("sa"),
-        sum(dec(col("b.q"))).cast("decimal(38,0)").as("sb"))
+        sum(dec(col("qi")) * col("qj")).cast("decimal(38,0)").as("qq"),
+        sum(dec(col("qi"))).cast("decimal(38,0)").as("sa"),
+        sum(dec(col("qj"))).cast("decimal(38,0)").as("sb"))
     val c = g.select(col("label"), col("i"), col("j"), col("n"),
       (col("n") * col("qq") - col("sa") * col("sb")).as("a_cell"))
     c.groupBy(col("label"))
@@ -483,14 +485,28 @@ object Linalg {
           explode(array(slopes.map(lit): _*)).as("m"))
         .select(col("m"), (col("y") - col("m") * col("x")).as("r"))
       val BW = 16 // bucket = floor(r / 2^16); shiftright is exact floor
+      val dec = (c: Column) => c.cast("decimal(38,0)")
       // pass 1: (slope, bucket) histogram — value-domain bounded
-      // (residual range / 2^16 buckets per slope), partial-agg map-side
+      // (residual range / 2^16 buckets per slope), partial-agg map-side.
+      // r13: also carries Σr per bucket (exact DECIMAL), so the loss
+      // fold below is CLOSED-FORM prefix arithmetic instead of a third
+      // full resid pass: for pinball loss at intercept b,
+      //   l(m,p,b) = p·[(S−S_<b) − b·(N−C_<b)] + (p−1000)·[S_<b − b·C_<b]
+      // with S/N per slope and S_<b/C_<b split into below-bucket
+      // (histogram prefix) + within-bucket (pass-2 running sums) parts
+      // — the identical integer value the row-wise sum produced
+      // (oracle unchanged, hash-green).
       val hist = resid(f)
         .groupBy(col("m"), shiftright(col("r"), BW).as("bk"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("r"))).as("sr"))
       val wBk = Window.partitionBy(col("m")).orderBy(col("bk"))
         .rowsBetween(Window.unboundedPreceding, 0)
-      val histCum = hist.withColumn("cum", sum(col("cnt")).over(wBk))
+      val histCum = hist
+        .withColumn("cum", sum(col("cnt")).over(wBk))
+        .withColumn("scum", sum(col("sr")).over(wBk))
+      val st = broadcast(hist.groupBy(col("m"))
+        .agg(sum(col("cnt")).as("ntot"), sum(col("sr")).as("stot"))
+        .withColumnRenamed("m", "sm"))
       val nn = f.agg(count(lit(1)).as("n"))
       val tgt = broadcast(nn
         .crossJoin(slopes.toDF("m"))
@@ -498,35 +514,48 @@ object Linalg {
         .select(col("m"), col("p"),
           expr("1 + ((n - 1) * p) div 1000").as("rk")))
       // smallest bucket whose cumulative count reaches the rank, plus
-      // the residual rank inside that bucket (both frames tiny)
+      // the residual rank inside that bucket (both frames tiny); the
+      // struct min compares bk first (unique per slope), the carried
+      // prefix fields don't participate in the ordering
       val pick = broadcast(tgt
         .join(histCum, tgt("m") === histCum("m") && col("cum") >= col("rk"))
         .groupBy(tgt("m").as("im"), col("p"), col("rk"))
-        .agg(min(struct(col("bk"), col("cum"), col("cnt"))).as("s"))
+        .agg(min(struct(col("bk"), col("cum"), col("cnt"),
+          col("scum"), col("sr"))).as("s"))
         .select(col("im"), col("p"), col("s.bk").as("bk"),
-          (col("rk") - (col("s.cum") - col("s.cnt"))).as("wrk")))
+          (col("rk") - (col("s.cum") - col("s.cnt"))).as("wrk"),
+          (col("s.cum") - col("s.cnt")).as("cb0"),
+          (col("s.scum") - col("s.sr")).as("sb0")))
       // pass 2: refine only the picked buckets — ≤ 2^16 distinct
       // residuals per (slope, p) by construction, so the rank window
       // below is bounded by a literal, not by data
       val inBucket = resid(f)
         .withColumn("bk", shiftright(col("r"), BW))
         .join(pick, Seq("bk")).filter(col("m") === col("im"))
-        .groupBy(col("im"), col("p"), col("wrk"), col("r"))
+        .groupBy(col("im"), col("p"), col("wrk"), col("cb0"), col("sb0"),
+          col("r"))
         .agg(count(lit(1)).as("c"))
       val wIn = Window.partitionBy(col("im"), col("p")).orderBy(col("r"))
         .rowsBetween(Window.unboundedPreceding, 0)
       val icept = broadcast(inBucket
         .withColumn("c2", sum(col("c")).over(wIn))
+        .withColumn("s2", sum(dec(col("c")) * col("r")).over(wIn))
         .filter(col("c2") >= col("wrk"))
-        .groupBy(col("im"), col("p"))
-        .agg(min(col("r")).as("b")))
-      val loss = resid(f)
-        .join(icept, col("m") === col("im"))
-        .groupBy(col("m"), col("p"), col("b"))
-        .agg(sum(when(col("r") - col("b") >= 0,
-          col("p") * (col("r") - col("b")))
-          .otherwise((col("p") - 1000) * (col("r") - col("b")))
-          .cast("decimal(38,0)")).as("l"))
+        .groupBy(col("im"), col("p"), col("cb0"), col("sb0"))
+        .agg(min(struct(col("r"), col("c2"), col("c"), col("s2"))).as("t"))
+        .select(col("im"), col("p"),
+          col("t.r").as("b"),
+          (col("cb0") + (col("t.c2") - col("t.c"))).as("cbelow"),
+          (col("sb0") + (col("t.s2") - dec(col("t.c")) * col("t.r")))
+            .as("sbelow")))
+      val loss = icept
+        .join(st, col("im") === col("sm"))
+        .select(col("im").as("m"), col("p"), col("b"),
+          (dec(col("p")) * ((col("stot") - col("sbelow")) -
+            dec(col("b")) * (col("ntot") - col("cbelow"))) +
+            dec(col("p") - 1000) *
+              (col("sbelow") - dec(col("b")) * col("cbelow")))
+            .cast("decimal(38,0)").as("l"))
       val w = Window.partitionBy(col("p")).orderBy(col("l"), col("m"))
       loss.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("p").as("p_milli"), col("m").as("slope_cents"),

@@ -36,6 +36,45 @@ import org.apache.spark.sql.functions._
   */
 object ScaleRank {
 
+  /** Size-dispatch crossover (r13, guide §1.2/§2.4): below this
+    * optimizer-estimated input size the two-level scheme is replaced by
+    * the PLAIN window it emulates — same values (the two-level result
+    * is provably invariant to chunk boundaries, and a window is the
+    * 1-chunk special case), same output schema, but zero extra plan:
+    * the two-level form costs a range-sampling pass, a range exchange,
+    * a per-chunk aggregate and a broadcast join per call, which on a
+    * small frame is pure scheduling overhead (measured at sf0.1:
+    * 3 Exchanges + 1 sample job per call → 1 Exchange). The crossover
+    * was MEASURED at sf0.1 on 32 cores: the ~11 MB (compressed) / 600k
+    * row lineitem fact sorts faster two-level (q269: 2.6 s vs 3.8 s
+    * single-task), while the ≤ 4 MB histogram / day-axis / dictionary
+    * frames lose 3 Exchanges each and win big — so 4 MiB, deliberately
+    * far below any one-task memory cliff (a 4 MB sort is
+    * sub-second on one core at any scale). The estimate comes from optimizedPlan
+    * stats (file-size-derived, deterministic per input; join-bearing
+    * plans estimate multiplicatively large, which errs toward the
+    * scale-safe path). Tunable via `spark.graft.scalerank.windowBytes`
+    * (0 disables the fast path entirely). */
+  private val WINDOW_BYTES_KEY = "spark.graft.scalerank.windowBytes"
+  private val WINDOW_BYTES_DEFAULT: Long = 4L << 20
+
+  private def smallInput(df: DataFrame): Boolean = {
+    val thr = df.sparkSession.conf
+      .get(WINDOW_BYTES_KEY, WINDOW_BYTES_DEFAULT.toString).toLong
+    thr > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
+  }
+
+  /** The single-window fast path may only fire when its result TYPE
+    * provably matches the two-level form's (`sum(v) + coalesce(sum of
+    * sums, 0L)` re-widens DECIMALs); long and double are closed under
+    * both shapes. */
+  private def sumTypeStable(df: DataFrame, valueCol: Column): Boolean =
+    df.select(sum(valueCol)).schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType => true
+      case org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
+
   /** Adds to `df` the exact 1-based row number `rkName` (LongType),
     * ordered by `sortCols` within each value of `groupCols` (empty =
     * one global ordering), plus the group row count `nName` — without
@@ -49,6 +88,13 @@ object ScaleRank {
       sortCols: Seq[Column],
       rkName: String,
       nName: String): DataFrame = {
+    if (smallInput(df)) {
+      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(sortCols: _*)
+      val wAll = Window.partitionBy(groupCols.map(col): _*)
+      // nName before rkName: the two-level path emits (…, n, rk)
+      return df.withColumn(nName, count(lit(1)).over(wAll))
+        .withColumn(rkName, row_number().over(w).cast("long"))
+    }
     val pid = "__sr_pid"
     val lrk = "__sr_lrk"
     val cnt = "__sr_cnt"
@@ -90,6 +136,11 @@ object ScaleRank {
       sortCols: Seq[Column],
       valueCol: Column,
       outName: String): DataFrame = {
+    if (smallInput(df) && sumTypeStable(df, valueCol)) {
+      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(sortCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return df.withColumn(outName, sum(valueCol).over(w))
+    }
     val pid = "__sr_pid"
     val lsum = "__sr_lsum"
     val csum = "__sr_csum"
@@ -126,6 +177,12 @@ object ScaleRank {
       valueCol: Column,
       outName: String,
       inclusive: Boolean): DataFrame = {
+    if (smallInput(df)) {
+      val endRow = if (inclusive) Window.currentRow else -1L
+      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(sortCols: _*)
+        .rowsBetween(Window.unboundedPreceding, endRow)
+      return df.withColumn(outName, max(valueCol).over(w))
+    }
     val pid = "__sr_pid"
     val lmax = "__sr_lmax"
     val cmax = "__sr_cmax"

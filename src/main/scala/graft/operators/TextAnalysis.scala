@@ -2204,37 +2204,71 @@ object TextAnalysis {
         "transform(sequence(1, size(toks) - 2), " +
           "i -> md5(array_join(slice(toks, i, 3), ' ')))")).as("g"))
       .distinct()
-      .ckpt() // one shingle dictionary feeds every round
-    // the picked set stays a (broadcast) DataFrame — no driver
-    // collect anywhere in the loop
-    var picked: DataFrame = null
-    var covered: DataFrame = null
-    var rows: DataFrame = null
+    // r13 (guide §2.4/§1.2): the greedy loop ran FIVE corpus-scale
+    // anti-join + distinct rounds over the shingle dictionary. The
+    // rounds only ever ask "how many of source s's shingles are not
+    // yet covered", which is a function of each shingle's SOURCE SET —
+    // so collapse the dictionary ONCE to a (source-bitmask → count)
+    // histogram and run the identical greedy on it: gain(s | picked) =
+    // Σ cnt over masks with bit s set and mask ∧ picked = 0. Same
+    // integer gains, same (max gain, min source) argmax, same output.
+    // The histogram is partial-aggregable and value-domain bounded
+    // (≤ distinct source subsets); each round is ONE 1-row wide
+    // aggregate over it instead of an anti-join over the dictionary.
+    // The bit mapping needs ≤ 62 sources — the generator's source
+    // domain is 20 (q370's procurement grouping); above that the mask
+    // would overflow and the round-per-anti-join formulation would
+    // return (dispatch kept trivial because the domain is fixed).
+    val srcs = sg.select(col("source")).distinct()
+      .orderBy("source")
+      .collect() // bounded: source domain (q330/q345 class), ≤ ~20 values
+      .map(_.getString(0))
+    require(srcs.length <= 62,
+      s"q254 mask greedy needs ≤62 sources, got ${srcs.length}")
+    import s.implicits._
+    val bits = srcs.zipWithIndex.map { case (n, i) => (n, 1L << i) }
+    val hist = sg
+      .join(broadcast(bits.toSeq.toDF("source", "bit")), Seq("source"))
+      .groupBy(col("g")).agg(sum(col("bit")).as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+      .ckpt() // every greedy round reads this tiny frame
+    var picked = 0L
+    val out = collection.mutable
+      .ArrayBuffer.empty[(Long, Option[String], Option[Long], Option[Long])]
+    var cum = Option.empty[Long] // SQL running sum skips nulls; all-null = null
     for (r <- 1 to MC_K) {
-      val remaining = if (picked == null) sg
-        else sg.join(broadcast(picked), Seq("source"), "anti")
-      val fresh = if (covered == null) remaining
-        else remaining.join(covered, Seq("g"), "anti")
-      val gains = fresh.groupBy(col("source")).agg(count(lit(1)).as("gain"))
-      val mx = gains.agg(max(col("gain")).as("mg"))
-      val pick = gains.crossJoin(broadcast(mx))
-        .filter(col("gain") === col("mg"))
-        .agg(min(col("source")).as("source"), max(col("mg")).as("gain"))
-        .ckpt()
-      picked = if (picked == null) pick.select(col("source"))
-        else picked.unionByName(pick.select(col("source"))).ckpt()
-      val row = pick.select(lit(r.toLong).as("rk"), col("source"),
-        col("gain"))
-      rows = if (rows == null) row else rows.unionByName(row)
-      covered = sg.join(broadcast(picked), Seq("source"), "semi")
-        .select(col("g")).distinct().ckpt()
+      val cand = bits.filter { case (_, bit) => (picked & bit) == 0 }
+      val gains: Seq[(String, Long, Long)] =
+        if (cand.isEmpty) Seq.empty
+        else {
+          val free = hist.filter((col("mask").bitwiseAND(picked)) === 0)
+          val gainCols = cand.map { case (_, bit) =>
+            sum(when(col("mask").bitwiseAND(bit) =!= 0, col("cnt"))
+              .otherwise(lit(0L))).as(s"b$bit")
+          }
+          val row = free.agg(gainCols.head, gainCols.tail: _*)
+            .head() // 1-row aggregate (O(1) driver pull)
+          cand.toSeq.map { case (name, bit) =>
+            (name, bit, Option(row.getAs[java.lang.Long](s"b$bit"))
+              .fold(0L)(_.longValue))
+          }
+        }
+      // a source with ZERO fresh shingles never appears in the
+      // round's gain frame (count over an absent group) — so an
+      // all-covered round picks NOTHING and emits the NULL row both
+      // engines produce (aggregate over empty input)
+      val positive = gains.filter(_._3 > 0)
+      if (positive.isEmpty) {
+        out += ((r.toLong, None, None, cum))
+      } else {
+        val mg = positive.map(_._3).max
+        val (name, bit, gain) = positive.filter(_._3 == mg).minBy(_._1)
+        picked |= bit
+        cum = Some(cum.getOrElse(0L) + gain)
+        out += ((r.toLong, Some(name), Some(gain), cum))
+      }
     }
-    // cumulative coverage over the <= k-row pick frame via a bounded
-    // self-join (no global window, nothing for the plan sweep to flag)
-    val cum = rows.select(col("rk").as("rk2"), col("gain").as("g2"))
-    rows.join(broadcast(cum), col("rk2") <= col("rk"))
-      .groupBy(col("rk"), col("source"), col("gain"))
-      .agg(sum(col("g2")).as("covered"))
+    out.toSeq.toDF("rk", "source", "gain", "covered")
       .orderBy("rk")
   }
 

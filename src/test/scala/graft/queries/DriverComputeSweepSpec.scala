@@ -67,6 +67,14 @@ object DriverComputeRegistry {
       "q169 Gram matrix: d² = 4096 dimension-lattice cells, constant " +
         "at any corpus size — the power rounds are exact BigInt driver " +
         "arithmetic over it (q246/q251 class)"),
+    ("operators/Layout.scala", "lat.collect() // bounded: 2^3 = 8",
+      "q289 HRU greedy input: the cuboid lattice of 3 cube attributes " +
+        "— 2^3 = 8 rows by construction at any corpus size; the greedy " +
+        "rounds are exact integer driver arithmetic (q169/q246 class)"),
+    ("operators/TextAnalysis.scala", ".collect() // bounded: source domain",
+      "q254 source→bit mapping: distinct document sources — the ≤~20 " +
+        "value source domain (the q330/q345 PipelineFilters class), " +
+        "guarded by an explicit require(≤62) before any mask is built"),
     ("operators/ConnectedComponents.scala", "edges.as[(Long, Long)].collect()",
       "gated by driverLimit (default 5M edges) in compute/computeCkpt; " +
         "above it the property-tested distributed min-label path runs"),

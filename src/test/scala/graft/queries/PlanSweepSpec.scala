@@ -426,8 +426,9 @@ object PlanSweepAllowlist {
       "quality-score histogram ≤90 literal classes"),
     ("q288_bh_fdr", "nonequi-agg",
       "BH step-up on the 10-row p frame (literal |type pairs| = C(5,2))"),
-    ("q289_view_selection", "nonequi-agg",
-      "cube lattice: 8 literal masks (2³ dimension subsets)"),
+    // q289's nonequi-agg entry removed r13: the greedy rounds moved to
+    // registered driver arithmetic over the collected 8-row lattice
+    // (DriverComputeRegistry), so the non-equi shape no longer plans
     ("q348_ransac_consensus", "nonequi-agg",
       "candidate frame ≤16 rows (TakeOrdered 32-seed pairing) broadcast into one corpus pass"),
     ("q363_jonckheere", "nonequi-agg",
