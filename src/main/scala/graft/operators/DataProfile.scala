@@ -4950,6 +4950,8 @@ object DataProfile {
     val dd = h1.crossJoin(h2)
       .groupBy((col("r2") - col("r1")).as("diff"))
       .agg(sum(col("c1") * col("c2")).as("c"))
+      .ckpt() // consumed 3× (rank sample + prefix + total): without
+              // the cut the |h1|×|h2| Walsh cross join re-ran each time
     val tot = dd.agg(sum(col("c")).cast("bigint").as("m"))
     val hl = ScaleRank.withRunningSum(dd, Seq.empty, Seq(col("diff")),
         col("c"), "cum")

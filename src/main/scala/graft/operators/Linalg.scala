@@ -186,9 +186,12 @@ object Linalg {
       // Gram via the join-free pair explode (r13): one scan, zero
       // pair-stage shuffles — see Learn.pointPairs. Cell values are
       // the identical decimal sums of the identical long products.
+      // qi·qj in LONG (|q| ≤ 10⁶ by quantization, product ≤ 10¹² —
+      // always exact), ONE decimal conversion feeding the exact sum:
+      // halves the per-pair decimal work vs dec(qi)·dec(qj), same value
       val pp = Learn.pointPairs(Tables.embeddings(s, dir))
       val g = pp.groupBy(col("i"), col("j"))
-        .agg(sum(dec(col("qi")) * dec(col("qj"))).as("gv"))
+        .agg(sum(dec(col("qi") * col("qj"))).as("gv"))
       // the Gram frame is d² = 4096 cells — CONSTANT at any corpus
       // size — so the eight power rounds are a registered driver fold
       // (the adjudicated q246/q251 class; r11: replaces 8 tiny
@@ -384,7 +387,8 @@ object Linalg {
     val g = Learn.pointPairs(emb, extra = Seq("label"))
       .groupBy(col("label"), col("i"), col("j"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
-        sum(dec(col("qi")) * col("qj")).cast("decimal(38,0)").as("qq"),
+        // qi·qj in LONG (≤10¹², exact) — one decimal cast per pair
+        sum(dec(col("qi") * col("qj"))).cast("decimal(38,0)").as("qq"),
         sum(dec(col("qi"))).cast("decimal(38,0)").as("sa"),
         sum(dec(col("qj"))).cast("decimal(38,0)").as("sb"))
     val c = g.select(col("label"), col("i"), col("j"), col("n"),
