@@ -590,17 +590,25 @@ object DataProfile {
     * 10000·dev > 44478·mad, so no float exists to disagree on.
     *
     * Both medians are the q144 crossing formulation (min value whose
-    * doubled running count reaches the total) over a UNIQUE
-    * (value, event_id) order — deterministic even with ties.
+    * doubled running count reaches the total), computed (r14) on the
+    * (type, value) HISTOGRAM instead of per-row — the q177 weighted
+    * form. Equivalence to the oracle's per-(value, event_id) running
+    * count is exact: the qualifying rows {2·cw ≥ n} form a suffix of
+    * the (v, event_id) order, so min(v) over it equals min(v) over
+    * {v : 2·cum_count(v) ≥ n} — the first qualifying row's value v*
+    * has 2·C(v*) ≥ 2·cw ≥ n, and every v < v* has C(v) equal to some
+    * earlier row's cw, all of which fail the threshold.
     *
-    * Scale design (100 TB): event_type is a bounded key (a handful of
-    * values), so a running-count WINDOW would sort a constant fraction
-    * of the table in one task; both prefix passes run through
+    * Scale design (100 TB): the fact collapses ONCE to the (type,
+    * milli-value) histogram — the only fact-sized exchange (the old
+    * formulation ran two full per-row prefix passes plus a third
+    * deviation re-scan). The histogram is bounded by the discrete
+    * value domain, not the row count (the q17/q177 argument); both
+    * prefix passes over it still run through
     * [[ScaleRank.withRunningSum]] (range-chunk local sums + broadcast
-    * chunk offsets — every task bounded by a range chunk), the q144
-    * discipline. The deviation pass re-scans the fact rows once more
-    * against the broadcast 1-row-per-type median — unavoidable for an
-    * exact MAD, which is inherently two-pass. */
+    * chunk offsets), never a bare window, and the deviation histogram
+    * and outlier counts are integer re-aggregations of the same
+    * counts. */
   val q172MadOutliers: QueryDef = QueryDef(
     "q172_mad_outliers",
     """WITH r AS (
@@ -633,28 +641,32 @@ object DataProfile {
       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM d JOIN md USING (etype) JOIN m ON m.etype = d.etype
       |GROUP BY 1, 2, 3, 4 ORDER BY m.etype""".stripMargin) { (s, dir) =>
-    val r = Tables.events(s, dir)
+    // ONE fact-sized pass: everything below runs on the (type, value)
+    // histogram (value-domain-bounded); equivalence argued above
+    val h = Tables.events(s, dir)
       .select(col("event_type").as("etype"),
-        floor(col("value") * 1000).cast("bigint").as("v"),
-        col("event_id"))
-    val t = r.groupBy(col("etype")).agg(count(lit(1)).as("n"))
-    val med = ScaleRank.withRunningSum(r, Seq("etype"),
-        Seq(col("v"), col("event_id")), lit(1L), "cw")
+        floor(col("value") * 1000).cast("bigint").as("v"))
+      .groupBy(col("etype"), col("v")).agg(count(lit(1)).as("c"))
+      .ckpt() // feeds the median pass AND the deviation histogram
+    val t = h.groupBy(col("etype")).agg(sum(col("c")).as("n"))
+    val med = ScaleRank.withRunningSum(h, Seq("etype"),
+        Seq(col("v")), col("c"), "cw")
       .join(broadcast(t), Seq("etype"))
       .filter(lit(2) * col("cw") >= col("n"))
       .groupBy(col("etype"), col("n"))
       .agg(min(col("v")).as("med"))
-    val d = r.join(broadcast(med), Seq("etype"))
-      .select(col("etype"), abs(col("v") - col("med")).as("dev"),
-        col("event_id"), col("n"))
-    val mad = ScaleRank.withRunningSum(d, Seq("etype"),
-        Seq(col("dev"), col("event_id")), lit(1L), "cw")
+    val hd = h.join(broadcast(med), Seq("etype"))
+      .groupBy(col("etype"), col("n"), abs(col("v") - col("med")).as("dev"))
+      .agg(sum(col("c")).as("c"))
+      .ckpt() // feeds the MAD pass AND the outlier count
+    val mad = ScaleRank.withRunningSum(hd, Seq("etype"),
+        Seq(col("dev")), col("c"), "cw")
       .filter(lit(2) * col("cw") >= col("n"))
       .groupBy(col("etype"), col("n"))
       .agg(min(col("dev")).as("mad"))
-    d.join(broadcast(mad.select(col("etype"), col("mad"))), Seq("etype"))
+    hd.join(broadcast(mad.select(col("etype"), col("mad"))), Seq("etype"))
       .groupBy(col("etype"))
-      .agg(sum(when(lit(10000) * col("dev") > lit(44478) * col("mad"), 1L)
+      .agg(sum(when(lit(10000) * col("dev") > lit(44478) * col("mad"), col("c"))
         .otherwise(0L)).as("n_outliers"))
       .join(med, Seq("etype"))
       .join(mad.select(col("etype"), col("mad")), Seq("etype"))
@@ -2174,18 +2186,21 @@ object DataProfile {
           floor(col("value") * 1000).cast("bigint").as("v"))
       val pe = ev.join(broadcast(pb),
           col("g") === col("x") || col("g") === col("y"))
-        .ckpt() // feeds the observed pass AND the coin fan-out
-      val obs = pe.groupBy(col("x"), col("y"))
-        .agg((expr("sum(case when g = x then v end) div " +
-          "count(case when g = x then 1 end)") -
-          expr("sum(case when g = y then v end) div " +
-            "count(case when g = y then 1 end)")).as("d"))
       // ONE md5 per (pair, event); the 32 relabelings read independent
-      // BITS of the 60-bit prefix, and ALL 32 abs-mean-differences come
-      // out of ONE wide conditional aggregate — no 32x row fan-out
-      val ph = pe.select(col("x"), col("y"), col("v"), expr(
+      // BITS of the 60-bit prefix, and ALL 32 abs-mean-differences AND
+      // the observed per-side means come out of ONE wide conditional
+      // aggregate — no 32x row fan-out, and (r14) no second pass over
+      // the 8x-fanout pair frame for the observed difference (the old
+      // obs aggregate is the sx/cx/sy/cy quartet below; the values are
+      // the same integer sums either way)
+      val ph = pe.select(col("x"), col("y"), col("g"), col("v"), expr(
         "cast(conv(substring(md5(concat(x, '~', y, '|', cast(m as string))), " +
           "1, 15), 16, 10) as bigint)").as("h"))
+      val obsAggs: Seq[Column] = Seq(
+        sum(when(col("g") === col("x"), col("v"))).as("sxv"),
+        count(when(col("g") === col("x"), 1)).as("cxv"),
+        sum(when(col("g") === col("y"), col("v"))).as("syv"),
+        count(when(col("g") === col("y"), 1)).as("cyv"))
       val wideAggs: Seq[Column] = (1 to 32).flatMap { b =>
         val w = 1L << (b - 1)
         Seq(
@@ -2194,16 +2209,19 @@ object DataProfile {
           sum(when(expr(s"(h div ${w}L) % 2") === 1, col("v"))).as(s"s1_$b"),
           count(when(expr(s"(h div ${w}L) % 2") === 1, 1)).as(s"c1_$b"))
       }
+      val allAggs = obsAggs ++ wideAggs
       val wide = ph.groupBy(col("x"), col("y"))
-        .agg(wideAggs.head, wideAggs.tail: _*)
-      val stackExpr = "stack(32, " + (1 to 32).map(b =>
-        s"cast($b as bigint), abs(s0_$b div c0_$b - s1_$b div c1_$b)")
-        .mkString(", ") + ") as (b, ad)"
-      val perm = wide.select(col("x"), col("y"), expr(stackExpr))
-      val pv = obs.join(perm, Seq("x", "y"))
-        .groupBy(col("x"), col("y"), col("d"))
-        .agg(expr("(1000000 * (1 + sum(case when ad >= abs(d) then 1 else 0 end))) div 33")
-          .as("p_ppm"))
+        .agg(allAggs.head, allAggs.tail: _*)
+      // p-value inline over the 10-row wide frame: the old perm stack +
+      // join + count re-expressed as a 32-term sum of the identical
+      // integer comparisons
+      val pCnt = (1 to 32).map(b =>
+        s"(case when abs(s0_$b div c0_$b - s1_$b div c1_$b) >= abs(d) " +
+          "then 1 else 0 end)").mkString(" + ")
+      val pv = wide
+        .withColumn("d", expr("sxv div cxv - syv div cyv"))
+        .select(col("x"), col("y"), col("d"),
+          expr(s"(1000000 * (1 + ($pCnt))) div 33").as("p_ppm"))
         .ckpt() // 10 rows; feeds rank join AND kmax
       val rk = pv.as("a")
         .join(broadcast(pv.select(col("x").as("cx"), col("y").as("cy"),

@@ -1865,6 +1865,9 @@ object Learn {
         base.join(lab, Seq("vec_id"))
           .groupBy(col("sd"), col("pos"), qb.as("qb"), col("label"))
           .agg(count(lit(1)).as("c"))
+          // r14 adjudication of the r13 +0.37 s: `.ckpt(eager = true)`
+          // here measured 2.67 s vs 2.66 s lazy (targeted best-of-3,
+          // sf0.1/32c) — the regression is not this seam; lazy kept
           .ckpt()
       }
       // per-side best split over a side-keyed cube (q173's chain)
@@ -2379,6 +2382,16 @@ object Learn {
       val mv = s.range(1, 32).toDF("mask")
         .crossJoin(broadcast(vnds))
         .filter(expr("(mask & shiftleft(CAST(1 AS BIGINT), vnd)) <> 0"))
+      // r14 negative result, measured and reverted: a "mask-block"
+      // rewrite that never materializes the (mask, c, w) model —
+      // vendor-pivoted per-(c, w) counts with all 31 mask log-probs
+      // computed inline as a 31-element array — ran 8.5 s vs 2.9 s
+      // (BenchOne taskTime 10.9 s vs 4.9 s): the ~1200-node array
+      // projection falls out of whole-stage codegen (the q291 r13
+      // lesson), and the fan-out it removes is only ~2k rows because
+      // the vocabulary is MODEL-bounded (31 words at every SF), so
+      // the materialized lp join below is the cheaper plan at any
+      // scale where the vocab stays model-bounded.
       val cw = cwv.join(broadcast(mv), Seq("vnd"))
         .groupBy("mask", "c", "w").agg(sum("cwc").as("cwc"))
         .ckpt() // all 31 subset models in one frame

@@ -70,7 +70,14 @@ package object graft {
       * plan so the sweep sees what the checkpoint hides — both as a
       * flat segment list and keyed by the checkpoint RDD's id so join
       * sites over LogicalRDD leaves can be classified. */
-    def ckpt(): Dataset[T] = {
+    def ckpt(): Dataset[T] = ckpt(eager = false)
+
+    /** `eager = true` is the r14 per-site escape hatch for the lazy
+      * default below: a handful of hot seams (adjudicated in
+      * OPTIMIZATION_r14.md) materialize faster as their own job than
+      * folded into the first consumer. Values are identical either
+      * way — only WHEN the segment computes changes. */
+    def ckpt(eager: Boolean): Dataset[T] = {
       if (Ckpt.auditing) {
         val seg = ds.queryExecution.optimizedPlan
         Ckpt.record(seg)
@@ -81,19 +88,19 @@ package object graft {
           case _ => ()
         }
         out
-      // eager = false (r13): the lineage cut — the reason every one of
-      // these sites exists — happens at plan-construction time either
-      // way (the subtree is swapped for a LogicalRDD immediately), and
-      // the RDD is still persisted-once-computed, so every multi-
-      // consumer site reads the materialized blocks exactly as before.
-      // What laziness removes is the SEPARATE materialization job per
-      // call site: with AQE the segment's shuffle stages still run at
-      // build time, but the final result-stage pass (one full job per
-      // ckpt — iterative queries carry 5-15 of them) folds into the
-      // first consuming action. Measured r13: -0.5..-1.4 s on the
-      // checkpoint-heavy heavies at sf0.1, value-identical results
-      // (447/447 oracle-green).
-      } else ds.localCheckpoint(eager = false)
+      // eager = false default (r13): the lineage cut — the reason every
+      // one of these sites exists — happens at plan-construction time
+      // either way (the subtree is swapped for a LogicalRDD
+      // immediately), and the RDD is still persisted-once-computed, so
+      // every multi-consumer site reads the materialized blocks exactly
+      // as before. What laziness removes is the SEPARATE
+      // materialization job per call site: with AQE the segment's
+      // shuffle stages still run at build time, but the final
+      // result-stage pass (one full job per ckpt — iterative queries
+      // carry 5-15 of them) folds into the first consuming action.
+      // Measured r13: -0.5..-1.4 s on the checkpoint-heavy heavies at
+      // sf0.1, value-identical results (447/447 oracle-green).
+      } else ds.localCheckpoint(eager)
     }
   }
 }
