@@ -86,7 +86,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * emits O(dim) expression nodes, which at dim=64 already falls out of
   * whole-stage codegen inside join stages (measured: a 64-term
   * expression-tree dot in q291's pair stage ran ~30× slower than this
-  * loop). */
+  * loop).
+  *
+  * LENGTH CONTRACT (r14, VERDICT r13 item 2): like [[CosineSimilarity]],
+  * the loop runs over `min(|x|, |y|)` elements. The hoisted-norm
+  * identity above therefore additionally assumes FIXED-LENGTH vectors:
+  * for ragged pairs, `cosine_sim` truncates BOTH norm accumulations to
+  * the shorter length, while a per-row `sqrt(dot_product(v, v))` norm
+  * uses each row's full length — the two diverge the moment lengths
+  * differ. Every corpus embedding is dim-64 by the generator contract
+  * (and the oracle gate hashes would catch a violation), but any new
+  * hoist site over potentially ragged vectors must either pad/slice to
+  * a common length first or keep `cosine_sim`. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 

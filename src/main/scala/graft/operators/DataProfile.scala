@@ -198,7 +198,8 @@ object DataProfile {
         // while DuckDB errors on CAST(floor(NaN) AS BIGINT) — guard
         // the degenerate group explicitly on BOTH sides instead
         when(col("mx") === col("mn"), lit(0L)).otherwise(
-          least(floor((col("o_totalprice") - col("mn")) * 16 / (col("mx") - col("mn")))
+          least(floor((col("o_totalprice") - col("mn")) * 16 /
+            nullif(col("mx") - col("mn"), lit(0d)))
             .cast("bigint"), lit(15L))).as("bin"))
       .groupBy(col("pri"), col("bin")).agg(count(lit(1)).as("n"))
       .orderBy("pri", "bin")
@@ -833,7 +834,7 @@ object DataProfile {
       .agg(sum(col("w")).as("n_eff"),
         sum(col("w") * col("v")).as("wv"))
       .select(col("b"), col("n_eff"),
-        expr("wv div n_eff").as("mean_milli"))
+        expr("wv div nullif(n_eff, 0)").as("mean_milli"))
       .orderBy("b")
   }
 
@@ -1005,7 +1006,7 @@ object DataProfile {
         col("exp_ppm"))
       .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
         (col("obs_ppm") - col("exp_ppm")).as("dev_ppm"),
-        expr("((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) div exp_ppm")
+        expr("((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) div nullif(exp_ppm, 0)")
           .as("chi2_term_ppm"))
       .orderBy("digit")
   }
@@ -1202,12 +1203,14 @@ object DataProfile {
       .agg(min("cents").as("at_cents"))
     val nad = col("na").cast("double")
     val nbd = col("nb").cast("double")
-    val crit = lit(1.358) * sqrt((col("na") + col("nb")).cast("double") / (nad * nbd))
+    val crit = lit(1.358) * sqrt((col("na") + col("nb")).cast("double") /
+      nullif(nad * nbd, lit(0d)))
     t.crossJoin(broadcast(d)).crossJoin(broadcast(loc))
       .select(col("na"), col("nb"), col("at_cents"),
-        expr("(1000000 * d_num) div (na * nb)").as("d_ppm"),
+        expr("(1000000 * d_num) div nullif(na * nb, 0)").as("d_ppm"),
         floor(lit(1000000.0) * crit).cast("bigint").as("crit_ppm"),
-        (col("d_num").cast("double") / (nad * nbd) > crit).as("reject_95"))
+        (col("d_num").cast("double") / nullif(nad * nbd, lit(0d)) > crit)
+          .as("reject_95"))
   }
 
   /** q225 — Spearman rank correlation between line-item quantity and
@@ -2356,12 +2359,12 @@ object DataProfile {
     // the same NULL (one shared string, parsed by both)
     val smd =
       "CAST(floor(1e3 * " +
-        "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
-        "CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / " +
+        "(CAST(s1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0e0) - " +
+        "CAST(s0 AS DOUBLE) / nullif(CAST(n0 AS DOUBLE), 0e0)) / " +
         "nullif(sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)" +
-        " / CAST(n1 AS DOUBLE)) / CAST(n1 AS DOUBLE) + " +
+        " / nullif(CAST(n1 AS DOUBLE), 0e0)) / nullif(CAST(n1 AS DOUBLE), 0e0) + " +
         "(CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)" +
-        " / CAST(n0 AS DOUBLE)) / CAST(n0 AS DOUBLE)) / 2e0), 0)) AS BIGINT)"
+        " / nullif(CAST(n0 AS DOUBLE), 0e0)) / nullif(CAST(n0 AS DOUBLE), 0e0)) / 2e0), 0)) AS BIGINT)"
     QueryDef(
       "q313_covariate_balance",
       s"""WITH f AS (
@@ -2592,7 +2595,7 @@ object DataProfile {
         .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
         .select(col("assignment"), col("n_a"), col("n_b"),
-          expr("(1000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)")
+          expr("(1000 * (n_a - n_b) * (n_a - n_b)) div nullif(n_a + n_b, 0)")
             .as("chi2_milli"),
           when(lit(1000L) * (col("n_a") - col("n_b")) *
             (col("n_a") - col("n_b")) > lit(3841L) * (col("n_a") + col("n_b")),
@@ -2712,9 +2715,9 @@ object DataProfile {
         " // (no * tl * n) AS BIGINT)"
     val termSpark =
       "CAST((1000 * (n * el - ne * tl) * (n * el - ne * tl))" +
-        " div (ne * tl * n) +" +
+        " div nullif(ne * tl * n, 0) +" +
         " (1000 * (n * ol - no * tl) * (n * ol - no * tl))" +
-        " div (no * tl * n) AS BIGINT)"
+        " div nullif(no * tl * n, 0) AS BIGINT)"
     QueryDef(
       "q335_split_stratification",
       s"""WITH c AS (
@@ -2945,9 +2948,9 @@ object DataProfile {
     // e_micro from exact integers (sxy, sxx, syy, nx, ny):
     val eChain =
       "CAST(floor(1e6 * (2e0 * CAST(sxy AS DOUBLE)" +
-        " / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))" +
-        " - CAST(sxx AS DOUBLE) / (CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE))" +
-        " - CAST(syy AS DOUBLE) / (CAST(ny AS DOUBLE) * CAST(ny AS DOUBLE)))" +
+        " / nullif(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE), 0e0)" +
+        " - CAST(sxx AS DOUBLE) / nullif(CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE), 0e0)" +
+        " - CAST(syy AS DOUBLE) / nullif(CAST(ny AS DOUBLE) * CAST(ny AS DOUBLE), 0e0))" +
         ") AS BIGINT)"
     QueryDef(
       "q342_energy_distance",

@@ -499,11 +499,18 @@ object Dedup {
     // one O(1)-row count to derive the blocking resolution — the same
     // scalar the oracle CTE derives from count(*) in pure integer SQL
     val planes = adaptivePlanes(e.count())
+    // per-ROW norm hoisted below the pair join (r14, the r13
+    // IvfIndex.norm discipline): the pair stage evaluates ONE dot loop
+    // + na·nb instead of cosine_sim's three dot loops per pair.
+    // Bit-identical on this corpus's fixed-dimension embeddings — see
+    // the DotProduct length contract at VectorExpressions
     val bucketed = e.select(col("vec_id"), col("embedding"),
-      expr(s"lsh_bucket(embedding, $planes, $DIM)").as("bucket"))
-    bucketed.select(col("vec_id").as("a"), col("bucket"), col("embedding").as("va"))
+      expr(s"lsh_bucket(embedding, $planes, $DIM)").as("bucket"),
+      sqrt(expr("dot_product(embedding, embedding)")).as("nrm"))
+    bucketed.select(col("vec_id").as("a"), col("bucket"),
+        col("embedding").as("va"), col("nrm").as("na"))
       .join(bucketed.select(col("vec_id").as("b"), col("bucket").as("bucketb"),
-          col("embedding").as("vb")),
+          col("embedding").as("vb"), col("nrm").as("nb")),
         col("bucket") === col("bucketb") && col("a") < col("b"))
   }
 
@@ -531,7 +538,8 @@ object Dedup {
     val e = Tables.embeddings(s, dir)
       .repartition(col("vec_id")) // single-file scan -> use every core
     embeddingCandidates(e)
-      .select(col("a"), col("b"), expr("cosine_sim(va, vb)").as("cos_sim"))
+      .select(col("a"), col("b"),
+        (expr("dot_product(va, vb)") / nullif(col("na") * col("nb"), lit(0d))).as("cos_sim"))
       .filter(col("cos_sim") >= 0.35)
       .orderBy("a", "b")
   }
@@ -601,16 +609,21 @@ object Dedup {
         .select(col("vec_id"), col("embedding"),
           md5(col("vec_id").cast("string")).as("mk"))
         .orderBy(col("mk"), col("vec_id")).limit(512)
-        .select(Seq(col("vec_id"), col("embedding")) ++
+        .select(Seq(col("vec_id"), col("embedding"),
+          // hoisted per-row norm (r14) — one dot loop per sample pair
+          sqrt(expr("dot_product(embedding, embedding)")).as("nrm")) ++
           shapes.map(p => expr(s"lsh_bucket(embedding, $p, $DIM)").as(s"b$p")): _*)
         .ckpt() // both sides of the 512-row pair join
-      val left = sample.select(Seq(col("vec_id").as("a"), col("embedding").as("va")) ++
+      val left = sample.select(Seq(col("vec_id").as("a"),
+        col("embedding").as("va"), col("nrm").as("na")) ++
         shapes.map(p => col(s"b$p").as(s"xa$p")): _*)
-      val right = sample.select(Seq(col("vec_id").as("b"), col("embedding").as("vb")) ++
+      val right = sample.select(Seq(col("vec_id").as("b"),
+        col("embedding").as("vb"), col("nrm").as("nb")) ++
         shapes.map(p => col(s"b$p").as(s"xb$p")): _*)
       val pairs = left.join(right, col("a") < col("b"))
         .withColumn("truth",
-          (expr("cosine_sim(va, vb)") >= lit(0.35)).cast("long"))
+          (expr("dot_product(va, vb)") / nullif(col("na") * col("nb"), lit(0d)) >= lit(0.35))
+            .cast("long"))
       pairs
         .select(explode(array(shapes.map(p => struct(
           lit(p.toLong).as("planes"),
@@ -957,10 +970,15 @@ object Dedup {
       val asg = Learn.assign(pts, cent).ckpt()
       val e = asg.select(col("vec_id"), col("cid"))
         .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      val dropped = e.select(col("vec_id").as("a"), col("cid"), col("embedding").as("va"))
-        .join(e.select(col("vec_id").as("b"), col("cid").as("cidb"), col("embedding").as("vb")),
+        // hoisted per-row norm (r14) — one dot loop per in-cluster pair
+        .withColumn("nrm", sqrt(expr("dot_product(embedding, embedding)")))
+      val dropped = e.select(col("vec_id").as("a"), col("cid"),
+          col("embedding").as("va"), col("nrm").as("na"))
+        .join(e.select(col("vec_id").as("b"), col("cid").as("cidb"),
+            col("embedding").as("vb"), col("nrm").as("nb")),
           col("cid") === col("cidb") && col("a") < col("b"))
-        .filter(expr("cosine_sim(va, vb)") >= expr(TAU))
+        .filter(expr("dot_product(va, vb)") / nullif(col("na") * col("nb"), lit(0d)) >=
+          expr(TAU))
         .groupBy(col("cid")).agg(countDistinct(col("b")).as("n_dropped"))
       asg.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
         .join(dropped, Seq("cid"), "left")
@@ -1482,7 +1500,7 @@ object Dedup {
           expr("(1000000 * coalesce(n_coblocked, 0)) div n_truth"))
           .as("completeness_ppm"),
         (lit(1000000) - expr(
-          "(1000000 * n_cand) div (n_docs * (n_docs - 1) div 2)"))
+          "(1000000 * n_cand) div nullif(n_docs * (n_docs - 1) div 2, 0)"))
           .as("reduction_ppm"))
       .orderBy("strategy")
   }
@@ -2329,7 +2347,7 @@ object Dedup {
         greatest(col("na"), col("nb")).as("n_container"),
         col("inter"))
       .filter(col("inter") * 10 >= col("n_contained") * 8)
-      .withColumn("cont_ppm", expr("(1000000 * inter) div n_contained"))
+      .withColumn("cont_ppm", expr("(1000000 * inter) div nullif(n_contained, 0)"))
       .orderBy(col("contained"), col("container"))
   }
 }

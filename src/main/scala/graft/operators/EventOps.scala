@@ -1626,15 +1626,19 @@ object EventOps {
       .select(expr("stack(2, 'signup_to_click', n_s, n_c," +
         " 'click_to_purchase', n_c, n_p) AS (transition, nf, nt)"))
     val nfD = col("nf").cast("double")
-    val pD = col("nt").cast("double") / nfD
-    val half = lit(1.96) * sqrt(pD * (lit(1.0) - pD) / nfD +
-      lit(0.9604) / (nfD * nfD))
-    val denom = lit(1.0) + lit(3.8416) / nfD
+    val pD = col("nt").cast("double") / nullif(nfD, lit(0d))
+    val half = lit(1.96) * sqrt(pD * (lit(1.0) - pD) / nullif(nfD, lit(0d)) +
+      lit(0.9604) / nullif(nfD * nfD, lit(0d)))
+    val denom = lit(1.0) + lit(3.8416) / nullif(nfD, lit(0d))
     k.select(col("transition"), col("nf").as("n_from"), col("nt").as("n_to"),
         expr("(1000000 * nt) div nf").as("conv_ppm"),
-        floor(lit(1000000.0) * ((pD + lit(1.9208) / nfD - half) / denom))
+        floor(lit(1000000.0) *
+          ((pD + lit(1.9208) / nullif(nfD, lit(0d)) - half) /
+            nullif(denom, lit(0d))))
           .cast("bigint").as("wilson_lo_ppm"),
-        floor(lit(1000000.0) * ((pD + lit(1.9208) / nfD + half) / denom))
+        floor(lit(1000000.0) *
+          ((pD + lit(1.9208) / nullif(nfD, lit(0d)) + half) /
+            nullif(denom, lit(0d))))
           .cast("bigint").as("wilson_hi_ppm"))
       .orderBy("transition")
   }
@@ -1943,7 +1947,7 @@ object EventOps {
         max(when(col("span") === "m", col("u"))).as("mau"))
       .select(date_format(col("rday"), "yyyy-MM-dd").as("day"),
         col("dau"), col("wau"), col("mau"),
-        expr("(1000000 * dau) div mau").as("stickiness_ppm"))
+        expr("(1000000 * dau) div nullif(mau, 0)").as("stickiness_ppm"))
       .orderBy("day")
   }
 
@@ -2786,11 +2790,11 @@ object EventOps {
     // two-proportion z on (ka of na) vs (kb of nb), milli
     val z =
       "CASE WHEN ka > 0 AND kb > 0 AND ka < na AND kb < nb THEN" +
-        " CAST(floor(1e3 * (CAST(ka AS DOUBLE) / CAST(na AS DOUBLE)" +
-        " - CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE))" +
-        " / sqrt((CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE))" +
-        " * (1e0 - CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE))" +
-        " * (1e0 / CAST(na AS DOUBLE) + 1e0 / CAST(nb AS DOUBLE))))" +
+        " CAST(floor(1e3 * (CAST(ka AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0e0)" +
+        " - CAST(kb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0e0))" +
+        " / nullif(sqrt((CAST(ka + kb AS DOUBLE) / nullif(CAST(na + nb AS DOUBLE), 0e0))" +
+        " * (1e0 - CAST(ka + kb AS DOUBLE) / nullif(CAST(na + nb AS DOUBLE), 0e0))" +
+        " * (1e0 / nullif(CAST(na AS DOUBLE), 0e0) + 1e0 / nullif(CAST(nb AS DOUBLE), 0e0))), 0e0))" +
         " AS BIGINT) END"
     QueryDef(
       "q343_ab_funnel",
@@ -2851,8 +2855,8 @@ object EventOps {
           max(when(col("arm") === 1, col("base"))).as("nb"))
         .select(col("step"), col("event_type"), col("ka"), col("na"),
           col("kb"), col("nb"),
-          expr("(1000000 * ka) div na").as("conv_a_ppm"),
-          expr("(1000000 * kb) div nb").as("conv_b_ppm"),
+          expr("(1000000 * ka) div nullif(na, 0)").as("conv_a_ppm"),
+          expr("(1000000 * kb) div nullif(nb, 0)").as("conv_b_ppm"),
           expr(z).as("z_milli"))
         .orderBy("step")
     }

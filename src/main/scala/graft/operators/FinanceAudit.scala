@@ -189,7 +189,7 @@ object FinanceAudit {
         sum(col("cents") * col("q")).as("notional_cents"))
       .select(col("flag"), col("ym"), col("n_lines"), col("qty"),
         col("notional_cents"),
-        expr("notional_cents div qty").as("vwap_cents"))
+        expr("notional_cents div nullif(qty, 0)").as("vwap_cents"))
       .orderBy("flag", "ym")
   }
 
@@ -816,9 +816,10 @@ object FinanceAudit {
       .filter(col("tot") > 0)
       .select(col("nation"), col("n_suppliers"),
         col("tot").cast("bigint").as("rev_cents"),
-        floor(lit(1000000.0) * col("sq").cast("double") / (totd * totd))
+        floor(lit(1000000.0) * col("sq").cast("double") /
+            nullif(totd * totd, lit(0d)))
           .cast("bigint").as("hhi_ppm"),
-        floor(lit(1000.0) * totd * totd / col("sq").cast("double"))
+        floor(lit(1000.0) * totd * totd / nullif(col("sq").cast("double"), lit(0d)))
           .cast("bigint").as("eff_suppliers_milli"))
       .orderBy("nation")
   }

@@ -193,7 +193,7 @@ object Forecast {
       .join(broadcast(daily).as("b"), expr("b.d > a.d"))
       .select(col("a.d").as("ad"), col("b.d").as("bd"),
         floor(lit(1000.0) * (col("b.x") - col("a.x")) /
-          (col("b.d") - col("a.d"))).cast("bigint").as("slope"))
+          nullif(col("b.d") - col("a.d"), lit(0d))).cast("bigint").as("slope"))
       .ckpt() // the rank's repartitionByRange SAMPLES its input first:
               // without the cut the |days|²/2 nested-loop pair build
               // ran twice (sample pass + partition pass) — r13, §2.4

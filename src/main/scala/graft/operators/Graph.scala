@@ -317,7 +317,7 @@ object Graph {
         .join(deg.select(col("n").as("x"), col("d").as("dx")), Seq("x"))
         .join(deg.select(col("n").as("y"), col("d").as("dy")), Seq("y"))
         .select(col("x"), col("y"), col("cn"),
-          expr("(1000000 * cn) div (dx + dy - cn)").as("jaccard_ppm"))
+          expr("(1000000 * cn) div nullif(dx + dy - cn, 0)").as("jaccard_ppm"))
         .orderBy(col("cn").desc, col("x"), col("y"))
         .limit(TOPK)
     }

@@ -466,12 +466,12 @@ object Layout {
     st.select(col("cname"), col("n"), col("nd"), col("runs"),
         expr("(1000000 * nd) div n").as("distinct_ppm"),
         expr("(1000 * n) div runs").as("avg_run_milli"),
-        when(col("npairs") > 0, expr("(1000000 * ndc) div npairs"))
+        when(col("npairs") > 0, expr("(1000000 * ndc) div nullif(npairs, 0)"))
           .otherwise(lit(-1L)).as("frac_nondec_ppm"),
         when(expr("(1000 * n) div runs") >= 4000, "RLE")
           .when(expr("(1000000 * nd) div n") <= 10000, "DICT")
           .when(col("npairs") > 0 &&
-            expr("(1000000 * ndc) div npairs") >= 990000, "DELTA")
+            expr("(1000000 * ndc) div nullif(npairs, 0)") >= 990000, "DELTA")
           .otherwise("PLAIN").as("recommendation"))
       .orderBy("cname")
   }
@@ -749,29 +749,40 @@ object Layout {
       val cells = lat.collect() // bounded: 2^3 = 8 cuboid-lattice rows
       val size: Map[Long, Long] =
         cells.map(row => row.getLong(0) -> row.getLong(1)).toMap
-      val nameOf = Map(0L -> "total", 1L -> "P", 2L -> "L", 3L -> "L,P",
-        4L -> "R", 5L -> "R,P", 6L -> "R,L", 7L -> "R,L,P")
-      def ans(wm: Long, vm: Long): Boolean =
-        ((wm >> 2) & 1) <= ((vm >> 2) & 1) &&
-          ((wm >> 1) & 1) <= ((vm >> 1) & 1) && (wm & 1) <= (vm & 1)
-      val masks: Seq[Long] = size.keys.toSeq.sorted // Seq: per-w terms must not set-collapse
-      def curCost(m: Set[Long]): Map[Long, Long] =
-        masks.map(wm =>
-          wm -> m.toSeq.filter(vm => ans(wm, vm)).map(size).min).toMap
-      var m = Set(7L)
-      val out = (1 to R).map { r =>
-        val cc = curCost(m)
-        val bene: Map[Long, Long] = masks.filterNot(m).map(vm =>
-          vm -> masks.filter(wm => ans(wm, vm))
-            .map(wm => math.max(0L, cc(wm) - size(vm))).sum).toMap
-        val mb = bene.values.max
-        val pick = bene.collect { case (vm, b) if b == mb => vm }.min
-        m = m + pick
-        val total = curCost(m).values.sum
-        (r.toLong, nameOf(pick), size(pick), bene(pick), total)
+      // degenerate-corpus guard (r14, ADVICE r13): an empty fact yields
+      // a lattice without the base view (mask 7) and the greedy would
+      // throw (size(7), max over empty benefits). The oracle's picks
+      // are NULL masks there and its report matches no names row —
+      // an EMPTY result; degrade identically instead of crashing
+      if (!size.contains(7L)) {
+        Seq.empty[(Long, String, Long, Long, Long)]
+          .toDF("rk", "view_name", "view_size", "benefit",
+            "total_cost_after")
+      } else {
+        val nameOf = Map(0L -> "total", 1L -> "P", 2L -> "L", 3L -> "L,P",
+          4L -> "R", 5L -> "R,P", 6L -> "R,L", 7L -> "R,L,P")
+        def ans(wm: Long, vm: Long): Boolean =
+          ((wm >> 2) & 1) <= ((vm >> 2) & 1) &&
+            ((wm >> 1) & 1) <= ((vm >> 1) & 1) && (wm & 1) <= (vm & 1)
+        val masks: Seq[Long] = size.keys.toSeq.sorted // Seq: per-w terms must not set-collapse
+        def curCost(m: Set[Long]): Map[Long, Long] =
+          masks.map(wm =>
+            wm -> m.toSeq.filter(vm => ans(wm, vm)).map(size).min).toMap
+        var m = Set(7L)
+        val out = (1 to R).map { r =>
+          val cc = curCost(m)
+          val bene: Map[Long, Long] = masks.filterNot(m).map(vm =>
+            vm -> masks.filter(wm => ans(wm, vm))
+              .map(wm => math.max(0L, cc(wm) - size(vm))).sum).toMap
+          val mb = bene.values.max
+          val pick = bene.collect { case (vm, b) if b == mb => vm }.min
+          m = m + pick
+          val total = curCost(m).values.sum
+          (r.toLong, nameOf(pick), size(pick), bene(pick), total)
+        }
+        out.toDF("rk", "view_name", "view_size", "benefit",
+          "total_cost_after").orderBy("rk")
       }
-      out.toDF("rk", "view_name", "view_size", "benefit",
-        "total_cost_after").orderBy("rk")
     }
   }
 

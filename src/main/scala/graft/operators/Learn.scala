@@ -1414,7 +1414,7 @@ object Learn {
       w.crossJoin(broadcast(t))
         .select(col("label").cast("bigint").as("label"), col("n"),
           col("enb_milli"),
-          expr("(1000000 * w_nano) div tot").as("w_ppm"))
+          expr("(1000000 * w_nano) div nullif(tot, 0)").as("w_ppm"))
         .orderBy("label")
     }
   }

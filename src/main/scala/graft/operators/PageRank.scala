@@ -213,13 +213,13 @@ object PageRank {
         .ckpt()
       val am = ar.agg(max(col("ar")).as("am"))
       a = ar.crossJoin(broadcast(am))
-        .select(col("p"), expr(s"(ar * $SCALE) div am").as("a"))
+        .select(col("p"), expr(s"(ar * $SCALE) div nullif(am, 0)").as("a"))
       val hr = broadcast(a).join(e, Seq("p"))
         .groupBy(col("c")).agg(sum(col("a")).as("hr"))
         .ckpt()
       val hm = hr.agg(max(col("hr")).as("hm"))
       h = hr.crossJoin(broadcast(hm))
-        .select(col("c"), expr(s"(hr * $SCALE) div hm").as("h"))
+        .select(col("c"), expr(s"(hr * $SCALE) div nullif(hm, 0)").as("h"))
     }
     def top(df: DataFrame, idCol: String, scoreCol: String,
         side: String): DataFrame = {

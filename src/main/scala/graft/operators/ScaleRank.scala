@@ -75,6 +75,29 @@ object ScaleRank {
       case _ => false
     }
 
+  /** Null-safe group key for the two-level paths (r14, ADVICE r13):
+    * grouping, chunk-offset windows and the offset-attach join all key
+    * on ONE struct-wrapped copy of the group columns instead of the
+    * raw columns. Struct equality compares null fields as EQUAL (the
+    * standard null-safe-join idiom), so the two-level scheme no longer
+    * drops rows whose group key is NULL — a window treats NULL as an
+    * ordinary partition value, and dispatch follows the size estimate,
+    * so the old equi-join null semantics were a scale-dependent
+    * divergence from the r13 fast path. Deliberately NOT a renamed
+    * `<=>` condition join: that variant broke AQE's runtime reuse of
+    * the (sampling-nondeterministic) range-exchange stage between the
+    * local and offset sides and made multi-chunk results
+    * run-unstable (measured on q342 at sf0.1); keeping the original
+    * using-column broadcast-join shape preserves the stage dedup the
+    * scheme's determinism rests on. Both dispatch arms also restore
+    * the INPUT's column order (added columns appended) — pinned, with
+    * the null-key cases, by ScaleRankDispatchSpec. */
+  private val GKEY = "__sr_g"
+
+  private def withGroupKey(df: DataFrame, groupCols: Seq[String]): (DataFrame, Seq[String]) =
+    if (groupCols.isEmpty) (df, Nil)
+    else (df.withColumn(GKEY, struct(groupCols.map(col): _*)), Seq(GKEY))
+
   /** Adds to `df` the exact 1-based row number `rkName` (LongType),
     * ordered by `sortCols` within each value of `groupCols` (empty =
     * one global ordering), plus the group row count `nName` — without
@@ -99,24 +122,29 @@ object ScaleRank {
     val lrk = "__sr_lrk"
     val cnt = "__sr_cnt"
     val off = "__sr_off"
-    val local = rangedWithPid(df, groupCols, sortCols, pid)
+    val (base, gcols) = withGroupKey(df, groupCols)
+    val local = rangedWithPid(base, groupCols, sortCols, pid)
       .withColumn(lrk, row_number().over(
-        Window.partitionBy((pid +: groupCols).map(col): _*).orderBy(sortCols: _*))
+        Window.partitionBy((pid +: gcols).map(col): _*).orderBy(sortCols: _*))
         .cast("long"))
     // <= P rows per group: the prefix-sum window below is bounded by
     // the cluster's parallelism, never by the data
-    val counts = local.groupBy((pid +: groupCols).map(col): _*)
+    val counts = local.groupBy((pid +: gcols).map(col): _*)
       .agg(count(lit(1)).as(cnt))
-    val cw = Window.partitionBy(groupCols.map(col): _*).orderBy(col(pid))
+    val cw = Window.partitionBy(gcols.map(col): _*).orderBy(col(pid))
     val offs = counts
       .withColumn(off, coalesce(
         sum(col(cnt)).over(cw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn(nName, sum(col(cnt)).over(
         cw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .drop(cnt)
-    local.join(broadcast(offs), pid +: groupCols)
+    // using-join on (pid, struct key) — both internal, dropped below,
+    // so the INPUT's column order survives; the join/drop shape is
+    // byte-identical to the pre-r14 form for the global case (see
+    // withGroupKey's scaladoc for why that shape is load-bearing)
+    local.join(broadcast(offs), pid +: gcols)
       .withColumn(rkName, col(lrk) + col(off))
-      .drop(pid, lrk, off)
+      .drop((Seq(pid, lrk, off) ++ gcols): _*)
   }
 
   /** Adds the exact inclusive running sum of `valueCol` (ordered by
@@ -145,20 +173,21 @@ object ScaleRank {
     val lsum = "__sr_lsum"
     val csum = "__sr_csum"
     val off = "__sr_off"
-    val local = rangedWithPid(df, groupCols, sortCols, pid)
+    val (base, gcols) = withGroupKey(df, groupCols)
+    val local = rangedWithPid(base, groupCols, sortCols, pid)
       .withColumn(lsum, sum(valueCol).over(
-        Window.partitionBy((pid +: groupCols).map(col): _*).orderBy(sortCols: _*)
+        Window.partitionBy((pid +: gcols).map(col): _*).orderBy(sortCols: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val chunkSums = local.groupBy((pid +: groupCols).map(col): _*)
+    val chunkSums = local.groupBy((pid +: gcols).map(col): _*)
       .agg(sum(valueCol).as(csum))
-    val cw = Window.partitionBy(groupCols.map(col): _*).orderBy(col(pid))
+    val cw = Window.partitionBy(gcols.map(col): _*).orderBy(col(pid))
     val offs = chunkSums
       .withColumn(off, coalesce(
         sum(col(csum)).over(cw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop(csum)
-    local.join(broadcast(offs), pid +: groupCols)
+    local.join(broadcast(offs), pid +: gcols)
       .withColumn(outName, col(lsum) + col(off))
-      .drop(pid, lsum, off)
+      .drop((Seq(pid, lsum, off) ++ gcols): _*)
   }
 
   /** Adds the exact running MAX of `valueCol` (ordered by `sortCols`
@@ -188,31 +217,48 @@ object ScaleRank {
     val cmax = "__sr_cmax"
     val off = "__sr_off"
     val endRow = if (inclusive) Window.currentRow else -1L
-    val local = rangedWithPid(df, groupCols, sortCols, pid)
+    val (base, gcols) = withGroupKey(df, groupCols)
+    val local = rangedWithPid(base, groupCols, sortCols, pid)
       .withColumn(lmax, max(valueCol).over(
-        Window.partitionBy((pid +: groupCols).map(col): _*).orderBy(sortCols: _*)
+        Window.partitionBy((pid +: gcols).map(col): _*).orderBy(sortCols: _*)
           .rowsBetween(Window.unboundedPreceding, endRow)))
-    val chunkMax = local.groupBy((pid +: groupCols).map(col): _*)
+    val chunkMax = local.groupBy((pid +: gcols).map(col): _*)
       .agg(max(valueCol).as(cmax))
-    val cw = Window.partitionBy(groupCols.map(col): _*).orderBy(col(pid))
+    val cw = Window.partitionBy(gcols.map(col): _*).orderBy(col(pid))
     val offs = chunkMax
       .withColumn(off,
         max(col(cmax)).over(cw.rowsBetween(Window.unboundedPreceding, -1)))
       .drop(cmax)
-    local.join(broadcast(offs), pid +: groupCols)
+    local.join(broadcast(offs), pid +: gcols)
       .withColumn(outName, greatest(col(lmax), col(off)))
-      .drop(pid, lmax, off)
+      .drop((Seq(pid, lmax, off) ++ gcols): _*)
   }
 
   /** Internal stage 1, exposed for the boundedness spec: range-cluster
-    * on (group ++ sort) and record which chunk each row landed in. */
+    * on (group ++ sort) and record which chunk each row landed in.
+    *
+    * CHECKPOINTED (r14, correctness): the local ranks/sums and the
+    * chunk-offset aggregate BOTH read this frame, and the scheme is
+    * only exact when both observe the SAME chunk assignment —
+    * `repartitionByRange` sampling is nondeterministic per execution.
+    * Without the lineage cut that sameness rested on AQE's runtime
+    * stage dedup, which holds for shallow plans but BREAKS on chained
+    * two-level calls: q342 at sf0.1 (four chained running sums)
+    * produced run-UNSTABLE, oracle-divergent moments on the r13 tree
+    * (reproduced twice, ~2× off), invisible to the driver's gate
+    * because correctness is only checked at the small SFs where one
+    * chunk exists. The checkpoint materializes one chunking per call
+    * — exactness by construction, not by optimizer luck. */
   private[graft] def rangedWithPid(
       df: DataFrame,
       groupCols: Seq[String],
       sortCols: Seq[Column],
-      pidName: String): DataFrame =
+      pidName: String): DataFrame = {
+    import graft.CkptOps
     df.repartitionByRange((groupCols.map(col) ++ sortCols): _*)
       .withColumn(pidName, spark_partition_id())
+      .ckpt()
+  }
 
   /** SQL-standard `ntile(k)` as a closed-form expression over the
     * 1-based rank `rk` and group size `n` (both LongType): the first

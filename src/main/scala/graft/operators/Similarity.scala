@@ -375,7 +375,7 @@ object Similarity {
         .withColumn("vn", norm("v"))
         .crossJoin(cent)
         .select(col("vec_id"), col("v"), col("vn"), col("cid"),
-          (expr("dot_product(v, vc)") / (col("vn") * col("cn"))).as("cs"))
+          (expr("dot_product(v, vc)") / nullif(col("vn") * col("cn"), lit(0d))).as("cs"))
         .withColumn("rn", row_number().over(aw))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cid"), col("v"), col("vn"),
@@ -398,7 +398,7 @@ object Similarity {
       val pw = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("cid"))
       broadcast(q.crossJoin(cent)
         .select(col("qid"), col("qv"), col("qn"), col("cid"),
-          (expr("dot_product(qv, vc)") / (col("qn") * col("cn"))).as("cs"))
+          (expr("dot_product(qv, vc)") / nullif(col("qn") * col("cn"), lit(0d))).as("cs"))
         .withColumn("crank", row_number().over(pw))
         .filter(col("crank") <= maxProbe)
         .select(col("qid"), col("qv"), col("qn"), col("cid"), col("crank")))
@@ -411,7 +411,7 @@ object Similarity {
       pc.join(assign, Seq("cid"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("crank"), col("vec_id"),
-          (expr("dot_product(v, qv)") / (col("vn") * col("qn"))).as("cs"))
+          (expr("dot_product(v, qv)") / nullif(col("vn") * col("qn"), lit(0d))).as("cs"))
 
     /** Exact truth (qid, vec_id, rn ≤ topk): one corpus pass against
       * the broadcast query set; the rn ≤ topk window plants the
@@ -425,7 +425,7 @@ object Similarity {
         .crossJoin(qn)
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          (expr("dot_product(v, qv)") / (col("vn") * col("qn"))).as("cs"))
+          (expr("dot_product(v, qv)") / nullif(col("vn") * col("qn"), lit(0d))).as("cs"))
         .withColumn("rn", row_number().over(tw))
         .filter(col("rn") <= topk)
     }
@@ -798,7 +798,10 @@ object Similarity {
         count(when(col("vec_id") % 2 === 1, 1)).as("n_odd"))
     m.join(h, Seq("label"))
       .select(col("label"), col("n_even"), col("n_odd"),
-        floor(lit(1000000.0) * col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+        // nullif guard (r14): zero-norm centroid → NULL in BOTH engines
+        // (DuckDB's x/0 is natively NULL) instead of an ANSI throw
+        floor(lit(1000000.0) * col("dot") /
+            nullif(sqrt(col("na")) * sqrt(col("nb")), lit(0d)))
           .cast("long").as("cos_ppm"))
       .orderBy("label")
   }
@@ -1255,7 +1258,7 @@ object Similarity {
         col("vn").as("n2")), Seq("cid"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
-        (expr("dot_product(qv, v2)") / (col("qn") * col("n2"))).as("cs"))
+        (expr("dot_product(qv, v2)") / nullif(col("qn") * col("n2"), lit(0d))).as("cs"))
     val best1 = ownCand.groupBy(col("src")).agg(max(col("cs")).as("best"))
     // per-cell angular radius r_c = acos(min member↔centroid cosine):
     // NCENT rows, broadcast
@@ -1269,7 +1272,7 @@ object Similarity {
       .crossJoin(cent) // NCENT-row broadcast centroid frame
       .filter(col("cid") =!= col("ocid"))
       .select(col("src"), col("qv"), col("qn"), col("cid"),
-        (expr("dot_product(qv, vc)") / (col("qn") * col("cn"))).as("qcs"))
+        (expr("dot_product(qv, vc)") / nullif(col("qn") * col("cn"), lit(0d))).as("qcs"))
       .join(rad, Seq("cid"))
       .join(best1, Seq("src"), "left")
       .filter(col("best").isNull ||
@@ -1280,7 +1283,7 @@ object Similarity {
       .join(asg.select(col("cid"), col("vec_id").as("dst"), col("v").as("v2"),
         col("vn").as("n2")), Seq("cid"))
       .select(col("src"), col("dst"),
-        (expr("dot_product(qv, v2)") / (col("qn") * col("n2"))).as("cs"))
+        (expr("dot_product(qv, v2)") / nullif(col("qn") * col("n2"), lit(0d))).as("cs"))
     val w = Window.partitionBy(col("src")).orderBy(col("cs").desc, col("dst"))
     val nn = ownCand.unionByName(otherCand)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

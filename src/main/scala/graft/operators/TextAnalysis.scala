@@ -1187,9 +1187,10 @@ object TextAnalysis {
     t.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("toks"),
         expr("(1000000 * toks) div total").as("prop_ppm"),
-        expr("(1000000 * s_milli) div s_total").as("temp_ppm"),
+        expr("(1000000 * s_milli) div nullif(s_total, 0)").as("temp_ppm"),
         expr("1000000 div n_src").as("uniform_ppm"),
-        expr("(1000 * ((1000000 * s_milli) div s_total)) div ((1000000 * toks) div total)")
+        expr("(1000 * ((1000000 * s_milli) div nullif(s_total, 0))) div " +
+          "nullif((1000000 * toks) div total, 0)")
           .as("boost_milli"))
       .orderBy("source")
   }
@@ -1360,7 +1361,8 @@ object TextAnalysis {
     lg.crossJoin(broadcast(tot))
       .select(col("lang"), col("n_docs"), col("n_sources"),
         floor(lit(1000000.0) * col("chars").cast("double") /
-          col("tchars").cast("double")).cast("bigint").as("char_share_ppm"),
+          nullif(col("tchars").cast("double"), lit(0d)))
+          .cast("bigint").as("char_share_ppm"),
         floor(lit(1000000.0) * col("ss").cast("double") /
           (col("n_docs").cast("double") * col("n_docs").cast("double")))
           .cast("bigint").as("simpson_ppm"))
@@ -2204,27 +2206,45 @@ object TextAnalysis {
         "transform(sequence(1, size(toks) - 2), " +
           "i -> md5(array_join(slice(toks, i, 3), ' ')))")).as("g"))
       .distinct()
-    // r13 (guide §2.4/§1.2): the greedy loop ran FIVE corpus-scale
-    // anti-join + distinct rounds over the shingle dictionary. The
-    // rounds only ever ask "how many of source s's shingles are not
-    // yet covered", which is a function of each shingle's SOURCE SET —
-    // so collapse the dictionary ONCE to a (source-bitmask → count)
-    // histogram and run the identical greedy on it: gain(s | picked) =
-    // Σ cnt over masks with bit s set and mask ∧ picked = 0. Same
-    // integer gains, same (max gain, min source) argmax, same output.
-    // The histogram is partial-aggregable and value-domain bounded
-    // (≤ distinct source subsets); each round is ONE 1-row wide
-    // aggregate over it instead of an anti-join over the dictionary.
-    // The bit mapping needs ≤ 62 sources — the generator's source
-    // domain is 20 (q370's procurement grouping); above that the mask
-    // would overflow and the round-per-anti-join formulation would
-    // return (dispatch kept trivial because the domain is fixed).
+    maxCoverageGreedy(s, sg)
+  }
+
+  /** Greedy max-coverage over a distinct (source, g) dictionary —
+    * q254's engine, factored for the source-domain dispatch and its
+    * equivalence test ([[graft.operators.MaxCoverageDispatchSpec]]).
+    *
+    * r13 (guide §2.4/§1.2): the greedy loop ran FIVE corpus-scale
+    * anti-join + distinct rounds over the shingle dictionary. The
+    * rounds only ever ask "how many of source s's shingles are not
+    * yet covered", which is a function of each shingle's SOURCE SET —
+    * so collapse the dictionary ONCE to a (source-bitmask → count)
+    * histogram and run the identical greedy on it: gain(s | picked) =
+    * Σ cnt over masks with bit s set and mask ∧ picked = 0. Same
+    * integer gains, same (max gain, min source) argmax, same output.
+    * The histogram is partial-aggregable and value-domain bounded
+    * (≤ distinct source subsets); each round is ONE 1-row wide
+    * aggregate over it instead of an anti-join over the dictionary.
+    *
+    * r14 (VERDICT r13 item 1 of "what's wrong"): the bit mapping
+    * needs ≤ 62 sources (the generator's domain is 20 — q370's
+    * procurement grouping); ABOVE 62 the greedy now dispatches to the
+    * retained pre-r13 anti-join formulation instead of refusing — a
+    * data change that widens the source domain degrades to the slower
+    * exact plan rather than crashing. Both arms emit the identical
+    * rounds (same gains, same argmax, same NULL rows for all-covered
+    * rounds), pinned by the dispatch spec on both sides of the
+    * boundary. */
+  private[graft] def maxCoverageGreedy(
+      s: org.apache.spark.sql.SparkSession,
+      sg0: DataFrame,
+      forceAntiJoin: Boolean = false): DataFrame = {
+    val sg = sg0
     val srcs = sg.select(col("source")).distinct()
       .orderBy("source")
       .collect() // bounded: source domain (q330/q345 class), ≤ ~20 values
       .map(_.getString(0))
-    require(srcs.length <= 62,
-      s"q254 mask greedy needs ≤62 sources, got ${srcs.length}")
+    if (forceAntiJoin || srcs.length > 62)
+      return maxCoverageAntiJoin(sg)
     import s.implicits._
     val bits = srcs.zipWithIndex.map { case (n, i) => (n, 1L << i) }
     val hist = sg
@@ -2269,6 +2289,43 @@ object TextAnalysis {
       }
     }
     out.toSeq.toDF("rk", "source", "gain", "covered")
+      .orderBy("rk")
+  }
+
+  /** The pre-r13 DataFrame greedy — kept verbatim as the >62-source
+    * fallback arm of [[maxCoverageGreedy]]: per round one anti-join
+    * against the covered-key set + a ≤|sources| gain aggregate; no
+    * driver collect in the loop, so it handles ANY source domain. */
+  private def maxCoverageAntiJoin(sg0: DataFrame): DataFrame = {
+    val sg = sg0.ckpt() // one shingle dictionary feeds every round
+    var picked: DataFrame = null
+    var covered: DataFrame = null
+    var rows: DataFrame = null
+    for (r <- 1 to MC_K) {
+      val remaining = if (picked == null) sg
+        else sg.join(broadcast(picked), Seq("source"), "anti")
+      val fresh = if (covered == null) remaining
+        else remaining.join(covered, Seq("g"), "anti")
+      val gains = fresh.groupBy(col("source")).agg(count(lit(1)).as("gain"))
+      val mx = gains.agg(max(col("gain")).as("mg"))
+      val pick = gains.crossJoin(broadcast(mx))
+        .filter(col("gain") === col("mg"))
+        .agg(min(col("source")).as("source"), max(col("mg")).as("gain"))
+        .ckpt()
+      picked = if (picked == null) pick.select(col("source"))
+        else picked.unionByName(pick.select(col("source"))).ckpt()
+      val row = pick.select(lit(r.toLong).as("rk"), col("source"),
+        col("gain"))
+      rows = if (rows == null) row else rows.unionByName(row)
+      covered = sg.join(broadcast(picked), Seq("source"), "semi")
+        .select(col("g")).distinct().ckpt()
+    }
+    // cumulative coverage over the <= k-row pick frame via a bounded
+    // self-join (no global window, nothing for the plan sweep to flag)
+    val cum = rows.select(col("rk").as("rk2"), col("gain").as("g2"))
+    rows.join(broadcast(cum), col("rk2") <= col("rk"))
+      .groupBy(col("rk"), col("source"), col("gain"))
+      .agg(sum(col("g2")).as("covered"))
       .orderBy("rk")
   }
 
@@ -2326,9 +2383,9 @@ object TextAnalysis {
       .withColumn("d", greatest(lit(0L), abs(col("n10") - col("n01")) - 1))
       .select(col("n00"), col("n01"), col("n10"), col("n11"),
         when(col("n01") + col("n10") === 0, 0L)
-          .otherwise(expr("(1000 * d * d) div (n01 + n10)")).as("chi2_milli"),
+          .otherwise(expr("(1000 * d * d) div nullif(n01 + n10, 0)")).as("chi2_milli"),
         when(col("n01") + col("n10") === 0, 0L)
-          .when(expr("(1000 * d * d) div (n01 + n10)") >= 3841, 1L)
+          .when(expr("(1000 * d * d) div nullif(n01 + n10, 0)") >= 3841, 1L)
           .otherwise(0L).as("significant"))
   }
 
@@ -2647,9 +2704,9 @@ object TextAnalysis {
     m.crossJoin(broadcast(med))
       .select(col("n_docs"), col("n_tokens"), col("n_chars"),
         col("n_sources"), col("n_langs"),
-        expr("(1000000 * n_en) div n_docs").as("en_ppm"),
-        expr("(1000000 * (n_docs - n_uniq)) div n_docs").as("dup_ppm"),
-        expr("n_chars div n_docs").as("mean_chars"),
+        expr("(1000000 * n_en) div nullif(n_docs, 0)").as("en_ppm"),
+        expr("(1000000 * (n_docs - n_uniq)) div nullif(n_docs, 0)").as("dup_ppm"),
+        expr("n_chars div nullif(n_docs, 0)").as("mean_chars"),
         col("p50_chars"))
   }
 

@@ -94,4 +94,21 @@ class LayoutSpec extends AnyFunSuite {
         s"jump between d=$d ($x1,$y1) and d+1 ($x2,$y2)")
     }
   }
+
+  test("q289 degrades to an empty report on an empty fact instead of crashing") {
+    // ADVICE r13: with an empty cube source the collected lattice has
+    // no base view and the driver greedy threw (size(7L) /
+    // bene.values.max). The oracle's report is empty there (NULL pick
+    // masks match no names row) — pin the same degradation.
+    val dir = java.nio.file.Files.createTempDirectory("graft-q289-empty")
+      .toString
+    for (t <- Seq("lineitem", "orders")) {
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .limit(0).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val out = Layout.q289ViewSelection.build(spark, dir)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq ==
+      Seq("rk", "view_name", "view_size", "benefit", "total_cost_after"))
+  }
 }

@@ -64,6 +64,57 @@ class ScaleRankDispatchSpec extends AnyFunSuite {
     }
   }
 
+  /** r14 (ADVICE r13): group key NOT leading the schema + NULL group
+    * keys — the two cases the original spec could not see. The
+    * two-level path used to (a) move groupCols to the front via its
+    * using-column join and (b) drop null-key rows (equi-join null
+    * semantics); both now match the window semantics (original column
+    * order preserved, NULL is an ordinary partition value). */
+  private def raggedFrame(): DataFrame = {
+    import spark.implicits._
+    (1 to 497).map { i =>
+      val g: java.lang.Long = if (i % 5 == 0) null else (i % 3).toLong
+      ((i * 31) % 13, i.toLong, (i % 11).toLong - 3L, g)
+    }.toDF("s", "id", "v", "g") // group col LAST, ~20% null keys
+  }
+
+  private def bothWaysRagged(build: DataFrame => DataFrame): (Seq[String], Seq[String], Seq[String], Seq[String]) = {
+    val prev = spark.conf.getOption(KEY)
+    def run(thr: String): (Seq[String], Seq[String]) = {
+      spark.conf.set(KEY, thr)
+      try {
+        val out = build(raggedFrame())
+        (out.collect().map(_.toString).toSeq.sorted, out.columns.toSeq)
+      } finally prev match {
+        case Some(v) => spark.conf.set(KEY, v)
+        case None => spark.conf.unset(KEY)
+      }
+    }
+    val (slow, slowCols) = run("0")
+    val (fast, fastCols) = run(String.valueOf(1L << 30))
+    (slow, fast, slowCols, fastCols)
+  }
+
+  test("null group keys + non-leading group column: identical rows AND column order both ways") {
+    val (slow, fast, slowCols, fastCols) = bothWaysRagged(df =>
+      ScaleRank.withRowNumber(df, Seq("g"), Seq(col("s"), col("id")), "rk", "n"))
+    assert(slowCols == Seq("s", "id", "v", "g", "n", "rk")) // input order kept
+    assert(slowCols == fastCols)
+    assert(slow == fast)
+    // null-key rows must SURVIVE (the old using-join dropped them)
+    assert(slow.count(_.startsWith("[")) == 497)
+  }
+
+  test("null group keys: running sum and running max agree both ways") {
+    val (s1, f1, c1s, c1f) = bothWaysRagged(df =>
+      ScaleRank.withRunningSum(df, Seq("g"), Seq(col("s"), col("id")), col("v"), "cum"))
+    assert(s1 == f1 && c1s == c1f && c1s.last == "cum")
+    val (s2, f2, c2s, c2f) = bothWaysRagged(df =>
+      ScaleRank.withRunningMax(df, Seq("g"), Seq(col("s"), col("id")), col("v"), "rmax",
+        inclusive = false))
+    assert(s2 == f2 && c2s == c2f && c2s.last == "rmax")
+  }
+
   test("decimal running sum refuses the fast path (type parity)") {
     val prev = spark.conf.getOption(KEY)
     spark.conf.set(KEY, String.valueOf(1L << 30))

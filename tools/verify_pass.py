@@ -170,6 +170,15 @@ def closing_summary(snapshot=False):
                             f"{REPO}/BENCH_close_r{rnd}.json")
             parts.append(f"snapshot: BENCH_close_r{rnd}.json")
     except Exception as e:
+        # At CLOSE (snapshot=True) a missing/clipped bench artifact is a
+        # hard failure, not a footnote: r13's driver-side PERF had
+        # n_common=0 because a clipped BENCH line went unnoticed
+        # (VERDICT r13 item 7) — the close must prove the committed
+        # BENCH_close snapshot parses as one complete JSON object.
+        if snapshot:
+            raise SystemExit(
+                f"CLOSE ABORTED: target/bench_full.json is not valid "
+                f"JSON ({e}) — rerun graft.Bench before snapshotting")
         parts.append(f"(no bench_full.json: {e})")
     return "; ".join(parts)
 
